@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries` is the union of every operator module's entries; each key
+  * with an `oracleSql` entry is hash-checked against DuckDB at sf0.01,
+  * the rest get a rows-only check (minhash/simhash/LSH buckets, whose
+  * hash families are Spark-internal).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
+      Multimodal.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Snapshot.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
+      Multimodal.oracles
 }

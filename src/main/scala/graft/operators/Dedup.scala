@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Fx._
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines (SURVEY §2
+  * group 3): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: nothing here is O(n²) on the full corpus. Exact
+  * dedup is one hash-groupBy; MinHash/LSH turns near-dup into an
+  * equi-join on band keys; SimHash buckets by hash prefix. The
+  * all-pairs Jaccard entry (`dedup_ngram`) joins on shared shingles —
+  * an equi-join whose fan-out is bounded by shingle document
+  * frequency, the standard prefix-filter shape; pair up candidates
+  * only ever meet through a shared token, never a cross join.
+  */
+object Dedup {
+
+  /** (doc_id, shingle) exploded pairs over distinct word k-shingles.
+    *
+    * Tokenization is materialized through an explicit projection
+    * BEFORE the explode: generator expressions inline their column
+    * arguments per produced element, so `explode(shingles(tokens(c)))`
+    * re-runs the regex+split once per shingle position — O(len²) per
+    * document, ~10× slower end-to-end. The projection barrier makes it
+    * once per row. */
+  def docShingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), k)).as("shingle"))
+
+  /** Exact-dup groups: normalized-text md5 → group size + canonical
+    * survivor (lowest doc_id). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+
+  /** Near-dup candidate pairs with exact n-gram Jaccard ≥ `num/den`
+    * (threshold kept rational so the filter is integer arithmetic —
+    * no float boundary ambiguity). */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int): DataFrame = {
+    val sh = docShingles(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // The two join sides are built as independent plans with disjoint
+    // column names: a same-lineage self-join here degrades to a
+    // nested-loop (Spark can't keep the equi-keys apart), which is
+    // ~300× slower. With distinct lineage this is a plain shuffled
+    // hash join on the shingle key.
+    val shA = docShingles(docs, k)
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = docShingles(docs, k)
+      .select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val inter = shA.join(shB,
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * den >= col("n_union") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded murmur3 hash
+    * functions, the min hash over the doc's shingles. Pure
+    * aggregation — one shuffle on doc_id. */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sh = docShingles(docs, k)
+    val mins = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands and hash each
+    * band → (band_idx, band_hash) bucket keys. Docs sharing any bucket
+    * are near-dup candidates; candidate generation is an equi-join on
+    * the bucket key — shuffle, not cross-join. */
+  def lshBuckets(signatures: DataFrame, bands: Int): DataFrame = {
+    signatures.select(col("doc_id"), posexplode(col("signature")).as(Seq("pos", "h")))
+      .withColumn("band", col("pos") % bands)
+      .groupBy("doc_id", "band")
+      .agg(hash(array_sort(collect_list(struct(col("pos"), col("h"))))).as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets. Sides are given
+    * disjoint column names up front — see ngramJaccardPairs on why a
+    * same-lineage self-join must be avoided. */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = buckets.select(col("doc_id").as("doc_b"),
+      col("band").as("band_b"), col("band_hash").as("band_hash_b"))
+    a.join(b, col("band") === col("band_b") && col("band_hash") === col("band_hash_b")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * token-hash bit, sign → bit. Implemented as 64 codegen'd
+    * conditional sums — one aggregation pass, no UDF. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, d) =>
+      exactGroups(Tables.documents(s, d)).orderBy("text_hash")
+    },
+
+    "dedup_ngram" -> { (s, d) =>
+      // Jaccard ≥ 1/2 over distinct word 3-shingles.
+      ngramJaccardPairs(Tables.documents(s, d), 3, 1, 2).orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_minhash" -> { (s, d) =>
+      // Rows-only oracle (hash family is Spark murmur3). 32 hashes,
+      // 8 bands of 4 → candidates at jaccard ≳ 0.5.
+      val sigs = minhashSignatures(Tables.documents(s, d), 3, 32)
+      lshCandidates(lshBuckets(sigs, 8)).orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_simhash" -> { (s, d) =>
+      // Rows-only oracle (xxhash64 is Spark-specific).
+      simhash(Tables.documents(s, d)).orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal column handling (SURVEY §2 group 7): image/audio/video
+  * payloads ride as opaque `binary` columns with a typed metadata
+  * struct. The Spark-side plumbing — schema, batch iteration,
+  * partition-local decode — is real; the codec itself is a
+  * deterministic STUB (this container ships no image/audio libraries),
+  * clearly marked, with the same signature a real decoder would have.
+  *
+  * Scale notes: decode is a narrow per-partition map (`mapPartitions`
+  * over an iterator — streaming, no materialized partition), so it
+  * parallelizes to any executor count and never shuffles. Payload
+  * columns should be pruned before any shuffle: select metadata first,
+  * join/aggregate, and only re-attach bytes at the end if needed.
+  */
+object Multimodal {
+
+  /** Typed metadata a real image decoder would emit. */
+  case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
+
+  /** STUB decoder — deterministic fake in place of a real codec
+    * (e.g. javax.imageio / ffmpeg). Derives plausible dimensions from
+    * the payload bytes so tests are stable. A production build swaps
+    * only this function. */
+  def stubDecodeImage(payload: Array[Byte]): ImageMeta = {
+    val h = java.util.Arrays.hashCode(payload)
+    ImageMeta(
+      width = 64 + math.abs(h % 1024),
+      height = 64 + math.abs((h / 1024) % 1024),
+      channels = 3,
+      format = if (payload.length % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Attach decoded metadata to a binary `payload` column. The decode
+    * runs partition-local via a typed map on (id, payload) rows. */
+  def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded = df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = stubDecodeImage(bytes)
+        (id, m.width, m.height, m.channels, m.format)
+      })
+      .toDF(idCol, "width", "height", "channels", "format")
+    df.join(decoded, idCol)
+  }
+
+  /** Deterministic frame sampling over a binary "video" payload: emit
+    * every `stride`-th fixed-size window as a frame row. Models the
+    * fan-out shape (one row → many frame rows) of real frame
+    * extraction. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) => (id, idx.toLong, frame.length, frame) }
+      }
+      .toDF(idCol, "frame_idx", "frame_bytes", "frame")
+  }
+
+  /** Driver-checkable stand-in: documents.text re-encoded as binary,
+    * with byte length + md5 — the metadata-extraction shape over a
+    * binary column that DuckDB can also compute (md5 over the UTF-8
+    * bytes ≡ md5 over the varchar). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("content_md5"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

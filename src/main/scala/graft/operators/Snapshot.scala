@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Fx._
+import graft.sources.Tables
+
+/** Snapshot / incremental-backup operators (SURVEY §2 group 2) — the
+  * Spark-first re-expression of the reference's data-lake
+  * snapshot/backup capabilities: full-copy fingerprinting, incremental
+  * sync (new + changed row detection), delta merge (SCD1), history
+  * build (SCD2), copy-validation manifests, and retention pruning.
+  *
+  * Scale notes:
+  *  - Change detection is hash-compare on equi-joined business keys —
+  *    one shuffle on the key, no wide sort, AQE-skew-safe.
+  *  - Fingerprints for external validation use md5 (oracle-checkable);
+  *    the internal fast path is xxhash64 (codegen, 8 bytes/row).
+  *  - The manifest's aggregate hash is an XOR fold — order-independent
+  *    and partial-aggregatable, so it map-side combines at 100 TB.
+  *
+  * The driver's testdata has a single physical copy of each table, so
+  * the "previous snapshot" is modeled as a deterministic subset +
+  * perturbation of the current one (key-mod filters, documented per
+  * operator). The operators themselves take arbitrary (base, current)
+  * DataFrames — the modeling lives only in the `queries` wiring.
+  */
+object Snapshot {
+
+  /** Rows of `current` whose business key is absent from `previous`. */
+  def incrementalNew(current: DataFrame, previous: DataFrame, key: String): DataFrame =
+    current.join(previous.select(key), Seq(key), "left_anti")
+
+  /** Rows whose key exists in both but whose content fingerprint
+    * differs. `fp` must be computed over all non-key columns. */
+  def incrementalChanged(current: DataFrame, previous: DataFrame, key: String, fp: DataFrame => Column): DataFrame = {
+    val cur = current.withColumn("__fp", fp(current))
+    val prev = previous.withColumn("__fp_prev", fp(previous)).select(col(key), col("__fp_prev"))
+    cur.join(prev, Seq(key))
+      .filter(col("__fp") =!= col("__fp_prev"))
+      .drop("__fp", "__fp_prev")
+  }
+
+  /** SCD1 upsert: delta rows win; base rows survive where no delta
+    * key exists. One anti-join + union — no full-outer wide row. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    delta.unionByName(base.join(delta.select(key), Seq(key), "left_anti"))
+
+  /** Keep the newest `n` versions per key (retention pruning). */
+  def retainLatest(df: DataFrame, key: String, orderCols: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  // ---- snapshot modeling over the shared testdata ----
+
+  /** orders with a canonical per-row md5 fingerprint. */
+  private def ordersFp(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.withColumn("fp", fingerprint(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      decM(col("o_totalprice")), col("o_orderdate"), col("o_orderpriority")))
+  }
+
+  /** The modeled "previous snapshot": drops keys ≡ 7 (mod 10) (those
+    * are new in current) and perturbs o_totalprice by +1.00 for keys
+    * ≡ 0 (mod 13) (those are changed in current). */
+  private def prevOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, (decM(col("o_totalprice")) + lit(1).cast("decimal(4,2)")).cast(DoubleType))
+          .otherwise(col("o_totalprice")))
+
+  private def orderRowFp(df: DataFrame): Column = fingerprint(
+    df("o_custkey"), df("o_orderstatus"), decM(df("o_totalprice")),
+    df("o_orderdate"), df("o_orderpriority"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snap_fingerprint" -> { (s, d) =>
+      ordersFp(s, d).select("o_orderkey", "fp").orderBy("o_orderkey")
+    },
+
+    "snap_incr_new" -> { (s, d) =>
+      incrementalNew(Tables.orders(s, d), prevOrders(s, d), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "snap_incr_changed" -> { (s, d) =>
+      incrementalChanged(Tables.orders(s, d), prevOrders(s, d), "o_orderkey", orderRowFp)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    "snap_merge_upsert" -> { (s, d) =>
+      // Apply the delta (new + changed rows of current) onto the previous
+      // snapshot; the merge must reconstruct `current` exactly.
+      val cur = Tables.orders(s, d)
+      val prev = prevOrders(s, d)
+      val delta = incrementalNew(cur, prev, "o_orderkey")
+        .unionByName(incrementalChanged(cur, prev, "o_orderkey", orderRowFp))
+      mergeUpsert(prev, delta, "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    "snap_scd2" -> { (s, d) =>
+      // SCD2 history of each user's event_type transitions: effective
+      // range = [ts, next change ts); open-ended rows have NULL end.
+      // Event timestamps are ns in parquet; Spark reads them at µs while
+      // DuckDB keeps ns — so ranges are output as epoch-microsecond
+      // BIGINTs, which both engines truncate identically.
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("effective_to", lead(col("ts"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("effective_from"),
+          unix_micros(col("effective_to")).as("effective_to"))
+        .orderBy("user_id", "effective_from")
+    },
+
+    "snap_manifest" -> { (s, d) =>
+      // Copy-validation manifest per (l_returnflag, l_linestatus)
+      // partition: counts, key bounds, exact sum, order-independent
+      // aggregate content hash (md5 over sorted row fingerprints for
+      // the oracle; xorAgg(xxhash64) is the library's 100 TB path).
+      val li = Tables.lineitem(s, d).withColumn("fp", fingerprint(
+        col("l_orderkey"), col("l_linenumber"), decM(col("l_quantity")),
+        decM(col("l_extendedprice")), decR(col("l_discount"))))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          md5(concat_ws(",", array_sort(collect_list(col("fp"))))).as("content_hash"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "snap_retention" -> { (s, d) =>
+      retainLatest(Tables.events(s, d), "user_id",
+        Seq(col("ts").desc, col("event_id").desc), 3)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id", "event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "snap_fingerprint" ->
+      """SELECT o_orderkey,
+        |  md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |    o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |    CAST(o_orderdate AS VARCHAR), o_orderpriority)) AS fp
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "snap_incr_new" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 7 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_incr_changed" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey % 10 <> 7 AND o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "snap_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "snap_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS effective_from,
+        |  epoch_us(CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS effective_to
+        |FROM changes ORDER BY user_id, effective_from""".stripMargin,
+
+    "snap_manifest" ->
+      """WITH li AS (
+        |  SELECT *, md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR))) AS fp
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  md5(string_agg(fp, ',' ORDER BY fp)) AS content_hash
+        |FROM li GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "snap_retention" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin
+  )
+}

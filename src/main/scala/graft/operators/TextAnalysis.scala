@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Fx._
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines (SURVEY §2 group 5):
+  * token/char stats, quality scoring, stopword-overlap language ID,
+  * document fingerprinting. All single-pass narrow transforms over the
+  * documents table — no shuffle except the langid argmax, which
+  * shuffles 5 small score rows per doc (or none with the array-sort
+  * variant used in the library path).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists — enough signal for an n-gram
+    * heuristic language ID; deliberately ASCII-only so the oracle SQL
+    * is byte-identical. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "na"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-doc token/char statistics. */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      round(length(regexp_replace(normText(col("text")), " ", "")).cast(DoubleType)
+        / size(toks), 4).as("avg_tok_len"))
+  }
+
+  /** Quality signals: stopword/punct/digit/space ratios + a composite
+    * score. Ratios are exact integer-length divisions rounded at the
+    * boundary. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChars = length(col("text"))
+    val nStop = countIn(toks, stopwords("en"))
+    val nPunct = nChars - length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))
+    val nDigit = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nSpace = nChars - length(regexp_replace(col("text"), " ", ""))
+    docs.select(
+      col("doc_id"),
+      round(nStop.cast(DoubleType) / nTok, 4).as("stopword_ratio"),
+      round(nPunct.cast(DoubleType) / nChars, 4).as("punct_ratio"),
+      round(nDigit.cast(DoubleType) / nChars, 4).as("digit_ratio"),
+      round(nSpace.cast(DoubleType) / nChars, 4).as("space_ratio"),
+      round(least(nTok.cast(DoubleType) / 100.0, lit(1.0))
+        * (lit(1.0) - nDigit.cast(DoubleType) / nChars), 4).as("quality_score"))
+  }
+
+  /** Stopword-overlap language ID: hit count per candidate language,
+    * argmax with deterministic (hits DESC, lang ASC) tie-break. The
+    * scoring is a single projection; the argmax here is an array-sort
+    * over 5 in-row structs — zero shuffle, stays in codegen. */
+  def langid(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(countIn(toks, words).as("hits"), lit(lang).as("lang"))
+    }: _*)
+    // sort ascending by (hits, lang) → best = last element for hits,
+    // but ties must resolve to the alphabetically FIRST lang: sort by
+    // (-hits, lang) ascending and take element 1.
+    val best = element_at(array_sort(transform(scored,
+      s => struct((-s.getField("hits")).as("neg"), s.getField("lang").as("lang")))), 1)
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      best.getField("lang").as("pred_lang"),
+      (-best.getField("neg")).cast(LongType).as("hits"))
+  }
+
+  /** Normalized-content fingerprint for cross-snapshot text dedup. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp"),
+      length(normText(col("text"))).cast(LongType).as("norm_len"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> { (s, d) => stats(Tables.documents(s, d)).orderBy("doc_id") },
+    "text_quality" -> { (s, d) => quality(Tables.documents(s, d)).orderBy("doc_id") },
+    "text_langid" -> { (s, d) => langid(Tables.documents(s, d)).orderBy("doc_id") },
+    "text_fingerprint" -> { (s, d) => fingerprints(Tables.documents(s, d)).orderBy("doc_id") }
+  )
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  private def hitsSql(lang: String): String = {
+    val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksSql, t -> t IN ($set)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / len($toksSql), 4) AS avg_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  ROUND(CAST(${hitsSql("en")} AS DOUBLE) / len($toksSql), 4) AS stopword_ratio,
+         |  ROUND(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         |  ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+         |  ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 4) AS space_ratio,
+         |  ROUND(least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0)
+         |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)), 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang AS labeled_lang, s.lang AS cand, s.hits FROM documents,
+         |  UNNEST([${stopwords.keys.toSeq.sorted.map(l => s"{'lang': '$l', 'hits': ${hitsSql(l)}}").mkString(", ")}]) AS u(s))
+         |SELECT doc_id, labeled_lang, cand AS pred_lang, CAST(hits AS BIGINT) AS hits FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rk
+         |  FROM scores) t
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+         |  CAST(length($normSql) AS BIGINT) AS norm_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-aware readers for the lake tables.
+  *
+  * All graft operators read through here so that a future move from
+  * local parquet to a real lake layout (partitioned dirs, Delta-style
+  * manifests, ADLS URIs) is a one-file change. Readers are plain
+  * `spark.read.parquet` so Catalyst keeps full pushdown/pruning:
+  * `.explain` on any graft query shows PushedFilters + a ReadSchema
+  * restricted to the referenced columns.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
+
+  /** Load one table from a scale-factor directory. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is nanosecond-precision in parquet, which Spark 4
+    * refuses to read as a timestamp. Read it as a raw long (legacy
+    * conf) and convert to a µs timestamp — integer `div`, never
+    * double division, which would lose precision on ~1.7e18 values. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Write a snapshot copy partitioned by the given columns — the
+    * full-backup primitive. Partition columns become directory keys so
+    * restores and incremental diffs prune at the file level.
+    */
+  def writeSnapshot(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

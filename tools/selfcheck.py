@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Replicates the driver's correctness gate locally: for each query
+output written by graft.Verify, run the corresponding oracle SQL in
+DuckDB over the same sf tables and compare row count, column names, and
+values (rows sorted, columns sorted by name — per the driver contract).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+def table_rows(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    results = {}
+    import glob, os
+    produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+    for name in sorted(produced):
+        spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        try:
+            scols, srows = table_rows(con, spark_sql)
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only ({len(srows)} rows)" if srows else "ROWS-ONLY-EMPTY"
+            continue
+        try:
+            ocols, orows = table_rows(con, oracle[name])
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        if scols != ocols:
+            results[name] = f"SCHEMA-MISMATCH spark={scols} oracle={ocols}"
+        elif len(srows) != len(orows):
+            results[name] = f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
+        elif srows != orows:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            results[name] = (f"VALUE-MISMATCH first at sorted row {bad}: "
+                             f"spark={srows[bad]} oracle={orows[bad]}")
+        else:
+            results[name] = f"OK ({len(srows)} rows)"
+    missing = set(oracle) - produced
+    for name in missing:
+        results[name] = "NO-OUTPUT"
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
+    for name in sorted(results):
+        print(f"{'PASS' if results[name].startswith(('OK','rows-only')) else 'FAIL':4} {name}: {results[name]}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    return 0 if n_ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
