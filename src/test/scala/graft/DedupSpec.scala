@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // exact dup after normalization
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different text about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses whitespace/case variants") {
+    val groups = Dedup.exactGroups(docs).collect()
+    val dupGroup = groups.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) == 1L) // keep_id = min doc_id
+    assert(groups.length == 3)
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signatures have requested length; identical docs get identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, 3, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs.values.forall(_.length == 16))
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("lsh candidates include identical docs and exclude unrelated ones") {
+    val sigs = Dedup.minhashSignatures(docs, 3, 16)
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming distance") {
+    val hashes = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(3L)) < hamming(hashes(1L), hashes(4L)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fx
+import graft.operators.Snapshot
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+  private def current = Seq(
+    (1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+
+  test("incrementalNew finds only rows with new keys") {
+    val out = Snapshot.incrementalNew(current, base, "k").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("incrementalChanged finds only content changes on shared keys") {
+    val out = Snapshot.incrementalChanged(current, base, "k",
+      df => Fx.fingerprint(df("s"), df("v"))).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("mergeUpsert(base, delta) reconstructs current ∪ untouched base") {
+    val delta = Snapshot.incrementalNew(current, base, "k")
+      .unionByName(Snapshot.incrementalChanged(current, base, "k",
+        df => Fx.fingerprint(df("s"), df("v"))))
+    val merged = Snapshot.mergeUpsert(base, delta, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // key 3 deleted upstream stays (backup semantics: no implicit delete)
+    assert(merged == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("retainLatest keeps n newest per key") {
+    val df = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)).toDF("k", "ver")
+    val out = Snapshot.retainLatest(df, "k", Seq(col("ver").desc), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((1L, 3), (1L, 2), (2L, 1)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming sessionize closes a session after the event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts(0), 10L, "click", 1.0),
+        Event(2L, ts(10), 10L, "view", 2.0))
+      query.processAllAvailable()
+      // second batch: an event far past the gap closes session 1 inline
+      input.addData(Event(3L, ts(120), 10L, "click", 5.0))
+      query.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM graft_sessions WHERE closed").collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.getAs[Long]("n_events") == 2L)
+      assert(s.getAs[Double]("sum_value") == 3.0)
+      assert(s.getAs[Timestamp]("session_start") == ts(0))
+      assert(s.getAs[Timestamp]("session_end") == ts(10))
+    } finally query.stop()
+  }
+
+  test("incrementalSnapshot drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.incrementalSnapshot(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts")
+    val query = deduped.writeStream
+      .format("memory").queryName("graft_snap").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT k FROM graft_snap").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextAnalysis}
+
+class TextAndSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text stats counts tokens and chars") {
+    val df = Seq((1L, "hello world foo")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df).collect().head
+    assert(r.getLong(1) == 15L) // n_chars
+    assert(r.getLong(2) == 3L)  // n_tokens
+  }
+
+  test("quality ratios on a crafted doc") {
+    val df = Seq((1L, "the cat sat on a mat, happily.")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df).collect().head
+    assert(r.getDouble(1) > 0)      // stopword ratio ("the", "on", "a")
+    assert(r.getDouble(2) > 0)      // punct ratio (comma + period)
+    assert(r.getDouble(3) == 0.0)   // no digits
+  }
+
+  test("langid picks the language with most stopword hits, ties alphabetical") {
+    val df = Seq(
+      (1L, "en", "the cat and the dog is in a house of cards"),
+      (2L, "de", "der hund und die katze ist ein tier mit fell")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langid(df).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its duplicate") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df, 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.head._1 == 2L && top.head._2 == 1.0)
+    assert(top(1)._1 == 4L)
+  }
+
+  test("lshTopK returns only same-bucket pairs with valid cosines") {
+    val df = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, 6, 3).collect()
+    assert(out.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+  }
+}
