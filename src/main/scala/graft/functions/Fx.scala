@@ -74,15 +74,16 @@ object Fx {
 
   // ---- vectors (Array[Float] embedding columns) ----
 
-  /** Element-wise dot product accumulated in double, left-to-right. */
+  /** Element-wise dot product accumulated in double, left-to-right.
+    * Backed by the codegen'd [[FloatVecDot]] Catalyst expression; the
+    * interpreted HOF equivalent (`aggregate(zip_with(...))`) computes
+    * the identical value ~20× slower. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorExpressions.vecDot(a, b)
 
-  /** L2 norm accumulated in double. */
+  /** L2 norm accumulated in double — codegen'd FloatVecNorm. */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+    org.apache.spark.sql.graft.VectorExpressions.vecNorm(a)
 
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))

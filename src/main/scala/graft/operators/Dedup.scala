@@ -22,15 +22,26 @@ object Dedup {
 
   /** (doc_id, shingle) exploded pairs over distinct word k-shingles.
     *
-    * Tokenization is materialized through an explicit projection
-    * BEFORE the explode: generator expressions inline their column
-    * arguments per produced element, so `explode(shingles(tokens(c)))`
-    * re-runs the regex+split once per shingle position — O(len²) per
-    * document, ~10× slower end-to-end. The projection barrier makes it
-    * once per row. */
-  def docShingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), explode(shingles(col("__toks"), k)).as("shingle"))
+    * Implemented as a typed flatMap rather than
+    * `explode(shingles(tokens(c)))`: higher-order array functions have
+    * no doGenCode, so the declarative version is interpreted
+    * per-element (and a generator additionally re-inlines its argument
+    * expression per produced element — O(len²) regex evaluations).
+    * The flatMap is one narrow, embarrassingly-parallel pass; the
+    * declarative [[graft.functions.Fx.shingles]] stays available for
+    * in-plan use. Semantics match the oracle exactly: whitespace
+    * normalize → lowercase → split → k-gram → per-doc distinct. */
+  def docShingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).split(" ")
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct.iterator.map((id, _))
+      }
+      .toDF("doc_id", "shingle")
+  }
 
   /** Exact-dup groups: normalized-text md5 → group size + canonical
     * survivor (lowest doc_id). */
@@ -43,17 +54,15 @@ object Dedup {
     * (threshold kept rational so the filter is integer arithmetic —
     * no float boundary ambiguity). */
   def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int): DataFrame = {
-    val sh = docShingles(docs, k)
+    // One materialized shingle index feeds the doc-size aggregate and
+    // BOTH self-join sides (computed once, not three times). The sides
+    // get disjoint column names: an aliased same-lineage self-join
+    // otherwise degrades to a nested-loop. At 100 TB swap persist()
+    // for a bucketed-by-shingle table write; the plan shape holds.
+    val sh = docShingles(docs, k).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // The two join sides are built as independent plans with disjoint
-    // column names: a same-lineage self-join here degrades to a
-    // nested-loop (Spark can't keep the equi-keys apart), which is
-    // ~300× slower. With distinct lineage this is a plain shuffled
-    // hash join on the shingle key.
-    val shA = docShingles(docs, k)
-      .select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = docShingles(docs, k)
-      .select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
     val inter = shA.join(shB,
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -63,23 +63,29 @@ object TextAnalysis {
   }
 
   /** Stopword-overlap language ID: hit count per candidate language,
-    * argmax with deterministic (hits DESC, lang ASC) tie-break. The
-    * scoring is a single projection; the argmax here is an array-sort
-    * over 5 in-row structs — zero shuffle, stays in codegen. */
+    * argmax with deterministic (hits DESC, lang ASC) tie-break.
+    *
+    * Typed map, not a 5-language HOF projection: `filter`/`array_sort`
+    * higher-order functions have no doGenCode, so the declarative
+    * version interprets ~|langs|·|tokens| membership tests per row AND
+    * re-inlines the tokenizer once per language — ~20× slower under
+    * real execution. One narrow pass, no shuffle. */
   def langid(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(countIn(toks, words).as("hits"), lit(lang).as("lang"))
-    }: _*)
-    // sort ascending by (hits, lang) → best = last element for hits,
-    // but ties must resolve to the alphabetically FIRST lang: sort by
-    // (-hits, lang) ascending and take element 1.
-    val best = element_at(array_sort(transform(scored,
-      s => struct((-s.getField("hits")).as("neg"), s.getField("lang").as("lang")))), 1)
-    docs.select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      best.getField("lang").as("pred_lang"),
-      (-best.getField("neg")).cast(LongType).as("hits"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sw: Seq[(String, Set[String])] =
+      stopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
+    docs.select(col("doc_id").cast(LongType), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val toks = text.trim.replaceAll("\\s+", " ")
+          .toLowerCase(java.util.Locale.ROOT).split(" ")
+        val (bestLang, bestHits) = sw
+          .map { case (l, set) => (l, toks.count(set)) }
+          .minBy { case (l, h) => (-h, l) }
+        (id, lang, bestLang, bestHits.toLong)
+      }
+      .toDF("doc_id", "labeled_lang", "pred_lang", "hits")
   }
 
   /** Normalized-content fingerprint for cross-snapshot text dedup. */
