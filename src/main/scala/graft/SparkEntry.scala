@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ AsofJoin.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Snapshot.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ AsofJoin.oracles
 }

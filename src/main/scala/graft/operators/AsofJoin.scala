@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (point-in-time) join — an operator Spark lacks natively
+  * (SURVEY §2: custom operators).
+  *
+  * For each left row, attach the latest right row of the same key
+  * whose time is <= the left row's time (inclusive).
+  *
+  * Implemented as union + running `last(_, ignoreNulls)` over a
+  * (key, time)-ordered window, NOT as an inequality join + rank:
+  * the inequality-join formulation produces O(|L|·|R|) intermediate
+  * rows per key before pruning, while this shape is one shuffle on the
+  * key and a single linear pass per partition — the same cost as a
+  * sort-merge join, at any scale. Right rows sort before left rows at
+  * equal timestamps, giving the standard inclusive (>=) ASOF
+  * semantics.
+  */
+object AsofJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (its latest-at-or-before row is attached)
+    * @param key        equi-join key column name (present on both sides)
+    * @param leftTime   left ordering column (any orderable type)
+    * @param rightTime  right ordering column (same type as leftTime)
+    * @param rightCols  right columns to attach (null when no match yet)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rStruct = struct(rightCols.map(col): _*)
+    val rPayType = right.select(rStruct).schema.head.dataType
+    val lPrepped = left.select(
+      (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")
+        :+ lit(null).cast(rPayType).as("__rpay")): _*)
+    val rPrepped = right.select(
+      (leftCols.map(c =>
+        (if (c == key) col(key) else lit(null).cast(left.schema(c).dataType)).as(c))
+        :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+ rStruct.as("__rpay")): _*)
+    val unioned = lPrepped.unionByName(rPrepped)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> { (s, d) =>
+      // For each purchase event: the user's latest click at-or-before it.
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t").as("click_t"))
+      asofJoin(purchases, clicks, "user_id", "t", "click_t", Seq("click_id", "click_t"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_click_id").as("click_id"), col("asof_click_t").as("click_t"))
+        .orderBy("user_id", "t", "event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, t AS click_t FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.t, c.click_id, c.click_t
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.click_t <= p.t
+        |ORDER BY p.user_id, p.t, p.event_id""".stripMargin
+  )
+}

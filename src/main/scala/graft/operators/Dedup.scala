@@ -146,6 +146,22 @@ object Dedup {
     "dedup_simhash" -> { (s, d) =>
       // Rows-only oracle (xxhash64 is Spark-specific).
       simhash(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "dedup_embcos" -> { (s, d) =>
+      // Embedding-cosine near-dup pairs. The synthetic corpus has no
+      // true duplicates (max pairwise cos ≈ 0.51), so the threshold is
+      // set to exercise the full path with non-empty output; the
+      // production threshold would be ~0.95. Scale path: LSH-bucket
+      // first (Similarity.lshTopK), exact-cosine only candidates.
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("vec_a", "vec_b")
     }
   )
 
@@ -175,6 +191,17 @@ object Dedup {
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embcos" ->
+      """SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

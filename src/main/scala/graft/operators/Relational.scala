@@ -182,6 +182,40 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")
+    },
+
+    "q_minsub" -> { (s, d) =>
+      // Parts priced at their brand's minimum (correlated-min subquery
+      // shape, decorrelated to an aggregate + equi-join).
+      val p = Tables.part(s, d)
+      val mins = p.groupBy(col("p_brand").as("mb")).agg(min(col("p_retailprice")).as("min_price"))
+      p.join(broadcast(mins), col("p_brand") === col("mb") && col("p_retailprice") === col("min_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    "q_percentile" -> { (s, d) =>
+      // Exact interpolated percentiles (median / p90) per return flag.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_approx" -> { (s, d) =>
+      // Sketch aggregates (rows-only check: approximate by design).
+      // At 100 TB these replace exact distinct/percentile shuffles with
+      // mergeable fixed-size sketches — one narrow pass.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -308,6 +342,18 @@ object Relational {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_minsub" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §1 `plans/`): registers
+  * the graft vector expressions as SQL functions so `spark.sql(...)`
+  * users get them too:
+  *
+  *   spark.sql("SELECT float_vec_cosine(a.embedding, b.embedding) ...")
+  *
+  * Activate either via
+  *   `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  * or programmatically on an existing session with
+  *   `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "java_udf")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot",
+      info("float_vec_dot", "float_vec_dot(a, b) - double-precision dot product of two float arrays"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+    ("float_vec_norm",
+      info("float_vec_norm", "float_vec_norm(a) - double-precision L2 norm of a float array"),
+      (args: Seq[Expression]) => FloatVecNorm(args(0))),
+    ("float_vec_cosine",
+      info("float_vec_cosine", "float_vec_cosine(a, b) - double-precision cosine similarity"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Divide(
+          FloatVecDot(args(0), args(1)),
+          org.apache.spark.sql.catalyst.expressions.Multiply(
+            FloatVecNorm(args(0)), FloatVecNorm(args(1))))))
+
+  /** Register into an already-running session (tests, spark-shell). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftExtensions
+import graft.operators.AsofJoin
+
+class AsofAndExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin attaches latest right row at-or-before left time, per key") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 150L))
+      .toDF("id", "k", "t")
+    val right = Seq((11L, 10L, 100L), (12L, 10L, 200L), (13L, 20L, 160L))
+      .toDF("rid", "k", "rt")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rid", "rt"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(11L)) // equal timestamp → inclusive match
+    assert(out(2L).contains(12L)) // latest of two candidates
+    assert(out(3L).isEmpty)       // right row is after left time → no match
+  }
+
+  test("SQL functions registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT float_vec_dot(a, a) AS d, float_vec_norm(a) AS n,
+        |  float_vec_cosine(a, a) AS c
+        |FROM (SELECT CAST(array(3.0, 4.0) AS ARRAY<FLOAT>) AS a)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 25.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}

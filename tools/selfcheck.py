@@ -13,17 +13,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(v):
+    # wrap as (null_flag, comparable) so rows with NULLs still sort
     if v is None:
-        return None
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return (1, "NaN")
+        return (1, v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return (1, v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
+        return (1, tuple(canon(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return (1, v.hex())
+    return (1, v)
 
 def table_rows(con, sql):
     cur = con.execute(sql)
