@@ -61,6 +61,27 @@ object Events {
         .groupBy("cohort_day")
         .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
         .orderBy("cohort_day")
+    },
+
+    "ev_funnel" -> { (s, d) =>
+      // Range-join shape: purchases semi-joined to clicks of the same
+      // user within a trailing 30-minute window (equi on user + range
+      // on time — the equi key carries the shuffle; the range is a
+      // join-condition filter, never a cross product).
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t").as("ct"))
+      val converted = purchases.join(clicks,
+        col("user_id") === col("cu")
+          && col("ct") <= col("t") && col("ct") >= col("t") - 1800L * 1000000L,
+        "left_semi")
+      purchases.groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+        .join(converted.groupBy("user_id").agg(count(lit(1)).as("n_converted")),
+          Seq("user_id"), "left")
+        .na.fill(0L, Seq("n_converted"))
+        .orderBy("user_id")
     }
   )
 
@@ -96,6 +117,15 @@ object Events {
         |  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day,
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY user_id) t
-        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t FROM ev WHERE event_type = 'click')
+        |SELECT user_id, COUNT(*) AS n_purchases,
+        |  COUNT(CASE WHEN EXISTS (SELECT 1 FROM c
+        |    WHERE c.user_id = p.user_id AND c.t <= p.t AND c.t >= p.t - 1800000000) THEN 1 END) AS n_converted
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
