@@ -205,6 +205,55 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    "q7_volume" -> { (s, d) =>
+      // Shipping volume between two nations, per direction and year.
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8")
+          || (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    "q10_returns" -> { (s, d) =>
+      // Top customers by returned revenue in a half-year window.
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    },
+
+    "q14_promo" -> { (s, d) =>
+      // Promo revenue share per month (conditional agg over a join).
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO",
+              revenue(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0).cast("decimal(17,4)")))
+            .cast(DoubleType)
+            / sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 4)
+            .as("promo_share"),
+          count(lit(1)).as("n"))
+        .orderBy("month")
+    },
+
     "q_approx" -> { (s, d) =>
       // Sketch aggregates (rows-only check: approximate by design).
       // At 100 TB these replace exact distinct/percentile shuffles with
@@ -354,6 +403,45 @@ object Relational {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+        |FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, revenue, n_name FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+        |  FROM customer
+        |    JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON o_orderkey = l_orderkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, n_name) t
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_share,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY month ORDER BY month""".stripMargin
   )
 }

@@ -74,6 +74,33 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `nCells` vectors act as seed centroids — a production build would
+    * k-means them) assigns every vector to its nearest cell; search is
+    * exact cosine within the query's cell only. One broadcast of the
+    * tiny centroid set for assignment, one equi-join on cell id for
+    * search — the corpus is never cross-joined. */
+  def ivfTopK(emb: DataFrame, nCells: Int, k: Int): DataFrame = {
+    def assigned(idCol: String, embCol: String): DataFrame = {
+      val cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val scored = emb.select(col("vec_id").as(idCol), col("embedding").as(embCol))
+        .join(broadcast(cents), lit(true))
+        .withColumn("cent_cos", cosine(col(embCol), col("cent_emb")))
+      val w = Window.partitionBy(idCol).orderBy(col("cent_cos").desc, col("cent_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col(idCol), col(embCol), col("cent_id").as(s"${idCol}_cell"))
+    }
+    val a = assigned("query_id", "q_emb").withColumn("q_norm", l2norm(col("q_emb")))
+    val b = assigned("neighbor_id", "c_emb").withColumn("c_norm", l2norm(col("c_emb")))
+    val pairs = a.join(b,
+        col("query_id_cell") === col("neighbor_id_cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -84,6 +111,11 @@ object Similarity {
     "ann_lsh" -> { (s, d) =>
       // Rows-only oracle: bucket membership depends on Spark murmur3.
       lshTopK(Tables.embeddings(s, d), 12, 5).orderBy("query_id", "rk")
+    },
+
+    "ann_ivf" -> { (s, d) =>
+      // Rows-only oracle (cell assignment is an internal artifact).
+      ivfTopK(Tables.embeddings(s, d), 16, 5).orderBy("query_id", "rk")
     }
   )
 
