@@ -86,15 +86,19 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
-  /** LSH banding: split the signature into `bands` bands and hash each
-    * band → (band_idx, band_hash) bucket keys. Docs sharing any bucket
-    * are near-dup candidates; candidate generation is an equi-join on
-    * the bucket key — shuffle, not cross-join. */
-  def lshBuckets(signatures: DataFrame, bands: Int): DataFrame = {
-    signatures.select(col("doc_id"), posexplode(col("signature")).as(Seq("pos", "h")))
-      .withColumn("band", col("pos") % bands)
-      .groupBy("doc_id", "band")
-      .agg(hash(array_sort(collect_list(struct(col("pos"), col("h"))))).as("band_hash"))
+  /** LSH banding: split the signature into `bands` contiguous bands
+    * and hash each band → (band_idx, band_hash) bucket keys. Docs
+    * sharing any bucket are near-dup candidates; candidate generation
+    * is an equi-join on the bucket key — shuffle, not cross-join.
+    * Band hashes come straight from `slice`+`hash` on the in-row
+    * signature array: no explode → re-aggregate round trip. */
+  def lshBuckets(signatures: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val r = numHashes / bands
+    val bandHashes = array((0 until bands).map(j =>
+      hash(slice(col("signature"), j * r + 1, r), lit(j))): _*)
+    signatures.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
   /** Candidate near-dup pairs from LSH buckets. Sides are given
@@ -140,7 +144,7 @@ object Dedup {
       // Rows-only oracle (hash family is Spark murmur3). 32 hashes,
       // 8 bands of 4 → candidates at jaccard ≳ 0.5.
       val sigs = minhashSignatures(Tables.documents(s, d), 3, 32)
-      lshCandidates(lshBuckets(sigs, 8)).orderBy("doc_a", "doc_b")
+      lshCandidates(lshBuckets(sigs, 8, 32)).orderBy("doc_a", "doc_b")
     },
 
     "dedup_simhash" -> { (s, d) =>
@@ -154,12 +158,16 @@ object Dedup {
       // set to exercise the full path with non-empty output; the
       // production threshold would be ~0.95. Scale path: LSH-bucket
       // first (Similarity.lshTopK), exact-cosine only candidates.
+      // Norms are computed once per vector BEFORE the pair join —
+      // cosine() inside the join would recompute both norms per pair.
       val emb = Tables.embeddings(s, d)
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        l2norm(col("embedding")).as("norm_a"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        l2norm(col("embedding")).as("norm_b"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+          round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("vec_a", "vec_b")
     }

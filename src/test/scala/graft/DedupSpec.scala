@@ -37,7 +37,7 @@ class DedupSpec extends SparkSpec {
 
   test("lsh candidates include identical docs and exclude unrelated ones") {
     val sigs = Dedup.minhashSignatures(docs, 3, 16)
-    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, 4))
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, 4, 16))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
     assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
