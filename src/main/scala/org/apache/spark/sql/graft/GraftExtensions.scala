@@ -39,7 +39,10 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Divide(
           FloatVecDot(args(0), args(1)),
           org.apache.spark.sql.catalyst.expressions.Multiply(
-            FloatVecNorm(args(0)), FloatVecNorm(args(1))))))
+            FloatVecNorm(args(0)), FloatVecNorm(args(1))))),
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - polynomial rolling hash over code points"),
+      (args: Seq[Expression]) => RollingHashExpr(args(0))))
 
   /** Register into an already-running session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =

@@ -29,4 +29,12 @@ class AsofAndExtensionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 5.0)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("rolling_hash matches the hand-computed polynomial") {
+    GraftExtensions.register(spark)
+    val h = spark.sql("SELECT rolling_hash('ab')").collect().head.getLong(0)
+    assert(h == (97L * 31 + 98) % 1000000007L) // ((0*31+97)*31+98) % p
+    // empty string → 0; stability across rows
+    assert(spark.sql("SELECT rolling_hash('')").collect().head.getLong(0) == 0L)
+  }
 }
