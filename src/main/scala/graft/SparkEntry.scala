@@ -15,12 +15,20 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
+    (Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ AsofJoin.queries
+      Multimodal.queries ++ AsofJoin.queries)
+      .map { case (name, fn) =>
+        // install graft SQL functions + TopKPerKey rule/strategy into
+        // whatever session the driver hands us (idempotent)
+        name -> { (s: SparkSession, d: String) =>
+          org.apache.spark.sql.graft.GraftExtensions.register(s)
+          fn(s, d)
+        }
+      }
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Snapshot.oracles ++ Dedup.oracles ++

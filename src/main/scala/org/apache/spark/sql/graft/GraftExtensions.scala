@@ -16,10 +16,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => TopKPerKeyRule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -44,10 +47,20 @@ object GraftExtensions {
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash over code points"),
       (args: Seq[Expression]) => RollingHashExpr(args(0))))
 
-  /** Register into an already-running session (tests, spark-shell). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-running session (tests, spark-shell).
+    * Idempotent: safe to call once per query construction. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(TopKPerKeyRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKPerKeyRule
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+  }
 }
