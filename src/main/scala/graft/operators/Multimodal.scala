@@ -85,6 +85,17 @@ object Multimodal {
           length(col("payload")).cast(LongType).as("n_bytes"),
           md5(col("payload")).as("content_md5"))
         .orderBy("doc_id")
+    },
+
+    "mm_decode" -> { (s, d) =>
+      // Rows-only check: the stub decoder's outputs are deterministic
+      // but Spark-internal. Exercises the full binary-column decode
+      // path (typed mapPartitions over (id, payload) rows).
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      decodeImageMeta(payloads, "doc_id", "payload")
+        .select("doc_id", "width", "height", "channels", "format")
+        .orderBy("doc_id")
     }
   )
 

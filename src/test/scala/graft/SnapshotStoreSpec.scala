@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotStore
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write/versions/read/diff/prune lifecycle") {
+    val base = Files.createTempDirectory("graft_store").toString
+    val store = new SnapshotStore(spark, base, "k")
+
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val v2 = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    store.write(v1, 1L)
+    store.write(v2, 2L)
+    assert(store.versions() == Seq(1L, 2L))
+    assert(store.read(1L).count() == 3)
+    assert(store.latest().count() == 3)
+
+    val changes = store.diff(1L, 2L)
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(4L -> "insert", 3L -> "delete", 2L -> "update"))
+
+    // restore v1 must byte-match the original content
+    val restored = store.restore(1L).collect().map(_.toSeq).toSet
+    assert(restored == v1.collect().map(_.toSeq).toSet)
+
+    assert(store.prune(keepLast = 1) == Seq(1L))
+    assert(store.versions() == Seq(2L))
+  }
+}
