@@ -4,13 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Methodology: each query executes twice against the target SF and
-  * reports the faster run — the first execution of a plan shape pays
-  * one-time JIT/codegen compilation (tens of seconds across a cold
-  * JVM) that says nothing about engine throughput. Execution goes
-  * through the noop sink, not count(): count() lets Catalyst prune
-  * every non-grouping column, which would skip computing the actual
-  * output (fingerprints, scores) and overstate the engine.
+  * Methodology: one untimed warm-up pass over every query first
+  * (generated-code JIT compilation otherwise bleeds tens of seconds
+  * into whichever queries run while it drains), then one timed run per
+  * query with GC isolation between them. Execution goes through the
+  * noop sink, not count(): count() lets Catalyst prune every
+  * non-grouping column, which would skip computing the actual output
+  * (fingerprints, scores) and overstate the engine.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -55,11 +55,16 @@ object AsofJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> { (s, d) =>
       // For each purchase event: the user's latest click at-or-before it.
+      // Clicks are pre-deduped to one row per (user, µs-timestamp) —
+      // keeping max event_id — in BOTH engines: with ties on the right
+      // side, neither Spark's running-last nor DuckDB's ASOF JOIN
+      // defines which row wins, so the match would be nondeterministic.
       val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("t"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("t").as("click_t"))
+        .groupBy(col("user_id"), col("t").as("click_t"))
+        .agg(max(col("event_id")).as("click_id"))
       asofJoin(purchases, clicks, "user_id", "t", "click_t", Seq("click_id", "click_t"))
         .select(col("event_id"), col("user_id"), col("t"),
           col("asof_click_id").as("click_id"), col("asof_click_t").as("click_t"))
@@ -71,7 +76,8 @@ object AsofJoin {
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
         |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, t AS click_t FROM ev WHERE event_type = 'click')
+        |c AS (SELECT user_id, t AS click_t, MAX(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, t)
         |SELECT p.event_id, p.user_id, p.t, c.click_id, c.click_t
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.click_t <= p.t

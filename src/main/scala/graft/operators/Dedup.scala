@@ -57,8 +57,10 @@ object Dedup {
     // One materialized shingle index feeds the doc-size aggregate and
     // BOTH self-join sides (computed once, not three times). The sides
     // get disjoint column names: an aliased same-lineage self-join
-    // otherwise degrades to a nested-loop. At 100 TB swap persist()
-    // for a bucketed-by-shingle table write; the plan shape holds.
+    // otherwise degrades to a nested-loop. The cache is session-scoped
+    // (Spark offers no reliable unpersist-after-lazy-consumption hook);
+    // at 100 TB swap persist() for a bucketed-by-shingle table write —
+    // same plan shape, explicit lifecycle.
     val sh = docShingles(docs, k).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))

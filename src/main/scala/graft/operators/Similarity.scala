@@ -42,18 +42,36 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: bit p = sign of a pseudo-random
-    * projection where plane p's weight on dimension i is a deterministic
-    * ±1 from murmur3(p, i). */
+    * projection where plane p's weight on dimension i is a
+    * deterministic ±1 from a murmur mix of (p, i).
+    *
+    * Typed map, not `planes`× interpreted `zip_with`+`aggregate`
+    * passes: higher-order functions have no codegen, so the
+    * declarative version re-walks the array `planes` times per row
+    * through interpreted lambdas. One JVM pass computes all planes. */
   def lshSignature(emb: DataFrame, planes: Int): DataFrame = {
-    val sig = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => when(hash(lit(p), i).bitwiseAND(1) === 1, x.cast(DoubleType))
-            .otherwise(-x.cast(DoubleType))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    emb.withColumn("bucket", sig)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // only (vec_id, embedding) survive — extra columns are dropped
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        var bits = 0L
+        var p = 0
+        while (p < planes) {
+          var s = 0.0
+          var i = 0
+          while (i < e.length) {
+            val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+            s += (if ((h & 1) == 1) e(i).toDouble else -e(i).toDouble)
+            i += 1
+          }
+          if (s > 0) bits |= 1L << p
+          p += 1
+        }
+        (id, e, bits)
+      }
+      .toDF("vec_id", "embedding", "bucket")
   }
 
   /** ANN via LSH buckets: exact cosine only within matching buckets. */

@@ -58,7 +58,9 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.total + e.value))
+                  // min() on start: a late-but-within-watermark event may
+                  // precede the current session start
+                  cur = Some(SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closedSessions ::= SessionUpdate(userId, new Timestamp(s.startMs),
                     new Timestamp(s.endMs), s.n, s.total, closed = true)
@@ -83,7 +85,7 @@ object StreamOps {
   def incrementalSnapshot(updates: DataFrame, keyCol: String, tsCol: String): DataFrame =
     updates
       .withWatermark(tsCol, "10 minutes")
-      .dropDuplicates(keyCol, tsCol)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Tumbling event-time window aggregate — streaming twin of
     * `ev_tumbling` (1-day windows, per event type). */

@@ -72,8 +72,15 @@ case class TopKPerKeyExec(
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
+        // look up with the reused projection row; copy only on insert
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(heapOrd))
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty(heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) {
           heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
         } else if (ordering.compare(row, heap.head) < 0) {

@@ -47,7 +47,8 @@ class StreamingSpec extends SparkSpec {
     val query = deduped.writeStream
       .format("memory").queryName("graft_snap").outputMode(OutputMode.Append()).start()
     try {
-      input.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
+      // same key at different timestamps: first writer wins
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "a-later"), (2L, ts(1), "b"))
       query.processAllAvailable()
       val rows = spark.sql("SELECT k FROM graft_snap").collect().map(_.getLong(0)).sorted
       assert(rows.toSeq == Seq(1L, 2L))
