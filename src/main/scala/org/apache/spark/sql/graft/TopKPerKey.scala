@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, GenericInternalRow, JoinedRow, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, SpecifiedWindowFrame, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualTo, Expression, GenericInternalRow, JoinedRow, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, SpecifiedWindowFrame, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -130,6 +130,9 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(e, Literal(v: Long, _)) if isRank(e) && v <= Int.MaxValue => Some(v.toInt)
       case LessThan(e, Literal(v: Int, _)) if isRank(e) => Some(v - 1)
       case LessThan(e, Literal(v: Long, _)) if isRank(e) && v <= Int.MaxValue => Some(v.toInt - 1)
+      // argmax/argmin shape: row_number() = 1 keeps exactly the top row
+      case EqualTo(e, Literal(1, _)) if isRank(e) => Some(1)
+      case EqualTo(e, Literal(1L, _)) if isRank(e) => Some(1)
       case _ => None
     }
   }
