@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late within-watermark event extends session start backward") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions_late").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1L, ts(15), 10L, "click", 1.0), Event(2L, ts(20), 10L, "view", 1.0))
+      query.processAllAvailable() // watermark ≈ ts(10)
+      // late but within watermark, earlier than current session start
+      input.addData(Event(3L, ts(12), 10L, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, ts(120), 10L, "click", 1.0)) // closes the session
+      query.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM graft_sessions_late WHERE closed").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n_events") == 3L)
+      assert(closed.head.getAs[Timestamp]("session_start") == ts(12))
+    } finally query.stop()
+  }
+
   test("incrementalSnapshot drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
