@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW (no sbt "[info] " prefix):
+// the driver parses graft.Bench's one-line JSON from stdout, and a
+// logger prefix breaks that parse (round-1 BENCH had parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +27,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: SPARK_DRIVER_MEM if set, else half of physical RAM
+// capped at 32 GiB (floor 2 GiB) — a fixed 32g would fail outright on
+// smaller hosts than the benchmark machine.
+val defaultHeapGb: Int = {
+  val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  val totalGb = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean =>
+      (b.getTotalMemorySize / (1L << 30)).toInt
+    case _ => 8
+  }
+  math.max(2, math.min(32, totalGb / 2))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )
