@@ -57,11 +57,17 @@ object Dedup {
     // One materialized shingle index feeds the doc-size aggregate and
     // BOTH self-join sides (computed once, not three times). The sides
     // get disjoint column names: an aliased same-lineage self-join
-    // otherwise degrades to a nested-loop. The cache is session-scoped
-    // (Spark offers no reliable unpersist-after-lazy-consumption hook);
-    // at 100 TB swap persist() for a bucketed-by-shingle table write —
-    // same plan shape, explicit lifecycle.
-    val sh = docShingles(docs, k).persist()
+    // otherwise degrades to a nested-loop. Materialized via EAGER
+    // localCheckpoint rather than persist(): a persist() here could
+    // never be unpersisted (consumption is lazy, downstream of the
+    // returned plan), so repeated calls would pin executor storage for
+    // the session's lifetime. Checkpoint blocks are owned by the RDD,
+    // not the CacheManager, so the ContextCleaner frees them as soon as
+    // the returned plan is garbage-collected. At 100 TB swap for a
+    // bucketed-by-shingle table write — same plan shape, explicit
+    // lifecycle (and executor-loss tolerance, which localCheckpoint
+    // trades away).
+    val sh = docShingles(docs, k).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))

@@ -24,22 +24,44 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
 
   private def dir(version: Long): String = s"$basePath/v=$version"
 
-  def write(df: DataFrame, version: Long): Unit =
-    df.write.mode("overwrite").parquet(dir(version))
+  private def fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic snapshot publish: write to a temp sibling, then a single
+    * rename onto `v=<version>` once the write (and its `_SUCCESS`
+    * marker) completed. A crash mid-write leaves only a `.tmp-` dir,
+    * which `versions()` never lists, so readers can never observe a
+    * partial snapshot as a valid version. */
+  def write(df: DataFrame, version: Long): Unit = {
+    val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(dir(version))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"snapshot publish failed: rename $tmp -> $dest")
+  }
+
+  /** Committed versions only: a `v=N` directory counts only if its
+    * `_SUCCESS` marker exists (guards against partial dirs created by
+    * external writers or pre-atomic layouts). */
   def versions(): Seq[Long] = {
-    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(basePath)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(v => fs.exists(new Path(dir(v), "_SUCCESS")))
       .sorted
   }
 
   def read(version: Long): DataFrame = spark.read.parquet(dir(version))
 
-  def latest(): DataFrame = read(versions().last)
+  def latestVersion(): Option[Long] = versions().lastOption
+
+  def latest(): DataFrame = latestVersion() match {
+    case Some(v) => read(v)
+    case None => throw new IllegalStateException(
+      s"snapshot store at $basePath has no committed versions")
+  }
 
   /** Restore = read the chosen version (full snapshots make restore a
     * plain scan; callers re-write it wherever it needs to land). */

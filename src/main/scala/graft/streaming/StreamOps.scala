@@ -34,13 +34,30 @@ object StreamOps {
   /** Gap-based streaming sessionization via flatMapGroupsWithState:
     * a session closes after `gapMs` of event-time inactivity (driven
     * by the event-time watermark). Emits one update per closed
-    * session, mirroring the batch `Events.sessionize` semantics. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
+    * session, mirroring the batch `Events.sessionize` semantics.
+    *
+    * `watermarkDelayMs` (default = `gapMs`) bounds how late an event
+    * may arrive and still be sessionized; it is a parameter precisely
+    * because it must be reasoned about together with the gap.
+    * Within a micro-batch, sessions are computed by a true interval
+    * merge over {carried state} ∪ {batch events}, so a within-watermark
+    * late event either extends the open session backward OR forms its
+    * own earlier session when it is more than `gapMs` away — matching
+    * `Events.sessionize` on the same data. Known divergence from batch
+    * (inherent to incremental emission): a closed earlier session is
+    * emitted at batch granularity and cannot absorb an even-later
+    * straggler from a subsequent batch; only the latest session stays
+    * open in state. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelayMs: Option[Long] = None): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val delayMs = watermarkDelayMs.getOrElse(gapMs)
 
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", s"$delayMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -51,29 +68,36 @@ object StreamOps {
             Iterator(SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
               s.n, s.total, closed = true))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closedSessions = List.empty[SessionUpdate]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  // min() on start: a late-but-within-watermark event may
-                  // precede the current session start
-                  cur = Some(SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closedSessions ::= SessionUpdate(userId, new Timestamp(s.startMs),
-                    new Timestamp(s.endMs), s.n, s.total, closed = true)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
+            // Interval merge with gap tolerance over the carried session
+            // plus every batch event (each a single-point session):
+            // sorted by start, adjacent pieces within gapMs coalesce.
+            val pieces = (state.getOption.toList ++
+                rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(s => (s.startMs, s.endMs))
+            val merged = pieces.foldLeft(List.empty[SessionState]) {
+              case (cur :: done, p) if p.startMs - cur.endMs <= gapMs =>
+                SessionState(cur.startMs, math.max(cur.endMs, p.endMs),
+                  cur.n + p.n, cur.total + p.total) :: done
+              case (acc, p) => p :: acc
+            }.reverse
+            // all but the latest session are final: nothing still in
+            // flight (within watermark) can bridge into them this batch
+            val closedSessions = merged.init.map(s =>
+              SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
+                s.n, s.total, closed = true))
+            val open = merged.last
+            if (open.endMs + gapMs <= state.getCurrentWatermarkMs()) {
+              // the gap already elapsed in event time (this key's whole
+              // batch was late): close inline — a timeout at or below
+              // the watermark would be rejected and never fire anyway
+              state.remove()
+              (closedSessions :+ SessionUpdate(userId, new Timestamp(open.startMs),
+                new Timestamp(open.endMs), open.n, open.total, closed = true)).iterator
+            } else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.endMs + gapMs)
+              closedSessions.iterator
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closedSessions.reverseIterator
           }
       }
   }

@@ -32,4 +32,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.prune(keepLast = 1) == Seq(1L))
     assert(store.versions() == Seq(2L))
   }
+
+  test("uncommitted versions are invisible; empty store fails clearly") {
+    val base = Files.createTempDirectory("graft_store2").toString
+    val store = new SnapshotStore(spark, base, "k")
+
+    assert(store.versions().isEmpty)
+    assert(store.latestVersion().isEmpty)
+    val ex = intercept[IllegalStateException](store.latest())
+    assert(ex.getMessage.contains("no committed versions"))
+
+    // a partial write (v=N dir without _SUCCESS, e.g. from a crashed
+    // job) must not surface as a readable version
+    val partial = new java.io.File(s"$base/v=7")
+    partial.mkdirs()
+    Files.writeString(partial.toPath.resolve("part-00000.parquet"), "garbage")
+    assert(store.versions().isEmpty)
+
+    store.write(Seq((1L, "a")).toDF("k", "s"), 8L)
+    assert(store.versions() == Seq(8L))
+    assert(store.latest().count() == 1)
+    // the atomic publish leaves no temp dirs behind
+    val leftovers = Option(new java.io.File(base).listFiles()).get
+      .map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(leftovers.isEmpty)
+  }
 }

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("out-of-gap late event becomes its own earlier session, not a merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    // gap 10 min, but accept up to 60 min of lateness
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L,
+      watermarkDelayMs = Some(60 * 60000L))
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions_split").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1L, ts(50), 10L, "click", 1.0), Event(2L, ts(55), 10L, "view", 2.0))
+      query.processAllAvailable()
+      // 30 min earlier than session start: within watermark but more
+      // than one gap away — batch semantics put it in its own session
+      input.addData(Event(3L, ts(20), 10L, "click", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, ts(240), 10L, "click", 8.0)) // closes [50,55]
+      query.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT * FROM graft_sessions_split WHERE closed ORDER BY session_start").collect()
+      assert(closed.length == 2)
+      assert(closed(0).getAs[Timestamp]("session_start") == ts(20))
+      assert(closed(0).getAs[Timestamp]("session_end") == ts(20))
+      assert(closed(0).getAs[Long]("n_events") == 1L)
+      assert(closed(1).getAs[Timestamp]("session_start") == ts(50))
+      assert(closed(1).getAs[Timestamp]("session_end") == ts(55))
+      assert(closed(1).getAs[Long]("n_events") == 2L)
+      assert(closed(1).getAs[Double]("sum_value") == 3.0)
+    } finally query.stop()
+  }
+
   test("incrementalSnapshot drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
