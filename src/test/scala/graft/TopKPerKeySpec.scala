@@ -43,4 +43,44 @@ class TopKPerKeySpec extends SparkSpec {
     assert(withOp == expected)
     assert(withOp.nonEmpty)
   }
+
+  test("plan includes the pre-shuffle partial prune below the exchange") {
+    GraftExtensions.register(spark)
+    val plan = windowTop3.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial"), s"partial prune missing:\n$plan")
+    // partial must sit BELOW the exchange (prune before shuffling)
+    val partialIdx = plan.indexOf("TopKPartial")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial should be under the exchange:\n$plan")
+  }
+
+  test("spill path: results stay exact when the key map is capped at 2") {
+    GraftExtensions.register(spark)
+    val expected = windowTop3.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(expected.size > 100) // many distinct keys → many spill passes
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "2")
+    try {
+      val spilled = windowTop3.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(spilled == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
+  test("rewrite can be disabled by conf") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val plan = windowTop3.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), s"rewrite should be off:\n$plan")
+      // and the vanilla path still returns the same rows
+      val vanilla = windowTop3.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      spark.conf.set("spark.graft.topk.rewrite.enabled", "true")
+      val withOp = windowTop3.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(vanilla == withOp)
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
+  }
 }
