@@ -94,20 +94,39 @@ object Relational {
     },
 
     "q_window_running" -> { (s, d) =>
+      // Global running aggregates WITHOUT an unpartitioned window at
+      // any level — the single-partition WindowExec the naive plan
+      // produces is the classic 100 TB bottleneck. Shape:
+      //   cumsum  = year-partitioned cumsum + broadcast offset of all
+      //             prior years' totals (triangular join over the tiny
+      //             per-year aggregate);
+      //   ma7     = trailing-7-CALENDAR-day mean via bounded fan-out
+      //             (each day contributes to exactly 7 target days)
+      //             and re-aggregation — a shuffle, not a window.
       val daily = Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("d"))
         .agg(sum(decV(col("value"))).as("daily_dec"), count(lit(1)).as("n_events"))
-      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val w7 = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+      val wy = Window.partitionBy(year(col("d"))).orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = daily.groupBy(year(col("d")).as("y")).agg(sum("daily_dec").as("ytot"))
+      val prior = totals.select(col("y").as("py"), col("ytot").as("ptot"))
+      val offsets = totals.select("y").join(prior, col("py") < col("y"))
+        .groupBy("y").agg(sum("ptot").as("y_offset"))
+      // projection barrier before the generator (see Dedup.docShingles)
+      val fan = daily
+        .select(col("daily_dec").as("f_dec"),
+          sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY")).as("ds"))
+        .select(col("f_dec"), explode(col("ds")).as("td"))
+      val ma = fan.groupBy("td").agg(sum("f_dec").as("ma7_dec"), count(lit(1)).as("n7"))
       daily
-        .withColumn("cum_dec", sum(col("daily_dec")).over(w))
-        .withColumn("ma7_dec", sum(col("daily_dec")).over(w7))
-        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("ycum", sum(col("daily_dec")).over(wy))
+        .join(broadcast(offsets), year(col("d")) === col("y"), "left")
+        .join(ma, col("d") === col("td"))
         .select(
           col("d"),
           round(col("daily_dec").cast(DoubleType), 4).as("daily"),
           col("n_events"),
-          round(col("cum_dec").cast(DoubleType), 4).as("cum_value"),
+          round((col("ycum") + coalesce(col("y_offset"), lit(0))).cast(DoubleType), 4).as("cum_value"),
           round(col("ma7_dec").cast(DoubleType) / col("n7"), 4).as("ma7"))
         .orderBy("d")
     },
@@ -338,8 +357,8 @@ object Relational {
         |  ROUND(CAST(daily_dec AS DOUBLE), 4) AS daily,
         |  n_events,
         |  ROUND(CAST(SUM(daily_dec) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cum_value,
-        |  ROUND(CAST(SUM(daily_dec) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |  ROUND(CAST(SUM(daily_dec) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |    SUM(CAST(value AS DECIMAL(18,4))) AS daily_dec, COUNT(*) AS n_events
