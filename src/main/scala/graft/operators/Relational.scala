@@ -284,6 +284,176 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    "q4_priority" -> { (s, d) =>
+      // TPC-H Q4 shape: EXISTS → left-semi (never join+distinct, which
+      // would fan out before deduplicating).
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1997-01-01"))
+      val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q8_mktshare" -> { (s, d) =>
+      // TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold
+      // into AMERICA, per order year. Two independent nation dimension
+      // joins (customer side, supplier side) — both broadcast.
+      val cn = Tables.nation(s, d).select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+      val sn = Tables.nation(s, d).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val amer = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "PROMO"), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(amer), col("crk") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3",
+              revenue(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0).cast("decimal(17,4)")))
+            .cast(DoubleType)
+          / sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    "q9_profit" -> { (s, d) =>
+      // TPC-H Q9 shape: profit on 'widget' parts per supplier nation
+      // and order year (string-contains filter reaches the part scan).
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    "q13_custdist" -> { (s, d) =>
+      // TPC-H Q13: order-count distribution over ALL customers — the
+      // left outer join keeps zero-order customers in the histogram.
+      val ord = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables.customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q15_topsupp" -> { (s, d) =>
+      // TPC-H Q15: top supplier(s) by quarterly revenue — argmax via
+      // broadcast scalar max, compared on EXACT decimals (rounding to
+      // double before the equality would be engine-dependent).
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_dec") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_dec").cast(DoubleType), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    "q16_suppcnt" -> { (s, d) =>
+      // TPC-H Q16 shape: distinct supplier count per part attribute,
+      // excluding flagged suppliers (NOT IN → left-anti on a tiny set).
+      val p = Tables.part(s, d).filter(col("p_brand") =!= "Brand#1"
+        && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      val flagged = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    "q17_smallqty" -> { (s, d) =>
+      // TPC-H Q17 shape: revenue from orders below half the part's
+      // average quantity. The correlated avg decorrelates to one
+      // aggregate + equi-join; the half-average comparison is kept in
+      // EXACT integer-decimal cross-multiplied form (qty*2*cnt < sum) —
+      // a float avg*0.5 boundary would be engine-dependent.
+      val partAgg = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(decM(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#3"),
+          col("l_partkey") === col("p_partkey"))
+        .join(partAgg, col("l_partkey") === col("pk"))
+        .filter(decM(col("l_quantity")) * lit(2) * col("cnt") < col("sum_qty"))
+        .agg(round(sum(decM(col("l_extendedprice"))).cast(DoubleType) / 7, 4).as("avg_yearly"))
+    },
+
+    "q18_large" -> { (s, d) =>
+      // TPC-H Q18: large-quantity orders — HAVING on an order-level
+      // aggregate, then joined back to orders + customer.
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(decM(col("l_quantity"))).as("sum_qty_dec"))
+        .filter(col("sum_qty_dec") > 150)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), round(col("sum_qty_dec").cast(DoubleType), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    "q19_disjunct" -> { (s, d) =>
+      // TPC-H Q19: disjunctive bracket predicates across the join —
+      // Catalyst extracts the common p_brand/p_size conjuncts for scan
+      // pushdown; the residual OR evaluates post-join.
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    "q22_balance" -> { (s, d) =>
+      // TPC-H Q22 shape: above-average-balance customers with no
+      // recent orders, per nation. The scalar average is compared by
+      // exact decimal cross-multiplication (bal*cnt > sum), not a
+      // floating-point avg.
+      val pos = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("cnt"), sum(decM(col("c_acctbal"))).as("sum_bal"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(pos))
+        .filter(decM(col("c_acctbal")) * col("cnt") > col("sum_bal"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    "q_cube" -> { (s, d) =>
+      // Full CUBE over status × priority (see q_rollup on why this
+      // goes through the SQL surface).
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+          |FROM graft_orders
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     }
   )
 
@@ -461,6 +631,119 @@ object Relational {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |GROUP BY month ORDER BY month""".stripMargin
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_topsupp" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, ROUND(CAST(rev_dec AS DOUBLE), 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_smallqty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7, 4) AS avg_yearly
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN pa ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3'
+        |  AND CAST(l_quantity AS DECIMAL(12,2)) * 2 * cnt < sum_qty""".stripMargin,
+
+    "q18_large" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  ROUND(CAST(sum_qty_dec AS DOUBLE), 2) AS sum_qty
+        |FROM orders
+        |  JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_balance" ->
+      """WITH t AS (
+        |  SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }
