@@ -454,6 +454,89 @@ object Relational {
           |FROM graft_orders
           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    "q11_share" -> { (s, d) =>
+      // TPC-H Q11 shape (no partsupp table in this lake — "stock
+      // value" is shipped value per part from NATION_1's suppliers):
+      // group aggregate filtered against a share of the global sum.
+      // The share test is exact-decimal cross-multiplied (value*1000 >
+      // total), never a float fraction.
+      val n1supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(n1supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(decM(col("l_extendedprice"))).as("value_dec"))
+      val total = vals.agg(sum(col("value_dec")).as("total_dec"))
+      vals.crossJoin(broadcast(total))
+        .filter(col("value_dec") * lit(1000) > col("total_dec"))
+        .select(col("l_partkey"), round(col("value_dec").cast(DoubleType), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    "q12_priority" -> { (s, d) =>
+      // TPC-H Q12 shape (l_linestatus stands in for shipmode; "late"
+      // is shipped > 60 days after order date): per-group conditional
+      // priority counts over an orders⋈lineitem join with a
+      // cross-column timestamp predicate.
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    "q20_excess" -> { (s, d) =>
+      // TPC-H Q20 shape: suppliers in NATION_2 who shipped a large
+      // quantity of widget parts in 1996 — a HAVING-filtered aggregate
+      // driving a semi-join into the supplier dimension.
+      val widgetQty = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .join(Tables.part(s, d).filter(col("p_name").contains("widget")).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(sum(decM(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > 50)
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(widgetQty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    "q21_waiting" -> { (s, d) =>
+      // TPC-H Q21 shape (l_returnflag='R' stands in for "late"):
+      // suppliers whose item was the ONLY returned one on a
+      // multi-supplier finalized order. The EXISTS/NOT-EXISTS double
+      // correlation decorrelates to one per-order aggregate
+      // (distinct-supplier counts) joined back — one shuffle on
+      // orderkey instead of two correlated subquery scans.
+      val fo = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val base = Tables.lineitem(s, d)
+        .join(fo, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val ordAgg = base.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nsupp_r"))
+      base.filter(col("l_returnflag") === "R")
+        .join(ordAgg, col("l_orderkey") === col("ok"))
+        .filter(col("nsupp") >= 2 && col("nsupp_r") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }
   )
 
@@ -744,6 +827,54 @@ object Relational {
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q11_share" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_1')
+        |  GROUP BY 1)
+        |SELECT l_partkey, ROUND(CAST(value_dec AS DOUBLE), 2) AS value
+        |FROM vals
+        |WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM vals)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_excess" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |    GROUP BY 1
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
   )
 }
