@@ -129,8 +129,13 @@ object Snapshot {
     "snap_manifest" -> { (s, d) =>
       // Copy-validation manifest per (l_returnflag, l_linestatus)
       // partition: counts, key bounds, exact sum, order-independent
-      // aggregate content hash (md5 over sorted row fingerprints for
-      // the oracle; xorAgg(xxhash64) is the library's 100 TB path).
+      // aggregate content hash. The hash is XOR over a 60-bit slice of
+      // each row's md5 — commutative, so it map-side combines with
+      // constant memory per group (a collect_list/string_agg hash
+      // would buffer every row fingerprint of a group on one reducer,
+      // which cannot work on a 100 TB partition). Row fingerprints are
+      // unique (orderkey+linenumber), so XOR self-cancellation only
+      // fires on genuine duplicate rows — itself a copy error signal.
       val li = Tables.lineitem(s, d).withColumn("fp", fingerprint(
         col("l_orderkey"), col("l_linenumber"), decM(col("l_quantity")),
         decM(col("l_extendedprice")), decR(col("l_discount"))))
@@ -140,7 +145,7 @@ object Snapshot {
           min(col("l_orderkey")).as("min_key"),
           max(col("l_orderkey")).as("max_key"),
           moneySum(col("l_extendedprice")).as("sum_price"),
-          md5(concat_ws(",", array_sort(collect_list(col("fp"))))).as("content_hash"))
+          bit_xor(conv(substring(col("fp"), 1, 15), 16, 10).cast(LongType)).as("content_hash"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -195,7 +200,7 @@ object Snapshot {
         |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
-        |  md5(string_agg(fp, ',' ORDER BY fp)) AS content_hash
+        |  bit_xor(CAST('0x' || substr(fp, 1, 15) AS BIGINT)) AS content_hash
         |FROM li GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
