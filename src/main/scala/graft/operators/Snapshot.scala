@@ -154,6 +154,25 @@ object Snapshot {
         Seq(col("ts").desc, col("event_id").desc), 3)
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id", "event_id")
+    },
+
+    "snap_bloom_prune" -> { (s, d) =>
+      // Delta-driven restore read: lineitems of a small recent order
+      // delta. BloomPrune filters the big fact scan by the delta's key
+      // Bloom filter BEFORE the shuffle (at 100 TB the exchange
+      // shrinks from |lineitem| to ~|matches|); the exact semi-join
+      // after it removes the false positives, so the result is
+      // identical to the plain semi-join the oracle runs.
+      val delta = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-06-01"))
+        .select("o_orderkey")
+      val pruned = org.apache.spark.sql.graft.BloomPrune.prune(
+        Tables.lineitem(s, d), col("l_orderkey"), delta, col("o_orderkey"),
+        expectedItems = 1000 * 1000, fpp = 0.01)
+      pruned.join(delta, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -209,6 +228,14 @@ object Snapshot {
         |  SELECT user_id, event_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
-        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+
+    "snap_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
