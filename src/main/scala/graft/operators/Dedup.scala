@@ -122,6 +122,46 @@ object Dedup {
       .distinct()
   }
 
+  /** JVM-local twin of `minhashSignatures` → `lshBuckets` for ONE
+    * document: returns its (band, band_hash) bucket keys. Bit-exact
+    * with the batch path (same murmur3 evaluation order as Spark's
+    * `hash(shingle, lit(i))` and `hash(slice(sig,…), lit(j))`), so a
+    * streaming pipeline using these keys lands documents in the SAME
+    * buckets as a batch backfill over the same corpus — verified by
+    * spec. Used per-row inside a narrow flatMap: no shuffle, no state.
+    */
+  def minhashBandKeys(text: String, k: Int, numHashes: Int, bands: Int): Array[(Int, Int)] = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = numHashes / bands
+    val toks = text.trim.replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT).split(" ")
+    if (toks.length < k) return Array.empty
+    // hash(shingle, i) = hashInt(i, hashString(shingle, 42)): the
+    // string part is i-independent, so hash each shingle once
+    val bases = toks.sliding(k).map(_.mkString(" ")).toArray.distinct.map { sh =>
+      val u = UTF8String.fromString(sh)
+      Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+    }
+    val sig = Array.tabulate(numHashes) { i =>
+      var m = Int.MaxValue
+      var s = 0
+      while (s < bases.length) {
+        val h = Murmur3_x86_32.hashInt(i, bases(s))
+        if (h < m) m = h
+        s += 1
+      }
+      m
+    }
+    Array.tabulate(bands) { j =>
+      var h = 42
+      var t = j * r
+      while (t < (j + 1) * r) { h = Murmur3_x86_32.hashInt(sig(t), h); t += 1 }
+      (j, Murmur3_x86_32.hashInt(j, h))
+    }
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit, sign → bit. Implemented as 64 codegen'd
     * conditional sums — one aggregation pass, no UDF. */

@@ -118,4 +118,83 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  // ---- streaming MinHash near-dup suppression ----
+
+  case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+  case class BandHit(doc_id: Long, ts: Timestamp, band: Int, band_hash: Int)
+  /** One per (doc, band): `dup_of` names the bucket's first owner when
+    * the doc collided with an earlier one, None when the doc claimed
+    * the bucket itself. */
+  case class BandVerdict(doc_id: Long, band: Int, band_hash: Int, dup_of: Option[Long])
+  case class BucketOwner(docId: Long, lastSeenMs: Long)
+
+  /** Streaming MinHash+LSH near-dup suppression — the ingest-time twin
+    * of the batch `Dedup.minhashSignatures`/`lshBuckets` pipeline.
+    *
+    * Per document, signature + band keys are computed in a NARROW
+    * flatMap ([[graft.operators.Dedup.minhashBandKeys]] — bit-exact
+    * with the batch hash family, so streamed docs land in the same
+    * buckets as a batch backfill). The only shuffle keys by (band,
+    * band_hash); per-bucket state is one owner id — first writer wins,
+    * later colliders are flagged with `dup_of`. State is bounded: the
+    * event-time timeout expires buckets `ttlMs` after their last hit.
+    *
+    * A doc is a near-dup iff ANY of its bands collided — fold the
+    * per-band verdicts with [[collapseVerdicts]] (in `foreachBatch`,
+    * or on the sink table).
+    *
+    * Scale: bucket keyspace ≈ corpus size × bands, spread uniformly by
+    * the band hash — no hot keys; state per bucket is 16 bytes. */
+  def minhashDedup(
+      docs: Dataset[StreamDoc],
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .flatMap(doc => graft.operators.Dedup.minhashBandKeys(doc.text, k, numHashes, bands)
+        .map { case (band, bh) => BandHit(doc.doc_id, doc.ts, band, bh) })
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(h => (h.band, h.band_hash))
+      .flatMapGroupsWithState[BucketOwner, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, bh), rows, state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order: earliest (ts, doc_id)
+            // claims a fresh bucket
+            val sorted = rows.toList.sortBy(h => (h.ts.getTime, h.doc_id))
+            var owner = state.getOption
+            val out = sorted.map { h =>
+              owner match {
+                case Some(o) if o.docId != h.doc_id =>
+                  BandVerdict(h.doc_id, band, bh, Some(o.docId))
+                case Some(_) =>
+                  BandVerdict(h.doc_id, band, bh, None)
+                case None =>
+                  owner = Some(BucketOwner(h.doc_id, h.ts.getTime))
+                  BandVerdict(h.doc_id, band, bh, None)
+              }
+            }
+            val last = math.max(owner.get.lastSeenMs, sorted.last.ts.getTime)
+            state.update(BucketOwner(owner.get.docId, last))
+            state.setTimeoutTimestamp(last + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Fold per-band verdicts to one row per doc: `is_dup` iff any band
+    * collided; `dup_of` is the smallest colliding owner. Batch-side
+    * (run in `foreachBatch` or over the sink table). */
+  def collapseVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
 }
