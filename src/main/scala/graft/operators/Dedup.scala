@@ -85,9 +85,23 @@ object Dedup {
   }
 
   /** MinHash signatures: for each of `numHashes` seeded murmur3 hash
-    * functions, the min hash over the doc's shingles. Pure
-    * aggregation — one shuffle on doc_id. */
-  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    * functions, the min hash over the doc's shingles. Computed by the
+    * codegen'd [[org.apache.spark.sql.graft.MinHashSigExpr]] — a
+    * map-only projection, no shuffle: the declarative explode→groupBy
+    * formulation ([[minhashSignaturesShuffle]]) moves every (doc,
+    * shingle) pair through an exchange, which at 100 TB costs more
+    * than the hashing itself. Bit-identical outputs (spec-proven). */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.MinHashSigFunctions
+          .minhashSig(col("text"), k, numHashes).as("signature"))
+      .filter(col("signature").isNotNull)
+
+  /** Declarative reference formulation of [[minhashSignatures]] (one
+    * shuffle on doc_id). Kept as the parity oracle for the codegen
+    * expression — and as the fallback shape if the corpus ever moves
+    * to pre-exploded shingle tables. */
+  def minhashSignaturesShuffle(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val sh = docShingles(docs, k)
     val mins = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -133,27 +147,9 @@ object Dedup {
   def minhashBandKeys(text: String, k: Int, numHashes: Int, bands: Int): Array[(Int, Int)] = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     import org.apache.spark.unsafe.hash.Murmur3_x86_32
-    import org.apache.spark.unsafe.types.UTF8String
     val r = numHashes / bands
-    val toks = text.trim.replaceAll("\\s+", " ")
-      .toLowerCase(java.util.Locale.ROOT).split(" ")
-    if (toks.length < k) return Array.empty
-    // hash(shingle, i) = hashInt(i, hashString(shingle, 42)): the
-    // string part is i-independent, so hash each shingle once
-    val bases = toks.sliding(k).map(_.mkString(" ")).toArray.distinct.map { sh =>
-      val u = UTF8String.fromString(sh)
-      Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
-    }
-    val sig = Array.tabulate(numHashes) { i =>
-      var m = Int.MaxValue
-      var s = 0
-      while (s < bases.length) {
-        val h = Murmur3_x86_32.hashInt(i, bases(s))
-        if (h < m) m = h
-        s += 1
-      }
-      m
-    }
+    val sig = org.apache.spark.sql.graft.MinHashSig.signature(text, k, numHashes)
+    if (sig == null) return Array.empty
     Array.tabulate(bands) { j =>
       var h = 42
       var t = j * r

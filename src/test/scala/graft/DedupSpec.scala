@@ -27,6 +27,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("codegen minhash signature is bit-exact with the explode→groupBy shuffle path") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1).toList
+    // includes a doc with < k tokens, dropped by both paths
+    val withShort = docs.union(Seq((9L, "two words")).toDF("doc_id", "text"))
+    assert(canon(Dedup.minhashSignatures(withShort, 3, 32)) ==
+      canon(Dedup.minhashSignaturesShuffle(withShort, 3, 32)))
+  }
+
   test("minhash signatures have requested length; identical docs get identical signatures") {
     val sigs = Dedup.minhashSignatures(docs, 3, 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
