@@ -55,6 +55,43 @@ object Snapshot {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Per-partition manifest: row count, key bounds, order-independent
+    * XOR content hash (constant memory per group — see snap_manifest).
+    * `fp` must be an md5-hex fingerprint column expression. */
+  def manifest(df: DataFrame, partCols: Seq[String], key: Column, fp: Column): DataFrame =
+    df.withColumn("__fp64", conv(substring(fp, 1, 15), 16, 10).cast(LongType))
+      .groupBy(partCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(key).as("min_key"),
+        max(key).as("max_key"),
+        bit_xor(col("__fp64")).as("content_hash"))
+
+  /** Copy validation — the reference's post-backup check, as one
+    * manifest join instead of a row-by-row compare: each side
+    * aggregates to one row per partition (map-side combinable), so the
+    * shuffle carries |partitions| rows, not |table|. Statuses:
+    * missing_in_target / missing_in_source / row_count_mismatch /
+    * content_mismatch / ok. */
+  def validateCopy(
+      source: DataFrame, target: DataFrame,
+      partCols: Seq[String], key: Column, fp: DataFrame => Column): DataFrame = {
+    val ms = manifest(source, partCols, key, fp(source))
+      .withColumnRenamed("n_rows", "src_rows").withColumnRenamed("content_hash", "src_hash")
+      .drop("min_key", "max_key")
+    val mt = manifest(target, partCols, key, fp(target))
+      .withColumnRenamed("n_rows", "dst_rows").withColumnRenamed("content_hash", "dst_hash")
+      .drop("min_key", "max_key")
+    ms.join(mt, partCols, "full_outer")
+      .withColumn("status",
+        when(col("dst_rows").isNull, "missing_in_target")
+          .when(col("src_rows").isNull, "missing_in_source")
+          .when(col("src_rows") =!= col("dst_rows"), "row_count_mismatch")
+          .when(col("src_hash") =!= col("dst_hash"), "content_mismatch")
+          .otherwise("ok"))
+      .select((partCols.map(col) ++ Seq(col("src_rows"), col("dst_rows"), col("status"))): _*)
+  }
+
   // ---- snapshot modeling over the shared testdata ----
 
   /** orders with a canonical per-row md5 fingerprint. */
@@ -173,6 +210,26 @@ object Snapshot {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    "snap_validate" -> { (s, d) =>
+      // Post-copy validation against a modeled damaged copy: one whole
+      // (returnflag, linestatus) partition lost, row loss in the 'A'
+      // partitions, value corruption in the 'N' partitions. Each
+      // damage class surfaces as a distinct status.
+      val src = Tables.lineitem(s, d)
+      val dst = Tables.lineitem(s, d)
+        .filter(!(col("l_returnflag") === "R" && col("l_linestatus") === "F"))
+        .filter(!(col("l_orderkey") % 1009 === 0 && col("l_returnflag") === "A"))
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 997 === 0 && col("l_returnflag") === "N",
+            (decM(col("l_extendedprice")) + lit(1).cast("decimal(4,2)")).cast(DoubleType))
+            .otherwise(col("l_extendedprice")))
+      val fp = (df: DataFrame) => fingerprint(
+        df("l_orderkey"), df("l_linenumber"), decM(df("l_quantity")),
+        decM(df("l_extendedprice")), decR(df("l_discount")))
+      validateCopy(src, dst, Seq("l_returnflag", "l_linestatus"), col("l_orderkey"), fp)
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 
@@ -236,6 +293,43 @@ object Snapshot {
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "snap_validate" ->
+      """WITH dst AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CASE WHEN l_orderkey % 997 = 0 AND l_returnflag = 'N'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(1 AS DECIMAL(4,2)) AS DOUBLE)
+        |      ELSE l_extendedprice END AS l_extendedprice,
+        |    l_discount, l_returnflag, l_linestatus
+        |  FROM lineitem
+        |  WHERE NOT (l_returnflag = 'R' AND l_linestatus = 'F')
+        |    AND NOT (l_orderkey % 1009 = 0 AND l_returnflag = 'A')),
+        |fp_src AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+        |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+        |      CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR))), 1, 15) AS BIGINT) AS fp64
+        |  FROM lineitem),
+        |fp_dst AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST('0x' || substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+        |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+        |      CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR))), 1, 15) AS BIGINT) AS fp64
+        |  FROM dst),
+        |ms AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS src_rows, bit_xor(fp64) AS src_hash
+        |  FROM fp_src GROUP BY 1, 2),
+        |mt AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS dst_rows, bit_xor(fp64) AS dst_hash
+        |  FROM fp_dst GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, src_rows, dst_rows,
+        |  CASE WHEN dst_rows IS NULL THEN 'missing_in_target'
+        |    WHEN src_rows IS NULL THEN 'missing_in_source'
+        |    WHEN src_rows <> dst_rows THEN 'row_count_mismatch'
+        |    WHEN src_hash <> dst_hash THEN 'content_mismatch'
+        |    ELSE 'ok' END AS status
+        |FROM ms FULL OUTER JOIN mt USING (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

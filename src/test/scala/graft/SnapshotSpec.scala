@@ -39,4 +39,28 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(out == Set((1L, 3), (1L, 2), (2L, 1)))
   }
+
+  test("validateCopy classifies every damage class per partition") {
+    val src = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),   // intact in target
+      ("p2", 3L, "c"), ("p2", 4L, "d"),   // row lost in target
+      ("p3", 5L, "e"),                    // value corrupted in target
+      ("p4", 6L, "f")                     // partition missing in target
+    ).toDF("part", "k", "v")
+    val dst = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),
+      ("p2", 3L, "c"),
+      ("p3", 5L, "X"),
+      ("p5", 7L, "g")                     // partition missing in source
+    ).toDF("part", "k", "v")
+    val fp = (df: org.apache.spark.sql.DataFrame) => Fx.fingerprint(df("k"), df("v"))
+    val out = Snapshot.validateCopy(src, dst, Seq("part"), col("k"), fp)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(out == Map(
+      "p1" -> "ok",
+      "p2" -> "row_count_mismatch",
+      "p3" -> "content_mismatch",
+      "p4" -> "missing_in_target",
+      "p5" -> "missing_in_source"))
+  }
 }
