@@ -67,6 +67,49 @@ object Snapshot {
         max(key).as("max_key"),
         bit_xor(col("__fp64")).as("content_hash"))
 
+  /** Incremental manifest maintenance — O(|delta|), no base rescan.
+    *
+    * XOR is its own inverse, so a partition's content hash moves from
+    * state A to state B by XOR-ing OUT the removed rows' fingerprints
+    * and IN the added ones; counts and key bounds update additively
+    * (bounds only widen — a removal at the boundary requires a rescan
+    * of that partition, the standard min/max-sketch limitation, so
+    * bounds are kept as the union envelope). An UPDATE is modeled as
+    * remove(old row) + add(new row).
+    *
+    * At 100 TB this is the difference between validating a nightly
+    * backup by rescanning the lake and validating it by folding the
+    * day's delta into yesterday's manifest. Spec proves
+    * `updateManifest(manifest(base), added, removed) ==
+    * manifest(base ∪ added ∖ removed)` on the hash and count columns.
+    */
+  def updateManifest(
+      current: DataFrame, added: DataFrame, removed: DataFrame,
+      partCols: Seq[String], key: Column, fp: DataFrame => Column): DataFrame = {
+    val deltaM = manifest(added, partCols, key, fp(added))
+      .unionByName(
+        // removed rows: negative count, same hash (XOR cancels out)
+        manifest(removed, partCols, key, fp(removed))
+          .withColumn("n_rows", -col("n_rows")))
+      .groupBy(partCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("d_rows"),
+        min(col("min_key")).as("d_min"),
+        max(col("max_key")).as("d_max"),
+        bit_xor(col("content_hash")).as("d_hash"))
+    current.join(deltaM, partCols, "full_outer")
+      .select((partCols.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+        least(col("min_key"), col("d_min")).as("min_key"),
+        greatest(col("max_key"), col("d_max")).as("max_key"),
+        // XOR with the delta hash; a partition absent on one side
+        // keeps the other side's hash
+        when(col("content_hash").isNull, col("d_hash"))
+          .when(col("d_hash").isNull, col("content_hash"))
+          .otherwise(expr("content_hash ^ d_hash")).as("content_hash"))): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   /** Copy validation — the reference's post-backup check, as one
     * manifest join instead of a row-by-row compare: each side
     * aggregates to one row per partition (map-side combinable), so the

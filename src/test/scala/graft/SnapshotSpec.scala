@@ -40,6 +40,39 @@ class SnapshotSpec extends SparkSpec {
     assert(out == Set((1L, 3), (1L, 2), (2L, 1)))
   }
 
+  test("updateManifest(manifest(base), delta) == manifest(base after delta)") {
+    val fp = (df: org.apache.spark.sql.DataFrame) => Fx.fingerprint(df("k"), df("v"))
+    val base = Seq(
+      ("p1", 1L, "a"), ("p1", 5L, "b"),
+      ("p2", 2L, "c"), ("p2", 6L, "d"), ("p2", 9L, "e")).toDF("part", "k", "v")
+    val added = Seq(("p1", 7L, "f"), ("p3", 10L, "g")).toDF("part", "k", "v")
+    val removed = Seq(("p2", 6L, "d")).toDF("part", "k", "v") // not at a bound
+    val after = Seq(
+      ("p1", 1L, "a"), ("p1", 5L, "b"), ("p1", 7L, "f"),
+      ("p2", 2L, "c"), ("p2", 9L, "e"),
+      ("p3", 10L, "g")).toDF("part", "k", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toList
+    val incremental = Snapshot.updateManifest(
+      Snapshot.manifest(base, Seq("part"), col("k"), fp(base)),
+      added, removed, Seq("part"), col("k"), fp)
+    val rescan = Snapshot.manifest(after, Seq("part"), col("k"), fp(after))
+    assert(canon(incremental) == canon(rescan))
+  }
+
+  test("updateManifest drops a partition whose rows are all removed") {
+    val fp = (df: org.apache.spark.sql.DataFrame) => Fx.fingerprint(df("k"), df("v"))
+    val base = Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("part", "k", "v")
+    val removed = Seq(("p2", 2L, "b")).toDF("part", "k", "v")
+    val empty = base.filter(col("k") < 0)
+    val out = Snapshot.updateManifest(
+      Snapshot.manifest(base, Seq("part"), col("k"), fp(base)),
+      empty, removed, Seq("part"), col("k"), fp)
+    assert(out.select("part").collect().map(_.getString(0)).toList == List("p1"))
+  }
+
   test("validateCopy classifies every damage class per partition") {
     val src = Seq(
       ("p1", 1L, "a"), ("p1", 2L, "b"),   // intact in target
