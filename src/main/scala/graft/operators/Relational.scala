@@ -463,7 +463,7 @@ object Relational {
       // The share test is exact-decimal cross-multiplied (value*1000 >
       // total), never a float fraction.
       val n1supp = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_19")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val vals = Tables.lineitem(s, d)
@@ -507,7 +507,7 @@ object Relational {
         .filter(col("qty") > 50)
         .select("l_suppkey")
       Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_8")),
           col("s_nationkey") === col("n_nationkey"))
         .join(widgetQty, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
@@ -835,7 +835,7 @@ object Relational {
         |  FROM lineitem
         |  WHERE l_suppkey IN (
         |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |    WHERE n_name = 'NATION_1')
+        |    WHERE n_name = 'NATION_19')
         |  GROUP BY 1)
         |SELECT l_partkey, ROUND(CAST(value_dec AS DOUBLE), 2) AS value
         |FROM vals
@@ -854,7 +854,7 @@ object Relational {
     "q20_excess" ->
       """SELECT s_suppkey, s_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_2'
+        |WHERE n_name = 'NATION_8'
         |  AND s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
         |    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
