@@ -92,27 +92,73 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first
-    * `nCells` vectors act as seed centroids — a production build would
-    * k-means them) assigns every vector to its nearest cell; search is
-    * exact cosine within the query's cell only. One broadcast of the
-    * tiny centroid set for assignment, one equi-join on cell id for
-    * search — the corpus is never cross-joined. */
-  def ivfTopK(emb: DataFrame, nCells: Int, k: Int): DataFrame = {
-    def assigned(idCol: String, embCol: String): DataFrame = {
-      val cents = emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val scored = emb.select(col("vec_id").as(idCol), col("embedding").as(embCol))
-        .join(broadcast(cents), lit(true))
-        .withColumn("cent_cos", cosine(col(embCol), col("cent_emb")))
-      val w = Window.partitionBy(idCol).orderBy(col("cent_cos").desc, col("cent_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col(idCol), col(embCol), col("cent_id").as(s"${idCol}_cell"))
+  /** IVF cell assignment: nearest-centroid argmax as ONE narrow typed
+    * map over a broadcast centroid set (the first `nCells` vectors act
+    * as seed centroids — a production build would k-means them). No
+    * join, no window, no shuffle: per row, a tight primitive loop over
+    * the (tiny) centroid array; ties go to the lowest centroid id, the
+    * same order the declarative `row_number() = 1` formulation picked.
+    * Returns (vec_id, embedding, norm, cell) — norm is computed here
+    * once so downstream search never recomputes it per pair. */
+  def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    def l2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
     }
-    val a = assigned("query_id", "q_emb").withColumn("q_norm", l2norm(col("q_emb")))
-    val b = assigned("neighbor_id", "c_emb").withColumn("c_norm", l2norm(col("c_emb")))
-    val pairs = a.join(b,
-        col("query_id_cell") === col("neighbor_id_cell") && col("query_id") =!= col("neighbor_id"))
+    val cents = rows.filter(r => r._1 < nCells).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast((cents.map(_._1), cents.map(_._2), cents.map(c => l2(c._2))))
+    rows.map { case (id, e) =>
+      val (cIds, cVecs, cNorms) = bc.value
+      val en = l2(e)
+      var best = Double.NegativeInfinity
+      var bestId = -1L
+      var c = 0
+      while (c < cVecs.length) {
+        val v = cVecs(c)
+        var d = 0.0; var j = 0
+        while (j < e.length) { d += e(j).toDouble * v(j).toDouble; j += 1 }
+        val cos = d / (en * cNorms(c))
+        if (cos > best) { best = cos; bestId = cIds(c) }
+        c += 1
+      }
+      (id, e, en, bestId)
+    }.toDF("vec_id", "embedding", "norm", "cell")
+  }
+
+  /** IVF-style ANN: [[ivfAssign]] buckets the corpus, search is exact
+    * cosine within the query's cell only — an equi-join on cell id; the
+    * corpus is never cross-joined. The assignment is materialized ONCE
+    * (localCheckpoint) and feeds both join sides; at 100 TB it would be
+    * a table written partitioned by cell, amortized across query
+    * batches.
+    *
+    * `salt` > 1 is the skew guard (SURVEY §7.9): real corpora cluster,
+    * so one hot cell can own a large corpus fraction and serialize its
+    * reducer. Salting splits the corpus side of a hot cell across
+    * `salt` sub-keys by row hash and replicates the query side per
+    * sub-key — every query still meets every corpus vector in its
+    * cell, and the per-query top-k window after the join re-merges the
+    * sub-buckets. Result is identical to salt=1 (spec-proven). */
+  def ivfTopK(emb: DataFrame, nCells: Int, k: Int, salt: Int = 1): DataFrame = {
+    val assigned = ivfAssign(emb, nCells).localCheckpoint()
+    val a0 = assigned.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("norm").as("q_norm"), col("cell"))
+    val b0 = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("cell").as("cell_b"))
+    val (a, b, joinCond) =
+      if (salt <= 1)
+        (a0, b0, col("cell") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+      else {
+        val aS = a0.withColumn("salt_a", explode(sequence(lit(0), lit(salt - 1))))
+        val bS = b0.withColumn("salt_b", pmod(xxhash64(col("neighbor_id")), lit(salt)).cast("int"))
+        (aS, bS, col("cell") === col("cell_b") && col("salt_a") === col("salt_b")
+          && col("query_id") =!= col("neighbor_id"))
+      }
+    val pairs = a.join(b, joinCond)
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -52,6 +52,22 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("embCosPairs kernel is bit-exact with the declarative BNLJ formulation") {
+    // deterministic pseudo-random embeddings, incl. a near-duplicate pair
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val emb = ((0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    } :+ (40L, base) :+ (41L, base.map(x => x * 1.01f)))
+      .toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toList
+    val kernel = canon(Dedup.embCosPairs(emb, 0.3))
+    val decl = canon(Dedup.embCosPairsDeclarative(emb, 0.3))
+    assert(kernel.nonEmpty && kernel == decl)
+    assert(kernel.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming distance") {
     val hashes = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))

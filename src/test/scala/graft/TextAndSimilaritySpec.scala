@@ -42,6 +42,25 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(top(1)._1 == 4L)
   }
 
+  test("ivfAssign: every vector gets exactly one cell; centroids assign to themselves") {
+    val df = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(df, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(assigned.size == 30)
+    assert(assigned.values.forall(c => c >= 0 && c < 4))
+    (0L until 4L).foreach(c => assert(assigned(c) == c)) // self is the nearest centroid
+  }
+
+  test("ivfTopK salted equals unsalted (skew guard preserves results)") {
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat))).toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    assert(canon(Similarity.ivfTopK(df, 4, 3)) == canon(Similarity.ivfTopK(df, 4, 3, salt = 3)))
+  }
+
   test("lshTopK returns only same-bucket pairs with valid cosines") {
     val df = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
