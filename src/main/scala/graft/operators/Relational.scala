@@ -214,13 +214,15 @@ object Relational {
     },
 
     "q_percentile" -> { (s, d) =>
-      // Exact interpolated percentiles (median / p90) per return flag.
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          count(lit(1)).as("n"))
+      // Exact interpolated percentiles (median / p90) per return flag —
+      // via the bounded-memory two-pass selection (Percentiles), not
+      // the built-in percentile() whose reducer buffers every group
+      // value. Identical q*(n-1) interpolation semantics (spec-proven).
+      Percentiles.exactQuantiles(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq("median_price" -> 0.5, "p90_price" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("median_price"), 4).as("median_price"),
+          round(col("p90_price"), 4).as("p90_price"), col("n"))
         .orderBy("l_returnflag")
     },
 
