@@ -118,11 +118,23 @@ object Snapshot {
     * content_mismatch / ok. */
   def validateCopy(
       source: DataFrame, target: DataFrame,
-      partCols: Seq[String], key: Column, fp: DataFrame => Column): DataFrame = {
-    val ms = manifest(source, partCols, key, fp(source))
+      partCols: Seq[String], key: Column, fp: DataFrame => Column): DataFrame =
+    validateManifests(
+      manifest(source, partCols, key, fp(source)),
+      manifest(target, partCols, key, fp(target)),
+      partCols)
+
+  /** [[validateCopy]] over PREBUILT manifests — the entry point when a
+    * manifest is maintained incrementally ([[updateManifest]]) or
+    * continuously (streaming.StreamOps.streamingManifest in
+    * foreachBatch) rather than recomputed from the table. */
+  def validateManifests(
+      sourceManifest: DataFrame, targetManifest: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val ms = sourceManifest
       .withColumnRenamed("n_rows", "src_rows").withColumnRenamed("content_hash", "src_hash")
       .drop("min_key", "max_key")
-    val mt = manifest(target, partCols, key, fp(target))
+    val mt = targetManifest
       .withColumnRenamed("n_rows", "dst_rows").withColumnRenamed("content_hash", "dst_hash")
       .drop("min_key", "max_key")
     ms.join(mt, partCols, "full_outer")

@@ -89,6 +89,43 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .drop("__k", "__fp_from", "__fp_to")
   }
 
+  /** Small-file compaction: rewrite a committed version's files into
+    * ~`targetBytes` outputs. Long-running incremental backup stores
+    * accumulate small files (one per micro-batch / delta merge), and at
+    * 100 TB the scan-planning and NameNode/listing cost of millions of
+    * tiny files dominates reads — compaction is routine maintenance,
+    * same as the reference's storage-level housekeeping.
+    *
+    * The rewrite is a narrow `coalesce` (no shuffle — adjacent input
+    * partitions concatenate) published with a three-step swap: write to
+    * a temp sibling, move the live dir aside, move temp in, drop the
+    * old dir. A crash before the final step leaves either the original
+    * version live or (worst case, between the two renames) the
+    * `.old-` dir intact for manual recovery — data is never lost, and
+    * `versions()` never lists a partial dir. Returns (filesBefore,
+    * filesAfter); a no-op when the version is already compact. */
+  def compact(version: Long, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val dest = new Path(dir(version))
+    require(fs.exists(new Path(dest, "_SUCCESS")),
+      s"compact: version $version is not a committed snapshot")
+    val dataFiles = fs.listStatus(dest).filter(_.getPath.getName.startsWith("part-"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (nOut >= dataFiles.length) return (dataFiles.length, dataFiles.length)
+    val tmp = new Path(s"$basePath/.tmp-compact-v=$version-${java.util.UUID.randomUUID()}")
+    read(version).coalesce(nOut).write.parquet(tmp.toString)
+    val old = new Path(s"$basePath/.old-v=$version-${java.util.UUID.randomUUID()}")
+    if (!fs.rename(dest, old))
+      throw new java.io.IOException(s"compact: move-aside failed: $dest -> $old")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(old, dest) // roll back to the original version
+      throw new java.io.IOException(s"compact: publish failed: $tmp -> $dest")
+    }
+    fs.delete(old, true)
+    val after = fs.listStatus(dest).count(_.getPath.getName.startsWith("part-"))
+    (dataFiles.length, after)
+  }
+
   /** Delete all but the newest `keepLast` versions. Returns the pruned
     * version ids. */
   def prune(keepLast: Int): Seq[Long] = {

@@ -190,6 +190,41 @@ object StreamOps {
       }
   }
 
+  /** One backup-changelog record: `op` ∈ {"add", "remove"}; `fp` is
+    * the row's 64-bit content fingerprint (Fx.fastFingerprint). */
+  case class ManifestChange(part: String, k: Long, fp: Long, op: String)
+
+  /** Continuous backup-manifest maintenance over a change stream — the
+    * streaming twin of `Snapshot.updateManifest` (SURVEY §7.9's
+    * "streaming validateCopy").
+    *
+    * Input: a changelog with partition columns, a business key, a
+    * 64-bit row fingerprint, and `opCol` ∈ {"add", "remove"}. The
+    * running aggregate keeps, per partition: live row count
+    * (adds − removes), XOR content hash (XOR is self-inverse, so a
+    * remove cancels the add it mirrors — exactly the batch
+    * updateManifest algebra), and the envelope key bounds (bounds only
+    * widen; same limitation as the batch path).
+    *
+    * State is one row per table partition — bounded by |partitions|,
+    * not |rows|, so no watermark is required; run the sink in Update
+    * (or Complete) mode. Validation against a target is composition:
+    * in `foreachBatch`, join the current manifest to the target's via
+    * `Snapshot.validateManifests`. Spec proves the final state equals
+    * the batch `Snapshot.manifest` of base ∪ adds ∖ removes on count
+    * and hash. */
+  def streamingManifest(
+      changes: DataFrame, partCols: Seq[String],
+      keyCol: String, fpCol: String, opCol: String): DataFrame = {
+    val isAdd = col(opCol) === "add"
+    changes.groupBy(partCols.map(col): _*)
+      .agg(
+        sum(when(isAdd, 1L).otherwise(-1L)).as("n_rows"),
+        min(when(isAdd, col(keyCol))).as("min_key"),
+        max(when(isAdd, col(keyCol))).as("max_key"),
+        bit_xor(col(fpCol)).as("content_hash"))
+  }
+
   /** Fold per-band verdicts to one row per doc: `is_dup` iff any band
     * collided; `dup_of` is the smallest colliding owner. Batch-side
     * (run in `foreachBatch` or over the sink table). */

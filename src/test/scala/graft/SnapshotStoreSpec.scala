@@ -33,6 +33,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions() == Seq(2L))
   }
 
+  test("compact merges small files atomically and preserves content") {
+    val base = Files.createTempDirectory("graft_store_compact").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 500L).map(i => (i, s"row_$i", i * 1.5)).toDF("k", "s", "v")
+    store.write(df.repartition(20), 7L)
+
+    val before = store.read(7L).collect().map(_.toSeq).toSet
+    val (filesBefore, filesAfter) = store.compact(7L) // default target ≫ data size
+    assert(filesBefore == 20 && filesAfter == 1)
+    assert(store.versions() == Seq(7L)) // rewrite carries its own _SUCCESS → still committed
+    assert(store.read(7L).collect().map(_.toSeq).toSet == before)
+    // idempotent: already compact → no-op
+    assert(store.compact(7L) == (1, 1))
+    // uncommitted dirs are rejected
+    intercept[IllegalArgumentException](store.compact(99L))
+  }
+
   test("uncommitted versions are invisible; empty store fails clearly") {
     val base = Files.createTempDirectory("graft_store2").toString
     val store = new SnapshotStore(spark, base, "k")

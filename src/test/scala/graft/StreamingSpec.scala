@@ -109,4 +109,43 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq(1L, 2L))
     } finally query.stop()
   }
+
+  test("streamingManifest: removes cancel adds in the XOR algebra (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.ManifestChange
+
+    def fp(k: Long): Long = k * 0x9E3779B97F4A7C15L + 1
+    def part(k: Long): String = s"p${k % 2}"
+
+    val input = MemoryStream[ManifestChange]
+    val mf = StreamOps.streamingManifest(input.toDF(), Seq("part"), "k", "fp", "op")
+    val query = mf.writeStream
+      .format("memory").queryName("graft_mf").outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 1: initial backup of keys 1..20
+      input.addData((1L to 20L).map(k => ManifestChange(part(k), k, fp(k), "add")): _*)
+      query.processAllAvailable()
+      // batch 2: day's delta — delete 4 and 6, insert 21 and 22,
+      // update 8 (remove old content, add new content)
+      input.addData(
+        ManifestChange(part(4), 4, fp(4), "remove"),
+        ManifestChange(part(6), 6, fp(6), "remove"),
+        ManifestChange(part(21), 21, fp(21), "add"),
+        ManifestChange(part(22), 22, fp(22), "add"),
+        ManifestChange(part(8), 8, fp(8), "remove"),
+        ManifestChange(part(8), 8, fp(8) + 99, "add"))
+      query.processAllAvailable()
+
+      val got = spark.sql("SELECT * FROM graft_mf").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+      // expected: the batch manifest of the final live rows
+      val live = ((1L to 20L).filterNot(Set(4L, 6L)) ++ Seq(21L, 22L))
+        .map(k => (part(k), if (k == 8) fp(8) + 99 else fp(k)))
+      val expected = live.groupBy(_._1).map { case (p, rows) =>
+        p -> ((rows.size.toLong, rows.map(_._2).reduce(_ ^ _)))
+      }
+      assert(got == expected)
+    } finally query.stop()
+  }
 }
