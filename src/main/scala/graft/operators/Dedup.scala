@@ -84,6 +84,39 @@ object Dedup {
         round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
   }
 
+  /** Persist the (doc_id, shingle) index as a table bucketed+sorted by
+    * shingle — the write-once cost that makes the O(n²)-ish candidate
+    * self-join shuffle-free forever after (SURVEY §7.9). A 100 TB
+    * corpus's shingle index is re-joined on every dedup run and every
+    * incremental ingest; bucketing moves the exchange from every run
+    * to the one write. */
+  def writeShingleIndex(docs: DataFrame, table: String, k: Int, buckets: Int): Unit =
+    docShingles(docs, k).write.mode("overwrite")
+      .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(table)
+
+  /** [[ngramJaccardPairs]] over a pre-bucketed shingle index written by
+    * [[writeShingleIndex]]: the shingle-intersection self-join reads
+    * both sides already hash-distributed on the join key, so the plan
+    * has NO Exchange below the join (spec-asserted) — the only
+    * remaining shuffles are the small per-pair and per-doc aggregates. */
+  def ngramJaccardPairsIndexed(spark: SparkSession, table: String, num: Int, den: Int): DataFrame = {
+    val sh = spark.table(table)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = spark.table(table).select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = spark.table(table).select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val inter = shA.join(shB,
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * den >= col("n_union") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded murmur3 hash
     * functions, the min hash over the doc's shingles. Computed by the
     * codegen'd [[org.apache.spark.sql.graft.MinHashSigExpr]] — a

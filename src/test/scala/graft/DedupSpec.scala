@@ -52,6 +52,32 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("bucketed shingle index: intersection self-join is exchange-free, results match") {
+    import org.apache.spark.sql.functions.col
+    Dedup.writeShingleIndex(docs, "graft_shingle_idx", 3, 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the candidate join itself — both sides from the bucketed index
+      val shA = spark.table("graft_shingle_idx").select(col("doc_id").as("doc_a"), col("shingle"))
+      val shB = spark.table("graft_shingle_idx")
+        .select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+      val joined = shA.join(shB,
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free candidate join, got:\n$plan")
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .sortBy(t => (t._1, t._2)).toList
+      assert(canon(Dedup.ngramJaccardPairsIndexed(spark, "graft_shingle_idx", 1, 2)) ==
+        canon(Dedup.ngramJaccardPairs(docs, 3, 1, 2)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_shingle_idx")
+    }
+  }
+
   test("embCosPairs kernel is bit-exact with the declarative BNLJ formulation") {
     // deterministic pseudo-random embeddings, incl. a near-duplicate pair
     val rnd = new scala.util.Random(7)
