@@ -20,6 +20,12 @@ import graft.functions.Fx
   * `changeType` comparison rides on 8-byte xxhash64 fingerprints, not
   * row-by-row column compares.
   */
+object SnapshotStore {
+  /** One column-level change between two snapshot versions. */
+  case class SchemaChange(column: String, change: String,
+      fromType: Option[String], toType: Option[String])
+}
+
 class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
 
   private def dir(version: Long): String = s"$basePath/v=$version"
@@ -70,12 +76,18 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   /** Row-level change classification between two versions:
     * `insert` (key only in `to`), `delete` (key only in `from`),
     * `update` (key in both, content fingerprint differs).
-    * Unchanged rows are not emitted. */
+    * Unchanged rows are not emitted.
+    *
+    * Schema-evolution aware: fingerprints cover the COMMON non-key
+    * columns of the two versions, so adding or dropping a column does
+    * not flag every row as updated (it would, if each side hashed its
+    * own full row). Column-level changes are reported separately by
+    * [[schemaDiff]]. */
   def diff(fromVersion: Long, toVersion: Long): DataFrame = {
     val from = read(fromVersion)
-    val fp: DataFrame => Column = df =>
-      Fx.fastFingerprint(df.columns.filter(_ != keyCol).sorted.map(df(_)).toIndexedSeq: _*)
     val to = read(toVersion)
+    val common = (from.columns.toSet intersect to.columns.toSet - keyCol).toSeq.sorted
+    val fp: DataFrame => Column = df => Fx.fastFingerprint(common.map(df(_)): _*)
     val f = from.select(col(keyCol).as("__k"), fp(from).as("__fp_from"))
     val t = to.withColumn("__fp_to", fp(to))
     val joined = t.join(f, t(keyCol) === f("__k"), "full_outer")
@@ -87,6 +99,24 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(col("change_type").isNotNull)
       .withColumn(keyCol, coalesce(col(keyCol), col("__k")))
       .drop("__k", "__fp_from", "__fp_to")
+  }
+
+  /** Column-level schema changes between two versions: columns added,
+    * removed, or re-typed. Metadata-only (two parquet footers), no
+    * data scan — the check a backup pipeline runs BEFORE diffing, so
+    * an unexpected evolution fails fast instead of surfacing as a
+    * million-row "update" storm. */
+  def schemaDiff(fromVersion: Long, toVersion: Long): Seq[SnapshotStore.SchemaChange] = {
+    val from = read(fromVersion).schema.map(f => f.name -> f.dataType.sql).toMap
+    val to = read(toVersion).schema.map(f => f.name -> f.dataType.sql).toMap
+    val added = (to.keySet -- from.keySet).toSeq.sorted
+      .map(c => SnapshotStore.SchemaChange(c, "added", None, Some(to(c))))
+    val removed = (from.keySet -- to.keySet).toSeq.sorted
+      .map(c => SnapshotStore.SchemaChange(c, "removed", Some(from(c)), None))
+    val retyped = (from.keySet intersect to.keySet).toSeq.sorted
+      .filter(c => from(c) != to(c))
+      .map(c => SnapshotStore.SchemaChange(c, "type_changed", Some(from(c)), Some(to(c))))
+    added ++ removed ++ retyped
   }
 
   /** Small-file compaction: rewrite a committed version's files into

@@ -33,6 +33,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions() == Seq(2L))
   }
 
+  test("schema evolution: added column doesn't storm diff; schemaDiff reports it") {
+    val base = Files.createTempDirectory("graft_store_evo").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    // v2: same data on common columns, one real update, one new column
+    val v2 = Seq((1L, "a", 10.0, true), (2L, "CHANGED", 20.0, false))
+      .toDF("k", "s", "v", "flag")
+    store.write(v1, 1L)
+    store.write(v2, 2L)
+
+    val changes = store.diff(1L, 2L).select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(2L -> "update")) // row 1 unchanged on common cols
+
+    val sd = store.schemaDiff(1L, 2L)
+    assert(sd == Seq(SnapshotStore.SchemaChange("flag", "added", None, Some("BOOLEAN"))))
+    assert(store.schemaDiff(2L, 1L)
+      == Seq(SnapshotStore.SchemaChange("flag", "removed", Some("BOOLEAN"), None)))
+  }
+
   test("compact merges small files atomically and preserves content") {
     val base = Files.createTempDirectory("graft_store_compact").toString
     val store = new SnapshotStore(spark, base, "k")
