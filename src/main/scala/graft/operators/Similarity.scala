@@ -92,6 +92,92 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
+  /** JVM kernel: cosine-nearest centroid index (ties → lowest index). */
+  private def nearestCell(cents: Array[Array[Float]], cNorms: Array[Double], e: Array[Float]): Int = {
+    var en = 0.0
+    var i = 0
+    while (i < e.length) { en += e(i).toDouble * e(i).toDouble; i += 1 }
+    val norm = math.sqrt(en)
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c)
+      var d = 0.0; var j = 0
+      while (j < e.length) { d += e(j).toDouble * v(j).toDouble; j += 1 }
+      val cos = d / (norm * cNorms(c))
+      if (cos > best) { best = cos; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  private def norms(cents: Array[Array[Float]]): Array[Double] =
+    cents.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+  /** Lloyd's k-means refinement of IVF centroids, Spark-shaped: each
+    * iteration is one narrow mapPartitions emitting per-partition
+    * partial (cell, count, sum) triples — k small rows per task, the
+    * map-side combine — reduced by cell (a k-row shuffle, never the
+    * corpus) and collected as the next centroid set. The full vectors
+    * are never shuffled and the driver only ever holds k×dim floats.
+    * Seeds are the first k corpus vectors (deterministic); an empty
+    * cell keeps its previous centroid. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    var cents = rows.filter(r => r._1 < k).collect().sortBy(_._1).map(_._2)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast((cents, norms(cents)))
+      val updated = rows.mapPartitions { it =>
+        val (cs, ns) = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, e) =>
+          val c = nearestCell(cs, ns, e)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += e(i).toDouble; i += 1 }
+        }
+        Iterator.range(0, cs.length).filter(counts(_) > 0)
+          .map(c => (c, counts(c), sums(c)))
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](a._3.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._3(i) + b._3(i); i += 1 }
+          (a._1, a._2 + b._2, s)
+        }
+        .map { case (c, (_, n, s)) => (c, s.map(x => (x / n).toFloat)) }
+        .collect().toMap
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
+    }
+    cents
+  }
+
+  /** [[ivfAssign]] against an explicit centroid set (e.g. from
+    * [[kmeansCentroids]]); cell ids are centroid indices. */
+  def ivfAssignTo(emb: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cents, norms(cents)))
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val (cs, ns) = bc.value
+        var en = 0.0; var i = 0
+        while (i < e.length) { en += e(i).toDouble * e(i).toDouble; i += 1 }
+        (id, e, math.sqrt(en), nearestCell(cs, ns, e).toLong)
+      }
+      .toDF("vec_id", "embedding", "norm", "cell")
+  }
+
   /** IVF cell assignment: nearest-centroid argmax as ONE narrow typed
     * map over a broadcast centroid set (the first `nCells` vectors act
     * as seed centroids — a production build would k-means them). No
