@@ -43,4 +43,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
+  // 66 queries × 2 passes of whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache; once it fills, HotSpot stops
+  // compiling and the remaining queries run interpreted — a uniform
+  // multi-× slowdown late in a long suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache is LRU-capped at 100 entries by
+      // default. This suite executes 66 plans twice (warm-up + timed)
+      // with far more than 100 distinct codegen units, so at 100 the
+      // cache thrashes and every TIMED run pays full Janino
+      // recompilation per WholeStageCodegen span — which is what the
+      // round-2 bench measured (uniform 2-4× on multi-span join/agg
+      // queries, ~1× on single-span narrow ones). Static conf: must be
+      // set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,13 +46,18 @@ object Bench {
     // Untimed warm-up pass over every plan first: generated-code JIT
     // compilation queues behind execution and would otherwise bleed
     // tens of seconds into whichever queries run while it drains.
-    ordered.foreach { case (_, fn) => try runOnce(fn) catch { case _: Throwable => () } }
+    // Per-query progress goes to STDERR (the driver parses stdout).
+    ordered.foreach { case (name, fn) =>
+      val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench warmup] $name $t%.2f s")
+    }
     // Collect warm-up garbage before timing: G1 mixed collections from
     // the warm-up pass's allocation otherwise land as multi-second
     // pauses on arbitrary timed queries.
     System.gc()
     val results = ordered.map { case (name, fn) =>
       val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench timed] $name $t%.2f s")
       System.gc()
       name -> t
     }

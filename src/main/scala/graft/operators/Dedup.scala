@@ -14,9 +14,11 @@ import graft.sources.Tables
   * dedup is one hash-groupBy; MinHash/LSH turns near-dup into an
   * equi-join on band keys; SimHash buckets by hash prefix. The
   * all-pairs Jaccard entry (`dedup_ngram`) joins on shared shingles —
-  * an equi-join whose fan-out is bounded by shingle document
-  * frequency, the standard prefix-filter shape; pair up candidates
-  * only ever meet through a shared token, never a cross join.
+  * an equi-join whose fan-out is bounded by the [[capShingleDf]]
+  * document-frequency cut (a shingle in f docs emits O(f²) pairs;
+  * boilerplate shingles are dropped from the representation before
+  * the join), the standard prefix-filter shape; candidates only ever
+  * meet through a shared informative token, never a cross join.
   */
 object Dedup {
 
@@ -50,10 +52,31 @@ object Dedup {
       .groupBy("text_hash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
+  /** Drop shingles whose document frequency exceeds `maxDf` from a
+    * (doc_id, shingle) index. A shingle appearing in f documents emits
+    * O(f²) candidate pairs through the intersection self-join — on a
+    * real crawl, boilerplate shingles ("terms of service apply") make
+    * the join quadratic while contributing ~zero Jaccard information
+    * (they are shared by everything). Removing them from the
+    * REPRESENTATION (both intersection and set sizes) keeps the
+    * measure self-consistent: it is exact Jaccard over the capped
+    * shingle sets, the standard df-cut from prefix-filtering
+    * literature. The df aggregate is map-side combinable and the
+    * filter is a broadcast-able semi-join (df survivors over the cap
+    * are few — that is the point). */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
   /** Near-dup candidate pairs with exact n-gram Jaccard ≥ `num/den`
     * (threshold kept rational so the filter is integer arithmetic —
-    * no float boundary ambiguity). */
-  def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int): DataFrame = {
+    * no float boundary ambiguity). `maxDf` caps shingle document
+    * frequency before the candidate self-join ([[capShingleDf]]);
+    * pass Int.MaxValue for the uncapped measure. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
+      maxDf: Int = 100): DataFrame = {
     // One materialized shingle index feeds the doc-size aggregate and
     // BOTH self-join sides (computed once, not three times). The sides
     // get disjoint column names: an aliased same-lineage self-join
@@ -67,7 +90,7 @@ object Dedup {
     // bucketed-by-shingle table write — same plan shape, explicit
     // lifecycle (and executor-loss tolerance, which localCheckpoint
     // trades away).
-    val sh = docShingles(docs, k).localCheckpoint()
+    val sh = capShingleDf(docShingles(docs, k), maxDf).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -99,11 +122,16 @@ object Dedup {
     * both sides already hash-distributed on the join key, so the plan
     * has NO Exchange below the join (spec-asserted) — the only
     * remaining shuffles are the small per-pair and per-doc aggregates. */
-  def ngramJaccardPairsIndexed(spark: SparkSession, table: String, num: Int, den: Int): DataFrame = {
-    val sh = spark.table(table)
+  def ngramJaccardPairsIndexed(spark: SparkSession, table: String, num: Int, den: Int,
+      maxDf: Int = 100): DataFrame = {
+    // The df-cap groupBy reads the bucketed table already distributed
+    // by shingle, so even the cap costs no Exchange here.
+    val sh = capShingleDf(spark.table(table), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = spark.table(table).select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = spark.table(table).select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val shA = capShingleDf(spark.table(table), maxDf)
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = capShingleDf(spark.table(table), maxDf)
+      .select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
     val inter = shA.join(shB,
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
@@ -206,14 +234,26 @@ object Dedup {
     * FloatVecDot, same HALF_UP rounding as `round(c, 4)`.
     *
     * Scale posture: brute-force all-pairs is inherently O(n²) — the
-    * production near-dup path is MinHash/LSH ([[lshCandidates]]) or
-    * IVF; this is the exact baseline, and the broadcast side must fit
-    * in executor memory (dim-64 floats: ~270 MB per million vectors).
+    * production near-dup path is [[embCosPairsBucketed]] (hyperplane
+    * LSH candidates + exact cosine, never broadcasts the corpus) or
+    * MinHash/IVF; this is the exact baseline, and the broadcast side
+    * must fit in executor memory (dim-64 floats: ~270 MB per million
+    * vectors). The `maxBroadcastRows` guard makes misuse fail fast
+    * instead of OOMing the driver mid-collect.
     */
-  def embCosPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def embCosPairs(emb: DataFrame, threshold: Double,
+      maxBroadcastRows: Long = 1L << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    // Size gate BEFORE materializing: one count job (a metadata-cheap
+    // scan) versus an unconditional full-table collect that would OOM
+    // the driver on any real corpus.
+    val n = rows.count()
+    require(n <= maxBroadcastRows,
+      s"embCosPairs is the exact all-pairs baseline: corpus has $n vectors > " +
+        s"broadcast cap $maxBroadcastRows. Use embCosPairsBucketed (LSH candidate " +
+        "generation + exact cosine on candidates) for corpora past the cap.")
     // The broadcast side: ids sorted so each task scans a contiguous
     // array. collect() here is the broadcast materialization itself
     // (what broadcast() does internally), not a driver-side compute loop.
@@ -246,6 +286,57 @@ object Dedup {
         }
       }
     }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Scale path for embedding-cosine near-dup: random-hyperplane LSH
+    * banding generates candidate pairs through an equi-join on band
+    * keys, then ONLY candidates pay an exact cosine — the corpus is
+    * never broadcast, never collected, never cross-joined.
+    *
+    * `planes` sign bits per vector (deterministic hyperplanes — see
+    * [[Similarity.lshSignature]]) are sliced into `bands` contiguous
+    * bands; two vectors are candidates if ANY band matches (the
+    * classic OR-of-ANDs: per-band match probability is
+    * (1 − θ/π)^(planes/bands), so recall rises steeply with cosine —
+    * near-dups at production thresholds ~0.95 are caught with
+    * near-certainty while distant pairs rarely collide). Approximate
+    * by construction: a true pair whose every band misses is lost —
+    * recall vs [[embCosPairs]] is spec-measured.
+    *
+    * Shuffle shape at 100 TB: band keys are a narrow projection;
+    * candidates meet through one equi-join on (band, band_hash);
+    * exact cosine re-joins the two (id → vector) sides by key. Every
+    * join is an equi-join with map-side-combinable inputs. */
+  def embCosPairsBucketed(emb: DataFrame, threshold: Double,
+      planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
+    require(planes <= 63, "signature is packed into one long")
+    val r = planes / bands
+    // band j = bits [j*r, (j+1)*r) of the packed signature
+    def bandKeys(idName: String, bandName: String, hashName: String): DataFrame =
+      Similarity.lshSignature(emb, planes)
+        .select(col("vec_id").as(idName),
+          posexplode(array((0 until bands).map(j =>
+            struct(lit(j).as("b"),
+              shiftright(col("bucket"), j * r).bitwiseAND(lit((1L << r) - 1)).as("h"))): _*))
+            .as(Seq("__pos", "__bk")))
+        .select(col(idName), col("__bk.b").as(bandName), col("__bk.h").as(hashName))
+    // Sides built independently: a same-lineage self-join degrades to
+    // a nested loop (see ngramJaccardPairs).
+    val aK = bandKeys("vec_a", "band_a", "hash_a")
+    val bK = bandKeys("vec_b", "band_b", "hash_b")
+    val cands = aK.join(bK,
+        col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
+          && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = Similarity.withNorm(emb).select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val eb = Similarity.withNorm(emb).select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Declarative reference formulation of [[embCosPairs]] (BNLJ over
@@ -306,6 +397,14 @@ object Dedup {
       // production threshold would be ~0.95. Scale path: LSH-bucket
       // first (Similarity.lshTopK), exact-cosine only candidates.
       embCosPairs(Tables.embeddings(s, d), 0.45).orderBy("vec_a", "vec_b")
+    },
+
+    "dedup_embcos_lsh" -> { (s, d) =>
+      // Rows-only oracle (hyperplane signatures are Spark/JVM-side).
+      // The scale path behind embCosPairs' broadcast cap: banded
+      // hyperplane LSH candidates, exact cosine on candidates only.
+      embCosPairsBucketed(Tables.embeddings(s, d), 0.45, 16, 4)
+        .orderBy("vec_a", "vec_b")
     }
   )
 
@@ -319,11 +418,14 @@ object Dedup {
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, s FROM toks,
         |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
         |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
         |      ELSE [] END)) AS u(s)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -114,8 +114,11 @@ object Percentiles {
       .join(histCum.select(col("__g"), col("__b"), col("__before")), Seq("__g", "__b"))
       .withColumn("__start", col("__before") + coalesce(sum("__vc").over(wVb), lit(0L)))
 
-    // pick the value whose rank range covers each needed statistic
-    val picked = needed.join(broadcast(ranked), Seq("__g"))
+    // pick the value whose rank range covers each needed statistic.
+    // Broadcast side is `needed` (≤ 2·|qs| rows per group, bounded);
+    // `ranked` holds every distinct candidate value — unbounded in the
+    // value distribution — and must stay partitioned.
+    val picked = ranked.join(broadcast(needed), Seq("__g"))
       .filter(col("rank") >= col("__start") && col("rank") < col("__start") + col("__vc"))
       .select(col("__g"), col("__n"), col("qi"), col("hi"), col("__v"))
 

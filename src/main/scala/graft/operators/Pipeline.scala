@@ -20,21 +20,69 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  /** Gate + dedup + survivor marking, one row per gated doc:
-    * `keep` marks the canonical survivor (lowest doc_id) of each
-    * normalized-content group. */
-  def cleanCorpus(docs: DataFrame, minTokens: Int, maxDigitRatio: Double): DataFrame = {
+  /** The narrow half of [[cleanCorpus]]: quality-gate signals + content
+    * hash in one projection, no shuffle. Split out so the incremental
+    * path ([[incrementalClean]]) can re-gate ONLY a delta. */
+  def cleanCorpusGate(docs: DataFrame, minTokens: Int, maxDigitRatio: Double): DataFrame = {
     val nChars = length(col("text"))
     val nDigit = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
-    val gated = docs
+    docs
       .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
       .withColumn("digit_ratio", round(nDigit.cast(DoubleType) / nChars, 4))
       .filter(col("n_tokens") >= minTokens && col("digit_ratio") <= maxDigitRatio)
       .withColumn("text_hash", md5(normText(col("text"))))
+  }
+
+  /** Gate + dedup + survivor marking, one row per gated doc:
+    * `keep` marks the canonical survivor (lowest doc_id) of each
+    * normalized-content group. */
+  def cleanCorpus(docs: DataFrame, minTokens: Int, maxDigitRatio: Double): DataFrame = {
+    val gated = cleanCorpusGate(docs, minTokens, maxDigitRatio)
     // survivor = lowest doc_id in the content group; min-over-window
     // needs no ordered sort buffer (running min), one shuffle total
     val keepId = min(col("doc_id")).over(Window.partitionBy("text_hash"))
     gated.withColumn("keep", col("doc_id") === keepId)
+  }
+
+  /** Incremental reclean over a CDC delta (SnapshotStore.diff shape:
+    * the current-version columns + a `change_type` of
+    * insert/update/delete) — the daily-ingest composition: instead of
+    * re-gating the corpus, the expensive narrow pass (tokenize, regex
+    * ratios, md5) runs over the DELTA ONLY, and survivor flags are
+    * recomputed only for content groups the delta actually touched.
+    *
+    * `prior` is the previous [[cleanCorpus]] output (the carried dedup
+    * state: every gated doc with its text_hash and keep flag).
+    * Result is row-identical to a full `cleanCorpus` of the updated
+    * corpus (spec-proven): dedup state composes because exact-dup
+    * groups are independent — only groups gaining or losing a member
+    * can change their survivor.
+    *
+    * Shuffle shape at 100 TB: gating is O(|delta|) narrow; `touched`
+    * is ≤ |delta| hashes (broadcast-able); the prior state pays two
+    * hash-key joins against that small set and the survivor window
+    * runs over affected groups only — the unaffected bulk of the
+    * corpus state streams through untouched with no window and no
+    * re-hash. */
+  def incrementalClean(prior: DataFrame, changes: DataFrame,
+      minTokens: Int, maxDigitRatio: Double): DataFrame = {
+    val inserts = changes.filter(col("change_type").isin("insert", "update")).drop("change_type")
+    val removedKeys = changes.filter(col("change_type").isin("delete", "update"))
+      .select("doc_id")
+    // prior rows untouched by the delta (updates re-enter via the gate)
+    val surviving = prior.join(removedKeys, Seq("doc_id"), "left_anti")
+    // the ONLY re-gating in the incremental path: O(|delta|)
+    val gatedDelta = cleanCorpusGate(inserts, minTokens, maxDigitRatio)
+    // content groups whose membership changed: gained a gated delta row
+    // or lost a removed/updated prior row
+    val touched = gatedDelta.select("text_hash")
+      .union(prior.join(removedKeys, Seq("doc_id"), "left_semi").select("text_hash"))
+      .distinct()
+    val untouched = surviving.join(touched, Seq("text_hash"), "left_anti")
+    val recompute = surviving.drop("keep").join(touched, Seq("text_hash"), "left_semi")
+      .unionByName(gatedDelta)
+    val keepId = min(col("doc_id")).over(Window.partitionBy("text_hash"))
+    untouched.unionByName(recompute.withColumn("keep", col("doc_id") === keepId))
   }
 
   /** Per-language corpus accounting after [[cleanCorpus]]: surviving
@@ -49,6 +97,31 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
+    },
+
+    "pipe_clean_incr" -> { (s, d) =>
+      // Daily-ingest shape: yesterday's corpus is modeled as a
+      // deterministic perturbation of today's (inserts = keys ≡ 3 mod
+      // 7 were absent; updates = keys ≡ 0 mod 11 had stale text;
+      // deletes = synthetic obsolete docs), yesterday's cleaned state
+      // is carried, and ONLY the CDC delta re-gates. The oracle is the
+      // FULL reclean of today's corpus — identical output is the whole
+      // point of the incremental path.
+      val cur = Tables.documents(s, d)
+      val isInsert = col("doc_id") % 7 === 3
+      val isUpdate = col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 3
+      val deleted = cur.filter(col("doc_id") % 13 === 5)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", concat(lit("obsolete draft "), col("text")))
+      val prev = cur.filter(!isInsert)
+        .withColumn("text",
+          when(isUpdate, concat(col("text"), lit(" stale 12345 67890"))).otherwise(col("text")))
+        .unionByName(deleted)
+      val changes = cur.filter(isInsert).withColumn("change_type", lit("insert"))
+        .unionByName(cur.filter(isUpdate).withColumn("change_type", lit("update")))
+        .unionByName(deleted.withColumn("change_type", lit("delete")))
+      corpusReport(incrementalClean(cleanCorpus(prev, 10, 0.3), changes, 10, 0.3))
+        .orderBy("lang")
     }
   )
 
@@ -56,6 +129,26 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "pipe_clean" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM documents
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |marked AS (
+         |  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep
+         |  FROM gated)
+         |SELECT lang,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+         |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
+         |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The incremental path must reproduce the full reclean bit-for-bit,
+    // so its oracle IS the full reclean of the current corpus.
+    "pipe_clean_incr" ->
       s"""WITH gated AS (
          |  SELECT doc_id, lang,
          |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,

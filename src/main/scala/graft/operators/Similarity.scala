@@ -74,14 +74,30 @@ object Similarity {
       .toDF("vec_id", "embedding", "bucket")
   }
 
-  /** ANN via LSH buckets: exact cosine only within matching buckets. */
-  def lshTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+  /** ANN via LSH buckets: exact cosine only within matching buckets.
+    *
+    * `probes` > 0 enables multi-probe: the query side ALSO visits the
+    * `probes` buckets at Hamming distance 1 from its own (flip bit
+    * 0..probes-1) — the standard recall fix that costs query-side
+    * fan-out (×(probes+1) on the small side of the join) instead of
+    * more hash tables over the corpus. A near-neighbor that landed one
+    * sign-bit away (the most likely miss: each extra Hamming step is
+    * another independent hyperplane disagreeing) is recovered. Corpus
+    * side stays single-bucket — its size, not the query set's, is the
+    * 100 TB term. */
+  def lshTopK(emb: DataFrame, planes: Int, k: Int, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= planes, s"probes=$probes out of [0, $planes]")
     // Two independently-built sides (disjoint names): a same-lineage
     // self-join degrades to a nested-loop — see Dedup.ngramJaccardPairs.
     def side(q: String, n: String, b: String): DataFrame =
       withNorm(lshSignature(emb, planes))
         .select(col("vec_id").as(q), col("embedding").as(n), col("norm").as(s"${n}_norm"), col("bucket").as(b))
-    val a = side("query_id", "q_emb", "bucket_a")
+    val a0 = side("query_id", "q_emb", "bucket_a")
+    val a =
+      if (probes == 0) a0
+      else a0.select(col("query_id"), col("q_emb"), col("q_emb_norm"),
+        explode(array(col("bucket_a") +: (0 until probes).map(p =>
+          col("bucket_a").bitwiseXOR(lit(1L << p))): _*)).as("bucket_a"))
     val b = side("neighbor_id", "c_emb", "bucket_b")
     val pairs = a.join(b,
         col("bucket_a") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
@@ -228,9 +244,22 @@ object Similarity {
     * `salt` sub-keys by row hash and replicates the query side per
     * sub-key — every query still meets every corpus vector in its
     * cell, and the per-query top-k window after the join re-merges the
-    * sub-buckets. Result is identical to salt=1 (spec-proven). */
-  def ivfTopK(emb: DataFrame, nCells: Int, k: Int, salt: Int = 1): DataFrame = {
-    val assigned = ivfAssign(emb, nCells).localCheckpoint()
+    * sub-buckets. Result is identical to salt=1 (spec-proven).
+    *
+    * `kmeansIters` > 0 refines the seed centroids with that many
+    * Lloyd's iterations ([[kmeansCentroids]]) before assignment. On a
+    * clustered corpus, first-N seeding can put several centroids
+    * inside one natural cluster and none in another — splitting true
+    * neighbors across cells and losing recall; k-means moves the
+    * centroids to the cluster means (recall gain spec-measured). Each
+    * iteration costs one narrow corpus pass + a k-row reduce — the
+    * vectors themselves never shuffle. */
+  def ivfTopK(emb: DataFrame, nCells: Int, k: Int, salt: Int = 1,
+      kmeansIters: Int = 0): DataFrame = {
+    val assigned = (
+      if (kmeansIters > 0) ivfAssignTo(emb, kmeansCentroids(emb, nCells, kmeansIters))
+      else ivfAssign(emb, nCells)
+    ).localCheckpoint()
     val a0 = assigned.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"), col("cell"))
     val b0 = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -260,12 +289,15 @@ object Similarity {
 
     "ann_lsh" -> { (s, d) =>
       // Rows-only oracle: bucket membership depends on Spark murmur3.
-      lshTopK(Tables.embeddings(s, d), 12, 5).orderBy("query_id", "rk")
+      // Multi-probe (4 Hamming-1 probes) — the recall fix that costs
+      // query-side fan-out, not more corpus hash tables.
+      lshTopK(Tables.embeddings(s, d), 12, 5, probes = 4).orderBy("query_id", "rk")
     },
 
     "ann_ivf" -> { (s, d) =>
       // Rows-only oracle (cell assignment is an internal artifact).
-      ivfTopK(Tables.embeddings(s, d), 16, 5).orderBy("query_id", "rk")
+      // Two Lloyd's iterations refine the first-N seed centroids.
+      ivfTopK(Tables.embeddings(s, d), 16, 5, kmeansIters = 2).orderBy("query_id", "rk")
     }
   )
 

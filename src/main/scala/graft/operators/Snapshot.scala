@@ -45,9 +45,24 @@ object Snapshot {
   }
 
   /** SCD1 upsert: delta rows win; base rows survive where no delta
-    * key exists. One anti-join + union — no full-outer wide row. */
-  def mergeUpsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
-    delta.unionByName(base.join(delta.select(key), Seq(key), "left_anti"))
+    * key exists. One anti-join + union — no full-outer wide row.
+    *
+    * Schema-evolution tolerant (the companion a backup restore needs
+    * once [[SnapshotStore.schemaDiff]] reports drift): a column added
+    * in the delta is null for untouched base rows, a column dropped
+    * from the delta keeps its base values and is null on delta rows —
+    * `allowMissingColumns` union semantics. The `fill` map is the
+    * explicit null-fill policy for evolution-introduced nulls (e.g.
+    * a new column's default); it applies AFTER the merge, so it never
+    * masks a null that was genuinely stored in either side's data
+    * beyond the chosen defaults. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, key: String,
+      fill: Map[String, Any] = Map.empty): DataFrame = {
+    val merged = delta.unionByName(
+      base.join(delta.select(key), Seq(key), "left_anti"),
+      allowMissingColumns = true)
+    if (fill.isEmpty) merged else merged.na.fill(fill)
+  }
 
   /** Keep the newest `n` versions per key (retention pruning). */
   def retainLatest(df: DataFrame, key: String, orderCols: Seq[Column], n: Int): DataFrame = {
@@ -267,6 +282,21 @@ object Snapshot {
         .orderBy("l_returnflag")
     },
 
+    "snap_restore_range" -> { (s, d) =>
+      // Keyed restore through the data-skipping layout: orders written
+      // ONCE range-partitioned by o_orderkey with a per-file zone map,
+      // then one key range read back — the read opens only the files
+      // whose [min,max] overlaps the range (spec-asserted strict
+      // subset; here the oracle proves the pruned read loses nothing
+      // vs a plain filtered scan of the table).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_range_store_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.writeRangePartitioned(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"), 1L, 16)
+      store.readKeyRange(1L, 600L, 1100L).orderBy("o_orderkey")
+    },
+
     "snap_validate" -> { (s, d) =>
       // Post-copy validation against a modeled damaged copy: one whole
       // (returnflag, linestatus) partition lost, row loss in the 'A'
@@ -334,6 +364,10 @@ object Snapshot {
         |  bit_xor(CAST('0x' || substr(fp, 1, 15) AS BIGINT)) AS content_hash
         |FROM li GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "snap_restore_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
 
     "snap_retention" ->
       """SELECT user_id, event_id, event_type FROM (

@@ -46,6 +46,63 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       throw new java.io.IOException(s"snapshot publish failed: rename $tmp -> $dest")
   }
 
+  /** [[write]] with a data-skipping layout: rows range-partitioned by
+    * the business key into ~`numFiles` files, sorted within each, plus
+    * a zone map (per-file key min/max) built after publish. Each file
+    * then owns a disjoint key range, so a keyed restore or diff reads
+    * only the overlapping files ([[readKeyRange]]) instead of scanning
+    * the whole snapshot — at 100 TB the difference between "restore
+    * one partition" costing one file-set and costing the lake.
+    * `repartitionByRange` is one shuffle at write time, paid once per
+    * snapshot; the in-file sort additionally tightens parquet
+    * row-group stats for predicate pushdown within a file. */
+  def writeRangePartitioned(df: DataFrame, version: Long, numFiles: Int): Unit = {
+    write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol), version)
+    buildZoneMap(version)
+  }
+
+  /** `_zonemap` starts with '_' so Spark's file listing hides it from
+    * plain `read(version)` scans — the zone map rides inside the
+    * version dir without polluting it. */
+  private def zmapDir(version: Long): String = s"${dir(version)}/_zonemap"
+
+  /** (Re)build the per-file zone map of a committed version: one scan
+    * of the key column only (pruned read), output |files| tiny rows. */
+  def buildZoneMap(version: Long): Unit =
+    read(version)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(min(keyCol).as("min_key"), max(keyCol).as("max_key"), count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(zmapDir(version))
+
+  /** The version's zone map, if one was built. */
+  def zoneMap(version: Long): Option[DataFrame] =
+    if (fs.exists(new Path(zmapDir(version), "_SUCCESS")))
+      Some(spark.read.parquet(zmapDir(version)))
+    else None
+
+  /** Files whose key range overlaps [lo, hi] — None when the version
+    * has no zone map. The overlap test runs typed through Catalyst
+    * (`lit(lo)` adopts the key's native ordering). */
+  def prunedFiles(version: Long, lo: Any, hi: Any): Option[Seq[String]] =
+    zoneMap(version).map(
+      _.filter(!(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
+        .select("file").collect().map(_.getString(0)).toSeq)
+
+  /** Keyed restore: rows of `version` with key in [lo, hi], reading
+    * only zone-map-overlapping files when a zone map exists (falls
+    * back to a full scan + filter otherwise — same result, no skip). */
+  def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame = {
+    val pred = col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
+    prunedFiles(version, lo, hi) match {
+      case Some(files) if files.isEmpty =>
+        // provably no overlapping file: constant-folds to an empty relation
+        read(version).filter(lit(false))
+      case Some(files) => spark.read.parquet(files: _*).filter(pred)
+      case None => read(version).filter(pred)
+    }
+  }
+
   /** Committed versions only: a `v=N` directory counts only if its
     * `_SUCCESS` marker exists (guards against partial dirs created by
     * external writers or pre-atomic layouts). */
@@ -83,9 +140,19 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * not flag every row as updated (it would, if each side hashed its
     * own full row). Column-level changes are reported separately by
     * [[schemaDiff]]. */
-  def diff(fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = read(fromVersion)
-    val to = read(toVersion)
+  def diff(fromVersion: Long, toVersion: Long): DataFrame =
+    diffFrames(read(fromVersion), read(toVersion))
+
+  /** [[diff]] restricted to keys in [lo, hi]: both sides read through
+    * the zone map ([[readKeyRange]]), so diffing one key range of a
+    * 100 TB snapshot pair costs only the overlapping files on each
+    * side. Semantically identical to `diff(...).filter(key in range)`
+    * (spec-proven) because a key outside the range can never pair with
+    * one inside it. */
+  def diffKeyRange(fromVersion: Long, toVersion: Long, lo: Any, hi: Any): DataFrame =
+    diffFrames(readKeyRange(fromVersion, lo, hi), readKeyRange(toVersion, lo, hi))
+
+  private def diffFrames(from: DataFrame, to: DataFrame): DataFrame = {
     val common = (from.columns.toSet intersect to.columns.toSet - keyCol).toSeq.sorted
     val fp: DataFrame => Column = df => Fx.fastFingerprint(common.map(df(_)): _*)
     val f = from.select(col(keyCol).as("__k"), fp(from).as("__fp_from"))
@@ -142,6 +209,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= dataFiles.length) return (dataFiles.length, dataFiles.length)
+    val hadZoneMap = fs.exists(new Path(zmapDir(version), "_SUCCESS"))
     val tmp = new Path(s"$basePath/.tmp-compact-v=$version-${java.util.UUID.randomUUID()}")
     read(version).coalesce(nOut).write.parquet(tmp.toString)
     val old = new Path(s"$basePath/.old-v=$version-${java.util.UUID.randomUUID()}")
@@ -152,6 +220,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       throw new java.io.IOException(s"compact: publish failed: $tmp -> $dest")
     }
     fs.delete(old, true)
+    // file identities (and, after the narrow concat, per-file ranges)
+    // changed — a stale zone map would prune wrongly
+    if (hadZoneMap) buildZoneMap(version)
     val after = fs.listStatus(dest).count(_.getPath.getName.startsWith("part-"))
     (dataFiles.length, after)
   }

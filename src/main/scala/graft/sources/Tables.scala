@@ -27,16 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is nanosecond-precision in parquet, which Spark 4
-    * refuses to read as a timestamp. Read it as a raw long (legacy
-    * conf) and convert to a µs timestamp — integer `div`, never
-    * double division, which would lose precision on ~1.7e18 values. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  /** events.ts is nanosecond-precision in parquet, which Spark 4's
+    * schema INFERENCE refuses to map to a timestamp. Supplying the
+    * schema explicitly (ts as BIGINT — the vectorized reader decodes
+    * INT64(TIMESTAMP_NANOS) into a long without any legacy conf)
+    * sidesteps inference entirely: no session conf is touched, so a
+    * shared session's other parquet reads are unaffected (the r2
+    * version set `spark.sql.legacy.parquet.nanosAsLong` globally per
+    * call — a side effect on shared sessions). The raw ns long is
+    * converted to a µs timestamp with integer `div`, never double
+    * division, which would lose precision on ~1.7e18 values. */
+  private val eventsSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -27,9 +27,10 @@ object StreamOps {
       sum_value: Double,
       closed: Boolean)
 
-  // top-level-visible state class (codegen instantiates it from
+  // top-level-visible state classes (codegen instantiates them from
   // generated Java; `private` and a field named `sum` both break it)
   case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+  case class SessionBuf(sessions: List[SessionState])
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState:
     * a session closes after `gapMs` of event-time inactivity (driven
@@ -40,14 +41,22 @@ object StreamOps {
     * may arrive and still be sessionized; it is a parameter precisely
     * because it must be reasoned about together with the gap.
     * Within a micro-batch, sessions are computed by a true interval
-    * merge over {carried state} ∪ {batch events}, so a within-watermark
-    * late event either extends the open session backward OR forms its
-    * own earlier session when it is more than `gapMs` away — matching
-    * `Events.sessionize` on the same data. Known divergence from batch
-    * (inherent to incremental emission): a closed earlier session is
-    * emitted at batch granularity and cannot absorb an even-later
-    * straggler from a subsequent batch; only the latest session stays
-    * open in state. */
+    * merge over {carried sessions} ∪ {batch events}, so a
+    * within-watermark late event either extends a session backward OR
+    * forms its own earlier session when it is more than `gapMs` away.
+    *
+    * A session is emitted (closed) only once the WATERMARK has passed
+    * `endMs + gapMs` — not merely when a later session appears in the
+    * same batch. Until then it stays in state, because an event still
+    * admissible under the watermark (ts ≥ watermark) could bridge
+    * into it from a later batch: with gap=10 and watermark at 90, a
+    * batch {85, 100} holds sessions [85,85] and [100,100], and a
+    * later event at 93 must merge all three — so [85,85] may not be
+    * finalized at 90, only once the watermark passes 95. This makes
+    * the operator equal to batch `Events.sessionize` over every
+    * non-late event (spec-proven); events dropped by the watermark
+    * itself are the only divergence. State per key is the (short)
+    * list of undecided sessions — bounded by watermark delay / gap. */
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,
@@ -56,22 +65,38 @@ object StreamOps {
     import spark.implicits._
     val delayMs = watermarkDelayMs.getOrElse(gapMs)
 
+    def close(userId: Long, s: SessionState): SessionUpdate =
+      SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, s.total, closed = true)
+
+    // emit sessions whose gap has fully elapsed below the watermark;
+    // keep the rest in state with the timeout armed at the EARLIEST
+    // undecided session's expiry
+    def settle(userId: Long, merged: List[SessionState],
+        state: GroupState[SessionBuf]): Iterator[SessionUpdate] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, keep) = merged.partition(s => s.endMs + gapMs <= wm)
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(keep))
+        state.setTimeoutTimestamp(keep.map(_.endMs + gapMs).min)
+      }
+      done.map(close(userId, _)).iterator
+    }
+
     events
       .withWatermark("ts", s"$delayMs milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
+      .flatMapGroupsWithState[SessionBuf, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, rows, state: GroupState[SessionState]) =>
+        case (userId, rows, state: GroupState[SessionBuf]) =>
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
-              s.n, s.total, closed = true))
+            settle(userId, state.get.sessions, state)
           } else {
-            // Interval merge with gap tolerance over the carried session
-            // plus every batch event (each a single-point session):
-            // sorted by start, adjacent pieces within gapMs coalesce.
-            val pieces = (state.getOption.toList ++
+            // Interval merge with gap tolerance over the carried
+            // sessions plus every batch event (each a single-point
+            // session): sorted by start, pieces within gapMs coalesce.
+            val pieces = (state.getOption.map(_.sessions).getOrElse(Nil) ++
                 rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
               .sortBy(s => (s.startMs, s.endMs))
             val merged = pieces.foldLeft(List.empty[SessionState]) {
@@ -80,24 +105,7 @@ object StreamOps {
                   cur.n + p.n, cur.total + p.total) :: done
               case (acc, p) => p :: acc
             }.reverse
-            // all but the latest session are final: nothing still in
-            // flight (within watermark) can bridge into them this batch
-            val closedSessions = merged.init.map(s =>
-              SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
-                s.n, s.total, closed = true))
-            val open = merged.last
-            if (open.endMs + gapMs <= state.getCurrentWatermarkMs()) {
-              // the gap already elapsed in event time (this key's whole
-              // batch was late): close inline — a timeout at or below
-              // the watermark would be rejected and never fire anyway
-              state.remove()
-              (closedSessions :+ SessionUpdate(userId, new Timestamp(open.startMs),
-                new Timestamp(open.endMs), open.n, open.total, closed = true)).iterator
-            } else {
-              state.update(open)
-              state.setTimeoutTimestamp(open.endMs + gapMs)
-              closedSessions.iterator
-            }
+            settle(userId, merged, state)
           }
       }
   }

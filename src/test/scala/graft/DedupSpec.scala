@@ -94,6 +94,57 @@ class DedupSpec extends SparkSpec {
     assert(kernel.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
   }
 
+  test("capShingleDf bounds candidate fan-out on a boilerplate-heavy corpus") {
+    // 40 docs all sharing one boilerplate sentence (8 shared shingles
+    // appearing in every doc) plus unique content. Uncapped, the
+    // boilerplate alone wires all 40×39/2 = 780 pairs into the
+    // candidate join; capped at df≤10 the boilerplate shingles drop
+    // out of the representation and only genuinely-overlapping docs
+    // remain candidates.
+    val boiler = "terms of service apply all rights reserved contact us here"
+    val many = (0 until 40).map { i =>
+      (i.toLong, s"$boiler unique document body number $i topic${i % 20} alpha beta")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.docShingles(many, 3)
+    val capped = Dedup.capShingleDf(sh, 10)
+    // every boilerplate shingle (df=40) is gone; per-doc shingles survive
+    val dfs = capped.groupBy("shingle").count().collect().map(_.getLong(1))
+    assert(dfs.nonEmpty && dfs.forall(_ <= 10))
+    // candidate pairs through the capped representation are bounded:
+    // far fewer than the all-pairs 780 the boilerplate would generate
+    val pairs = Dedup.ngramJaccardPairs(many, 3, 0, 1, maxDf = 10)
+    assert(pairs.count() < 100)
+    // and the uncapped measure on the same corpus does blow up
+    val uncapped = Dedup.ngramJaccardPairs(many, 3, 0, 1, maxDf = Int.MaxValue)
+    assert(uncapped.count() == 780)
+  }
+
+  test("embCosPairs fails fast past the broadcast-rows cap") {
+    val emb = (0 until 8).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embCosPairs(emb, 0.9, maxBroadcastRows = 4)
+    }
+    assert(e.getMessage.contains("embCosPairsBucketed"))
+  }
+
+  test("embCosPairsBucketed: subset of exact pairs, catches near-identical vectors") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val emb = ((0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    } :+ (40L, base) :+ (41L, base.map(x => x * 1.01f)))
+      .toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toList
+    val exact = canon(Dedup.embCosPairs(emb, 0.3))
+    val approx = canon(Dedup.embCosPairsBucketed(emb, 0.3, 16, 4))
+    // every approx pair is a true pair with the identical cosine value
+    assert(approx.toSet.subsetOf(exact.toSet))
+    // the near-identical pair collides in at least one band
+    assert(approx.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming distance") {
     val hashes = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))

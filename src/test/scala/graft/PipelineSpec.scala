@@ -21,6 +21,52 @@ class PipelineSpec extends SparkSpec {
     assert(report.size == 2)
   }
 
+  test("incrementalClean over SnapshotStore CDC equals a full reclean") {
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+    val base = Files.createTempDirectory("graft_pipe_cdc").toString
+    val store = new SnapshotStore(spark, base, "doc_id")
+
+    def doc(i: Long, lang: String, body: String) = (i, lang, body)
+    val v1 = Seq(
+      doc(1L, "en", "the quick brown fox jumps over the lazy dog again today"),
+      doc(2L, "en", "The  quick brown fox jumps over the lazy dog again today"), // dup of 1
+      doc(3L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      doc(4L, "de", "der hund und die katze spielen zusammen im garten heute abend"),
+      doc(5L, "de", "ein zwei drei vier fuenf sechs sieben acht neun zehn elf"),
+      doc(6L, "en", "to be deleted tomorrow but long enough to pass the gate fine")
+    ).toDF("doc_id", "lang", "text")
+    // day 2: doc 6 deleted, doc 3 updated to become a dup of 1's group,
+    // doc 1 (a group SURVIVOR) updated away from its group (2 takes over),
+    // new docs 7 (fresh) and 8 (dup of 4)
+    val v2 = Seq(
+      doc(1L, "en", "now completely different content that still passes the quality gate"),
+      doc(2L, "en", "The  quick brown fox jumps over the lazy dog again today"),
+      doc(3L, "en", "the quick brown fox jumps over the lazy dog again today"),
+      doc(4L, "de", "der hund und die katze spielen zusammen im garten heute abend"),
+      doc(5L, "de", "ein zwei drei vier fuenf sechs sieben acht neun zehn elf"),
+      doc(7L, "en", "brand new arrival with plenty of tokens to pass the gate"),
+      doc(8L, "de", "der hund und die  katze spielen zusammen im garten heute abend")
+    ).toDF("doc_id", "lang", "text")
+    store.write(v1, 1L)
+    store.write(v2, 2L)
+
+    val prior = Pipeline.cleanCorpus(store.read(1L), 5, 0.3)
+    val changes = store.diff(1L, 2L)
+    val incr = Pipeline.incrementalClean(prior, changes, 5, 0.3)
+    val full = Pipeline.cleanCorpus(store.read(2L), 5, 0.3)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "text_hash", "keep")
+        .collect().map(_.toSeq).toSet
+    assert(canon(incr) == canon(full))
+    // survivor handoff actually happened: 2 now keeps its group, 3 is its dup
+    val keepMap = incr.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keepMap(2L) && !keepMap(3L) && keepMap(1L) && keepMap(7L) && !keepMap(8L))
+    assert(!keepMap.contains(6L))
+  }
+
   test("survivor is the lowest doc_id of each content group") {
     val docs = Seq(
       (9L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -33,6 +33,29 @@ class SnapshotSpec extends SparkSpec {
     assert(merged == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("mergeUpsert tolerates schema evolution with an explicit fill policy") {
+    // delta gained a column the base never had, and dropped one it had
+    val baseEvo = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val deltaEvo = Seq((2L, "B", true), (3L, "c", false)).toDF("k", "s", "flag")
+
+    val merged = Snapshot.mergeUpsert(baseEvo, deltaEvo, "k")
+    assert(merged.columns.toSet == Set("k", "s", "flag", "v"))
+    val rows = merged.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), Option(r.get(merged.columns.indexOf("flag"))),
+        Option(r.get(merged.columns.indexOf("v")))))).toMap
+    assert(rows(1L) == (("a", None, Some(10.0))))   // base survivor: no flag yet
+    assert(rows(2L) == (("B", Some(true), None)))   // delta winner: no v anymore
+    assert(rows(3L) == (("c", Some(false), None)))
+
+    // null-fill policy gives evolution-introduced nulls a default
+    val filled = Snapshot.mergeUpsert(baseEvo, deltaEvo, "k",
+      fill = Map("flag" -> false, "v" -> -1.0))
+    val f = filled.collect().map(r =>
+      r.getLong(0) -> ((r.getBoolean(filled.columns.indexOf("flag")),
+        r.getDouble(filled.columns.indexOf("v"))))).toMap
+    assert(f(1L) == ((false, 10.0)) && f(2L) == ((true, -1.0)))
+  }
+
   test("retainLatest keeps n newest per key") {
     val df = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)).toDF("k", "ver")
     val out = Snapshot.retainLatest(df, "k", Seq(col("ver").desc), 2)

@@ -70,6 +70,60 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.compact(99L))
   }
 
+  test("range-partitioned write: keyed restore reads a strict subset of files") {
+    val base = Files.createTempDirectory("graft_store_range").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 2000L).map(i => (i, s"row_$i", i * 1.5)).toDF("k", "s", "v")
+    store.writeRangePartitioned(df, 1L, 10)
+
+    // zone map exists, covers every file, ranges are disjoint-ish
+    val zm = store.zoneMap(1L).get.collect()
+    assert(zm.length >= 8) // ~10 range partitions → ~10 files
+    assert(zm.map(_.getAs[Long]("n_rows")).sum == 2000L)
+
+    // a narrow key range must NOT touch every file
+    val pruned = store.prunedFiles(1L, 300L, 400L).get
+    assert(pruned.nonEmpty && pruned.size < zm.length,
+      s"expected a strict subset, got ${pruned.size} of ${zm.length}")
+
+    // pruned read = full filtered read, exactly
+    val viaZone = store.readKeyRange(1L, 300L, 400L).collect().map(_.toSeq).toSet
+    val full = store.read(1L).filter(col("k").between(300L, 400L)).collect().map(_.toSeq).toSet
+    assert(viaZone == full && viaZone.size == 101)
+
+    // and the files the pruned plan scans really are the subset
+    val scanned = store.readKeyRange(1L, 300L, 400L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(scanned.subsetOf(pruned.toSet))
+
+    // out-of-range restore is empty without scanning anything
+    assert(store.readKeyRange(1L, 10000L, 20000L).isEmpty)
+
+    // compact rebuilds the zone map; pruning still correct afterwards
+    store.compact(1L)
+    val afterCompact = store.readKeyRange(1L, 300L, 400L).collect().map(_.toSeq).toSet
+    assert(afterCompact == full)
+  }
+
+  test("diffKeyRange equals full diff restricted to the range") {
+    val base = Files.createTempDirectory("graft_store_rdiff").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val v1 = (1L to 1000L).map(i => (i, s"row_$i", i * 1.0)).toDF("k", "s", "v")
+    // v2: updates in [100,200], a delete at 150, inserts at 1001..1010
+    val v2 = (1L to 1000L).filterNot(_ == 150L).map { i =>
+      (i, if (i >= 100 && i <= 200) s"upd_$i" else s"row_$i", i * 1.0)
+    }.++((1001L to 1010L).map(i => (i, s"new_$i", i * 1.0))).toDF("k", "s", "v")
+    store.writeRangePartitioned(v1, 1L, 8)
+    store.writeRangePartitioned(v2, 2L, 8)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ranged = canon(store.diffKeyRange(1L, 2L, 120L, 180L))
+    val full = canon(store.diff(1L, 2L).filter(col("k").between(120L, 180L)))
+    assert(ranged == full)
+    assert(ranged.contains((150L, "delete")) && ranged.contains((120L, "update")))
+  }
+
   test("uncommitted versions are invisible; empty store fails clearly") {
     val base = Files.createTempDirectory("graft_store2").toString
     val store = new SnapshotStore(spark, base, "k")

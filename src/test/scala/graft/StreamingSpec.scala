@@ -92,6 +92,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("within-watermark straggler bridges two sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    // gap 10 min, accept up to 60 min lateness: an early session may
+    // NOT be finalized just because a later one appeared — an
+    // admissible event can still bridge them from a later batch
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 10 * 60000L,
+      watermarkDelayMs = Some(60 * 60000L))
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions_bridge").outputMode(OutputMode.Append()).start()
+    try {
+      // two same-batch sessions 15 min apart (> gap)
+      input.addData(Event(1L, ts(85), 10L, "click", 1.0), Event(2L, ts(100), 10L, "view", 2.0))
+      query.processAllAvailable()
+      // the bridge: 93 is within gap of both 85 and 100
+      input.addData(Event(3L, ts(93), 10L, "click", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, ts(240), 10L, "click", 8.0)) // watermark past the merged session
+      query.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT * FROM graft_sessions_bridge WHERE closed ORDER BY session_start").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Timestamp]("session_start") == ts(85))
+      assert(closed.head.getAs[Timestamp]("session_end") == ts(100))
+      assert(closed.head.getAs[Long]("n_events") == 3L)
+      assert(closed.head.getAs[Double]("sum_value") == 7.0)
+    } finally query.stop()
+  }
+
   test("incrementalSnapshot drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

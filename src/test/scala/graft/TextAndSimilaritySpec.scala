@@ -61,6 +61,43 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(canon(Similarity.ivfTopK(df, 4, 3)) == canon(Similarity.ivfTopK(df, 4, 3, salt = 3)))
   }
 
+  private def recallVsExact(ann: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame): Double = {
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = pairs(exact)
+    pairs(ann).intersect(e).size.toDouble / e.size
+  }
+
+  test("ivfTopK: k-means centroids beat first-N seeding on a clustered corpus") {
+    // Two well-separated clusters; ids 0 and 1 (the first-N seeds) are
+    // BOTH in cluster 0, so first-N seeding has no centroid near
+    // cluster 1 and noise decides which cell its members land in —
+    // splitting true neighbors across cells. k-means recovers the
+    // cluster means.
+    val rnd = new scala.util.Random(11)
+    def member(center: Int, dim: Int = 8): Array[Float] =
+      Array.tabulate(dim)(j => (if (j == center) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val vecs = (0L until 30L).map(i => (i, member(0))) ++
+      (30L until 60L).map(i => (i, member(4)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, emb, 5)
+    val firstN = recallVsExact(Similarity.ivfTopK(emb, 2, 5), exact)
+    val kmeans = recallVsExact(Similarity.ivfTopK(emb, 2, 5, kmeansIters = 5), exact)
+    assert(kmeans > firstN, s"kmeans recall $kmeans should beat first-N $firstN")
+    assert(kmeans > 0.9)
+  }
+
+  test("lshTopK multi-probe recovers neighbors single-probe misses") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, emb, 3)
+    val single = recallVsExact(Similarity.lshTopK(emb, 10, 3), exact)
+    val multi = recallVsExact(Similarity.lshTopK(emb, 10, 3, probes = 6), exact)
+    assert(multi > single, s"multi-probe recall $multi should beat single $single")
+  }
+
   test("lshTopK returns only same-bucket pairs with valid cosines") {
     val df = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
