@@ -307,24 +307,31 @@ object Dedup {
     * candidates meet through one equi-join on (band, band_hash);
     * exact cosine re-joins the two (id → vector) sides by key. Every
     * join is an equi-join with map-side-combinable inputs. */
-  def embCosPairsBucketed(emb: DataFrame, threshold: Double,
-      planes: Int = 16, bands: Int = 4): DataFrame = {
+  /** (id, band, band_hash) keys of the banded hyperplane signature —
+    * band j = bits [j*r, (j+1)*r) of the packed signature. Public so
+    * the streaming twin's bit-exactness is spec-checkable against
+    * [[Similarity.hyperplaneBandKeys]] (the JVM kernel
+    * streaming.StreamOps.embDedup keys its state by). */
+  def embBandKeys(emb: DataFrame, planes: Int, bands: Int,
+      idName: String = "vec_id", bandName: String = "band", hashName: String = "band_hash"): DataFrame = {
     require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
     require(planes <= 63, "signature is packed into one long")
     val r = planes / bands
-    // band j = bits [j*r, (j+1)*r) of the packed signature
-    def bandKeys(idName: String, bandName: String, hashName: String): DataFrame =
-      Similarity.lshSignature(emb, planes)
-        .select(col("vec_id").as(idName),
-          posexplode(array((0 until bands).map(j =>
-            struct(lit(j).as("b"),
-              shiftright(col("bucket"), j * r).bitwiseAND(lit((1L << r) - 1)).as("h"))): _*))
-            .as(Seq("__pos", "__bk")))
-        .select(col(idName), col("__bk.b").as(bandName), col("__bk.h").as(hashName))
+    Similarity.lshSignature(emb, planes)
+      .select(col("vec_id").as(idName),
+        posexplode(array((0 until bands).map(j =>
+          struct(lit(j).as("b"),
+            shiftright(col("bucket"), j * r).bitwiseAND(lit((1L << r) - 1)).as("h"))): _*))
+          .as(Seq("__pos", "__bk")))
+      .select(col(idName), col("__bk.b").as(bandName), col("__bk.h").as(hashName))
+  }
+
+  def embCosPairsBucketed(emb: DataFrame, threshold: Double,
+      planes: Int = 16, bands: Int = 4): DataFrame = {
     // Sides built independently: a same-lineage self-join degrades to
     // a nested loop (see ngramJaccardPairs).
-    val aK = bandKeys("vec_a", "band_a", "hash_a")
-    val bK = bandKeys("vec_b", "band_b", "hash_b")
+    val aK = embBandKeys(emb, planes, bands, "vec_a", "band_a", "hash_a")
+    val bK = embBandKeys(emb, planes, bands, "vec_b", "band_b", "hash_b")
     val cands = aK.join(bK,
         col("band_a") === col("band_b") && col("hash_a") === col("hash_b")
           && col("vec_a") < col("vec_b"))

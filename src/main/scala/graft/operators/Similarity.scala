@@ -41,6 +41,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** JVM kernel of [[lshSignature]]: the packed sign-bit signature of
+    * one vector. Shared verbatim by the batch path and the streaming
+    * twin (streaming.StreamOps.embDedup), so streamed vectors land in
+    * the SAME buckets as a batch backfill over the same corpus. */
+  def hyperplaneBits(e: Array[Float], planes: Int): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < e.length) {
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        s += (if ((h & 1) == 1) e(i).toDouble else -e(i).toDouble)
+        i += 1
+      }
+      if (s > 0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  /** JVM twin of the band slicing in `Dedup.embCosPairsBucketed` for
+    * ONE vector: its (band, band_hash) keys — bit-exact with the
+    * Spark `shiftright`/`bitwiseAND` expressions (signatures occupy
+    * bits 0..planes-1 ≤ 62, so arithmetic vs logical shift agree;
+    * spec-proven). */
+  def hyperplaneBandKeys(e: Array[Float], planes: Int, bands: Int): Array[(Int, Long)] = {
+    require(planes % bands == 0, s"planes=$planes not divisible by bands=$bands")
+    val r = planes / bands
+    val bits = hyperplaneBits(e, planes)
+    Array.tabulate(bands)(j => (j, (bits >> (j * r)) & ((1L << r) - 1)))
+  }
+
   /** Random-hyperplane LSH signature: bit p = sign of a pseudo-random
     * projection where plane p's weight on dimension i is a
     * deterministic ±1 from a murmur mix of (p, i).
@@ -55,22 +88,7 @@ object Similarity {
     // only (vec_id, embedding) survive — extra columns are dropped
     emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, e) =>
-        var bits = 0L
-        var p = 0
-        while (p < planes) {
-          var s = 0.0
-          var i = 0
-          while (i < e.length) {
-            val h = scala.util.hashing.MurmurHash3.productHash((p, i))
-            s += (if ((h & 1) == 1) e(i).toDouble else -e(i).toDouble)
-            i += 1
-          }
-          if (s > 0) bits |= 1L << p
-          p += 1
-        }
-        (id, e, bits)
-      }
+      .map { case (id, e) => (id, e, hyperplaneBits(e, planes)) }
       .toDF("vec_id", "embedding", "bucket")
   }
 

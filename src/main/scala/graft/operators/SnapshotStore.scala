@@ -103,6 +103,33 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     }
   }
 
+  /** Delta-driven restore read: rows of `version` whose key appears in
+    * `keys` (a one-column frame of key values, e.g. a CDC delta's
+    * keys). Stacks every pruning layer this store has, coarsest
+    * first — the 100 TB read path for "give me these N keys out of a
+    * snapshot":
+    *
+    *  1. FILE level: zone map limits the scan to files overlapping the
+    *     delta's [min, max] key envelope ([[readKeyRange]]);
+    *  2. ROW level: a Bloom filter of the delta keys, applied inside
+    *     the scan's codegen, drops ~all non-matching rows BEFORE the
+    *     join shuffle (BloomPrune — exchange carries ~|matches|, not
+    *     |file subset|);
+    *  3. EXACT: the semi-join removes Bloom false positives.
+    *
+    * Result is identical to `read(version).join(keys, semi)`
+    * (spec-proven); only the cost differs. */
+  def readForKeys(version: Long, keys: DataFrame,
+      expectedItems: Long = 4L * 1000 * 1000, fpp: Double = 0.03): DataFrame = {
+    val keyName = keys.columns.head
+    val bounds = keys.agg(min(col(keyName)).as("lo"), max(col(keyName)).as("hi")).head()
+    if (bounds.isNullAt(0)) return read(version).filter(lit(false))
+    val ranged = readKeyRange(version, bounds.get(0), bounds.get(1))
+    val pruned = org.apache.spark.sql.graft.BloomPrune.prune(
+      ranged, col(keyCol), keys, col(keyName), expectedItems, fpp)
+    pruned.join(keys.select(col(keyName).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+
   /** Committed versions only: a `v=N` directory counts only if its
     * `_SUCCESS` marker exists (guards against partial dirs created by
     * external writers or pre-atomic layouts). */

@@ -198,6 +198,74 @@ object StreamOps {
       }
   }
 
+  // ---- streaming embedding near-dup suppression ----
+
+  case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+  case class VecBandHit(vec_id: Long, ts: Timestamp, band: Int, band_hash: Long)
+  /** One per (vector, band): `dup_of` names the bucket's first owner
+    * when the vector collided with an earlier one. */
+  case class VecBandVerdict(vec_id: Long, band: Int, band_hash: Long, dup_of: Option[Long])
+
+  /** Streaming embedding near-dup suppression — the ingest-time twin
+    * of the batch `Dedup.embCosPairsBucketed` scale path, structurally
+    * identical to [[minhashDedup]] but keyed by banded random-
+    * hyperplane signatures over the embedding column.
+    *
+    * Band keys come from the SAME JVM kernel the batch path uses
+    * ([[Similarity.hyperplaneBandKeys]] — spec-proven bit-exact with
+    * the batch `shiftright`/`bitwiseAND` slicing), so a streamed
+    * vector lands in exactly the buckets a batch backfill would put
+    * it in: a corpus can be deduped by batch once and then guarded at
+    * ingest without re-bucketing anything.
+    *
+    * Scale: the flatMap is narrow (bands rows per vector, embedding
+    * itself NOT carried past the flatMap — only the 16-byte key);
+    * the one shuffle keys by (band, band_hash); state per bucket is
+    * one owner id with an event-time TTL. Verdicts collapse per
+    * vector with [[collapseVerdicts]]`(_, "vec_id")`. */
+  def embDedup(
+      vecs: Dataset[StreamVec],
+      planes: Int = 16,
+      bands: Int = 4,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[VecBandVerdict] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .flatMap(v => graft.operators.Similarity.hyperplaneBandKeys(v.embedding, planes, bands)
+        .map { case (band, bh) => VecBandHit(v.vec_id, v.ts, band, bh) })
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(h => (h.band, h.band_hash))
+      .flatMapGroupsWithState[BucketOwner, VecBandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, bh), rows, state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order: earliest (ts, vec_id)
+            // claims a fresh bucket
+            val sorted = rows.toList.sortBy(h => (h.ts.getTime, h.vec_id))
+            var owner = state.getOption
+            val out = sorted.map { h =>
+              owner match {
+                case Some(o) if o.docId != h.vec_id =>
+                  VecBandVerdict(h.vec_id, band, bh, Some(o.docId))
+                case Some(_) =>
+                  VecBandVerdict(h.vec_id, band, bh, None)
+                case None =>
+                  owner = Some(BucketOwner(h.vec_id, h.ts.getTime))
+                  VecBandVerdict(h.vec_id, band, bh, None)
+              }
+            }
+            val last = math.max(owner.get.lastSeenMs, sorted.last.ts.getTime)
+            state.update(BucketOwner(owner.get.docId, last))
+            state.setTimeoutTimestamp(last + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** One backup-changelog record: `op` ∈ {"add", "remove"}; `fp` is
     * the row's 64-bit content fingerprint (Fx.fastFingerprint). */
   case class ManifestChange(part: String, k: Long, fp: Long, op: String)
@@ -233,11 +301,11 @@ object StreamOps {
         bit_xor(col(fpCol)).as("content_hash"))
   }
 
-  /** Fold per-band verdicts to one row per doc: `is_dup` iff any band
-    * collided; `dup_of` is the smallest colliding owner. Batch-side
-    * (run in `foreachBatch` or over the sink table). */
-  def collapseVerdicts(verdicts: DataFrame): DataFrame =
-    verdicts.groupBy("doc_id")
+  /** Fold per-band verdicts to one row per doc/vector: `is_dup` iff
+    * any band collided; `dup_of` is the smallest colliding owner.
+    * Batch-side (run in `foreachBatch` or over the sink table). */
+  def collapseVerdicts(verdicts: DataFrame, idCol: String = "doc_id"): DataFrame =
+    verdicts.groupBy(idCol)
       .agg(min(col("dup_of")).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
 }

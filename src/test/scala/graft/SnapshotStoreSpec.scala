@@ -105,6 +105,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(afterCompact == full)
   }
 
+  test("readForKeys stacks zone-map + Bloom + exact semi-join correctly") {
+    val base = Files.createTempDirectory("graft_store_keys").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 2000L).map(i => (i, s"row_$i", i * 1.5)).toDF("k", "s", "v")
+    store.writeRangePartitioned(df, 1L, 10)
+
+    // clustered delta: the zone map alone should skip most files
+    val delta = Seq(310L, 355L, 398L).toDF("key")
+    val got = store.readForKeys(1L, delta).collect().map(_.toSeq).toSet
+    val want = store.read(1L).filter(col("k").isin(310L, 355L, 398L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 3)
+
+    // spread delta still exact (bounds cover everything → Bloom does the work)
+    val spread = Seq(5L, 1995L).toDF("key")
+    assert(store.readForKeys(1L, spread).collect().map(_.toSeq).toSet ==
+      store.read(1L).filter(col("k").isin(5L, 1995L)).collect().map(_.toSeq).toSet)
+
+    // empty delta: empty result, no scan
+    assert(store.readForKeys(1L, spark.emptyDataFrame.select(lit(null).cast("long").as("key"))
+      .limit(0)).isEmpty)
+  }
+
   test("diffKeyRange equals full diff restricted to the range") {
     val base = Files.createTempDirectory("graft_store_rdiff").toString
     val store = new SnapshotStore(spark, base, "k")

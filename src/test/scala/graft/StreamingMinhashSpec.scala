@@ -51,6 +51,47 @@ class StreamingMinhashSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hyperplaneBandKeys is bit-exact with the batch embBandKeys path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val batch = Dedup.embBandKeys(emb.toDF("vec_id", "embedding"), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val local = emb.flatMap { case (id, e) =>
+      Similarity.hyperplaneBandKeys(e, 16, 4).map { case (b, h) => (id, b, h) }
+    }.toSet
+    assert(local == batch && local.size == 20 * 4)
+  }
+
+  test("streaming embedding near-dup is flagged against an earlier batch's vector") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.StreamVec
+
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val nearDup = base.map(x => x * 1.01f)
+    val unrelated = Array.fill(16)(rnd.nextFloat() - 0.5f)
+
+    val input = MemoryStream[StreamVec]
+    val verdicts = StreamOps.embDedup(input.toDS())
+    val query = verdicts.writeStream
+      .format("memory").queryName("graft_emb_verdicts").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamVec(1L, ts(0), base))
+      query.processAllAvailable()
+      input.addData(StreamVec(2L, ts(5), nearDup), StreamVec(3L, ts(5), unrelated))
+      query.processAllAvailable()
+      val byVec = StreamOps.collapseVerdicts(spark.table("graft_emb_verdicts"), "vec_id")
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          (r.getAs[Boolean]("is_dup"), Option(r.getAs[Any]("dup_of"))))).toMap
+      assert(byVec(1L) == ((false, None)))
+      assert(byVec(2L)._1 && byVec(2L)._2.contains(1L))
+      assert(byVec(3L) == ((false, None)))
+    } finally query.stop()
+  }
+
   test("within one batch the earliest doc owns the bucket") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
