@@ -29,12 +29,26 @@ object AsofJoin {
     * @param leftTime   left ordering column (any orderable type)
     * @param rightTime  right ordering column (same type as leftTime)
     * @param rightCols  right columns to attach (null when no match yet)
+    * @param tolerance  when set: a match further than this from the
+    *                   left time (|leftTime − rightTime| > tolerance)
+    *                   is nulled out — the pandas `merge_asof`
+    *                   tolerance. Must be a literal of the time
+    *                   column's difference type.
+    * @param forward    false (default) = latest right at-or-BEFORE the
+    *                   left time (inclusive `<=`); true = earliest
+    *                   right at-or-AFTER it (inclusive `>=`) — the
+    *                   same single-shuffle running-pass shape, with
+    *                   the window order reversed.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               tolerance: Option[Column] = None,
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rStruct = struct(rightCols.map(col): _*)
+    // carry the right time inside the payload so tolerance can be
+    // checked after the running pass (a stale match nulls out)
+    val rStruct = struct((col(rightTime).as("__rt") +: rightCols.map(col)): _*)
     val rPayType = right.select(rStruct).schema.head.dataType
     val lPrepped = left.select(
       (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")
@@ -44,12 +58,26 @@ object AsofJoin {
         (if (c == key) col(key) else lit(null).cast(left.schema(c).dataType)).as(c))
         :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+ rStruct.as("__rpay")): _*)
     val unioned = lPrepped.unionByName(rPrepped)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    // backward: right rows sort BEFORE left rows at equal times and the
+    // running last() looks back — inclusive <=. forward: descending
+    // time, so the running last() sees the earliest at-or-after row.
+    val w = (if (forward)
+        Window.partitionBy(key).orderBy(col("__t").desc, col("__side"))
+      else
+        Window.partitionBy(key).orderBy(col("__t"), col("__side")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))): _*)
+    val inTol = tolerance match {
+      case None => matched.withColumn("__ok", col("__match").isNotNull)
+      case Some(tol) =>
+        val dist = if (forward) col("__match.__rt") - col("__t")
+                   else col("__t") - col("__match.__rt")
+        matched.withColumn("__ok", col("__match").isNotNull && dist <= tol)
+    }
+    inTol.select((leftCols.map(col) ++ rightCols.map(c =>
+      when(col("__ok"), col(s"__match.$c")).as(s"asof_$c"))): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -69,6 +97,23 @@ object AsofJoin {
         .select(col("event_id"), col("user_id"), col("t"),
           col("asof_click_id").as("click_id"), col("asof_click_t").as("click_t"))
         .orderBy("user_id", "t", "event_id")
+    },
+
+    "asof_forward_tol" -> { (s, d) =>
+      // Attribution window: for each click, the user's EARLIEST
+      // purchase at-or-after it, but only within 60 minutes —
+      // forward direction + tolerance (pandas merge_asof semantics).
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t").as("p_t"))
+        .agg(max(col("event_id")).as("p_id"))
+      asofJoin(clicks, purchases, "user_id", "t", "p_t", Seq("p_id", "p_t"),
+          tolerance = Some(lit(60L * 60 * 1000 * 1000)), forward = true)
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_p_id").as("p_id"), col("asof_p_t").as("p_t"))
+        .orderBy("user_id", "t", "event_id")
     }
   )
 
@@ -81,6 +126,18 @@ object AsofJoin {
         |SELECT p.event_id, p.user_id, p.t, c.click_id, c.click_t
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.click_t <= p.t
-        |ORDER BY p.user_id, p.t, p.event_id""".stripMargin
+        |ORDER BY p.user_id, p.t, p.event_id""".stripMargin,
+
+    "asof_forward_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t AS p_t, MAX(event_id) AS p_id
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t)
+        |SELECT c.event_id, c.user_id, c.t,
+        |  CASE WHEN p.p_t - c.t <= 3600000000 THEN p.p_id END AS p_id,
+        |  CASE WHEN p.p_t - c.t <= 3600000000 THEN p.p_t END AS p_t
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.p_t >= c.t
+        |ORDER BY c.user_id, c.t, c.event_id""".stripMargin
   )
 }

@@ -94,6 +94,48 @@ object Pipeline {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dups"),
         sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("n_tokens"))
 
+  /** Deterministic stratified sampling — the corpus-rebalancing step a
+    * training-data mixture needs (downsample an over-represented
+    * language/source, keep the rest). Membership is decided by a
+    * PORTABLE hash of the document id (first 4 hex chars of md5 → a
+    * uniform value in [0, 10000)), NOT by `rand()`: the sample is
+    * reproducible across runs, engines (oracle-checkable in DuckDB)
+    * and cluster sizes, and adding documents never flips membership of
+    * existing ones — the property that keeps incremental pipeline runs
+    * consistent with backfills. One narrow filter, no shuffle.
+    *
+    * `rates`: per-stratum keep-rate in basis points of 10000 (e.g.
+    * "en" -> 5000 keeps ~50% of English docs); strata absent from the
+    * map keep `defaultRate`. */
+  def sampleStratified(docs: DataFrame, stratumCol: String,
+      rates: Map[String, Int], defaultRate: Int = 10000): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 10000
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
+  /** Per-stratum token budgeting — "take the best documents of each
+    * language until its token budget is spent", the mixture-shaping
+    * step after cleaning. Docs are ranked inside their stratum by
+    * (quality desc, doc_id) and kept while the RUNNING token total
+    * (including the doc itself) fits the budget: a greedy prefix, so
+    * the output is deterministic and insensitive to partitioning. One
+    * window (= one shuffle on the stratum key) over an already-narrow
+    * projection; at 100 TB the stratum count is small and the window
+    * is a running sum — no per-group buffering. */
+  def tokenBudget(cleaned: DataFrame, stratumCol: String, budget: Long,
+      qualityCol: String = "n_tokens"): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col(qualityCol).desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cleaned
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
@@ -121,6 +163,29 @@ object Pipeline {
         .unionByName(cur.filter(isUpdate).withColumn("change_type", lit("update")))
         .unionByName(deleted.withColumn("change_type", lit("delete")))
       corpusReport(incrementalClean(cleanCorpus(prev, 10, 0.3), changes, 10, 0.3))
+        .orderBy("lang")
+    },
+
+    "pipe_sample" -> { (s, d) =>
+      // Rebalance the cleaned corpus: keep ~35% of 'en' survivors,
+      // everything else untouched; report the mixture. Deterministic
+      // (portable md5 bucket), so the oracle reproduces it exactly.
+      val kept = sampleStratified(
+        cleanCorpus(Tables.documents(s, d), 10, 0.3).filter(col("keep")),
+        "lang", Map("en" -> 3500))
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
+    "pipe_budget" -> { (s, d) =>
+      // Token-budgeted mixture: per language, greedily keep the
+      // longest surviving docs until a 2000-token budget is spent.
+      val kept = tokenBudget(
+        cleanCorpus(Tables.documents(s, d), 10, 0.3).filter(col("keep")),
+        "lang", 2000L)
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("lang")
     }
   )
@@ -164,6 +229,48 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
          |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
-         |FROM marked GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_sample" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM documents
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep FROM gated) t
+         |  WHERE keep),
+         |sampled AS (
+         |  SELECT * FROM kept
+         |  WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
+         |        < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_budget" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM documents
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep FROM gated) t
+         |  WHERE keep),
+         |budgeted AS (
+         |  SELECT * FROM (
+         |    SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |    FROM kept) t
+         |  WHERE cum_tokens <= 2000)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM budgeted GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -41,19 +41,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** Deterministic ±1 hyperplane weights for (plane, dim), memoized
+    * per (planes, dim) shape: the murmur mix runs once per shape per
+    * JVM instead of once per (row × plane × dim) — the hashing was
+    * costlier than the projection arithmetic it steered. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+  def planeSigns(planes: Int, dim: Int): Array[Array[Byte]] =
+    signCache.computeIfAbsent((planes, dim), { case (p0, d0) =>
+      Array.tabulate(p0)(p => Array.tabulate(d0) { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        if ((h & 1) == 1) 1.toByte else (-1).toByte
+      })
+    })
+
   /** JVM kernel of [[lshSignature]]: the packed sign-bit signature of
-    * one vector. Shared verbatim by the batch path and the streaming
-    * twin (streaming.StreamOps.embDedup), so streamed vectors land in
-    * the SAME buckets as a batch backfill over the same corpus. */
+    * one vector. Shared verbatim by the batch path (via the codegen'd
+    * [[org.apache.spark.sql.graft.HyperplaneSigExpr]]) and the
+    * streaming twin (streaming.StreamOps.embDedup), so streamed
+    * vectors land in the SAME buckets as a batch backfill over the
+    * same corpus. */
   def hyperplaneBits(e: Array[Float], planes: Int): Long = {
+    val signs = planeSigns(planes, e.length)
     var bits = 0L
     var p = 0
     while (p < planes) {
+      val sp = signs(p)
       var s = 0.0
       var i = 0
       while (i < e.length) {
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
-        s += (if ((h & 1) == 1) e(i).toDouble else -e(i).toDouble)
+        s += (if (sp(i) == 1) e(i).toDouble else -e(i).toDouble)
         i += 1
       }
       if (s > 0) bits |= 1L << p
@@ -78,14 +95,23 @@ object Similarity {
     * projection where plane p's weight on dimension i is a
     * deterministic ±1 from a murmur mix of (p, i).
     *
-    * Typed map, not `planes`× interpreted `zip_with`+`aggregate`
-    * passes: higher-order functions have no codegen, so the
-    * declarative version re-walks the array `planes` times per row
-    * through interpreted lambdas. One JVM pass computes all planes. */
-  def lshSignature(emb: DataFrame, planes: Int): DataFrame = {
+    * Computed by the codegen'd
+    * [[org.apache.spark.sql.graft.HyperplaneSigExpr]] — a map-only
+    * projection fused into whole-stage codegen, reading the float
+    * array straight from the unsafe row (no Encoder round trip, no
+    * `planes`× interpreted higher-order-function passes). Bit-exact
+    * with [[lshSignatureTyped]] (spec-proven). */
+  def lshSignature(emb: DataFrame, planes: Int): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      org.apache.spark.sql.graft.HyperplaneSigFunctions
+        .hyperplaneSig(col("embedding"), planes).as("bucket"))
+
+  /** Typed-Dataset reference formulation of [[lshSignature]], running
+    * the identical JVM kernel through an Encoder round trip. Kept as
+    * the parity oracle for the codegen expression. */
+  def lshSignatureTyped(emb: DataFrame, planes: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // only (vec_id, embedding) survive — extra columns are dropped
     emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, e, hyperplaneBits(e, planes)) }

@@ -45,7 +45,16 @@ object GraftExtensions {
             FloatVecNorm(args(0)), FloatVecNorm(args(1))))),
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash over code points"),
-      (args: Seq[Expression]) => RollingHashExpr(args(0))))
+      (args: Seq[Expression]) => RollingHashExpr(args(0))),
+    ("hyperplane_sig",
+      info("hyperplane_sig", "hyperplane_sig(vec, planes) - packed sign-bit random-hyperplane LSH signature"),
+      (args: Seq[Expression]) => HyperplaneSigExpr(args(0),
+        args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig: planes must be an integer literal, got $other")
+        })))
 
   /** Register into an already-running session (tests, spark-shell).
     * Idempotent: safe to call once per query construction. */

@@ -18,6 +18,30 @@ class AsofAndExtensionsSpec extends SparkSpec {
     assert(out(3L).isEmpty)       // right row is after left time → no match
   }
 
+  test("asofJoin forward direction attaches earliest right at-or-after, per key") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 150L))
+      .toDF("id", "k", "t")
+    val right = Seq((11L, 10L, 100L), (12L, 10L, 200L), (13L, 20L, 140L))
+      .toDF("rid", "k", "rt")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rid"),
+        forward = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(11L)) // equal timestamp → inclusive
+    assert(out(2L).isEmpty)       // nothing at-or-after 205
+    assert(out(3L).isEmpty)       // right row is BEFORE left time in forward mode
+  }
+
+  test("asofJoin tolerance nulls out matches that are too far away") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 500L)).toDF("id", "k", "t")
+    val right = Seq((11L, 10L, 90L)).toDF("rid", "k", "rt")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rid"),
+        tolerance = Some(lit(50L)))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(11L)) // 10 away: within tolerance
+    assert(out(2L).isEmpty)       // 410 away: match nulled out
+  }
+
   test("SQL functions registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

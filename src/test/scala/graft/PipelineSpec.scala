@@ -67,6 +67,43 @@ class PipelineSpec extends SparkSpec {
     assert(!keepMap.contains(6L))
   }
 
+  test("sampleStratified is deterministic, stratum-scoped, and append-stable") {
+    val docs = (1L to 400L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de", s"document number $i with enough tokens")
+    }.toDF("doc_id", "lang", "text")
+    val once = Pipeline.sampleStratified(docs, "lang", Map("en" -> 3000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twice = Pipeline.sampleStratified(docs, "lang", Map("en" -> 3000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == twice) // hash sampling, not rand(): reproducible
+    // only 'en' is thinned; every 'de' doc survives
+    assert((1L to 400L).filter(_ % 2 == 1).forall(once.contains))
+    val enKept = once.count(_ % 2 == 0)
+    assert(enKept > 20 && enKept < 120) // ~30% of 200, loose bounds
+    // appending docs never flips existing membership
+    val more = (401L to 500L).map(i => (i, "en", s"later arrival $i")).toDF("doc_id", "lang", "text")
+    val appended = Pipeline.sampleStratified(docs.unionByName(more), "lang", Map("en" -> 3000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(appended.filter(_ <= 400L) == once)
+  }
+
+  test("tokenBudget keeps the greedy best-first prefix per stratum") {
+    // n_tokens: 10,20,30,40 per lang — budget 60 keeps the 40+20? No:
+    // greedy by tokens DESC keeps 40 (cum 40), then 30 (cum 70 > 60
+    // → dropped), then 20 (cum 90 > 60 → dropped)... running sum is a
+    // PREFIX, so exactly [40] for budget 60 and [40,30] for 70.
+    val cleaned = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L),
+      (5L, "de", 50L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    def kept(budget: Long) =
+      Pipeline.tokenBudget(cleaned, "lang", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(60L) == Set(4L, 5L))
+    assert(kept(70L) == Set(4L, 3L, 5L))
+    assert(kept(40L) == Set(4L)) // de's 50 over budget: nothing kept
+  }
+
   test("survivor is the lowest doc_id of each content group") {
     val docs = Seq(
       (9L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

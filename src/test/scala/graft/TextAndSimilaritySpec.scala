@@ -98,6 +98,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(multi > single, s"multi-probe recall $multi should beat single $single")
   }
 
+  test("codegen hyperplane signature is bit-exact with the typed-Dataset path") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toList
+    assert(canon(Similarity.lshSignature(emb, 20)) ==
+      canon(Similarity.lshSignatureTyped(emb, 20)))
+    // and through the SQL surface
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("graft_hp_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, hyperplane_sig(embedding, 20) AS bucket FROM graft_hp_emb")
+    assert(canon(viaSql) == canon(Similarity.lshSignature(emb, 20)))
+  }
+
   test("lshTopK returns only same-bucket pairs with valid cosines") {
     val df = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
