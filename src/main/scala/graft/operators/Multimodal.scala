@@ -87,6 +87,20 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_frames" -> { (s, d) =>
+      // Frame sampling end-to-end, HASH-checked: 16-byte frames, every
+      // 4th kept, each frame content-hashed. The oracle windows the
+      // varchar — byte == char here because the corpus is ASCII
+      // (checked; md5(varchar) hashes the UTF-8 bytes either way).
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      sampleFrames(payloads, "doc_id", "payload", 16, 4)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_bytes").cast(LongType).as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "mm_decode" -> { (s, d) =>
       // Rows-only check: the stub decoder's outputs are deterministic
       // but Spark-internal. Exercises the full binary-column decode
@@ -103,6 +117,17 @@ object Multimodal {
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |idx AS (
+        |  SELECT doc_id, text, n,
+        |    unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS i
+        |  FROM d)
+        |SELECT doc_id, i AS frame_idx,
+        |  CAST(LEAST(16, n - i * 16) AS BIGINT) AS frame_bytes,
+        |  md5(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS frame_md5
+        |FROM idx WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

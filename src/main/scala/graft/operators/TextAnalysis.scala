@@ -101,6 +101,21 @@ object TextAnalysis {
     "text_langid" -> { (s, d) => langid(Tables.documents(s, d)).orderBy("doc_id") },
     "text_fingerprint" -> { (s, d) => fingerprints(Tables.documents(s, d)).orderBy("doc_id") },
 
+    "text_bpe" -> { (s, d) =>
+      // BPE-style pretokenizer count: subword-ish pieces where a
+      // leading space attaches to the following run (the GPT-2
+      // pretokenizer shape, simplified to an RE2-safe alternation so
+      // Java regex and DuckDB RE2 agree: letter runs, digit runs,
+      // punctuation runs). On normalized lowercase text every
+      // non-space char lands in exactly one piece.
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(normText(col("text")),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     "text_rollinghash" -> { (s, d) =>
       // Order-sensitive 8-byte document fingerprint via the codegen'd
       // RollingHashExpr (vs md5's 32-char hex string — 4x smaller keys
@@ -150,6 +165,11 @@ object TextAnalysis {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp,
          |  CAST(length($normSql) AS BIGINT) AS norm_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all($normSql, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_rollinghash" ->

@@ -21,6 +21,17 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)   // no digits
   }
 
+  test("bpe-ish pretokenizer splits letter/digit/punct runs with leading-space attach") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    import graft.functions.Fx.normText
+    // "it's 42 ok!" → pieces: "it", "'", "s", " 42", " ok", "!"  = 6
+    val df = Seq((1L, "It's  42 ok!")).toDF("doc_id", "text")
+    val n = df.select(size(regexp_extract_all(normText(col("text")),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast(LongType)).collect().head.getLong(0)
+    assert(n == 6L)
+  }
+
   test("langid picks the language with most stopword hits, ties alphabetical") {
     val df = Seq(
       (1L, "en", "the cat and the dog is in a house of cards"),
