@@ -56,9 +56,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * `repartitionByRange` is one shuffle at write time, paid once per
     * snapshot; the in-file sort additionally tightens parquet
     * row-group stats for predicate pushdown within a file. */
-  def writeRangePartitioned(df: DataFrame, version: Long, numFiles: Int): Unit = {
+  def writeRangePartitioned(df: DataFrame, version: Long, numFiles: Int,
+      statsCols: Seq[String] = Nil): Unit = {
     write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol), version)
-    buildZoneMap(version)
+    buildZoneMap(version, statsCols)
   }
 
   /** `_zonemap` starts with '_' so Spark's file listing hides it from
@@ -67,13 +68,25 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   private def zmapDir(version: Long): String = s"${dir(version)}/_zonemap"
 
   /** (Re)build the per-file zone map of a committed version: one scan
-    * of the key column only (pruned read), output |files| tiny rows. */
-  def buildZoneMap(version: Long): Unit =
+    * of the stat'd columns only (pruned read), output |files| tiny
+    * rows. Beyond the key, `statsCols` get min/max columns too
+    * (`min_<c>`/`max_<c>`), so restores filtered on a NON-key column
+    * can still skip files ([[readWhere]]) — worthwhile exactly when
+    * the column correlates with the key order (timestamps vs
+    * monotonically assigned ids, the common lake case). */
+  def buildZoneMap(version: Long, statsCols: Seq[String] = Nil): Unit = {
+    val aggs = Seq(
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+      count(lit(1)).as("n_rows")) ++
+      statsCols.filterNot(_ == keyCol).flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     read(version)
-      .select(input_file_name().as("file"), col(keyCol))
+      .select((input_file_name().as("file") +: col(keyCol) +:
+        statsCols.filterNot(_ == keyCol).map(col)): _*)
       .groupBy("file")
-      .agg(min(keyCol).as("min_key"), max(keyCol).as("max_key"), count(lit(1)).as("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1).write.mode("overwrite").parquet(zmapDir(version))
+  }
 
   /** The version's zone map, if one was built. */
   def zoneMap(version: Long): Option[DataFrame] =
@@ -81,20 +94,32 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       Some(spark.read.parquet(zmapDir(version)))
     else None
 
-  /** Files whose key range overlaps [lo, hi] — None when the version
-    * has no zone map. The overlap test runs typed through Catalyst
-    * (`lit(lo)` adopts the key's native ordering). */
-  def prunedFiles(version: Long, lo: Any, hi: Any): Option[Seq[String]] =
-    zoneMap(version).map(
-      _.filter(!(col("max_key") < lit(lo) || col("min_key") > lit(hi)))
+  /** Files whose stats range for `column` overlaps [lo, hi] — None
+    * when the version has no zone map or no stats for that column.
+    * The overlap test runs typed through Catalyst (`lit(lo)` adopts
+    * the column's native ordering). A null stats bound (all-null file
+    * column) keeps the file — never prune on missing information. */
+  def prunedFilesBy(version: Long, column: String, lo: Any, hi: Any): Option[Seq[String]] = {
+    val (minC, maxC) =
+      if (column == keyCol) ("min_key", "max_key") else (s"min_$column", s"max_$column")
+    zoneMap(version)
+      .filter(zm => zm.columns.contains(minC) && zm.columns.contains(maxC))
+      .map(_.filter(!(col(maxC) < lit(lo) || col(minC) > lit(hi)) ||
+          col(minC).isNull || col(maxC).isNull)
         .select("file").collect().map(_.getString(0)).toSeq)
+  }
 
-  /** Keyed restore: rows of `version` with key in [lo, hi], reading
-    * only zone-map-overlapping files when a zone map exists (falls
-    * back to a full scan + filter otherwise — same result, no skip). */
-  def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame = {
-    val pred = col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)
-    prunedFiles(version, lo, hi) match {
+  /** Files whose key range overlaps [lo, hi] — see [[prunedFilesBy]]. */
+  def prunedFiles(version: Long, lo: Any, hi: Any): Option[Seq[String]] =
+    prunedFilesBy(version, keyCol, lo, hi)
+
+  /** Restore filtered on ANY stats-mapped column: rows of `version`
+    * with `column` in [lo, hi], reading only zone-map-overlapping
+    * files when stats exist (falls back to a full scan + filter —
+    * same result, no skip). */
+  def readWhere(version: Long, column: String, lo: Any, hi: Any): DataFrame = {
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    prunedFilesBy(version, column, lo, hi) match {
       case Some(files) if files.isEmpty =>
         // provably no overlapping file: constant-folds to an empty relation
         read(version).filter(lit(false))
@@ -102,6 +127,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       case None => read(version).filter(pred)
     }
   }
+
+  /** Keyed restore: rows of `version` with key in [lo, hi] — see
+    * [[readWhere]]. */
+  def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame =
+    readWhere(version, keyCol, lo, hi)
 
   /** Delta-driven restore read: rows of `version` whose key appears in
     * `keys` (a one-column frame of key values, e.g. a CDC delta's
@@ -236,7 +266,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= dataFiles.length) return (dataFiles.length, dataFiles.length)
-    val hadZoneMap = fs.exists(new Path(zmapDir(version), "_SUCCESS"))
+    // remember the zone map's stat'd columns so the rebuild keeps them
+    val zmapStatsCols = zoneMap(version).map(_.columns.toSeq
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4)))
     val tmp = new Path(s"$basePath/.tmp-compact-v=$version-${java.util.UUID.randomUUID()}")
     read(version).coalesce(nOut).write.parquet(tmp.toString)
     val old = new Path(s"$basePath/.old-v=$version-${java.util.UUID.randomUUID()}")
@@ -249,7 +281,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     fs.delete(old, true)
     // file identities (and, after the narrow concat, per-file ranges)
     // changed — a stale zone map would prune wrongly
-    if (hadZoneMap) buildZoneMap(version)
+    zmapStatsCols.foreach(cols => buildZoneMap(version, cols))
     val after = fs.listStatus(dest).count(_.getPath.getName.startsWith("part-"))
     (dataFiles.length, after)
   }

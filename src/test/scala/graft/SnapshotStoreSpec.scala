@@ -105,6 +105,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(afterCompact == full)
   }
 
+  test("secondary-column zone stats prune restores filtered on a non-key column") {
+    val base = Files.createTempDirectory("graft_store_stats").toString
+    val store = new SnapshotStore(spark, base, "k")
+    // ts correlates with k (the common lake case: monotonically
+    // assigned ids vs event time) — so key-ranged files have tight ts
+    // ranges too and a ts-filtered restore can skip files
+    val df = (1L to 2000L).map(i => (i, 1000000L + i * 60L, s"row_$i")).toDF("k", "ts", "s")
+    store.writeRangePartitioned(df, 1L, 10, statsCols = Seq("ts"))
+
+    val zm = store.zoneMap(1L).get
+    assert(zm.columns.contains("min_ts") && zm.columns.contains("max_ts"))
+
+    val tsLo = 1000000L + 500L * 60L
+    val tsHi = 1000000L + 600L * 60L
+    val pruned = store.prunedFilesBy(1L, "ts", tsLo, tsHi).get
+    assert(pruned.nonEmpty && pruned.size < zm.count(),
+      s"expected strict subset, got ${pruned.size} of ${zm.count()}")
+    val viaStats = store.readWhere(1L, "ts", tsLo, tsHi).collect().map(_.toSeq).toSet
+    val full = store.read(1L).filter(col("ts").between(tsLo, tsHi)).collect().map(_.toSeq).toSet
+    assert(viaStats == full && viaStats.size == 101)
+
+    // a column without stats falls back to a correct full-scan filter
+    assert(store.prunedFilesBy(1L, "s", "row_1", "row_2").isEmpty)
+    assert(store.readWhere(1L, "s", "row_10", "row_11").collect().map(_.toSeq).toSet ==
+      store.read(1L).filter(col("s").between("row_10", "row_11")).collect().map(_.toSeq).toSet)
+
+    // compact preserves the stat columns in the rebuilt zone map
+    store.compact(1L)
+    assert(store.zoneMap(1L).get.columns.contains("min_ts"))
+    assert(store.readWhere(1L, "ts", tsLo, tsHi).collect().map(_.toSeq).toSet == full)
+  }
+
   test("readForKeys stacks zone-map + Bloom + exact semi-join correctly") {
     val base = Files.createTempDirectory("graft_store_keys").toString
     val store = new SnapshotStore(spark, base, "k")
