@@ -198,6 +198,31 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream funnel join — the streaming twin of the batch
+    * `ev_funnel` range join: each purchase is paired with the same
+    * user's clicks in the trailing `windowDuration`. A genuine
+    * stream-stream inner join: both sides are watermarked, the
+    * equi-key (user) carries the shuffle, and the time-range
+    * condition lets Spark expire join state once the watermark passes
+    * the window — state is bounded by (watermark delay + window), not
+    * by the stream's length. Expects `ts`/`event_id`/`user_id`
+    * columns on both inputs (e.g. one event stream filtered twice). */
+  def funnelJoin(clicks: DataFrame, purchases: DataFrame,
+      windowDuration: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowDuration"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   // ---- streaming embedding near-dup suppression ----
 
   case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])

@@ -141,6 +141,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream funnelJoin pairs purchases with in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val events = input.toDF()
+    val joined = StreamOps.funnelJoin(
+      events.filter($"event_type" === "click"),
+      events.filter($"event_type" === "purchase"))
+    val query = joined.writeStream
+      .format("memory").queryName("graft_funnel").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts(0), 10L, "click", 1.0),
+        Event(2L, ts(10), 10L, "purchase", 5.0),  // 10 min after the click: in window
+        Event(3L, ts(100), 10L, "purchase", 7.0), // 100 min after: out of window
+        Event(4L, ts(5), 20L, "purchase", 9.0))   // other user: no click at all
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id FROM graft_funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L)))
+    } finally query.stop()
+  }
+
   test("streamingManifest: removes cancel adds in the XOR algebra (batch parity)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
