@@ -187,6 +187,21 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * plain scan; callers re-write it wherever it needs to land). */
   def restore(version: Long): DataFrame = read(version)
 
+  /** The reference's full backup→restore→verify loop in one call:
+    * copy `version` to `targetPath`, then validate the copy with one
+    * manifest join (per-partition counts + XOR content hashes — the
+    * shuffle carries |partitions| rows, not |table|). Returns the
+    * per-partition status report; a run is healthy iff every status
+    * is "ok". `fp` must be an md5-hex fingerprint over the columns
+    * that define row content. */
+  def restoreAndValidate(version: Long, targetPath: String,
+      partCols: Seq[String], fp: DataFrame => Column): DataFrame = {
+    val src = read(version)
+    src.write.mode("overwrite").parquet(targetPath)
+    val dst = spark.read.parquet(targetPath)
+    Snapshot.validateCopy(src, dst, partCols, col(keyCol), fp)
+  }
+
   /** Row-level change classification between two versions:
     * `insert` (key only in `to`), `delete` (key only in `from`),
     * `update` (key in both, content fingerprint differs).

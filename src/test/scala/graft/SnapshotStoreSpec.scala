@@ -105,6 +105,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(afterCompact == full)
   }
 
+  test("restoreAndValidate reports ok on a clean copy and flags tampering") {
+    import graft.functions.Fx
+    val base = Files.createTempDirectory("graft_store_restore").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 200L).map(i => (i, s"p${i % 3}", s"row_$i")).toDF("k", "part", "s")
+    store.write(df, 1L)
+
+    val target = Files.createTempDirectory("graft_restore_target").toString + "/copy"
+    val fp = (d: org.apache.spark.sql.DataFrame) => Fx.fingerprint(d("k"), d("s"))
+    val report = store.restoreAndValidate(1L, target, Seq("part"), fp)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(report.size == 3 && report.values.forall(_ == "ok"))
+
+    // tamper with the restored copy: drop one partition's files' rows
+    val damaged = spark.read.parquet(target).filter(!(col("part") === "p2"))
+    damaged.write.mode("overwrite").parquet(target + "_damaged")
+    val report2 = graft.operators.Snapshot.validateCopy(
+      store.read(1L), spark.read.parquet(target + "_damaged"), Seq("part"), col("k"), fp)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(report2("p2") == "missing_in_target")
+    assert(report2("p0") == "ok" && report2("p1") == "ok")
+  }
+
   test("secondary-column zone stats prune restores filtered on a non-key column") {
     val base = Files.createTempDirectory("graft_store_stats").toString
     val store = new SnapshotStore(spark, base, "k")
