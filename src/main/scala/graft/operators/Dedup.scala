@@ -359,6 +359,56 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
+    * components) — the last step of a real dedup pipeline: pairs say
+    * "A≈B, B≈C", the pipeline needs "keep one of {A,B,C}". Component
+    * id = the smallest doc_id in the component, so the cluster id IS
+    * the canonical survivor.
+    *
+    * Distributed min-label propagation: every node starts with itself
+    * as label; each round, a node's label becomes the min of its own
+    * and its neighbors' labels; converged when a round changes
+    * nothing. Each round is one equi-join + one aggregate on the edge
+    * list — no per-node state beyond the label frame, which is
+    * `localCheckpoint`ed per round (truncates the iterative lineage
+    * that would otherwise grow the plan exponentially; at 100 TB this
+    * would be a table write, same shape). Rounds needed = graph
+    * diameter, and near-dup graphs are short chains/cliques in
+    * practice — `maxIter` is a backstop, convergence is checked with
+    * one count per round.
+    *
+    * Output: (doc_id, comp) for every doc that appears in `pairs`.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected: both directions of every edge
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each edge (src, dst), dst's current label
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("comp", "n_comp"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_comp")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit, sign → bit. Implemented as 64 codegen'd
     * conditional sums — one aggregation pass, no UDF. */
@@ -406,6 +456,15 @@ object Dedup {
       embCosPairs(Tables.embeddings(s, d), 0.45).orderBy("vec_a", "vec_b")
     },
 
+    "dedup_clusters" -> { (s, d) =>
+      // Near-dup pairs → duplicate clusters (connected components);
+      // cluster id = smallest member = the canonical survivor. Oracle
+      // is a DuckDB recursive-CTE transitive closure over the same
+      // pair set.
+      dupClusters(ngramJaccardPairs(Tables.documents(s, d), 3, 1, 2))
+        .orderBy("doc_id")
+    },
+
     "dedup_embcos_lsh" -> { (s, d) =>
       // Rows-only oracle (hyperplane signatures are Spark/JVM-side).
       // The scale path behind embCosPairs' broadcast cap: banded
@@ -445,6 +504,38 @@ object Dedup {
         |  JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS u(s)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |    JOIN sizes sa ON sa.doc_id = doc_a
+        |    JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+        |SELECT n AS doc_id, MIN(m) AS comp FROM reach
+        |GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "dedup_embcos" ->
       """SELECT vec_a, vec_b, cos FROM (

@@ -145,6 +145,19 @@ class DedupSpec extends SparkSpec {
     assert(approx.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
   }
 
+  test("dupClusters resolves pair chains into min-labeled components") {
+    // chain 1-2-3 (transitive: 1 and 3 never pair directly) + island 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainComps = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainComps.values.toSet == Set(1L) && chainComps.size == 12)
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming distance") {
     val hashes = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))
