@@ -396,13 +396,15 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("comp", "n_comp"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_comp")).as("nmin"))
+      // carry the previous label through the checkpoint so the
+      // convergence check is one scan of the materialized frame, not
+      // another join against the old labels
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("comp") =!= col("old")).limit(1).count()
+      labels = updated.drop("old")
       converged = changed == 0
       iter += 1
     }
