@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ AsofJoin.queries ++ Pipeline.queries)
+      Multimodal.queries ++ AsofJoin.queries ++ Pipeline.queries ++
+      DataQuality.queries ++ RangeJoins.queries)
       .map { case (name, fn) =>
         // install graft SQL functions + TopKPerKey rule/strategy into
         // whatever session the driver hands us (idempotent)
@@ -33,5 +34,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Snapshot.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ AsofJoin.oracles ++ Pipeline.oracles ++
+      DataQuality.oracles ++ RangeJoins.oracles
 }

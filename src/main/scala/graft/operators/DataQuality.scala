@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+
+import graft.functions.Fx
+import graft.sources.Tables
+
+/** Data-quality / validation suite (SURVEY §2 snapshot-domain
+  * companion): the checks a backup pipeline runs on a snapshot BEFORE
+  * publishing it and AFTER restoring it — column profiles, key
+  * uniqueness, referential integrity, and domain rules. The reference's
+  * copy-validation story is byte-level ([[Snapshot.validateCopy]]);
+  * this module is the semantic level: "the restored data is not just
+  * the bytes we wrote, it is also internally consistent".
+  *
+  * Scale posture: every check is a single aggregation pass or an
+  * anti-join on the relationship key.
+  *  - [[profile]] computes ALL per-column stats (null count, distinct
+  *    count, min/max) in ONE aggregate over the table — Catalyst plans
+  *    the multi-distinct via Expand (one pass, map-side partials), and
+  *    the wide 1-row result is reshaped to long form driver-free with
+  *    `inline`. No per-column scans: profiling a 100 TB snapshot costs
+  *    one read.
+  *  - [[orphans]] is a left-anti join per relationship; dimension sides
+  *    (orders→customer, customer→nation) broadcast automatically under
+  *    AQE, the fact-fact one (lineitem→orders) shuffles on the join key
+  *    exactly once.
+  *  - [[ruleViolations]] folds every row rule into conditional sums in
+  *    one scan; cross-table rules ride on one equi-join.
+  *
+  * Min/max render through the repo's canonical-string discipline
+  * (Fx.canonical: doubles via tight DECIMAL, timestamps via epoch
+  * micros) so the DuckDB oracle reproduces them byte-for-byte.
+  */
+object DataQuality {
+
+  /** Canonical string rendering of a stats value for cross-engine
+    * comparison: doubles through DECIMAL(12,2), timestamps through
+    * epoch micros, everything else a plain string cast. */
+  private def canonStat(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case DoubleType => Fx.decM(c).cast(StringType)
+    // parquet ms-timestamps come back NTZ under Spark 4's inference;
+    // route both flavors through epoch micros (session TZ is UTC)
+    case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(c.cast(TimestampType)).cast(StringType)
+    case _ => c.cast(StringType)
+  }
+
+  /** Per-column profile of `df` in one aggregation pass: row count,
+    * null count, exact distinct count, canonical min/max. Output is
+    * long-form — one row per column — reshaped with `inline` (no
+    * driver round trip, no per-column jobs). */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"__nn_${f.name}"),
+        count_distinct(col(f.name)).as(s"__nd_${f.name}"),
+        min(col(f.name)).as(s"__mn_${f.name}"),
+        max(col(f.name)).as(s"__mx_${f.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"__nn_${f.name}")).as("n_null"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        canonStat(col(s"__mn_${f.name}"), f.dataType).as("min_val"),
+        canonStat(col(s"__mx_${f.name}"), f.dataType).as("max_val"))
+    }
+    wide.select(inline(array(rows: _*)))
+  }
+
+  /** Key-uniqueness audit: for each (table, key columns) pair, how many
+    * key values occur more than once, and the worst multiplicity.
+    * One hash aggregate per table (map-side combinable), then a
+    * |keys|-row second aggregate; results union into one report. */
+  def uniqueness(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    val reports = tables.map { case (name, df, keyCols) =>
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("n_dup_rows"),
+          max(col("__n")).as("max_multiplicity"))
+        .select(lit(name).as("table_key"),
+          col("n_dup_keys"), col("n_dup_rows"), col("max_multiplicity"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
+  /** Referential-integrity audit: for each child→parent relationship,
+    * the number of child rows whose foreign key has no parent (orphans)
+    * and the number of distinct orphaned key values. Left-anti join on
+    * the key; null FKs count as orphans of their own class ("a null
+    * reference is still a broken reference" — reported separately so a
+    * nullable-by-design FK can be whitelisted downstream). */
+  def orphans(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val reports = rels.map { case (name, child, fk, parent, pk) =>
+      val nullCount = child.agg(
+        count(lit(1)).as("__n_child"),
+        (count(lit(1)) - count(col(fk))).as("n_null_fk"))
+      val orphanRows = child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      val orphanCount = orphanRows.agg(
+        count(lit(1)).as("n_orphans"),
+        count_distinct(col(fk)).as("n_orphan_keys"))
+      nullCount.crossJoin(orphanCount)
+        .select(lit(name).as("relationship"), col("__n_child").as("n_child_rows"),
+          col("n_orphans"), col("n_orphan_keys"), col("n_null_fk"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
+  /** Domain-rule audit: each rule is (name, frame, violation
+    * predicate); all rules over the same frame SHOULD be passed
+    * together so they fold into one scan's conditional sums. */
+  def ruleViolations(rules: Seq[(String, DataFrame)]): DataFrame = {
+    // each entry: (rule_name, frame-with-__viol-column)
+    val reports = rules.map { case (name, flagged) =>
+      flagged.agg(
+        count(lit(1)).as("n_checked"),
+        sum(col("__viol").cast(LongType)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> { (s, d) =>
+      profile(Tables.orders(s, d)).orderBy("column")
+    },
+
+    "dq_unique" -> { (s, d) =>
+      uniqueness(Seq(
+        ("orders:o_orderkey", Tables.orders(s, d), Seq("o_orderkey")),
+        ("customer:c_custkey", Tables.customer(s, d), Seq("c_custkey")),
+        ("lineitem:l_orderkey+l_linenumber", Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber")),
+        ("documents:doc_id", Tables.documents(s, d), Seq("doc_id")),
+        // documents carry intentional near/exact dups at the TEXT level;
+        // text-hash multiplicity is the "expected duplication" gauge the
+        // cleaning pipeline consumes (non-zero by design).
+        ("documents:text_hash", Tables.documents(s, d)
+          .select(md5(Fx.normText(col("text"))).as("text_hash")), Seq("text_hash"))
+      )).orderBy("table_key")
+    },
+
+    "dq_refint" -> { (s, d) =>
+      orphans(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+      )).orderBy("relationship")
+    },
+
+    "dq_rules" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      // cross-table rule: a lineitem must not ship before its order date
+      val shipped = li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          Seq("l_orderkey"))
+      ruleViolations(Seq(
+        ("lineitem.quantity_in_1_50",
+          li.withColumn("__viol", col("l_quantity") < 1 || col("l_quantity") > 50)),
+        ("lineitem.discount_in_0_0.2",
+          li.withColumn("__viol", col("l_discount") < 0 || col("l_discount") > 0.2)),
+        ("lineitem.price_positive",
+          li.withColumn("__viol", col("l_extendedprice") <= 0)),
+        ("orders.totalprice_positive",
+          ord.withColumn("__viol", col("o_totalprice") <= 0)),
+        ("lineitem.ship_after_order",
+          shipped.withColumn("__viol", col("l_shipdate") < col("o_orderdate")))
+      )).orderBy("rule")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq_profile" -> {
+      // mirror of canonStat: BIGINT/VARCHAR plain, DOUBLE via
+      // DECIMAL(12,2), TIMESTAMP via epoch_us
+      def branch(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_val, $mx AS max_val FROM orders""".stripMargin
+      Seq(
+        branch("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)"),
+        branch("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)"),
+        branch("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+        branch("o_totalprice",
+          "CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)",
+          "CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)"),
+        branch("o_orderdate",
+          "CAST(epoch_us(CAST(MIN(o_orderdate) AS TIMESTAMP)) AS VARCHAR)",
+          "CAST(epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS VARCHAR)"),
+        branch("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "dq_unique" -> {
+      def branch(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS table_key,
+           |  CAST(SUM(CASE WHEN __n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+           |  CAST(SUM(CASE WHEN __n > 1 THEN __n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+           |  MAX(__n) AS max_multiplicity
+           |FROM (SELECT COUNT(*) AS __n FROM $table GROUP BY $keys) g""".stripMargin
+      Seq(
+        branch("orders:o_orderkey", "orders", "o_orderkey"),
+        branch("customer:c_custkey", "customer", "c_custkey"),
+        branch("lineitem:l_orderkey+l_linenumber", "lineitem", "l_orderkey, l_linenumber"),
+        branch("documents:doc_id", "documents", "doc_id"),
+        branch("documents:text_hash",
+          "(SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash FROM documents)",
+          "text_hash")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY table_key")
+    },
+
+    "dq_refint" -> {
+      def branch(name: String, child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT COUNT(*) FROM $child) AS n_child_rows,
+           |  COUNT(*) AS n_orphans,
+           |  CAST(COUNT(DISTINCT $fk) AS BIGINT) AS n_orphan_keys,
+           |  (SELECT COUNT(*) - COUNT($fk) FROM $child) AS n_null_fk
+           |FROM $child c WHERE $fk IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+      Seq(
+        branch("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        branch("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        branch("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        branch("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        branch("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
+
+    "dq_rules" -> {
+      def branch(name: String, from: String, viol: String) =
+        s"""SELECT '$name' AS rule, COUNT(*) AS n_checked,
+           |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           |FROM $from""".stripMargin
+      Seq(
+        branch("lineitem.quantity_in_1_50", "lineitem",
+          "l_quantity < 1 OR l_quantity > 50"),
+        branch("lineitem.discount_in_0_0.2", "lineitem",
+          "l_discount < 0 OR l_discount > 0.2"),
+        branch("lineitem.price_positive", "lineitem", "l_extendedprice <= 0"),
+        branch("orders.totalprice_positive", "orders", "o_totalprice <= 0"),
+        branch("lineitem.ship_after_order",
+          "(SELECT l_shipdate, o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+          "l_shipdate < o_orderdate")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    }
+  )
+}

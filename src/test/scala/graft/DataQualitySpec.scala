@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: one row per column with null/distinct/minmax stats") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(10.0)),
+      (3L, Some("a"), None)
+    ).toDF("id", "s", "v")
+    val out = DataQuality.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "s", "v"))
+    val s = out("s")
+    assert(s.getAs[Long]("n_rows") == 3L)
+    assert(s.getAs[Long]("n_null") == 1L)
+    assert(s.getAs[Long]("n_distinct") == 1L)
+    assert(s.getAs[String]("min_val") == "a")
+    val v = out("v")
+    assert(v.getAs[Long]("n_null") == 1L)
+    // doubles render through DECIMAL(12,2)
+    assert(v.getAs[String]("min_val") == "2.50")
+    assert(v.getAs[String]("max_val") == "10.00")
+  }
+
+  test("profile runs as ONE aggregation pass (single scan, no per-column jobs)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = DataQuality.profile(df).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.length == 1, s"expected 1 scan of the input, got ${scans.length}")
+  }
+
+  test("uniqueness flags duplicate keys with multiplicity") {
+    val clean = Seq((1L, "x"), (2L, "y")).toDF("k", "p")
+    val dirty = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w")).toDF("k", "p")
+    val out = DataQuality.uniqueness(Seq(
+      ("clean", clean, Seq("k")),
+      ("dirty", dirty, Seq("k")),
+      ("composite", dirty, Seq("k", "p"))
+    )).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("clean").getAs[Long]("n_dup_keys") == 0L)
+    assert(out("clean").getAs[Long]("max_multiplicity") == 1L)
+    assert(out("dirty").getAs[Long]("n_dup_keys") == 1L)
+    assert(out("dirty").getAs[Long]("n_dup_rows") == 3L)
+    assert(out("dirty").getAs[Long]("max_multiplicity") == 3L)
+    // the composite key de-duplicates the same frame
+    assert(out("composite").getAs[Long]("n_dup_keys") == 0L)
+  }
+
+  test("orphans counts broken and null foreign keys separately") {
+    val parent = Seq(10L, 20L).toDF("pk")
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)),   // healthy
+      (3L, Some(99L)), (4L, Some(99L)),   // orphaned, same missing key
+      (5L, Some(77L)),                    // orphaned, second missing key
+      (6L, None)                          // null FK
+    ).toDF("id", "fk")
+    val r = DataQuality.orphans(Seq(("child->parent", child, "fk", parent, "pk")))
+      .collect().head
+    assert(r.getAs[Long]("n_child_rows") == 6L)
+    assert(r.getAs[Long]("n_orphans") == 3L)
+    assert(r.getAs[Long]("n_orphan_keys") == 2L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+  }
+
+  test("ruleViolations folds predicates into per-frame conditional sums") {
+    val df = Seq(0.5, 1.0, 49.0, 51.0, -1.0).toDF("q")
+    val out = DataQuality.ruleViolations(Seq(
+      ("q_in_1_50", df.withColumn("__viol", col("q") < 1 || col("q") > 50)),
+      ("q_positive", df.withColumn("__viol", col("q") <= 0))
+    )).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("q_in_1_50").getAs[Long]("n_checked") == 5L)
+    assert(out("q_in_1_50").getAs[Long]("n_violations") == 3L)
+    assert(out("q_positive").getAs[Long]("n_violations") == 1L)
+  }
+}
