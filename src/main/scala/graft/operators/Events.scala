@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -29,6 +29,30 @@ object Events {
           || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(byUser))
+  }
+
+  /** Gap-filled daily series per event_type: one row per (type, day)
+    * for EVERY day between the type's first and last event — absent
+    * days carry n=0 / sv=0, with the pre-fill sum kept nullable in
+    * `sv_raw` for carry-forward fills. The grid generates from the
+    * AGGREGATED daily frame (types × days rows, tiny), never from raw
+    * events, so the fill costs one narrow generator + one equi-join on
+    * (type, day) no matter how many raw events a day has. `sv` is an
+    * exact DECIMAL so every downstream window sum is order-independent
+    * (SURVEY §4 float discipline). */
+  def dailyFilled(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(decV(col("value"))).as("sv_raw"))
+    val grid = daily.groupBy("event_type")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      // tight DECIMAL(14,4): wide-enough for any real daily sum, small
+      // enough that sv·sv stays inside DECIMAL(38) EXACTLY on both
+      // engines (a (28,4)² would hit Spark's precision cap and round)
+      .withColumn("sv", coalesce(col("sv_raw"), lit(0)).cast(DecimalType(14, 4)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,6 +87,70 @@ object Events {
         .orderBy("cohort_day")
     },
 
+    "ev_gapfill" -> { (s, d) =>
+      // Daily series with calendar gaps made explicit: zero-filled
+      // counts/sums plus last-observation-carried-forward of the daily
+      // sum. The ffill window is one pass over the (tiny) filled grid.
+      val byType = Window.partitionBy("event_type").orderBy("day")
+      dailyFilled(Tables.events(s, d))
+        .withColumn("sum_value", round(col("sv").cast(DoubleType), 4))
+        .withColumn("ff_value",
+          round(last(col("sv_raw"), ignoreNulls = true).over(byType).cast(DoubleType), 4))
+        .select("event_type", "day", "n", "sum_value", "ff_value")
+        .orderBy("event_type", "day")
+    },
+
+    "ev_wma" -> { (s, d) =>
+      // 30-day linear-weighted moving average (weight 30 for today,
+      // 29 yesterday, … 1): the position-dependent weight decomposes as
+      // 30 − (d_t − d_j) = (30 − d_t) + d_j, so the weighted sum is two
+      // PLAIN window sums over precomputed per-row terms (sv and d·sv)
+      // — no per-row weight generation, no UDF, exact decimal math.
+      // Gap-filled first, so window ROWS == calendar days.
+      val win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-29, 0)
+      dailyFilled(Tables.events(s, d))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+        .withColumn("s1", sum(col("sv")).over(win))
+        .withColumn("s2", sum(col("sv") * col("d")).over(win))
+        .withColumn("m", count(lit(1)).over(win))
+        // denominator: sum of weights 30, 29, … over the m window rows
+        .withColumn("den", lit(30L) * col("m") - col("m") * (col("m") - 1) / 2)
+        .withColumn("wma", round(
+          ((lit(30L) - col("d")) * col("s1") + col("s2")).cast(DoubleType) / col("den"), 4))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("sv").cast(DoubleType), 4).as("sum_value"), col("wma"))
+        .orderBy("event_type", "day")
+    },
+
+    "ev_anomaly" -> { (s, d) =>
+      // Ingest-volume anomaly days: daily sum vs the TRAILING 30-day
+      // baseline (current day excluded — it must not drag its own
+      // mean). Flag when (x − μ)² > 9σ², cross-multiplied division-free
+      // to (m·x − S)² > 9·(m·SS − S²). Baseline sums S/SS are exact
+      // decimals (order-independent under any partitioning); the
+      // comparison runs in double on identical inputs, so both engines
+      // flag identical days (boundary ties are measure-zero). The
+      // backup-domain read: "today's ingest is > 3σ off baseline —
+      // hold the snapshot publish."
+      val win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-30, -1)
+      dailyFilled(Tables.events(s, d))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+        .withColumn("s", sum(col("sv")).over(win))
+        .withColumn("ss", sum(col("sv") * col("sv")).over(win))
+        .withColumn("m", count(lit(1)).over(win))
+        .withColumn("xd", col("sv").cast(DoubleType))
+        .withColumn("lhs",
+          (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType))
+            * (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType)))
+        .withColumn("rhs",
+          lit(9.0) * (col("m").cast(DoubleType) * col("ss").cast(DoubleType)
+            - col("s").cast(DoubleType) * col("s").cast(DoubleType)))
+        .filter(col("m") >= 10 && col("lhs") > col("rhs"))
+        .select(col("event_type"), col("day"),
+          round(col("xd"), 4).as("sum_value"), col("m").as("n_baseline"))
+        .orderBy("event_type", "day")
+    },
+
     "ev_funnel" -> { (s, d) =>
       // Range-join shape: purchases semi-joined to clicks of the same
       // user within a trailing 30-minute window (equi on user + range
@@ -84,6 +172,20 @@ object Events {
         .orderBy("user_id")
     }
   )
+
+  /** Shared oracle CTE: the DuckDB mirror of [[dailyFilled]]. */
+  private val oracleFilledCte =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv_raw
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1) b),
+      |filled AS (
+      |  SELECT g.event_type, g.day, COALESCE(n, 0) AS n,
+      |    CAST(COALESCE(sv_raw, 0) AS DECIMAL(14,4)) AS sv, sv_raw
+      |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling" ->
@@ -118,6 +220,47 @@ object Events {
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY user_id) t
         |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    "ev_gapfill" ->
+      s"""$oracleFilledCte
+        |SELECT event_type, day, n,
+        |  ROUND(CAST(sv AS DOUBLE), 4) AS sum_value,
+        |  ROUND(CAST(LAST_VALUE(sv_raw IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS DOUBLE), 4) AS ff_value
+        |FROM filled ORDER BY event_type, day""".stripMargin,
+
+    "ev_wma" ->
+      s"""$oracleFilledCte,
+        |w AS (
+        |  SELECT event_type, day, n, sv,
+        |    date_diff('day', DATE '1970-01-01', day) AS d,
+        |    SUM(sv) OVER win AS s1,
+        |    SUM(sv * date_diff('day', DATE '1970-01-01', day)) OVER win AS s2,
+        |    COUNT(*) OVER win AS m
+        |  FROM filled
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value,
+        |  ROUND(CAST((30 - d) * s1 + s2 AS DOUBLE) / (30 * m - m * (m - 1) / 2), 4) AS wma
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "ev_anomaly" ->
+      s"""$oracleFilledCte,
+        |w AS (
+        |  SELECT event_type, day, sv,
+        |    SUM(sv) OVER win AS s,
+        |    SUM(sv * sv) OVER win AS ss,
+        |    COUNT(*) OVER win AS m
+        |  FROM filled
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value, m AS n_baseline
+        |FROM w
+        |WHERE m >= 10
+        |  AND (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
+        |    * (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
+        |    > 9 * (m * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |ORDER BY event_type, day""".stripMargin,
 
     "ev_funnel" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
