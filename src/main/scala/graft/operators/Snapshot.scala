@@ -297,6 +297,25 @@ object Snapshot {
       store.readKeyRange(1L, 600L, 1100L).orderBy("o_orderkey")
     },
 
+    "snap_restore_zorder" -> { (s, d) =>
+      // 2-D restore through the Z-ordered layout: orders clustered on
+      // (o_custkey, o_orderdate) — NEITHER is the store key — then one
+      // conjunctive range restore. Each dimension's zone-map stats
+      // independently prune files; the read opens only their
+      // intersection (spec asserts both dims prune; the oracle proves
+      // the corner read loses nothing vs a plain filtered scan).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.writeZOrdered(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+          1L, 16, Seq("o_custkey", "o_orderdate"))
+      store.readWhereAll(1L, Seq(
+        ("o_custkey", 100L, 400L),
+        ("o_orderdate", "1997-01-01", "1998-01-01")))
+        .orderBy("o_orderkey")
+    },
+
     "snap_validate" -> { (s, d) =>
       // Post-copy validation against a modeled damaged copy: one whole
       // (returnflag, linestatus) partition lost, row loss in the 'A'
@@ -368,6 +387,12 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_restore_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_orderdate BETWEEN '1997-01-01' AND '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "snap_retention" ->
       """SELECT user_id, event_id, event_type FROM (

@@ -62,6 +62,85 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     buildZoneMap(version, statsCols)
   }
 
+  /** [[write]] with a MULTI-column clustering layout: rows ordered by
+    * the Z-order (Morton) interleave of `zCols`, range-partitioned into
+    * ~`numFiles` files, plus a zone map carrying per-file min/max for
+    * EVERY clustered column. Where [[writeRangePartitioned]] makes one
+    * column's ranges disjoint per file (perfect pruning on the key,
+    * none on anything else), Z-ordering makes every clustered column
+    * LOCALLY narrow in every file — a restore filtered on ANY of the
+    * clustered dimensions skips most files ([[readWhere]] /
+    * [[readWhereAll]]), the hierarchical-zone-map layout Delta/Iceberg
+    * users reach for on 100 TB fact tables queried by more than one
+    * dimension.
+    *
+    * The z-value is LAYOUT ONLY: each column is scaled to a 16-bit
+    * bucket by its global min/max (one tiny aggregate), buckets are
+    * bit-interleaved, and rows sort by the interleave. Pruning
+    * correctness never depends on the z-math — the zone map records the
+    * TRUE per-file min/max of each column, and [[readWhere]] filters
+    * exactly. A degenerate z-value only costs skipping efficiency.
+    * Columns must be numeric/temporal (bucketing needs an order-
+    * preserving cast to double); nulls bucket to 0 and never prune
+    * wrongly (zone-map rule: null bounds keep the file). */
+  def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
+      zCols: Seq[String]): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns (16 bits each)")
+    // order-preserving numeric view: temporal types route through a
+    // timestamp cast (date/ntz have no direct double cast)
+    val asD = zCols.map { c =>
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      df.schema(c).dataType match {
+        case DateType | TimestampType | TimestampNTZType =>
+          col(c).cast("timestamp").cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
+    val bounds = df.agg(
+      struct(asD.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).as(s"lo$i"), max(c).as(s"hi$i")) }: _*).as("b")).head().getStruct(0)
+    val buckets = asD.zipWithIndex.map { case (c, i) =>
+      if (bounds.isNullAt(i * 2) || bounds.isNullAt(i * 2 + 1)) lit(0L)
+      else {
+        val (lo, hi) = (bounds.getDouble(i * 2), bounds.getDouble(i * 2 + 1))
+        if (hi <= lo) lit(0L)
+        else least(greatest(
+          floor((c - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"), lit(0L)), lit(65535L))
+      }
+    }
+    // Morton interleave: bit j of bucket i lands at position j*k + i —
+    // 16·k OR'd shift terms, all inside whole-stage codegen
+    val k = buckets.size
+    val z = (for (i <- 0 until k; j <- 0 until 16) yield
+      shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i))
+      .reduce((a, b) => a.bitwiseOR(b))
+    write(df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
+      .drop("__z"), version)
+    buildZoneMap(version, zCols.filterNot(_ == keyCol))
+  }
+
+  /** Restore under a CONJUNCTION of range predicates: rows of `version`
+    * satisfying every `(column, lo, hi)`. Files are pruned by the
+    * INTERSECTION of each predicate's zone-map survivor set (a file
+    * must overlap every range to contain a qualifying row) — on a
+    * z-ordered layout each dimension independently eliminates files,
+    * so the conjunction reads the small corner both predicates carve
+    * out. Falls back per-column to "no pruning" when stats are absent;
+    * result always equals the full-scan filter. */
+  def readWhereAll(version: Long, preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    val filter = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    val survivorSets = preds.flatMap { case (c, lo, hi) => prunedFilesBy(version, c, lo, hi) }
+    if (survivorSets.isEmpty) read(version).filter(filter)
+    else {
+      val files = survivorSets.map(_.toSet).reduce(_ intersect _)
+      if (files.isEmpty) read(version).filter(lit(false))
+      else spark.read.parquet(files.toSeq: _*).filter(filter)
+    }
+  }
+
   /** `_zonemap` starts with '_' so Spark's file listing hides it from
     * plain `read(version)` scans — the zone map rides inside the
     * version dir without polluting it. */

@@ -226,4 +226,58 @@ class SnapshotStoreSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith(".tmp-"))
     assert(leftovers.isEmpty)
   }
+
+  test("z-ordered layout prunes files on EVERY clustered dimension") {
+    // uniform 100×100 grid: under a z-order both x and y are locally
+    // narrow per file; under a range layout on x, y spans everything
+    val base = Files.createTempDirectory("graft_zstore").toString
+    val rows = for (x <- 0 until 100; y <- 0 until 100)
+      yield (x.toLong * 100 + y, x.toLong, y.toLong)
+    val df = rows.toDF("k", "x", "y").repartition(8)
+
+    val zStore = new SnapshotStore(spark, s"$base/z", "k")
+    zStore.writeZOrdered(df, 1L, 16, Seq("x", "y"))
+    val rStore = new SnapshotStore(spark, s"$base/r", "k")
+    rStore.writeRangePartitioned(df.repartitionByRange(16, col("x")), 1L, 16, Seq("x", "y"))
+
+    val total = zStore.zoneMap(1L).get.count()
+    assert(total >= 8, s"want a multi-file layout, got $total files")
+    val xSurv = zStore.prunedFilesBy(1L, "x", 10L, 20L).get.size
+    val ySurv = zStore.prunedFilesBy(1L, "y", 10L, 20L).get.size
+    assert(xSurv < total, s"x-range should prune: $xSurv of $total")
+    assert(ySurv < total, s"y-range should prune: $ySurv of $total")
+    // the range-by-x layout cannot prune on y (every file spans all y)
+    val yRangeSurv = rStore.prunedFilesBy(1L, "y", 10L, 20L).get.size
+    assert(yRangeSurv == rStore.zoneMap(1L).get.count())
+
+    // conjunctive restore: intersection of survivor sets, exact result
+    val got = zStore.readWhereAll(1L, Seq(("x", 10L, 20L), ("y", 10L, 20L)))
+      .select("k").collect().map(_.getLong(0)).sorted
+    val want = rows.filter(r => r._2 >= 10 && r._2 <= 20 && r._3 >= 10 && r._3 <= 20)
+      .map(_._1).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("readWhereAll falls back to a correct full scan without stats") {
+    val base = Files.createTempDirectory("graft_zstore2").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.write(Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("k", "v"), 1L)
+    val got = store.readWhereAll(1L, Seq(("v", 10L, 30L)))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("z-order on a constant or null column degrades safely, never wrongly") {
+    val base = Files.createTempDirectory("graft_zstore3").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = Seq((1L, 7L, Some(1L)), (2L, 7L, None), (3L, 7L, Some(3L)))
+      .toDF("k", "c", "n")
+    store.writeZOrdered(df, 1L, 2, Seq("c", "n"))
+    // constant column: everything buckets to 0 — still readable & exact
+    val got = store.readWhereAll(1L, Seq(("c", 7L, 7L))).count()
+    assert(got == 3L)
+    // null rows must never be pruned away by a range on the null column
+    val gotN = store.readWhereAll(1L, Seq(("n", 1L, 3L))).count()
+    assert(gotN == 2L)
+  }
 }
