@@ -324,6 +324,26 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
+  /** IVF cell count from corpus size: ~√n (the classic IVF sizing —
+    * balances |cells| probe cost against |n/cells| within-cell scan,
+    * both ~√n at the optimum), clamped so tiny corpora don't degenerate
+    * to one-vector cells and huge ones don't exceed what a broadcast
+    * centroid table supports (65k × dim floats ≈ a few MB — still
+    * broadcast-friendly at 100 TB corpus scale, where √n would
+    * overshoot it anyway only past 4×10⁹ vectors). */
+  def autoCells(n: Long): Int =
+    math.min(math.max(1L, math.round(math.sqrt(n.toDouble))), 65536L).toInt
+
+  /** [[ivfTopK]] with the cell count auto-tuned from the corpus size —
+    * one count over a single column (cheap columnar scan) decides
+    * nCells, so the operator self-sizes as the corpus grows instead of
+    * carrying a hand-picked constant across 1000× scale changes. */
+  def ivfTopKAuto(emb: DataFrame, k: Int, salt: Int = 1,
+      kmeansIters: Int = 0): DataFrame = {
+    val n = emb.select(col("vec_id")).count()
+    ivfTopK(emb, autoCells(n), k, salt, kmeansIters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -340,8 +360,9 @@ object Similarity {
 
     "ann_ivf" -> { (s, d) =>
       // Rows-only oracle (cell assignment is an internal artifact).
-      // Two Lloyd's iterations refine the first-N seed centroids.
-      ivfTopK(Tables.embeddings(s, d), 16, 5, kmeansIters = 2).orderBy("query_id", "rk")
+      // Cell count auto-tuned (~√n) from the corpus; two Lloyd's
+      // iterations refine the first-N seed centroids.
+      ivfTopKAuto(Tables.embeddings(s, d), 5, kmeansIters = 2).orderBy("query_id", "rk")
     }
   )
 

@@ -99,6 +99,24 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(kmeans > 0.9)
   }
 
+  test("autoCells sizes ~sqrt(n) with sane clamps") {
+    assert(Similarity.autoCells(0L) == 1)
+    assert(Similarity.autoCells(1L) == 1)
+    assert(Similarity.autoCells(100L) == 10)
+    assert(Similarity.autoCells(1000000L) == 1000)
+    assert(Similarity.autoCells(Long.MaxValue) == 65536)
+  }
+
+  test("ivfTopKAuto equals ivfTopK at the auto-tuned cell count") {
+    val df = (0L until 36L).map(i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat))).toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    // n=36 → 6 cells
+    assert(canon(Similarity.ivfTopKAuto(df, 3)) == canon(Similarity.ivfTopK(df, 6, 3)))
+  }
+
   test("lshTopK multi-probe recovers neighbors single-probe misses") {
     val rnd = new scala.util.Random(5)
     val emb = (0L until 80L).map(i =>
