@@ -365,43 +365,58 @@ object Dedup {
     * id = the smallest doc_id in the component, so the cluster id IS
     * the canonical survivor.
     *
-    * Distributed min-label propagation: every node starts with itself
-    * as label; each round, a node's label becomes the min of its own
-    * and its neighbors' labels; converged when a round changes
-    * nothing. Each round is one equi-join + one aggregate on the edge
-    * list — no per-node state beyond the label frame, which is
+    * Distributed min-label propagation WITH pointer jumping: labels
+    * seed directly with min(self, neighbors) (the first propagation
+    * round costs only a groupBy, no join); each round then takes
+    * (a) the min over neighbor labels — one equi-join + aggregate on
+    * the edge list — and (b) the label OF the label (pointer jump, a
+    * second small join on the label frame), which doubles the distance
+    * information travels per round. Converged when a round changes
+    * nothing. No per-node state beyond the label frame, which is
     * `localCheckpoint`ed per round (truncates the iterative lineage
     * that would otherwise grow the plan exponentially; at 100 TB this
-    * would be a table write, same shape). Rounds needed = graph
-    * diameter, and near-dup graphs are short chains/cliques in
-    * practice — `maxIter` is a backstop, convergence is checked with
-    * one count per round.
+    * would be a table write, same shape). Rounds needed ≈ log₂(graph
+    * diameter) + 1 instead of diameter — near-dup graphs are short
+    * chains/cliques, so this lands at 1-2 joined rounds in practice;
+    * `maxIter` is a backstop (supports diameter ~2^maxIter),
+    * convergence is checked with one count per round over the
+    * just-checkpointed frame.
     *
     * Output: (doc_id, comp) for every doc that appears in `pairs`.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected: both directions of every edge
+    // undirected: both directions of every edge. pairs are unique with
+    // doc_a < doc_b, so the two directions cannot collide — no distinct
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+    // seed = min(self, neighbors): exactly what round 1 of plain
+    // propagation would compute from identity labels, for one groupBy
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("comp"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each edge (src, dst), dst's current label
+      // (a) neighbor labels: for each edge (src, dst), dst's current label
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("comp", "n_comp"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_comp")).as("nmin"))
-      // carry the previous label through the checkpoint so the
-      // convergence check is one scan of the materialized frame, not
-      // another join against the old labels
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp1"))
+      // (b) pointer jump: follow comp1 to ITS label — labels always
+      // point at a member of the same component, so the jump stays in
+      // component and never increases (labels only shrink)
+      val updated = stepped
+        .join(labels.select(col("doc_id").as("comp1"), col("comp").as("parent")),
+          Seq("comp1"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("comp1"), coalesce(col("parent"), col("comp1"))).as("comp"))
+        // carry the previous label through the checkpoint so the
+        // convergence check is one scan of the materialized frame
         .localCheckpoint()
       val changed = updated.filter(col("comp") =!= col("old")).limit(1).count()
       labels = updated.drop("old")
