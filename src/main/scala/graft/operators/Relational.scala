@@ -458,6 +458,22 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_grouping_sets" -> { (s, d) =>
+      // Arbitrary GROUPING SETS (neither a rollup prefix nor a full
+      // cube): region-level totals, status-level totals, and the grand
+      // total in ONE pass — Catalyst expands the sets with a single
+      // Expand node over the joined input, so the fact side is read and
+      // joined once, not once per set. Dimensions broadcast.
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      j.groupingSets(Seq(Seq(col("r_name")), Seq(col("o_orderstatus")), Seq()),
+          col("r_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("r_name", "o_orderstatus")
+    },
+
     "q11_share" -> { (s, d) =>
       // TPC-H Q11 shape (no partsupp table in this lake — "stock
       // value" is shipped value per part from NATION_1's suppliers):
@@ -830,6 +846,15 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT r_name, o_orderstatus, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
 
     "q11_share" ->
       """WITH vals AS (

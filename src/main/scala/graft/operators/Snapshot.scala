@@ -297,6 +297,29 @@ object Snapshot {
       store.readKeyRange(1L, 600L, 1100L).orderBy("o_orderkey")
     },
 
+    "snap_distinct_hll" -> { (s, d) =>
+      // Mergeable distinct-count sketches — the manifest companion for
+      // questions byte-hashes can't answer ("how many distinct orders
+      // does each partition hold?"). Each partition aggregates a
+      // DataSketches HLL of its keys (map-side combinable, fixed size);
+      // the global count is hll_union_agg over the per-partition
+      // sketches — |partitions| tiny rows shuffle, never the keys.
+      // At 100 TB the per-partition sketches live in the manifest and
+      // a cross-snapshot distinct estimate never rescans data.
+      // Rows-only oracle: estimates are DataSketches-specific (the
+      // sketch itself is deterministic; spec pins accuracy + the
+      // union-of-parts == sketch-of-whole merge identity).
+      val li = Tables.lineitem(s, d)
+      val parts = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"), count(lit(1)).as("n_rows"))
+      val perPart = parts.select(col("l_returnflag"),
+        col("n_rows"), hll_sketch_estimate(col("sk")).as("approx_orders"))
+      val overall = parts.agg(sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_orders"))
+        .select(lit("ALL").as("l_returnflag"), col("n_rows"), col("approx_orders"))
+      perPart.unionByName(overall).orderBy("l_returnflag")
+    },
+
     "snap_restore_zorder" -> { (s, d) =>
       // 2-D restore through the Z-ordered layout: orders clustered on
       // (o_custkey, o_orderdate) — NEITHER is the store key — then one

@@ -119,4 +119,16 @@ class SnapshotSpec extends SparkSpec {
       "p4" -> "missing_in_target",
       "p5" -> "missing_in_source"))
   }
+
+  test("hll sketches: union of per-group sketches equals the whole-table sketch") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 2000L).map(i => (i % 7, i % 311)).toDF("g", "k")
+    // the merge identity that makes per-partition manifest sketches
+    // sound: estimate(union(parts)) == estimate(sketch(whole))
+    val parts = df.groupBy("g").agg(hll_sketch_agg(col("k")).as("sk"))
+    val merged = parts.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("k")))).head().getLong(0)
+    assert(merged == direct)
+    assert(math.abs(merged - 311.0) / 311.0 < 0.05, s"estimate $merged vs exact 311")
+  }
 }
