@@ -127,6 +127,56 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  case class AnomalyFlag(event_id: Long, event_type: String, ts: Timestamp,
+      value: Double, n_baseline: Long, mean: Double, variance: Double)
+  case class Baseline(n: Long, mean: Double, m2: Double)
+
+  /** Streaming ingest-volume/value anomaly monitor — the streaming twin
+    * of `ev_anomaly`, but with a RUNNING baseline instead of a trailing
+    * window: per event_type, a Welford fold (count, mean, M2) over every
+    * value seen so far; an event is flagged when its deviation from the
+    * baseline BEFORE it exceeds `sigmas`·σ (an anomaly must not drag
+    * its own mean) and the baseline holds at least `minBaseline`
+    * observations.
+    *
+    * Determinism: events fold in (ts, event_id) order within each
+    * batch, and each flag depends only on the fold-prefix before the
+    * event — so any batch SPLIT of an event-time-ordered feed produces
+    * identical flags (spec-proven: 1-batch vs 3-batch parity). Late
+    * out-of-order arrivals fold where they land in the sequence; a
+    * monitor is about the observed sequence, not a reordered ideal.
+    *
+    * Scale: state is one 24-byte triple per event_type — O(|keys|),
+    * needs no TTL/watermark; the shuffle carries events partitioned by
+    * type once. */
+  def runningAnomaly(events: Dataset[Event], sigmas: Double = 3.0,
+      minBaseline: Long = 10L): Dataset[AnomalyFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Baseline, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, rows, state: GroupState[Baseline]) =>
+          var st = state.getOption.getOrElse(Baseline(0L, 0.0, 0.0))
+          val out = List.newBuilder[AnomalyFlag]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minBaseline) {
+              val variance = st.m2 / st.n
+              val dev = e.value - st.mean
+              if (dev * dev > sigmas * sigmas * variance)
+                out += AnomalyFlag(e.event_id, typ, e.ts, e.value, st.n, st.mean, variance)
+            }
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = Baseline(n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming MinHash near-dup suppression ----
 
   case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)

@@ -203,4 +203,43 @@ class StreamingSpec extends SparkSpec {
       assert(got == expected)
     } finally query.stop()
   }
+
+  private def runAnomaly(name: String, batches: Seq[Seq[Event]]): Set[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.runningAnomaly(input.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      spark.sql(s"SELECT event_id FROM $name").collect().map(_.getLong(0)).toSet
+    } finally query.stop()
+  }
+
+  test("runningAnomaly flags a spike against the prior baseline only") {
+    val flat = (0 until 20).map(i => Event(i.toLong, ts(i), 1L, "m", 10.0 + (i % 2)))
+    val spike = Event(100L, ts(30), 1L, "m", 500.0)
+    val after = Event(101L, ts(31), 1L, "m", 10.5)
+    val got = runAnomaly("graft_anom1", Seq(flat, Seq(spike, after)))
+    assert(got == Set(100L), s"only the spike should flag, got $got")
+  }
+
+  test("runningAnomaly needs a minimum baseline before flagging") {
+    // a spike among the first 10 observations must not flag
+    val early = (0 until 8).map(i => Event(i.toLong, ts(i), 1L, "m", 10.0)) :+
+      Event(99L, ts(8), 1L, "m", 500.0)
+    assert(runAnomaly("graft_anom2", Seq(early)).isEmpty)
+  }
+
+  test("runningAnomaly is batch-split invariant on an ordered feed") {
+    val evs = (0 until 30).map(i =>
+      Event(i.toLong, ts(i), 1L, "m", if (i == 25) 400.0 else 10.0 + (i % 3))) ++
+      (0 until 30).map(i =>
+        Event(100L + i, ts(i), 1L, "other", if (i == 28) -300.0 else 5.0 + (i % 2)))
+    val one = runAnomaly("graft_anom3a", Seq(evs.sortBy(_.ts.getTime)))
+    val three = runAnomaly("graft_anom3b",
+      evs.sortBy(_.ts.getTime).grouped(20).toSeq)
+    assert(one == three)
+    assert(one == Set(25L, 128L))
+  }
 }
