@@ -129,6 +129,33 @@ object DataQuality {
     reports.reduce(_.unionByName(_))
   }
 
+  /** Categorical distribution drift between two snapshots: per
+    * category, both counts, both shares, and a chi-square-style
+    * contribution (share_curr − share_base)² / share_base. Two hash
+    * aggregates + one |categories|-row full-outer join; the share
+    * normalization broadcasts a one-row totals frame (no global
+    * window, no extra shuffle). Contributions are emitted PER
+    * CATEGORY, not pre-summed — the caller picks its threshold, and
+    * per-row doubles from exact counts are engine-identical where a
+    * summed double would depend on addition order. */
+  def drift(base: DataFrame, curr: DataFrame, cat: String): DataFrame = {
+    val b = base.groupBy(col(cat).as("category")).agg(count(lit(1)).as("n_base"))
+    val c = curr.groupBy(col(cat).as("category")).agg(count(lit(1)).as("n_curr"))
+    val joined = b.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_curr"))
+    val totals = joined.agg(sum(col("n_base")).as("t_base"), sum(col("n_curr")).as("t_curr"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("share_base",
+        round(col("n_base").cast(DoubleType) / col("t_base"), 6))
+      .withColumn("share_curr",
+        round(col("n_curr").cast(DoubleType) / col("t_curr"), 6))
+      .drop("t_base", "t_curr")
+      .withColumn("chi2_contrib",
+        round(when(col("share_base") > 0,
+          (col("share_curr") - col("share_base")) * (col("share_curr") - col("share_base"))
+            / col("share_base")), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> { (s, d) =>
       profile(Tables.orders(s, d)).orderBy("column")
@@ -162,6 +189,17 @@ object DataQuality {
         ("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
           Tables.nation(s, d), "n_nationkey")
       )).orderBy("relationship")
+    },
+
+    "dq_drift" -> { (s, d) =>
+      // Drift between "the snapshot through 1997" and "1998 onward":
+      // did the priority mix shift? (The pre-publish gate a backup
+      // pipeline runs next to byte validation.)
+      val ord = Tables.orders(s, d)
+      drift(
+        ord.filter(col("o_orderdate") < "1998-01-01"),
+        ord.filter(col("o_orderdate") >= "1998-01-01"),
+        "o_orderpriority").orderBy("category")
     },
 
     "dq_rules" -> { (s, d) =>
@@ -244,6 +282,28 @@ object DataQuality {
         branch("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
+
+    "dq_drift" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS category, COUNT(*) AS n_base
+        |  FROM orders WHERE o_orderdate < '1998-01-01' GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority AS category, COUNT(*) AS n_curr
+        |  FROM orders WHERE o_orderdate >= '1998-01-01' GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(b.category, c.category) AS category,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_curr, 0) AS n_curr
+        |  FROM b FULL OUTER JOIN c ON b.category = c.category),
+        |sh AS (
+        |  SELECT category, n_base, n_curr,
+        |    ROUND(CAST(n_base AS DOUBLE) / SUM(n_base) OVER (), 6) AS share_base,
+        |    ROUND(CAST(n_curr AS DOUBLE) / SUM(n_curr) OVER (), 6) AS share_curr
+        |  FROM j)
+        |SELECT category, n_base, n_curr, share_base, share_curr,
+        |  ROUND(CASE WHEN share_base > 0
+        |    THEN (share_curr - share_base) * (share_curr - share_base) / share_base
+        |    END, 6) AS chi2_contrib
+        |FROM sh ORDER BY category""".stripMargin,
 
     "dq_rules" -> {
       def branch(name: String, from: String, viol: String) =

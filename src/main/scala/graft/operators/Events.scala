@@ -125,12 +125,15 @@ object Events {
     "ev_anomaly" -> { (s, d) =>
       // Ingest-volume anomaly days: daily sum vs the TRAILING 30-day
       // baseline (current day excluded — it must not drag its own
-      // mean). Flag when (x − μ)² > 9σ², cross-multiplied division-free
-      // to (m·x − S)² > 9·(m·SS − S²). Baseline sums S/SS are exact
+      // mean). Flag when (x − μ)² > (2.5σ)², cross-multiplied
+      // division-free to (m·x − S)² > 6.25·(m·SS − S²) — 2.5σ is the
+      // operating point that stays sensitive on short histories (a
+      // 30-day series tops out near z≈2.7; 3σ would only ever fire on
+      // long baselines). Baseline sums S/SS are exact
       // decimals (order-independent under any partitioning); the
       // comparison runs in double on identical inputs, so both engines
       // flag identical days (boundary ties are measure-zero). The
-      // backup-domain read: "today's ingest is > 3σ off baseline —
+      // backup-domain read: "today's ingest is way off baseline —
       // hold the snapshot publish."
       val win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-30, -1)
       dailyFilled(Tables.events(s, d))
@@ -143,7 +146,7 @@ object Events {
           (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType))
             * (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType)))
         .withColumn("rhs",
-          lit(9.0) * (col("m").cast(DoubleType) * col("ss").cast(DoubleType)
+          lit(6.25) * (col("m").cast(DoubleType) * col("ss").cast(DoubleType)
             - col("s").cast(DoubleType) * col("s").cast(DoubleType)))
         .filter(col("m") >= 10 && col("lhs") > col("rhs"))
         .select(col("event_type"), col("day"),
@@ -259,7 +262,7 @@ object Events {
         |WHERE m >= 10
         |  AND (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
         |    * (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
-        |    > 9 * (m * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    > 6.25 * (m * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
         |ORDER BY event_type, day""".stripMargin,
 
     "ev_funnel" ->

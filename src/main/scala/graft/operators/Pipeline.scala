@@ -178,6 +178,22 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    "pipe_sample_k" -> { (s, d) =>
+      // EXACT-k stratified sample (companion to pipe_sample's rate
+      // form): per language, the k=20 docs with the smallest portable
+      // hash rank — reproducible across engines/runs, and the
+      // row_number ≤ k filter is rewritten to TopKPerKeyExec by the
+      // graft rule (bounded per-group heaps, no full per-group sort).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hb"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("hb"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    },
+
     "pipe_budget" -> { (s, d) =>
       // Token-budgeted mixture: per language, greedily keep the
       // longest surviving docs until a 2000-token budget is spent.
@@ -250,6 +266,13 @@ object Pipeline {
          |        < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END)
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_sample_k" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "pipe_budget" ->
       s"""WITH gated AS (

@@ -458,6 +458,20 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_ntile" -> { (s, d) =>
+      // Quartile banding per segment (ntile window) + per-band
+      // aggregates. Tie order pinned by (acctbal, custkey) so band
+      // boundaries are engine-independent.
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min(decM(col("c_acctbal"))).cast(DoubleType), 2).as("min_bal"),
+          round(max(decM(col("c_acctbal"))).cast(DoubleType), 2).as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    },
+
     "q_grouping_sets" -> { (s, d) =>
       // Arbitrary GROUPING SETS (neither a rollup prefix nor a full
       // cube): region-level totals, status-level totals, and the grand
@@ -846,6 +860,16 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
+        |  ROUND(CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS min_bal,
+        |  ROUND(CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS max_bal
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT r_name, o_orderstatus, COUNT(*) AS n,
