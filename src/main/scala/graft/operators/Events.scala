@@ -122,6 +122,22 @@ object Events {
         .orderBy("event_type", "day")
     },
 
+    "ev_sliding" -> { (s, d) =>
+      // RANGE-frame window (vs the ROWS frames elsewhere): per event,
+      // the count/sum of the SAME TYPE's events in the trailing hour of
+      // EVENT TIME — frame membership decided by timestamp distance,
+      // not row position, so bursts and quiet stretches see honest
+      // trailing volumes. One shuffle on event_type; exact decimal sum.
+      val win = Window.partitionBy("event_type").orderBy("t")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(win))
+        .withColumn("sum_1h", round(sum(decV(col("value"))).over(win).cast(DoubleType), 4))
+        .select("event_id", "event_type", "t", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    },
+
     "ev_anomaly" -> { (s, d) =>
       // Ingest-volume anomaly days: daily sum vs the TRAILING 30-day
       // baseline (current day excluded — it must not drag its own
@@ -246,6 +262,15 @@ object Events {
         |SELECT event_type, day, n, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value,
         |  ROUND(CAST((30 - d) * s1 + s2 AS DOUBLE) / (30 * m - m * (m - 1) / 2), 4) AS wma
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "ev_sliding" ->
+      """SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |  COUNT(*) OVER win AS n_1h,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE), 4) AS sum_1h
+        |FROM events
+        |WINDOW win AS (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "ev_anomaly" ->
       s"""$oracleFilledCte,
