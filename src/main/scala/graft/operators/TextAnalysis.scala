@@ -101,6 +101,41 @@ object TextAnalysis {
     "text_langid" -> { (s, d) => langid(Tables.documents(s, d)).orderBy("doc_id") },
     "text_fingerprint" -> { (s, d) => fingerprints(Tables.documents(s, d)).orderBy("doc_id") },
 
+    "text_surprise" -> { (s, d) =>
+      // Corpus-LM "surprise" score — the cheap stand-in for the
+      // perplexity filter a training pipeline runs (CCNet-style): score
+      // each doc by how rare its bigram continuations are under the
+      // CORPUS's own bigram statistics. Per doc we emit
+      // Σ count(prefix) / Σ count(bigram) over its bigram OCCURRENCES —
+      // ≥ 1, higher = rarer continuations (gibberish scores high).
+      // Integer sums keep it order-independent; ONE double division at
+      // the output boundary (no per-term log, whose libm rounding
+      // differs across engines).
+      // Shape: one generator pass → bigram frame (materialized once,
+      // feeds the two corpus aggregates AND the per-doc join), two
+      // equi-joins on (bg | w1) — count frames, map-side combinable.
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        // projection barrier: explode must not re-evaluate tokens()
+        .select(col("doc_id"), explode(
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(0), size(col("tk")) - 2),
+              i => struct(element_at(col("tk"), i + 1).as("w1"),
+                concat_ws(" ", element_at(col("tk"), i + 1),
+                  element_at(col("tk"), i + 2)).as("bg"))))
+            .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        .localCheckpoint()
+      val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
+      val prefCounts = bg.groupBy("w1").agg(count(lit(1)).as("cnt_pref"))
+      bg.join(bgCounts, Seq("bg")).join(prefCounts, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("cnt_pref")).cast(DoubleType) / sum(col("cnt_bg")), 4)
+            .as("surprise"))
+        .orderBy("doc_id")
+    },
+
     "text_bpe" -> { (s, d) =>
       // BPE-style pretokenizer count: subword-ish pieces where a
       // leading space attaches to the following run (the GPT-2
@@ -166,6 +201,19 @@ object TextAnalysis {
       s"""SELECT doc_id, md5($normSql) AS fp,
          |  CAST(length($normSql) AS BIGINT) AS norm_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_surprise" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |bgc AS (SELECT bg, COUNT(*) AS cnt_bg FROM bg GROUP BY 1),
+         |pfc AS (SELECT w1, COUNT(*) AS cnt_pref FROM bg GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(cnt_pref) AS DOUBLE) / SUM(cnt_bg), 4) AS surprise
+         |FROM bg JOIN bgc USING (bg) JOIN pfc USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_bpe" ->
       s"""SELECT doc_id,
