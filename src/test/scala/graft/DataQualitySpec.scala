@@ -27,13 +27,23 @@ class DataQualitySpec extends SparkSpec {
     assert(v.getAs[String]("max_val") == "10.00")
   }
 
-  test("profile runs as ONE aggregation pass (single scan, no per-column jobs)") {
+  test("profile runs as exactly TWO aggregation passes and zero sorts") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val plan = DataQuality.profile(df).queryExecution.optimizedPlan
     val scans = plan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }
-    assert(scans.length == 1, s"expected 1 scan of the input, got ${scans.length}")
+    // one fold for counts/min/max + one Expand pass for the distincts —
+    // never a scan per column
+    assert(scans.length == 2, s"expected 2 scans of the input, got ${scans.length}")
+    // the split exists to keep string min/max buffers OUT of the
+    // expanded aggregate: fused, the SortAggregate fallback would SORT
+    // |rows|×(|cols|+1) expanded rows. (An empty-key SortAggregate on
+    // the fold side is fine — with no keys there is nothing to sort;
+    // the smell is a physical Sort node.)
+    val exec = DataQuality.profile(df).queryExecution.executedPlan
+    val sorts = exec.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"unexpected Sort in:\n$exec")
   }
 
   test("uniqueness flags duplicate keys with multiplicity") {
