@@ -50,18 +50,33 @@ object Percentiles {
     * Output: one row per group — (groupCol, n, q_<label>... one double
     * column per requested quantile, in `qs` order, named by caller).
     *
+    * `precomputedStats`, when given, replaces pass 1 entirely: a frame
+    * of (groupCol, n, vmin, vmax) — e.g. from a snapshot manifest that
+    * tracks value stats per partition ([[Snapshot.manifest]] with a
+    * `statsCol`), or from parquet footer metadata. The operator then
+    * scans the fact table TWICE instead of three times; results are
+    * identical (spec-proven). The stats must be exact for the same
+    * rows (null-value rows excluded, as pass 1 would) — quantiles pay
+    * for any drift with wrong bucket boundaries, so treat stale
+    * manifests as invalid here.
+    *
     * @param qs (outputColumnName, quantile in [0,1]) pairs
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame = {
+      qs: Seq[(String, Double)],
+      precomputedStats: Option[DataFrame] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
     val g = col(groupCol)
     val v = col(valueCol).cast(DoubleType)
     val rows = df.filter(v.isNotNull).select(g.as("__g"), v.as("__v"))
 
-    // pass 1: per-group count / min / max
-    val stats = rows.groupBy("__g").agg(
-      count(lit(1)).as("__n"), min("__v").as("__vmin"), max("__v").as("__vmax"))
+    // pass 1: per-group count / min / max — or the caller's metadata
+    val stats = precomputedStats match {
+      case Some(pre) => pre.select(col(groupCol).as("__g"), col("n").cast(LongType).as("__n"),
+        col("vmin").cast(DoubleType).as("__vmin"), col("vmax").cast(DoubleType).as("__vmax"))
+      case None => rows.groupBy("__g").agg(
+        count(lit(1)).as("__n"), min("__v").as("__vmin"), max("__v").as("__vmax"))
+    }
 
     // equi-width bucket of a value, given the group's min/max
     def bucketOf(value: Column): Column =

@@ -82,6 +82,21 @@ object Snapshot {
         max(key).as("max_key"),
         bit_xor(col("__fp64")).as("content_hash"))
 
+  /** Per-group VALUE-column stats sidecar — the quantile-bootstrap
+    * metadata a manifest build writes next to the content hashes:
+    * exact (group, n, vmin, vmax) with null values excluded, matching
+    * `Percentiles.exactQuantiles(precomputedStats = …)`'s contract
+    * exactly, so a stored snapshot answers exact per-group quantiles
+    * with TWO fact scans instead of three (pass 1 comes from this
+    * frame). One map-side-combined aggregate; build it in the same job
+    * as [[manifest]] and both ride one scan. */
+  def valueStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
+    df.filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), min(v).as("vmin"), max(v).as("vmax"))
+  }
+
   /** Incremental manifest maintenance — O(|delta|), no base rescan.
     *
     * XOR is its own inverse, so a partition's content hash moves from

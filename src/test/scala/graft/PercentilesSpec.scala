@@ -62,4 +62,26 @@ class PercentilesSpec extends SparkSpec {
     assert(withNulls.getLong(1) == ref.getLong(1))
     assert(math.abs(withNulls.getDouble(2) - ref.getDouble(4)) <= 1e-6)
   }
+
+  test("precomputed stats (manifest sidecar) replace pass 1 — same result, one scan fewer") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val stats = graft.operators.Snapshot.valueStats(df, "g", "v")
+    val direct = Percentiles.exactQuantiles(df, "g", "v", qs)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val boot = Percentiles.exactQuantiles(df, "g", "v", qs, Some(stats))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(direct == boot)
+    // the fact table is referenced once per remaining pass: 3 direct, 2 bootstrapped
+    def factScans(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.length
+    val statsMat = stats.cache()
+    statsMat.count()
+    try {
+      assert(factScans(Percentiles.exactQuantiles(df, "g", "v", qs, Some(statsMat)))
+        < factScans(Percentiles.exactQuantiles(df, "g", "v", qs)))
+    } finally { statsMat.unpersist(); () }
+  }
 }
