@@ -299,11 +299,41 @@ object Similarity {
     * iteration costs one narrow corpus pass + a k-row reduce — the
     * vectors themselves never shuffle. */
   def ivfTopK(emb: DataFrame, nCells: Int, k: Int, salt: Int = 1,
-      kmeansIters: Int = 0): DataFrame = {
-    val assigned = (
+      kmeansIters: Int = 0): DataFrame =
+    ivfTopKAssigned((
       if (kmeansIters > 0) ivfAssignTo(emb, kmeansCentroids(emb, nCells, kmeansIters))
       else ivfAssign(emb, nCells)
-    ).localCheckpoint()
+    ), k, salt)
+
+  /** [[ivfTopK]] against an EXPLICIT centroid set — the amortized
+    * path: k-means centroids are corpus statistics, so build them once
+    * ([[kmeansCentroids]]), persist them ([[saveCentroids]]), and let
+    * every later query batch skip straight to assignment. Identical to
+    * `ivfTopK(..., kmeansIters = n)` when `cents` came from the same
+    * k-means run (spec-proven through a save/load round trip). */
+  def ivfTopKFrom(emb: DataFrame, cents: Array[Array[Float]], k: Int,
+      salt: Int = 1): DataFrame =
+    ivfTopKAssigned(ivfAssignTo(emb, cents), k, salt)
+
+  /** Centroids → a 2-row-group parquet sidecar: (cell, embedding).
+    * Tiny (k × dim floats); lives next to the corpus the way a zone
+    * map lives next to a snapshot version. */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cell", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] sidecar, bit-exact. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("cell").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
+  private def ivfTopKAssigned(assignedRaw: DataFrame, k: Int, salt: Int): DataFrame = {
+    val assigned = assignedRaw.localCheckpoint()
     val a0 = assigned.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"), col("cell"))
     val b0 = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),

@@ -107,6 +107,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(Similarity.autoCells(Long.MaxValue) == 65536)
   }
 
+  test("persisted centroids: save/load round trip + amortized search parity") {
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, 4, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_cents").toString + "/c"
+    Similarity.saveCentroids(spark, cents, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded.length == cents.length)
+    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) }, "bit-exact round trip")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    // querying with the persisted centroids == rebuilding them inline
+    assert(canon(Similarity.ivfTopKFrom(df, loaded, 3)) ==
+      canon(Similarity.ivfTopK(df, 4, 3, kmeansIters = 3)))
+  }
+
   test("ivfTopKAuto equals ivfTopK at the auto-tuned cell count") {
     val df = (0L until 36L).map(i =>
       (i, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat))).toDF("vec_id", "embedding")
