@@ -258,6 +258,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("compact preserves z-order clustering and multi-dim pruning") {
+    val base = Files.createTempDirectory("graft_zcompact").toString
+    val rows = for (x <- 0 until 60; y <- 0 until 60)
+      yield (x.toLong * 60 + y, x.toLong, y.toLong)
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeZOrdered(rows.toDF("k", "x", "y").repartition(8), 1L, 32, Seq("x", "y"))
+    val (before, after) = store.compact(1L, targetBytes = 64L << 10)
+    assert(after < before, s"compaction should reduce files: $before -> $after")
+    // the narrow coalesce concatenates ADJACENT z-sorted files, so both
+    // dimensions keep pruning through the rebuilt zone map
+    val total = store.zoneMap(1L).get.count()
+    if (total > 2) {
+      assert(store.prunedFilesBy(1L, "x", 5L, 10L).get.size < total)
+      assert(store.prunedFilesBy(1L, "y", 5L, 10L).get.size < total)
+    }
+    // and the data survives exactly
+    val got = store.readWhereAll(1L, Seq(("x", 5L, 10L), ("y", 5L, 10L))).count()
+    assert(got == 36L)
+  }
+
   test("readWhereAll falls back to a correct full scan without stats") {
     val base = Files.createTempDirectory("graft_zstore2").toString
     val store = new SnapshotStore(spark, base, "k")
