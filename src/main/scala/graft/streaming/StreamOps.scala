@@ -127,6 +127,73 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  case class DayBar(event_type: String, day: Timestamp, n: Long,
+      sum_value: Double, filled: Boolean)
+  case class DayAgg(day: Long, n: Long, total: Double)
+  case class DailyState(lastFinal: Long, open: List[DayAgg])
+
+  /** Streaming twin of `Events.dailyFilled`: per event_type, one bar
+    * per CALENDAR day — including explicit zero bars for days with no
+    * events (`filled = true`), which a plain windowed aggregate can
+    * never emit (no row, no window). A monitoring pipeline alarms on
+    * "ingest went silent"; silence must be a row.
+    *
+    * A day's bar is final once the WATERMARK passes the day's end; the
+    * operator then emits every day from the last finalized one forward
+    * (zeros where state holds nothing), so bars arrive in order with
+    * no calendar holes, starting at the key's first observed day. An
+    * event-time timer re-fires at the next day boundary, so zero bars
+    * keep flowing while the watermark advances even if this key never
+    * sees another event. State per key = the open (within-watermark)
+    * days only — bounded by watermark delay / 1 day. */
+  def dailyBars(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[DayBar] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    def dayOf(ms: Long): Long = Math.floorDiv(ms, dayMs)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DailyState, DayBar](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (typ, rows, state: GroupState[DailyState]) =>
+          var st = state.getOption.getOrElse(DailyState(Long.MinValue, Nil))
+          val byDay = scala.collection.mutable.Map.empty[Long, DayAgg]
+          st.open.foreach(a => byDay(a.day) = a)
+          rows.foreach { e =>
+            val d = dayOf(e.ts.getTime)
+            // a day at or before lastFinal was already emitted — only a
+            // beyond-watermark straggler can land there; drop it, same
+            // as every watermarked operator
+            if (st.lastFinal == Long.MinValue || d > st.lastFinal) {
+              val cur = byDay.getOrElse(d, DayAgg(d, 0L, 0.0))
+              byDay(d) = DayAgg(d, cur.n + 1, cur.total + e.value)
+            }
+          }
+          if (st.lastFinal == Long.MinValue && byDay.nonEmpty)
+            st = st.copy(lastFinal = byDay.keys.min - 1)
+          // day D is final once the watermark passes (D+1)·dayMs
+          val finalUpTo = dayOf(state.getCurrentWatermarkMs()) - 1
+          val out = List.newBuilder[DayBar]
+          if (st.lastFinal != Long.MinValue) {
+            var d = st.lastFinal + 1
+            while (d <= finalUpTo) {
+              val a = byDay.remove(d).getOrElse(DayAgg(d, 0L, 0.0))
+              out += DayBar(typ, new Timestamp(d * dayMs), a.n, a.total, a.n == 0L)
+              d += 1
+            }
+            st = DailyState(math.max(st.lastFinal, finalUpTo),
+              byDay.values.toList.sortBy(_.day))
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastFinal + 2) * dayMs)
+          } else {
+            state.update(st.copy(open = byDay.values.toList.sortBy(_.day)))
+          }
+          out.result().iterator
+      }
+  }
+
   case class AnomalyFlag(event_id: Long, event_type: String, ts: Timestamp,
       value: Double, n_baseline: Long, mean: Double, variance: Double)
   case class Baseline(n: Long, mean: Double, m2: Double)

@@ -204,6 +204,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dailyBars emits explicit zero bars for silent days") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dayMs = 86400000L
+    val base = 19676L // day index of the ts() helper's epoch
+    def at(day: Long, hourMs: Long) = new Timestamp((base + day) * dayMs + hourMs)
+    val input = MemoryStream[Event]
+    val query = StreamOps.dailyBars(input.toDS()).writeStream
+      .format("memory").queryName("graft_bars").outputMode(OutputMode.Append()).start()
+    try {
+      // day0: two events; day1: SILENT; day2: one event;
+      // day3 event advances the watermark past day2's end
+      input.addData(
+        Event(1L, at(0, 3600000L), 1L, "m", 1.5),
+        Event(2L, at(0, 7200000L), 1L, "m", 2.5),
+        Event(3L, at(2, 3600000L), 1L, "m", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, at(3, 43200000L), 1L, "m", 9.0))
+      query.processAllAvailable()
+      val bars = spark.sql("SELECT * FROM graft_bars ORDER BY day").collect()
+        .map(r => (r.getTimestamp(1).getTime / dayMs - base,
+          r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      assert(bars.toSeq == Seq(
+        (0L, 2L, 4.0, false),
+        (1L, 0L, 0.0, true),   // the silent day IS a row
+        (2L, 1L, 4.0, false)))
+    } finally query.stop()
+  }
+
+  test("dailyBars zero bars keep flowing while the watermark advances on other keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dayMs = 86400000L
+    val base = 19676L
+    def at(day: Long, hourMs: Long) = new Timestamp((base + day) * dayMs + hourMs)
+    val input = MemoryStream[Event]
+    val query = StreamOps.dailyBars(input.toDS()).writeStream
+      .format("memory").queryName("graft_bars2").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1L, at(0, 3600000L), 1L, "dead", 1.0),
+        Event(2L, at(0, 3600000L), 1L, "live", 1.0))
+      query.processAllAvailable()
+      // only the live type gets events, three days later
+      input.addData(Event(3L, at(3, 43200000L), 1L, "live", 1.0))
+      query.processAllAvailable()
+      val dead = spark.sql(
+        "SELECT day, n, filled FROM graft_bars2 WHERE event_type = 'dead' ORDER BY day")
+        .collect().map(r => (r.getTimestamp(0).getTime / dayMs - base, r.getLong(1)))
+      // the dead type still reports day0 (real) and days 1-2 (zeros)
+      assert(dead.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L)))
+    } finally query.stop()
+  }
+
   private def runAnomaly(name: String, batches: Seq[Seq[Event]]): Set[Long] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
