@@ -458,6 +458,25 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_intersect" -> { (s, d) =>
+      // INTERSECT: customers active in BOTH eras. Plans as a distinct +
+      // left-semi join — the key set shuffles once per side.
+      val ord = Tables.orders(s, d)
+      val early = ord.filter(col("o_orderdate") < "1996-01-01").select("o_custkey")
+      val late = ord.filter(col("o_orderdate") >= "2000-01-01").select("o_custkey")
+      early.intersect(late).orderBy("o_custkey")
+    },
+
+    "q_except" -> { (s, d) =>
+      // EXCEPT: customers who placed urgent orders but never low-
+      // priority ones — distinct + left-anti join (cohort-difference
+      // shape).
+      val ord = Tables.orders(s, d)
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val low = ord.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+      urgent.except(low).orderBy("o_custkey")
+    },
+
     "q_ntile" -> { (s, d) =>
       // Quartile banding per segment (ntile window) + per-band
       // aggregates. Tie order pinned by (acctbal, custkey) so band
@@ -860,6 +879,18 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_ntile" ->
       """SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
