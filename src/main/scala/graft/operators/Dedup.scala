@@ -442,6 +442,33 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Edit-distance near-dup pairs over the DISTINCT values of a string
+    * column: (value_a, value_b, dist) with `levenshtein ≤ maxDist` and
+    * value_a < value_b. Two scale decisions:
+    *  - distinct-first: repeated values (product names, titles, spam
+    *    templates) collapse before any pairing, so the pair space is
+    *    bounded by the VOCABULARY, not the row count;
+    *  - length blocking via the binned range join: |len(a) − len(b)| >
+    *    maxDist implies distance > maxDist, so candidates come from
+    *    `RangeJoins.pointInInterval` on length (an equi-join on length
+    *    bins — never a full cross join), and the codegen'd
+    *    `levenshtein` runs only inside a block.
+    * Its bounded-alphabet worst case (everything the same length) is
+    * quadratic in DISTINCT values — the inherent cost of exact edit
+    * distance; MinHash/SimHash remain the unbounded-corpus paths. */
+  def editDistancePairs(df: DataFrame, column: String, maxDist: Int): DataFrame = {
+    val names = df.select(col(column).as("name")).filter(col("name").isNotNull).distinct()
+    val points = names.select(col("name").as("name_a"), length(col("name")).as("la"))
+    val intervals = names.select(col("name").as("name_b"),
+      (length(col("name")) - maxDist).as("lo"), (length(col("name")) + maxDist).as("hi"))
+    RangeJoins.pointInInterval(points, "la", intervals, "lo", "hi",
+        binWidth = maxDist + 1L)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, d) =>
       exactGroups(Tables.documents(s, d)).orderBy("text_hash")
@@ -482,6 +509,13 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    "dedup_editdist" -> { (s, d) =>
+      // Typo-level near-dups among distinct part names: vocabulary-
+      // bounded pair space + length blocking (see editDistancePairs).
+      editDistancePairs(Tables.part(s, d), "p_name", 2)
+        .orderBy("name_a", "name_b")
+    },
+
     "dedup_embcos_lsh" -> { (s, d) =>
       // Rows-only oracle (hyperplane signatures are Spark/JVM-side).
       // The scale path behind embCosPairs' broadcast cap: banded
@@ -492,6 +526,14 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_editdist" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

@@ -164,4 +164,24 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(hashes(1L), hashes(3L)) < hamming(hashes(1L), hashes(4L)))
   }
+
+  test("editDistancePairs: distinct-first, length-blocked, exact distances") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val df = Seq("kitten", "kitten", "sitten", "sittin", "mitten",
+      "completely-different", "kit").toDF("name")
+    val pairs = Dedup.editDistancePairs(df, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // repeated "kitten" collapses (no self-pair); kit↔kitten dist 3 excluded
+    assert(pairs == Set(
+      ("kitten", "sitten", 1L), ("sitten", "sittin", 1L), ("kitten", "sittin", 2L),
+      ("kitten", "mitten", 1L), ("mitten", "sitten", 1L), ("mitten", "sittin", 2L)))
+    // parity with the unblocked formulation (length blocking loses nothing)
+    val names = df.distinct()
+    val naive = names.select(col("name").as("a"))
+      .crossJoin(names.select(col("name").as("b")))
+      .filter(col("a") < col("b"))
+      .filter(levenshtein(col("a"), col("b")) <= 2)
+      .count()
+    assert(pairs.size.toLong == naive)
+  }
 }
