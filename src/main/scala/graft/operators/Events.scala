@@ -122,6 +122,23 @@ object Events {
         .orderBy("event_type", "day")
     },
 
+    "ev_cohort_matrix" -> { (s, d) =>
+      // Retention MATRIX (cohort day × days-since-first): how many of
+      // each cohort's users were still active N days later — the
+      // product-analytics triangle ev_retention's cohort sizes can't
+      // answer. Two aggregates: first-seen per user (one shuffle on
+      // user), then distinct users per (cohort, age) — the join is on
+      // user_id against the tiny first-seen frame.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(firstSeen, Seq("user_id"))
+        .withColumn("age_days", datediff(col("day"), col("cohort_day")).cast(LongType))
+        .groupBy("cohort_day", "age_days")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "age_days")
+    },
+
     "ev_sliding" -> { (s, d) =>
       // RANGE-frame window (vs the ROWS frames elsewhere): per event,
       // the count/sum of the SAME TYPE's events in the trailing hour of
@@ -262,6 +279,15 @@ object Events {
         |SELECT event_type, day, n, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value,
         |  ROUND(CAST((30 - d) * s1 + s2 AS DOUBLE) / (30 * m - m * (m - 1) / 2), 4) AS wma
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "ev_cohort_matrix" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS age_days,
+        |  COUNT(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_sliding" ->
       """SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,

@@ -458,6 +458,24 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_first_last" -> { (s, d) =>
+      // first_value / nth_value over a full-partition frame: per
+      // segment, the richest customer, the poorest, and the runner-up —
+      // frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING (the
+      // default stops at CURRENT ROW and nth/last would be wrong).
+      // One row per segment via a distinct after the window pass.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .withColumn("richest", first(col("c_name")).over(w))
+        .withColumn("runner_up", nth_value(col("c_name"), 2).over(w))
+        .withColumn("poorest", last(col("c_name")).over(w))
+        .select("c_mktsegment", "richest", "runner_up", "poorest")
+        .distinct()
+        .orderBy("c_mktsegment")
+    },
+
     "q_intersect" -> { (s, d) =>
       // INTERSECT: customers active in BOTH eras. Plans as a distinct +
       // left-semi join — the key set shuffles once per side.
@@ -879,6 +897,16 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT DISTINCT c_mktsegment,
+        |  FIRST_VALUE(c_name) OVER w AS richest,
+        |  NTH_VALUE(c_name, 2) OVER w AS runner_up,
+        |  LAST_VALUE(c_name) OVER w AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01'
