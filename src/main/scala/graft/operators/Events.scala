@@ -122,6 +122,31 @@ object Events {
         .orderBy("event_type", "day")
     },
 
+    "ev_funnel_steps" -> { (s, d) =>
+      // ORDERED multi-step funnel (click → view → purchase, each step
+      // within 7 days of the previous): each stage is one aggregate of
+      // the stage's events joined to the PREVIOUS stage's one-row-per-
+      // user frame on user_id (the equi key carries the shuffle; the
+      // time window is a join-condition filter). Stages chain, so a
+      // 5-step funnel is 5 joins — never a per-user event collect.
+      val winUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      def firstAfter(evType: String, prev: DataFrame, prevT: String, outT: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev.select(col("user_id"), col(prevT)), Seq("user_id"))
+          .filter(col("t") >= col(prevT) && col("t") <= col(prevT) + winUs)
+          .groupBy("user_id").agg(min(col("t")).as(outT))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val v = firstAfter("view", c, "t1", "t2")
+      val p = firstAfter("purchase", v, "t2", "t3")
+      def step(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+      step("1_click", c).unionByName(step("2_view", v)).unionByName(step("3_purchase", p))
+        .orderBy("step")
+    },
+
     "ev_cohort_matrix" -> { (s, d) =>
       // Retention MATRIX (cohort day × days-since-first): how many of
       // each cohort's users were still active N days later — the
@@ -279,6 +304,25 @@ object Events {
         |SELECT event_type, day, n, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value,
         |  ROUND(CAST((30 - d) * s1 + s2 AS DOUBLE) / (30 * m - m * (m - 1) / 2), 4) AS wma
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "ev_funnel_steps" ->
+      """WITH c AS (
+        |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |v AS (
+        |  SELECT e.user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN c.t1 AND c.t1 + 604800000000
+        |  WHERE event_type = 'view' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t3
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN v.t2 AND v.t2 + 604800000000
+        |  WHERE event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_click' AS step, (SELECT COUNT(*) FROM c) AS n_users
+        |UNION ALL SELECT '2_view', (SELECT COUNT(*) FROM v)
+        |UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p)
+        |ORDER BY step""".stripMargin,
 
     "ev_cohort_matrix" ->
       """WITH ev AS (
