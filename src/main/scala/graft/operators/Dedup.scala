@@ -70,26 +70,24 @@ object Dedup {
     sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
-  /** Near-dup candidate pairs with exact n-gram Jaccard ≥ `num/den`
-    * (threshold kept rational so the filter is integer arithmetic —
-    * no float boundary ambiguity). `maxDf` caps shingle document
-    * frequency before the candidate self-join ([[capShingleDf]]);
-    * pass Int.MaxValue for the uncapped measure. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
-      maxDf: Int = 100): DataFrame = {
-    // One materialized shingle index feeds the doc-size aggregate and
-    // BOTH self-join sides (computed once, not three times). The sides
-    // get disjoint column names: an aliased same-lineage self-join
-    // otherwise degrades to a nested-loop. Materialized via EAGER
-    // localCheckpoint rather than persist(): a persist() here could
-    // never be unpersisted (consumption is lazy, downstream of the
-    // returned plan), so repeated calls would pin executor storage for
-    // the session's lifetime. Checkpoint blocks are owned by the RDD,
-    // not the CacheManager, so the ContextCleaner frees them as soon as
-    // the returned plan is garbage-collected. At 100 TB swap for a
-    // bucketed-by-shingle table write — same plan shape, explicit
-    // lifecycle (and executor-loss tolerance, which localCheckpoint
-    // trades away).
+  /** Shared core of [[ngramJaccardPairs]] and [[containmentPairs]]:
+    * per candidate pair (doc_a < doc_b meeting through ≥1 shared
+    * shingle), the intersection size and both capped-set sizes.
+    *
+    * One materialized shingle index feeds the doc-size aggregate and
+    * BOTH self-join sides (computed once, not three times). The sides
+    * get disjoint column names: an aliased same-lineage self-join
+    * otherwise degrades to a nested-loop. Materialized via EAGER
+    * localCheckpoint rather than persist(): a persist() here could
+    * never be unpersisted (consumption is lazy, downstream of the
+    * returned plan), so repeated calls would pin executor storage for
+    * the session's lifetime. Checkpoint blocks are owned by the RDD,
+    * not the CacheManager, so the ContextCleaner frees them as soon as
+    * the returned plan is garbage-collected. At 100 TB swap for a
+    * bucketed-by-shingle table write — same plan shape, explicit
+    * lifecycle (and executor-loss tolerance, which localCheckpoint
+    * trades away). */
+  private def pairOverlapStats(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
     val sh = capShingleDf(docShingles(docs, k), maxDf).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -101,11 +99,41 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+  }
+
+  /** Near-dup candidate pairs with exact n-gram Jaccard ≥ `num/den`
+    * (threshold kept rational so the filter is integer arithmetic —
+    * no float boundary ambiguity). `maxDf` caps shingle document
+    * frequency before the candidate self-join ([[capShingleDf]]);
+    * pass Int.MaxValue for the uncapped measure. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
+      maxDf: Int = 100): DataFrame =
+    pairOverlapStats(docs, k, maxDf)
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(col("n_inter") * den >= col("n_union") * num)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
-  }
+
+  /** Containment near-dup pairs — the QUOTE/subset detector Jaccard
+    * structurally misses: a short document fully quoted inside a long
+    * one has Jaccard ≈ |A|/|B| (tiny when B is long) but containment
+    * C = |A∩B| / min(|A|,|B|) ≈ 1. The asymmetric measure is the
+    * standard companion to Jaccard in near-dup literature (Broder's
+    * containment): it catches page-within-page, quoted excerpts, and
+    * template-plus-payload duplication that a symmetric threshold
+    * passes through.
+    *
+    * Same candidate machinery as [[ngramJaccardPairs]] (shingle
+    * equi-join, df-capped, integer-rational threshold filter) — a pair
+    * only ever meets through a shared shingle, never a cross join, so
+    * the scale posture is identical. */
+  def containmentPairs(docs: DataFrame, k: Int, num: Int, den: Int,
+      maxDf: Int = 100): DataFrame =
+    pairOverlapStats(docs, k, maxDf)
+      .withColumn("n_min", least(col("n_a"), col("n_b")))
+      .filter(col("n_inter") * den >= col("n_min") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
+        round(col("n_inter").cast(DoubleType) / col("n_min"), 4).as("containment"))
 
   /** Persist the (doc_id, shingle) index as a table bucketed+sorted by
     * shingle — the write-once cost that makes the O(n²)-ish candidate
@@ -522,6 +550,14 @@ object Dedup {
       // hyperplane LSH candidates, exact cosine on candidates only.
       embCosPairsBucketed(Tables.embeddings(s, d), 0.45, 16, 4)
         .orderBy("vec_a", "vec_b")
+    },
+
+    "dedup_containment" -> { (s, d) =>
+      // One-sided containment ≥ 2/3 over word 3-shingles: catches the
+      // quoted-excerpt/subset pairs whose Jaccard stays under the
+      // dedup_ngram threshold because the longer doc inflates the union.
+      containmentPairs(Tables.documents(s, d), 3, 2, 3)
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -595,6 +631,31 @@ object Dedup {
         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
         |SELECT n AS doc_id, MIN(m) AS comp FROM reach
         |GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS u(s)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter, LEAST(sa.n_sh, sb.n_sh) AS n_min,
+        |  ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4) AS containment
+        |FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_inter * 3 >= LEAST(sa.n_sh, sb.n_sh) * 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embcos" ->
       """SELECT vec_a, vec_b, cos FROM (

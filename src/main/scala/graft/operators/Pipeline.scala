@@ -117,6 +117,33 @@ object Pipeline {
     docs.filter(bucket < rate)
   }
 
+  /** Benchmark decontamination — the pre-training gate that keeps
+    * evaluation data out of the training corpus: a training document is
+    * contaminated when it shares at least `minOverlap` word k-shingles
+    * with ANY document of the benchmark set. Returns (doc_id,
+    * n_overlap) for contaminated training docs, where n_overlap =
+    * |S_k(doc) ∩ S_k(benchmark corpus)| — the evidence count an audit
+    * needs, not just a flag.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT shingle
+    * SET before the join, so each training (doc, shingle) row matches
+    * at most once — join output is bounded by the training shingle
+    * count, never quadratic, and needs no df-cap (a boilerplate shingle
+    * appears once in the set). Benchmark suites are tiny relative to a
+    * 100 TB corpus (10⁴–10⁶ shingles), so the join plans as a broadcast
+    * under AQE; the training side is one narrow shingling flatMap + a
+    * map-side-combinable per-doc count. At production scale use k of
+    * 8–13 (the GPT-3/PaLM decontamination range) so common-phrase
+    * collisions vanish; the tiny test corpus uses k=3. */
+  def decontaminate(train: DataFrame, bench: DataFrame, k: Int, minOverlap: Int): DataFrame = {
+    val benchSet = Dedup.docShingles(bench, k).select("shingle").distinct()
+    Dedup.docShingles(train, k)
+      .join(benchSet, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Per-stratum token budgeting — "take the best documents of each
     * language until its token budget is spent", the mixture-shaping
     * step after cleaning. Docs are ranked inside their stratum by
@@ -203,6 +230,22 @@ object Pipeline {
       kept.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("lang")
+    },
+
+    "pipe_decontaminate" -> { (s, d) =>
+      // Benchmark modeled as the doc_id ≡ 2 (mod 17) slice of the
+      // corpus, training set as the rest: duplicated/near-duplicated
+      // content across the split (the corpus has exact-dup groups) is
+      // exactly the leak decontamination exists to catch. k=3 /
+      // minOverlap=5 for the tiny synthetic docs; production uses
+      // k=8–13.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 17 === 2)
+      val train = docs.filter(col("doc_id") % 17 =!= 2)
+      decontaminate(train, bench, 3, 5)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "n_overlap")
+        .orderBy("doc_id")
     }
   )
 
@@ -294,6 +337,25 @@ object Pipeline {
          |    FROM kept) t
          |  WHERE cum_tokens <= 2000)
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-         |FROM budgeted GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM budgeted GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS u(s)),
+        |bench AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 17 = 2),
+        |train AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 17 <> 2),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM train JOIN bench USING (s)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT d.doc_id, d.lang, n_overlap
+        |FROM ov JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

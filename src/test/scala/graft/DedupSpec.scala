@@ -27,6 +27,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs catches a quoted excerpt whose Jaccard is below threshold") {
+    // doc 6 = doc 5's opening fully quoted inside a much longer page:
+    // containment(6→5-part) = 1.0 but jaccard is diluted by the long tail
+    val quote = Seq(
+      (5L, "alpha beta gamma delta epsilon"),
+      (6L, "alpha beta gamma delta epsilon " +
+        "and then a very long unrelated continuation stretching the union " +
+        "with many extra tokens that share nothing with the short source text"),
+      (7L, "totally unrelated words nowhere near the others at all")
+    ).toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(quote, 3, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
+    assert(contained.map(t => (t._1, t._2)) == List((5L, 6L)))
+    assert(contained.head._3 == 1.0) // every shingle of 5 appears in 6
+    // the same pair stays BELOW the symmetric Jaccard threshold
+    val jacc = Dedup.ngramJaccardPairs(quote, 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((5L, 6L)))
+  }
+
   test("codegen minhash signature is bit-exact with the explode→groupBy shuffle path") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1).toList

@@ -21,6 +21,24 @@ class PipelineSpec extends SparkSpec {
     assert(report.size == 2)
   }
 
+  test("decontaminate flags benchmark leaks and only benchmark leaks") {
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the capital of france")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim leak of the benchmark question
+      (1L, "quiz answers what is the capital of france paris is the capital of france end"),
+      // shares a short phrase only — below minOverlap
+      (2L, "the capital of norway is oslo which is a coastal city"),
+      // nothing in common
+      (3L, "spark plans are optimized by catalyst before execution begins")
+    ).toDF("doc_id", "text")
+    val flagged = Pipeline.decontaminate(train, bench, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.keySet == Set(1L))
+    assert(flagged(1L) >= 5L)
+  }
+
   test("incrementalClean over SnapshotStore CDC equals a full reclean") {
     import java.nio.file.Files
     import graft.operators.SnapshotStore
