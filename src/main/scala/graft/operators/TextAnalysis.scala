@@ -88,6 +88,47 @@ object TextAnalysis {
       .toDF("doc_id", "labeled_lang", "pred_lang", "hits")
   }
 
+  /** PII-pattern scan — the pre-release redaction audit a corpus runs
+    * before publishing/training: per doc, non-overlapping match counts
+    * of email addresses, URLs, IPv4 literals, and long digit runs
+    * (phone/account-number shaped). Patterns are RE2-safe (no
+    * lookaround/backrefs) so Java regex and the DuckDB oracle scan
+    * identically. One narrow codegen'd projection — at 100 TB this is
+    * a map-only pass, typically fused with the quality gate's scan. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val counts = docs.select(
+      col("doc_id"),
+      regexp_count(t, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"))
+        .cast(LongType).as("n_emails"),
+      regexp_count(t, lit("https?://[^ ]+")).cast(LongType).as("n_urls"),
+      regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+        .cast(LongType).as("n_ipv4"),
+      regexp_count(t, lit("[0-9]{7,}")).cast(LongType).as("n_longnum"))
+    counts.withColumn("has_pii",
+      col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_longnum") > 0)
+  }
+
+  /** Top-k corpus terms per language (tokens of length ≥ `minLen`,
+    * ranked count DESC with token ASC tie-break) — the vocabulary
+    * inspection step of corpus analysis. Scale shape: the explode is
+    * one narrow generator pass; the (lang, token) count is map-side
+    * combinable (the shuffle carries per-partition partial counts, not
+    * token occurrences); and the `row_number ≤ k` filter over the
+    * count frame is rewritten to TopKPerKeyExec by the graft rule —
+    * bounded per-language heaps instead of a full per-language sort of
+    * the vocabulary. */
+  def topTerms(docs: DataFrame, minLen: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    docs.select(col("lang"), tokens(col("text")).as("tk"))
+      // projection barrier: explode must not re-evaluate tokens()
+      .select(col("lang"), explode(col("tk")).as("token"))
+      .filter(length(col("token")) >= minLen)
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
   /** Normalized-content fingerprint for cross-snapshot text dedup. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
@@ -159,6 +200,14 @@ object TextAnalysis {
         col("doc_id"),
         org.apache.spark.sql.graft.RollingHashFunctions.rollingHash(normText(col("text"))).as("rhash"))
         .orderBy("doc_id")
+    },
+
+    "text_pii" -> { (s, d) => piiScan(Tables.documents(s, d)).orderBy("doc_id") },
+
+    "text_topterms" -> { (s, d) =>
+      // Per-language top-8 terms of length ≥ 5 — count frame is
+      // map-side combined, top-k via the TopKPerKey rewrite.
+      topTerms(Tables.documents(s, d), 5, 8).orderBy("lang", "rk")
     }
   )
 
@@ -227,6 +276,30 @@ object TextAnalysis {
          |      list_transform(range(1, length($normSql) + 1),
          |        i -> CAST(ascii(substr($normSql, i, 1)) AS BIGINT))),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS rhash
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longnum,
+        |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |   + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_topterms" ->
+      s"""WITH tok AS (
+         |  SELECT lang, token FROM (SELECT lang, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)
+         |  WHERE length(token) >= 5),
+         |tc AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+         |SELECT lang, token, cnt, rk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rk
+         |  FROM tc) t
+         |WHERE rk <= 8 ORDER BY lang, rk""".stripMargin
   )
 }

@@ -32,6 +32,37 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(n == 6L)
   }
 
+  test("piiScan counts emails, urls, ipv4s, and long digit runs") {
+    val df = Seq(
+      (1L, "contact alice@example.com or bob@test.org via https://example.com/page now"),
+      (2L, "server at 10.0.0.1 rang 5551234567 twice"),
+      (3L, "nothing sensitive here just words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2L, 1L, 0L, 0L, true)))
+    assert(out(2L) == ((0L, 0L, 1L, 1L, true)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("topTerms ranks per language with deterministic ties and the TopKPerKey rewrite") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "en", "spark spark spark tungsten tungsten catalyst"),
+      (2L, "en", "catalyst barely"),
+      (3L, "de", "fahrrad fahrrad strasse")
+    ).toDF("doc_id", "lang", "text")
+    val top = TextAnalysis.topTerms(df, 5, 2)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey rewrite, got:\n$plan")
+    val rows = top.collect().map(r => (r.getString(0), r.getLong(3), r.getString(1), r.getLong(2))).toList
+      .sortBy(t => (t._1, t._2))
+    // en: spark(3), catalyst(2) — tungsten(2) loses the tie alphabetically
+    assert(rows == List(
+      ("de", 1L, "fahrrad", 2L), ("de", 2L, "strasse", 1L),
+      ("en", 1L, "spark", 3L), ("en", 2L, "catalyst", 2L)))
+  }
+
   test("langid picks the language with most stopword hits, ties alphabetical") {
     val df = Seq(
       (1L, "en", "the cat and the dog is in a house of cards"),
