@@ -312,6 +312,35 @@ object Snapshot {
       store.readKeyRange(1L, 600L, 1100L).orderBy("o_orderkey")
     },
 
+    "snap_merge_cow" -> { (s, d) =>
+      // Copy-on-write merge end-to-end: orders range-partitioned as
+      // v1; a delta (repriced keys ≡ 4 mod 13 + appended keys ≡ 7 mod
+      // 29 shifted past the key envelope) and deletes (keys ≡ 11 mod
+      // 31, not also updated) merge into v2 — only files whose key
+      // range the delta touches rewrite, the rest byte-copy with their
+      // zone-map rows carried over unscanned. The oracle rebuilds the
+      // merged state declaratively; the bucket aggregate over the FULL
+      // v2 read proves no row was lost, duplicated, or left stale.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_store_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L)) store.writeRangePartitioned(ord, 1L, 16)
+        val updates = ord.filter(col("o_orderkey") % 13 === 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = ord.filter(col("o_orderkey") % 29 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        val dels = ord
+          .filter(col("o_orderkey") % 31 === 11 && col("o_orderkey") % 13 =!= 4)
+          .select("o_orderkey")
+        store.mergeDelta(1L, 2L, updates.unionByName(inserts), Some(dels))
+      }
+      store.read(2L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -425,6 +454,26 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_merge_cow" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 29 = 7),
+        |dels AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 31 = 11 AND o_orderkey % 13 <> 4),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        |  UNION ALL
+        |  SELECT * FROM delta)
+        |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_restore_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders

@@ -281,6 +281,100 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     Snapshot.validateCopy(src, dst, partCols, col(keyCol), fp)
   }
 
+  /** Copy-on-write merge — publish `toVersion` by merging an upsert
+    * `delta` (full-schema rows, replace-by-key) and optional
+    * `deleteKeys` into a range-partitioned `fromVersion`, REWRITING
+    * ONLY the files whose key range the delta actually touches.
+    * Untouched files are copied byte-identical (same basename) into the
+    * new version dir and their zone-map rows carry over with just the
+    * path prefix remapped — no rescan. At 100 TB this is the difference
+    * between "daily merge rewrites the lake" and "daily merge rewrites
+    * the 0.1% of files the delta's keys land in": a full
+    * [[Snapshot.mergeUpsert]]+write costs O(|base|) I/O every day,
+    * this costs O(|touched files| + |delta|).
+    *
+    * Mechanics:
+    *  1. touched = files whose zone-map [min,max] contains any
+    *     upserted/deleted key — ONE pass over the (small) key set
+    *     range-joined against the broadcast zone map;
+    *  2. rewritten content = touched files' rows minus replaced/deleted
+    *     keys, plus the delta upserts (minus deletes) — delta keys
+    *     landing outside every existing file range (appends) are
+    *     written here too;
+    *  3. publish: Spark writes the rewritten subset to a `.tmp-` dir,
+    *     untouched files are byte-copied in, one atomic rename makes
+    *     it `v=<toVersion>` (crash mid-copy leaves only an unlisted
+    *     `.tmp-` dir — same guarantee as [[write]]);
+    *  4. zone map: untouched rows carried over (path remapped), ONLY
+    *     the new files are scanned for stats — incremental maintenance
+    *     in O(|rewritten|).
+    *
+    * Returns (filesCopied, filesRewritten). */
+  def mergeDelta(fromVersion: Long, toVersion: Long, delta: DataFrame,
+      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4): (Int, Int) = {
+    val zm = zoneMap(fromVersion).getOrElse(throw new IllegalStateException(
+      s"mergeDelta needs a zone map on version $fromVersion (use writeRangePartitioned)"))
+      .localCheckpoint()
+    val statsCols = zm.columns.toSeq
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    // every key the merge touches: upserted + deleted, deduped
+    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _).distinct()
+      .localCheckpoint()
+    // file is touched iff its key envelope contains a touched key: the
+    // zone map is |files| rows — broadcast it into a range join over
+    // the key set, one narrow pass, collect only file paths
+    val touched = touchKeys.join(broadcast(zm),
+        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val srcDir = new Path(dir(fromVersion))
+    val allParts = fs.listStatus(srcDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    // zone-map paths are input_file_name URIs; compare by basename
+    val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val (touchedParts, untouchedParts) = allParts.partition(p => touchedNames(p.getName))
+    val survivors =
+      if (touchedParts.isEmpty) delta.limit(0)
+      else spark.read.parquet(touchedParts.map(_.toString).toIndexedSeq: _*)
+        .join(touchKeys, Seq(keyCol), "left_anti")
+    val upserts = delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti"))
+    val rewritten = survivors.unionByName(upserts)
+      .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
+    // publish: spark writes the rewritten files (+_SUCCESS) to tmp,
+    // untouched bytes copy in beside them, one rename goes live
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    val newNames = fs.listStatus(tmp).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouchedParts.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    val dest = new Path(dir(toVersion))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"mergeDelta publish failed: rename $tmp -> $dest")
+    // incremental zone map: untouched rows carry over with the version
+    // prefix remapped; only the new files are scanned
+    val carried = zm.filter(!col("file").isin(touched.toSeq: _*))
+      .withColumn("file",
+        regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+    val newFiles = newNames.map(n => new Path(dest, n).toString).toSeq
+    val aggs = Seq(
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+      count(lit(1)).as("n_rows")) ++
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val withNew =
+      if (newFiles.isEmpty) carried
+      else carried.unionByName(
+        spark.read.parquet(newFiles: _*)
+          .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
+          .groupBy("file")
+          .agg(aggs.head, aggs.tail: _*))
+    withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    (untouchedParts.length, newNames.size)
+  }
+
   /** Row-level change classification between two versions:
     * `insert` (key only in `to`), `delete` (key only in `from`),
     * `update` (key in both, content fingerprint differs).

@@ -105,6 +105,50 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(afterCompact == full)
   }
 
+  test("mergeDelta rewrites only touched files, carries zone map, merges exactly") {
+    val base = Files.createTempDirectory("graft_store_cow").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 2000L).map(i => (i, s"row_$i", i * 1.5)).toDF("k", "s", "v")
+    store.writeRangePartitioned(df, 1L, 10, statsCols = Seq("v"))
+    val v1Names = store.zoneMap(1L).get.collect()
+      .map(r => r.getAs[String]("file").split('/').last).toSet
+
+    // delta confined to keys 100..120 (one or two files) + appends past
+    // the envelope; deletes hit the same neighborhood
+    val delta = ((100L to 120L).map(i => (i, s"upd_$i", i * 2.0)) ++
+      (3001L to 3010L).map(i => (i, s"new_$i", i * 2.0))).toDF("k", "s", "v")
+    val dels = Seq(125L, 130L).toDF("k")
+    val (copied, rewrittenN) = store.mergeDelta(1L, 2L, delta, Some(dels))
+
+    // most files byte-copied: same basenames live in v=2
+    val v2Names = store.zoneMap(2L).get.collect()
+      .map(r => r.getAs[String]("file").split('/').last).toSet
+    assert(copied >= 8, s"expected >=8 untouched files, copied=$copied")
+    assert(rewrittenN >= 1)
+    assert((v1Names intersect v2Names).size == copied)
+
+    // merged content is exactly base minus deletes/replaced plus delta
+    val expected = df.join(delta.select("k").union(dels), Seq("k"), "left_anti")
+      .unionByName(delta).collect().map(_.toSeq).toSet
+    assert(store.read(2L).collect().map(_.toSeq).toSet == expected)
+
+    // carried zone map still prunes correctly on key AND the stats col
+    val viaZone = store.readKeyRange(2L, 300L, 400L).collect().map(_.toSeq).toSet
+    val full = store.read(2L).filter(col("k").between(300L, 400L)).collect().map(_.toSeq).toSet
+    assert(viaZone == full)
+    val pruned = store.prunedFiles(2L, 300L, 400L).get
+    assert(pruned.nonEmpty && pruned.size < v2Names.size)
+    val viaStats = store.readWhere(2L, "v", 450.0, 600.0).collect().map(_.toSeq).toSet
+    assert(viaStats == store.read(2L).filter(col("v").between(450.0, 600.0))
+      .collect().map(_.toSeq).toSet)
+
+    // empty delta: every file copies, nothing rewritten, content equal
+    val (c3, _) = store.mergeDelta(2L, 3L, delta.limit(0), None)
+    assert(c3 == store.zoneMap(2L).get.count())
+    assert(store.read(3L).collect().map(_.toSeq).toSet ==
+      store.read(2L).collect().map(_.toSeq).toSet)
+  }
+
   test("restoreAndValidate reports ok on a clean copy and flags tampering") {
     import graft.functions.Fx
     val base = Files.createTempDirectory("graft_store_restore").toString
