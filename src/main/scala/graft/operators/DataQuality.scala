@@ -169,9 +169,37 @@ object DataQuality {
             / col("share_base")), 6))
   }
 
+  /** Equi-width histogram of a numeric column — the distribution view
+    * [[profile]]'s scalar min/max can't give (skew, modes, outlier
+    * mass). Two passes: a one-row global [lo, hi] aggregate (at 100 TB
+    * this bound comes free from manifest/zone-map stats — the same
+    * injection contract Percentiles' pass 1 uses), then ONE
+    * map-side-combinable bin-count aggregate; the shuffle carries
+    * ≤ nBins rows. Bin index is plain IEEE double math written
+    * token-identically in the oracle, so boundaries are
+    * engine-identical; the max value closes into the last bin. */
+  def histogram(df: DataFrame, column: String, nBins: Int): DataFrame = {
+    val c = col(column).cast(DoubleType)
+    val b = df.agg(min(c).as("lo"), max(c).as("hi")).head()
+    require(!b.isNullAt(0), s"histogram($column): column is all-null")
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val bin =
+      if (hi <= lo) lit(0L) // constant column: one bin
+      else least(floor((c - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)).cast(LongType),
+        lit(nBins - 1L))
+    df.filter(col(column).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(c), 2).as("min_v"), round(max(c), 2).as("max_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> { (s, d) =>
       profile(Tables.orders(s, d)).orderBy("column")
+    },
+
+    "dq_histogram" -> { (s, d) =>
+      histogram(Tables.lineitem(s, d), "l_extendedprice", 20).orderBy("bin")
     },
 
     "dq_unique" -> { (s, d) =>
@@ -238,6 +266,19 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+        |         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+        |  FROM lineitem)
+        |SELECT LEAST(CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo)) AS BIGINT), 19) AS bin,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_v,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_v
+        |FROM lineitem, b
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "dq_profile" -> {
       // mirror of canonStat: BIGINT/VARCHAR plain, DOUBLE via
       // DECIMAL(12,2), TIMESTAMP via epoch_us

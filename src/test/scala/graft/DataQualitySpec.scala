@@ -46,6 +46,18 @@ class DataQualitySpec extends SparkSpec {
     assert(sorts.isEmpty, s"unexpected Sort in:\n$exec")
   }
 
+  test("histogram bins with closed top edge; constant column degrades to one bin") {
+    val df = Seq(0.0, 2.5, 4.9, 5.0, 7.5, 10.0).toDF("x")
+    // lo=0, hi=10, 4 bins of width 2.5: {0.0}, {2.5, 4.9}, {5.0},
+    // {7.5, 10.0} — the max value 10.0 closes into bin 3
+    val bins = DataQuality.histogram(df, "x", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val const = Seq(7.0, 7.0, 7.0).toDF("x")
+    val one = DataQuality.histogram(const, "x", 4).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 0L && one.head.getLong(1) == 3L)
+  }
+
   test("uniqueness flags duplicate keys with multiplicity") {
     val clean = Seq((1L, "x"), (2L, "y")).toDF("k", "p")
     val dirty = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w")).toDF("k", "p")
