@@ -458,6 +458,34 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_corr" -> { (s, d) =>
+      // Correlation + least-squares regression of extended price on
+      // quantity per return flag — the stats-aggregate family (corr /
+      // covar / regr_slope) WITHOUT the engine's float aggregates:
+      // built-in corr() folds doubles in partition order, so its last
+      // bits depend on the split. Here every sufficient statistic
+      // (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT decimal sum — order-
+      // independent, map-side combinable, one hash aggregate — and the
+      // float math runs once per GROUP at the output boundary, written
+      // token-identically in the oracle.
+      val x = decM(col("l_quantity"))
+      val y = decM(col("l_extendedprice"))
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      val n = col("n").cast(DoubleType)
+      val Seq(sx, sy, sxy, sxx, syy) =
+        Seq("__sx", "__sy", "__sxy", "__sxx", "__syy").map(col(_).cast(DoubleType))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      agg.select(col("l_returnflag"), col("n"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_xy"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+
     "q_first_last" -> { (s, d) =>
       // first_value / nth_value over a full-partition frame: per
       // segment, the richest customer, the poorest, and the runner-up —
@@ -897,6 +925,23 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_corr" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_xy,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM agg ORDER BY l_returnflag""".stripMargin,
 
     "q_first_last" ->
       """SELECT DISTINCT c_mktsegment,
