@@ -119,6 +119,41 @@ object StreamOps {
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Continuous backup maintenance — the streaming twin of
+    * [[graft.operators.SnapshotStore.mergeDelta]]: every micro-batch of
+    * CDC rows (`change_type` ∈ insert/update/delete, full row content)
+    * merges COPY-ON-WRITE into the store, publishing one snapshot
+    * version per batch. Only the files the batch's keys touch are
+    * rewritten; untouched files byte-copy with their zone-map rows
+    * carried — a steady CDC trickle costs O(touched + batch) per
+    * batch, never O(base), with the same atomic-rename publish as the
+    * batch path.
+    *
+    * Version ids are `baseVersion + batchId + 1`, so a RETRIED batch
+    * (foreachBatch may replay after failure) rebuilds exactly its own
+    * version from the same parent — idempotent, no version skew. The
+    * store must already hold `baseVersion` written range-partitioned
+    * (the zone map drives touched-file detection). Returns the started
+    * query. */
+  def continuousMerge(changes: DataFrame, store: graft.operators.SnapshotStore,
+      keyCol: String, checkpointDir: String,
+      changeTypeCol: String = "change_type"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = store.latestVersion().getOrElse(throw new IllegalStateException(
+      "continuousMerge needs a base snapshot (writeRangePartitioned) in the store"))
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val to = base + batchId + 1
+        val ups = batch.filter(col(changeTypeCol).isin("insert", "update"))
+          .drop(changeTypeCol)
+        val dels = batch.filter(col(changeTypeCol) === "delete").select(keyCol)
+        store.mergeDelta(to - 1, to, ups, Some(dels))
+        ()
+      }
+      .start()
+  }
+
   /** Tumbling event-time window aggregate — streaming twin of
     * `ev_tumbling` (1-day windows, per event type). */
   def tumblingCounts(events: DataFrame, window_ : String = "1 day"): DataFrame =

@@ -37,6 +37,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("continuousMerge publishes one copy-on-write version per CDC batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_cmerge").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 500L).map(i => (i, s"row_$i")).toDF("k", "s")
+    store.writeRangePartitioned(df, 1L, 8)
+
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDS().toDF("k", "s", "change_type")
+    val ckpt = Files.createTempDirectory("graft_cmerge_ckpt").toString
+    val query = StreamOps.continuousMerge(changes, store, "k", ckpt)
+    try {
+      // batch 0: update key 5, insert 1001
+      input.addData((5L, "upd_5", "update"), (1001L, "new_1001", "insert"))
+      query.processAllAvailable()
+      assert(store.versions().contains(2L))
+      val v2 = store.read(2L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2(5L) == "upd_5" && v2(1001L) == "new_1001" && v2.size == 501)
+
+      // batch 1: delete key 7 — chained off v2, not the base
+      input.addData((7L, "", "delete"))
+      query.processAllAvailable()
+      val v3 = store.read(3L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!v3.contains(7L) && v3(5L) == "upd_5" && v3.size == 500)
+
+      // the chain stayed copy-on-write: v3 still shares untouched
+      // basenames with v1, and its zone map prunes correctly
+      val v1Names = store.zoneMap(1L).get.collect()
+        .map(_.getAs[String]("file").split('/').last).toSet
+      val v3Names = store.zoneMap(3L).get.collect()
+        .map(_.getAs[String]("file").split('/').last).toSet
+      assert((v1Names intersect v3Names).size >= 5)
+      val ranged = store.readKeyRange(3L, 100L, 200L).collect().map(_.getLong(0)).toSet
+      assert(ranged == (100L to 200L).toSet)
+    } finally query.stop()
+  }
+
   test("late within-watermark event extends session start backward") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
