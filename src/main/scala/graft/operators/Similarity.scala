@@ -179,6 +179,26 @@ object Similarity {
       math.sqrt(s)
     }
 
+  /** L2 twin of [[nearestCell]]: argmin squared distance of `cents`
+    * against the block of `e` starting at `off` (ties → lowest index).
+    * The offset form lets PQ encode against a subspace codebook
+    * without slicing a new array per row. */
+  private def nearestCellL2(cents: Array[Array[Float]], e: Array[Float], off: Int): Int = {
+    var best = Double.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val v = cents(c)
+      var s = 0.0; var j = 0
+      while (j < v.length) {
+        val d = e(off + j).toDouble - v(j).toDouble; s += d * d; j += 1
+      }
+      if (s < best) { best = s; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
   /** Lloyd's k-means refinement of IVF centroids, Spark-shaped: each
     * iteration is one narrow mapPartitions emitting per-partition
     * partial (cell, count, sum) triples — k small rows per task, the
@@ -187,7 +207,17 @@ object Similarity {
     * are never shuffled and the driver only ever holds k×dim floats.
     * Seeds are the first k corpus vectors (deterministic); an empty
     * cell keeps its previous centroid. */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] =
+    lloyd(emb, k, iters, (cs, ns, e) => nearestCell(cs, ns, e))
+
+  /** [[kmeansCentroids]] under squared-L2 assignment — the metric PQ
+    * codebooks are built with (on L2-normalized vectors the induced
+    * neighbor ranking matches cosine). */
+  def kmeansCentroidsL2(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] =
+    lloyd(emb, k, iters, (cs, _, e) => nearestCellL2(cs, e, 0))
+
+  private def lloyd(emb: DataFrame, k: Int, iters: Int,
+      assign: (Array[Array[Float]], Array[Double], Array[Float]) => Int): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
@@ -200,7 +230,7 @@ object Similarity {
         val sums = Array.fill(cs.length)(new Array[Double](dim))
         val counts = new Array[Long](cs.length)
         it.foreach { case (_, e) =>
-          val c = nearestCell(cs, ns, e)
+          val c = assign(cs, ns, e)
           counts(c) += 1
           var i = 0
           while (i < dim) { sums(c)(i) += e(i).toDouble; i += 1 }
@@ -354,6 +384,109 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
+  // ---- Product quantization (PQ) ----
+
+  /** Train PQ codebooks: the dim-D vector splits into `m` contiguous
+    * subspaces of D/m dims; each subspace gets `ksub` L2 k-means
+    * centroids ([[kmeansCentroidsL2]] over the sliced corpus — m small
+    * runs, each a few narrow passes + a ksub-row reduce; a production
+    * build trains on a corpus sample, the codebooks are statistics
+    * like IVF centroids and persist the same way). */
+  def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
+    require(ksub <= 128, "pq codes are stored as bytes")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      kmeansCentroidsL2(
+        emb.select(col("vec_id"), slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** PQ-encode the corpus: per vector, `m` one-byte codes — the
+    * nearest subspace centroid per block. dim-64 floats (256 B) become
+    * m=8 bytes, a 32× compression: the footprint move that lets a
+    * 100 TB corpus's search index fit where raw vectors can't. One
+    * narrow typed map against the broadcast codebooks. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val bks = bc.value
+        val sub = e.length / bks.length
+        val codes = new Array[Byte](bks.length)
+        var j = 0
+        while (j < bks.length) {
+          codes(j) = nearestCellL2(bks(j), e, j * sub).toByte; j += 1
+        }
+        (id, codes)
+      }.toDF("vec_id", "codes")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries keep full vectors,
+    * the corpus is its codes. Per query a lookup table of
+    * m × ksub partial squared distances is built once per partition;
+    * each code row then costs m array reads + adds. Inside the
+    * partition a bounded per-query heap keeps only the k best, so the
+    * shuffle to the final per-query merge window carries
+    * |partitions| × |queries| × k candidate rows — never the corpus.
+    * Approximate by construction (quantization error); recall vs the
+    * exact baseline is spec-measured. */
+  def pqTopK(queries: DataFrame, codes: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val bcB = spark.sparkContext.broadcast(books)
+    val cand = codes.select(col("vec_id").cast("long"), col("codes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (q, bks) = (bcQ.value, bcB.value)
+        val m = bks.length
+        val luts = q.map { case (_, e) =>
+          val sub = e.length / m
+          Array.tabulate(m)(j => Array.tabulate(bks(j).length) { c =>
+            val v = bks(j)(c)
+            var s = 0.0; var t = 0
+            while (t < sub) {
+              val d = e(j * sub + t).toDouble - v(t).toDouble; s += d * d; t += 1
+            }
+            s
+          })
+        }
+        val ord = implicitly[Ordering[(Double, Long)]]
+        // max-heap per query: the head is the current worst keeper
+        val heaps = Array.fill(q.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (id, cs) =>
+          var qi = 0
+          while (qi < q.length) {
+            if (q(qi)._1 != id) {
+              val lut = luts(qi)
+              var s = 0.0; var j = 0
+              while (j < m) { s += lut(j)(cs(j) & 0xff); j += 1 }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, id))
+              else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (dist, id) => (q(qi)._1, id, dist) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rk"))
+  }
+
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —
     * balances |cells| probe cost against |n/cells| within-cell scan,
     * both ~√n at the optimum), clamped so tiny corpora don't degenerate
@@ -393,6 +526,16 @@ object Similarity {
       // Cell count auto-tuned (~√n) from the corpus; two Lloyd's
       // iterations refine the first-N seed centroids.
       ivfTopKAuto(Tables.embeddings(s, d), 5, kmeansIters = 2).orderBy("query_id", "rk")
+    },
+
+    "ann_pq" -> { (s, d) =>
+      // Rows-only oracle (codes/codebooks are Spark-internal
+      // artifacts). dim-64 → 8 subspaces × 16 centroids: 8-byte codes,
+      // ADC search over the compressed corpus.
+      val emb = Tables.embeddings(s, d)
+      val books = pqTrain(emb, 8, 16, 2)
+      pqTopK(emb.filter(col("vec_id") < 50), pqEncode(emb, books), books, 5)
+        .orderBy("query_id", "rk")
     }
   )
 

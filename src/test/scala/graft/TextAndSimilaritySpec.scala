@@ -32,6 +32,36 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(n == 6L)
   }
 
+  test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
+    import graft.operators.Similarity
+    // 4 well-separated clusters in 16 dims: cluster c peaks in dims
+    // [4c, 4c+4); members jitter deterministically. ids 0..39 so the
+    // k-means first-N seeding sees every cluster.
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(emb, 4, 8, 3)
+    assert(books.length == 4 && books.forall(_.length == 8))
+
+    val codes = Similarity.pqEncode(emb, books)
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(byId.values.forall(_.length == 4))
+    // same-cluster twins (i and i+12 share cluster and jitter phase)
+    assert(byId(0L).toSeq == byId(12L).toSeq)
+
+    // top-3 neighbors of every query live in the query's own cluster
+    val top = Similarity.pqTopK(emb.filter(col("vec_id") < 8), codes, books, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    val wrongCluster = top.filter { case (q, n) => q % 4 != n % 4 }
+    assert(wrongCluster.isEmpty, s"cross-cluster neighbors: ${wrongCluster.toList}")
+  }
+
   test("piiScan counts emails, urls, ipv4s, and long digit runs") {
     val df = Seq(
       (1L, "contact alice@example.com or bob@test.org via https://example.com/page now"),
