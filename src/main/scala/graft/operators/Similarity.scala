@@ -210,18 +210,15 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] =
     lloyd(emb, k, iters, (cs, ns, e) => nearestCell(cs, ns, e))
 
-  /** [[kmeansCentroids]] under squared-L2 assignment — the metric PQ
-    * codebooks are built with (on L2-normalized vectors the induced
-    * neighbor ranking matches cosine). */
-  def kmeansCentroidsL2(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] =
-    lloyd(emb, k, iters, (cs, _, e) => nearestCellL2(cs, e, 0))
-
   private def lloyd(emb: DataFrame, k: Int, iters: Int,
       assign: (Array[Array[Float]], Array[Double], Array[Float]) => Int): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-    var cents = rows.filter(r => r._1 < k).collect().sortBy(_._1).map(_._2)
+    // seeds: the k lowest-id vectors (distributed TakeOrdered, k rows
+    // to the driver) — equals "ids < k" on dense-id corpora but also
+    // works on samples/sparse ids
+    var cents = rows.orderBy("vec_id").limit(k).collect().sortBy(_._1).map(_._2)
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast((cents, norms(cents)))
       val updated = rows.mapPartitions { it =>
@@ -386,22 +383,60 @@ object Similarity {
 
   // ---- Product quantization (PQ) ----
 
-  /** Train PQ codebooks: the dim-D vector splits into `m` contiguous
-    * subspaces of D/m dims; each subspace gets `ksub` L2 k-means
-    * centroids ([[kmeansCentroidsL2]] over the sliced corpus — m small
-    * runs, each a few narrow passes + a ksub-row reduce; a production
-    * build trains on a corpus sample, the codebooks are statistics
-    * like IVF centroids and persist the same way). */
+  /** Train PQ codebooks — FUSED Lloyd: the dim-D vector splits into
+    * `m` contiguous subspaces of D/m dims with `ksub` L2 k-means
+    * centroids each, and ALL m subspaces update in the SAME corpus
+    * pass (one narrow mapPartitions per iteration emitting m × ksub
+    * partial (count, sum) cells, reduced by flat cell id — a tiny
+    * shuffle, the vectors never move). Training costs `iters` corpus
+    * scans total, not m × iters jobs. Codebooks are corpus statistics
+    * like IVF centroids: train on a sample in production and persist
+    * them the same way. Seeds = the ksub lowest-id vectors, sliced. */
   def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
     require(ksub <= 128, "pq codes are stored as bytes")
     val sub = dim / m
-    Array.tabulate(m) { j =>
-      kmeansCentroidsL2(
-        emb.select(col("vec_id"), slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        ksub, iters)
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    val seeds = rows.orderBy("vec_id").limit(ksub).collect().sortBy(_._1).map(_._2)
+    require(seeds.length == ksub, s"pqTrain: corpus has ${seeds.length} < ksub=$ksub vectors")
+    var books = Array.tabulate(m)(j =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val updated = rows.mapPartitions { it =>
+        val bks = bc.value
+        val (mm, kk, ss) = (bks.length, bks(0).length, bks(0)(0).length)
+        val counts = new Array[Long](mm * kk)
+        val sums = Array.fill(mm * kk)(new Array[Double](ss))
+        it.foreach { case (_, e) =>
+          var j = 0
+          while (j < mm) {
+            val cell = j * kk + nearestCellL2(bks(j), e, j * ss)
+            counts(cell) += 1
+            var t = 0
+            while (t < ss) { sums(cell)(t) += e(j * ss + t).toDouble; t += 1 }
+            j += 1
+          }
+        }
+        Iterator.range(0, counts.length).filter(counts(_) > 0)
+          .map(cell => (cell, counts(cell), sums(cell)))
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](a._3.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._3(i) + b._3(i); i += 1 }
+          (a._1, a._2 + b._2, s)
+        }
+        .map { case (cell, (_, n, s)) => (cell, s.map(x => (x / n).toFloat)) }
+        .collect().toMap
+      books = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+        updated.getOrElse(j * ksub + c, books(j)(c))))
     }
+    books
   }
 
   /** PQ-encode the corpus: per vector, `m` one-byte codes — the
@@ -531,9 +566,13 @@ object Similarity {
     "ann_pq" -> { (s, d) =>
       // Rows-only oracle (codes/codebooks are Spark-internal
       // artifacts). dim-64 → 8 subspaces × 16 centroids: 8-byte codes,
-      // ADC search over the compressed corpus.
+      // ADC search over the compressed corpus. Codebooks train on a
+      // deterministic 25% sample — the standard PQ practice (codebooks
+      // are corpus statistics; the m × iters training passes then scan
+      // a fraction of the corpus, and at 100 TB a sample is the only
+      // sane training set).
       val emb = Tables.embeddings(s, d)
-      val books = pqTrain(emb, 8, 16, 2)
+      val books = pqTrain(emb.filter(col("vec_id") % 4 === 0), 8, 16, 2)
       pqTopK(emb.filter(col("vec_id") < 50), pqEncode(emb, books), books, 5)
         .orderBy("query_id", "rk")
     }
