@@ -55,7 +55,29 @@ object Events {
       .withColumn("sv", coalesce(col("sv_raw"), lit(0)).cast(DecimalType(14, 4)))
   }
 
+  /** Per-user event-type TRANSITION matrix (the first-order Markov
+    * view of user journeys): for every consecutive event pair within a
+    * user's (ts, event_id) order, count (from_type → to_type) and each
+    * target's share of its source's outgoing transitions. One shuffle
+    * on user_id for the lead window; the transition count is map-side
+    * combinable; the share normalizes over the tiny |types|² frame. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("share",
+      round(col("n").cast(DoubleType)
+        / sum(col("n")).over(Window.partitionBy("from_type")), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_transitions" -> { (s, d) =>
+      transitions(Tables.events(s, d)).orderBy("from_type", "to_type")
+    },
+
     "ev_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
@@ -249,6 +271,18 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_transitions" ->
+      """WITH trans AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS share
+        |FROM counts ORDER BY from_type, to_type""".stripMargin,
+
     "ev_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  COUNT(*) AS n,

@@ -163,6 +163,23 @@ object Pipeline {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Sequence packing — the data-loader step that concatenates cleaned
+    * docs into fixed token-budget training sequences: docs pack in
+    * deterministic doc_id order per stratum, and a doc belongs to the
+    * sequence its FIRST token lands in (greedy sequential chunking —
+    * stable under appends and reproducible across engines and
+    * partitionings, unlike bin-packing heuristics whose output depends
+    * on visit order). seq_id = (running token total before the doc)
+    * DIV seqTokens — pure integer math, one running-sum window per
+    * stratum, no per-group buffering. */
+  def packSequences(cleaned: DataFrame, stratumCol: String, seqTokens: Long): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cleaned
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum_end - n_tokens) DIV $seqTokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
@@ -230,6 +247,19 @@ object Pipeline {
       kept.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("lang")
+    },
+
+    "pipe_pack" -> { (s, d) =>
+      // Pack surviving docs into 512-token training sequences per
+      // language; report each sequence's doc count and token load
+      // (loads may exceed 512 where a doc spans the boundary — real
+      // packing splits it; the report shows the overflow).
+      packSequences(
+        cleanCorpus(Tables.documents(s, d), 10, 0.3).filter(col("keep")),
+        "lang", 512L)
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "seq_id")
     },
 
     "pipe_decontaminate" -> { (s, d) =>
@@ -338,6 +368,27 @@ object Pipeline {
          |  WHERE cum_tokens <= 2000)
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM budgeted GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_pack" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM documents
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep FROM gated) t
+         |  WHERE keep),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS seq_id
+         |  FROM kept)
+         |SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
 
     "pipe_decontaminate" ->
       """WITH toks AS (

@@ -129,6 +129,26 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Boilerplate density — the corpus-cleaning signal behind
+    * `Dedup.capShingleDf`: per doc, the share of its k-shingles that
+    * are corpus-HOT (document frequency > `hotDf`). Docs made largely
+    * of template/boilerplate text (nav bars, license blocks, spam
+    * templates) score near 1 and get dropped or down-weighted by the
+    * pipeline. One shingle pass feeds both the df aggregate and the
+    * per-doc counts (localCheckpoint — see Dedup.pairOverlapStats);
+    * hot shingles are few by construction, so their set broadcasts. */
+  def boilerplateShare(docs: DataFrame, k: Int, hotDf: Int): DataFrame = {
+    val sh = Dedup.docShingles(docs, k).localCheckpoint()
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > hotDf).select("shingle")
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hotCnt = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    tot.join(hotCnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hot"))
+      .withColumn("hot_share", round(col("n_hot").cast(DoubleType) / col("n_sh"), 6))
+  }
+
   /** Normalized-content fingerprint for cross-snapshot text dedup. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
@@ -203,6 +223,12 @@ object TextAnalysis {
     },
 
     "text_pii" -> { (s, d) => piiScan(Tables.documents(s, d)).orderBy("doc_id") },
+
+    "text_boilerplate" -> { (s, d) =>
+      // Share of each doc's 3-shingles appearing in > 5 documents —
+      // high scores mark template-heavy docs the cleaning gate drops.
+      boilerplateShare(Tables.documents(s, d), 3, 5).orderBy("doc_id")
+    },
 
     "text_topterms" -> { (s, d) =>
       // Per-language top-8 terms of length ≥ 5 — count frame is
@@ -289,6 +315,23 @@ object TextAnalysis {
         |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
         |   + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM toks,
+         |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END)) AS u(s)),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 5),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |hc AS (
+         |  SELECT doc_id, COUNT(*) AS n_hot
+         |  FROM sh WHERE s IN (SELECT s FROM hot) GROUP BY 1)
+         |SELECT t.doc_id, t.n_sh, COALESCE(hc.n_hot, 0) AS n_hot,
+         |  ROUND(CAST(COALESCE(hc.n_hot, 0) AS DOUBLE) / t.n_sh, 6) AS hot_share
+         |FROM tot t LEFT JOIN hc ON hc.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "text_topterms" ->
       s"""WITH tok AS (

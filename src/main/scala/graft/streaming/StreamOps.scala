@@ -375,6 +375,33 @@ object StreamOps {
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** LEFT-OUTER twin of [[funnelJoin]] — the attribution report needs
+    * the organic purchases too, and in streaming an outer join is a
+    * different semantics class: a purchase with no in-window click can
+    * only be emitted once the WATERMARK proves no matching click can
+    * still arrive (its join state expires), so null-click rows trail
+    * live by the watermark delay instead of appearing immediately.
+    * Both sides stay watermarked and the range condition bounds state
+    * by delay + window, exactly as the inner form; the engine emits
+    * the null-padded row at state expiry (spec: matched rows arrive
+    * with the batch, unmatched arrive after the watermark passes). */
+  def funnelJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      windowDuration: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowDuration"),
+        "left_outer")
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   // ---- streaming embedding near-dup suppression ----
 
   case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])

@@ -24,6 +24,33 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(out(4L) == 1L)
   }
 
+  test("transitions counts per-user consecutive type pairs with row-normalized shares") {
+    val df = Seq(
+      (1L, ts(0), 10L, "click"), (2L, ts(1), 10L, "view"), (3L, ts(2), 10L, "click"),
+      (4L, ts(0), 20L, "click"), (5L, ts(1), 20L, "view")
+      // user boundaries never pair: 3 (u10) and 4 (u20) don't transition
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("click", "view")) == ((2L, 1.0)))   // both click→view
+    assert(out(("view", "click")) == ((1L, 1.0)))
+    assert(out.size == 2)
+  }
+
+  test("packSequences: doc joins the sequence its first token lands in") {
+    import graft.operators.Pipeline
+    // lang en, 512-budget: docs of 300+300 tokens — second doc STARTS
+    // at cum 300 (< 512) so both pack into seq 0; third starts at 600
+    val df = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 300L),
+      (4L, "de", 600L), (5L, "de", 100L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val out = Pipeline.packSequences(df, "lang", 512L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("seq_id")).toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+    assert(out(4L) == 0L && out(5L) == 1L) // de doc 5 starts at 600 → seq 1
+  }
+
   test("decodeImageMeta attaches deterministic metadata") {
     val df = Seq((1L, "imagebytes".getBytes), (2L, "other".getBytes)).toDF("id", "payload")
     val out = Multimodal.decodeImageMeta(df, "id", "payload")

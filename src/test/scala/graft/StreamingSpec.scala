@@ -206,6 +206,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelJoinOuter emits organic purchases once the watermark expires their state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val events = input.toDF()
+    val joined = StreamOps.funnelJoinOuter(
+      events.filter($"event_type" === "click"),
+      events.filter($"event_type" === "purchase"))
+    val query = joined.writeStream
+      .format("memory").queryName("graft_funnel_outer").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts(0), 10L, "click", 1.0),
+        Event(2L, ts(10), 10L, "purchase", 5.0), // attributed
+        Event(4L, ts(5), 20L, "purchase", 9.0))  // organic: no click
+      query.processAllAvailable()
+      // matched row arrives with the batch; the organic one must wait
+      val early = spark.sql("SELECT purchase_id FROM graft_funnel_outer").collect()
+        .map(_.getLong(0)).toSet
+      assert(early == Set(2L))
+      // advance the watermark on BOTH sides (the query watermark is
+      // the min across the two watermark operators — clicks alone
+      // advancing would leave the purchase side, and thus the join
+      // state clock, at zero) far past purchase(4)'s window + delay:
+      // its state expires and the null-click row flushes next batch
+      input.addData(
+        Event(9L, ts(300), 30L, "click", 0.0),
+        Event(10L, ts(300), 40L, "purchase", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(11L, ts(301), 31L, "click", 0.0),
+        Event(12L, ts(301), 41L, "purchase", 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT purchase_id, click_id FROM graft_funnel_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows == Set((2L, Some(1L)), (4L, None)))
+    } finally query.stop()
+  }
+
   test("streamingManifest: removes cancel adds in the XOR algebra (batch parity)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
