@@ -522,6 +522,107 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rk"))
   }
 
+  /** IVF × PQ — the composed index (FAISS's IVFPQ shape): the coarse
+    * quantizer routes search to `nprobe` cells, PQ codes built on
+    * RESIDUALS (e − centroid[cell]) answer distances inside them.
+    * Residual encoding is the precision win over raw-vector codebooks:
+    * after coarse quantization the residual spread is much tighter, so
+    * the same ksub centroids quantize it finer.
+    *
+    * Distributed shape at 100 TB: centroids and codebooks are tiny
+    * corpus statistics (broadcast); the corpus holds only (cell,
+    * m-byte code) rows — the index is ~m bytes/vector. A query batch
+    * collects to the driver (query sets are small by definition),
+    * computes per-(query, probed-cell) LUTs there (|q| × nprobe ×
+    * m × ksub doubles — KBs), and broadcasts them keyed by cell; one
+    * narrow pass over the code rows then updates per-query bounded
+    * heaps, and the merge shuffle carries partition top-k only. The
+    * corpus is never re-read as floats at query time. */
+  def ivfpqTopK(emb: DataFrame, queries: DataFrame, nCells: Int, m: Int,
+      ksub: Int, iters: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1 && nprobe <= nCells, s"nprobe=$nprobe out of [1, $nCells]")
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val cNorms = norms(cents)
+    val bcC = spark.sparkContext.broadcast((cents, cNorms))
+    // residuals: e − centroid[cell], cell kept alongside
+    val residuals = ivfAssignTo(emb, cents)
+      .select(col("vec_id"), col("cell"), col("embedding")).as[(Long, Long, Array[Float])]
+      .map { case (id, cell, e) =>
+        val cent = bcC.value._1(cell.toInt)
+        val r = new Array[Float](e.length)
+        var i = 0
+        while (i < e.length) { r(i) = e(i) - cent(i); i += 1 }
+        (id, cell, r)
+      }.toDF("vec_id", "cell", "embedding").localCheckpoint()
+    val books = pqTrain(residuals.select(col("vec_id"), col("embedding")), m, ksub, iters)
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = residuals.as[(Long, Long, Array[Float])]
+      .map { case (id, cell, r) =>
+        val bks = bcB.value
+        val sub = r.length / bks.length
+        val cs = new Array[Byte](bks.length)
+        var j = 0
+        while (j < bks.length) { cs(j) = nearestCellL2(bks(j), r, j * sub).toByte; j += 1 }
+        (id, cell, cs)
+      }.toDF("vec_id", "cell", "codes")
+    // driver-side probe plan: per query, its nprobe nearest cells and
+    // one LUT per probed cell from the query's residual there
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val cellToQueries: Map[Long, Array[(Long, Array[Array[Double]])]] = qRows
+      .flatMap { case (qid, qe) =>
+        val ranked = cents.indices.sortBy { c =>
+          var d = 0.0; var i = 0
+          while (i < qe.length) { d += qe(i).toDouble * cents(c)(i).toDouble; i += 1 }
+          (-d / cNorms(c), c)
+        }.take(nprobe)
+        ranked.map { c =>
+          val cent = cents(c)
+          val sub = qe.length / books.length
+          val lut = Array.tabulate(books.length)(j => Array.tabulate(books(j).length) { cc =>
+            val v = books(j)(cc)
+            var s = 0.0; var t = 0
+            while (t < sub) {
+              val d = (qe(j * sub + t) - cent(j * sub + t)).toDouble - v(t).toDouble
+              s += d * d; t += 1
+            }
+            s
+          })
+          (c.toLong, (qid, lut))
+        }
+      }
+      .groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+    val bcProbe = spark.sparkContext.broadcast(cellToQueries)
+    val ord = implicitly[Ordering[(Double, Long)]]
+    val cand = codes.as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val probe = bcProbe.value
+        val heaps = scala.collection.mutable.Map.empty[Long,
+          scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (id, cell, cs) =>
+          probe.get(cell).foreach(_.foreach { case (qid, lut) =>
+            if (qid != id) {
+              var s = 0.0; var j = 0
+              while (j < lut.length) { s += lut(j)(cs(j) & 0xff); j += 1 }
+              val h = heaps.getOrElseUpdate(qid,
+                scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+              if (h.size < k) h.enqueue((s, id))
+              else if (ord.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+            }
+          })
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (dist, id) => (qid, id, dist) } }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rk"))
+  }
+
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —
     * balances |cells| probe cost against |n/cells| within-cell scan,
     * both ~√n at the optimum), clamped so tiny corpora don't degenerate
@@ -561,6 +662,16 @@ object Similarity {
       // Cell count auto-tuned (~√n) from the corpus; two Lloyd's
       // iterations refine the first-N seed centroids.
       ivfTopKAuto(Tables.embeddings(s, d), 5, kmeansIters = 2).orderBy("query_id", "rk")
+    },
+
+    "ann_ivfpq" -> { (s, d) =>
+      // Rows-only oracle. The composed index: 32 k-means cells route
+      // each query to its 4 nearest, residual PQ codes (8×16) answer
+      // distances inside them.
+      val emb = Tables.embeddings(s, d)
+      ivfpqTopK(emb, emb.filter(col("vec_id") < 50),
+        nCells = 32, m = 8, ksub = 16, iters = 2, k = 5, nprobe = 4)
+        .orderBy("query_id", "rk")
     },
 
     "ann_pq" -> { (s, d) =>

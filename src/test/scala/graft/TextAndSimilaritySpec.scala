@@ -62,6 +62,27 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(wrongCluster.isEmpty, s"cross-cluster neighbors: ${wrongCluster.toList}")
   }
 
+  test("ivfpq: residual codes + probed cells recover cluster neighbors") {
+    import graft.operators.Similarity
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 8),
+        nCells = 4, m = 4, ksub = 8, iters = 3, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    val wrongCluster = top.filter { case (q, n) => q % 4 != n % 4 }
+    assert(wrongCluster.isEmpty, s"cross-cluster neighbors: ${wrongCluster.toList}")
+    // every query got a full k=3 result through its probed cells
+    val perQuery = top.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 3), s"short results: $perQuery")
+  }
+
   test("piiScan counts emails, urls, ipv4s, and long digit runs") {
     val df = Seq(
       (1L, "contact alice@example.com or bob@test.org via https://example.com/page now"),
