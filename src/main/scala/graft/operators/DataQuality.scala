@@ -193,9 +193,37 @@ object DataQuality {
         round(min(c), 2).as("min_v"), round(max(c), 2).as("max_v"))
   }
 
+  /** Heavy-hitter / key-skew report: the k hottest values of a join or
+    * partition key with their share of all rows and their multiple of
+    * the mean key frequency — the diagnostic that decides whether a
+    * join needs [[ScaleJoins.saltedJoin]] before the skewed reducer
+    * becomes the straggler. One map-side-combinable count aggregate;
+    * top-k goes through a distributed sort-limit (TakeOrdered, bounded
+    * per-partition heaps — never a single-partition global window over
+    * the key frame, which at 100 TB can itself be large); the ratios
+    * derive from exact counts against a broadcast one-row totals frame.
+    */
+  def skew(df: DataFrame, column: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(column).as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds totals AND top-k: one scan, not two
+    val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).cast(LongType))
+      .select(col("rk"), col("key"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("total"), 6).as("share"),
+        round(col("cnt").cast(DoubleType) * col("n_keys") / col("total"), 4).as("x_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> { (s, d) =>
       profile(Tables.orders(s, d)).orderBy("column")
+    },
+
+    "dq_skew" -> { (s, d) =>
+      skew(Tables.orders(s, d), "o_custkey", 10).orderBy("rk")
     },
 
     "dq_histogram" -> { (s, d) =>
@@ -266,6 +294,15 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_skew" ->
+      """WITH counts AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts),
+        |top AS (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk, key, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+        |  ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 4) AS x_mean
+        |FROM top, tot ORDER BY rk""".stripMargin,
+
     "dq_histogram" ->
       """WITH b AS (
         |  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,

@@ -74,6 +74,21 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality" -> { (s, d) =>
+      // Day-of-week seasonality profile per event type: count, exact-
+      // decimal mean value, and the weekday's share of the type's
+      // events. weekday() is 0=Monday — matched to DuckDB's isodow−1.
+      // One map-side-combinable aggregate; shares normalize over the
+      // tiny |types|×7 frame.
+      val agg = Tables.events(s, d)
+        .groupBy(col("event_type"), weekday(col("ts")).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(decV(col("value"))).cast(DoubleType) / count(lit(1)), 4).as("avg_value"))
+      agg.withColumn("share", round(col("n").cast(DoubleType)
+          / sum(col("n")).over(Window.partitionBy("event_type")), 6))
+        .orderBy("event_type", "dow")
+    },
+
     "ev_transitions" -> { (s, d) =>
       transitions(Tables.events(s, d)).orderBy("from_type", "to_type")
     },
@@ -271,6 +286,16 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_seasonality" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS dow,
+        |    COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n, avg_value,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM agg ORDER BY event_type, dow""".stripMargin,
+
     "ev_transitions" ->
       """WITH trans AS (
         |  SELECT event_type AS from_type,

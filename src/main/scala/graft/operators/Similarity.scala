@@ -342,6 +342,28 @@ object Similarity {
       salt: Int = 1): DataFrame =
     ivfTopKAssigned(ivfAssignTo(emb, cents), k, salt)
 
+  /** PQ codebooks → parquet sidecar (subspace, centroid, embedding),
+    * the PQ companion of [[saveCentroids]]: train once on a sample,
+    * persist, and every encode/search run loads KBs instead of
+    * re-running Lloyd over the corpus. */
+  def savePqBooks(spark: SparkSession, books: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j.toLong, c.toLong, v) }
+    }.toSeq.toDF("subspace", "centroid", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePqBooks]] sidecar, bit-exact. */
+  def loadPqBooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("subspace").cast("long"), col("centroid").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
+
   /** Centroids → a 2-row-group parquet sidecar: (cell, embedding).
     * Tiny (k × dim floats); lives next to the corpus the way a zone
     * map lives next to a snapshot version. */

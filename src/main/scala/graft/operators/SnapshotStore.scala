@@ -474,6 +474,26 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (dataFiles.length, after)
   }
 
+  /** Garbage-collect crash leftovers: `.tmp-` dirs (writes/merges/
+    * compactions that never published) and `.old-` dirs (compact
+    * move-asides whose final delete didn't run), once they are older
+    * than `ttlMs` — the TTL keeps an IN-FLIGHT writer's tmp dir safe.
+    * Committed `v=` dirs are never touched; this is the routine
+    * maintenance that keeps a long-running store's listing cost flat.
+    * Returns the deleted paths. */
+  def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val base = new Path(basePath)
+    if (!fs.exists(base)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(base).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith(".tmp-") || n.startsWith(".old-")) &&
+          now - st.getModificationTime > ttlMs
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Delete all but the newest `keepLast` versions. Returns the pruned
     * version ids. */
   def prune(keepLast: Int): Seq[Long] = {

@@ -229,6 +229,78 @@ object StreamOps {
       }
   }
 
+  case class WmaPoint(event_type: String, day: Timestamp, n: Long,
+      sum_value: Double, wma: Double)
+  case class WmaDayAgg(day: Long, n: Long, sv: Long) // sv scaled ×10⁴ (exact)
+  case class WmaState(lastFinal: Long, open: List[WmaDayAgg], trail: List[WmaDayAgg])
+
+  /** Streaming twin of `ev_wma`: per event_type, the 30-day
+    * linear-weighted moving average emitted as each calendar day
+    * FINALIZES (watermark passes the day's end), including gap days as
+    * zero rows — the dailyBars finalization machinery with a trailing
+    * window attached. State per key = open days + the last ≤29
+    * finalized (day, sum) points, all sums as ×10⁴-scaled LONGS: value
+    * has ≤4 decimals (the `decV` contract), so the scaled-long sum is
+    * EXACT and the emitted wma matches the batch decimal-sum
+    * formulation over the same non-late events bit-for-bit
+    * (spec-proven) — a double accumulator would drift with fold order.
+    * The weight algebra is the batch decomposition verbatim:
+    * wma = ((30 − d)·Σsv + Σ(sv·d)) / (30m − m(m−1)/2). */
+  def streamingWma(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[WmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    def dayOf(ms: Long): Long = Math.floorDiv(ms, dayMs)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[WmaState, WmaPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (typ, rows, state: GroupState[WmaState]) =>
+          var st = state.getOption.getOrElse(WmaState(Long.MinValue, Nil, Nil))
+          val byDay = scala.collection.mutable.Map.empty[Long, WmaDayAgg]
+          st.open.foreach(a => byDay(a.day) = a)
+          rows.foreach { e =>
+            val d = dayOf(e.ts.getTime)
+            if (st.lastFinal == Long.MinValue || d > st.lastFinal) {
+              val cur = byDay.getOrElse(d, WmaDayAgg(d, 0L, 0L))
+              byDay(d) = WmaDayAgg(d, cur.n + 1, cur.sv + math.round(e.value * 10000.0))
+            }
+          }
+          if (st.lastFinal == Long.MinValue && byDay.nonEmpty)
+            st = st.copy(lastFinal = byDay.keys.min - 1)
+          val finalUpTo = dayOf(state.getCurrentWatermarkMs()) - 1
+          val out = List.newBuilder[WmaPoint]
+          if (st.lastFinal != Long.MinValue) {
+            var trail = st.trail
+            var d = st.lastFinal + 1
+            while (d <= finalUpTo) {
+              val a = byDay.remove(d).getOrElse(WmaDayAgg(d, 0L, 0L))
+              val win = trail :+ a // consecutive finalized days ending at d
+              val m = win.size
+              var s1 = 0L; var s2 = 0L
+              win.foreach { p => s1 += p.sv; s2 += p.sv * p.day }
+              val den = 30L * m - m.toLong * (m - 1) / 2
+              val wma = BigDecimal(((30L - d) * s1 + s2).toDouble / 10000.0 / den)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += WmaPoint(typ, new Timestamp(d * dayMs), a.n,
+                BigDecimal(a.sv.toDouble / 10000.0)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, wma)
+              trail = win.takeRight(29)
+              d += 1
+            }
+            st = WmaState(math.max(st.lastFinal, finalUpTo),
+              byDay.values.toList.sortBy(_.day), trail)
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastFinal + 2) * dayMs)
+          } else {
+            state.update(st.copy(open = byDay.values.toList.sortBy(_.day)))
+          }
+          out.result().iterator
+      }
+  }
+
   case class AnomalyFlag(event_id: Long, event_type: String, ts: Timestamp,
       value: Double, n_baseline: Long, mean: Double, variance: Double)
   case class Baseline(n: Long, mean: Double, m2: Double)

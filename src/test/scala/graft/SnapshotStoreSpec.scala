@@ -246,6 +246,21 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ranged.contains((150L, "delete")) && ranged.contains((120L, "update")))
   }
 
+  test("vacuum removes expired crash leftovers, never committed versions") {
+    val base = Files.createTempDirectory("graft_store_vac").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.write(Seq((1L, "a")).toDF("k", "s"), 1L)
+    // model a crashed write and a crashed compact move-aside
+    new java.io.File(s"$base/.tmp-v=9-dead").mkdirs()
+    new java.io.File(s"$base/.old-v=1-dead").mkdirs()
+    // fresh leftovers survive a TTL'd vacuum (an in-flight writer)
+    assert(store.vacuum(ttlMs = 60000L).isEmpty)
+    val gone = store.vacuum(ttlMs = 0L)
+    assert(gone.size == 2 && gone.forall(p => p.contains(".tmp-") || p.contains(".old-")))
+    assert(store.versions() == Seq(1L))
+    assert(store.read(1L).count() == 1L)
+  }
+
   test("uncommitted versions are invisible; empty store fails clearly") {
     val base = Files.createTempDirectory("graft_store2").toString
     val store = new SnapshotStore(spark, base, "k")

@@ -37,6 +37,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingWma equals the batch 30-day WMA on every finalized day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def dts(day: Long, off: Long = 1000L) = new Timestamp(day * 86400000L + off)
+    val evs = Seq(
+      Event(1L, dts(100), 10L, "m", 2.5),
+      Event(2L, dts(100, 2000L), 11L, "m", 1.25),
+      Event(3L, dts(101), 10L, "m", 4.75),
+      Event(4L, dts(103), 12L, "m", 0.5),  // gap at 102 → zero row
+      Event(5L, dts(140), 13L, "m", 9.0))  // sentinel: advances the watermark
+    val input = MemoryStream[Event]
+    val query = StreamOps.streamingWma(input.toDS()).writeStream
+      .format("memory").queryName("graft_swma").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.take(4): _*)
+      query.processAllAvailable()
+      input.addData(evs(4))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT day, n, sum_value, wma FROM graft_swma").collect()
+        .map(r => r.getTimestamp(0).getTime / 86400000L ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed.contains(100L) && streamed.contains(102L))
+      assert(streamed(102L)._1 == 0L) // the gap day arrived as a zero row
+
+      // batch reference: the ev_wma pipeline over the same events
+      import graft.operators.Events
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-29, 0)
+      val batch = Events.dailyFilled(evs.toDF())
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .withColumn("s1", sum(col("sv")).over(win))
+        .withColumn("s2", sum(col("sv") * col("d")).over(win))
+        .withColumn("m", count(lit(1)).over(win))
+        .withColumn("den", lit(30L) * col("m") - col("m") * (col("m") - 1) / 2)
+        .withColumn("wma", round(
+          ((lit(30L) - col("d")) * col("s1") + col("s2")).cast("double") / col("den"), 4))
+        .select(col("d"), col("n"), round(col("sv").cast("double"), 4).as("sum_value"), col("wma"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      streamed.foreach { case (day, got) =>
+        assert(batch(day) == got, s"day $day: batch ${batch(day)} vs streamed $got")
+      }
+    } finally query.stop()
+  }
+
   test("continuousMerge publishes one copy-on-write version per CDC batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -62,6 +62,30 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(wrongCluster.isEmpty, s"cross-cluster neighbors: ${wrongCluster.toList}")
   }
 
+  test("pq codebooks persist bit-exact and search equals the inline path") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 7 + d * 3) % 11).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(emb, 4, 8, 2)
+    val path = Files.createTempDirectory("graft_pqbooks").toString + "/books"
+    Similarity.savePqBooks(spark, books, path)
+    val loaded = Similarity.loadPqBooks(spark, path)
+    assert(loaded.length == books.length)
+    books.zip(loaded).foreach { case (b, l) =>
+      assert(b.length == l.length)
+      b.zip(l).foreach { case (v, w) => assert(v.toSeq == w.toSeq) }
+    }
+    val q = emb.filter(col("vec_id") < 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    assert(canon(Similarity.pqTopK(q, Similarity.pqEncode(emb, loaded), loaded, 3)) ==
+      canon(Similarity.pqTopK(q, Similarity.pqEncode(emb, books), books, 3)))
+  }
+
   test("ivfpq: residual codes + probed cells recover cluster neighbors") {
     import graft.operators.Similarity
     val vecs = (0 until 40).map { i =>
