@@ -217,9 +217,36 @@ object DataQuality {
         round(col("cnt").cast(DoubleType) * col("n_keys") / col("total"), 4).as("x_mean"))
   }
 
+  /** IQR outlier audit per group: Tukey fences at q1 − 1.5·IQR and
+    * q3 + 1.5·IQR from the EXACT distributed quantiles
+    * ([[Percentiles.exactQuantiles]] — bounded reducer memory at any
+    * scale), then ONE conditional-sum scan against the broadcast
+    * per-group fence frame counts values beyond each fence. The fence
+    * arithmetic is written token-identically in the oracle so the
+    * strict comparisons agree even at boundary values. */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val qs = Percentiles.exactQuantiles(df, groupCol, valueCol,
+      Seq("q1" -> 0.25, "q3" -> 0.75))
+    val fences = qs.select(col(groupCol),
+      (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+      (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_high"),
+        round(min(col("lo_fence")), 4).as("lo_fence"),
+        round(min(col("hi_fence")), 4).as("hi_fence"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> { (s, d) =>
       profile(Tables.orders(s, d)).orderBy("column")
+    },
+
+    "dq_outliers" -> { (s, d) =>
+      outliers(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
     },
 
     "dq_skew" -> { (s, d) =>
@@ -294,6 +321,24 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_outliers" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1),
+        |fen AS (
+        |  SELECT l_returnflag, q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |    q3 + (q3 - q1) * 1.5 AS hi_fence
+        |  FROM f)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  ROUND(MIN(lo_fence), 4) AS lo_fence,
+        |  ROUND(MIN(hi_fence), 4) AS hi_fence
+        |FROM lineitem l JOIN fen USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "dq_skew" ->
       """WITH counts AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts),

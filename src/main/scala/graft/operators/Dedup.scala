@@ -37,12 +37,18 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).split(" ")
-        if (toks.length < k) Iterator.empty
-        else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct.iterator.map((id, _))
-      }
+      .flatMap { case (id, text) => shingleSeq(text, k).iterator.map((id, _)) }
       .toDF("doc_id", "shingle")
+  }
+
+  /** JVM kernel of [[docShingles]] for ONE document — shared by the
+    * batch explode and streaming gates (StreamOps.decontaminateStream)
+    * so both paths shingle bit-identically. */
+  def shingleSeq(text: String, k: Int): Seq[String] = {
+    val toks = text.trim.replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT).split(" ")
+    if (toks.length < k) Nil
+    else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
   }
 
   /** Exact-dup groups: normalized-text md5 → group size + canonical

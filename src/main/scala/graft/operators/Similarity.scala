@@ -562,17 +562,24 @@ object Similarity {
     * corpus is never re-read as floats at query time. */
   def ivfpqTopK(emb: DataFrame, queries: DataFrame, nCells: Int, m: Int,
       ksub: Int, iters: Int, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, s"nprobe=$nprobe out of [1, $nCells]")
+    val (cents, books, codes) = ivfpqBuild(emb, nCells, m, ksub, iters)
+    ivfpqSearch(codes, queries, cents, books, k, nprobe)
+  }
+
+  /** Build the IVFPQ artifact pieces: k-means cells, residual-trained
+    * codebooks, and the (vec_id, cell, m-byte codes) frame. */
+  private def ivfpqBuild(emb: DataFrame, nCells: Int, m: Int, ksub: Int, iters: Int)
+      : (Array[Array[Float]], Array[Array[Array[Float]]], DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    require(nprobe >= 1 && nprobe <= nCells, s"nprobe=$nprobe out of [1, $nCells]")
     val cents = kmeansCentroids(emb, nCells, iters)
-    val cNorms = norms(cents)
-    val bcC = spark.sparkContext.broadcast((cents, cNorms))
+    val bcC = spark.sparkContext.broadcast(cents)
     // residuals: e − centroid[cell], cell kept alongside
     val residuals = ivfAssignTo(emb, cents)
       .select(col("vec_id"), col("cell"), col("embedding")).as[(Long, Long, Array[Float])]
       .map { case (id, cell, e) =>
-        val cent = bcC.value._1(cell.toInt)
+        val cent = bcC.value(cell.toInt)
         val r = new Array[Float](e.length)
         var i = 0
         while (i < e.length) { r(i) = e(i) - cent(i); i += 1 }
@@ -589,8 +596,20 @@ object Similarity {
         while (j < bks.length) { cs(j) = nearestCellL2(bks(j), r, j * sub).toByte; j += 1 }
         (id, cell, cs)
       }.toDF("vec_id", "cell", "codes")
-    // driver-side probe plan: per query, its nprobe nearest cells and
-    // one LUT per probed cell from the query's residual there
+    (cents, books, codes)
+  }
+
+  /** The IVFPQ search core shared by [[ivfpqTopK]] (inline build) and
+    * [[ivfpqTopKFrom]] (persisted artifact): driver-side probe plan —
+    * per query its nprobe nearest cells and one residual LUT per
+    * probed cell — broadcast keyed by cell; one narrow pass over the
+    * (vec_id, cell, codes) rows updates per-query bounded heaps. */
+  private def ivfpqSearch(codes: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cNorms = norms(cents)
     val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect()
     val cellToQueries: Map[Long, Array[(Long, Array[Array[Double]])]] = qRows
@@ -618,7 +637,9 @@ object Similarity {
       .groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
     val bcProbe = spark.sparkContext.broadcast(cellToQueries)
     val ord = implicitly[Ordering[(Double, Long)]]
-    val cand = codes.as[(Long, Long, Array[Byte])]
+    val cand = codes
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         val probe = bcProbe.value
         val heaps = scala.collection.mutable.Map.empty[Long,
@@ -643,6 +664,34 @@ object Similarity {
     cand.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rk"))
+  }
+
+  /** Persist the COMPLETE IVFPQ index as one artifact directory —
+    * `centroids/` + `books/` (KB sidecars) and `codes/` (m bytes per
+    * vector, written partitioned-by-nothing but tiny; at 100 TB it
+    * would be bucketed by cell). Build once per corpus snapshot, then
+    * every query batch runs [[ivfpqTopKFrom]] against the artifact
+    * without touching the raw vectors — the index lifecycle a lake
+    * engine needs: the corpus lives in the snapshot store, its search
+    * index lives beside it, both versioned by path. */
+  def writeIvfpqIndex(emb: DataFrame, path: String, nCells: Int, m: Int,
+      ksub: Int, iters: Int): Unit = {
+    val spark = emb.sparkSession
+    val (cents, books, codes) = ivfpqBuild(emb, nCells, m, ksub, iters)
+    saveCentroids(spark, cents, s"$path/centroids")
+    savePqBooks(spark, books, s"$path/books")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a [[writeIvfpqIndex]] artifact: loads the KB sidecars,
+    * probes + ADC-searches the stored codes — identical results to the
+    * inline [[ivfpqTopK]] built from the same corpus (spec-proven). */
+  def ivfpqTopKFrom(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = loadCentroids(spark, s"$path/centroids")
+    val books = loadPqBooks(spark, s"$path/books")
+    val codes = spark.read.parquet(s"$path/codes")
+    ivfpqSearch(codes, queries, cents, books, k, nprobe)
   }
 
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —

@@ -119,6 +119,27 @@ object StreamOps {
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Ingest-time benchmark-decontamination gate — streaming twin of
+    * `Pipeline.decontaminate`: the benchmark shingle SET is tiny and
+    * static, so it broadcasts once and each arriving doc is gated by a
+    * STATELESS narrow map — no state, no shuffle, no watermark; the
+    * cheapest possible streaming operator, and the shingling kernel is
+    * shared with the batch path (`Dedup.shingleSeq`) so the gate and a
+    * batch audit agree doc-for-doc. Returns surviving docs with their
+    * (sub-threshold) overlap evidence count. */
+  def decontaminateStream(docs: DataFrame, benchShingles: Set[String],
+      k: Int, minOverlap: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchShingles)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text, graft.operators.Dedup.shingleSeq(text, k).count(bc.value).toLong)
+      }
+      .toDF("doc_id", "text", "n_overlap")
+      .filter(col("n_overlap") < minOverlap)
+  }
+
   /** Continuous backup maintenance — the streaming twin of
     * [[graft.operators.SnapshotStore.mergeDelta]]: every micro-batch of
     * CDC rows (`change_type` ∈ insert/update/delete, full row content)

@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontaminateStream drops exactly the docs the batch audit flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dedup, Pipeline}
+    val bench = Seq((100L, "what is the capital of france paris is the capital of france"))
+      .toDF("doc_id", "text")
+    val benchSet = Dedup.docShingles(bench, 3).select("shingle")
+      .collect().map(_.getString(0)).toSet
+    val trainDocs = Seq(
+      (1L, "quiz answers what is the capital of france paris is the capital of france end"),
+      (2L, "the capital of norway is oslo which is a coastal city"),
+      (3L, "spark plans are optimized by catalyst before execution begins"))
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.decontaminateStream(
+      input.toDS().toDF("doc_id", "text"), benchSet, 3, 5)
+    val query = gated.writeStream
+      .format("memory").queryName("graft_decontam").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(trainDocs: _*)
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM graft_decontam").collect()
+        .map(_.getLong(0)).toSet
+      // batch audit flags doc 1 only → the stream keeps exactly 2 and 3
+      val flagged = Pipeline.decontaminate(trainDocs.toDF("doc_id", "text"), bench, 3, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(1L))
+      assert(kept == Set(2L, 3L))
+    } finally query.stop()
+  }
+
   test("streamingWma equals the batch 30-day WMA on every finalized day") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

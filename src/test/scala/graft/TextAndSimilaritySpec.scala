@@ -86,6 +86,25 @@ class TextAndSimilaritySpec extends SparkSpec {
       canon(Similarity.pqTopK(q, Similarity.pqEncode(emb, books), books, 3)))
   }
 
+  test("persisted ivfpq index searches identically to the inline build") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.writeIvfpqIndex(emb, path, nCells = 4, m = 4, ksub = 8, iters = 3)
+    val q = emb.filter(col("vec_id") < 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    assert(canon(Similarity.ivfpqTopKFrom(spark, path, q, k = 3, nprobe = 2)) ==
+      canon(Similarity.ivfpqTopK(emb, q, 4, 4, 8, 3, 3, 2)))
+  }
+
   test("ivfpq: residual codes + probed cells recover cluster neighbors") {
     import graft.operators.Similarity
     val vecs = (0 until 40).map { i =>
