@@ -70,6 +70,65 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame_bytes", "frame")
   }
 
+  /** Deterministic 256-entry gear table (murmur-mixed byte values) for
+    * content-defined chunking — fixed per JVM and per build, so chunk
+    * boundaries are reproducible everywhere. */
+  private val gear: Array[Long] = Array.tabulate(256) { i =>
+    val a = scala.util.hashing.MurmurHash3.productHash((i, 0x9E3779B9)).toLong & 0xffffffffL
+    val b = scala.util.hashing.MurmurHash3.productHash((i, 0x85EBCA6B.toInt)).toLong & 0xffffffffL
+    (a << 32) | b
+  }
+
+  /** Content-defined chunk boundaries of one payload — the
+    * rsync/borg/FastCDC backup primitive: a gear rolling hash
+    * (h = (h≪1) + G[b], low mask bits depend on only the trailing
+    * bytes) cuts where `(h & mask) == 0`, so boundaries follow CONTENT,
+    * not offsets. An insertion shifts every later byte but the stream
+    * re-synchronizes at the next content boundary, and every chunk
+    * after it hashes identically — the property that makes chunk-level
+    * dedup survive edits where fixed-size blocks lose everything past
+    * the edit (spec-proven). `mask` sets the ~average chunk (2^popcount
+    * bytes); min/max bound the extremes. Returns (offset, length). */
+  def cdcBoundaries(bytes: Array[Byte], mask: Long, minChunk: Int,
+      maxChunk: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minChunk && (h & mask) == 0L) || len >= maxChunk) {
+        out += ((start, len)); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += ((start, bytes.length - start))
+    out.result()
+  }
+
+  /** Chunk a binary payload column content-defined: one row per chunk
+    * with (chunk_idx, offset, chunk_bytes, chunk_md5) — the fan-out a
+    * chunk-store ingest runs. Narrow flatMap, no shuffle; at 100 TB
+    * the chunk frame is what dedups/ships, never the payloads. */
+  def cdcChunks(df: DataFrame, idCol: String, payloadCol: String,
+      mask: Long = 0x3F, minChunk: Int = 16, maxChunk: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        cdcBoundaries(bytes, mask, minChunk, maxChunk).iterator.zipWithIndex.map {
+          case ((off, len), idx) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(bytes, off, len)
+            (id, idx.toLong, off.toLong, len.toLong,
+              md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF(idCol, "chunk_idx", "offset", "chunk_bytes", "chunk_md5")
+  }
+
   /** Driver-checkable stand-in: documents.text re-encoded as binary,
     * with byte length + md5 — the metadata-extraction shape over a
     * binary column that DuckDB can also compute (md5 over the UTF-8
@@ -99,6 +158,42 @@ object Multimodal {
           col("frame_bytes").cast(LongType).as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "mm_cdc_chunks" -> { (s, d) =>
+      // Rows-only (gear table is build-internal): content-defined
+      // chunking of every payload, ~64-byte average chunks.
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      cdcChunks(payloads, "doc_id", "payload").orderBy("doc_id", "chunk_idx")
+    },
+
+    "snap_chunk_dedup" -> { (s, d) =>
+      // Rows-only: chunk-level dedup between two snapshot versions —
+      // the borg/restic storage model. Yesterday's corpus is modeled
+      // as a text perturbation of today's (keys ≡ 0 mod 11 edited);
+      // the report shows how many of today's chunks (and bytes) the
+      // chunk store already holds: edits cost O(changed chunks), not
+      // O(changed docs), because boundaries re-synchronize.
+      val cur = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val prev = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val curCh = cdcChunks(cur, "doc_id", "payload")
+      val prevSet = cdcChunks(prev, "doc_id", "payload")
+        .select("chunk_md5").distinct()
+      val tagged = curCh.join(prevSet.withColumn("__hit", lit(1L)),
+        Seq("chunk_md5"), "left")
+      tagged.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_shared"),
+        sum(col("chunk_bytes")).as("bytes_total"),
+        sum(when(col("__hit").isNotNull, col("chunk_bytes")).otherwise(0L)).as("bytes_shared"))
+        .withColumn("dedup_ratio",
+          round(col("bytes_shared").cast(DoubleType) / col("bytes_total"), 4))
     },
 
     "mm_decode" -> { (s, d) =>

@@ -51,6 +51,36 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(out(4L) == 0L && out(5L) == 1L) // de doc 5 starts at 600 → seq 1
   }
 
+  test("cdc chunking: reassembly, determinism, and edit resynchronization") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill[Byte](4000)(rnd.nextInt(256).toByte)
+    val bounds = Multimodal.cdcBoundaries(base, 0x3F, 16, 1024)
+    // chunks tile the payload exactly
+    assert(bounds.head._1 == 0)
+    assert(bounds.map(_._2).sum == base.length)
+    bounds.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+      case _ =>
+    }
+    assert(bounds.forall { case (_, l) => l <= 1024 })
+    // determinism
+    assert(Multimodal.cdcBoundaries(base, 0x3F, 16, 1024) == bounds)
+    // an insertion near the front shifts offsets but the stream
+    // re-synchronizes: most of the original chunk HASHES survive,
+    // which fixed-size blocks would all lose
+    def md5s(b: Array[Byte]) = Multimodal.cdcBoundaries(b, 0x3F, 16, 1024).map {
+      case (o, l) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(b, o, l); md.digest().toSeq
+    }.toSet
+    val edited = Array.fill[Byte](40)(rnd.nextInt(256).toByte) ++ base
+    val shared = md5s(base) intersect md5s(edited)
+    assert(shared.size >= md5s(base).size * 2 / 3,
+      s"only ${shared.size} of ${md5s(base).size} chunks survived the edit")
+    def fixedBlocks(b: Array[Byte]) = b.grouped(64).map(_.toSeq).toSet
+    assert((fixedBlocks(base) intersect fixedBlocks(edited)).size <= 2)
+  }
+
   test("decodeImageMeta attaches deterministic metadata") {
     val df = Seq((1L, "imagebytes".getBytes), (2L, "other".getBytes)).toDF("id", "payload")
     val out = Multimodal.decodeImageMeta(df, "id", "payload")
