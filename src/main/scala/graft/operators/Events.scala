@@ -89,6 +89,34 @@ object Events {
         .orderBy("event_type", "dow")
     },
 
+    "ev_cusum" -> { (s, d) =>
+      // One-sided CUSUM changepoint score per type over the gap-filled
+      // daily series — "when did ingest volume shift upward":
+      // S_t = max(0, S_{t-1} + (x_t − target − slack)) has a closed
+      // form S_t = P_t − min_{j≤t} P_j with P = running Σ(x − target −
+      // slack), so the recursive reset becomes TWO plain running
+      // windows (cumsum + running min) — no UDF, no iteration, exact
+      // decimal math end-to-end; target = the type's global daily mean
+      // (one tiny aggregate, broadcast back). Flag when S > threshold.
+      // Division-free: target = mean would need a decimal division
+      // (engine-rounded, hash-unsafe), so everything cross-multiplies
+      // by the day count nn — P' = Σ(nn·x − ss − nn·slack) = nn·P is
+      // exact integer/decimal algebra; the single double division
+      // happens at the output boundary.
+      val daily = dailyFilled(Tables.events(s, d))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nn"), sum(col("sv")).as("ss"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), Seq("event_type"))
+        .withColumn("pp", sum(col("nn") * col("sv") - col("ss") - col("nn") * lit(5)).over(w))
+        .withColumn("sc", col("pp") - min(col("pp")).over(w))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("sc").cast(DoubleType) / col("nn"), 4).as("cusum"),
+          (col("sc") > col("nn") * lit(50)).as("shifted"))
+        .orderBy("event_type", "day")
+    },
+
     "ev_transitions" -> { (s, d) =>
       transitions(Tables.events(s, d)).orderBy("from_type", "to_type")
     },
@@ -286,6 +314,24 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_cusum" ->
+      s"""$oracleFilledCte,
+        |tot AS (SELECT event_type, COUNT(*) AS nn, SUM(sv) AS ss FROM filled GROUP BY 1),
+        |p AS (
+        |  SELECT f.event_type, f.day, f.n,
+        |    SUM(nn * sv - ss - nn * 5) OVER (PARTITION BY f.event_type ORDER BY f.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp, nn
+        |  FROM filled f JOIN tot USING (event_type)),
+        |s AS (
+        |  SELECT event_type, day, n, nn,
+        |    pp - MIN(pp) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+        |  FROM p)
+        |SELECT event_type, day, n,
+        |  ROUND(CAST(sc AS DOUBLE) / nn, 4) AS cusum,
+        |  sc > nn * 50 AS shifted
+        |FROM s ORDER BY event_type, day""".stripMargin,
+
     "ev_seasonality" ->
       """WITH agg AS (
         |  SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS dow,

@@ -458,6 +458,23 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_mode" -> { (s, d) =>
+      // Modal value per group (most frequent priority per order
+      // status) with a deterministic tie-break — the `mode()`
+      // statistical aggregate, decomposed into a combinable count
+      // frame + a row_number() = 1 filter the graft rule rewrites to
+      // TopKPerKeyExec (k=1 heap per group, no per-group sort).
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
     "q_corr" -> { (s, d) =>
       // Correlation + least-squares regression of extended price on
       // quantity per return flag — the stats-aggregate family (corr /
@@ -925,6 +942,16 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_mode" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rk
+        |  FROM counts) t
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q_corr" ->
       """WITH agg AS (
