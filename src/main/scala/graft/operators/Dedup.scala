@@ -476,6 +476,35 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Near-dup PAIRS from 64-bit similarity hashes (SimHash, image
+    * block-hash, …) with Hamming distance ≤ `maxDist` — banded exactly
+    * like MinHash-LSH: the 64 bits split into `bands` contiguous
+    * slices, and by pigeonhole two hashes within distance d < bands
+    * MUST agree on at least one full band, so candidates meet through
+    * an equi-join on (band, band_bits) — never an all-pairs scan; the
+    * codegen'd `bit_count(a XOR b)` filter then keeps true pairs. With
+    * bands > maxDist the recall is EXACT (no pigeonhole miss), which a
+    * spec proves; fewer bands trade recall for fan-out like any LSH. */
+  def hammingNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val r = 64 / bands
+    def side(id: String, h: String, b: String, bb: String): DataFrame =
+      hashes.select(col(idCol).as(id), col(hashCol).as(h))
+        .select(col(id), col(h),
+          posexplode(array((0 until bands).map(j =>
+            shiftrightunsigned(col(h), j * r)
+              .bitwiseAND(lit((1L << r) - 1))): _*)).as(Seq(b, bb)))
+    val a = side("id_a", "hash_a", "band_a", "bits_a")
+    val b = side("id_b", "hash_b", "band_b", "bits_b")
+    a.join(b, col("band_a") === col("band_b") && col("bits_a") === col("bits_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Edit-distance near-dup pairs over the DISTINCT values of a string
     * column: (value_a, value_b, dist) with `levenshtein ≤ maxDist` and
     * value_a < value_b. Two scale decisions:
@@ -556,6 +585,15 @@ object Dedup {
       // hyperplane LSH candidates, exact cosine on candidates only.
       embCosPairsBucketed(Tables.embeddings(s, d), 0.45, 16, 4)
         .orderBy("vec_a", "vec_b")
+    },
+
+    "dedup_hamming" -> { (s, d) =>
+      // Rows-only (xxhash64-based simhash): SimHash near-dup PAIRS
+      // via the banded Hamming equi-join — bands=4 > maxDist=3, so
+      // recall is exact by pigeonhole (spec-proven).
+      hammingNearDup(simhash(Tables.documents(s, d)), "doc_id", "simhash",
+        maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
     },
 
     "dedup_containment" -> { (s, d) =>

@@ -70,6 +70,47 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame_bytes", "frame")
   }
 
+  /** 64-bit BLOCK HASH of a binary payload — the blockhash/aHash
+    * family of perceptual image fingerprints, byte-domain (a real
+    * build hashes decoded luma planes; the stub pipeline hashes
+    * payload bytes with the identical structure): the payload splits
+    * into 64 equal spans, bit j set iff span j's mean exceeds the
+    * global mean (integer cross-multiplied — no float). A local edit
+    * perturbs few spans, so near-identical payloads sit within a small
+    * Hamming ball — queried at scale with [[Dedup.hammingNearDup]]'s
+    * banded equi-join, never an all-pairs compare. */
+  def blockHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val lo = j * n / 64
+      val hi = (j + 1) * n / 64
+      if (hi > lo) {
+        var s = 0L; var t = lo
+        while (t < hi) { s += bytes(t) & 0xff; t += 1 }
+        // span mean > global mean ⇔ s·n > total·span_len (exact)
+        if (s * n > total * (hi - lo)) hash |= 1L << j
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** (id, block_hash) of every payload — one narrow typed map. */
+  def imageHashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, blockHash(bytes)) }
+      .toDF(idCol, "block_hash")
+  }
+
   /** Deterministic 256-entry gear table (murmur-mixed byte values) for
     * content-defined chunking — fixed per JVM and per build, so chunk
     * boundaries are reproducible everywhere. */
@@ -158,6 +199,27 @@ object Multimodal {
           col("frame_bytes").cast(LongType).as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "mm_imagehash" -> { (s, d) =>
+      // Rows-only: perceptual-hash near-dup pairs over binary payloads
+      // (image dedup's shape). The corpus carries no byte-identical
+      // payloads, so near-dups are modeled as case-flipped twins —
+      // for block-hash a mostly-UNIFORM brightness shift (letters all
+      // move by −32), which the hash is invariant to by construction
+      // (the aHash property a real image pipeline relies on): each
+      // doc must pair with its twin at small Hamming distance. Block
+      // hashes in one narrow map, pairs via the banded Hamming
+      // equi-join — never an all-pairs compare.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val twins = Tables.documents(s, d)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          encode(upper(col("text")), "UTF-8").as("payload"))
+      Dedup.hammingNearDup(
+        imageHashes(base.unionByName(twins), "doc_id", "payload"),
+        "doc_id", "block_hash", maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
     },
 
     "mm_cdc_chunks" -> { (s, d) =>

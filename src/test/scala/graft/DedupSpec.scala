@@ -47,6 +47,29 @@ class DedupSpec extends SparkSpec {
     assert(!jacc.contains((5L, 6L)))
   }
 
+  test("hammingNearDup with bands > maxDist equals the brute-force pair set") {
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    // a cluster within distance 3 of `base`, plus far-away hashes
+    val hs = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                      // dist 1
+      3L -> (base ^ (1L << 20) ^ (1L << 50)), // dist 2
+      4L -> (base ^ 0x0F0FL),                 // dist 8: out
+      5L -> rnd.nextLong(),
+      6L -> rnd.nextLong())
+    val df = hs.toDF("doc_id", "h")
+    val banded = Dedup.hammingNearDup(df, "doc_id", "h", maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded == brute)
+    assert(banded.contains((1L, 2L, 1L)) && banded.contains((1L, 3L, 2L)))
+    assert(!banded.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("codegen minhash signature is bit-exact with the explode→groupBy shuffle path") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1).toList

@@ -51,6 +51,33 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(out(4L) == 0L && out(5L) == 1L) // de doc 5 starts at 600 → seq 1
   }
 
+  test("blockHash: brightness-shift invariant, local edits stay local") {
+    // structured "image": a smooth ramp — block means far from the
+    // global mean except at the center (real images have structure;
+    // uniform noise is the adversarial case where every block is
+    // borderline)
+    val n = 6400
+    val img = Array.tabulate[Byte](n)(i => (28 + i * 200 / n).toByte)
+    val h1 = Multimodal.blockHash(img)
+    assert(Multimodal.blockHash(img.clone()) == h1)
+    // uniform brightness shift: every mean moves WITH the global mean
+    // → identical hash (the aHash property)
+    val brighter = img.map(b => (b + 20).toByte)
+    assert(Multimodal.blockHash(brighter) == h1)
+    // zeroing blocks 50..55 flips (at most) those high bits plus
+    // center-borderline wobble from the lowered global mean; the low
+    // third of the image is far below threshold and must not move
+    val edited = img.clone()
+    (5000 until 5600).foreach(i => edited(i) = 0)
+    val h2 = Multimodal.blockHash(edited)
+    val d = java.lang.Long.bitCount(h1 ^ h2)
+    assert(d >= 1 && d <= 16, s"expected a localized hamming move, got $d")
+    assert(((h1 ^ h2) & ((1L << 20) - 1)) == 0L, "low blocks must be stable")
+    // an inverse ramp is far away
+    val other = Array.tabulate[Byte](n)(i => (228 - i * 200 / n).toByte)
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.blockHash(other)) > 20)
+  }
+
   test("cdc chunking: reassembly, determinism, and edit resynchronization") {
     val rnd = new scala.util.Random(42)
     val base = Array.fill[Byte](4000)(rnd.nextInt(256).toByte)
