@@ -180,6 +180,33 @@ object Pipeline {
       .withColumn("seq_id", expr(s"(cum_end - n_tokens) DIV $seqTokens"))
   }
 
+  /** Deterministic curriculum interleaving — the mixture-ORDER step
+    * after sampling/budgeting: strata emit documents proportionally to
+    * integer weights (en:3, de:1 → the stream cycles en,en,en,de,…) by
+    * sorting on an exact INTEGER phase: the k-th doc of a weight-w
+    * stratum sits at phase (k−1)·(L/w) with L = lcm(weights), so every
+    * prefix of the global order holds strata ≈ in ratio w. No floats
+    * anywhere (reproducible across engines/partitionings); ties break
+    * (phase, stratum, doc_id). One per-stratum window; consuming a
+    * prefix is a distributed TakeOrdered, and a full materialization
+    * is the same range-partitioned sort any ordered write pays. */
+  def interleaveByWeight(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 1), "weights must be >= 1")
+    val lcm = (defaultWeight +: weights.values.toSeq)
+      .map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b)).toLong
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    val byStratum = Window.partitionBy(stratumCol).orderBy("doc_id")
+    docs
+      .withColumn("rk", row_number().over(byStratum).cast(LongType))
+      .withColumn("__w", wt.cast(LongType))
+      // integer DIV keeps the phase a BIGINT (plain `/` would go double)
+      .withColumn("phase", expr(s"(rk - 1) * ($lcm DIV __w)"))
+      .drop("__w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
@@ -260,6 +287,18 @@ object Pipeline {
         .groupBy("lang", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("lang", "seq_id")
+    },
+
+    "pipe_interleave" -> { (s, d) =>
+      // First 100 positions of the training order with en weighted 3:1
+      // over every other language — prefix ratios follow the weights,
+      // and the integer phase key makes the order engine-reproducible.
+      interleaveByWeight(
+        cleanCorpus(Tables.documents(s, d), 10, 0.3).filter(col("keep")),
+        "lang", Map("en" -> 3))
+        .select(col("phase"), col("lang"), col("rk"), col("doc_id"))
+        .orderBy("phase", "lang", "doc_id")
+        .limit(100)
     },
 
     "pipe_decontaminate" -> { (s, d) =>
@@ -389,6 +428,28 @@ object Pipeline {
          |  FROM kept)
          |SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM packed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+
+    "pipe_interleave" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM documents
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep FROM gated) t
+         |  WHERE keep),
+         |ranked AS (
+         |  SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk,
+         |    CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS w
+         |  FROM kept)
+         |SELECT (rk - 1) * (3 // w) AS phase, lang, rk, doc_id
+         |FROM ranked
+         |ORDER BY phase, lang, doc_id LIMIT 100""".stripMargin,
 
     "pipe_decontaminate" ->
       """WITH toks AS (

@@ -21,6 +21,20 @@ class PipelineSpec extends SparkSpec {
     assert(report.size == 2)
   }
 
+  test("interleaveByWeight: prefixes hold strata in weight ratio, integer phases") {
+    val docs = ((1L to 30L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val ordered = Pipeline.interleaveByWeight(docs, "lang", Map("en" -> 3))
+      .orderBy("phase", "lang", "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // every 4-doc prefix window carries 3 en : 1 de while de lasts
+    val first12 = ordered.take(12).map(_._1)
+    assert(first12.count(_ == "en") == 9 && first12.count(_ == "de") == 3)
+    // within a stratum the order is doc_id order
+    val enIds = ordered.filter(_._1 == "en").map(_._2).toSeq
+    assert(enIds == enIds.sorted)
+  }
+
   test("decontaminate flags benchmark leaks and only benchmark leaks") {
     val bench = Seq(
       (100L, "what is the capital of france paris is the capital of france")
