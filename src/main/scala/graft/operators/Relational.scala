@@ -458,6 +458,21 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_stragg" -> { (s, d) =>
+      // String aggregation (LISTAGG/STRING_AGG shape): per order
+      // status, the DISTINCT priorities joined in sorted order —
+      // collect_set is order-nondeterministic across partitions, so
+      // array_sort pins the rendering before concat_ws; the group's
+      // value set is small and bounded (an enum), which is the only
+      // place collect_set belongs at 100 TB.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws("|", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     "q_mode" -> { (s, d) =>
       // Modal value per group (most frequent priority per order
       // status) with a deterministic tie-break — the `mode()`
@@ -942,6 +957,12 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_stragg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_mode" ->
       """WITH counts AS (
