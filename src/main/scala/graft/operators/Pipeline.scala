@@ -301,6 +301,30 @@ object Pipeline {
         .limit(100)
     },
 
+    "pipe_e2e" -> { (s, d) =>
+      // The WHOLE daily training-data refresh as ONE composed plan —
+      // quality gate → exact dedup → benchmark decontamination →
+      // stratified rebalance → token budget → sequence packing —
+      // every stage the library operator, so Catalyst fuses the
+      // narrow stages and the wide ops stay the dedup window, the
+      // bench shingle join, and the per-stratum windows. The oracle
+      // rebuilds the same composition in SQL: the end-to-end report
+      // matching proves the STAGES COMPOSE, not just pass alone.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 17 === 2)
+      val cleaned = cleanCorpus(docs.filter(col("doc_id") % 17 =!= 2), 10, 0.3)
+        .filter(col("keep"))
+      val contaminated = decontaminate(cleaned, bench, 3, 5).select("doc_id")
+      val safe = cleaned.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = sampleStratified(safe, "lang", Map("en" -> 3500))
+      val budgeted = tokenBudget(sampled, "lang", 3000L)
+      packSequences(budgeted, "lang", 512L)
+        .groupBy("lang")
+        .agg(count_distinct(col("seq_id")).as("n_seqs"),
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
     "pipe_decontaminate" -> { (s, d) =>
       // Benchmark modeled as the doc_id ≡ 2 (mod 17) slice of the
       // corpus, training set as the rest: duplicated/near-duplicated
@@ -450,6 +474,60 @@ object Pipeline {
          |SELECT (rk - 1) * (3 // w) AS phase, lang, rk, doc_id
          |FROM ranked
          |ORDER BY phase, lang, doc_id LIMIT 100""".stripMargin,
+
+    "pipe_e2e" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 17 <> 2),
+         |gated AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    md5($normSql) AS text_hash
+         |  FROM train
+         |  WHERE CAST(len(string_split($normSql, ' ')) AS BIGINT) >= 10
+         |    AND ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) <= 0.3),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep FROM gated) t
+         |  WHERE keep),
+         |ktoks AS (
+         |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         |  FROM kept),
+         |ksh AS (
+         |  SELECT DISTINCT doc_id, s FROM ktoks,
+         |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END)) AS u(s)),
+         |btoks AS (
+         |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         |  FROM documents WHERE doc_id % 17 = 2),
+         |bsh AS (
+         |  SELECT DISTINCT s FROM btoks,
+         |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END)) AS u(s)),
+         |contaminated AS (
+         |  SELECT doc_id FROM ksh JOIN bsh USING (s)
+         |  GROUP BY 1 HAVING COUNT(*) >= 5),
+         |safe AS (
+         |  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sampled AS (
+         |  SELECT * FROM safe
+         |  WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
+         |        < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END),
+         |budgeted AS (
+         |  SELECT * FROM (
+         |    SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |    FROM sampled) t
+         |  WHERE cum_tokens <= 3000),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS seq_id
+         |  FROM budgeted)
+         |SELECT lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM packed GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_decontaminate" ->
       """WITH toks AS (
