@@ -458,6 +458,27 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    "q_json" -> { (s, d) =>
+      // Semi-structured extraction (the lake's JSON-column class):
+      // a deterministic JSON payload is built with plain concat (NOT
+      // to_json — engines disagree on float/space rendering), then
+      // fields come back out through the JSON parser (get_json_object)
+      // and aggregate. Proves the parse path end-to-end cross-engine;
+      // extraction is a narrow codegen'd projection.
+      val payload = concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"p\":\""), col("o_orderpriority"), lit("\",\"s\":\""),
+        col("o_orderstatus"), lit("\"}"))
+      Tables.orders(s, d)
+        .select(payload.as("js"))
+        .select(
+          get_json_object(col("js"), "$.p").as("priority"),
+          get_json_object(col("js"), "$.s").as("status"),
+          get_json_object(col("js"), "$.k").cast(LongType).as("k"))
+        .groupBy("priority", "status")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("priority", "status")
+    },
+
     "q_stragg" -> { (s, d) =>
       // String aggregation (LISTAGG/STRING_AGG shape): per order
       // status, the DISTINCT priorities joined in sorted order —
@@ -957,6 +978,17 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_json" ->
+      """WITH js AS (
+        |  SELECT '{"k":' || o_orderkey || ',"p":"' || o_orderpriority
+        |    || '","s":"' || o_orderstatus || '"}' AS payload
+        |  FROM orders)
+        |SELECT json_extract_string(payload, '$.p') AS priority,
+        |  json_extract_string(payload, '$.s') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(payload, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM js GROUP BY 1, 2 ORDER BY priority, status""".stripMargin,
 
     "q_stragg" ->
       """SELECT o_orderstatus,

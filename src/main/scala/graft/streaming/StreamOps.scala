@@ -110,6 +110,23 @@ object StreamOps {
       }
   }
 
+  /** Built-in session-window twin of [[sessionize]] — the boundary of
+    * where the custom flatMapGroupsWithState earns its complexity:
+    * count/sum per gap-session is fully expressible as a plain
+    * watermarked `session_window` aggregate (this operator — prefer
+    * it when it covers the need), while the custom path exists for the
+    * cross-batch bridge and finality guarantees its spec pins. Window
+    * end is exclusive (last event + gap), so vs [[sessionize]]:
+    * start ≡ session_start, end ≡ session_end + gap (parity spec). */
+  def sessionWindowCounts(events: Dataset[Event], gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming incremental-snapshot ingest: watermarked dedup by
     * business key (first-writer-wins within the watermark horizon),
     * then append — the readStream→dedup→sink shape of a continuous

@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("built-in session_window agrees with custom sessionize on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionWindowCounts(input.toDS(), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("graft_swin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts(0), 10L, "click", 1.0),
+        Event(2L, ts(10), 10L, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(3L, ts(120), 10L, "click", 5.0))
+      query.processAllAvailable()
+      input.addData(Event(4L, ts(240), 10L, "click", 0.5))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM graft_swin")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // custom sessionize semantics: session [ts(0), ts(10)], n=2, sum=3;
+      // session_window's end is exclusive = last event + gap
+      assert(rows.contains((10L, ts(0), ts(40), 2L, 3.0)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops exactly the docs the batch audit flags") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
