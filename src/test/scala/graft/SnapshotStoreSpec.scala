@@ -246,6 +246,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ranged.contains((150L, "delete")) && ranged.contains((120L, "update")))
   }
 
+  test("convergent chunk encryption: round trip, dedup-preserving, key-scoped") {
+    import graft.operators.ChunkCrypto
+    val master = Array.tabulate[Byte](32)(_.toByte)
+    val chunk = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val (ref, blob) = ChunkCrypto.encryptChunk(master, chunk)
+    // round trip + authenticated
+    assert(ChunkCrypto.decryptChunk(master, ref, blob).toSeq == chunk.toSeq)
+    // convergent: identical plaintext → identical ciphertext (dedup works)
+    val (ref2, blob2) = ChunkCrypto.encryptChunk(master, chunk.clone())
+    assert(ref2.toSeq == ref.toSeq && blob2.toSeq == blob.toSeq)
+    // a different master produces different ciphertext and fails auth
+    val other = Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    assert(ChunkCrypto.encryptChunk(other, chunk)._2.toSeq != blob.toSeq)
+    intercept[javax.crypto.AEADBadTagException](
+      ChunkCrypto.decryptChunk(other, ref, blob))
+    // tampering is detected
+    val bad = blob.clone(); bad(3) = (bad(3) ^ 1).toByte
+    intercept[javax.crypto.AEADBadTagException](
+      ChunkCrypto.decryptChunk(master, ref, bad))
+
+    // end-to-end over a payload frame: dedup ratio on ciphertext refs
+    // equals the plaintext chunk dedup (duplicated payload shares all)
+    val df = Seq((1L, "alpha beta gamma delta".getBytes("UTF-8")),
+      (2L, "alpha beta gamma delta".getBytes("UTF-8"))).toDF("id", "payload")
+    val enc = ChunkCrypto.encryptedChunks(df, "id", "payload", master).collect()
+    val byId = enc.groupBy(_.getLong(0))
+    assert(byId(1L).map(_.getString(2)).toSeq == byId(2L).map(_.getString(2)).toSeq)
+  }
+
   test("vacuum removes expired crash leftovers, never committed versions") {
     val base = Files.createTempDirectory("graft_store_vac").toString
     val store = new SnapshotStore(spark, base, "k")
