@@ -58,6 +58,29 @@ object ChunkCrypto {
     cipher.doFinal(blob)
   }
 
+  /** Restore payloads from an [[encryptedChunks]] frame: per id, the
+    * chunks decrypt, order by index, and concatenate — one shuffle on
+    * the id key; per-group state is one payload's bytes, the same
+    * footprint any row-level operator carries. The full encrypted
+    * backup loop (chunk → encrypt → store → restore) is spec-proven
+    * byte-identical. */
+  def reassemble(chunks: DataFrame, idCol: String, master: Array[Byte]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col(idCol).cast(LongType), col("chunk_idx"), col("ref_hex"), col("blob"))
+      .as[(Long, Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val parts = it.toArray.sortBy(_._2)
+        val bytes = parts.flatMap { case (_, _, refHex, blob) =>
+          val ref = refHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          decryptChunk(master, ref, blob)
+        }
+        (id, bytes)
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** CDC-chunk + encrypt a payload column: one narrow pass emitting
     * (id, chunk_idx, ref_hex, blob) rows — the encrypted chunk-store
     * ingest. Dedup/GC run on `ref_hex` without ever decrypting. */
