@@ -246,6 +246,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ranged.contains((150L, "delete")) && ranged.contains((120L, "update")))
   }
 
+  test("lake snapshot: group-atomic commit, consistent restore, RI validation") {
+    import graft.operators.LakeSnapshot
+    val base = Files.createTempDirectory("graft_lake").toString
+    val lake = new LakeSnapshot(spark, base)
+    val parent = Seq((10L, "x"), (20L, "y")).toDF("pk", "p")
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("ck", "fk")
+    lake.write(Map("parent" -> parent, "child" -> child), 1L)
+    assert(lake.versions() == Seq(1L))
+    assert(lake.tablesOf(1L).toSet == Set("parent", "child"))
+
+    // a crashed half-write of v2 (one table, no marker) stays invisible
+    child.limit(1).write.parquet(s"$base/child/v=2")
+    assert(lake.versions() == Seq(1L))
+    intercept[IllegalArgumentException](lake.read("child", 2L))
+
+    // full-group restore is consistent; RI validation is clean
+    val restored = lake.restoreAll(1L)
+    assert(restored("child").count() == 3 && restored("parent").count() == 2)
+    val report = lake.validate(1L,
+      Seq(("child.fk->parent", "child", "fk", "parent", "pk"))).collect().head
+    assert(report.getAs[Long]("n_orphans") == 0L)
+
+    // a broken group (orphaned fk) is caught post-restore
+    lake.write(Map("parent" -> parent.limit(1), "child" -> child), 3L)
+    val bad = lake.validate(3L,
+      Seq(("child.fk->parent", "child", "fk", "parent", "pk"))).collect().head
+    assert(bad.getAs[Long]("n_orphans") > 0L)
+  }
+
   test("convergent chunk encryption: round trip, dedup-preserving, key-scoped") {
     import graft.operators.ChunkCrypto
     val master = Array.tabulate[Byte](32)(_.toByte)
