@@ -474,6 +474,24 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (dataFiles.length, after)
   }
 
+  /** Store-level size/row report from METADATA ONLY — zone-map rows
+    * (file count, row count, key envelope) plus filesystem byte sizes:
+    * the capacity-planning view of a 100 TB store answered without
+    * scanning a single data row. Falls back to counting files when a
+    * version has no zone map (rows then report -1, honestly unknown).
+    */
+  def stats(version: Long): (Long, Long, Long) = {
+    val dataFiles = fs.listStatus(new Path(dir(version)))
+      .filter(_.getPath.getName.startsWith("part-"))
+    val bytes = dataFiles.map(_.getLen).sum
+    zoneMap(version) match {
+      case Some(zm) =>
+        val rows = zm.agg(sum(col("n_rows"))).head().getLong(0)
+        (dataFiles.length.toLong, rows, bytes)
+      case None => (dataFiles.length.toLong, -1L, bytes)
+    }
+  }
+
   /** Garbage-collect crash leftovers: `.tmp-` dirs (writes/merges/
     * compactions that never published) and `.old-` dirs (compact
     * move-asides whose final delete didn't run), once they are older

@@ -230,6 +230,20 @@ object TextAnalysis {
       boilerplateShare(Tables.documents(s, d), 3, 5).orderBy("doc_id")
     },
 
+    "text_confusion" -> { (s, d) =>
+      // Language-ID quality monitoring: the labeled×predicted
+      // confusion matrix with per-label share — the view that says
+      // WHERE the classifier errs, which the flat accuracy of
+      // text_langid can't. Tiny |langs|² frame after one combinable
+      // count.
+      val scored = langid(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      scored.withColumn("share", round(col("n").cast(DoubleType)
+          / sum(col("n")).over(Window.partitionBy("labeled_lang")), 6))
+        .orderBy("labeled_lang", "pred_lang")
+    },
+
     "text_topterms" -> { (s, d) =>
       // Per-language top-8 terms of length ≥ 5 — count frame is
       // map-side combined, top-k via the TopKPerKey rewrite.
@@ -332,6 +346,20 @@ object TextAnalysis {
          |  ROUND(CAST(COALESCE(hc.n_hot, 0) AS DOUBLE) / t.n_sh, 6) AS hot_share
          |FROM tot t LEFT JOIN hc ON hc.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    "text_confusion" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang AS labeled_lang, s.lang AS cand, s.hits FROM documents,
+         |  UNNEST([${stopwords.keys.toSeq.sorted.map(l => s"{'lang': '$l', 'hits': ${hitsSql(l)}}").mkString(", ")}]) AS u(s)),
+         |pred AS (
+         |  SELECT labeled_lang, cand AS pred_lang FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rk
+         |    FROM scores) t
+         |  WHERE rk = 1),
+         |cm AS (SELECT labeled_lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+         |SELECT labeled_lang, pred_lang, n,
+         |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY labeled_lang), 6) AS share
+         |FROM cm ORDER BY labeled_lang, pred_lang""".stripMargin,
 
     "text_topterms" ->
       s"""WITH tok AS (

@@ -312,6 +312,19 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(restored(2L) == restored(1L))
   }
 
+  test("stats reports files/rows/bytes from metadata only") {
+    val base = Files.createTempDirectory("graft_store_stats2").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val df = (1L to 500L).map(i => (i, s"r$i")).toDF("k", "s")
+    store.writeRangePartitioned(df, 1L, 4)
+    val (files, rows, bytes) = store.stats(1L)
+    assert(files >= 3 && rows == 500L && bytes > 0L)
+    // no zone map → rows honestly unknown
+    store.write(df, 2L)
+    val (f2, r2, b2) = store.stats(2L)
+    assert(f2 >= 1 && r2 == -1L && b2 > 0L)
+  }
+
   test("vacuum removes expired crash leftovers, never committed versions") {
     val base = Files.createTempDirectory("graft_store_vac").toString
     val store = new SnapshotStore(spark, base, "k")
