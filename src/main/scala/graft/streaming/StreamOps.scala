@@ -136,6 +136,42 @@ object StreamOps {
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  case class MgState(counters: Map[String, Long])
+  case class TopTokens(lang: String, tokens: Seq[String], min_counts: Seq[Long])
+
+  /** Streaming heavy hitters per language — the streaming twin of
+    * `text_topterms` under BOUNDED state: a Misra–Gries summary of
+    * `capacity` counters per key (the space-saving sketch family).
+    * When a new token arrives at a full summary, every counter
+    * decrements instead (the classic step), which buys the guarantee:
+    * a reported count undercounts the true count by at most
+    * N/capacity, and any token with true frequency above N/capacity
+    * IS in the summary — so the top of the stream can't be missed,
+    * with state O(capacity) per key regardless of vocabulary size.
+    * Emits the current top-k per key each batch (Update mode). */
+  def streamingTopTokens(docs: DataFrame, capacity: Int, k: Int): Dataset[TopTokens] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"), col("text")).as[(String, String)]
+      .flatMap { case (lang, text) =>
+        text.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+          .split(" ").iterator.map(t => (lang, t))
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[MgState, TopTokens](GroupStateTimeout.NoTimeout) {
+        case (lang, rows, state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counters).getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, t) =>
+            if (m.contains(t)) m = m.updated(t, m(t) + 1)
+            else if (m.size < capacity) m = m.updated(t, 1L)
+            else m = m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+          }
+          state.update(MgState(m))
+          val top = m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+          TopTokens(lang, top.map(_._1), top.map(_._2))
+      }
+  }
+
   /** Ingest-time benchmark-decontamination gate — streaming twin of
     * `Pipeline.decontaminate`: the benchmark shingle SET is tiny and
     * static, so it broadcasts once and each arriving doc is gated by a

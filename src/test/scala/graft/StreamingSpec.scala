@@ -63,6 +63,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingTopTokens: Misra-Gries keeps the hot token within its error bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 60 occurrences of "hot" + 40 distinct rare tokens, capacity 10:
+    // total N=100, so "hot" may undercount by at most N/cap = 10
+    val hotDoc = Seq.fill(60)("hot").mkString(" ")
+    val rareDocs = (0 until 40).map(i => s"rare$i").grouped(8).map(_.mkString(" ")).toSeq
+    val input = MemoryStream[(String, String)]
+    val query = StreamOps.streamingTopTokens(
+        input.toDS().toDF("lang", "text"), capacity = 10, k = 3)
+      .writeStream.format("memory").queryName("graft_mg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("en", hotDoc) +: rareDocs.map(("en", _)): _*)
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT tokens, min_counts FROM graft_mg").collect()
+      val (tokens, counts) = (rows.last.getSeq[String](0), rows.last.getSeq[Long](1))
+      assert(tokens.head == "hot")
+      assert(counts.head >= 50L && counts.head <= 60L, s"got ${counts.head}")
+      // second batch: counts keep folding into the same bounded state
+      input.addData(("en", "hot hot hot"))
+      query.processAllAvailable()
+      val after = spark.sql("SELECT min_counts FROM graft_mg").collect()
+        .map(_.getSeq[Long](0).head).max
+      assert(after >= counts.head + 3L - 1L)
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops exactly the docs the batch audit flags") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
