@@ -231,6 +231,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard ESTIMATE for candidate pairs straight from the MinHash
+    * signatures — the middle tier of the MinHash pipeline (bucket →
+    * estimate → exact-verify): E[matching positions / numHashes] =
+    * true Jaccard, so candidates can be ranked/thresholded WITHOUT
+    * touching the documents again; only survivors pay the exact
+    * shingle intersection. Position-match counting is one zip over
+    * the two in-row signature arrays per pair (codegen'd HOF-free
+    * via aggregate on zip_with? — the arrays are small (numHashes),
+    * so the typed zip inside the join projection is the cheap part;
+    * the join itself is by id, an equi-join). */
+  def minhashJaccardEstimate(sigs: DataFrame, candidates: DataFrame): DataFrame = {
+    val a = sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast(LongType))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast(DoubleType) / size(col("sig_a")), 4))
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+  }
+
   /** JVM-local twin of `minhashSignatures` → `lshBuckets` for ONE
     * document: returns its (band, band_hash) bucket keys. Bit-exact
     * with the batch path (same murmur3 evaluation order as Spark's
@@ -544,9 +566,12 @@ object Dedup {
 
     "dedup_minhash" -> { (s, d) =>
       // Rows-only oracle (hash family is Spark murmur3). 32 hashes,
-      // 8 bands of 4 → candidates at jaccard ≳ 0.5.
+      // 8 bands of 4 → candidates at jaccard ≳ 0.5, each carrying its
+      // signature-based Jaccard estimate (the rank/threshold tier
+      // between bucketing and exact verification).
       val sigs = minhashSignatures(Tables.documents(s, d), 3, 32)
-      lshCandidates(lshBuckets(sigs, 8, 32)).orderBy("doc_a", "doc_b")
+      minhashJaccardEstimate(sigs, lshCandidates(lshBuckets(sigs, 8, 32)))
+        .orderBy("doc_a", "doc_b")
     },
 
     "dedup_simhash" -> { (s, d) =>

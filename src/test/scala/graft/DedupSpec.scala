@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("minhash jaccard estimate tracks the exact jaccard on candidates") {
+    val sigs = Dedup.minhashSignatures(docs, 3, 64)
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, 16, 64))
+    val est = Dedup.minhashJaccardEstimate(sigs, cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0, 1) // threshold 0: all pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(est((1L, 2L)) == 1.0) // identical docs: every position matches
+    // near-dup estimate within the 64-hash standard error of the truth
+    val pair = (1L, 3L)
+    assert(est.contains(pair) && math.abs(est(pair) - exact(pair)) <= 0.2,
+      s"est=${est.get(pair)} exact=${exact.get(pair)}")
+  }
+
   test("lsh candidates include identical docs and exclude unrelated ones") {
     val sigs = Dedup.minhashSignatures(docs, 3, 16)
     val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs, 4, 16))
