@@ -447,8 +447,8 @@ object Pipeline {
          |  WHERE keep),
          |packed AS (
          |  SELECT lang, doc_id, n_tokens,
-         |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS seq_id
+         |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS seq_id
          |  FROM kept)
          |SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM packed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,

@@ -31,11 +31,13 @@ def canon(v):
 def table_rows(con, sql):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
+    sorted_types = [types[i] for i in order]
     out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return sorted_cols, out
+    return sorted_cols, sorted_types, out
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -48,7 +50,7 @@ def main(sf_dir, out_dir):
     for name in sorted(produced):
         spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         try:
-            scols, srows = table_rows(con, spark_sql)
+            scols, stypes, srows = table_rows(con, spark_sql)
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
@@ -56,12 +58,18 @@ def main(sf_dir, out_dir):
             results[name] = f"rows-only ({len(srows)} rows)" if srows else "ROWS-ONLY-EMPTY"
             continue
         try:
-            ocols, orows = table_rows(con, oracle[name])
+            ocols, otypes, orows = table_rows(con, oracle[name])
         except Exception as e:
             results[name] = f"ORACLE-FAIL {e}"
             continue
         if scols != ocols:
             results[name] = f"SCHEMA-MISMATCH spark={scols} oracle={ocols}"
+        # The driver hashes typed values, so a value-identical result with a
+        # different oracle type (e.g. DuckDB window-SUM HUGEINT vs Spark
+        # BIGINT) still fails there. Catch it here too.
+        elif stypes != otypes:
+            bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes) if s != o]
+            results[name] = f"TYPE-MISMATCH {bad}"
         elif len(srows) != len(orows):
             results[name] = f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
         elif srows != orows:
