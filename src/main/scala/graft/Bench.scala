@@ -75,7 +75,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The driver's artifact capture is tail-based and the full queries
+    // line is huge (123 entries) — it lost the front (and the total) in
+    // rounds 4 and 5. Print a compact total line BEFORE and AFTER the
+    // full line so the headline number survives truncation at either end.
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(totalLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(totalLine)
     spark.stop()
   }
 }

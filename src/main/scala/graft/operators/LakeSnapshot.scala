@@ -30,9 +30,19 @@ class LakeSnapshot(spark: SparkSession, basePath: String) {
   private def marker(version: Long) = new Path(s"$basePath/_commits/$version")
 
   /** Publish one consistent version of the whole table group. The
-    * commit marker goes down only after EVERY table landed. */
+    * commit marker goes down only after EVERY table landed, and goes
+    * down ATOMICALLY (tmp + rename): a direct create/write/close could
+    * crash mid-write and leave a visible truncated marker, making
+    * `versions()` report the group committed while `tablesOf()` /
+    * `restoreAll()` throw — the inverse of this class's guarantee. A
+    * crash now leaves only a dot-prefixed tmp file, which `versions()`
+    * never lists. */
   def write(tables: Map[String, DataFrame], version: Long): Unit = {
     require(tables.nonEmpty, "empty table group")
+    // ',' is the marker's table-name separator; a name containing it
+    // would silently corrupt the encoding
+    require(tables.keys.forall(n => n.nonEmpty && !n.contains(",")),
+      s"table names must be non-empty and ','-free: ${tables.keys.mkString("[", ", ", "]")}")
     tables.foreach { case (name, df) =>
       val tmp = new Path(s"$basePath/$name/.tmp-v=$version-${java.util.UUID.randomUUID()}")
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -42,16 +52,24 @@ class LakeSnapshot(spark: SparkSession, basePath: String) {
         throw new java.io.IOException(s"lake snapshot publish failed: $tmp -> $dest")
     }
     fs.mkdirs(marker(version).getParent)
-    val out = fs.create(marker(version), true)
-    out.writeUTF(tables.keys.toSeq.sorted.mkString(","))
-    out.close()
+    val tmp = new Path(s"$basePath/_commits/.tmp-$version-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.writeUTF(tables.keys.toSeq.sorted.mkString(",")) finally out.close()
+    if (fs.exists(marker(version))) fs.delete(marker(version), false)
+    if (!fs.rename(tmp, marker(version)))
+      throw new java.io.IOException(s"lake snapshot commit failed: $tmp -> ${marker(version)}")
   }
 
-  /** Committed group versions only (marker present). */
+  /** Committed group versions only (marker present). Only all-digit
+    * names count — crash-leftover `.tmp-` markers and stray files must
+    * never surface as versions (or crash the listing via `.toLong`). */
   def versions(): Seq[Long] = {
     val dir = new Path(s"$basePath/_commits")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong).sorted
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted
   }
 
   /** The tables recorded in a committed version's marker. */

@@ -152,7 +152,13 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
   }
 
-  /** JVM kernel: cosine-nearest centroid index (ties → lowest index). */
+  /** JVM kernel: cosine-nearest centroid index (ties → lowest index).
+    * Zero-norm GUARD: a zero-norm centroid or vector would make the
+    * division NaN — NaN comparisons happen to be always-false here
+    * (degenerate cells just never win), but that's incidental, not a
+    * contract. Explicitly rank zero-norm as −∞ similarity: degenerate
+    * cells are deterministically never selected, and an all-zero
+    * vector deterministically lands in cell 0. */
   private def nearestCell(cents: Array[Array[Float]], cNorms: Array[Double], e: Array[Float]): Int = {
     var en = 0.0
     var i = 0
@@ -165,11 +171,32 @@ object Similarity {
       val v = cents(c)
       var d = 0.0; var j = 0
       while (j < e.length) { d += e(j).toDouble * v(j).toDouble; j += 1 }
-      val cos = d / (norm * cNorms(c))
+      val cos =
+        if (norm == 0.0 || cNorms(c) == 0.0) Double.NegativeInfinity
+        else d / (norm * cNorms(c))
       if (cos > best) { best = cos; bestC = c }
       c += 1
     }
     bestC
+  }
+
+  /** Driver-side query-batch materialization with a size gate — the
+    * same fail-fast [[Dedup.embCosPairs]] has: query sets are small by
+    * definition (the LUT/broadcast designs depend on it), so an
+    * oversized batch must fail with guidance instead of OOMing the
+    * driver mid-collect. One count job before the collect. */
+  private def collectQueries(queries: DataFrame, maxQueryRows: Long,
+      op: String): Array[(Long, Array[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = rows.count()
+    require(n <= maxQueryRows,
+      s"$op collects the query batch driver-side to build per-query LUTs: " +
+        s"$n query vectors > cap $maxQueryRows. Split the batch, or raise " +
+        "maxQueryRows only if driver memory provably holds |q|·dim floats + LUTs.")
+    rows.collect()
   }
 
   private def norms(cents: Array[Array[Float]]): Array[Double] =
@@ -493,11 +520,11 @@ object Similarity {
     * Approximate by construction (quantization error); recall vs the
     * exact baseline is spec-measured. */
   def pqTopK(queries: DataFrame, codes: DataFrame,
-      books: Array[Array[Array[Float]]], k: Int): DataFrame = {
+      books: Array[Array[Array[Float]]], k: Int,
+      maxQueryRows: Long = 1L << 16): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qs = collectQueries(queries, maxQueryRows, "pqTopK").sortBy(_._1)
     val bcQ = spark.sparkContext.broadcast(qs)
     val bcB = spark.sparkContext.broadcast(books)
     val cand = codes.select(col("vec_id").cast("long"), col("codes")).as[(Long, Array[Byte])]
@@ -561,10 +588,11 @@ object Similarity {
     * heaps, and the merge shuffle carries partition top-k only. The
     * corpus is never re-read as floats at query time. */
   def ivfpqTopK(emb: DataFrame, queries: DataFrame, nCells: Int, m: Int,
-      ksub: Int, iters: Int, k: Int, nprobe: Int): DataFrame = {
+      ksub: Int, iters: Int, k: Int, nprobe: Int,
+      maxQueryRows: Long = 1L << 16): DataFrame = {
     require(nprobe >= 1 && nprobe <= nCells, s"nprobe=$nprobe out of [1, $nCells]")
     val (cents, books, codes) = ivfpqBuild(emb, nCells, m, ksub, iters)
-    ivfpqSearch(codes, queries, cents, books, k, nprobe)
+    ivfpqSearch(codes, queries, cents, books, k, nprobe, maxQueryRows)
   }
 
   /** Build the IVFPQ artifact pieces: k-means cells, residual-trained
@@ -606,18 +634,20 @@ object Similarity {
     * (vec_id, cell, codes) rows updates per-query bounded heaps. */
   private def ivfpqSearch(codes: DataFrame, queries: DataFrame,
       cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val cNorms = norms(cents)
-    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
+    val qRows = collectQueries(queries, maxQueryRows, "ivfpqSearch")
     val cellToQueries: Map[Long, Array[(Long, Array[Array[Double]])]] = qRows
       .flatMap { case (qid, qe) =>
+        // zero-norm centroids rank −∞ (key +∞): deterministically probed
+        // last, never NaN-ordered — same guard as nearestCell
         val ranked = cents.indices.sortBy { c =>
           var d = 0.0; var i = 0
           while (i < qe.length) { d += qe(i).toDouble * cents(c)(i).toDouble; i += 1 }
-          (-d / cNorms(c), c)
+          val sim = if (cNorms(c) == 0.0) Double.NegativeInfinity else d / cNorms(c)
+          (-sim, c)
         }.take(nprobe)
         ranked.map { c =>
           val cent = cents(c)
@@ -687,11 +717,11 @@ object Similarity {
     * probes + ADC-searches the stored codes — identical results to the
     * inline [[ivfpqTopK]] built from the same corpus (spec-proven). */
   def ivfpqTopKFrom(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
     val cents = loadCentroids(spark, s"$path/centroids")
     val books = loadPqBooks(spark, s"$path/books")
     val codes = spark.read.parquet(s"$path/codes")
-    ivfpqSearch(codes, queries, cents, books, k, nprobe)
+    ivfpqSearch(codes, queries, cents, books, k, nprobe, maxQueryRows)
   }
 
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —

@@ -203,26 +203,83 @@ object StreamOps {
     * batch, never O(base), with the same atomic-rename publish as the
     * batch path.
     *
-    * Version ids are `baseVersion + batchId + 1`, so a RETRIED batch
-    * (foreachBatch may replay after failure) rebuilds exactly its own
-    * version from the same parent — idempotent, no version skew. The
-    * store must already hold `baseVersion` written range-partitioned
-    * (the zone map drives touched-file detection). Returns the started
-    * query. */
+    * Version ids are `initialBase + batchId + 1`, where `initialBase`
+    * is recorded ONCE (write-once marker beside the checkpoint, via
+    * tmp+rename) the first time a query starts on this checkpoint.
+    * batchIds resume from the checkpoint after a restart, so the base
+    * must too: re-deriving it from `store.latestVersion()` at each
+    * start (which already includes previously merged batches) would
+    * shift every subsequent version onto a parent that does not exist
+    * and wedge the stream. A REPLAYED batch (foreachBatch re-delivers
+    * the last batch after failure or restart) whose version already
+    * committed is skipped — the merge published atomically, so an
+    * existing `v=to` is complete by construction.
+    *
+    * Multi-change batches: with `seqCol` set (a CDC sequence/offset
+    * column, monotone per key), the batch collapses to the LAST change
+    * per key before splitting into upserts/deletes — two updates keep
+    * the newer row, delete-then-reinsert keeps the reinsert,
+    * insert-then-delete deletes; sequential application semantics,
+    * exactly what `mergeDelta` (replace-by-key, no internal dedup)
+    * needs. Without `seqCol` there is no order to collapse by, so the
+    * batch is REQUIRED to hold at most one change per key (fail-fast —
+    * a duplicate key would otherwise land twice in the new version).
+    * The store must already hold `initialBase` written
+    * range-partitioned (the zone map drives touched-file detection).
+    * Returns the started query. */
   def continuousMerge(changes: DataFrame, store: graft.operators.SnapshotStore,
       keyCol: String, checkpointDir: String,
-      changeTypeCol: String = "change_type"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val base = store.latestVersion().getOrElse(throw new IllegalStateException(
-      "continuousMerge needs a base snapshot (writeRangePartitioned) in the store"))
+      changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
+    val markerPath = new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_base_version")
+    val fs = markerPath.getFileSystem(hconf)
+    def readMarker(): Long = {
+      val in = fs.open(markerPath)
+      try in.readUTF().toLong finally in.close()
+    }
+    val base: Long =
+      if (fs.exists(markerPath)) readMarker()
+      else {
+        val b = store.latestVersion().getOrElse(throw new IllegalStateException(
+          "continuousMerge needs a base snapshot (writeRangePartitioned) in the store"))
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/.tmp-base-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.writeUTF(b.toString) finally out.close()
+        // rename is atomic; losing the race to a concurrent starter just
+        // means reading the value that won
+        if (fs.rename(tmp, markerPath)) b
+        else { fs.delete(tmp, false); readMarker() }
+      }
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val to = base + batchId + 1
-        val ups = batch.filter(col(changeTypeCol).isin("insert", "update"))
-          .drop(changeTypeCol)
-        val dels = batch.filter(col(changeTypeCol) === "delete").select(keyCol)
-        store.mergeDelta(to - 1, to, ups, Some(dels))
+        // replay of an already-committed version (restart re-delivers
+        // the last checkpointed batch): the publish was atomic, so the
+        // existing version is complete — skip, idempotently
+        if (!store.versions().contains(to)) {
+          val lastPerKey = seqCol match {
+            case Some(s) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(keyCol)).orderBy(col(s).desc)
+              batch.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn", s)
+            case None =>
+              val r = batch.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+              val (n, nKeys) = (r.getLong(0), r.getLong(1))
+              if (n != nKeys) throw new IllegalArgumentException(
+                s"continuousMerge batch $batchId has $n changes over $nKeys keys; " +
+                  "pass seqCol to collapse multi-change batches to the last change per key")
+              batch
+          }
+          val ups = lastPerKey.filter(col(changeTypeCol).isin("insert", "update"))
+            .drop(changeTypeCol)
+          val dels = lastPerKey.filter(col(changeTypeCol) === "delete").select(keyCol)
+          store.mergeDelta(to - 1, to, ups, Some(dels))
+        }
         ()
       }
       .start()

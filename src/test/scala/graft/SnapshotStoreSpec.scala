@@ -275,6 +275,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bad.getAs[Long]("n_orphans") > 0L)
   }
 
+  test("lake snapshot: crash-leftover and stray marker files never surface as versions") {
+    import graft.operators.LakeSnapshot
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = Files.createTempDirectory("graft_lake_marker").toString
+    val lake = new LakeSnapshot(spark, base)
+    val t = Seq((1L, "a"), (2L, "b")).toDF("pk", "s")
+    lake.write(Map("t" -> t), 1L)
+    assert(lake.versions() == Seq(1L))
+
+    // a crash mid-commit can only ever leave the dot-prefixed tmp (the
+    // marker itself lands by atomic rename) — plant one, truncated
+    JFiles.write(Paths.get(base, "_commits", ".tmp-2-crashed"), Array[Byte](0, 3, 'a'))
+    // plus a stray non-numeric file an external tool dropped in
+    JFiles.write(Paths.get(base, "_commits", "notes.txt"), "hi".getBytes)
+    // neither surfaces as a version, crashes the listing, or poisons restore
+    assert(lake.versions() == Seq(1L))
+    assert(lake.restoreAll(1L)("t").count() == 2L)
+    intercept[IllegalArgumentException](lake.read("t", 2L))
+
+    // ',' is the marker separator — a name containing it is rejected
+    // up front instead of corrupting the encoding
+    intercept[IllegalArgumentException](lake.write(Map("a,b" -> t), 5L))
+  }
+
   test("convergent chunk encryption: round trip, dedup-preserving, key-scoped") {
     import graft.operators.ChunkCrypto
     val master = Array.tabulate[Byte](32)(_.toByte)

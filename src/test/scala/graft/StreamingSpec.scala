@@ -208,6 +208,100 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("continuousMerge survives a restart: versions keep deriving from the recorded base") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_cmerge_rs").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned((1L to 300L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 6)
+
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDS().toDF("k", "s", "change_type")
+    val ckpt = Files.createTempDirectory("graft_cmerge_rs_ckpt").toString
+    val q1 = StreamOps.continuousMerge(changes, store, "k", ckpt)
+    try {
+      input.addData((5L, "upd_5", "update"))
+      q1.processAllAvailable()
+      input.addData((301L, "new_301", "insert"))
+      q1.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+    } finally q1.stop()
+
+    // restart from the SAME checkpoint: store.latestVersion() is now 3,
+    // but batchIds resume from the checkpoint, so versions must keep
+    // deriving from the once-recorded base (1) — the pre-fix code
+    // recomputed base=3, targeted v=3+2+1=6, and merged from a
+    // nonexistent v=5, permanently wedging the stream
+    val q2 = StreamOps.continuousMerge(changes, store, "k", ckpt)
+    try {
+      input.addData((7L, "", "delete"))
+      q2.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L, 4L))
+      val v4 = store.read(4L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!v4.contains(7L) && v4(5L) == "upd_5" && v4(301L) == "new_301")
+      assert(v4.size == 300)
+    } finally q2.stop()
+  }
+
+  test("continuousMerge collapses a multi-change batch to the last change per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_cmerge_mc").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned((1L to 300L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 6)
+
+    val input = MemoryStream[(Long, String, Long, String)]
+    val changes = input.toDS().toDF("k", "s", "seq", "change_type")
+    val ckpt = Files.createTempDirectory("graft_cmerge_mc_ckpt").toString
+    val query = StreamOps.continuousMerge(changes, store, "k", ckpt, seqCol = Some("seq"))
+    try {
+      // one batch, three multi-change keys: sequential application must win
+      input.addData(
+        (5L, "old", 1L, "update"), (5L, "new", 2L, "update"), // update,update → newer
+        (7L, "", 1L, "delete"), (7L, "reborn", 2L, "insert"), // delete,insert → reinsert
+        (301L, "ghost", 1L, "insert"), (301L, "", 2L, "delete")) // insert,delete → absent
+      query.processAllAvailable()
+      val v2 = store.read(2L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2(5L) == "new")
+      assert(v2(7L) == "reborn")
+      assert(!v2.contains(301L))
+      assert(v2.size == 300)
+    } finally query.stop()
+  }
+
+  test("continuousMerge without seqCol fails fast on a duplicate-key batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_cmerge_dup").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned((1L to 50L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 2)
+
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDS().toDF("k", "s", "change_type")
+    val ckpt = Files.createTempDirectory("graft_cmerge_dup_ckpt").toString
+    val query = StreamOps.continuousMerge(changes, store, "k", ckpt)
+    try {
+      input.addData((5L, "a", "update"), (5L, "b", "update"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("seqCol")), msgs.mkString(" | "))
+      // nothing committed: the store still holds only the base
+      assert(store.versions() == Seq(1L))
+    } finally query.stop()
+  }
+
   test("late within-watermark event extends session start backward") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -126,6 +126,52 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 3), s"short results: $perQuery")
   }
 
+  test("zero-norm vectors and centroids assign deterministically, never via NaN") {
+    import graft.operators.Similarity
+    // a degenerate all-zero CENTROID must never win an assignment;
+    // an all-zero VECTOR (every cos = -inf) must land in cell 0
+    val cents = Array(Array(0f, 0f), Array(1f, 0f), Array(0f, 1f))
+    val emb = Seq(
+      (1L, Array(2f, 0.1f)),
+      (2L, Array(0.1f, 3f)),
+      (3L, Array(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssignTo(emb, cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(assigned(1L) == 1L && assigned(2L) == 2L)
+    assert(assigned(3L) == 0L)
+    // end-to-end: an IVFPQ search over a corpus containing a zero
+    // vector completes and returns full results for the normal queries
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d >= 2 * c && d < 2 * c + 2) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    } :+ (24L -> Array.fill(8)(0f))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.ivfpqTopK(corpus, corpus.filter(col("vec_id") < 4),
+        nCells = 3, m = 4, ksub = 8, iters = 2, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.groupBy(_._1).values.forall(_.length == 3))
+  }
+
+  test("pq/ivfpq query batches past maxQueryRows fail fast instead of collecting") {
+    import graft.operators.Similarity
+    val vecs = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d => (i * d % 5).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    val codes = Similarity.pqEncode(emb, books)
+    val exPq = intercept[IllegalArgumentException](
+      Similarity.pqTopK(emb, codes, books, k = 3, maxQueryRows = 10))
+    assert(exPq.getMessage.contains("pqTopK"))
+    val exIvf = intercept[IllegalArgumentException](
+      Similarity.ivfpqTopK(emb, emb, nCells = 3, m = 4, ksub = 8,
+        iters = 2, k = 3, nprobe = 2, maxQueryRows = 10))
+    assert(exIvf.getMessage.contains("ivfpqSearch"))
+    // under the cap the same calls succeed
+    assert(Similarity.pqTopK(emb.filter(col("vec_id") < 5), codes, books,
+      k = 3, maxQueryRows = 10).count() > 0)
+  }
+
   test("piiScan counts emails, urls, ipv4s, and long digit runs") {
     val df = Seq(
       (1L, "contact alice@example.com or bob@test.org via https://example.com/page now"),

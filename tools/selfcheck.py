@@ -29,10 +29,14 @@ def canon(v):
     return (1, v)
 
 def table_rows(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    types = [str(d[1]) for d in cur.description]
-    rows = cur.fetchall()
+    # Relation API, not DBAPI cursor.description: DBAPI type codes
+    # collapse HUGEINT/BIGINT/INTEGER/DOUBLE to one generic 'NUMBER',
+    # which can never catch the window-SUM HUGEINT-vs-BIGINT class the
+    # type gate exists for. rel.types carries the real DuckDB names.
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     sorted_types = [types[i] for i in order]
@@ -87,5 +91,22 @@ def main(sf_dir, out_dir):
     print(f"\n{n_ok}/{len(results)} pass")
     return 0 if n_ok == len(results) else 1
 
+def selftest():
+    """The type gate must see real DuckDB type names — assert the exact
+    regression it was added for: SUM(x) OVER () types as HUGEINT,
+    distinct from an explicit BIGINT."""
+    con = duckdb.connect()
+    win = [str(t) for t in
+           con.sql("SELECT SUM(x) OVER () AS s FROM (VALUES (1),(2)) t(x)").types]
+    assert win == ["HUGEINT"], f"window SUM should be HUGEINT, got {win}"
+    big = [str(t) for t in con.sql("SELECT CAST(SUM(x) AS BIGINT) AS s "
+                                   "FROM (VALUES (1),(2)) t(x)").types]
+    assert big == ["BIGINT"], f"CAST should be BIGINT, got {big}"
+    assert win != big
+    print("selftest OK: window SUM seen as HUGEINT, distinct from BIGINT")
+    return 0
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
