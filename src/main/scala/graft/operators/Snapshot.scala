@@ -341,6 +341,37 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_read_asof" -> { (s, d) =>
+      // Time-travel read: three versions committed at explicit
+      // timestamps (1s / 2s / 3s — reproducible resolution), then
+      // readAsOf(2.5s) must return v2's merge state — AFTER the first
+      // CoW merge, BEFORE v3's reprice. Resolution is metadata-only
+      // (version listing + _commit_ts sidecars), then one
+      // single-version scan; the oracle rebuilds v2 declaratively.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_asof_store_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(3L)) {
+        if (!store.versions().contains(1L))
+          store.writeRangePartitioned(ord, 1L, 16, commitTs = Some(1000000L))
+        if (!store.versions().contains(2L)) {
+          val updates = ord.filter(col("o_orderkey") % 13 === 4)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          val dels = ord
+            .filter(col("o_orderkey") % 31 === 11 && col("o_orderkey") % 13 =!= 4)
+            .select("o_orderkey")
+          store.mergeDelta(1L, 2L, updates, Some(dels), commitTs = Some(2000000L))
+        }
+        val reprice = store.read(2L).filter(col("o_orderkey") % 17 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+        store.mergeDelta(2L, 3L, reprice, None, commitTs = Some(3000000L))
+      }
+      store.readAsOf(2500000L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -471,6 +502,17 @@ object Snapshot {
         |    AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
         |  UNION ALL
         |  SELECT * FROM delta)
+        |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_read_asof" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 31 = 11 AND o_orderkey % 13 <> 4))
         |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,

@@ -36,15 +36,68 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * rename onto `v=<version>` once the write (and its `_SUCCESS`
     * marker) completed. A crash mid-write leaves only a `.tmp-` dir,
     * which `versions()` never lists, so readers can never observe a
-    * partial snapshot as a valid version. */
-  def write(df: DataFrame, version: Long): Unit = {
+    * partial snapshot as a valid version.
+    *
+    * `commitTs` (epoch millis, default now) is recorded in a
+    * `_commit_ts` sidecar INSIDE the tmp dir, so it publishes
+    * atomically with the data — the timestamp [[readAsOf]] resolves
+    * against. Pass it explicitly to backdate reproducible stores
+    * (tests, replays); production writers take the default. */
+  def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit = {
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     val dest = new Path(dir(version))
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"snapshot publish failed: rename $tmp -> $dest")
   }
+
+  private def writeCommitTs(versionDir: Path, ts: Long): Unit = {
+    val out = fs.create(new Path(versionDir, "_commit_ts"), true)
+    try out.writeUTF(ts.toString) finally out.close()
+  }
+
+  /** When `version` was committed (epoch millis): the `_commit_ts`
+    * sidecar when present, else the `_SUCCESS` marker's filesystem
+    * mtime (pre-sidecar stores stay resolvable — mtime is exactly the
+    * publish rename time on a store that was never copied). */
+  def commitTimestamp(version: Long): Long = {
+    val sidecar = new Path(dir(version), "_commit_ts")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      try in.readUTF().toLong finally in.close()
+    } else fs.getFileStatus(new Path(dir(version), "_SUCCESS")).getModificationTime
+  }
+
+  /** The newest version committed at or before `ts`, if any. Resolves
+    * by commit timestamp, not version id order, so out-of-order
+    * backfills still answer "what was live at ts" correctly. */
+  def versionAsOf(ts: Long): Option[Long] = {
+    val committed = versions().map(v => v -> commitTimestamp(v)).filter(_._2 <= ts)
+    if (committed.isEmpty) None
+    else Some(committed.maxBy { case (v, t) => (t, v) }._1)
+  }
+
+  /** Time-travel read — the "restore yesterday 14:00" UX every backup
+    * tool exposes: read the newest version committed at or before
+    * `ts`. Metadata-only resolution (version listing + KB sidecars),
+    * then a plain single-version read. */
+  def readAsOf(ts: Long): DataFrame = readAsOfResolved(ts)._2
+
+  /** [[readAsOf]] returning the resolved version id alongside. */
+  def readAsOfResolved(ts: Long): (Long, DataFrame) = versionAsOf(ts) match {
+    case Some(v) => (v, read(v))
+    case None => throw new IllegalArgumentException(
+      s"no version committed at or before $ts" + (versions().headOption.map(v =>
+        s" (earliest is v=$v at ${commitTimestamp(v)})").getOrElse(" (store is empty)")))
+  }
+
+  /** Timestamp-resolved [[restoreAndValidate]]: restore the snapshot
+    * live at `ts` to `targetPath` and validate the copy. */
+  def restoreAndValidateAsOf(ts: Long, targetPath: String,
+      partCols: Seq[String], fp: DataFrame => Column): DataFrame =
+    restoreAndValidate(readAsOfResolved(ts)._1, targetPath, partCols, fp)
 
   /** [[write]] with a data-skipping layout: rows range-partitioned by
     * the business key into ~`numFiles` files, sorted within each, plus
@@ -57,8 +110,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * snapshot; the in-file sort additionally tightens parquet
     * row-group stats for predicate pushdown within a file. */
   def writeRangePartitioned(df: DataFrame, version: Long, numFiles: Int,
-      statsCols: Seq[String] = Nil): Unit = {
-    write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol), version)
+      statsCols: Seq[String] = Nil, commitTs: Option[Long] = None): Unit = {
+    write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      version, commitTs)
     buildZoneMap(version, statsCols)
   }
 
@@ -84,7 +138,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * preserving cast to double); nulls bucket to 0 and never prune
     * wrongly (zone-map rule: null bounds keep the file). */
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
-      zCols: Seq[String]): Unit = {
+      zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns (16 bits each)")
     // order-preserving numeric view: temporal types route through a
     // timestamp cast (date/ntz have no direct double cast)
@@ -116,7 +170,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .reduce((a, b) => a.bitwiseOR(b))
     write(df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
-      .drop("__z"), version)
+      .drop("__z"), version, commitTs)
     buildZoneMap(version, zCols.filterNot(_ == keyCol))
   }
 
@@ -311,7 +365,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     *
     * Returns (filesCopied, filesRewritten). */
   def mergeDelta(fromVersion: Long, toVersion: Long, delta: DataFrame,
-      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4): (Int, Int) = {
+      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
+      commitTs: Option[Long] = None): (Int, Int) = {
     val zm = zoneMap(fromVersion).getOrElse(throw new IllegalStateException(
       s"mergeDelta needs a zone map on version $fromVersion (use writeRangePartitioned)"))
       .localCheckpoint()
@@ -350,6 +405,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     val dest = new Path(dir(toVersion))
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))
@@ -459,6 +515,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4)))
     val tmp = new Path(s"$basePath/.tmp-compact-v=$version-${java.util.UUID.randomUUID()}")
     read(version).coalesce(nOut).write.parquet(tmp.toString)
+    // compaction rewrites the layout, not the version's identity: the
+    // original commit time carries over so readAsOf keeps resolving it
+    writeCommitTs(tmp, commitTimestamp(version))
     val old = new Path(s"$basePath/.old-v=$version-${java.util.UUID.randomUUID()}")
     if (!fs.rename(dest, old))
       throw new java.io.IOException(s"compact: move-aside failed: $dest -> $old")

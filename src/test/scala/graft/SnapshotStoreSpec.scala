@@ -275,6 +275,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bad.getAs[Long]("n_orphans") > 0L)
   }
 
+  test("readAsOf resolves a timestamp to the newest version at or before it") {
+    val base = Files.createTempDirectory("graft_asof").toString
+    val store = new SnapshotStore(spark, base, "k")
+    val v1 = (1L to 100L).map(i => (i, "a")).toDF("k", "s")
+    store.writeRangePartitioned(v1, 1L, 4, commitTs = Some(1000L))
+    store.mergeDelta(1L, 2L, Seq((1L, "b")).toDF("k", "s"), None, commitTs = Some(2000L))
+    store.mergeDelta(2L, 3L, spark.emptyDataset[(Long, String)].toDF("k", "s"),
+      Some(Seq(Tuple1(2L)).toDF("k")), commitTs = Some(3000L))
+
+    // exactly at a commit → that version; between commits → the older;
+    // after the last → the last
+    assert(store.versionAsOf(2000L).contains(2L))
+    assert(store.versionAsOf(2999L).contains(2L))
+    assert(store.versionAsOf(3000L).contains(3L))
+    assert(store.versionAsOf(999999L).contains(3L))
+    val asOf = store.readAsOf(2500L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOf(1L) == "b" && asOf.contains(2L) && asOf.size == 100)
+    val latest = store.readAsOf(999999L).collect().map(_.getLong(0)).toSet
+    assert(!latest.contains(2L) && latest.size == 99)
+
+    // before the first commit: no version — explicit failure, not v1
+    assert(store.versionAsOf(999L).isEmpty)
+    val ex = intercept[IllegalArgumentException](store.readAsOf(500L))
+    assert(ex.getMessage.contains("earliest"))
+
+    // compaction rewrites layout, not identity: commit ts carries over
+    store.compact(1L, targetBytes = 1L << 40)
+    assert(store.commitTimestamp(1L) == 1000L)
+    assert(store.readAsOf(1500L).count() == 100L)
+
+    // composed restore path: validate the copy of the as-of version
+    val target = Files.createTempDirectory("graft_asof_restore").toString + "/copy"
+    val report = store.restoreAndValidateAsOf(2500L, target, Seq("s"),
+      df => md5(concat_ws("|", df("k").cast("string"), df("s"))))
+    assert(report.collect().forall(_.getAs[String]("status") == "ok"))
+  }
+
   test("lake snapshot: crash-leftover and stray marker files never surface as versions") {
     import graft.operators.LakeSnapshot
     import java.nio.file.{Files => JFiles, Paths}
