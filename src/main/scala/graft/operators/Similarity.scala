@@ -634,12 +634,19 @@ object Similarity {
     * (vec_id, cell, codes) rows updates per-query bounded heaps. */
   private def ivfpqSearch(codes: DataFrame, queries: DataFrame,
       cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
-      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
+      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame =
+    adcSearch(codes, probePlan(queries, cents, books, nprobe, maxQueryRows), k)
+
+  /** Driver-side probe plan: for each query its `nprobe` nearest cells
+    * and one residual LUT per probed cell, grouped by cell. Computed
+    * BEFORE any code row is read, so the persisted-index path can
+    * prune unprobed cells' files off the scan entirely. */
+  private def probePlan(queries: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      nprobe: Int, maxQueryRows: Long): Map[Long, Array[(Long, Array[Array[Double]])]] = {
     val cNorms = norms(cents)
     val qRows = collectQueries(queries, maxQueryRows, "ivfpqSearch")
-    val cellToQueries: Map[Long, Array[(Long, Array[Array[Double]])]] = qRows
+    qRows
       .flatMap { case (qid, qe) =>
         // zero-norm centroids rank −∞ (key +∞): deterministically probed
         // last, never NaN-ordered — same guard as nearestCell
@@ -665,6 +672,15 @@ object Similarity {
         }
       }
       .groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+  }
+
+  /** One narrow pass of ADC scoring over (vec_id, cell, codes) rows
+    * against a broadcast [[probePlan]], per-query bounded heaps, then
+    * the per-query top-k merge window. */
+  private def adcSearch(codes: DataFrame,
+      cellToQueries: Map[Long, Array[(Long, Array[Array[Double]])]], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val bcProbe = spark.sparkContext.broadcast(cellToQueries)
     val ord = implicitly[Ordering[(Double, Long)]]
     val cand = codes
@@ -698,30 +714,136 @@ object Similarity {
 
   /** Persist the COMPLETE IVFPQ index as one artifact directory —
     * `centroids/` + `books/` (KB sidecars) and `codes/` (m bytes per
-    * vector, written partitioned-by-nothing but tiny; at 100 TB it
-    * would be bucketed by cell). Build once per corpus snapshot, then
-    * every query batch runs [[ivfpqTopKFrom]] against the artifact
-    * without touching the raw vectors — the index lifecycle a lake
-    * engine needs: the corpus lives in the snapshot store, its search
-    * index lives beside it, both versioned by path. */
+    * vector) BUCKETED BY CELL (`codes/cell=N/`). Build once per corpus
+    * snapshot, then every query batch runs [[ivfpqTopKFrom]] against
+    * the artifact without touching the raw vectors — the index
+    * lifecycle a lake engine needs: the corpus lives in the snapshot
+    * store, its search index lives beside it, both versioned by path.
+    * The cell layout is the scan-pruning win: a probe plan names its
+    * cells up front, so a search at nprobe ≪ nCells opens only
+    * ~nprobe/nCells of the code files instead of scanning all rows and
+    * filtering (spec-asserted strict file subset). */
   def writeIvfpqIndex(emb: DataFrame, path: String, nCells: Int, m: Int,
       ksub: Int, iters: Int): Unit = {
     val spark = emb.sparkSession
     val (cents, books, codes) = ivfpqBuild(emb, nCells, m, ksub, iters)
     saveCentroids(spark, cents, s"$path/centroids")
     savePqBooks(spark, books, s"$path/books")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    writeCodes(codes, s"$path/codes")
+  }
+
+  private def writeCodes(codes: DataFrame, path: String): Unit =
+    codes.select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The code rows of `probed` cells ONLY: reads just those cells'
+    * `cell=N` directories on the bucketed layout (`basePath` keeps the
+    * partition column in the schema). Falls back to a full read on a
+    * pre-bucketing flat layout — same rows, no skip. `private[graft]`
+    * so the file-subset property is spec-assertable directly. */
+  private[graft] def loadProbedCodes(spark: SparkSession, path: String,
+      probed: Set[Long]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("cell="))
+    if (cellDirs.isEmpty) spark.read.parquet(path) // legacy flat layout
+    else {
+      val hit = cellDirs.filter(p => probed.contains(p.getName.drop(5).toLong))
+      if (hit.isEmpty)
+        spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
+          lit(Array.empty[Byte]).as("codes"))
+      else spark.read.option("basePath", path).parquet(hit.map(_.toString).toIndexedSeq: _*)
+    }
   }
 
   /** Search a [[writeIvfpqIndex]] artifact: loads the KB sidecars,
-    * probes + ADC-searches the stored codes — identical results to the
-    * inline [[ivfpqTopK]] built from the same corpus (spec-proven). */
+    * plans the probes driver-side, then ADC-searches ONLY the probed
+    * cells' code files — identical results to the inline [[ivfpqTopK]]
+    * built from the same corpus (spec-proven), reading
+    * ~nprobe/nCells of the index. */
   def ivfpqTopKFrom(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
     val cents = loadCentroids(spark, s"$path/centroids")
     val books = loadPqBooks(spark, s"$path/books")
-    val codes = spark.read.parquet(s"$path/codes")
-    ivfpqSearch(codes, queries, cents, books, k, nprobe, maxQueryRows)
+    val plan = probePlan(queries, cents, books, nprobe, maxQueryRows)
+    adcSearch(loadProbedCodes(spark, s"$path/codes", plan.keySet), plan, k)
+  }
+
+  /** Encode vectors against a FROZEN IVFPQ quantizer (centroids +
+    * codebooks): assign each vector its nearest cell, subtract the
+    * centroid, PQ-encode the residual — identical math to the
+    * build-time encoding, one narrow typed map. Freezing the quantizer
+    * is what makes incremental index updates sound: codes produced at
+    * different times stay mutually ADC-comparable. */
+  def ivfpqEncode(emb: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    ivfAssignTo(emb, cents)
+      .select(col("vec_id"), col("cell"), col("embedding")).as[(Long, Long, Array[Float])]
+      .map { case (id, cell, e) =>
+        val cent = bcC.value(cell.toInt)
+        val bks = bcB.value
+        val r = new Array[Float](e.length)
+        var i = 0
+        while (i < e.length) { r(i) = e(i) - cent(i); i += 1 }
+        val sub = r.length / bks.length
+        val cs = new Array[Byte](bks.length)
+        var j = 0
+        while (j < bks.length) { cs(j) = nearestCellL2(bks(j), r, j * sub).toByte; j += 1 }
+        (id, cell, cs)
+      }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** Incremental index maintenance after a copy-on-write merge — the
+    * missing composition that used to force a full index rebuild after
+    * every [[SnapshotStore.mergeDelta]]: carry the code rows of
+    * vectors whose files the merge left untouched, re-encode ONLY the
+    * vectors in files the merge rewrote, against the FROZEN quantizer
+    * of the existing index.
+    *
+    * File identity does the bookkeeping: a CoW merge byte-copies
+    * untouched files under the SAME basename, so basenames present in
+    * both versions hold bit-identical vectors (codes carry), basenames
+    * only in `fromVersion` held the rewritten/deleted rows (their codes
+    * drop via one anti-join over the m-bytes-per-vector codes sidecar),
+    * and basenames only in `toVersion` hold the merged content (encode,
+    * O(|rewritten|) vector encodes). The result is bit-exact with
+    * re-encoding the whole new version under the same quantizer
+    * (spec-proven). Re-TRAINING the quantizer is a separate, rarer
+    * decision — run a full [[writeIvfpqIndex]] when drift warrants it.
+    * Returns (codesCarried, codesReencoded) row counts. */
+  def updateIvfpqIndex(spark: SparkSession, store: SnapshotStore,
+      fromVersion: Long, toVersion: Long,
+      fromIndexPath: String, toIndexPath: String): (Long, Long) = {
+    require(fromIndexPath != toIndexPath,
+      "updateIvfpqIndex writes a new index version; in-place update would read and " +
+        "overwrite the same codes files")
+    val cents = loadCentroids(spark, s"$fromIndexPath/centroids")
+    val books = loadPqBooks(spark, s"$fromIndexPath/books")
+    val fromFiles = store.dataFiles(fromVersion).map(p => p.getName -> p.toString).toMap
+    val toFiles = store.dataFiles(toVersion).map(p => p.getName -> p.toString).toMap
+    val removed = (fromFiles.keySet -- toFiles.keySet).toSeq.sorted.map(fromFiles)
+    val added = (toFiles.keySet -- fromFiles.keySet).toSeq.sorted.map(toFiles)
+    val oldCodes = spark.read.parquet(s"$fromIndexPath/codes")
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+    val carried =
+      if (removed.isEmpty) oldCodes
+      else oldCodes.join(
+        spark.read.parquet(removed: _*).select(col("vec_id").cast("long")),
+        Seq("vec_id"), "left_anti")
+    val fresh =
+      if (added.isEmpty) None
+      else Some(ivfpqEncode(spark.read.parquet(added: _*), cents, books))
+    val newCodes = fresh.foldLeft(carried)(_ unionByName _).localCheckpoint()
+    saveCentroids(spark, cents, s"$toIndexPath/centroids")
+    savePqBooks(spark, books, s"$toIndexPath/books")
+    writeCodes(newCodes, s"$toIndexPath/codes")
+    val nFresh = fresh.map(_.count()).getOrElse(0L)
+    (newCodes.count() - nFresh, nFresh)
   }
 
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —
@@ -772,6 +894,42 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       ivfpqTopK(emb, emb.filter(col("vec_id") < 50),
         nCells = 32, m = 8, ksub = 16, iters = 2, k = 5, nprobe = 4)
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_ivfpq_incr" -> { (s, d) =>
+      // Rows-only oracle. The index MAINTENANCE lifecycle end-to-end:
+      // embeddings land range-partitioned as v1 with a persisted IVFPQ
+      // index; a CoW merge (rescaled vectors ≡ 3 mod 7, appended ids
+      // past the envelope, deleted ids ≡ 5 mod 11) publishes v2; the
+      // index updates INCREMENTALLY — codes carry for untouched files,
+      // only rewritten files' vectors re-encode under the frozen
+      // quantizer — and the search runs against the updated artifact,
+      // reading only probed cells' code files.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "vec_id")
+      val emb = Tables.embeddings(s, d)
+      if (!store.versions().contains(1L)) store.writeRangePartitioned(emb, 1L, 8)
+      val idx1 = s"$base/idx_v1"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx1/codes/_SUCCESS")))
+        writeIvfpqIndex(store.read(1L), idx1, nCells = 32, m = 8, ksub = 16, iters = 2)
+      val idx2 = s"$base/idx_v2"
+      if (!store.versions().contains(2L)) {
+        val updates = emb.filter(col("vec_id") % 7 === 3)
+          .withColumn("embedding",
+            transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+        val inserts = emb.filter(col("vec_id") % 29 === 7)
+          .withColumn("vec_id", col("vec_id") + 10000000L)
+          .withColumn("embedding", reverse(col("embedding")))
+        val dels = emb.filter(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 3)
+          .select("vec_id")
+        store.mergeDelta(1L, 2L, updates.unionByName(inserts), Some(dels))
+        updateIvfpqIndex(s, store, 1L, 2L, idx1, idx2)
+      }
+      ivfpqTopKFrom(s, idx2, store.read(2L).filter(col("vec_id") < 50),
+        k = 5, nprobe = 4)
         .orderBy("query_id", "rk")
     },
 

@@ -308,6 +308,16 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
 
   def read(version: Long): DataFrame = spark.read.parquet(dir(version))
 
+  /** The version's data file paths — a metadata-only listing. File
+    * identity is the incremental-maintenance contract: [[mergeDelta]]
+    * byte-copies untouched files under the SAME basename, so a
+    * basename present in two versions holds bit-identical rows —
+    * what [[Similarity.updateIvfpqIndex]]-style consumers key on to
+    * carry derived artifacts forward without rescanning. */
+  def dataFiles(version: Long): Seq[Path] =
+    fs.listStatus(new Path(dir(version))).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+
   def latestVersion(): Option[Long] = versions().lastOption
 
   def latest(): DataFrame = latestVersion() match {

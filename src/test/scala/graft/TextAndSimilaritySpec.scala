@@ -126,6 +126,94 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 3), s"short results: $perQuery")
   }
 
+  test("ivfpq codes are bucketed by cell; a probe reads a strict file subset") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft_ivfpq_cells").toString + "/idx"
+    Similarity.writeIvfpqIndex(emb, path, nCells = 4, m = 4, ksub = 8, iters = 3)
+
+    // layout: the codes sidecar is partitioned into cell= directories
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .map(_.getPath.getName).filter(_.startsWith("cell=")).toSet
+    assert(cellDirs.size >= 2, s"expected cell= partitions, got $cellDirs")
+
+    // pruning: probing one cell opens a strict subset of the files a
+    // full probe opens, and returns exactly that cell's rows
+    val allCells = cellDirs.map(_.drop(5).toLong)
+    val full = Similarity.loadProbedCodes(spark, s"$path/codes", allCells)
+    val one = Similarity.loadProbedCodes(spark, s"$path/codes", Set(allCells.head))
+    assert(one.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    assert(one.inputFiles.length < full.inputFiles.length)
+    assert(one.select(col("cell").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(allCells.head))
+    // no probed cell present on disk → empty frame, same schema
+    val none = Similarity.loadProbedCodes(spark, s"$path/codes", Set(999L))
+    assert(none.count() == 0L &&
+      none.columns.toSet == Set("vec_id", "cell", "codes"))
+
+    // union over all cells loses nothing vs the corpus
+    assert(full.count() == 40L)
+  }
+
+  test("updateIvfpqIndex after mergeDelta is bit-exact with a frozen-quantizer re-encode") {
+    import graft.operators.{Similarity, SnapshotStore}
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_ivfpq_incr").toString
+    val store = new SnapshotStore(spark, base, "vec_id")
+    val vecs = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    }
+    store.writeRangePartitioned(vecs.toDF("vec_id", "embedding"), 1L, 4)
+    val idx1 = s"$base/idx1"
+    Similarity.writeIvfpqIndex(store.read(1L), idx1, nCells = 4, m = 4, ksub = 8, iters = 3)
+
+    // CoW merge: move two vectors to another cluster, insert two, delete two
+    val updates = Seq(
+      (1L, Array.tabulate(16)(d => if (d >= 4 && d < 8) 4.0f else 0.1f)),
+      (2L, Array.tabulate(16)(d => if (d >= 8 && d < 12) 4.0f else 0.1f))
+    ).toDF("vec_id", "embedding")
+    val inserts = Seq(
+      (100L, Array.tabulate(16)(d => if (d < 4) 4.2f else 0.0f)),
+      (101L, Array.tabulate(16)(d => if (d >= 12) 4.2f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    store.mergeDelta(1L, 2L, updates.unionByName(inserts),
+      Some(Seq(Tuple1(7L), Tuple1(8L)).toDF("vec_id")))
+
+    val idx2 = s"$base/idx2"
+    val (carried, reencoded) = Similarity.updateIvfpqIndex(spark, store, 1L, 2L, idx1, idx2)
+    assert(carried > 0L, "some untouched files' codes must carry")
+    assert(reencoded > 0L, "rewritten files' vectors must re-encode")
+
+    // identity: incremental result == whole-v2 re-encode under the SAME
+    // frozen quantizer, code for code
+    val cents = Similarity.loadCentroids(spark, s"$idx1/centroids")
+    val books = Similarity.loadPqBooks(spark, s"$idx1/books")
+    def canonCodes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Array[Byte]]("codes").toSeq)).toSet
+    val incr = canonCodes(spark.read.parquet(s"$idx2/codes"))
+    val full = canonCodes(Similarity.ivfpqEncode(store.read(2L), cents, books))
+    assert(incr == full)
+    assert(incr.size == 48 && !incr.exists(c => c._1 == 7L || c._1 == 8L))
+    assert(carried + reencoded == 48L)
+
+    // the updated artifact searches end-to-end
+    val res = Similarity.ivfpqTopKFrom(spark, idx2,
+      store.read(2L).filter(col("vec_id") < 4), k = 3, nprobe = 2)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 3L))
+  }
+
   test("zero-norm vectors and centroids assign deterministically, never via NaN") {
     import graft.operators.Similarity
     // a degenerate all-zero CENTROID must never win an assignment;
