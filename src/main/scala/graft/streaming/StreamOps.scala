@@ -230,7 +230,28 @@ object StreamOps {
   def continuousMerge(changes: DataFrame, store: graft.operators.SnapshotStore,
       keyCol: String, checkpointDir: String,
       changeTypeCol: String = "change_type",
-      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    mergeStream(changes, store, checkpointDir) { (batch, from, to) =>
+      val lastPerKey = collapseLastPerKey(batch, keyCol, seqCol)
+      val ups = lastPerKey.filter(col(changeTypeCol).isin("insert", "update"))
+        .drop(changeTypeCol)
+      val dels = lastPerKey.filter(col(changeTypeCol) === "delete").select(keyCol)
+      store.mergeDelta(from, to, ups, Some(dels))
+      ()
+    }
+
+  /** The restart-safe version-chain harness shared by [[continuousMerge]]
+    * and [[encryptedChunkIngest]]: records the store's base version ONCE
+    * in a write-once marker beside the checkpoint (tmp+rename; losing a
+    * creation race just means reading the value that won), maps every
+    * micro-batch to `to = initialBase + batchId + 1`, skips batches whose
+    * version already committed (replay after restart — publish was
+    * atomic, so an existing version is complete), and hands
+    * `(batch, to-1, to)` to the merge body. */
+  private def mergeStream(changes: DataFrame, store: graft.operators.SnapshotStore,
+      checkpointDir: String)(
+      mergeBatch: (Dataset[org.apache.spark.sql.Row], Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
     val markerPath = new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_base_version")
     val fs = markerPath.getFileSystem(hconf)
@@ -242,13 +263,11 @@ object StreamOps {
       if (fs.exists(markerPath)) readMarker()
       else {
         val b = store.latestVersion().getOrElse(throw new IllegalStateException(
-          "continuousMerge needs a base snapshot (writeRangePartitioned) in the store"))
+          "the merge stream needs a base snapshot (writeRangePartitioned) in the store"))
         val tmp = new org.apache.hadoop.fs.Path(
           s"$checkpointDir/.tmp-base-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, true)
         try out.writeUTF(b.toString) finally out.close()
-        // rename is atomic; losing the race to a concurrent starter just
-        // means reading the value that won
         if (fs.rename(tmp, markerPath)) b
         else { fs.delete(tmp, false); readMarker() }
       }
@@ -257,33 +276,112 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val to = base + batchId + 1
-        // replay of an already-committed version (restart re-delivers
-        // the last checkpointed batch): the publish was atomic, so the
-        // existing version is complete — skip, idempotently
-        if (!store.versions().contains(to)) {
-          val lastPerKey = seqCol match {
-            case Some(s) =>
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col(keyCol)).orderBy(col(s).desc)
-              batch.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__rn", s)
-            case None =>
-              val r = batch.agg(count(lit(1)), count_distinct(col(keyCol))).head()
-              val (n, nKeys) = (r.getLong(0), r.getLong(1))
-              if (n != nKeys) throw new IllegalArgumentException(
-                s"continuousMerge batch $batchId has $n changes over $nKeys keys; " +
-                  "pass seqCol to collapse multi-change batches to the last change per key")
-              batch
-          }
-          val ups = lastPerKey.filter(col(changeTypeCol).isin("insert", "update"))
-            .drop(changeTypeCol)
-          val dels = lastPerKey.filter(col(changeTypeCol) === "delete").select(keyCol)
-          store.mergeDelta(to - 1, to, ups, Some(dels))
-        }
+        if (!store.versions().contains(to)) mergeBatch(batch, to - 1, to)
         ()
       }
       .start()
   }
+
+  /** Last change per key under `seqCol` ordering; without a sequence
+    * column there is no order to collapse by, so the batch must hold
+    * at most one change per key (fail-fast). */
+  private def collapseLastPerKey(batch: Dataset[org.apache.spark.sql.Row],
+      keyCol: String, seqCol: Option[String]): DataFrame = seqCol match {
+    case Some(s) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col(s).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", s)
+    case None =>
+      val r = batch.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+      val (n, nKeys) = (r.getLong(0), r.getLong(1))
+      if (n != nKeys) throw new IllegalArgumentException(
+        s"merge stream batch has $n changes over $nKeys keys; " +
+          "pass seqCol to collapse multi-change batches to the last change per key")
+      batch.toDF()
+  }
+
+  /** Continuous ENCRYPTED backup — the reference's backup loop
+    * end-to-end as ONE stream: every CDC micro-batch of payload rows
+    * (`change_type` ∈ insert/update/delete, opaque binary payload)
+    * content-defined-chunks and convergent-encrypts the upserted
+    * payloads ([[graft.operators.ChunkCrypto.encryptedChunks]] — one
+    * narrow pass), then COPY-ON-WRITE merges the chunk rows into a
+    * versioned chunk store keyed by `chunk_key = id·M + chunk_idx`.
+    * Identical plaintext chunks encrypt to identical ciphertext, so
+    * chunk-level dedup/GC keep working on `ref_hex` without ever
+    * decrypting, and [[graft.operators.ChunkCrypto.reassemble]] over
+    * any store version restores the payloads live at that version —
+    * time travel included via `readAsOf`.
+    *
+    * Stale-chunk hygiene: an update can SHRINK a payload's chunk
+    * count, so replace-by-key alone would leave orphaned high-index
+    * chunks. Each batch therefore reads the touched ids' CURRENT chunk
+    * keys through the zone map (one pruned range read over the batch's
+    * id envelope + semi-join — O(touched files), never O(store)) and
+    * deletes the ones the new encoding no longer produces.
+    *
+    * Restart semantics, replay idempotence, and the
+    * one-change-per-key-per-batch requirement are [[mergeStream]]'s —
+    * the same guarantees as [[continuousMerge]], spec-proven there.
+    * The store must hold a base version (the initial full backup —
+    * [[writeEncryptedChunkBase]]). */
+  def encryptedChunkIngest(changes: DataFrame, store: graft.operators.SnapshotStore,
+      idCol: String, payloadCol: String, master: Array[Byte], checkpointDir: String,
+      changeTypeCol: String = "change_type",
+      maxChunksPerPayload: Long = 1L << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    mergeStream(changes, store, checkpointDir) { (batch, from, to) =>
+      val b = collapseLastPerKey(batch, idCol, None)
+      val ups = b.filter(col(changeTypeCol).isin("insert", "update"))
+        .select(col(idCol).cast("long").as(idCol), col(payloadCol))
+      val delIds = b.filter(col(changeTypeCol) === "delete")
+        .select(col(idCol).cast("long").as(idCol))
+      val newChunks = keyedEncryptedChunks(
+        ups, idCol, payloadCol, master, maxChunksPerPayload).localCheckpoint()
+      val touched = ups.select(col(idCol)).unionByName(delIds).distinct().localCheckpoint()
+      val bounds = touched.agg(min(col(idCol)), max(col(idCol))).head()
+      val dels =
+        if (bounds.isNullAt(0)) None
+        else {
+          // the touched ids' chunk keys live in [minId·M, maxId·M+M):
+          // zone-map-pruned range read, exact ids via one semi-join,
+          // minus the keys the new encoding re-occupies
+          val m = maxChunksPerPayload
+          val oldRows = store.readKeyRange(from,
+            bounds.getLong(0) * m, bounds.getLong(1) * m + (m - 1))
+          Some(oldRows.join(touched, Seq(idCol), "left_semi")
+            .select("chunk_key")
+            .join(newChunks.select("chunk_key"), Seq("chunk_key"), "left_anti"))
+        }
+      store.mergeDelta(from, to, newChunks, dels)
+      ()
+    }
+
+  /** [[graft.operators.ChunkCrypto.encryptedChunks]] keyed for the
+    * chunk store: `chunk_key = id·M + chunk_idx` (unique per chunk,
+    * range-clustered per payload so one payload's chunks share files).
+    * `assert_true` fail-fasts a payload that chunks past M. */
+  private def keyedEncryptedChunks(payloads: DataFrame, idCol: String,
+      payloadCol: String, master: Array[Byte], m: Long): DataFrame =
+    graft.operators.ChunkCrypto.encryptedChunks(payloads, idCol, payloadCol, master)
+      .withColumn("chunk_key",
+        when(assert_true(col("chunk_idx") < lit(m),
+            lit(s"payload chunked past maxChunksPerPayload=$m")).isNull,
+          col(idCol) * lit(m) + col("chunk_idx")))
+      .select("chunk_key", idCol, "chunk_idx", "ref_hex", "blob")
+
+  /** The initial full backup of the chunk store [[encryptedChunkIngest]]
+    * maintains: chunk + encrypt every payload and land the chunk rows
+    * range-partitioned by `chunk_key` (the zone map the incremental
+    * merges prune by). The store must be keyed by "chunk_key". */
+  def writeEncryptedChunkBase(payloads: DataFrame, store: graft.operators.SnapshotStore,
+      idCol: String, payloadCol: String, master: Array[Byte],
+      version: Long = 1L, numFiles: Int = 8,
+      maxChunksPerPayload: Long = 1L << 20): Unit =
+    store.writeRangePartitioned(
+      keyedEncryptedChunks(payloads.select(col(idCol).cast("long").as(idCol),
+        col(payloadCol)), idCol, payloadCol, master, maxChunksPerPayload),
+      version, numFiles)
 
   /** Tumbling event-time window aggregate — streaming twin of
     * `ev_tumbling` (1-day windows, per event type). */

@@ -275,6 +275,72 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("encrypted chunk ingest: CDC batches land as deduplicated encrypted versioned chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{ChunkCrypto, SnapshotStore}
+
+    val master = Array.tabulate[Byte](32)(_.toByte)
+    def common = Array.tabulate(3000)(j => ((j * 31 + 7) % 251).toByte)
+    def uniq(i: Int, n: Int = 400) = Array.tabulate(n)(j => ((j * 17 + i * 53) % 251).toByte)
+    def payload(i: Int) = common ++ uniq(i)
+
+    val base = Files.createTempDirectory("graft_enc_ingest").toString
+    val store = new SnapshotStore(spark, base, "chunk_key")
+    val initial = Seq(1, 2, 3, 4).map(i => (i.toLong, payload(i))).toDF("doc_id", "payload")
+    StreamOps.writeEncryptedChunkBase(initial, store, "doc_id", "payload", master)
+
+    // convergent dedup on the initial backup: the shared 3000-byte
+    // prefix encrypts to identical chunk refs across all 4 payloads
+    val v1 = store.read(1L)
+    val (rows1, refs1) = (v1.count(), v1.select("ref_hex").distinct().count())
+    assert(refs1 < rows1, s"expected ciphertext dedup, got $refs1 distinct of $rows1 rows")
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val changes = input.toDS().toDF("doc_id", "payload", "change_type")
+    val ckpt = Files.createTempDirectory("graft_enc_ckpt").toString
+    val query = StreamOps.encryptedChunkIngest(
+      changes, store, "doc_id", "payload", master, ckpt)
+    try {
+      // batch 0: rewrite doc 2 SHORTER (stale high-index chunks must
+      // go), insert doc 5 sharing the common prefix
+      input.addData((2L, uniq(99, 600), "update"), (5L, payload(5), "insert"))
+      query.processAllAvailable()
+      // batch 1: delete doc 3
+      input.addData((3L, Array.empty[Byte], "delete"))
+      query.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+
+      // restore round trip at the head version — byte-identical
+      // payloads, which also proves no stale chunk of doc 2's longer
+      // original survived the shrink
+      val restored = ChunkCrypto.reassemble(store.read(3L), "doc_id", master)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+      assert(restored.keySet == Set(1L, 2L, 4L, 5L))
+      assert(restored(1L) == payload(1).toSeq)
+      assert(restored(2L) == uniq(99, 600).toSeq)
+      assert(restored(4L) == payload(4).toSeq)
+      assert(restored(5L) == payload(5).toSeq)
+      assert(store.read(3L).filter(col("doc_id") === 3L).count() == 0L)
+
+      // cross-version dedup: the inserted doc 5's prefix chunks carry
+      // the SAME refs as doc 1's (convergent encryption held end-to-end)
+      val head = store.read(3L)
+      val refs5 = head.filter(col("doc_id") === 5L)
+        .select("ref_hex").as[String].collect().toSet
+      val refs1h = head.filter(col("doc_id") === 1L)
+        .select("ref_hex").as[String].collect().toSet
+      assert((refs5 intersect refs1h).nonEmpty)
+
+      // time travel: the pre-delete version still restores doc 3
+      val v2docs = ChunkCrypto.reassemble(store.read(2L), "doc_id", master)
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+      assert(v2docs(3L) == payload(3).toSeq && v2docs(2L) == uniq(99, 600).toSeq)
+    } finally query.stop()
+  }
+
   test("continuousMerge without seqCol fails fast on a duplicate-key batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
