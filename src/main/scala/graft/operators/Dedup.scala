@@ -93,7 +93,7 @@ object Dedup {
     * bucketed-by-shingle table write — same plan shape, explicit
     * lifecycle (and executor-loss tolerance, which localCheckpoint
     * trades away). */
-  private def pairOverlapStats(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
+  def pairOverlapStats(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
     val sh = capShingleDf(docShingles(docs, k), maxDf).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -107,6 +107,47 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
   }
 
+  private val pairStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), DataFrame]()
+
+  /** [[pairOverlapStats]] MATERIALIZED once per (session, corpus
+    * identity, k, maxDf) and shared: Jaccard, containment, and cluster
+    * audits all consume the same intersection/size statistics, and the
+    * candidate self-join that produces them is the most expensive pass
+    * in the dedup suite — an audit that asks for two or three measures
+    * should pay it once, not per measure. The checkpointed artifact is
+    * the (doc_a, doc_b, n_inter, n_a, n_b) pair rows — the post-join,
+    * post-aggregate output, orders of magnitude smaller than the
+    * shingle index. Entries pin their checkpoint blocks for the
+    * session's lifetime; the map is bounded by one entry per (corpus,
+    * params), which an audit run keeps to a handful. At 100 TB the
+    * same sharing shape is a written stats table beside the corpus
+    * snapshot, exactly like [[writeShingleIndex]]. */
+  def pairOverlapStatsShared(docs: DataFrame, corpusKey: String,
+      k: Int, maxDf: Int = 100): DataFrame =
+    pairStatsMemo.computeIfAbsent(
+      (docs.sparkSession.hashCode, corpusKey, k, maxDf),
+      _ => pairOverlapStats(docs, k, maxDf).localCheckpoint())
+
+  /** The Jaccard threshold filter over [[pairOverlapStats]] rows:
+    * exact n-gram Jaccard ≥ `num/den`, integer arithmetic (no float
+    * boundary ambiguity). */
+  def jaccardFromStats(stats: DataFrame, num: Int, den: Int): DataFrame =
+    stats
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * den >= col("n_union") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
+
+  /** The containment threshold filter over [[pairOverlapStats]] rows:
+    * |A∩B| / min(|A|,|B|) ≥ `num/den`. */
+  def containmentFromStats(stats: DataFrame, num: Int, den: Int): DataFrame =
+    stats
+      .withColumn("n_min", least(col("n_a"), col("n_b")))
+      .filter(col("n_inter") * den >= col("n_min") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
+        round(col("n_inter").cast(DoubleType) / col("n_min"), 4).as("containment"))
+
   /** Near-dup candidate pairs with exact n-gram Jaccard ≥ `num/den`
     * (threshold kept rational so the filter is integer arithmetic —
     * no float boundary ambiguity). `maxDf` caps shingle document
@@ -114,11 +155,7 @@ object Dedup {
     * pass Int.MaxValue for the uncapped measure. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
       maxDf: Int = 100): DataFrame =
-    pairOverlapStats(docs, k, maxDf)
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-      .filter(col("n_inter") * den >= col("n_union") * num)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
-        round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
+    jaccardFromStats(pairOverlapStats(docs, k, maxDf), num, den)
 
   /** Containment near-dup pairs — the QUOTE/subset detector Jaccard
     * structurally misses: a short document fully quoted inside a long
@@ -135,11 +172,7 @@ object Dedup {
     * the scale posture is identical. */
   def containmentPairs(docs: DataFrame, k: Int, num: Int, den: Int,
       maxDf: Int = 100): DataFrame =
-    pairOverlapStats(docs, k, maxDf)
-      .withColumn("n_min", least(col("n_a"), col("n_b")))
-      .filter(col("n_inter") * den >= col("n_min") * num)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
-        round(col("n_inter").cast(DoubleType) / col("n_min"), 4).as("containment"))
+    containmentFromStats(pairOverlapStats(docs, k, maxDf), num, den)
 
   /** Persist the (doc_id, shingle) index as a table bucketed+sorted by
     * shingle — the write-once cost that makes the O(n²)-ish candidate
@@ -560,8 +593,11 @@ object Dedup {
     },
 
     "dedup_ngram" -> { (s, d) =>
-      // Jaccard ≥ 1/2 over distinct word 3-shingles.
-      ngramJaccardPairs(Tables.documents(s, d), 3, 1, 2).orderBy("doc_a", "doc_b")
+      // Jaccard ≥ 1/2 over distinct word 3-shingles. The overlap stats
+      // are SHARED with dedup_containment and dedup_clusters (one
+      // candidate self-join feeds all three measures).
+      jaccardFromStats(pairOverlapStatsShared(Tables.documents(s, d), d, 3), 1, 2)
+        .orderBy("doc_a", "doc_b")
     },
 
     "dedup_minhash" -> { (s, d) =>
@@ -592,8 +628,9 @@ object Dedup {
       // Near-dup pairs → duplicate clusters (connected components);
       // cluster id = smallest member = the canonical survivor. Oracle
       // is a DuckDB recursive-CTE transitive closure over the same
-      // pair set.
-      dupClusters(ngramJaccardPairs(Tables.documents(s, d), 3, 1, 2))
+      // pair set. Pair stats shared with dedup_ngram/dedup_containment.
+      dupClusters(jaccardFromStats(
+          pairOverlapStatsShared(Tables.documents(s, d), d, 3), 1, 2))
         .orderBy("doc_id")
     },
 
@@ -624,8 +661,9 @@ object Dedup {
     "dedup_containment" -> { (s, d) =>
       // One-sided containment ≥ 2/3 over word 3-shingles: catches the
       // quoted-excerpt/subset pairs whose Jaccard stays under the
-      // dedup_ngram threshold because the longer doc inflates the union.
-      containmentPairs(Tables.documents(s, d), 3, 2, 3)
+      // dedup_ngram threshold because the longer doc inflates the
+      // union. Pair stats shared with dedup_ngram/dedup_clusters.
+      containmentFromStats(pairOverlapStatsShared(Tables.documents(s, d), d, 3), 2, 3)
         .orderBy("doc_a", "doc_b")
     }
   )

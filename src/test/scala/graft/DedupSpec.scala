@@ -47,6 +47,35 @@ class DedupSpec extends SparkSpec {
     assert(!jacc.contains((5L, 6L)))
   }
 
+  test("shared pair-overlap stats: one materialization feeds every measure, results identical") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "alpha beta gamma delta epsilon"),
+      (5L, "alpha beta gamma delta epsilon plus a long unrelated tail " +
+        "of many extra tokens diluting the union far below half"),
+      (6L, "completely different text about spark engines here")
+    ).toDF("doc_id", "text")
+
+    // memo: same (corpus, params) → the SAME materialized frame (the
+    // candidate self-join ran once); different params → a fresh pass
+    val s1 = Dedup.pairOverlapStatsShared(corpus, "dedup_spec_corpus", 3)
+    val s2 = Dedup.pairOverlapStatsShared(corpus, "dedup_spec_corpus", 3)
+    assert(s1 eq s2)
+    assert(!(Dedup.pairOverlapStatsShared(corpus, "dedup_spec_corpus", 2) eq s1))
+
+    // both threshold filters over the shared stats equal the
+    // self-contained operators row for row
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(canon(Dedup.jaccardFromStats(s1, 1, 2)) ==
+      canon(Dedup.ngramJaccardPairs(corpus, 3, 1, 2)))
+    assert(canon(Dedup.containmentFromStats(s1, 2, 3)) ==
+      canon(Dedup.containmentPairs(corpus, 3, 2, 3)))
+  }
+
   test("hammingNearDup with bands > maxDist equals the brute-force pair set") {
     val rnd = new scala.util.Random(7)
     val base = rnd.nextLong()
