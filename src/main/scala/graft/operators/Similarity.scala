@@ -206,6 +206,31 @@ object Similarity {
       math.sqrt(s)
     }
 
+  /** Deterministic farthest-point k-means seeding (k-means++ without
+    * the RNG): start from the first candidate, repeatedly add the one
+    * farthest from the chosen set (ties → first). Guarantees distinct
+    * seeds while distinct candidates remain; if the pool has fewer
+    * distinct values than k, the surplus degenerates to repeats (the
+    * data genuinely has < k clusters there). */
+  private def farthestPointSeeds(cands: Array[Array[Float]], k: Int): Array[Array[Float]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(cands(0))
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    while (chosen.length < k) {
+      var best = -1.0
+      var bestB: Array[Float] = null
+      cands.foreach { b =>
+        val dmin = chosen.iterator.map(c => l2sq(b, c)).min
+        if (dmin > best) { best = dmin; bestB = b }
+      }
+      chosen += bestB
+    }
+    chosen.toArray
+  }
+
   /** L2 twin of [[nearestCell]]: argmin squared distance of `cents`
     * against the block of `e` starting at `off` (ties → lowest index).
     * The offset form lets PQ encode against a subspace codebook
@@ -440,7 +465,11 @@ object Similarity {
     * shuffle, the vectors never move). Training costs `iters` corpus
     * scans total, not m × iters jobs. Codebooks are corpus statistics
     * like IVF centroids: train on a sample in production and persist
-    * them the same way. Seeds = the ksub lowest-id vectors, sliced. */
+    * them the same way. Seeds: per subspace, a deterministic
+    * farthest-point spread over the 8·ksub lowest-id vectors' blocks —
+    * naive first-ksub seeding hands Lloyd duplicate seeds whenever the
+    * prefix repeats a block value, and a duplicated centroid never
+    * separates again (a dead centroid = one merged cluster forever). */
   def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -449,10 +478,26 @@ object Similarity {
     require(ksub <= 128, "pq codes are stored as bytes")
     val sub = dim / m
     val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-    val seeds = rows.orderBy("vec_id").limit(ksub).collect().sortBy(_._1).map(_._2)
-    require(seeds.length == ksub, s"pqTrain: corpus has ${seeds.length} < ksub=$ksub vectors")
-    var books = Array.tabulate(m)(j =>
-      seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+    val seeds = rows.orderBy("vec_id").limit(math.max(8 * ksub, ksub))
+      .collect().sortBy(_._1).map(_._2)
+    require(seeds.length >= ksub, s"pqTrain: corpus has ${seeds.length} < ksub=$ksub vectors")
+    val books = Array.tabulate(m)(j => farthestPointSeeds(
+      seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), ksub))
+    pqRefine(emb, books, iters)
+  }
+
+  /** `iters` Lloyd refinement passes over existing codebooks — the
+    * warm-start body of [[pqTrain]], exposed separately so OPQ's
+    * alternation can CONTINUE from the previous iteration's books
+    * (re-seeding from scratch each round can land on a worse local
+    * optimum and break the alternation's monotone error descent). */
+  def pqRefine(emb: DataFrame, books0: Array[Array[Array[Float]]],
+      iters: Int): Array[Array[Array[Float]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    val (m, ksub) = (books0.length, books0(0).length)
+    var books = books0
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(books)
       val updated = rows.mapPartitions { it =>
@@ -866,6 +911,229 @@ object Similarity {
     ivfTopK(emb, autoCells(n), k, salt, kmeansIters)
   }
 
+  // ---- OPQ: optimized product quantization (learned rotation) ----
+
+  /** Rotate every embedding by the d×d matrix `r` (rows): y = R·x.
+    * One narrow typed map — d² flops per row, no shuffle. Kept LAZY on
+    * purpose: at 100 TB, recomputing a gemv per downstream scan beats
+    * materializing a second full-width copy of the corpus. */
+  def rotate(emb: DataFrame, r: Array[Array[Float]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(r)
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, x) => (id, rotateOne(bc.value, x)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  private def rotateOne(rm: Array[Array[Float]], x: Array[Float]): Array[Float] = {
+    val y = new Array[Float](rm.length)
+    var i = 0
+    while (i < rm.length) {
+      val row = rm(i)
+      var s = 0.0; var j = 0
+      while (j < row.length) { s += row(j).toDouble * x(j).toDouble; j += 1 }
+      y(i) = s.toFloat; i += 1
+    }
+    y
+  }
+
+  /** One corpus pass shared by the OPQ rotation solve and
+    * [[quantizationError]]: per vector, rotate (y = R·x), PQ-encode y,
+    * decode to ŷ, and accumulate the d×d Procrustes scatter
+    * M = Σ ŷ·xᵀ plus Σ‖y − ŷ‖² and the row count. Per-partition state
+    * is d² doubles (dim-64 → 32 KB) — the vectors never move, the
+    * reduce carries |partitions| tiny matrices. */
+  private def opqScatter(emb: DataFrame, r: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): (Array[Double], Double, Long) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(r)
+    val bcB = spark.sparkContext.broadcast(books)
+    emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val (rm, bks) = (bcR.value, bcB.value)
+        val d = rm.length
+        val m = bks.length; val sub = d / m
+        val mAcc = new Array[Double](d * d)
+        var err = 0.0; var n = 0L
+        it.foreach { x =>
+          val y = rotateOne(rm, x)
+          var j = 0
+          while (j < m) {
+            val cw = bks(j)(nearestCellL2(bks(j), y, j * sub))
+            var t = 0
+            while (t < sub) {
+              val yh = cw(t).toDouble
+              val base = (j * sub + t) * d
+              var q = 0
+              while (q < d) { mAcc(base + q) += yh * x(q).toDouble; q += 1 }
+              val dif = y(j * sub + t).toDouble - yh
+              err += dif * dif
+              t += 1
+            }
+            j += 1
+          }
+          n += 1
+        }
+        Iterator.single((mAcc, err, n))
+      }
+      .reduce { (a, b) =>
+        val s = new Array[Double](a._1.length)
+        var i = 0
+        while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+        (s, a._2 + b._2, a._3 + b._3)
+      }
+  }
+
+  /** Orthogonal-Procrustes solve: the R minimizing Σ‖R·xᵢ − ŷᵢ‖² over
+    * orthogonal matrices is U·Vᵀ from the SVD of the scatter
+    * M = Σ ŷᵢ·xᵢᵀ. Driver-side on a d×d matrix (dim-64 → 4096 cells)
+    * via breeze (bundled with Spark — no new dependency). */
+  private def procrustes(mFlat: Array[Double], d: Int): Array[Array[Float]] = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val mm = DenseMatrix.tabulate(d, d)((i, j) => mFlat(i * d + j))
+    val svd.SVD(u, _, vt) = svd(mm)
+    val rm = u * vt
+    Array.tabulate(d)(i => Array.tabulate(d)(j => rm(i, j).toFloat))
+  }
+
+  /** Parametric OPQ initialization (Ge et al., CVPR'13): rotate into
+    * the covariance eigenbasis, with eigen-directions dealt to the m
+    * subspaces greedily balancing per-subspace variance products (the
+    * independent-Gaussian-optimal allocation). This is the step that
+    * escapes the identity's local minimum: the non-parametric
+    * alternation alone barely moves when the optimal rotation is far
+    * from the start (a 45° cross-subspace mix measurably stalls it).
+    * One narrow pass accumulates mean + second moment (d + d² doubles
+    * per partition); the d×d eigensolve runs driver-side via breeze. */
+  private def eigInit(emb: DataFrame, m: Int): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (m2, mu, n) = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var n = 0L
+        var m2: Array[Double] = null
+        var mu: Array[Double] = null
+        it.foreach { x =>
+          if (m2 == null) { m2 = new Array(x.length * x.length); mu = new Array(x.length) }
+          var i = 0
+          while (i < x.length) {
+            val xi = x(i).toDouble
+            mu(i) += xi
+            val base = i * x.length
+            var j = 0
+            while (j < x.length) { m2(base + j) += xi * x(j).toDouble; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator.single((m2, mu, n))
+      }
+      .reduce { (a, b) =>
+        val s2 = new Array[Double](a._1.length)
+        var i = 0
+        while (i < s2.length) { s2(i) = a._1(i) + b._1(i); i += 1 }
+        val sm = new Array[Double](a._2.length)
+        i = 0
+        while (i < sm.length) { sm(i) = a._2(i) + b._2(i); i += 1 }
+        (s2, sm, a._3 + b._3)
+      }
+    val d = mu.length
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val cov = DenseMatrix.tabulate(d, d)((i, j) =>
+      m2(i * d + j) / n - (mu(i) / n) * (mu(j) / n))
+    val es = eigSym(cov) // eigenvalues ascending, eigenvectors as columns
+    val ord = (0 until d).sortBy(i => -es.eigenvalues(i))
+    val sub = d / m
+    val logVar = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val rows = new Array[Int](d)
+    ord.foreach { e =>
+      val j = (0 until m).filter(slots(_) < sub)
+        .minBy(b => (logVar(b), b))
+      rows(j * sub + slots(j)) = e
+      logVar(j) += math.log(math.max(es.eigenvalues(e), 1e-12))
+      slots(j) += 1
+    }
+    Array.tabulate(d)(i => Array.tabulate(d)(j => es.eigenvectors(j, rows(i)).toFloat))
+  }
+
+  /** Train an OPQ rotation + codebooks (Ge et al., CVPR'13): start
+    * from the parametric eigen-allocation rotation ([[eigInit]]), then
+    * alternate { retrain PQ codebooks on the rotated corpus
+    * ([[pqTrain]] — fused Lloyd); re-solve the orthogonal Procrustes
+    * rotation against the reconstructions ([[opqScatter]] + d×d SVD) },
+    * ending on a codebook retrain so the returned pair is mutually
+    * consistent. Plain PQ cuts the space into FIXED axis-aligned
+    * subspaces; when variance is correlated across that grid, the
+    * learned orthogonal rotation aligns the data to it first — same
+    * code size, measurably lower quantization error. Both alternation
+    * steps minimize the same reconstruction objective, so the error is
+    * non-increasing across iterations. Cost: opqIters × (lloydIters
+    * + 2) narrow corpus passes; like PQ codebooks, train on a sample
+    * in production. opqIters = 0 skips rotation learning entirely
+    * (identity — exactly [[pqTrain]]). */
+  def opqTrain(emb: DataFrame, m: Int, ksub: Int, lloydIters: Int,
+      opqIters: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"opqTrain: dim=$d not divisible by m=$m")
+    var r =
+      if (opqIters == 0) Array.tabulate(d)(i => Array.tabulate(d)(j => if (i == j) 1f else 0f))
+      else eigInit(emb, m)
+    var books: Array[Array[Array[Float]]] = null
+    for (_ <- 0 until opqIters) {
+      books =
+        if (books == null) pqTrain(rotate(emb, r), m, ksub, lloydIters)
+        else pqRefine(rotate(emb, r), books, lloydIters)
+      val (scatter, _, _) = opqScatter(emb, r, books)
+      r = procrustes(scatter, d)
+    }
+    val finalBooks =
+      if (books == null) pqTrain(rotate(emb, r), m, ksub, lloydIters)
+      else pqRefine(rotate(emb, r), books, lloydIters)
+    (r, finalBooks)
+  }
+
+  /** Mean squared PQ reconstruction error of the corpus under rotation
+    * `r` and codebooks `books` — the quantity OPQ's alternation
+    * minimizes. Identity rotation measures plain PQ. One narrow pass. */
+  def quantizationError(emb: DataFrame, r: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Double = {
+    val (_, err, n) = opqScatter(emb, r, books)
+    err / math.max(n, 1L)
+  }
+
+  /** PQ-encode under the OPQ rotation: codes of R·x. */
+  def opqEncode(emb: DataFrame, r: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame =
+    pqEncode(rotate(emb, r), books)
+
+  /** ADC top-k over OPQ codes: queries rotate through the same R (a
+    * narrow map over the small query set), then [[pqTopK]] answers
+    * against the coded corpus — rotation preserves L2 distances, so
+    * the ADC machinery is unchanged. */
+  def opqTopK(queries: DataFrame, codes: DataFrame, r: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], k: Int,
+      maxQueryRows: Long = 1L << 16): DataFrame =
+    pqTopK(rotate(queries, r), codes, books, k, maxQueryRows)
+
+  /** Rotation matrix → a tiny parquet sidecar (row, embedding), like
+    * [[saveCentroids]]. */
+  def saveRotation(spark: SparkSession, r: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("row", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveRotation]] sidecar, bit-exact. */
+  def loadRotation(spark: SparkSession, path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("row").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -930,6 +1198,19 @@ object Similarity {
       }
       ivfpqTopKFrom(s, idx2, store.read(2L).filter(col("vec_id") < 50),
         k = 5, nprobe = 4)
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_opq" -> { (s, d) =>
+      // Rows-only oracle (rotation and codebooks are Spark-internal
+      // artifacts). OPQ = PQ behind a learned orthogonal rotation:
+      // same 8-byte codes as ann_pq, lower quantization error when
+      // variance is correlated across the fixed subspace grid. Trains
+      // on the same deterministic 25% sample as ann_pq.
+      val emb = Tables.embeddings(s, d)
+      val (r, books) =
+        opqTrain(emb.filter(col("vec_id") % 4 === 0), 8, 16, lloydIters = 2, opqIters = 2)
+      opqTopK(emb.filter(col("vec_id") < 50), opqEncode(emb, r, books), r, books, 5)
         .orderBy("query_id", "rk")
     },
 

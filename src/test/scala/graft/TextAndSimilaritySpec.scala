@@ -86,6 +86,103 @@ class TextAndSimilaritySpec extends SparkSpec {
       canon(Similarity.pqTopK(q, Similarity.pqEncode(emb, books), books, 3)))
   }
 
+  test("opq: learned rotation is orthogonal and cuts quantization error on grid data " +
+      "rotated across the subspace boundary") {
+    import graft.operators.Similarity
+    // Ground truth: vectors sit EXACTLY on a per-subspace grid of 4
+    // codewords (PQ with ksub=4 would be lossless)… but observed
+    // through a 45° rotation pairing dim t with dim t+8, which smears
+    // every subspace into the others. Plain PQ on the observed data
+    // pays that smear as quantization error; OPQ's alternation should
+    // learn a rotation that re-aligns the grid and collapse the error.
+    val d = 16; val sub = 4; val m = 4; val ksub = 4
+    // per-subspace codeword grids with DISTINCT step sizes: equal
+    // variances would make the top eigenspace degenerate and PCA would
+    // return an arbitrary mixing basis (separating equal-variance
+    // independent factors is ICA, not PCA — parametric OPQ only
+    // promises the non-degenerate case).
+    def code(j: Int, c: Int, t: Int): Float = c * (2.0f + 3.0f * j) + t * 0.1f
+    val mix = math.sqrt(0.5)
+    def observed(g: Array[Float]): Array[Float] = Array.tabulate(d) { i =>
+      if (i < 8) ((g(i) - g(i + 8)) * mix).toFloat
+      else ((g(i) + g(i - 8)) * mix).toFloat
+    }
+    // codeword picks independent per (vector, subspace): the joint
+    // space has ~4⁴ combinations, so every ROTATED subspace mixes ~16
+    // distinct block values — more than ksub=4 can cover losslessly —
+    // while the ground-truth basis still needs only 4 per subspace.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 256).map { i =>
+      val picks = Array.fill(m)(rnd.nextInt(4))
+      val g = Array.tabulate(d)(t => code(t / sub, picks(t / sub), t % sub))
+      (i.toLong, observed(g))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val eye = Array.tabulate(d)(i => Array.tabulate(d)(j => if (i == j) 1f else 0f))
+    val pqBooks = Similarity.pqTrain(emb, m, ksub, 5)
+    val pqErr = Similarity.quantizationError(emb, eye, pqBooks)
+    val (r, books) = Similarity.opqTrain(emb, m, ksub, lloydIters = 5, opqIters = 8)
+    // R is orthogonal: R·Rᵀ = I
+    val dev = (0 until d).flatMap { i =>
+      (0 until d).map { j =>
+        val dot = (0 until d).map(t => r(i)(t).toDouble * r(j)(t).toDouble).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }
+    }.max
+    assert(dev < 1e-3, s"R·Rᵀ deviates from I by $dev")
+    val opqErr = Similarity.quantizationError(emb, r, books)
+    assert(opqErr < 0.5 * pqErr,
+      s"opq err $opqErr should be well under plain pq err $pqErr")
+  }
+
+  test("opq with zero rotation iterations degenerates to plain pq; rotation persists bit-exact") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(t => ((i * 7 + t * 3) % 11).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (r0, books0) = Similarity.opqTrain(emb, 4, 8, lloydIters = 2, opqIters = 0)
+    assert((0 until 16).forall(i => (0 until 16).forall(j =>
+      r0(i)(j) == (if (i == j) 1f else 0f))), "opqIters=0 should return the identity")
+    val plain = Similarity.pqTrain(emb, 4, 8, 2)
+    books0.zip(plain).foreach { case (b, p) =>
+      b.zip(p).foreach { case (v, w) => assert(v.toSeq == w.toSeq) }
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    val q = emb.filter(col("vec_id") < 4)
+    assert(canon(Similarity.opqTopK(q, Similarity.opqEncode(emb, r0, books0), r0, books0, 3)) ==
+      canon(Similarity.pqTopK(q, Similarity.pqEncode(emb, plain), plain, 3)))
+    // a real rotation round-trips through its parquet sidecar bit-exact
+    val (r1, _) = Similarity.opqTrain(emb, 4, 8, lloydIters = 2, opqIters = 2)
+    val path = Files.createTempDirectory("graft_opq_rot").toString + "/rot"
+    Similarity.saveRotation(spark, r1, path)
+    val loaded = Similarity.loadRotation(spark, path)
+    assert(r1.length == loaded.length)
+    r1.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("opq: ADC search over rotated codes recovers cluster neighbors") {
+    import graft.operators.Similarity
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { t =>
+        (if (t >= 4 * c && t < 4 * c + 4) 4.0f else 0.0f) + ((i + t) % 3) * 0.05f
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (r, books) = Similarity.opqTrain(emb, 4, 8, lloydIters = 3, opqIters = 2)
+    val top = Similarity.opqTopK(emb.filter(col("vec_id") < 8),
+      Similarity.opqEncode(emb, r, books), r, books, 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(top.nonEmpty)
+    val wrongCluster = top.filter { case (q, n) => q % 4 != n % 4 }
+    assert(wrongCluster.isEmpty, s"cross-cluster neighbors: ${wrongCluster.toList}")
+  }
+
   test("persisted ivfpq index searches identically to the inline build") {
     import graft.operators.Similarity
     import java.nio.file.Files
