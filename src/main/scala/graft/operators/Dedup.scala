@@ -515,6 +515,26 @@ object Dedup {
     labels
   }
 
+  /** Canonical-survivor selection — the artifact a dedup pipeline
+    * actually emits: near-dup clusters ([[dupClusters]]) collapse to
+    * ONE kept doc each, the highest-quality member (longest text,
+    * ties → lowest doc_id); docs in no cluster keep themselves.
+    * Output: (doc_id, comp, quality, keep) for EVERY doc — the keep
+    * column is the dedup filter, comp is the survivor's audit trail.
+    * Scale shape: the cluster labels join back on doc_id (equi-join)
+    * and the winner is a per-comp row_number over bounded groups —
+    * no step touches more than |docs| + |cluster members| rows. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = dupClusters(pairs)
+    val scored = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "comp", "quality", "keep")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token-hash bit, sign → bit. Implemented as 64 codegen'd
     * conditional sums — one aggregation pass, no UDF. */
@@ -634,6 +654,17 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    "dedup_canonical" -> { (s, d) =>
+      // Per-cluster survivor selection — the keep-list a dedup
+      // pipeline emits: clusters from the SHARED overlap-stats pass
+      // (one candidate join feeds ngram/containment/clusters/canonical),
+      // keep the longest member (ties → lowest id), singletons keep
+      // themselves. Oracle: recursive-CTE closure + a window.
+      keepBestPerCluster(Tables.documents(s, d),
+        jaccardFromStats(pairOverlapStatsShared(Tables.documents(s, d), d, 3), 1, 2))
+        .orderBy("doc_id")
+    },
+
     "dedup_editdist" -> { (s, d) =>
       // Typo-level near-dups among distinct part names: vocabulary-
       // bounded pair space + length blocking (see editDistancePairs).
@@ -738,6 +769,43 @@ object Dedup {
         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
         |SELECT n AS doc_id, MIN(m) AS comp FROM reach
         |GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM toks,
+        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS u(s)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |    JOIN sizes sa ON sa.doc_id = doc_a
+        |    JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+        |comp AS (SELECT n AS doc_id, MIN(m) AS comp FROM reach GROUP BY n)
+        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp,
+        |  LENGTH(d.text) AS quality,
+        |  (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, d.doc_id)
+        |     ORDER BY LENGTH(d.text) DESC, d.doc_id) = 1) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (

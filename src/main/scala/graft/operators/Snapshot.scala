@@ -70,6 +70,34 @@ object Snapshot {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Grandfather-father-son retention over a snapshot CATALOG (one row
+    * per snapshot date): keep the newest `daily` days, the last
+    * snapshot of each of the newest `weekly` ISO weeks, and the last
+    * snapshot of each of the newest `monthly` months — the retention
+    * schedule every backup tool ships. Output flags every snapshot
+    * (keep_daily/keep_weekly/keep_monthly/keep) so the caller can
+    * prune `keep = false` versions (e.g. via SnapshotStore.vacuum) and
+    * audit WHY each survivor is held. The global windows are fine at
+    * any corpus scale: the frame is the snapshot catalog (one row per
+    * snapshot), metadata-sized by construction, like [[manifest]]. */
+  def gfsRetention(snaps: DataFrame, daily: Int, weekly: Int, monthly: Int): DataFrame = {
+    val g = snaps.select(col("snap_date"),
+      date_trunc("week", col("snap_date")).cast("date").as("wk"),
+      date_trunc("month", col("snap_date")).cast("date").as("mo"))
+    val dayRank = dense_rank().over(Window.orderBy(col("snap_date").desc))
+    val wkLast = row_number().over(
+      Window.partitionBy("wk").orderBy(col("snap_date").desc)) === 1
+    val wkRank = dense_rank().over(Window.orderBy(col("wk").desc))
+    val moLast = row_number().over(
+      Window.partitionBy("mo").orderBy(col("snap_date").desc)) === 1
+    val moRank = dense_rank().over(Window.orderBy(col("mo").desc))
+    g.select(col("snap_date"),
+        (dayRank <= daily).as("keep_daily"),
+        (wkLast && wkRank <= weekly).as("keep_weekly"),
+        (moLast && moRank <= monthly).as("keep_monthly"))
+      .withColumn("keep", col("keep_daily") || col("keep_weekly") || col("keep_monthly"))
+  }
+
   /** Per-partition manifest: row count, key bounds, order-independent
     * XOR content hash (constant memory per group — see snap_manifest).
     * `fp` must be an md5-hex fingerprint column expression. */
@@ -276,6 +304,15 @@ object Snapshot {
         Seq(col("ts").desc, col("event_id").desc), 3)
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id", "event_id")
+    },
+
+    "snap_retention_gfs" -> { (s, d) =>
+      // GFS schedule over the event-date catalog (each distinct day =
+      // one daily backup): keep 7 dailies, 4 week-lasts, 12
+      // month-lasts, with per-tier audit flags.
+      gfsRetention(Tables.events(s, d).select(to_date(col("ts")).as("snap_date")).distinct(),
+        daily = 7, weekly = 4, monthly = 12)
+        .orderBy("snap_date")
     },
 
     "snap_bloom_prune" -> { (s, d) =>
@@ -529,6 +566,27 @@ object Snapshot {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+
+    "snap_retention_gfs" ->
+      """WITH snaps AS (SELECT DISTINCT CAST(ts AS DATE) AS snap_date FROM events),
+        |g AS (SELECT snap_date,
+        |        CAST(date_trunc('week', snap_date) AS DATE) AS wk,
+        |        CAST(date_trunc('month', snap_date) AS DATE) AS mo
+        |      FROM snaps),
+        |r AS (SELECT snap_date,
+        |        DENSE_RANK() OVER (ORDER BY snap_date DESC) AS day_rank,
+        |        (ROW_NUMBER() OVER (PARTITION BY wk ORDER BY snap_date DESC) = 1) AS wk_last,
+        |        DENSE_RANK() OVER (ORDER BY wk DESC) AS wk_rank,
+        |        (ROW_NUMBER() OVER (PARTITION BY mo ORDER BY snap_date DESC) = 1) AS mo_last,
+        |        DENSE_RANK() OVER (ORDER BY mo DESC) AS mo_rank
+        |      FROM g)
+        |SELECT snap_date,
+        |  (day_rank <= 7) AS keep_daily,
+        |  (wk_last AND wk_rank <= 4) AS keep_weekly,
+        |  (mo_last AND mo_rank <= 12) AS keep_monthly,
+        |  ((day_rank <= 7) OR (wk_last AND wk_rank <= 4)
+        |    OR (mo_last AND mo_rank <= 12)) AS keep
+        |FROM r ORDER BY snap_date""".stripMargin,
 
     "snap_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -270,4 +270,30 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(pairs.size.toLong == naive)
   }
+
+  test("keepBestPerCluster keeps the longest member per cluster, singletons keep themselves") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "short"),
+      (2L, "the longest text of the cluster wins"),
+      (3L, "mid length"),
+      (5L, "same size"),
+      (6L, "same size"), // tie with 5 → lowest id wins
+      (9L, "a singleton document")
+    ).toDF("doc_id", "text")
+    // clusters by explicit pair edges: {1,2,3} (transitively) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBestPerCluster(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // comp = smallest member; quality = text length; one keeper per comp
+    assert(out(1L) == ((1L, 5L, false)))
+    assert(out(2L) == ((1L, 36L, true)))  // longest of {1,2,3}
+    assert(out(3L) == ((1L, 10L, false)))
+    assert(out(5L) == ((5L, 9L, true)))   // tie broken to lowest id
+    assert(out(6L) == ((5L, 9L, false)))
+    assert(out(9L) == ((9L, 20L, true)))  // singleton: own comp, kept
+    // exactly one keeper per component
+    val keepersPerComp = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._3) }
+    assert(keepersPerComp.values.forall(_ == 1), s"keepers per comp: $keepersPerComp")
+  }
 }

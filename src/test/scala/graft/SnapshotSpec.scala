@@ -131,4 +131,30 @@ class SnapshotSpec extends SparkSpec {
     assert(merged == direct)
     assert(math.abs(merged - 311.0) / 311.0 < 0.05, s"estimate $merged vs exact 311")
   }
+
+  test("gfsRetention keeps 7 dailies, week-lasts, month-lasts — and drops the rest") {
+    import java.time.LocalDate
+    // daily catalog 2024-01-01 .. 2024-03-15 (75 snapshots)
+    val days = Iterator.iterate(LocalDate.parse("2024-01-01"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(LocalDate.parse("2024-03-15")))
+      .map(d => Tuple1(java.sql.Date.valueOf(d))).toSeq
+    val out = Snapshot.gfsRetention(days.toDF("snap_date"), 7, 4, 12)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out.size == 75)
+    // dailies: the newest 7 calendar days
+    val dailies = out.filter(_._2._1).keys.toSet
+    assert(dailies == (9 to 15).map(d => f"2024-03-$d%02d").toSet, s"dailies: $dailies")
+    // weeklies: last snapshot of the 4 newest ISO (Monday-start) weeks
+    val weeklies = out.filter(_._2._2).keys.toSet
+    assert(weeklies == Set("2024-03-15", "2024-03-10", "2024-03-03", "2024-02-25"),
+      s"weeklies: $weeklies")
+    // monthlies: last snapshot of each month (12 covers all 3)
+    val monthlies = out.filter(_._2._3).keys.toSet
+    assert(monthlies == Set("2024-03-15", "2024-02-29", "2024-01-31"), s"monthlies: $monthlies")
+    // keep = the union of tiers; an uncovered mid-month day is dropped
+    assert(!out("2024-01-15")._4)
+    assert(out.count(_._2._4) == (dailies ++ weeklies ++ monthlies).size)
+  }
 }
