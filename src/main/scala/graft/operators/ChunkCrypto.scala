@@ -84,6 +84,52 @@ object ChunkCrypto {
   /** CDC-chunk + encrypt a payload column: one narrow pass emitting
     * (id, chunk_idx, ref_hex, blob) rows — the encrypted chunk-store
     * ingest. Dedup/GC run on `ref_hex` without ever decrypting. */
+  /** Dedup-aware storage accounting across chunk-store versions — the
+    * report every deduplicating backup tool exposes (what did each
+    * backup ADD, what does it SHARE, what would dropping it RECLAIM).
+    * Works on any chunk frame with a content-address column (`refCol`:
+    * ref_hex, chunk_md5, …) and a byte-size expression (`bytesCol`:
+    * `length(col("blob"))`, `col("chunk_bytes")`, …), so it composes
+    * with [[encryptedChunks]], [[Multimodal.cdcChunks]], and
+    * SnapshotStore versions alike. Per version:
+    *
+    *  - n_chunks / logical_bytes: all chunk occurrences (restore size)
+    *  - n_refs / physical_bytes: distinct content addresses (what the
+    *    store must actually hold for this version)
+    *  - n_new_refs / new_bytes: addresses no EARLIER version has —
+    *    this backup's incremental storage cost
+    *  - exclusive_bytes: addresses in NO OTHER version — reclaimed if
+    *    this version is pruned (the GC planning number)
+    *
+    * Scale shape: one shuffle on the content hash (uniform by
+    * construction — hashes don't skew), map-side-combinable aggregates
+    * on both sides, and the perRef ⋈ refStats join reuses the same
+    * hash partitioning. Nothing touches blob payloads except the
+    * bytes expression in the first projection. */
+  def chunkAccounting(byVersion: Seq[(Long, DataFrame)], refCol: String,
+      bytesCol: org.apache.spark.sql.Column): DataFrame = {
+    require(byVersion.nonEmpty, "chunkAccounting needs at least one version")
+    val rows = byVersion.map { case (v, df) =>
+      df.select(lit(v).as("version"), col(refCol).as("ref"),
+        bytesCol.cast(LongType).as("bytes"))
+    }.reduce(_.unionByName(_))
+    val perRef = rows.groupBy("version", "ref")
+      .agg(count(lit(1)).as("n_occ"), max(col("bytes")).as("bytes"))
+    val refStats = perRef.groupBy("ref")
+      .agg(min("version").as("first_version"), count(lit(1)).as("n_versions"))
+    perRef.join(refStats, "ref")
+      .groupBy("version")
+      .agg(
+        sum("n_occ").as("n_chunks"),
+        sum(col("n_occ") * col("bytes")).as("logical_bytes"),
+        count(lit(1)).as("n_refs"),
+        sum("bytes").as("physical_bytes"),
+        sum(when(col("first_version") === col("version"), 1L).otherwise(0L)).as("n_new_refs"),
+        sum(when(col("first_version") === col("version"), col("bytes"))
+          .otherwise(0L)).as("new_bytes"),
+        sum(when(col("n_versions") === 1, col("bytes")).otherwise(0L)).as("exclusive_bytes"))
+  }
+
   def encryptedChunks(df: DataFrame, idCol: String, payloadCol: String,
       master: Array[Byte], mask: Long = 0x3F, minChunk: Int = 16,
       maxChunk: Int = 4096): DataFrame = {

@@ -258,6 +258,29 @@ object Multimodal {
           round(col("bytes_shared").cast(DoubleType) / col("bytes_total"), 4))
     },
 
+    "snap_chunk_accounting" -> { (s, d) =>
+      // Rows-only (gear-hash CDC boundaries are Spark-internal). The
+      // dedup-aware GC report over three modeled daily backups of the
+      // corpus: v2 edits docs ≡ 0 mod 11, v3 edits docs ≡ 0 mod 7 and
+      // drops docs ≡ 0 mod 13 — per version, what it added, what it
+      // shares, and what pruning it would reclaim.
+      def chunksOf(mutate: DataFrame => DataFrame) = cdcChunks(
+        mutate(Tables.documents(s, d))
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+      val v1 = chunksOf(identity)
+      val v2 = chunksOf(df => df.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+          .otherwise(col("text"))))
+      val v3 = chunksOf(df => df.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" appended suffix")))
+            .otherwise(col("text"))))
+      graft.operators.ChunkCrypto.chunkAccounting(
+        Seq(1L -> v1, 2L -> v2, 3L -> v3), "chunk_md5", col("chunk_bytes"))
+        .orderBy("version")
+    },
+
     "mm_decode" -> { (s, d) =>
       // Rows-only check: the stub decoder's outputs are deterministic
       // but Spark-internal. Exercises the full binary-column decode

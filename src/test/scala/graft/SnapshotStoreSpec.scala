@@ -499,4 +499,22 @@ class SnapshotStoreSpec extends SparkSpec {
     val gotN = store.readWhereAll(1L, Seq(("n", 1L, 3L))).count()
     assert(gotN == 2L)
   }
+
+  test("chunkAccounting: per-version new/shared/exclusive bytes over hand-built refs") {
+    import graft.operators.ChunkCrypto
+    import org.apache.spark.sql.functions.col
+    // v1: a (10 B, ×2 occurrences), b (20 B)
+    // v2: a, c (30 B)      — adds c, shares a, drops b
+    // v3: c                — pure subset of v2
+    val v1 = Seq(("a", 10L), ("a", 10L), ("b", 20L)).toDF("ref", "bytes")
+    val v2 = Seq(("a", 10L), ("c", 30L)).toDF("ref", "bytes")
+    val v3 = Seq(("c", 30L)).toDF("ref", "bytes")
+    val out = ChunkCrypto.chunkAccounting(
+      Seq(1L -> v1, 2L -> v2, 3L -> v3), "ref", col("bytes"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    //                 n_chunks logical n_refs physical new_refs new_bytes exclusive
+    assert(out(1L) == Seq(3L, 40L, 2L, 30L, 2L, 30L, 20L)) // b exclusive to v1
+    assert(out(2L) == Seq(2L, 40L, 2L, 40L, 1L, 30L, 0L))  // c new; a,c shared
+    assert(out(3L) == Seq(1L, 30L, 1L, 30L, 0L, 0L, 0L))   // nothing new, nothing exclusive
+  }
 }
