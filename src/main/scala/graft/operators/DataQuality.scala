@@ -169,6 +169,39 @@ object DataQuality {
             / col("share_base")), 6))
   }
 
+  /** Categorical concentration profile — Shannon entropy (nats),
+    * normalized entropy (÷ ln distinct — 1.0 means uniform, → 0 means
+    * one value dominates), and Gini impurity per labeled column: the
+    * balance diagnostics behind partition-key and training-mixture
+    * choices (a near-zero-entropy key is a skew hazard before any row
+    * moves; a drifting mixture entropy is a corpus-composition alarm).
+    * Scale shape per column: one map-side-combinable value count (the
+    * shuffle carries distinct values, not rows), then the tiny count
+    * frame crosses a broadcast one-row total — same shape as [[drift]].
+    * Rounding happens once at the end from the unrounded sums so the
+    * oracle can mirror the arithmetic token-for-token. */
+  def entropy(cols: Seq[(String, DataFrame, String)]): DataFrame =
+    cols.map { case (label, df, c) =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum(col("n")).as("t"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p", col("n").cast(DoubleType) / col("t"))
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          max(col("t")).as("n_rows"),
+          (-sum(col("p") * log(col("p")))).as("ent"),
+          (lit(1.0) - sum(col("p") * col("p"))).as("gini_raw"))
+        .select(
+          lit(label).as("col_name"),
+          col("n_distinct"),
+          col("n_rows"),
+          round(col("ent"), 6).as("entropy_nats"),
+          round(when(col("n_distinct") > 1,
+            col("ent") / log(col("n_distinct").cast(DoubleType))), 6).as("entropy_norm"),
+          round(col("gini_raw"), 6).as("gini"))
+    }.reduce(_.unionByName(_))
+
   /** Equi-width histogram of a numeric column — the distribution view
     * [[profile]]'s scalar min/max can't give (skew, modes, outlier
     * mass). Two passes: a one-row global [lo, hi] aggregate (at 100 TB
@@ -296,6 +329,18 @@ object DataQuality {
         ord.filter(col("o_orderdate") < "1998-01-01"),
         ord.filter(col("o_orderdate") >= "1998-01-01"),
         "o_orderpriority").orderBy("category")
+    },
+
+    "dq_entropy" -> { (s, d) =>
+      // Concentration profile of the keys a pipeline partitions and
+      // mixes by: event types, order priorities, document languages
+      // and sources — one count pass per column, all metadata-sized.
+      entropy(Seq(
+        ("documents.lang", Tables.documents(s, d), "lang"),
+        ("documents.source", Tables.documents(s, d), "source"),
+        ("events.event_type", Tables.events(s, d), "event_type"),
+        ("orders.o_orderpriority", Tables.orders(s, d), "o_orderpriority")))
+        .orderBy("col_name")
     },
 
     "dq_rules" -> { (s, d) =>
@@ -440,6 +485,31 @@ object DataQuality {
         |    THEN (share_curr - share_base) * (share_curr - share_base) / share_base
         |    END, 6) AS chi2_contrib
         |FROM sh ORDER BY category""".stripMargin,
+
+    "dq_entropy" -> {
+      def branch(label: String, table: String, c: String) =
+        s"""SELECT '$label' AS col_name, n_distinct,
+           |  CAST(n_rows AS BIGINT) AS n_rows,
+           |  ROUND(ent, 6) AS entropy_nats,
+           |  ROUND(CASE WHEN n_distinct > 1
+           |    THEN ent / ln(CAST(n_distinct AS DOUBLE)) END, 6) AS entropy_norm,
+           |  ROUND(gini_raw, 6) AS gini
+           |FROM (
+           |  SELECT COUNT(*) AS n_distinct, MAX(t.t) AS n_rows,
+           |    -SUM((CAST(n AS DOUBLE) / t.t) * ln(CAST(n AS DOUBLE) / t.t)) AS ent,
+           |    1.0 - SUM((CAST(n AS DOUBLE) / t.t) * (CAST(n AS DOUBLE) / t.t)) AS gini_raw
+           |  FROM (SELECT $c AS v, COUNT(*) AS n FROM $table
+           |        WHERE $c IS NOT NULL GROUP BY 1) cnt
+           |    CROSS JOIN (SELECT SUM(n) AS t FROM (SELECT COUNT(*) AS n FROM $table
+           |        WHERE $c IS NOT NULL GROUP BY $c)) t
+           |)""".stripMargin
+      Seq(
+        branch("documents.lang", "documents", "lang"),
+        branch("documents.source", "documents", "source"),
+        branch("events.event_type", "events", "event_type"),
+        branch("orders.o_orderpriority", "orders", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "dq_rules" -> {
       def branch(name: String, from: String, viol: String) =

@@ -109,6 +109,39 @@ object TextAnalysis {
       col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_longnum") > 0)
   }
 
+  /** BM25-ranked keyword search over the corpus (Robertson/Okapi, the
+    * Lucene-default idf variant `ln(1 + (N − df + ½)/(df + ½))` which
+    * is positive by construction). One generator pass feeds both the
+    * doc-length aggregate and the query-term hits (the term filter
+    * lands right behind the explode, so only matching occurrences
+    * reach the (doc, term) count); df and the corpus stats are
+    * term-count-sized one-row/broadcast frames; the final top-k plans
+    * as TakeOrdered (bounded per-partition heaps — never a global
+    * single-partition window). Ranking uses the ROUNDED score (ties →
+    * doc_id) so the order is reproducible across engines. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      // projection barrier: explode must not re-evaluate tokens()
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val hits = tok.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    hits.join(lens, "doc_id").join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Top-k corpus terms per language (tokens of length ≥ `minLen`,
     * ranked count DESC with token ASC tie-break) — the vocabulary
     * inspection step of corpus analysis. Scale shape: the explode is
@@ -248,6 +281,13 @@ object TextAnalysis {
       // Per-language top-8 terms of length ≥ 5 — count frame is
       // map-side combined, top-k via the TopKPerKey rewrite.
       topTerms(Tables.documents(s, d), 5, 8).orderBy("lang", "rk")
+    },
+
+    "text_bm25" -> { (s, d) =>
+      // Keyword search: top-20 docs for a 3-term query under BM25
+      // (k1=1.2, b=0.75), ranked by rounded score then doc_id.
+      bm25Search(Tables.documents(s, d), Seq("merge", "vector", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
     }
   )
 
@@ -371,6 +411,29 @@ object TextAnalysis {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rk
          |  FROM tc) t
-         |WHERE rk <= 8 ORDER BY lang, rk""".stripMargin
+         |WHERE rk <= 8 ORDER BY lang, rk""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)),
+         |lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |            AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |  WHERE token IN ('merge', 'vector', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM hits GROUP BY 1),
+         |scored AS (
+         |  SELECT h.doc_id,
+         |    SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score,
+         |    COUNT(*) AS n_terms_hit
+         |  FROM hits h
+         |    JOIN lens l ON h.doc_id = l.doc_id
+         |    JOIN dfreq d ON h.token = d.token
+         |    CROSS JOIN stats s
+         |  GROUP BY 1)
+         |SELECT doc_id, ROUND(score, 4) AS bm25, n_terms_hit
+         |FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 20""".stripMargin
   )
 }

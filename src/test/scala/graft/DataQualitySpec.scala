@@ -101,4 +101,22 @@ class DataQualitySpec extends SparkSpec {
     assert(out("q_in_1_50").getAs[Long]("n_violations") == 3L)
     assert(out("q_positive").getAs[Long]("n_violations") == 1L)
   }
+
+  test("entropy: uniform two-value column is ln2/1.0/0.5; constants are 0/null/0; nulls excluded") {
+    val uniform = Seq("a", "a", "b", "b").toDF("c")
+    val constant = Seq(Some("x"), Some("x"), None).toDF("c")
+    val out = DataQuality.entropy(Seq(
+      ("u", uniform, "c"), ("k", constant, "c")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getAs[Long]("n_distinct") == 2L && u.getAs[Long]("n_rows") == 4L)
+    assert(u.getAs[Double]("entropy_nats") == 0.693147) // ln 2 @ 6dp
+    assert(u.getAs[Double]("entropy_norm") == 1.0)      // perfectly uniform
+    assert(u.getAs[Double]("gini") == 0.5)
+    val k = out("k")
+    assert(k.getAs[Long]("n_distinct") == 1L && k.getAs[Long]("n_rows") == 2L) // null dropped
+    assert(k.getAs[Double]("entropy_nats") == 0.0)
+    assert(k.isNullAt(k.fieldIndex("entropy_norm"))) // undefined at 1 value
+    assert(k.getAs[Double]("gini") == 0.0)
+  }
 }

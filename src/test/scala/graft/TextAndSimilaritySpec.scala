@@ -32,6 +32,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(n == 6L)
   }
 
+  test("bm25: multi-term match outranks single-term; rare term outweighs common; absent docs excluded") {
+    val corpus = Seq(
+      (1L, "apple apple apple filler filler filler filler filler"), // common term, long
+      (2L, "apple banana"),                                         // both terms, short
+      (3L, "apple filler"),
+      (4L, "apple padding here"),
+      (5L, "banana filler"),                                        // rare term (df 2 vs 4)
+      (6L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(corpus, Seq("apple", "banana"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 6 has no query term → absent; the 5 hits all present
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // doc 2 hits both terms and is shortest → top rank
+    assert(out.head._1 == 2L && out.head._3 == 2L)
+    val byId = out.map(t => t._1 -> t._2).toMap
+    // banana (df 2) carries more idf than apple (df 4): doc 5 > doc 3 (same shape otherwise)
+    assert(byId(5L) > byId(3L))
+    // tf saturation: tripled apple in a 4x longer doc must not dominate both-terms doc 2
+    assert(byId(2L) > byId(1L))
+  }
+
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
     import graft.operators.Similarity
     // 4 well-separated clusters in 16 dims: cluster c peaks in dims
