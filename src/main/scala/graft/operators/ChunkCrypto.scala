@@ -81,9 +81,6 @@ object ChunkCrypto {
       .toDF(idCol, "payload")
   }
 
-  /** CDC-chunk + encrypt a payload column: one narrow pass emitting
-    * (id, chunk_idx, ref_hex, blob) rows — the encrypted chunk-store
-    * ingest. Dedup/GC run on `ref_hex` without ever decrypting. */
   /** Dedup-aware storage accounting across chunk-store versions — the
     * report every deduplicating backup tool exposes (what did each
     * backup ADD, what does it SHARE, what would dropping it RECLAIM).
@@ -130,6 +127,39 @@ object ChunkCrypto {
         sum(when(col("n_versions") === 1, col("bytes")).otherwise(0L)).as("exclusive_bytes"))
   }
 
+  /** Delta-restore planning: given the content addresses a restore
+    * TARGET already holds (`have` — a prior restore, a local cache, a
+    * replica) and the chunk frame of the version being restored
+    * (`want`), report what must actually move: chunks/bytes to fetch
+    * vs. chunks/bytes reused — the number a backup tool prints before
+    * a restore and the transfer-cost planner for replication at 100 TB
+    * (restoring yesterday's state onto today's replica moves only the
+    * delta, never the corpus). Counting is per distinct address (the
+    * store fetches each chunk once no matter how many payloads share
+    * it). One distinct + left-anti-shaped join on the uniform content
+    * hash; blobs are never touched. */
+  def restorePlan(have: DataFrame, want: DataFrame, refCol: String,
+      bytesCol: org.apache.spark.sql.Column): DataFrame = {
+    val haveRefs = have.select(col(refCol).as("ref")).distinct()
+      .withColumn("__have", lit(1L))
+    want.select(col(refCol).as("ref"), bytesCol.cast(LongType).as("bytes"))
+      .groupBy("ref").agg(max(col("bytes")).as("bytes"))
+      .join(haveRefs, Seq("ref"), "left")
+      .agg(
+        count(lit(1)).as("n_refs"),
+        sum(col("bytes")).as("restore_bytes"),
+        sum(when(col("__have").isNull, 1L).otherwise(0L)).as("n_fetch"),
+        sum(when(col("__have").isNull, col("bytes")).otherwise(0L)).as("fetch_bytes"),
+        sum(when(col("__have").isNotNull, 1L).otherwise(0L)).as("n_reused"),
+        sum(when(col("__have").isNotNull, col("bytes")).otherwise(0L)).as("reused_bytes"))
+      .withColumn("reuse_ratio",
+        round(col("reused_bytes").cast(org.apache.spark.sql.types.DoubleType)
+          / col("restore_bytes"), 4))
+  }
+
+  /** CDC-chunk + encrypt a payload column: one narrow pass emitting
+    * (id, chunk_idx, ref_hex, blob) rows — the encrypted chunk-store
+    * ingest. Dedup/GC run on `ref_hex` without ever decrypting. */
   def encryptedChunks(df: DataFrame, idCol: String, payloadCol: String,
       master: Array[Byte], mask: Long = 0x3F, minChunk: Int = 16,
       maxChunk: Int = 4096): DataFrame = {

@@ -281,6 +281,22 @@ object Multimodal {
         .orderBy("version")
     },
 
+    "snap_restore_plan" -> { (s, d) =>
+      // Rows-only (gear-hash boundaries are Spark-internal). Transfer
+      // planning for a delta restore: the target already holds
+      // yesterday's chunks (docs ≡ 0 mod 11 since edited); restoring
+      // today moves only the changed docs' non-resynchronized chunks.
+      def chunksOf(mutate: DataFrame => DataFrame) = cdcChunks(
+        mutate(Tables.documents(s, d))
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+      val have = chunksOf(df => df.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+          .otherwise(col("text"))))
+      graft.operators.ChunkCrypto.restorePlan(
+        have, chunksOf(identity), "chunk_md5", col("chunk_bytes"))
+    },
+
     "mm_decode" -> { (s, d) =>
       // Rows-only check: the stub decoder's outputs are deterministic
       // but Spark-internal. Exercises the full binary-column decode

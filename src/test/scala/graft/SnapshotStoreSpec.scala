@@ -517,4 +517,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(out(2L) == Seq(2L, 40L, 2L, 40L, 1L, 30L, 0L))  // c new; a,c shared
     assert(out(3L) == Seq(1L, 30L, 1L, 30L, 0L, 0L, 0L))   // nothing new, nothing exclusive
   }
+
+  test("restorePlan counts fetch vs reuse per DISTINCT address") {
+    import graft.operators.ChunkCrypto
+    import org.apache.spark.sql.functions.col
+    val have = Seq(("a", 10L), ("b", 20L)).toDF("ref", "bytes")
+    // want references a three times (fetched/held once) and new chunk c
+    val want = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("c", 30L)).toDF("ref", "bytes")
+    val r = ChunkCrypto.restorePlan(have, want, "ref", col("bytes")).collect().head
+    assert(r.getAs[Long]("n_refs") == 2L)
+    assert(r.getAs[Long]("restore_bytes") == 40L)
+    assert(r.getAs[Long]("n_fetch") == 1L && r.getAs[Long]("fetch_bytes") == 30L)
+    assert(r.getAs[Long]("n_reused") == 1L && r.getAs[Long]("reused_bytes") == 10L)
+    assert(r.getAs[Double]("reuse_ratio") == 0.25)
+  }
 }
