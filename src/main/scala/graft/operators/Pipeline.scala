@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -115,6 +115,20 @@ object Pipeline {
       when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
     }
     docs.filter(bucket < rate)
+  }
+
+  /** Deterministic WEIGHTED sampling — keep probability proportional
+    * to a per-row weight in [0, 1] (clamped): the quality-upsampling /
+    * noise-downsampling move a training mixture makes, with the same
+    * portability contract as [[sampleStratified]] (membership from the
+    * md5 bucket of doc_id, not rand() — reproducible across engines
+    * and appends; raising a doc's weight can only ADD it, never flip
+    * others). One narrow filter, no shuffle. */
+  def sampleWeighted(docs: DataFrame, weight: Column): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 10000
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    docs.filter(bucket.cast(DoubleType) < w * 10000.0)
   }
 
   /** Benchmark decontamination — the pre-training gate that keeps
@@ -246,6 +260,17 @@ object Pipeline {
         "lang", Map("en" -> 3500))
       kept.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
+    "pipe_sample_weighted" -> { (s, d) =>
+      // Quality-weighted mixture: keep probability rises with doc
+      // length (capped at 1.0 past 300 chars); report the resulting
+      // per-language mixture. Portable md5 bucket → oracle-exact.
+      sampleWeighted(Tables.documents(s, d),
+        least(col("n_chars").cast(DoubleType) / lit(300.0), lit(1.0)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
     },
 
@@ -402,6 +427,13 @@ object Pipeline {
          |        < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END)
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_sample_weighted" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
+        |      < LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 10000.0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_sample_k" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (

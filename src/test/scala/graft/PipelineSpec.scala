@@ -146,4 +146,21 @@ class PipelineSpec extends SparkSpec {
       .filter($"keep").select("doc_id").collect().map(_.getLong(0)).toList
     assert(kept == List(3L))
   }
+
+  test("sampleWeighted: zero drops all, one keeps all, membership grows monotonically with weight") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(Pipeline.sampleWeighted(docs, lit(0.0)).count() == 0L)
+    assert(Pipeline.sampleWeighted(docs, lit(1.0)).count() == 500L)
+    // clamping: out-of-range weights behave as the nearest bound
+    assert(Pipeline.sampleWeighted(docs, lit(7.0)).count() == 500L)
+    assert(Pipeline.sampleWeighted(docs, lit(-3.0)).count() == 0L)
+    def ids(w: Double) = Pipeline.sampleWeighted(docs, lit(w))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (lo, hi) = (ids(0.3), ids(0.8))
+    // raising the weight only ADDS members (the md5 bucket is fixed per doc)
+    assert(lo.subsetOf(hi), s"w=0.3 kept ${lo.size}, not a subset of w=0.8's ${hi.size}")
+    assert(lo.size > 50 && lo.size < 250, s"~30% expected, got ${lo.size}/500")
+    assert(hi.size > 300 && hi.size < 480, s"~80% expected, got ${hi.size}/500")
+  }
 }
