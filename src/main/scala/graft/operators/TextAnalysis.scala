@@ -121,14 +121,25 @@ object TextAnalysis {
     * doc_id) so the order is reproducible across engines. */
   def bm25Search(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 20): DataFrame = {
-    val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // ONE tokenize pass for the whole search: aggregate occurrences by
+    // (doc, query-term-or-null) — per doc that's ≤ |terms|+1 rows, so
+    // doc lengths, term hits, df, and corpus stats all derive from a
+    // frame corpus-times smaller than the token stream. Without this
+    // the four consumers would each re-scan and re-tokenize the corpus
+    // (the plan showed 4 Generate+Scan branches). localCheckpoint cuts
+    // the shared lineage once, like the dedup pair-stats pass.
+    val tokAgg = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       // projection barrier: explode must not re-evaluate tokens()
       .select(col("doc_id"), explode(col("tk")).as("tok"))
-    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy(col("doc_id"),
+        when(col("tok").isin(terms: _*), col("tok")).as("qt"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val lens = tokAgg.groupBy("doc_id").agg(sum(col("n")).as("dl"))
     val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
-    val hits = tok.filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val hits = tokAgg.filter(col("qt").isNotNull)
+      .select(col("doc_id"), col("qt").as("tok"), col("n").as("tf"))
     val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
     hits.join(lens, "doc_id").join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
