@@ -43,9 +43,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
-  // 66 queries × 2 passes of whole-stage-codegen classes overflow the
-  // default 240 MB JIT code cache; once it fills, HotSpot stops
-  // compiling and the remaining queries run interpreted — a uniform
-  // multi-× slowdown late in a long suite.
-  "-XX:ReservedCodeCacheSize=512m",
+  // Whole-stage-codegen classes across the full query suite overflow
+  // the default 240 MB JIT code cache; once it fills, HotSpot stops
+  // compiling (or starts flushing hot methods back to interpreted —
+  // bimodal 4-5× spikes on random queries). 512m sufficed at 66
+  // queries; at 133 queries × warmup + 2 timed passes the flusher
+  // kicked in again (q_json/q_corr read 6.6 s/4.6 s in one run and
+  // 1.4 s in the next, same binary), so: 1g.
+  "-XX:ReservedCodeCacheSize=1g",
 )

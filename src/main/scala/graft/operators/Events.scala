@@ -131,6 +131,22 @@ object Events {
         .orderBy("day", "event_type")
     },
 
+    "ev_hopping" -> { (s, d) =>
+      // HOPPING (sliding) window aggregate — the grouped twin of the
+      // per-event RANGE frame in ev_sliding: 1-hour windows advancing
+      // every 15 minutes, so each event lands in exactly 4 windows.
+      // Spark's window() generator fans out 4 rows/event BEFORE the
+      // map-side-combinable aggregate; the shuffle carries window
+      // partials, never events. Streaming twin: StreamOps.hoppingCounts.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(decV(col("value"))).cast(DoubleType), 4).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
     "ev_sessionize" -> { (s, d) =>
       sessionize(Tables.events(s, d), 1800L)
         .groupBy("user_id", "session_seq")
@@ -437,6 +453,17 @@ object Events {
         |  COUNT(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN fs ON ev.user_id = fs.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_hopping" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type, value FROM events),
+        |w AS (
+        |  SELECT (CAST(FLOOR(t / 900000000) AS BIGINT) - k) * 900000000 AS w_start,
+        |    event_type, value
+        |  FROM ev, UNNEST([0, 1, 2, 3]) AS u(k))
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "ev_sliding" ->
       """SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,

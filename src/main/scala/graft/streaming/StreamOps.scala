@@ -391,6 +391,18 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** HOPPING-window twin of `ev_hopping` (and the sliding counterpart
+    * of [[tumblingCounts]]): overlapping event-time windows — each
+    * event fans out to window/slide windows before the partial
+    * aggregate, state is per (window, type) and closes when the
+    * watermark passes the window end. Batch parity is spec-proven. */
+  def hoppingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   case class DayBar(event_type: String, day: Timestamp, n: Long,
       sum_value: Double, filled: Boolean)
   case class DayAgg(day: Long, n: Long, total: Double)

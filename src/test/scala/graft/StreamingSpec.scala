@@ -63,6 +63,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hoppingCounts: closed overlapping windows match the batch hopping aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Event]
+    val query = StreamOps.hoppingCounts(input.toDS().toDF(), "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("graft_hop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = Seq(
+        Event(1L, ts(0), 1L, "click", 1.0),
+        Event(2L, ts(10), 1L, "click", 2.0),  // same window cover as ts(0) for 3 of 4 hops
+        Event(3L, ts(20), 2L, "view", 5.0))
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      // far-future event advances the watermark past every earlier
+      // window end; its own windows stay open and must NOT emit
+      input.addData(Event(99L, ts(600), 1L, "flush", 0.0))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT window.start, event_type, n, sum_value FROM graft_hop")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val exp = evs.toDS()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == exp, s"stream $got\nbatch $exp")
+      // ts(0) and ts(10) land in ADJACENT 15-min buckets: 4 windows
+      // each, union 5 distinct click windows, 3 of them shared
+      assert(exp.count(_._2 == "click") == 5)
+      assert(exp.filter(_._2 == "click").count(_._3 == 2L) == 3)
+    } finally query.stop()
+  }
+
   test("streamingTopTokens: Misra-Gries keeps the hot token within its error bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
