@@ -33,7 +33,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Snapshot.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
+      TextAnalysis.oracles ++ TextAnalysis.oraclesIndexed ++
+      Similarity.oracles ++ Events.oracles ++
       Multimodal.oracles ++ AsofJoin.oracles ++ Pipeline.oracles ++
       DataQuality.oracles ++ RangeJoins.oracles
 }

@@ -153,6 +153,63 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Persist the BM25 search artifact: token postings (token, doc_id,
+    * tf) PARTITIONED by a hash bucket of the token (so a query's terms
+    * prune to ≤ |terms| partition directories at read time), doc
+    * lengths, and the one-row corpus stats — built in the same single
+    * tokenize pass as [[bm25Search]]. This is the index-once /
+    * query-many shape: after the build, query cost is independent of
+    * corpus size except for the pruned postings read (term df is
+    * computed from the pruned postings at query time — df of unqueried
+    * terms is never materialized). */
+  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      // projection barrier: explode must not re-evaluate tokens()
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    tok
+      .withColumn("tok_bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$path/postings")
+    val lens = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    lens.write.mode("overwrite").parquet(s"$path/lens")
+    lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(col("dl").cast(DoubleType)).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[bm25Search]] against a [[writeBm25Index]] artifact: the query
+    * terms' buckets are computed with the SAME hashing Spark applied
+    * at write time (evaluated on a tiny local frame), so the postings
+    * read prunes to the matching partition directories — a strict file
+    * subset, spec-asserted — and the corpus is never re-tokenized. */
+  def bm25SearchFrom(spark: SparkSession, path: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(nBuckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val hits = spark.read.parquet(s"$path/postings")
+      .filter(col("tok_bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val lens = spark.read.parquet(s"$path/lens")
+    val stats = spark.read.parquet(s"$path/stats")
+    val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    hits.join(lens, "doc_id").join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Top-k corpus terms per language (tokens of length ≥ `minLen`,
     * ranked count DESC with token ASC tie-break) — the vocabulary
     * inspection step of corpus analysis. Scale shape: the explode is
@@ -298,6 +355,20 @@ object TextAnalysis {
       // Keyword search: top-20 docs for a 3-term query under BM25
       // (k1=1.2, b=0.75), ranked by rounded score then doc_id.
       bm25Search(Tables.documents(s, d), Seq("merge", "vector", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
+    "text_bm25_index" -> { (s, d) =>
+      // The SAME search through the persisted index artifact (build
+      // once per corpus, then query without re-tokenizing; postings
+      // read prunes to the query terms' hash-bucket partitions). Same
+      // oracle as text_bm25 — the index path must be result-identical.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${math.abs(d.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")))
+        writeBm25Index(Tables.documents(s, d), path)
+      bm25SearchFrom(s, path, Seq("merge", "vector", "window"))
         .orderBy(col("bm25").desc, col("doc_id"))
     }
   )
@@ -447,4 +518,9 @@ object TextAnalysis {
          |SELECT doc_id, ROUND(score, 4) AS bm25, n_terms_hit
          |FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 20""".stripMargin
   )
+
+  // The persisted-index path must return exactly what the inline path
+  // returns, so it shares text_bm25's oracle verbatim.
+  val oraclesIndexed: Map[String, String] = Map(
+    "text_bm25_index" -> oracles("text_bm25"))
 }

@@ -54,6 +54,43 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(byId(2L) > byId(1L))
   }
 
+  test("persisted bm25 index searches identically and prunes postings to the terms' buckets") {
+    import java.nio.file.Files
+    val corpus = Seq(
+      (1L, "apple apple apple filler filler filler filler filler"),
+      (2L, "apple banana"),
+      (3L, "apple filler"),
+      (4L, "apple padding here"),
+      (5L, "banana filler"),
+      (6L, "unrelated words only")
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_bm25").toString + "/idx"
+    TextAnalysis.writeBm25Index(corpus, path, nBuckets = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toList
+    val fromIdx = TextAnalysis.bm25SearchFrom(spark, path,
+      Seq("apple", "banana"), topK = 10, nBuckets = 16)
+    assert(canon(fromIdx) ==
+      canon(TextAnalysis.bm25Search(corpus, Seq("apple", "banana"), topK = 10)))
+    // the pruned postings read SCANS a strict subset of the index
+    // files (inputFiles ignores partition pruning — read the executed
+    // scan's numFiles metric instead)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val full = scannedFiles(spark.read.parquet(s"$path/postings"))
+    val pruned = scannedFiles(spark.read.parquet(s"$path/postings")
+      .filter(col("tok_bucket").isin(
+        spark.createDataset(Seq("apple", "banana"))
+          .select(pmod(xxhash64(col("value")), lit(16L)))
+          .collect().map(_.getLong(0)).toSeq: _*)))
+    assert(pruned < full, s"pruned $pruned vs full $full")
+  }
+
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
     import graft.operators.Similarity
     // 4 well-separated clusters in 16 dims: cluster c peaks in dims
