@@ -153,16 +153,29 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  /** Persist the BM25 search artifact: token postings (token, doc_id,
-    * tf) PARTITIONED by a hash bucket of the token (so a query's terms
-    * prune to ≤ |terms| partition directories at read time), doc
-    * lengths, and the one-row corpus stats — built in the same single
-    * tokenize pass as [[bm25Search]]. This is the index-once /
-    * query-many shape: after the build, query cost is independent of
-    * corpus size except for the pruned postings read (term df is
-    * computed from the pruned postings at query time — df of unqueried
-    * terms is never materialized). */
-  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+  /** Persist the BM25 search artifact, SEGMENTED (the Lucene shape —
+    * segments make the index incrementally maintainable without ever
+    * rewriting old postings): each segment holds token postings
+    * (token, doc_id, tf) PARTITIONED by a hash bucket of the token (so
+    * a query's terms prune to ≤ |terms| partition directories per
+    * segment), per-doc lengths, and the segment's tombstones (doc ids
+    * this segment supersedes). [[writeBm25Index]] writes segment 0
+    * with no tombstones; [[appendBm25Segment]] adds a delta. Built in
+    * one tokenize pass over ONLY the docs handed in — the
+    * index-once / query-many / maintain-by-delta shape. */
+  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    appendBm25Segment(docs, Seq.empty, path, 0L, nBuckets)
+
+  /** Append a delta segment: postings + lengths for `docs` (the new or
+    * REPLACEMENT versions), and `removedIds` tombstones for docs this
+    * delta deletes or supersedes (an updated doc appears in BOTH —
+    * tombstoned for its old segments, re-posted here). Cost is one
+    * tokenize pass over the DELTA only; no earlier segment is read or
+    * rewritten. */
+  def appendBm25Segment(docs: DataFrame, removedIds: Seq[Long], path: String,
+      segId: Long, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       // projection barrier: explode must not re-evaluate tokens()
       .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -171,34 +184,61 @@ object TextAnalysis {
     tok
       .withColumn("tok_bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tok_bucket")
-      .parquet(s"$path/postings")
-    val lens = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
-    lens.write.mode("overwrite").parquet(s"$path/lens")
-    lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-        avg(col("dl").cast(DoubleType)).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .parquet(s"$path/seg=$segId/postings")
+    tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/seg=$segId/lens")
+    removedIds.toDS().toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg=$segId/tombstones")
   }
 
-  /** [[bm25Search]] against a [[writeBm25Index]] artifact: the query
+  private def bm25Segments(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg=") => n.stripPrefix("seg=").toLong }
+      .sorted.toSeq
+  }
+
+  /** [[bm25Search]] against a segmented index: per segment the query
     * terms' buckets are computed with the SAME hashing Spark applied
-    * at write time (evaluated on a tiny local frame), so the postings
-    * read prunes to the matching partition directories — a strict file
-    * subset, spec-asserted — and the corpus is never re-tokenized. */
+    * at write time, so each postings read prunes to the matching
+    * partition directories (executed-scan file count spec-asserted);
+    * the corpus is never re-tokenized. A doc's LIVE version is its
+    * newest posted segment, provided no newer-or-equal tombstone
+    * supersedes it — liveness is decided on the |docs|-sized lens
+    * frame, then postings join the live set on (doc, seg). Corpus
+    * stats (n_docs, avgdl) come from the live lens at query time, so
+    * they always reflect the maintained corpus. */
   def bm25SearchFrom(spark: SparkSession, path: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
       nBuckets: Int = 64): DataFrame = {
     import spark.implicits._
+    val segs = bm25Segments(spark, path)
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(nBuckets.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    val hits = spark.read.parquet(s"$path/postings")
+    def perSeg(sub: String) = segs.map(g =>
+      spark.read.parquet(s"$path/seg=$g/$sub").withColumn("seg", lit(g)))
+      .reduce(_.unionByName(_))
+    val lensAll = perSeg("lens")
+    val tombAll = perSeg("tombstones")
+    // live doc versions: newest posted seg, unless a tombstone with
+    // seg >= that (and no newer re-post) supersedes the doc entirely
+    val live = lensAll.groupBy("doc_id")
+      .agg(max(struct(col("seg"), col("dl"))).as("__last"))
+      .select(col("doc_id"), col("__last.seg").as("seg"), col("__last.dl").as("dl"))
+      .join(tombAll.groupBy("doc_id").agg(max(col("seg")).as("__tseg")),
+        Seq("doc_id"), "left")
+      .filter(col("__tseg").isNull || col("seg") >= col("__tseg"))
+      .drop("__tseg")
+    val stats = live.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val hits = perSeg("postings")
       .filter(col("tok_bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
-      .select(col("doc_id"), col("tok"), col("tf"))
-    val lens = spark.read.parquet(s"$path/lens")
-    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("doc_id"), col("seg"), col("tok"), col("tf"))
+      .join(live.select(col("doc_id"), col("seg"), col("dl")), Seq("doc_id", "seg"))
     val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-    hits.join(lens, "doc_id").join(broadcast(dfreq), "tok")
+    hits.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
@@ -366,8 +406,33 @@ object TextAnalysis {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${math.abs(d.hashCode)}"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/lens/_SUCCESS")))
         writeBm25Index(Tables.documents(s, d), path)
+      bm25SearchFrom(s, path, Seq("merge", "vector", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
+    "text_bm25_incr" -> { (s, d) =>
+      // Index MAINTENANCE end-to-end: segment 0 indexes the corpus;
+      // a delta segment re-posts the edited docs (≡ 0 mod 11, word
+      // appended) and tombstones their old versions plus deletes
+      // (≡ 0 mod 13). The search must rank against the maintained
+      // corpus — the oracle runs the full BM25 SQL over the EDITED
+      // corpus, so stale postings or wrong liveness fail the hash.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25i_${math.abs(d.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val docs = Tables.documents(s, d)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/lens/_SUCCESS")))
+        writeBm25Index(docs, path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=1/lens/_SUCCESS"))) {
+        val edited = docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" vector")))
+        val removed = docs
+          .filter(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        appendBm25Segment(edited, removed, path, 1L)
+      }
       bm25SearchFrom(s, path, Seq("merge", "vector", "window"))
         .orderBy(col("bm25").desc, col("doc_id"))
     }
@@ -520,7 +585,19 @@ object TextAnalysis {
   )
 
   // The persisted-index path must return exactly what the inline path
-  // returns, so it shares text_bm25's oracle verbatim.
+  // returns, so it shares text_bm25's oracle verbatim; the incremental
+  // entry runs the same SQL over the EDITED corpus (deletes applied,
+  // updated docs re-texted) — stale postings or wrong segment liveness
+  // change the ranking and fail the hash.
   val oraclesIndexed: Map[String, String] = Map(
-    "text_bm25_index" -> oracles("text_bm25"))
+    "text_bm25_index" -> oracles("text_bm25"),
+    "text_bm25_incr" ->
+      ("""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' vector' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |""".stripMargin +
+        oracles("text_bm25")
+          .replaceFirst("\\AWITH ", "")
+          .replace("FROM documents)", "FROM corpus)")))
 }

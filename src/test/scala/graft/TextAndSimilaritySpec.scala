@@ -82,13 +82,40 @@ class TextAndSimilaritySpec extends SparkSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.head.metrics("numFiles").value
     }
-    val full = scannedFiles(spark.read.parquet(s"$path/postings"))
-    val pruned = scannedFiles(spark.read.parquet(s"$path/postings")
+    val full = scannedFiles(spark.read.parquet(s"$path/seg=0/postings"))
+    val pruned = scannedFiles(spark.read.parquet(s"$path/seg=0/postings")
       .filter(col("tok_bucket").isin(
         spark.createDataset(Seq("apple", "banana"))
           .select(pmod(xxhash64(col("value")), lit(16L)))
           .collect().map(_.getLong(0)).toSeq: _*)))
     assert(pruned < full, s"pruned $pruned vs full $full")
+  }
+
+  test("segmented bm25: a delta segment supersedes, deletes, and re-posts without touching seg 0") {
+    import java.nio.file.Files
+    val v1 = Seq(
+      (1L, "apple apple"),
+      (2L, "apple banana"),
+      (3L, "banana filler"),
+      (4L, "apple filler")
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_bm25_seg").toString + "/idx"
+    TextAnalysis.writeBm25Index(v1, path, nBuckets = 16)
+    // delta: doc 1 updated (loses apple, gains banana), doc 3 deleted
+    val delta = Seq((1L, "banana banana")).toDF("doc_id", "text")
+    TextAnalysis.appendBm25Segment(delta, Seq(1L, 3L), path, 1L, nBuckets = 16)
+    // ground truth: the same search inline over the POST-delta corpus
+    val v2 = Seq(
+      (1L, "banana banana"),
+      (2L, "apple banana"),
+      (4L, "apple filler")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toList
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, path,
+        Seq("apple", "banana"), topK = 10, nBuckets = 16)) ==
+      canon(TextAnalysis.bm25Search(v2, Seq("apple", "banana"), topK = 10)))
   }
 
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
