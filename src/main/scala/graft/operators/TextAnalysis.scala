@@ -191,6 +191,58 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/seg=$segId/tombstones")
   }
 
+  /** Maintain the segmented index straight from a SnapshotStore CDC
+    * diff — the composition a versioned corpus needs: inserts and
+    * updates re-post (reading only the delta rows), updates and
+    * deletes tombstone their old versions. One tokenize pass over
+    * |delta| docs; the store's CoW machinery decides what changed, the
+    * index never rescans the corpus. Returns (nPosted, nTombstoned). */
+  def updateBm25Index(store: graft.operators.SnapshotStore, fromVersion: Long,
+      toVersion: Long, path: String, segId: Long,
+      nBuckets: Int = 64): (Long, Long) = {
+    val d = store.diff(fromVersion, toVersion).localCheckpoint()
+    val posted = d.filter(col("change_type").isin("insert", "update"))
+      .select(col("doc_id"), col("text"))
+    val removed = d.filter(col("change_type").isin("update", "delete"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    appendBm25Segment(posted, removed, path, segId, nBuckets)
+    (posted.count(), removed.size.toLong)
+  }
+
+  /** Compact a segmented index back to ONE segment (the Lucene merge):
+    * resolve liveness exactly as [[bm25SearchFrom]] does, rewrite the
+    * live postings/lens as segment `newSegId`, and drop the old
+    * segment directories. Queries before and after are identical
+    * (spec-proven); read amplification from accumulated deltas resets
+    * to zero. */
+  def compactBm25Index(spark: SparkSession, path: String, newSegId: Long): Unit = {
+    import spark.implicits._
+    val segs = bm25Segments(spark, path)
+    require(!segs.contains(newSegId), s"segment $newSegId already exists")
+    def perSeg(sub: String) = segs.map(g =>
+      spark.read.parquet(s"$path/seg=$g/$sub").withColumn("seg", lit(g)))
+      .reduce(_.unionByName(_))
+    val live = perSeg("lens").groupBy("doc_id")
+      .agg(max(struct(col("seg"), col("dl"))).as("__last"))
+      .select(col("doc_id"), col("__last.seg").as("seg"), col("__last.dl").as("dl"))
+      .join(perSeg("tombstones").groupBy("doc_id").agg(max(col("seg")).as("__tseg")),
+        Seq("doc_id"), "left")
+      .filter(col("__tseg").isNull || col("seg") >= col("__tseg"))
+      .select("doc_id", "seg", "dl")
+      .localCheckpoint()
+    perSeg("postings").join(live.select("doc_id", "seg"), Seq("doc_id", "seg"))
+      .select("doc_id", "tok", "tf", "tok_bucket")
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$path/seg=$newSegId/postings")
+    live.select("doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$path/seg=$newSegId/lens")
+    spark.emptyDataset[Long].toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg=$newSegId/tombstones")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    segs.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$g"), true))
+  }
+
   private def bm25Segments(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -118,6 +118,42 @@ class TextAndSimilaritySpec extends SparkSpec {
       canon(TextAnalysis.bm25Search(v2, Seq("apple", "banana"), topK = 10)))
   }
 
+  test("bm25 index maintains from a SnapshotStore diff and compacts to one segment unchanged") {
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+    val base = Files.createTempDirectory("graft_bm25_store").toString
+    val store = new SnapshotStore(spark, s"$base/store", "doc_id")
+    val v1 = Seq(
+      (1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"), (4L, "apple filler")
+    ).toDF("doc_id", "text")
+    store.writeRangePartitioned(v1, 1L, 2)
+    val v2 = Seq(
+      (1L, "banana banana"), (2L, "apple banana"), (4L, "apple filler"), (5L, "banana apple")
+    ).toDF("doc_id", "text")
+    store.mergeDelta(1L, 2L,
+      Seq((1L, "banana banana"), (5L, "banana apple")).toDF("doc_id", "text"),
+      Some(Seq(Tuple1(3L)).toDF("doc_id")))
+    val idx = s"$base/idx"
+    TextAnalysis.writeBm25Index(store.read(1L), idx, nBuckets = 16)
+    val (nPosted, nTomb) = TextAnalysis.updateBm25Index(store, 1L, 2L, idx, 1L, nBuckets = 16)
+    assert(nPosted == 2L && nTomb == 2L) // update(1)+insert(5) posted; update(1)+delete(3) tombstoned
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toList
+    val expected = canon(TextAnalysis.bm25Search(v2, Seq("apple", "banana"), topK = 10))
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, idx,
+      Seq("apple", "banana"), topK = 10, nBuckets = 16)) == expected)
+    // compaction folds both segments into one; results unchanged
+    TextAnalysis.compactBm25Index(spark, idx, 2L)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segDirs == Seq("seg=2"))
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, idx,
+      Seq("apple", "banana"), topK = 10, nBuckets = 16)) == expected)
+  }
+
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
     import graft.operators.Similarity
     // 4 well-separated clusters in 16 dims: cluster c peaks in dims
