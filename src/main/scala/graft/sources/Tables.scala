@@ -64,10 +64,18 @@ object Tables {
   def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** Export a snapshot as CSV/JSON (interchange sinks for the backup
-    * surface; parquet remains the canonical format). */
+  /** Schema-enforced ORC reader — the other columnar lake format a
+    * backup surface meets; same no-inference contract as
+    * [[readCsv]]/[[readJson]]. */
+  def readOrc(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Export a snapshot as CSV/JSON/ORC (interchange sinks for the
+    * backup surface; parquet remains the canonical format). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

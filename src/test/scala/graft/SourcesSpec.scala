@@ -31,4 +31,20 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.readJson(spark, tmpJ, schema).count() == 100)
     assert(Tables.readCsv(spark, tmpC, schema).schema == schema)
   }
+
+  test("orc round-trips value-identical to the parquet source, with predicate pushdown") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Tables.writeOrc(orders, tmp)
+    val back = Tables.readOrc(spark, tmp, orders.schema)
+    assert(back.schema == orders.schema)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    assert(canon(back) == canon(orders))
+    // the filter reaches the ORC scan (PushedFilters in the plan)
+    val plan = back.filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan.take(500))
+  }
 }
