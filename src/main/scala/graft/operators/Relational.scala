@@ -523,8 +523,14 @@ object Relational {
       // independent, map-side combinable, one hash aggregate — and the
       // float math runs once per GROUP at the output boundary, written
       // token-identically in the oracle.
-      val x = decM(col("l_quantity"))
-      val y = decM(col("l_extendedprice"))
+      // Precisions chosen so every PRODUCT stays ≤ 18 digits and the
+      // whole sufficient-statistic pass runs on long-backed decimals:
+      // (6,2)·(8,2) → (15,4), (8,2)² → (17,4). decM's (12,2) pushed
+      // the products to precision 25 — the BigDecimal slow path, ~4×
+      // the kernel cost for identical exact values (quantity < 10⁴,
+      // price < 10⁶ hold by the schema's domain; widen if yours don't).
+      val x = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(6, 2))
+      val y = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(8, 2))
       val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
