@@ -157,4 +157,28 @@ class SnapshotSpec extends SparkSpec {
     assert(!out("2024-01-15")._4)
     assert(out.count(_._2._4) == (dailies ++ weeklies ++ monthlies).size)
   }
+
+  test("gfsRetention invariants hold on a randomized sparse catalog") {
+    import java.time.LocalDate
+    val rnd = new scala.util.Random(7)
+    // ~40% of days over 5 months survive — gaps everywhere
+    val days = Iterator.iterate(LocalDate.parse("2024-01-01"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(LocalDate.parse("2024-05-20")))
+      .filter(_ => rnd.nextDouble() < 0.4)
+      .map(d => Tuple1(java.sql.Date.valueOf(d))).toSeq
+    val rows = Snapshot.gfsRetention(days.toDF("snap_date"), 7, 4, 12).collect()
+      .map(r => (r.getDate(0).toLocalDate,
+        r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.length == days.length)
+    // tier counts: min(N, available) exactly
+    assert(rows.count(_._2) == math.min(7, days.length))
+    val weeks = rows.map(r => r._1.`with`(java.time.DayOfWeek.MONDAY)).distinct
+    assert(rows.count(_._3) == math.min(4, weeks.length))
+    val months = rows.map(_._1.withDayOfMonth(1)).distinct
+    assert(rows.count(_._4) == math.min(12, months.length))
+    // keep is exactly the tier disjunction; newest snapshot always kept
+    assert(rows.forall(r => r._5 == (r._2 || r._3 || r._4)))
+    val newest = rows.maxBy(_._1.toEpochDay)
+    assert(newest._2 && newest._3 && newest._4)
+  }
 }

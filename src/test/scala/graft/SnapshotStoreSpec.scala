@@ -518,6 +518,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(out(3L) == Seq(1L, 30L, 1L, 30L, 0L, 0L, 0L))   // nothing new, nothing exclusive
   }
 
+  test("chunkAccounting invariants hold on randomized version chains") {
+    import graft.operators.ChunkCrypto
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    // 4 versions drawn from a 40-ref universe with random sizes
+    val universe = (0 until 40).map(i => (s"r$i", (rnd.nextInt(100) + 1).toLong))
+    val versions = (1L to 4L).map { v =>
+      val refs = universe.filter(_ => rnd.nextDouble() < 0.5)
+      val occs = refs.flatMap(r => Seq.fill(rnd.nextInt(3) + 1)(r))
+      v -> occs.toDF("ref", "bytes")
+    }
+    val out = ChunkCrypto.chunkAccounting(versions, "ref", col("bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    versions.foreach { case (v, _) =>
+      val r = out(v)
+      val (chunks, logical) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("logical_bytes"))
+      val (refs, physical) = (r.getAs[Long]("n_refs"), r.getAs[Long]("physical_bytes"))
+      assert(refs <= chunks && physical <= logical)
+      assert(r.getAs[Long]("n_new_refs") <= refs)
+      assert(r.getAs[Long]("new_bytes") <= physical)
+      assert(r.getAs[Long]("exclusive_bytes") <= physical)
+    }
+    // identity: every address is "new" exactly once, so the new_bytes
+    // column sums to the store's total distinct footprint
+    val totalNew = out.values.map(_.getAs[Long]("new_bytes")).sum
+    val distinctBytes = versions.map(_._2).reduce(_.unionByName(_))
+      .groupBy("ref").agg(org.apache.spark.sql.functions.max("bytes").as("b"))
+      .agg(org.apache.spark.sql.functions.sum("b")).head().getLong(0)
+    assert(totalNew == distinctBytes)
+  }
+
   test("restorePlan counts fetch vs reuse per DISTINCT address") {
     import graft.operators.ChunkCrypto
     import org.apache.spark.sql.functions.col
