@@ -49,12 +49,20 @@ object GraftExtensions {
     ("hyperplane_sig",
       info("hyperplane_sig", "hyperplane_sig(vec, planes) - packed sign-bit random-hyperplane LSH signature"),
       (args: Seq[Expression]) => HyperplaneSigExpr(args(0),
-        args(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"hyperplane_sig: planes must be an integer literal, got $other")
-        })))
+        intLiteral(args(1), "hyperplane_sig", "planes"))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(text, k, numHashes) - MinHash signature over word k-shingles"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0),
+        intLiteral(args(1), "minhash_sig", "k"),
+        intLiteral(args(2), "minhash_sig", "numHashes"))))
+
+  private def intLiteral(e: Expression, fn: String, arg: String): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
 
   /** Register into an already-running session (tests, spark-shell).
     * Idempotent: safe to call once per query construction. */

@@ -61,4 +61,15 @@ class AsofAndExtensionsSpec extends SparkSpec {
     // empty string → 0; stability across rows
     assert(spark.sql("SELECT rolling_hash('')").collect().head.getLong(0) == 0L)
   }
+
+  test("minhash_sig SQL function matches the typed MinHashSig kernel") {
+    GraftExtensions.register(spark)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val viaSql = spark.sql(s"SELECT minhash_sig('$txt', 3, 16)")
+      .collect().head.getSeq[Int](0)
+    val direct = org.apache.spark.sql.graft.MinHashSig.signature(txt, 3, 16)
+    assert(viaSql == direct.toSeq)
+    // < k tokens → null, same as the kernel's contract
+    assert(spark.sql("SELECT minhash_sig('one two', 3, 16)").collect().head.isNullAt(0))
+  }
 }
