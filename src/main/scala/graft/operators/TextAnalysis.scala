@@ -220,7 +220,8 @@ object TextAnalysis {
     val segs = bm25Segments(spark, path)
     require(!segs.contains(newSegId), s"segment $newSegId already exists")
     def perSeg(sub: String) = segs.map(g =>
-      spark.read.parquet(s"$path/seg=$g/$sub").withColumn("seg", lit(g)))
+      spark.read.schema(bm25SubSchema(sub)).parquet(s"$path/seg=$g/$sub")
+        .withColumn("seg", lit(g)))
       .reduce(_.unionByName(_))
     val live = perSeg("lens").groupBy("doc_id")
       .agg(max(struct(col("seg"), col("dl"))).as("__last"))
@@ -251,6 +252,21 @@ object TextAnalysis {
       .sorted.toSeq
   }
 
+  // Explicit sub-artifact schemas: a segment from a delete-only delta
+  // has EMPTY postings/lens parquet dirs, and schema inference on an
+  // empty dir throws — enforced schemas read them as empty frames.
+  private val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, tok STRING, tf BIGINT, tok_bucket BIGINT")
+  private val lensSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, dl BIGINT")
+  private val tombstonesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT")
+  private def bm25SubSchema(sub: String) = sub match {
+    case "postings" => postingsSchema
+    case "lens" => lensSchema
+    case "tombstones" => tombstonesSchema
+  }
+
   /** [[bm25Search]] against a segmented index: per segment the query
     * terms' buckets are computed with the SAME hashing Spark applied
     * at write time, so each postings read prunes to the matching
@@ -270,7 +286,8 @@ object TextAnalysis {
       .select(pmod(xxhash64(col("value")), lit(nBuckets.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
     def perSeg(sub: String) = segs.map(g =>
-      spark.read.parquet(s"$path/seg=$g/$sub").withColumn("seg", lit(g)))
+      spark.read.schema(bm25SubSchema(sub)).parquet(s"$path/seg=$g/$sub")
+        .withColumn("seg", lit(g)))
       .reduce(_.unionByName(_))
     val lensAll = perSeg("lens")
     val tombAll = perSeg("tombstones")

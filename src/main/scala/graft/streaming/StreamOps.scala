@@ -357,6 +357,47 @@ object StreamOps {
       ()
     }
 
+  /** Continuous search-index maintenance: every CDC micro-batch of
+    * document changes lands as ONE segment of the segmented BM25 index
+    * ([[graft.operators.TextAnalysis.appendBm25Segment]]) — inserts
+    * and updates re-post, updates and deletes tombstone, exactly the
+    * batch [[graft.operators.TextAnalysis.updateBm25Index]] semantics
+    * but fed by the stream. Segment ids are `batchId + 1` (segment 0
+    * is the initial [[graft.operators.TextAnalysis.writeBm25Index]]
+    * build this stream requires); a REPLAYED batch whose segment
+    * directory already fully landed is skipped — the tombstones
+    * _SUCCESS marker belongs to the LAST of the segment's three
+    * writes, so its presence means the segment is complete (a crash
+    * mid-segment leaves it absent and the replay rewrites all three
+    * in mode=overwrite). Multi-change batches collapse to
+    * the last change per key first ([[continuousMerge]]'s contract).
+    * Compaction ([[graft.operators.TextAnalysis.compactBm25Index]])
+    * runs out-of-band when segment count warrants. */
+  def bm25IndexStream(changes: DataFrame, path: String, checkpointDir: String,
+      changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val segId = batchId + 1
+        val done = new org.apache.hadoop.fs.Path(s"$path/seg=$segId/tombstones/_SUCCESS")
+        if (!done.getFileSystem(hconf).exists(done)) {
+          val b = collapseLastPerKey(batch, "doc_id", seqCol)
+          val posted = b.filter(col(changeTypeCol).isin("insert", "update"))
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          val removed = b.filter(col(changeTypeCol).isin("update", "delete"))
+            .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+          graft.operators.TextAnalysis.appendBm25Segment(
+            posted, removed, path, segId, nBuckets)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[graft.operators.ChunkCrypto.encryptedChunks]] keyed for the
     * chunk store: `chunk_key = id·M + chunk_idx` (unique per chunk,
     * range-clustered per payload so one payload's chunks share files).

@@ -99,6 +99,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bm25IndexStream lands each CDC batch as a segment; search tracks the live corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.TextAnalysis
+    val path = Files.createTempDirectory("graft_bm25_stream").toString + "/idx"
+    val base = Seq((1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(base, path, nBuckets = 16)
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamOps.bm25IndexStream(
+      input.toDS().toDF("doc_id", "text", "change_type"),
+      path, Files.createTempDirectory("graft_bm25_ckpt").toString, nBuckets = 16)
+    try {
+      // batch 0: update doc 1, insert doc 4
+      input.addData((1L, "banana banana", "update"), (4L, "apple apple apple", "insert"))
+      query.processAllAvailable()
+      // batch 1: DELETE-only (empty postings segment must still read)
+      input.addData((3L, "", "delete"))
+      query.processAllAvailable()
+      val live = Seq(
+        (1L, "banana banana"), (2L, "apple banana"), (4L, "apple apple apple")
+      ).toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+          .sortBy(_._1).toList
+      assert(canon(TextAnalysis.bm25SearchFrom(spark, path,
+          Seq("apple", "banana"), topK = 10, nBuckets = 16)) ==
+        canon(TextAnalysis.bm25Search(live, Seq("apple", "banana"), topK = 10)))
+    } finally query.stop()
+  }
+
   test("streamingTopTokens: Misra-Gries keeps the hot token within its error bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
