@@ -80,7 +80,72 @@ object AsofJoin {
       when(col("__ok"), col(s"__match.$c")).as(s"asof_$c"))): _*)
   }
 
+  /** direction = "nearest" (pandas merge_asof's third mode): attach
+    * the right row minimizing |leftTime − rightTime|, ties → the
+    * backward (at-or-before) match. Same union frame as [[asofJoin]]
+    * with BOTH running passes — ascending for the backward candidate,
+    * descending for the forward one — sharing a single hash partition
+    * on the key (one Exchange, two sorts); the winner is a narrow
+    * projection. Never an inequality join. `tolerance` bounds the
+    * CHOSEN match's distance. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rStruct = struct((col(rightTime).as("__rt") +: rightCols.map(col)): _*)
+    val rPayType = right.select(rStruct).schema.head.dataType
+    val lPrepped = left.select(
+      (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")
+        :+ lit(null).cast(rPayType).as("__rpay")): _*)
+    val rPrepped = right.select(
+      (leftCols.map(c =>
+        (if (c == key) col(key) else lit(null).cast(left.schema(c).dataType)).as(c))
+        :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+ rStruct.as("__rpay")): _*)
+    val unioned = lPrepped.unionByName(rPrepped)
+    val wB = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key).orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__mb", last(col("__rpay"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__rpay"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val distB = col("__t") - col("__mb.__rt")
+    val distF = col("__mf.__rt") - col("__t")
+    val pickB = col("__mb").isNotNull &&
+      (col("__mf").isNull || distB <= distF) // tie → backward
+    val chosen = matched.withColumn("__match",
+      when(pickB, col("__mb")).otherwise(col("__mf")))
+    val inTol = tolerance match {
+      case None => chosen.withColumn("__ok", col("__match").isNotNull)
+      case Some(tol) =>
+        val dist = when(pickB, distB).otherwise(distF)
+        chosen.withColumn("__ok", col("__match").isNotNull && dist <= tol)
+    }
+    inTol.select((leftCols.map(col) ++ rightCols.map(c =>
+      when(col("__ok"), col(s"__match.$c")).as(s"asof_$c"))): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_nearest" -> { (s, d) =>
+      // For each purchase: the user's click NEAREST in time, either
+      // direction, within 30 minutes; equidistant → the earlier click.
+      // Oracle: DuckDB ASOF joins from both directions + the same
+      // CASE pick.
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("t").as("click_t"))
+        .agg(max(col("event_id")).as("click_id"))
+      asofJoinNearest(purchases, clicks, "user_id", "t", "click_t",
+        Seq("click_id", "click_t"), tolerance = Some(lit(1800L * 1000000L)))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_click_id").as("click_id"), col("asof_click_t").as("click_t"))
+        .orderBy("user_id", "t", "event_id")
+    },
+
     "asof_join" -> { (s, d) =>
       // For each purchase event: the user's latest click at-or-before it.
       // Clicks are pre-deduped to one row per (user, µs-timestamp) —
@@ -118,6 +183,27 @@ object AsofJoin {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t AS click_t, MAX(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, t),
+        |b AS (SELECT p.event_id, p.user_id, p.t, c.click_id AS b_id, c.click_t AS b_t
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_t <= p.t),
+        |f AS (SELECT p.event_id, c.click_id AS f_id, c.click_t AS f_t
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_t >= p.t),
+        |pick AS (
+        |  SELECT b.event_id, b.user_id, b.t,
+        |    CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR b.t - b_t <= f_t - b.t)
+        |      THEN b_id ELSE f_id END AS click_id,
+        |    CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR b.t - b_t <= f_t - b.t)
+        |      THEN b_t ELSE f_t END AS click_t
+        |  FROM b JOIN f ON b.event_id = f.event_id)
+        |SELECT event_id, user_id, t,
+        |  CASE WHEN ABS(t - click_t) <= 1800000000 THEN click_id END AS click_id,
+        |  CASE WHEN ABS(t - click_t) <= 1800000000 THEN click_t END AS click_t
+        |FROM pick ORDER BY user_id, t, event_id""".stripMargin,
+
     "asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
         |p AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),

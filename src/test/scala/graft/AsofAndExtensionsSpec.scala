@@ -31,6 +31,32 @@ class AsofAndExtensionsSpec extends SparkSpec {
     assert(out(3L).isEmpty)       // right row is BEFORE left time in forward mode
   }
 
+  test("asofJoinNearest picks the closer side, breaks ties backward, bounds by tolerance") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq(
+      (1L, 10L, 100L), // backward 90 (d=10) vs forward 150 (d=50) → backward
+      (2L, 10L, 145L), // backward 90 (d=55) vs forward 150 (d=5)  → forward
+      (3L, 10L, 120L), // equidistant 90/150 (d=30)                → tie → backward
+      (4L, 20L, 100L), // forward-only side
+      (5L, 30L, 100L)  // no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 150L), (21L, 20L, 130L))
+      .toDF("rid", "k", "rt")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      AsofJoin.asofJoinNearest(left, right, "k", "t", "rt", Seq("rid"), tol)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val out = run(None)
+    assert(out(1L).contains(11L))
+    assert(out(2L).contains(12L))
+    assert(out(3L).contains(11L)) // tie → backward
+    assert(out(4L).contains(21L))
+    assert(out(5L).isEmpty)
+    // tolerance 20 keeps only distances ≤ 20: rows 1 (10) and 2 (5)
+    val tight = run(Some(lit(20L)))
+    assert(tight(1L).contains(11L) && tight(2L).contains(12L))
+    assert(tight(3L).isEmpty && tight(4L).isEmpty && tight(5L).isEmpty)
+  }
+
   test("asofJoin tolerance nulls out matches that are too far away") {
     import org.apache.spark.sql.functions.lit
     val left = Seq((1L, 10L, 100L), (2L, 10L, 500L)).toDF("id", "k", "t")
