@@ -249,7 +249,7 @@ object StreamOps {
     * atomic, so an existing version is complete), and hands
     * `(batch, to-1, to)` to the merge body. */
   private def mergeStream(changes: DataFrame, store: graft.operators.SnapshotStore,
-      checkpointDir: String)(
+      checkpointDir: String, skipCommitted: Boolean = true)(
       mergeBatch: (Dataset[org.apache.spark.sql.Row], Long, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
@@ -276,7 +276,7 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val to = base + batchId + 1
-        if (!store.versions().contains(to)) mergeBatch(batch, to - 1, to)
+        if (!skipCommitted || !store.versions().contains(to)) mergeBatch(batch, to - 1, to)
         ()
       }
       .start()
@@ -356,6 +356,41 @@ object StreamOps {
       store.mergeDelta(from, to, newChunks, dels)
       ()
     }
+
+  /** Continuous ANN-index maintenance — the IVFPQ twin of
+    * [[bm25IndexStream]]: every CDC micro-batch of embedding changes
+    * CoW-merges into the vector store ([[continuousMerge]] semantics)
+    * AND the persisted IVFPQ index advances incrementally with it
+    * ([[graft.operators.Similarity.updateIvfpqIndex]] — codes carry
+    * for untouched files, only rewritten files' vectors re-encode
+    * under the frozen quantizer). Index version v lives at
+    * `indexBase/v=<v>`; the stream needs the base version's index
+    * built once with `writeIvfpqIndex`. Crash safety is per component:
+    * the merge skips when its store version already exists and the
+    * index step skips on its codes `_SUCCESS` marker (codes are the
+    * LAST of the index's three writes), so a crash between the two
+    * replays only the missing half. */
+  def annIndexStream(changes: DataFrame, store: graft.operators.SnapshotStore,
+      indexBase: String, checkpointDir: String,
+      keyCol: String = "vec_id", changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    mergeStream(changes, store, checkpointDir, skipCommitted = false) { (batch, from, to) =>
+      if (!store.versions().contains(to)) {
+        val lastPerKey = collapseLastPerKey(batch, keyCol, seqCol)
+        val ups = lastPerKey.filter(col(changeTypeCol).isin("insert", "update"))
+          .drop(changeTypeCol)
+        val dels = lastPerKey.filter(col(changeTypeCol) === "delete").select(keyCol)
+        store.mergeDelta(from, to, ups, Some(dels))
+      }
+      val done = new org.apache.hadoop.fs.Path(s"$indexBase/v=$to/codes/_SUCCESS")
+      if (!done.getFileSystem(hconf).exists(done))
+        graft.operators.Similarity.updateIvfpqIndex(spark, store, from, to,
+          s"$indexBase/v=$from", s"$indexBase/v=$to")
+      ()
+    }
+  }
 
   /** Continuous search-index maintenance: every CDC micro-batch of
     * document changes lands as ONE segment of the segmented BM25 index

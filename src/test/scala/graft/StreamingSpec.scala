@@ -99,6 +99,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("annIndexStream advances the IVFPQ index with each CoW merge; search equals a full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.{Similarity, SnapshotStore}
+    val base = Files.createTempDirectory("graft_ann_stream").toString
+    val store = new SnapshotStore(spark, s"$base/store", "vec_id")
+    // 4 well-separated clusters in 16 dims (the ivfpq spec corpus)
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(16)(t =>
+        (if (t >= 4 * c && t < 4 * c + 4) 4.0f else 0.0f) + ((i + t) % 3) * 0.05f)
+    }
+    val v1 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    store.writeRangePartitioned(v1, 1L, 4)
+    val idxBase = s"$base/idx"
+    Similarity.writeIvfpqIndex(store.read(1L), s"$idxBase/v=1",
+      nCells = 4, m = 4, ksub = 8, iters = 3)
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val query = StreamOps.annIndexStream(
+      input.toDS().toDF("vec_id", "embedding", "change_type"),
+      store, idxBase, Files.createTempDirectory("graft_ann_ckpt").toString)
+    try {
+      // batch 0: move vec 3 to cluster 0's corner, add new vec 100
+      input.addData((3L, vec(0L).map(_ + 0.1f), "update"), (100L, vec(0L), "insert"))
+      query.processAllAvailable()
+      // batch 1: delete vec 7
+      input.addData((7L, Array.empty[Float], "delete"))
+      query.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._4)).toList
+      val q = store.read(3L).filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      // incremental chain v1→v2→v3 must search exactly like a frozen-
+      // quantizer re-encode of the final corpus (same cents/books)
+      val full = s"$base/idx_full"
+      val cents = Similarity.loadCentroids(spark, s"$idxBase/v=1/centroids")
+      val books = Similarity.loadPqBooks(spark, s"$idxBase/v=1/books")
+      Similarity.saveCentroids(spark, cents, s"$full/centroids")
+      Similarity.savePqBooks(spark, books, s"$full/books")
+      Similarity.updateIvfpqIndex(spark, store, 1L, 3L, s"$idxBase/v=1", s"$full/x")
+      assert(canon(Similarity.ivfpqTopKFrom(spark, s"$idxBase/v=3", q, k = 3, nprobe = 2)) ==
+        canon(Similarity.ivfpqTopKFrom(spark, s"$full/x", q, k = 3, nprobe = 2)))
+    } finally query.stop()
+  }
+
   test("bm25IndexStream lands each CDC batch as a segment; search tracks the live corpus") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
