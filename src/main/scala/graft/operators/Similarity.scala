@@ -394,6 +394,66 @@ object Similarity {
       salt: Int = 1): DataFrame =
     ivfTopKAssigned(ivfAssignTo(emb, cents), k, salt)
 
+  /** Top-`nprobe` centroids of one vector by cosine (ties → lowest
+    * cell id; zero-norm centroids/queries rank last, as in
+    * [[nearestCell]]). Cost: one pass over the centroid array + a sort
+    * of the (tiny) cell-id range — query-side only. */
+  private def topCells(cents: Array[Array[Float]], cNorms: Array[Double],
+      e: Array[Float], nprobe: Int): Array[Long] = {
+    var en = 0.0
+    var i = 0
+    while (i < e.length) { en += e(i).toDouble * e(i).toDouble; i += 1 }
+    val qn = math.sqrt(en)
+    val cos = Array.tabulate(cents.length) { c =>
+      val v = cents(c)
+      var d = 0.0; var j = 0
+      while (j < e.length) { d += e(j).toDouble * v(j).toDouble; j += 1 }
+      if (qn == 0.0 || cNorms(c) == 0.0) Double.NegativeInfinity
+      else d / (qn * cNorms(c))
+    }
+    (0 until cents.length).sortBy(c => (-cos(c), c)).take(nprobe)
+      .map(_.toLong).toArray
+  }
+
+  /** Multi-probe IVF with a SEPARATE query frame — the recall knob
+    * plain IVF lacks (the coarse quantizer's nearest cell often does
+    * not contain the true nearest neighbor when the query sits near a
+    * cell boundary). Each query visits its `nprobe` nearest cells
+    * (query-side fan-out only — the corpus keeps its single-cell
+    * assignment, so corpus state and the equi-join stay exactly
+    * [[ivfTopK]]'s); a corpus vector lives in one cell, so (query,
+    * neighbor) pairs cannot duplicate across probes. At 100 TB:
+    * queries × nprobe rows against a corpus-partitioned equi-join —
+    * the same shape ivfpq's probed search uses, with raw vectors. */
+  def ivfTopKProbed(queries: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe=$nprobe out of [1, ${cents.length}]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cents, norms(cents)))
+    val c = ivfAssignTo(corpus, cents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("cell"))
+    val q = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val (cs, ns) = bc.value
+        var en = 0.0; var i = 0
+        while (i < e.length) { en += e(i).toDouble * e(i).toDouble; i += 1 }
+        val qn = math.sqrt(en)
+        topCells(cs, ns, e, nprobe).iterator.map(cell => (id, e, qn, cell))
+      }
+      .toDF("query_id", "q_emb", "q_norm", "cell")
+    val pairs = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast(LongType)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
   /** PQ codebooks → parquet sidecar (subspace, centroid, embedding),
     * the PQ companion of [[saveCentroids]]: train once on a sample,
     * persist, and every encode/search run loads KBs instead of
@@ -1153,6 +1213,16 @@ object Similarity {
       // Cell count auto-tuned (~√n) from the corpus; two Lloyd's
       // iterations refine the first-N seed centroids.
       ivfTopKAuto(Tables.embeddings(s, d), 5, kmeansIters = 2).orderBy("query_id", "rk")
+    },
+
+    "ann_ivf_probe" -> { (s, d) =>
+      // Rows-only oracle. Multi-probe plain IVF: 50 queries each visit
+      // their 3 nearest of the k-means cells; corpus state stays
+      // single-cell.
+      val emb = Tables.embeddings(s, d)
+      val cents = kmeansCentroids(emb, autoCells(emb.count()), 2)
+      ivfTopKProbed(emb.filter(col("vec_id") < 50), emb, cents, k = 5, nprobe = 3)
+        .orderBy("query_id", "rk")
     },
 
     "ann_ivfpq" -> { (s, d) =>

@@ -550,6 +550,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(canon(Similarity.ivfTopK(df, 4, 3)) == canon(Similarity.ivfTopK(df, 4, 3, salt = 3)))
   }
 
+  test("ivfTopKProbed: visiting more cells recovers boundary neighbors single-probe misses") {
+    // two tight clusters plus queries sitting BETWEEN them: the
+    // nearest cell holds only half the true neighbors, so nprobe=1
+    // recall is capped and nprobe=2 must strictly beat it
+    val rnd = new scala.util.Random(13)
+    def member(center: Int, dim: Int = 8): Array[Float] =
+      Array.tabulate(dim)(j => (if (j == center) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    def boundary(dim: Int = 8): Array[Float] =
+      Array.tabulate(dim)(j => (if (j == 0 || j == 4) 0.7f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val corpus = ((0L until 20L).map(i => (i, member(0))) ++
+      (20L until 40L).map(i => (i, member(4)))).toDF("vec_id", "embedding")
+    val queries = (100L until 110L).map(i => (i, boundary())).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, 2, 5)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 6)
+    def recall(nprobe: Int) = recallVsExact(
+      Similarity.ivfTopKProbed(queries, corpus, cents, 6, nprobe), exact)
+    val one = recall(1)
+    val two = recall(2)
+    assert(two > one, s"nprobe=2 recall $two should beat nprobe=1 $one")
+    assert(two == 1.0, s"both cells probed covers every exact neighbor, got $two")
+  }
+
   private def recallVsExact(ann: org.apache.spark.sql.DataFrame,
       exact: org.apache.spark.sql.DataFrame): Double = {
     def pairs(d: org.apache.spark.sql.DataFrame) =
