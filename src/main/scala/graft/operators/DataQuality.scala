@@ -202,6 +202,25 @@ object DataQuality {
           round(col("gini_raw"), 6).as("gini"))
     }.reduce(_.unionByName(_))
 
+  /** Functional-dependency audit: for each claimed `lhs → rhs`, how
+    * many distinct lhs values exist, how many of them violate (map to
+    * more than one rhs), and the worst fan-out — the schema-contract
+    * check behind denormalized lake tables (a violated FD means the
+    * "dimension attribute" someone denormalized is silently drifting).
+    * One map-side-combinable (lhs, rhs)-distinct aggregate per dep;
+    * the violation sum runs over the |distinct lhs| frame. */
+  def functionalDeps(deps: Seq[(String, DataFrame, String, String)]): DataFrame =
+    deps.map { case (label, df, lhs, rhs) =>
+      df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+          max(col("n_rhs")).as("max_rhs_per_lhs"))
+        .select(lit(label).as("fd"), col("n_lhs"), col("n_violating_lhs"),
+          col("max_rhs_per_lhs"))
+    }.reduce(_.unionByName(_))
+
   /** Equi-width histogram of a numeric column — the distribution view
     * [[profile]]'s scalar min/max can't give (skew, modes, outlier
     * mass). Two passes: a one-row global [lo, hi] aggregate (at 100 TB
@@ -341,6 +360,20 @@ object DataQuality {
         ("events.event_type", Tables.events(s, d), "event_type"),
         ("orders.o_orderpriority", Tables.orders(s, d), "o_orderpriority")))
         .orderBy("col_name")
+    },
+
+    "dq_funcdep" -> { (s, d) =>
+      // One contract that HOLDS (nation key → region) and three that
+      // do not — the audit shape: assert the zeros, quantify the rest.
+      functionalDeps(Seq(
+        ("nation.n_nationkey->n_regionkey", Tables.nation(s, d),
+          "n_nationkey", "n_regionkey"),
+        ("part.p_brand->p_type", Tables.part(s, d), "p_brand", "p_type"),
+        ("customer.c_nationkey->c_mktsegment", Tables.customer(s, d),
+          "c_nationkey", "c_mktsegment"),
+        ("orders.o_custkey->o_orderpriority", Tables.orders(s, d),
+          "o_custkey", "o_orderpriority")))
+        .orderBy("fd")
     },
 
     "dq_rules" -> { (s, d) =>
@@ -509,6 +542,23 @@ object DataQuality {
         branch("events.event_type", "events", "event_type"),
         branch("orders.o_orderpriority", "orders", "o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "dq_funcdep" -> {
+      def branch(label: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$label' AS fd, COUNT(*) AS n_lhs,
+           |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+           |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS n_rhs FROM $table
+           |      WHERE $lhs IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(
+        branch("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        branch("part.p_brand->p_type", "part", "p_brand", "p_type"),
+        branch("customer.c_nationkey->c_mktsegment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        branch("orders.o_custkey->o_orderpriority", "orders",
+          "o_custkey", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
     },
 
     "dq_rules" -> {

@@ -102,6 +102,24 @@ class DataQualitySpec extends SparkSpec {
     assert(out("q_positive").getAs[Long]("n_violations") == 1L)
   }
 
+  test("functionalDeps: held FD reports zero violations, broken FD counts and bounds them") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),     // key 1: one rhs → holds
+      (2L, "b", "y"), (2L, "b", "z"),     // key 2: two rhs → violates
+      (3L, "c", "x")
+    ).toDF("k", "held", "broken")
+    val nullLhs = Seq((Some(1L), "x"), (None, "y"), (None, "z"))
+      .toDF("k", "v")
+    val out = DataQuality.functionalDeps(Seq(
+      ("t.k->held", df, "k", "held"),
+      ("t.k->broken", df, "k", "broken"),
+      ("n.k->v", nullLhs, "k", "v")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("t.k->held") == ((3L, 0L, 1L)))
+    assert(out("t.k->broken") == ((3L, 1L, 2L))) // key 2 violates, fan-out 2
+    assert(out("n.k->v") == ((1L, 0L, 1L)))      // null lhs rows excluded
+  }
+
   test("entropy: uniform two-value column is ln2/1.0/0.5; constants are 0/null/0; nulls excluded") {
     val uniform = Seq("a", "a", "b", "b").toDF("c")
     val constant = Seq(Some("x"), Some("x"), None).toDF("c")
