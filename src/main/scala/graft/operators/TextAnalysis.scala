@@ -109,6 +109,30 @@ object TextAnalysis {
       col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_longnum") > 0)
   }
 
+  /** Flesch-style readability score per doc — the classic
+    * surface-structure quality signal (sentence length × syllable
+    * density) a corpus mixes with [[quality]]'s ratios: sentences are
+    * terminator runs ([.!?]+, min 1 so fragments still score),
+    * syllables are approximated as vowel-group runs (the standard
+    * dependency-free heuristic). One narrow codegen'd projection —
+    * every count is a regex count written token-identically in the
+    * oracle; the float formula runs once per row at the boundary. */
+  def readability(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast(DoubleType)
+    val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast(DoubleType)
+    val nSyll = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+      .cast(DoubleType)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_words"),
+      nSent.cast(LongType).as("n_sentences"),
+      nSyll.cast(LongType).as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (nWords / nSent)
+        - lit(84.6) * (nSyll / nWords), 4).as("flesch"))
+  }
+
   /** BM25-ranked keyword search over the corpus (Robertson/Okapi, the
     * Lucene-default idf variant `ln(1 + (N − df + ½)/(df + ½))` which
     * is positive by construction). One generator pass feeds both the
@@ -434,6 +458,10 @@ object TextAnalysis {
 
     "text_pii" -> { (s, d) => piiScan(Tables.documents(s, d)).orderBy("doc_id") },
 
+    "text_readability" -> { (s, d) =>
+      readability(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
     "text_boilerplate" -> { (s, d) =>
       // Share of each doc's 3-shingles appearing in > 5 documents —
       // high scores mark template-heavy docs the cleaning gate drops.
@@ -585,6 +613,18 @@ object TextAnalysis {
         |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
         |   + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words,
+         |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -32,6 +32,23 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(n == 6L)
   }
 
+  test("readability: sentence/syllable counts and the Flesch formula on crafted docs") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran! Did it run?"), // 9 words, 3 sentences
+      (2L, "no terminators here")                     // fragment → min 1 sentence
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (w1, s1, sy1, f1) = out(1L)
+    assert(w1 == 9L && s1 == 3L)
+    // vowel groups: e,a,a,e,o,a,i,i,u → 9
+    assert(sy1 == 9L)
+    assert(f1 == math.rint((206.835 - 1.015 * (9.0 / 3.0) - 84.6 * (9.0 / 9.0)) * 10000) / 10000)
+    val (w2, s2, _, _) = out(2L)
+    assert(w2 == 3L && s2 == 1L) // fragment clamps to one sentence
+  }
+
   test("bm25: multi-term match outranks single-term; rare term outweighs common; absent docs excluded") {
     val corpus = Seq(
       (1L, "apple apple apple filler filler filler filler filler"), // common term, long
