@@ -123,12 +123,16 @@ object Pipeline {
     * portability contract as [[sampleStratified]] (membership from the
     * md5 bucket of doc_id, not rand() — reproducible across engines
     * and appends; raising a doc's weight can only ADD it, never flip
-    * others). One narrow filter, no shuffle. */
+    * others). One narrow filter, no shuffle.
+    *
+    * The raw 16-bit bucket compares against w·65536 directly — NOT
+    * reduced mod 10⁴ first, which would bias low residues (7/65536 vs
+    * 6/65536 occurrence, up to ~7% relative keep-rate skew at w=0.5). */
   def sampleWeighted(docs: DataFrame, weight: Column): DataFrame = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast(LongType) % 10000
+      .cast(LongType)
     val w = least(greatest(weight, lit(0.0)), lit(1.0))
-    docs.filter(bucket.cast(DoubleType) < w * 10000.0)
+    docs.filter(bucket.cast(DoubleType) < w * 65536.0)
   }
 
   /** Benchmark decontamination — the pre-training gate that keeps
@@ -431,8 +435,8 @@ object Pipeline {
     "pipe_sample_weighted" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
-        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000)
-        |      < LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 10000.0
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      < LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 65536.0
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_sample_k" ->

@@ -187,19 +187,22 @@ object TextAnalysis {
     * with no tombstones; [[appendBm25Segment]] adds a delta. Built in
     * one tokenize pass over ONLY the docs handed in — the
     * index-once / query-many / maintain-by-delta shape. */
-  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
-    appendBm25Segment(docs, Seq.empty, path, 0L, nBuckets)
-
-  /** Append a delta segment: postings + lengths for `docs` (the new or
-    * REPLACEMENT versions), and `removedIds` tombstones for docs this
-    * delta deletes or supersedes (an updated doc appears in BOTH —
-    * tombstoned for its old segments, re-posted here). Cost is one
-    * tokenize pass over the DELTA only; no earlier segment is read or
-    * rewritten. */
-  def appendBm25Segment(docs: DataFrame, removedIds: Seq[Long], path: String,
-      segId: Long, nBuckets: Int = 64): Unit = {
+  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    appendBm25Segment(docs, spark.emptyDataset[Long].toDF("doc_id"), path, 0L, nBuckets)
+  }
+
+  /** Append a delta segment: postings + lengths for `docs` (the new or
+    * REPLACEMENT versions), and `removed` (a `doc_id` frame) tombstones
+    * for docs this delta deletes or supersedes (an updated doc appears
+    * in BOTH — tombstoned for its old segments, re-posted here). Cost
+    * is one tokenize pass over the DELTA only; no earlier segment is
+    * read or rewritten. Tombstones stay a DataFrame end-to-end: a
+    * bulk-delete CDC batch (tens of millions of ids at 100 TB) writes
+    * executor→parquet without ever landing on the driver. */
+  def appendBm25Segment(docs: DataFrame, removed: DataFrame, path: String,
+      segId: Long, nBuckets: Int = 64): Unit = {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       // projection barrier: explode must not re-evaluate tokens()
       .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -211,8 +214,8 @@ object TextAnalysis {
       .parquet(s"$path/seg=$segId/postings")
     tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").parquet(s"$path/seg=$segId/lens")
-    removedIds.toDS().toDF("doc_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg=$segId/tombstones")
+    removed.select(col("doc_id").cast(LongType).as("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/seg=$segId/tombstones")
   }
 
   /** Maintain the segmented index straight from a SnapshotStore CDC
@@ -228,9 +231,9 @@ object TextAnalysis {
     val posted = d.filter(col("change_type").isin("insert", "update"))
       .select(col("doc_id"), col("text"))
     val removed = d.filter(col("change_type").isin("update", "delete"))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      .select(col("doc_id"))
     appendBm25Segment(posted, removed, path, segId, nBuckets)
-    (posted.count(), removed.size.toLong)
+    (posted.count(), removed.count())
   }
 
   /** Compact a segmented index back to ONE segment (the Lucene merge):
@@ -500,10 +503,12 @@ object TextAnalysis {
       // once per corpus, then query without re-tokenizing; postings
       // read prunes to the query terms' hash-bucket partitions). Same
       // oracle as text_bm25 — the index path must be result-identical.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${math.abs(d.hashCode)}"
+      // Cache key = md5 over (dir, file name/len/mtime of the corpus
+      // parquet): regenerated data at the same path gets a fresh index.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${corpusCacheKey(s, d)}"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/lens/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/tombstones/_SUCCESS")))
         writeBm25Index(Tables.documents(s, d), path)
       bm25SearchFrom(s, path, Seq("merge", "vector", "window"))
         .orderBy(col("bm25").desc, col("doc_id"))
@@ -516,24 +521,40 @@ object TextAnalysis {
       // (≡ 0 mod 13). The search must rank against the maintained
       // corpus — the oracle runs the full BM25 SQL over the EDITED
       // corpus, so stale postings or wrong liveness fail the hash.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25i_${math.abs(d.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25i_${corpusCacheKey(s, d)}"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val docs = Tables.documents(s, d)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/lens/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=0/tombstones/_SUCCESS")))
         writeBm25Index(docs, path)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=1/lens/_SUCCESS"))) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/seg=1/tombstones/_SUCCESS"))) {
         val edited = docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
           .withColumn("text", concat(col("text"), lit(" vector")))
         val removed = docs
           .filter(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0)
-          .select("doc_id").collect().map(_.getLong(0)).toSeq
+          .select("doc_id")
         appendBm25Segment(edited, removed, path, 1L)
       }
       bm25SearchFrom(s, path, Seq("merge", "vector", "window"))
         .orderBy(col("bm25").desc, col("doc_id"))
     }
   )
+
+  /** Content fingerprint of a testdata dir's documents table — keys the
+    * bench-only persisted-index caches above. Metadata-sized (one file
+    * listing, no data scan); md5 over (dir, every file's name/len/
+    * mtime) so a regenerated corpus at the same path, or two dirs whose
+    * `String.hashCode` would collide, never reuse a stale index. */
+  private def corpusCacheKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"

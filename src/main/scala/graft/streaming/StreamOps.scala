@@ -397,17 +397,27 @@ object StreamOps {
     * ([[graft.operators.TextAnalysis.appendBm25Segment]]) — inserts
     * and updates re-post, updates and deletes tombstone, exactly the
     * batch [[graft.operators.TextAnalysis.updateBm25Index]] semantics
-    * but fed by the stream. Segment ids are `batchId + 1` (segment 0
-    * is the initial [[graft.operators.TextAnalysis.writeBm25Index]]
-    * build this stream requires); a REPLAYED batch whose segment
-    * directory already fully landed is skipped — the tombstones
-    * _SUCCESS marker belongs to the LAST of the segment's three
-    * writes, so its presence means the segment is complete (a crash
-    * mid-segment leaves it absent and the replay rewrites all three
-    * in mode=overwrite). Multi-change batches collapse to
-    * the last change per key first ([[continuousMerge]]'s contract).
-    * Compaction ([[graft.operators.TextAnalysis.compactBm25Index]])
-    * runs out-of-band when segment count warrants. */
+    * but fed by the stream. Segment ids are allocated FROM THE INDEX
+    * (max over existing `seg=` dirs and recorded allocations, + 1) and
+    * the batch→segment assignment is persisted under `_batches/`
+    * BEFORE the segment lands (tmp+rename atomic) — so a replayed
+    * batch rewrites its OWN recorded segment (mode=overwrite,
+    * idempotent) instead of deriving `batchId + 1`, which an
+    * out-of-band compaction
+    * ([[graft.operators.TextAnalysis.compactBm25Index]]) would
+    * collide with: a compacted segment at the batch-derived id would
+    * make the stream silently skip that CDC batch, or rank every later
+    * delta beneath the compacted segment. With index-allocated ids,
+    * compaction between micro-batches is safe — the next batch
+    * allocates above the compacted segment. (Compaction must still not
+    * run CONCURRENTLY with a landing batch; the allocation scan and
+    * the compactor's directory swap are not mutually atomic.)
+    * A replayed batch whose segment fully landed is skipped — the
+    * tombstones _SUCCESS marker belongs to the LAST of the segment's
+    * three writes, so its presence means the segment is complete.
+    * Multi-change batches collapse to the last change per key first
+    * ([[continuousMerge]]'s contract). Tombstone ids stay a DataFrame
+    * end-to-end (executor→parquet, never collected). */
   def bm25IndexStream(changes: DataFrame, path: String, checkpointDir: String,
       changeTypeCol: String = "change_type",
       seqCol: Option[String] = None,
@@ -417,20 +427,58 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val segId = batchId + 1
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        val segId = allocateBm25Segment(fs, path, batchId)
         val done = new org.apache.hadoop.fs.Path(s"$path/seg=$segId/tombstones/_SUCCESS")
-        if (!done.getFileSystem(hconf).exists(done)) {
+        if (!fs.exists(done)) {
           val b = collapseLastPerKey(batch, "doc_id", seqCol)
           val posted = b.filter(col(changeTypeCol).isin("insert", "update"))
             .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           val removed = b.filter(col(changeTypeCol).isin("update", "delete"))
-            .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+            .select(col("doc_id").cast("long").as("doc_id"))
           graft.operators.TextAnalysis.appendBm25Segment(
             posted, removed, path, segId, nBuckets)
         }
         ()
       }
       .start()
+  }
+
+  /** Segment-id allocation for [[bm25IndexStream]]: if `_batches/
+    * batch-<id>` exists the batch is a replay → reuse its recorded
+    * segment; otherwise take max(existing `seg=` dirs, every recorded
+    * allocation) + 1, record it tmp+rename-atomically, and return it.
+    * Recorded allocations participate in the max so ids never move
+    * backwards even after compaction deletes old segment dirs; driver-
+    * side metadata only (one directory listing per micro-batch). */
+  private def allocateBm25Segment(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, batchId: Long): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-$batchId")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val segMax = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("seg=") => n.stripPrefix("seg=").toLong }
+        .foldLeft(0L)(math.max)
+      val batchesDir = new org.apache.hadoop.fs.Path(s"$path/_batches")
+      val allocMax =
+        if (fs.exists(batchesDir))
+          fs.listStatus(batchesDir).map { st =>
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          }.foldLeft(0L)(math.max)
+        else 0L
+      val segId = math.max(segMax, allocMax) + 1
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/_batches/.batch-$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(segId.toString.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, marker), s"could not publish batch marker $marker")
+      segId
+    }
   }
 
   /** [[graft.operators.ChunkCrypto.encryptedChunks]] keyed for the

@@ -162,5 +162,11 @@ class PipelineSpec extends SparkSpec {
     assert(lo.subsetOf(hi), s"w=0.3 kept ${lo.size}, not a subset of w=0.8's ${hi.size}")
     assert(lo.size > 50 && lo.size < 250, s"~30% expected, got ${lo.size}/500")
     assert(hi.size > 300 && hi.size < 480, s"~80% expected, got ${hi.size}/500")
+    // unbiasedness: the raw 16-bit bucket compares against w*65536, so
+    // the keep rate tracks w tightly (the old %10000 reduction skewed
+    // w=0.5 to ~53.4%); 10k docs, binomial 3σ ≈ 1.5%
+    val big = (0L until 10000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val frac = Pipeline.sampleWeighted(big, lit(0.5)).count().toDouble / 10000.0
+    assert(math.abs(frac - 0.5) < 0.02, s"w=0.5 kept $frac")
   }
 }

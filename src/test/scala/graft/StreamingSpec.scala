@@ -178,6 +178,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bm25IndexStream survives out-of-band compaction: later batches allocate above the compacted segment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.TextAnalysis
+    val path = Files.createTempDirectory("graft_bm25_compact").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_bm25_compact_ckpt").toString
+    val base = Seq((1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(base, path, nBuckets = 16)
+    val input = MemoryStream[(Long, String, String)]
+    val mkQuery = () => StreamOps.bm25IndexStream(
+      input.toDS().toDF("doc_id", "text", "change_type"), path, ckpt, nBuckets = 16)
+    val q1 = mkQuery()
+    try {
+      input.addData((1L, "banana banana", "update"), (4L, "apple apple apple", "insert"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // out-of-band compaction between micro-batches: folds seg 0+1 into
+    // the next free id. Under the old batchId+1 scheme the NEXT stream
+    // batch would collide with exactly this segment and silently skip.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong)
+      .sorted.toSeq
+    assert(segDirs() == Seq(0L, 1L))
+    TextAnalysis.compactBm25Index(spark, path, 2L)
+    assert(segDirs() == Seq(2L))
+    val q2 = mkQuery()
+    try {
+      // batch 1 after restart: delete doc 3, update doc 2 — must land
+      // ABOVE the compacted segment (seg 3), not collide at seg 2
+      input.addData((3L, "", "delete"), (2L, "banana banana banana", "update"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(segDirs() == Seq(2L, 3L))
+    val live = Seq(
+      (1L, "banana banana"), (2L, "banana banana banana"), (4L, "apple apple apple")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toList
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, path,
+        Seq("apple", "banana"), topK = 10, nBuckets = 16)) ==
+      canon(TextAnalysis.bm25Search(live, Seq("apple", "banana"), topK = 10)))
+  }
+
   test("streamingTopTokens: Misra-Gries keeps the hot token within its error bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

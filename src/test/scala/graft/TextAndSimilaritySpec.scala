@@ -120,7 +120,7 @@ class TextAndSimilaritySpec extends SparkSpec {
     TextAnalysis.writeBm25Index(v1, path, nBuckets = 16)
     // delta: doc 1 updated (loses apple, gains banana), doc 3 deleted
     val delta = Seq((1L, "banana banana")).toDF("doc_id", "text")
-    TextAnalysis.appendBm25Segment(delta, Seq(1L, 3L), path, 1L, nBuckets = 16)
+    TextAnalysis.appendBm25Segment(delta, Seq(1L, 3L).toDF("doc_id"), path, 1L, nBuckets = 16)
     // ground truth: the same search inline over the POST-delta corpus
     val v2 = Seq(
       (1L, "banana banana"),
