@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Content-addressed encrypted chunk repository with version manifests
+  * and a mark-and-sweep garbage collector — the borg/restic storage
+  * model, where [[SnapshotStore]]'s CoW versioning would duplicate
+  * chunk bytes per version. Every chunk blob is stored EXACTLY ONCE
+  * (keyed by its convergent-encryption content address,
+  * [[ChunkCrypto.encryptedChunks]]), versions are manifests of
+  * references, and dropping versions reclaims exactly the bytes no
+  * surviving version references — closing the report→action loop of
+  * [[ChunkCrypto.chunkAccounting]]'s `exclusive_bytes` column.
+  *
+  * Layout:
+  * {{{
+  *   chunks/bucket=<b>/part-*.parquet     (ref_hex, bytes, blob) — each ref once
+  *   manifests/v=<v>/part-*.parquet       (id, chunk_idx, ref_hex, bytes)
+  * }}}
+  * Chunk rows hash-partition into `nBuckets` directories by content
+  * address, so the GC sweep rewrites ONLY the buckets that contain a
+  * dead ref (partition pruning on the read, directory swap on the
+  * write) — at 100 TB with thousands of buckets a prune that reclaims
+  * 1% of refs touches ~1% of the repository, never all of it.
+  *
+  * Crash ordering mirrors the snapshot stores: [[backup]] appends
+  * chunk blobs FIRST and publishes the manifest LAST via tmp+rename —
+  * a crash in between leaves orphan chunks (referenced by no manifest)
+  * that the next [[pruneChunks]] sweeps, never a manifest pointing at
+  * missing chunks. [[pruneChunks]] deletes dropped manifests FIRST —
+  * a crash mid-sweep leaves dead-but-present chunks that the next
+  * sweep collects. Single writer, like [[SnapshotStore]]. */
+class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
+    nBuckets: Int = 64) {
+
+  private def fs =
+    new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def chunksDir = s"$basePath/chunks"
+  private def manifestDir(v: Long) = s"$basePath/manifests/v=$v"
+
+  private val chunkSchema = StructType.fromDDL(
+    "ref_hex STRING, bytes BIGINT, blob BINARY")
+  private val manifestSchema = StructType.fromDDL(
+    "id BIGINT, chunk_idx BIGINT, ref_hex STRING, bytes BIGINT")
+
+  private def bucketCol = pmod(xxhash64(col("ref_hex")), lit(nBuckets.toLong))
+
+  def versions(): Seq[Long] = {
+    val p = new Path(s"$basePath/manifests")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .sorted.toSeq
+  }
+
+  def manifest(version: Long): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestDir(version))
+
+  /** Every stored chunk row (ref_hex, bytes, blob, bucket). Empty
+    * frame before the first backup. */
+  def refs(): DataFrame =
+    if (!fs.exists(new Path(chunksDir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        chunkSchema.add("bucket", org.apache.spark.sql.types.LongType))
+    else spark.read.schema(chunkSchema.add("bucket", org.apache.spark.sql.types.LongType))
+      .option("basePath", chunksDir).parquet(chunksDir)
+
+  /** Back up one version: CDC-chunk + convergent-encrypt `payloadCol`,
+    * append ONLY the content addresses the repository doesn't already
+    * hold (one anti-join on the uniform ref hash), and publish the
+    * manifest atomically. Returns (refsAdded, bytesAdded) — the
+    * version's incremental storage cost, `new_bytes` in
+    * [[ChunkCrypto.chunkAccounting]] terms. */
+  def backup(payloads: DataFrame, idCol: String, payloadCol: String,
+      version: Long): (Long, Long) = {
+    require(!versions().contains(version), s"version $version already exists")
+    // one chunk+encrypt pass, materialized: feeds the manifest AND the
+    // new-ref append without re-encrypting
+    val chunked = ChunkCrypto.encryptedChunks(payloads, idCol, payloadCol, master)
+      .withColumn("bytes", length(col("blob")).cast("long"))
+      .localCheckpoint()
+    val newRefs = chunked
+      .dropDuplicates("ref_hex")
+      .join(refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
+      .select(col("ref_hex"), col("bytes"), col("blob"))
+      .withColumn("bucket", bucketCol)
+      .localCheckpoint() // count + write from one pass
+    val added = newRefs.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L)))
+      .head()
+    newRefs.write.mode("append").partitionBy("bucket").parquet(chunksDir)
+    // manifest last = the commit point (crash before leaves orphan
+    // chunks for the next sweep, never a dangling manifest)
+    val tmp = new Path(s"$basePath/manifests/.tmp-v=$version-${java.util.UUID.randomUUID()}")
+    chunked.select(col(idCol).cast("long").as("id"), col("chunk_idx"),
+        col("ref_hex"), col("bytes"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(manifestDir(version))
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+    (added.getLong(0), added.getLong(1))
+  }
+
+  /** Reassemble a version's payloads: manifest ⋈ chunks on the content
+    * address (one shuffle on a uniform key), then decrypt + order +
+    * concatenate per id ([[ChunkCrypto.reassemble]]). */
+  def restore(version: Long): DataFrame =
+    ChunkCrypto.reassemble(
+      manifest(version).join(refs().select("ref_hex", "blob"), Seq("ref_hex")),
+      "id", master)
+
+  /** The [[ChunkCrypto.chunkAccounting]] report over every version's
+    * manifest — blobs never read. */
+  def accounting(): DataFrame =
+    ChunkCrypto.chunkAccounting(versions().map(v => v -> manifest(v)),
+      "ref_hex", col("bytes")).orderBy("version")
+
+  /** Mark-and-sweep GC — the `prune` every deduplicating backup tool
+    * runs weekly: drop every version NOT in `keep`, then delete the
+    * chunk rows no surviving manifest references (which includes
+    * orphans from a crashed [[backup]]). Mark = union of surviving
+    * manifests' distinct refs; sweep = rewrite ONLY the buckets
+    * holding a dead ref (survivors re-land via tmp dir + directory
+    * swap; a bucket left with no survivors is deleted outright).
+    * Returns (prunedVersions, refsDeleted, bytesReclaimed) —
+    * bytesReclaimed equals the pruned versions' collective
+    * exclusive_bytes, spec-pinned. */
+  def pruneChunks(keep: Seq[Long]): (Seq[Long], Long, Long) = {
+    val drop = versions().filterNot(keep.contains)
+    // deleting dropped manifests FIRST makes the sweep restartable:
+    // a crash mid-sweep leaves dead chunks the next sweep collects
+    drop.foreach(v => fs.delete(new Path(manifestDir(v)), true))
+    val survivors = versions()
+    val live =
+      if (survivors.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("ref_hex STRING"))
+      else survivors.map(v => manifest(v).select("ref_hex"))
+        .reduce(_.unionByName(_)).distinct()
+    val dead = refs().join(live, Seq("ref_hex"), "left_anti")
+      .select("ref_hex", "bytes", "bucket").localCheckpoint()
+    val stats = dead.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
+    val dirty = dead.select("bucket").distinct().collect().map(_.getLong(0))
+    if (dirty.nonEmpty) {
+      // one job rewrites every dirty bucket's survivors to a tmp dir...
+      val tmp = new Path(s"$basePath/.tmp-sweep-${java.util.UUID.randomUUID()}")
+      refs().filter(col("bucket").isin(dirty.toSeq: _*))
+        .join(live, Seq("ref_hex"), "left_semi")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      // ...then each dirty bucket directory swaps (or deletes, if no
+      // survivor landed); clean buckets are never touched
+      dirty.foreach { b =>
+        val cur = new Path(s"$chunksDir/bucket=$b")
+        val neu = new Path(s"$tmp/bucket=$b")
+        fs.delete(cur, true)
+        if (fs.exists(neu) && !fs.rename(neu, cur))
+          throw new java.io.IOException(s"sweep publish failed: $neu -> $cur")
+      }
+      fs.delete(tmp, true)
+    }
+    (drop, stats.getLong(0), stats.getLong(1))
+  }
+}

@@ -297,6 +297,37 @@ object Multimodal {
         have, chunksOf(identity), "chunk_md5", col("chunk_bytes"))
     },
 
+    "snap_chunk_gc" -> { (s, d) =>
+      // Rows-only (convergent-encrypted refs are build-internal): the
+      // full repository GC loop closing chunk accounting's
+      // exclusive_bytes report — three modeled daily backups land in a
+      // content-addressed [[ChunkStore]] (each chunk stored ONCE across
+      // versions), version 1 is pruned, and the mark-and-sweep's actual
+      // reclamation is reported beside the surviving repository stats.
+      // reclaimed == v1's exclusive_bytes is spec-pinned
+      // (ChunkStoreSpec); here the end-to-end loop runs on the corpus.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val base = java.nio.file.Files.createTempDirectory("graft_chunk_gc").toString
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def pay(mutate: DataFrame => DataFrame) =
+        mutate(Tables.documents(s, d)).select(col("doc_id").as("id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      store.backup(pay(identity), "id", "payload", 1L)
+      store.backup(pay(df => df.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+          .otherwise(col("text")))), "id", "payload", 2L)
+      store.backup(pay(df => df.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" appended suffix")))
+            .otherwise(col("text")))), "id", "payload", 3L)
+      val (pruned, nDead, reclaimed) = store.pruneChunks(keep = Seq(2L, 3L))
+      val live = store.refs()
+        .agg(count(lit(1)).as("n"), sum("bytes").as("b")).head()
+      import s.implicits._
+      Seq((pruned.mkString(","), nDead, reclaimed, live.getLong(0), live.getLong(1)))
+        .toDF("pruned_versions", "dead_refs", "reclaimed_bytes", "live_refs", "live_bytes")
+    },
+
     "mm_decode" -> { (s, d) =>
       // Rows-only check: the stub decoder's outputs are deterministic
       // but Spark-internal. Exercises the full binary-column decode
