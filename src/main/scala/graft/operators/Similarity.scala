@@ -827,14 +827,35 @@ object Similarity {
     * The cell layout is the scan-pruning win: a probe plan names its
     * cells up front, so a search at nprobe ≪ nCells opens only
     * ~nprobe/nCells of the code files instead of scanning all rows and
-    * filtering (spec-asserted strict file subset). */
+    * filtering (spec-asserted strict file subset).
+    *
+    * `rotation`: an optional OPQ rotation ([[opqTrain]]) — when given,
+    * IVF cells AND residual codebooks train on R·x and R persists as a
+    * `rotation/` sidecar beside centroids/books, so the best-quality
+    * codes flow through the whole index lifecycle ([[ivfpqTopKFrom]]
+    * rotates queries automatically; [[updateIvfpqIndex]] re-encodes
+    * deltas in rotated space and carries the sidecar forward).
+    * Orthogonal R preserves L2, so every downstream distance is
+    * exact-equivalent to searching the unrotated corpus. */
   def writeIvfpqIndex(emb: DataFrame, path: String, nCells: Int, m: Int,
-      ksub: Int, iters: Int): Unit = {
+      ksub: Int, iters: Int,
+      rotation: Option[Array[Array[Float]]] = None): Unit = {
     val spark = emb.sparkSession
-    val (cents, books, codes) = ivfpqBuild(emb, nCells, m, ksub, iters)
+    val src = rotation.map(rotate(emb, _)).getOrElse(emb)
+    val (cents, books, codes) = ivfpqBuild(src, nCells, m, ksub, iters)
     saveCentroids(spark, cents, s"$path/centroids")
     savePqBooks(spark, books, s"$path/books")
+    rotation.foreach(r => saveRotation(spark, r, s"$path/rotation"))
     writeCodes(codes, s"$path/codes")
+  }
+
+  /** The `rotation/` sidecar of an index built with an OPQ rotation,
+    * or None for a plain index — one metadata existence check. */
+  private def loadRotationOpt(spark: SparkSession, path: String)
+      : Option[Array[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(loadRotation(spark, path)) else None
   }
 
   private def writeCodes(codes: DataFrame, path: String): Unit =
@@ -871,7 +892,11 @@ object Similarity {
       k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
     val cents = loadCentroids(spark, s"$path/centroids")
     val books = loadPqBooks(spark, s"$path/books")
-    val plan = probePlan(queries, cents, books, nprobe, maxQueryRows)
+    // OPQ-built index: queries rotate through the sidecar R (narrow
+    // map over the small query set), everything downstream unchanged
+    val q = loadRotationOpt(spark, s"$path/rotation")
+      .map(rotate(queries, _)).getOrElse(queries)
+    val plan = probePlan(q, cents, books, nprobe, maxQueryRows)
     adcSearch(loadProbedCodes(spark, s"$path/codes", plan.keySet), plan, k)
   }
 
@@ -929,6 +954,9 @@ object Similarity {
         "overwrite the same codes files")
     val cents = loadCentroids(spark, s"$fromIndexPath/centroids")
     val books = loadPqBooks(spark, s"$fromIndexPath/books")
+    // an OPQ-built index re-encodes deltas in rotated space and hands
+    // the sidecar to the new version — the frozen quantizer includes R
+    val rot = loadRotationOpt(spark, s"$fromIndexPath/rotation")
     val fromFiles = store.dataFiles(fromVersion).map(p => p.getName -> p.toString).toMap
     val toFiles = store.dataFiles(toVersion).map(p => p.getName -> p.toString).toMap
     val removed = (fromFiles.keySet -- toFiles.keySet).toSeq.sorted.map(fromFiles)
@@ -942,10 +970,14 @@ object Similarity {
         Seq("vec_id"), "left_anti")
     val fresh =
       if (added.isEmpty) None
-      else Some(ivfpqEncode(spark.read.parquet(added: _*), cents, books))
+      else {
+        val raw = spark.read.parquet(added: _*)
+        Some(ivfpqEncode(rot.map(rotate(raw, _)).getOrElse(raw), cents, books))
+      }
     val newCodes = fresh.foldLeft(carried)(_ unionByName _).localCheckpoint()
     saveCentroids(spark, cents, s"$toIndexPath/centroids")
     savePqBooks(spark, books, s"$toIndexPath/books")
+    rot.foreach(r => saveRotation(spark, r, s"$toIndexPath/rotation"))
     writeCodes(newCodes, s"$toIndexPath/codes")
     val nFresh = fresh.map(_.count()).getOrElse(0L)
     (newCodes.count() - nFresh, nFresh)
@@ -1244,7 +1276,7 @@ object Similarity {
       // only rewritten files' vectors re-encode under the frozen
       // quantizer — and the search runs against the updated artifact,
       // reading only probed cells' code files.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_${Tables.fingerprint(s, d, "embeddings")}"
       val store = new SnapshotStore(s, base, "vec_id")
       val emb = Tables.embeddings(s, d)
       if (!store.versions().contains(1L)) store.writeRangePartitioned(emb, 1L, 8)
@@ -1281,6 +1313,27 @@ object Similarity {
       val (r, books) =
         opqTrain(emb.filter(col("vec_id") % 4 === 0), 8, 16, lloydIters = 2, opqIters = 2)
       opqTopK(emb.filter(col("vec_id") < 50), opqEncode(emb, r, books), r, books, 5)
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_opq_ivfpq" -> { (s, d) =>
+      // Rows-only oracle. OPQ composed through the PERSISTED index
+      // lifecycle: the rotation trains on the deterministic 25% sample,
+      // then IVF cells AND residual codebooks train on R·x and R rides
+      // beside them as a sidecar — ivfpqTopKFrom rotates the queries
+      // automatically, so the artifact serves the best-quality codes
+      // with the same cell-pruned reads as ann_ivfpq.
+      val emb = Tables.embeddings(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_opq_ivfpq_${Tables.fingerprint(s, d, "embeddings")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS"))) {
+        val (r, _) = opqTrain(emb.filter(col("vec_id") % 4 === 0),
+          8, 16, lloydIters = 2, opqIters = 2)
+        writeIvfpqIndex(emb, path, nCells = 32, m = 8, ksub = 16, iters = 2,
+          rotation = Some(r))
+      }
+      ivfpqTopKFrom(s, path, emb.filter(col("vec_id") < 50), k = 5, nprobe = 4)
         .orderBy("query_id", "rk")
     },
 

@@ -540,21 +540,10 @@ object TextAnalysis {
     }
   )
 
-  /** Content fingerprint of a testdata dir's documents table — keys the
-    * bench-only persisted-index caches above. Metadata-sized (one file
-    * listing, no data scan); md5 over (dir, every file's name/len/
-    * mtime) so a regenerated corpus at the same path, or two dirs whose
-    * `String.hashCode` would collide, never reuse a stale index. */
-  private def corpusCacheKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val sig = fs.listStatus(p)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-  }
+  /** Content fingerprint of the corpus — keys the bench-only
+    * persisted-index caches above (see [[Tables.fingerprint]]). */
+  private def corpusCacheKey(s: SparkSession, dir: String): String =
+    Tables.fingerprint(s, dir, "documents")
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"

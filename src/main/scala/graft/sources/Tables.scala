@@ -46,6 +46,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Content fingerprint of one table in a testdata dir — keys the
+    * bench-only persisted-index caches the `queries()` entries build.
+    * Metadata-sized (one file listing, no data scan): md5 over (dir,
+    * every file's name/len/mtime), so a regenerated table at the same
+    * path — or two dirs whose `String.hashCode` would collide — never
+    * reuses a stale artifact. */
+  def fingerprint(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Write a snapshot copy partitioned by the given columns — the
     * full-backup primitive. Partition columns become directory keys so
     * restores and incremental diffs prune at the file level.

@@ -450,6 +450,126 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 3L))
   }
 
+  test("opq rotation rides the persisted ivfpq index: search ≡ inline build on the rotated corpus") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (r, _) = Similarity.opqTrain(emb, 4, 8, lloydIters = 2, opqIters = 2)
+    val path = Files.createTempDirectory("graft_opq_idx").toString + "/idx"
+    Similarity.writeIvfpqIndex(emb, path, nCells = 4, m = 4, ksub = 8, iters = 3,
+      rotation = Some(r))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation")),
+      "rotation sidecar must persist beside centroids/books")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toList
+    // queries go in UNROTATED — ivfpqTopKFrom applies the sidecar R —
+    // and the result must equal the inline build over R·x with R·q
+    val q = emb.filter(col("vec_id") < 8)
+    assert(canon(Similarity.ivfpqTopKFrom(spark, path, q, k = 3, nprobe = 2)) ==
+      canon(Similarity.ivfpqTopK(Similarity.rotate(emb, r), Similarity.rotate(q, r),
+        4, 4, 8, 3, 3, 2)))
+  }
+
+  test("updateIvfpqIndex carries the OPQ rotation: incremental codes ≡ frozen-quantizer re-encode of R·x") {
+    import graft.operators.{Similarity, SnapshotStore}
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_opq_incr").toString
+    val store = new SnapshotStore(spark, base, "vec_id")
+    val vecs = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i + d) % 3) * 0.05f))
+    }
+    store.writeRangePartitioned(vecs.toDF("vec_id", "embedding"), 1L, 4)
+    val (r, _) = Similarity.opqTrain(store.read(1L), 4, 8, lloydIters = 2, opqIters = 2)
+    val idx1 = s"$base/idx1"
+    Similarity.writeIvfpqIndex(store.read(1L), idx1, nCells = 4, m = 4, ksub = 8,
+      iters = 3, rotation = Some(r))
+    val updates = Seq(
+      (1L, Array.tabulate(16)(d => if (d >= 4 && d < 8) 4.0f else 0.1f))
+    ).toDF("vec_id", "embedding")
+    val inserts = Seq(
+      (100L, Array.tabulate(16)(d => if (d < 4) 4.2f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    store.mergeDelta(1L, 2L, updates.unionByName(inserts),
+      Some(Seq(Tuple1(7L)).toDF("vec_id")))
+    val idx2 = s"$base/idx2"
+    val (carried, reencoded) = Similarity.updateIvfpqIndex(spark, store, 1L, 2L, idx1, idx2)
+    assert(carried > 0L && reencoded > 0L)
+    // sidecar carried bit-exact to the new index version
+    val r2 = Similarity.loadRotation(spark, s"$idx2/rotation")
+    r.zip(r2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // identity: incremental == whole-v2 encode of R·x under the frozen
+    // quantizer (cells + books were TRAINED in rotated space)
+    val cents = Similarity.loadCentroids(spark, s"$idx1/centroids")
+    val books = Similarity.loadPqBooks(spark, s"$idx1/books")
+    def canonCodes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Array[Byte]]("codes").toSeq)).toSet
+    assert(canonCodes(spark.read.parquet(s"$idx2/codes")) ==
+      canonCodes(Similarity.ivfpqEncode(
+        Similarity.rotate(store.read(2L), r), cents, books)))
+  }
+
+  test("opq-ivfpq index recall on the cross-subspace-rotated grid beats plain ivfpq") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    // the opqTrain fixture: per-subspace grids observed through a 45°
+    // rotation pairing dim t with t+8 — plain PQ pays the smear,
+    // OPQ re-aligns it (error-cut spec-pinned above); here the GAIN
+    // must survive the whole persisted-index path
+    val d = 16; val sub = 4; val m = 4; val ksub = 4
+    def code(j: Int, c: Int, t: Int): Float = c * (2.0f + 3.0f * j) + t * 0.1f
+    val mix = math.sqrt(0.5)
+    def observed(g: Array[Float]): Array[Float] = Array.tabulate(d) { i =>
+      if (i < 8) ((g(i) - g(i + 8)) * mix).toFloat
+      else ((g(i) + g(i - 8)) * mix).toFloat
+    }
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 256).map { i =>
+      val picks = Array.fill(m)(rnd.nextInt(4))
+      val g = Array.tabulate(d)(t => code(t / sub, picks(t / sub), t % sub))
+      (i.toLong, observed(g))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // exact L2 ground truth, driver-side (256×32 pairs)
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val all = vecs.toMap
+    val queries = vecs.take(32)
+    val truth = queries.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid).sortBy(t => (l2sq(qv, t._2), t._1))
+        .take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(idx: String): Double = {
+      val got = Similarity.ivfpqTopKFrom(spark, idx,
+          emb.filter(col("vec_id") < 32), k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map { case (qid, _) =>
+        (truth(qid) intersect got.getOrElse(qid, Set.empty)).size / 5.0
+      }.sum / queries.size
+    }
+    val tmp = Files.createTempDirectory("graft_opq_recall").toString
+    Similarity.writeIvfpqIndex(emb, s"$tmp/plain", nCells = 4, m = m, ksub = ksub,
+      iters = 3)
+    val (r, _) = Similarity.opqTrain(emb, m, ksub, lloydIters = 5, opqIters = 8)
+    Similarity.writeIvfpqIndex(emb, s"$tmp/opq", nCells = 4, m = m, ksub = ksub,
+      iters = 3, rotation = Some(r))
+    val (plainR, opqR) = (recallOf(s"$tmp/plain"), recallOf(s"$tmp/opq"))
+    assert(opqR > plainR, s"opq recall $opqR should beat plain $plainR")
+    assert(opqR > 0.6, s"opq recall $opqR unexpectedly low")
+  }
+
   test("zero-norm vectors and centroids assign deterministically, never via NaN") {
     import graft.operators.Similarity
     // a degenerate all-zero CENTROID must never win an assignment;
