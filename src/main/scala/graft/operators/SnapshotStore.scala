@@ -191,7 +191,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     else {
       val files = survivorSets.map(_.toSet).reduce(_ intersect _)
       if (files.isEmpty) read(version).filter(lit(false))
-      else spark.read.parquet(files.toSeq: _*).filter(filter)
+      else readDataFiles(version, files.toSeq).filter(filter)
     }
   }
 
@@ -256,7 +256,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       case Some(files) if files.isEmpty =>
         // provably no overlapping file: constant-folds to an empty relation
         read(version).filter(lit(false))
-      case Some(files) => spark.read.parquet(files: _*).filter(pred)
+      case Some(files) => readDataFiles(version, files).filter(pred)
       case None => read(version).filter(pred)
     }
   }
@@ -306,7 +306,63 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .sorted
   }
 
-  def read(version: Long): DataFrame = spark.read.parquet(dir(version))
+  def read(version: Long): DataFrame = evolvedSchema(version) match {
+    case Some(sc) => applyFills(spark.read.schema(sc).parquet(dir(version)), sc)
+    case None => spark.read.parquet(dir(version))
+  }
+
+  private def schemaSidecar(version: Long) = new Path(dir(version), "_schema.json")
+
+  /** The version's EVOLVED read schema, when a [[mergeDelta]] schema
+    * evolution recorded one: the union of every column the version's
+    * files collectively hold (old carried files simply lack the newer
+    * columns — the parquet reader yields null there), with each
+    * evolution-introduced column's fill default riding in its field
+    * metadata (`graft.fill`). The `_schema.json` name starts with '_'
+    * so file listings hide it from data scans, like `_zonemap`. */
+  def evolvedSchema(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaSidecar(version)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Fill defaults recorded in an evolved schema's field metadata,
+    * typed for `na.fill`. Applied uniformly at READ time, so a row
+    * reads identically whether its file was rewritten by the evolving
+    * merge or byte-carried from before the column existed — the only
+    * policy a copy-on-write merge can honor without rewriting every
+    * untouched file. (Like [[Snapshot.mergeUpsert]]'s `fill`, a null
+    * EXPLICITLY stored in a delta row for the new column also reads
+    * as the default.) */
+  private def applyFills(df: DataFrame,
+      sc: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fills: Map[String, Any] = sc.fields.iterator.flatMap { f =>
+      if (!f.metadata.contains("graft.fill")) Iterator.empty
+      else Iterator.single(f.name -> (f.dataType match {
+        case StringType => f.metadata.getString("graft.fill"): Any
+        case DoubleType | FloatType => f.metadata.getDouble("graft.fill")
+        case BooleanType => f.metadata.getBoolean("graft.fill")
+        case _ => f.metadata.getLong("graft.fill")
+      }))
+    }.toMap
+    if (fills.isEmpty) df else df.na.fill(fills)
+  }
+
+  /** Read specific data files of a version through its evolved schema
+    * (if any) — the shared reader under every pruned-file path, so a
+    * zone-map-pruned restore sees the same columns a full read does. */
+  private def readDataFiles(version: Long, files: Seq[String]): DataFrame =
+    evolvedSchema(version) match {
+      case Some(sc) => applyFills(spark.read.schema(sc).parquet(files: _*), sc)
+      case None => spark.read.parquet(files: _*)
+    }
 
   /** The version's data file paths — a metadata-only listing. File
     * identity is the incremental-maintenance contract: [[mergeDelta]]
@@ -373,10 +429,65 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     *     the new files are scanned for stats — incremental maintenance
     *     in O(|rewritten|).
     *
+    * SCHEMA EVOLUTION ([[Snapshot.mergeUpsert]]'s `allowMissingColumns`
+    * semantics, CoW-shaped): a column the delta ADDS joins the
+    * version's schema — carried files are NOT rewritten; the evolved
+    * union schema persists as a `_schema.json` sidecar and every read
+    * path supplies it, so old files yield null (or the recorded `fill`
+    * default) for the new column. A column the delta DROPS keeps its
+    * stored values on survivor rows and reads null on delta rows. A
+    * same-name column with a DIFFERENT type fails fast — silent
+    * coercion at 100 TB is a corrupted lake. `fill` keys must be
+    * columns this delta introduces; defaults apply uniformly at read
+    * time (see [[applyFills]]).
+    *
     * Returns (filesCopied, filesRewritten). */
   def mergeDelta(fromVersion: Long, toVersion: Long, delta: DataFrame,
       deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
-      commitTs: Option[Long] = None): (Int, Int) = {
+      commitTs: Option[Long] = None,
+      fill: Map[String, Any] = Map.empty): (Int, Int) = {
+    val baseSchema = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    val baseNames = baseSchema.fieldNames.toSet
+    delta.schema.fields.filter(f => baseNames(f.name)).foreach { f =>
+      val bt = baseSchema(f.name).dataType
+      // simpleString comparison ignores nullability flags (an
+      // array<float> whose containsNull differs is the same type)
+      require(bt.simpleString == f.dataType.simpleString,
+        s"mergeDelta: column '${f.name}' type changed ${bt.simpleString} -> " +
+          s"${f.dataType.simpleString}; evolving a column's TYPE needs an explicit rewrite")
+    }
+    val newFields = delta.schema.fields.filterNot(f => baseNames(f.name))
+    require(fill.keySet.subsetOf(newFields.map(_.name).toSet),
+      s"fill keys ${fill.keySet} must be columns this delta introduces " +
+        s"(${newFields.map(_.name).toSet})")
+    val unionSchema = org.apache.spark.sql.types.StructType(
+      baseSchema.fields ++ newFields.map { f =>
+        val md = fill.get(f.name).map { v =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+          v match {
+            case s: String => b.putString("graft.fill", s)
+            case d: Double => b.putDouble("graft.fill", d)
+            case fl: Float => b.putDouble("graft.fill", fl.toDouble)
+            case bo: Boolean => b.putBoolean("graft.fill", bo)
+            case n: Number => b.putLong("graft.fill", n.longValue())
+            case other => throw new IllegalArgumentException(
+              s"unsupported fill value for '${f.name}': $other")
+          }
+          b.build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true, metadata = md)
+      })
+    val evolved = newFields.nonEmpty || evolvedSchema(fromVersion).isDefined
+    // align any frame to the union schema: present columns pass
+    // through, absent ones read null (old files / dropped delta cols)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(unionSchema.fields.toIndexedSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
     val zm = zoneMap(fromVersion).getOrElse(throw new IllegalStateException(
       s"mergeDelta needs a zone map on version $fromVersion (use writeRangePartitioned)"))
       .localCheckpoint()
@@ -399,10 +510,12 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1))
     val (touchedParts, untouchedParts) = allParts.partition(p => touchedNames(p.getName))
     val survivors =
-      if (touchedParts.isEmpty) delta.limit(0)
-      else spark.read.parquet(touchedParts.map(_.toString).toIndexedSeq: _*)
+      if (touchedParts.isEmpty) align(delta.limit(0))
+      else spark.read.schema(unionSchema)
+        .parquet(touchedParts.map(_.toString).toIndexedSeq: _*)
         .join(touchKeys, Seq(keyCol), "left_anti")
-    val upserts = delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti"))
+    val upserts = align(
+      delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
     val rewritten = survivors.unionByName(upserts)
       .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
     // publish: spark writes the rewritten files (+_SUCCESS) to tmp,
@@ -416,6 +529,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    if (evolved) {
+      // the evolved union schema publishes atomically WITH the version
+      // (inside tmp before the rename) — a version dir can never hold
+      // mixed-schema files without the sidecar naming their union
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
+    }
     val dest = new Path(dir(toVersion))
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest))

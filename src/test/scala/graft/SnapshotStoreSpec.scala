@@ -562,4 +562,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(r.getAs[Long]("n_reused") == 1L && r.getAs[Long]("reused_bytes") == 10L)
     assert(r.getAs[Double]("reuse_ratio") == 0.25)
   }
+
+  test("mergeDelta schema evolution: column-add rides a sidecar, carried files read fill/null, type change fails fast") {
+    val base = Files.createTempDirectory("graft_store_evo").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned(
+      (1L to 400L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 8)
+
+    // delta ADDS column w; only file 1 (keys 1..50) is touched
+    val delta = Seq((5L, "upd_5", 9.5), (401L, "new_401", 1.5)).toDF("k", "s", "w")
+    val (copied, rewritten) = store.mergeDelta(1L, 2L, delta,
+      Some(Seq(Tuple1(7L)).toDF("k")), fill = Map("w" -> 0.0))
+    assert(copied > 0 && rewritten > 0)
+
+    val v2 = store.read(2L)
+    assert(v2.columns.toSeq == Seq("k", "s", "w"))
+    val m = v2.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(m(5L) == ("upd_5", 9.5) && m(401L) == ("new_401", 1.5))
+    assert(!m.contains(7L) && m.size == 400)
+    // fill default reads uniformly: survivor rows in the REWRITTEN
+    // file (k=10) and rows in byte-CARRIED files (k=100) both get it
+    assert(m(10L) == ("row_10", 0.0) && m(100L) == ("row_100", 0.0))
+    // CoW held: untouched basenames shared with v1 despite evolution
+    val names = (v: Long) => store.dataFiles(v).map(_.getName).toSet
+    assert((names(1L) intersect names(2L)).size >= 5)
+    // the zone-map-pruned read path serves the evolved schema too
+    val ranged = store.readKeyRange(2L, 90L, 110L)
+    assert(ranged.columns.toSeq == Seq("k", "s", "w"))
+    assert(ranged.collect().forall(_.getDouble(2) == 0.0))
+
+    // a LATER delta that DROPS s: survivor rows keep s, delta row
+    // reads s null; w carries its real value
+    store.mergeDelta(2L, 3L, Seq((10L, 3.25)).toDF("k", "w"))
+    val v3 = store.read(3L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(v3(10L) == (None, 3.25))
+    assert(v3(5L) == (Some("upd_5"), 9.5) && v3(100L) == (Some("row_100"), 0.0))
+    // diff across the evolution stays row-accurate (common-column
+    // fingerprints): only the touched key changed
+    val d23 = store.diff(2L, 3L).select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d23 == Map(10L -> "update"))
+
+    // changing an existing column's TYPE is refused
+    val bad = Seq((1L, 42L)).toDF("k", "s") // s was STRING
+    val e = intercept[IllegalArgumentException] { store.mergeDelta(3L, 4L, bad) }
+    assert(e.getMessage.contains("type changed"))
+    // fill for a column the delta does not introduce is refused
+    val e2 = intercept[IllegalArgumentException] {
+      store.mergeDelta(3L, 4L, Seq((1L, "x", 0.5)).toDF("k", "s", "w"),
+        fill = Map("s" -> "?"))
+    }
+    assert(e2.getMessage.contains("fill keys"))
+  }
 }

@@ -409,6 +409,60 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("continuousMerge carries a mid-stream column add: restores serve the evolved schema with correct nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_cmerge_evo").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned((1L to 300L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 6)
+    val ckpt = Files.createTempDirectory("graft_cmerge_evo_ckpt").toString
+
+    // phase 1: the CDC feed carries (k, s)
+    val in1 = MemoryStream[(Long, String, String)]
+    val q1 = StreamOps.continuousMerge(in1.toDS().toDF("k", "s", "change_type"),
+      store, "k", ckpt)
+    try {
+      in1.addData((5L, "upd_5", "update"))
+      q1.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L))
+    } finally q1.stop()
+
+    // phase 2: upstream added column w to the feed — the daily-merge
+    // loop must keep publishing (this used to throw in unionByName)
+    val in2 = MemoryStream[(Long, String, Double, String)]
+    val q2 = StreamOps.continuousMerge(in2.toDS().toDF("k", "s", "w", "change_type"),
+      store, "k", ckpt)
+    try {
+      // a restarted source first re-delivers committed batch 0 (here:
+      // phase 1's row, now in the widened schema); the committed-
+      // version skip must drop it without publishing
+      in2.addData((5L, "upd_5", 0.0, "update"))
+      q2.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L))
+      in2.addData((301L, "new_301", 2.5, "insert"), (9L, "upd_9", 1.25, "update"))
+      q2.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+      val v3 = store.read(3L)
+      assert(v3.columns.toSeq == Seq("k", "s", "w"))
+      val m = v3.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+      assert(m(301L) == ("new_301", Some(2.5)) && m(9L) == ("upd_9", Some(1.25)))
+      // rows from before the evolution — both the rewritten survivor
+      // file and byte-carried files — read null for w
+      assert(m(5L) == ("upd_5", None) && m(100L) == ("row_100", None))
+      assert(m.size == 301)
+      // a later delete-only batch keeps flowing on the evolved store
+      in2.addData((7L, "", 0.0, "delete"))
+      q2.processAllAvailable()
+      val v4 = store.read(4L)
+      assert(v4.columns.toSeq == Seq("k", "s", "w"))
+      assert(v4.count() == 300 && v4.filter($"k" === 7L).count() == 0)
+    } finally q2.stop()
+  }
+
   test("continuousMerge collapses a multi-change batch to the last change per key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
