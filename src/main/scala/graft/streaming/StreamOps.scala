@@ -251,6 +251,22 @@ object StreamOps {
   private def mergeStream(changes: DataFrame, store: graft.operators.SnapshotStore,
       checkpointDir: String, skipCommitted: Boolean = true)(
       mergeBatch: (Dataset[org.apache.spark.sql.Row], Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionChainStream(changes, checkpointDir, () =>
+      store.latestVersion().getOrElse(throw new IllegalStateException(
+        "the merge stream needs a base snapshot (writeRangePartitioned) in the store"))
+    ) { (batch, from, to) =>
+      if (!skipCommitted || !store.versions().contains(to)) mergeBatch(batch, from, to)
+    }
+
+  /** The base-version bookkeeping under [[mergeStream]] and
+    * [[lakeMergeStream]]: record `computeBase()` ONCE in a write-once
+    * marker beside the checkpoint (tmp+rename; losing a creation race
+    * just means reading the value that won), then hand every
+    * micro-batch `(batch, to-1, to)` with `to = base + batchId + 1`. */
+  private def versionChainStream(changes: DataFrame, checkpointDir: String,
+      computeBase: () => Long)(
+      mergeBatch: (Dataset[org.apache.spark.sql.Row], Long, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
     val markerPath = new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_base_version")
@@ -262,8 +278,7 @@ object StreamOps {
     val base: Long =
       if (fs.exists(markerPath)) readMarker()
       else {
-        val b = store.latestVersion().getOrElse(throw new IllegalStateException(
-          "the merge stream needs a base snapshot (writeRangePartitioned) in the store"))
+        val b = computeBase()
         val tmp = new org.apache.hadoop.fs.Path(
           s"$checkpointDir/.tmp-base-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, true)
@@ -276,10 +291,112 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val to = base + batchId + 1
-        if (!skipCommitted || !store.versions().contains(to)) mergeBatch(batch, to - 1, to)
+        mergeBatch(batch, to - 1, to)
         ()
       }
       .start()
+  }
+
+  /** Multi-table CONSISTENT continuous backup — [[continuousMerge]]
+    * composed with [[graft.operators.LakeSnapshot]]'s group commit,
+    * closing the gap between them: a multi-table CDC stream used to
+    * have no cross-table atomic version, so a streaming restore could
+    * mix table states (orders at batch N, lineitem at N−1) — exactly
+    * the failure class LakeSnapshot removes for batch backups.
+    *
+    * The stream carries a `tableCol` naming each change's table. Per
+    * micro-batch, every table's slice merges copy-on-write into ITS
+    * OWN [[graft.operators.SnapshotStore]] at the SAME target version
+    * (all stores must share a base version — checked once, recorded
+    * write-once beside the checkpoint), projected to that table's own
+    * schema (so one union-schema feed serves heterogeneous tables);
+    * then ONE group marker publishes atomically under
+    * `groupCommitDir`. [[groupVersions]]/[[restoreGroup]] read ONLY
+    * marker'd versions: a crash between table merges leaves the
+    * version invisible to group readers, and the replayed batch
+    * completes it — tables already at the target version skip
+    * (per-component skip, as [[annIndexStream]] does), the rest merge,
+    * the marker lands. A batch with no rows for some table still
+    * advances that table (CoW carry of every file), so a committed
+    * group version always has every table present. */
+  def lakeMergeStream(changes: DataFrame,
+      stores: Map[String, graft.operators.SnapshotStore],
+      groupCommitDir: String, keyCol: String, checkpointDir: String,
+      tableCol: String = "table", changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stores.nonEmpty, "empty table group")
+    val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
+    val names = stores.keys.toSeq.sorted
+    versionChainStream(changes, checkpointDir, () => {
+      val bases = stores.map { case (n, st) =>
+        n -> st.latestVersion().getOrElse(throw new IllegalStateException(
+          s"table '$n' needs a base snapshot (writeRangePartitioned) in its store"))
+      }
+      require(bases.values.toSet.size == 1,
+        s"all stores must share a base version, got $bases")
+      val b = bases.values.head
+      // the base itself is a consistent group: marker it so restores
+      // can target the pre-stream state too
+      writeGroupMarker(hconf, groupCommitDir, b, names)
+      b
+    }) { (batch, from, to) =>
+      names.foreach { name =>
+        val store = stores(name)
+        if (!store.versions().contains(to)) {
+          val slice = collapseLastPerKey(
+            batch.filter(col(tableCol) === name).drop(tableCol), keyCol, seqCol)
+          // project the union-schema feed down to THIS table's columns
+          // (its evolved schema if a sidecar exists)
+          val cols = store.read(from).schema.fieldNames.toSet
+          val ups = slice.filter(col(changeTypeCol).isin("insert", "update"))
+            .select(slice.columns.filter(cols.contains).toIndexedSeq.map(col): _*)
+          val dels = slice.filter(col(changeTypeCol) === "delete").select(keyCol)
+          store.mergeDelta(from, to, ups, Some(dels))
+        }
+      }
+      // every table is at `to` — publish the one atomic group marker
+      writeGroupMarker(hconf, groupCommitDir, to, names)
+    }
+  }
+
+  /** Atomic (tmp+rename) group-commit marker, [[graft.operators.LakeSnapshot]]'s
+    * `_commits` format: file named by the version, content = sorted
+    * ','-joined table names. Idempotent — an existing marker stands. */
+  private def writeGroupMarker(hconf: org.apache.hadoop.conf.Configuration,
+      groupCommitDir: String, version: Long, tables: Seq[String]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$groupCommitDir/$version")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$groupCommitDir/.tmp-$version-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.writeUTF(tables.sorted.mkString(",")) finally out.close()
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, false): Unit
+    }
+  }
+
+  /** Group-committed versions of a [[lakeMergeStream]] — versions every
+    * table reached TOGETHER. Digit-only filter keeps crash-leftover
+    * `.tmp-` files out (as LakeSnapshot.versions does). */
+  def groupVersions(spark: SparkSession, groupCommitDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(groupCommitDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** Restore the whole table group at one group-committed version —
+    * the only restore shape that cannot mix table states. Fails fast
+    * on a version no marker covers (e.g. the crash window between a
+    * partial merge and its completing replay). */
+  def restoreGroup(spark: SparkSession, groupCommitDir: String,
+      stores: Map[String, graft.operators.SnapshotStore],
+      version: Long): Map[String, DataFrame] = {
+    require(groupVersions(spark, groupCommitDir).contains(version),
+      s"group version $version is not committed")
+    stores.map { case (n, st) => n -> st.read(version) }
   }
 
   /** Last change per key under `seqCol` ordering; without a sequence

@@ -463,6 +463,84 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("lakeMergeStream: one atomic group version per batch; a partial merge stays invisible until the replay completes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+
+    val base = Files.createTempDirectory("graft_lake_cdc").toString
+    val orders = new SnapshotStore(spark, s"$base/orders", "k")
+    val items = new SnapshotStore(spark, s"$base/items", "k")
+    orders.writeRangePartitioned((1L to 200L).map(i => (i, s"o_$i")).toDF("k", "s"), 1L, 4)
+    items.writeRangePartitioned((1L to 300L).map(i => (i, i * 1.5)).toDF("k", "qty"), 1L, 6)
+    val stores = Map("orders" -> orders, "items" -> items)
+    val commits = s"$base/_commits"
+    val ckpt = Files.createTempDirectory("graft_lake_cdc_ckpt").toString
+
+    // ONE union-schema feed serves both tables: orders ignores qty,
+    // items ignores s (per-table projection from each store's schema)
+    val input = MemoryStream[(String, Long, String, Double, String)]
+    val changes = input.toDS().toDF("table", "k", "s", "qty", "change_type")
+    val query = StreamOps.lakeMergeStream(changes, stores, commits, "k", ckpt)
+    try {
+      // batch 0 touches BOTH tables → both publish v2 + one marker
+      input.addData(
+        ("orders", 5L, "upd_5", 0.0, "update"),
+        ("orders", 201L, "new_201", 0.0, "insert"),
+        ("items", 7L, "", 0.0, "delete"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L))
+      val o2 = orders.read(2L)
+      assert(o2.columns.toSeq == Seq("k", "s"), "qty must not leak into orders")
+      val om = o2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(om(5L) == "upd_5" && om(201L) == "new_201" && om.size == 201)
+      assert(items.read(2L).columns.toSeq == Seq("k", "qty"))
+      assert(items.read(2L).count() == 299)
+
+      // batch 1 touches ONLY orders — items must still advance so the
+      // group version is complete (CoW carry, no rows change)
+      input.addData(("orders", 10L, "upd_10", 0.0, "update"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L, 3L))
+      assert(items.read(3L).count() == 299)
+      assert(items.versions().contains(3L))
+    } finally query.stop()
+
+    // crash window: orders merged to v4 but the batch died before
+    // items — the group must stay invisible...
+    orders.mergeDelta(3L, 4L, Seq((9L, "upd_9")).toDF("k", "s"))
+    assert(orders.versions().contains(4L))
+    assert(!StreamOps.groupVersions(spark, commits).contains(4L))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.restoreGroup(spark, commits, stores, 4L)
+    }
+    assert(e.getMessage.contains("not committed"))
+
+    // ...and the replayed batch completes it: orders (already at v4)
+    // skips, items merges, the marker lands
+    val input2 = MemoryStream[(String, Long, String, Double, String)]
+    val q2 = StreamOps.lakeMergeStream(
+      input2.toDS().toDF("table", "k", "s", "qty", "change_type"),
+      stores, commits, "k", ckpt)
+    try {
+      // source replays committed batches 0-1 first (skipped), then the
+      // in-flight batch 2 = the crash batch's changes
+      input2.addData(("orders", 0L, "replay", 0.0, "noop"))
+      input2.addData(("orders", 0L, "replay", 0.0, "noop"))
+      input2.addData(
+        ("orders", 9L, "upd_9", 0.0, "update"),
+        ("items", 11L, "", 99.0, "update"))
+      q2.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits).contains(4L))
+      val g = StreamOps.restoreGroup(spark, commits, stores, 4L)
+      val om4 = g("orders").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(om4(9L) == "upd_9" && om4(10L) == "upd_10")
+      val im4 = g("items").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(im4(11L) == 99.0 && im4.size == 299)
+    } finally q2.stop()
+  }
+
   test("continuousMerge collapses a multi-change batch to the last change per key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
