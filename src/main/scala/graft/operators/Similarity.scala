@@ -41,6 +41,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** Exact top-k EUCLIDEAN neighbors — the ground truth an L2-ranked
+    * quantization index (PQ/OPQ/IVFPQ) is measured against, where
+    * [[bruteForceTopK]]'s cosine order would mis-score it on
+    * unnormalized corpora. dist² = |q|² + |c|² − 2·q·c over the
+    * broadcast query side — same one-pass shape. */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = withNorm(corpus).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", round(
+        col("q_norm") * col("q_norm") + col("c_norm") * col("c_norm")
+          - lit(2.0) * dot(col("q_emb"), col("c_emb")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist2"), col("rk"))
+  }
+
+  /** Average recall@k of an approximate ANN result against its exact
+    * baseline, reduced to ONE driver-checkable row: (n_queries, k,
+    * recall_ok) where recall_ok ⇔ mean per-query recall ≥ `threshold`.
+    * Everything runs distributed (one semi-join on (query, neighbor) +
+    * two tiny aggregates); queries the approximate side missed
+    * entirely count as recall 0, so a silently-empty result fails the
+    * gate rather than inflating it. The boolean makes sketch-dependent
+    * output HASH-comparable: DuckDB can't rebuild LSH buckets or PQ
+    * codes, but it can assert `TRUE` — so CORRECTNESS now pins
+    * quality, not just row counts, for the ANN family. */
+  def recallSummary(approx: DataFrame, exact: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("__k"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("__hits"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        max(lit(k.toLong)).as("k"),
+        (avg(col("__hits").cast(DoubleType) / col("__k")) >= threshold).as("recall_ok"))
+  }
+
+  /** Planted-neighbor query batch for recall gating — the
+    * ANN-benchmark device that makes recall MEANINGFUL on a corpus
+    * with no cluster structure (on uniform random vectors, true
+    * nearest neighbors are barely nearer than anything else, and every
+    * ANN method's recall legitimately collapses): take the first `n`
+    * corpus vectors, perturb each slightly (0.99·v + 0.02·reverse(v),
+    * deterministic, ~0.999 cosine to its source), and re-id them far
+    * above the corpus range. Each planted query has one overwhelming
+    * true neighbor — its source vector — so the exact baseline is
+    * dominated by signal and a healthy index scores near 1.0 while a
+    * broken one (bad routing, collapsed codes, wrong buckets) scores
+    * near 0. */
+  def plantedQueries(emb: DataFrame, n: Long, offset: Long = 1L << 40): DataFrame =
+    emb.filter(col("vec_id") < n).select(
+      (col("vec_id") + lit(offset)).as("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => (a * lit(0.99f) + lit(0.02f) * b).cast("float")).as("embedding"))
+
   /** Deterministic ±1 hyperplane weights for (plane, dim), memoized
     * per (planes, dim) shape: the murmur mix runs once per shape per
     * JVM instead of once per (row × plane × dim) — the hashing was
@@ -129,20 +192,29 @@ object Similarity {
     * another independent hyperplane disagreeing) is recovered. Corpus
     * side stays single-bucket — its size, not the query set's, is the
     * 100 TB term. */
-  def lshTopK(emb: DataFrame, planes: Int, k: Int, probes: Int = 0): DataFrame = {
+  def lshTopK(emb: DataFrame, planes: Int, k: Int, probes: Int = 0): DataFrame =
+    lshTopKFor(emb, emb, planes, k, probes)
+
+  /** [[lshTopK]] with a SEPARATE query frame — the production shape
+    * (a query batch against the indexed corpus, not corpus-vs-itself):
+    * both sides hash through the same deterministic hyperplanes, so a
+    * query's bucket meets exactly the corpus vectors it would have
+    * met as a corpus member. */
+  def lshTopKFor(queries: DataFrame, corpus: DataFrame, planes: Int, k: Int,
+      probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= planes, s"probes=$probes out of [0, $planes]")
     // Two independently-built sides (disjoint names): a same-lineage
     // self-join degrades to a nested-loop — see Dedup.ngramJaccardPairs.
-    def side(q: String, n: String, b: String): DataFrame =
-      withNorm(lshSignature(emb, planes))
+    def side(df: DataFrame, q: String, n: String, b: String): DataFrame =
+      withNorm(lshSignature(df, planes))
         .select(col("vec_id").as(q), col("embedding").as(n), col("norm").as(s"${n}_norm"), col("bucket").as(b))
-    val a0 = side("query_id", "q_emb", "bucket_a")
+    val a0 = side(queries, "query_id", "q_emb", "bucket_a")
     val a =
       if (probes == 0) a0
       else a0.select(col("query_id"), col("q_emb"), col("q_emb_norm"),
         explode(array(col("bucket_a") +: (0 until probes).map(p =>
           col("bucket_a").bitwiseXOR(lit(1L << p))): _*)).as("bucket_a"))
-    val b = side("neighbor_id", "c_emb", "bucket_b")
+    val b = side(corpus, "neighbor_id", "c_emb", "bucket_b")
     val pairs = a.join(b,
         col("bucket_a") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
       .select(
@@ -1316,6 +1388,49 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    "ann_lsh_recall" -> { (s, d) =>
+      // HASH-CHECKED quality gate (the rows-only ann_* entries assert
+      // nothing about recall): 50 planted queries, LSH top-5 must
+      // contain the in-query exact cosine TRUE NEAREST NEIGHBOR,
+      // reduced to one row whose recall_ok boolean DuckDB can assert.
+      // Threshold 0.7 sits well under the measured 0.96 (sf0.01) /
+      // 0.92 (sf0.1) — plane flips cost a few planted queries — and
+      // well above the broken-index regime (~0.0 on random data).
+      val emb = Tables.embeddings(s, d)
+      val q = plantedQueries(emb, 50)
+      recallSummary(lshTopKFor(q, emb, 12, 5, probes = 4),
+        bruteForceTopK(q, emb, 1), k = 5, threshold = 0.7)
+    },
+
+    "ann_ivf_recall" -> { (s, d) =>
+      // IVF multi-probe recall gate vs exact cosine on planted queries.
+      val emb = Tables.embeddings(s, d)
+      val q = plantedQueries(emb, 50)
+      val cents = kmeansCentroids(emb, autoCells(emb.count()), 2)
+      recallSummary(ivfTopKProbed(q, emb, cents, k = 5, nprobe = 3),
+        bruteForceTopK(q, emb, 1), k = 5, threshold = 0.7)
+    },
+
+    "ann_ivfpq_recall" -> { (s, d) =>
+      // IVFPQ recall gate vs exact EUCLIDEAN top-k (ADC ranks by L2).
+      val emb = Tables.embeddings(s, d)
+      val q = plantedQueries(emb, 50)
+      recallSummary(
+        ivfpqTopK(emb, q, nCells = 32, m = 8, ksub = 16, iters = 2, k = 5, nprobe = 4),
+        bruteForceTopKL2(q, emb, 1), k = 5, threshold = 0.7)
+    },
+
+    "ann_opq_recall" -> { (s, d) =>
+      // OPQ recall gate vs exact EUCLIDEAN top-k, same train/search
+      // config as ann_opq.
+      val emb = Tables.embeddings(s, d)
+      val q = plantedQueries(emb, 50)
+      val (r, books) =
+        opqTrain(emb.filter(col("vec_id") % 4 === 0), 8, 16, lloydIters = 2, opqIters = 2)
+      recallSummary(opqTopK(q, opqEncode(emb, r, books), r, books, 5),
+        bruteForceTopKL2(q, emb, 1), k = 5, threshold = 0.7)
+    },
+
     "ann_opq_ivfpq" -> { (s, d) =>
       // Rows-only oracle. OPQ composed through the PERSISTED index
       // lifecycle: the rotation trains on the deterministic 25% sample,
@@ -1352,7 +1467,20 @@ object Similarity {
     }
   )
 
+  // The recall gates' one-row shape is fully DuckDB-predictable: the
+  // query count comes from the table, k is pinned, and recall_ok must
+  // read TRUE — an index whose recall drops under the threshold
+  // hash-fails CORRECTNESS even though buckets/codes are Spark-internal.
+  private val recallOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |TRUE AS recall_ok FROM embeddings WHERE vec_id < 50""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_recall" -> recallOracle,
+    "ann_ivf_recall" -> recallOracle,
+    "ann_ivfpq_recall" -> recallOracle,
+    "ann_opq_recall" -> recallOracle,
+
     "ann_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

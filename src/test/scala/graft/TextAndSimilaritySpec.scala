@@ -570,6 +570,33 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(opqR > 0.6, s"opq recall $opqR unexpectedly low")
   }
 
+  test("recallSummary: perfect match passes, missing queries count as zero, empty approx fails the gate") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("query_id", "neighbor_id")
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    }
+    // perfect recall
+    assert(row(Similarity.recallSummary(exact, exact, 5, 0.99)) == (3L, 5L, true))
+    // query 3 entirely absent from approx → counts as recall 0, not
+    // dropped: 2/3 ≈ 0.67 fails a 0.7 gate and passes 0.6
+    val partial = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    assert(row(Similarity.recallSummary(partial, exact, 5, 0.7)) == (3L, 5L, false))
+    assert(row(Similarity.recallSummary(partial, exact, 5, 0.6)) == (3L, 5L, true))
+    // collapsed index (empty result) must fail, never pass vacuously
+    assert(row(Similarity.recallSummary(exact.limit(0), exact, 5, 0.1)) == (3L, 5L, false))
+    // planted queries re-id above the corpus and stay near their source
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(t => (i * 3 + t).toFloat))).toDF("vec_id", "embedding")
+    val q = Similarity.plantedQueries(emb, 5)
+    assert(q.count() == 5)
+    assert(q.select(min(col("vec_id"))).head().getLong(0) == (1L << 40))
+    val nn = Similarity.bruteForceTopK(q, emb, 1).collect()
+      .map(r => r.getLong(0) - (1L << 40) -> r.getLong(1)).toMap
+    assert(nn == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("zero-norm vectors and centroids assign deterministically, never via NaN") {
     import graft.operators.Similarity
     // a degenerate all-zero CENTROID must never win an assignment;
