@@ -78,30 +78,72 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   def backup(payloads: DataFrame, idCol: String, payloadCol: String,
       version: Long): (Long, Long) = {
     require(!versions().contains(version), s"version $version already exists")
-    // one chunk+encrypt pass, materialized: feeds the manifest AND the
-    // new-ref append without re-encrypting
-    val chunked = ChunkCrypto.encryptedChunks(payloads, idCol, payloadCol, master)
+    val chunked = chunkAndEncrypt(payloads, idCol, payloadCol)
+    val added = appendNewRefs(chunked)
+    publishManifest(manifestRows(chunked, idCol), version)
+    added
+  }
+
+  /** Incremental backup from a CDC delta — version `toVersion`'s
+    * corpus = `fromVersion`'s minus `removed` ids minus the ids in
+    * `changed` (their OLD payloads), plus `changed` (the new
+    * payloads). Only the DELTA chunk-encrypts (O(|delta|) crypto);
+    * the untouched ids' manifest rows carry via one anti-join on the
+    * |corpus|-sized (not |bytes|-sized) manifest frame, and chunk
+    * blobs dedupe against the whole repository as in [[backup]]. The
+    * streaming composition ([[graft.streaming.StreamOps]]) feeds this
+    * per micro-batch. */
+  def backupDelta(fromVersion: Long, toVersion: Long, changed: DataFrame,
+      removed: DataFrame, idCol: String, payloadCol: String): (Long, Long) = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    val chunked = chunkAndEncrypt(changed, idCol, payloadCol)
+    val added = appendNewRefs(chunked)
+    val touched = changed.select(col(idCol).cast("long").as("id"))
+      .unionByName(removed.select(col(removed.columns.head).cast("long").as("id")))
+      .distinct()
+    publishManifest(
+      manifest(fromVersion).join(touched, Seq("id"), "left_anti")
+        .unionByName(manifestRows(chunked, idCol)),
+      toVersion)
+    added
+  }
+
+  // one chunk+encrypt pass, materialized: feeds the manifest AND the
+  // new-ref append without re-encrypting
+  private def chunkAndEncrypt(payloads: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    ChunkCrypto.encryptedChunks(payloads, idCol, payloadCol, master)
       .withColumn("bytes", length(col("blob")).cast("long"))
       .localCheckpoint()
+
+  private def manifestRows(chunked: DataFrame, idCol: String): DataFrame =
+    chunked.select(col(idCol).cast("long").as("id"), col("chunk_idx"),
+      col("ref_hex"), col("bytes"))
+
+  /** Append the chunk blobs the repository doesn't hold yet; returns
+    * (refsAdded, bytesAdded). Idempotent under replay: already-present
+    * refs anti-join away. */
+  private def appendNewRefs(chunked: DataFrame): (Long, Long) = {
     val newRefs = chunked
       .dropDuplicates("ref_hex")
       .join(refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
       .select(col("ref_hex"), col("bytes"), col("blob"))
       .withColumn("bucket", bucketCol)
       .localCheckpoint() // count + write from one pass
-    val added = newRefs.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L)))
-      .head()
+    val added = newRefs.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
     newRefs.write.mode("append").partitionBy("bucket").parquet(chunksDir)
-    // manifest last = the commit point (crash before leaves orphan
-    // chunks for the next sweep, never a dangling manifest)
+    (added.getLong(0), added.getLong(1))
+  }
+
+  // manifest last = the commit point (crash before leaves orphan
+  // chunks for the next sweep, never a dangling manifest)
+  private def publishManifest(rows: DataFrame, version: Long): Unit = {
     val tmp = new Path(s"$basePath/manifests/.tmp-v=$version-${java.util.UUID.randomUUID()}")
-    chunked.select(col(idCol).cast("long").as("id"), col("chunk_idx"),
-        col("ref_hex"), col("bytes"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    rows.write.mode("overwrite").parquet(tmp.toString)
     val dest = new Path(manifestDir(version))
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
-    (added.getLong(0), added.getLong(1))
   }
 
   /** Reassemble a version's payloads: manifest ⋈ chunks on the content

@@ -435,6 +435,33 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Band bits sized to the CORPUS: bits/band = ⌈log₂(n / targetBucket)⌉
+    * clamped to [4, 15], so expected bucket occupancy stays ~targetBucket
+    * and candidate pairs grow LINEARLY with n. Fixed band bits are the
+    * classic LSH scaling bug this repo's own sf1 checkpoint caught:
+    * 4-bit bands mean 16 buckets per band at ANY corpus size, so
+    * candidates grow as n²/16 — the 10× synthetic corpus read 131×.
+    * The trade is recall at LOW thresholds (P(band match) =
+    * (1−θ/π)^bits falls as bits rise — fundamental LSH: finer buckets
+    * distinguish more, agree less); near-dup-grade pairs (cos ≳ 0.9)
+    * stay caught because their per-bit agreement is ~0.86+. The 15-bit
+    * clamp is the packed-long ceiling (bands·bits ≤ 63) — past
+    * n ≈ targetBucket·2¹⁵ per band, buckets grow again; at that scale
+    * route through [[Similarity.ivfTopKAuto]]'s cell structure
+    * instead. */
+  def autoBandBits(n: Long, targetBucket: Long = 32L): Int = {
+    val needed = math.ceil(math.log(math.max(2L, n / math.max(1L, targetBucket))
+      .toDouble) / math.log(2.0)).toInt
+    math.min(15, math.max(4, needed))
+  }
+
+  /** [[embCosPairsBucketed]] with corpus-sized band bits (one count to
+    * size the buckets — metadata-cheap next to the signature pass). */
+  def embCosPairsBucketedAuto(emb: DataFrame, threshold: Double,
+      bands: Int = 4, targetBucket: Long = 32L): DataFrame =
+    embCosPairsBucketed(emb, threshold,
+      planes = bands * autoBandBits(emb.count(), targetBucket), bands = bands)
+
   /** Declarative reference formulation of [[embCosPairs]] (BNLJ over
     * the codegen'd vector expressions). Kept as the parity oracle. */
   def embCosPairsDeclarative(emb: DataFrame, threshold: Double): DataFrame = {
@@ -676,7 +703,10 @@ object Dedup {
       // Rows-only oracle (hyperplane signatures are Spark/JVM-side).
       // The scale path behind embCosPairs' broadcast cap: banded
       // hyperplane LSH candidates, exact cosine on candidates only.
-      embCosPairsBucketed(Tables.embeddings(s, d), 0.45, 16, 4)
+      // Band bits size to the corpus (autoBandBits) so candidate
+      // pairs stay linear in n — the sf1 scaling checkpoint read the
+      // old fixed-16-plane version at 131×.
+      embCosPairsBucketedAuto(Tables.embeddings(s, d), 0.45)
         .orderBy("vec_a", "vec_b")
     },
 

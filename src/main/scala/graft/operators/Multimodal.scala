@@ -309,9 +309,14 @@ object Multimodal {
       val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
       val base = java.nio.file.Files.createTempDirectory("graft_chunk_gc").toString
       val store = new ChunkStore(s, base, master, nBuckets = 16)
+      // deterministic 1-in-5 corpus sample: the loop under test (three
+      // backups → prune → sweep) is invariant to corpus size, and the
+      // full corpus made this the single most expensive bench entry
+      // (3× AES over every doc, per invocation — fresh store each run
+      // keeps the entry idempotent)
       def pay(mutate: DataFrame => DataFrame) =
-        mutate(Tables.documents(s, d)).select(col("doc_id").as("id"),
-          encode(col("text"), "UTF-8").as("payload"))
+        mutate(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+          .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
       store.backup(pay(identity), "id", "payload", 1L)
       store.backup(pay(df => df.withColumn("text",
         when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))

@@ -359,6 +359,39 @@ object StreamOps {
     }
   }
 
+  /** Continuous encrypted dedup backup into the content-addressed
+    * repository — [[graft.operators.ChunkStore]] fed by a CDC stream
+    * of (id, payload, change_type). Where [[encryptedChunkIngest]]
+    * keeps whole chunk-row versions copy-on-write in a SnapshotStore
+    * (per-version file copies — O(versions × corpus) storage), the
+    * repository model stores each chunk ONCE and a version is a
+    * manifest of references: per micro-batch,
+    * [[graft.operators.ChunkStore.backupDelta]] chunk-encrypts ONLY
+    * the delta payloads, appends only refs the repository lacks, and
+    * publishes version `to = base + batchId + 1`'s manifest atomically
+    * (the commit point — a crash before it leaves orphan chunks the
+    * next [[graft.operators.ChunkStore.pruneChunks]] sweeps). Replayed
+    * batches skip on the committed version; out-of-band `pruneChunks`
+    * against retired versions reclaims exactly their exclusive bytes
+    * while every surviving version keeps restoring byte-identical. */
+  def chunkBackupStream(changes: DataFrame, store: graft.operators.ChunkStore,
+      checkpointDir: String, idCol: String = "id", payloadCol: String = "payload",
+      changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    versionChainStream(changes, checkpointDir, () =>
+      store.versions().lastOption.getOrElse(throw new IllegalStateException(
+        "chunkBackupStream needs a base version (ChunkStore.backup) in the store"))
+    ) { (batch, from, to) =>
+      if (!store.versions().contains(to)) {
+        val b = collapseLastPerKey(batch, idCol, seqCol)
+        val changed = b.filter(col(changeTypeCol).isin("insert", "update"))
+          .select(col(idCol).cast("long").as(idCol), col(payloadCol))
+        val removed = b.filter(col(changeTypeCol) === "delete")
+          .select(col(idCol).cast("long").as(idCol))
+        store.backupDelta(from, to, changed, removed, idCol, payloadCol): Unit
+      }
+    }
+
   /** Atomic (tmp+rename) group-commit marker, [[graft.operators.LakeSnapshot]]'s
     * `_commits` format: file named by the version, content = sorted
     * ','-joined table names. Idempotent — an existing marker stands. */

@@ -93,6 +93,31 @@ class ChunkStoreSpec extends SparkSpec {
     assert(p2.isEmpty && d2 == 0L && r2 == 0L)
   }
 
+  test("backupDelta: O(delta) crypto, carried manifest rows, restores equal a full re-backup") {
+    val base = Files.createTempDirectory("graft_chunkstore_delta").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L)
+    val refsV1 = store.refs().count()
+    // delta: id 1 changes, id 2 deleted — id 3 must carry untouched
+    val changed = payloadRows(true, false, false).filter($"id" === 1L)
+    val (added, addedBytes) = store.backupDelta(1L, 2L, changed,
+      Seq(Tuple1(2L)).toDF("id"), "id", "payload")
+    // only the changed payload's NEW chunks landed (the repository
+    // already held everything else)
+    assert(added > 0 && addedBytes > 0)
+    assert(store.refs().count() == refsV1 + added)
+    val expected = payloadRows(true, true, false)
+    assert(canon(store.restore(2L)) == canon(expected))
+    assert(canon(store.restore(1L)) == canon(v1)) // v1 untouched
+    // manifest carried id 3's rows verbatim from v1
+    val m1 = store.manifest(1L).filter($"id" === 3L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val m2 = store.manifest(2L).filter($"id" === 3L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
   test("sweep collects orphan chunks from a crashed backup (chunks landed, manifest never published)") {
     val base = Files.createTempDirectory("graft_chunkstore_orphan").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)

@@ -229,6 +229,22 @@ class DedupSpec extends SparkSpec {
     assert(approx.toSet.subsetOf(exact.toSet))
     // the near-identical pair collides in at least one band
     assert(approx.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
+    // the AUTO-sized path keeps the same contracts (subset, identical
+    // cosines, near-dup caught) while its band bits track the corpus
+    val auto = canon(Dedup.embCosPairsBucketedAuto(emb, 0.3))
+    assert(auto.toSet.subsetOf(exact.toSet))
+    assert(auto.exists(t => t._1 == 40L && t._2 == 41L && t._3 > 0.99))
+  }
+
+  test("autoBandBits: bucket-occupancy sizing, clamped to [4, 15]") {
+    // small corpora floor at 4 bits; growth is logarithmic in n
+    assert(Dedup.autoBandBits(100L) == 4)
+    assert(Dedup.autoBandBits(2000L) == 6)   // 2000/32 = 62.5 -> 6 bits
+    assert(Dedup.autoBandBits(20000L) == 10) // 20000/32 = 625 -> 10 bits
+    assert(Dedup.autoBandBits(1L << 40) == 15) // packed-long ceiling
+    // monotone: more vectors never mean coarser buckets
+    val bits = Seq(1L, 1000L, 100000L, 10000000L).map(Dedup.autoBandBits(_))
+    assert(bits == bits.sorted)
   }
 
   test("dupClusters resolves pair chains into min-labeled components") {

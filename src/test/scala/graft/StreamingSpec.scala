@@ -463,6 +463,53 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("chunkBackupStream: each CDC batch publishes one repository version; GC reclaims retired versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ChunkStore
+
+    val master = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val base = Files.createTempDirectory("graft_chunk_stream").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    def pay(s: String) = s.getBytes("UTF-8")
+    def body(seed: Int) = (0 until 40).map(i => s"blk-$seed-$i").mkString(" ")
+    store.backup(Seq((1L, pay(body(1))), (2L, pay(body(2))), (3L, pay(body(3))))
+      .toDF("id", "payload"), "id", "payload", 1L)
+    val refsBase = store.refs().count()
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val query = StreamOps.chunkBackupStream(
+      input.toDS().toDF("id", "payload", "change_type"),
+      store, Files.createTempDirectory("graft_chunk_stream_ckpt").toString)
+    try {
+      // batch 0: edit payload 1 (prefix — CDC boundaries resync, most
+      // chunks dedupe), insert payload 4
+      input.addData((1L, pay("EDITED " + body(1)), "update"), (4L, pay(body(4)), "insert"))
+      query.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L))
+      // batch 1: delete payload 2 — delta crypto is zero, manifest-only
+      input.addData((2L, Array.empty[Byte], "delete"))
+      query.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+    } finally query.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(canon(store.restore(3L)) == Map(
+      1L -> pay("EDITED " + body(1)).toSeq,
+      3L -> pay(body(3)).toSeq,
+      4L -> pay(body(4)).toSeq))
+    // dedup held: the edit re-synchronized, so far fewer refs landed
+    // than a fresh corpus would need
+    val grown = store.refs().count() - refsBase
+    assert(grown > 0 && grown < refsBase, s"delta added $grown refs vs base $refsBase")
+    // out-of-band GC retires v1+v2; the tip keeps restoring byte-identical
+    val (pruned, nDead, reclaimed) = store.pruneChunks(keep = Seq(3L))
+    assert(pruned == Seq(1L, 2L) && nDead > 0 && reclaimed > 0)
+    assert(canon(store.restore(3L))(1L) == pay("EDITED " + body(1)).toSeq)
+  }
+
   test("lakeMergeStream: one atomic group version per batch; a partial merge stays invisible until the replay completes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
