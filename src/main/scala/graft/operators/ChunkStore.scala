@@ -160,6 +160,53 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     ChunkCrypto.chunkAccounting(versions().map(v => v -> manifest(v)),
       "ref_hex", col("bytes")).orderBy("version")
 
+  /** Repository integrity scrub — `borg check` for the chunk store:
+    * every stored blob decrypts under its recorded content address
+    * (the GCM tag authenticates ciphertext AND the ref-derived key,
+    * so bit-rot, truncation, and a swapped blob all surface), and the
+    * decrypted plaintext's SHA-256 must re-derive the address
+    * (catches a valid blob filed under the wrong ref). One narrow
+    * partition-local pass over the blobs — at 100 TB this is the
+    * weekly scan that runs BESIDE queries, not a restore drill.
+    * Returns (ref_hex, bucket, bytes, status) with status ok /
+    * decrypt_failed / ref_mismatch. */
+  def scrub(): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val m = master
+    refs().select(col("ref_hex"), col("bucket"), col("bytes"), col("blob"))
+      .as[(String, Long, Long, Array[Byte])]
+      .map { case (refHex, bucket, bytes, blob) =>
+        val ref = refHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val status =
+          try {
+            val plain = ChunkCrypto.decryptChunk(m, ref, blob)
+            val digest = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(plain)
+            if (java.util.Arrays.equals(digest, ref)) "ok" else "ref_mismatch"
+          } catch { case _: Exception => "decrypt_failed" }
+        (refHex, bucket, bytes, status)
+      }
+      .toDF("ref_hex", "bucket", "bytes", "status")
+  }
+
+  /** Crash-leftover GC, [[SnapshotStore.vacuum]]'s repository twin:
+    * TTL'd removal of `.tmp-` manifest dirs (unpublished backups) and
+    * `.tmp-sweep-` dirs (interrupted [[pruneChunks]]); committed
+    * manifests and chunk buckets are never touched, in-flight writers
+    * are protected by the TTL. Returns the deleted paths. */
+  def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val now = System.currentTimeMillis()
+    Seq(new Path(basePath), new Path(s"$basePath/manifests"))
+      .filter(fs.exists)
+      .flatMap(dir => fs.listStatus(dir).toSeq)
+      .filter { st =>
+        st.getPath.getName.startsWith(".tmp-") &&
+          now - st.getModificationTime > ttlMs
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Mark-and-sweep GC — the `prune` every deduplicating backup tool
     * runs weekly: drop every version NOT in `keep`, then delete the
     * chunk rows no surviving manifest references (which includes

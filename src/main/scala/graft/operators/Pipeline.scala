@@ -135,6 +135,27 @@ object Pipeline {
     docs.filter(bucket.cast(DoubleType) < w * 65536.0)
   }
 
+  /** Deterministic train/validation/test split — the dataset-card
+    * staple, under the SAME portability contract as
+    * [[sampleStratified]]: assignment comes from the doc_id's md5
+    * bucket, so it is reproducible across engines and runs, stable
+    * under appends (new docs never move old ones between splits), and
+    * family-safe (all engines agree doc-for-doc, so a doc can never
+    * train in one run and evaluate in another). `valBp`/`testBp` are
+    * basis points of 65536; everything else is train. Buckets
+    * partition exactly — the three splits are disjoint and
+    * exhaustive by construction. One narrow projection, no shuffle. */
+  def assignSplit(docs: DataFrame, valBp: Int = 3277, testBp: Int = 3277): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 65536,
+      s"split fractions valBp=$valBp testBp=$testBp must fit in 65536")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType)
+    docs.withColumn("split",
+      when(bucket < valBp, "val")
+        .when(bucket < valBp + testBp, "test")
+        .otherwise("train"))
+  }
+
   /** Benchmark decontamination — the pre-training gate that keeps
     * evaluation data out of the training corpus: a training document is
     * contaminated when it shares at least `minOverlap` word k-shingles
@@ -253,6 +274,17 @@ object Pipeline {
         .unionByName(deleted.withColumn("change_type", lit("delete")))
       corpusReport(incrementalClean(cleanCorpus(prev, 10, 0.3), changes, 10, 0.3))
         .orderBy("lang")
+    },
+
+    "pipe_split" -> { (s, d) =>
+      // Deterministic ~5%/5%/90% val/test/train split, reported as the
+      // per-(split, lang) doc/char profile a dataset card prints.
+      // Portable md5 buckets → the oracle reproduces the assignment
+      // doc-for-doc; disjoint + exhaustive by construction.
+      assignSplit(Tables.documents(s, d), valBp = 3277, testBp = 3277)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
     },
 
     "pipe_sample" -> { (s, d) =>
@@ -411,6 +443,14 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
          |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
          |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_split" ->
+      """SELECT CASE
+        |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 3277 THEN 'val'
+        |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 6554 THEN 'test'
+        |  ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "pipe_sample" ->
       s"""WITH gated AS (

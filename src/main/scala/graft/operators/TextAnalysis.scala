@@ -271,6 +271,36 @@ object TextAnalysis {
     segs.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$g"), true))
   }
 
+  /** Auto-compaction policy: fold the index to one segment once more
+    * than `maxSegments` have accumulated (read amplification grows
+    * with segment count — every search unions every segment's
+    * postings). The new segment id clears BOTH existing `seg=` dirs
+    * AND every id recorded in the stream's `_batches/` allocation map
+    * — an id a crashed-but-allocated batch holds must never be
+    * reused, or its replay would overwrite the compacted segment with
+    * one delta. Same non-concurrency contract as
+    * [[compactBm25Index]]: run between micro-batches, not during one.
+    * Returns the new segment id when compaction ran. */
+  def maybeCompactBm25Index(spark: SparkSession, path: String,
+      maxSegments: Int = 8): Option[Long] = {
+    val segs = bm25Segments(spark, path)
+    if (segs.size <= maxSegments) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_batches")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val allocMax =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).map { st =>
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }.foldLeft(0L)(math.max)
+      val newId = math.max(segs.max, allocMax) + 1
+      compactBm25Index(spark, path, newId)
+      Some(newId)
+    }
+  }
+
   private def bm25Segments(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

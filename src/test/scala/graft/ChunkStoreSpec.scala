@@ -118,6 +118,64 @@ class ChunkStoreSpec extends SparkSpec {
     assert(m1 == m2 && m1.nonEmpty)
   }
 
+  test("scrub: clean repository all-ok; tampered blob and mis-filed blob are classified") {
+    val base = Files.createTempDirectory("graft_chunkstore_scrub").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    assert(store.scrub().groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.keySet == Set("ok"))
+
+    // plant two bad rows straight into a bucket dir: a corrupted blob
+    // (GCM tag fails) and a VALID encryption filed under the wrong
+    // address (decrypts fine, SHA mismatch)
+    val good = store.refs().limit(1).collect().head
+    val wrongRefHex = "ab" * 32
+    val wrongRef = wrongRefHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(master, "HmacSHA256"))
+    val key = mac.doFinal(wrongRef)
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, wrongRef, 0, 12))
+    val misFiled = cipher.doFinal("not the preimage of wrongRef".getBytes("UTF-8"))
+    val corrupted = good.getAs[Array[Byte]]("blob").clone()
+    corrupted(0) = (corrupted(0) ^ 0x7f).toByte
+    // files inside a bucket=N dir carry no bucket column (partitionBy
+    // strips it; the directory supplies it on read)
+    Seq(
+      ("ff" * 32, 5L, corrupted),
+      (wrongRefHex, 6L, misFiled)
+    ).toDF("ref_hex", "bytes", "blob")
+      .write.mode("append").parquet(s"$base/chunks/bucket=0")
+    val statuses = store.scrub().collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(statuses("ff" * 32) == "decrypt_failed")
+    assert(statuses(wrongRefHex) == "ref_mismatch")
+    assert(statuses.values.count(_ == "ok") == statuses.size - 2)
+  }
+
+  test("vacuum removes aged .tmp leftovers, keeps fresh ones and committed state") {
+    val base = Files.createTempDirectory("graft_chunkstore_vac").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSweep = new org.apache.hadoop.fs.Path(s"$base/.tmp-sweep-dead")
+    val oldManifest = new org.apache.hadoop.fs.Path(s"$base/manifests/.tmp-v=9-dead")
+    val fresh = new org.apache.hadoop.fs.Path(s"$base/.tmp-sweep-live")
+    Seq(oldSweep, oldManifest, fresh).foreach(fs.mkdirs(_))
+    val stale = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(oldSweep, stale, stale)
+    fs.setTimes(oldManifest, stale, stale)
+    val deleted = store.vacuum()
+    assert(deleted.map(_.stripPrefix("file:")).toSet ==
+      Set(oldSweep.toString, oldManifest.toString))
+    assert(fs.exists(fresh) && !fs.exists(oldSweep) && !fs.exists(oldManifest))
+    assert(store.versions() == Seq(1L))
+    assert(canon(store.restore(1L)) == canon(payloadRows(false, false, false)))
+  }
+
   test("sweep collects orphan chunks from a crashed backup (chunks landed, manifest never published)") {
     val base = Files.createTempDirectory("graft_chunkstore_orphan").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)

@@ -169,4 +169,29 @@ class PipelineSpec extends SparkSpec {
     val frac = Pipeline.sampleWeighted(big, lit(0.5)).count().toDouble / 10000.0
     assert(math.abs(frac - 0.5) < 0.02, s"w=0.5 kept $frac")
   }
+
+  test("assignSplit: disjoint+exhaustive, append-stable, fractions track the basis points") {
+    import org.apache.spark.sql.functions.lit
+    val docs = (0L until 4000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Pipeline.assignSplit(docs, valBp = 6554, testBp = 6554) // ~10%/10%
+    val byDoc = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == 4000) // exhaustive, exactly one split per doc
+    val counts = byDoc.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("val") - 400) < 100, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 400) < 100, s"test ${counts("test")}")
+    assert(counts("train") > 3000)
+    // append-stability: the first half's assignments are unchanged by
+    // the rest of the corpus (membership is per-doc, not per-dataset)
+    val half = Pipeline.assignSplit(docs.filter($"doc_id" < 2000L), 6554, 6554)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => byDoc(id) == s })
+    // degenerate bounds hold
+    assert(Pipeline.assignSplit(docs, 0, 0).select("split").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("train"))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.assignSplit(docs, 40000, 40000)
+    }
+    assert(e.getMessage.contains("65536"))
+  }
 }

@@ -171,6 +171,35 @@ class TextAndSimilaritySpec extends SparkSpec {
       Seq("apple", "banana"), topK = 10, nBuckets = 16)) == expected)
   }
 
+  test("maybeCompactBm25Index: threshold-gated, allocation-map-aware, search-invariant") {
+    import java.nio.file.Files
+    val corpus = Seq((1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_bm25_auto").toString + "/idx"
+    TextAnalysis.writeBm25Index(corpus, path, nBuckets = 16)
+    TextAnalysis.appendBm25Segment(Seq((1L, "banana banana")).toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), path, 1L, nBuckets = 16)
+    // 2 segments ≤ maxSegments=2: no compaction
+    assert(TextAnalysis.maybeCompactBm25Index(spark, path, maxSegments = 2).isEmpty)
+    // a crashed-but-allocated stream batch holds id 7 in the batch
+    // map — compaction must allocate ABOVE it, never reuse it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-5")
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    out.write("7".getBytes("UTF-8")); out.close()
+    def canon() = TextAnalysis.bm25SearchFrom(spark, path,
+        Seq("apple", "banana"), topK = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toList
+    val before = canon()
+    val newId = TextAnalysis.maybeCompactBm25Index(spark, path, maxSegments = 1)
+    assert(newId.contains(8L), s"expected seg 8 (above allocation 7), got $newId")
+    assert(canon() == before)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).count(_.startsWith("seg=")) == 1)
+  }
+
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
     import graft.operators.Similarity
     // 4 well-separated clusters in 16 dims: cluster c peaks in dims
