@@ -271,6 +271,40 @@ object TextAnalysis {
     segs.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$g"), true))
   }
 
+  /** HYBRID retrieval — BM25 keyword ranking fused with embedding
+    * cosine ranking by Reciprocal Rank Fusion (Cormack et al., the
+    * standard fusion behind most production RAG retrieval):
+    * score(d) = Σ_lists 1/(k0 + rank_list(d)), summed over the lists
+    * that retrieved d. Rank-based fusion needs NO score calibration
+    * between BM25's unbounded sums and cosine's [−1, 1] — exactly why
+    * RRF won; k0 = 60 is the paper's constant. Each branch retrieves
+    * its own top-`poolK` pool (BM25 via [[bm25Search]], cosine via
+    * [[Similarity.bruteForceTopK]] — swap in `ivfpqTopKFrom` against
+    * a persisted index at scale; only ranks flow into the fusion),
+    * then one |pool|-sized full-outer join + a bounded sort. The
+    * rank windows run on ≤poolK-row frames — the single-partition
+    * window is over an already-top-k pool, never the corpus. The
+    * query vector is a corpus vector by id (`queryVecId`), so the
+    * whole pipeline is engine-reproducible and the DuckDB oracle
+    * hash-checks the fused ranking end-to-end. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, k: Int, k0: Int = 60, poolK: Int = 100): DataFrame = {
+    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val bm = bm25Search(docs, terms, topK = poolK)
+      .withColumn("bm25_rank", row_number().over(wB).cast(LongType))
+      .select(col("doc_id"), col("bm25_rank"))
+    val cos = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === queryVecId), emb, poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("cos_rank"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("cos_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "bm25_rank", "cos_rank", "rrf")
+  }
+
   /** Auto-compaction policy: fold the index to one segment once more
     * than `maxSegments` have accumulated (read amplification grows
     * with segment count — every search unions every segment's
@@ -528,6 +562,15 @@ object TextAnalysis {
         .orderBy(col("bm25").desc, col("doc_id"))
     },
 
+    "text_hybrid" -> { (s, d) =>
+      // RRF fusion of the BM25 keyword ranking and the cosine ranking
+      // around corpus vector 7 — both branches and the fused ranks are
+      // DuckDB-reproducible, so the hash checks hybrid RETRIEVAL
+      // end-to-end (rank arithmetic, tie-breaks, missing-side zeros).
+      hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("merge", "vector", "window"), queryVecId = 7L, k = 20)
+    },
+
     "text_bm25_index" -> { (s, d) =>
       // The SAME search through the persisted index artifact (build
       // once per corpus, then query without re-tokenizing; postings
@@ -730,7 +773,48 @@ object TextAnalysis {
          |    CROSS JOIN stats s
          |  GROUP BY 1)
          |SELECT doc_id, ROUND(score, 4) AS bm25, n_terms_hit
-         |FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 20""".stripMargin
+         |FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_hybrid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)),
+         |lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |            AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+         |hits AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |  WHERE token IN ('merge', 'vector', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM hits GROUP BY 1),
+         |scored AS (
+         |  SELECT h.doc_id,
+         |    SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+         |  FROM hits h
+         |    JOIN lens l ON h.doc_id = l.doc_id
+         |    JOIN dfreq d ON h.token = d.token
+         |    CROSS JOIN stats s
+         |  GROUP BY 1),
+         |bm_ranked AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY ROUND(score, 4) DESC, doc_id) AS BIGINT) AS bm25_rank
+         |  FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 100),
+         |cos_pairs AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    ROUND(
+         |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id = 7),
+         |cos_ranked AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
+         |  FROM cos_pairs ORDER BY cos DESC, doc_id LIMIT 100)
+         |SELECT doc_id, bm25_rank, cos_rank,
+         |  ROUND(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+         |      + COALESCE(1.0 / (60 + cos_rank), 0.0), 6) AS rrf
+         |FROM bm_ranked FULL OUTER JOIN cos_ranked USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 
   // The persisted-index path must return exactly what the inline path

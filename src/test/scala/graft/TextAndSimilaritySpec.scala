@@ -171,6 +171,37 @@ class TextAndSimilaritySpec extends SparkSpec {
       Seq("apple", "banana"), topK = 10, nBuckets = 16)) == expected)
   }
 
+  test("hybridSearch: RRF rewards presence in both lists; single-list docs score one reciprocal term") {
+    val docs = Seq(
+      (1L, "merge merge merge"),   // bm25 rank 1
+      (2L, "merge vector filler"), // bm25 rank 2, cos rank 2
+      (3L, "plain filler text")    // cos rank 1 only
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),  // the query vector
+      (1L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal -> cos rank 3
+      (2L, Array(0.9f, 0.1f, 0.0f)),  // close -> cos rank 2
+      (3L, Array(0.99f, 0.01f, 0.0f)) // closest -> cos rank 1
+    ).toDF("vec_id", "embedding")
+    val out = TextAnalysis.hybridSearch(docs, emb,
+        Seq("merge", "vector"), queryVecId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getDouble(3)))
+    // bm25: doc 2 rank 1 (rare 'vector' outweighs repeated 'merge'),
+    // doc 1 rank 2. cosine: doc 3 rank 1, doc 2 rank 2, doc 1 rank 3.
+    // RRF: doc 2 = 1/61+1/62, doc 1 = 1/62+1/63, doc 3 (cosine-only)
+    // = 1/61 — presence in both lists beats a single rank-1. The
+    // query vector itself (id 0) is self-excluded from the cosine
+    // list and has no matching text, so it never appears.
+    def rrf(ranks: Double*) = BigDecimal(ranks.map(r => 1.0 / (60.0 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(out(0)._4 == rrf(1, 2))
+    assert(out(1)._4 == rrf(2, 3))
+    assert(out(2)._4 == rrf(1))
+    // the keyword-less doc carries a null rank on the bm25 side
+    assert(out(2)._2 == null && out(2)._3 == 1L)
+  }
+
   test("maybeCompactBm25Index: threshold-gated, allocation-map-aware, search-invariant") {
     import java.nio.file.Files
     val corpus = Seq((1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"))
