@@ -76,11 +76,11 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * version's incremental storage cost, `new_bytes` in
     * [[ChunkCrypto.chunkAccounting]] terms. */
   def backup(payloads: DataFrame, idCol: String, payloadCol: String,
-      version: Long): (Long, Long) = {
+      version: Long, commitTs: Option[Long] = None): (Long, Long) = {
     require(!versions().contains(version), s"version $version already exists")
     val chunked = chunkAndEncrypt(payloads, idCol, payloadCol)
     val added = appendNewRefs(chunked)
-    publishManifest(manifestRows(chunked, idCol), version)
+    publishManifest(manifestRows(chunked, idCol), version, commitTs)
     added
   }
 
@@ -94,7 +94,8 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * streaming composition ([[graft.streaming.StreamOps]]) feeds this
     * per micro-batch. */
   def backupDelta(fromVersion: Long, toVersion: Long, changed: DataFrame,
-      removed: DataFrame, idCol: String, payloadCol: String): (Long, Long) = {
+      removed: DataFrame, idCol: String, payloadCol: String,
+      commitTs: Option[Long] = None): (Long, Long) = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
     require(!versions().contains(toVersion), s"version $toVersion already exists")
     val chunked = chunkAndEncrypt(changed, idCol, payloadCol)
@@ -105,7 +106,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     publishManifest(
       manifest(fromVersion).join(touched, Seq("id"), "left_anti")
         .unionByName(manifestRows(chunked, idCol)),
-      toVersion)
+      toVersion, commitTs)
     added
   }
 
@@ -137,13 +138,46 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   }
 
   // manifest last = the commit point (crash before leaves orphan
-  // chunks for the next sweep, never a dangling manifest)
-  private def publishManifest(rows: DataFrame, version: Long): Unit = {
+  // chunks for the next sweep, never a dangling manifest). The commit
+  // timestamp lands inside the tmp dir BEFORE the rename, so it is
+  // atomic with the version — the point-in-time index readAsOf needs.
+  private def publishManifest(rows: DataFrame, version: Long,
+      commitTs: Option[Long] = None): Unit = {
     val tmp = new Path(s"$basePath/manifests/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     rows.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, "_commit_ts"), true)
+    try out.write(commitTs.getOrElse(System.currentTimeMillis()).toString.getBytes("UTF-8"))
+    finally out.close()
     val dest = new Path(manifestDir(version))
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+  }
+
+  /** A committed version's commit timestamp (epoch ms). Versions from
+    * before timestamping report Long.MinValue — ordered before any
+    * real time, never silently now(). */
+  def commitTimestamp(version: Long): Long = {
+    val p = new Path(manifestDir(version), "_commit_ts")
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Newest version committed at-or-before `ts` — the repository's
+    * point-in-time selector ("restore the corpus as of Tuesday
+    * 23:59"), [[SnapshotStore.versionAsOf]]'s twin. */
+  def versionAsOf(ts: Long): Option[Long] =
+    versions().filter(v => commitTimestamp(v) <= ts).lastOption
+
+  /** Point-in-time restore: reassemble the whole corpus as of `ts`.
+    * Fails fast when every commit is newer than `ts`. */
+  def restoreAsOf(ts: Long): DataFrame = versionAsOf(ts) match {
+    case Some(v) => restore(v)
+    case None => throw new IllegalArgumentException(
+      s"no version committed at or before $ts (versions: ${versions()})")
   }
 
   /** Reassemble a version's payloads: manifest ⋈ chunks on the content

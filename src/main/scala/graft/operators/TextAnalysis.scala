@@ -289,21 +289,56 @@ object TextAnalysis {
     * hash-checks the fused ranking end-to-end. */
   def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVecId: Long, k: Int, k0: Int = 60, poolK: Int = 100): DataFrame = {
-    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val bm = bm25Search(docs, terms, topK = poolK)
-      .withColumn("bm25_rank", row_number().over(wB).cast(LongType))
-      .select(col("doc_id"), col("bm25_rank"))
+    val bm = bm25Ranked(bm25Search(docs, terms, topK = poolK))
     val cos = graft.operators.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") === queryVecId), emb, poolK)
       .select(col("neighbor_id").as("doc_id"), col("rk").as("cos_rank"))
-    bm.join(cos, Seq("doc_id"), "full_outer")
+    rrfFuse(bm, cos, k, k0)
+  }
+
+  /** [[hybridSearch]] against the PERSISTED artifacts — the serving
+    * shape: keyword ranks from the segmented BM25 index
+    * ([[bm25SearchFrom]], postings pruned to the query terms'
+    * buckets) and vector ranks from the IVFPQ index
+    * ([[graft.operators.Similarity.ivfpqTopKFrom]], cell-pruned ADC,
+    * rotated automatically when the index carries an OPQ sidecar) —
+    * the corpus is touched by NEITHER branch at query time, and both
+    * indexes maintain incrementally from the same CDC stream
+    * (bm25IndexStream / annIndexStream). `queryVec` is a (vec_id,
+    * embedding) frame, usually one row. */
+  def hybridSearchFrom(spark: SparkSession, bm25IndexPath: String,
+      annIndexPath: String, terms: Seq[String], queryVec: DataFrame,
+      k: Int, k0: Int = 60, poolK: Int = 100, nprobe: Int = 4,
+      nBuckets: Int = 64): DataFrame = {
+    val bm = bm25Ranked(
+      bm25SearchFrom(spark, bm25IndexPath, terms, topK = poolK, nBuckets = nBuckets))
+    val ann = graft.operators.Similarity
+      .ivfpqTopKFrom(spark, annIndexPath, queryVec, k = poolK, nprobe = nprobe)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("cos_rank"))
+    rrfFuse(bm, ann, k, k0)
+  }
+
+  // ranks for the keyword pool: the window runs on the ≤poolK-row
+  // already-top-k frame, never the corpus
+  private def bm25Ranked(pool: DataFrame): DataFrame = {
+    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+    pool.withColumn("bm25_rank", row_number().over(wB).cast(LongType))
+      .select(col("doc_id"), col("bm25_rank"))
+  }
+
+  /** The RRF fusion core, exposed for any pair of ranked lists:
+    * full-outer join on doc_id, score = Σ 1/(k0 + rank) over the
+    * lists that retrieved the doc (a missing side contributes 0),
+    * top-k by (score desc, doc_id). */
+  def rrfFuse(bmRanked: DataFrame, cosRanked: DataFrame, k: Int,
+      k0: Int = 60): DataFrame =
+    bmRanked.join(cosRanked, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(k0) + col("bm25_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k0) + col("cos_rank")), lit(0.0)), 6))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
       .select("doc_id", "bm25_rank", "cos_rank", "rrf")
-  }
 
   /** Auto-compaction policy: fold the index to one segment once more
     * than `maxSegments` have accumulated (read amplification grows

@@ -118,6 +118,24 @@ class ChunkStoreSpec extends SparkSpec {
     assert(m1 == m2 && m1.nonEmpty)
   }
 
+  test("point-in-time restore: versionAsOf selects the newest commit at-or-before ts") {
+    val base = Files.createTempDirectory("graft_chunkstore_pitr").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L, commitTs = Some(1000L))
+    store.backupDelta(1L, 2L,
+      payloadRows(true, false, false).filter($"id" === 1L),
+      Seq(Tuple1(2L)).toDF("id"), "id", "payload", commitTs = Some(2000L))
+    assert(store.commitTimestamp(1L) == 1000L && store.commitTimestamp(2L) == 2000L)
+    assert(store.versionAsOf(1500L).contains(1L))
+    assert(store.versionAsOf(2000L).contains(2L))
+    assert(store.versionAsOf(500L).isEmpty)
+    assert(canon(store.restoreAsOf(1500L)) == canon(v1))
+    assert(canon(store.restoreAsOf(9999L)) == canon(payloadRows(true, true, false)))
+    val e = intercept[IllegalArgumentException] { store.restoreAsOf(500L) }
+    assert(e.getMessage.contains("no version committed"))
+  }
+
   test("scrub: clean repository all-ok; tampered blob and mis-filed blob are classified") {
     val base = Files.createTempDirectory("graft_chunkstore_scrub").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)

@@ -202,6 +202,44 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(out(2)._2 == null && out(2)._3 == 1L)
   }
 
+  test("hybridSearchFrom serves the fused ranking from the two persisted indexes") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    // docs: keyword signal on ids 0..7; embeddings: the 4-cluster
+    // fixture on the same id space
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 8 == 0) "merge vector pipeline" else s"plain filler text $i")
+    }.toDF("doc_id", "text")
+    val emb = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(16)(t =>
+        (if (t >= 4 * c && t < 4 * c + 4) 4.0f else 0.0f) + ((i + t) % 3) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft_hybrid_idx").toString
+    TextAnalysis.writeBm25Index(docs, s"$tmp/bm25", nBuckets = 16)
+    Similarity.writeIvfpqIndex(emb, s"$tmp/ann", nCells = 4, m = 4, ksub = 8, iters = 3)
+    val q = emb.filter(col("vec_id") === 8L) // cluster-0 member, also a keyword doc
+    val got = TextAnalysis.hybridSearchFrom(spark, s"$tmp/bm25", s"$tmp/ann",
+        Seq("merge", "vector"), q, k = 5, poolK = 10, nprobe = 2, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getDouble(3)))
+    // parity: the same fusion composed from the branch calls directly
+    val bmPool = TextAnalysis.bm25SearchFrom(spark, s"$tmp/bm25",
+      Seq("merge", "vector"), topK = 10, nBuckets = 16)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val bmRanked = bmPool.withColumn("bm25_rank",
+        org.apache.spark.sql.functions.row_number().over(wB).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val annRanked = Similarity.ivfpqTopKFrom(spark, s"$tmp/ann", q, k = 10, nprobe = 2)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("cos_rank"))
+    val want = TextAnalysis.rrfFuse(bmRanked, annRanked, k = 5)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // both signals present: some returned doc carries BOTH ranks
+    assert(got.exists(t => t._2 != null && t._3 != null))
+    assert(got.length == 5)
+  }
+
   test("maybeCompactBm25Index: threshold-gated, allocation-map-aware, search-invariant") {
     import java.nio.file.Files
     val corpus = Seq((1L, "apple apple"), (2L, "apple banana"), (3L, "banana filler"))
