@@ -98,10 +98,20 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       commitTs: Option[Long] = None): (Long, Long) = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
     require(!versions().contains(toVersion), s"version $toVersion already exists")
+    // removed ids resolve BY NAME (a positional head() on a multi-column
+    // frame like (seq, id) would silently un-manifest the wrong keys);
+    // a single-column frame is accepted under any name for convenience
+    val removedIds = {
+      require(removed.columns.contains(idCol) || removed.columns.length == 1,
+        s"removed must carry a '$idCol' column (or be a single id column); " +
+          s"got (${removed.columns.mkString(", ")})")
+      val c = if (removed.columns.contains(idCol)) idCol else removed.columns.head
+      removed.select(col(c).cast("long").as("id"))
+    }
     val chunked = chunkAndEncrypt(changed, idCol, payloadCol)
     val added = appendNewRefs(chunked)
     val touched = changed.select(col(idCol).cast("long").as("id"))
-      .unionByName(removed.select(col(removed.columns.head).cast("long").as("id")))
+      .unionByName(removedIds)
       .distinct()
     publishManifest(
       manifest(fromVersion).join(touched, Seq("id"), "left_anti")
@@ -182,11 +192,21 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
 
   /** Reassemble a version's payloads: manifest ⋈ chunks on the content
     * address (one shuffle on a uniform key), then decrypt + order +
-    * concatenate per id ([[ChunkCrypto.reassemble]]). */
-  def restore(version: Long): DataFrame =
-    ChunkCrypto.reassemble(
-      manifest(version).join(refs().select("ref_hex", "blob"), Seq("ref_hex")),
-      "id", master)
+    * concatenate per id ([[ChunkCrypto.reassemble]]). The join is a
+    * LEFT join with a fail-fast on any manifest ref whose blob is
+    * absent (a crashed sweep window, a lost bucket file): an inner
+    * join would silently DROP the missing chunk and reassemble a
+    * truncated payload — a backup restore must be byte-exact or loud. */
+  def restore(version: Long): DataFrame = {
+    val joined = manifest(version)
+      .join(refs().select("ref_hex", "blob"), Seq("ref_hex"), "left")
+      .withColumn("blob", when(col("blob").isNull,
+          raise_error(concat(lit(s"restore($version): chunk blob missing from " +
+            "repository for manifest ref "), col("ref_hex")))
+            .cast(org.apache.spark.sql.types.BinaryType))
+        .otherwise(col("blob")))
+    ChunkCrypto.reassemble(joined, "id", master)
+  }
 
   /** The [[ChunkCrypto.chunkAccounting]] report over every version's
     * manifest — blobs never read. */
@@ -202,13 +222,26 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * (catches a valid blob filed under the wrong ref). One narrow
     * partition-local pass over the blobs — at 100 TB this is the
     * weekly scan that runs BESIDE queries, not a restore drill.
-    * Returns (ref_hex, bucket, bytes, status) with status ok /
-    * decrypt_failed / ref_mismatch. */
+    * A second, metadata-weight pass checks referential integrity the
+    * blob scan CANNOT see: every surviving manifest's refs must have a
+    * stored blob (a blob that vanished — crashed sweep, lost bucket
+    * file — never enters the blob scan, so only the manifest side can
+    * report it). Returns (ref_hex, bucket, bytes, status) with status
+    * ok / decrypt_failed / ref_mismatch / missing_blob. */
   def scrub(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val m = master
-    refs().select(col("ref_hex"), col("bucket"), col("bytes"), col("blob"))
+    val manifestRefs = versions() match {
+      case Seq() => None
+      case vs => Some(vs.map(v => manifest(v).select("ref_hex", "bytes"))
+        .reduce(_.unionByName(_)).dropDuplicates("ref_hex"))
+    }
+    val missing = manifestRefs.map(
+      _.join(refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
+        .select(col("ref_hex"), bucketCol.as("bucket"), col("bytes"),
+          lit("missing_blob").as("status")))
+    val scanned = refs().select(col("ref_hex"), col("bucket"), col("bytes"), col("blob"))
       .as[(String, Long, Long, Array[Byte])]
       .map { case (refHex, bucket, bytes, blob) =>
         val ref = refHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -222,6 +255,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
         (refHex, bucket, bytes, status)
       }
       .toDF("ref_hex", "bucket", "bytes", "status")
+    missing.fold(scanned)(scanned.unionByName(_))
   }
 
   /** Crash-leftover GC, [[SnapshotStore.vacuum]]'s repository twin:
@@ -238,7 +272,57 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
         st.getPath.getName.startsWith(".tmp-") &&
           now - st.getModificationTime > ttlMs
       }
-      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      .map { st =>
+        // a sweep dir may hold the ONLY copy of live survivor chunks
+        // (crash between bucket renames) — re-land them from the swap
+        // journal before the dir is deleted; plain tmp dirs (unpublished
+        // manifests, pre-journal sweeps) hold no committed state
+        if (st.getPath.getName.startsWith(".tmp-sweep-")) completeSweep(st.getPath)
+        else fs.delete(st.getPath, true): Unit
+        st.getPath.toString
+      }
+  }
+
+  /** Complete (or discard) an interrupted [[pruneChunks]] sweep dir.
+    * The `_swap_plan` journal lists the dirty buckets the sweep meant
+    * to swap; for each, the dangerous state — bucket dir missing from
+    * `chunks/` while its survivors still sit in the sweep dir — is
+    * repaired by landing the survivors, and a swap that never started
+    * is carried out (the aside rename first, so the pre-sweep copy is
+    * never the deleted one). A bucket with survivors landed, or one
+    * the sweep legitimately emptied (no survivor dir was ever
+    * written), is left as-is. Idempotent — a crash DURING recovery
+    * re-enters any of the same states. No journal = the sweep died
+    * before any bucket was touched; every bucket is intact and the
+    * dir holds only a superseded survivor copy. */
+  private def completeSweep(tmp: Path): Unit = {
+    val plan = new Path(tmp, "_swap_plan")
+    if (fs.exists(plan)) {
+      val in = fs.open(plan)
+      val buckets =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.toLong).toList
+        finally in.close()
+      buckets.foreach { b =>
+        val cur = new Path(s"$chunksDir/bucket=$b")
+        val neu = new Path(s"$tmp/bucket=$b")
+        val aside = new Path(s"$tmp/replaced-bucket=$b")
+        if (!fs.exists(cur)) {
+          // crash between aside and landing: survivors are the only
+          // live copy — land them. neu also absent means the sweep
+          // emptied this bucket on purpose (no survivors written).
+          if (fs.exists(neu) && !fs.rename(neu, cur))
+            throw new java.io.IOException(s"sweep recovery failed: $neu -> $cur")
+        } else if (fs.exists(neu) && !fs.exists(aside)) {
+          // swap never started for this bucket — finish it here
+          if (!fs.rename(cur, aside))
+            throw new java.io.IOException(s"sweep recovery failed: $cur -> $aside")
+          if (!fs.rename(neu, cur))
+            throw new java.io.IOException(s"sweep recovery failed: $neu -> $cur")
+        } // else: swap complete (cur is the survivor copy) — nothing to do
+      }
+    }
+    fs.delete(tmp, true): Unit
   }
 
   /** Mark-and-sweep GC — the `prune` every deduplicating backup tool
@@ -252,6 +336,10 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * bytesReclaimed equals the pruned versions' collective
     * exclusive_bytes, spec-pinned. */
   def pruneChunks(keep: Seq[Long]): (Seq[Long], Long, Long) = {
+    // finish any interrupted sweep FIRST: a crashed swap may have left
+    // a bucket's only live copy in its sweep dir, and this sweep's
+    // refs() read must see every stored chunk
+    recoverSweeps()
     val drop = versions().filterNot(keep.contains)
     // deleting dropped manifests FIRST makes the sweep restartable:
     // a crash mid-sweep leaves dead chunks the next sweep collects
@@ -273,12 +361,25 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       refs().filter(col("bucket").isin(dirty.toSeq: _*))
         .join(live, Seq("ref_hex"), "left_semi")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-      // ...then each dirty bucket directory swaps (or deletes, if no
-      // survivor landed); clean buckets are never touched
+      // ...the swap journal commits the plan (crash after this point →
+      // [[completeSweep]] can finish every bucket from the tmp dir)...
+      val planTmp = new Path(tmp, "._swap_plan.tmp")
+      val out = fs.create(planTmp, true)
+      try out.write(dirty.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(planTmp, new Path(tmp, "_swap_plan")))
+        throw new java.io.IOException(s"sweep journal publish failed under $tmp")
+      // ...then each dirty bucket swaps NON-destructively: the current
+      // dir renames ASIDE (into the sweep dir — never deleted while it
+      // could be a chunk's only copy), survivors rename in (a bucket
+      // with no survivors stays absent). Clean buckets untouched. Only
+      // after EVERY bucket swapped does the sweep dir — asides and
+      // leftovers — get deleted.
       dirty.foreach { b =>
         val cur = new Path(s"$chunksDir/bucket=$b")
         val neu = new Path(s"$tmp/bucket=$b")
-        fs.delete(cur, true)
+        val aside = new Path(s"$tmp/replaced-bucket=$b")
+        if (fs.exists(cur) && !fs.rename(cur, aside))
+          throw new java.io.IOException(s"sweep aside failed: $cur -> $aside")
         if (fs.exists(neu) && !fs.rename(neu, cur))
           throw new java.io.IOException(s"sweep publish failed: $neu -> $cur")
       }
@@ -286,4 +387,13 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     }
     (drop, stats.getLong(0), stats.getLong(1))
   }
+
+  /** Finish every interrupted sweep left under the repository root —
+    * called by [[pruneChunks]] before it reads, and by [[vacuum]]
+    * (TTL-gated) for standalone hygiene. */
+  def recoverSweeps(): Unit =
+    if (fs.exists(new Path(basePath)))
+      fs.listStatus(new Path(basePath)).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp-sweep-"))
+        .foreach(st => completeSweep(st.getPath))
 }

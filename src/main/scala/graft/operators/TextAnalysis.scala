@@ -355,19 +355,90 @@ object TextAnalysis {
     val segs = bm25Segments(spark, path)
     if (segs.size <= maxSegments) None
     else {
-      val p = new org.apache.hadoop.fs.Path(s"$path/_batches")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val allocMax =
-        if (!fs.exists(p)) 0L
-        else fs.listStatus(p).map { st =>
-          val in = fs.open(st.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
-        }.foldLeft(0L)(math.max)
-      val newId = math.max(segs.max, allocMax) + 1
+      val fs = new org.apache.hadoop.fs.Path(s"$path/_batches")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val newId = math.max(segs.max, readAllocMax(fs, path)) + 1
+      writeAllocMax(fs, path, newId)
       compactBm25Index(spark, path, newId)
+      pruneBatchMarkers(fs, path)
       Some(newId)
     }
+  }
+
+  /** Highest segment id the index has ever ALLOCATED (segments may
+    * since have been compacted away — allocated ids must never be
+    * reused, or a crashed batch's replay would overwrite a compacted
+    * segment with one delta). Maintained as a single `_batches/_max`
+    * file so the per-micro-batch allocation path reads ONE file; the
+    * old shape opened EVERY `batch-<id>` marker — O(markers) driver FS
+    * opens per batch, O(N²) cumulative, minutes of object-store
+    * metadata RTTs per micro-batch after a year at minute cadence.
+    * Falls back to one full marker scan only when `_max` is absent
+    * (bootstrap, or the crash window inside [[writeAllocMax]]),
+    * skipping crash-leftover hidden `.batch-<id>.tmp` files and
+    * tolerating unparseable content — an empty tmp file must not wedge
+    * the stream with NumberFormatException forever. */
+  private[graft] def readAllocMax(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val maxFile = new org.apache.hadoop.fs.Path(s"$path/_batches/_max")
+    val fromFile =
+      if (!fs.exists(maxFile)) None
+      else {
+        val in = fs.open(maxFile)
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      }
+    fromFile.getOrElse {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_batches")
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.startsWith("batch-"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          try scala.util.Try(
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+          finally in.close()
+        }.foldLeft(0L)(math.max)
+    }
+  }
+
+  /** Advance `_batches/_max` to `segId` (tmp+rename; the delete→rename
+    * window can only LOSE the file, never corrupt it — a missing `_max`
+    * re-derives via [[readAllocMax]]'s bootstrap scan). Single-writer,
+    * like the rest of the index. */
+  private[graft] def writeAllocMax(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, segId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_batches")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"._max.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(segId.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, "_max")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"could not publish $dest")
+  }
+
+  /** Drop batch→segment markers older than the newest `keepNewest`.
+    * Safe because structured streaming replays only the LATEST
+    * uncommitted batch (batch ids are monotonic), so a marker hundreds
+    * of batches behind the head can never be consulted again — and
+    * with [[readAllocMax]]'s `_max` file, markers no longer feed
+    * allocation. Called at compaction time: without it the `_batches/`
+    * dir grows one file per micro-batch forever. */
+  private[graft] def pruneBatchMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, keepNewest: Int = 100): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_batches")
+    if (fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("batch-"))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch-").toLong -> st.getPath).toOption)
+        .sortBy(-_._1)
+        .drop(keepNewest)
+        .foreach { case (_, p) => fs.delete(p, false) }
   }
 
   private def bm25Segments(spark: SparkSession, path: String): Seq[Long] = {

@@ -405,7 +405,15 @@ object StreamOps {
         s"$groupCommitDir/.tmp-$version-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.writeUTF(tables.sorted.mkString(",")) finally out.close()
-      if (!fs.rename(tmp, marker)) fs.delete(tmp, false): Unit
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(tmp, false)
+        // a lost creation race (marker appeared concurrently) is fine;
+        // a genuine publish failure must FAIL THE BATCH — swallowing it
+        // would let the checkpoint commit with the group version
+        // permanently uncommitted (no replay would ever re-publish)
+        if (!fs.exists(marker))
+          throw new java.io.IOException(s"group marker publish failed: $marker")
+      }
     }
   }
 
