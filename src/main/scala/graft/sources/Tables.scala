@@ -27,22 +27,75 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is nanosecond-precision in parquet, which Spark 4's
-    * schema INFERENCE refuses to map to a timestamp. Supplying the
-    * schema explicitly (ts as BIGINT — the vectorized reader decodes
-    * INT64(TIMESTAMP_NANOS) into a long without any legacy conf)
-    * sidesteps inference entirely: no session conf is touched, so a
-    * shared session's other parquet reads are unaffected (the r2
-    * version set `spark.sql.legacy.parquet.nanosAsLong` globally per
-    * call — a side effect on shared sessions). The raw ns long is
-    * converted to a µs timestamp with integer `div`, never double
-    * division, which would lose precision on ~1.7e18 values. */
-  private val eventsSchema =
+  /** The events generator has flipped `ts`'s physical type between
+    * testdata regenerations — INT64(TIMESTAMP_NANOS) historically,
+    * INT64(TIMESTAMP_MICROS) today — so the unit is DETECTED from the
+    * parquet footer of one data file, never assumed. Each unit gets the
+    * read path that is exact for it:
+    *  - NANOS (or a bare un-annotated INT64, the generator's other
+    *    historical shape): read as BIGINT (Spark 4's inference refuses
+    *    ns→timestamp; an explicit schema sidesteps inference with no
+    *    session conf touched) and convert with integer `ts div 1000`,
+    *    never double division, which loses precision on ~1.7e18 values.
+    *  - MICROS / MILLIS: read natively as TIMESTAMP — Spark's
+    *    vectorized reader decodes both exactly; any division here
+    *    would corrupt (dividing µs by 1000 lands every event in
+    *    January 1970 — the round-8 regression this detection fixes).
+    * The footer probe is one metadata read; it is cached per
+    * (dir, file length/mtime) so repeated `events()` calls in a bench
+    * loop cost nothing, while a regenerated file re-probes. */
+  private val eventsSchemaNs =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  private val eventsSchemaTs =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit]()
+
+  /** Physical timestamp unit of `ts` in `dir/events.parquet` (file or
+    * directory of part-files), from the parquet footer. */
+  private[graft] def eventsTsUnit(s: SparkSession, d: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val dataFile =
+      if (st.isDirectory)
+        fs.listStatus(root)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName).headOption
+          .getOrElse(throw new IllegalStateException(s"no data files under $root"))
+      else st
+    val key = s"${dataFile.getPath}|${dataFile.getLen}|${dataFile.getModificationTime}"
+    tsUnitCache.computeIfAbsent(key, { _ =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataFile.getPath, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+        if (prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+          LogicalTypeAnnotation.TimeUnit.MICROS // INT96: Spark's native TIMESTAMP read decodes it exactly
+        else prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case _ => LogicalTypeAnnotation.TimeUnit.NANOS // bare INT64: historical ns-longs shape
+        }
+      } finally reader.close()
+    })
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    eventsTsUnit(s, d) match {
+      case TimeUnit.NANOS =>
+        s.read.schema(eventsSchemaNs).parquet(s"$d/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => // MICROS or MILLIS — native TIMESTAMP decode is exact for both
+        s.read.schema(eventsSchemaTs).parquet(s"$d/events.parquet")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
