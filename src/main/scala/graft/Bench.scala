@@ -42,15 +42,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host contention watermark: /proc/loadavg snapshots bracketing
+    // every phase. Rounds 7 and 8 both shipped artifacts inflated by
+    // external load overlapping the bench window (r8: 3.4× on the first
+    // alphabetical half, unreproducible one session later) — with the
+    // load visible IN the artifact, a contaminated run is diagnosable
+    // from the JSON alone instead of needing a judge re-probe.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "unavailable" }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loadStart = loadavg()
     // Untimed warm-up pass over every plan first: generated-code JIT
     // compilation queues behind execution and would otherwise bleed
     // tens of seconds into whichever queries run while it drains.
     // Per-query progress goes to STDERR (the driver parses stdout).
+    val warmT0 = System.nanoTime()
     ordered.foreach { case (name, fn) =>
       val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
       System.err.println(f"[bench warmup] $name $t%.2f s")
     }
+    val warmWall = (System.nanoTime() - warmT0) / 1e9
     // Collect warm-up garbage before timing: G1 mixed collections from
     // the warm-up pass's allocation otherwise land as multi-second
     // pauses on arbitrary timed queries.
@@ -60,29 +73,49 @@ object Bench {
     // the steady-state number the plan actually earns (observed: an
     // external ~2-core load turned a 48 s suite into 75 s with a
     // uniform +0.8 s/query — pure noise, identical plans).
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
-      System.err.println(f"[bench timed] $name $t%.2f s")
-      System.gc()
-      name -> t
-    }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
+    def timedPass(): (Map[String, Double], Double) = {
+      val t0 = System.nanoTime()
+      val m = ordered.map { case (name, fn) =>
+        val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
+        System.err.println(f"[bench timed] $name $t%.2f s")
+        System.gc()
+        name -> t
+      }.toMap
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val loadAfterWarm = loadavg()
+    val (p1, wall1) = timedPass()
+    val loadAfterP1 = loadavg()
+    val (p2, wall2) = timedPass()
+    val loadAfterP2 = loadavg()
     val results = ordered.map { case (name, _) =>
       val (a, b) = (p1(name), p2(name))
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmtQs(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def passTotal(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     // The driver's artifact capture is tail-based and the full queries
-    // line is huge (123 entries) — it lost the front (and the total) in
-    // rounds 4 and 5. Print a compact total line BEFORE and AFTER the
-    // full line so the headline number survives truncation at either end.
+    // line is huge (148 entries) — it lost the front (and the total) in
+    // rounds 4, 5, 7 and 8. Defenses, in order of printing:
+    //  1. a compact total line first (survives head-capture),
+    //  2. the full per-query map sorted by COST DESCENDING — tail
+    //     truncation then drops only the cheapest queries, never the
+    //     expensive ones a perf audit needs,
+    //  3. a meta line with per-phase wall-clock, per-pass plan-time
+    //     totals, and the loadavg watermarks (external contention shows
+    //     up as pass1_total >> pass2_total or a high loadavg),
+    //  4. the compact total line again (survives tail-capture).
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(totalLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQs(results.sortBy(-_._2))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_meta","cpus":$cpus,"warmup_wall_sec":$warmWall,""" +
+      s""""pass1_wall_sec":$wall1,"pass2_wall_sec":$wall2,""" +
+      s""""pass1_total_sec":${passTotal(p1)},"pass2_total_sec":${passTotal(p2)},""" +
+      s""""loadavg_start":"$loadStart","loadavg_after_warmup":"$loadAfterWarm",""" +
+      s""""loadavg_after_pass1":"$loadAfterP1","loadavg_after_pass2":"$loadAfterP2"}""")
     println(totalLine)
     spark.stop()
   }

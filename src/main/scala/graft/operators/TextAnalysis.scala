@@ -357,7 +357,16 @@ object TextAnalysis {
     else {
       val fs = new org.apache.hadoop.fs.Path(s"$path/_batches")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val newId = math.max(segs.max, readAllocMax(fs, path)) + 1
+      // max over `_max` AND the marker scan, not `_max` alone: on an
+      // index written before `_max` existed (or when the allocator's
+      // `_max` write was lost in its crash window) a marker can sit
+      // ABOVE `_max`; compacting onto that id would make the crashed
+      // batch's replay see the compacted segment's _SUCCESS and
+      // silently skip — the CDC batch would vanish from the index.
+      // Markers are pruned to ≤100 on every allocation, so the scan is
+      // bounded at compaction cadence.
+      val newId = math.max(segs.max,
+        math.max(readAllocMax(fs, path), markerScanMax(fs, path))) + 1
       writeAllocMax(fs, path, newId)
       compactBm25Index(spark, path, newId)
       pruneBatchMarkers(fs, path)
@@ -389,18 +398,26 @@ object TextAnalysis {
           scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
         finally in.close()
       }
-    fromFile.getOrElse {
-      val dir = new org.apache.hadoop.fs.Path(s"$path/_batches")
-      if (!fs.exists(dir)) 0L
-      else fs.listStatus(dir).iterator
-        .filter(_.getPath.getName.startsWith("batch-"))
-        .flatMap { st =>
-          val in = fs.open(st.getPath)
-          try scala.util.Try(
-            scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
-          finally in.close()
-        }.foldLeft(0L)(math.max)
-    }
+    fromFile.getOrElse(markerScanMax(fs, path))
+  }
+
+  /** Max segment id recorded across every `batch-<id>` marker — the
+    * bootstrap/repair path behind [[readAllocMax]] and the compaction
+    * belt-and-braces in [[maybeCompactBm25Index]]. Skips hidden files
+    * (crash-leftover `.batch-<id>.tmp` / `._max.tmp-*`) and tolerates
+    * unparseable content. */
+  private[graft] def markerScanMax(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_batches")
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator
+      .filter(_.getPath.getName.startsWith("batch-"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      }.foldLeft(0L)(math.max)
   }
 
   /** Advance `_batches/_max` to `segId` (tmp+rename; the delete→rename

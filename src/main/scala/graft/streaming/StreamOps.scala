@@ -579,7 +579,8 @@ object StreamOps {
   def bm25IndexStream(changes: DataFrame, path: String, checkpointDir: String,
       changeTypeCol: String = "change_type",
       seqCol: Option[String] = None,
-      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      nBuckets: Int = 64,
+      autoCompactMaxSegments: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
     changes.writeStream
       .outputMode("append")
@@ -597,6 +598,16 @@ object StreamOps {
           graft.operators.TextAnalysis.appendBm25Segment(
             posted, removed, path, segId, nBuckets)
         }
+        // In-stream compaction AFTER the batch's segment is complete —
+        // this point is "between micro-batches" for the index, so the
+        // compactor's non-concurrency contract holds without an
+        // out-of-band scheduler. Read amplification stays bounded:
+        // every search unions every segment's postings, so an
+        // uncompacted year-long stream would union thousands.
+        autoCompactMaxSegments.foreach { n =>
+          graft.operators.TextAnalysis.maybeCompactBm25Index(
+            batch.sparkSession, path, n): Unit
+        }
         ()
       }
       .start()
@@ -604,37 +615,54 @@ object StreamOps {
 
   /** Segment-id allocation for [[bm25IndexStream]]: if `_batches/
     * batch-<id>` exists the batch is a replay → reuse its recorded
-    * segment; otherwise take max(existing `seg=` dirs, every recorded
-    * allocation) + 1, record it tmp+rename-atomically, and return it.
-    * Recorded allocations participate in the max so ids never move
-    * backwards even after compaction deletes old segment dirs; driver-
-    * side metadata only (one directory listing per micro-batch). */
+    * segment; otherwise take max(existing `seg=` dirs, `_batches/_max`)
+    * + 1, advance `_max`, record the batch→segment marker
+    * tmp+rename-atomically, and return it.
+    *
+    * O(1) metadata per micro-batch: ONE `_max` read
+    * ([[graft.operators.TextAnalysis.readAllocMax]] — full marker scan
+    * only on `_max`-absent bootstrap, skipping hidden files and
+    * tolerating unparseable content) + one bounded directory listing
+    * (markers are pruned below, `seg=` names are listing-only). The
+    * old shape opened EVERY marker file with a bare `.toLong` —
+    * O(markers) opens per batch growing forever, and one
+    * crash-leftover empty `.batch-<id>.tmp` wedged the stream with
+    * NumberFormatException on every subsequent batch.
+    *
+    * Ordering: `_max` advances BEFORE the marker publishes. A crash
+    * between the two burns the id (never reused — compaction's
+    * `newId = max(…, _max)+1` clears it) and the replay allocates
+    * fresh; the reverse order would reopen the silent-batch-drop
+    * window where compaction lands on an allocated-but-unpublished id
+    * and the replay skips on its _SUCCESS. Markers are pruned past the
+    * newest 100 on every allocation, so `_batches/` stays bounded
+    * without requiring out-of-band compaction. */
   private def allocateBm25Segment(fs: org.apache.hadoop.fs.FileSystem,
       path: String, batchId: Long): Long = {
+    import graft.operators.TextAnalysis
     val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/batch-$batchId")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+      val recorded =
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      recorded.getOrElse(throw new IllegalStateException(
+        s"batch marker $marker exists but is unparseable — cannot locate the " +
+          "replayed batch's segment; repair or remove the marker"))
     } else {
       val segMax = fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("seg=") => n.stripPrefix("seg=").toLong }
+        .collect { case n if n.startsWith("seg=") =>
+          n.stripPrefix("seg=").toLong }
         .foldLeft(0L)(math.max)
-      val batchesDir = new org.apache.hadoop.fs.Path(s"$path/_batches")
-      val allocMax =
-        if (fs.exists(batchesDir))
-          fs.listStatus(batchesDir).map { st =>
-            val in = fs.open(st.getPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-            finally in.close()
-          }.foldLeft(0L)(math.max)
-        else 0L
-      val segId = math.max(segMax, allocMax) + 1
+      val segId = math.max(segMax, TextAnalysis.readAllocMax(fs, path)) + 1
+      TextAnalysis.writeAllocMax(fs, path, segId)
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_batches/.batch-$batchId.tmp")
       val out = fs.create(tmp, true)
       try out.write(segId.toString.getBytes("UTF-8")) finally out.close()
       require(fs.rename(tmp, marker), s"could not publish batch marker $marker")
+      TextAnalysis.pruneBatchMarkers(fs, path)
       segId
     }
   }

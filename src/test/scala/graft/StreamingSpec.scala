@@ -226,6 +226,131 @@ class StreamingSpec extends SparkSpec {
       canon(TextAnalysis.bm25Search(live, Seq("apple", "banana"), topK = 10)))
   }
 
+  test("bm25IndexStream allocation is O(1) and poison-tolerant; _max advances per allocation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.TextAnalysis
+    val path = Files.createTempDirectory("graft_bm25_alloc").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_bm25_alloc_ckpt").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "apple apple")).toDF("doc_id", "text"), path, nBuckets = 16)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val input = MemoryStream[(Long, String, String)]
+    val mkQuery = () => StreamOps.bm25IndexStream(
+      input.toDS().toDF("doc_id", "text", "change_type"), path, ckpt, nBuckets = 16)
+    val q1 = mkQuery()
+    try {
+      input.addData((2L, "banana banana", "insert"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // _max advanced on ALLOCATION, not just at compaction — the crash
+    // window where a marker holds an id invisible to compaction is gone
+    assert(TextAnalysis.readAllocMax(fs, path) == 1L)
+    // plant every crash-leftover shape the allocator must shrug off,
+    // plus a garbage-content visible marker: the old allocator opened
+    // EVERY marker with a bare .toLong, so any one of these wedged the
+    // stream with NumberFormatException forever. The garbage marker
+    // doubles as proof the per-batch path no longer opens sibling
+    // markers at all (it would throw if it did — Try or not, the old
+    // shape's max() would see garbage→None and still work, so the
+    // strong assertion is the empty .tmp files plus segment landing).
+    def plant(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_batches/$name"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    plant(".batch-999.tmp", "")
+    plant("._max.tmp-deadbeef", "")
+    plant("batch-7777", "not-a-number")
+    val q2 = mkQuery()
+    try {
+      input.addData((3L, "cherry cherry", "insert"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def segDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong).sorted.toSeq
+    assert(segDirs() == Seq(0L, 1L, 2L), s"segments after poisoned batch: ${segDirs()}")
+    assert(TextAnalysis.readAllocMax(fs, path) == 2L)
+    // the index still searches correctly
+    val live = Seq((1L, "apple apple"), (2L, "banana banana"), (3L, "cherry cherry"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toList
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, path,
+        Seq("apple", "banana", "cherry"), topK = 10, nBuckets = 16)) ==
+      canon(TextAnalysis.bm25Search(live, Seq("apple", "banana", "cherry"), topK = 10)))
+  }
+
+  test("bm25IndexStream replay reuses its recorded segment id, not a fresh allocation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.TextAnalysis
+    val path = Files.createTempDirectory("graft_bm25_replay").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_bm25_replay_ckpt").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "apple apple")).toDF("doc_id", "text"), path, nBuckets = 16)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a batch that crashed AFTER publishing its marker (id 5)
+    // but BEFORE landing its segment: the replay must land at seg 5
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_batches"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_batches/batch-0"), true)
+    try out.write("5".getBytes("UTF-8")) finally out.close()
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamOps.bm25IndexStream(
+      input.toDS().toDF("doc_id", "text", "change_type"), path, ckpt, nBuckets = 16)
+    try {
+      input.addData((2L, "banana banana", "insert"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong).sorted.toSeq
+    assert(segs == Seq(0L, 5L), s"replay should reuse recorded seg 5, got $segs")
+  }
+
+  test("bm25IndexStream in-stream auto-compaction folds segments and stays searchable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.TextAnalysis
+    val path = Files.createTempDirectory("graft_bm25_autoc").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_bm25_autoc_ckpt").toString
+    TextAnalysis.writeBm25Index(
+      Seq((1L, "apple apple"), (2L, "apple banana")).toDF("doc_id", "text"),
+      path, nBuckets = 16)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong).sorted.toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamOps.bm25IndexStream(
+      input.toDS().toDF("doc_id", "text", "change_type"), path, ckpt,
+      nBuckets = 16, autoCompactMaxSegments = Some(2))
+    try {
+      input.addData((3L, "cherry cherry", "insert"))
+      query.processAllAvailable()       // segs 0,1 → at threshold, no compact
+      assert(segDirs() == Seq(0L, 1L))
+      input.addData((4L, "banana cherry", "insert"))
+      query.processAllAvailable()       // segs 0,1,2 → folds into seg 3
+      assert(segDirs() == Seq(3L), s"expected compacted seg 3, got ${segDirs()}")
+      input.addData((1L, "", "delete"))
+      query.processAllAvailable()       // next batch allocates above
+      assert(segDirs() == Seq(3L, 4L))
+    } finally query.stop()
+    val live = Seq((2L, "apple banana"), (3L, "cherry cherry"), (4L, "banana cherry"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toList
+    assert(canon(TextAnalysis.bm25SearchFrom(spark, path,
+        Seq("apple", "banana", "cherry"), topK = 10, nBuckets = 16)) ==
+      canon(TextAnalysis.bm25Search(live, Seq("apple", "banana", "cherry"), topK = 10)))
+  }
+
   test("streamingTopTokens: Misra-Gries keeps the hot token within its error bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

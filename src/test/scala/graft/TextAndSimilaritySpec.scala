@@ -267,6 +267,16 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(canon() == before)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath.getName).count(_.startsWith("seg=")) == 1)
+    // STALE-LOW `_max`: a marker can sit above `_max` (pre-_max index,
+    // or the allocator crashed inside its _max write window). If
+    // compaction trusted `_max` alone it would land on the marker's id
+    // and the crashed batch's replay would silently skip. _max is now 8
+    // (the compaction above); plant a marker holding 12 and recompact.
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$path/_batches/batch-6"), true)
+    out2.write("12".getBytes("UTF-8")); out2.close()
+    val newId2 = TextAnalysis.maybeCompactBm25Index(spark, path, maxSegments = 0)
+    assert(newId2.contains(13L), s"expected seg 13 (above marker 12), got $newId2")
+    assert(canon() == before)
   }
 
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
