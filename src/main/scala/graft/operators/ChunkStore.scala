@@ -285,14 +285,20 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
 
   /** Complete (or discard) an interrupted [[pruneChunks]] sweep dir.
     * The `_swap_plan` journal lists the dirty buckets the sweep meant
-    * to swap; for each, the dangerous state — bucket dir missing from
-    * `chunks/` while its survivors still sit in the sweep dir — is
-    * repaired by landing the survivors, and a swap that never started
-    * is carried out (the aside rename first, so the pre-sweep copy is
-    * never the deleted one). A bucket with survivors landed, or one
+    * to swap; for each, ONLY the dangerous state — bucket dir missing
+    * from `chunks/` while its survivors still sit in the sweep dir —
+    * is repaired, by landing the survivors. A bucket whose dir still
+    * EXISTS is never touched at recovery time: a backup may have run
+    * between the sweep's crash and this recovery and appended new
+    * blob files into the intact bucket dir, so swapping in the
+    * sweep-time survivor copy would delete blobs a committed manifest
+    * references — silent loss, surfacing only as a restore
+    * raise_error. The un-swapped bucket merely still holds its dead
+    * chunks, and the next sweep recollects them (the documented crash
+    * philosophy: crashes leave garbage, never lose data). A bucket
     * the sweep legitimately emptied (no survivor dir was ever
-    * written), is left as-is. Idempotent — a crash DURING recovery
-    * re-enters any of the same states. No journal = the sweep died
+    * written) also stays absent. Idempotent — a crash DURING recovery
+    * re-enters one of the same states. No journal = the sweep died
     * before any bucket was touched; every bucket is intact and the
     * dir holds only a superseded survivor copy. */
   private def completeSweep(tmp: Path): Unit = {
@@ -306,20 +312,13 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       buckets.foreach { b =>
         val cur = new Path(s"$chunksDir/bucket=$b")
         val neu = new Path(s"$tmp/bucket=$b")
-        val aside = new Path(s"$tmp/replaced-bucket=$b")
         if (!fs.exists(cur)) {
           // crash between aside and landing: survivors are the only
           // live copy — land them. neu also absent means the sweep
           // emptied this bucket on purpose (no survivors written).
           if (fs.exists(neu) && !fs.rename(neu, cur))
             throw new java.io.IOException(s"sweep recovery failed: $neu -> $cur")
-        } else if (fs.exists(neu) && !fs.exists(aside)) {
-          // swap never started for this bucket — finish it here
-          if (!fs.rename(cur, aside))
-            throw new java.io.IOException(s"sweep recovery failed: $cur -> $aside")
-          if (!fs.rename(neu, cur))
-            throw new java.io.IOException(s"sweep recovery failed: $neu -> $cur")
-        } // else: swap complete (cur is the survivor copy) — nothing to do
+        } // cur exists: leave it untouched (see scaladoc)
       }
     }
     fs.delete(tmp, true): Unit

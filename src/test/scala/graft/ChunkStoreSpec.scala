@@ -194,6 +194,130 @@ class ChunkStoreSpec extends SparkSpec {
     assert(canon(store.restore(1L)) == canon(payloadRows(false, false, false)))
   }
 
+  /** Plant the on-disk state of a [[ChunkStore.pruneChunks]] sweep
+    * that crashed right after publishing its `_swap_plan` journal
+    * (survivors written, dropped manifest deleted, NO bucket swapped):
+    * the exact recovery entry state. Returns (sweepDir, dirtyBuckets,
+    * survivorCountPerBucket). */
+  private def plantCrashedSweep(base: String, store: ChunkStore,
+      keep: Long, drop: Long): (org.apache.hadoop.fs.Path, Seq[Long], Map[Long, Long]) = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = store.manifest(keep).select("ref_hex").distinct()
+    val dead = store.refs().join(live, Seq("ref_hex"), "left_anti")
+    val dirty = dead.select("bucket").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val survivors = store.refs()
+      .filter(col("bucket").isin(dirty: _*))
+      .join(live, Seq("ref_hex"), "left_semi")
+      .select("ref_hex", "bytes", "blob", "bucket")
+    val perBucket = survivors.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/.tmp-sweep-planted")
+    survivors.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/manifests/v=$drop"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_swap_plan"), true)
+    try out.write(dirty.mkString("\n").getBytes("UTF-8")) finally out.close()
+    (tmp, dirty, perBucket)
+  }
+
+  test("crashed sweep + backup before recovery: intact buckets (and the new backup's blobs) survive") {
+    // the silent-loss hazard: recovery must NOT swap a sweep-time
+    // survivor copy over a bucket dir that still exists — a backup may
+    // have appended new blobs there since the sweep crashed, and the
+    // stale copy would delete blobs a committed manifest references
+    val base = Files.createTempDirectory("graft_chunkstore_swrec").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, true, true))
+    store.backup(v1, "id", "payload", 1L)
+    store.backup(v2, "id", "payload", 2L)
+    val (tmp, dirty, _) = plantCrashedSweep(base, store, keep = 2L, drop = 1L)
+    assert(dirty.size >= 2, s"fixture needs ≥2 dirty buckets, got $dirty")
+    // a backup lands BETWEEN the crash and the recovery
+    val v3 = Seq(10L -> (0 until 40).map(i => s"fresh-$i").mkString(" "),
+        11L -> (0 until 40).map(i => s"other-$i").mkString(" "))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+    store.backup(v3, "id", "payload", 3L)
+    store.recoverSweeps()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tmp))
+    assert(canon(store.restore(2L)) == canon(v2))
+    assert(canon(store.restore(3L)) == canon(v3))
+    assert(store.scrub().select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ok"))
+    // the dead chunks the un-swapped buckets still hold are garbage,
+    // not damage: the NEXT sweep collects them and everything restores
+    val (_, nDead, _) = store.pruneChunks(keep = Seq(2L, 3L))
+    assert(nDead > 0)
+    assert(canon(store.restore(2L)) == canon(v2))
+    assert(canon(store.restore(3L)) == canon(v3))
+    assert(store.scrub().select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ok"))
+  }
+
+  test("crashed sweep mid-swap: aside-only bucket recovers its survivors; swapped and untouched buckets stand") {
+    val base = Files.createTempDirectory("graft_chunkstore_swmid").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, true, true))
+    store.backup(v1, "id", "payload", 1L)
+    store.backup(v2, "id", "payload", 2L)
+    val (tmp, dirty, perBucket) = plantCrashedSweep(base, store, keep = 2L, drop = 1L)
+    assert(dirty.size >= 2, s"fixture needs ≥2 dirty buckets, got $dirty")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cur(b: Long) = new org.apache.hadoop.fs.Path(s"$base/chunks/bucket=$b")
+    def neu(b: Long) = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+    def aside(b: Long) = new org.apache.hadoop.fs.Path(s"$tmp/replaced-bucket=$b")
+    // bucket A crashed between aside and landing (cur ABSENT — the
+    // dangerous state recovery exists for); bucket B completed its swap
+    val (bA, bB) = (dirty.head, dirty(1))
+    assert(fs.rename(cur(bA), aside(bA)))
+    assert(fs.rename(cur(bB), aside(bB)))
+    assert(fs.rename(neu(bB), cur(bB)))
+    store.recoverSweeps()
+    assert(!fs.exists(tmp))
+    assert(canon(store.restore(2L)) == canon(v2))
+    assert(store.scrub().select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ok"))
+    // both A (recovered) and B (swapped pre-crash) hold exactly their
+    // survivor rows — the dead chunks went with the sweep
+    val byBucket = store.refs().groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket.get(bA) == perBucket.get(bA), s"bucket $bA: $byBucket vs $perBucket")
+    assert(byBucket.get(bB) == perBucket.get(bB), s"bucket $bB: $byBucket vs $perBucket")
+    // idempotent: a second recovery pass (no sweep dir) is a no-op
+    store.recoverSweeps()
+    assert(canon(store.restore(2L)) == canon(v2))
+  }
+
+  test("lost bucket dir: restore fails loud, scrub classifies every vanished ref as missing_blob") {
+    val base = Files.createTempDirectory("graft_chunkstore_lost").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete the fullest bucket (guaranteed non-empty)
+    val victim = store.refs().groupBy("bucket").count()
+      .orderBy(col("count").desc).head().getLong(0)
+    val vanished = store.refs().filter(col("bucket") === victim)
+      .select("ref_hex").collect().map(_.getString(0)).toSet
+    assert(vanished.nonEmpty)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/chunks/bucket=$victim"), true))
+    // restore must raise, not silently reassemble truncated payloads
+    val e = intercept[Exception](store.restore(1L).collect())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("chunk blob missing")),
+      s"unexpected failure: ${chain(e).mkString(" <- ")}")
+    val st = store.scrub().collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(vanished.forall(r => st(r) == "missing_blob"),
+      s"missing refs not classified: ${vanished.map(st.get).toSet}")
+    assert(st.filterNot { case (r, _) => vanished(r) }.values.toSet == Set("ok"))
+  }
+
   test("sweep collects orphan chunks from a crashed backup (chunks landed, manifest never published)") {
     val base = Files.createTempDirectory("graft_chunkstore_orphan").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)

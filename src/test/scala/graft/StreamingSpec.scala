@@ -1134,4 +1134,67 @@ class StreamingSpec extends SparkSpec {
     assert(one == three)
     assert(one == Set(25L, 128L))
   }
+
+  test("lakeMergeStream: a failed group-marker publish fails the batch; the replay lands it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotStore
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val base = Files.createTempDirectory("graft_lake_marker").toString
+    val orders = new SnapshotStore(spark, s"$base/orders", "k")
+    val items = new SnapshotStore(spark, s"$base/items", "k")
+    orders.writeRangePartitioned((1L to 50L).map(i => (i, s"o_$i")).toDF("k", "s"), 1L, 2)
+    items.writeRangePartitioned((1L to 50L).map(i => (i, i * 1.5)).toDF("k", "qty"), 1L, 2)
+    val stores = Map("orders" -> orders, "items" -> items)
+    // group-commit dir behind the fault-injecting scheme: rename to
+    // marker "2" fails ONCE — an object store's failed atomic publish
+    val commits = s"faulty:$base/_commits"
+    val ckpt = Files.createTempDirectory("graft_lake_marker_ckpt").toString
+    val input = MemoryStream[(String, Long, String, Double, String)]
+    val query = StreamOps.lakeMergeStream(
+      input.toDS().toDF("table", "k", "s", "qty", "change_type"),
+      stores, commits, "k", ckpt)
+    FaultyRenameFs.failOnDstName = Some("2")
+    val failed = try {
+      input.addData(("orders", 5L, "upd_5", 0.0, "update"))
+      query.processAllAvailable()
+      false
+    } catch { case _: Throwable => true } finally query.stop()
+    // the batch must FAIL — a swallowed publish error would commit the
+    // checkpoint with version 2 permanently invisible to group readers
+    assert(failed, "batch with failed marker publish must fail the query")
+    assert(orders.versions().contains(2L) && items.versions().contains(2L))
+    assert(!StreamOps.groupVersions(spark, commits).contains(2L))
+    // replay: both stores skip (already at v2), the marker publishes
+    val input2 = MemoryStream[(String, Long, String, Double, String)]
+    val q2 = StreamOps.lakeMergeStream(
+      input2.toDS().toDF("table", "k", "s", "qty", "change_type"),
+      stores, commits, "k", ckpt)
+    try {
+      input2.addData(("orders", 5L, "upd_5", 0.0, "update"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(StreamOps.groupVersions(spark, commits).contains(2L))
+    val g = StreamOps.restoreGroup(spark, commits, stores, 2L)
+    assert(g("orders").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .apply(5L) == "upd_5")
+  }
+}
+
+/** Test-only local FS whose rename can be armed to fail ONCE for a
+  * given destination name — simulates an object store's failed atomic
+  * publish without mocking anything in the code under test. */
+class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FaultyRenameFs.failOnDstName.contains(dst.getName)) {
+      FaultyRenameFs.failOnDstName = None
+      false
+    } else super.rename(src, dst)
+}
+object FaultyRenameFs {
+  @volatile var failOnDstName: Option[String] = None
 }

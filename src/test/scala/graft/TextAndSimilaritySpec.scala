@@ -279,6 +279,32 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(canon() == before)
   }
 
+  test("readAllocMax: _max short-circuits; lost _max re-derives from markers, poison-tolerant") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_allocmax").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_batches/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    plant("batch-1", "3")
+    plant("batch-9", "7")
+    plant(".batch-4.tmp", "")          // crash-leftover empty tmp
+    plant("._max.tmp-cafe", "")        // crashed _max writer's tmp
+    plant("batch-2", "garbage")        // unparseable marker content
+    // no _max yet: bootstrap scan, skipping hidden + unparseable
+    assert(TextAnalysis.readAllocMax(fs, path) == 7L)
+    TextAnalysis.writeAllocMax(fs, path, 9L)
+    assert(TextAnalysis.readAllocMax(fs, path) == 9L)
+    // the delete→rename crash window can only LOSE _max, never corrupt
+    // it — a missing _max must re-derive from the marker scan
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_batches/_max"), false)
+    assert(TextAnalysis.readAllocMax(fs, path) == 7L)
+  }
+
   test("pq: codes compress to m bytes; ADC search recovers cluster neighbors") {
     import graft.operators.Similarity
     // 4 well-separated clusters in 16 dims: cluster c peaks in dims
