@@ -264,6 +264,10 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * manifests and chunk buckets are never touched, in-flight writers
     * are protected by the TTL. Returns the deleted paths. */
   def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    // redaction tmp dirs are transactional state, not garbage: land or
+    // discard them FIRST so the TTL pass below can never delete the
+    // only complete copy of a redacted manifest
+    recoverRedactions()
     val now = System.currentTimeMillis()
     Seq(new Path(basePath), new Path(s"$basePath/manifests"))
       .filter(fs.exists)
@@ -395,4 +399,73 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       fs.listStatus(new Path(basePath)).toSeq
         .filter(_.getPath.getName.startsWith(".tmp-sweep-"))
         .foreach(st => completeSweep(st.getPath))
+
+  /** Repository redaction (the GDPR erasure primitive for the
+    * encrypted backup history): erase the given payload ids from EVERY
+    * surviving version's manifest — including the as-of history, so
+    * [[restoreAsOf]] can never resurrect them — then sweep the chunk
+    * blobs no remaining manifest references. Chunks SHARED with an
+    * unredacted payload survive (convergent-encryption dedup means a
+    * block can belong to many payloads; only the redacted payloads'
+    * EXCLUSIVE bytes leave the repository — the blob scan is the same
+    * mark-and-sweep as [[pruneChunks]], so untouched payloads stay
+    * byte-identical). Version numbering and commit timestamps are
+    * preserved: a redacted corpus still restores as-of any time, just
+    * without the erased ids.
+    *
+    * Crash ordering per manifest (roll-FORWARD semantics): the new
+    * manifest is written COMPLETELY to `.tmp-redact-v=<v>` (commit ts
+    * copied inside) BEFORE the live dir is deleted and the tmp renamed
+    * in — so the crash window between delete and rename leaves a
+    * complete replacement that [[recoverRedactions]] lands, never a
+    * lost version. Returns (manifestsRewritten, refsDeleted,
+    * bytesReclaimed). */
+  def redact(ids: Seq[Long]): (Int, Long, Long) = {
+    require(ids.nonEmpty, "redact needs at least one payload id")
+    recoverRedactions()
+    var rewritten = 0
+    versions().foreach { v =>
+      val m = manifest(v)
+      if (!m.filter(col("id").isin(ids: _*)).isEmpty) {
+        val ts = commitTimestamp(v)
+        val tmp = new Path(s"$basePath/manifests/.tmp-redact-v=$v")
+        fs.delete(tmp, true) // leftover from an earlier crashed attempt
+        m.filter(!col("id").isin(ids: _*))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val out = fs.create(new Path(tmp, "_commit_ts"), true)
+        try out.write(ts.toString.getBytes("UTF-8")) finally out.close()
+        val live = new Path(manifestDir(v))
+        fs.delete(live, true)
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"redact publish failed: $tmp -> $live")
+        rewritten += 1
+      }
+    }
+    // nothing dropped, but the sweep collects every chunk the erased
+    // ids exclusively referenced (plus any pre-existing orphans)
+    val (_, refsDeleted, bytesReclaimed) = pruneChunks(keep = versions())
+    (rewritten, refsDeleted, bytesReclaimed)
+  }
+
+  /** Land (or discard) interrupted [[redact]] manifest replacements:
+    * a `.tmp-redact-v=<v>` dir is always a COMPLETE new manifest, so
+    * when the live dir is missing the recovery rolls FORWARD (renames
+    * it in); when the live dir exists the tmp is a superseded or
+    * unapplied copy and is discarded — the next redact re-derives it.
+    * Called by [[redact]] and [[vacuum]]. */
+  def recoverRedactions(): Unit = {
+    val mdir = new Path(s"$basePath/manifests")
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp-redact-v="))
+        .foreach { st =>
+          val v = st.getPath.getName.stripPrefix(".tmp-redact-v=").toLong
+          val live = new Path(manifestDir(v))
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"redact recovery failed: ${st.getPath} -> $live")
+          } else fs.delete(st.getPath, true): Unit
+        }
+  }
 }

@@ -333,6 +333,41 @@ object Multimodal {
         .toDF("pruned_versions", "dead_refs", "reclaimed_bytes", "live_refs", "live_bytes")
     },
 
+    "snap_redact" -> { (s, d) =>
+      // Rows-only (convergent-encrypted refs are build-internal): GDPR
+      // repository redaction end-to-end — two encrypted backup
+      // versions of a corpus sample, then ids ≡ 0 mod 85 are erased
+      // from EVERY manifest (including the as-of history) and their
+      // exclusively-referenced chunks swept. The report row carries
+      // what a compliance audit needs: manifests rewritten, refs/bytes
+      // reclaimed, and PROOF of non-resurrection (redacted ids found
+      // in any version or as-of restore — must be 0). Fresh store per
+      // run keeps the entry idempotent.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val base = java.nio.file.Files.createTempDirectory("graft_redact").toString
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def pay(mutate: DataFrame => DataFrame) =
+        mutate(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+          .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      store.backup(pay(identity), "id", "payload", 1L, commitTs = Some(1000L))
+      store.backup(pay(df => df.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+          .otherwise(col("text")))), "id", "payload", 2L, commitTs = Some(2000L))
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 85 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val (rewritten, refsDeleted, bytesReclaimed) = store.redact(ids)
+      val resurrected = store.restore(1L).unionByName(store.restore(2L))
+        .unionByName(store.restoreAsOf(1500L))
+        .filter(col("id").isin(ids: _*)).count()
+      val live = store.refs()
+        .agg(count(lit(1)).as("n"), sum("bytes").as("b")).head()
+      import s.implicits._
+      Seq((ids.length.toLong, rewritten.toLong, refsDeleted, bytesReclaimed,
+          resurrected, live.getLong(0), live.getLong(1)))
+        .toDF("redacted_ids", "manifests_rewritten", "refs_deleted",
+          "bytes_reclaimed", "resurrected", "live_refs", "live_bytes")
+    },
+
     "mm_decode" -> { (s, d) =>
       // Rows-only check: the stub decoder's outputs are deterministic
       // but Spark-internal. Exercises the full binary-column decode

@@ -409,6 +409,30 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_delete_where" -> { (s, d) =>
+      // GDPR predicate delete end-to-end: orders snapshotted
+      // range-partitioned with o_totalprice zone stats, then ONE
+      // copy-on-write deleteWhere erases every row matching the
+      // predicate — the stats-column prune hint restricts the match
+      // scan to the zone-map files overlapping the value band, and
+      // only files actually holding matches rewrite (the rest
+      // byte-copy). The oracle is the declarative complement of the
+      // predicate over the source table.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_delw_store_${math.abs(d.hashCode)}"
+      val store = new SnapshotStore(s, base, "o_orderkey")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L))
+          store.writeRangePartitioned(
+            Tables.orders(s, d)
+              .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+            1L, 16, statsCols = Seq("o_totalprice"))
+        store.deleteWhere(1L, 2L,
+          col("o_totalprice") > lit(150000.0) && col("o_orderstatus") =!= "F",
+          pruneHint = Some(("o_totalprice", 150000.0, Double.MaxValue)))
+      }
+      store.read(2L).orderBy("o_orderkey")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -553,6 +577,11 @@ object Snapshot {
         |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE NOT (o_totalprice > 150000.0 AND o_orderstatus <> 'F')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "snap_restore_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders

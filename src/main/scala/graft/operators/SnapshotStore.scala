@@ -571,6 +571,108 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * not flag every row as updated (it would, if each side hashed its
     * own full row). Column-level changes are reported separately by
     * [[schemaDiff]]. */
+  /** Predicate delete (the GDPR erasure primitive): copy-on-write
+    * rewrite of `fromVersion` into `toVersion` with every row matching
+    * `pred` removed. Only the files that actually CONTAIN a matching
+    * row are rewritten; every other file carries over by copy — the
+    * cost scales with the predicate's file footprint, not the snapshot
+    * size. The match scan is one narrow pass (Catalyst prunes to the
+    * predicate's columns and pushes the filter to the parquet scan);
+    * `pruneHint = (statsColumn, lo, hi)` additionally restricts that
+    * scan to the zone-map files overlapping the range, so a delete
+    * keyed by a clustered column (time, tenant, user-id band) never
+    * reads the rest of a 100 TB snapshot at all.
+    *
+    * Null semantics: a row where `pred` is NULL is KEPT (only rows
+    * that provably match are erased) — the keep-filter is
+    * `!coalesce(pred, false)`, because `filter(!pred)` alone would
+    * silently DROP null-evaluating rows, which is data loss, not
+    * deletion. Returns (filesCarried, filesRewritten, rowsDeleted).
+    *
+    * This erases rows from the NEW version only — prior versions still
+    * hold them (they are immutable snapshots); full-history erasure =
+    * deleteWhere on the tip + [[prune]] of the old versions, or the
+    * chunk-repository twin [[ChunkStore.redact]]. */
+  def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      numNewFiles: Int = 4, commitTs: Option[Long] = None,
+      pruneHint: Option[(String, Any, Any)] = None): (Int, Int, Long) = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    val unionSchema = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    val matches = coalesce(pred, lit(false))
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val candidates = pruneHint.flatMap { case (c, lo, hi) =>
+      prunedFilesBy(fromVersion, c, lo, hi).map { files =>
+        val names = files.map(base).toSet
+        allParts.filter(p => names(p.getName))
+      }
+    }.getOrElse(allParts)
+    // which candidate files hold matching rows, and how many
+    val matchStats =
+      if (candidates.isEmpty) Map.empty[String, Long]
+      else spark.read.schema(unionSchema)
+        .parquet(candidates.map(_.toString): _*)
+        .filter(matches)
+        .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => base(r.getString(0)) -> r.getLong(1)).toMap
+    val deleted = matchStats.values.sum
+    val (touchedParts, untouchedParts) =
+      allParts.partition(p => matchStats.contains(p.getName))
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    val rewritten =
+      if (touchedParts.isEmpty)
+        spark.read.schema(unionSchema).parquet(dir(fromVersion)).limit(0)
+      else spark.read.schema(unionSchema)
+        .parquet(touchedParts.map(_.toString): _*)
+        .filter(!matches)
+        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    val newNames = fs.listStatus(tmp).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouchedParts.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    if (evolvedSchema(fromVersion).isDefined) {
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
+    }
+    val dest = new Path(dir(toVersion))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"deleteWhere publish failed: rename $tmp -> $dest")
+    // zone map: untouched rows carry with the version remapped, only
+    // the rewritten files rescan (same incremental shape as mergeDelta)
+    zoneMap(fromVersion).foreach { zm =>
+      val statsCols = zm.columns.toSeq
+        .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+      val touchedNames = touchedParts.map(_.getName).toSet
+      val carried = zm
+        .filter(!regexp_extract(col("file"), "[^/]+$", 0)
+          .isin(touchedNames.toSeq: _*))
+        .withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+      val newFiles = newNames.map(n => new Path(dest, n).toString).toSeq
+      val aggs = Seq(
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows")) ++
+        statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val withNew =
+        if (newFiles.isEmpty) carried
+        else carried.unionByName(
+          spark.read.parquet(newFiles: _*)
+            .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
+            .groupBy("file")
+            .agg(aggs.head, aggs.tail: _*))
+      withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    }
+    (untouchedParts.length, newNames.size, deleted)
+  }
+
   def diff(fromVersion: Long, toVersion: Long): DataFrame =
     diffFrames(read(fromVersion), read(toVersion))
 

@@ -318,6 +318,59 @@ class ChunkStoreSpec extends SparkSpec {
     assert(st.filterNot { case (r, _) => vanished(r) }.values.toSet == Set("ok"))
   }
 
+  test("redact erases ids from every version and as-of read; shared chunks and other payloads survive byte-identical") {
+    val base = Files.createTempDirectory("graft_chunkstore_redact").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, false, true))
+    store.backup(v1, "id", "payload", 1L, commitTs = Some(1000L))
+    store.backup(v2, "id", "payload", 2L, commitTs = Some(2000L))
+    val refsBefore = store.refs().count()
+    // id 2's chunks are exclusive to it (ids don't share text blocks)
+    val (rewritten, refsDeleted, bytesReclaimed) = store.redact(Seq(2L))
+    assert(rewritten == 2, s"both manifests reference id 2, rewrote $rewritten")
+    assert(refsDeleted > 0 && bytesReclaimed > 0)
+    assert(store.refs().count() == refsBefore - refsDeleted)
+    // every version and every as-of read is id-2-free, others intact
+    assert(canon(store.restore(1L)) == canon(v1.filter(col("id") =!= 2L)))
+    assert(canon(store.restore(2L)) == canon(v2.filter(col("id") =!= 2L)))
+    assert(canon(store.restoreAsOf(1500L)) == canon(v1.filter(col("id") =!= 2L)))
+    assert(canon(store.restoreAsOf(9999L)) == canon(v2.filter(col("id") =!= 2L)))
+    assert(store.commitTimestamp(1L) == 1000L && store.commitTimestamp(2L) == 2000L)
+    assert(store.scrub().select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ok"))
+    // idempotent: redacting an absent id rewrites nothing
+    val (r2, d2, b2) = store.redact(Seq(2L))
+    assert(r2 == 0 && d2 == 0L && b2 == 0L)
+  }
+
+  test("redact crash windows: complete tmp rolls FORWARD; superseded tmp beside a live manifest is discarded") {
+    val base = Files.createTempDirectory("graft_chunkstore_redcr").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L, commitTs = Some(1000L))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the crash state between delete(live) and rename(tmp→live):
+    // a COMPLETE redacted manifest in tmp, live dir gone
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/manifests/.tmp-redact-v=1")
+    store.manifest(1L).filter(col("id") =!= 2L)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_commit_ts"), true)
+    out.write("1000".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/manifests/v=1"), true)
+    assert(store.versions().isEmpty)
+    store.recoverRedactions()
+    assert(store.versions() == Seq(1L))
+    assert(store.commitTimestamp(1L) == 1000L)
+    assert(canon(store.restore(1L)) == canon(v1.filter(col("id") =!= 2L)))
+    // superseded copy: tmp present while live exists → discarded (and
+    // vacuum routes through the same recovery before its TTL pass)
+    store.manifest(1L).write.mode("overwrite").parquet(tmp.toString)
+    store.vacuum()
+    assert(!fs.exists(tmp))
+    assert(canon(store.restore(1L)) == canon(v1.filter(col("id") =!= 2L)))
+  }
+
   test("sweep collects orphan chunks from a crashed backup (chunks landed, manifest never published)") {
     val base = Files.createTempDirectory("graft_chunkstore_orphan").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)

@@ -149,6 +149,56 @@ class SnapshotStoreSpec extends SparkSpec {
       store.read(2L).collect().map(_.toSeq).toSet)
   }
 
+  test("deleteWhere: CoW predicate delete rewrites only matching files, keeps null-pred rows, prunes via hint") {
+    val base = Files.createTempDirectory("graft_store_delw").toString
+    val store = new SnapshotStore(spark, base, "k")
+    // s is null every 500th row: a predicate over s evaluates NULL
+    // there — those rows must be KEPT, not silently dropped
+    val df = (1L to 2000L).map(i =>
+        (i, if (i % 500 == 0) null else s"row_$i", i * 1.5))
+      .toDF("k", "s", "v")
+    store.writeRangePartitioned(df, 1L, 10, statsCols = Seq("v"))
+    val v1Names = store.zoneMap(1L).get.collect()
+      .map(r => r.getAs[String]("file").split('/').last).toSet
+
+    // predicate matches keys 100..120 only (clustered → 1-2 files)
+    val (carried, rewrittenN, deleted) = store.deleteWhere(1L, 2L,
+      col("k").between(100L, 120L) && col("s").startsWith("row_"))
+    assert(deleted == 21L, s"expected 21 deleted, got $deleted")
+    assert(carried >= 8, s"expected >=8 carried files, got $carried")
+    assert(rewrittenN >= 1)
+    val v2Names = store.zoneMap(2L).get.collect()
+      .map(r => r.getAs[String]("file").split('/').last).toSet
+    assert((v1Names intersect v2Names).size == carried)
+    // exact survivors, null-pred rows intact
+    val expected = df.filter(!(col("k").between(100L, 120L) && col("s").startsWith("row_"))
+        || col("s").isNull)
+      .collect().map(_.toSeq).toSet
+    assert(store.read(2L).collect().map(_.toSeq).toSet == expected)
+    assert(store.read(2L).filter(col("s").isNull).count() == 4)
+    // carried zone map still prunes on key and stats col
+    val viaZone = store.readKeyRange(2L, 300L, 400L).collect().map(_.toSeq).toSet
+    assert(viaZone == store.read(2L).filter(col("k").between(300L, 400L))
+      .collect().map(_.toSeq).toSet)
+    assert(store.readWhere(2L, "v", 450.0, 600.0).collect().map(_.toSeq).toSet ==
+      store.read(2L).filter(col("v").between(450.0, 600.0)).collect().map(_.toSeq).toSet)
+
+    // prune hint on the stats column: the match scan must read only
+    // the zone-map-overlapping files, result identical
+    val (c3, r3, d3) = store.deleteWhere(2L, 3L, col("v") > 2700.0,
+      pruneHint = Some(("v", 2700.0, Double.MaxValue)))
+    assert(d3 == store.read(2L).filter(col("v") > 2700.0).count())
+    assert(c3 + r3 >= c3 && r3 >= 1)
+    assert(store.read(3L).filter(col("v") > 2700.0).count() == 0)
+
+    // no matches: pure carry (every physical file copies, none
+    // rewritten — an empty rewrite may add an empty part), zero deleted
+    val (c4, _, d4) = store.deleteWhere(3L, 4L, col("k") > 99999L)
+    assert(d4 == 0L && c4 == store.dataFiles(3L).size)
+    assert(store.read(4L).collect().map(_.toSeq).toSet ==
+      store.read(3L).collect().map(_.toSeq).toSet)
+  }
+
   test("restoreAndValidate reports ok on a clean copy and flags tampering") {
     import graft.functions.Fx
     val base = Files.createTempDirectory("graft_store_restore").toString
