@@ -918,7 +918,80 @@ object Similarity {
     saveCentroids(spark, cents, s"$path/centroids")
     savePqBooks(spark, books, s"$path/books")
     rotation.foreach(r => saveRotation(spark, r, s"$path/rotation"))
+    // staleness baseline: the build corpus's residual quantization
+    // error under the freshly trained quantizer — what "fresh" means
+    // for this index. One extra narrow pass at build time; the
+    // incremental path compares each delta against it.
+    saveGauge(spark, s"$path/gauge",
+      ivfpqResidualError(src, cents, books), lastMse = None)
     writeCodes(codes, s"$path/codes")
+  }
+
+  /** Mean squared IVFPQ RESIDUAL reconstruction error of `emb` under a
+    * frozen quantizer: per vector, assign the nearest cell, PQ-encode
+    * the residual, decode, accumulate ‖r − r̂‖². This is the quantity
+    * the index's ADC distances are built on (unlike
+    * [[quantizationError]], which measures flat PQ without the IVF
+    * residual step) — so its growth is exactly ADC precision decaying.
+    * One narrow partition-local pass, no shuffle: cheap enough to run
+    * per delta at 100 TB (the delta, not the corpus, is scanned). */
+  def ivfpqResidualError(emb: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    val (err, n) = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val cs = bcC.value; val bks = bcB.value
+        var err = 0.0; var n = 0L
+        it.foreach { e =>
+          val cent = cs(nearestCellL2(cs, e, 0))
+          val d = e.length
+          val r = new Array[Float](d)
+          var i = 0
+          while (i < d) { r(i) = e(i) - cent(i); i += 1 }
+          val sub = d / bks.length
+          var j = 0
+          while (j < bks.length) {
+            val cw = bks(j)(nearestCellL2(bks(j), r, j * sub))
+            var t = 0
+            while (t < sub) {
+              val diff = r(j * sub + t) - cw(t)
+              err += diff.toDouble * diff.toDouble
+              t += 1
+            }
+            j += 1
+          }
+          n += 1L
+        }
+        Iterator.single((err, n))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    err / math.max(n, 1L)
+  }
+
+  /** Staleness-gauge sidecar: `baseline_mse` = the build corpus's
+    * residual error under the quantizer (what "fresh" means),
+    * `last_mse` = the most recent delta's error under the same frozen
+    * quantizer. `last/baseline` is the drift ratio retrain decisions
+    * key on. Tiny single-row parquet, like the other KB sidecars. */
+  def saveGauge(spark: SparkSession, path: String, baselineMse: Double,
+      lastMse: Option[Double]): Unit = {
+    import spark.implicits._
+    Seq((baselineMse, lastMse.getOrElse(baselineMse)))
+      .toDF("baseline_mse", "last_mse")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveGauge]] sidecar: (baseline_mse, last_mse). None on a
+    * pre-gauge index — callers degrade to "no drift signal", never
+    * fail. */
+  def loadGauge(spark: SparkSession, path: String): Option[(Double, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(path).collect().headOption
+      .map(r => (r.getDouble(0), r.getDouble(1)))
   }
 
   /** The `rotation/` sidecar of an index built with an OPQ rotation,
@@ -1015,12 +1088,25 @@ object Similarity {
     * and basenames only in `toVersion` hold the merged content (encode,
     * O(|rewritten|) vector encodes). The result is bit-exact with
     * re-encoding the whole new version under the same quantizer
-    * (spec-proven). Re-TRAINING the quantizer is a separate, rarer
-    * decision — run a full [[writeIvfpqIndex]] when drift warrants it.
-    * Returns (codesCarried, codesReencoded) row counts. */
+    * (spec-proven).
+    *
+    * Staleness gauge + retrain trigger: each delta's residual error
+    * under the frozen quantizer ([[ivfpqResidualError]], O(|delta|))
+    * updates the `gauge/` sidecar against the build-time baseline.
+    * When `retrainRatio` is set and `delta_mse > ratio × baseline`,
+    * the frozen carry is ABANDONED for this version: the quantizer
+    * retrains on the full new corpus with the index's own
+    * hyper-parameters (a [[writeIvfpqIndex]] rebuild — fresh cells,
+    * books, codes, and baseline), because codes of drifted vectors
+    * under stale cells/books degrade ADC precision no matter how
+    * correctly they carry. Without `retrainRatio` the gauge still
+    * updates, so an external policy can watch `loadGauge` and schedule
+    * rebuilds off-peak. Returns (codesCarried, codesReencoded) —
+    * a retrain reports (0, |corpus|). */
   def updateIvfpqIndex(spark: SparkSession, store: SnapshotStore,
       fromVersion: Long, toVersion: Long,
-      fromIndexPath: String, toIndexPath: String): (Long, Long) = {
+      fromIndexPath: String, toIndexPath: String,
+      retrainRatio: Option[Double] = None): (Long, Long) = {
     require(fromIndexPath != toIndexPath,
       "updateIvfpqIndex writes a new index version; in-place update would read and " +
         "overwrite the same codes files")
@@ -1033,26 +1119,47 @@ object Similarity {
     val toFiles = store.dataFiles(toVersion).map(p => p.getName -> p.toString).toMap
     val removed = (fromFiles.keySet -- toFiles.keySet).toSeq.sorted.map(fromFiles)
     val added = (toFiles.keySet -- fromFiles.keySet).toSeq.sorted.map(toFiles)
-    val oldCodes = spark.read.parquet(s"$fromIndexPath/codes")
-      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
-    val carried =
-      if (removed.isEmpty) oldCodes
-      else oldCodes.join(
-        spark.read.parquet(removed: _*).select(col("vec_id").cast("long")),
-        Seq("vec_id"), "left_anti")
-    val fresh =
+    val freshRaw =
       if (added.isEmpty) None
-      else {
-        val raw = spark.read.parquet(added: _*)
-        Some(ivfpqEncode(rot.map(rotate(raw, _)).getOrElse(raw), cents, books))
+      else Some(spark.read.parquet(added: _*))
+    // delta staleness under the frozen quantizer (in rotated space,
+    // where the quantizer lives)
+    val baseline = loadGauge(spark, s"$fromIndexPath/gauge")
+    val deltaMse = freshRaw.map(raw =>
+      ivfpqResidualError(rot.map(rotate(raw, _)).getOrElse(raw), cents, books))
+    val drifted = (for {
+      ratio <- retrainRatio; (b, _) <- baseline; d <- deltaMse
+    } yield d > ratio * b).getOrElse(false)
+    if (drifted) {
+      // quantizer no longer fits the corpus: rebuild with the index's
+      // own hyper-parameters (cells/m/ksub read from the artifacts)
+      val corpus = store.read(toVersion)
+      writeIvfpqIndex(corpus, toIndexPath,
+        nCells = cents.length, m = books.length, ksub = books(0).length,
+        iters = 2, rotation = rot)
+      (0L, corpus.count())
+    } else {
+      val oldCodes = spark.read.parquet(s"$fromIndexPath/codes")
+        .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      val carried =
+        if (removed.isEmpty) oldCodes
+        else oldCodes.join(
+          spark.read.parquet(removed: _*).select(col("vec_id").cast("long")),
+          Seq("vec_id"), "left_anti")
+      val fresh = freshRaw.map(raw =>
+        ivfpqEncode(rot.map(rotate(raw, _)).getOrElse(raw), cents, books))
+      val newCodes = fresh.foldLeft(carried)(_ unionByName _).localCheckpoint()
+      saveCentroids(spark, cents, s"$toIndexPath/centroids")
+      savePqBooks(spark, books, s"$toIndexPath/books")
+      rot.foreach(r => saveRotation(spark, r, s"$toIndexPath/rotation"))
+      baseline.foreach { case (b, last) =>
+        saveGauge(spark, s"$toIndexPath/gauge", b,
+          lastMse = deltaMse.orElse(Some(last)))
       }
-    val newCodes = fresh.foldLeft(carried)(_ unionByName _).localCheckpoint()
-    saveCentroids(spark, cents, s"$toIndexPath/centroids")
-    savePqBooks(spark, books, s"$toIndexPath/books")
-    rot.foreach(r => saveRotation(spark, r, s"$toIndexPath/rotation"))
-    writeCodes(newCodes, s"$toIndexPath/codes")
-    val nFresh = fresh.map(_.count()).getOrElse(0L)
-    (newCodes.count() - nFresh, nFresh)
+      writeCodes(newCodes, s"$toIndexPath/codes")
+      val nFresh = fresh.map(_.count()).getOrElse(0L)
+      (newCodes.count() - nFresh, nFresh)
+    }
   }
 
   /** IVF cell count from corpus size: ~√n (the classic IVF sizing —
@@ -1298,6 +1405,39 @@ object Similarity {
       .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
   }
 
+  /** Shared lifecycle behind `ann_ivfpq_incr` and
+    * `ann_ivfpq_incr_recall`: embeddings range-partitioned as v1 with
+    * a persisted IVFPQ index, one CoW merge (rescale ≡3 mod 7, append
+    * ≡7 mod 29 shifted past the envelope, delete ≡5 mod 11) to v2,
+    * index advanced incrementally. Fingerprint-keyed cache dir: both
+    * entries (and repeat bench runs) reuse one build. Returns (store,
+    * v2 index path). */
+  private def ivfpqIncrArtifact(s: SparkSession, d: String): (SnapshotStore, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_${Tables.fingerprint(s, d, "embeddings")}"
+    val store = new SnapshotStore(s, base, "vec_id")
+    val emb = Tables.embeddings(s, d)
+    if (!store.versions().contains(1L)) store.writeRangePartitioned(emb, 1L, 8)
+    val idx1 = s"$base/idx_v1"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx1/codes/_SUCCESS")))
+      writeIvfpqIndex(store.read(1L), idx1, nCells = 32, m = 8, ksub = 16, iters = 2)
+    val idx2 = s"$base/idx_v2"
+    if (!store.versions().contains(2L)) {
+      val updates = emb.filter(col("vec_id") % 7 === 3)
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+      val inserts = emb.filter(col("vec_id") % 29 === 7)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+        .withColumn("embedding", reverse(col("embedding")))
+      val dels = emb.filter(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 3)
+        .select("vec_id")
+      store.mergeDelta(1L, 2L, updates.unionByName(inserts), Some(dels))
+      updateIvfpqIndex(s, store, 1L, 2L, idx1, idx2)
+    }
+    (store, idx2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -1348,31 +1488,27 @@ object Similarity {
       // only rewritten files' vectors re-encode under the frozen
       // quantizer — and the search runs against the updated artifact,
       // reading only probed cells' code files.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_incr_${Tables.fingerprint(s, d, "embeddings")}"
-      val store = new SnapshotStore(s, base, "vec_id")
-      val emb = Tables.embeddings(s, d)
-      if (!store.versions().contains(1L)) store.writeRangePartitioned(emb, 1L, 8)
-      val idx1 = s"$base/idx_v1"
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx1/codes/_SUCCESS")))
-        writeIvfpqIndex(store.read(1L), idx1, nCells = 32, m = 8, ksub = 16, iters = 2)
-      val idx2 = s"$base/idx_v2"
-      if (!store.versions().contains(2L)) {
-        val updates = emb.filter(col("vec_id") % 7 === 3)
-          .withColumn("embedding",
-            transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
-        val inserts = emb.filter(col("vec_id") % 29 === 7)
-          .withColumn("vec_id", col("vec_id") + 10000000L)
-          .withColumn("embedding", reverse(col("embedding")))
-        val dels = emb.filter(col("vec_id") % 11 === 5 && col("vec_id") % 7 =!= 3)
-          .select("vec_id")
-        store.mergeDelta(1L, 2L, updates.unionByName(inserts), Some(dels))
-        updateIvfpqIndex(s, store, 1L, 2L, idx1, idx2)
-      }
+      val (store, idx2) = ivfpqIncrArtifact(s, d)
       ivfpqTopKFrom(s, idx2, store.read(2L).filter(col("vec_id") < 50),
         k = 5, nprobe = 4)
         .orderBy("query_id", "rk")
+    },
+
+    "ann_ivfpq_incr_recall" -> { (s, d) =>
+      // HASH-CHECKED recall gate on the INCREMENTALLY MAINTAINED index
+      // (the other four gates test freshly built indexes only): planted
+      // near-duplicate queries over the MERGED corpus must recover
+      // their true neighbors from ann_ivfpq_incr's carry/re-encode
+      // artifact — proving codes produced at different times stay
+      // mutually ADC-comparable in a searchable index, not just
+      // bit-exact in a spec. Same one-row boolean shape as the other
+      // gates; the oracle replicates the merge's id arithmetic.
+      val (store, idx2) = ivfpqIncrArtifact(s, d)
+      val v2 = store.read(2L)
+      val q = plantedQueries(v2, 50)
+      recallSummary(
+        ivfpqTopKFrom(s, idx2, q, k = 5, nprobe = 4),
+        bruteForceTopKL2(q, v2, 1), k = 5, threshold = 0.7)
     },
 
     "ann_opq" -> { (s, d) =>
@@ -1480,6 +1616,13 @@ object Similarity {
     "ann_ivf_recall" -> recallOracle,
     "ann_ivfpq_recall" -> recallOracle,
     "ann_opq_recall" -> recallOracle,
+
+    // the incr gate's query set is v2's ids < 50: v1 minus the merge's
+    // deletions (inserts land far above 50)
+    "ann_ivfpq_incr_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 50 AND NOT (vec_id % 11 = 5 AND vec_id % 7 <> 3)""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH pairs AS (

@@ -584,6 +584,67 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 3L))
   }
 
+  test("staleness gauge trips on a drifted corpus across batches; retrain restores error and recall") {
+    import graft.operators.{Similarity, SnapshotStore}
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_ivfpq_drift").toString
+    val store = new SnapshotStore(spark, base, "vec_id")
+    // v1 corpus: 4 clean clusters in dims [0,16); jitter has more
+    // distinct patterns (11) than PQ codewords (8) so the baseline
+    // reconstruction error is small but strictly positive
+    def clusterVec(i: Int) = {
+      val c = i % 4
+      Array.tabulate(16)(d =>
+        (if (d >= 4 * c && d < 4 * c + 4) 4.0f else 0.0f) + ((i * 7 + d * 3) % 11) * 0.07f)
+    }
+    store.writeRangePartitioned(
+      (0 until 48).map(i => (i.toLong, clusterVec(i))).toDF("vec_id", "embedding"), 1L, 4)
+    val idx1 = s"$base/idx1"
+    Similarity.writeIvfpqIndex(store.read(1L), idx1, nCells = 4, m = 4, ksub = 8, iters = 3)
+    val (b0, l0) = Similarity.loadGauge(spark, s"$idx1/gauge").get
+    assert(b0 > 0.0 && l0 == b0, "fresh index: last == baseline")
+
+    // drift in three batches: vectors migrate to a region the v1
+    // quantizer never saw (large magnitude, different dims), replacing
+    // a third of the corpus each time
+    def driftVec(i: Int) = Array.tabulate(16)(d =>
+      (if (d % 4 == i % 4) 9.0f else -7.0f) + ((i * 5 + d) % 7) * 0.3f)
+    def batch(n: Long) = ((n - 2) * 16 until (n - 1) * 16)
+      .map(i => (i.toLong, driftVec(i.toInt))).toDF("vec_id", "embedding")
+    var gauges = List.empty[Double]
+    (2L to 4L).foreach { v =>
+      store.mergeDelta(v - 1, v, batch(v))
+      Similarity.updateIvfpqIndex(spark, store, v - 1, v,
+        s"$base/idx${v - 1}", s"$base/idx$v")
+      val (b, l) = Similarity.loadGauge(spark, s"$base/idx$v/gauge").get
+      assert(b == b0, "frozen chain carries its baseline")
+      gauges ::= l / b
+    }
+    // every drifted delta reads far above baseline — the gauge trips
+    assert(gauges.forall(_ > 2.0), s"drift ratios: $gauges")
+
+    // same final merge, but with the retrain trigger armed: the v4
+    // update abandons the frozen carry and rebuilds
+    val (carried, reencoded) = Similarity.updateIvfpqIndex(spark, store, 3L, 4L,
+      s"$base/idx3", s"$base/idx4_retrained", retrainRatio = Some(2.0))
+    assert(carried == 0L && reencoded == 48L, s"expected full rebuild, got ($carried, $reencoded)")
+    val (b4, l4) = Similarity.loadGauge(spark, s"$base/idx4_retrained/gauge").get
+    assert(l4 == b4, "retrain resets the gauge")
+    // retrained quantizer fits the drifted corpus again: its residual
+    // error sits far below the frozen chain's drifted-delta error
+    val frozenDeltaMse = gauges.head * b0
+    assert(b4 < frozenDeltaMse / 2.0,
+      s"retrained baseline $b4 vs frozen-chain delta mse $frozenDeltaMse")
+    // and the retrained artifact passes the planted recall gate
+    val v4 = store.read(4L)
+    val q = Similarity.plantedQueries(v4, 48)
+    val gate = Similarity.recallSummary(
+      Similarity.ivfpqTopKFrom(spark, s"$base/idx4_retrained", q, k = 5, nprobe = 2),
+      Similarity.bruteForceTopKL2(q, v4, 1), k = 5, threshold = 0.7)
+      .collect().head
+    assert(gate.getBoolean(2), s"retrained recall gate failed: $gate")
+  }
+
   test("opq rotation rides the persisted ivfpq index: search ≡ inline build on the rotated corpus") {
     import graft.operators.Similarity
     import java.nio.file.Files
