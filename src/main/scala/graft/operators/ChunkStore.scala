@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -227,11 +227,28 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * stored blob (a blob that vanished — crashed sweep, lost bucket
     * file — never enters the blob scan, so only the manifest side can
     * report it). Returns (ref_hex, bucket, bytes, status) with status
-    * ok / decrypt_failed / ref_mismatch / missing_blob. */
-  def scrub(): DataFrame = {
+    * ok / decrypt_failed / ref_mismatch / missing_blob.
+    *
+    * `rotation = (run, runsPerCycle)` makes the scrub SAMPLED and
+    * deterministic: only buckets with `bucket % runsPerCycle ==
+    * run % runsPerCycle` are scanned (blob pass AND manifest pass —
+    * the manifest side routes through the same ref-hash bucket
+    * function, so the two passes cover the same slice). At 100 TB an
+    * all-at-once scrub is a multi-hour full read; a nightly run with
+    * `(dayOfYear, 7)` reads ~1/7 of the repository and provably
+    * covers EVERY bucket each week (spec-pinned: the union of one
+    * cycle's runs equals the full scrub; any planted corruption is
+    * found within one cycle). */
+  def scrub(rotation: Option[(Long, Int)] = None): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val m = master
+    val inRotation: Column = rotation match {
+      case Some((run, n)) =>
+        require(n > 0, s"runsPerCycle must be positive, got $n")
+        col("bucket") % n === ((run % n + n) % n)
+      case None => lit(true)
+    }
     val manifestRefs = versions() match {
       case Seq() => None
       case vs => Some(vs.map(v => manifest(v).select("ref_hex", "bytes"))
@@ -240,8 +257,10 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     val missing = manifestRefs.map(
       _.join(refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
         .select(col("ref_hex"), bucketCol.as("bucket"), col("bytes"),
-          lit("missing_blob").as("status")))
+          lit("missing_blob").as("status"))
+        .filter(inRotation))
     val scanned = refs().select(col("ref_hex"), col("bucket"), col("bytes"), col("blob"))
+      .filter(inRotation)
       .as[(String, Long, Long, Array[Byte])]
       .map { case (refHex, bucket, bytes, blob) =>
         val ref = refHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -359,36 +378,74 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     val stats = dead.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
     val dirty = dead.select("bucket").distinct().collect().map(_.getLong(0))
     if (dirty.nonEmpty) {
-      // one job rewrites every dirty bucket's survivors to a tmp dir...
+      // one job rewrites every dirty bucket's survivors to a tmp dir,
+      // then the journaled non-destructive swap lands them
       val tmp = new Path(s"$basePath/.tmp-sweep-${java.util.UUID.randomUUID()}")
       refs().filter(col("bucket").isin(dirty.toSeq: _*))
         .join(live, Seq("ref_hex"), "left_semi")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-      // ...the swap journal commits the plan (crash after this point →
-      // [[completeSweep]] can finish every bucket from the tmp dir)...
-      val planTmp = new Path(tmp, "._swap_plan.tmp")
-      val out = fs.create(planTmp, true)
-      try out.write(dirty.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(planTmp, new Path(tmp, "_swap_plan")))
-        throw new java.io.IOException(s"sweep journal publish failed under $tmp")
-      // ...then each dirty bucket swaps NON-destructively: the current
-      // dir renames ASIDE (into the sweep dir — never deleted while it
-      // could be a chunk's only copy), survivors rename in (a bucket
-      // with no survivors stays absent). Clean buckets untouched. Only
-      // after EVERY bucket swapped does the sweep dir — asides and
-      // leftovers — get deleted.
-      dirty.foreach { b =>
-        val cur = new Path(s"$chunksDir/bucket=$b")
-        val neu = new Path(s"$tmp/bucket=$b")
-        val aside = new Path(s"$tmp/replaced-bucket=$b")
-        if (fs.exists(cur) && !fs.rename(cur, aside))
-          throw new java.io.IOException(s"sweep aside failed: $cur -> $aside")
-        if (fs.exists(neu) && !fs.rename(neu, cur))
-          throw new java.io.IOException(s"sweep publish failed: $neu -> $cur")
-      }
-      fs.delete(tmp, true)
+      journalAndSwap(tmp, dirty.toSeq)
     }
     (drop, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** The sweep's commit protocol, shared by [[pruneChunks]] and
+    * [[maybeCompactChunkBuckets]]: the `_swap_plan` journal commits
+    * the dirty-bucket plan (crash after this point → [[completeSweep]]
+    * finishes every bucket from the tmp dir), then each dirty bucket
+    * swaps NON-destructively — the current dir renames ASIDE into the
+    * sweep dir (never deleted while it could be a chunk's only copy),
+    * the replacement renames in (a bucket with no replacement stays
+    * absent). Clean buckets untouched. Only after EVERY bucket swapped
+    * does the sweep dir — asides and leftovers — get deleted. */
+  private def journalAndSwap(tmp: Path, dirty: Seq[Long]): Unit = {
+    val planTmp = new Path(tmp, "._swap_plan.tmp")
+    val out = fs.create(planTmp, true)
+    try out.write(dirty.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(planTmp, new Path(tmp, "_swap_plan")))
+      throw new java.io.IOException(s"swap journal publish failed under $tmp")
+    dirty.foreach { b =>
+      val cur = new Path(s"$chunksDir/bucket=$b")
+      val neu = new Path(s"$tmp/bucket=$b")
+      val aside = new Path(s"$tmp/replaced-bucket=$b")
+      if (fs.exists(cur) && !fs.rename(cur, aside))
+        throw new java.io.IOException(s"swap aside failed: $cur -> $aside")
+      if (fs.exists(neu) && !fs.rename(neu, cur))
+        throw new java.io.IOException(s"swap publish failed: $neu -> $cur")
+    }
+    fs.delete(tmp, true): Unit
+  }
+
+  /** Per-bucket small-file compaction — the repository twin of
+    * [[SnapshotStore.compact]]: every [[backup]]/[[backupDelta]]
+    * appends a fresh part-file set into each bucket it touches, so at
+    * streaming cadence ([[graft.streaming.StreamOps.chunkBackupStream]],
+    * one backup per micro-batch) a bucket accumulates files forever
+    * and every repository read pays the open-per-file tax. Buckets
+    * holding more than `maxFilesPerBucket` part-files fold to one
+    * file each (rows pass through VERBATIM — content identity, only
+    * layout changes; one shuffle routes each bucket to one writer
+    * task). Publication rides the sweep's journaled non-destructive
+    * swap ([[journalAndSwap]]) so every crash window recovers via the
+    * same [[completeSweep]] path. Returns the compacted bucket ids. */
+  def maybeCompactChunkBuckets(maxFilesPerBucket: Int = 8): Seq[Long] = {
+    recoverSweeps()
+    val root = new Path(chunksDir)
+    if (!fs.exists(root)) return Seq.empty
+    val dirty = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+      .sorted
+    if (dirty.nonEmpty) {
+      val tmp = new Path(s"$basePath/.tmp-sweep-${java.util.UUID.randomUUID()}")
+      refs().filter(col("bucket").isin(dirty: _*))
+        .repartition(dirty.size, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      journalAndSwap(tmp, dirty)
+    }
+    dirty
   }
 
   /** Finish every interrupted sweep left under the repository root —

@@ -173,6 +173,39 @@ class ChunkStoreSpec extends SparkSpec {
     assert(statuses.values.count(_ == "ok") == statuses.size - 2)
   }
 
+  test("rotating scrub: one cycle covers every bucket; planted corruption found within the cycle") {
+    val base = Files.createTempDirectory("graft_chunkstore_rot").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    def canonScrub(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    val full = canonScrub(store.scrub())
+    // a 3-run cycle partitions the repository: runs are disjoint,
+    // their union is exactly the full scrub, and run identity only
+    // depends on run % cycle (day 5 of a 3-cycle == run 2)
+    val runs = (0L until 3L).map(r => canonScrub(store.scrub(Some((r, 3)))))
+    assert(runs.reduce(_ union _) == full)
+    assert(runs.combinations(2).forall { case Seq(a, b) => (a intersect b).isEmpty })
+    assert(runs.forall(_.nonEmpty))
+    assert(canonScrub(store.scrub(Some((5L, 3)))) == runs(2))
+    // every scanned bucket belongs to its run's residue class
+    runs.zipWithIndex.foreach { case (rows, r) =>
+      assert(rows.forall(_._2 % 3 == r), s"run $r scanned foreign buckets")
+    }
+    // plant corruption + a vanished manifest ref; each is found by
+    // exactly its bucket's run within one cycle
+    val victim = store.refs().limit(1).collect().head
+    val vBucket = victim.getLong(3)
+    val bad = victim.getAs[Array[Byte]]("blob").clone()
+    bad(0) = (bad(0) ^ 0x55).toByte
+    Seq(("ee" * 32, 7L, bad)).toDF("ref_hex", "bytes", "blob")
+      .write.mode("append").parquet(s"$base/chunks/bucket=$vBucket")
+    val found = (0L until 3L).flatMap(r =>
+      canonScrub(store.scrub(Some((r, 3)))).filter(_._3 != "ok").map(r -> _))
+    assert(found.map(_._2._1) == Seq("ee" * 32), s"found: $found")
+    assert(found.head._1 == vBucket % 3, "corruption surfaced outside its bucket's run")
+  }
+
   test("vacuum removes aged .tmp leftovers, keeps fresh ones and committed state") {
     val base = Files.createTempDirectory("graft_chunkstore_vac").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)
@@ -316,6 +349,53 @@ class ChunkStoreSpec extends SparkSpec {
     assert(vanished.forall(r => st(r) == "missing_blob"),
       s"missing refs not classified: ${vanished.map(st.get).toSet}")
     assert(st.filterNot { case (r, _) => vanished(r) }.values.toSet == Set("ok"))
+  }
+
+  test("maybeCompactChunkBuckets folds over-threshold buckets; content, restores, scrub, accounting invariant") {
+    val base = Files.createTempDirectory("graft_chunkstore_compact").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 2)
+    // five backups, each appending part-files into ~every bucket
+    // (nBuckets=2 concentrates them)
+    def pay(seed: Int) = (1L to 6L).map(id =>
+        (id, (0 until 30).map(i => s"gen$seed-doc$id-blk$i").mkString(" ")))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+    store.backup(pay(0), "id", "payload", 1L)
+    (1 to 4).foreach { g =>
+      store.backupDelta(g.toLong, g + 1L, pay(g), pay(g).limit(0).select("id"),
+        "id", "payload")
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerBucket() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/chunks"))
+      .filter(_.getPath.getName.startsWith("bucket=")).map(d =>
+        d.getPath.getName.stripPrefix("bucket=").toLong ->
+          fs.listStatus(d.getPath).count(_.getPath.getName.startsWith("part-")))
+      .toMap
+    val before = filesPerBucket()
+    assert(before.values.exists(_ > 4), s"fixture needs over-threshold buckets: $before")
+    val contentBefore = (1L to 5L).map(v => v -> canon(store.restore(v))).toMap
+    val acctBefore = store.accounting().collect().map(_.toSeq).toList
+    val refsBefore = store.refs().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toList
+
+    val compacted = store.maybeCompactChunkBuckets(maxFilesPerBucket = 4)
+    assert(compacted == before.filter(_._2 > 4).keys.toSeq.sorted,
+      s"compacted $compacted vs $before")
+    val after = filesPerBucket()
+    assert(compacted.forall(b => after(b) == 1), s"folded buckets not single-file: $after")
+    assert(before.filterNot(kv => compacted.contains(kv._1)) ==
+      after.filterNot(kv => compacted.contains(kv._1)), "clean buckets untouched")
+    // content identity: every version restores byte-identical, the
+    // ref set (incl. bucket assignment) and accounting are unchanged
+    (1L to 5L).foreach(v => assert(canon(store.restore(v)) == contentBefore(v)))
+    assert(store.refs().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toList == refsBefore)
+    assert(store.accounting().collect().map(_.toSeq).toList == acctBefore)
+    assert(store.scrub().select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ok"))
+    // threshold-gated: a second pass finds nothing to fold
+    assert(store.maybeCompactChunkBuckets(maxFilesPerBucket = 4).isEmpty)
   }
 
   test("redact erases ids from every version and as-of read; shared chunks and other payloads survive byte-identical") {
