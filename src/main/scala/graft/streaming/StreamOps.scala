@@ -392,6 +392,77 @@ object StreamOps {
       }
     }
 
+  /** Lake-wide CONSISTENT encrypted backup — [[chunkBackupStream]]
+    * composed with the [[lakeMergeStream]] group commit, closing the
+    * last consistency gap: multiple encrypted chunk REPOSITORIES fed
+    * by one multi-table CDC stream used to have no cross-repository
+    * atomic version, so a multi-table encrypted restore could mix
+    * states (orders' payloads at batch N, lineitem's at N−1).
+    *
+    * Per micro-batch, every table's slice [[graft.operators.ChunkStore.backupDelta]]s
+    * into ITS OWN repository at the SAME target version (all
+    * repositories must share a base version — checked once, recorded
+    * write-once beside the checkpoint), then ONE group marker
+    * publishes atomically under `groupCommitDir`.
+    * [[groupVersions]]/[[restoreChunkGroup]] read ONLY marker'd
+    * versions: a crash between per-table repository commits leaves the
+    * version invisible to group readers, and the replayed batch
+    * completes it — repositories already at the target version skip
+    * (manifest-publish idempotence), the rest backup, the marker
+    * lands; a failed marker publish fails the batch (same fail-fast as
+    * [[lakeMergeStream]] — swallowing it would strand the version
+    * permanently uncommitted). A batch with no rows for some table
+    * still advances that table's repository (manifest rows carry via
+    * the delta's empty anti-join), so a committed group version always
+    * has every repository present. */
+  def lakeChunkBackupStream(changes: DataFrame,
+      stores: Map[String, graft.operators.ChunkStore],
+      groupCommitDir: String, checkpointDir: String,
+      idCol: String = "id", payloadCol: String = "payload",
+      tableCol: String = "table", changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stores.nonEmpty, "empty table group")
+    val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
+    val names = stores.keys.toSeq.sorted
+    versionChainStream(changes, checkpointDir, () => {
+      val bases = stores.map { case (n, st) =>
+        n -> st.versions().lastOption.getOrElse(throw new IllegalStateException(
+          s"table '$n' needs a base version (ChunkStore.backup) in its repository"))
+      }
+      require(bases.values.toSet.size == 1,
+        s"all repositories must share a base version, got $bases")
+      val b = bases.values.head
+      writeGroupMarker(hconf, groupCommitDir, b, names)
+      b
+    }) { (batch, from, to) =>
+      names.foreach { name =>
+        val store = stores(name)
+        if (!store.versions().contains(to)) {
+          val slice = collapseLastPerKey(
+            batch.filter(col(tableCol) === name).drop(tableCol), idCol, seqCol)
+          val changed = slice.filter(col(changeTypeCol).isin("insert", "update"))
+            .select(col(idCol).cast("long").as(idCol), col(payloadCol))
+          val removed = slice.filter(col(changeTypeCol) === "delete")
+            .select(col(idCol).cast("long").as(idCol))
+          store.backupDelta(from, to, changed, removed, idCol, payloadCol): Unit
+        }
+      }
+      writeGroupMarker(hconf, groupCommitDir, to, names)
+    }
+  }
+
+  /** Group-consistent restore across encrypted repositories: every
+    * table's corpus at one marker'd version — [[restoreGroup]]'s
+    * repository twin. Fails fast on an uncommitted version (a crash
+    * mid-group must stay invisible, never restore mixed states). */
+  def restoreChunkGroup(spark: SparkSession, groupCommitDir: String,
+      stores: Map[String, graft.operators.ChunkStore],
+      version: Long): Map[String, DataFrame] = {
+    require(groupVersions(spark, groupCommitDir).contains(version),
+      s"group version $version is not committed")
+    stores.map { case (n, st) => n -> st.restore(version) }
+  }
+
   /** Atomic (tmp+rename) group-commit marker, [[graft.operators.LakeSnapshot]]'s
     * `_commits` format: file named by the version, content = sorted
     * ','-joined table names. Idempotent — an existing marker stands. */

@@ -1135,6 +1135,86 @@ class StreamingSpec extends SparkSpec {
     assert(one == Set(25L, 128L))
   }
 
+  test("lakeChunkBackupStream: one atomic group version across repositories; a partial backup stays invisible until the replay completes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ChunkStore
+
+    val master = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val base = Files.createTempDirectory("graft_lake_chunk").toString
+    val orders = new ChunkStore(spark, s"$base/orders", master, nBuckets = 4)
+    val items = new ChunkStore(spark, s"$base/items", master, nBuckets = 4)
+    def pay(s: String) = s.getBytes("UTF-8")
+    def body(seed: String) = (0 until 40).map(i => s"blk-$seed-$i").mkString(" ")
+    orders.backup(Seq((1L, pay(body("o1"))), (2L, pay(body("o2"))))
+      .toDF("id", "payload"), "id", "payload", 1L)
+    items.backup(Seq((1L, pay(body("i1"))), (2L, pay(body("i2"))))
+      .toDF("id", "payload"), "id", "payload", 1L)
+    val stores = Map("orders" -> orders, "items" -> items)
+    val commits = s"$base/_commits"
+    val ckpt = Files.createTempDirectory("graft_lake_chunk_ckpt").toString
+
+    val input = MemoryStream[(String, Long, Array[Byte], String)]
+    val mk = (in: MemoryStream[(String, Long, Array[Byte], String)]) =>
+      StreamOps.lakeChunkBackupStream(
+        in.toDS().toDF("table", "id", "payload", "change_type"),
+        stores, commits, ckpt)
+    val query = mk(input)
+    try {
+      // batch 0 touches BOTH repositories → both publish v2 + 1 marker
+      input.addData(
+        ("orders", 1L, pay("EDITED " + body("o1")), "update"),
+        ("items", 3L, pay(body("i3")), "insert"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L))
+      // batch 1 touches ONLY orders — items' repository must still
+      // advance so the group version is complete
+      input.addData(("orders", 2L, Array.empty[Byte], "delete"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L, 3L))
+      assert(items.versions() == Seq(1L, 2L, 3L))
+    } finally query.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val g3 = StreamOps.restoreChunkGroup(spark, commits, stores, 3L)
+    assert(canon(g3("orders")) == Map(1L -> pay("EDITED " + body("o1")).toSeq))
+    assert(canon(g3("items")) == Map(1L -> pay(body("i1")).toSeq,
+      2L -> pay(body("i2")).toSeq, 3L -> pay(body("i3")).toSeq))
+
+    // crash window: orders' repository committed v4 but the batch died
+    // before items — the group must stay invisible...
+    orders.backupDelta(3L, 4L,
+      Seq((5L, pay(body("o5")))).toDF("id", "payload"),
+      Seq.empty[Long].toDF("id"), "id", "payload")
+    assert(orders.versions().contains(4L))
+    assert(!StreamOps.groupVersions(spark, commits).contains(4L))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.restoreChunkGroup(spark, commits, stores, 4L)
+    }
+    assert(e.getMessage.contains("not committed"))
+
+    // ...and the replayed batch completes it: orders (already at v4)
+    // skips on its committed manifest, items backs up, the marker lands
+    val input2 = MemoryStream[(String, Long, Array[Byte], String)]
+    val q2 = mk(input2)
+    try {
+      input2.addData(("orders", 0L, pay("x"), "noop"))  // replayed batch 0
+      input2.addData(("orders", 0L, pay("x"), "noop"))  // replayed batch 1
+      input2.addData(
+        ("orders", 5L, pay(body("o5")), "insert"),
+        ("items", 2L, Array.empty[Byte], "delete"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(StreamOps.groupVersions(spark, commits).contains(4L))
+    val g4 = StreamOps.restoreChunkGroup(spark, commits, stores, 4L)
+    assert(canon(g4("orders")) == Map(1L -> pay("EDITED " + body("o1")).toSeq,
+      5L -> pay(body("o5")).toSeq))
+    assert(canon(g4("items")) == Map(1L -> pay(body("i1")).toSeq,
+      3L -> pay(body("i3")).toSeq))
+  }
+
   test("lakeMergeStream: a failed group-marker publish fails the batch; the replay lands it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
