@@ -499,9 +499,16 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       }
     }
     // nothing dropped, but the sweep collects every chunk the erased
-    // ids exclusively referenced (plus any pre-existing orphans)
-    val (_, refsDeleted, bytesReclaimed) = pruneChunks(keep = versions())
-    (rewritten, refsDeleted, bytesReclaimed)
+    // ids exclusively referenced (plus any pre-existing orphans). A
+    // redact that rewrote NO manifest (ids already absent — the
+    // idempotent replay) skips the sweep: it could only find chunks a
+    // previous pass already collected, and an O(repository) scan per
+    // no-op replay would make redaction retries expensive at 100 TB.
+    if (rewritten == 0) (0, 0L, 0L)
+    else {
+      val (_, refsDeleted, bytesReclaimed) = pruneChunks(keep = versions())
+      (rewritten, refsDeleted, bytesReclaimed)
+    }
   }
 
   /** Land (or discard) interrupted [[redact]] manifest replacements:
