@@ -341,7 +341,7 @@ object Snapshot {
       // whose [min,max] overlaps the range (spec-asserted strict
       // subset; here the oracle proves the pruned read loses nothing
       // vs a plain filtered scan of the table).
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_range_store_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_range_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new SnapshotStore(s, base, "o_orderkey")
       if (!store.versions().contains(1L))
         store.writeRangePartitioned(
@@ -358,7 +358,7 @@ object Snapshot {
       // zone-map rows carried over unscanned. The oracle rebuilds the
       // merged state declaratively; the bucket aggregate over the FULL
       // v2 read proves no row was lost, duplicated, or left stale.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_store_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new SnapshotStore(s, base, "o_orderkey")
       val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       if (!store.versions().contains(2L)) {
@@ -385,7 +385,7 @@ object Snapshot {
       // CoW merge, BEFORE v3's reprice. Resolution is metadata-only
       // (version listing + _commit_ts sidecars), then one
       // single-version scan; the oracle rebuilds v2 declaratively.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_asof_store_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_asof_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new SnapshotStore(s, base, "o_orderkey")
       val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       if (!store.versions().contains(3L)) {
@@ -418,7 +418,7 @@ object Snapshot {
       // only files actually holding matches rewrite (the rest
       // byte-copy). The oracle is the declarative complement of the
       // predicate over the source table.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_delw_store_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_delw_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new SnapshotStore(s, base, "o_orderkey")
       if (!store.versions().contains(2L)) {
         if (!store.versions().contains(1L))
@@ -463,7 +463,7 @@ object Snapshot {
       // independently prune files; the read opens only their
       // intersection (spec asserts both dims prune; the oracle proves
       // the corner read loses nothing vs a plain filtered scan).
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store_${math.abs(d.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new SnapshotStore(s, base, "o_orderkey")
       if (!store.versions().contains(1L))
         store.writeZOrdered(
