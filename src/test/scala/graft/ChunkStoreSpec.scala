@@ -423,6 +423,26 @@ class ChunkStoreSpec extends SparkSpec {
     assert(r2 == 0 && d2 == 0L && b2 == 0L)
   }
 
+  test("redact that empties a version's manifest keeps the version restorable as an empty corpus") {
+    val base = Files.createTempDirectory("graft_chunkstore_redempty").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    // v1 holds ONLY id 2; v2 holds ids 2 and 3
+    val only2 = payloadRows(false, false, false).filter(col("id") === 2L)
+    store.backup(only2, "id", "payload", 1L, commitTs = Some(1000L))
+    store.backupDelta(1L, 2L,
+      payloadRows(false, false, false).filter(col("id") === 3L),
+      only2.limit(0).select("id"), "id", "payload", commitTs = Some(2000L))
+    val (rewritten, refsDeleted, _) = store.redact(Seq(2L))
+    assert(rewritten == 2 && refsDeleted > 0)
+    // v1 is now an EMPTY corpus — still a committed, restorable version
+    assert(store.versions() == Seq(1L, 2L))
+    assert(store.restore(1L).count() == 0)
+    assert(store.restoreAsOf(1500L).count() == 0)
+    assert(canon(store.restore(2L)) ==
+      canon(payloadRows(false, false, false).filter(col("id") === 3L)))
+    assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
+  }
+
   test("redact crash windows: complete tmp rolls FORWARD; superseded tmp beside a live manifest is discarded") {
     val base = Files.createTempDirectory("graft_chunkstore_redcr").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)

@@ -199,6 +199,28 @@ class SnapshotStoreSpec extends SparkSpec {
       store.read(3L).collect().map(_.toSeq).toSet)
   }
 
+  test("deleteWhere on a schema-evolved store: sidecar carries, fills survive, predicate sees evolved columns") {
+    val base = Files.createTempDirectory("graft_store_delw_evo").toString
+    val store = new SnapshotStore(spark, base, "k")
+    store.writeRangePartitioned(
+      (1L to 400L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, 8)
+    // evolve: add w with fill 0.0 (rides the _schema.json sidecar)
+    store.mergeDelta(1L, 2L, Seq((5L, "upd_5", 9.5), (6L, "upd_6", 7.5))
+      .toDF("k", "s", "w"), fill = Map("w" -> 0.0))
+    // predicate over the EVOLVED column: carried files read w via the
+    // sidecar fill, so w > 8 matches only k=5
+    val (_, _, deleted) = store.deleteWhere(2L, 3L, col("w") > 8.0)
+    assert(deleted == 1L)
+    val v3 = store.read(3L)
+    assert(v3.columns.toSeq == Seq("k", "s", "w"))
+    val m = v3.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(!m.contains(5L) && m(6L) == ("upd_6", 7.5) && m.size == 399)
+    // sidecar carried: fill still reads on byte-carried files
+    assert(m(100L) == ("row_100", 0.0))
+    // and the evolved read path still prunes through the carried map
+    assert(store.readKeyRange(3L, 90L, 110L).columns.toSeq == Seq("k", "s", "w"))
+  }
+
   test("restoreAndValidate reports ok on a clean copy and flags tampering") {
     import graft.functions.Fx
     val base = Files.createTempDirectory("graft_store_restore").toString
