@@ -610,12 +610,16 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         allParts.filter(p => names(p.getName))
       }
     }.getOrElse(allParts)
-    // which candidate files hold matching rows, and how many
+    // which candidate files hold matching rows, and how many. The
+    // match side filters on the BARE predicate: `filter` keeps only
+    // TRUE rows (nulls drop), identical to coalesce(pred,false), and
+    // the untranslatable coalesce wrapper would block parquet
+    // filter pushdown on this — the one scan whose pushdown matters.
     val matchStats =
       if (candidates.isEmpty) Map.empty[String, Long]
       else spark.read.schema(unionSchema)
         .parquet(candidates.map(_.toString): _*)
-        .filter(matches)
+        .filter(pred)
         .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
         .collect().map(r => base(r.getString(0)) -> r.getLong(1)).toMap
     val deleted = matchStats.values.sum
