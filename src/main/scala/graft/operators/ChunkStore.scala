@@ -480,10 +480,20 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   def redact(ids: Seq[Long]): (Int, Long, Long) = {
     require(ids.nonEmpty, "redact needs at least one payload id")
     recoverRedactions()
+    // ONE job finds every version holding a redacted id (a per-version
+    // isEmpty probe would be |versions| driver-blocking jobs — a year
+    // of daily backups is hundreds)
+    val hitVersions = versions() match {
+      case Seq() => Set.empty[Long]
+      case vs => vs.map(v => manifest(v).select(col("id"), lit(v).as("__v")))
+        .reduce(_.unionByName(_))
+        .filter(col("id").isin(ids: _*))
+        .select("__v").distinct().collect().map(_.getLong(0)).toSet
+    }
     var rewritten = 0
     versions().foreach { v =>
       val m = manifest(v)
-      if (!m.filter(col("id").isin(ids: _*)).isEmpty) {
+      if (hitVersions(v)) {
         val ts = commitTimestamp(v)
         val tmp = new Path(s"$basePath/manifests/.tmp-redact-v=$v")
         fs.delete(tmp, true) // leftover from an earlier crashed attempt

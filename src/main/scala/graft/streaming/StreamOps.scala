@@ -377,7 +377,8 @@ object StreamOps {
   def chunkBackupStream(changes: DataFrame, store: graft.operators.ChunkStore,
       checkpointDir: String, idCol: String = "id", payloadCol: String = "payload",
       changeTypeCol: String = "change_type",
-      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      seqCol: Option[String] = None,
+      autoCompactMaxFiles: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     versionChainStream(changes, checkpointDir, () =>
       store.versions().lastOption.getOrElse(throw new IllegalStateException(
         "chunkBackupStream needs a base version (ChunkStore.backup) in the store"))
@@ -390,6 +391,13 @@ object StreamOps {
           .select(col(idCol).cast("long").as(idCol))
         store.backupDelta(from, to, changed, removed, idCol, payloadCol): Unit
       }
+      // the stream that creates the per-batch small files also folds
+      // them: after the batch's manifest is committed this point is
+      // "between micro-batches" for the repository (single writer), so
+      // the journaled swap's non-concurrency contract holds. The
+      // threshold gate makes the steady-state cost one directory
+      // listing per batch.
+      autoCompactMaxFiles.foreach(n => store.maybeCompactChunkBuckets(n): Unit)
     }
 
   /** Lake-wide CONSISTENT encrypted backup — [[chunkBackupStream]]

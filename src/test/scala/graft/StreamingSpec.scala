@@ -1135,6 +1135,48 @@ class StreamingSpec extends SparkSpec {
     assert(one == Set(25L, 128L))
   }
 
+  test("chunkBackupStream in-stream bucket compaction bounds file counts; every version keeps restoring") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ChunkStore
+    val master = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val base = Files.createTempDirectory("graft_chunk_autoc").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 2)
+    def pay(s: String) = s.getBytes("UTF-8")
+    def body(seed: Int) = (0 until 40).map(i => s"blk-$seed-$i").mkString(" ")
+    store.backup(Seq((1L, pay(body(1)))).toDF("id", "payload"), "id", "payload", 1L)
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val query = StreamOps.chunkBackupStream(
+      input.toDS().toDF("id", "payload", "change_type"),
+      store, Files.createTempDirectory("graft_chunk_autoc_ckpt").toString,
+      autoCompactMaxFiles = Some(3))
+    try {
+      (2 to 6).foreach { i =>
+        input.addData((i.toLong, pay(body(i)), "insert"))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(store.versions() == (1L to 6L))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesPerBucket = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/chunks"))
+      .filter(_.getPath.getName.startsWith("bucket=")).map(d =>
+        fs.listStatus(d.getPath).count(_.getPath.getName.startsWith("part-")))
+    // without compaction each bucket would hold ~6 append sets; the
+    // in-stream fold keeps every bucket at or under threshold + 1
+    // (the batch that lands right after a fold)
+    assert(filesPerBucket.forall(_ <= 4), s"bucket files: ${filesPerBucket.toList}")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    (1 to 6).foreach { v =>
+      assert(canon(store.restore(v.toLong)) ==
+        (1 to v).map(i => i.toLong -> pay(body(i)).toSeq).toMap)
+    }
+    assert(store.scrub()
+      .filter(org.apache.spark.sql.functions.col("status") =!= "ok").count() == 0)
+  }
+
   test("lakeChunkBackupStream: one atomic group version across repositories; a partial backup stays invisible until the replay completes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
