@@ -279,6 +279,31 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(canon() == before)
   }
 
+  test("pruneBatchMarkers bounds _batches to the newest markers, ignoring hidden and non-marker files") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_prunemark").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_batches/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    (0 until 150).foreach(i => plant(s"batch-$i", (i + 1).toString))
+    plant("_max", "150")
+    plant(".batch-3.tmp", "")
+    TextAnalysis.pruneBatchMarkers(fs, path, keepNewest = 100)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_batches"))
+      .map(_.getPath.getName).toSet
+    val markers = names.filter(_.startsWith("batch-"))
+    assert(markers.size == 100)
+    // the NEWEST 100 survive (ids 50..149), _max and hidden leftovers
+    // are not the pruner's business
+    assert(markers == (50 until 150).map(i => s"batch-$i").toSet)
+    assert(names.contains("_max") && names.contains(".batch-3.tmp"))
+  }
+
   test("readAllocMax: _max short-circuits; lost _max re-derives from markers, poison-tolerant") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("graft_allocmax").toString + "/idx"
