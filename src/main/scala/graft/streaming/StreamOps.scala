@@ -471,6 +471,31 @@ object StreamOps {
     stores.map { case (n, st) => n -> st.restore(version) }
   }
 
+  /** Group-wide retention for a [[lakeChunkBackupStream]] lake: drop
+    * every group version NOT in `keep` from ALL repositories, keeping
+    * the group view consistent through every crash window. Ordering:
+    * the retired versions' MARKERS delete FIRST — group readers stop
+    * seeing a version before any of its chunks are swept, so a crash
+    * mid-prune can never leave a marker'd version that some
+    * repository has already garbage-collected (the restore-mixes-
+    * states failure again, via GC). Then each repository runs its own
+    * [[graft.operators.ChunkStore.pruneChunks]] — per-repo
+    * mark-and-sweep, reclaiming exactly the exclusive bytes; a crash
+    * between repositories leaves the stragglers' dead chunks for the
+    * next prune (garbage, never damage). Returns per-table
+    * (prunedVersions, refsDeleted, bytesReclaimed). */
+  def pruneChunkGroup(spark: SparkSession, groupCommitDir: String,
+      stores: Map[String, graft.operators.ChunkStore],
+      keep: Seq[Long]): Map[String, (Seq[Long], Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(groupCommitDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    groupVersions(spark, groupCommitDir).filterNot(keep.contains).foreach { v =>
+      if (!fs.delete(new org.apache.hadoop.fs.Path(dir, v.toString), false))
+        throw new java.io.IOException(s"could not retire group marker $v")
+    }
+    stores.map { case (n, st) => n -> st.pruneChunks(keep) }
+  }
+
   /** Atomic (tmp+rename) group-commit marker, [[graft.operators.LakeSnapshot]]'s
     * `_commits` format: file named by the version, content = sorted
     * ','-joined table names. Idempotent — an existing marker stands. */

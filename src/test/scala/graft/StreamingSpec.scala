@@ -1255,6 +1255,22 @@ class StreamingSpec extends SparkSpec {
       5L -> pay(body("o5")).toSeq))
     assert(canon(g4("items")) == Map(1L -> pay(body("i1")).toSeq,
       3L -> pay(body("i3")).toSeq))
+
+    // group-wide retention: retire v1-v2 everywhere; markers go FIRST
+    // (a crash mid-prune must never leave a marker'd version some
+    // repository already swept), survivors restore byte-identical
+    val pruned = StreamOps.pruneChunkGroup(spark, commits, stores, keep = Seq(3L, 4L))
+    assert(pruned("orders")._1 == Seq(1L, 2L) && pruned("items")._1 == Seq(1L, 2L))
+    // orders reclaims (o1-original + o2 chunks are in no survivor);
+    // items reclaims nothing — its retired manifests are subsets of
+    // surviving v3, exactly the dedup model's promise
+    assert(pruned("orders")._2 > 0 && pruned("items")._2 == 0L)
+    assert(StreamOps.groupVersions(spark, commits) == Seq(3L, 4L))
+    val g4b = StreamOps.restoreChunkGroup(spark, commits, stores, 4L)
+    assert(canon(g4b("orders")) == canon(g4("orders")))
+    assert(canon(g4b("items")) == canon(g4("items")))
+    intercept[IllegalArgumentException](
+      StreamOps.restoreChunkGroup(spark, commits, stores, 2L))
   }
 
   test("lakeMergeStream: a failed group-marker publish fails the batch; the replay lands it") {
