@@ -347,6 +347,36 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     fs.delete(tmp, true): Unit
   }
 
+  /** Place a LEGAL HOLD on a committed version: [[pruneChunks]] will
+    * refuse to drop it no matter what `keep` says, until [[release]].
+    * The compliance primitive every backup tool pairs with retention
+    * (litigation hold / WORM-until-released): retention policy is
+    * automation, holds are human decisions, and automation must not
+    * override them. One marker file (`_holds/<version>`), idempotent.
+    * Orthogonal to [[redact]] by design: a hold preserves the
+    * VERSION; erasure law still removes the redacted payloads from
+    * it — the two compose (hold the corpus, erase the person). */
+  def hold(version: Long): Unit = {
+    require(versions().contains(version), s"version $version does not exist")
+    val p = new Path(s"$basePath/_holds/$version")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  /** Release a [[hold]]; idempotent. The version becomes prunable by
+    * the next retention pass. */
+  def release(version: Long): Unit =
+    fs.delete(new Path(s"$basePath/_holds/$version"), false): Unit
+
+  /** Versions currently under a legal hold. */
+  def holds(): Seq[Long] = {
+    val dir = new Path(s"$basePath/_holds")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+  }
+
   /** Mark-and-sweep GC — the `prune` every deduplicating backup tool
     * runs weekly: drop every version NOT in `keep`, then delete the
     * chunk rows no surviving manifest references (which includes
@@ -354,6 +384,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * manifests' distinct refs; sweep = rewrite ONLY the buckets
     * holding a dead ref (survivors re-land via tmp dir + directory
     * swap; a bucket left with no survivors is deleted outright).
+    * Versions under a [[hold]] are kept regardless of `keep`.
     * Returns (prunedVersions, refsDeleted, bytesReclaimed) —
     * bytesReclaimed equals the pruned versions' collective
     * exclusive_bytes, spec-pinned. */
@@ -362,7 +393,8 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     // a bucket's only live copy in its sweep dir, and this sweep's
     // refs() read must see every stored chunk
     recoverSweeps()
-    val drop = versions().filterNot(keep.contains)
+    val held = holds()
+    val drop = versions().filterNot(v => keep.contains(v) || held.contains(v))
     // deleting dropped manifests FIRST makes the sweep restartable:
     // a crash mid-sweep leaves dead chunks the next sweep collects
     drop.foreach(v => fs.delete(new Path(manifestDir(v)), true))
@@ -519,6 +551,58 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       val (_, refsDeleted, bytesReclaimed) = pruneChunks(keep = versions())
       (rewritten, refsDeleted, bytesReclaimed)
     }
+  }
+
+  /** Master-key rotation: decrypt every blob under THIS repository's
+    * master and re-encrypt under `newMaster` into a NEW repository
+    * root, returning its store. Content addresses are the PLAINTEXT's
+    * SHA-256, so every ref — and therefore every manifest — is
+    * identical: manifests and commit timestamps copy verbatim, only
+    * blob bytes change (each GCM tag now authenticates the new key).
+    * One narrow partition-local pass over the blobs (decrypt +
+    * re-encrypt, no shuffle) — at 100 TB this is the full-read
+    * operation key rotation fundamentally is; schedule it like a
+    * scrub, not a backup.
+    *
+    * A fresh root makes rotation atomic by construction: manifests
+    * copy LAST, so a crashed rekey leaves a target with chunk buckets
+    * but zero committed versions — visibly incomplete (`versions()`
+    * empty), safe to delete and re-run; the source repository is
+    * never touched. */
+  def rekeyTo(targetBasePath: String, newMaster: Array[Byte]): ChunkStore = {
+    require(targetBasePath != basePath, "rekey writes a new repository root")
+    val spark0 = spark
+    import spark0.implicits._
+    val (om, nm) = (master, newMaster)
+    val target = new ChunkStore(spark, targetBasePath, newMaster, nBuckets)
+    require(target.versions().isEmpty,
+      s"target $targetBasePath already holds committed versions")
+    refs().select(col("ref_hex"), col("bytes"), col("blob"), col("bucket"))
+      .as[(String, Long, Array[Byte], Long)]
+      .map { case (refHex, bytes, blob, bucket) =>
+        val ref = refHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val plain = ChunkCrypto.decryptChunk(om, ref, blob)
+        // encryptChunk re-derives the address from the plaintext — a
+        // free per-chunk integrity re-check riding the rotation
+        val (ref2, neu) = ChunkCrypto.encryptChunk(nm, plain)
+        if (!java.util.Arrays.equals(ref, ref2))
+          throw new IllegalStateException(
+            s"rekey: blob at $refHex decrypts to different-address plaintext")
+        (refHex, bytes, neu, bucket)
+      }
+      .toDF("ref_hex", "bytes", "blob", "bucket")
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$targetBasePath/chunks")
+    // manifests last = the commit point for the whole rotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    versions().foreach { v =>
+      val src = new Path(manifestDir(v))
+      val dst = new Path(s"$targetBasePath/manifests/v=$v")
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
+        throw new java.io.IOException(s"rekey manifest copy failed: $src -> $dst")
+    }
+    holds().foreach(target.hold)
+    target
   }
 
   /** Land (or discard) interrupted [[redact]] manifest replacements:
