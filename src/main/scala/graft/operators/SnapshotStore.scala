@@ -810,10 +810,36 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   /** Delete all but the newest `keepLast` versions. Returns the pruned
     * version ids. */
   def prune(keepLast: Int): Seq[Long] = {
+    val held = holds()
     val vs = versions()
-    val toDrop = vs.dropRight(keepLast)
+    val toDrop = vs.dropRight(keepLast).filterNot(held.contains)
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     toDrop.foreach(v => fs.delete(new Path(dir(v)), true))
     toDrop
+  }
+
+  /** Legal hold — [[ChunkStore.hold]]'s snapshot-store twin: [[prune]]
+    * keeps a held version no matter what `keepLast` says, until
+    * [[release]]. Retention is automation; holds are human compliance
+    * decisions automation must not override. One `_holds/<version>`
+    * marker file, idempotent. */
+  def hold(version: Long): Unit = {
+    require(versions().contains(version), s"version $version does not exist")
+    val p = new Path(s"$basePath/_holds/$version")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  /** Release a [[hold]]; idempotent. */
+  def release(version: Long): Unit =
+    fs.delete(new Path(s"$basePath/_holds/$version"), false): Unit
+
+  /** Versions currently under a legal hold. */
+  def holds(): Seq[Long] = {
+    val dir0 = new Path(s"$basePath/_holds")
+    if (!fs.exists(dir0)) Seq.empty
+    else fs.listStatus(dir0).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted.toSeq
   }
 }

@@ -221,6 +221,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.readKeyRange(3L, 90L, 110L).columns.toSeq == Seq("k", "s", "w"))
   }
 
+  test("legal hold: prune keeps a held version past keepLast until released") {
+    val base = Files.createTempDirectory("graft_store_hold").toString
+    val store = new SnapshotStore(spark, base, "k")
+    (1L to 4L).foreach(v =>
+      store.write((1L to 10L).map(i => (i, s"v${v}_$i")).toDF("k", "s"), v))
+    store.hold(1L)
+    assert(store.holds() == Seq(1L))
+    assert(store.prune(keepLast = 2) == Seq(2L))
+    assert(store.versions() == Seq(1L, 3L, 4L))
+    assert(store.read(1L).count() == 10)
+    store.release(1L)
+    assert(store.prune(keepLast = 2) == Seq(1L))
+    assert(store.versions() == Seq(3L, 4L))
+    intercept[IllegalArgumentException](store.hold(99L))
+  }
+
   test("restoreAndValidate reports ok on a clean copy and flags tampering") {
     import graft.functions.Fx
     val base = Files.createTempDirectory("graft_store_restore").toString
