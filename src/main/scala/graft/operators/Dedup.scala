@@ -639,6 +639,56 @@ object Dedup {
       exactGroups(Tables.documents(s, d)).orderBy("text_hash")
     },
 
+    "dedup_minhash_recall" -> { (s, d) =>
+      // HASH-CHECKED quality gate for the MinHash/LSH near-dup path
+      // (dedup_minhash itself is rows-only — buckets are murmur3-
+      // internal): every sufficiently long doc among the first 200
+      // gets a PLANTED near-duplicate (a short appended tail →
+      // 3-shingle Jaccard ≈ 0.85+, squarely in the 8-band×4-row
+      // catch zone), re-id'd far above the corpus. The banded
+      // candidate join must recover ≥70% of the planted pairs —
+      // reduced to one (n_planted, recall_ok) row whose boolean the
+      // DuckDB oracle asserts, so a silently broken hash family or
+      // banding bug fails CORRECTNESS, not just a spec.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val off = 1000000000L
+      val planted = docs.filter(col("doc_id") < 200 && length(col("text")) >= 200)
+      val dups = planted.select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail marker")).as("text"))
+      val corpus = docs.unionByName(dups)
+      val cands = lshCandidates(lshBuckets(minhashSignatures(corpus, 3, 32), 8, 32))
+      val hits = cands.filter(col("doc_b") === col("doc_a") + off)
+        .select(col("doc_a")).distinct()
+        .join(planted.select("doc_id"), col("doc_a") === col("doc_id"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted")).crossJoin(
+        hits.agg(count(lit(1)).as("__h")))
+        .select(col("n_planted"),
+          (col("__h").cast("double") / col("n_planted") >= 0.7).as("recall_ok"))
+    },
+
+    "dedup_emblsh_recall" -> { (s, d) =>
+      // HASH-CHECKED quality gate for the banded hyperplane LSH path
+      // (dedup_embcos_lsh is rows-only): the first 50 vectors get
+      // planted ~0.999-cosine twins far above the id range; the
+      // auto-banded candidate join + exact-cosine filter at 0.9 must
+      // recover ≥70% of the planted pairs. Same one-row boolean shape
+      // as the ANN recall gates.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val off = 1000000000L
+      val planted = emb.filter(col("vec_id") < 50)
+      val twins = planted.select((col("vec_id") + off).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => (a * lit(0.99f) + lit(0.02f) * b).cast("float")).as("embedding"))
+      val pairs = embCosPairsBucketedAuto(emb.unionByName(twins), 0.9)
+      val hits = pairs.filter(col("vec_b") === col("vec_a") + off)
+        .select(col("vec_a")).distinct()
+        .join(planted.select("vec_id"), col("vec_a") === col("vec_id"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted")).crossJoin(
+        hits.agg(count(lit(1)).as("__h")))
+        .select(col("n_planted"),
+          (col("__h").cast("double") / col("n_planted") >= 0.7).as("recall_ok"))
+    },
+
     "dedup_ngram" -> { (s, d) =>
       // Jaccard ≥ 1/2 over distinct word 3-shingles. The overlap stats
       // are SHARED with dedup_containment and dedup_clusters (one
@@ -730,6 +780,18 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the planted-recall gates' one-row shape is fully DuckDB-
+    // predictable: n_planted from the same filter over the table,
+    // recall_ok must read TRUE — a broken hash family or banding bug
+    // hash-fails CORRECTNESS even though buckets are Spark-internal
+    "dedup_minhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+        |FROM documents WHERE doc_id < 200 AND length(text) >= 200""".stripMargin,
+
+    "dedup_emblsh_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
     "dedup_editdist" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
         |SELECT a.name AS name_a, b.name AS name_b,
