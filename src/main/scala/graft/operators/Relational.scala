@@ -288,6 +288,29 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    "q_approx_gate" -> { (s, d) =>
+      // HASH-CHECKED accuracy gate behind q_approx's rows-only check:
+      // per group, the sketch answers must sit within stated error of
+      // the exact ones computed IN THE SAME PASS — approx_count_
+      // distinct (HLL++, rsd 0.01 → 5% headroom is generous) and
+      // percentile_approx at accuracy 10000 (rank error n/10000 → 1%
+      // value headroom on this distribution). DuckDB asserts the
+      // booleans, so a silently degraded sketch hash-fails
+      // CORRECTNESS instead of hiding behind "approximate by design".
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("__ad"),
+          count_distinct(col("l_orderkey")).as("__ed"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__am"),
+          expr("percentile(l_extendedprice, 0.5)").as("__em"))
+        .select(col("l_returnflag"),
+          (abs(col("__ad") - col("__ed")).cast("double") / col("__ed") <= 0.05)
+            .as("distinct_ok"),
+          (abs(col("__am") - col("__em")) / col("__em") <= 0.01).as("median_ok"))
+        .orderBy("l_returnflag")
+    },
+
     "q4_priority" -> { (s, d) =>
       // TPC-H Q4 shape: EXISTS → left-semi (never join+distinct, which
       // would fan out before deduplicating).
@@ -703,6 +726,10 @@ object Relational {
     * hashes match bit-for-bit (SURVEY §4).
     */
   val oracles: Map[String, String] = Map(
+    "q_approx_gate" ->
+      """SELECT l_returnflag, TRUE AS distinct_ok, TRUE AS median_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,

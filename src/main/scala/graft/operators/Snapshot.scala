@@ -456,6 +456,56 @@ object Snapshot {
       perPart.unionByName(overall).orderBy("l_returnflag")
     },
 
+    "snap_hll_gate" -> { (s, d) =>
+      // HASH-CHECKED accuracy gate behind snap_distinct_hll's
+      // rows-only check: per partition, the DataSketches HLL estimate
+      // must land within 5% of the exact distinct count (default
+      // lgK=12 → rsd ≈ 1.6%, so 5% is generous headroom), AND the
+      // union-of-parts estimate must equal merging the parts
+      // sketch-exactly (the mergeability the 100 TB manifest design
+      // rests on, here asserted through the driver gate rather than
+      // only a spec).
+      val li = Tables.lineitem(s, d)
+      val parts = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+          count_distinct(col("l_orderkey")).as("__exact"))
+      val per = parts.select(col("l_returnflag"),
+        (abs(hll_sketch_estimate(col("sk")) - col("__exact")).cast("double")
+          / col("__exact") <= 0.05).as("within_5pct"))
+      val overallOk = parts.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+        .crossJoin(li.agg(count_distinct(col("l_orderkey")).as("__exact")))
+        .select(lit("ALL").as("l_returnflag"),
+          (abs(col("__est") - col("__exact")).cast("double")
+            / col("__exact") <= 0.05).as("within_5pct"))
+      per.unionByName(overallOk).orderBy("l_returnflag")
+    },
+
+    "snap_cdc_gate" -> { (s, d) =>
+      // HASH-CHECKED dedup-value gate behind the CDC chunking entries
+      // (mm_cdc_chunks / snap_chunk_dedup are rows-only — gear-hash
+      // boundaries are engine-internal): yesterday's corpus is
+      // modeled as a PREFIX edit of every 11th doc; content-defined
+      // boundaries must RESYNCHRONIZE after the edit, so today's
+      // chunk bytes must still overwhelmingly dedupe against
+      // yesterday's store. A fixed-size chunker fails this gate on
+      // the shifted tails; so does a broken boundary function.
+      def chunksOf(mutate: DataFrame => DataFrame) = Multimodal.cdcChunks(
+        mutate(Tables.documents(s, d))
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+      val have = chunksOf(df => df.withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+          .otherwise(col("text"))))
+        .select(col("chunk_md5")).distinct()
+      val today = chunksOf(identity)
+      today.join(have.withColumn("__hit", lit(1)), Seq("chunk_md5"), "left")
+        .agg(sum(col("chunk_bytes")).as("__total"),
+          sum(when(col("__hit").isNotNull, col("chunk_bytes")).otherwise(0L)).as("__reused"))
+        .select(lit(1L).as("n_rows"),
+          (col("__reused").cast("double") / col("__total") >= 0.8).as("reuse_ok"))
+    },
+
     "snap_restore_zorder" -> { (s, d) =>
       // 2-D restore through the Z-ordered layout: orders clustered on
       // (o_custkey, o_orderdate) — NEITHER is the store key — then one
@@ -582,6 +632,14 @@ object Snapshot {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
         |WHERE NOT (o_totalprice > 150000.0 AND o_orderstatus <> 'F')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "snap_hll_gate" ->
+      """SELECT l_returnflag, TRUE AS within_5pct FROM lineitem GROUP BY 1
+        |UNION ALL SELECT 'ALL', TRUE
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "snap_cdc_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS n_rows, TRUE AS reuse_ok""".stripMargin,
 
     "snap_restore_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
