@@ -666,6 +666,30 @@ object Dedup {
           (col("__h").cast("double") / col("n_planted") >= 0.7).as("recall_ok"))
     },
 
+    "dedup_simhash_recall" -> { (s, d) =>
+      // HASH-CHECKED planted-recall gate for the SimHash→banded-
+      // Hamming path: long docs among the first 200 get appended-tail
+      // near-duplicates; a 5-token tail on a 70+-token doc shifts few
+      // weighted bit sums, so the pair must sit within Hamming
+      // distance 3 — where bands=4 > maxDist makes the join's recall
+      // EXACT by pigeonhole, leaving the HASH's locality as the only
+      // thing under test. ≥70% of planted pairs must surface.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val off = 1000000000L
+      val planted = docs.filter(col("doc_id") < 200 && length(col("text")) >= 500)
+      val dups = planted.select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail marker")).as("text"))
+      val pairs = hammingNearDup(simhash(docs.unionByName(dups)),
+        "doc_id", "simhash", maxDist = 3, bands = 4)
+      val hits = pairs.filter(col("id_b") === col("id_a") + off)
+        .select(col("id_a")).distinct()
+        .join(planted.select("doc_id"), col("id_a") === col("doc_id"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted")).crossJoin(
+        hits.agg(count(lit(1)).as("__h")))
+        .select(col("n_planted"),
+          (col("__h").cast("double") / col("n_planted") >= 0.7).as("recall_ok"))
+    },
+
     "dedup_emblsh_recall" -> { (s, d) =>
       // HASH-CHECKED quality gate for the banded hyperplane LSH path
       // (dedup_embcos_lsh is rows-only): the first 50 vectors get
@@ -791,6 +815,10 @@ object Dedup {
     "dedup_emblsh_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "dedup_simhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+        |FROM documents WHERE doc_id < 200 AND length(text) >= 500""".stripMargin,
 
     "dedup_editdist" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)

@@ -222,6 +222,33 @@ object Multimodal {
         .orderBy("id_a", "id_b")
     },
 
+    "mm_imagehash_gate" -> { (s, d) =>
+      // HASH-CHECKED recall gate behind mm_imagehash's rows-only
+      // check: a case-flip is an 86%-uniform brightness shift (digits,
+      // punctuation and spaces don't move), so twin block hashes
+      // measure ≤7 bits apart for ~86% of docs (measured distribution;
+      // ≤3 covers only ~44%). The gate queries at maxDist=7 with
+      // bands=8 — still EXACT recall by pigeonhole (bands > maxDist),
+      // so the hash's locality is the only thing under test — and
+      // ≥70% of docs must meet their twin. One-row boolean for the
+      // DuckDB oracle.
+      val off = 1000000L
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val twins = Tables.documents(s, d)
+        .select((col("doc_id") + off).as("doc_id"),
+          encode(upper(col("text")), "UTF-8").as("payload"))
+      val pairs = Dedup.hammingNearDup(
+        imageHashes(base.unionByName(twins), "doc_id", "payload"),
+        "doc_id", "block_hash", maxDist = 7, bands = 8)
+      val hits = pairs.filter(col("id_b") === col("id_a") + off)
+        .select(col("id_a")).distinct()
+      base.agg(count(lit(1)).as("n_docs")).crossJoin(
+        hits.agg(count(lit(1)).as("__h")))
+        .select(col("n_docs"),
+          (col("__h").cast("double") / col("n_docs") >= 0.7).as("recall_ok"))
+    },
+
     "mm_cdc_chunks" -> { (s, d) =>
       // Rows-only (gear table is build-internal): content-defined
       // chunking of every payload, ~64-byte average chunks.
@@ -391,6 +418,10 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_imagehash_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
