@@ -471,6 +471,34 @@ object StreamOps {
     stores.map { case (n, st) => n -> st.restore(version) }
   }
 
+  /** Continuous GDPR erasure queue — [[graft.operators.ChunkStore.redact]]
+    * fed by a stream of erasure requests (one `id` column): each
+    * micro-batch erases its payload ids from EVERY version of every
+    * given repository and sweeps their exclusive chunks. The id list
+    * is collected per batch — erasure requests are human-scale
+    * (hundreds, not billions; the 30-day-SLA queue shape), and redact
+    * needs the concrete list to rewrite manifests. Replay-safe by
+    * redact's own idempotence: a replayed batch finds the ids already
+    * absent, rewrites nothing, and skips the sweep entirely. */
+  def redactStream(requests: DataFrame,
+      stores: Seq[graft.operators.ChunkStore], checkpointDir: String,
+      idCol: String = "id",
+      maxIdsPerBatch: Int = 100000): org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select(col(idCol).cast("long")).distinct()
+          .limit(maxIdsPerBatch + 1)
+          .collect().map(_.getLong(0)).toSeq
+        require(ids.size <= maxIdsPerBatch,
+          s"erasure batch exceeds maxIdsPerBatch=$maxIdsPerBatch — erasure " +
+            "requests are human-scale; a larger batch suggests a wiring error")
+        if (ids.nonEmpty) stores.foreach(_.redact(ids): Unit)
+        ()
+      }
+      .start()
+
   /** Group-wide retention for a [[lakeChunkBackupStream]] lake: drop
     * every group version NOT in `keep` from ALL repositories, keeping
     * the group view consistent through every crash window. Ordering:

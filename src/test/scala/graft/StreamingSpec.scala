@@ -1135,6 +1135,50 @@ class StreamingSpec extends SparkSpec {
     assert(one == Set(25L, 128L))
   }
 
+  test("redactStream erases queued ids from every repository version; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ChunkStore
+    val master = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val base = Files.createTempDirectory("graft_redact_stream").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    def pay(s: String) = s.getBytes("UTF-8")
+    def body(seed: Int) = (0 until 40).map(i => s"blk-$seed-$i").mkString(" ")
+    store.backup((1L to 4L).map(i => (i, pay(body(i.toInt)))).toDF("id", "payload"),
+      "id", "payload", 1L, commitTs = Some(1000L))
+    store.backup((1L to 5L).map(i => (i, pay(body(i.toInt)))).toDF("id", "payload"),
+      "id", "payload", 2L, commitTs = Some(2000L))
+    val ckpt = Files.createTempDirectory("graft_redact_stream_ckpt").toString
+    val input = MemoryStream[Long]
+    val mk = (in: MemoryStream[Long]) =>
+      StreamOps.redactStream(in.toDS().toDF("id"), Seq(store), ckpt)
+    val q1 = mk(input)
+    try {
+      input.addData(2L)
+      q1.processAllAvailable()
+      input.addData(4L, 4L) // duplicate requests in one batch collapse
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0)).toSet
+    assert(canon(store.restore(1L).select("id")) == Set(1L, 3L))
+    assert(canon(store.restore(2L).select("id")) == Set(1L, 3L, 5L))
+    assert(canon(store.restoreAsOf(1500L).select("id")) == Set(1L, 3L))
+    // replay (fresh query, same checkpoint, same data re-fed): redact
+    // no-ops — nothing further disappears, repository stays healthy
+    val input2 = MemoryStream[Long]
+    val q2 = mk(input2)
+    try {
+      input2.addData(2L)
+      input2.addData(4L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(canon(store.restore(2L).select("id")) == Set(1L, 3L, 5L))
+    assert(store.scrub().filter(
+      org.apache.spark.sql.functions.col("status") =!= "ok").count() == 0)
+  }
+
   test("chunkBackupStream in-stream bucket compaction bounds file counts; every version keeps restoring") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
