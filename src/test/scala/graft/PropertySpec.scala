@@ -75,4 +75,32 @@ class PropertySpec extends AnyFunSuite {
       Multimodal.blockHash(b) == Multimodal.blockHash(b.clone())
     })
   }
+
+  private val master: Gen[Array[Byte]] =
+    Gen.listOfN(32, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("convergent chunk crypto: round-trip, convergence, address stability, key separation") {
+    import graft.operators.ChunkCrypto
+    check(Prop.forAll(bytes, master, master) { (b, m1, m2) =>
+      val (ref1, blob1) = ChunkCrypto.encryptChunk(m1, b)
+      val (ref1b, blob1b) = ChunkCrypto.encryptChunk(m1, b)
+      val (ref2, blob2) = ChunkCrypto.encryptChunk(m2, b)
+      val roundTrip = ChunkCrypto.decryptChunk(m1, ref1, blob1).sameElements(b)
+      // convergence: same (master, plaintext) → identical ciphertext —
+      // the property repository dedup rests on
+      val convergent = ref1.sameElements(ref1b) && blob1.sameElements(blob1b)
+      // the address is the PLAINTEXT's hash: master-independent (what
+      // makes rekeyTo's manifests carry verbatim)
+      val addressStable = ref1.sameElements(ref2)
+      // key separation: a different master cannot decrypt (GCM tag),
+      // and produces different ciphertext for non-trivial plaintexts
+      val separated = java.util.Arrays.equals(m1, m2) || {
+        val cannotDecrypt =
+          try { ChunkCrypto.decryptChunk(m2, ref1, blob1); false }
+          catch { case _: Exception => true }
+        cannotDecrypt && (b.isEmpty || !blob1.sameElements(blob2))
+      }
+      roundTrip && convergent && addressStable && separated
+    })
+  }
 }
