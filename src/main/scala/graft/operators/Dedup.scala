@@ -174,6 +174,79 @@ object Dedup {
       maxDf: Int = 100): DataFrame =
     containmentFromStats(pairOverlapStats(docs, k, maxDf), num, den)
 
+  /** (doc_id, win) pairs over distinct character windows of `k` chars
+    * sampled every `stride` positions of the normalized text — the
+    * character-level twin of [[docShingles]] for EXACT substring
+    * duplication (copied license blocks, quoted spans, mirrored
+    * paragraphs whose word-shingle Jaccard is diluted by surrounding
+    * text). Stride trades recall granularity for index size: a shared
+    * span of length ≥ k + stride - 1 always contributes at least one
+    * common sampled window on BOTH sides only if the docs align on the
+    * stride grid, so stride stays small (the classic suffix-array
+    * alternative at corpus scale: windows → group by content → df).
+    * Same typed-flatMap shape as docShingles (a generator over
+    * `transform(sequence(...), substr)` re-inlines the normalization
+    * per element — O(len²/stride) regex work). */
+  def docCharWindows(docs: DataFrame, k: Int, stride: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => charWindowSeq(text, k, stride).iterator.map((id, _)) }
+      .toDF("doc_id", "win")
+  }
+
+  /** JVM kernel of [[docCharWindows]] for ONE document (normalize →
+    * windows at positions 1, 1+stride, … ≤ len-k+1 → distinct). */
+  def charWindowSeq(text: String, k: Int, stride: Int): Seq[String] = {
+    val nt = text.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    if (nt.length < k) Nil
+    else (0 to nt.length - k by stride).map(p => nt.substring(p, p + k)).distinct
+  }
+
+  /** Cross-document EXACT substring duplication (the dedup pass of
+    * Lee et al.'s "Deduplicating Training Data" at window granularity):
+    * pairs (doc_a < doc_b) sharing ≥ 1 sampled k-char window, with the
+    * count of distinct shared windows — long verbatim overlaps score
+    * high even when the docs' overall Jaccard is low. The candidate
+    * join is the SAME df-capped equi-join as [[pairOverlapStats]]
+    * (windows in > maxDf docs are boilerplate: dropped before the join,
+    * so fan-out stays bounded); pairs only meet through a shared
+    * window, never a cross join. */
+  def substringDupPairs(docs: DataFrame, k: Int, stride: Int,
+      maxDf: Int = 100): DataFrame = {
+    val w = capWindowDf(docCharWindows(docs, k, stride), maxDf).localCheckpoint()
+    substringPairsFrom(w, col("win"))
+  }
+
+  /** The 100 TB shuffle-width variant: joins on `xxhash64(win)` (8
+    * bytes) instead of the k-char window string (k bytes + header) —
+    * the candidate exchange carries ~k/8× less data. A hash collision
+    * could only ADD a pair (never drop one); with 64-bit hashes over
+    * ≤ ~10¹² windows the expected number of colliding pairs is ≪ 1,
+    * and the spec pins pair-set equality with the exact path on real
+    * corpora. */
+  def substringDupPairsHashed(docs: DataFrame, k: Int, stride: Int,
+      maxDf: Int = 100): DataFrame = {
+    val w = capWindowDf(docCharWindows(docs, k, stride), maxDf)
+      .select(col("doc_id"), xxhash64(col("win")).as("win"))
+      .localCheckpoint()
+    substringPairsFrom(w, col("win"))
+  }
+
+  private def capWindowDf(w: DataFrame, maxDf: Int): DataFrame = {
+    val hot = w.groupBy("win").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("win")
+    w.join(broadcast(hot), Seq("win"), "left_anti")
+  }
+
+  private def substringPairsFrom(w: DataFrame, winCol: Column): DataFrame = {
+    val a = w.select(col("doc_id").as("doc_a"), winCol.as("win_a"))
+    val b = w.select(col("doc_id").as("doc_b"), winCol.as("win_b"))
+    a.join(b, col("win_a") === col("win_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Persist the (doc_id, shingle) index as a table bucketed+sorted by
     * shingle — the write-once cost that makes the O(n²)-ish candidate
     * self-join shuffle-free forever after (SURVEY §7.9). A 100 TB
@@ -800,6 +873,17 @@ object Dedup {
       // union. Pair stats shared with dedup_ngram/dedup_clusters.
       containmentFromStats(pairOverlapStatsShared(Tables.documents(s, d), d, 3), 2, 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_substring" -> { (s, d) =>
+      // Cross-doc EXACT substring duplication: pairs sharing ≥ 1
+      // sampled 60-char window (stride 4, df-capped equi-join) with
+      // the distinct-shared-window count — catches verbatim copied
+      // spans whose word-shingle Jaccard the surrounding text dilutes.
+      // Hash-checked: the window set is plain substr arithmetic both
+      // engines reproduce exactly.
+      substringDupPairs(Tables.documents(s, d), 60, 4)
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -961,6 +1045,21 @@ object Dedup {
         |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT DISTINCT doc_id, substr(nt, CAST(i AS INT), 60) AS win
+        |  FROM n, UNNEST(range(1, length(nt) - 58, 4)) AS u(i)
+        |  WHERE length(nt) >= 60),
+        |w AS (
+        |  SELECT doc_id, win FROM w0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   )
 }

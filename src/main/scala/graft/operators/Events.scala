@@ -73,7 +73,92 @@ object Events {
         / sum(col("n")).over(Window.partitionBy("from_type")), 6))
   }
 
+  /** Top-`k` most common opening user journeys: each user's first
+    * `steps` event types in (ts, event_id) order joined into a path
+    * string, counted across users — the product-analytics "common
+    * paths" view next to [[transitions]]'s first-order matrix. One
+    * row_number window (shuffle on user_id), then a map-side
+    * combinable count over the tiny |distinct paths| frame; top-k via
+    * count-then-path ordering so ties break deterministically. */
+  def userPaths(events: DataFrame, steps: Int, k: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= steps)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * lifecycle-analytics scoring table: per user, days since last
+    * event (relative to the corpus's max day, so the score is
+    * reproducible), event count, exact-decimal value sum, each mapped
+    * to a 1–5 score, plus the composite cell (rank 555 = best).
+    *
+    * Scores are NOT a global NTILE over users (a single-partition sort
+    * of every user — the exact shape q_window_running exists to
+    * avoid). Instead score = floor(5·before/n)+1 where `before` =
+    * users with a strictly WORSE value, computed as a window cumsum
+    * over the BOUNDED distinct-value count frame: |days| values for
+    * recency, |distinct counts| for frequency, and floor(mon/10)
+    * buckets for monetary — all orders of magnitude smaller than the
+    * user count, so the only global window runs over a frame that
+    * fits one task at any corpus size. Ties share a score by
+    * construction (no arbitrary NTILE tie splits), and every input to
+    * the floor is an exact integer, so scores hash identically on any
+    * engine. */
+  def rfm(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(decV(col("value"))).as("mon"))
+    val now = per.agg(max(to_date(col("last_ts"))).as("__now"),
+      count(lit(1)).as("__n"))
+    val base = per.crossJoin(broadcast(now))
+      .select(col("user_id"),
+        datediff(col("__now"), to_date(col("last_ts"))).cast(LongType).as("recency_days"),
+        col("frequency"), col("mon"),
+        floor(col("mon") / 10).cast(LongType).as("__mb"), col("__n"))
+      .localCheckpoint() // feeds three score frames + the final join
+
+    // score frame over the distinct values of one metric: before =
+    // cumsum of user counts in worse-first order, strictly preceding
+    def scores(key: String, worseIsHigher: Boolean, out: String): DataFrame = {
+      val cnt = base.groupBy(col(key), col("__n")).agg(count(lit(1)).as("__c"))
+      val w = Window
+        .orderBy(if (worseIsHigher) col(key).desc else col(key).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cnt.withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+        .select(col(key),
+          (floor(col("__before") * 5 / col("__n")) + 1).cast(LongType).as(out))
+    }
+    base
+      .join(broadcast(scores("recency_days", worseIsHigher = true, "r_score")), "recency_days")
+      .join(broadcast(scores("frequency", worseIsHigher = false, "f_score")), "frequency")
+      .join(broadcast(scores("__mb", worseIsHigher = false, "m_score")), "__mb")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("mon").cast(DoubleType), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm" -> { (s, d) =>
+      rfm(Tables.events(s, d)).orderBy("user_id")
+    },
+
+    "ev_user_path" -> { (s, d) =>
+      // Top-20 5-step opening journeys (deterministic count-then-path
+      // tiebreak so the LIMIT boundary hashes identically).
+      userPaths(Tables.events(s, d), 5, 20)
+    },
+
     "ev_seasonality" -> { (s, d) =>
       // Day-of-week seasonality profile per event type: count, exact-
       // decimal mean value, and the weekday's share of the type's
@@ -330,6 +415,54 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS mon
+        |  FROM events GROUP BY 1),
+        |now_n AS (SELECT max(CAST(last_ts AS DATE)) AS nd, COUNT(*) AS n FROM per),
+        |base AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(last_ts AS DATE), nd) AS recency_days,
+        |    frequency, mon, CAST(FLOOR(mon / 10) AS BIGINT) AS mb, n
+        |  FROM per CROSS JOIN now_n),
+        |rc AS (SELECT recency_days, n, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |rs AS (SELECT recency_days,
+        |  CAST(FLOOR(COALESCE(SUM(c) OVER (ORDER BY recency_days DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5.0 / n) + 1 AS BIGINT) AS r_score
+        |  FROM rc),
+        |fc AS (SELECT frequency, n, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |fs AS (SELECT frequency,
+        |  CAST(FLOOR(COALESCE(SUM(c) OVER (ORDER BY frequency ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5.0 / n) + 1 AS BIGINT) AS f_score
+        |  FROM fc),
+        |mc AS (SELECT mb, n, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |ms AS (SELECT mb,
+        |  CAST(FLOOR(COALESCE(SUM(c) OVER (ORDER BY mb ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5.0 / n) + 1 AS BIGINT) AS m_score
+        |  FROM mc)
+        |SELECT b.user_id, b.recency_days, CAST(b.frequency AS BIGINT) AS frequency,
+        |  ROUND(CAST(b.mon AS DOUBLE), 4) AS monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+        |FROM base b
+        |  JOIN rs USING (recency_days)
+        |  JOIN fs USING (frequency)
+        |  JOIN ms USING (mb)
+        |ORDER BY b.user_id""".stripMargin,
+
+    "ev_user_path" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
     "ev_cusum" ->
       s"""$oracleFilledCte,
         |tot AS (SELECT event_type, COUNT(*) AS nn, SUM(sv) AS ss FROM filled GROUP BY 1),

@@ -246,9 +246,31 @@ object Pipeline {
       .drop("__w")
   }
 
+  /** Training-mixture report: per (source, lang) cell, docs, exact
+    * token count, and the cell's share of corpus docs/tokens — the
+    * table a sampling policy (pipe_sample_weighted, pipe_budget) is
+    * tuned against, and the first thing to diff when a new crawl
+    * snapshot shifts the corpus mix. One map-side-combinable
+    * aggregate; shares normalize against a broadcast one-row total,
+    * so nothing ever sorts or windows the |sources|×|langs| frame. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val agg = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+    val tot = agg.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast(DoubleType) / col("__td"), 6).as("doc_share"),
+        round(col("n_tokens").cast(DoubleType) / col("__tt"), 6).as("token_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
+    },
+
+    "pipe_source_mix" -> { (s, d) =>
+      sourceMix(Tables.documents(s, d)).orderBy("source", "lang")
     },
 
     "pipe_clean_incr" -> { (s, d) =>
@@ -406,6 +428,17 @@ object Pipeline {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   val oracles: Map[String, String] = Map(
+    "pipe_source_mix" ->
+      """WITH agg AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM agg)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
+        |FROM agg CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+
     "pipe_clean" ->
       s"""WITH gated AS (
          |  SELECT doc_id, lang,

@@ -573,6 +573,67 @@ object TextAnalysis {
       .withColumn("hot_share", round(col("n_hot").cast(DoubleType) / col("n_sh"), 6))
   }
 
+  /** Within-document repetition profile — the Gopher/MassiveText-style
+    * quality filters that catch degenerate generations and scraped
+    * boilerplate loops: duplicate-token fraction, duplicate-bigram
+    * fraction, and the share of bigram occurrences claimed by the
+    * single most frequent bigram (a looping doc scores near 1 on the
+    * last even when every individual token is common). All ratios
+    * derive from integer counts with ONE rounded division at the
+    * output boundary, so any engine reproduces them bit-for-bit.
+    * Shape: one tokenize pass; the bigram counts are per-doc (map-side
+    * combinable groupBy on (doc_id, bg)) — no corpus-wide state, so
+    * the pass is embarrassingly parallel at any scale. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      // projection barrier: the bigram generator below must not
+      // re-evaluate tokens() per produced element
+      .localCheckpoint()
+    val bg = t.select(col("doc_id"), explode(
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val agg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bg"), count(lit(1)).as("n_dist_bg"),
+        max(col("c")).as("top_bg"))
+    t.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("tk"))).cast(DoubleType)
+          / size(col("tk")), 4).as("dup_tok_frac"),
+        coalesce(col("n_bg"), lit(0L)).cast(LongType).as("n_bigrams"),
+        round(when(col("n_bg").isNull, lit(0.0))
+          .otherwise(lit(1.0) - col("n_dist_bg").cast(DoubleType) / col("n_bg")), 4)
+          .as("dup_bigram_frac"),
+        round(when(col("n_bg").isNull, lit(0.0))
+          .otherwise(col("top_bg").cast(DoubleType) / col("n_bg")), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Overlapping token-window chunking — the RAG / context-window
+    * segmentation pass: windows of `win` tokens starting every
+    * `stride` tokens (consecutive chunks overlap `win - stride`), the
+    * tail chunk keeping whatever remains. Emits chunk index, token
+    * count, and the chunk-content md5 (the id a chunk store / vector
+    * index keys on) rather than the chunk text itself, so the output
+    * stays metadata-sized. One narrow generator per doc — no shuffle,
+    * no corpus state; chunk identity is pure arithmetic both engines
+    * reproduce. */
+  def chunkTokens(docs: DataFrame, win: Int, stride: Int): DataFrame = {
+    require(stride > 0 && win >= stride, s"need 0 < stride=$stride <= win=$win")
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("tk")), lit(stride)),
+          p => struct(floor((p - 1) / stride).cast(LongType).as("chunk_idx"),
+            slice(col("tk"), p, lit(win)).as("ck")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.ck")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("c.ck"))).as("chunk_md5"))
+  }
+
   /** Normalized-content fingerprint for cross-snapshot text dedup. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
@@ -647,6 +708,21 @@ object TextAnalysis {
     },
 
     "text_pii" -> { (s, d) => piiScan(Tables.documents(s, d)).orderBy("doc_id") },
+
+    "text_repetition" -> { (s, d) =>
+      // Gopher-style within-doc repetition profile: dup-token /
+      // dup-bigram fractions + top-bigram share — the degenerate-text
+      // filters next to text_quality's surface ratios.
+      repetition(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "text_chunks" -> { (s, d) =>
+      // RAG chunking: 30-token windows every 20 tokens (10-token
+      // overlap), identified by content md5 — the segmentation feeding
+      // a vector index build.
+      chunkTokens(Tables.documents(s, d), 30, 20)
+        .orderBy("doc_id", "chunk_idx")
+    },
 
     "text_readability" -> { (s, d) =>
       readability(Tables.documents(s, d)).orderBy("doc_id")
@@ -819,6 +895,34 @@ object TextAnalysis {
         |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
         |   + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bg
+         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)
+         |  WHERE len(tk) >= 2),
+         |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, SUM(c) AS n_bg, COUNT(*) AS n_dist_bg,
+         |          MAX(c) AS top_bg FROM bgc GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  ROUND(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS dup_tok_frac,
+         |  CAST(COALESCE(a.n_bg, 0) AS BIGINT) AS n_bigrams,
+         |  ROUND(CASE WHEN a.n_bg IS NULL THEN 0.0
+         |    ELSE 1.0 - CAST(a.n_dist_bg AS DOUBLE) / a.n_bg END, 4) AS dup_bigram_frac,
+         |  ROUND(CASE WHEN a.n_bg IS NULL THEN 0.0
+         |    ELSE CAST(a.top_bg AS DOUBLE) / a.n_bg END, 4) AS top_bigram_frac
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST((CAST(i AS BIGINT) - 1) / 20 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tk[CAST(i AS INT) : LEAST(CAST(i AS INT) + 29, len(tk))]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(tk[CAST(i AS INT) : LEAST(CAST(i AS INT) + 29, len(tk))], ' ')) AS chunk_md5
+         |FROM t, UNNEST(range(1, len(tk) + 1, 20)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_readability" ->
       s"""WITH c AS (

@@ -312,4 +312,57 @@ class DedupSpec extends SparkSpec {
     val keepersPerComp = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._3) }
     assert(keepersPerComp.values.forall(_ == 1), s"keepers per comp: $keepersPerComp")
   }
+
+  test("charWindowSeq samples normalized windows on the stride grid, distinct") {
+    // normalized text: "abcdefgh ij" (len 11); k=4, stride=3 → positions
+    // 0,3,6 (0-based; 7 = len-k is NOT on the grid) → abcd, defg, gh i
+    val w = Dedup.charWindowSeq("Abcdefgh  ij", 4, 3)
+    assert(w == Seq("abcd", "defg", "gh i"))
+    assert(Dedup.charWindowSeq("abc", 4, 3).isEmpty) // shorter than k
+    // a looping doc yields repeated windows exactly once
+    assert(Dedup.charWindowSeq("aaaaaaaaaa", 4, 3) == Seq("aaaa"))
+  }
+
+  test("substringDupPairs finds a verbatim copied span, not unrelated docs") {
+    val span = "this exact sixty-plus character span is copied verbatim into the other document"
+    val corpus = Seq(
+      (1L, s"opening words $span and then doc one continues its own way"),
+      // doc 2 shares the span but at a DIFFERENT offset — stride-grid
+      // alignment must not be assumed by the test (k=20, stride=1)
+      (2L, s"$span with a completely different continuation afterwards"),
+      (3L, "nothing here overlaps with the span in the other documents at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(corpus, 20, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= span.length - 20) // long overlap → many shared windows
+  }
+
+  test("substringDupPairsHashed returns the exact path's pair set") {
+    val span = "another long verbatim span duplicated across two documents for the hashed parity check"
+    val corpus = Seq(
+      // "pfx " is 4 chars after normalization, so the copied span sits
+      // on the SAME stride-2 grid parity in both docs — required for
+      // sampled windows to coincide at stride > 1
+      (1L, s"pfx $span suffix one"),
+      (2L, s"$span entirely different tail"),
+      (3L, s"unrelated filler text with no shared windows anywhere in sight"),
+      (4L, s"yet more distinct content that matches nothing else in the corpus")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.substringDupPairs(corpus, 20, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = Dedup.substringDupPairsHashed(corpus, 20, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == hashed)
+    assert(exact.nonEmpty)
+  }
+
+  test("substringDupPairs df-cap drops boilerplate windows from the join") {
+    // the same 30-char window in ALL docs; maxDf=2 must keep it out of
+    // the candidate join entirely → no pairs
+    val boiler = "shared boilerplate block here!"
+    val corpus = (1L to 4L).map(i => (i, s"$boiler unique tail number $i")).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(corpus, 30, 1, maxDf = 2).collect()
+    assert(pairs.isEmpty)
+  }
 }

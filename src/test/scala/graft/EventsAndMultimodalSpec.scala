@@ -129,4 +129,45 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Long]("id") == 7L))
     assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 2L, 4L, 6L, 8L))
   }
+
+  test("userPaths joins each user's first-N types in event order, counts, tiebreaks") {
+    val df = Seq(
+      // user 10: 4 events in ts order (one ts tie broken by event_id)
+      (1L, ts(0), 10L, "view"), (2L, ts(1), 10L, "click"),
+      (3L, ts(1), 10L, "buy"),  // same ts as event 2 → event_id orders it after
+      (4L, ts(9), 10L, "view"),
+      // user 20: same opening 3 steps
+      (5L, ts(0), 20L, "view"), (6L, ts(2), 20L, "click"), (7L, ts(3), 20L, "buy"),
+      // user 30: different path, only 2 events (shorter than N)
+      (8L, ts(0), 30L, "click"), (9L, ts(1), 30L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.userPaths(df, 3, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // counts order first, then path lexicographic
+    assert(out.toSeq == Seq("view>click>buy" -> 2L, "click>view" -> 1L))
+    // top-k boundary stays deterministic: k=1 keeps the count-2 path
+    val top1 = Events.userPaths(df, 3, 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "view>click>buy")
+  }
+
+  test("rfm: bounded-frame quintile scores, ties share a score") {
+    val day = 1440 // minutes
+    val df = Seq(
+      // u1: days 0+9, mon 10 → mb 1 | u2: day 9, mon 100 → mb 10
+      // u3: day 0 only (recency 9), 3 events, mon 3 → mb 0
+      (1L, ts(0), 1L, 5.0), (2L, ts(9 * day), 1L, 5.0),
+      (3L, ts(9 * day), 2L, 100.0),
+      (4L, ts(0), 3L, 1.0), (5L, ts(1), 3L, 1.0), (6L, ts(2), 3L, 1.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Events.rfm(df).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // n=3. recency: {0: 2 users, 9: 1} worse-first desc → 9 scores 1,
+    // 0 scores floor(5*1/3)+1 = 2 (the two recency-0 users TIE)
+    // frequency asc {1,2,3} → scores 1, 2, floor(10/3)+1 = 4
+    // monetary buckets asc {0,1,10} → scores 1, 2, 4
+    assert(out(1L) == ((0L, 2L, 10.0, 2L, 2L, 2L, 222L)))
+    assert(out(2L) == ((0L, 1L, 100.0, 2L, 1L, 4L, 214L)))
+    assert(out(3L) == ((9L, 3L, 3.0, 1L, 4L, 1L, 141L)))
+  }
 }

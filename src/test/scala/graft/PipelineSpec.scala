@@ -194,4 +194,17 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("65536"))
   }
+
+  test("sourceMix reports per-cell token counts and corpus shares") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "c", "en", "s1"),
+      (3L, "d e f", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Pipeline.sourceMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(("s1", "en")) == ((2L, 3L, 0.666667, 0.5)))
+    assert(out(("s2", "fr")) == ((1L, 3L, 0.333333, 0.5)))
+  }
 }

@@ -1051,4 +1051,40 @@ class TextAndSimilaritySpec extends SparkSpec {
     val out = Similarity.lshTopK(df, 6, 3).collect()
     assert(out.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
   }
+
+  test("repetition profiles a looping doc vs a clean one") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),              // 4 tokens, 1 distinct; 3 bigrams all "spam spam"
+      (2L, "all tokens here are distinct ok"),  // no repetition at all
+      (3L, "one")                               // single token → zero bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val loop = out(1L)
+    assert(loop.getLong(1) == 4L)               // n_tokens
+    assert(loop.getDouble(2) == 0.75)           // dup_tok_frac = 1 - 1/4
+    assert(loop.getLong(3) == 3L)               // n_bigrams
+    assert(math.abs(loop.getDouble(4) - 0.6667) < 1e-9) // 1 - 1/3
+    assert(loop.getDouble(5) == 1.0)            // top bigram claims all
+    val clean = out(2L)
+    assert(clean.getDouble(2) == 0.0 && clean.getDouble(4) == 0.0)
+    assert(math.abs(clean.getDouble(5) - 0.2) < 1e-9) // 5 bigrams, each once
+    val single = out(3L)
+    assert(single.getLong(3) == 0L && single.getDouble(4) == 0.0 && single.getDouble(5) == 0.0)
+  }
+
+  test("chunkTokens tiles with overlap and the tail keeps the remainder") {
+    // 7 tokens, win=4, stride=3 → starts 1,4,7: [a b c d], [d e f g], [g]
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, 4, 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(c => (c._1, c._2)).toSeq == Seq((0L, 4L), (1L, 4L), (2L, 1L)))
+    // chunk ids are CONTENT md5s: the overlap token 'd' appears in both
+    // chunk 0 and 1, but their ids differ because content differs
+    assert(out.map(_._3).distinct.length == 3)
+    // a doc shorter than the window is one whole chunk
+    val short = TextAnalysis.chunkTokens(Seq((2L, "x y")).toDF("doc_id", "text"), 4, 3).collect()
+    assert(short.length == 1 && short.head.getLong(2) == 2L)
+  }
 }
