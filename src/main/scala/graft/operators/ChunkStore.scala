@@ -283,10 +283,11 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * manifests and chunk buckets are never touched, in-flight writers
     * are protected by the TTL. Returns the deleted paths. */
   def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    // redaction tmp dirs are transactional state, not garbage: land or
-    // discard them FIRST so the TTL pass below can never delete the
-    // only complete copy of a redacted manifest
+    // redaction/replication tmp dirs are transactional state, not
+    // garbage: land or discard them FIRST so the TTL pass below can
+    // never delete the only complete copy of a replaced manifest
     recoverRedactions()
+    recoverReplications()
     val now = System.currentTimeMillis()
     Seq(new Path(basePath), new Path(s"$basePath/manifests"))
       .filter(fs.exists)
@@ -603,6 +604,116 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     }
     holds().foreach(target.hold)
     target
+  }
+
+  /** Incremental repository REPLICATION — the offsite-mirror primitive
+    * (the "repository copy" every serious backup tool pairs with its
+    * primary): bring the repository at `targetBasePath` up to date
+    * with this one, copying only what the mirror is missing. The
+    * mirror shares this repository's master key and bucketing — blobs
+    * copy ciphertext-verbatim, so replication never decrypts
+    * (use [[rekeyTo]] when the mirror must hold a different key).
+    *
+    * Three delta-sized passes, chunks FIRST (the [[backup]] ordering
+    * invariant, inherited: the mirror never holds a manifest whose
+    * blobs are absent):
+    *  1. blobs the mirror lacks — ONE anti-join on the content
+    *     address; missing rows append into the mirror's buckets.
+    *  2. versions the mirror lacks — manifest dirs copy verbatim
+    *     (commit ts preserved) through a complete `.tmp-repl-v=` dir
+    *     + atomic rename, so a crashed copy either rolls forward
+    *     ([[recoverReplications]]) or is discarded, never half-lands.
+    *  3. versions BOTH hold are fingerprint-compared — (row count,
+    *     bit_xor of a row hash) per version, one job per side, blobs
+    *     never read — and the mirror's manifest is REPLACED on
+    *     mismatch. This is how a source [[redact]] propagates: a
+    *     redacted manifest can't match its pre-redaction fingerprint.
+    *     When any manifest was repaired the mirror immediately sweeps
+    *     its own chunks ([[pruneChunks]] over its surviving versions),
+    *     because GDPR erasure is not complete until every REPLICA has
+    *     dropped the erased ids' exclusive bytes too.
+    *
+    * Mirror-only extra state (a version pruned on the source after the
+    * last sync, with its chunks) is left alone — replication is
+    * one-directional and must not race the source's retention policy;
+    * run the mirror's own [[pruneChunks]] with the desired keep-set to
+    * converge retention.
+    *
+    * Returns (refsCopied, bytesCopied, versionsCopied,
+    * manifestsRepaired). Idempotent: an immediate second run copies
+    * and repairs nothing. */
+  def replicateTo(targetBasePath: String): (Long, Long, Seq[Long], Int) = {
+    require(targetBasePath != basePath, "replicate needs a distinct mirror root")
+    val target = new ChunkStore(spark, targetBasePath, master, nBuckets)
+    target.recoverReplications()
+    // 1. blobs the mirror lacks
+    val missing = refs().select(col("ref_hex"), col("bytes"), col("blob"), col("bucket"))
+      .join(target.refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
+      .localCheckpoint() // count + write from one pass
+    val a = missing.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
+    if (a.getLong(0) > 0)
+      missing.write.mode("append").partitionBy("bucket").parquet(target.chunksDir)
+    // 2. versions the mirror lacks
+    val newVs = versions().diff(target.versions())
+    newVs.foreach(v => target.landManifestCopy(fs, new Path(manifestDir(v)), v))
+    // 3. redaction propagation across common versions (the ones just
+    // copied are verbatim by construction — no need to re-fingerprint)
+    val common = versions().intersect(target.versions()).diff(newVs)
+    val (srcFp, dstFp) = (manifestFingerprints(common), target.manifestFingerprints(common))
+    val stale = common.filter(v => srcFp(v) != dstFp(v))
+    stale.foreach(v => target.landManifestCopy(fs, new Path(manifestDir(v)), v))
+    if (stale.nonEmpty) target.pruneChunks(keep = target.versions()): Unit
+    (a.getLong(0), a.getLong(1), newVs, stale.size)
+  }
+
+  /** (row count, bit_xor of a row hash) per requested version — the
+    * cheap manifest-identity check [[replicateTo]] compares across
+    * repositories. ONE job for all versions (a per-version pass would
+    * be |versions| driver-blocking jobs); blobs never read. */
+  private def manifestFingerprints(vs: Seq[Long]): Map[Long, (Long, Long)] =
+    if (vs.isEmpty) Map.empty
+    else vs.map(v => manifest(v).select(lit(v).as("__v"),
+        xxhash64(col("id"), col("chunk_idx"), col("ref_hex"), col("bytes")).as("__h")))
+      .reduce(_.unionByName(_))
+      .groupBy("__v").agg(count(lit(1)).as("__n"), expr("bit_xor(__h)").as("__fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  /** Land a verbatim copy of a source manifest dir as version `v` —
+    * complete tmp, then delete-live + atomic rename (the [[redact]]
+    * roll-forward shape: the tmp is always a COMPLETE manifest, so the
+    * delete→rename crash window recovers by landing it). */
+  private def landManifestCopy(srcFs: org.apache.hadoop.fs.FileSystem,
+      src: Path, v: Long): Unit = {
+    val tmp = new Path(s"$basePath/manifests/.tmp-repl-v=$v")
+    fs.delete(tmp, true) // leftover from an earlier crashed attempt
+    if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, tmp, false,
+        spark.sparkContext.hadoopConfiguration))
+      throw new java.io.IOException(s"replicate manifest copy failed: $src -> $tmp")
+    val live = new Path(manifestDir(v))
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"replicate manifest publish failed: $tmp -> $live")
+  }
+
+  /** Land (or discard) interrupted [[replicateTo]] manifest copies —
+    * same roll-forward rule as [[recoverRedactions]]: a
+    * `.tmp-repl-v=` dir is always complete, so live-dir-missing rolls
+    * forward, live-dir-present discards the superseded copy (the next
+    * replicate re-derives it from the fingerprint compare). */
+  def recoverReplications(): Unit = {
+    val mdir = new Path(s"$basePath/manifests")
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp-repl-v="))
+        .foreach { st =>
+          val v = st.getPath.getName.stripPrefix(".tmp-repl-v=").toLong
+          val live = new Path(manifestDir(v))
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"replication recovery failed: ${st.getPath} -> $live")
+          } else fs.delete(st.getPath, true): Unit
+        }
   }
 
   /** Land (or discard) interrupted [[redact]] manifest replacements:

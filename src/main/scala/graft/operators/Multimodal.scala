@@ -360,6 +360,47 @@ object Multimodal {
         .toDF("pruned_versions", "dead_refs", "reclaimed_bytes", "live_refs", "live_bytes")
     },
 
+    "snap_replicate" -> { (s, d) =>
+      // Rows-only (convergent-encrypted refs are build-internal): the
+      // offsite-mirror loop end-to-end — two encrypted backup versions
+      // replicate into a mirror repository, a source redact propagates
+      // on the next sync (mirror manifests repair + mirror sweeps),
+      // and the report row carries the compliance probes: mirrored
+      // version count, source/mirror ref parity, and redacted ids
+      // still reachable through ANY mirror restore (must be 0).
+      // Fingerprint-keyed roots: bench warm passes reuse both
+      // repositories — the replicate and redact replays are metadata
+      // no-ops, so the entry times the sync probes, not a rebuild.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_repl_src_$fp"
+      val mir = s"${System.getProperty("java.io.tmpdir")}/graft_repl_mir_$fp"
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def pay(mutate: DataFrame => DataFrame) =
+        mutate(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+          .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      if (store.versions().isEmpty) {
+        store.backup(pay(identity), "id", "payload", 1L)
+        store.backup(pay(df => df.withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(lit("edited prefix "), col("text")))
+            .otherwise(col("text")))), "id", "payload", 2L)
+      }
+      store.replicateTo(mir)
+      // metadata-sized id list (the erasure request is a driver-side
+      // artifact by nature — a queue of subject ids, not a dataset)
+      val redactIds = pay(identity).filter(col("id") % 70 === 0)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      store.redact(redactIds) // replay after the first pass is a no-op
+      store.replicateTo(mir)  // propagates the erasure to the mirror
+      val mirror = new ChunkStore(s, mir, master, nBuckets = 16)
+      val leaks = mirror.versions().map(v => mirror.restore(v).select("id"))
+        .reduce(_.unionByName(_)).filter(col("id").isin(redactIds: _*)).count()
+      import s.implicits._
+      Seq((mirror.versions().length, redactIds.length.toLong,
+        mirror.refs().count() == store.refs().count(), leaks))
+        .toDF("versions_mirrored", "ids_redacted", "ref_parity", "mirror_leaks")
+    },
+
     "snap_redact" -> { (s, d) =>
       // Rows-only (convergent-encrypted refs are build-internal): GDPR
       // repository redaction end-to-end — two encrypted backup

@@ -127,6 +127,67 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  case class PathEv(tsMs: Long, eventId: Long, eventType: String)
+  case class PathState(done: Boolean, evs: List[PathEv])
+  case class UserPath(user_id: Long, path: String, n_steps: Int)
+
+  /** Streaming twin of [[graft.operators.Events.userPaths]]' per-user
+    * opening-journey extraction: each user's first `steps` event types
+    * in (ts, event_id) order, emitted as one final path string the
+    * moment it can no longer change — when the WATERMARK passes the
+    * `steps`-th smallest event's timestamp (an event that could still
+    * displace a prefix member would have ts ≤ that, i.e. be
+    * late-dropped; an admissible event has ts > watermark > Nth ts and
+    * sorts after every member). Cross-batch and out-of-order arrivals
+    * within the watermark reorder the prefix freely until that point
+    * (spec-proven, incl. a ts tie broken by event_id).
+    *
+    * Only paths that REACH `steps` events emit: a shorter history
+    * could always still grow, so the batch view of short-history
+    * users is inherently not stream-final — the one documented
+    * divergence from the batch operator (whose top-k counting is a
+    * downstream batch aggregate over these rows either way).
+    *
+    * State per user: ≤ `steps` (ts, id, type) triples while open, one
+    * done-marker afterwards (so a straggler can't re-emit a second
+    * path) — bounded by the user count like any per-user aggregate,
+    * never by stream length. */
+  def userPathStream(events: Dataset[Event], steps: Int,
+      watermarkDelay: String = "30 minutes"): Dataset[UserPath] = {
+    require(steps >= 1, s"steps=$steps must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, UserPath](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[PathState]) =>
+          val st = state.getOption.getOrElse(PathState(done = false, Nil))
+          if (st.done) {
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // watermark passed the Nth event's ts → the prefix is final
+            state.update(PathState(done = true, Nil))
+            val evs = st.evs.sortBy(e => (e.tsMs, e.eventId))
+            Iterator.single(
+              UserPath(userId, evs.map(_.eventType).mkString(">"), evs.length))
+          } else {
+            val merged =
+              (st.evs ++ rows.map(e => PathEv(e.ts.getTime, e.event_id, e.event_type)))
+                .sortBy(e => (e.tsMs, e.eventId)).take(steps)
+            state.update(PathState(done = false, merged))
+            if (merged.length == steps)
+              // a timeout ts must sit strictly above the watermark; if
+              // the Nth ts already equals it, finalizing one tick
+              // later is equivalent (finality needs wm > Nth ts)
+              state.setTimeoutTimestamp(
+                math.max(merged.last.tsMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming incremental-snapshot ingest: watermarked dedup by
     * business key (first-writer-wins within the watermark horizon),
     * then append — the readStream→dedup→sink shape of a continuous

@@ -554,4 +554,73 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.refs().count() == refsCommitted)
     assert(canon(store.restore(1L)) == canon(payloadRows(false, false, false)))
   }
+
+  test("replicateTo mirrors incrementally; a source redact propagates and the mirror sweeps") {
+    val base = Files.createTempDirectory("graft_cs_repl_src").toString
+    val mir = Files.createTempDirectory("graft_cs_repl_mir").toString + "/repo"
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, false, false))
+    store.backup(v1, "id", "payload", 1L, commitTs = Some(1000L))
+    store.backup(v2, "id", "payload", 2L, commitTs = Some(2000L))
+    // initial sync copies every blob and version; restores byte-identical
+    val (r1, b1, vs1, rep1) = store.replicateTo(mir)
+    val mirror = new ChunkStore(spark, mir, master, nBuckets = 8)
+    assert(vs1 == Seq(1L, 2L) && rep1 == 0)
+    assert(r1 == store.refs().count() && b1 > 0L)
+    assert(canon(mirror.restore(1L)) == canon(v1))
+    assert(canon(mirror.restore(2L)) == canon(v2))
+    assert(mirror.commitTimestamp(2L) == 2000L) // commit ts copies verbatim
+    // idempotent: an immediate second run moves nothing
+    val (r2, b2, vs2, rep2) = store.replicateTo(mir)
+    assert(r2 == 0L && b2 == 0L && vs2.isEmpty && rep2 == 0)
+    // incremental: only the new version's NEW refs travel
+    val v3 = payloadRows(true, true, true)
+    val (added3, _) = store.backup(v3, "id", "payload", 3L, commitTs = Some(3000L))
+    val (r3, _, vs3, rep3) = store.replicateTo(mir)
+    assert(vs3 == Seq(3L) && rep3 == 0 && r3 == added3)
+    assert(canon(mirror.restore(3L)) == canon(v3))
+    // a source redact propagates: every version's mirror manifest
+    // repairs, and the mirror sweeps its own exclusive bytes — erasure
+    // is not done until the REPLICA has dropped them too
+    store.redact(Seq(1L))
+    val (r4, _, vs4, rep4) = store.replicateTo(mir)
+    assert(r4 == 0L && vs4.isEmpty && rep4 == 3) // id 1 lived in all three
+    Seq(1L, 2L, 3L).foreach { v =>
+      val got = canon(mirror.restore(v))
+      assert(!got.contains(1L))
+      assert(got == canon(store.restore(v)))
+    }
+    assert(mirror.refs().count() == store.refs().count()) // byte parity post-sweep
+    assert(mirror.scrub().filter(col("status") =!= "ok").count() == 0L)
+  }
+
+  test("replication crash windows: complete .tmp-repl rolls forward; superseded copy is discarded") {
+    val base = Files.createTempDirectory("graft_cs_replcr_src").toString
+    val mir = Files.createTempDirectory("graft_cs_replcr_mir").toString + "/repo"
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L, commitTs = Some(1000L))
+    store.replicateTo(mir)
+    val mirror = new ChunkStore(spark, mir, master, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(mir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state between delete(live) and rename: complete tmp, live gone
+    val tmp = new org.apache.hadoop.fs.Path(s"$mir/manifests/.tmp-repl-v=1")
+    val live = new org.apache.hadoop.fs.Path(s"$mir/manifests/v=1")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration))
+    fs.delete(live, true)
+    assert(mirror.versions().isEmpty)
+    mirror.recoverReplications()
+    assert(mirror.versions() == Seq(1L))
+    assert(mirror.commitTimestamp(1L) == 1000L)
+    assert(canon(mirror.restore(1L)) == canon(v1))
+    // superseded copy beside a live manifest: the next replicate (or
+    // vacuum) discards it and the mirror still restores intact
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration))
+    store.replicateTo(mir)
+    assert(!fs.exists(tmp))
+    assert(canon(mirror.restore(1L)) == canon(v1))
+  }
 }

@@ -1363,6 +1363,49 @@ class StreamingSpec extends SparkSpec {
     assert(g("orders").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       .apply(5L) == "upd_5")
   }
+
+  test("userPathStream finalizes the opening prefix once the watermark passes it, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val paths = StreamOps.userPathStream(input.toDS(), steps = 3,
+      watermarkDelay = "10 minutes")
+    val query = paths.writeStream
+      .format("memory").queryName("graft_upath").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 10's events arrive OUT OF ORDER; user 20 has
+      // only 2 events (short history — must never emit)
+      input.addData(
+        Event(5L, ts(8), 10L, "purchase", 1.0),
+        Event(1L, ts(0), 10L, "view", 1.0),
+        Event(4L, ts(1), 20L, "click", 1.0), Event(6L, ts(2), 20L, "view", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_upath").isEmpty) // watermark hasn't passed yet
+      // batch 2: a within-watermark straggler at the SAME ts as event 5
+      // but a smaller event_id — must displace it in the prefix order
+      input.addData(Event(2L, ts(8), 10L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 3: far-future event advances the watermark past ts(8)
+      input.addData(Event(99L, ts(600), 30L, "flush", 0.0))
+      query.processAllAvailable()
+      val out = spark.table("graft_upath").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      assert(out.toSeq == Seq(10L -> (("view>click>purchase", 3))))
+      // equal to the batch operator's prefix for the full-history user
+      val batch = graft.operators.Events.userPaths(
+        Seq((1L, ts(0), 10L, "view"), (2L, ts(8), 10L, "click"),
+          (5L, ts(8), 10L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type"), 3, 10)
+        .collect().head.getString(0)
+      assert(batch == "view>click>purchase")
+      // batch 4: post-finalization stragglers never re-emit a path
+      input.addData(Event(7L, ts(610), 10L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(98L, ts(1200), 30L, "flush", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_upath").count() == 1L)
+    } finally query.stop()
+  }
 }
 
 /** Test-only local FS whose rename can be armed to fail ONCE for a
