@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
@@ -291,7 +292,32 @@ object DataQuality {
         round(min(col("hi_fence")), 4).as("hi_fence"))
   }
 
+  /** Benford first-significant-digit audit of a positive measure
+    * column — the classic fabricated-/corrupted-data smell test for
+    * financial-style magnitudes: observed share of each leading digit
+    * vs Benford's law log10(1+1/d), with the absolute deviation. One
+    * map-side-combinable count over 9 digit groups; expected shares
+    * are constants folded at plan time. The comparison survives
+    * cross-engine hashing because both shares and expectations round
+    * at the output boundary (6 decimals — a whole digit class would
+    * have to sit within 5e-7 of a boundary to flip, measure-zero). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol) >= 1)
+      .groupBy(substring(floor(col(valueCol)).cast(LongType).cast("string"), 1, 1)
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", round(col("n").cast(DoubleType)
+        / sum(col("n")).over(Window.partitionBy()), 6))
+      .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6))
+      .withColumn("abs_dev", round(abs(col("share") - col("expected")), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> { (s, d) =>
+      benford(Tables.orders(s, d), "o_totalprice").orderBy("digit")
+    },
+
     "dq_profile" -> { (s, d) =>
       profile(Tables.orders(s, d)).orderBy("column")
     },
@@ -399,6 +425,18 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH c AS (
+        |  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+        |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+        |  ROUND(ABS(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6)
+        |    - ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+        |FROM c ORDER BY digit""".stripMargin,
+
     "dq_outliers" ->
       """WITH f AS (
         |  SELECT l_returnflag,

@@ -153,6 +153,48 @@ object Events {
       rfm(Tables.events(s, d)).orderBy("user_id")
     },
 
+    "ev_session_stats" -> { (s, d) =>
+      // Session-LENGTH distribution — the engagement profile next to
+      // ev_sessionize's per-session rows: for each session size
+      // (events per session), how many sessions, their mean duration,
+      // and the size's share of all sessions. Durations are exact
+      // epoch-µs BIGINT differences (order-independent sums); the
+      // share window runs over the tiny |distinct sizes| frame.
+      val sess = sessionize(Tables.events(s, d), 1800L)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      sess.groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("dur_us")).cast(DoubleType) / count(lit(1)) / lit(1000000.0), 4)
+            .as("avg_dur_sec"))
+        .withColumn("share", round(col("n_sessions").cast(DoubleType)
+          / sum(col("n_sessions")).over(Window.partitionBy()), 6))
+        .orderBy("n_events")
+    },
+
+    "ev_burst" -> { (s, d) =>
+      // Peak trailing-5-minute burst per event type — the rate-limit /
+      // capacity-planning number ("what is the worst minute-scale
+      // spike this type ever produced"). The trailing count is the
+      // same RANGE-frame shape as ev_sliding (frame membership by
+      // event-time distance); the argmax resolves deterministically to
+      // the EARLIEST timestamp achieving the peak via a broadcast join
+      // of the tiny per-type max frame — never a global sort.
+      val win = Window.partitionBy("event_type").orderBy("t")
+        .rangeBetween(-300L * 1000000L, 0L)
+      val withN = Tables.events(s, d)
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("n_5m", count(lit(1)).over(win))
+      val peaks = withN.groupBy(col("event_type").as("pt"))
+        .agg(max(col("n_5m")).as("peak_n"))
+      withN.join(broadcast(peaks),
+          col("event_type") === col("pt") && col("n_5m") === col("peak_n"))
+        .groupBy(col("event_type"), col("peak_n"))
+        .agg(min(col("t")).as("peak_t"))
+        .orderBy("event_type")
+    },
+
     "ev_user_path" -> { (s, d) =>
       // Top-20 5-step opening journeys (deterministic count-then-path
       // tiebreak so the LIMIT boundary hashes identically).
@@ -415,6 +457,37 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) - MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS dur_us
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT n_events, COUNT(*) AS n_sessions,
+        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_dur_sec,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+        |FROM per GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    "ev_burst" ->
+      """WITH w AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_5m
+        |  FROM events),
+        |p AS (SELECT event_type, MAX(n_5m) AS peak_n FROM w GROUP BY 1)
+        |SELECT w.event_type AS event_type, peak_n, MIN(t) AS peak_t
+        |FROM w JOIN p ON w.event_type = p.event_type AND w.n_5m = p.peak_n
+        |GROUP BY 1, 2 ORDER BY w.event_type""".stripMargin,
+
     "ev_rfm" ->
       """WITH per AS (
         |  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS frequency,

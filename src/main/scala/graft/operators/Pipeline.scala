@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -264,7 +264,74 @@ object Pipeline {
         round(col("n_tokens").cast(DoubleType) / col("__tt"), 6).as("token_share"))
   }
 
+  /** Per-source quota cap — the domain-balancing primitive: no source
+    * may contribute more than `k` docs, survivors chosen by portable
+    * md5(doc_id) order (reproducible on any engine, stable under
+    * corpus append for already-kept docs below the cap boundary). The
+    * row_number + `<= k` filter rewrites to TopKPerKeyExec (a k-heap
+    * per source — no per-source sort of the full corpus), so the cap
+    * costs one shuffle on source at any corpus size. */
+  def sourceQuota(docs: DataFrame, k: Int): DataFrame = {
+    // Rank on a NARROW (doc_id, source, md5) projection so the
+    // row_number + `<= k` filter rewrites to TopKPerKeyExec — a k-heap
+    // per source over ~48-byte rows, never a per-source sort of the
+    // full corpus. The keep set is ≤ k·|sources| rows → broadcast back
+    // onto the wide frame.
+    val w = Window.partitionBy("source")
+      .orderBy(col("__ord"), col("doc_id"))
+    val keep = docs
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("__ord"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk")
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+      .join(broadcast(keep), Seq("doc_id"), "left")
+      .withColumn("kept", col("rk").isNotNull)
+  }
+
+  /** Curriculum staging: bucket docs into 5 quality bands (the
+    * low→high ordering a curriculum-training run feeds batches in)
+    * using the same quality score surfaced by TextAnalysis.quality —
+    * fixed thresholds (floor(score·5)), NOT a global ntile sort, so
+    * band assignment is embarrassingly parallel and stable as the
+    * corpus grows. Exact decimal mean keeps avg hash-portable. */
+  def curriculum(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nChars = length(col("text"))
+    val nDigit = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val score = round(least(nTok.cast(DoubleType) / 100.0, lit(1.0))
+      * (lit(1.0) - nDigit.cast(DoubleType) / nChars), 4)
+    docs
+      .withColumn("q", score)
+      .withColumn("stage", least(floor(col("q") * 5), lit(4L)).cast(LongType))
+      .withColumn("n_tokens", nTok.cast(LongType))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quota" -> { (s, d) =>
+      // Cap every source at 20 docs; report what the cap kept/cut and
+      // the token mass surviving per source.
+      sourceQuota(Tables.documents(s, d), 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tok_kept"))
+        .orderBy("source")
+    },
+
+    "pipe_curriculum" -> { (s, d) =>
+      // Quality-band curriculum report: docs/tokens + mean quality per
+      // stage (0 = lowest quality band, 4 = highest).
+      curriculum(Tables.documents(s, d))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("q").cast(DecimalType(8, 4))).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_quality"))
+        .orderBy("stage")
+    },
+
     "pipe_clean" -> { (s, d) =>
       corpusReport(cleanCorpus(Tables.documents(s, d), 10, 0.3)).orderBy("lang")
     },
@@ -428,6 +495,30 @@ object Pipeline {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   val oracles: Map[String, String] = Map(
+    "pipe_quota" ->
+      s"""WITH ranked AS (
+         |  SELECT source,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk <= 20 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_kept
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipe_curriculum" ->
+      s"""WITH scored AS (
+         |  SELECT CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+         |    ROUND(LEAST(CAST(len(string_split($normSql, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text)), 4) AS q
+         |  FROM documents)
+         |SELECT LEAST(CAST(FLOOR(q * 5) AS BIGINT), 4) AS stage,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(q AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+         |FROM scored GROUP BY 1 ORDER BY stage""".stripMargin,
+
     "pipe_source_mix" ->
       """WITH agg AS (
         |  SELECT source, lang, COUNT(*) AS n_docs,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -641,7 +641,53 @@ object TextAnalysis {
       md5(normText(col("text"))).as("fp"),
       length(normText(col("text"))).cast(LongType).as("norm_len"))
 
+  /** Zipf-fit of the per-language token frequency distribution: the
+    * least-squares slope/intercept of ln(count) over ln(rank) across
+    * the top `topN` tokens. Natural corpora slope ≈ −1; a corpus whose
+    * slope drifts far off is machine-generated, template-heavy, or
+    * mis-segmented — a distribution-level quality gate next to the
+    * per-doc filters.
+    *
+    * Scale/portability shape: the rank window rewrites to
+    * TopKPerKeyExec (k-heap per language — no per-language vocabulary
+    * sort); regression runs on sufficient statistics (Σx, Σy, Σxy,
+    * Σx²) over (ln rank, ln count) ROUNDED to 6 decimals and summed as
+    * exact decimals — order-independent under any partitioning — with
+    * the float division once per language at the output boundary
+    * (same discipline as q_corr). */
+  def zipf(docs: DataFrame, topN: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    val ranked = docs.select(col("lang"), tokens(col("text")).as("tk"))
+      .select(col("lang"), explode(col("tk")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topN)
+    val x = round(log(col("rk").cast(DoubleType)), 6).cast(DecimalType(8, 6))
+    val y = round(log(col("cnt").cast(DoubleType)), 6).cast(DecimalType(8, 6))
+    ranked.select(col("lang"), x.as("x"), y.as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"))
+      .withColumn("nn", col("n_terms").cast(DoubleType))
+      // degenerate single-term languages have zero x-variance: the fit
+      // is undefined → null (ANSI mode forbids the bare 0/0)
+      .withColumn("den", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_raw",
+        when(col("den") =!= 0.0,
+          (col("nn") * col("sxy") - col("sx") * col("sy")) / col("den")))
+      .select(col("lang"), col("n_terms"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("nn"), 6).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> { (s, d) =>
+      zipf(Tables.documents(s, d), 300).orderBy("lang")
+    },
+
     "text_stats" -> { (s, d) => stats(Tables.documents(s, d)).orderBy("doc_id") },
     "text_quality" -> { (s, d) => quality(Tables.documents(s, d)).orderBy("doc_id") },
     "text_langid" -> { (s, d) => langid(Tables.documents(s, d)).orderBy("doc_id") },
@@ -826,6 +872,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" ->
+      s"""WITH tok AS (
+         |  SELECT lang, token FROM (SELECT lang, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)),
+         |tc AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, cnt, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rk
+         |  FROM tc QUALIFY rk <= 300),
+         |xy AS (
+         |  SELECT lang,
+         |    CAST(ROUND(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(8,6)) AS x,
+         |    CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(8,6)) AS y
+         |  FROM ranked),
+         |s AS (
+         |  SELECT lang, COUNT(*) AS n_terms,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+         |  FROM xy GROUP BY lang),
+         |r AS (
+         |  SELECT *, CAST(n_terms AS DOUBLE) AS nn,
+         |    (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+         |      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope_raw
+         |  FROM s)
+         |SELECT lang, n_terms, ROUND(slope_raw, 6) AS slope,
+         |  ROUND((sy - slope_raw * sx) / nn, 6) AS intercept
+         |FROM r ORDER BY lang""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -6,6 +6,20 @@ import graft.operators.DataQuality
 class DataQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("benford: observed shares vs log10(1+1/d), sub-1 values excluded") {
+    // 6 values with first digits 1,1,1,2,9 (+ one 0.5 that must drop)
+    val df = Seq(12.3, 150.0, 1999.99, 25.0, 900.0, 0.5).toDF("v")
+    val out = DataQuality.benford(df, "v").collect()
+      .map(r => r.getAs[String]("digit") -> r).toMap
+    assert(out.keySet == Set("1", "2", "9"))
+    assert(out("1").getAs[Long]("n") == 3L)
+    assert(out("1").getAs[Double]("share") == 0.6)
+    // Benford expectation for digit 1 is log10(2) ≈ 0.30103
+    assert(out("1").getAs[Double]("expected") == 0.30103)
+    assert(math.abs(out("1").getAs[Double]("abs_dev") - 0.29897) < 1e-9)
+    assert(out("9").getAs[Double]("expected") == 0.045757)
+  }
+
   test("profile: one row per column with null/distinct/minmax stats") {
     val df = Seq(
       (1L, Some("a"), Some(2.5)),

@@ -21,6 +21,42 @@ class PipelineSpec extends SparkSpec {
     assert(report.size == 2)
   }
 
+  test("sourceQuota caps per source deterministically via the k-heap rewrite") {
+    val docs = (1L to 10L).map(i => (i, "a", s"alpha doc $i words here")) ++
+      (11L to 13L).map(i => (i, "b", s"beta doc $i words here"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = Pipeline.sourceQuota(df, 4).collect()
+    val kept = out.filter(_.getAs[Boolean]("kept")).map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(kept.count(_._1 == "a") == 4) // capped
+    assert(kept.count(_._1 == "b") == 3) // under cap: all kept
+    // deterministic: same input → same keep set
+    val kept2 = Pipeline.sourceQuota(df, 4).collect()
+      .filter(_.getAs[Boolean]("kept")).map(r =>
+        (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(kept.toSet == kept2)
+    // the rank filter must prune to top-k BEFORE the shuffle — either
+    // graft's TopKPerKeyExec heap or Spark's own WindowGroupLimit
+    // (partial group-limit below the exchange); a bare Window over the
+    // full corpus would be a per-source sort at scale
+    val exec = Pipeline.sourceQuota(df, 4).queryExecution.executedPlan.toString
+    assert(exec.contains("TopKPerKey") || exec.contains("WindowGroupLimit"),
+      "expected a top-k-pruned window plan")
+  }
+
+  test("curriculum: fixed-threshold stages, known docs land in known bands") {
+    val df = Seq(
+      (1L, "9999 8888 7777"),                           // digit-heavy → q≈0, stage 0
+      (2L, ("word " * 120).trim)                        // long clean text → q=1.0, stage 4
+    ).toDF("doc_id", "text")
+    val out = Pipeline.curriculum(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("stage"), r.getAs[Double]("q"))).toMap
+    assert(out(2L)._1 == 4L && out(2L)._2 == 1.0)
+    assert(out(1L)._1 == 0L)
+    assert(out(1L)._2 < 0.2)
+  }
+
   test("interleaveByWeight: prefixes hold strata in weight ratio, integer phases") {
     val docs = ((1L to 30L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "de")))
       .toDF("doc_id", "lang")

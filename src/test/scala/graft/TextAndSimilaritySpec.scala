@@ -13,6 +13,39 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 3L)  // n_tokens
   }
 
+  test("zipf: slope/intercept match a directly computed least-squares fit") {
+    // counts by construction: "aa"×8, "bb"×4, "cc"×2, "dd"×1
+    val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+      Seq.fill(2)("cc") ++ Seq("dd")).mkString(" ")
+    val df = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.zipf(df, 300).collect().head
+    assert(r.getAs[Long]("n_terms") == 4L)
+    // expected fit over (ln rank, ln count), rounded exactly as the op does
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val xs = Seq(1, 2, 3, 4).map(k => r6(math.log(k)))
+    val ys = Seq(8, 4, 2, 1).map(c => r6(math.log(c)))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4)
+    assert(r.getAs[Double]("slope") < 0) // frequency falls with rank
+    assert(math.abs(r.getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-4)
+  }
+
+  test("zipf ranks per language independently with the count-then-token tiebreak") {
+    val df = Seq(
+      (1L, "en", "xx xx yy"),
+      (2L, "de", "zz")
+    ).toDF("doc_id", "lang", "text")
+    // 1 term in de → degenerate fit denominator 0 → NaN slope is fine;
+    // the point is per-lang isolation: en's fit sees only en tokens
+    val out = TextAnalysis.zipf(df, 300).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_terms")).toMap
+    assert(out == Map("en" -> 2L, "de" -> 1L))
+  }
+
   test("quality ratios on a crafted doc") {
     val df = Seq((1L, "the cat sat on a mat, happily.")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df).collect().head

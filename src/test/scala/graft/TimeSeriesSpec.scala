@@ -49,6 +49,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Double]("sum_value") == 1000.0)
   }
 
+  test("session_stats: histogram counts sessions by size with exact durations") {
+    // user 1: a 3-event session (0s, 60s, 120s) then a fresh session
+    // 2h later (single event); user 2: one 2-event session.
+    val base = 19000L * 86400000L
+    def at(userId: Long, offSec: Long, id: Long) =
+      (id, new Timestamp(base + offSec * 1000L), userId, "a", 1.0)
+    val df = Seq(
+      at(1L, 0L, 0L), at(1L, 60L, 1L), at(1L, 120L, 2L),
+      at(1L, 7320L, 3L),
+      at(2L, 0L, 4L), at(2L, 100L, 5L)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.queries("ev_session_stats")(spark, dir).collect()
+      .map(r => r.getAs[Long]("n_events") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Double]("avg_dur_sec"), r.getAs[Double]("share")))
+      .toMap
+    // sizes: one 3-event session (120s), one 1-event (0s), one 2-event (100s)
+    assert(out(3L) == ((1L, 120.0, 0.333333)))
+    assert(out(1L) == ((1L, 0.0, 0.333333)))
+    assert(out(2L) == ((1L, 100.0, 0.333333)))
+  }
+
+  test("burst: peak trailing-5-min count resolves to the earliest peak instant") {
+    val base = 19000L * 86400000L
+    def at(offSec: Long, id: Long) =
+      (id, new Timestamp(base + offSec * 1000L), id, "a", 1.0)
+    // burst of 3 events inside 5 min (0, 100, 200s), then two sparse
+    // events far apart; a SECOND 3-burst later (2000, 2100, 2200s)
+    // ties the peak — earliest instant must win.
+    val df = Seq(at(0L, 0L), at(100L, 1L), at(200L, 2L),
+      at(1000L, 3L), at(2000L, 4L), at(2100L, 5L), at(2200L, 6L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.queries("ev_burst")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("peak_n") == 3L)
+    // earliest instant achieving 3-in-5-min is the 200s event
+    assert(out.head.getAs[Long]("peak_t") == (base + 200000L) * 1000L)
+  }
+
   test("anomaly baseline excludes the current day (a spike cannot mask itself)") {
     // constant series: zero variance; any deviation must flag, constants must not
     val flat = (0 until 20).map(d => (d, "a", 10.0))
