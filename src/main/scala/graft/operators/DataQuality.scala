@@ -313,7 +313,43 @@ object DataQuality {
       .withColumn("abs_dev", round(abs(col("share") - col("expected")), 6))
   }
 
+  /** Key-continuity audit: every gap in a (supposedly) dense BIGINT
+    * key sequence, as (after_id, gap_len) — the "did the backup lose
+    * rows?" completeness check a restore validation runs when keys
+    * are expected contiguous (and the sparseness profile when they
+    * are not). NEVER a global sort: ids hash-partition into fixed
+    * ranges of `bucket` ids, the lead window runs WITHIN each bucket,
+    * and cross-bucket gaps come from a lead over the |buckets|-row
+    * min/max summary frame (empty buckets between two non-empty ones
+    * fold into one boundary gap, exactly as the global scan would
+    * report). */
+  def sequenceGaps(df: DataFrame, idCol: String, bucket: Long = 65536L): DataFrame = {
+    val ids = df.select(col(idCol).cast(LongType).as("id"))
+      .withColumn("b", expr(s"id div ${bucket}L"))
+    val inBucket = Window.partitionBy("b").orderBy("id")
+    val within = ids
+      .withColumn("next", lead(col("id"), 1).over(inBucket))
+      .filter(col("next") - col("id") > 1)
+      .select(col("id").as("after_id"), (col("next") - col("id") - 1).as("gap_len"))
+    val summary = ids.groupBy("b")
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val byB = Window.orderBy("b") // |buckets| rows — metadata-sized
+    val boundary = summary
+      .withColumn("next_lo", lead(col("lo"), 1).over(byB))
+      .filter(col("next_lo").isNotNull && col("next_lo") - col("hi") > 1)
+      .select(col("hi").as("after_id"), (col("next_lo") - col("hi") - 1).as("gap_len"))
+    within.unionByName(boundary)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_sequence_gaps" -> { (s, d) =>
+      // Audit one logical partition (open orders) so the gap profile
+      // is non-trivial — the full keyspace is dense by construction
+      // (on which the audit provably returns 0 rows; spec covers it).
+      sequenceGaps(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+        "o_orderkey").orderBy("after_id")
+    },
+
     "dq_benford" -> { (s, d) =>
       benford(Tables.orders(s, d), "o_totalprice").orderBy("digit")
     },
@@ -425,6 +461,13 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_sequence_gaps" ->
+      """SELECT id AS after_id, next - id - 1 AS gap_len FROM (
+        |  SELECT o_orderkey AS id,
+        |    LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next
+        |  FROM orders WHERE o_orderstatus = 'O') t
+        |WHERE next - id > 1 ORDER BY after_id""".stripMargin,
+
     "dq_benford" ->
       """WITH c AS (
         |  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,

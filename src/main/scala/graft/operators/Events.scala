@@ -153,6 +153,33 @@ object Events {
       rfm(Tables.events(s, d)).orderBy("user_id")
     },
 
+    "ev_active_users" -> { (s, d) =>
+      // DAU / trailing-7-day WAU / stickiness per day — the
+      // engagement dashboard triple. WAU is a DISTINCT count over a
+      // sliding window, which has no direct window-function form;
+      // the exact linear-cost construction: dedupe to user-days, then
+      // each user-day emits the days it ALONE covers in the trailing
+      // window ([day, min(day+6, next_day−1)] — clipped so overlapping
+      // activity never double-counts a (user, day) pair), making
+      // WAU(d) a plain count. Shapes: one distinct shuffle, one lag
+      // window per user, ≤7× narrow fan-out, two map-side-combinable
+      // counts. No global sort, no distinct-over-window.
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val byUser = Window.partitionBy("user_id").orderBy("day")
+      val covered = ud
+        .withColumn("next_day", lead(col("day"), 1).over(byUser))
+        .select(col("user_id"), explode(sequence(col("day"),
+          least(date_add(col("day"), 6),
+            coalesce(date_sub(col("next_day"), 1), date_add(col("day"), 6))))).as("d"))
+      val wau = covered.groupBy("d").agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("d"), "left")
+        .na.fill(0L, Seq("dau"))
+        .withColumn("stickiness", round(col("dau").cast(DoubleType) / col("wau"), 6))
+        .orderBy("d")
+    },
+
     "ev_session_stats" -> { (s, d) =>
       // Session-LENGTH distribution — the engagement profile next to
       // ev_sessionize's per-session rows: for each session size
@@ -457,6 +484,26 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |lagged AS (
+        |  SELECT user_id, day,
+        |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |  FROM ud),
+        |cov AS (
+        |  SELECT user_id, CAST(unnest(generate_series(day,
+        |    LEAST(day + INTERVAL 6 DAY,
+        |      COALESCE(next_day - INTERVAL 1 DAY, day + INTERVAL 6 DAY)),
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM lagged),
+        |wau AS (SELECT d, COUNT(*) AS wau FROM cov GROUP BY 1),
+        |dau AS (SELECT day AS d, COUNT(*) AS dau FROM ud GROUP BY 1)
+        |SELECT wau.d, COALESCE(dau, 0) AS dau, wau,
+        |  ROUND(CAST(COALESCE(dau, 0) AS DOUBLE) / wau, 6) AS stickiness
+        |FROM wau LEFT JOIN dau ON wau.d = dau.d
+        |ORDER BY wau.d""".stripMargin,
+
     "ev_session_stats" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

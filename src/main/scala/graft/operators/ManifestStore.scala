@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based versioned snapshot store — the 100 TB scale path for
+  * version publication, next to [[SnapshotStore]]'s dir-per-version
+  * layout.
+  *
+  * Motivation: SnapshotStore's `mergeDelta` is copy-on-write at the
+  * FILE level but each published version is a self-contained directory
+  * — untouched files are byte-copied into every new version, so a
+  * daily merge of a small delta into a 100 TB snapshot still moves
+  * ~100 TB and stores it again. This store publishes a version as a
+  * MANIFEST (a parquet frame of file entries + stats) over an
+  * immutable shared file pool, the public design of Delta Lake /
+  * Iceberg version logs:
+  *
+  *   files/<uuid>.parquet      immutable data files, shared by versions
+  *   _manifests/v=N/           parquet manifest: file, min/max key,
+  *                             n_rows (+ optional per-column stats);
+  *                             `_commit_ts` inside, published by rename
+  *
+  * `mergeDelta` then costs O(|touched files|) I/O and O(|manifest|)
+  * metadata — untouched entries carry by reference — and storage is
+  * shared across versions until [[prune]] + [[vacuum]] reclaim
+  * unreferenced pool files by ref-count.
+  *
+  * Crash ordering (the ChunkStore philosophy): pool files land first,
+  * the manifest rename goes live last — a crash leaves orphan pool
+  * files (reclaimed by [[vacuum]]) but never a manifest naming a
+  * missing file. Prune deletes manifests first; vacuum is restartable.
+  */
+class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
+    statsCols: Seq[String] = Nil) {
+
+  private def fs =
+    new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def poolDir = new Path(s"$basePath/files")
+  private def manifestDir(v: Long) = new Path(s"$basePath/_manifests/v=$v")
+
+  private def statAggs: Seq[Column] =
+    Seq(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+      count(lit(1)).as("n_rows")) ++
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+
+  /** File-level stats frame for a set of freshly written pool files. */
+  private def statsFor(names: Seq[String]): DataFrame = {
+    val paths = names.map(n => new Path(poolDir, n).toString)
+    spark.read.parquet(paths: _*)
+      .select((input_file_name().as("__f") +: col(keyCol) +: statsCols.map(col)): _*)
+      .groupBy("__f").agg(statAggs.head, statAggs.tail: _*)
+      // manifests store bare pool file NAMES (relocatable repository —
+      // a copied/mirrored store keeps working at its new root)
+      .withColumn("file", element_at(split(col("__f"), "/"), -1))
+      .drop("__f")
+  }
+
+  /** Write `df` into the pool and publish it as `version`. Files are
+    * range-partitioned and key-sorted so key predicates prune at the
+    * manifest level. */
+  def write(df: DataFrame, version: Long, numFiles: Int = 4,
+      commitTs: Option[Long] = None): Unit = {
+    require(!versions().contains(version), s"version $version already exists")
+    val names = landInPool(
+      df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    require(names.nonEmpty, "write: empty input frame")
+    publish(version, statsFor(names), commitTs)
+  }
+
+  /** Write a frame's part-files into the shared pool under fresh
+    * unique names; returns the pool names. */
+  private def landInPool(df: DataFrame): Seq[String] = {
+    val tmp = new Path(s"$basePath/.tmp-pool-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(poolDir)
+    val parts = fs.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith("part-"))
+    val names = parts.toIndexedSeq.map { p =>
+      val name = s"${java.util.UUID.randomUUID().toString.take(12)}-${p.getName.take(10)}.parquet"
+      if (!fs.rename(p, new Path(poolDir, name)))
+        throw new java.io.IOException(s"pool rename failed for $p")
+      name
+    }
+    fs.delete(tmp, true)
+    names
+  }
+
+  /** Publish a manifest frame as `version`: parquet to a tmp dir,
+    * commit-ts sidecar inside, ONE rename goes live. */
+  private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long]): Unit = {
+    val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, "_commit_ts"), true)
+    try out.write(commitTs.getOrElse(System.currentTimeMillis()).toString.getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(new Path(s"$basePath/_manifests"))
+    val dest = manifestDir(version)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+  }
+
+  def manifest(version: Long): DataFrame = {
+    require(versions().contains(version), s"version $version does not exist")
+    spark.read.parquet(manifestDir(version).toString)
+  }
+
+  def latestVersion(): Option[Long] = versions().lastOption
+
+  def versions(): Seq[Long] = {
+    val root = new Path(s"$basePath/_manifests")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.toIndexedSeq
+  }
+
+  private def commitTsOf(v: Long): Long = {
+    val p = new Path(manifestDir(v), "_commit_ts")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, "UTF-8").trim.toLong
+  }
+
+  /** Newest version committed at-or-before `ts`. */
+  def versionAsOf(ts: Long): Option[Long] =
+    versions().filter(commitTsOf(_) <= ts).sorted.lastOption
+
+  def readAsOf(ts: Long): DataFrame = read(versionAsOf(ts).getOrElse(
+    throw new IllegalStateException(s"no version committed at or before $ts")))
+
+  private def resolve(version: Long): Seq[String] =
+    manifest(version).select("file").collect()
+      .map(r => new Path(poolDir, r.getString(0)).toString).toIndexedSeq
+
+  def read(version: Long): DataFrame = {
+    val files = resolve(version)
+    if (files.isEmpty) throw new IllegalStateException(s"version $version has no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Key-range read pruned at the MANIFEST level: only files whose
+    * [min_key, max_key] envelope overlaps [lo, hi] are opened. */
+  def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame = {
+    val hit = manifest(version)
+      .filter(col("max_key") >= lit(lo) && col("min_key") <= lit(hi))
+      .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
+    val base =
+      if (hit.isEmpty) read(version).limit(0)
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** Metadata-only stats (never opens a data file). */
+  def stats(version: Long): DataFrame =
+    manifest(version).agg(
+      count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+      min(col("min_key")).as("min_key"), max(col("max_key")).as("max_key"))
+
+  /** SCD1 upsert of `delta` (+ optional `deleteKeys`) from one version
+    * into the next — the linked twin of SnapshotStore.mergeDelta.
+    * Touched files (key envelope overlaps a touched key) are read,
+    * survivors re-written; UNTOUCHED manifest entries carry by
+    * REFERENCE: zero I/O, zero extra storage. Returns
+    * (filesShared, filesRewritten). */
+  def mergeDelta(fromVersion: Long, toVersion: Long, delta: DataFrame,
+      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
+      commitTs: Option[Long] = None): (Int, Int) = {
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    val man = manifest(fromVersion).localCheckpoint()
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _).distinct()
+      .localCheckpoint()
+    // |manifest| rows broadcast into a range probe over the key set
+    val touched = touchKeys.join(broadcast(man),
+        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val shared = man.filter(!col("file").isin(touched.toSeq: _*))
+    val survivors =
+      if (touched.isEmpty) delta.limit(0)
+      else spark.read.parquet(
+          touched.map(n => new Path(poolDir, n).toString).toSeq: _*)
+        .join(touchKeys, Seq(keyCol), "left_anti")
+    val upserts = delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti"))
+    val names = landInPool(
+      survivors.unionByName(upserts)
+        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    // an all-delete merge can rewrite to nothing: the manifest is then
+    // just the shared entries
+    publish(toVersion,
+      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs)
+    (shared.count().toInt, names.size)
+  }
+
+  /** Predicate delete (GDPR erasure) — linked twin of
+    * SnapshotStore.deleteWhere: only files CONTAINING a matching row
+    * rewrite; the rest carry by reference. Rows where `pred` is NULL
+    * are KEPT (`!coalesce(pred,false)` — dropping them would be data
+    * loss, not deletion). Returns (filesShared, filesRewritten,
+    * rowsDeleted). */
+  def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      numNewFiles: Int = 2, commitTs: Option[Long] = None): (Int, Int, Long) = {
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    val man = manifest(fromVersion).localCheckpoint()
+    // narrow match scan: Catalyst prunes to pred's columns, the filter
+    // pushes to the parquet reader; emits one row per MATCHING FILE
+    val matching = read(fromVersion).filter(pred)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .groupBy("file").agg(count(lit(1)).as("__hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
+    if (matching.isEmpty) {
+      publish(toVersion, shared, commitTs)
+      return (shared.count().toInt, 0, 0L)
+    }
+    val kept = spark.read.parquet(
+        matching.keys.map(n => new Path(poolDir, n).toString).toSeq: _*)
+      .filter(!coalesce(pred, lit(false)))
+    val names = landInPool(
+      kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    publish(toVersion,
+      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs)
+    (shared.count().toInt, names.size, matching.values.sum)
+  }
+
+  /** Small-file compaction: every merge appends `numNewFiles` fresh
+    * pool files, so a long merge chain accumulates small files and
+    * read amplification. Fold every pool file under `minBytes` into
+    * ~`targetFiles` consolidated files, published as `toVersion`;
+    * files already at healthy size carry by reference. O(|small
+    * files|) I/O — the 100 TB nightly compaction touches only what
+    * the day's merges fragmented. Returns (filesShared,
+    * filesRewritten). */
+  def compact(fromVersion: Long, toVersion: Long, minBytes: Long = 8L << 20,
+      targetFiles: Int = 4, commitTs: Option[Long] = None): (Int, Int) = {
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    val man = manifest(fromVersion).localCheckpoint()
+    val sizes = man.select("file").collect().map(_.getString(0)).map { n =>
+      n -> fs.getFileStatus(new Path(poolDir, n)).getLen
+    }
+    val small = sizes.filter(_._2 < minBytes).map(_._1)
+    if (small.length <= 1) { // nothing to fold (0 or 1 fragment)
+      publish(toVersion, man, commitTs)
+      return (sizes.length, 0)
+    }
+    val shared = man.filter(!col("file").isin(small.toSeq: _*))
+    val names = landInPool(
+      spark.read.parquet(small.map(n => new Path(poolDir, n).toString).toIndexedSeq: _*)
+        .repartitionByRange(targetFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    publish(toVersion, shared.unionByName(statsFor(names)), commitTs)
+    (sizes.length - small.length, names.size)
+  }
+
+  /** Drop all versions except `keep`. Manifests delete FIRST (a crash
+    * leaves extra pool files, never a dangling manifest); pool files
+    * no longer referenced by ANY surviving manifest are reclaimed by
+    * [[vacuum]]. Returns bytes reclaimed. */
+  def prune(keep: Seq[Long]): Long = {
+    versions().filterNot(keep.contains).foreach(v => fs.delete(manifestDir(v), true))
+    vacuum()
+  }
+
+  /** Ref-count sweep: delete pool files referenced by NO surviving
+    * manifest, plus aged crash leftovers (`.tmp-` dirs older than
+    * `tmpTtlMs`). One metadata pass over |pool| + Σ|manifests| rows —
+    * restartable at any point. */
+  def vacuum(tmpTtlMs: Long = 24L * 3600 * 1000): Long = {
+    val referenced: Set[String] = versions()
+      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
+    var reclaimed = 0L
+    if (fs.exists(poolDir)) fs.listStatus(poolDir).foreach { st =>
+      if (st.isFile && !referenced(st.getPath.getName)) {
+        reclaimed += st.getLen
+        fs.delete(st.getPath, false)
+      }
+    }
+    val now = System.currentTimeMillis()
+    fs.listStatus(new Path(basePath)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") && now - st.getModificationTime > tmpTtlMs)
+        fs.delete(st.getPath, true)
+    }
+    reclaimed
+  }
+}

@@ -291,19 +291,27 @@ object Relational {
     "q_approx_gate" -> { (s, d) =>
       // HASH-CHECKED accuracy gate behind q_approx's rows-only check:
       // per group, the sketch answers must sit within stated error of
-      // the exact ones computed IN THE SAME PASS — approx_count_
-      // distinct (HLL++, rsd 0.01 → 5% headroom is generous) and
-      // percentile_approx at accuracy 10000 (rank error n/10000 → 1%
-      // value headroom on this distribution). DuckDB asserts the
-      // booleans, so a silently degraded sketch hash-fails
-      // CORRECTNESS instead of hiding behind "approximate by design".
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
+      // the exact ones — approx_count_distinct (HLL++, rsd 0.01 → 5%
+      // headroom is generous) and percentile_approx at accuracy 2500
+      // (rank error n/2500 → 1% value headroom on this distribution).
+      // DuckDB asserts the booleans, so a silently degraded sketch
+      // hash-fails CORRECTNESS instead of hiding behind "approximate
+      // by design". The EXACT median comes from the library's
+      // bounded-memory two-pass selection (Percentiles.exactQuantiles)
+      // joined in — mixing the exact percentile() aggregate into the
+      // sketch pass both buffers every group value AND drags the whole
+      // aggregate onto the object/sort path (measured: 150 s at sf0.1
+      // fused vs ~1.5 s split; at 100 TB the fused shape is the exact
+      // anti-pattern q_percentile documents).
+      val li = Tables.lineitem(s, d)
+      val sketch = li.groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("__ad"),
           count_distinct(col("l_orderkey")).as("__ed"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__am"),
-          expr("percentile(l_extendedprice, 0.5)").as("__em"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("__am"))
+      val exact = Percentiles.exactQuantiles(
+        li, "l_returnflag", "l_extendedprice", Seq("__em" -> 0.5))
+      sketch.join(broadcast(exact), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           (abs(col("__ad") - col("__ed")).cast("double") / col("__ed") <= 0.05)
             .as("distinct_ok"),

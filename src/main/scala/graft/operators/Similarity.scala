@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -1445,6 +1445,27 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    "emb_stats" -> { (s, d) =>
+      // Embedding-space health report per label: count, mean/min/max
+      // L2 norm, and degenerate (near-zero-norm) vectors — the gate an
+      // ingest pipeline runs before an index build (a batch of zero or
+      // exploded norms means the encoder upstream broke). Norms via
+      // the codegen'd FloatVecNorm, rounded then summed as exact
+      // decimals so the mean is order-independent; one narrow pass +
+      // one tiny aggregate, no shuffle of vector payloads.
+      Tables.embeddings(s, d)
+        .select(col("label").cast(LongType).as("label"),
+          round(l2norm(col("embedding")), 6).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast(DecimalType(12, 6))).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          sum(when(col("nrm") < 0.000001, 1L).otherwise(0L)).as("n_degenerate"))
+        .orderBy("label")
+    },
+
     "ann_lsh" -> { (s, d) =>
       // Rows-only oracle: bucket membership depends on Spark murmur3.
       // Multi-probe (4 Hamming-1 probes) — the recall fix that costs
@@ -1623,6 +1644,18 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 50 AND NOT (vec_id % 11 = 5 AND vec_id % 7 <> 3)""".stripMargin,
+
+    "emb_stats" ->
+      """WITH nrm AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm,
+        |  ROUND(MIN(nrm), 6) AS min_norm,
+        |  ROUND(MAX(nrm), 6) AS max_norm,
+        |  CAST(SUM(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |FROM nrm GROUP BY label ORDER BY label""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH pairs AS (

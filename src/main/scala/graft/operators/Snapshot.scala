@@ -349,6 +349,42 @@ object Snapshot {
       store.readKeyRange(1L, 600L, 1100L).orderBy("o_orderkey")
     },
 
+    "snap_linked_merge" -> { (s, d) =>
+      // Manifest-store end-to-end: TWO chained linked merges
+      // (v1 --reprice+delete--> v2 --reprice+insert--> v3) where
+      // untouched files carry by REFERENCE (zero copy, zero extra
+      // storage) instead of SnapshotStore's per-version byte-copy —
+      // the publication layout that keeps a daily 100 TB merge at
+      // O(|touched files|) I/O. A key deleted in v2 and repriced in
+      // v3 re-enters via the upsert — the oracle rebuilds the same
+      // three-step lineage declaratively; the bucket aggregate over
+      // the full v3 read proves nothing was lost, duplicated, or
+      // left stale across the shared-file chain.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(3L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, 16)
+        if (!store.versions().contains(2L)) {
+          val upd1 = ord.filter(col("o_orderkey") % 17 === 5)
+            .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+          val dels1 = ord
+            .filter(col("o_orderkey") % 23 === 9 && col("o_orderkey") % 17 =!= 5)
+            .select("o_orderkey")
+          store.mergeDelta(1L, 2L, upd1, Some(dels1))
+        }
+        val upd2 = ord.filter(col("o_orderkey") % 19 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 700.0)
+        val ins2 = ord.filter(col("o_orderkey") % 29 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        store.mergeDelta(2L, 3L, upd2.unionByName(ins2))
+      }
+      store.read(3L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     "snap_merge_cow" -> { (s, d) =>
       // Copy-on-write merge end-to-end: orders range-partitioned as
       // v1; a delta (repriced keys ≡ 4 mod 13 + appended keys ≡ 7 mod
@@ -596,6 +632,23 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_linked_merge" ->
+      """WITH survived AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 19 = 2 THEN o_totalprice + 700
+        |         WHEN o_orderkey % 17 = 5 THEN o_totalprice + 500
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 19 = 2
+        |     OR NOT (o_orderkey % 23 = 9 AND o_orderkey % 17 <> 5)),
+        |ins AS (
+        |  SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 29 = 3),
+        |merged AS (SELECT * FROM survived UNION ALL SELECT * FROM ins)
+        |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_merge_cow" ->
       """WITH delta AS (

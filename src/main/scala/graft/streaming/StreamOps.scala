@@ -301,6 +301,32 @@ object StreamOps {
       ()
     }
 
+  /** [[continuousMerge]]'s twin over the LINKED store: one
+    * ManifestStore version per CDC micro-batch, untouched pool files
+    * carried by reference — the continuous-ingest shape where a
+    * per-batch byte-copy of the snapshot would be fatal (a 1-minute
+    * trigger re-copying 100 TB). Same restart contract: base version
+    * recorded once beside the checkpoint, batch → version mapping
+    * deterministic, committed versions skipped on replay (manifest
+    * publication is atomic, so an existing version is complete). */
+  def linkedMergeStream(changes: DataFrame, store: graft.operators.ManifestStore,
+      keyCol: String, checkpointDir: String,
+      changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    versionChainStream(changes, checkpointDir, () =>
+      store.latestVersion().getOrElse(throw new IllegalStateException(
+        "the linked merge stream needs a base version (ManifestStore.write) in the store"))
+    ) { (batch, from, to) =>
+      if (!store.versions().contains(to)) {
+        val lastPerKey = collapseLastPerKey(batch, keyCol, seqCol)
+        val ups = lastPerKey.filter(col(changeTypeCol).isin("insert", "update"))
+          .drop(changeTypeCol)
+        val dels = lastPerKey.filter(col(changeTypeCol) === "delete").select(keyCol)
+        store.mergeDelta(from, to, ups, Some(dels))
+        ()
+      }
+    }
+
   /** The restart-safe version-chain harness shared by [[continuousMerge]]
     * and [[encryptedChunkIngest]]: records the store's base version ONCE
     * in a write-once marker beside the checkpoint (tmp+rename; losing a

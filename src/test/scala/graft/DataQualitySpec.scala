@@ -6,6 +6,17 @@ import graft.operators.DataQuality
 class DataQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("sequenceGaps: within-bucket, cross-bucket, and empty-bucket gaps match the global scan") {
+    val df = Seq(1L, 2L, 5L, 6L, 23L, 25L).toDF("id")
+    val out = DataQuality.sequenceGaps(df, "id", bucket = 10L).collect()
+      .map(r => (r.getAs[Long]("after_id"), r.getAs[Long]("gap_len"))).toSet
+    // global truth: (2,+2), (6,+16 across buckets 0→2, bucket 1 empty), (23,+1)
+    assert(out == Set((2L, 2L), (6L, 16L), (23L, 1L)))
+    // dense sequence → clean audit
+    val dense = (10L to 15L).toDF("id")
+    assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
+  }
+
   test("benford: observed shares vs log10(1+1/d), sub-1 values excluded") {
     // 6 values with first digits 1,1,1,2,9 (+ one 0.5 that must drop)
     val df = Seq(12.3, 150.0, 1999.99, 25.0, 900.0, 0.5).toDF("v")

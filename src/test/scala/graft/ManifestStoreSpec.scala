@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.ManifestStore
+
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore(statsCols: Seq[String] = Nil) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    (new ManifestStore(spark, base, "k", statsCols), base)
+  }
+
+  private def rows(ks: Range, tag: String) =
+    ks.map(k => (k.toLong, s"$tag-$k")).toDF("k", "v")
+
+  private def contents(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+
+  private def poolFiles(base: String): Set[String] = {
+    val p = new Path(s"$base/files")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  test("mergeDelta carries untouched files by reference — zero copies, shared names") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 400, "a"), 1L, numFiles = 8)
+    val man1 = store.manifest(1L).select("file").as[String].collect().toSet
+    assert(man1.size == 8)
+    // delta touches only the low key band → most files untouched
+    val delta = Seq((3L, "upd-3"), (7L, "upd-7")).toDF("k", "v")
+    val (shared, rewritten) = store.mergeDelta(1L, 2L, delta)
+    val man2 = store.manifest(2L).select("file").as[String].collect().toSet
+    assert(shared >= 6 && rewritten >= 1)
+    // shared entries are the SAME pool files (reference, not copy) …
+    assert((man1 intersect man2).size == shared)
+    // … and the pool holds each exactly once: |pool| = v1 ∪ v2 names
+    assert(poolFiles(base) == (man1 union man2))
+    // read parity: upsert applied, everything else intact
+    val expect = (1 to 400).map(k =>
+      (k.toLong, if (k == 3 || k == 7) s"upd-$k" else s"a-$k")).toSet
+    assert(contents(store.read(2L)) == expect)
+  }
+
+  test("chained merges with deletes and re-inserts stay exact") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 100, "a"), 1L, numFiles = 4)
+    store.mergeDelta(1L, 2L, Seq((10L, "b-10")).toDF("k", "v"),
+      deleteKeys = Some(Seq(20L, 30L).toDF("k")))
+    // key 20 deleted in v2 re-enters in v3 via the upsert
+    store.mergeDelta(2L, 3L, Seq((20L, "c-20"), (101L, "c-101")).toDF("k", "v"))
+    val expect = (1 to 100).filterNot(_ == 30).map { k =>
+      (k.toLong, k match { case 10 => "b-10"; case 20 => "c-20"; case _ => s"a-$k" })
+    }.toSet + ((101L, "c-101"))
+    assert(contents(store.read(3L)) == expect)
+    // v1 still reads its original state (immutable history)
+    assert(contents(store.read(1L)) == (1 to 100).map(k => (k.toLong, s"a-$k")).toSet)
+  }
+
+  test("prune + vacuum reclaim only pool files no surviving manifest references") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    store.mergeDelta(1L, 2L, Seq((5L, "u-5")).toDF("k", "v"))
+    val man1 = store.manifest(1L).select("file").as[String].collect().toSet
+    val man2 = store.manifest(2L).select("file").as[String].collect().toSet
+    val v2Contents = contents(store.read(2L))
+    val reclaimed = store.prune(keep = Seq(2L))
+    assert(reclaimed > 0L)
+    assert(store.versions() == Seq(2L))
+    // exactly v1's exclusive files are gone; every v2 file survives
+    assert(poolFiles(base) == man2)
+    assert((man1 diff man2).forall(n => !poolFiles(base).contains(n)))
+    assert(contents(store.read(2L)) == v2Contents)
+  }
+
+  test("deleteWhere rewrites only matching files; null-pred rows are kept") {
+    val (store, _) = newStore()
+    val df = Seq((1L, "keep", Some(10L)), (2L, "kill", Some(99L)),
+      (3L, "keep", None), (4L, "keep", Some(20L))).toDF("k", "v", "score")
+    store.write(df, 1L, numFiles = 2)
+    val (_, rewritten, deleted) =
+      store.deleteWhere(1L, 2L, col("score") > 50L)
+    assert(deleted == 1L && rewritten >= 1)
+    val out = store.read(2L).select("k").as[Long].collect().toSet
+    // row 2 erased; row 3 (NULL predicate) must survive
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("readKeyRange opens only manifest-pruned files") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 1000, "a"), 1L, numFiles = 10)
+    val hit = store.readKeyRange(1L, 100L, 120L)
+    assert(hit.select("k").as[Long].collect().toSet == (100L to 120L).toSet)
+    // the scan's file list must be a strict subset of the version
+    val scanned = hit.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned > 0 && scanned < 10, s"expected pruned scan, read $scanned files")
+  }
+
+  test("versionAsOf resolves commit boundaries; crash leftovers stay invisible and vacuum") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 10, "a"), 1L, commitTs = Some(1000L))
+    store.mergeDelta(1L, 2L, Seq((1L, "b-1")).toDF("k", "v"), commitTs = Some(2000L))
+    assert(store.versionAsOf(1500L).contains(1L))
+    assert(store.versionAsOf(2000L).contains(2L))
+    assert(store.versionAsOf(999L).isEmpty)
+    // planted crash leftover: a half-written manifest tmp dir
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$base/.tmp-man-crashed")
+    fs.mkdirs(tmp)
+    assert(store.versions() == Seq(1L, 2L)) // not visible as a version
+    store.vacuum(tmpTtlMs = -1L)            // aged → swept
+    assert(!fs.exists(tmp))
+    assert(contents(store.read(2L)).contains((1L, "b-1"))) // store intact
+  }
+
+  test("compact folds small files, carries the rest, content-invariant") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 100, "a"), 1L, numFiles = 2)
+    // three merges fragment the store: 2 + 3×2 = 8 files
+    (2L to 4L).foreach { v =>
+      store.mergeDelta(v - 1, v, Seq((v * 10, s"u-${v * 10}")).toDF("k", "v"), numNewFiles = 2)
+    }
+    val before = store.manifest(4L).count()
+    val expect = contents(store.read(4L))
+    val (sharedN, rewritten) = store.compact(4L, 5L, minBytes = 8L << 20, targetFiles = 2)
+    assert(rewritten == 2, s"expected 2 consolidated files, got $rewritten")
+    assert(store.manifest(5L).count() < before)
+    assert(contents(store.read(5L)) == expect)
+    assert(sharedN + rewritten.toLong == store.manifest(5L).count())
+    // second pass: everything tiny folds again into the same shape —
+    // threshold-gating is by SIZE, so a truly compacted store with
+    // big files would no-op (exercised here only via shape identity)
+    val (_, r2) = store.compact(5L, 6L, minBytes = 8L << 20, targetFiles = 2)
+    assert(contents(store.read(6L)) == expect && r2 <= 2)
+  }
+
+  test("stats answers from the manifest without opening data files") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 50, "a"), 1L, numFiles = 2)
+    val st = store.stats(1L).collect().head
+    assert(st.getAs[Long]("n_files") == 2L)
+    assert(st.getAs[Long]("n_rows") == 50L)
+    assert(st.getAs[Long]("min_key") == 1L && st.getAs[Long]("max_key") == 50L)
+  }
+}

@@ -496,6 +496,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("linkedMergeStream: one shared-pool version per batch, replay skips committed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ManifestStore
+
+    val base = Files.createTempDirectory("graft_lmerge").toString
+    val store = new ManifestStore(spark, base, "k")
+    store.write((1L to 500L).map(i => (i, s"row_$i")).toDF("k", "s"), 1L, numFiles = 8)
+
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDS().toDF("k", "s", "change_type")
+    val ckpt = Files.createTempDirectory("graft_lmerge_ckpt").toString
+    val query = StreamOps.linkedMergeStream(changes, store, "k", ckpt)
+    try {
+      input.addData((5L, "upd_5", "update"), (1001L, "new_1001", "insert"))
+      query.processAllAvailable()
+      val v2 = store.read(2L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2(5L) == "upd_5" && v2(1001L) == "new_1001" && v2.size == 501)
+
+      input.addData((7L, "", "delete"))
+      query.processAllAvailable()
+      val v3 = store.read(3L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!v3.contains(7L) && v3(5L) == "upd_5" && v3.size == 500)
+
+      // the chain stayed LINKED: v3's manifest still references pool
+      // files v1 published (shared by name, zero copies)
+      val v1Files = store.manifest(1L).select("file").as[String].collect().toSet
+      val v3Files = store.manifest(3L).select("file").as[String].collect().toSet
+      assert((v1Files intersect v3Files).size >= 5)
+      val ranged = store.readKeyRange(3L, 100L, 200L).collect().map(_.getLong(0)).toSet
+      assert(ranged == (100L to 200L).toSet)
+    } finally query.stop()
+  }
+
   test("continuousMerge survives a restart: versions keep deriving from the recorded base") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

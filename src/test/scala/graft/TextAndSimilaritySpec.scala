@@ -13,6 +13,24 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 3L)  // n_tokens
   }
 
+  test("emb_stats: exact norms, degenerate detection, per-label isolation") {
+    val df = Seq(
+      (1L, Array(3f, 4f), 0),
+      (2L, Array(0f, 0f), 0),
+      (3L, Array(6f, 8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val out = graft.operators.Similarity.queries("emb_stats")(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n") == 2L)
+    assert(out(0L).getAs[Double]("avg_norm") == 2.5)   // (5 + 0) / 2
+    assert(out(0L).getAs[Long]("n_degenerate") == 1L)  // the zero vector
+    assert(out(1L).getAs[Double]("min_norm") == 10.0)
+    assert(out(1L).getAs[Long]("n_degenerate") == 0L)
+  }
+
   test("zipf: slope/intercept match a directly computed least-squares fit") {
     // counts by construction: "aa"×8, "bb"×4, "cc"×2, "dd"×1
     val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++

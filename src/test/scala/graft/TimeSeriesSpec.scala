@@ -74,6 +74,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == ((1L, 100.0, 0.333333)))
   }
 
+  test("active_users: WAU covers trailing 7 days without double-counting") {
+    val base = 19000L * 86400000L
+    def at(userId: Long, day: Long, id: Long) =
+      (id, new Timestamp(base + day * 86400000L), userId, "a", 1.0)
+    // user 1 active day 0 and day 3 (overlapping windows); user 2 day 0
+    val df = Seq(at(1L, 0L, 0L), at(1L, 3L, 1L), at(2L, 0L, 2L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-au").toString
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.queries("ev_active_users")(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay - 19000L ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Double]("stickiness")))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))  // both users active
+    // day 4: user 1's day-3 window + user 2's day-0 window, no activity
+    assert(out(4L) == ((0L, 2L, 0.0)))
+    // day 8: only user 1's day-3 window still covers
+    assert(out(8L) == ((0L, 1L, 0.0)))
+    // windows end: day 3+6=9 is the last covered day
+    assert(!out.contains(10L) && out.contains(9L))
+    // user 1 counted ONCE on days covered by both its activity days
+    assert(out(3L) == ((1L, 2L, 0.5)))
+  }
+
   test("burst: peak trailing-5-min count resolves to the earliest peak instant") {
     val base = 19000L * 86400000L
     def at(offSec: Long, id: Long) =
