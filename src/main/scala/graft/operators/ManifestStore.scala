@@ -87,18 +87,49 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   }
 
   /** Publish a manifest frame as `version`: parquet to a tmp dir,
-    * commit-ts sidecar inside, ONE rename goes live. */
-  private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long]): Unit = {
+    * commit-ts (and, for evolved versions, the union schema) sidecar
+    * inside, ONE rename goes live — a version can never exist without
+    * the metadata that makes its mixed-schema files readable. */
+  private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_commit_ts"), true)
     try out.write(commitTs.getOrElse(System.currentTimeMillis()).toString.getBytes("UTF-8"))
     finally out.close()
+    schema.foreach { sc =>
+      val o = fs.create(new Path(tmp, "_schema.json"), true)
+      try o.write(sc.json.getBytes("UTF-8")) finally o.close()
+    }
     fs.mkdirs(new Path(s"$basePath/_manifests"))
     val dest = manifestDir(version)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
   }
+
+  /** Union schema of an evolved version (column adds ride a
+    * `_schema.json` sidecar published atomically with the manifest;
+    * absent for never-evolved versions). */
+  def evolvedSchema(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(manifestDir(version), "_schema.json")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(new String(buf, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Read a file subset under `version`'s schema contract: evolved
+    * versions read with the union schema (old files yield null for
+    * columns they predate). */
+  private def readFiles(version: Long, paths: Seq[String]): DataFrame =
+    evolvedSchema(version) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   def manifest(version: Long): DataFrame = {
     require(versions().contains(version), s"version $version does not exist")
@@ -136,7 +167,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def read(version: Long): DataFrame = {
     val files = resolve(version)
     if (files.isEmpty) throw new IllegalStateException(s"version $version has no files")
-    spark.read.parquet(files: _*)
+    readFiles(version, files)
   }
 
   /** Key-range read pruned at the MANIFEST level: only files whose
@@ -147,8 +178,24 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
     val base =
       if (hit.isEmpty) read(version).limit(0)
-      else spark.read.parquet(hit.toIndexedSeq: _*)
+      else readFiles(version, hit.toIndexedSeq)
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** Secondary-column range read pruned at the MANIFEST level, for a
+    * column named in `statsCols` at construction: only files whose
+    * recorded [min_c, max_c] envelope overlaps [lo, hi] open — the
+    * linked twin of SnapshotStore.readWhere. */
+  def readWhere(version: Long, column: String, lo: Any, hi: Any): DataFrame = {
+    require(statsCols.contains(column),
+      s"readWhere needs '$column' in statsCols (have: $statsCols)")
+    val hit = manifest(version)
+      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
+    val base =
+      if (hit.isEmpty) read(version).limit(0)
+      else readFiles(version, hit.toIndexedSeq)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Metadata-only stats (never opens a data file). */
@@ -168,6 +215,30 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       commitTs: Option[Long] = None): (Int, Int) = {
     require(!versions().contains(toVersion), s"version $toVersion already exists")
     val man = manifest(fromVersion).localCheckpoint()
+    // schema evolution, SnapshotStore.mergeDelta's contract: a column
+    // the delta ADDS joins via the union-schema sidecar (shared files
+    // are NOT rewritten — old files read null for it); a dropped delta
+    // column reads null on new rows; a same-name TYPE change fails
+    // fast (silent coercion at 100 TB is a corrupted lake).
+    val baseSchema = evolvedSchema(fromVersion).getOrElse(
+      readFiles(fromVersion, resolve(fromVersion).take(1)).schema)
+    val baseNames = baseSchema.fieldNames.toSet
+    delta.schema.fields.filter(f => baseNames(f.name)).foreach { f =>
+      val bt = baseSchema(f.name).dataType
+      require(bt.simpleString == f.dataType.simpleString,
+        s"mergeDelta: column '${f.name}' type changed ${bt.simpleString} -> " +
+          s"${f.dataType.simpleString}; evolving a column's TYPE needs an explicit rewrite")
+    }
+    val newFields = delta.schema.fields.filterNot(f => baseNames(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
+    val unionSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ newFields)
+    val evolved = newFields.nonEmpty || evolvedSchema(fromVersion).isDefined
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(unionSchema.fields.toIndexedSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
     val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _).distinct()
       .localCheckpoint()
@@ -177,18 +248,20 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val shared = man.filter(!col("file").isin(touched.toSeq: _*))
     val survivors =
-      if (touched.isEmpty) delta.limit(0)
-      else spark.read.parquet(
-          touched.map(n => new Path(poolDir, n).toString).toSeq: _*)
+      if (touched.isEmpty) align(delta).limit(0)
+      else align(readFiles(fromVersion,
+          touched.map(n => new Path(poolDir, n).toString).toSeq))
         .join(touchKeys, Seq(keyCol), "left_anti")
-    val upserts = delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti"))
+    val upserts = align(
+      delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
     val names = landInPool(
       survivors.unionByName(upserts)
         .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
     // an all-delete merge can rewrite to nothing: the manifest is then
     // just the shared entries
     publish(toVersion,
-      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs)
+      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs,
+      if (evolved) Some(unionSchema) else None)
     (shared.count().toInt, names.size)
   }
 
@@ -213,13 +286,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       publish(toVersion, shared, commitTs)
       return (shared.count().toInt, 0, 0L)
     }
-    val kept = spark.read.parquet(
-        matching.keys.map(n => new Path(poolDir, n).toString).toSeq: _*)
+    val kept = readFiles(fromVersion,
+        matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
       .filter(!coalesce(pred, lit(false)))
     val names = landInPool(
       kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
     publish(toVersion,
-      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs)
+      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs,
+      evolvedSchema(fromVersion))
     (shared.count().toInt, names.size, matching.values.sum)
   }
 
@@ -240,14 +314,15 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
     val small = sizes.filter(_._2 < minBytes).map(_._1)
     if (small.length <= 1) { // nothing to fold (0 or 1 fragment)
-      publish(toVersion, man, commitTs)
+      publish(toVersion, man, commitTs, evolvedSchema(fromVersion))
       return (sizes.length, 0)
     }
     val shared = man.filter(!col("file").isin(small.toSeq: _*))
     val names = landInPool(
-      spark.read.parquet(small.map(n => new Path(poolDir, n).toString).toIndexedSeq: _*)
+      readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq)
         .repartitionByRange(targetFiles, col(keyCol)).sortWithinPartitions(keyCol))
-    publish(toVersion, shared.unionByName(statsFor(names)), commitTs)
+    publish(toVersion, shared.unionByName(statsFor(names)), commitTs,
+      evolvedSchema(fromVersion))
     (sizes.length - small.length, names.size)
   }
 

@@ -140,6 +140,47 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(store.read(6L)) == expect && r2 <= 2)
   }
 
+  test("mergeDelta column add evolves the schema; shared files read null, not rewritten") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 100, "a"), 1L, numFiles = 4)
+    val man1 = store.manifest(1L).select("file").as[String].collect().toSet
+    // the delta introduces column w — only its touched file rewrites
+    val delta = Seq((3L, "u-3", 99L)).toDF("k", "v", "w")
+    store.mergeDelta(1L, 2L, delta)
+    val man2 = store.manifest(2L).select("file").as[String].collect().toSet
+    assert((man1 intersect man2).size >= 3, "untouched files must still be shared")
+    val out = store.read(2L).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[java.lang.Long]("w"))).toMap
+    assert(out(3L).contains(99L))
+    assert(out(5L).isEmpty, "pre-evolution rows read null for the added column")
+    assert(out.size == 100)
+    // a type change on an existing column must fail fast
+    val bad = Seq((4L, 123L)).toDF("k", "v") // v: string -> bigint
+    val e = intercept[IllegalArgumentException] { store.mergeDelta(2L, 3L, bad) }
+    assert(e.getMessage.contains("type changed"))
+    // the evolved schema persists through a further merge and compact
+    store.mergeDelta(2L, 3L, Seq((7L, "u-7", 77L)).toDF("k", "v", "w"))
+    store.compact(3L, 4L)
+    val v4 = store.read(4L).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[java.lang.Long]("w"))).toMap
+    assert(v4(3L).contains(99L) && v4(7L).contains(77L) && v4(5L).isEmpty)
+  }
+
+  test("readWhere prunes by secondary-column manifest stats") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    val store = new ManifestStore(spark, base, "k", statsCols = Seq("ts"))
+    // ts correlates with k, so key-sorted files carry tight ts envelopes
+    val df = (1L to 1000L).map(k => (k, s"a-$k", 10000L + k)).toDF("k", "v", "ts")
+    store.write(df, 1L, numFiles = 10)
+    val hit = store.readWhere(1L, "ts", 10100L, 10120L)
+    assert(hit.select("k").as[Long].collect().toSet == (100L to 120L).toSet)
+    val scanned = hit.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned > 0 && scanned < 10, s"expected stats-pruned scan, read $scanned files")
+  }
+
   test("stats answers from the manifest without opening data files") {
     val (store, _) = newStore()
     store.write(rows(1 to 50, "a"), 1L, numFiles = 2)
