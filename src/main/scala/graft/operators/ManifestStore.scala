@@ -297,6 +297,72 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     (shared.count().toInt, names.size, matching.values.sum)
   }
 
+  /** Row-level CDC between two versions, MANIFEST-PRUNED: a pool file
+    * shared by both manifests holds byte-identical rows in both
+    * versions and can never contribute an insert/update/delete, so
+    * only the files EXCLUSIVE to either side are scanned — on a
+    * merge-chained store that is O(|changed files|), not O(snapshot).
+    * Classification: `insert` (key only in `to`), `delete` (key only
+    * in `from`), `update` (key in both exclusive sets, content
+    * fingerprint over the common non-key columns differs). */
+  def diff(fromVersion: Long, toVersion: Long): DataFrame = {
+    val fromFiles = manifest(fromVersion).select("file").collect().map(_.getString(0)).toSet
+    val toFiles = manifest(toVersion).select("file").collect().map(_.getString(0)).toSet
+    def side(version: Long, exclusive: Set[String]): DataFrame =
+      if (exclusive.isEmpty) read(version).limit(0)
+      else readFiles(version, exclusive.toSeq.sorted.map(n => new Path(poolDir, n).toString))
+    val a = side(fromVersion, fromFiles diff toFiles)
+    val b = side(toVersion, toFiles diff fromFiles)
+    // fingerprint the COMMON non-key columns so an evolved schema does
+    // not flag every carried row as updated
+    val common = a.columns.toSeq.filter(c => c != keyCol && b.columns.contains(c)).sorted
+    def fp(df: DataFrame) = df.select(col(keyCol),
+      graft.functions.Fx.fastFingerprint(common.map(col): _*).as("__fp"))
+    val af = fp(a).withColumnRenamed("__fp", "__fp_a")
+    val bf = fp(b).withColumnRenamed("__fp", "__fp_b")
+    val changed = af.join(bf, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_a").isNull, lit("insert"))
+          .when(col("__fp_b").isNull, lit("delete"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
+          .as("change_type"))
+      .filter(col("change_type").isNotNull) // both-sides-equal rows drop out
+    b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
+      .unionByName(
+        a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol)),
+        allowMissingColumns = true)
+  }
+
+  /** Integrity audit of one version against the pool: every manifest
+    * entry's file must exist and hold exactly its recorded row count
+    * within its recorded key envelope. Returns one row per file with
+    * `status` ok / missing / count_mismatch / range_mismatch — the
+    * restore-validation pass a backup tool runs before trusting a
+    * version. Narrow scan of the version's files only. */
+  def validate(version: Long): DataFrame = {
+    val man = manifest(version).localCheckpoint()
+    val entries = man.select("file", "min_key", "max_key", "n_rows").collect()
+    val (present, missing) = entries.partition(r => fs.exists(new Path(poolDir, r.getString(0))))
+    val missingDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(missing.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), "missing")).toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
+    if (present.isEmpty) return missingDf
+    val actual = readFiles(version,
+        present.map(r => new Path(poolDir, r.getString(0)).toString).toIndexedSeq)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(count(lit(1)).as("__n"), min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
+    man.join(actual, Seq("file"), "inner")
+      .select(col("file"),
+        when(col("__n") =!= col("n_rows"), lit("count_mismatch"))
+          .when(col("__lo") < col("min_key") || col("__hi") > col("max_key"), lit("range_mismatch"))
+          .otherwise(lit("ok")).as("status"))
+      .unionByName(missingDf)
+  }
+
   /** Small-file compaction: every merge appends `numNewFiles` fresh
     * pool files, so a long merge chain accumulates small files and
     * read amplification. Fold every pool file under `minBytes` into

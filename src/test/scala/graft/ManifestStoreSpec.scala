@@ -140,6 +140,50 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(store.read(6L)) == expect && r2 <= 2)
   }
 
+  test("diff scans only exclusive files and classifies insert/update/delete exactly") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 400, "a"), 1L, numFiles = 8)
+    store.mergeDelta(1L, 2L, Seq((3L, "upd-3"), (401L, "new-401")).toDF("k", "v"),
+      deleteKeys = Some(Seq(7L).toDF("k")))
+    val d = store.diff(1L, 2L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+    // survivors rewritten alongside key 3/7 carry identical content →
+    // the fingerprint compare drops them; only true changes emit
+    assert(d == Set((3L, "update"), (401L, "insert"), (7L, "delete")))
+    // pruning: the diff plan reads only files exclusive to either side
+    val man1 = store.manifest(1L).select("file").as[String].collect().toSet
+    val man2 = store.manifest(2L).select("file").as[String].collect().toSet
+    val exclusive = (man1 union man2) diff (man1 intersect man2)
+    val scannedFiles = store.diff(1L, 2L).queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.map(_.split('/').last).toSet
+    }.foldLeft(Set.empty[String])(_ union _)
+    assert(scannedFiles.subsetOf(exclusive),
+      s"diff scanned shared files: ${scannedFiles diff exclusive}")
+  }
+
+  test("validate: clean version all-ok; planted missing file and row loss are classified") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    assert(store.validate(1L).collect().forall(_.getAs[String]("status") == "ok"))
+    // plant: delete one pool file, truncate another by rewriting it
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = store.manifest(1L).select("file").as[String].collect().sorted
+    fs.delete(new Path(s"$base/files/${files.head}"), false)
+    val victim = new Path(s"$base/files/${files.last}")
+    val partial = spark.read.parquet(victim.toString).limit(10)
+    val tmp = new Path(s"$base/.victim-tmp")
+    partial.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val newPart = fs.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.delete(victim, false)
+    fs.rename(newPart, victim)
+    val st = store.validate(1L).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("status")).toMap
+    assert(st(files.head) == "missing")
+    assert(st(files.last) == "count_mismatch")
+    assert(st.values.count(_ == "ok") == 2)
+  }
+
   test("mergeDelta column add evolves the schema; shared files read null, not rewritten") {
     val (store, _) = newStore()
     store.write(rows(1 to 100, "a"), 1L, numFiles = 4)
