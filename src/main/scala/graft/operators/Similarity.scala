@@ -61,6 +61,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dist2"), col("rk"))
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors — the
+    * recommendation-scoring order (user·item, retrieval logits) where
+    * vector MAGNITUDE matters, so both cosine and L2 rank wrong. Same
+    * one-pass broadcast shape as [[bruteForceTopK]]. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", round(dot(col("q_emb"), col("c_emb")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("ip"), col("rk"))
+  }
+
+  /** Bucketed MIPS via the public norm-augmentation reduction
+    * (Bachrach et al. '14 / Shrivastava-Li asymmetric LSH): corpus
+    * x → [x, √(M²−‖x‖²)] (M = the corpus's max norm, one tiny
+    * aggregate) brings every corpus vector to norm M, and query
+    * q → [q, 0] leaves inner products untouched — so
+    * cos(q', x') = q·x / (‖q‖·M) is RANK-EQUIVALENT to the inner
+    * product and the existing hyperplane-LSH cosine machinery buckets
+    * MIPS with no new index structure. Scale shape identical to
+    * [[lshTopKFor]]: banded equi-join on bucket keys, never all-pairs. */
+  def mipsLshTopKFor(queries: DataFrame, corpus: DataFrame, planes: Int, k: Int,
+      probes: Int = 0): DataFrame = {
+    val m = withNorm(corpus).agg(max(col("norm"))).head().getDouble(0)
+    val caug = withNorm(corpus).withColumn("embedding",
+      concat(col("embedding"),
+        // greatest(0, ·): the max-norm vector's residual is 0 up to
+        // float error, and sqrt(-1e-12) would poison it to NaN
+        array(sqrt(greatest(lit(0.0), lit(m * m) - col("norm") * col("norm"))).cast("float"))))
+      .drop("norm")
+    val qaug = queries.withColumn("embedding",
+      concat(col("embedding"), array(lit(0.0f))))
+    mipsRerank(lshTopKFor(qaug, caug, planes, k, probes), queries, corpus)
+  }
+
+  /** Re-rank a candidate (query_id, neighbor_id) frame by TRUE inner
+    * product — the augmented cosine agrees on ORDER but its value is
+    * scaled by 1/(‖q‖·M), so surfaced scores re-compute against the
+    * original vectors (|candidates| ≤ |queries|·k rows, one narrow
+    * join each side). */
+  private def mipsRerank(cands: DataFrame, queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
+    cands.select("query_id", "neighbor_id")
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("ip", round(dot(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("query_id"), col("neighbor_id"), col("ip"), col("rk"))
+  }
+
   /** Average recall@k of an approximate ANN result against its exact
     * baseline, reduced to ONE driver-checkable row: (n_queries, k,
     * recall_ok) where recall_ok ⇔ mean per-query recall ≥ `threshold`.
@@ -1445,6 +1500,24 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    "ann_mips" -> { (s, d) =>
+      // Exact maximum-inner-product top-k (hash-checked): the scoring
+      // order cosine/L2 get WRONG when magnitude carries signal.
+      val emb = Tables.embeddings(s, d)
+      mipsTopK(emb.filter(col("vec_id") < 50), emb, 5)
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_mips_recall" -> { (s, d) =>
+      // Recall gate for the augmented-LSH MIPS path vs the exact
+      // inner-product TRUE TOP NEIGHBOR on planted queries — same
+      // contract as the other five gates: DuckDB asserts the boolean.
+      val emb = Tables.embeddings(s, d)
+      val q = plantedQueries(emb, 50)
+      recallSummary(mipsLshTopKFor(q, emb, 12, 5, probes = 4),
+        mipsTopK(q, emb, 1), k = 5, threshold = 0.7)
+    },
+
     "emb_stats" -> { (s, d) =>
       // Embedding-space health report per label: count, mean/min/max
       // L2 norm, and degenerate (near-zero-norm) vectors — the gate an
@@ -1644,6 +1717,20 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
         |TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 50 AND NOT (vec_id % 11 = 5 AND vec_id % 7 <> 3)""".stripMargin,
+
+    "ann_mips" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS ip
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT query_id, neighbor_id, ip, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM pairs) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_mips_recall" -> recallOracle,
 
     "emb_stats" ->
       """WITH nrm AS (

@@ -13,6 +13,38 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 3L)  // n_tokens
   }
 
+  test("mipsTopK ranks by inner product where cosine order is wrong") {
+    // q·(5,5) = 5 beats q·(1,0) = 1, but cosine prefers the parallel
+    // small vector — MIPS must pick the big one first
+    val emb = Seq(
+      (100L, Array(1f, 0f)),      // the query
+      (1L, Array(5f, 5f)),
+      (2L, Array(1f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 100L)
+    val mips = Similarity.mipsTopK(q, emb.filter(col("vec_id") < 100L), 2).collect()
+    assert(mips.map(r => (r.getAs[Long]("rk"), r.getAs[Long]("neighbor_id"))).toSet ==
+      Set((1L, 1L), (2L, 2L)))
+    val cosTop = Similarity.bruteForceTopK(q, emb.filter(col("vec_id") < 100L), 1)
+      .collect().head.getAs[Long]("neighbor_id")
+    assert(cosTop == 2L) // cosine picks the other one — orders differ
+  }
+
+  test("augmented-LSH MIPS equals exact MIPS under full bucket coverage") {
+    // planes=1, probes=1 → every query probes both buckets, so the
+    // reduction's RANK EQUIVALENCE is isolated from bucket recall
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val q = (101L to 105L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.mipsTopK(q, emb, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) -> r.getAs[Long]("neighbor_id")).toMap
+    val viaLsh = Similarity.mipsLshTopKFor(q, emb, planes = 1, k = 3, probes = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(viaLsh == exact)
+  }
+
   test("emb_stats: exact norms, degenerate detection, per-label isolation") {
     val df = Seq(
       (1L, Array(3f, 4f), 0),
