@@ -385,6 +385,22 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_linked_diff" -> { (s, d) =>
+      // The manifest-pruned CDC (ManifestStore.diff) hash-checked:
+      // diff(v2, v3) of snap_linked_merge's lineage must emit exactly
+      // the second merge's effect — updates for repriced keys that
+      // were present in v2, INSERTS for repriced keys the v2 delete
+      // had removed (the upsert re-created them) and for the shifted
+      // fresh keys, no deletes, and NOTHING for survivor rows that
+      // merely moved files (the fingerprint compare drops them). Only
+      // files exclusive to either manifest are scanned.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      if (!store.versions().contains(3L))
+        queries("snap_linked_merge")(s, d).count(): Unit // build the lineage
+      store.diff(2L, 3L).orderBy("o_orderkey")
+    },
+
     "snap_merge_cow" -> { (s, d) =>
       // Copy-on-write merge end-to-end: orders range-partitioned as
       // v1; a delta (repriced keys ≡ 4 mod 13 + appended keys ≡ 7 mod
@@ -649,6 +665,16 @@ object Snapshot {
         |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_linked_diff" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice + 700 AS o_totalprice,
+        |  CASE WHEN o_orderkey % 23 = 9 AND o_orderkey % 17 <> 5
+        |    THEN 'insert' ELSE 'update' END AS change_type
+        |FROM orders WHERE o_orderkey % 19 = 2
+        |UNION ALL
+        |SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey, o_totalprice, 'insert'
+        |FROM orders WHERE o_orderkey % 29 = 3
+        |ORDER BY o_orderkey""".stripMargin,
 
     "snap_merge_cow" ->
       """WITH delta AS (
