@@ -153,6 +153,40 @@ object Events {
       rfm(Tables.events(s, d)).orderBy("user_id")
     },
 
+    "ev_concentration" -> { (s, d) =>
+      // Activity-concentration audit per event type: the exact GINI
+      // coefficient of the per-user event-count distribution — the
+      // skew gauge that predicts whether user_id can key a shuffle
+      // (gini → 1 means a few users own the traffic: salt or re-key).
+      // NOT a global rank over users: with counts grouped to the
+      // BOUNDED |distinct count values| frame (multiplicity m, users
+      // below b), the sorted-rank identity Σᵢ i·cᵢ =
+      // Σⱼ vⱼ·(mⱼ·bⱼ + mⱼ(mⱼ+1)/2) makes every term an exact integer
+      // over a frame orders of magnitude smaller than the user count
+      // (the ev_rfm device); one double expression at the boundary.
+      val uc = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val vm = uc.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("m"))
+      val byType = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vm.withColumn("b", coalesce(sum(col("m")).over(byType), lit(0L)))
+        .groupBy("event_type")
+        // integer `div` (never `/`, which is double division on longs);
+        // per-term products fit a long, sums go through exact decimals
+        // so the aggregate is order-independent past 2^53
+        .agg(sum(col("m")).as("n_users"),
+          sum((col("c") * col("m")).cast(DecimalType(28, 0))).as("__s"),
+          sum((col("c") * (col("m") * col("b") + expr("m * (m + 1) div 2")))
+            .cast(DecimalType(28, 0))).as("__t"))
+        .select(col("event_type"), col("n_users"),
+          round(lit(2.0) * col("__t").cast(DoubleType)
+            / (col("n_users").cast(DoubleType) * col("__s").cast(DoubleType))
+            - (col("n_users").cast(DoubleType) + lit(1.0)) / col("n_users").cast(DoubleType), 6)
+            .as("gini"))
+        .orderBy("event_type")
+    },
+
     "ev_active_users" -> { (s, d) =>
       // DAU / trailing-7-day WAU / stickiness per day — the
       // engagement dashboard triple. WAU is a DISTINCT count over a
@@ -484,6 +518,19 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_concentration" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, c, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY c, user_id) AS i
+        |  FROM uc)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  ROUND(2.0 * CAST(SUM(i * c) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+        |    - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "ev_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

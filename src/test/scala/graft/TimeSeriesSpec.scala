@@ -74,6 +74,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == ((1L, 100.0, 0.333333)))
   }
 
+  test("concentration: exact gini from the distinct-count frame") {
+    val base = 19000L * 86400000L
+    def at(typ: String, userId: Long, id: Long) =
+      (id, new Timestamp(base + id * 1000L), userId, typ, 1.0)
+    // type a: user 1 → 1 event, user 2 → 3 events ⇒ gini = 0.25
+    // type b: four users × 1 event ⇒ gini = 0 (perfect equality)
+    val rows = Seq(at("a", 1L, 0L), at("a", 2L, 1L), at("a", 2L, 2L), at("a", 2L, 3L)) ++
+      (10L to 13L).map(u => at("b", u, 10L + u))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.queries("ev_concentration")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("gini"))).toMap
+    assert(out("a") == ((2L, 0.25)))
+    assert(out("b") == ((4L, 0.0)))
+  }
+
   test("active_users: WAU covers trailing 7 days without double-counting") {
     val base = 19000L * 86400000L
     def at(userId: Long, day: Long, id: Long) =
