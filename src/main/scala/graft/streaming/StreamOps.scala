@@ -446,6 +446,61 @@ object StreamOps {
     }
   }
 
+  /** [[lakeMergeStream]]'s twin over LINKED stores: multi-table
+    * consistent continuous backup where every table's per-batch merge
+    * carries untouched pool files by REFERENCE (ManifestStore) — the
+    * lake shape where per-batch byte-copies across N tables would
+    * multiply the fatal cost. Same group contract: every table merges
+    * to the SAME target version per micro-batch, then ONE atomic group
+    * marker publishes; group readers see only marker'd versions, so a
+    * crash between table merges stays invisible and the replayed batch
+    * completes it (per-table committed-version skip). */
+  def lakeLinkedMergeStream(changes: DataFrame,
+      stores: Map[String, graft.operators.ManifestStore],
+      groupCommitDir: String, keyCol: String, checkpointDir: String,
+      tableCol: String = "table", changeTypeCol: String = "change_type",
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stores.nonEmpty, "empty table group")
+    val hconf = changes.sparkSession.sparkContext.hadoopConfiguration
+    val names = stores.keys.toSeq.sorted
+    versionChainStream(changes, checkpointDir, () => {
+      val bases = stores.map { case (n, st) =>
+        n -> st.latestVersion().getOrElse(throw new IllegalStateException(
+          s"table '$n' needs a base version (ManifestStore.write) in its store"))
+      }
+      require(bases.values.toSet.size == 1,
+        s"all stores must share a base version, got $bases")
+      val b = bases.values.head
+      writeGroupMarker(hconf, groupCommitDir, b, names)
+      b
+    }) { (batch, from, to) =>
+      names.foreach { name =>
+        val store = stores(name)
+        if (!store.versions().contains(to)) {
+          val slice = collapseLastPerKey(
+            batch.filter(col(tableCol) === name).drop(tableCol), keyCol, seqCol)
+          // project the union-schema feed down to THIS table's columns
+          // (its evolved schema if a sidecar exists)
+          val cols = store.read(from).schema.fieldNames.toSet
+          val ups = slice.filter(col(changeTypeCol).isin("insert", "update"))
+            .select(slice.columns.filter(cols.contains).toIndexedSeq.map(col): _*)
+          val dels = slice.filter(col(changeTypeCol) === "delete").select(keyCol)
+          store.mergeDelta(from, to, ups, Some(dels))
+        }
+      }
+      writeGroupMarker(hconf, groupCommitDir, to, names)
+    }
+  }
+
+  /** [[restoreGroup]] for a linked-store lake. */
+  def restoreLinkedGroup(spark: SparkSession, groupCommitDir: String,
+      stores: Map[String, graft.operators.ManifestStore],
+      version: Long): Map[String, DataFrame] = {
+    require(groupVersions(spark, groupCommitDir).contains(version),
+      s"group version $version is not committed")
+    stores.map { case (n, st) => n -> st.read(version) }
+  }
+
   /** Continuous encrypted dedup backup into the content-addressed
     * repository — [[graft.operators.ChunkStore]] fed by a CDC stream
     * of (id, payload, change_type). Where [[encryptedChunkIngest]]

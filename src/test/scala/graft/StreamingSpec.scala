@@ -670,6 +670,63 @@ class StreamingSpec extends SparkSpec {
     assert(canon(store.restore(3L))(1L) == pay("EDITED " + body(1)).toSeq)
   }
 
+  test("lakeLinkedMergeStream: atomic groups over shared-pool tables; empty slices advance by pure reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ManifestStore
+
+    val base = Files.createTempDirectory("graft_lake_linked").toString
+    val orders = new ManifestStore(spark, s"$base/orders", "k")
+    val items = new ManifestStore(spark, s"$base/items", "k")
+    orders.write((1L to 200L).map(i => (i, s"o_$i")).toDF("k", "s"), 1L, 4)
+    items.write((1L to 300L).map(i => (i, i * 1.5)).toDF("k", "qty"), 1L, 6)
+    val stores = Map("orders" -> orders, "items" -> items)
+    val commits = s"$base/_commits"
+    val ckpt = Files.createTempDirectory("graft_lake_linked_ckpt").toString
+
+    val input = MemoryStream[(String, Long, String, Double, String)]
+    val changes = input.toDS().toDF("table", "k", "s", "qty", "change_type")
+    val query = StreamOps.lakeLinkedMergeStream(changes, stores, commits, "k", ckpt)
+    try {
+      input.addData(
+        ("orders", 5L, "upd_5", 0.0, "update"),
+        ("items", 7L, "", 0.0, "delete"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L))
+      val om = orders.read(2L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(om(5L) == "upd_5" && om.size == 200)
+      assert(items.read(2L).count() == 299)
+      // linked, not copied: v2 shares pool files with v1 on both tables
+      def sharedCount(st: ManifestStore) = {
+        val m1 = st.manifest(1L).select("file").as[String].collect().toSet
+        val m2 = st.manifest(2L).select("file").as[String].collect().toSet
+        (m1 intersect m2).size
+      }
+      assert(sharedCount(orders) >= 3 && sharedCount(items) >= 5)
+
+      // batch 1 touches ONLY orders: items must advance as a PURE
+      // REFERENCE copy (same pool files, no new I/O)
+      input.addData(("orders", 10L, "upd_10", 0.0, "update"))
+      query.processAllAvailable()
+      assert(StreamOps.groupVersions(spark, commits) == Seq(1L, 2L, 3L))
+      assert(items.manifest(3L).select("file").as[String].collect().toSet ==
+        items.manifest(2L).select("file").as[String].collect().toSet)
+
+      // restore targets only marker'd groups
+      val g = StreamOps.restoreLinkedGroup(spark, commits, stores, 3L)
+      assert(g("orders").count() == 200 && g("items").count() == 299)
+    } finally query.stop()
+
+    // crash window: orders reaches v4, the batch dies before items —
+    // the group is invisible and a group restore fails fast
+    orders.mergeDelta(3L, 4L, Seq((9L, "upd_9")).toDF("k", "s"))
+    assert(!StreamOps.groupVersions(spark, commits).contains(4L))
+    intercept[IllegalArgumentException] {
+      StreamOps.restoreLinkedGroup(spark, commits, stores, 4L)
+    }: Unit
+  }
+
   test("lakeMergeStream: one atomic group version per batch; a partial merge stays invisible until the replay completes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
