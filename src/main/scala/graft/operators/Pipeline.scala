@@ -308,7 +308,71 @@ object Pipeline {
       .withColumn("n_tokens", nTok.cast(LongType))
   }
 
+  /** Mixture planning by WATER-FILLING: given target mixture weights
+    * per source and a total token budget, the exact optimal
+    * allocation alloc_s = min(avail_s, r·w_s) with r solving
+    * Σ alloc = budget — sources too small to meet their target share
+    * saturate, and their shortfall redistributes to the rest in
+    * weight proportion (the iterative redistribution has this closed
+    * form: sort by avail/w, r = (budget − Σ_sat avail)/(Σ_unsat w) at
+    * the unique prefix where it lands below the next ratio). One
+    * token-count aggregate over the corpus; the solve runs on the
+    * |sources|-row frame (single-partition window over ~dozens of
+    * rows — the bounded-frame device). */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Double], budget: Long): DataFrame = {
+    val wSum = weights.values.sum
+    require(wSum > 0, "weights must sum positive")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w / wSum)).otherwise(acc)
+    }
+    val avail = docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+      .groupBy("source").agg(sum(col("n_tokens")).as("avail"))
+      .withColumn("w", wCol)
+      .filter(col("w") > 0)
+    val byRatio = Window.orderBy(col("ratio"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frame = avail
+      .withColumn("ratio", col("avail").cast(DoubleType) / col("w"))
+      .withColumn("cumA", coalesce(sum(col("avail")).over(
+        Window.orderBy(col("ratio"), col("source")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cumW", coalesce(sum(col("w")).over(byRatio), lit(0.0)))
+    // Σw = 1 by normalization — the LITERAL 1.0, never a float
+    // re-aggregation of the weights (a tree-summed double is not
+    // reproducible across engines; the running cumW IS, because both
+    // engines evaluate an ordered window sum linearly).
+    // A prefix's candidate is VALID only if that prefix really
+    // saturates under it: prev_ratio ≤ rCand < own ratio — without the
+    // lower bound a later row's candidate (computed assuming rows it
+    // would NOT saturate are saturated) sneaks under the min.
+    val rStar = frame
+      .withColumn("prev_ratio", coalesce(
+        lag(col("ratio"), 1).over(Window.orderBy(col("ratio"), col("source"))), lit(0.0)))
+      .withColumn("rCand", (lit(budget.toDouble) - col("cumA").cast(DoubleType))
+        / (lit(1.0) - col("cumW")))
+      .agg(min(when(col("rCand") < col("ratio") && col("rCand") >= col("prev_ratio"),
+        col("rCand"))).as("r"))
+    frame.crossJoin(broadcast(rStar))
+      .select(col("source"), col("avail"),
+        round(col("w"), 6).as("target_share"),
+        when(col("r").isNull, col("avail"))
+          .otherwise(least(col("avail"), floor(col("r") * col("w")).cast(LongType)))
+          .as("alloc"))
+      .withColumn("rate", round(col("alloc").cast(DoubleType) / col("avail"), 6))
+      .withColumn("saturated", col("alloc") === col("avail"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mixture_plan" -> { (s, d) =>
+      // Uniform target mixture over all 20 sources, budget 40k tokens:
+      // small sources saturate, the shortfall water-fills the rest.
+      val srcs = (Tables.documents(s, d).select("source").distinct()
+        .collect().map(_.getString(0))) // |sources| rows, metadata-sized
+      mixturePlan(Tables.documents(s, d),
+        srcs.map(_ -> 1.0).toMap, 40000L).orderBy("source")
+    },
+
     "pipe_quota" -> { (s, d) =>
       // Cap every source at 20 docs; report what the cap kept/cut and
       // the token mass surviving per source.
@@ -495,6 +559,41 @@ object Pipeline {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   val oracles: Map[String, String] = Map(
+    "pipe_mixture_plan" ->
+      s"""WITH avail AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split($normSql, ' '))) AS BIGINT) AS avail
+         |  FROM documents GROUP BY source),
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM avail),
+         |f AS (
+         |  SELECT source, avail, 1.0 / n AS w,
+         |    CAST(avail AS DOUBLE) / (1.0 / n) AS ratio
+         |  FROM avail, ns),
+         |c AS (
+         |  SELECT *,
+         |    COALESCE(SUM(avail) OVER (ORDER BY ratio, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumA,
+         |    COALESCE(SUM(w) OVER (ORDER BY ratio, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumW
+         |  FROM f),
+         |rc AS (
+         |  SELECT ratio,
+         |    COALESCE(LAG(ratio) OVER (ORDER BY ratio, source), 0.0) AS prev_ratio,
+         |    (40000.0 - CAST(cumA AS DOUBLE)) / (1.0 - cumW) AS rCand
+         |  FROM c),
+         |r AS (
+         |  SELECT MIN(CASE WHEN rCand < ratio AND rCand >= prev_ratio
+         |    THEN rCand END) AS r FROM rc),
+         |a AS (
+         |  SELECT source, avail, w,
+         |    CASE WHEN r IS NULL THEN avail
+         |         ELSE LEAST(avail, CAST(FLOOR(r * w) AS BIGINT)) END AS alloc
+         |  FROM c, r)
+         |SELECT source, avail, ROUND(w, 6) AS target_share, alloc,
+         |  ROUND(CAST(alloc AS DOUBLE) / avail, 6) AS rate,
+         |  alloc = avail AS saturated
+         |FROM a ORDER BY source""".stripMargin,
+
     "pipe_quota" ->
       s"""WITH ranked AS (
          |  SELECT source,

@@ -296,22 +296,27 @@ object Relational {
       // (rank error n/2500 → 1% value headroom on this distribution).
       // DuckDB asserts the booleans, so a silently degraded sketch
       // hash-fails CORRECTNESS instead of hiding behind "approximate
-      // by design". The EXACT median comes from the library's
-      // bounded-memory two-pass selection (Percentiles.exactQuantiles)
-      // joined in — mixing the exact percentile() aggregate into the
-      // sketch pass both buffers every group value AND drags the whole
-      // aggregate onto the object/sort path (measured: 150 s at sf0.1
-      // fused vs ~1.5 s split; at 100 TB the fused shape is the exact
-      // anti-pattern q_percentile documents).
+      // by design". PLAN SHAPE (the lesson this query earned twice):
+      // the sketch aggregates, the exact distinct, and the exact
+      // median each run in their OWN pass and join on the tiny group
+      // frame. Fused, they poison each other — count_distinct plans
+      // an Expand that doubles every row AND each expanded row then
+      // pays the HLL++/KLL sketch update (measured 19 s for the pair
+      // alone), and an in-pass exact percentile() buffers every group
+      // value on the object/sort path (the full fusion measured 101 s
+      // at sf0.1; the three split passes total ~5 s — same story at
+      // 100 TB, where the Expand would double the shuffle).
       val li = Tables.lineitem(s, d)
       val sketch = li.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("__ad"),
-          count_distinct(col("l_orderkey")).as("__ed"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__ad"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("__am"))
+      val exactCd = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("__ed"))
       val exact = Percentiles.exactQuantiles(
         li, "l_returnflag", "l_extendedprice", Seq("__em" -> 0.5))
-      sketch.join(broadcast(exact), Seq("l_returnflag"))
+      sketch.join(exactCd, Seq("l_returnflag"))
+        .join(broadcast(exact), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           (abs(col("__ad") - col("__ed")).cast("double") / col("__ed") <= 0.05)
             .as("distinct_ok"),

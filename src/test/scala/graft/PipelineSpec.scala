@@ -44,6 +44,30 @@ class PipelineSpec extends SparkSpec {
       "expected a top-k-pruned window plan")
   }
 
+  test("mixturePlan: small sources saturate, shortfall water-fills the rest") {
+    def doc(id: Long, src: String, n: Int) = (id, src, ("tok " * n).trim)
+    // A: 100 tokens, B: 1000, C: 1000; uniform thirds, budget 1500 ⇒
+    // A saturates at 100, the remaining 1400 splits 700/700 (floor'd
+    // through the same double math the operator uses)
+    val docs = (Seq(doc(1L, "A", 100)) ++
+      (1 to 10).map(i => doc(10L + i, "B", 100)) ++
+      (1 to 5).map(i => doc(30L + i, "C", 200))).toDF("doc_id", "source", "text")
+    val out = Pipeline.mixturePlan(docs, Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0), 1500L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc"), r.getAs[Boolean]("saturated"))).toMap
+    // r* ≈ 2100, through the operator's exact double path:
+    // (budget − cumA)/(1 − cumW) then ·w then floor
+    val expectBC =
+      math.floor((1500.0 - 100.0) / (1.0 - 1.0 / 3.0) * (1.0 / 3.0)).toLong
+    assert(out("A") == ((100L, true)))
+    assert(out("B") == ((expectBC, false)))
+    assert(out("C") == ((expectBC, false)))
+    // under-budget corpus: everything saturates, no solve needed
+    val all = Pipeline.mixturePlan(docs, Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0), 10000L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Boolean]("saturated")).toMap
+    assert(all.values.forall(identity))
+  }
+
   test("curriculum: fixed-threshold stages, known docs land in known bands") {
     val df = Seq(
       (1L, "9999 8888 7777"),                           // digit-heavy → q≈0, stage 0
