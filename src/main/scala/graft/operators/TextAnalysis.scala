@@ -688,6 +688,22 @@ object TextAnalysis {
       zipf(Tables.documents(s, d), 300).orderBy("lang")
     },
 
+    "text_compress" -> { (s, d) =>
+      // DEFLATE compression-ratio quality signal (Gopher-family):
+      // template spam and looping generations compress far below
+      // natural prose, catching long-range repetition the
+      // token/bigram fractions miss. Codegen'd native expression —
+      // one narrow pass, no shuffle. Rows-only: the exact ratio is
+      // zlib-implementation-defined, deterministic within the Spark
+      // fleet but not engine-portable.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(org.apache.spark.sql.graft.DeflateRatioFunctions.deflateRatio(col("text")), 4)
+            .as("ratio"))
+        .withColumn("repetitive", col("ratio") < 0.35)
+        .orderBy("doc_id")
+    },
+
     "text_stats" -> { (s, d) => stats(Tables.documents(s, d)).orderBy("doc_id") },
     "text_quality" -> { (s, d) => quality(Tables.documents(s, d)).orderBy("doc_id") },
     "text_langid" -> { (s, d) => langid(Tables.documents(s, d)).orderBy("doc_id") },

@@ -46,6 +46,9 @@ object GraftExtensions {
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash over code points"),
       (args: Seq[Expression]) => RollingHashExpr(args(0))),
+    ("deflate_ratio",
+      info("deflate_ratio", "deflate_ratio(str) - DEFLATE compression ratio of the UTF-8 bytes"),
+      (args: Seq[Expression]) => DeflateRatioExpr(args(0))),
     ("hyperplane_sig",
       info("hyperplane_sig", "hyperplane_sig(vec, planes) - packed sign-bit random-hyperplane LSH signature"),
       (args: Seq[Expression]) => HyperplaneSigExpr(args(0),

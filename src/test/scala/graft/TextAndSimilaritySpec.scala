@@ -13,6 +13,28 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 3L)  // n_tokens
   }
 
+  test("deflate_ratio: repetition compresses, prose does not, SQL surface registered") {
+    import org.apache.spark.sql.graft.DeflateRatioFunctions.deflateRatio
+    val df = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 150).map(i => s"w${i * 7919 % 1000}x${i * 104729 % 997}").mkString(" ")),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"looping text must compress hard, got ${out(1L)}")
+    assert(out(2L) > 0.3, s"high-entropy text must not, got ${out(2L)}")
+    assert(out(3L) == 1.0) // empty input: nothing to compress
+    assert(out(1L) < out(2L))
+    // registered on the SQL surface
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("dr_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, deflate_ratio(text) AS r FROM dr_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == out)
+  }
+
   test("mipsTopK ranks by inner product where cosine order is wrong") {
     // q·(5,5) = 5 beats q·(1,0) = 1, but cosine prefers the parallel
     // small vector — MIPS must pick the big one first
