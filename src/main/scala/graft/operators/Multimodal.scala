@@ -111,6 +111,36 @@ object Multimodal {
       .toDF(idCol, "block_hash")
   }
 
+  /** VIDEO near-dup via frame-signature overlap — the multimodal
+    * composition of [[sampleFrames]] + [[blockHash]]: sample frames,
+    * hash each FULL frame, and pair videos sharing at least
+    * `minSharedFrames` exact frame hashes. Edited/trimmed/re-muxed
+    * copies share entire frames even when no whole-payload hash can
+    * match, so the pair join is an equi-join ON the frame hash itself
+    * (each hash its own band — never an all-pairs compare), with hot
+    * frames (intros, black frames at corpus scale) df-capped exactly
+    * like hot shingles in the text path. Pair aggregation is
+    * map-side-combinable on (id_a, id_b). */
+  def videoNearDup(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int, minSharedFrames: Int,
+      maxFrameDf: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = sampleFrames(df, idCol, payloadCol, frameBytes, stride)
+      .filter(col("frame_bytes") === frameBytes) // partial tail frames differ trivially
+      .select(col(idCol).cast(LongType), col("frame")).as[(Long, Array[Byte])]
+      .map { case (id, f) => (id, blockHash(f)) }
+      .toDF("vid", "fh").distinct()
+    val cold = frames.groupBy("fh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFrameDf).select("fh")
+    val capped = frames.join(cold, Seq("fh"), "left_semi").localCheckpoint()
+    capped.select(col("fh"), col("vid").as("id_a"))
+      .join(capped.select(col("fh"), col("vid").as("id_b")), Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
   /** Deterministic 256-entry gear table (murmur-mixed byte values) for
     * content-defined chunking — fixed per JVM and per build, so chunk
     * boundaries are reproducible everywhere. */
@@ -199,6 +229,48 @@ object Multimodal {
           col("frame_bytes").cast(LongType).as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "mm_video_neardup" -> { (s, d) =>
+      // Rows-only: video near-dup pairs over binary payloads. Trimmed
+      // copies are modeled as the payload plus an appended tail — the
+      // copies share every full frame of the original, no whole-file
+      // hash could pair them.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val twins = Tables.documents(s, d)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          encode(concat(col("text"), lit(" appended trailer segment padding")), "UTF-8")
+            .as("payload"))
+      // 64-byte frames: the full 64-bit aHash (one span per bit, the
+      // real aHash shape) — 16-byte frames leave only 16 meaningful
+      // bits and text frames collide into the df cap
+      videoNearDup(base.unionByName(twins), "doc_id", "payload",
+        frameBytes = 64, stride = 2, minSharedFrames = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "mm_video_gate" -> { (s, d) =>
+      // HASH-CHECKED gate behind mm_video_neardup's rows-only check:
+      // every sufficiently long doc (≥400 chars → ≥6 full 64-byte
+      // frames → 3 kept at stride 2) must pair with its appended-tail
+      // twin at ≥3 shared frames — one DuckDB-assertable boolean row.
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        encode(concat(col("text"), lit(" appended trailer segment padding")), "UTF-8")
+          .as("payload"))
+      val pairs = videoNearDup(base.unionByName(twins), "doc_id", "payload",
+        frameBytes = 64, stride = 2, minSharedFrames = 3)
+      val eligible = docs.filter(length(col("text")) >= 400).select("doc_id")
+      val paired = eligible.join(
+        pairs.filter(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      eligible.agg(count(lit(1)).as("n_eligible")).crossJoin(
+        paired.agg(count(lit(1)).as("__np")))
+        .select(col("n_eligible"),
+          (col("__np") === col("n_eligible")).as("paired_ok"))
     },
 
     "mm_imagehash" -> { (s, d) =>
@@ -459,6 +531,10 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_video_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_eligible, TRUE AS paired_ok
+        |FROM documents WHERE length(text) >= 400""".stripMargin,
+
     "mm_imagehash_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS recall_ok
         |FROM documents""".stripMargin,

@@ -8,6 +8,25 @@ import graft.operators.{Events, Multimodal}
 class EventsAndMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("videoNearDup pairs a trimmed copy on shared full frames, ignores partial tails") {
+    // pseudo-random bytes — a monotonic ramp would be pathological for
+    // aHash (every ramp frame shares one low-half/high-half bit
+    // pattern and the distinct collapses them)
+    val rA = new scala.util.Random(11)
+    val rC = new scala.util.Random(23)
+    val a = Array.fill(200)(rA.nextInt(256).toByte)
+    val b = a ++ Array.fill(40)(rA.nextInt(256).toByte) // A + appended tail
+    val c = Array.fill(200)(rC.nextInt(256).toByte)     // unrelated
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vid_id", "payload")
+    val pairs = Multimodal.videoNearDup(df, "vid_id", "payload",
+        frameBytes = 16, stride = 4, minSharedFrames = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared")))
+    // A has kept full frames at indices 0, 4, 8 — all inside B's
+    // prefix; the partial 8-byte tail frame must not count
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
 
   test("sessionize splits on gaps > threshold") {
