@@ -198,6 +198,22 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  /** Point-read for a key set: manifest key envelopes prune the file
+    * list (one broadcast range probe over |manifest| rows — the same
+    * device mergeDelta's touched-file scan uses), then one semi-join
+    * restricts to exactly the requested keys. The linked twin of
+    * SnapshotStore.readForKeys' zone-map stage. */
+  def readForKeys(version: Long, keys: DataFrame): DataFrame = {
+    val k = keys.select(keys.columns.head).toDF(keyCol).distinct().localCheckpoint()
+    val man = manifest(version)
+    val hit = k.join(broadcast(man),
+        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+      .select("file").distinct().collect()
+      .map(r => new Path(poolDir, r.getString(0)).toString)
+    if (hit.isEmpty) read(version).limit(0)
+    else readFiles(version, hit.toIndexedSeq).join(k, Seq(keyCol), "left_semi")
+  }
+
   /** Metadata-only stats (never opens a data file). */
   def stats(version: Long): DataFrame =
     manifest(version).agg(

@@ -975,6 +975,42 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming SOURCE-MIX drift monitor — the ingest-time guard on
+    * Pipeline.sourceMix's invariant: per tumbling window, each
+    * source's share of arriving docs vs a broadcast BASELINE mixture,
+    * flagged when |share − baseline| exceeds `tol` (a crawl source
+    * going dark or flooding shifts the training mixture before any
+    * batch job would notice). Two CHAINED time-window aggregates (the
+    * window_time pattern): counts per (window, source) — the wide
+    * stateful op, keyed fine — then the per-window mix assembled over
+    * |sources| pre-aggregated rows, never raw docs, so the
+    * window-global stage is metadata-sized at any ingest rate.
+    * Unknown sources carry baseline 0 → any meaningful share flags. */
+  def mixtureMonitor(docs: DataFrame, baseline: Map[String, Double],
+      window_ : String = "1 hour", watermarkDelay: String = "10 minutes",
+      tol: Double = 0.1): DataFrame = {
+    val bSum = baseline.values.sum
+    require(bSum > 0, "baseline must sum positive")
+    val bCol = baseline.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w / bSum)).otherwise(acc)
+    }
+    val perSource = docs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), window_).as("w"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    perSource
+      .groupBy(window(window_time(col("w")), window_).as("w2"))
+      .agg(collect_list(struct(col("source"), col("n"))).as("mix"),
+        sum(col("n")).as("total"))
+      .select(col("w2.start").as("window_start"),
+        explode(col("mix")).as("e"), col("total"))
+      .select(col("window_start"), col("e.source").as("source"),
+        col("e.n").as("n"), col("total"))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+      .withColumn("baseline_share", round(bCol, 6))
+      .withColumn("drifted", abs(col("share") - col("baseline_share")) > tol)
+  }
+
   /** HOPPING-window twin of `ev_hopping` (and the sliding counterpart
     * of [[tumblingCounts]]): overlapping event-time windows — each
     * event fans out to window/slide windows before the partial

@@ -225,6 +225,23 @@ class ManifestStoreSpec extends SparkSpec {
     assert(scanned > 0 && scanned < 10, s"expected stats-pruned scan, read $scanned files")
   }
 
+  test("readForKeys: envelope-pruned point reads return exactly the requested keys") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 1000, "a"), 1L, numFiles = 10)
+    val keys = Seq(42L, 43L, 777L).toDF("k")
+    val hit = store.readForKeys(1L, keys)
+    assert(hit.select("k").as[Long].collect().toSet == Set(42L, 43L, 777L))
+    // sparkPlan, not executedPlan: under AQE the join's file scan sits
+    // inside an unexecuted query stage and collectLeaves sees none
+    val scanned = hit.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned > 0 && scanned <= 2, s"expected ≤2 pruned files, read $scanned")
+    // absent keys: empty result, not an error
+    assert(store.readForKeys(1L, Seq(99999L).toDF("k")).count() == 0L)
+  }
+
   test("stats answers from the manifest without opening data files") {
     val (store, _) = newStore()
     store.write(rows(1 to 50, "a"), 1L, numFiles = 2)

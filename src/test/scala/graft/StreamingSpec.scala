@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mixtureMonitor: drifted windows flag against the baseline, balanced ones pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "source")
+    val query = StreamOps.mixtureMonitor(docs,
+        Map("A" -> 1.0, "B" -> 1.0), "1 hour", "10 minutes", tol = 0.2)
+      .writeStream.format("memory").queryName("graft_mix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour 0: balanced 3/3; hour 1: skewed 5 A / 1 B
+      val h0 = (1 to 3).map(i => (ts(i), "A")) ++ (1 to 3).map(i => (ts(3 + i), "B"))
+      val h1 = (1 to 5).map(i => (ts(60 + i), "A")) :+ ((ts(70), "B"))
+      input.addData(h0 ++ h1: _*)
+      query.processAllAvailable()
+      input.addData((ts(600), "A")) // watermark flush past both hours
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, source, n, share, drifted FROM graft_mix")
+        .collect().map(r => (r.getTimestamp(0).getTime / 3600000L % 24, r.getString(1),
+          r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+      val h0w = got.filter(_._3 == 3L)
+      assert(h0w.size == 2 && h0w.forall(!_._5), s"balanced hour must not flag: $got")
+      assert(h0w.forall(_._4 == 0.5))
+      val skewA = got.find(t => t._2 == "A" && t._3 == 5L).get
+      val skewB = got.find(t => t._2 == "B" && t._3 == 1L).get
+      assert(skewA._4 > 0.8 && skewA._5, s"skewed A must flag: $skewA")
+      assert(skewB._5, s"starved B must flag: $skewB")
+    } finally query.stop()
+  }
+
   test("hoppingCounts: closed overlapping windows match the batch hopping aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
