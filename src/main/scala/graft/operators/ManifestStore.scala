@@ -313,6 +313,58 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     (shared.count().toInt, names.size, matching.values.sum)
   }
 
+  /** Adopt a dir-per-version SnapshotStore chain into this (empty)
+    * linked store — the migration path that needs no data rewrite
+    * beyond one copy: each source version's part files land in the
+    * pool, and files with IDENTICAL content across versions (the
+    * byte-copies the dir-per-version CoW layout forced on every
+    * untouched file) collapse to ONE pool file referenced by every
+    * adopting manifest. Dedup is by streamed md5 of the file bytes,
+    * applied only ACROSS versions (two identical files within one
+    * version stay distinct — collapsing them would drop rows).
+    * Commit timestamps carry via `commitTs`; subsequent merges
+    * continue linked on top of the adopted chain. Returns per version
+    * (filesCopied, filesReferenced). */
+  def adoptChain(srcBase: String, versions: Seq[Long],
+      commitTs: Long => Option[Long] = _ => None): Map[Long, (Int, Int)] = {
+    require(this.versions().isEmpty, "adoptChain requires an empty target store")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seen = scala.collection.mutable.Map.empty[String, String] // content md5 -> pool name
+    fs.mkdirs(poolDir)
+    versions.sorted.map { v =>
+      val srcDir = new Path(s"$srcBase/v=$v")
+      val parts = fs.listStatus(srcDir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      var copied = 0
+      val usedInVersion = scala.collection.mutable.Set.empty[String]
+      val names = parts.toIndexedSeq.map { p =>
+        val digest = streamMd5(p)
+        val pooled = seen.get(digest).filterNot(usedInVersion.contains).getOrElse {
+          val name = s"${java.util.UUID.randomUUID().toString.take(12)}-adopt.parquet"
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(poolDir, name), false, conf)
+          copied += 1
+          seen(digest) = name
+          name
+        }
+        usedInVersion += pooled
+        pooled
+      }
+      publish(v, statsFor(names), commitTs(v))
+      v -> ((copied, names.size - copied))
+    }.toMap
+  }
+
+  private def streamMd5(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Row-level CDC between two versions, MANIFEST-PRUNED: a pool file
     * shared by both manifests holds byte-identical rows in both
     * versions and can never contribute an insert/update/delete, so

@@ -363,7 +363,44 @@ object Pipeline {
       .withColumn("saturated", col("alloc") === col("avail"))
   }
 
+  /** One-pass dataset card — the summary table a dataset release
+    * prints: corpus size, token mass, language/source breadth, exact
+    * duplicate rate, mean quality, mean doc length, in LONG format
+    * (metric, value). Every signal computes in ONE narrow projection
+    * + ONE aggregate (multi-distinct plans via Expand — no per-metric
+    * jobs, the dq_profile discipline); quality means go through exact
+    * decimal sums. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast(LongType)
+    val nChars = length(col("text"))
+    val nDigit = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val q = round(least(nTok.cast(DoubleType) / 100.0, lit(1.0))
+      * (lit(1.0) - nDigit.cast(DoubleType) / nChars), 4)
+    val a = docs.select(col("lang"), col("source"), nTok.as("nt"),
+        md5(normText(col("text"))).as("h"), q.as("q"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).as("st"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("h")).as("nh"),
+        sum(col("q").cast(DecimalType(12, 4))).as("sq"))
+    def m(name: String, v: Column) = struct(lit(name).as("metric"), v.as("value"))
+    a.select(explode(array(
+        m("n_docs", col("nd").cast(DoubleType)),
+        m("n_tokens", col("st").cast(DoubleType)),
+        m("n_langs", col("nl").cast(DoubleType)),
+        m("n_sources", col("ns").cast(DoubleType)),
+        m("dup_rate", round((col("nd") - col("nh")).cast(DoubleType) / col("nd"), 6)),
+        m("mean_quality", round(col("sq").cast(DoubleType) / col("nd"), 6)),
+        m("mean_doc_tokens", round(col("st").cast(DoubleType) / col("nd"), 6))
+      )).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_card" -> { (s, d) =>
+      datasetCard(Tables.documents(s, d)).orderBy("metric")
+    },
+
     "pipe_mixture_plan" -> { (s, d) =>
       // Uniform target mixture over all 20 sources, budget 40k tokens:
       // small sources saturate, the shortfall water-fills the rest.
@@ -559,6 +596,30 @@ object Pipeline {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_card" ->
+      s"""WITH e AS (
+         |  SELECT lang, source,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nt,
+         |    md5($normSql) AS h,
+         |    ROUND(LEAST(CAST(len(string_split($normSql, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |          / length(text)), 4) AS q
+         |  FROM documents),
+         |a AS (
+         |  SELECT COUNT(*) AS nd, SUM(nt) AS st, COUNT(DISTINCT lang) AS nl,
+         |    COUNT(DISTINCT source) AS ns, COUNT(DISTINCT h) AS nh,
+         |    SUM(CAST(q AS DECIMAL(12,4))) AS sq
+         |  FROM e)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM a
+         |  UNION ALL SELECT 'n_tokens', CAST(st AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'n_sources', CAST(ns AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'dup_rate', ROUND(CAST(nd - nh AS DOUBLE) / nd, 6) FROM a
+         |  UNION ALL SELECT 'mean_quality', ROUND(CAST(sq AS DOUBLE) / nd, 6) FROM a
+         |  UNION ALL SELECT 'mean_doc_tokens', ROUND(CAST(st AS DOUBLE) / nd, 6) FROM a
+         |) t ORDER BY metric""".stripMargin,
+
     "pipe_mixture_plan" ->
       s"""WITH avail AS (
          |  SELECT source,

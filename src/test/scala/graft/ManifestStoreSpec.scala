@@ -225,6 +225,39 @@ class ManifestStoreSpec extends SparkSpec {
     assert(scanned > 0 && scanned < 10, s"expected stats-pruned scan, read $scanned files")
   }
 
+  test("adoptChain dedupes the CoW byte-copies and continues linked on top") {
+    import graft.operators.SnapshotStore
+    val srcBase = java.nio.file.Files.createTempDirectory("graft-adopt-src").toString
+    val src = new SnapshotStore(spark, srcBase, "k")
+    src.writeRangePartitioned(rows(1 to 400, "a"), 1L, 8)
+    // CoW merge: untouched files byte-copy into v2 — the waste
+    // adoption must collapse
+    src.mergeDelta(1L, 2L, Seq((3L, "upd-3")).toDF("k", "v"))
+    val srcParts = Seq(1L, 2L).map { v =>
+      val p = new Path(s"$srcBase/v=$v")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.startsWith("part-"))
+    }.sum
+
+    val (store, base) = newStore()
+    val report = store.adoptChain(srcBase, Seq(1L, 2L),
+      commitTs = v => Some(v * 1000L))
+    // identical untouched files pooled ONCE: v2 references, not copies
+    assert(report(1L)._1 == 8 && report(1L)._2 == 0)
+    assert(report(2L)._2 >= 6, s"expected shared references, got ${report(2L)}")
+    assert(poolFiles(base).size < srcParts)
+    // reads equal the source, commit ts carried
+    assert(contents(store.read(1L)) == src.read(1L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet)
+    assert(contents(store.read(2L)) == src.read(2L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet)
+    assert(store.versionAsOf(1500L).contains(1L))
+    // the chain continues LINKED on top of the adopted versions
+    store.mergeDelta(2L, 3L, Seq((7L, "upd-7")).toDF("k", "v"))
+    assert(contents(store.read(3L)).contains((7L, "upd-7")))
+    assert(contents(store.read(3L)).contains((3L, "upd-3")))
+  }
+
   test("readForKeys: envelope-pruned point reads return exactly the requested keys") {
     val (store, _) = newStore()
     store.write(rows(1 to 1000, "a"), 1L, numFiles = 10)

@@ -44,6 +44,21 @@ class PipelineSpec extends SparkSpec {
       "expected a top-k-pruned window plan")
   }
 
+  test("datasetCard: counts, dup rate, and decimal-exact means in one pass") {
+    val docs = Seq(
+      (1L, "en", "web", "alpha beta gamma delta"),
+      (2L, "en", "web", "Alpha  beta GAMMA delta"), // normalized dup of 1
+      (3L, "de", "books", "eins zwei drei")
+    ).toDF("doc_id", "lang", "source", "text")
+    val card = Pipeline.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card("n_docs") == 3.0)
+    assert(card("n_tokens") == 11.0)
+    assert(card("n_langs") == 2.0 && card("n_sources") == 2.0)
+    assert(card("dup_rate") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(card("mean_doc_tokens") == math.rint(11.0 / 3.0 * 1e6) / 1e6)
+  }
+
   test("mixturePlan: small sources saturate, shortfall water-fills the rest") {
     def doc(id: Long, src: String, n: Int) = (id, src, ("tok " * n).trim)
     // A: 100 tokens, B: 1000, C: 1000; uniform thirds, budget 1500 ⇒
