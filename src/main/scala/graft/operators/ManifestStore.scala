@@ -431,6 +431,31 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .unionByName(missingDf)
   }
 
+  /** Dedup-aware storage accounting across versions — the linked
+    * store's `--stats` report (ChunkCrypto.chunkAccounting's twin at
+    * file granularity): per version, n_files and logical_bytes (what
+    * a restore materializes), shared_bytes (referenced by ≥2
+    * versions), and exclusive_bytes (reclaimed if ONLY this version
+    * were pruned — the GC planning number). Metadata-only: manifests
+    * + one pool listing, never a data scan. */
+  def storageReport(): DataFrame = {
+    import spark.implicits._
+    val sizes: Map[String, Long] =
+      if (!fs.exists(poolDir)) Map.empty
+      else fs.listStatus(poolDir).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val refs: Seq[(Long, String)] = versions().flatMap(v =>
+      manifest(v).select("file").collect().map(r => v -> r.getString(0)))
+    val refCount: Map[String, Int] =
+      refs.groupBy(_._2).map { case (f, rs) => f -> rs.size }
+    refs.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fs0) =>
+      val files = fs0.map(_._2)
+      val logical = files.map(sizes.getOrElse(_, 0L)).sum
+      val shared = files.filter(refCount(_) > 1).map(sizes.getOrElse(_, 0L)).sum
+      (v, files.size.toLong, logical, shared, logical - shared)
+    }.toDF("version", "n_files", "logical_bytes", "shared_bytes", "exclusive_bytes")
+  }
+
   /** Small-file compaction: every merge appends `numNewFiles` fresh
     * pool files, so a long merge chain accumulates small files and
     * read amplification. Fold every pool file under `minBytes` into

@@ -1011,6 +1011,27 @@ object StreamOps {
       .withColumn("drifted", abs(col("share") - col("baseline_share")) > tol)
   }
 
+  /** Streaming burst monitor — `ev_burst`'s continuous counterpart:
+    * per (hour, type), the PEAK per-minute event count and the hour's
+    * total, emitted as hours finalize. Same chained-window shape as
+    * [[mixtureMonitor]]: the wide stateful op keys on (minute, type);
+    * the hour stage maxes over ≤60 pre-aggregated rows per key —
+    * metadata-sized at any event rate. The capacity-planning feed a
+    * rate limiter tails. */
+  def burstMonitor(events: DataFrame, bucket: String = "1 minute",
+      window_ : String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val perBucket = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), bucket).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    perBucket
+      .groupBy(window(window_time(col("w")), window_).as("w2"), col("event_type"))
+      .agg(max(col("n")).as("peak_n"), sum(col("n")).as("n_total"))
+      .select(col("w2.start").as("window_start"), col("event_type"),
+        col("peak_n"), col("n_total"))
+  }
+
   /** HOPPING-window twin of `ev_hopping` (and the sliding counterpart
     * of [[tumblingCounts]]): overlapping event-time windows — each
     * event fans out to window/slide windows before the partial

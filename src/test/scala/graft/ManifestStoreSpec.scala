@@ -225,6 +225,27 @@ class ManifestStoreSpec extends SparkSpec {
     assert(scanned > 0 && scanned < 10, s"expected stats-pruned scan, read $scanned files")
   }
 
+  test("storageReport: shared vs exclusive bytes track the reference structure") {
+    val (store, _) = newStore()
+    store.write(rows(1 to 400, "a"), 1L, numFiles = 8)
+    store.mergeDelta(1L, 2L, Seq((3L, "upd-3")).toDF("k", "v"), numNewFiles = 2)
+    val rep = store.storageReport().collect()
+      .map(r => r.getAs[Long]("version") -> r).toMap
+    val v1 = rep(1L); val v2 = rep(2L)
+    assert(v1.getAs[Long]("n_files") == 8L)
+    // v1's rewritten-away file is exclusive; its 7 survivors are shared
+    assert(v1.getAs[Long]("exclusive_bytes") > 0L)
+    assert(v1.getAs[Long]("shared_bytes") > 0L)
+    assert(v2.getAs[Long]("shared_bytes") == v1.getAs[Long]("shared_bytes"))
+    // v2's fresh merge files are its exclusive share
+    assert(v2.getAs[Long]("exclusive_bytes") > 0L)
+    assert(v1.getAs[Long]("logical_bytes") ==
+      v1.getAs[Long]("shared_bytes") + v1.getAs[Long]("exclusive_bytes"))
+    // prune(keep v2) must reclaim exactly v1's exclusive bytes
+    val reclaimed = store.prune(keep = Seq(2L))
+    assert(reclaimed == v1.getAs[Long]("exclusive_bytes"))
+  }
+
   test("adoptChain dedupes the CoW byte-copies and continues linked on top") {
     import graft.operators.SnapshotStore
     val srcBase = java.nio.file.Files.createTempDirectory("graft-adopt-src").toString

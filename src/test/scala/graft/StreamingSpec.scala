@@ -94,6 +94,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("burstMonitor: hour rows carry the peak minute and the total") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.burstMonitor(input.toDS().toDF())
+      .writeStream.format("memory").queryName("graft_burst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one 3-event minute burst + two sparse minutes in the same hour
+      input.addData(
+        Event(1L, ts(1), 1L, "click", 1.0),
+        Event(2L, ts(1), 2L, "click", 1.0),
+        Event(3L, ts(1), 3L, "click", 1.0),
+        Event(4L, ts(12), 1L, "click", 1.0),
+        Event(5L, ts(25), 1L, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(99L, ts(600), 1L, "flush", 0.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_type, peak_n, n_total FROM graft_burst WHERE event_type = 'click'")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("click", 3L, 5L)), s"got ${got.toSeq}")
+    } finally query.stop()
+  }
+
   test("hoppingCounts: closed overlapping windows match the batch hopping aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
