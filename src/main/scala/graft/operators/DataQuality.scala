@@ -168,6 +168,15 @@ object DataQuality {
         round(when(col("share_base") > 0,
           (col("share_curr") - col("share_base")) * (col("share_curr") - col("share_base"))
             / col("share_base")), 6))
+      // PSI contribution (the population-stability-index term the
+      // model-monitoring world standardizes on: Σ ≥ 0.2 = major
+      // shift); defined only where both shares are positive — a
+      // category appearing or vanishing outright is already the
+      // strongest possible signal and reads as null here
+      .withColumn("psi_contrib",
+        round(when(col("share_base") > 0 && col("share_curr") > 0,
+          (col("share_curr") - col("share_base"))
+            * log(col("share_curr") / col("share_base"))), 6))
   }
 
   /** Categorical concentration profile — Shannon entropy (nats),
@@ -597,7 +606,10 @@ object DataQuality {
         |SELECT category, n_base, n_curr, share_base, share_curr,
         |  ROUND(CASE WHEN share_base > 0
         |    THEN (share_curr - share_base) * (share_curr - share_base) / share_base
-        |    END, 6) AS chi2_contrib
+        |    END, 6) AS chi2_contrib,
+        |  ROUND(CASE WHEN share_base > 0 AND share_curr > 0
+        |    THEN (share_curr - share_base) * ln(share_curr / share_base)
+        |    END, 6) AS psi_contrib
         |FROM sh ORDER BY category""".stripMargin,
 
     "dq_entropy" -> {
