@@ -109,6 +109,38 @@ object TextAnalysis {
       col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_longnum") > 0)
   }
 
+  /** PII REDACTION — the transform half [[piiScan]] only detects:
+    * emails, URLs, IPv4s, and long digit runs replace with typed
+    * placeholders, applied in one chained narrow projection (order
+    * matters and is pinned: URLs first, or an email inside a URL
+    * query string would split it; digit runs last so IPv4 octets are
+    * already gone). Emits the redacted text's md5 (so an external
+    * engine can verify the redaction byte-for-byte without shipping
+    * the text) and the raw-text pattern hit count (an upper bound on
+    * replacements when patterns nest). The GDPR-adjacent sibling
+    * of SnapshotStore.deleteWhere/ChunkStore.redact: those erase
+    * ROWS/payloads, this cleanses content kept in the corpus. */
+  def anonymize(docs: DataFrame): DataFrame = {
+    val urlP = "https?://[^ ]+"
+    val emailP = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val numP = "[0-9]{7,}"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), urlP, "<URL>"),
+            emailP, "<EMAIL>"),
+          ipP, "<IP>"),
+        numP, "<NUM>")
+    docs.select(col("doc_id"),
+      (regexp_count(col("text"), lit(urlP)) + regexp_count(col("text"), lit(emailP))
+        + regexp_count(col("text"), lit(ipP)) + regexp_count(col("text"), lit(numP)))
+        .cast(LongType).as("n_redacted"),
+      md5(redacted).as("redacted_md5"),
+      length(redacted).cast(LongType).as("redacted_len"))
+  }
+
   /** Flesch-style readability score per doc — the classic
     * surface-structure quality signal (sentence length × syllable
     * density) a corpus mixes with [[quality]]'s ratios: sentences are
@@ -770,6 +802,7 @@ object TextAnalysis {
     },
 
     "text_pii" -> { (s, d) => piiScan(Tables.documents(s, d)).orderBy("doc_id") },
+    "text_anonymize" -> { (s, d) => anonymize(Tables.documents(s, d)).orderBy("doc_id") },
 
     "text_repetition" -> { (s, d) =>
       // Gopher-style within-doc repetition profile: dup-token /
@@ -985,6 +1018,26 @@ object TextAnalysis {
         |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
         |   + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_anonymize" ->
+      """WITH red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |   + len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |   + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |   + len(regexp_extract_all(text, '[0-9]{7,}'))) AS n_redacted,
+        |  md5(r) AS redacted_md5,
+        |  CAST(length(r) AS BIGINT) AS redacted_len
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

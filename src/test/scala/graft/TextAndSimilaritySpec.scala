@@ -13,6 +13,21 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 3L)  // n_tokens
   }
 
+  test("anonymize redacts typed placeholders in pinned order") {
+    val df = Seq(
+      (1L, "mail me at bob@example.com or visit https://x.io/a?e=c@d.com from 10.0.0.1 ref 12345678 done")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.anonymize(df).collect().head
+    // URL first: the email inside the URL query never splits it; the
+    // count is raw-text hits (2 emails + 1 url + 1 ip + 1 longnum)
+    val expected = "mail me at <EMAIL> or visit <URL> from <IP> ref <NUM> done"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("redacted_md5") == md)
+    assert(r.getAs[Long]("redacted_len") == expected.length.toLong)
+    assert(r.getAs[Long]("n_redacted") == 5L)
+  }
+
   test("deflate_ratio: repetition compresses, prose does not, SQL surface registered") {
     import org.apache.spark.sql.graft.DeflateRatioFunctions.deflateRatio
     val df = Seq(
