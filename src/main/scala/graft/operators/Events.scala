@@ -153,6 +153,36 @@ object Events {
       rfm(Tables.events(s, d)).orderBy("user_id")
     },
 
+    "ev_attribution" -> { (s, d) =>
+      // LINEAR multi-touch attribution by TOUCH DAY — "which days'
+      // marketing touches drove conversions": each purchase splits one
+      // unit of credit equally across the user's clicks in the
+      // trailing 7 days (equi key carries the shuffle, the time window
+      // is a join-condition filter — ev_funnel's range-join shape),
+      // and each touch's share lands on its CLICK day. Credit sums are
+      // EXACT scaled integers (round(1e6/n) per touch, long addition —
+      // a double 1/n sum would be order-dependent and hash-unsafe),
+      // one double division at the output boundary.
+      val winUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), to_date(col("ts")).as("click_day"),
+          col("t").as("ct"))
+      val touches = purchases.join(clicks,
+          col("user_id") === col("cu")
+            && col("ct") <= col("t") && col("ct") >= col("t") - winUs)
+        .select(col("pid"), col("click_day"))
+      val withN = touches
+        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("pid")))
+        .withColumn("credit_u", round(lit(1000000.0) / col("n_touch")).cast(LongType))
+      withN.groupBy("click_day")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit_u")).cast(DoubleType) / 1000000.0, 4).as("credit"))
+        .orderBy("click_day")
+    },
+
     "ev_concentration" -> { (s, d) =>
       // Activity-concentration audit per event type: the exact GINI
       // coefficient of the per-user event-count distribution — the
@@ -518,6 +548,25 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |p AS (SELECT event_id AS pid, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, CAST(date_trunc('day', ts) AS DATE) AS click_day,
+        |  t AS ct FROM ev WHERE event_type = 'click'),
+        |touches AS (
+        |  SELECT pid, click_day FROM p JOIN c ON p.user_id = c.cu
+        |    AND c.ct <= p.t AND c.ct >= p.t - 604800000000),
+        |w AS (
+        |  SELECT click_day,
+        |    CAST(ROUND(1000000.0 / COUNT(*) OVER (PARTITION BY pid)) AS BIGINT) AS credit_u
+        |  FROM touches)
+        |SELECT click_day, COUNT(*) AS n_touches,
+        |  ROUND(CAST(SUM(credit_u) AS DOUBLE) / 1000000.0, 4) AS credit
+        |FROM w GROUP BY 1 ORDER BY click_day""".stripMargin,
+
     "ev_concentration" ->
       """WITH uc AS (
         |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),

@@ -74,6 +74,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == ((1L, 100.0, 0.333333)))
   }
 
+  test("attribution: linear credit splits across touch days exactly") {
+    val base = 19000L * 86400000L
+    def at(typ: String, userId: Long, offSec: Long, id: Long) =
+      (id, new Timestamp(base + offSec * 1000L), userId, typ, 1.0)
+    // user 1: clicks on day 0 and day 1, purchase day 2 → each click
+    // day earns 0.5; user 2: one click day 0, purchase day 0 → 1.0
+    val df = Seq(
+      at("click", 1L, 0L, 0L),
+      at("click", 1L, 86400L, 1L),
+      at("purchase", 1L, 2L * 86400L, 2L),
+      at("click", 2L, 100L, 3L),
+      at("purchase", 2L, 200L, 4L)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.queries("ev_attribution")(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("click_day").toLocalDate.toEpochDay - 19000L ->
+        (r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toMap
+    assert(out(0L) == ((2L, 1.5))) // user 1's 0.5 + user 2's 1.0
+    assert(out(1L) == ((1L, 0.5)))
+  }
+
   test("concentration: exact gini from the distinct-count frame") {
     val base = 19000L * 86400000L
     def at(typ: String, userId: Long, id: Long) =
