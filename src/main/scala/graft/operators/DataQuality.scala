@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampType}
 
 import graft.functions.Fx
 import graft.sources.Tables
@@ -350,7 +350,96 @@ object DataQuality {
     within.unionByName(boundary)
   }
 
+  /** Chi-square independence audit of two categorical columns — "is
+    * event mix stable across the week / sources / shards": the
+    * (catA × catB) contingency table with observed count, expected
+    * count under independence, and each cell's χ² contribution. One
+    * map-side-combinable count over |A|×|B| cells; the marginals are
+    * window sums over that metadata-sized frame, never a second scan.
+    * All inputs to the double math are exact integers, so the stat
+    * hashes identically cross-engine (divisions happen once per cell
+    * at the output boundary). */
+  def chiSquare(df: DataFrame, catA: String, catB: String): DataFrame = {
+    val cells = df.groupBy(col(catA).as("a"), col(catB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("row_t", sum(col("o")).over(Window.partitionBy("a")))
+      .withColumn("col_t", sum(col("o")).over(Window.partitionBy("b")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e",
+        col("row_t").cast(DoubleType) * col("col_t") / col("n"))
+      .select(col("a"), col("b"), col("o"), round(col("e"), 4).as("expected"),
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+          .as("contrib"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two row populations, EXACTLY and without a
+    * global sort: D = sup_v |F₁(v) − F₂(v)| decomposes by value-range
+    * bucket — within-bucket cumulative counts run in a window
+    * partitioned by bucket (parallel), and each bucket's exclusive
+    * prefix offsets fold out of a running sum over the |buckets|-row
+    * summary frame (the dq_sequence_gaps / interArrival discipline).
+    * The sup compares INTEGER cross-products |F₁n₁n₂ − F₂n₁n₂| as
+    * decimals (n² overflows a LONG on a 10¹⁰-row table), so the max is
+    * exact; the single division to D happens at the output boundary.
+    * Returns one row: n₁, n₂, the KS statistic, and the LOWEST value
+    * attaining it (deterministic under ties). */
+  def ksTwoSample(df: DataFrame, valueCol: String, side1: Column, side2: Column,
+      bucketWidth: Double): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val vals = df.filter(side1 || side2)
+      .select(col(valueCol).as("v"),
+        when(side1, 1L).otherwise(0L).as("s1"),
+        when(side2, 1L).otherwise(0L).as("s2"))
+      .withColumn("bk", floor(col("v") / bucketWidth))
+    val agg = vals.groupBy("bk", "v")
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val inBucket = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = agg
+      .withColumn("cum1", sum(col("c1")).over(inBucket))
+      .withColumn("cum2", sum(col("c2")).over(inBucket))
+    val byBk = Window.orderBy("bk") // |buckets| rows — metadata-sized
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = agg.groupBy("bk")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .withColumn("off1", coalesce(sum(col("t1")).over(byBk), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("t2")).over(byBk), lit(0L)))
+      .select(col("bk"), col("off1"), col("off2"))
+    val tot = vals.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    cum.join(broadcast(offsets), Seq("bk"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(
+        (col("off1") + col("cum1")).cast(dec) * col("n2")
+          - (col("off2") + col("cum2")).cast(dec) * col("n1")))
+      .groupBy("n1", "n2")
+      .agg(max(struct(col("num"), (-col("v")).as("negv"))).as("m"))
+      .select(col("n1"), col("n2"),
+        round(col("m.num").cast(DoubleType)
+          / (col("n1").cast(DoubleType) * col("n2")), 6).as("d_stat"),
+        round(-col("m.negv"), 2).as("at_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_chisq" -> { (s, d) =>
+      // event mix × ISO weekday (0 = Monday, DuckDB isodow−1): the
+      // "did the weekly rhythm change" independence audit.
+      chiSquare(
+        Tables.events(s, d).withColumn("dow", weekday(col("ts")).cast(LongType)),
+        "event_type", "dow")
+        .withColumnRenamed("a", "event_type").withColumnRenamed("b", "dow")
+        .orderBy("event_type", "dow")
+    },
+
+    "dq_ks" -> { (s, d) =>
+      // Are finished and open orders drawn from the same price
+      // distribution? (They are by construction — D should be small —
+      // but the STATISTIC is what the oracle pins, exactly.)
+      ksTwoSample(Tables.orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O", 10000.0)
+    },
+
     "dq_sequence_gaps" -> { (s, d) =>
       // Audit one logical partition (open orders) so the gap profile
       // is non-trivial — the full keyspace is dense by construction
@@ -470,6 +559,45 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, o,
+        |    SUM(o) OVER (PARTITION BY event_type) AS row_t,
+        |    SUM(o) OVER (PARTITION BY dow) AS col_t,
+        |    SUM(o) OVER () AS n
+        |  FROM cells)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
+        |  ROUND(CAST(row_t AS DOUBLE) * col_t / n, 4) AS expected,
+        |  ROUND((o - CAST(row_t AS DOUBLE) * col_t / n)
+        |    * (o - CAST(row_t AS DOUBLE) * col_t / n)
+        |    / (CAST(row_t AS DOUBLE) * col_t / n), 6) AS contrib
+        |FROM m ORDER BY event_type, dow""".stripMargin,
+
+    "dq_ks" ->
+      """WITH v AS (
+        |  SELECT o_totalprice AS val,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS s2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |agg AS (SELECT val, SUM(s1) AS c1, SUM(s2) AS c2 FROM v GROUP BY 1),
+        |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM agg),
+        |cum AS (
+        |  SELECT val,
+        |    SUM(c1) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM agg),
+        |sc AS (
+        |  SELECT val, ABS(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1) AS num
+        |  FROM cum CROSS JOIN tot)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  ROUND(CAST(MAX(num) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d_stat,
+        |  ROUND(MIN(val) FILTER (WHERE num = (SELECT MAX(num) FROM sc)), 2) AS at_value
+        |FROM sc CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+
     "dq_sequence_gaps" ->
       """SELECT id AS after_id, next - id - 1 AS gap_len FROM (
         |  SELECT o_orderkey AS id,

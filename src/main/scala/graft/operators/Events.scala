@@ -148,9 +148,111 @@ object Events {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_cell"))
   }
 
+  /** Truncated exponential moving average of the daily value sum per
+    * event type (α = 1/2, `lags`-day window) — the trend smoother next
+    * to [[Events.queries]]' linear `ev_wma`. The recursive EWMA is
+    * reformulated as its normalized truncated closed form
+    * `Σ_{i=0..L-1} x_{t-i}·2^{L-1-i} / Σ 2^{L-1-i}` so the weights are
+    * exact INTEGERS: numerator = decimal·long products summed exactly,
+    * denominator = an integer sum, and the ONLY division is one double
+    * at the output boundary — order-independent and engine-identical
+    * (SURVEY §4 float discipline). Computed by a relative-index range
+    * self-join over the gap-filled daily frame (|types|×|days| rows —
+    * metadata-sized at any event volume), never over raw events; a
+    * lag-indexed window would need position-dependent weights no plain
+    * window sum expresses. */
+  def ewmaDaily(events: DataFrame, lags: Int): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"2^lags must fit a LONG, got $lags")
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val daily = dailyFilled(events)
+      .withColumn("rn", row_number().over(byType))
+      .select(col("event_type"), col("day"), col("rn"), col("sv"))
+    val cur = daily.select(col("event_type"), col("day"),
+      col("rn").as("rn_t"))
+    val past = daily.select(col("event_type"), col("rn").as("rn_j"), col("sv"))
+    cur.join(past,
+        cur("event_type") === past("event_type")
+          && col("rn_j") <= col("rn_t")
+          && col("rn_j") > col("rn_t") - lags)
+      .drop(past("event_type"))
+      // 2^k is a double-exact integer for k ≤ 62 (shiftleft's Scala
+      // signature takes only a literal shift, so pow is the columnar form)
+      .withColumn("w", pow(lit(2.0), lit(lags - 1) - (col("rn_t") - col("rn_j"))).cast(LongType))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("w") * col("sv")).cast(DoubleType)
+          / sum(col("w")).cast(DoubleType), 6).as("ewma"))
+  }
+
+  /** Per-type inter-arrival statistics (count / min / max / mean / sd
+    * of the gaps between consecutive events in global `(ts, event_id)`
+    * order) WITHOUT a per-type global sort: a per-type ordered window
+    * is one task per type at any scale — the exact shape
+    * `q_window_running` exists to avoid. Instead gaps decompose by
+    * calendar-day bucket: within-bucket gaps come from a window
+    * partitioned by (type, day) — parallel across days — and the
+    * |buckets| cross-day boundary gaps fold out of a lead over the
+    * per-bucket (first_ts, last_ts) summary frame (days rows, one
+    * task is fine). The union of the two gap sets is provably the
+    * global gap multiset (every consecutive pair is either within one
+    * day or bridges two adjacent present days; ties on ts contribute
+    * zero gaps under any tie order). All moments accumulate as exact
+    * integers/decimals — the double division and sqrt happen once at
+    * the output boundary, so results hash identically cross-engine. */
+  def interArrival(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("t"), to_date(col("ts")).as("day"))
+    val inBucket = Window.partitionBy("event_type", "day")
+      .orderBy(col("t"), col("event_id"))
+    val within = ev
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(inBucket))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_w"), min(col("gap")).as("min_w"),
+        max(col("gap")).as("max_w"), sum(col("gap")).as("sum_w"),
+        // cast BEFORE the square: a long·long product of day-scale µs
+        // gaps overflows silently; decimal(38)·long cannot
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("ssq_w"))
+    val summary = ev.groupBy("event_type", "day")
+      .agg(min(col("t")).as("first_t"), max(col("t")).as("last_t"))
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val boundary = summary
+      .withColumn("gap", lead(col("first_t"), 1).over(byType) - col("last_t"))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_b"), min(col("gap")).as("min_b"),
+        max(col("gap")).as("max_b"), sum(col("gap")).as("sum_b"),
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("ssq_b"))
+    // full outer: a single-day type has no boundary gaps; a type whose
+    // every day holds one event has no within gaps
+    within.join(boundary, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_w"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_gaps"),
+        least(col("min_w"), col("min_b")).as("min_gap_us"), // least/greatest skip nulls
+        greatest(col("max_w"), col("max_b")).as("max_gap_us"),
+        (coalesce(col("sum_w"), lit(0L)) + coalesce(col("sum_b"), lit(0L))).as("sum_us"),
+        (coalesce(col("ssq_w"), lit(0).cast(DecimalType(38, 0)))
+          + coalesce(col("ssq_b"), lit(0).cast(DecimalType(38, 0)))).as("ssq"))
+      .filter(col("n_gaps") > 0)
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"), col("max_gap_us"),
+        round(col("sum_us").cast(DoubleType) / col("n_gaps") / 1e6, 4).as("avg_gap_sec"),
+        round(sqrt(col("ssq").cast(DoubleType) / col("n_gaps")
+          - (col("sum_us").cast(DoubleType) / col("n_gaps"))
+            * (col("sum_us").cast(DoubleType) / col("n_gaps"))) / 1e6, 4).as("sd_gap_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_rfm" -> { (s, d) =>
       rfm(Tables.events(s, d)).orderBy("user_id")
+    },
+
+    "ev_ewma" -> { (s, d) =>
+      // 20-lag α=1/2 truncated EWMA of the daily value sum — integer
+      // weights, one boundary double division (engine-identical).
+      ewmaDaily(Tables.events(s, d), 20).orderBy("event_type", "day")
+    },
+
+    "ev_interarrival" -> { (s, d) =>
+      interArrival(Tables.events(s, d)).orderBy("event_type")
     },
 
     "ev_attribution" -> { (s, d) =>
@@ -563,6 +665,37 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_ewma" ->
+      (oracleFilledCte +
+        """,
+          |idx AS (
+          |  SELECT event_type, day, sv,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM filled)
+          |SELECT c.event_type AS event_type, c.day AS day,
+          |  ROUND(CAST(SUM(CAST(power(2, 19 - (c.rn - p.rn)) AS BIGINT) * p.sv) AS DOUBLE)
+          |    / CAST(SUM(CAST(power(2, 19 - (c.rn - p.rn)) AS BIGINT)) AS DOUBLE), 6) AS ewma
+          |FROM idx c JOIN idx p ON p.event_type = c.event_type
+          |  AND p.rn <= c.rn AND p.rn > c.rn - 20
+          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin),
+
+    "ev_interarrival" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type,
+        |    t - LAG(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap
+        |  FROM ev),
+        |g AS (SELECT event_type, gap FROM lagged WHERE gap IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+        |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_gap_sec,
+        |  ROUND(sqrt(CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) / COUNT(*)
+        |    - (CAST(SUM(gap) AS DOUBLE) / COUNT(*))
+        |      * (CAST(SUM(gap) AS DOUBLE) / COUNT(*))) / 1000000.0, 4) AS sd_gap_sec
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "ev_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, ts,

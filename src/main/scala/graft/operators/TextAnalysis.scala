@@ -715,7 +715,64 @@ object TextAnalysis {
         round((col("sy") - col("slope_raw") * col("sx")) / col("nn"), 6).as("intercept"))
   }
 
+  /** Lexical-diversity profile — the vocabulary-richness quality
+    * signal (low type/token ratio = repetitive or templated text;
+    * high hapax share = rich or noisy): per doc, token count, distinct
+    * token count, TTR, and the share of types occurring exactly once.
+    * One explode + two map-side-combinable aggregates keyed by doc_id
+    * (no corpus-wide state at all, so it scales embarrassingly); every
+    * division is integer-fed and happens once at the output boundary. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      // projection barrier: explode must not re-evaluate tokens()
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast(DoubleType) / col("n_types"), 6).as("hapax_share"))
+
+  /** Per-document top-`k` TF-IDF terms — the classic keyword
+    * extractor (what is this document ABOUT) next to [[topTerms]]'
+    * corpus-level vocabulary view. idf = ln((N+1)/(df+1)), smoothed so
+    * a corpus-universal term scores ~0 instead of dividing by zero.
+    * Scale shape: ONE tokenize/explode feeds both the per-doc tf and
+    * the document-frequency aggregate (localCheckpoint — the
+    * boilerplateShare discipline); df joins back on the token equi-key
+    * (vocabulary-sized, shuffles fine — never broadcast: a 100 TB
+    * corpus's vocabulary isn't driver-sized); ranking rounds BEFORE
+    * ordering (engine-stable under double ULP drift, the
+    * ann_cosine_topk precedent) and the `row_number ≤ k` filter is
+    * TopKPerKey-rewritable — bounded per-doc heaps, no full sort. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(length(col("tok")) >= 3) // drop stop-length tokens
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast(DoubleType)
+        * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> { (s, d) =>
+      lexicalDiversity(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "text_tfidf" -> { (s, d) =>
+      tfidfTopTerms(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
+    },
+
     "text_zipf" -> { (s, d) =>
       zipf(Tables.documents(s, d), 300).orderBy("lang")
     },
@@ -921,6 +978,36 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_ttr" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)),
+         |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
+         |  ROUND(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_share
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)
+         |  WHERE length(token) >= 3),
+         |tf AS (SELECT doc_id, token AS tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         |    ROUND(CAST(tf.tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok, tf, CAST(df AS BIGINT) AS df, score,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+         |  FROM scored) t
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "text_zipf" ->
       s"""WITH tok AS (
          |  SELECT lang, token FROM (SELECT lang, $toksSql AS t FROM documents),

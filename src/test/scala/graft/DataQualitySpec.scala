@@ -17,6 +17,42 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
   }
 
+  test("chiSquare: 2x2 contingency with hand-computed expectations") {
+    // a/x:30 a/y:10 b/x:10 b/y:50 — strongly dependent
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val out = DataQuality.chiSquare(rows.toDF("u", "w"), "u", "w").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r).toMap
+    assert(out.size == 4)
+    val ax = out(("a", "x"))
+    // e(a,x) = 40*40/100 = 16; contrib = (30-16)^2/16 = 12.25
+    assert(ax.getAs[Long]("o") == 30L)
+    assert(ax.getAs[Double]("expected") == 16.0)
+    assert(ax.getAs[Double]("contrib") == 12.25)
+    // χ² total for a 2x2 is symmetric in this layout
+    val chi2 = out.values.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(chi2 - (12.25 + 196.0 / 24 + 196.0 / 24 + 196.0 / 36)) < 1e-5)
+  }
+
+  test("ksTwoSample: bucket decomposition equals the global D, ties break to lowest value") {
+    // side1: {1,2,3,4}, side2: {3,4,5,6} — F1-F2 peaks at v=2 (2/4-0)
+    // with bucketWidth 2.5 the values span three buckets
+    val df = (Seq(1, 2, 3, 4).map(v => (v.toDouble, "p")) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, "q"))).toDF("v", "side")
+    val out = DataQuality.ksTwoSample(df, "v",
+      col("side") === "p", col("side") === "q", 2.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 4L)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Double]("at_value") == 2.0)
+    // identical populations → D = 0
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v => Seq((v, "p"), (v, "q"))).toDF("v", "side")
+    val z = DataQuality.ksTwoSample(same, "v",
+      col("side") === "p", col("side") === "q", 1.0).head()
+    assert(z.getAs[Double]("d_stat") == 0.0)
+  }
+
   test("benford: observed shares vs log10(1+1/d), sub-1 values excluded") {
     // 6 values with first digits 1,1,1,2,9 (+ one 0.5 that must drop)
     val df = Seq(12.3, 150.0, 1999.99, 25.0, 900.0, 0.5).toDF("v")

@@ -38,6 +38,50 @@ class TimeSeriesSpec extends SparkSpec {
       (10.0 + (29 * 10.0 + 30 * 20.0) / 59 + (28 * 10.0 + 29 * 20.0 + 30 * 30.0) / 87)) < 1e-3)
   }
 
+  test("ewma matches the closed-form truncated weighted average") {
+    val df = ev((0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0))
+    val out = SparkEntryTestHook.run(spark, df, "ev_ewma").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("ewma")).toMap
+    // α=1/2 truncated-normalized weights double toward today: 1:2:4…
+    val expected = Seq(10.0, (10.0 + 2 * 20.0) / 3, (10.0 + 2 * 20.0 + 4 * 30.0) / 7)
+    assert(math.abs(out.values.sum - expected.sum) < 1e-4)
+    assert(out.size == 3)
+  }
+
+  test("ewma zero-fills absent days so the window is calendar-true") {
+    // day 0 then day 2 — the gap day enters the window with sv = 0, so
+    // day 2's ewma is (1·10 + 2·0 + 4·30)/7, not (1·10 + 4·30)/5
+    val df = ev((0, "a", 10.0), (2, "a", 30.0))
+    val out = SparkEntryTestHook.run(spark, df, "ev_ewma").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("ewma")).toMap
+    assert(out.size == 3)
+    assert(math.abs(out.values.max - (10.0 + 4 * 30.0) / 7) < 1e-4)
+  }
+
+  test("interArrival: bucket decomposition equals the naive global gap stats") {
+    // type a: two within-day gaps plus a boundary gap bridging an
+    // EMPTY calendar day; type b: single event → no gap row
+    val base = 19000L * 86400000L
+    def at(id: Long, offSec: Long, typ: String) =
+      (id, new Timestamp(base + offSec * 1000L), typ, 1.0)
+    val df = Seq(
+      at(0L, 0L, "a"), at(1L, 60L, "a"), at(2L, 120L, "a"),
+      at(3L, 2L * 86400L + 30L, "a"), // two midnights later
+      at(4L, 500L, "b"))
+      .toDF("event_id", "ts", "event_type", "value")
+    val rows = SparkEntryTestHook.run(spark, df, "ev_interarrival").collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == Set("a"))
+    val r = rows.head
+    val gaps = Seq(60e6.toLong, 60e6.toLong, (2L * 86400L - 120L + 30L) * 1000000L)
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Long]("min_gap_us") == gaps.min)
+    assert(r.getAs[Long]("max_gap_us") == gaps.max)
+    val mean = gaps.sum.toDouble / 3
+    assert(math.abs(r.getAs[Double]("avg_gap_sec") - mean / 1e6) < 1e-3)
+    val sd = math.sqrt(gaps.map(g => g.toDouble * g).sum / 3 - mean * mean)
+    assert(math.abs(r.getAs[Double]("sd_gap_sec") - sd / 1e6) < 1e-3)
+  }
+
   test("anomaly flags a seeded spike and nothing else") {
     // 40 flat days then one 100× spike
     val flat = (0 until 40).map(d => (d, "a", 10.0))
