@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -74,6 +74,59 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("ip"), col("rk"))
+  }
+
+  /** Exact cosine RADIUS search: every corpus neighbor within
+    * `minCos` of each query — the "find all matches above threshold"
+    * retrieval mode top-k can't express (k is unknown; a near-dup
+    * sweep wants ALL hits). Same one-pass broadcast shape as
+    * [[bruteForceTopK]]; the threshold compares the ROUNDED cosine so
+    * the boundary set hashes identically cross-engine. The query side
+    * must be broadcast-bounded; corpus×corpus radius search at scale
+    * goes through the banded hyperplane-LSH path
+    * (Dedup.embCosLshPairs), never this. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minCos: Double): DataFrame = {
+    val q = withNorm(queries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = withNorm(corpus).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Symmetric per-dimension INT8 scalar quantization audit — the
+    * "can we serve this corpus at 4× less memory" gate an index build
+    * runs before switching the store to int8: per dimension the scale
+    * is max|x| over the corpus (an order-independent MAX — one narrow
+    * posexplode + a |dims|-row aggregate, broadcast back as one array
+    * literal); each vector then reports its reconstruction cosine and
+    * MSE against code·scale/127 dequantization. All per-vector sums
+    * fold the arrays in element order (functions.aggregate), so the
+    * doubles match the oracle's list_sum exactly — no shuffle of
+    * vector payloads at all. */
+  def int8QuantAudit(emb: DataFrame): DataFrame = {
+    val scales = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x").cast(DoubleType))).as("s"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        p => p.getField("s")).as("sl"))
+    def dsum(a: Column): Column = aggregate(a, lit(0.0), (acc, v) => acc + v)
+    emb.crossJoin(broadcast(scales))
+      .withColumn("rec", zip_with(col("embedding"), col("sl"),
+        (x, s) => when(s === 0.0, lit(0.0)).otherwise(
+          greatest(lit(-127.0), least(lit(127.0),
+            round(x.cast(DoubleType) / s * 127))) * s / 127)))
+      .select(col("vec_id"),
+        round(dsum(zip_with(col("embedding"), col("rec"),
+            (x, r) => x.cast(DoubleType) * r))
+          / (sqrt(dsum(transform(col("embedding"),
+              x => x.cast(DoubleType) * x.cast(DoubleType))))
+            * sqrt(dsum(transform(col("rec"), r => r * r)))), 4).as("recon_cos"),
+        round(dsum(zip_with(col("embedding"), col("rec"),
+            (x, r) => (x.cast(DoubleType) - r) * (x.cast(DoubleType) - r)))
+          / size(col("embedding")), 6).as("mse"))
   }
 
   /** Bucketed MIPS via the public norm-augmentation reduction
@@ -1518,6 +1571,20 @@ object Similarity {
         mipsTopK(q, emb, 1), k = 5, threshold = 0.7)
     },
 
+    "ann_range" -> { (s, d) =>
+      // All neighbors within cosine 0.35 of the first 50 vectors — the
+      // threshold retrieval mode top-k can't express (τ sits at the
+      // ~99.9th percentile of this corpus's pair cosines, so the
+      // result is a real selective radius set at every SF).
+      val emb = Tables.embeddings(s, d)
+      rangeSearch(emb.filter(col("vec_id") < 50), emb, 0.35)
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    "emb_int8" -> { (s, d) =>
+      int8QuantAudit(Tables.embeddings(s, d)).orderBy("vec_id")
+    },
+
     "emb_stats" -> { (s, d) =>
       // Embedding-space health report per label: count, mean/min/max
       // L2 norm, and degenerate (near-zero-norm) vectors — the gate an
@@ -1731,6 +1798,42 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_mips_recall" -> recallOracle,
+
+    "ann_range" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 50) t
+        |WHERE cos >= 0.35
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "emb_int8" ->
+      """WITH dims AS (
+        |  SELECT i, MAX(ABS(CAST(embedding[i] AS DOUBLE))) AS s
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY 1),
+        |scal AS (SELECT list(s ORDER BY i) AS sl FROM dims),
+        |r AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CASE WHEN sl[i] = 0 THEN 0.0
+        |        ELSE GREATEST(-127.0, LEAST(127.0,
+        |          ROUND(CAST(embedding[i] AS DOUBLE) / sl[i] * 127))) * sl[i] / 127 END) AS rec
+        |  FROM embeddings CROSS JOIN scal)
+        |SELECT vec_id,
+        |  ROUND(
+        |    list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * rec[i]))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(rec, y -> y * y)))), 4) AS recon_cos,
+        |  ROUND(
+        |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |      (CAST(embedding[i] AS DOUBLE) - rec[i]) * (CAST(embedding[i] AS DOUBLE) - rec[i])))
+        |    / len(embedding), 6) AS mse
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "emb_stats" ->
       """WITH nrm AS (

@@ -82,6 +82,41 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(viaLsh == exact)
   }
 
+  test("rangeSearch returns every neighbor at-or-over the rounded threshold, never self") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),  // cos ≈ 0.9939
+      (2L, Array(0.0f, 1.0f)),  // cos = 0
+      (3L, Array(-1.0f, 0.0f))) // cos = −1
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.rangeSearch(emb.filter(col("vec_id") === 0), emb, 0.5)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(hits.map(_._1).toSet == Set(1L))
+    assert(hits.head._2 > 0.99)
+    // inclusive boundary: a pair at exactly τ (after rounding) is kept
+    val boundary = Similarity.rangeSearch(emb.filter(col("vec_id") === 0), emb, 0.9939)
+    assert(boundary.count() == 1L)
+  }
+
+  test("int8QuantAudit: per-dim scales, near-lossless on aligned data, zero-dim safe") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 2.0f, 0.0f)),
+      (2L, Array(-1.0f, -2.0f, 0.0f))) // dim 3 is all-zero → scale 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantAudit(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 3)
+    // max-magnitude elements quantize exactly (code ±127 → rec = ±scale)
+    assert(out(0L).getAs[Double]("recon_cos") == 1.0)
+    assert(out(2L).getAs[Double]("recon_cos") == 1.0)
+    // mid-scale element rounds to 64/127 of scale — tiny but nonzero error
+    assert(out(1L).getAs[Double]("recon_cos") > 0.9999)
+    assert(out(1L).getAs[Double]("mse") > 0.0)
+    // no NaN from the zero-scale dimension
+    assert(!out.values.exists(r => r.getAs[Double]("recon_cos").isNaN))
+  }
+
   test("emb_stats: exact norms, degenerate detection, per-label isolation") {
     val df = Seq(
       (1L, Array(3f, 4f), 0),
