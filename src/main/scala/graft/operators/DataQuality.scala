@@ -421,7 +421,36 @@ object DataQuality {
         round(-col("m.negv"), 2).as("at_value"))
   }
 
+  /** Robust dispersion audit per group: exact median, median absolute
+    * deviation, and the count of robust outliers (|x−m| > 3·1.4826·MAD
+    * — the σ-consistent MAD rule that doesn't let the outliers inflate
+    * their own threshold the way dq_outliers' IQR fences can on small
+    * groups). Built on Percentiles.exactQuantiles (bounded-memory
+    * two-pass selection, never a value buffer per group); the median
+    * ROUNDS before the deviation pass so both engines feed bit-equal
+    * inputs to the second quantile; the |groups|-row median/MAD frames
+    * broadcast back — three passes total, all map-side combinable. */
+  def madProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = Percentiles.exactQuantiles(df, groupCol, valueCol, Seq("m" -> 0.5))
+      .select(col(groupCol), round(col("m"), 4).as("m"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valueCol).cast(DoubleType) - col("m")))
+    val mad = Percentiles.exactQuantiles(dev, groupCol, "adev", Seq("mad" -> 0.5))
+      .select(col(groupCol), round(col("mad"), 4).as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), min(col("m")).as("median"), min(col("mad")).as("mad_out"),
+        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_robust_outliers"))
+      .withColumnRenamed("mad_out", "mad")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_mad" -> { (s, d) =>
+      madProfile(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    },
+
     "dq_chisq" -> { (s, d) =>
       // event mix × ISO weekday (0 = Monday, DuckDB isodow−1): the
       // "did the weekly rhythm change" independence audit.
@@ -559,6 +588,22 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS m
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, ABS(l_extendedprice - m) AS adev, m
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.l_returnflag AS l_returnflag, COUNT(*) AS n, m AS median, mad,
+        |  CAST(SUM(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_robust_outliers
+        |FROM dev JOIN mad USING (l_returnflag)
+        |GROUP BY 1, m, mad ORDER BY 1""".stripMargin,
+
     "dq_chisq" ->
       """WITH cells AS (
         |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,

@@ -1011,6 +1011,47 @@ object StreamOps {
       .withColumn("drifted", abs(col("share") - col("baseline_share")) > tol)
   }
 
+  /** Streaming distribution-drift monitor — `dq_ks`'s continuous
+    * twin: per event-time window, the BINNED two-sample KS distance
+    * between the window's `value` distribution and a fixed reference
+    * CDF sampled at `cuts` (refCdf(i) = baseline P(value ≤ cuts(i)),
+    * e.g. from a dq_ks/exactQuantiles pass over yesterday's
+    * snapshot). The binned D̂ under-reads the exact D by at most the
+    * reference's widest bin mass — the histogram-sketch trade every
+    * streaming drift detector makes, controlled by cut placement —
+    * in exchange for BOUNDED state: one row per (window, bin),
+    * |bins| = |cuts|+1 regardless of event rate. Two chained
+    * stateful stages like [[mixtureMonitor]]; the CDF fold runs over
+    * the collected ≤|bins| rows per window, driver-free. */
+  def ksMonitor(events: DataFrame, cuts: Seq[Double], refCdf: Seq[Double],
+      window_ : String = "1 hour", watermarkDelay: String = "10 minutes",
+      tol: Double = 0.25): DataFrame = {
+    require(cuts.nonEmpty && refCdf.length == cuts.length,
+      "refCdf must give the reference CDF at each cut")
+    require(cuts == cuts.sorted && refCdf == refCdf.sorted,
+      "cuts and refCdf must be nondecreasing")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("value") > c, 1).otherwise(0)
+    }
+    val perBin = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), window_).as("w"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val folded = perBin
+      .groupBy(window(window_time(col("w")), window_).as("w2"))
+      .agg(collect_list(struct(col("bin"), col("n"))).as("bins"),
+        sum(col("n")).as("total"))
+    val dExpr = cuts.indices.map { i =>
+      abs(
+        aggregate(filter(col("bins"), b => b.getField("bin") <= i),
+          lit(0L), (acc, b) => acc + b.getField("n")).cast("double")
+          / col("total") - lit(refCdf(i)))
+    }.reduce((a, b) => greatest(a, b))
+    folded.select(col("w2.start").as("window_start"), col("total").as("n"),
+        round(dExpr, 6).as("d_stat"))
+      .withColumn("drifted", col("d_stat") > tol)
+  }
+
   /** Streaming burst monitor — `ev_burst`'s continuous counterpart:
     * per (hour, type), the PEAK per-minute event count and the hour's
     * total, emitted as hours finalize. Same chained-window shape as

@@ -17,6 +17,20 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
   }
 
+  test("madProfile: median, MAD, and robust-outlier count on a crafted group") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(10.0, 10.0, 10.0).map(("b", _))).toDF("g", "v")
+    val out = DataQuality.madProfile(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    // a: median 3, |x−3| = {2,1,0,1,97} → MAD 1; only 97 > 4.4478·1
+    assert(out("a").getAs[Double]("median") == 3.0)
+    assert(out("a").getAs[Double]("mad") == 1.0)
+    assert(out("a").getAs[Long]("n_robust_outliers") == 1L)
+    // constant group: MAD 0 and no outliers (0 > 0 is false)
+    assert(out("b").getAs[Double]("mad") == 0.0)
+    assert(out("b").getAs[Long]("n_robust_outliers") == 0L)
+  }
+
   test("chiSquare: 2x2 contingency with hand-computed expectations") {
     // a/x:30 a/y:10 b/x:10 b/y:50 — strongly dependent
     val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++

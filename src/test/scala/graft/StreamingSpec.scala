@@ -94,6 +94,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ksMonitor: matching window reads D=0, shifted window trips the gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // reference: uniform on [0,100] sampled at quartile cuts
+    val query = StreamOps.ksMonitor(input.toDS().toDF(),
+        cuts = Seq(25.0, 50.0, 75.0), refCdf = Seq(0.25, 0.5, 0.75))
+      .writeStream.format("memory").queryName("graft_ks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour 0: one value per quartile → empirical CDF == reference
+      val h0 = Seq(10.0, 30.0, 60.0, 90.0).zipWithIndex.map { case (v, i) =>
+        Event(i.toLong, ts(i + 1), 1L, "m", v) }
+      // hour 1: everything in the top bin → D = 0.75 at the third cut
+      val h1 = Seq(80.0, 85.0, 90.0, 95.0).zipWithIndex.map { case (v, i) =>
+        Event(10L + i, ts(60 + i + 1), 1L, "m", v) }
+      input.addData(h0 ++ h1: _*)
+      query.processAllAvailable()
+      input.addData(Event(99L, ts(600), 1L, "m", 50.0)) // watermark flush
+      query.processAllAvailable()
+      val got = spark.sql("SELECT n, d_stat, drifted FROM graft_ks WHERE n = 4")
+        .collect().map(r => (r.getDouble(1), r.getBoolean(2))).toSet
+      assert(got == Set((0.0, false), (0.75, true)), s"got $got")
+    } finally query.stop()
+  }
+
   test("burstMonitor: hour rows carry the peak minute and the total") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
