@@ -240,7 +240,75 @@ object Events {
             * (col("sum_us").cast(DoubleType) / col("n_gaps"))) / 1e6, 4).as("sd_gap_sec"))
   }
 
+  /** Daily growth accounting — the new/retained/resurrected/churned
+    * decomposition every product-analytics stack reports: each active
+    * user-day classifies by the user's previous active day (first ever
+    * → new; yesterday → retained; earlier → resurrected), and
+    * churned(d) is the exact identity dau(d−1) − retained(d) — zero
+    * extra passes, since retained(d) ⊆ present(d−1) by construction.
+    * The calendar grid fills from the |days|-row daily frame so a
+    * corpus-wide dead day still reports its churn. One distinct
+    * shuffle on (user, day), one per-user lag window (parallel across
+    * users), combinable counts; the only global window runs over the
+    * |days| grid — metadata-sized at any event volume. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val daily = ud
+      .withColumn("prev", lag(col("day"), 1).over(byUser))
+      .withColumn("cls",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("day"), col("prev")) === 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy("day").agg(
+        count(lit(1)).as("dau"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = grid.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("dau", "n_new", "n_retained", "n_resurrected"))
+    val byDay = Window.orderBy("day") // |days| rows — metadata-sized
+    filled.withColumn("n_churned",
+      coalesce(lag(col("dau"), 1).over(byDay), lit(0L)) - col("n_retained"))
+  }
+
+  /** Seasonal-naive forecast BACKTEST per event type — the capacity-
+    * planning sanity gate: predict each day's event count as the count
+    * seven days earlier, score the week-2+ days, and report MAE / RMSE
+    * / MAPE. Errors are INTEGER differences (exact sums, any order);
+    * MAPE's per-day ratios round to 6 decimals THEN sum as exact
+    * decimals (the emb_stats discipline — a double Σ of ratios would
+    * be order-sensitive), with zero-actual days excluded from MAPE but
+    * kept in MAE/RMSE. Runs entirely on the gap-filled |types|×|days|
+    * daily frame. */
+  def seasonalNaiveBacktest(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    dailyFilled(events)
+      .withColumn("f", lag(col("n"), 7).over(byType))
+      .filter(col("f").isNotNull)
+      .withColumn("err", col("n") - col("f"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("err"))).cast(DoubleType) / count(lit(1)), 4).as("mae"),
+        round(sqrt(sum(col("err") * col("err")).cast(DoubleType) / count(lit(1))), 4)
+          .as("rmse"),
+        round(sum(when(col("n") > 0,
+            round(abs(col("err")).cast(DoubleType) / col("n"), 6).cast(DecimalType(18, 6))))
+          .cast(DoubleType)
+          / sum(when(col("n") > 0, 1L).otherwise(0L)), 6).as("mape"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_growth" -> { (s, d) =>
+      growthAccounting(Tables.events(s, d)).orderBy("day")
+    },
+
+    "ev_forecast" -> { (s, d) =>
+      seasonalNaiveBacktest(Tables.events(s, d)).orderBy("event_type")
+    },
+
     "ev_rfm" -> { (s, d) =>
       rfm(Tables.events(s, d)).orderBy("user_id")
     },
@@ -665,6 +733,48 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_growth" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |cl AS (
+        |  SELECT user_id, day,
+        |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM ud),
+        |daily AS (
+        |  SELECT day, COUNT(*) AS dau,
+        |    SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN date_diff('day', prev, day) = 1 THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, day) > 1 THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM cl GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily) b),
+        |filled AS (
+        |  SELECT g.day AS day, COALESCE(dau, 0) AS dau, COALESCE(n_new, 0) AS n_new,
+        |    COALESCE(n_retained, 0) AS n_retained,
+        |    COALESCE(n_resurrected, 0) AS n_resurrected
+        |  FROM grid g LEFT JOIN daily d ON g.day = d.day)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(LAG(dau) OVER (ORDER BY day), 0) - n_retained AS BIGINT) AS n_churned
+        |FROM filled ORDER BY day""".stripMargin,
+
+    "ev_forecast" ->
+      (oracleFilledCte +
+        """,
+          |f AS (
+          |  SELECT event_type, day, n,
+          |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+          |  FROM filled)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |  ROUND(CAST(SUM(ABS(n - f)) AS DOUBLE) / COUNT(*), 4) AS mae,
+          |  ROUND(sqrt(CAST(SUM((n - f) * (n - f)) AS DOUBLE) / COUNT(*)), 4) AS rmse,
+          |  ROUND(CAST(SUM(CASE WHEN n > 0
+          |      THEN CAST(ROUND(CAST(ABS(n - f) AS DOUBLE) / n, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+          |    / SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END), 6) AS mape
+          |FROM f WHERE f IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     "ev_ewma" ->
       (oracleFilledCte +
         """,

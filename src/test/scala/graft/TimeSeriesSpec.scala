@@ -82,6 +82,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("sd_gap_sec") - sd / 1e6) < 1e-3)
   }
 
+  test("growthAccounting: new/retained/resurrected/churned with a dead calendar day") {
+    // user 10 active days 0,1,3; user 11 active day 0 only
+    val base = 19000L * 86400000L
+    def at(id: Long, day: Int, user: Long) =
+      (id, new Timestamp(base + day * 86400000L + 43200000L), user, "a", 1.0)
+    val df = Seq(at(0L, 0, 10L), at(1L, 1, 10L), at(2L, 3, 10L), at(3L, 0, 11L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.growthAccounting(
+        df.withColumn("ts", col("ts")))
+      .collect().sortBy(_.getAs[java.sql.Date]("day").toString)
+      .map(r => (r.getAs[Long]("dau"), r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+    assert(out.length == 4) // grid covers the dead day 2
+    assert(out(0) == ((2L, 2L, 0L, 0L, 0L)))          // day 0: both new
+    assert(out(1) == ((1L, 0L, 1L, 0L, 1L)))          // day 1: u10 retained, u11 churned
+    assert(out(2) == ((0L, 0L, 0L, 0L, 1L)))          // dead day: u10 churns
+    assert(out(3) == ((1L, 0L, 0L, 1L, 0L)))          // day 3: u10 resurrected
+  }
+
+  test("seasonalNaiveBacktest: week-over-week errors on a crafted series") {
+    // type a: 2 events day 0, 1 event day 7 → one scored day, err −1
+    val df = ev((0, "a", 1.0), (0, "a", 1.0), (7, "a", 1.0))
+    val r = graft.operators.Events.seasonalNaiveBacktest(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_days") == 1L)
+    assert(r.head.getAs[Double]("mae") == 1.0)
+    assert(r.head.getAs[Double]("rmse") == 1.0)
+    assert(r.head.getAs[Double]("mape") == 1.0)
+  }
+
   test("anomaly flags a seeded spike and nothing else") {
     // 40 flat days then one 100× spike
     val flat = (0 until 40).map(d => (d, "a", 10.0))
