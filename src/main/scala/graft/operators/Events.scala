@@ -300,7 +300,37 @@ object Events {
           / sum(when(col("n") > 0, 1L).otherwise(0L)), 6).as("mape"))
   }
 
+  /** Per-user FEATURE ASSEMBLY — the feature-store materialization a
+    * training pipeline runs over the event log (one wide row per
+    * entity, ready to join onto a training set): per-type event
+    * counts pivoted against a FIXED type vocabulary (never a dynamic
+    * pivot — schema must be stable for the model contract, and a
+    * two-pass distinct-discovery scan is wasted I/O at 100 TB),
+    * activity breadth (distinct days), span, exact-decimal value sum,
+    * and error share. ONE map-side-combinable aggregate keyed by
+    * user — no windows, no joins; conditional counts compile to one
+    * pass of the scan. */
+  def userFeatures(events: DataFrame, types: Seq[String]): DataFrame = {
+    val typeCounts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      countDistinct(to_date(col("ts"))).as("n_active_days"),
+      datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).cast(LongType)
+        .as("span_days"),
+      round(sum(decV(col("value"))).cast(DoubleType), 4).as("sum_value")) ++
+      typeCounts :+
+      round(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .cast(DoubleType) / count(lit(1)), 6).as("error_share")
+    events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_features" -> { (s, d) =>
+      userFeatures(Tables.events(s, d),
+        Seq("click", "view", "purchase", "signup", "error")).orderBy("user_id")
+    },
+
     "ev_growth" -> { (s, d) =>
       growthAccounting(Tables.events(s, d)).orderBy("day")
     },
@@ -733,6 +763,20 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_features" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS n_active_days,
+        |  CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS BIGINT) AS span_days,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS error_share
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "ev_growth" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

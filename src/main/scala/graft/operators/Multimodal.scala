@@ -396,6 +396,33 @@ object Multimodal {
         have, chunksOf(identity), "chunk_md5", col("chunk_bytes"))
     },
 
+    "snap_chunk_gate" -> { (s, d) =>
+      // HASH-CHECKED integrity gate behind the rows-only chunk-crypto
+      // family (gc/accounting/dedup/restore_plan): an encrypted backup
+      // of the corpus sample must RESTORE byte-identical — md5-set
+      // equality against the source, checked both directions — and
+      // scrub all-ok, reduced to booleans the DuckDB oracle asserts.
+      // A broken chunker, cipher, or manifest path now hash-fails
+      // CORRECTNESS instead of hiding behind rows-only counts.
+      // Fingerprint-keyed root: warm passes reuse the repository, so
+      // the entry times restore+scrub, not a rebuild.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_chunk_gate_$fp"
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def src = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      if (store.versions().isEmpty) store.backup(src, "id", "payload", 1L)
+      val a = src.select(col("id"), md5(col("payload")).as("h"))
+      val b = store.restore(1L).select(col("id"), md5(col("payload")).as("h"))
+      val missing = a.join(b, Seq("id", "h"), "left_anti").count()
+      val extra = b.join(a, Seq("id", "h"), "left_anti").count()
+      val scrubBad = store.scrub().filter(col("status") =!= "ok").count()
+      import s.implicits._
+      Seq((a.count(), missing == 0L && extra == 0L, scrubBad == 0L))
+        .toDF("n_docs", "restored_ok", "scrub_ok")
+    },
+
     "snap_chunk_gc" -> { (s, d) =>
       // Rows-only (convergent-encrypted refs are build-internal): the
       // full repository GC loop closing chunk accounting's
@@ -531,6 +558,11 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "snap_chunk_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS restored_ok,
+        |  TRUE AS scrub_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
     "mm_video_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_eligible, TRUE AS paired_ok
         |FROM documents WHERE length(text) >= 400""".stripMargin,

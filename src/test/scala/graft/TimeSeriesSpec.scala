@@ -101,6 +101,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3) == ((1L, 0L, 0L, 1L, 0L)))          // day 3: u10 resurrected
   }
 
+  test("userFeatures: fixed-vocabulary pivot with zero counts, span, error share") {
+    val base = 19000L * 86400000L
+    def at(id: Long, day: Int, user: Long, typ: String, v: Double) =
+      (id, new Timestamp(base + day * 86400000L), user, typ, v)
+    val df = Seq(
+      at(0L, 0, 1L, "click", 1.5), at(1L, 0, 1L, "error", 0.0), at(2L, 2, 1L, "click", 2.5),
+      at(3L, 5, 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.userFeatures(df, Seq("click", "view", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") == 3L && u1.getAs[Long]("n_active_days") == 2L)
+    assert(u1.getAs[Long]("span_days") == 2L)
+    assert(u1.getAs[Long]("n_click") == 2L && u1.getAs[Long]("n_purchase") == 0L)
+    assert(u1.getAs[Double]("sum_value") == 4.0)
+    assert(math.abs(u1.getAs[Double]("error_share") - 1.0 / 3) < 1e-6)
+    assert(out(2L).getAs[Long]("span_days") == 0L)
+  }
+
   test("seasonalNaiveBacktest: week-over-week errors on a crafted series") {
     // type a: 2 events day 0, 1 event day 7 → one scored day, err −1
     val df = ev((0, "a", 1.0), (0, "a", 1.0), (7, "a", 1.0))
