@@ -156,6 +156,21 @@ object Pipeline {
         .otherwise("train"))
   }
 
+  /** K-fold cross-validation assignment — [[assignSplit]]'s CV twin:
+    * fold = a uniform bucket of the PORTABLE md5 of the id (never a
+    * Spark-internal hash — resplitting on another engine must
+    * reproduce the folds bit-for-bit), so assignment is deterministic,
+    * append-stable (a new doc never moves an old one), and
+    * join-free at any scale. 2^16 md5 buckets spread mod `k`; buckets
+    * mod k is within ±1 bucket of exactly uniform, and bucket→fold is
+    * stable as k stays fixed. */
+  def assignFolds(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"need 2 <= k <= 65536 folds, got $k")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType)
+    docs.withColumn("fold", bucket % k)
+  }
+
   /** Benchmark decontamination — the pre-training gate that keeps
     * evaluation data out of the training corpus: a training document is
     * contaminated when it shares at least `minOverlap` word k-shingles
@@ -466,6 +481,15 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    "pipe_kfold" -> { (s, d) =>
+      // 5-fold CV assignment profile (per-(fold, lang) docs/chars):
+      // the oracle reproduces every doc's fold from portable md5.
+      assignFolds(Tables.documents(s, d), 5)
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("fold", "lang")
+    },
+
     "pipe_split" -> { (s, d) =>
       // Deterministic ~5%/5%/90% val/test/train split, reported as the
       // per-(split, lang) doc/char profile a dataset card prints.
@@ -727,6 +751,11 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
          |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
          |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_kfold" ->
+      """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 AS fold,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
 
     "pipe_split" ->
       """SELECT CASE

@@ -715,6 +715,65 @@ object TextAnalysis {
         round((col("sy") - col("slope_raw") * col("sx")) / col("nn"), 6).as("intercept"))
   }
 
+  /** Greedy left-to-right merge of one symbol pair in a sequence —
+    * the standard BPE apply step ("aaa" under (a,a) → [aa, a]). */
+  private[operators] def mergePairIn(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn the first `nMerges` BPE merges from the corpus — vocabulary
+    * induction (Sennrich et al. '16), the trainer behind [[bpeIsh]]'s
+    * pretokenizer: train on the WORD-TYPE frame (token, freq) — the
+    * corpus is scanned ONCE for frequencies, and every iteration runs
+    * over |word types| × avg-word-len symbols, sublinear in corpus
+    * bytes at any scale. Per iteration: weighted adjacent-pair counts
+    * (map-side combinable), the arg-max merge via a top-1 heap
+    * (TakeOrderedAndProject — one row to the driver, the only collect,
+    * metadata-sized), then a distributed greedy re-segmentation with
+    * lineage truncated per round (localCheckpoint — an iterated map
+    * otherwise stacks 2·nMerges plan nodes). Deterministic tie-break:
+    * count desc, then (lhs, rhs) binary-ascending — identical on any
+    * engine, which is what makes the rank-1 gate oracle-checkable.
+    * Stops early when no adjacent pair remains. */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = words.flatMap { case (syms, f) =>
+          (0 until syms.length - 1).map(j => (syms(j), syms(j + 1), f))
+        }.toDF("lhs", "rhs", "f")
+        .groupBy("lhs", "rhs").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i + 1L, a, b, c))
+        words = words.map { case (syms, f) => (mergePairIn(syms, a, b), f) }
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Lexical-diversity profile — the vocabulary-richness quality
     * signal (low type/token ratio = repetitive or templated text;
     * high hapax share = rich or noisy): per doc, token count, distinct
@@ -765,6 +824,20 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> { (s, d) =>
+      // Rows-only (merges 2+ depend on the evolving segmentation — the
+      // crafted-corpus spec pins the sequence; text_bpe_gate
+      // hash-checks rank 1): the first 10 learned merges.
+      learnBpeMerges(Tables.documents(s, d), 10).orderBy("rank")
+    },
+
+    "text_bpe_gate" -> { (s, d) =>
+      // HASH-CHECKED gate: the rank-1 merge must equal the top
+      // freq-weighted adjacent character pair computed declaratively.
+      learnBpeMerges(Tables.documents(s, d), 1)
+        .select("lhs", "rhs", "pair_count")
+    },
+
     "text_ttr" -> { (s, d) =>
       lexicalDiversity(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -978,6 +1051,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_gate" ->
+      s"""WITH tok AS (
+         |  SELECT token AS w FROM (SELECT $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)
+         |  WHERE length(token) > 0),
+         |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+         |    substr(w, CAST(i AS INT) + 1, 1) AS rhs, SUM(f) AS c
+         |  FROM wf, UNNEST(range(1, length(w))) AS u(i)
+         |  GROUP BY 1, 2)
+         |SELECT lhs, rhs, CAST(c AS BIGINT) AS pair_count
+         |FROM pairs ORDER BY c DESC, lhs, rhs LIMIT 1""".stripMargin,
+
     "text_ttr" ->
       s"""WITH tok AS (
          |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),

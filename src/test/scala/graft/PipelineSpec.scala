@@ -270,6 +270,23 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("65536"))
   }
 
+  test("assignFolds: exhaustive, roughly uniform, append-stable, k-bounds enforced") {
+    val docs = (0L until 5000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val byDoc = Pipeline.assignFolds(docs, 5).select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.size == 5000 && byDoc.values.forall(f => f >= 0 && f < 5))
+    val counts = byDoc.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 5 && counts.values.forall(c => math.abs(c - 1000) < 150),
+      s"folds ${counts.toMap}")
+    // append-stable: a doc's fold never depends on the rest of the corpus
+    val half = Pipeline.assignFolds(docs.filter($"doc_id" < 2500L), 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(half.forall { case (id, f) => byDoc(id) == f })
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.assignFolds(docs, 1)
+    }.getMessage.contains("folds"))
+  }
+
   test("sourceMix reports per-cell token counts and corpus shares") {
     val docs = Seq(
       (1L, "a b", "en", "s1"),

@@ -82,6 +82,18 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(viaLsh == exact)
   }
 
+  test("learnBpeMerges: known merge sequence, freq weighting, tie-break, early stop") {
+    val df = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    val out = TextAnalysis.learnBpeMerges(df, 5).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+    // (a,a) wins at 6 (two overlapping pairs × freq 3); then the
+    // (aa,a)/(a,b) tie at 3 breaks to the binary-ascending (a,b);
+    // then (aa,ab); then the single-symbol words stop the loop early
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
+  }
+
   test("rangeSearch returns every neighbor at-or-over the rounded threshold, never self") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
