@@ -1246,6 +1246,48 @@ object StreamOps {
     * Scale: state is one 24-byte triple per event_type — O(|keys|),
     * needs no TTL/watermark; the shuffle carries events partitioned by
     * type once. */
+  case class FeatState(n: Long, counts: Map[String, Long], days: Set[Int], sumScaled: Long)
+  case class FeatRow(user_id: Long, n_events: Long, n_active_days: Long, span_days: Long,
+      sum_value: Double, type_counts: Map[String, Long], error_share: Double)
+
+  /** Continuously-maintained per-user FEATURE STORE —
+    * `Events.userFeatures`' streaming twin: every micro-batch emits
+    * the refreshed feature row of each user it touched (Update mode —
+    * a feature store upserts, it never replays history). State per
+    * user: event count, per-type counts (|types| entries), the
+    * active-day set (O(span_days) ints — exact breadth under any
+    * arrival order; a years-long span is still ~KB), and the value
+    * sum as a ×10⁴-scaled LONG (exact under the ≤4-decimal `decV`
+    * contract, the streamingWma discipline — a running double sum
+    * would drift from the batch decimal sum). No timeout: entities
+    * outlive any window by design. Emitted rows equal the batch
+    * computation over all events seen so far (parity spec, incl. a
+    * cross-batch split). */
+  def featureStream(events: Dataset[Event]): Dataset[FeatRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeatState, FeatRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FeatState]) =>
+          var st = state.getOption.getOrElse(FeatState(0L, Map.empty, Set.empty, 0L))
+          rows.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+            st = FeatState(
+              st.n + 1,
+              st.counts.updated(e.event_type, st.counts.getOrElse(e.event_type, 0L) + 1L),
+              st.days + day,
+              st.sumScaled + Math.round(e.value * 10000.0))
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else Iterator.single(FeatRow(uid, st.n, st.days.size.toLong,
+            (st.days.max - st.days.min).toLong, st.sumScaled / 10000.0,
+            st.counts, st.counts.getOrElse("error", 0L).toDouble / st.n))
+      }
+  }
+
   def runningAnomaly(events: Dataset[Event], sigmas: Double = 3.0,
       minBaseline: Long = 10L): Dataset[AnomalyFlag] = {
     val spark = events.sparkSession

@@ -94,6 +94,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("featureStream: latest upsert per user equals the batch feature row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.featureStream(input.toDS())
+      .writeStream.format("memory").queryName("graft_feat")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // split user 7's history across two batches; user 8 in one
+      input.addData(
+        Event(1L, ts(0), 7L, "click", 1.5),
+        Event(2L, ts(10), 8L, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(3L, ts(60 * 48), 7L, "error", 0.25)) // two days later
+      query.processAllAvailable()
+      // take each user's LAST emitted row (Update-mode upsert stream)
+      val rows = spark.sql("SELECT * FROM graft_feat").collect()
+        .groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+          u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      val u7 = rows(7L)
+      assert(u7.getAs[Long]("n_events") == 2L)
+      assert(u7.getAs[Long]("n_active_days") == 2L && u7.getAs[Long]("span_days") == 2L)
+      assert(u7.getAs[Double]("sum_value") == 1.75)
+      assert(u7.getAs[Map[String, Long]]("type_counts") == Map("click" -> 1L, "error" -> 1L))
+      assert(u7.getAs[Double]("error_share") == 0.5)
+      // parity with the batch operator over the full history
+      val batch = graft.operators.Events.userFeatures(
+        Seq((1L, ts(0), 7L, "click", 1.5), (3L, ts(60 * 48), 7L, "error", 0.25))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("click", "error")).collect().head
+      assert(batch.getAs[Long]("n_events") == 2L
+        && batch.getAs[Long]("n_active_days") == 2L
+        && batch.getAs[Double]("sum_value") == 1.75)
+      assert(rows(8L).getAs[Long]("n_events") == 1L)
+    } finally query.stop()
+  }
+
   test("ksMonitor: matching window reads D=0, shifted window trips the gate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
