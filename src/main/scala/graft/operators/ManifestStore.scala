@@ -407,8 +407,24 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * `status` ok / missing / count_mismatch / range_mismatch — the
     * restore-validation pass a backup tool runs before trusting a
     * version. Narrow scan of the version's files only. */
-  def validate(version: Long): DataFrame = {
-    val man = manifest(version).localCheckpoint()
+  /** Incremental integrity audit — [[validate]] pruned to the pool
+    * files EXCLUSIVE to `vTo` vs `vFrom` (a shared file was already
+    * audited when its first referencing version landed, and pool files
+    * are immutable, so re-reading it can only repeat the old answer):
+    * the post-merge validation drill costs O(|new files|) I/O on a
+    * merge chain, not O(snapshot). Manifests are metadata-sized by
+    * construction, so the file-set difference is a driver-side set op
+    * like the rest of the manifest plumbing. */
+  def validateDelta(vFrom: Long, vTo: Long): DataFrame = {
+    val prev = manifest(vFrom).select("file").collect().map(_.getString(0)).toSet
+    validateImpl(vTo,
+      manifest(vTo).filter(!col("file").isin(prev.toSeq: _*)).localCheckpoint())
+  }
+
+  def validate(version: Long): DataFrame =
+    validateImpl(version, manifest(version).localCheckpoint())
+
+  private def validateImpl(version: Long, man: DataFrame): DataFrame = {
     val entries = man.select("file", "min_key", "max_key", "n_rows").collect()
     val (present, missing) = entries.partition(r => fs.exists(new Path(poolDir, r.getString(0))))
     val missingDf = spark.createDataFrame(

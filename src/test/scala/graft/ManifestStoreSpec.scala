@@ -184,6 +184,27 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.values.count(_ == "ok") == 2)
   }
 
+  test("validateDelta audits only the merge's exclusive files; catches damage there, misses none elsewhere") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 400, "a"), 1L, numFiles = 8)
+    store.mergeDelta(1L, 2L, rows(1 to 25, "b"), numNewFiles = 2)
+    val prev = store.manifest(1L).select("file").as[String].collect().toSet
+    val cur = store.manifest(2L).select("file").as[String].collect().toSet
+    val exclusive = cur -- prev
+    // audits exactly the exclusive set, all clean
+    val clean = store.validateDelta(1L, 2L).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("status")).toMap
+    assert(clean.keySet == exclusive && clean.values.forall(_ == "ok"))
+    // damage one exclusive file → classified; carried files are out of
+    // scope BY CONTRACT (immutable pool files were audited at v1)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$base/files/${exclusive.head}"), false)
+    val st = store.validateDelta(1L, 2L).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("status")).toMap
+    assert(st(exclusive.head) == "missing")
+    assert(st.values.count(_ == "ok") == exclusive.size - 1)
+  }
+
   test("mergeDelta column add evolves the schema; shared files read null, not rewritten") {
     val (store, _) = newStore()
     store.write(rows(1 to 100, "a"), 1L, numFiles = 4)
