@@ -171,6 +171,29 @@ object Pipeline {
     docs.withColumn("fold", bucket % k)
   }
 
+  /** Deterministic class-balancing OVERSAMPLING — the minority-class
+    * replication step of training-mix construction: every class is
+    * brought up to the majority class's count in expectation, with
+    * copies = ⌊t/c⌋ plus one more iff bucket·c < (t mod c)·2¹⁶ over
+    * the PORTABLE md5 bucket — pure integer arithmetic end-to-end, so
+    * the replication set is exact, append-stable, and reproducible on
+    * any engine (no RNG, no doubles). The per-class factor frame is
+    * |classes| rows (broadcast); the explode fans each row to its copy
+    * count — one narrow generator, no shuffle of payloads. */
+  def oversampleBalanced(docs: DataFrame, classCol: String): DataFrame = {
+    val counts = docs.groupBy(classCol).agg(count(lit(1)).as("__c"))
+    val target = counts.agg(max(col("__c")).as("__t"))
+    val factors = counts.crossJoin(broadcast(target))
+    docs.join(broadcast(factors), classCol)
+      .withColumn("__bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast(LongType))
+      .withColumn("__n", expr("__t div __c")
+        + when(col("__bucket") * col("__c") < (col("__t") % col("__c")) * 65536L, 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col(classCol),
+        explode(sequence(lit(1L), col("__n"))).as("copy"))
+  }
+
   /** Benchmark decontamination — the pre-training gate that keeps
     * evaluation data out of the training corpus: a training document is
     * contaminated when it shares at least `minOverlap` word k-shingles
@@ -481,6 +504,13 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    "pipe_oversample" -> { (s, d) =>
+      // Balance languages to the majority count; the oracle replays
+      // every integer replication decision doc-for-doc.
+      oversampleBalanced(Tables.documents(s, d), "lang")
+        .orderBy("doc_id", "copy")
+    },
+
     "pipe_kfold" -> { (s, d) =>
       // 5-fold CV assignment profile (per-(fold, lang) docs/chars):
       // the oracle reproduces every doc's fold from portable md5.
@@ -751,6 +781,19 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
          |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
          |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_oversample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cc FROM documents GROUP BY 1),
+        |t AS (SELECT MAX(cc) AS tt FROM c),
+        |f AS (
+        |  SELECT doc_id, d.lang AS lang,
+        |    (tt // cc) + CASE WHEN
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * cc
+        |        < (tt % cc) * 65536 THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN c USING (lang) CROSS JOIN t)
+        |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy
+        |FROM f, UNNEST(range(1, n_copies + 1)) AS u(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "pipe_kfold" ->
       """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 AS fold,

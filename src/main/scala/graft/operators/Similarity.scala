@@ -1571,6 +1571,20 @@ object Similarity {
         mipsTopK(q, emb, 1), k = 5, threshold = 0.7)
     },
 
+    "ann_filtered" -> { (s, d) =>
+      // FILTERED vector search — top-k under a metadata predicate
+      // (label = 3), the retrieval mode every production vector store
+      // serves ("similar docs from source X only"). Pre-filtering the
+      // corpus BEFORE the scored join is both exact and cheaper (the
+      // predicate prunes at the parquet scan); post-filtering a top-k
+      // would silently return < k. The IVF/LSH scale paths compose the
+      // same way: the filter applies inside each probed cell.
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb.filter(col("vec_id") < 50),
+          emb.filter(col("label") === 3), 5)
+        .orderBy("query_id", "rk")
+    },
+
     "ann_range" -> { (s, d) =>
       // All neighbors within cosine 0.35 of the first 50 vectors — the
       // threshold retrieval mode top-k can't express (τ sits at the
@@ -1798,6 +1812,21 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_mips_recall" -> recallOracle,
+
+    "ann_filtered" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id <> a.vec_id AND b.label = 3
+        |  WHERE a.vec_id < 50)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM pairs) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_range" ->
       """SELECT * FROM (

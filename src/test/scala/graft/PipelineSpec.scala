@@ -287,6 +287,25 @@ class PipelineSpec extends SparkSpec {
     }.getMessage.contains("folds"))
   }
 
+  test("oversampleBalanced: majority untouched, minority lifted to target in expectation, integer-exact") {
+    // majority 'en' 40 docs, minority 'de' 10 → de copies ∈ {4,5}, Σ≈40
+    val docs = ((0L until 40L).map(i => (i, "en")) ++ (100L until 110L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = Pipeline.oversampleBalanced(docs, "lang").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("copy")))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert((0L until 40L).forall(perDoc(_) == 1)) // majority: exactly one copy
+    assert((100L until 110L).forall(id => perDoc(id) == 4 || perDoc(id) == 4 + 0 || perDoc(id) == 5))
+    val deTotal = out.count(_._2 == "de")
+    assert(math.abs(deTotal - 40) <= 10, s"de total $deTotal") // t=40 in expectation
+    // copy indices are dense 1..n per doc
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.sameElements(1L to rs.length) })
+    // append-stable: removing the other class never changes a doc's copies
+    val only = Pipeline.oversampleBalanced(docs.filter($"lang" === "de"), "lang").collect()
+    assert(only.length == 10) // alone, de IS the majority → one copy each
+  }
+
   test("sourceMix reports per-cell token counts and corpus shares") {
     val docs = Seq(
       (1L, "a b", "en", "s1"),
