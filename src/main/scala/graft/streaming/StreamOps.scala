@@ -1246,6 +1246,62 @@ object StreamOps {
     * Scale: state is one 24-byte triple per event_type — O(|keys|),
     * needs no TTL/watermark; the shuffle carries events partitioned by
     * type once. */
+  case class DayClass(user_id: Long, day_ts: Timestamp, cls: String)
+  case class GrowthState(firstDay: Int, lastDay: Int)
+
+  /** Per-user activity classification stream — the stateful half of
+    * [[growthMonitor]]: each user-day emits exactly one class row
+    * (first day ever → new; the day after the last active day →
+    * retained; any later day → resurrected) keyed by the user's
+    * 8-byte (firstDay, lastDay) state. Observed-sequence semantics
+    * like [[runningAnomaly]]: within a batch events process in
+    * (ts, event_id) order, and a day at-or-before the user's last
+    * active day emits nothing (it was classified when observed — a
+    * late event cannot retroactively reclassify). Churn is
+    * deliberately absent here: absence is not an event; the batch
+    * `Events.growthAccounting` derives it from the dau(d−1) −
+    * retained(d) identity. */
+  def growthClassify(events: Dataset[Event]): Dataset[DayClass] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GrowthState, DayClass](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[GrowthState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[DayClass]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+            if (st == null) {
+              out += DayClass(uid, new Timestamp(day * 86400000L), "new")
+              st = GrowthState(day, day)
+            } else if (day > st.lastDay) {
+              out += DayClass(uid, new Timestamp(day * 86400000L),
+                if (day == st.lastDay + 1) "retained" else "resurrected")
+              st = GrowthState(st.firstDay, day)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Continuous growth accounting — `Events.growthAccounting`'s
+    * streaming face: [[growthClassify]]'s per-user class rows fold
+    * into per-(day, class) counts that finalize as the watermark
+    * passes each day (append mode — a day's growth row publishes
+    * once, complete). State: O(|users|) pairs upstream + one count
+    * per open (day, class) downstream. */
+  def growthMonitor(events: Dataset[Event],
+      watermarkDelay: String = "1 day"): DataFrame = {
+    growthClassify(events).toDF()
+      .withWatermark("day_ts", watermarkDelay)
+      .groupBy(window(col("day_ts"), "1 day").as("w"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("cls"), col("n"))
+  }
+
   case class FeatState(n: Long, counts: Map[String, Long], days: Set[Int], sumScaled: Long)
   case class FeatRow(user_id: Long, n_events: Long, n_active_days: Long, span_days: Long,
       sum_value: Double, type_counts: Map[String, Long], error_share: Double)

@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("growthMonitor: day rows close with new/retained/resurrected counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.growthMonitor(input.toDS())
+      .writeStream.format("memory").queryName("graft_growth")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 0: users 1,2 (both new); day 1: user 1 (retained) — split
+      // across batches; day 3: user 2 (resurrected, skipping day 2)
+      input.addData(
+        Event(1L, ts(0), 1L, "a", 1.0), Event(2L, ts(10), 2L, "a", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(3L, ts(60 * 24), 1L, "a", 1.0),
+        Event(4L, ts(60 * 24 * 3), 2L, "a", 1.0),
+        Event(5L, ts(60 * 24 * 3 + 5), 2L, "a", 1.0)) // same-day dup: no second row
+      query.processAllAvailable()
+      input.addData(Event(99L, ts(60 * 24 * 10), 3L, "a", 1.0)) // flush watermark
+      query.processAllAvailable()
+      val got = spark.sql("SELECT day, cls, n FROM graft_growth")
+        .collect().map(r => (r.getTimestamp(0).getTime / 86400000L, r.getString(1), r.getLong(2)))
+        .toSet
+      val d0 = 1700000000000L / 86400000L // epoch day of ts(0)
+      assert(got.contains((d0, "new", 2L)), s"got $got")
+      assert(got.contains((d0 + 1, "retained", 1L)), s"got $got")
+      assert(got.contains((d0 + 3, "resurrected", 1L)), s"got $got")
+      assert(!got.exists(t => t._1 == d0 + 3 && t._3 > 1L), "same-day dup must not double-count")
+    } finally query.stop()
+  }
+
   test("featureStream: latest upsert per user equals the batch feature row") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
