@@ -451,7 +451,34 @@ object DataQuality {
       .withColumnRenamed("mad_out", "mad")
   }
 
+  /** K-ANONYMITY audit over a quasi-identifier column set — the
+    * re-identification risk gate run before a dataset (or a training
+    * corpus with user-derived fields) is released: every row whose
+    * QI equivalence class holds fewer than `k` rows is individually
+    * distinguishable. One combinable count over |QI classes| cells,
+    * then one tiny aggregate over the class-size frame — never a
+    * second data scan; all ratios integer-fed at the boundary.
+    * Returns one row: classes, rows, the smallest class, classes
+    * and rows under k, and the risky-row share. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2)
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("c"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("c")).as("n_rows"),
+      min(col("c")).as("min_class"),
+      sum(when(col("c") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      sum(when(col("c") < k, col("c")).otherwise(0L)).as("n_risky_rows"))
+      .withColumn("risky_share",
+        round(col("n_risky_rows").cast(DoubleType) / col("n_rows"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_kanon" -> { (s, d) =>
+      // customers' (nation, segment) quasi-identifier at k=10
+      kAnonymity(Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), 10)
+    },
+
     "dq_mad" -> { (s, d) =>
       madProfile(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")
@@ -594,6 +621,19 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_kanon" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MIN(c) AS BIGINT) AS min_class,
+        |  CAST(SUM(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(SUM(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |  ROUND(CAST(SUM(CASE WHEN c < 10 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+        |    AS risky_share
+        |FROM cls""".stripMargin,
+
     "dq_mad" ->
       """WITH med AS (
         |  SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS m

@@ -325,7 +325,43 @@ object Events {
     events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Click→purchase CONVERSION LAG distribution per purchase day —
+    * "how long does intent take to convert": each purchase pairs with
+    * its LATEST click in the trailing `windowSec` (the equi-key carries
+    * the shuffle, the time bound is a join filter — the ev_attribution
+    * shape; the latest-click argmax is a plain max since every candidate
+    * precedes the purchase), then per day: conversions, exact-integer
+    * mean lag, and the exact interpolated median via the bounded-memory
+    * quantile selection (never a per-day value buffer). */
+  def conversionLag(events: DataFrame, windowSec: Long): DataFrame = {
+    val ev = events.withColumn("t", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("t").as("ct"))
+    val lags = purchases.join(clicks,
+        col("user_id") === col("cu")
+          && col("ct") <= col("t") && col("ct") >= col("t") - windowSec * 1000000L)
+      .groupBy(col("pid"), col("t"))
+      .agg(max(col("ct")).as("last_click"))
+      .select(col("pid"),
+        to_date(timestamp_micros(col("t"))).as("day"),
+        (col("t") - col("last_click")).as("lag_us"))
+      .localCheckpoint() // feeds the aggregate AND the quantile passes
+    val stats = lags.groupBy("day").agg(
+      count(lit(1)).as("n_conversions"),
+      round(sum(col("lag_us")).cast(DoubleType) / count(lit(1)) / 1e6, 4)
+        .as("mean_lag_sec"))
+    val med = Percentiles.exactQuantiles(lags, "day", "lag_us", Seq("p50" -> 0.5))
+      .select(col("day"), round(col("p50") / 1e6, 4).as("median_lag_sec"))
+    stats.join(med, Seq("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_conversion_lag" -> { (s, d) =>
+      conversionLag(Tables.events(s, d), 7L * 86400L).orderBy("day")
+    },
+
     "ev_features" -> { (s, d) =>
       userFeatures(Tables.events(s, d),
         Seq("click", "view", "purchase", "signup", "error")).orderBy("user_id")
@@ -763,6 +799,27 @@ object Events {
       |  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_conversion_lag" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |p AS (SELECT event_id AS pid, user_id, t FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, t AS ct FROM ev WHERE event_type = 'click'),
+        |lags AS (
+        |  SELECT pid, t, MAX(ct) AS last_click
+        |  FROM p JOIN c ON p.user_id = c.cu
+        |    AND c.ct <= p.t AND c.ct >= p.t - 604800000000
+        |  GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT pid, CAST(make_timestamp(t) AS DATE) AS day,
+        |    t - last_click AS lag_us
+        |  FROM lags)
+        |SELECT day, COUNT(*) AS n_conversions,
+        |  ROUND(CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_lag_sec,
+        |  ROUND(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS median_lag_sec
+        |FROM l2 GROUP BY 1 ORDER BY day""".stripMargin,
+
     "ev_features" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS n_active_days,

@@ -17,6 +17,18 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
   }
 
+  test("kAnonymity: class sizes, risky rows, and share on a crafted QI set") {
+    // classes: (a,x)=5 rows, (a,y)=2, (b,x)=1 → k=3 flags the last two
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++ Seq(("b", "x")))
+      .toDF("q1", "q2")
+    val r = DataQuality.kAnonymity(df, Seq("q1", "q2"), 3).head()
+    assert(r.getAs[Long]("n_classes") == 3L && r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("min_class") == 1L)
+    assert(r.getAs[Long]("n_small_classes") == 2L)
+    assert(r.getAs[Long]("n_risky_rows") == 3L)
+    assert(r.getAs[Double]("risky_share") == 0.375)
+  }
+
   test("madProfile: median, MAD, and robust-outlier count on a crafted group") {
     val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
       Seq(10.0, 10.0, 10.0).map(("b", _))).toDF("g", "v")

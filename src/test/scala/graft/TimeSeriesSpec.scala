@@ -101,6 +101,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3) == ((1L, 0L, 0L, 1L, 0L)))          // day 3: u10 resurrected
   }
 
+  test("conversionLag: latest in-window click wins; out-of-window clicks never pair") {
+    val base = 19000L * 86400000L
+    def at(id: Long, offSec: Long, user: Long, typ: String) =
+      (id, new Timestamp(base + offSec * 1000L), user, typ, 1.0)
+    val df = Seq(
+      at(0L, 0L, 1L, "click"),         // 100 s before purchase
+      at(1L, 70L, 1L, "click"),        // 30 s before — the LATEST click
+      at(2L, 100L, 1L, "purchase"),
+      at(3L, 0L, 2L, "click"),         // 10 days before user 2's purchase: outside window
+      at(4L, 10L * 86400L, 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.conversionLag(df, 7L * 86400L).collect()
+    assert(out.length == 1) // user 2's purchase has no in-window click
+    val r = out.head
+    assert(r.getAs[Long]("n_conversions") == 1L)
+    assert(r.getAs[Double]("mean_lag_sec") == 30.0)
+    assert(r.getAs[Double]("median_lag_sec") == 30.0)
+  }
+
   test("userFeatures: fixed-vocabulary pivot with zero counts, span, error share") {
     val base = 19000L * 86400000L
     def at(id: Long, day: Int, user: Long, typ: String, v: Double) =
