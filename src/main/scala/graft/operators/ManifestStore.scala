@@ -107,6 +107,35 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
   }
 
+  /** ZERO-COPY BRANCH — the Iceberg/Delta "shallow clone" primitive:
+    * publish `newVersion` with the SAME manifest rows (and evolved
+    * schema, if any) as `fromVersion` — not one pool byte moves, the
+    * branch costs one manifest copy regardless of table size.
+    * Because versions are immutable and the pool is shared, merges on
+    * top of the branch diverge freely from merges on top of the
+    * source (dev-branch-of-prod), `diff` works across the fork, and
+    * ref-count vacuum keeps every pool file either side still
+    * references. */
+  def branch(fromVersion: Long, newVersion: Long,
+      commitTs: Option[Long] = None): Unit = {
+    require(!versions().contains(newVersion), s"version $newVersion already exists")
+    publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+      evolvedSchema(fromVersion))
+  }
+
+  /** Commit history — the `DESCRIBE HISTORY` surface: one row per
+    * version with its commit timestamp and manifest-recorded file/row
+    * totals. Metadata-only (manifests, no pool reads); |versions|
+    * rows. */
+  def history(): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    versions().map { v =>
+      val m = manifest(v).agg(count(lit(1)).as("f"), sum(col("n_rows")).as("r")).head()
+      (v, commitTsOf(v), m.getLong(0), m.getLong(1))
+    }.toDF("version", "commit_ts", "n_files", "n_rows")
+  }
+
   /** Union schema of an evolved version (column adds ride a
     * `_schema.json` sidecar published atomically with the manifest;
     * absent for never-evolved versions). */

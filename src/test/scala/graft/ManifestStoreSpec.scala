@@ -184,6 +184,31 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.values.count(_ == "ok") == 2)
   }
 
+  test("branch: zero-copy fork diverges from the source; vacuum keeps both sides' files") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    val before = poolFiles(base)
+    store.branch(1L, 10L)
+    assert(poolFiles(base) == before, "branching must move zero pool bytes")
+    assert(contents(store.read(10L)) == contents(store.read(1L)))
+    // diverge: merge different deltas onto each side
+    store.mergeDelta(1L, 2L, rows(1 to 10, "main"), numNewFiles = 1)
+    store.mergeDelta(10L, 11L, rows(191 to 200, "dev"), numNewFiles = 1)
+    assert(contents(store.read(2L)).contains((1L, "main-1")))
+    assert(contents(store.read(11L)).contains((200L, "dev-200")))
+    assert(contents(store.read(11L)).contains((1L, "a-1")), "branch must not see main's merge")
+    assert(contents(store.read(2L)).contains((200L, "a-200")), "main must not see dev's merge")
+    // prune the original lineage; the branch keeps every file it references
+    store.prune(keep = Seq(10L, 11L))
+    store.vacuum()
+    assert(contents(store.read(11L)).contains((1L, "a-1")))
+    assert(store.validate(11L).collect().forall(_.getAs[String]("status") == "ok"))
+    // history reports all surviving versions, metadata-only
+    val h = store.history().collect().map(r =>
+      (r.getAs[Long]("version"), r.getAs[Long]("n_rows"))).toMap
+    assert(h.keySet == Set(10L, 11L) && h(10L) == 200L && h(11L) == 200L)
+  }
+
   test("validateDelta audits only the merge's exclusive files; catches damage there, misses none elsewhere") {
     val (store, base) = newStore()
     store.write(rows(1 to 400, "a"), 1L, numFiles = 8)
