@@ -473,7 +473,37 @@ object DataQuality {
         round(col("n_risky_rows").cast(DoubleType) / col("n_rows"), 6))
   }
 
+  /** L-DIVERSITY audit — [[kAnonymity]]'s companion: a QI class can
+    * be k-large yet still leak if everyone in it shares one SENSITIVE
+    * value (homogeneity attack), so each class additionally needs ≥ l
+    * distinct sensitive values. One combinable distinct-count per QI
+    * class + one tiny aggregate over the |classes| frame. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2)
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("c"), countDistinct(col(sensitiveCol)).as("lv"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("c")).as("n_rows"),
+      min(col("lv")).as("min_l"),
+      sum(when(col("lv") < l, 1L).otherwise(0L)).as("n_homogeneous_classes"),
+      sum(when(col("lv") < l, col("c")).otherwise(0L)).as("n_exposed_rows"))
+      .withColumn("exposed_share",
+        round(col("n_exposed_rows").cast(DoubleType) / col("n_rows"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ldiv" -> { (s, d) =>
+      // QI (nation, segment) classes; the account-balance SIGN is the
+      // sensitive value (l = 2: a class where everyone is in debt —
+      // or no one — leaks the attribute for every member).
+      lDiversity(
+        Tables.customer(s, d).withColumn("bal_sign",
+          when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("nonneg"))),
+        Seq("c_nationkey", "c_mktsegment"), "bal_sign", 2)
+    },
+
     "dq_kanon" -> { (s, d) =>
       // customers' (nation, segment) quasi-identifier at k=10
       kAnonymity(Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), 10)
@@ -621,6 +651,20 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_ldiv" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c,
+        |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) AS lv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MIN(lv) AS BIGINT) AS min_l,
+        |  CAST(SUM(CASE WHEN lv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous_classes,
+        |  CAST(SUM(CASE WHEN lv < 2 THEN c ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+        |  ROUND(CAST(SUM(CASE WHEN lv < 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+        |    AS exposed_share
+        |FROM cls""".stripMargin,
+
     "dq_kanon" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c

@@ -385,6 +385,29 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_linked_branch" -> { (s, d) =>
+      // ZERO-COPY BRANCH end-to-end (ManifestStore.branch): fork the
+      // linked lineage at v2 into a dev branch, merge a dev-only
+      // reprice on the branch, and hash-check the branch tip against
+      // the declaratively rebuilt fork — while snap_linked_merge's v3
+      // keeps hash-checking the MAIN lineage in the same store, which
+      // proves fork isolation end-to-end on the shared pool.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      if (!store.versions().contains(3L))
+        queries("snap_linked_merge")(s, d).count(): Unit // build the lineage
+      if (!store.versions().contains(20L)) store.branch(2L, 20L)
+      if (!store.versions().contains(21L)) {
+        val dev = store.read(20L).filter(col("o_orderkey") % 31 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 900.0)
+        store.mergeDelta(20L, 21L, dev)
+      }
+      store.read(21L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     "snap_linked_diff" -> { (s, d) =>
       // The manifest-pruned CDC (ManifestStore.diff) hash-checked:
       // diff(v2, v3) of snap_linked_merge's lineage must emit exactly
@@ -665,6 +688,21 @@ object Snapshot {
         |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_linked_branch" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 5 THEN o_totalprice + 500
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 23 = 9 AND o_orderkey % 17 <> 5)),
+        |v21 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 31 = 7 THEN p + 900.0 ELSE p END AS p
+        |  FROM v2)
+        |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+        |FROM v21 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_linked_diff" ->
       """SELECT o_orderkey, o_custkey, o_totalprice + 700 AS o_totalprice,

@@ -17,6 +17,19 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
   }
 
+  test("lDiversity: homogeneous classes flagged even when k-large") {
+    // class (a): 5 rows, all sensitive 's1' → homogeneous despite size;
+    // class (b): 2 rows, two sensitive values → diverse
+    val df = (Seq.fill(5)(("a", "s1")) ++ Seq(("b", "s1"), ("b", "s2")))
+      .toDF("q", "sv")
+    val r = DataQuality.lDiversity(df, Seq("q"), "sv", 2).head()
+    assert(r.getAs[Long]("n_classes") == 2L && r.getAs[Long]("n_rows") == 7L)
+    assert(r.getAs[Long]("min_l") == 1L)
+    assert(r.getAs[Long]("n_homogeneous_classes") == 1L)
+    assert(r.getAs[Long]("n_exposed_rows") == 5L)
+    assert(math.abs(r.getAs[Double]("exposed_share") - 5.0 / 7) < 1e-6)
+  }
+
   test("kAnonymity: class sizes, risky rows, and share on a crafted QI set") {
     // classes: (a,x)=5 rows, (a,y)=2, (b,x)=1 → k=3 flags the last two
     val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++ Seq(("b", "x")))
