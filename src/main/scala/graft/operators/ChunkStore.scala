@@ -481,6 +481,49 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     dirty
   }
 
+  /** DISASTER-RECOVERY REPAIR — heal every blob [[scrub]] flags
+    * (tampered / decrypt-failed / mis-filed / missing) from a replica
+    * repository: the mirror's rows for the damaged content addresses
+    * replace them, bucket rewrites ride the SAME journaled
+    * non-destructive swap as the sweep (every crash window recovers
+    * via completeSweep), and content addressing makes the repair
+    * self-verifying — a mirror row whose plaintext didn't hash to the
+    * ref would itself scrub as damaged. Touches only buckets that
+    * hold a damaged row or receive a replacement — O(|damage|), never
+    * a repository rewrite. Fails fast (before any mutation) when the
+    * mirror lacks any damaged ref: a partial heal that still scrubs
+    * dirty is worse than an honest error. Returns (refs healed,
+    * buckets rewritten). */
+  def repairFrom(mirrorBasePath: String): (Long, Seq[Long]) = {
+    require(mirrorBasePath != basePath, "repair needs a distinct mirror root")
+    recoverSweeps()
+    val bad = scrub().filter(col("status") =!= "ok")
+      .select("ref_hex", "bucket").localCheckpoint()
+    val nBad = bad.count()
+    if (nBad == 0) return (0L, Seq.empty)
+    val mirror = new ChunkStore(spark, mirrorBasePath, master, nBuckets)
+    val replacement = mirror.refs()
+      .join(bad.select("ref_hex"), Seq("ref_hex"), "left_semi")
+      .localCheckpoint()
+    val nFound = replacement.count()
+    require(nFound == nBad,
+      s"mirror lacks ${nBad - nFound} of $nBad damaged refs — refusing a partial repair")
+    // buckets holding a damaged row (physical location — catches
+    // mis-filed rows parked in the wrong bucket) ∪ buckets receiving
+    // a replacement (the ref-hash home)
+    val dirty = (bad.select("bucket").distinct().collect().map(_.getLong(0)) ++
+      replacement.select("bucket").distinct().collect().map(_.getLong(0)))
+      .distinct.sorted.toIndexedSeq
+    val healthy = refs().filter(col("bucket").isin(dirty: _*))
+      .join(bad.select("ref_hex"), Seq("ref_hex"), "left_anti")
+    val tmp = new Path(s"$basePath/.tmp-sweep-${java.util.UUID.randomUUID()}")
+    healthy.unionByName(replacement)
+      .repartition(dirty.size, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    journalAndSwap(tmp, dirty)
+    (nBad, dirty)
+  }
+
   /** Finish every interrupted sweep left under the repository root —
     * called by [[pruneChunks]] before it reads, and by [[vacuum]]
     * (TTL-gated) for standalone hygiene. */

@@ -1246,6 +1246,42 @@ object StreamOps {
     * Scale: state is one 24-byte triple per event_type — O(|keys|),
     * needs no TTL/watermark; the shuffle carries events partitioned by
     * type once. */
+  case class SampleState(items: List[(String, Long)]) // (md5, id), sorted asc by (md5, id)
+
+  /** Streaming DETERMINISTIC bottom-k sample — `pipe_sample_k`'s
+    * continuous twin: keep the k ids with the smallest portable md5
+    * rank per stratum. Hash-priority bottom-k is ORDER-INDEPENDENT (a
+    * min-set over an associative order), so the maintained sample
+    * equals the batch sample over everything seen — under any batch
+    * split, arrival order, or restart — with O(k) state per stratum
+    * and no RNG. Emits each stratum's refreshed sample membership as
+    * a row per batch it changed in (Update mode). */
+  def sampleKStream(ids: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(stratumCol).cast("string").as("s"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SampleState, (String, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (stratum, rows, state: GroupState[SampleState]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Nil)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val fresh = rows.map { case (_, id) =>
+            md.reset()
+            (md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+          }.toList
+          val next = (prev ++ fresh).distinct.sorted.take(k)
+          if (next == prev) Iterator.empty
+          else {
+            state.update(SampleState(next))
+            Iterator.single((stratum, next.map(_._2)))
+          }
+      }
+      .toDF("stratum", "sample_ids")
+  }
+
   case class DayClass(user_id: Long, day_ts: Timestamp, cls: String)
   case class GrowthState(firstDay: Int, lastDay: Int)
 

@@ -173,6 +173,48 @@ class ChunkStoreSpec extends SparkSpec {
     assert(statuses.values.count(_ == "ok") == statuses.size - 2)
   }
 
+  test("repairFrom: tampered and missing blobs heal from the mirror; partial mirror refuses untouched") {
+    val base = Files.createTempDirectory("graft_chunkstore_rep").toString
+    val mir = Files.createTempDirectory("graft_chunkstore_repm").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store.replicateTo(mir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tamper one REAL ref in bucket 0 (rewrite the bucket with its blob flipped)
+    val b0 = store.refs().filter($"bucket" === 0L).collect()
+    val vRef = b0.map(_.getAs[String]("ref_hex")).min
+    val rewritten = b0.map { r =>
+      val blob = r.getAs[Array[Byte]]("blob").clone()
+      if (r.getAs[String]("ref_hex") == vRef) blob(0) = (blob(0) ^ 0x7f).toByte
+      (r.getAs[String]("ref_hex"), r.getAs[Long]("bytes"), blob)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/chunks/bucket=0"), true)
+    rewritten.toSeq.toDF("ref_hex", "bytes", "blob")
+      .write.mode("overwrite").parquet(s"$base/chunks/bucket=0")
+    // and lose bucket 1 entirely → missing_blob rows
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/chunks/bucket=1"), true)
+    val damaged = store.scrub().filter($"status" =!= "ok").count()
+    assert(damaged >= 2, s"expected tampered + missing, scrub saw $damaged")
+    val (healed, buckets) = store.repairFrom(mir)
+    assert(healed == damaged && buckets.contains(0L) && buckets.contains(1L))
+    assert(store.scrub().collect().forall(_.getAs[String]("status") == "ok"))
+    // restores byte-identical to the intact mirror
+    val a = store.restore(1L).select($"id", md5($"payload").as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = new ChunkStore(spark, mir, master, nBuckets = 4).restore(1L)
+      .select($"id", md5($"payload").as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    // a ref the mirror lacks → fail fast, repository untouched
+    Seq(("ff" * 32, 5L, Array[Byte](1, 2, 3)))
+      .toDF("ref_hex", "bytes", "blob")
+      .write.mode("append").parquet(s"$base/chunks/bucket=2")
+    val before = store.refs().count()
+    intercept[IllegalArgumentException] { store.repairFrom(mir) }
+    assert(store.refs().count() == before, "failed repair must not mutate")
+  }
+
   test("rotating scrub: one cycle covers every bucket; planted corruption found within the cycle") {
     val base = Files.createTempDirectory("graft_chunkstore_rot").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)

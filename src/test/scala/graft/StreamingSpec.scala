@@ -94,6 +94,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sampleKStream: maintained bottom-k equals the batch sample under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val query = StreamOps.sampleKStream(input.toDS().toDF("lang", "doc_id"),
+        "lang", "doc_id", 3)
+      .writeStream.format("memory").queryName("graft_samp")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("en", 1L), ("en", 2L), ("en", 3L), ("de", 10L))
+      query.processAllAvailable()
+      input.addData(("en", 4L), ("en", 5L), ("en", 6L), ("en", 2L)) // dup id too
+      query.processAllAvailable()
+      val last = spark.sql("SELECT stratum, sample_ids FROM graft_samp")
+        .collect().groupBy(_.getString(0)).map { case (s, rs) =>
+          s -> rs.last.getAs[scala.collection.Seq[Long]](1).toSet }
+      // batch truth: bottom-3 of md5 rank over ids 1..6
+      val expected = (1L to 6L).map(id => (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, id))
+        .sorted.take(3).map(_._2).toSet
+      assert(last("en") == expected, s"got ${last("en")} want $expected")
+      assert(last("de") == Set(10L))
+    } finally query.stop()
+  }
+
   test("growthMonitor: day rows close with new/retained/resurrected counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
