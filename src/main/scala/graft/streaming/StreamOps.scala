@@ -1246,6 +1246,38 @@ object StreamOps {
     * Scale: state is one 24-byte triple per event_type — O(|keys|),
     * needs no TTL/watermark; the shuffle carries events partitioned by
     * type once. */
+  case class HllState(bytes: Array[Byte], n: Long)
+  case class DistinctEstimate(event_type: String, n_events: Long, approx_distinct: Long)
+
+  /** CUMULATIVE distinct-count monitor — "how many unique users has
+    * this stream EVER seen, per type": an exact answer needs O(users)
+    * state; this keeps one DataSketches HLL sketch per key instead
+    * (~2^lgK bytes, fixed forever, mergeable — the same sketch family
+    * as the batch `snap_distinct_hll`, whose accuracy the
+    * snap_hll_gate pins at ≤5%). Windowed distincts don't need this
+    * (Spark's windowed approx_count_distinct ages its state out with
+    * the watermark); the ALL-TIME estimate is exactly the case where
+    * watermarks can't help and a sketch is the only bounded answer.
+    * Update mode: each batch emits the refreshed running estimate per
+    * touched key. */
+  def cumulativeDistinct(events: Dataset[Event], lgK: Int = 12): Dataset[DistinctEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HllState, DistinctEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (typ, rows, state: GroupState[HllState]) =>
+          val prev = state.getOption
+          val sk = prev.map(s => org.apache.datasketches.hll.HllSketch.heapify(s.bytes))
+            .getOrElse(new org.apache.datasketches.hll.HllSketch(lgK))
+          var n = prev.map(_.n).getOrElse(0L)
+          rows.foreach { e => sk.update(e.user_id); n += 1 }
+          state.update(HllState(sk.toUpdatableByteArray, n))
+          Iterator.single(DistinctEstimate(typ, n, Math.round(sk.getEstimate)))
+      }
+  }
+
   case class SampleState(items: List[(String, Long)]) // (md5, id), sorted asc by (md5, id)
 
   /** Streaming DETERMINISTIC bottom-k sample — `pipe_sample_k`'s

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("cumulativeDistinct: running estimate tracks exact uniques across overlapping batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.cumulativeDistinct(input.toDS())
+      .writeStream.format("memory").queryName("graft_cdist")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L to 500L).map(u => Event(u, ts(1), u, "click", 1.0)): _*)
+      query.processAllAvailable()
+      // second batch: half repeats, half new → exact uniques 750
+      input.addData((251L to 750L).map(u => Event(1000L + u, ts(2), u, "click", 1.0)): _*)
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_events, approx_distinct FROM graft_cdist ORDER BY n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == 2)
+      assert(rows.head._1 == 500L && math.abs(rows.head._2 - 500L) <= 25L)
+      assert(rows.last._1 == 1000L && math.abs(rows.last._2 - 750L) <= 38L)
+    } finally query.stop()
+  }
+
   test("sampleKStream: maintained bottom-k equals the batch sample under any split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
