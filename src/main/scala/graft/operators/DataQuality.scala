@@ -493,7 +493,28 @@ object DataQuality {
         round(col("n_exposed_rows").cast(DoubleType) / col("n_rows"), 6))
   }
 
+  /** Data-freshness audit per stream partition — "which feeds went
+    * quiet": each key's last event time, its lag behind the corpus
+    * frontier in whole days, and a staleness flag past `maxLagDays`.
+    * The frontier is one tiny aggregate broadcast back; one combinable
+    * max per key — the arrival-monitoring half of [[drift]]'s content
+    * monitoring. */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String,
+      maxLagDays: Int): DataFrame = {
+    val per = df.groupBy(keyCol)
+      .agg(max(to_date(col(tsCol))).as("last_day"), count(lit(1)).as("n_events"))
+    val frontier = per.agg(max(col("last_day")).as("frontier"))
+    per.crossJoin(broadcast(frontier))
+      .select(col(keyCol), col("n_events"), col("last_day"),
+        datediff(col("frontier"), col("last_day")).cast(LongType).as("lag_days"))
+      .withColumn("stale", col("lag_days") > maxLagDays)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> { (s, d) =>
+      freshness(Tables.events(s, d), "event_type", "ts", 1).orderBy("event_type")
+    },
+
     "dq_ldiv" -> { (s, d) =>
       // QI (nation, segment) classes; the account-balance SIGN is the
       // sensitive value (l = 2: a class where everyone is in debt —
@@ -651,6 +672,17 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT MAX(last_day) AS frontier FROM per)
+        |SELECT event_type, n_events, last_day,
+        |  CAST(date_diff('day', last_day, frontier) AS BIGINT) AS lag_days,
+        |  date_diff('day', last_day, frontier) > 1 AS stale
+        |FROM per CROSS JOIN f ORDER BY event_type""".stripMargin,
+
     "dq_ldiv" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c,

@@ -17,6 +17,22 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.sequenceGaps(dense, "id", bucket = 3L).count() == 0L)
   }
 
+  test("freshness: lag against the corpus frontier, staleness gate") {
+    val day = 86400000L
+    val df = Seq(
+      ("a", new java.sql.Timestamp(19000L * day)),
+      ("a", new java.sql.Timestamp(19005L * day)), // frontier
+      ("b", new java.sql.Timestamp(19002L * day)), // 3 days behind → stale at maxLag 1
+      ("c", new java.sql.Timestamp(19004L * day))) // 1 day behind → fresh
+      .toDF("k", "ts")
+    val out = DataQuality.freshness(df, "k", "ts", 1).collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("lag_days"), r.getAs[Boolean]("stale"))).toMap
+    assert(out("a") == ((0L, false)))
+    assert(out("b") == ((3L, true)))
+    assert(out("c") == ((1L, false)))
+  }
+
   test("lDiversity: homogeneous classes flagged even when k-large") {
     // class (a): 5 rows, all sensitive 's1' → homogeneous despite size;
     // class (b): 2 rows, two sensitive values → diverse
