@@ -545,6 +545,32 @@ object DataQuality {
         .orderBy("event_type", "dow")
     },
 
+    "dq_cramers_v" -> { (s, d) =>
+      // Effect size for dq_chisq's independence audit, one summary
+      // row: χ² says WHETHER the event mix departs from the weekly
+      // rhythm, Cramér's V says HOW MUCH on a 0..1 scale comparable
+      // across tables of any size (the number a drift dashboard
+      // thresholds on). Cells are exact integer counts; each cell's
+      // 6-dp contribution is pinned to DECIMAL before the fold so the
+      // χ² total is order-independent (a double sum would drift with
+      // partitioning); dof uses OBSERVED category counts. Runs over
+      // the tiny |types × 7| cell frame.
+      val cells = chiSquare(
+        Tables.events(s, d).withColumn("dow", weekday(col("ts")).cast(LongType)),
+        "event_type", "dow")
+      cells
+        .agg(sum(col("o")).as("n"),
+          sum(col("contrib").cast(DecimalType(28, 6))).as("chi2x"),
+          countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+        .select(col("n"),
+          round(col("chi2x").cast(DoubleType), 6).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(sqrt(col("chi2x").cast(DoubleType)
+            / (col("n").cast(DoubleType)
+              * least(col("r") - 1, col("c") - 1).cast(DoubleType))), 6)
+            .as("cramers_v"))
+    },
+
     "dq_ks" -> { (s, d) =>
       // Are finished and open orders drawn from the same price
       // distribution? (They are by construction — D should be small —
@@ -725,6 +751,32 @@ object DataQuality {
         |    AS n_robust_outliers
         |FROM dev JOIN mad USING (l_returnflag)
         |GROUP BY 1, m, mad ORDER BY 1""".stripMargin,
+
+    "dq_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o, event_type, dow,
+        |    SUM(o) OVER (PARTITION BY event_type) AS row_t,
+        |    SUM(o) OVER (PARTITION BY dow) AS col_t,
+        |    SUM(o) OVER () AS nt
+        |  FROM cells),
+        |cc AS (
+        |  SELECT o, event_type, dow,
+        |    CAST(ROUND((o - CAST(row_t AS DOUBLE) * col_t / nt)
+        |      * (o - CAST(row_t AS DOUBLE) * col_t / nt)
+        |      / (CAST(row_t AS DOUBLE) * col_t / nt), 6) AS DECIMAL(28,6)) AS contrib
+        |  FROM m)
+        |SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2,
+        |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof,
+        |  ROUND(SQRT(CAST(SUM(contrib) AS DOUBLE)
+        |    / (CAST(SUM(o) AS DOUBLE)
+        |      * LEAST(COUNT(DISTINCT event_type) - 1, COUNT(DISTINCT dow) - 1))), 6)
+        |    AS cramers_v
+        |FROM cc""".stripMargin,
 
     "dq_chisq" ->
       """WITH cells AS (

@@ -781,6 +781,68 @@ object Events {
           Seq("user_id"), "left")
         .na.fill(0L, Seq("n_converted"))
         .orderBy("user_id")
+    },
+
+    "ev_autocorr" -> { (s, d) =>
+      // Lag-1..7 autocorrelation of each type's gap-filled daily count
+      // series — the rhythm diagnostic behind ev_seasonality: a peak
+      // at lag 7 means the weekly cycle dominates, fast decay means
+      // volume is memoryless. All seven lags come from ONE window pass
+      // of lead columns over the tiny (types × days) filled frame
+      // (never raw events), posexploded to (lag, x, y) pairs; the
+      // Pearson sufficient statistics are exact decimals (x·y widened
+      // via DECIMAL(18,0) so the products never clip a long at any
+      // scale factor), so the aggregate is order-independent, and the
+      // closed form runs in double on integer-exact inputs both
+      // engines convert identically.
+      val d18 = DecimalType(18, 0)
+      val byType = Window.partitionBy("event_type").orderBy("day")
+      val base = dailyFilled(Tables.events(s, d))
+        .select(col("event_type"), col("day"), col("n"))
+      val withLeads = (1 to 7).foldLeft(base)((acc, k) =>
+        acc.withColumn(s"y$k", lead(col("n"), k).over(byType)))
+      val pairs = withLeads
+        .select(col("event_type"), col("n").as("x"),
+          posexplode(array((1 to 7).map(k => col(s"y$k")): _*)).as(Seq("k0", "y")))
+        .filter(col("y").isNotNull)
+        .select(col("event_type"), (col("k0") + 1).cast(LongType).as("lag"),
+          col("x"), col("y"))
+      val st = pairs.groupBy("event_type", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(d18)).as("sx"), sum(col("y").cast(d18)).as("sy"),
+        sum(col("x").cast(d18) * col("x").cast(d18)).as("sxx"),
+        sum(col("y").cast(d18) * col("y").cast(d18)).as("syy"),
+        sum(col("x").cast(d18) * col("y").cast(d18)).as("sxy"))
+      val md = col("n_pairs").cast(DoubleType)
+      def dd(c: String) = col(c).cast(DoubleType)
+      st
+        .withColumn("den",
+          (md * dd("sxx") - dd("sx") * dd("sx"))
+            * (md * dd("syy") - dd("sy") * dd("sy")))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          when(col("den") <= 0, lit(null).cast(DoubleType))
+            .otherwise(round(
+              (md * dd("sxy") - dd("sx") * dd("sy")) / sqrt(col("den")), 6))
+            .as("acf"))
+        .orderBy("event_type", "lag")
+    },
+
+    "ev_topk_movers" -> { (s, d) =>
+      // Largest day-over-day volume swings across every type — the
+      // ops "what changed yesterday" triage list. Deltas come from one
+      // lag over the gap-filled frame (absent days are REAL zeros, so
+      // a crash to silence ranks as hard as a spike); top-10 under a
+      // TOTAL deterministic order (|delta| desc, type, day), and the
+      // global sort runs on the tiny (types × days) frame, never raw
+      // events.
+      val byType = Window.partitionBy("event_type").orderBy("day")
+      dailyFilled(Tables.events(s, d))
+        .withColumn("prev_n", lag(col("n"), 1).over(byType))
+        .filter(col("prev_n").isNotNull)
+        .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+          (col("n") - col("prev_n")).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+        .limit(10)
     }
   )
 
@@ -1207,6 +1269,40 @@ object Events {
         |SELECT user_id, COUNT(*) AS n_purchases,
         |  COUNT(CASE WHEN EXISTS (SELECT 1 FROM c
         |    WHERE c.user_id = p.user_id AND c.t <= p.t AND c.t >= p.t - 1800000000) THEN 1 END) AS n_converted
-        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev_autocorr" ->
+      s"""$oracleFilledCte,
+        |p AS (
+        |  SELECT a.event_type, CAST(date_diff('day', a.day, b.day) AS BIGINT) AS lag,
+        |    a.n AS x, b.n AS y
+        |  FROM filled a JOIN filled b
+        |    ON a.event_type = b.event_type
+        |   AND b.day > a.day AND b.day <= a.day + INTERVAL 7 DAY),
+        |st AS (
+        |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+        |    THEN NULL
+        |    ELSE ROUND(
+        |      (n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / SQRT((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS acf
+        |FROM st ORDER BY event_type, lag""".stripMargin,
+
+    "ev_topk_movers" ->
+      s"""$oracleFilledCte,
+        |l AS (
+        |  SELECT event_type, day, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM filled)
+        |SELECT event_type, day, n, prev_n, n - prev_n AS delta
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY ABS(n - prev_n) DESC, event_type, day LIMIT 10""".stripMargin
   )
 }

@@ -539,6 +539,27 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     vacuum()
   }
 
+  /** Orphan audit — [[vacuum]]'s report-only twin: pool files
+    * referenced by NO surviving manifest (leaked by a crashed writer,
+    * a failed prune, or an out-of-band copy), as (file, bytes) rows.
+    * The pre-delete review an operator runs before letting vacuum
+    * loose, and the storage-accounting complement to
+    * [[storageReport]] (which counts only REFERENCED bytes). Same
+    * cost shape as vacuum: one metadata listing of the pool plus the
+    * manifests' `file` column — no data file is opened. */
+  def orphans(): DataFrame = {
+    import spark.implicits._
+    val referenced: Set[String] = versions()
+      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
+    val rows =
+      if (fs.exists(poolDir))
+        fs.listStatus(poolDir).toSeq
+          .filter(st => st.isFile && !referenced(st.getPath.getName))
+          .map(st => (st.getPath.getName, st.getLen))
+      else Seq.empty[(String, Long)]
+    rows.toDF("file", "bytes")
+  }
+
   /** Ref-count sweep: delete pool files referenced by NO surviving
     * manifest, plus aged crash leftovers (`.tmp-` dirs older than
     * `tmpTtlMs`). One metadata pass over |pool| + Σ|manifests| rows —

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -520,6 +520,28 @@ object Pipeline {
         .orderBy("fold", "lang")
     },
 
+    "pipe_epoch_shuffle" -> { (s, d) =>
+      // Deterministic multi-epoch shuffle: epoch e re-orders the
+      // corpus by portable md5(doc_id || ':' || e) — a DIFFERENT but
+      // reproducible permutation per epoch (no epoch sees the other's
+      // order), append-stable (a new doc inserts without moving any
+      // existing pair), and engine-portable (the oracle rebuilds every
+      // assignment doc-for-doc). No global sort at scale: the
+      // permutation IS the (shard, ord) key pair — writers consume the
+      // 8 shard streams independently and sort only within a shard
+      // file, the same discipline as pipe_pack's packing keys.
+      val h = md5(concat(col("doc_id").cast(StringType), lit(":"),
+        col("epoch").cast(StringType)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array((0 until 3).map(e => lit(e.toLong)): _*)).as("epoch"))
+        .withColumn("h", h)
+        .select(col("doc_id"), col("epoch"),
+          (conv(substring(col("h"), 1, 4), 16, 10).cast(LongType) % 8).as("shard"),
+          conv(substring(col("h"), 1, 12), 16, 10).cast(LongType).as("ord"))
+        .orderBy("epoch", "doc_id")
+    },
+
     "pipe_split" -> { (s, d) =>
       // Deterministic ~5%/5%/90% val/test/train split, reported as the
       // per-(split, lang) doc/char profile a dataset card prints.
@@ -799,6 +821,17 @@ object Pipeline {
       """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 AS fold,
         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+
+    "pipe_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(range(3)) AS epoch),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hx
+        |  FROM documents CROSS JOIN e)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST('0x' || substr(hx, 1, 4) AS BIGINT) % 8 AS shard,
+        |  CAST('0x' || substr(hx, 1, 12) AS BIGINT) AS ord
+        |FROM h ORDER BY epoch, doc_id""".stripMargin,
 
     "pipe_split" ->
       """SELECT CASE

@@ -424,6 +424,36 @@ object Snapshot {
       store.diff(2L, 3L).orderBy("o_orderkey")
     },
 
+    "snap_orphan_audit" -> { (s, d) =>
+      // ManifestStore.orphans driver-checked as a gate: on a healthy
+      // store the audit must be EMPTY; plant a leaked pool file (the
+      // crashed-writer shape vacuum exists for) and the audit must
+      // surface exactly it, byte-accurately, while the tip read stays
+      // intact; vacuum reclaims exactly those bytes and the audit
+      // returns to empty. Reduced to booleans + the tip row count the
+      // DuckDB oracle rebuilds. Fingerprint-keyed store: warm passes
+      // reuse the v1 snapshot and re-run only the plant/audit/reclaim
+      // round trip (metadata-sized).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orphan_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), 1L, 8)
+      val cleanBefore = store.orphans().isEmpty
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/files/zz-leaked-000.bin"),
+        "leaked!".getBytes("UTF-8"))
+      val audit = store.orphans().collect()
+      val found = audit.length == 1 &&
+        audit(0).getString(0) == "zz-leaked-000.bin" && audit(0).getLong(1) == 7L
+      val reclaimed = store.vacuum()
+      val cleanAfter = store.orphans().isEmpty
+      val tipRows = store.read(1L).count()
+      import s.implicits._
+      Seq((tipRows, cleanBefore, found && reclaimed == 7L, cleanAfter))
+        .toDF("tip_rows", "clean_before", "orphan_found", "clean_after")
+    },
+
     "snap_merge_cow" -> { (s, d) =>
       // Copy-on-write merge end-to-end: orders range-partitioned as
       // v1; a delta (repriced keys ≡ 4 mod 13 + appended keys ≡ 7 mod
@@ -671,6 +701,11 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_orphan_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,
+        |  TRUE AS orphan_found, TRUE AS clean_after
+        |FROM orders""".stripMargin,
 
     "snap_linked_merge" ->
       """WITH survived AS (
