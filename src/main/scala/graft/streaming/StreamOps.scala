@@ -127,6 +127,98 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  case class AsofEv(tsMs: Long, eventId: Long, value: Double)
+  case class AsofIn(side: Int, userId: Long, ts: Timestamp, eventId: Long, value: Double)
+  case class AsofBuf(settled: List[AsofEv], rights: List[AsofEv], lefts: List[AsofEv])
+  case class AsofUpdate(user_id: Long, event_id: Long, ts: Timestamp, value: Double,
+      asof_ts: Option[Timestamp], asof_value: Option[Double])
+
+  /** Streaming point-in-time join — the streaming twin of
+    * [[graft.operators.AsofJoin.asofJoin]] (backward, inclusive,
+    * optional tolerance): each left event emits exactly ONCE, carrying
+    * the latest right event of the same key at-or-before its
+    * timestamp, the moment the watermark makes that FINAL — once
+    * wm ≥ left ts, any still-admissible right arrival has
+    * rts > wm ≥ lts and cannot displace a backward match. Parity with
+    * the batch operator over all within-watermark arrivals is
+    * spec-proven; a tie on right ts breaks by event_id (the batch
+    * window leaves order within equal (ts, side) engine-chosen — the
+    * stream pins it, and the parity spec uses tie-free rights).
+    *
+    * BOUNDED state per key — the reason this is not a generic
+    * stream-stream outer join: pending lefts above the watermark,
+    * rights above the watermark, and ONE settled right (`settled`,
+    * a ≤1-element list — Option[case class] trips Spark's encoder
+    * derivation inside GroupState) — the latest right at-or-below the
+    * watermark, which dominates every older right for every future
+    * probe (any future left has lts > wm ≥ settled rts, so the max
+    * settled right is always the best sub-watermark candidate). State
+    * volume scales with watermark delay × arrival rate per key, never
+    * with stream length. Event-time timeouts drain pending lefts for
+    * keys whose stream goes quiet. */
+  def asofStream(leftEvents: Dataset[Event], rightEvents: Dataset[Event],
+      toleranceMs: Option[Long] = None,
+      watermarkDelay: String = "30 minutes"): Dataset[AsofUpdate] = {
+    val spark = leftEvents.sparkSession
+    import spark.implicits._
+    // column-level projection (not .map): the event-time watermark tag
+    // lives on the `ts` ATTRIBUTE and must survive into the stateful
+    // operator's input — MapElements would rebuild the schema and lose
+    // it ("Event-time timeout not supported without watermark")
+    def prep(ds: Dataset[Event], side: Int): Dataset[AsofIn] =
+      ds.withWatermark("ts", watermarkDelay)
+        .select(lit(side).as("side"), col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("value"))
+        .as[AsofIn]
+
+    def emit(l: AsofEv, m: Option[AsofEv]): AsofUpdate = {
+      val ok = m.exists(r => toleranceMs.forall(tol => l.tsMs - r.tsMs <= tol))
+      AsofUpdate(0L, l.eventId, new Timestamp(l.tsMs), l.value,
+        if (ok) Some(new Timestamp(m.get.tsMs)) else None,
+        if (ok) Some(m.get.value) else None)
+    }
+
+    // settle everything the watermark has finalized; re-arm the
+    // timeout at the earliest still-pending left
+    def settle(userId: Long, buf: AsofBuf,
+        state: GroupState[AsofBuf]): Iterator[AsofUpdate] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (doneL, pendL) = buf.lefts.partition(_.tsMs <= wm)
+      val candidates = buf.settled ++ buf.rights
+      val out = doneL.sortBy(l => (l.tsMs, l.eventId)).map { l =>
+        emit(l, candidates.filter(r => r.tsMs <= l.tsMs)
+          .sortBy(r => (r.tsMs, r.eventId)).lastOption)
+          .copy(user_id = userId)
+      }
+      val (settledR, pendR) = buf.rights.partition(_.tsMs <= wm)
+      val newSettled = (buf.settled ++ settledR)
+        .sortBy(r => (r.tsMs, r.eventId)).lastOption.toList
+      if (pendL.isEmpty && pendR.isEmpty && newSettled.isEmpty) state.remove()
+      else {
+        state.update(AsofBuf(newSettled, pendR, pendL))
+        if (pendL.nonEmpty) state.setTimeoutTimestamp(pendL.map(_.tsMs).min)
+      }
+      out.iterator
+    }
+
+    prep(leftEvents, 1).union(prep(rightEvents, 0))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofBuf, AsofUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[AsofBuf]) =>
+          val buf = state.getOption.getOrElse(AsofBuf(Nil, Nil, Nil))
+          val merged =
+            if (state.hasTimedOut) buf
+            else {
+              val (ls, rs) = rows.toList.partition(_.side == 1)
+              AsofBuf(buf.settled,
+                buf.rights ++ rs.map(r => AsofEv(r.ts.getTime, r.eventId, r.value)),
+                buf.lefts ++ ls.map(l => AsofEv(l.ts.getTime, l.eventId, l.value)))
+            }
+          settle(userId, merged, state)
+      }
+  }
+
   case class PathEv(tsMs: Long, eventId: Long, eventType: String)
   case class PathState(done: Boolean, evs: List[PathEv])
   case class UserPath(user_id: Long, path: String, n_steps: Int)

@@ -1696,6 +1696,117 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("graft_upath").count() == 1L)
     } finally query.stop()
   }
+
+  test("asofStream matches batch asofJoin for within-watermark arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val query = StreamOps.asofStream(lefts.toDS(), rights.toDS())
+      .writeStream.format("memory").queryName("graft_asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a right and two lefts for user 10 — left t=10 is NOT
+      // emitted yet (wm still behind it on this batch's entry). The
+      // global watermark is the MIN across both input streams, so the
+      // right side carries a t=60 pacer (user 88, matches nothing).
+      rights.addData(Event(100L, ts(0), 10L, "quote", 100.0),
+        Event(900L, ts(60), 88L, "quote", 0.0))
+      lefts.addData(Event(1L, ts(10), 10L, "trade", 1.0),
+        Event(3L, ts(55), 10L, "trade", 3.0))
+      query.processAllAvailable()
+      // batch 2 (wm = min(55, 60)−30 = 25): left t=10 settles against
+      // right t=0 even though a LATER right (t=50) arrives in this
+      // very batch; the new left t=50 and user-20 left stay pending
+      rights.addData(Event(101L, ts(50), 10L, "quote", 105.0))
+      lefts.addData(Event(2L, ts(50), 10L, "trade", 2.0),
+        Event(4L, ts(30), 20L, "trade", 4.0))
+      query.processAllAvailable()
+      val early = spark.table("graft_asof").collect()
+      assert(early.map(_.getAs[Long]("event_id")).toSet == Set(1L),
+        s"only the finalized left may emit, got ${early.mkString(",")}")
+      // batch 3: watermark flush on BOTH streams — everything settles
+      lefts.addData(Event(99L, ts(200), 77L, "trade", 0.0))
+      rights.addData(Event(901L, ts(200), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[Timestamp]("asof_ts")), Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)))
+        .toMap
+      // batch-operator oracle on the same (settled) events
+      val leftDf = Seq((1L, ts(10), 10L, 1.0), (2L, ts(50), 10L, 2.0),
+        (3L, ts(55), 10L, 3.0), (4L, ts(30), 20L, 4.0))
+        .toDF("event_id", "ts", "user_id", "value")
+      val rightDf = Seq((ts(0), 10L, 100.0), (ts(50), 10L, 105.0))
+        .toDF("ts", "user_id", "rv")
+      val expected = graft.operators.AsofJoin.asofJoin(
+        leftDf, rightDf, "user_id", "ts", "ts", Seq("rv"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_rv")).map(_.toDouble)).toMap
+      assert(got.keySet == Set(1L, 2L, 3L, 4L))
+      expected.foreach { case (id, rv) =>
+        assert(got(id)._2 == rv, s"event $id: stream ${got(id)._2} vs batch $rv")
+      }
+      // inclusive equal-ts semantics + the no-match null
+      assert(got(2L) == (Some(ts(50)), Some(105.0)))
+      assert(got(4L) == (None, None))
+    } finally query.stop()
+  }
+
+  test("asofStream tolerance nulls a stale match like the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val query = StreamOps.asofStream(lefts.toDS(), rights.toDS(),
+        toleranceMs = Some(15L * 60000L))
+      .writeStream.format("memory").queryName("graft_asof_tol")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rights.addData(Event(100L, ts(0), 30L, "quote", 100.0))
+      lefts.addData(Event(1L, ts(10), 30L, "trade", 1.0), // 10 min — in tol
+        Event(2L, ts(40), 30L, "trade", 2.0))             // 40 min — stale
+      query.processAllAvailable()
+      lefts.addData(Event(99L, ts(300), 77L, "trade", 0.0))
+      rights.addData(Event(901L, ts(300), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof_tol").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+      assert(got(1L) == Some(100.0))
+      assert(got(2L) == None, "out-of-tolerance match must null, not attach")
+    } finally query.stop()
+  }
+
+  test("asofStream settled-right compaction keeps only the dominant right") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val query = StreamOps.asofStream(lefts.toDS(), rights.toDS())
+      .writeStream.format("memory").queryName("graft_asof_comp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two rights, then a both-stream flush pushes them below the
+      // watermark — state compacts them to ONE settled right (t=20)
+      rights.addData(Event(100L, ts(0), 40L, "quote", 1.0),
+        Event(101L, ts(20), 40L, "quote", 2.0))
+      lefts.addData(Event(98L, ts(100), 79L, "trade", 0.0))
+      rights.addData(Event(102L, ts(100), 41L, "quote", 9.0))
+      query.processAllAvailable()
+      // a much later left must still match the compacted right
+      lefts.addData(Event(1L, ts(150), 40L, "trade", 1.0))
+      query.processAllAvailable()
+      lefts.addData(Event(99L, ts(400), 77L, "trade", 0.0))
+      rights.addData(Event(902L, ts(400), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof_comp").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+      assert(got(1L) == Some(2.0),
+        "compaction must keep the LATEST settled right, not drop it")
+    } finally query.stop()
+  }
 }
 
 /** Test-only local FS whose rename can be armed to fail ONCE for a
