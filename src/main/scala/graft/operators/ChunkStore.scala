@@ -524,6 +524,125 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     (nBad, dirty)
   }
 
+  private def parityDir(bucket: Path) = new Path(bucket, "_parity")
+
+  /** Single-file-loss resilience WITHOUT a second repository: one XOR
+    * parity sidecar per bucket (the RAID-5 / par2 idea at blob-file
+    * granularity). The sidecar holds the byte-wise XOR of every data
+    * file in the bucket (padded to the longest) plus an index of
+    * (file, bytes, md5); losing ANY ONE indexed file reconstructs
+    * exactly as parity ⊕ surviving files ([[repairFromParity]]),
+    * verified against the indexed md5 before it lands. Parity is
+    * ADVISORY state with fail-closed semantics: it publishes via
+    * tmp+rename (a crash leaves the previous sidecar or none — repair
+    * then refuses rather than guessing), files appended after the
+    * last build are simply uncovered until the next build, and a
+    * sweep/compaction that swaps the bucket dir drops the sidecar
+    * with it — a repair can never resurrect swept chunks. Build cost:
+    * one distributed pass over each bucket's blob bytes (XOR is
+    * associative + commutative, so the reduce combines map-side);
+    * buckets are independent — on a cluster they pipeline. Returns
+    * the number of bucket sidecars (re)built. */
+  def buildParity(): Long = {
+    val root = new Path(chunksDir)
+    if (!fs.exists(root)) return 0L
+    val spark0 = spark
+    import spark0.implicits._
+    var built = 0L
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
+      val bdir = bst.getPath
+      val hasData = fs.listStatus(bdir).exists(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      if (hasData) {
+        val df = spark.read.format("binaryFile").load(bdir.toString)
+          .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+          .as[(String, Array[Byte])]
+        val index = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
+          .collect().sortBy(_._1)
+        val parity = df.map(_._2).reduce(ChunkStore.xorPad _)
+        val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(tmp)
+        val out = fs.create(new Path(tmp, "xor.bin"), true)
+        try out.write(parity) finally out.close()
+        val idx = fs.create(new Path(tmp, "index.tsv"), true)
+        try idx.write(index.map { case (n, len, m) => s"$n\t$len\t$m" }
+          .mkString("\n").getBytes("UTF-8"))
+        finally idx.close()
+        fs.delete(parityDir(bdir), true)
+        if (!fs.rename(tmp, parityDir(bdir)))
+          throw new java.io.IOException(s"parity publish failed under $bdir")
+        built += 1
+      }
+    }
+    built
+  }
+
+  /** Reconstruct singly-lost blob files from the [[buildParity]]
+    * sidecars: per bucket, indexed files absent from the directory
+    * are the losses; exactly one loss (with every other indexed file
+    * still present) rebuilds as parity ⊕ survivors, truncated to the
+    * indexed length and VERIFIED against the indexed md5 before the
+    * tmp+rename lands it — a stale or torn sidecar can only produce
+    * an honest refusal, never a corrupt blob (and scrub would catch
+    * one anyway: content addressing makes every repair self-checking
+    * downstream). Returns (repaired file paths, buckets that need a
+    * mirror or deeper recovery: ≥2 losses, or a failed verify).
+    * Losses OUTSIDE the index (files appended after the last build)
+    * are invisible here by design — scrub's missing_blob rows remain
+    * the authority on what the repository still owes. */
+  def repairFromParity(): (Seq[String], Seq[Long]) = {
+    val root = new Path(chunksDir)
+    if (!fs.exists(root)) return (Seq.empty, Seq.empty)
+    val spark0 = spark
+    import spark0.implicits._
+    val repaired = Seq.newBuilder[String]
+    val unrepairable = Seq.newBuilder[Long]
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
+      val bdir = bst.getPath
+      val pdir = parityDir(bdir)
+      if (fs.exists(new Path(pdir, "index.tsv"))) {
+        val bucketId = bdir.getName.stripPrefix("bucket=").toLong
+        val index = {
+          val in = fs.open(new Path(pdir, "index.tsv"))
+          val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          new String(raw, "UTF-8").split("\n").filter(_.nonEmpty).map { l =>
+            val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
+          }.toSeq
+        }
+        val present = fs.listStatus(bdir).filter(_.isFile)
+          .map(_.getPath.getName).toSet
+        val missing = index.filterNot(e => present(e._1))
+        if (missing.size == 1) {
+          val (lostName, lostLen, lostMd5) = missing.head
+          val survivors = index.map(_._1).filter(present)
+          val survivorXor =
+            if (survivors.isEmpty) Array.empty[Byte]
+            else spark.read.format("binaryFile")
+              .load(survivors.map(n => new Path(bdir, n).toString): _*)
+              .select(col("content")).as[Array[Byte]]
+              .reduce(ChunkStore.xorPad _)
+          val parity = {
+            val in = fs.open(new Path(pdir, "xor.bin"))
+            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          }
+          val rebuilt = java.util.Arrays.copyOf(
+            ChunkStore.xorPad(parity, survivorXor), lostLen.toInt)
+          if (ChunkStore.md5hex(rebuilt) == lostMd5) {
+            val tmp = new Path(bdir, s".${lostName}.tmp-${java.util.UUID.randomUUID()}")
+            val out = fs.create(tmp, true)
+            try out.write(rebuilt) finally out.close()
+            if (!fs.rename(tmp, new Path(bdir, lostName)))
+              throw new java.io.IOException(s"repair publish failed: $lostName")
+            repaired += new Path(bdir, lostName).toString
+          } else unrepairable += bucketId
+        } else if (missing.size > 1) unrepairable += bucketId
+      }
+    }
+    (repaired.result(), unrepairable.result())
+  }
+
   /** Finish every interrupted sweep left under the repository root —
     * called by [[pruneChunks]] before it reads, and by [[vacuum]]
     * (TTL-gated) for standalone hygiene. */
@@ -780,4 +899,22 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
           } else fs.delete(st.getPath, true): Unit
         }
   }
+}
+
+/** Serializable helpers for the parity path — companion-object (not
+  * instance) methods so executor-side lambdas never capture a store
+  * instance (whose SparkSession field is unserializable). */
+object ChunkStore {
+  /** Byte-wise XOR, shorter operand zero-padded — associative and
+    * commutative, so a distributed reduce combines map-side. */
+  private[operators] def xorPad(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val r = java.util.Arrays.copyOf(a, math.max(a.length, b.length))
+    var i = 0
+    while (i < b.length) { r(i) = (r(i) ^ b(i)).toByte; i += 1 }
+    r
+  }
+
+  private[operators] def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
 }

@@ -423,6 +423,49 @@ object Multimodal {
         .toDF("n_docs", "restored_ok", "scrub_ok")
     },
 
+    "snap_parity_gate" -> { (s, d) =>
+      // End-to-end XOR-parity recovery gate: an encrypted repository
+      // with parity sidecars loses ONE blob file, repairs it from
+      // parity ⊕ survivors (no replica), and must then restore
+      // byte-identical (md5-set equality both directions) and scrub
+      // all-ok — reduced to booleans the DuckDB oracle asserts.
+      // Own fingerprint-keyed root (not snap_chunk_gate's: this entry
+      // MUTATES bucket files); warm passes reuse the repository and
+      // time only the lose/repair/verify round trip.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_parity_gate_$fp"
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def src = Tables.documents(s, d).filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      if (store.versions().isEmpty) {
+        store.backup(src, "id", "payload", 1L)
+        store.buildParity(): Unit
+      }
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/chunks"))
+        .filter(_.isDirectory).sortBy(_.getPath.getName)
+        .iterator.flatMap(b => fs.listStatus(b.getPath).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith(".")).map(_.getPath))
+        .next()
+      fs.delete(victim, false)
+      val lossSeen = store.scrub()
+        .filter(col("status") === "missing_blob").count() > 0
+      val (repaired, unrepairable) = store.repairFromParity()
+      val repairedOk = repaired.nonEmpty && unrepairable.isEmpty
+      val a = src.select(col("id"), md5(col("payload")).as("h"))
+      val b = store.restore(1L).select(col("id"), md5(col("payload")).as("h"))
+      val missing = a.join(b, Seq("id", "h"), "left_anti").count()
+      val extra = b.join(a, Seq("id", "h"), "left_anti").count()
+      val scrubBad = store.scrub().filter(col("status") =!= "ok").count()
+      import s.implicits._
+      Seq((a.count(), lossSeen && repairedOk,
+          missing == 0L && extra == 0L && scrubBad == 0L))
+        .toDF("n_docs", "repaired_ok", "restored_ok")
+    },
+
     "snap_chunk_gc" -> { (s, d) =>
       // Rows-only (convergent-encrypted refs are build-internal): the
       // full repository GC loop closing chunk accounting's
@@ -562,6 +605,11 @@ object Multimodal {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS restored_ok,
         |  TRUE AS scrub_ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "snap_parity_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS repaired_ok,
+        |  TRUE AS restored_ok
+        |FROM documents WHERE doc_id % 5 = 1""".stripMargin,
 
     "mm_video_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_eligible, TRUE AS paired_ok

@@ -665,4 +665,108 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!fs.exists(tmp))
     assert(canon(mirror.restore(1L)) == canon(v1))
   }
+
+  private def bucketDataFiles(base: String): Map[String, Seq[org.apache.hadoop.fs.Path]] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$base/chunks")
+    fs.listStatus(root).filter(_.isDirectory).map { b =>
+      b.getPath.getName -> fs.listStatus(b.getPath).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    }.toMap
+  }
+
+  test("parity rebuilds a singly-lost blob file byte-identically; restore and scrub recover") {
+    val base = Files.createTempDirectory("graft_chunk_parity").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, false, false))
+    store.backup(v1, "id", "payload", 1L)
+    store.backup(v2, "id", "payload", 2L)
+    assert(store.buildParity() > 0L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = bucketDataFiles(base).values.flatten.head
+    val victimBytes = {
+      val in = fs.open(victim)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    fs.delete(victim, false)
+    assert(store.scrub().filter(col("status") === "missing_blob").count() > 0)
+    val (repaired, unrepairable) = store.repairFromParity()
+    assert(repaired.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq(victim.getName) && unrepairable.isEmpty, s"$repaired / $unrepairable")
+    val back = {
+      val in = fs.open(victim)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    assert(java.util.Arrays.equals(back, victimBytes),
+      "reconstructed file must be byte-identical")
+    assert(canon(store.restore(1L)) == canon(v1))
+    assert(canon(store.restore(2L)) == canon(v2))
+    assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
+  }
+
+  test("parity fails closed: two losses in a bucket, an unindexed loss, and a torn sidecar all refuse") {
+    val base = Files.createTempDirectory("graft_chunk_parity2").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store.backup(payloadRows(true, false, false), "id", "payload", 2L)
+    store.buildParity()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) two losses in one bucket → that bucket reports unrepairable
+    val twoFileBucket = bucketDataFiles(base).find(_._2.size >= 2)
+    twoFileBucket.foreach { case (bname, files) =>
+      files.take(2).foreach(f => fs.delete(f, false))
+      val (repaired, unrepairable) = store.repairFromParity()
+      assert(repaired.isEmpty)
+      assert(unrepairable == Seq(bname.stripPrefix("bucket=").toLong))
+    }
+    // (b) a loss OUTSIDE the index (file appended after the build) is
+    // invisible to parity — scrub's missing_blob stays the authority
+    val base2 = Files.createTempDirectory("graft_chunk_parity3").toString
+    val store2 = new ChunkStore(spark, base2, master, nBuckets = 4)
+    store2.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store2.buildParity()
+    store2.backup(payloadRows(true, true, true), "id", "payload", 2L)
+    val fs2 = new org.apache.hadoop.fs.Path(base2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexed: Set[String] = {
+      val idx = bucketDataFiles(base2).keys.map { b =>
+        new org.apache.hadoop.fs.Path(s"$base2/chunks/$b/_parity/index.tsv")
+      }.filter(fs2.exists)
+      idx.flatMap { p =>
+        val in = fs2.open(p)
+        val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        new String(raw, "UTF-8").split("\n").filter(_.nonEmpty).map(_.split("\t")(0))
+      }.toSet
+    }
+    val fresh = bucketDataFiles(base2).values.flatten
+      .find(p => !indexed(p.getName))
+    assume(fresh.nonEmpty, "second backup must add at least one new file")
+    fs2.delete(fresh.get, false)
+    val (rep2, unrep2) = store2.repairFromParity()
+    assert(rep2.isEmpty && unrep2.isEmpty,
+      "an unindexed loss must not be guessed at")
+    assert(store2.scrub().filter(col("status") === "missing_blob").count() > 0)
+    // (c) torn sidecar: corrupt xor.bin, lose an indexed file → md5
+    // verify refuses, nothing lands
+    val base3 = Files.createTempDirectory("graft_chunk_parity4").toString
+    val store3 = new ChunkStore(spark, base3, master, nBuckets = 4)
+    store3.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store3.buildParity()
+    val fs3 = new org.apache.hadoop.fs.Path(base3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim3 = bucketDataFiles(base3).values.flatten.head
+    val bucket3 = victim3.getParent
+    val out = fs3.create(new org.apache.hadoop.fs.Path(bucket3, "_parity/xor.bin"), true)
+    try out.write(Array.fill[Byte](64)(0x5A)) finally out.close()
+    fs3.delete(victim3, false)
+    val (rep3, unrep3) = store3.repairFromParity()
+    assert(rep3.isEmpty &&
+      unrep3 == Seq(bucket3.getName.stripPrefix("bucket=").toLong))
+    assert(!fs3.exists(victim3), "a failed verify must not land a blob")
+  }
 }

@@ -76,6 +76,32 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(store.read(2L)) == v2Contents)
   }
 
+  test("orphans audits unreferenced pool files without deleting; vacuum then clears them") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 100, "a"), 1L, numFiles = 4)
+    assert(store.orphans().isEmpty, "healthy store must audit clean")
+    // a crashed writer's leftover + a superseded version's exclusive file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/files/leak-1.bin"), Array[Byte](1, 2, 3))
+    store.mergeDelta(1L, 2L, Seq((5L, "u-5")).toDF("k", "v"))
+    val man2 = store.manifest(2L).select("file").as[String].collect().toSet
+    store.versions().filterNot(_ == 2L)
+      .foreach(v => store.manifest(v)) // touch, then drop v1's manifest only
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$base/_manifests/v=1"), true)
+    val audit = store.orphans().collect().map(r =>
+      (r.getAs[String]("file"), r.getAs[Long]("bytes"))).toMap
+    assert(audit.contains("leak-1.bin") && audit("leak-1.bin") == 3L)
+    assert(audit.keySet.forall(n => !man2.contains(n)),
+      "no referenced file may appear in the audit")
+    // report-only: nothing was deleted by the audit itself
+    assert(audit.keySet.subsetOf(poolFiles(base)))
+    val v2Contents = contents(store.read(2L))
+    store.vacuum()
+    assert(store.orphans().isEmpty)
+    assert(contents(store.read(2L)) == v2Contents)
+  }
+
   test("deleteWhere rewrites only matching files; null-pred rows are kept") {
     val (store, _) = newStore()
     val df = Seq((1L, "keep", Some(10L)), (2L, "kill", Some(99L)),
