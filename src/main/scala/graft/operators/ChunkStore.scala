@@ -578,6 +578,42 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     built
   }
 
+  /** Parity COVERAGE audit — which buckets [[repairFromParity]] could
+    * actually serve right now, metadata-only (no blob bytes read):
+    * per bucket, `covered` (sidecar present, index == current file
+    * set), `stale` (sidecar present but files were appended/swapped
+    * since the build — only still-indexed files are repairable), or
+    * `uncovered` (no sidecar). The operational loop is
+    * backup → buildParity → verifyParity-in-monitoring; a bucket
+    * drifting to `stale` past tolerance means buildParity is due. */
+  def verifyParity(): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = new Path(chunksDir)
+    val rows =
+      if (!fs.exists(root)) Seq.empty[(Long, Long, Long, String)]
+      else fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("bucket=")).map { bst =>
+        val bdir = bst.getPath
+        val bucketId = bdir.getName.stripPrefix("bucket=").toLong
+        val present = fs.listStatus(bdir).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+        val idxPath = new Path(parityDir(bdir), "index.tsv")
+        if (!fs.exists(idxPath))
+          (bucketId, present.size.toLong, 0L, "uncovered")
+        else {
+          val in = fs.open(idxPath)
+          val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          val indexed = new String(raw, "UTF-8").split("\n")
+            .filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+          val status = if (indexed == present) "covered" else "stale"
+          (bucketId, present.size.toLong, indexed.size.toLong, status)
+        }
+      }
+    rows.sortBy(_._1).toDF("bucket", "n_files", "n_indexed", "status")
+  }
+
   /** Reconstruct singly-lost blob files from the [[buildParity]]
     * sidecars: per bucket, indexed files absent from the directory
     * are the losses; exactly one loss (with every other indexed file

@@ -827,6 +827,22 @@ object Events {
         .orderBy("event_type", "lag")
     },
 
+    "ev_heatmap" -> { (s, d) =>
+      // Day-of-week × hour-of-day activity heat map per event type —
+      // the load-profile view behind batch-window placement and
+      // autoscaling schedules (ev_seasonality's dow profile, one
+      // dimension finer). One map-side-combinable count over at most
+      // |types|·7·24 cells; shares normalize in a window over that
+      // metadata-sized frame, never a second event scan.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), weekday(col("ts")).cast(LongType).as("dow"),
+          hour(col("ts")).cast(LongType).as("hod"))
+      ev.groupBy("event_type", "dow", "hod").agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast(DoubleType)
+          / sum(col("n")).over(Window.partitionBy("event_type")), 6))
+        .orderBy("event_type", "dow", "hod")
+    },
+
     "ev_topk_movers" -> { (s, d) =>
       // Largest day-over-day volume swings across every type — the
       // ops "what changed yesterday" triage list. Deltas come from one
@@ -1294,6 +1310,17 @@ object Events {
         |           * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS acf
         |FROM st ORDER BY event_type, lag""".stripMargin,
+
+    "ev_heatmap" ->
+      """WITH c AS (
+        |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(hod AS BIGINT) AS hod, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6)
+        |    AS share
+        |FROM c ORDER BY event_type, dow, hod""".stripMargin,
 
     "ev_topk_movers" ->
       s"""$oracleFilledCte,

@@ -708,6 +708,29 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("verifyParity classifies covered, stale, and uncovered buckets metadata-only") {
+    val base = Files.createTempDirectory("graft_chunk_parity_cov").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    // before any build: every data bucket is uncovered
+    val pre = store.verifyParity().collect()
+      .map(r => r.getAs[String]("status")).toSet
+    assert(pre == Set("uncovered"))
+    store.buildParity()
+    val post = store.verifyParity().collect()
+    assert(post.nonEmpty && post.forall(_.getAs[String]("status") == "covered"))
+    assert(post.forall(r => r.getAs[Long]("n_files") == r.getAs[Long]("n_indexed")))
+    // an appended backup drifts ONLY the buckets it touched to stale
+    store.backup(payloadRows(true, true, true), "id", "payload", 2L)
+    val drifted = store.verifyParity().collect()
+      .map(r => r.getAs[String]("status")).toSet
+    assert(drifted.contains("stale"))
+    // rebuild restores full coverage
+    store.buildParity()
+    assert(store.verifyParity().collect()
+      .forall(_.getAs[String]("status") == "covered"))
+  }
+
   test("parity fails closed: two losses in a bucket, an unindexed loss, and a torn sidecar all refuse") {
     val base = Files.createTempDirectory("graft_chunk_parity2").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)
