@@ -424,6 +424,37 @@ object Snapshot {
       store.diff(2L, 3L).orderBy("o_orderkey")
     },
 
+    "snap_sql_timetravel" -> { (s, d) =>
+      // The DSv2 SQL time-travel surface driver-checked end-to-end: a
+      // two-version lineage (v1 = orders, v2 = a deterministic
+      // reprice) is read back through `VERSION AS OF 1` and the bare
+      // (latest) table name via the SnapshotCatalog — Spark's OWN
+      // loadTable(ident, version) hooks, planned as a native parquet
+      // scan — and both reads' bucket aggregates must hash-match the
+      // declaratively rebuilt states. Backdated commit timestamps
+      // keep the store reproducible; fingerprint-keyed root, catalog
+      // conf set idempotently on the driver's session.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_${Tables.fingerprint(s, d, "orders")}"
+      val store = new SnapshotStore(s, s"$base/orders_tt", "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, Some(1000L))
+        store.write(ord.withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(100.0))
+            .otherwise(col("o_totalprice"))), 2L, Some(2000L))
+      }
+      s.conf.set("spark.sql.catalog.snaptt",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.snaptt.root", base)
+      def agg(df: DataFrame, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("ver", lit(ver))
+      agg(s.sql("SELECT * FROM snaptt.orders_tt VERSION AS OF 1"), 1L)
+        .unionByName(agg(s.sql("SELECT * FROM snaptt.orders_tt"), 2L))
+        .orderBy("ver", "bucket")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -701,6 +732,26 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_sql_timetravel" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |a1 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM orders GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM v2 GROUP BY 1)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY ver, bucket""".stripMargin,
 
     "snap_orphan_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,
