@@ -27,8 +27,12 @@ import graft.operators.SnapshotStore
   *   SELECT * FROM snap.orders TIMESTAMP AS OF '2026-08-01'   -- commit-ts resolve
   * }}}
   *
-  * Each table name resolves to `<root>/<namespace...>/<name>`, a
-  * SnapshotStore base (`v=<n>` version dirs + `_commit_ts` sidecars).
+  * Each table name resolves to `<root>/<namespace...>/<name>` — either
+  * a SnapshotStore base (`v=<n>` version dirs + `_commit_ts` sidecars)
+  * or a LINKED ManifestStore base (`_manifests/` + shared `files/`
+  * pool), auto-detected; a linked version plans over its
+  * manifest-resolved pool file list, so shared files are read in
+  * place and the store's zero-copy property carries into SQL.
   * Resolution is METADATA-ONLY (a version listing + KB sidecars);
   * the table Spark plans against is a plain [[ParquetTable]] over the
   * resolved version directory, so the whole native read stack applies
@@ -61,19 +65,42 @@ class SnapshotCatalog extends TableCatalog {
   private def storeFor(ident: Identifier) =
     new SnapshotStore(spark, storePath(ident), keyCol = "")
 
+  /** A linked (manifest-over-shared-pool) lineage carries its versions
+    * under `_manifests/`; a snapshot lineage as `v=<n>` data dirs. */
+  private def isLinked(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${storePath(ident)}/_manifests")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def linkedFor(ident: Identifier) =
+    new graft.operators.ManifestStore(spark, storePath(ident), keyCol = "")
+
   private def tableFor(ident: Identifier, version: Long): Table = {
-    val path = s"${storePath(ident)}/v=$version"
-    // mergeSchema: a CoW-evolved version may carry pre-evolution files
-    // whose footers lack the added columns — the union schema is the
-    // version's true schema
+    val base = storePath(ident)
+    // paths: a snapshot version is its data dir; a LINKED version is
+    // the manifest-resolved pool file list (shared files read in place
+    // — the zero-copy property carries straight into SQL). Schema: the
+    // evolved union sidecar when present (old pool files then yield
+    // null for columns they predate), else mergeSchema infers across
+    // footers.
+    val (paths, evolved) =
+      if (isLinked(ident)) {
+        val st = linkedFor(ident)
+        (st.manifest(version).select("file").collect()
+          .map(r => s"$base/files/${r.getString(0)}").toSeq,
+          st.evolvedSchema(version))
+      } else
+        (Seq(s"$base/v=$version"), storeFor(ident).evolvedSchema(version))
     val opts = new CaseInsensitiveStringMap(
-      java.util.Map.of("path", path, "mergeSchema", "true"))
+      java.util.Map.of("path", paths.head, "mergeSchema", "true"))
     ParquetTable(s"$catalogName.${ident.name()}@v$version", spark, opts,
-      Seq(path), None, classOf[ParquetFileFormat])
+      paths, evolved, classOf[ParquetFileFormat])
   }
 
   private def versionsOf(ident: Identifier): Seq[Long] = {
-    val vs = try storeFor(ident).versions() catch { case _: Exception => Seq.empty[Long] }
+    val vs =
+      try { if (isLinked(ident)) linkedFor(ident).versions() else storeFor(ident).versions() }
+      catch { case _: Exception => Seq.empty[Long] }
     if (vs.isEmpty) throw new NoSuchTableException(ident)
     vs
   }
@@ -94,7 +121,11 @@ class SnapshotCatalog extends TableCatalog {
   /** `TIMESTAMP AS OF <ts>` — micros in, commit-millis resolved. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     versionsOf(ident) // existence gate with the standard error
-    storeFor(ident).versionAsOf(Math.floorDiv(timestampMicros, 1000L)) match {
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val resolved =
+      if (isLinked(ident)) linkedFor(ident).versionAsOf(ms)
+      else storeFor(ident).versionAsOf(ms)
+    resolved match {
       case Some(v) => tableFor(ident, v)
       case None => throw new NoSuchTableException(ident)
     }

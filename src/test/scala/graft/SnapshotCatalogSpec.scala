@@ -68,6 +68,22 @@ class SnapshotCatalogSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(k,2)"), plan)
   }
 
+  test("a LINKED lineage time-travels through the same catalog, pool files read in place") {
+    root: Unit
+    val linked = new graft.operators.ManifestStore(spark, s"$root/events_linked", "k")
+    linked.write(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"), 1L, numFiles = 3)
+    linked.mergeDelta(1L, 2L, Seq((2L, "y2")).toDF("k", "v"))
+    assert(rows("SELECT k, v FROM snapcat.events_linked VERSION AS OF 1") ==
+      Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(rows("SELECT k, v FROM snapcat.events_linked") ==
+      Set((1L, "x"), (2L, "y2"), (3L, "z")))
+    // the v1 read must plan over manifest-resolved POOL files (shared
+    // by reference), not a version directory copy
+    val planned = spark.sql("SELECT k FROM snapcat.events_linked VERSION AS OF 1")
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("files"), planned)
+  }
+
   test("a read-only catalog refuses DDL writes; listTables sees the store") {
     root: Unit
     val ids = spark.sql("SHOW TABLES IN snapcat").collect().map(_.getString(1))
