@@ -578,6 +578,86 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     built
   }
 
+  /** INCREMENTAL parity maintenance — the reason XOR parity suits an
+    * append-only repository: parity is a group sum, so appended files
+    * fold in as `parity' = parity ⊕ (⊕ new files)` without re-reading
+    * the bucket — O(|new files|) I/O per refresh, against
+    * [[buildParity]]'s O(bucket). Applies exactly to buckets whose
+    * staleness is PURE APPEND (every indexed file still present — the
+    * backupDelta / chunkBackupStream steady state); a bucket whose
+    * indexed files vanished (sweep/compaction swap, losses) falls back
+    * to a full [[buildParity]]-shape rebuild of that bucket, and an
+    * uncovered bucket gets a fresh build. Publication is the same
+    * tmp+rename swap; a crash leaves the OLD sidecar, which is merely
+    * stale-but-consistent (index still describes files it XOR'd).
+    * Returns (bucketsIncremental, bucketsRebuilt). */
+  def updateParity(): (Long, Long) = {
+    val root = new Path(chunksDir)
+    if (!fs.exists(root)) return (0L, 0L)
+    val spark0 = spark
+    import spark0.implicits._
+    var incr = 0L
+    var rebuilt = 0L
+    def readBytes(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    def publish(bdir: Path, parity: Array[Byte],
+        index: Seq[(String, Long, String)]): Unit = {
+      val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(tmp)
+      val out = fs.create(new Path(tmp, "xor.bin"), true)
+      try out.write(parity) finally out.close()
+      val idx = fs.create(new Path(tmp, "index.tsv"), true)
+      try idx.write(index.sortBy(_._1).map { case (n, len, m) => s"$n\t$len\t$m" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally idx.close()
+      fs.delete(parityDir(bdir), true)
+      if (!fs.rename(tmp, parityDir(bdir)))
+        throw new java.io.IOException(s"parity publish failed under $bdir")
+    }
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
+      val bdir = bst.getPath
+      val present = fs.listStatus(bdir).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      if (present.nonEmpty) {
+        val idxPath = new Path(parityDir(bdir), "index.tsv")
+        val indexed: Seq[(String, Long, String)] =
+          if (!fs.exists(idxPath)) Seq.empty
+          else new String(readBytes(idxPath), "UTF-8").split("\n")
+            .filter(_.nonEmpty).map { l =>
+              val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
+            }.toSeq
+        val indexedNames = indexed.map(_._1).toSet
+        val fresh = present diff indexedNames
+        def xorOf(names: Seq[String]): (Array[Byte], Seq[(String, Long, String)]) = {
+          val df = spark.read.format("binaryFile")
+            .load(names.map(n => new Path(bdir, n).toString): _*)
+            .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+            .as[(String, Array[Byte])]
+          val idx = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
+            .collect().toSeq
+          (df.map(_._2).reduce(ChunkStore.xorPad _), idx)
+        }
+        if (indexed.nonEmpty && indexedNames.subsetOf(present)) {
+          if (fresh.nonEmpty) { // pure append: fold only the new files
+            val (freshXor, freshIdx) = xorOf(fresh.toSeq.sorted)
+            publish(bdir, ChunkStore.xorPad(readBytes(new Path(parityDir(bdir), "xor.bin")),
+              freshXor), indexed ++ freshIdx)
+            incr += 1
+          } // fully covered already: nothing to do
+        } else { // uncovered, or indexed files vanished: full rebuild
+          val (parity, idx) = xorOf(present.toSeq.sorted)
+          publish(bdir, parity, idx)
+          rebuilt += 1
+        }
+      }
+    }
+    (incr, rebuilt)
+  }
+
   /** Parity COVERAGE audit — which buckets [[repairFromParity]] could
     * actually serve right now, metadata-only (no blob bytes read):
     * per bucket, `covered` (sidecar present, index == current file

@@ -731,6 +731,48 @@ class ChunkStoreSpec extends SparkSpec {
       .forall(_.getAs[String]("status") == "covered"))
   }
 
+  test("updateParity folds appended files incrementally — sidecar byte-equal to a full rebuild, repair intact") {
+    val base = Files.createTempDirectory("graft_chunk_parity_upd").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store.buildParity()
+    store.backup(payloadRows(true, true, true), "id", "payload", 2L)
+    val (incr, rebuilt0) = store.updateParity()
+    assert(incr > 0, "appended buckets must take the incremental path")
+    assert(rebuilt0 == 0, "no indexed file vanished — nothing may rebuild")
+    assert(store.verifyParity().collect()
+      .forall(_.getAs[String]("status") == "covered"))
+    // the incrementally-maintained sidecars equal a from-scratch build
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecars(): Map[String, (Seq[Byte], String)] =
+      bucketDataFiles(base).keys.map { b =>
+        def bytes(f: String) = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(s"$base/chunks/$b/_parity/$f"))
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        }
+        b -> (bytes("xor.bin").toSeq, new String(bytes("index.tsv"), "UTF-8"))
+      }.toMap
+    val incremental = sidecars()
+    store.buildParity()
+    assert(sidecars() == incremental,
+      "incremental maintenance must produce the full rebuild's sidecar")
+    // and a post-update single loss still repairs byte-identically
+    val victim = bucketDataFiles(base).values.flatten.head
+    fs.delete(victim, false)
+    val (repaired, unrepairable) = store.repairFromParity()
+    assert(repaired.nonEmpty && unrepairable.isEmpty)
+    assert(canon(store.restore(2L)) == canon(payloadRows(true, true, true)))
+    assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
+    // a swapped/missing indexed file forces that bucket down the rebuild path
+    val victim2 = bucketDataFiles(base).values.flatten.head
+    fs.delete(victim2, false)
+    val (i2, r2) = store.updateParity()
+    assert(r2 >= 1, s"vanished indexed file must trigger a rebuild, got ($i2, $r2)")
+    assert(store.verifyParity().collect()
+      .forall(_.getAs[String]("status") == "covered"))
+  }
+
   test("parity fails closed: two losses in a bucket, an unindexed loss, and a torn sidecar all refuse") {
     val base = Files.createTempDirectory("graft_chunk_parity2").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)
