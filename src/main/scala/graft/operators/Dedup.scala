@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.functions.Fx._
 import graft.sources.Tables
@@ -839,6 +839,27 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    "pipe_dedup_sample" -> { (s, d) =>
+      // Dedup-aware sampling — the order a real corpus release runs:
+      // canonical selection FIRST (one survivor per near-dup cluster,
+      // from the shared overlap-stats pass), THEN the deterministic
+      // portable-md5 sample (~60%) over survivors only — so a
+      // duplicated document can never buy itself extra sampling mass,
+      // and the sample stays append-stable and engine-reproducible.
+      // Reported as the per-lang release profile.
+      val docs = Tables.documents(s, d)
+      val kept = keepBestPerCluster(docs,
+        jaccardFromStats(pairOverlapStatsShared(docs, d, 3), 1, 2))
+        .filter(col("keep"))
+      val sampled = kept.filter(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(LongType) < 39322)
+      docs.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
     "dedup_editdist" -> { (s, d) =>
       // Typo-level near-dups among distinct part names: vocabulary-
       // bounded pair space + length blocking (see editDistancePairs).
@@ -886,6 +907,40 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** Shared oracle prefix for the canonical-selection family: shingle
+    * universe → df-capped candidate pairs → recursive closure →
+    * per-doc component (the dedup_canonical chain, verbatim). */
+  private val canonicalOracleCte =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, s FROM toks,
+      |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END)) AS u(s)),
+      |sh AS (
+      |  SELECT doc_id, s FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |    JOIN sizes sa ON sa.doc_id = doc_a
+      |    JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+      |comp AS (SELECT n AS doc_id, MIN(m) AS comp FROM reach GROUP BY n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the planted-recall gates' one-row shape is fully DuckDB-
@@ -975,41 +1030,26 @@ object Dedup {
         |GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "dedup_canonical" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s FROM toks,
-        |    UNNEST(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |      ELSE [] END)) AS u(s)),
-        |sh AS (
-        |  SELECT doc_id, s FROM sh0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |    JOIN sizes sa ON sa.doc_id = doc_a
-        |    JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE n_inter * 2 >= (sa.n_sh + sb.n_sh - n_inter) * 1),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
-        |comp AS (SELECT n AS doc_id, MIN(m) AS comp FROM reach GROUP BY n)
+      s"""$canonicalOracleCte
         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp,
         |  LENGTH(d.text) AS quality,
         |  (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, d.doc_id)
         |     ORDER BY LENGTH(d.text) DESC, d.doc_id) = 1) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "pipe_dedup_sample" ->
+      s"""$canonicalOracleCte,
+        |keepers AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, d.doc_id)
+        |      ORDER BY LENGTH(d.text) DESC, d.doc_id) AS rn
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM keepers
+        |WHERE rn = 1
+        |  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 39322
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (

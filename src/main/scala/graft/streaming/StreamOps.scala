@@ -612,7 +612,8 @@ object StreamOps {
       checkpointDir: String, idCol: String = "id", payloadCol: String = "payload",
       changeTypeCol: String = "change_type",
       seqCol: Option[String] = None,
-      autoCompactMaxFiles: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      autoCompactMaxFiles: Option[Int] = None,
+      autoParity: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     versionChainStream(changes, checkpointDir, () =>
       store.versions().lastOption.getOrElse(throw new IllegalStateException(
         "chunkBackupStream needs a base version (ChunkStore.backup) in the store"))
@@ -632,6 +633,13 @@ object StreamOps {
       // threshold gate makes the steady-state cost one directory
       // listing per batch.
       autoCompactMaxFiles.foreach(n => store.maybeCompactChunkBuckets(n): Unit)
+      // keep parity CURRENT with the stream that staled it: per batch,
+      // updateParity folds exactly the batch's appended blob files
+      // (O(|new files|) — the incremental XOR path); after a compaction
+      // swap the affected buckets rebuild via its fallback. Ordering
+      // matters: after compaction, so a swap never immediately stales
+      // the sidecar this same batch just wrote.
+      if (autoParity) store.updateParity(): Unit
     }
 
   /** Lake-wide CONSISTENT encrypted backup — [[chunkBackupStream]]

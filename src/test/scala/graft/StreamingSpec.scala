@@ -868,6 +868,57 @@ class StreamingSpec extends SparkSpec {
     assert(canon(store.restore(3L))(1L) == pay("EDITED " + body(1)).toSeq)
   }
 
+  test("chunkBackupStream autoParity keeps sidecars current; mid-stream loss repairs with no replica") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.ChunkStore
+
+    val master = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    val base = Files.createTempDirectory("graft_chunk_parity_stream").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    def pay(s: String) = s.getBytes("UTF-8")
+    def body(seed: Int) = (0 until 40).map(i => s"blk-$seed-$i").mkString(" ")
+    store.backup(Seq((1L, pay(body(1))), (2L, pay(body(2))))
+      .toDF("id", "payload"), "id", "payload", 1L)
+    store.buildParity()
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val query = StreamOps.chunkBackupStream(
+      input.toDS().toDF("id", "payload", "change_type"),
+      store, Files.createTempDirectory("graft_chunk_parity_ckpt").toString,
+      autoParity = true)
+    try {
+      input.addData((3L, pay(body(3)), "insert"))
+      query.processAllAvailable()
+      input.addData((1L, pay("EDITED " + body(1)), "update"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // the stream that appended blob files also kept parity current
+    assert(store.verifyParity().collect()
+      .forall(_.getAs[String]("status") == "covered"))
+    // lose one file — incl. possibly one the STREAM just appended —
+    // and repair from parity alone
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/chunks"))
+      .filter(_.isDirectory).flatMap(b => fs.listStatus(b.getPath))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .maxBy(_.getModificationTime).getPath // newest = stream-appended
+    fs.delete(victim, false)
+    val (repaired, unrepairable) = store.repairFromParity()
+    assert(repaired.nonEmpty && unrepairable.isEmpty)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(canon(store.restore(3L)) == Map(
+      1L -> pay("EDITED " + body(1)).toSeq,
+      2L -> pay(body(2)).toSeq,
+      3L -> pay(body(3)).toSeq))
+    assert(store.scrub()
+      .filter(org.apache.spark.sql.functions.col("status") =!= "ok").count() == 0)
+  }
+
   test("lakeLinkedMergeStream: atomic groups over shared-pool tables; empty slices advance by pure reference") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
