@@ -827,6 +827,37 @@ object Events {
         .orderBy("event_type", "lag")
     },
 
+    "ev_anomaly_seasonal" -> { (s, d) =>
+      // Same-WEEKDAY trailing-baseline anomaly days — ev_anomaly
+      // conditioned on day-of-week, so a weekly-cyclic series doesn't
+      // false-alarm every Monday against a mostly-weekend baseline
+      // (and a quiet Sunday isn't masked by weekday volume): the
+      // window partitions by (type, dow) and the trailing 4 SAME-dow
+      // days form the baseline (a month of seasonal memory — sized to
+      // the testdata's ~30-day span; at production spans widen the
+      // frame) with the same flag rule. Identical exact-math discipline to
+      // ev_anomaly: decimal S/SS, division-free cross-multiplied
+      // (x−μ)² > (2.5σ)² comparison in double on identical inputs.
+      val win = Window.partitionBy("event_type", "dow").orderBy("day")
+        .rowsBetween(-4, -1)
+      dailyFilled(Tables.events(s, d))
+        .withColumn("dow", weekday(col("day")).cast(LongType))
+        .withColumn("s", sum(col("sv")).over(win))
+        .withColumn("ss", sum(col("sv") * col("sv")).over(win))
+        .withColumn("m", count(lit(1)).over(win))
+        .withColumn("xd", col("sv").cast(DoubleType))
+        .withColumn("lhs",
+          (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType))
+            * (col("m").cast(DoubleType) * col("xd") - col("s").cast(DoubleType)))
+        .withColumn("rhs",
+          lit(6.25) * (col("m").cast(DoubleType) * col("ss").cast(DoubleType)
+            - col("s").cast(DoubleType) * col("s").cast(DoubleType)))
+        .filter(col("m") >= 3 && col("lhs") > col("rhs"))
+        .select(col("event_type"), col("day"),
+          round(col("xd"), 4).as("sum_value"), col("m").as("n_baseline"))
+        .orderBy("event_type", "day")
+    },
+
     "ev_heatmap" -> { (s, d) =>
       // Day-of-week × hour-of-day activity heat map per event type —
       // the load-profile view behind batch-window placement and
@@ -1310,6 +1341,25 @@ object Events {
         |           * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS acf
         |FROM st ORDER BY event_type, lag""".stripMargin,
+
+    "ev_anomaly_seasonal" ->
+      (oracleFilledCte +
+        """,
+        |w AS (
+        |  SELECT event_type, day, sv,
+        |    SUM(sv) OVER win AS s, SUM(sv * sv) OVER win AS ss,
+        |    COUNT(*) OVER win AS m
+        |  FROM (SELECT event_type, day, sv,
+        |          isodow(CAST(day AS TIMESTAMP)) - 1 AS dow FROM filled)
+        |  WINDOW win AS (PARTITION BY event_type, dow ORDER BY day
+        |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, ROUND(CAST(sv AS DOUBLE), 4) AS sum_value, m AS n_baseline
+        |FROM w
+        |WHERE m >= 3
+        |  AND (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
+        |    * (m * CAST(sv AS DOUBLE) - CAST(s AS DOUBLE))
+        |    > 6.25 * (m * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |ORDER BY event_type, day""".stripMargin),
 
     "ev_heatmap" ->
       """WITH c AS (

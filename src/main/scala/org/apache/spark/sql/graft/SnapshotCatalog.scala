@@ -43,7 +43,7 @@ import graft.operators.SnapshotStore
   * tmp+rename publish is the atomicity story — a catalog write path
   * would bypass it.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -139,10 +139,60 @@ class SnapshotCatalog extends TableCatalog {
       (namespace.toSeq).mkString(s"$root/", "/", ""))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) throw new NoSuchNamespaceException(namespace)
-    fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-      .map(Identifier.of(namespace, _))
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      .filter(isStoreDir) // a namespace dir is not a table
+      .map(p => Identifier.of(namespace, p.getName))
   }
+
+  // ---- SupportsNamespaces: a namespace is a directory level of the
+  // lake root that is not itself a store (no version layout inside) —
+  // SHOW NAMESPACES / USE work; mutation is read-only like tables.
+
+  private def isStoreDir(p: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_manifests")) ||
+      fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("v="))
+  }
+
+  private def dirOf(namespace: Array[String]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      (namespace.toSeq).foldLeft(root)((a, n) => s"$a/$n"))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val base = dirOf(namespace)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      .filterNot(isStoreDir)
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) true
+    else {
+      val p = dirOf(namespace)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory && !isStoreDir(p)
+    }
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Map.of(SupportsNamespaces.PROP_LOCATION, dirOf(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly("createNamespace")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly("alterNamespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("dropNamespace")
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -84,6 +84,24 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(planned.contains("files"), planned)
   }
 
+  test("namespaces: a directory level groups stores; namespaced tables time-travel") {
+    root: Unit
+    val ns = new SnapshotStore(spark, s"$root/teamA/nested_snap", "k")
+    ns.write(Seq((7L, "n1")).toDF("k", "v"), 1L, commitTs = Some(1000L))
+    ns.write(Seq((7L, "n2")).toDF("k", "v"), 2L, commitTs = Some(2000L))
+    val spaces = spark.sql("SHOW NAMESPACES IN snapcat").collect()
+      .map(_.getString(0))
+    assert(spaces.contains("teamA"), spaces.mkString(","))
+    assert(!spaces.contains("orders_snap"),
+      "a store directory must not be mistaken for a namespace")
+    assert(rows("SELECT k, v FROM snapcat.teamA.nested_snap VERSION AS OF 1") ==
+      Set((7L, "n1")))
+    assert(rows("SELECT k, v FROM snapcat.teamA.nested_snap") == Set((7L, "n2")))
+    val inNs = spark.sql("SHOW TABLES IN snapcat.teamA").collect()
+      .map(_.getString(1))
+    assert(inNs.contains("nested_snap"))
+  }
+
   test("a read-only catalog refuses DDL writes; listTables sees the store") {
     root: Unit
     val ids = spark.sql("SHOW TABLES IN snapcat").collect().map(_.getString(1))
