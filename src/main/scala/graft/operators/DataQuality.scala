@@ -359,6 +359,41 @@ object DataQuality {
     * All inputs to the double math are exact integers, so the stat
     * hashes identically cross-engine (divisions happen once per cell
     * at the output boundary). */
+  /** Exact pairwise Pearson correlation matrix over numeric columns —
+    * the multicollinearity / redundant-feature audit run before any
+    * column ships into a training set. ONE aggregation pass collects
+    * ALL sufficient statistics (per-column sum + sum-of-squares, per-
+    * pair cross-product) as exact decimals — DECIMAL(18,4) inputs keep
+    * every product inside DECIMAL(38) exactly, so the scan count is 1
+    * regardless of how many pairs (built-in corr() would rescan per
+    * pair AND accumulate order-dependently); the one-row stats frame
+    * is checkpointed and the |pairs| output rows are metadata-sized
+    * selects over it. The closed form runs in double on identical
+    * integer-exact inputs with a zero-variance NULL guard. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val dec = DecimalType(18, 4)
+    val pairCols = cols.combinations(2).toSeq
+    val aggs = cols.flatMap(c => Seq(
+        sum(col(c).cast(dec)).as(s"s_$c"),
+        sum(col(c).cast(dec) * col(c).cast(dec)).as(s"ss_$c"))) ++
+      pairCols.map { case Seq(a, b) =>
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"p_${a}_$b")
+      } :+ count(lit(1)).as("n")
+    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def dd(c: String) = col(c).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    val rows = pairCols.map { case Seq(a, b) =>
+      val den = (nd * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
+        (nd * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b"))
+      g.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(den <= 0, lit(null).cast(DoubleType))
+          .otherwise(round((nd * dd(s"p_${a}_$b") - dd(s"s_$a") * dd(s"s_$b"))
+            / sqrt(den), 6)).as("corr"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   def chiSquare(df: DataFrame, catA: String, catB: String): DataFrame = {
     val cells = df.groupBy(col(catA).as("a"), col(catB).as("b"))
       .agg(count(lit(1)).as("o"))
@@ -543,6 +578,14 @@ object DataQuality {
         "event_type", "dow")
         .withColumnRenamed("a", "event_type").withColumnRenamed("b", "dow")
         .orderBy("event_type", "dow")
+    },
+
+    "dq_corr_matrix" -> { (s, d) =>
+      // Multicollinearity audit over lineitem's numeric measures —
+      // one scan, all six pairs, exact sufficient statistics.
+      corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
     },
 
     "dq_cramers_v" -> { (s, d) =>
@@ -751,6 +794,42 @@ object DataQuality {
         |    AS n_robust_outliers
         |FROM dev JOIN mad USING (l_returnflag)
         |GROUP BY 1, m, mad ORDER BY 1""".stripMargin,
+
+    "dq_corr_matrix" ->
+      """WITH st AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4))) AS s_q,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS ss_q,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS s_e,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS ss_e,
+        |    SUM(CAST(l_discount AS DECIMAL(19,4))) AS s_d,
+        |    SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS ss_d,
+        |    SUM(CAST(l_tax AS DECIMAL(19,4))) AS s_t,
+        |    SUM(CAST(l_tax AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS ss_t,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_qe,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p_qd,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS p_qt,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p_ed,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS p_et,
+        |    SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4))) AS p_dt
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, p_qe AS p,
+        |    s_q AS sa, ss_q AS ssa, s_e AS sb, ss_e AS ssb FROM st
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n, p_qd, s_q, ss_q, s_d, ss_d FROM st
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n, p_qt, s_q, ss_q, s_t, ss_t FROM st
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, p_ed, s_e, ss_e, s_d, ss_d FROM st
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, p_et, s_e, ss_e, s_t, ss_t FROM st
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n, p_dt, s_d, ss_d, s_t, ss_t FROM st)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN (n * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          * (n * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0
+        |    THEN NULL
+        |    ELSE ROUND((n * CAST(p AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / SQRT((n * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |           * (n * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
 
     "dq_cramers_v" ->
       """WITH cells AS (

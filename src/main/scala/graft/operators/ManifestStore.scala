@@ -227,6 +227,52 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  /** Z-ordered publish into the pool — [[SnapshotStore.writeZOrdered]]
+    * on the linked layout: files cluster on the Morton interleave of
+    * `zCols`, and because per-file min/max stats for every z column
+    * land in the MANIFEST (the store must be constructed with them in
+    * `statsCols`, or they be the key), multi-dimension pruning costs a
+    * manifest filter — no separate zone-map sidecar to maintain, and
+    * later merges carry the clustered files' stats by reference. */
+  def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
+      zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
+    require(!versions().contains(version), s"version $version already exists")
+    val missing = zCols.filterNot(c => c == keyCol || statsCols.contains(c))
+    require(missing.isEmpty,
+      s"z-order columns need manifest stats — construct the store with statsCols containing $missing")
+    val names = landInPool(df.withColumn("__z", ZOrder.zColumn(df, zCols))
+      .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
+      .drop("__z"))
+    require(names.nonEmpty, "writeZOrdered: empty input frame")
+    publish(version, statsFor(names), commitTs)
+  }
+
+  /** Read under a CONJUNCTION of range predicates with manifest-level
+    * file pruning: a file survives only if its envelope overlaps EVERY
+    * range — on a z-ordered layout each dimension independently
+    * eliminates files, so the conjunction reads the small corner the
+    * predicates carve out. Result always equals the full-scan filter.
+    */
+  def readWhereAll(version: Long, preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    preds.foreach { case (c, _, _) =>
+      require(c == keyCol || statsCols.contains(c),
+        s"readWhereAll needs manifest stats for '$c' (have key + $statsCols)") }
+    val survivors = preds.foldLeft(manifest(version)) { case (m, (c, lo, hi)) =>
+      val (loC, hiC) =
+        if (c == keyCol) (col("min_key"), col("max_key"))
+        else (col(s"min_$c"), col(s"max_$c"))
+      m.filter(hiC >= lit(lo) && loC <= lit(hi))
+    }
+    val hit = survivors.select("file").collect()
+      .map(r => new Path(poolDir, r.getString(0)).toString)
+    val base =
+      if (hit.isEmpty) read(version).limit(0)
+      else readFiles(version, hit.toIndexedSeq)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
+  }
+
   /** Point-read for a key set: manifest key envelopes prune the file
     * list (one broadcast range probe over |manifest| rows — the same
     * device mergeDelta's touched-file scan uses), then one semi-join

@@ -424,6 +424,26 @@ object Snapshot {
       store.diff(2L, 3L).orderBy("o_orderkey")
     },
 
+    "snap_linked_zorder" -> { (s, d) =>
+      // The linked store's Z-ordered corner read: same 2-D clustering
+      // as snap_restore_zorder, but stats live in the MANIFEST (no
+      // zone-map sidecar) and the pruned file list resolves with one
+      // manifest filter — shared-pool merges later carry clustered
+      // files' stats by reference. Oracle proves the corner read
+      // loses nothing vs the plain filtered scan.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_z_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey",
+        statsCols = Seq("o_custkey", "o_orderdate"))
+      if (!store.versions().contains(1L))
+        store.writeZOrdered(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+          1L, 16, Seq("o_custkey", "o_orderdate"))
+      store.readWhereAll(1L, Seq(
+        ("o_custkey", 100L, 400L),
+        ("o_orderdate", "1997-01-01", "1998-01-01")))
+        .orderBy("o_orderkey")
+    },
+
     "snap_sql_timetravel" -> { (s, d) =>
       // The DSv2 SQL time-travel surface driver-checked end-to-end: a
       // two-version lineage (v1 = orders, v2 = a deterministic
@@ -732,6 +752,12 @@ object Snapshot {
     "snap_restore_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 600 AND 1100 ORDER BY o_orderkey""".stripMargin,
+
+    "snap_linked_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_orderdate BETWEEN '1997-01-01' AND '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "snap_sql_timetravel" ->
       """WITH v2 AS (

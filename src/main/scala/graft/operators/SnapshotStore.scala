@@ -26,6 +26,46 @@ object SnapshotStore {
       fromType: Option[String], toType: Option[String])
 }
 
+/** Shared Morton-interleave column builder — the multi-column
+  * clustering key behind [[SnapshotStore.writeZOrdered]] and
+  * [[ManifestStore.writeZOrdered]]. */
+private[operators] object ZOrder {
+  import org.apache.spark.sql.Column
+
+  /** Order-preserving 16-bit-per-dimension Z (Morton) interleave over
+    * 1..4 columns: one tiny bounds aggregate, then 16·k OR'd shift
+    * terms — all inside whole-stage codegen. Temporal types route
+    * through a timestamp cast (date/ntz have no direct double cast).
+    */
+  def zColumn(df: DataFrame, zCols: Seq[String]): Column = {
+    require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns (16 bits each)")
+    val asD = zCols.map { c =>
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      df.schema(c).dataType match {
+        case DateType | TimestampType | TimestampNTZType =>
+          col(c).cast("timestamp").cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
+    val bounds = df.agg(
+      struct(asD.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).as(s"lo$i"), max(c).as(s"hi$i")) }: _*).as("b")).head().getStruct(0)
+    val buckets = asD.zipWithIndex.map { case (c, i) =>
+      if (bounds.isNullAt(i * 2) || bounds.isNullAt(i * 2 + 1)) lit(0L)
+      else {
+        val (lo, hi) = (bounds.getDouble(i * 2), bounds.getDouble(i * 2 + 1))
+        if (hi <= lo) lit(0L)
+        else least(greatest(
+          floor((c - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"), lit(0L)), lit(65535L))
+      }
+    }
+    val k = buckets.size
+    (for (i <- 0 until k; j <- 0 until 16) yield
+      shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+}
+
 class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
 
   private def dir(version: Long): String = s"$basePath/v=$version"
@@ -139,36 +179,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * wrongly (zone-map rule: null bounds keep the file). */
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
-    require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns (16 bits each)")
-    // order-preserving numeric view: temporal types route through a
-    // timestamp cast (date/ntz have no direct double cast)
-    val asD = zCols.map { c =>
-      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-      df.schema(c).dataType match {
-        case DateType | TimestampType | TimestampNTZType =>
-          col(c).cast("timestamp").cast("double")
-        case _ => col(c).cast("double")
-      }
-    }
-    val bounds = df.agg(
-      struct(asD.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(c).as(s"lo$i"), max(c).as(s"hi$i")) }: _*).as("b")).head().getStruct(0)
-    val buckets = asD.zipWithIndex.map { case (c, i) =>
-      if (bounds.isNullAt(i * 2) || bounds.isNullAt(i * 2 + 1)) lit(0L)
-      else {
-        val (lo, hi) = (bounds.getDouble(i * 2), bounds.getDouble(i * 2 + 1))
-        if (hi <= lo) lit(0L)
-        else least(greatest(
-          floor((c - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"), lit(0L)), lit(65535L))
-      }
-    }
-    // Morton interleave: bit j of bucket i lands at position j*k + i —
-    // 16·k OR'd shift terms, all inside whole-stage codegen
-    val k = buckets.size
-    val z = (for (i <- 0 until k; j <- 0 until 16) yield
-      shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i))
-      .reduce((a, b) => a.bitwiseOR(b))
-    write(df.withColumn("__z", z)
+    write(df.withColumn("__z", ZOrder.zColumn(df, zCols))
       .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
       .drop("__z"), version, commitTs)
     buildZoneMap(version, zCols.filterNot(_ == keyCol))

@@ -282,6 +282,41 @@ class ManifestStoreSpec extends SparkSpec {
     assert(v4(3L).contains(99L) && v4(7L).contains(77L) && v4(5L).isEmpty)
   }
 
+  test("writeZOrdered + readWhereAll: both dimensions prune at the manifest; corner read is exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manstore-z").toString
+    val store = new ManifestStore(spark, base, "k", statsCols = Seq("x"))
+    // a 40×40 grid: the key walks one axis, x the other — z-ordering
+    // makes files cover square-ish tiles, so BOTH range predicates
+    // prune at the manifest
+    val rows40 = (for (kk <- 1 to 40; xx <- 1 to 40)
+      yield ((kk * 41L + xx), kk.toLong, xx.toLong)).toDF("k", "a", "x")
+    val df = rows40.select(col("k"), col("x"), (col("a") * 10).as("v"))
+    store.writeZOrdered(df, 1L, numFiles = 16, zCols = Seq("k", "x"))
+    val man = store.manifest(1L)
+    assert(man.count() == 16)
+    // corner predicate: low quarter of each dimension
+    val kPred = ("k", 1L * 41 + 1, 10L * 41 + 40) // keys of a in 1..10
+    val xPred = ("x", 1L, 10L)
+    def survivors(preds: Seq[(String, Any, Any)]): Long =
+      preds.foldLeft(man) { case (m, (c, lo, hi)) =>
+        val (loC, hiC) = if (c == "k") (col("min_key"), col("max_key"))
+          else (col(s"min_$c"), col(s"max_$c"))
+        m.filter(hiC >= lit(lo) && loC <= lit(hi))
+      }.count()
+    val both = survivors(Seq(kPred, xPred))
+    assert(both < survivors(Seq(kPred)) || both < survivors(Seq(xPred)),
+      "the second dimension must prune beyond the first")
+    assert(both < 16, "the corner must not read every file")
+    val got = store.readWhereAll(1L, Seq(kPred, xPred))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("x"))).toSet
+    val want = df.filter(col("k") >= kPred._2 && col("k") <= kPred._3
+      && col("x") >= 1L && col("x") <= 10L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("x"))).toSet
+    assert(got == want)
+    // stats missing for a predicate column fails loud, not wrong
+    intercept[IllegalArgumentException](store.readWhereAll(1L, Seq(("v", 1L, 2L))))
+  }
+
   test("readWhere prunes by secondary-column manifest stats") {
     val base = java.nio.file.Files.createTempDirectory("graft-manstore").toString
     val store = new ManifestStore(spark, base, "k", statsCols = Seq("ts"))
