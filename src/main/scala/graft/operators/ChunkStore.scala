@@ -277,6 +277,24 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     missing.fold(scanned)(scanned.unionByName(_))
   }
 
+  /** Orphan-chunk audit — [[pruneChunks]]' report-only preview and
+    * [[ManifestStore.orphans]]' repository twin: refs present in the
+    * chunk buckets but referenced by NO committed manifest (a crashed
+    * backup's landed-but-never-committed chunks, or refs stranded by
+    * an out-of-band manifest removal), as (ref_hex, bucket, bytes)
+    * rows. One anti-join of the refs frame against the union of
+    * manifests — same cost shape as the sweep's mark phase, zero
+    * mutation. */
+  def orphanRefs(): DataFrame = {
+    val live = versions() match {
+      case Seq() => None
+      case vs => Some(vs.map(v => manifest(v).select("ref_hex"))
+        .reduce(_.unionByName(_)).distinct())
+    }
+    val all = refs().select("ref_hex", "bucket", "bytes")
+    live.fold(all)(l => all.join(l, Seq("ref_hex"), "left_anti"))
+  }
+
   /** Crash-leftover GC, [[SnapshotStore.vacuum]]'s repository twin:
     * TTL'd removal of `.tmp-` manifest dirs (unpublished backups) and
     * `.tmp-sweep-` dirs (interrupted [[pruneChunks]]); committed
@@ -1023,14 +1041,14 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
 object ChunkStore {
   /** Byte-wise XOR, shorter operand zero-padded — associative and
     * commutative, so a distributed reduce combines map-side. */
-  private[operators] def xorPad(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  private[graft] def xorPad(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val r = java.util.Arrays.copyOf(a, math.max(a.length, b.length))
     var i = 0
     while (i < b.length) { r(i) = (r(i) ^ b(i)).toByte; i += 1 }
     r
   }
 
-  private[operators] def md5hex(b: Array[Byte]): String =
+  private[graft] def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 }

@@ -708,6 +708,32 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("orphanRefs previews exactly what the sweep would reclaim, without mutating") {
+    val base = Files.createTempDirectory("graft_chunk_orphan").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val (v1, v2) = (payloadRows(false, false, false), payloadRows(true, true, true))
+    store.backup(v1, "id", "payload", 1L)
+    store.backup(v2, "id", "payload", 2L)
+    assert(store.orphanRefs().isEmpty, "healthy repository must audit clean")
+    // strand v2's exclusive refs: remove its manifest out-of-band (the
+    // crashed-backup shape — chunks landed, no committed reference)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/manifests/v=2"), true)
+    val audit = store.orphanRefs().collect()
+    assert(audit.nonEmpty)
+    val auditBytes = audit.map(_.getAs[Long]("bytes")).sum
+    // report-only: both survivors still restore, refs still present
+    assert(canon(store.restore(1L)) == canon(v1))
+    assert(store.refs().count() > store.manifest(1L).select("ref_hex").distinct().count())
+    // the sweep reclaims exactly the audited bytes
+    val (_, nDead, reclaimed) = store.pruneChunks(keep = Seq(1L))
+    assert(nDead == audit.length.toLong && reclaimed == auditBytes,
+      s"sweep ($nDead, $reclaimed) vs audit (${audit.length}, $auditBytes)")
+    assert(store.orphanRefs().isEmpty)
+    assert(canon(store.restore(1L)) == canon(v1))
+  }
+
   test("verifyParity classifies covered, stale, and uncovered buckets metadata-only") {
     val base = Files.createTempDirectory("graft_chunk_parity_cov").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)

@@ -28,6 +28,23 @@ class PropertySpec extends AnyFunSuite {
     Gen.choose(0, 2048).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
 
+  test("xorPad: commutative, associative, self-inverse — the algebra parity repair rests on") {
+    import graft.operators.ChunkStore.{md5hex, xorPad}
+    check(Prop.forAll(bytes, bytes) { (a, b) =>
+      md5hex(xorPad(a, b)) == md5hex(xorPad(b, a))
+    })
+    check(Prop.forAll(bytes, bytes, bytes) { (a, b, c) =>
+      md5hex(xorPad(xorPad(a, b), c)) == md5hex(xorPad(a, xorPad(b, c)))
+    })
+    // parity ⊕ (all files but one) recovers the one — on arbitrary
+    // unequal-length triples (padding must not corrupt recovery)
+    check(Prop.forAll(bytes, bytes, bytes) { (a, b, c) =>
+      val parity = xorPad(xorPad(a, b), c)
+      val rebuilt = java.util.Arrays.copyOf(xorPad(parity, xorPad(b, c)), a.length)
+      java.util.Arrays.equals(rebuilt, a)
+    })
+  }
+
   test("shingleSeq: distinct k-grams of exactly k tokens, whitespace/case invariant") {
     check(Prop.forAll(text, Gen.choose(1, 4)) { (t, k) =>
       val sh = Dedup.shingleSeq(t, k)
