@@ -219,6 +219,85 @@ object StreamOps {
       }
   }
 
+  case class AsofFwdBuf(rights: List[AsofEv], lefts: List[AsofEv])
+
+  /** FORWARD streaming as-of join — [[asofStream]]'s mirror
+    * ([[graft.operators.AsofJoin.asofJoin]] with `forward = true`):
+    * each left event attaches the EARLIEST same-key right at-or-after
+    * its timestamp, within `toleranceMs`. Tolerance is MANDATORY here
+    * and that is semantics, not API convenience: an unmatched forward
+    * probe is only provably final once the watermark passes
+    * `lts + tol` (any admissible right would land beyond tolerance) —
+    * without a bound it could wait forever and its state never drain.
+    * A MATCHED probe finalizes earlier, at wm ≥ candidate rts: a
+    * still-admissible right has rts > wm and cannot undercut the
+    * current earliest. Ties on right ts break by event_id (pinned,
+    * where the batch window leaves equal-key order engine-chosen).
+    *
+    * Bounded state per key: rights retained only while they could
+    * still serve someone — rts > wm (future lefts) or rts ≥ the
+    * earliest pending left (pending probes); everything older serves
+    * nobody (a future left has lts > wm ≥ rts, a pending one has
+    * lts > rts) and drops. No settled-right carry — forward never
+    * looks back. */
+  def asofStreamForward(leftEvents: Dataset[Event], rightEvents: Dataset[Event],
+      toleranceMs: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[AsofUpdate] = {
+    require(toleranceMs > 0, "forward as-of needs a positive tolerance (finality bound)")
+    val spark = leftEvents.sparkSession
+    import spark.implicits._
+    def prep(ds: Dataset[Event], side: Int): Dataset[AsofIn] =
+      ds.withWatermark("ts", watermarkDelay)
+        .select(lit(side).as("side"), col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("value"))
+        .as[AsofIn]
+
+    def bestFor(l: AsofEv, rights: List[AsofEv]): Option[AsofEv] =
+      rights.filter(r => r.tsMs >= l.tsMs && r.tsMs <= l.tsMs + toleranceMs)
+        .sortBy(r => (r.tsMs, r.eventId)).headOption
+
+    def settle(userId: Long, buf: AsofFwdBuf,
+        state: GroupState[AsofFwdBuf]): Iterator[AsofUpdate] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, pend) = buf.lefts.partition { l =>
+        bestFor(l, buf.rights).exists(_.tsMs <= wm) || wm >= l.tsMs + toleranceMs
+      }
+      val out = done.sortBy(l => (l.tsMs, l.eventId)).map { l =>
+        val m = bestFor(l, buf.rights).filter(_.tsMs <= wm)
+        AsofUpdate(userId, l.eventId, new Timestamp(l.tsMs), l.value,
+          m.map(r => new Timestamp(r.tsMs)), m.map(_.value))
+      }
+      val minPend = pend.map(_.tsMs).minOption
+      val keepR = buf.rights.filter(r =>
+        r.tsMs > wm || minPend.exists(r.tsMs >= _))
+      if (pend.isEmpty && keepR.isEmpty) state.remove()
+      else {
+        state.update(AsofFwdBuf(keepR, pend))
+        if (pend.nonEmpty)
+          state.setTimeoutTimestamp(pend.map(l =>
+            bestFor(l, keepR).map(_.tsMs).getOrElse(l.tsMs + toleranceMs)).min)
+      }
+      out.iterator
+    }
+
+    prep(leftEvents, 1).union(prep(rightEvents, 0))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofFwdBuf, AsofUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[AsofFwdBuf]) =>
+          val buf = state.getOption.getOrElse(AsofFwdBuf(Nil, Nil))
+          val merged =
+            if (state.hasTimedOut) buf
+            else {
+              val (ls, rs) = rows.toList.partition(_.side == 1)
+              AsofFwdBuf(
+                buf.rights ++ rs.map(r => AsofEv(r.ts.getTime, r.eventId, r.value)),
+                buf.lefts ++ ls.map(l => AsofEv(l.ts.getTime, l.eventId, l.value)))
+            }
+          settle(userId, merged, state)
+      }
+  }
+
   case class PathEv(tsMs: Long, eventId: Long, eventType: String)
   case class PathState(done: Boolean, evs: List[PathEv])
   case class UserPath(user_id: Long, path: String, n_steps: Int)

@@ -1829,6 +1829,81 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("asofStreamForward matches batch forward asofJoin; unmatched probes finalize at lts+tol") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val tol = 20L * 60000L
+    val query = StreamOps.asofStreamForward(lefts.toDS(), rights.toDS(), tol)
+      .writeStream.format("memory").queryName("graft_asof_fwd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 10: left t=10 → earliest right at-or-after is t=15 (in
+      // tol); left t=40 → right t=70 exists but is beyond tol → null;
+      // user 20: no rights at all → null at finalization
+      rights.addData(Event(100L, ts(15), 10L, "quote", 115.0),
+        Event(101L, ts(70), 10L, "quote", 170.0))
+      lefts.addData(Event(1L, ts(10), 10L, "trade", 1.0),
+        Event(2L, ts(40), 10L, "trade", 2.0),
+        Event(3L, ts(35), 20L, "trade", 3.0))
+      query.processAllAvailable()
+      lefts.addData(Event(99L, ts(300), 77L, "trade", 0.0))
+      rights.addData(Event(901L, ts(300), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof_fwd").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[Timestamp]("asof_ts")),
+            Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      assert(got(1L) == (Some(ts(15)), Some(115.0)))
+      assert(got(2L) == (None, None), "beyond-tolerance right must not attach")
+      assert(got(3L) == (None, None))
+      // batch-operator parity on the same events
+      val leftDf = Seq((1L, ts(10), 10L), (2L, ts(40), 10L), (3L, ts(35), 20L))
+        .toDF("event_id", "ts", "user_id")
+      val rightDf = Seq((ts(15), 10L, 115.0), (ts(70), 10L, 170.0))
+        .toDF("ts", "user_id", "rv")
+      val expected = graft.operators.AsofJoin.asofJoin(
+        leftDf, rightDf, "user_id", "ts", "ts", Seq("rv"),
+        tolerance = Some(org.apache.spark.sql.functions.expr(
+          s"INTERVAL ${tol / 1000} SECONDS")), forward = true)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_rv")).map(_.toDouble)).toMap
+      expected.foreach { case (id, rv) =>
+        assert(got(id)._2 == rv, s"event $id: stream ${got(id)._2} vs batch $rv")
+      }
+    } finally query.stop()
+  }
+
+  test("asofStreamForward early-finalizes a matched probe once the watermark passes its candidate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    // huge tolerance: finality must come from the matched-candidate
+    // rule (wm ≥ rts), NOT from lts+tol
+    val query = StreamOps.asofStreamForward(lefts.toDS(), rights.toDS(),
+        toleranceMs = 10L * 3600000L)
+      .writeStream.format("memory").queryName("graft_asof_fwd2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rights.addData(Event(100L, ts(20), 30L, "quote", 120.0))
+      lefts.addData(Event(1L, ts(10), 30L, "trade", 1.0))
+      query.processAllAvailable()
+      // advance wm just past the candidate (wm = 60−30 = 30 ≥ 20):
+      // the match is final long before lts + tol
+      lefts.addData(Event(98L, ts(60), 77L, "trade", 0.0))
+      rights.addData(Event(901L, ts(60), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof_fwd2").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+      assert(got.get(1L).contains(Some(120.0)),
+        s"matched probe must finalize at wm ≥ candidate rts, got $got")
+    } finally query.stop()
+  }
+
   test("asofStream settled-right compaction keeps only the dominant right") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
