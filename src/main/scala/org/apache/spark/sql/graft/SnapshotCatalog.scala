@@ -42,6 +42,14 @@ import graft.operators.SnapshotStore
   * Read-only by design: writes go through the store API, whose
   * tmp+rename publish is the atomicity story — a catalog write path
   * would bypass it.
+  *
+  * One documented divergence: an EVOLVED SnapshotStore version whose
+  * `_schema.json` carries a non-null fill policy (`graft.fill`
+  * metadata) reads pre-evolution rows as NULL here, where
+  * `SnapshotStore.read` applies the fill — SQL sees the files'
+  * truth, the store API sees the policy view. Linked (ManifestStore)
+  * versions have no fill policy, so their SQL and API reads agree
+  * exactly.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
