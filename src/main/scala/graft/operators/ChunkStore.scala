@@ -296,10 +296,13 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   }
 
   /** Crash-leftover GC, [[SnapshotStore.vacuum]]'s repository twin:
-    * TTL'd removal of `.tmp-` manifest dirs (unpublished backups) and
-    * `.tmp-sweep-` dirs (interrupted [[pruneChunks]]); committed
-    * manifests and chunk buckets are never touched, in-flight writers
-    * are protected by the TTL. Returns the deleted paths. */
+    * TTL'd removal of `.tmp-` manifest dirs (unpublished backups),
+    * `.tmp-sweep-` dirs (interrupted [[pruneChunks]]), and aged
+    * `._parity.tmp-` dirs inside buckets (a crashed [[buildParity]] /
+    * [[updateParity]] publish — advisory state, safe to drop);
+    * committed manifests and chunk buckets are never touched,
+    * in-flight writers are protected by the TTL. Returns the deleted
+    * paths. */
   def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
     // redaction/replication tmp dirs are transactional state, not
     // garbage: land or discard them FIRST so the TTL pass below can
@@ -307,7 +310,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     recoverRedactions()
     recoverReplications()
     val now = System.currentTimeMillis()
-    Seq(new Path(basePath), new Path(s"$basePath/manifests"))
+    val rootSweeps = Seq(new Path(basePath), new Path(s"$basePath/manifests"))
       .filter(fs.exists)
       .flatMap(dir => fs.listStatus(dir).toSeq)
       .filter { st =>
@@ -323,6 +326,14 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
         else fs.delete(st.getPath, true): Unit
         st.getPath.toString
       }
+    val paritySweeps = dataBuckets()
+      .flatMap(bdir => fs.listStatus(bdir).toSeq)
+      .filter { st =>
+        st.getPath.getName.startsWith("._parity.tmp-") &&
+          now - st.getModificationTime > ttlMs
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+    rootSweeps ++ paritySweeps
   }
 
   /** Complete (or discard) an interrupted [[pruneChunks]] sweep dir.
@@ -561,35 +572,63 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * associative + commutative, so the reduce combines map-side);
     * buckets are independent — on a cluster they pipeline. Returns
     * the number of bucket sidecars (re)built. */
-  def buildParity(): Long = {
-    val root = new Path(chunksDir)
-    if (!fs.exists(root)) return 0L
+  /** One pass over the named files (or the whole bucket when `names`
+    * is None): (XOR of contents, index entries). The frame persists
+    * across the two actions so every blob byte is READ ONCE — index
+    * collect and XOR reduce would otherwise each rescan storage. */
+  private def parityXorOf(bdir: Path, names: Option[Seq[String]])
+      : (Array[Byte], Seq[(String, Long, String)]) = {
     val spark0 = spark
     import spark0.implicits._
+    val reader = spark.read.format("binaryFile")
+    val df = names.fold(reader.load(bdir.toString))(ns =>
+        reader.load(ns.map(n => new Path(bdir, n).toString): _*))
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
+        .collect().toSeq
+      (df.map(_._2).reduce(ChunkStore.xorPad _), index)
+    } finally df.unpersist(): Unit
+  }
+
+  /** The ONE sidecar publish (shared by build/update): tmp dir inside
+    * the bucket, xor.bin + index.tsv, delete-old + rename. Crash
+    * leaves the previous sidecar (or an aged `._parity.tmp-` that
+    * [[vacuum]] sweeps), never a half-written live one. */
+  private def publishParity(bdir: Path, parity: Array[Byte],
+      index: Seq[(String, Long, String)]): Unit = {
+    val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val out = fs.create(new Path(tmp, "xor.bin"), true)
+    try out.write(parity) finally out.close()
+    val idx = fs.create(new Path(tmp, "index.tsv"), true)
+    try idx.write(index.sortBy(_._1).map { case (n, len, m) => s"$n\t$len\t$m" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally idx.close()
+    fs.delete(parityDir(bdir), true)
+    if (!fs.rename(tmp, parityDir(bdir)))
+      throw new java.io.IOException(s"parity publish failed under $bdir")
+  }
+
+  private def dataBuckets(): Seq[Path] = {
+    val root = new Path(chunksDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("bucket=")).map(_.getPath)
+  }
+
+  private def dataFileNames(bdir: Path): Set[String] =
+    fs.listStatus(bdir).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+
+  def buildParity(): Long = {
     var built = 0L
-    fs.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
-      val bdir = bst.getPath
-      val hasData = fs.listStatus(bdir).exists(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      if (hasData) {
-        val df = spark.read.format("binaryFile").load(bdir.toString)
-          .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
-          .as[(String, Array[Byte])]
-        val index = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
-          .collect().sortBy(_._1)
-        val parity = df.map(_._2).reduce(ChunkStore.xorPad _)
-        val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
-        fs.mkdirs(tmp)
-        val out = fs.create(new Path(tmp, "xor.bin"), true)
-        try out.write(parity) finally out.close()
-        val idx = fs.create(new Path(tmp, "index.tsv"), true)
-        try idx.write(index.map { case (n, len, m) => s"$n\t$len\t$m" }
-          .mkString("\n").getBytes("UTF-8"))
-        finally idx.close()
-        fs.delete(parityDir(bdir), true)
-        if (!fs.rename(tmp, parityDir(bdir)))
-          throw new java.io.IOException(s"parity publish failed under $bdir")
+    dataBuckets().foreach { bdir =>
+      if (dataFileNames(bdir).nonEmpty) {
+        val (parity, index) = parityXorOf(bdir, None)
+        publishParity(bdir, parity, index)
         built += 1
       }
     }
@@ -610,70 +649,51 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * stale-but-consistent (index still describes files it XOR'd).
     * Returns (bucketsIncremental, bucketsRebuilt). */
   def updateParity(): (Long, Long) = {
-    val root = new Path(chunksDir)
-    if (!fs.exists(root)) return (0L, 0L)
-    val spark0 = spark
-    import spark0.implicits._
     var incr = 0L
     var rebuilt = 0L
     def readBytes(p: Path): Array[Byte] = {
       val in = fs.open(p)
       try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     }
-    def publish(bdir: Path, parity: Array[Byte],
-        index: Seq[(String, Long, String)]): Unit = {
-      val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
-      fs.mkdirs(tmp)
-      val out = fs.create(new Path(tmp, "xor.bin"), true)
-      try out.write(parity) finally out.close()
-      val idx = fs.create(new Path(tmp, "index.tsv"), true)
-      try idx.write(index.sortBy(_._1).map { case (n, len, m) => s"$n\t$len\t$m" }
-        .mkString("\n").getBytes("UTF-8"))
-      finally idx.close()
-      fs.delete(parityDir(bdir), true)
-      if (!fs.rename(tmp, parityDir(bdir)))
-        throw new java.io.IOException(s"parity publish failed under $bdir")
-    }
-    fs.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
-      val bdir = bst.getPath
-      val present = fs.listStatus(bdir).filter(_.isFile)
-        .map(_.getPath.getName)
-        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    dataBuckets().foreach { bdir =>
+      val present = dataFileNames(bdir)
       if (present.nonEmpty) {
-        val idxPath = new Path(parityDir(bdir), "index.tsv")
-        val indexed: Seq[(String, Long, String)] =
-          if (!fs.exists(idxPath)) Seq.empty
-          else new String(readBytes(idxPath), "UTF-8").split("\n")
-            .filter(_.nonEmpty).map { l =>
-              val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
-            }.toSeq
+        val indexed = readParityIndex(bdir)
         val indexedNames = indexed.map(_._1).toSet
         val fresh = present diff indexedNames
-        def xorOf(names: Seq[String]): (Array[Byte], Seq[(String, Long, String)]) = {
-          val df = spark.read.format("binaryFile")
-            .load(names.map(n => new Path(bdir, n).toString): _*)
-            .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
-            .as[(String, Array[Byte])]
-          val idx = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
-            .collect().toSeq
-          (df.map(_._2).reduce(ChunkStore.xorPad _), idx)
-        }
-        if (indexed.nonEmpty && indexedNames.subsetOf(present)) {
+        val xorBin = new Path(parityDir(bdir), "xor.bin")
+        // the incremental fold needs an INTACT sidecar: index AND
+        // xor.bin (a torn sidecar — crash between writes never
+        // produces one, but a partial copy can — rebuilds instead of
+        // crashing the whole maintenance pass)
+        if (indexed.nonEmpty && indexedNames.subsetOf(present) && fs.exists(xorBin)) {
           if (fresh.nonEmpty) { // pure append: fold only the new files
-            val (freshXor, freshIdx) = xorOf(fresh.toSeq.sorted)
-            publish(bdir, ChunkStore.xorPad(readBytes(new Path(parityDir(bdir), "xor.bin")),
-              freshXor), indexed ++ freshIdx)
+            val (freshXor, freshIdx) = parityXorOf(bdir, Some(fresh.toSeq.sorted))
+            publishParity(bdir,
+              ChunkStore.xorPad(readBytes(xorBin), freshXor), indexed ++ freshIdx)
             incr += 1
           } // fully covered already: nothing to do
-        } else { // uncovered, or indexed files vanished: full rebuild
-          val (parity, idx) = xorOf(present.toSeq.sorted)
-          publish(bdir, parity, idx)
+        } else { // uncovered, torn, or indexed files vanished: rebuild
+          val (parity, idx) = parityXorOf(bdir, Some(present.toSeq.sorted))
+          publishParity(bdir, parity, idx)
           rebuilt += 1
         }
       }
     }
     (incr, rebuilt)
+  }
+
+  /** Parse a bucket's sidecar index; empty when absent. */
+  private def readParityIndex(bdir: Path): Seq[(String, Long, String)] = {
+    val idxPath = new Path(parityDir(bdir), "index.tsv")
+    if (!fs.exists(idxPath)) Seq.empty
+    else {
+      val in = fs.open(idxPath)
+      val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      new String(raw, "UTF-8").split("\n").filter(_.nonEmpty).map { l =>
+        val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
+      }.toSeq
+    }
   }
 
   /** Parity COVERAGE audit — which buckets [[repairFromParity]] could
@@ -687,28 +707,18 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   def verifyParity(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val root = new Path(chunksDir)
-    val rows =
-      if (!fs.exists(root)) Seq.empty[(Long, Long, Long, String)]
-      else fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("bucket=")).map { bst =>
-        val bdir = bst.getPath
-        val bucketId = bdir.getName.stripPrefix("bucket=").toLong
-        val present = fs.listStatus(bdir).filter(_.isFile)
-          .map(_.getPath.getName)
-          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
-        val idxPath = new Path(parityDir(bdir), "index.tsv")
-        if (!fs.exists(idxPath))
-          (bucketId, present.size.toLong, 0L, "uncovered")
-        else {
-          val in = fs.open(idxPath)
-          val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-          val indexed = new String(raw, "UTF-8").split("\n")
-            .filter(_.nonEmpty).map(_.split("\t")(0)).toSet
-          val status = if (indexed == present) "covered" else "stale"
-          (bucketId, present.size.toLong, indexed.size.toLong, status)
-        }
+    val rows = dataBuckets().map { bdir =>
+      val bucketId = bdir.getName.stripPrefix("bucket=").toLong
+      val present = dataFileNames(bdir)
+      val indexed = readParityIndex(bdir)
+      if (indexed.isEmpty || !fs.exists(new Path(parityDir(bdir), "xor.bin")))
+        (bucketId, present.size.toLong, 0L, "uncovered")
+      else {
+        val status =
+          if (indexed.map(_._1).toSet == present) "covered" else "stale"
+        (bucketId, present.size.toLong, indexed.size.toLong, status)
       }
+    }
     rows.sortBy(_._1).toDF("bucket", "n_files", "n_indexed", "status")
   }
 
@@ -726,29 +736,25 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * are invisible here by design — scrub's missing_blob rows remain
     * the authority on what the repository still owes. */
   def repairFromParity(): (Seq[String], Seq[Long]) = {
-    val root = new Path(chunksDir)
-    if (!fs.exists(root)) return (Seq.empty, Seq.empty)
     val spark0 = spark
     import spark0.implicits._
     val repaired = Seq.newBuilder[String]
     val unrepairable = Seq.newBuilder[Long]
-    fs.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("bucket=")).foreach { bst =>
-      val bdir = bst.getPath
-      val pdir = parityDir(bdir)
-      if (fs.exists(new Path(pdir, "index.tsv"))) {
+    dataBuckets().foreach { bdir =>
+      val index = readParityIndex(bdir)
+      if (index.nonEmpty) {
         val bucketId = bdir.getName.stripPrefix("bucket=").toLong
-        val index = {
-          val in = fs.open(new Path(pdir, "index.tsv"))
-          val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-          new String(raw, "UTF-8").split("\n").filter(_.nonEmpty).map { l =>
-            val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
-          }.toSeq
-        }
         val present = fs.listStatus(bdir).filter(_.isFile)
           .map(_.getPath.getName).toSet
         val missing = index.filterNot(e => present(e._1))
-        if (missing.size == 1) {
+        val xorBin = new Path(parityDir(bdir), "xor.bin")
+        if (missing.size == 1 && !fs.exists(xorBin)) {
+          // torn sidecar (index without xor.bin — a partial copy, not
+          // a crash: publish writes both before the rename): an honest
+          // per-bucket refusal, never an exception that aborts the
+          // other buckets' repairs
+          unrepairable += bucketId
+        } else if (missing.size == 1) {
           val (lostName, lostLen, lostMd5) = missing.head
           val survivors = index.map(_._1).filter(present)
           val survivorXor =
@@ -758,7 +764,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
               .select(col("content")).as[Array[Byte]]
               .reduce(ChunkStore.xorPad _)
           val parity = {
-            val in = fs.open(new Path(pdir, "xor.bin"))
+            val in = fs.open(xorBin)
             try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
           }
           val rebuilt = java.util.Arrays.copyOf(

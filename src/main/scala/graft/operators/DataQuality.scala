@@ -350,15 +350,6 @@ object DataQuality {
     within.unionByName(boundary)
   }
 
-  /** Chi-square independence audit of two categorical columns — "is
-    * event mix stable across the week / sources / shards": the
-    * (catA × catB) contingency table with observed count, expected
-    * count under independence, and each cell's χ² contribution. One
-    * map-side-combinable count over |A|×|B| cells; the marginals are
-    * window sums over that metadata-sized frame, never a second scan.
-    * All inputs to the double math are exact integers, so the stat
-    * hashes identically cross-engine (divisions happen once per cell
-    * at the output boundary). */
   /** Exact pairwise Pearson correlation matrix over numeric columns —
     * the multicollinearity / redundant-feature audit run before any
     * column ships into a training set. ONE aggregation pass collects
@@ -394,6 +385,15 @@ object DataQuality {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Chi-square independence audit of two categorical columns — "is
+    * event mix stable across the week / sources / shards": the
+    * (catA × catB) contingency table with observed count, expected
+    * count under independence, and each cell's χ² contribution. One
+    * map-side-combinable count over |A|×|B| cells; the marginals are
+    * window sums over that metadata-sized frame, never a second scan.
+    * All inputs to the double math are exact integers, so the stat
+    * hashes identically cross-engine (divisions happen once per cell
+    * at the output boundary). */
   def chiSquare(df: DataFrame, catA: String, catB: String): DataFrame = {
     val cells = df.groupBy(col(catA).as("a"), col(catB).as("b"))
       .agg(count(lit(1)).as("o"))

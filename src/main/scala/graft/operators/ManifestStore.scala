@@ -593,17 +593,22 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * [[storageReport]] (which counts only REFERENCED bytes). Same
     * cost shape as vacuum: one metadata listing of the pool plus the
     * manifests' `file` column — no data file is opened. */
-  def orphans(): DataFrame = {
-    import spark.implicits._
+  /** Pool files referenced by NO surviving manifest — the ONE
+    * traversal behind both [[orphans]] (report) and [[vacuum]]
+    * (delete), so the audit can never preview a different set than
+    * the sweep reclaims. */
+  private def unreferencedPoolFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val referenced: Set[String] = versions()
       .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
-    val rows =
-      if (fs.exists(poolDir))
-        fs.listStatus(poolDir).toSeq
-          .filter(st => st.isFile && !referenced(st.getPath.getName))
-          .map(st => (st.getPath.getName, st.getLen))
-      else Seq.empty[(String, Long)]
-    rows.toDF("file", "bytes")
+    if (!fs.exists(poolDir)) Seq.empty
+    else fs.listStatus(poolDir).toSeq
+      .filter(st => st.isFile && !referenced(st.getPath.getName))
+  }
+
+  def orphans(): DataFrame = {
+    import spark.implicits._
+    unreferencedPoolFiles().map(st => (st.getPath.getName, st.getLen))
+      .toDF("file", "bytes")
   }
 
   /** Ref-count sweep: delete pool files referenced by NO surviving
@@ -611,14 +616,10 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * `tmpTtlMs`). One metadata pass over |pool| + Σ|manifests| rows —
     * restartable at any point. */
   def vacuum(tmpTtlMs: Long = 24L * 3600 * 1000): Long = {
-    val referenced: Set[String] = versions()
-      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
     var reclaimed = 0L
-    if (fs.exists(poolDir)) fs.listStatus(poolDir).foreach { st =>
-      if (st.isFile && !referenced(st.getPath.getName)) {
-        reclaimed += st.getLen
-        fs.delete(st.getPath, false)
-      }
+    unreferencedPoolFiles().foreach { st =>
+      reclaimed += st.getLen
+      fs.delete(st.getPath, false)
     }
     val now = System.currentTimeMillis()
     fs.listStatus(new Path(basePath)).foreach { st =>

@@ -441,6 +441,20 @@ object Multimodal {
       if (store.versions().isEmpty) {
         store.backup(src, "id", "payload", 1L)
         store.buildParity(): Unit
+      } else {
+        // a previous run may have died between its victim deletion and
+        // its repair — heal that loss FIRST, and if the reused
+        // repository is beyond single-loss repair (killed twice in the
+        // window), rebuild it rather than fail every subsequent run
+        val (_, unrepairable) = store.repairFromParity()
+        if (unrepairable.nonEmpty ||
+            store.scrub().filter(col("status") =!= "ok").count() > 0) {
+          val fsys = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(new org.apache.hadoop.fs.Path(base), true): Unit
+          store.backup(src, "id", "payload", 1L)
+          store.buildParity(): Unit
+        }
       }
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)

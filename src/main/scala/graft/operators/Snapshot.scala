@@ -452,9 +452,13 @@ object Snapshot {
       // loadTable(ident, version) hooks, planned as a native parquet
       // scan — and both reads' bucket aggregates must hash-match the
       // declaratively rebuilt states. Backdated commit timestamps
-      // keep the store reproducible; fingerprint-keyed root, catalog
-      // conf set idempotently on the driver's session.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_${Tables.fingerprint(s, d, "orders")}"
+      // keep the store reproducible. The catalog NAME carries the
+      // dataset fingerprint: Spark caches catalog instances by name
+      // after first load, so re-pointing a fixed name's `.root` conf
+      // at a different dataset would silently keep reading the first
+      // one — a per-root name makes the cache key the identity.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_$fp"
       val store = new SnapshotStore(s, s"$base/orders_tt", "o_orderkey")
       val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
       if (!store.versions().contains(2L)) {
@@ -463,15 +467,16 @@ object Snapshot {
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(100.0))
             .otherwise(col("o_totalprice"))), 2L, Some(2000L))
       }
-      s.conf.set("spark.sql.catalog.snaptt",
+      val cat = s"snaptt_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
-      s.conf.set("spark.sql.catalog.snaptt.root", base)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
       def agg(df: DataFrame, ver: Long) =
         df.groupBy((col("o_orderkey") % 50).as("bucket"))
           .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
           .withColumn("ver", lit(ver))
-      agg(s.sql("SELECT * FROM snaptt.orders_tt VERSION AS OF 1"), 1L)
-        .unionByName(agg(s.sql("SELECT * FROM snaptt.orders_tt"), 2L))
+      agg(s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 1"), 1L)
+        .unionByName(agg(s.sql(s"SELECT * FROM $cat.orders_tt"), 2L))
         .orderBy("ver", "bucket")
     },
 

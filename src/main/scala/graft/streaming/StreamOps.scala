@@ -196,7 +196,14 @@ object StreamOps {
       if (pendL.isEmpty && pendR.isEmpty && newSettled.isEmpty) state.remove()
       else {
         state.update(AsofBuf(newSettled, pendR, pendL))
+        // arm even with NO pending left: a key whose stream goes quiet
+        // must still re-fire once the watermark passes its newest
+        // pending right, so the rights buffer compacts to the single
+        // settled element instead of freezing at arrival size (the
+        // settled element itself is kept — backward semantics need the
+        // latest historical right for any future probe)
         if (pendL.nonEmpty) state.setTimeoutTimestamp(pendL.map(_.tsMs).min)
+        else if (pendR.nonEmpty) state.setTimeoutTimestamp(pendR.map(_.tsMs).max)
       }
       out.iterator
     }
@@ -276,6 +283,12 @@ object StreamOps {
         if (pend.nonEmpty)
           state.setTimeoutTimestamp(pend.map(l =>
             bestFor(l, keepR).map(_.tsMs).getOrElse(l.tsMs + toleranceMs)).min)
+        else
+          // quiet key holding only rights: re-fire once the watermark
+          // passes the newest one — every retained right then fails
+          // both keep conditions and the state REMOVES (forward keeps
+          // no history, so quiet keys fully self-clean)
+          state.setTimeoutTimestamp(keepR.map(_.tsMs).max)
       }
       out.iterator
     }

@@ -83,7 +83,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def linkedFor(ident: Identifier) =
     new graft.operators.ManifestStore(spark, storePath(ident), keyCol = "")
 
-  private def tableFor(ident: Identifier, version: Long): Table = {
+  private def tableFor(ident: Identifier, linked: Boolean, version: Long): Table = {
     val base = storePath(ident)
     // paths: a snapshot version is its data dir; a LINKED version is
     // the manifest-resolved pool file list (shared files read in place
@@ -92,7 +92,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     // null for columns they predate), else mergeSchema infers across
     // footers.
     val (paths, evolved) =
-      if (isLinked(ident)) {
+      if (linked) {
         val st = linkedFor(ident)
         (st.manifest(version).select("file").collect()
           .map(r => s"$base/files/${r.getString(0)}").toSeq,
@@ -105,16 +105,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       paths, evolved, classOf[ParquetFileFormat])
   }
 
-  private def versionsOf(ident: Identifier): Seq[Long] = {
-    val vs =
-      try { if (isLinked(ident)) linkedFor(ident).versions() else storeFor(ident).versions() }
-      catch { case _: Exception => Seq.empty[Long] }
+  /** One metadata resolution per loadTable: layout sniff + version
+    * listing, threaded to every downstream step (each exists/list is
+    * a remote round trip on an object store). An absent or empty
+    * store maps to the standard NoSuchTableException; genuine storage
+    * errors (permissions, corruption, timeouts) PROPAGATE — reporting
+    * them as "table not found" would send the operator debugging the
+    * wrong problem. */
+  private def resolve(ident: Identifier): (Boolean, Seq[Long]) = {
+    val linked = isLinked(ident)
+    val vs = if (linked) linkedFor(ident).versions() else storeFor(ident).versions()
     if (vs.isEmpty) throw new NoSuchTableException(ident)
-    vs
+    (linked, vs)
   }
 
-  override def loadTable(ident: Identifier): Table =
-    tableFor(ident, versionsOf(ident).max)
+  override def loadTable(ident: Identifier): Table = {
+    val (linked, vs) = resolve(ident)
+    tableFor(ident, linked, vs.max)
+  }
 
   /** `VERSION AS OF <v>` */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -122,25 +130,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"snapshot versions are numeric, got '$version'")
     }
-    if (!versionsOf(ident).contains(v)) throw new NoSuchTableException(ident)
-    tableFor(ident, v)
+    val (linked, vs) = resolve(ident)
+    if (!vs.contains(v)) throw new NoSuchTableException(ident)
+    tableFor(ident, linked, v)
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros in, commit-millis resolved. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    versionsOf(ident) // existence gate with the standard error
+    val (linked, _) = resolve(ident)
     val ms = Math.floorDiv(timestampMicros, 1000L)
     val resolved =
-      if (isLinked(ident)) linkedFor(ident).versionAsOf(ms)
+      if (linked) linkedFor(ident).versionAsOf(ms)
       else storeFor(ident).versionAsOf(ms)
     resolved match {
-      case Some(v) => tableFor(ident, v)
+      case Some(v) => tableFor(ident, linked, v)
       case None => throw new NoSuchTableException(ident)
     }
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    try { versionsOf(ident); true } catch { case _: NoSuchTableException => false }
+    try { resolve(ident); true } catch { case _: NoSuchTableException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new org.apache.hadoop.fs.Path(

@@ -859,5 +859,22 @@ class ChunkStoreSpec extends SparkSpec {
     assert(rep3.isEmpty &&
       unrep3 == Seq(bucket3.getName.stripPrefix("bucket=").toLong))
     assert(!fs3.exists(victim3), "a failed verify must not land a blob")
+    // (d) index WITHOUT xor.bin (partial sidecar copy) on a bucket
+    // whose data is intact: repair treats it as refusal material
+    // without aborting the pass, and updateParity REBUILDS it instead
+    // of crashing the whole maintenance sweep
+    val bucket4 = bucketDataFiles(base3).collect {
+      case (b, files) if files.nonEmpty && s"bucket=${b.stripPrefix("bucket=")}" != bucket3.getName => b
+    }.headOption
+    assume(bucket4.nonEmpty, "need a second data bucket")
+    val b4xor = new org.apache.hadoop.fs.Path(s"$base3/chunks/${bucket4.get}/_parity/xor.bin")
+    fs3.delete(b4xor, false)
+    val (rep4, unrep4) = store3.repairFromParity()
+    assert(rep4.isEmpty, "no loss anywhere — nothing may land")
+    assert(unrep4 == Seq(bucket3.getName.stripPrefix("bucket=").toLong),
+      "only the still-lossy corrupted bucket reports; the torn-but-intact one is not a loss")
+    val (_, rebuilt4) = store3.updateParity()
+    assert(rebuilt4 >= 1, "a torn sidecar must rebuild, not wedge maintenance")
+    assert(fs3.exists(b4xor), "the rebuild must restore the sidecar")
   }
 }
