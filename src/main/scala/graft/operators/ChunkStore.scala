@@ -208,6 +208,35 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     ChunkCrypto.reassemble(joined, "id", master)
   }
 
+  /** SELECTIVE restore — the `borg extract <path>` of this repository:
+    * reassemble only the requested payload ids from `version`, reading
+    * only the chunk BUCKETS those payloads' refs hash into. The
+    * manifest filter is metadata-sized; the distinct home buckets of
+    * the needed refs collect to the driver (≤ nBuckets longs) and
+    * PARTITION-PRUNE the chunk scan (`bucket` is the physical
+    * partition key), so restoring one document from a 100 TB
+    * repository reads ~|its chunks| worth of bucket files, not the
+    * repository. Missing ids are simply absent from the result (the
+    * manifest is the authority on membership); a missing BLOB for a
+    * manifested ref still fails loud like [[restore]]. */
+  def restoreIds(version: Long, ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "restoreIds needs at least one id")
+    val wanted = manifest(version).filter(col("id").isin(ids: _*))
+      .localCheckpoint()
+    val buckets = wanted.select(bucketCol.as("b")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val prunedRefs = refs().filter(col("bucket").isin(buckets: _*))
+      .select("ref_hex", "blob")
+    val joined = wanted
+      .join(prunedRefs, Seq("ref_hex"), "left")
+      .withColumn("blob", when(col("blob").isNull,
+          raise_error(concat(lit(s"restoreIds($version): chunk blob missing " +
+            "from repository for manifest ref "), col("ref_hex")))
+            .cast(org.apache.spark.sql.types.BinaryType))
+        .otherwise(col("blob")))
+    ChunkCrypto.reassemble(joined, "id", master)
+  }
+
   /** The [[ChunkCrypto.chunkAccounting]] report over every version's
     * manifest — blobs never read. */
   def accounting(): DataFrame =

@@ -423,6 +423,34 @@ object Multimodal {
         .toDF("n_docs", "restored_ok", "scrub_ok")
     },
 
+    "snap_restore_ids" -> { (s, d) =>
+      // Selective-restore gate (the `borg extract <path>` loop):
+      // restore ONLY doc_ids ≡ 0 (mod 25) from the encrypted
+      // repository — the chunk scan partition-prunes to those
+      // payloads' home buckets (spec-asserted) — and the subset must
+      // be md5-identical to the source rows, both directions. Shares
+      // snap_chunk_gate's fingerprint-keyed repository (read-only
+      // here), so warm passes time one pruned restore.
+      val master = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_chunk_gate_$fp"
+      val store = new ChunkStore(s, base, master, nBuckets = 16)
+      def src = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      if (store.versions().isEmpty) store.backup(src, "id", "payload", 1L)
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val a = src.filter(col("id") % 25 === 0)
+        .select(col("id"), md5(col("payload")).as("h"))
+      val b = store.restoreIds(1L, ids)
+        .select(col("id"), md5(col("payload")).as("h"))
+      val missing = a.join(b, Seq("id", "h"), "left_anti").count()
+      val extra = b.join(a, Seq("id", "h"), "left_anti").count()
+      import s.implicits._
+      Seq((ids.size.toLong, missing == 0L && extra == 0L))
+        .toDF("n_docs", "restored_ok")
+    },
+
     "snap_parity_gate" -> { (s, d) =>
       // End-to-end XOR-parity recovery gate: an encrypted repository
       // with parity sidecars loses ONE blob file, repairs it from
@@ -619,6 +647,10 @@ object Multimodal {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS restored_ok,
         |  TRUE AS scrub_ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "snap_restore_ids" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS restored_ok
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
 
     "snap_parity_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS repaired_ok,

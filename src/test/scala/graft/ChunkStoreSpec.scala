@@ -708,6 +708,31 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.scrub().filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("restoreIds: selective restore is byte-identical and bucket-pruned; absent ids absent; lost blob loud") {
+    val base = Files.createTempDirectory("graft_chunk_rids").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 8)
+    val v1 = payloadRows(false, false, false)
+    store.backup(v1, "id", "payload", 1L)
+    val full = canon(store.restore(1L))
+    val sel = store.restoreIds(1L, Seq(1L, 3L))
+    assert(canon(sel) == full.view.filterKeys(Set(1L, 3L)).toMap)
+    // an id the version never held is simply absent, not an error
+    assert(store.restoreIds(1L, Seq(999L)).isEmpty)
+    // pruning evidence: the chunk scan carries a bucket partition
+    // filter (physical partition pruning, not a post-scan filter)
+    val plan = store.restoreIds(1L, Seq(1L)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    // a vanished blob inside a NEEDED bucket still fails loud
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bucketDataFiles(base).values.flatten.foreach(f => fs.delete(f, false))
+    val e = intercept[Exception](store.restoreIds(1L, Seq(1L)).collect())
+    assert(e.getMessage.contains("missing") || e.getMessage.contains("blob")
+      || Option(e.getCause).exists(_.getMessage.contains("missing")),
+      s"got ${e.getMessage}")
+  }
+
   test("orphanRefs previews exactly what the sweep would reclaim, without mutating") {
     val base = Files.createTempDirectory("graft_chunk_orphan").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 8)
