@@ -96,6 +96,33 @@ class SnapshotSpec extends SparkSpec {
     assert(out.select("part").collect().map(_.getString(0)).toList == List("p1"))
   }
 
+  test("validateManifests classifies from manifests alone — no data rescan") {
+    val fp = (df: org.apache.spark.sql.DataFrame) => Fx.fingerprint(df("k"), df("v"))
+    val src = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),
+      ("p2", 3L, "c"), ("p2", 7L, "h"),
+      ("p3", 4L, "d"),
+      ("p4", 5L, "e")).toDF("part", "k", "v")
+    // target: p1 identical; p2 lost a row; p3 value-corrupted (same
+    // count, different content hash); p4 missing entirely; p5 extra
+    val dst = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),
+      ("p2", 3L, "c"),
+      ("p3", 4L, "DAMAGED"),
+      ("p5", 6L, "x")).toDF("part", "k", "v")
+    val out = Snapshot.validateManifests(
+      Snapshot.manifest(src, Seq("part"), col("k"), fp(src)),
+      Snapshot.manifest(dst, Seq("part"), col("k"), fp(dst)),
+      Seq("part"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(out == Map(
+      "p1" -> "ok",
+      "p2" -> "row_count_mismatch",
+      "p3" -> "content_mismatch",
+      "p4" -> "missing_in_target",
+      "p5" -> "missing_in_source"))
+  }
+
   test("validateCopy classifies every damage class per partition") {
     val src = Seq(
       ("p1", 1L, "a"), ("p1", 2L, "b"),   // intact in target

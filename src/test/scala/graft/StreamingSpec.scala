@@ -261,6 +261,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("tumblingCounts: closed windows match the batch tumbling aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = StreamOps.tumblingCounts(input.toDS().toDF(), "1 hour")
+      .writeStream.format("memory").queryName("graft_tumb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts(5), 10L, "click", 1.0),
+        Event(2L, ts(20), 11L, "click", 2.0),
+        Event(3L, ts(30), 10L, "view", 4.0),
+        Event(4L, ts(70), 10L, "click", 8.0)) // next hour
+      query.processAllAvailable()
+      input.addData(Event(9L, ts(300), 77L, "flush", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_tumb").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      // windows align to wall-clock hour boundaries, not first-event ts
+      val h0 = new Timestamp(ts(0).getTime / 3600000L * 3600000L)
+      val h1 = new Timestamp(h0.getTime + 3600000L)
+      assert(got.contains((h0, "click", 2L, 3.0)), s"got $got")
+      assert(got.contains((h0, "view", 1L, 4.0)))
+      assert(got.contains((h1, "click", 1L, 8.0)))
+    } finally query.stop()
+  }
+
   test("hoppingCounts: closed overlapping windows match the batch hopping aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
