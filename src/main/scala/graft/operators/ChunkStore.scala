@@ -358,7 +358,8 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     val paritySweeps = dataBuckets()
       .flatMap(bdir => fs.listStatus(bdir).toSeq)
       .filter { st =>
-        st.getPath.getName.startsWith("._parity.tmp-") &&
+        (st.getPath.getName.startsWith("._parity.tmp-") ||
+          st.getPath.getName.startsWith("._parity.old-")) &&
           now - st.getModificationTime > ttlMs
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
@@ -623,9 +624,12 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   }
 
   /** The ONE sidecar publish (shared by build/update): tmp dir inside
-    * the bucket, xor.bin + index.tsv, delete-old + rename. Crash
-    * leaves the previous sidecar (or an aged `._parity.tmp-` that
-    * [[vacuum]] sweeps), never a half-written live one. */
+    * the bucket, xor.bin + index.tsv, rename-old-ASIDE + rename-new-in
+    * + delete-old — the live `_parity` name always points at either
+    * the previous complete sidecar or the new one; the window where a
+    * crash would leave the bucket with NO sidecar (old deleted, new
+    * not yet renamed) does not exist. A crash leaves at worst an aged
+    * `._parity.tmp-` / `._parity.old-` dir that [[vacuum]] sweeps. */
   private def publishParity(bdir: Path, parity: Array[Byte],
       index: Seq[(String, Long, String)]): Unit = {
     val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
@@ -636,9 +640,18 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     try idx.write(index.sortBy(_._1).map { case (n, len, m) => s"$n\t$len\t$m" }
       .mkString("\n").getBytes("UTF-8"))
     finally idx.close()
-    fs.delete(parityDir(bdir), true)
-    if (!fs.rename(tmp, parityDir(bdir)))
+    val live = parityDir(bdir)
+    val aside = new Path(bdir, s"._parity.old-${java.util.UUID.randomUUID()}")
+    val hadOld = fs.exists(live)
+    if (hadOld && !fs.rename(live, aside))
+      throw new java.io.IOException(s"parity retire failed under $bdir")
+    if (!fs.rename(tmp, live)) {
+      // restore the previous sidecar so the bucket never regresses to
+      // parity-less; the failed tmp ages out via vacuum
+      if (hadOld) fs.rename(aside, live): Unit
       throw new java.io.IOException(s"parity publish failed under $bdir")
+    }
+    if (hadOld) fs.delete(aside, true): Unit
   }
 
   private def dataBuckets(): Seq[Path] = {
@@ -785,27 +798,39 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
           unrepairable += bucketId
         } else if (missing.size == 1) {
           val (lostName, lostLen, lostMd5) = missing.head
-          val survivors = index.map(_._1).filter(present)
-          val survivorXor =
-            if (survivors.isEmpty) Array.empty[Byte]
-            else spark.read.format("binaryFile")
-              .load(survivors.map(n => new Path(bdir, n).toString): _*)
-              .select(col("content")).as[Array[Byte]]
-              .reduce(ChunkStore.xorPad _)
-          val parity = {
-            val in = fs.open(xorBin)
-            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          // the whole rebuild-and-verify is a per-bucket honest refusal
+          // zone: an oversized index entry (in-memory XOR assembly is
+          // Array-bounded at 2 GiB), an unreadable survivor, or a
+          // failed publish lands the bucket on the unrepairable list
+          // instead of aborting every other bucket's repair
+          try {
+            if (lostLen > Int.MaxValue.toLong)
+              throw new java.io.IOException(
+                s"$lostName is ${lostLen} bytes — beyond in-memory parity assembly")
+            val survivors = index.map(_._1).filter(present)
+            val survivorXor =
+              if (survivors.isEmpty) Array.empty[Byte]
+              else spark.read.format("binaryFile")
+                .load(survivors.map(n => new Path(bdir, n).toString): _*)
+                .select(col("content")).as[Array[Byte]]
+                .reduce(ChunkStore.xorPad _)
+            val parity = {
+              val in = fs.open(xorBin)
+              try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+            }
+            val rebuilt = java.util.Arrays.copyOf(
+              ChunkStore.xorPad(parity, survivorXor), lostLen.toInt)
+            if (ChunkStore.md5hex(rebuilt) == lostMd5) {
+              val tmp = new Path(bdir, s".${lostName}.tmp-${java.util.UUID.randomUUID()}")
+              val out = fs.create(tmp, true)
+              try out.write(rebuilt) finally out.close()
+              if (!fs.rename(tmp, new Path(bdir, lostName)))
+                throw new java.io.IOException(s"repair publish failed: $lostName")
+              repaired += new Path(bdir, lostName).toString
+            } else unrepairable += bucketId
+          } catch {
+            case scala.util.control.NonFatal(_) => unrepairable += bucketId
           }
-          val rebuilt = java.util.Arrays.copyOf(
-            ChunkStore.xorPad(parity, survivorXor), lostLen.toInt)
-          if (ChunkStore.md5hex(rebuilt) == lostMd5) {
-            val tmp = new Path(bdir, s".${lostName}.tmp-${java.util.UUID.randomUUID()}")
-            val out = fs.create(tmp, true)
-            try out.write(rebuilt) finally out.close()
-            if (!fs.rename(tmp, new Path(bdir, lostName)))
-              throw new java.io.IOException(s"repair publish failed: $lostName")
-            repaired += new Path(bdir, lostName).toString
-          } else unrepairable += bucketId
         } else if (missing.size > 1) unrepairable += bucketId
       }
     }

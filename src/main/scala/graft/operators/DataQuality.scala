@@ -353,33 +353,45 @@ object DataQuality {
   /** Exact pairwise Pearson correlation matrix over numeric columns —
     * the multicollinearity / redundant-feature audit run before any
     * column ships into a training set. ONE aggregation pass collects
-    * ALL sufficient statistics (per-column sum + sum-of-squares, per-
-    * pair cross-product) as exact decimals — DECIMAL(18,4) inputs keep
-    * every product inside DECIMAL(38) exactly, so the scan count is 1
-    * regardless of how many pairs (built-in corr() would rescan per
-    * pair AND accumulate order-dependently); the one-row stats frame
-    * is checkpointed and the |pairs| output rows are metadata-sized
-    * selects over it. The closed form runs in double on identical
-    * integer-exact inputs with a zero-variance NULL guard. */
+    * ALL sufficient statistics as exact decimals, and every statistic
+    * for a pair (a,b) is CONDITIONED on both a and b being non-null —
+    * the standard pairwise-complete-observations contract — so nullable
+    * feature columns get consistent n/sums/cross-products per pair
+    * instead of silently mixing row populations. DECIMAL(18,4) inputs
+    * keep every product inside DECIMAL(38) exactly (built-in corr()
+    * would rescan per pair AND accumulate order-dependently); inputs
+    * with more than 4 decimal places are quantized to 4 dp by that
+    * cast — the documented precision of the exactness contract
+    * (widening the scale would push products past DECIMAL(38)). The
+    * one-row stats frame is checkpointed and the |pairs| output rows
+    * are metadata-sized selects over it. The closed form runs in
+    * double on identical integer-exact inputs with a zero-variance /
+    * empty-pair NULL guard; `n` in the output is the pair's complete-
+    * observation count. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val dec = DecimalType(18, 4)
     val pairCols = cols.combinations(2).toSeq
-    val aggs = cols.flatMap(c => Seq(
-        sum(col(c).cast(dec)).as(s"s_$c"),
-        sum(col(c).cast(dec) * col(c).cast(dec)).as(s"ss_$c"))) ++
-      pairCols.map { case Seq(a, b) =>
-        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"p_${a}_$b")
-      } :+ count(lit(1)).as("n")
+    def k(a: String, b: String) = s"${a}__$b"
+    val aggs = pairCols.flatMap { case Seq(a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val ca = when(both, col(a).cast(dec))
+      val cb = when(both, col(b).cast(dec))
+      Seq(
+        count(when(both, lit(1))).as(s"n_${k(a, b)}"),
+        sum(ca).as(s"sa_${k(a, b)}"), sum(cb).as(s"sb_${k(a, b)}"),
+        sum(ca * ca).as(s"ssa_${k(a, b)}"), sum(cb * cb).as(s"ssb_${k(a, b)}"),
+        sum(ca * cb).as(s"p_${k(a, b)}"))
+    }
     val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     def dd(c: String) = col(c).cast(DoubleType)
-    val nd = col("n").cast(DoubleType)
     val rows = pairCols.map { case Seq(a, b) =>
-      val den = (nd * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
-        (nd * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b"))
-      g.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-        when(den <= 0, lit(null).cast(DoubleType))
-          .otherwise(round((nd * dd(s"p_${a}_$b") - dd(s"s_$a") * dd(s"s_$b"))
+      val nd = dd(s"n_${k(a, b)}")
+      val den = (nd * dd(s"ssa_${k(a, b)}") - dd(s"sa_${k(a, b)}") * dd(s"sa_${k(a, b)}")) *
+        (nd * dd(s"ssb_${k(a, b)}") - dd(s"sb_${k(a, b)}") * dd(s"sb_${k(a, b)}"))
+      g.select(lit(a).as("col_a"), lit(b).as("col_b"), col(s"n_${k(a, b)}").as("n"),
+        when(col(s"n_${k(a, b)}") === 0 || den <= 0, lit(null).cast(DoubleType))
+          .otherwise(round((nd * dd(s"p_${k(a, b)}") - dd(s"sa_${k(a, b)}") * dd(s"sb_${k(a, b)}"))
             / sqrt(den), 6)).as("corr"))
     }
     rows.reduce(_.unionByName(_))

@@ -719,13 +719,32 @@ object Events {
       // the count/sum of the SAME TYPE's events in the trailing hour of
       // EVENT TIME — frame membership decided by timestamp distance,
       // not row position, so bursts and quiet stretches see honest
-      // trailing volumes. One shuffle on event_type; exact decimal sum.
-      val win = Window.partitionBy("event_type").orderBy("t")
-        .rangeBetween(-3600L * 1000000L, 0L)
-      Tables.events(s, d)
-        .withColumn("t", unix_micros(col("ts")))
+      // trailing volumes. NOT one RANGE window per type: |types| is
+      // tiny, so that window sorts the corpus at ~|types|-way
+      // parallelism (the exact shape ev_burst measured at 15.5 s/sf1
+      // and decomposed to 0.47 s). Same OVERLAP decomposition here:
+      // partition by (event_type, day) with each day's trailing HOUR
+      // replicated into the next day's partition as context-only rows
+      // — they feed trailing counts/sums across midnight but emit no
+      // row of their own — so the per-partition frame is EXACTLY the
+      // global one, at day-level parallelism. Exact decimal sum keeps
+      // the result order-independent, so the output hashes identically
+      // to the single-partition plan.
+      val winUs = 3600L * 1000000L
+      val dayUs = 86400L * 1000000L
+      val ev = Tables.events(s, d).withColumn("t", unix_micros(col("ts")))
+      val own = ev
+        .withColumn("pday", expr(s"t div ${dayUs}L"))
+        .withColumn("is_ctx", lit(false))
+      val ctx = ev.filter(col("t") % dayUs >= dayUs - winUs)
+        .withColumn("pday", expr(s"t div ${dayUs}L") + 1)
+        .withColumn("is_ctx", lit(true))
+      val win = Window.partitionBy("event_type", "pday").orderBy("t")
+        .rangeBetween(-winUs, 0L)
+      own.unionByName(ctx)
         .withColumn("n_1h", count(lit(1)).over(win))
         .withColumn("sum_1h", round(sum(decV(col("value"))).over(win).cast(DoubleType), 4))
+        .filter(!col("is_ctx"))
         .select("event_id", "event_type", "t", "n_1h", "sum_1h")
         .orderBy("event_id")
     },

@@ -614,8 +614,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   /** Ref-count sweep: delete pool files referenced by NO surviving
     * manifest, plus aged crash leftovers (`.tmp-` dirs older than
     * `tmpTtlMs`). One metadata pass over |pool| + Σ|manifests| rows —
-    * restartable at any point. */
+    * restartable at any point. Interrupted [[replicateTo]] manifest
+    * copies are transactional state, not garbage: they land or
+    * discard FIRST ([[recoverReplications]]), so the TTL pass can
+    * never delete the only complete copy of a mirrored manifest. */
   def vacuum(tmpTtlMs: Long = 24L * 3600 * 1000): Long = {
+    recoverReplications()
     var reclaimed = 0L
     unreferencedPoolFiles().foreach { st =>
       reclaimed += st.getLen
@@ -627,5 +631,418 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         fs.delete(st.getPath, true)
     }
     reclaimed
+  }
+
+  // -------------------------------------------------------------------
+  // Durability ladder for the SHARED POOL — [[ChunkStore]]'s discipline
+  // (XOR parity sidecars → mirror replicate/repair → rotating sampled
+  // scrub) at pool-file granularity. A lost pool file today breaks
+  // EVERY version whose manifest references it; these rungs restore it
+  // without (parity) or with (mirror) a second repository. Pool files
+  // are IMMUTABLE under stable names, which keeps every rung simple:
+  // a parity index never sees an in-place rewrite (only appends and
+  // vacuum deletions), a mirror sync is complete by name-diff, and a
+  // repair verifies itself against the recorded md5 before landing.
+  // All publication rides the store's tmp+rename/vacuum discipline.
+
+  private def parityRoot = new Path(s"$basePath/_pool_parity")
+  private def groupDir(g: String) = new Path(parityRoot, s"g=$g")
+
+  /** Parity group of a pool file: the first hex char of its UUID name
+    * — 16 groups, uniformly spread, STABLE under appends (a new file
+    * joins one group and touches no other group's sidecar). */
+  private def parityGroupOf(name: String): String = name.take(1)
+
+  private def poolFileNames(): Seq[String] =
+    if (!fs.exists(poolDir)) Seq.empty
+    else fs.listStatus(poolDir).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toIndexedSeq
+
+  /** One pass over the named pool files: (XOR of contents, index of
+    * (name, bytes, md5)). The frame persists across the two actions so
+    * every byte is READ ONCE; the XOR reduce combines map-side. */
+  private def poolXorOf(names: Seq[String]): (Array[Byte], Seq[(String, Long, String)]) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = spark.read.format("binaryFile")
+      .load(names.map(n => new Path(poolDir, n).toString): _*)
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = df.map(nc => (nc._1, nc._2.length.toLong, ChunkStore.md5hex(nc._2)))
+        .collect().toSeq
+      (df.map(_._2).reduce(ChunkStore.xorPad _), index)
+    } finally df.unpersist(): Unit
+  }
+
+  /** Parse a group's sidecar index; empty when absent. */
+  private def readPoolParityIndex(g: String): Seq[(String, Long, String)] = {
+    val idxPath = new Path(groupDir(g), "index.tsv")
+    if (!fs.exists(idxPath)) Seq.empty
+    else {
+      val in = fs.open(idxPath)
+      val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      new String(raw, "UTF-8").split("\n").filter(_.nonEmpty).map { l =>
+        val Array(n, len, m) = l.split("\t"); (n, len.toLong, m)
+      }.toSeq
+    }
+  }
+
+  /** The ONE sidecar publish (build + update): tmp dir under the store
+    * root, xor.bin + index.tsv, rename-old-ASIDE + rename-new-in +
+    * delete-old — the live `g=<c>` name always points at either the
+    * previous complete sidecar or the new one; a crash leaves at worst
+    * an aged `.tmp-parity*` dir that [[vacuum]]'s TTL pass sweeps. */
+  private def publishPoolParity(g: String, parity: Array[Byte],
+      index: Seq[(String, Long, String)]): Unit = {
+    val tmp = new Path(s"$basePath/.tmp-parity-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val out = fs.create(new Path(tmp, "xor.bin"), true)
+    try out.write(parity) finally out.close()
+    val idx = fs.create(new Path(tmp, "index.tsv"), true)
+    try idx.write(index.sortBy(_._1).map { case (n, len, m) => s"$n\t$len\t$m" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally idx.close()
+    fs.mkdirs(parityRoot)
+    val live = groupDir(g)
+    val aside = new Path(s"$basePath/.tmp-parityold-${java.util.UUID.randomUUID()}")
+    val hadOld = fs.exists(live)
+    if (hadOld && !fs.rename(live, aside))
+      throw new java.io.IOException(s"pool parity retire failed for group $g")
+    if (!fs.rename(tmp, live)) {
+      if (hadOld) fs.rename(aside, live): Unit
+      throw new java.io.IOException(s"pool parity publish failed for group $g")
+    }
+    if (hadOld) fs.delete(aside, true): Unit
+  }
+
+  /** Build (or rebuild) the XOR parity sidecar of every non-empty pool
+    * group — single-file-loss resilience WITHOUT a second repository
+    * (the RAID-5 / par2 idea): each sidecar holds the byte-wise XOR of
+    * its group's files (padded to the longest) plus an index of
+    * (file, bytes, md5); losing ANY ONE indexed file reconstructs
+    * exactly as parity ⊕ survivors ([[repairFromParity]]), verified
+    * against the indexed md5 before it lands. Parity is ADVISORY state
+    * with fail-closed semantics: files appended after the last build
+    * are uncovered until the next [[updateParity]], and a repair can
+    * never resurrect a vacuumed file (md5 verification refuses any
+    * drifted reconstruction). Groups are independent — on a cluster
+    * they pipeline. Returns sidecars (re)built. */
+  def buildParity(): Long = {
+    var built = 0L
+    poolFileNames().groupBy(parityGroupOf).foreach { case (g, names) =>
+      val (parity, index) = poolXorOf(names)
+      publishPoolParity(g, parity, index)
+      built += 1
+    }
+    built
+  }
+
+  /** INCREMENTAL parity maintenance — XOR parity is a group sum, so
+    * the append-only steady state (every indexed file still present,
+    * new merge output appended) folds in as parity' = parity ⊕
+    * (⊕ new files) at O(|new files|) I/O. A group whose indexed files
+    * vanished (vacuum after prune) rebuilds from scratch; an uncovered
+    * group gets a fresh build. Returns (incremental, rebuilt). */
+  def updateParity(): (Long, Long) = {
+    var incremental = 0L; var rebuilt = 0L
+    val present = poolFileNames().groupBy(parityGroupOf)
+    present.foreach { case (g, names) =>
+      val index = readPoolParityIndex(g)
+      val nameSet = names.toSet
+      val indexedPresent = index.forall(e => nameSet(e._1))
+      val fresh = names.filterNot(index.map(_._1).toSet)
+      if (index.isEmpty || !indexedPresent) {
+        val (parity, idx) = poolXorOf(names)
+        publishPoolParity(g, parity, idx)
+        rebuilt += 1
+      } else if (fresh.nonEmpty) {
+        val old = {
+          val in = fs.open(new Path(groupDir(g), "xor.bin"))
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        }
+        val (freshXor, freshIdx) = poolXorOf(fresh)
+        publishPoolParity(g, ChunkStore.xorPad(old, freshXor), index ++ freshIdx)
+        incremental += 1
+      }
+    }
+    // groups whose files ALL vanished: retire the stale sidecar so
+    // repair/scrub never chase files vacuum legitimately reclaimed
+    if (fs.exists(parityRoot))
+      fs.listStatus(parityRoot).map(_.getPath.getName)
+        .filter(_.startsWith("g=")).map(_.drop(2))
+        .filterNot(present.contains)
+        .foreach { g => fs.delete(groupDir(g), true); rebuilt += 1 }
+    (incremental, rebuilt)
+  }
+
+  /** Reconstruct every single-file loss the parity sidecars cover:
+    * a group missing EXACTLY ONE indexed file rebuilds it as
+    * parity ⊕ surviving files, md5-verified before the tmp+rename
+    * lands — after which every referencing version restores
+    * byte-identical (content-stable names mean no manifest edit is
+    * needed). Multi-loss groups, failed verifies, oversized entries
+    * (in-memory assembly is Array-bounded at 2 GiB) and read errors
+    * land on the unrepairable list — per-group honest refusals that
+    * never abort the other groups' repairs; [[repairFrom]] (mirror)
+    * is the next rung for them. Returns (repaired paths, unrepairable
+    * group names). */
+  def repairFromParity(): (Seq[String], Seq[String]) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val repaired = Seq.newBuilder[String]
+    val unrepairable = Seq.newBuilder[String]
+    if (!fs.exists(parityRoot)) return (Nil, Nil)
+    val present = poolFileNames().toSet
+    fs.listStatus(parityRoot).map(_.getPath.getName)
+      .filter(_.startsWith("g=")).map(_.drop(2)).sorted
+      .foreach { g =>
+        val index = readPoolParityIndex(g)
+        val missing = index.filterNot(e => present(e._1))
+        val xorBin = new Path(groupDir(g), "xor.bin")
+        if (missing.size == 1 && !fs.exists(xorBin)) unrepairable += g
+        else if (missing.size == 1) {
+          val (lostName, lostLen, lostMd5) = missing.head
+          try {
+            if (lostLen > Int.MaxValue.toLong)
+              throw new java.io.IOException(
+                s"$lostName is ${lostLen} bytes — beyond in-memory parity assembly")
+            val survivors = index.map(_._1).filter(present)
+            val survivorXor =
+              if (survivors.isEmpty) Array.empty[Byte]
+              else spark.read.format("binaryFile")
+                .load(survivors.map(n => new Path(poolDir, n).toString): _*)
+                .select(col("content")).as[Array[Byte]]
+                .reduce(ChunkStore.xorPad _)
+            val parity = {
+              val in = fs.open(xorBin)
+              try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+            }
+            val rebuiltBytes = java.util.Arrays.copyOf(
+              ChunkStore.xorPad(parity, survivorXor), lostLen.toInt)
+            if (ChunkStore.md5hex(rebuiltBytes) == lostMd5) {
+              val tmp = new Path(poolDir, s".${lostName}.tmp-${java.util.UUID.randomUUID()}")
+              val out = fs.create(tmp, true)
+              try out.write(rebuiltBytes) finally out.close()
+              if (!fs.rename(tmp, new Path(poolDir, lostName)))
+                throw new java.io.IOException(s"repair publish failed: $lostName")
+              repaired += new Path(poolDir, lostName).toString
+            } else unrepairable += g
+          } catch {
+            case scala.util.control.NonFatal(_) => unrepairable += g
+          }
+        } else if (missing.size > 1) unrepairable += g
+      }
+    (repaired.result(), unrepairable.result())
+  }
+
+  /** Content scrub of the shared pool — `borg check` at pool-file
+    * granularity: every parity-indexed file's bytes must re-derive
+    * the indexed md5 (bit-rot, truncation, swapped content all
+    * surface), every MANIFEST-referenced file must exist, and a
+    * referenced file no sidecar indexes reports `uncovered` (appended
+    * since the last parity build — [[updateParity]] is the cure).
+    * One distributed pass over the slice's file bytes; unreferenced
+    * unindexed files are [[orphans]]' jurisdiction, not damage.
+    *
+    * `rotation = (run, runsPerCycle)` makes the scrub SAMPLED and
+    * deterministic on the 16 parity groups: only groups with
+    * hex(g) % runsPerCycle == run % runsPerCycle scan, so a nightly
+    * `(dayOfYear, 7)` run reads ~1/7 of the pool and provably covers
+    * every group each cycle. Returns (file, grp, bytes, status) with
+    * status ok / bit_rot / missing_file / uncovered. */
+  def scrubPool(rotation: Option[(Long, Int)] = None): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    def inRotation(g: String): Boolean = rotation match {
+      case Some((run, n)) =>
+        require(n > 0, s"runsPerCycle must be positive, got $n")
+        java.lang.Long.parseLong(g, 16) % n == ((run % n) + n) % n
+      case None => true
+    }
+    val present = poolFileNames().toSet
+    val indexed: Map[String, (String, Long, String)] =
+      (if (!fs.exists(parityRoot)) Nil
+       else fs.listStatus(parityRoot).map(_.getPath.getName)
+         .filter(_.startsWith("g=")).map(_.drop(2)).toSeq
+         .flatMap(g => readPoolParityIndex(g).map(e => e._1 -> ((g, e._2, e._3)))))
+        .toMap
+    val referenced: Set[String] = versions()
+      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
+    val slice = (indexed.keySet ++ referenced)
+      .filter(n => inRotation(parityGroupOf(n)))
+    val toScan = slice.filter(n => present(n) && indexed.contains(n)).toSeq.sorted
+    val verdicts: Seq[(String, String, Long, String)] =
+      (if (toScan.isEmpty) Nil
+       else {
+         val want = toScan.map(n => n -> indexed(n)._3).toMap
+         spark.read.format("binaryFile")
+           .load(toScan.map(n => new Path(poolDir, n).toString): _*)
+           .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+           .as[(String, Array[Byte])]
+           .map { case (n, bytes) => (n, bytes.length.toLong, ChunkStore.md5hex(bytes)) }
+           .collect().toSeq
+           .map { case (n, len, m) =>
+             (n, parityGroupOf(n), len,
+               if (m == want(n)) "ok" else "bit_rot")
+           }
+       }) ++
+      slice.filterNot(present).toSeq.sorted
+        .map(n => (n, parityGroupOf(n), indexed.get(n).map(_._2).getOrElse(0L), "missing_file")) ++
+      slice.filter(n => present(n) && !indexed.contains(n)).toSeq.sorted
+        .map(n => (n, parityGroupOf(n),
+          fs.getFileStatus(new Path(poolDir, n)).getLen, "uncovered"))
+    verdicts.toDF("file", "grp", "bytes", "status")
+  }
+
+  /** One-directional mirror sync — the replication rung above parity:
+    * pool files the mirror lacks stream over FIRST (immutable content
+    * under stable names makes the diff a name compare), then absent
+    * manifest versions land via complete-tmp + rename (crash rolls
+    * forward through [[recoverReplications]]), and common versions'
+    * manifests are fingerprint-compared — a mismatch (mirror-side
+    * corruption: manifests are immutable once published) re-copies
+    * from the source. Crash ordering is the store's own: data before
+    * metadata, so the mirror can never hold a manifest referencing a
+    * file it doesn't have. Mirror-only extra state is left alone —
+    * replication must not race the mirror's retention. Idempotent:
+    * an immediate second run copies nothing. Returns (filesCopied,
+    * bytesCopied, versionsCopied, manifestsRepaired). */
+  def replicateTo(targetBasePath: String): (Long, Long, Seq[Long], Int) = {
+    require(targetBasePath != basePath, "replicate needs a distinct mirror root")
+    val target = new ManifestStore(spark, targetBasePath, keyCol, statsCols)
+    target.recoverReplications()
+    val tfs = new Path(targetBasePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1. pool files the mirror lacks — per-file streaming copies into a
+    // tmp dir, renamed in one-by-one (each rename atomic; a crash
+    // leaves an aged .tmp- dir the mirror's vacuum sweeps)
+    val missing = poolFileNames().filterNot(target.poolFileNames().toSet)
+    var bytes = 0L
+    if (missing.nonEmpty) {
+      val tmp = new Path(s"$targetBasePath/.tmp-pool-repl-${java.util.UUID.randomUUID()}")
+      tfs.mkdirs(tmp)
+      tfs.mkdirs(target.poolDir)
+      missing.foreach { n =>
+        val src = new Path(poolDir, n)
+        bytes += fs.getFileStatus(src).getLen
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, tfs, new Path(tmp, n), false,
+            spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(s"pool replicate copy failed: $n")
+        if (!tfs.rename(new Path(tmp, n), new Path(target.poolDir, n)))
+          throw new java.io.IOException(s"pool replicate publish failed: $n")
+      }
+      tfs.delete(tmp, true): Unit
+    }
+    // 2. manifest versions the mirror lacks
+    val newVs = versions().diff(target.versions())
+    newVs.foreach(v => target.landManifestCopy(fs, manifestDir(v), v))
+    // 3. fingerprint audit of common versions (immutable ⇒ any drift
+    // is mirror-side damage; source is the authority)
+    val common = versions().intersect(target.versions()).diff(newVs)
+    val stale = common.filter(v => manifestFingerprint(v) != target.manifestFingerprint(v))
+    stale.foreach(v => target.landManifestCopy(fs, manifestDir(v), v))
+    (missing.size.toLong, bytes, newVs, stale.size)
+  }
+
+  /** (row count, bit_xor row hash) — the cheap manifest-identity check
+    * [[replicateTo]] compares across repositories; metadata-sized. */
+  private def manifestFingerprint(v: Long): (Long, Long) = {
+    val r = manifest(v)
+      .select(xxhash64(col("file"), col("n_rows")).as("__h"))
+      .agg(count(lit(1)), expr("coalesce(bit_xor(__h), 0L)")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Land a verbatim copy of a source manifest dir as version `v` —
+    * complete tmp then delete-live + atomic rename; the tmp is always
+    * a COMPLETE manifest, so the crash window rolls forward via
+    * [[recoverReplications]]. */
+  private def landManifestCopy(srcFs: org.apache.hadoop.fs.FileSystem,
+      src: Path, v: Long): Unit = {
+    val tmp = new Path(s"$basePath/_manifests/.tmp-repl-v=$v")
+    fs.delete(tmp, true)
+    if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, tmp, false,
+        spark.sparkContext.hadoopConfiguration))
+      throw new java.io.IOException(s"replicate manifest copy failed: $src -> $tmp")
+    val live = manifestDir(v)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"replicate manifest publish failed: $tmp -> $live")
+  }
+
+  /** Land (or discard) interrupted [[replicateTo]] manifest copies —
+    * a `.tmp-repl-v=` dir is always complete, so live-missing rolls
+    * FORWARD; live-present discards the superseded copy (the next
+    * replicate re-derives it from the fingerprint compare). Called by
+    * [[replicateTo]] (target side) and [[vacuum]]. */
+  def recoverReplications(): Unit = {
+    val mdir = new Path(s"$basePath/_manifests")
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp-repl-v="))
+        .foreach { st =>
+          val v = st.getPath.getName.stripPrefix(".tmp-repl-v=").toLong
+          val live = manifestDir(v)
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"replication recovery failed: ${st.getPath} -> $live")
+          } else fs.delete(st.getPath, true): Unit
+        }
+  }
+
+  /** DISASTER-RECOVERY REPAIR from a mirror — the rung above parity,
+    * for damage parity can't serve (multi-loss groups, bit-rot plus
+    * loss): every pool file [[scrubPool]] flags (missing / bit-rot)
+    * heals from the mirror's copy, md5-verified against the parity
+    * index when indexed (an unindexed reference copies as-is — the
+    * downstream [[validate]] row-count/envelope audit is its check).
+    * Per-file tmp+rename, per-file honest refusals (mirror lacks it /
+    * verify fails) — a partial heal repairs what it can and names the
+    * rest. Missing manifest versions are NOT pulled back here:
+    * restore direction is an operator decision ([[replicateTo]] from
+    * the mirror covers it). Returns (repaired paths, unrepairable
+    * file names). */
+  def repairFrom(mirrorBasePath: String): (Seq[String], Seq[String]) = {
+    require(mirrorBasePath != basePath, "repair needs a distinct mirror root")
+    val mirror = new ManifestStore(spark, mirrorBasePath, keyCol, statsCols)
+    val mfs = new Path(mirrorBasePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexed: Map[String, String] =
+      (if (!fs.exists(parityRoot)) Nil
+       else fs.listStatus(parityRoot).map(_.getPath.getName)
+         .filter(_.startsWith("g=")).map(_.drop(2)).toSeq
+         .flatMap(g => readPoolParityIndex(g).map(e => e._1 -> e._3))).toMap
+    val damaged = scrubPool()
+      .filter(col("status") === "bit_rot" || col("status") === "missing_file")
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val repaired = Seq.newBuilder[String]
+    val unrepairable = Seq.newBuilder[String]
+    damaged.foreach { n =>
+      val src = new Path(mirror.poolDir, n)
+      try {
+        if (!mfs.exists(src))
+          throw new java.io.IOException(s"mirror lacks $n")
+        val tmp = new Path(poolDir, s".$n.tmp-${java.util.UUID.randomUUID()}")
+        if (!org.apache.hadoop.fs.FileUtil.copy(mfs, src, fs, tmp, false,
+            spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(s"mirror copy failed: $n")
+        val ok = indexed.get(n).forall { wantMd5 =>
+          val in = fs.open(tmp)
+          val raw = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          ChunkStore.md5hex(raw) == wantMd5
+        }
+        if (!ok) { fs.delete(tmp, false); unrepairable += n }
+        else {
+          fs.delete(new Path(poolDir, n), false) // bit-rot victim, if present
+          if (!fs.rename(tmp, new Path(poolDir, n)))
+            throw new java.io.IOException(s"repair publish failed: $n")
+          repaired += new Path(poolDir, n).toString
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => unrepairable += n
+      }
+    }
+    (repaired.result(), unrepairable.result())
   }
 }

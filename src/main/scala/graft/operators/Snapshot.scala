@@ -424,6 +424,128 @@ object Snapshot {
       store.diff(2L, 3L).orderBy("o_orderkey")
     },
 
+    "snap_pool_parity_gate" -> { (s, d) =>
+      // XOR-parity recovery on the LINKED store's shared pool — the
+      // durability rung a 100 TB manifest layout needs below mirror
+      // replication: a pool file referenced by BOTH versions of a
+      // merge chain is lost, scrubPool flags it, repairFromParity
+      // reconstructs it from parity ⊕ survivors (no replica, md5-
+      // verified), and the chain tip must read back identical to the
+      // declaratively rebuilt merge — reduced to booleans the DuckDB
+      // oracle asserts. Own fingerprint-keyed root (this entry MUTATES
+      // pool files); warm passes reuse the store and time the
+      // lose/repair/verify round trip.
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pool_parity_$fp"
+      val store = new ManifestStore(s, base, "doc_id")
+      def src = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      def delta = src.filter(col("doc_id") % 10 === 4)
+        .withColumn("text", concat(col("text"), lit("#u")))
+      if (store.versions().isEmpty) {
+        store.write(src, 1L, 8)
+        store.mergeDelta(1L, 2L, delta)
+        store.buildParity(): Unit
+      } else {
+        // a previous run may have died between its victim deletion and
+        // its repair — heal FIRST; beyond single-loss repair (killed
+        // twice in the window) rebuilds rather than failing every
+        // subsequent run
+        val (_, unrepairable) = store.repairFromParity()
+        if (unrepairable.nonEmpty ||
+            store.scrubPool().filter(col("status") =!= "ok").count() > 0) {
+          val fsys = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(new org.apache.hadoop.fs.Path(base), true): Unit
+          store.write(src, 1L, 8)
+          store.mergeDelta(1L, 2L, delta)
+          store.buildParity(): Unit
+        }
+      }
+      import s.implicits._
+      val fsys = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // victim: a file both manifests reference — max blast radius
+      val v1f = store.manifest(1L).select("file").as[String].collect().toSet
+      val v2f = store.manifest(2L).select("file").as[String].collect().toSet
+      val victim = (v1f intersect v2f).toSeq.sorted
+        .headOption.getOrElse(v2f.toSeq.sorted.head)
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$base/files/$victim"), false)
+      val lossSeen = store.scrubPool()
+        .filter(col("status") === "missing_file").count() > 0
+      val (repaired, unrepairable) = store.repairFromParity()
+      val repairedOk = repaired.nonEmpty && unrepairable.isEmpty
+      val expect = src.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val got = store.read(2L).select(col("doc_id"), md5(col("text")).as("h"))
+      val missing = expect.join(got, Seq("doc_id", "h"), "left_anti").count()
+      val extra = got.join(expect, Seq("doc_id", "h"), "left_anti").count()
+      val scrubBad = store.scrubPool().filter(col("status") =!= "ok").count()
+      Seq((expect.count(), lossSeen && repairedOk,
+          missing == 0L && extra == 0L && scrubBad == 0L))
+        .toDF("n_docs", "repaired_ok", "restored_ok")
+    },
+
+    "snap_pool_mirror_gate" -> { (s, d) =>
+      // Mirror replicate/repair on the linked store — the rung ABOVE
+      // parity: the pool loses TWO files AND its parity sidecars (the
+      // multi-loss disaster single-parity provably cannot serve), and
+      // repairFrom(mirror) heals both from the replica, md5-verified
+      // where indexed; parity then rebuilds and the version reads
+      // back byte-identical, scrub-clean. replicateTo is idempotent
+      // (asserted: the second sync moves zero files). Booleans for
+      // the DuckDB oracle, own fingerprint-keyed roots.
+      val fp = Tables.fingerprint(s, d, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pool_mirror_$fp"
+      val mirrorBase = s"${System.getProperty("java.io.tmpdir")}/graft_pool_mirror_m_$fp"
+      val store = new ManifestStore(s, base, "doc_id")
+      def src = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      if (store.versions().isEmpty) {
+        store.write(src, 1L, 6)
+        store.buildParity()
+        store.replicateTo(mirrorBase): Unit
+      } else {
+        // heal whatever a killed previous run left: mirror rung first
+        // (serves multi-loss), then parity refresh; a store still dirty
+        // after both rebuilds from scratch
+        store.repairFrom(mirrorBase)
+        store.updateParity()
+        if (store.scrubPool().filter(col("status") =!= "ok").count() > 0) {
+          val fsys = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+          fsys.delete(new org.apache.hadoop.fs.Path(mirrorBase), true): Unit
+          store.write(src, 1L, 6)
+          store.buildParity()
+          store.replicateTo(mirrorBase): Unit
+        }
+      }
+      import s.implicits._
+      val idempotent = store.replicateTo(mirrorBase)._1 == 0L
+      val fsys = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val victims = store.manifest(1L).select("file").as[String]
+        .collect().sorted.take(2).toSeq
+      victims.foreach(n =>
+        fsys.delete(new org.apache.hadoop.fs.Path(s"$base/files/$n"), false))
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$base/_pool_parity"), true)
+      val lossSeen = store.scrubPool()
+        .filter(col("status") === "missing_file").count() >= 2
+      val (healed, unhealed) = store.repairFrom(mirrorBase)
+      val healedOk = healed.size == victims.size && unhealed.isEmpty
+      store.buildParity()
+      val expect = src.select(col("doc_id"), md5(col("text")).as("h"))
+      val got = store.read(1L).select(col("doc_id"), md5(col("text")).as("h"))
+      val missing = expect.join(got, Seq("doc_id", "h"), "left_anti").count()
+      val extra = got.join(expect, Seq("doc_id", "h"), "left_anti").count()
+      val scrubBad = store.scrubPool().filter(col("status") =!= "ok").count()
+      Seq((expect.count(), idempotent && lossSeen && healedOk,
+          missing == 0L && extra == 0L && scrubBad == 0L))
+        .toDF("n_docs", "healed_ok", "restored_ok")
+    },
+
     "snap_linked_zorder" -> { (s, d) =>
       // The linked store's Z-ordered corner read: same 2-D clustering
       // as snap_restore_zorder, but stats live in the MANIFEST (no
@@ -788,6 +910,16 @@ object Snapshot {
       """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,
         |  TRUE AS orphan_found, TRUE AS clean_after
         |FROM orders""".stripMargin,
+
+    "snap_pool_parity_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS repaired_ok,
+        |  TRUE AS restored_ok
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    "snap_pool_mirror_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS healed_ok,
+        |  TRUE AS restored_ok
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "snap_linked_merge" ->
       """WITH survived AS (

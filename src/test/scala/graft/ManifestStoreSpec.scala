@@ -411,4 +411,154 @@ class ManifestStoreSpec extends SparkSpec {
     assert(st.getAs[Long]("n_rows") == 50L)
     assert(st.getAs[Long]("min_key") == 1L && st.getAs[Long]("max_key") == 50L)
   }
+
+  // ---- pool durability ladder -------------------------------------
+
+  private def fsOf(base: String) = {
+    val p = new Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  test("pool parity: planted single-file loss repairs; every referencing version restores byte-identical") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 300, "a"), 1L, numFiles = 6)
+    store.mergeDelta(1L, 2L, Seq((5L, "b-5")).toDF("k", "v"))
+    assert(store.buildParity() > 0L)
+    val v1 = contents(store.read(1L)); val v2 = contents(store.read(2L))
+    // lose a file SHARED by both versions (max blast radius)
+    val shared = (store.manifest(1L).select("file").as[String].collect().toSet
+      intersect store.manifest(2L).select("file").as[String].collect().toSet)
+    val victim = shared.toSeq.sorted.head
+    val fs = fsOf(base)
+    fs.delete(new Path(s"$base/files/$victim"), false)
+    assert(store.scrubPool().filter(col("status") === "missing_file").count() == 1L)
+    val (repaired, unrepairable) = store.repairFromParity()
+    assert(repaired.size == 1 && unrepairable.isEmpty)
+    assert(contents(store.read(1L)) == v1)
+    assert(contents(store.read(2L)) == v2)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+  }
+
+  test("updateParity: append-only merges fold in incrementally; vacuumed groups rebuild; emptied groups retire") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    store.buildParity()
+    store.mergeDelta(1L, 2L, Seq((3L, "b-3")).toDF("k", "v"))
+    // append-only steady state: groups that already had a sidecar fold
+    // the new files in incrementally; new files landing in a formerly
+    // EMPTY group get a fresh build (counted with rebuilds) — what can
+    // never happen here is a rescan forced by vanished indexed files
+    val (inc1, reb1) = store.updateParity()
+    assert(inc1 + reb1 > 0L, s"expected parity maintenance, got ($inc1, $reb1)")
+    // post-update, everything referenced is covered and clean
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    // prune v1 + vacuum deletes its exclusive files → their groups rebuild or retire
+    store.prune(keep = Seq(2L))
+    val (_, reb2) = store.updateParity()
+    assert(reb2 > 0L)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    // single-loss repair still works on the rebuilt sidecars
+    val survivor = store.manifest(2L).select("file").as[String].collect().sorted.head
+    fsOf(base).delete(new Path(s"$base/files/$survivor"), false)
+    val (repaired, bad) = store.repairFromParity()
+    assert(repaired.size == 1 && bad.isEmpty)
+  }
+
+  test("scrubPool: bit-rot surfaces, uncovered appends are advisory, rotation cycle covers every group") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 120, "a"), 1L, numFiles = 3)
+    store.buildParity()
+    // flip one byte in one pool file
+    val victim = store.manifest(1L).select("file").as[String].collect().sorted.head
+    val fs = fsOf(base)
+    val p = new Path(s"$base/files/$victim")
+    val raw = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x40).toByte
+    val out = fs.create(p, true); try out.write(raw) finally out.close()
+    val flagged = store.scrubPool().filter(col("status") === "bit_rot")
+      .select("file").as[String].collect().toSeq
+    assert(flagged == Seq(victim))
+    // restore health via parity (delete the rotted file → single loss)
+    fs.delete(p, false)
+    assert(store.repairFromParity()._1.size == 1)
+    // appended-after-build files read uncovered until updateParity
+    store.mergeDelta(1L, 2L, Seq((7L, "b-7")).toDF("k", "v"))
+    assert(store.scrubPool().filter(col("status") === "uncovered").count() > 0L)
+    store.updateParity()
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    // a full rotation cycle unions to the unsampled scrub
+    val full = store.scrubPool().collect().map(_.toSeq).toSet
+    val cycled = (0 until 5).flatMap(r =>
+      store.scrubPool(rotation = Some((r.toLong, 5))).collect().map(_.toSeq)).toSet
+    assert(cycled == full)
+  }
+
+  test("replicateTo: idempotent mirror sync; interrupted manifest copy rolls forward; mirror manifest damage re-copies") {
+    val (store, _) = newStore()
+    val mirrorBase = java.nio.file.Files.createTempDirectory("graft-manmirror").toString
+    store.write(rows(1 to 150, "a"), 1L, numFiles = 3)
+    store.mergeDelta(1L, 2L, Seq((9L, "b-9")).toDF("k", "v"))
+    val (copied1, bytes1, vs1, rep1) = store.replicateTo(mirrorBase)
+    assert(copied1 > 0L && bytes1 > 0L && vs1 == Seq(1L, 2L) && rep1 == 0)
+    val mirror = new ManifestStore(spark, mirrorBase, "k")
+    assert(contents(mirror.read(2L)) == contents(store.read(2L)))
+    // immediate re-run: nothing moves
+    assert(store.replicateTo(mirrorBase) == ((0L, 0L, Seq.empty[Long], 0)))
+    // crash window: a complete .tmp-repl-v= dir with the live dir gone
+    val mfs = fsOf(mirrorBase)
+    val live = new Path(s"$mirrorBase/_manifests/v=2")
+    val tmp = new Path(s"$mirrorBase/_manifests/.tmp-repl-v=2")
+    assert(mfs.rename(live, tmp))
+    mirror.recoverReplications()
+    assert(mfs.exists(live) && !mfs.exists(tmp))
+    assert(contents(mirror.read(2L)) == contents(store.read(2L)))
+    // mirror-side manifest damage: fingerprints differ → re-copied
+    mfs.delete(live, true)
+    mirror.manifest(1L).limit(1).write.mode("overwrite").parquet(live.toString)
+    val (_, _, vs2, rep2) = store.replicateTo(mirrorBase)
+    assert(vs2 == Seq.empty[Long] && rep2 == 1)
+    assert(contents(mirror.read(2L)) == contents(store.read(2L)))
+  }
+
+  test("repairFrom mirror: multi-loss beyond parity heals; a rotted mirror copy is refused") {
+    val (store, base) = newStore()
+    val mirrorBase = java.nio.file.Files.createTempDirectory("graft-manmirror2").toString
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    store.buildParity()
+    store.replicateTo(mirrorBase)
+    val v1 = contents(store.read(1L))
+    // lose TWO files of one parity group → parity alone refuses
+    val names = store.manifest(1L).select("file").as[String].collect().sorted
+    val grp = names.groupBy(_.take(1)).values.find(_.length >= 2)
+    val victims: Seq[String] = grp.map(_.take(2).toSeq).getOrElse(names.take(2).toSeq)
+    val fs = fsOf(base)
+    victims.foreach(n => fs.delete(new Path(s"$base/files/$n"), false))
+    if (grp.isDefined) assert(store.repairFromParity()._2.nonEmpty)
+    val (repaired, bad) = store.repairFrom(mirrorBase)
+    assert(repaired.size == victims.size && bad.isEmpty)
+    assert(contents(store.read(1L)) == v1)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    // now rot the MIRROR's copy of one file and lose it locally again:
+    // the md5-verified heal must refuse, not land garbage
+    val victim = victims.head
+    val mfs = fsOf(mirrorBase)
+    val mp = new Path(s"$mirrorBase/files/$victim")
+    val raw = {
+      val in = mfs.open(mp)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    raw(0) = (raw(0) ^ 0x01).toByte
+    val out = mfs.create(mp, true); try out.write(raw) finally out.close()
+    fs.delete(new Path(s"$base/files/$victim"), false)
+    // repairFrom verifies the mirror bytes against the parity index
+    // md5 BEFORE landing — the rotted copy must be refused
+    val (r2, bad2) = store.repairFrom(mirrorBase)
+    assert(r2.isEmpty && bad2 == Seq(victim))
+    // the parity rung still heals the (single) loss afterwards
+    assert(store.repairFromParity()._1.size == 1)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+  }
 }
