@@ -69,6 +69,23 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     publish(version, statsFor(names), commitTs)
   }
 
+  /** Land rewritten rows in the pool and return their manifest stats.
+    * A part file carrying ZERO rows (the write artifact of an
+    * all-delete rewrite) never enters the manifest — its stats row
+    * doesn't exist (the groupBy sees no rows), so referencing it
+    * would dangle — and is deleted on the spot. None when nothing
+    * with rows landed. */
+  private def landWithStats(df: DataFrame): Option[DataFrame] = {
+    val names = landInPool(df)
+    if (names.isEmpty) None
+    else {
+      val stats = statsFor(names).localCheckpoint()
+      val live = stats.select("file").collect().map(_.getString(0)).toSet
+      names.filterNot(live).foreach(n => fs.delete(new Path(poolDir, n), false))
+      if (live.isEmpty) None else Some(stats)
+    }
+  }
+
   /** Write a frame's part-files into the shared pool under fresh
     * unique names; returns the pool names. */
   private def landInPool(df: DataFrame): Seq[String] = {
@@ -92,6 +109,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * the metadata that makes its mixed-schema files readable. */
   private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_commit_ts"), true)
@@ -106,6 +124,23 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
   }
+
+  /** Persist the construction contract (key column) in `_store.json`
+    * at the base — [[SnapshotStore.ensureStoreMeta]]'s linked twin,
+    * consumed by SnapshotCatalog's SQL `DELETE FROM`. Idempotent. */
+  private def ensureStoreMeta(): Unit =
+    if (keyCol.nonEmpty) {
+      val p = new Path(basePath, "_store.json")
+      if (!fs.exists(p)) {
+        fs.mkdirs(new Path(basePath))
+        val esc = keyCol.replace("\\", "\\\\").replace("\"", "\\\"")
+        val out = fs.create(p, true)
+        try out.write(s"""{"keyCol": "$esc"}""".getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+  /** The key column recorded by [[ensureStoreMeta]], when present. */
+  def storedKeyCol(): Option[String] = SnapshotStore.readStoredKeyCol(fs, basePath)
 
   /** ZERO-COPY BRANCH — the Iceberg/Delta "shallow clone" primitive:
     * publish `newVersion` with the SAME manifest rows (and evolved
@@ -345,15 +380,18 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
-    val names = landInPool(
+    val stats = landWithStats(
       survivors.unionByName(upserts)
         .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
     // an all-delete merge can rewrite to nothing: the manifest is then
-    // just the shared entries
+    // just the shared entries — and a version that could end up with
+    // ZERO pool files records its schema sidecar so readers (incl. the
+    // SQL catalog) can still plan an empty scan over it
+    val nRewritten = stats.fold(0L)(_.count()).toInt
     publish(toVersion,
-      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs,
-      if (evolved) Some(unionSchema) else None)
-    (shared.count().toInt, names.size)
+      stats.fold(shared)(shared.unionByName(_)), commitTs,
+      if (evolved || stats.isEmpty) Some(unionSchema) else None)
+    (shared.count().toInt, nRewritten)
   }
 
   /** Predicate delete (GDPR erasure) — linked twin of
@@ -380,12 +418,16 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val kept = readFiles(fromVersion,
         matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
       .filter(!coalesce(pred, lit(false)))
-    val names = landInPool(
+    val stats = landWithStats(
       kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    // a delete that empties the table records the schema sidecar so
+    // the zero-file version still plans (see mergeDelta)
     publish(toVersion,
-      if (names.isEmpty) shared else shared.unionByName(statsFor(names)), commitTs,
-      evolvedSchema(fromVersion))
-    (shared.count().toInt, names.size, matching.values.sum)
+      stats.fold(shared)(shared.unionByName(_)), commitTs,
+      if (stats.isEmpty && shared.isEmpty)
+        evolvedSchema(fromVersion).orElse(Some(kept.schema))
+      else evolvedSchema(fromVersion))
+    (shared.count().toInt, stats.fold(0L)(_.count()).toInt, matching.values.sum)
   }
 
   /** Adopt a dir-per-version SnapshotStore chain into this (empty)
@@ -913,6 +955,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(targetBasePath != basePath, "replicate needs a distinct mirror root")
     val target = new ManifestStore(spark, targetBasePath, keyCol, statsCols)
     target.recoverReplications()
+    target.ensureStoreMeta() // a promoted mirror keeps the DML contract
     val tfs = new Path(targetBasePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // 1. pool files the mirror lacks — per-file streaming copies into a
     // tmp dir, renamed in one-by-one (each rename atomic; a crash

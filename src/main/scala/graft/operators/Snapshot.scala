@@ -602,6 +602,38 @@ object Snapshot {
         .orderBy("ver", "bucket")
     },
 
+    "snap_sql_delete" -> { (s, d) =>
+      // SQL DML through the catalog: `DELETE FROM <cat>.<table> WHERE
+      // <pred>` maps onto the LINKED store's deleteWhere via the DSv2
+      // row-level delete hook — the delete PUBLISHES a new version
+      // (v2) through the store's tmp+rename discipline, driven by the
+      // key column the store recorded in `_store.json`; `VERSION AS
+      // OF 1` must still read the pre-delete state (immutable
+      // history). Both reads' bucket aggregates hash-check against
+      // the declaratively rebuilt states. Fingerprint-keyed store +
+      // catalog name (catalog instances cache by name); warm passes
+      // skip the landed delete and time the two reads.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqldel_$fp"
+      val store = new ManifestStore(s, s"$base/orders_del", "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      if (!store.versions().contains(1L))
+        store.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapdel_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      if (!store.versions().contains(2L))
+        s.sql(s"DELETE FROM $cat.orders_del WHERE o_totalprice > 150000.0")
+      def agg(df: DataFrame, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("ver", lit(ver))
+      agg(s.sql(s"SELECT * FROM $cat.orders_del VERSION AS OF 1"), 1L)
+        .unionByName(agg(s.sql(s"SELECT * FROM $cat.orders_del"), 2L))
+        .orderBy("ver", "bucket")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -904,6 +936,21 @@ object Snapshot {
         |      AS sum_price,
         |    CAST(2 AS BIGINT) AS ver
         |  FROM v2 GROUP BY 1)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_delete" ->
+      """WITH a1 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM orders GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE NOT (o_totalprice > 150000.0) GROUP BY 1)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY ver, bucket""".stripMargin,
 
     "snap_orphan_audit" ->

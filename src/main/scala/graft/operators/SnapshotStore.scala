@@ -24,6 +24,23 @@ object SnapshotStore {
   /** One column-level change between two snapshot versions. */
   case class SchemaChange(column: String, change: String,
       fromType: Option[String], toType: Option[String])
+
+  /** Parse the `_store.json` sidecar's keyCol — shared by both store
+    * layouts and the SQL catalog (which lives under Spark's package
+    * root, hence public; a minimal fixed-shape parse — the sidecar is
+    * written by this library only). */
+  def readStoredKeyCol(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(basePath, "_store.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"keyCol\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+  }
 }
 
 /** Shared Morton-interleave column builder — the multi-column
@@ -84,6 +101,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * against. Pass it explicitly to backdate reproducible stores
     * (tests, replays); production writers take the default. */
   def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit = {
+    ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
@@ -97,6 +115,27 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val out = fs.create(new Path(versionDir, "_commit_ts"), true)
     try out.writeUTF(ts.toString) finally out.close()
   }
+
+  /** Persist the store's construction contract (the key column) in a
+    * `_store.json` sidecar at the base — so a METADATA-ONLY consumer
+    * (SnapshotCatalog's SQL `DELETE FROM`, which must drive a
+    * key-ordered rewrite) can recover it without the caller
+    * re-supplying what the store was built with. Idempotent, written
+    * on first publish; advisory (the store API itself never reads
+    * it back). */
+  private def ensureStoreMeta(): Unit =
+    if (keyCol.nonEmpty) {
+      val p = new Path(basePath, "_store.json")
+      if (!fs.exists(p)) {
+        fs.mkdirs(new Path(basePath))
+        val esc = keyCol.replace("\\", "\\\\").replace("\"", "\\\"")
+        val out = fs.create(p, true)
+        try out.write(s"""{"keyCol": "$esc"}""".getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+  /** The key column recorded by [[ensureStoreMeta]], when present. */
+  def storedKeyCol(): Option[String] = SnapshotStore.readStoredKeyCol(fs, basePath)
 
   /** When `version` was committed (epoch millis): the `_commit_ts`
     * sidecar when present, else the `_SUCCESS` marker's filesystem
@@ -457,6 +496,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
       commitTs: Option[Long] = None,
       fill: Map[String, Any] = Map.empty): (Int, Int) = {
+    ensureStoreMeta()
     val baseSchema = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     val baseNames = baseSchema.fieldNames.toSet
@@ -527,7 +567,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
-    val rewritten = survivors.unionByName(upserts)
+    // fills MATERIALIZE into rewritten files (an explicit null in a
+    // delta row for a filled column lands as the default): stored
+    // rows then need no read-time rewrite, so a plain SQL scan with
+    // the schema's existence defaults (SnapshotCatalog) reads the
+    // same values the store API does; carried pre-evolution files
+    // stay covered by the read-time fill / existence default.
+    val rewritten = applyFills(survivors.unionByName(upserts), unionSchema)
       .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
     // publish: spark writes the rewritten files (+_SUCCESS) to tmp,
     // untouched bytes copy in beside them, one rename goes live
@@ -607,6 +653,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
       numNewFiles: Int = 4, commitTs: Option[Long] = None,
       pruneHint: Option[(String, Any, Any)] = None): (Int, Int, Long) = {
+    ensureStoreMeta()
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
     require(!versions().contains(toVersion), s"version $toVersion already exists")
     val unionSchema = evolvedSchema(fromVersion)
@@ -640,9 +687,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val rewritten =
       if (touchedParts.isEmpty)
         spark.read.schema(unionSchema).parquet(dir(fromVersion)).limit(0)
-      else spark.read.schema(unionSchema)
-        .parquet(touchedParts.map(_.toString): _*)
-        .filter(!matches)
+      else applyFills(spark.read.schema(unionSchema)
+          .parquet(touchedParts.map(_.toString): _*)
+          .filter(!matches), unionSchema) // fills materialize on rewrite (see mergeDelta)
         .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
     rewritten.write.mode("overwrite").parquet(tmp.toString)
     val newNames = fs.listStatus(tmp).map(_.getPath.getName)

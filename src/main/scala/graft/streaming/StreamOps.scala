@@ -154,11 +154,20 @@ object StreamOps {
     * probe (any future left has lts > wm ≥ settled rts, so the max
     * settled right is always the best sub-watermark candidate). State
     * volume scales with watermark delay × arrival rate per key, never
-    * with stream length. Event-time timeouts drain pending lefts for
-    * keys whose stream goes quiet. */
+    * with stream length — but the settled element is PER KEY and
+    * permanent by default, so a query over an unbounded key space
+    * grows state with distinct-key cardinality for its lifetime.
+    * `idleKeyTtlMs` bounds that: once the watermark passes a quiet
+    * key's settled right by the TTL with nothing pending, the key's
+    * state drops entirely — a left arriving later than TTL after the
+    * key's newest right then reads a null match instead of the
+    * historical one (the documented trade; leave it None to keep
+    * exact backward semantics over bounded key spaces). Event-time
+    * timeouts drain pending lefts for keys whose stream goes quiet. */
   def asofStream(leftEvents: Dataset[Event], rightEvents: Dataset[Event],
       toleranceMs: Option[Long] = None,
-      watermarkDelay: String = "30 minutes"): Dataset[AsofUpdate] = {
+      watermarkDelay: String = "30 minutes",
+      idleKeyTtlMs: Option[Long] = None): Dataset[AsofUpdate] = {
     val spark = leftEvents.sparkSession
     import spark.implicits._
     // column-level projection (not .map): the event-time watermark tag
@@ -193,7 +202,10 @@ object StreamOps {
       val (settledR, pendR) = buf.rights.partition(_.tsMs <= wm)
       val newSettled = (buf.settled ++ settledR)
         .sortBy(r => (r.tsMs, r.eventId)).lastOption.toList
+      val ttlExpired = pendL.isEmpty && pendR.isEmpty &&
+        idleKeyTtlMs.exists(ttl => newSettled.forall(_.tsMs + ttl <= wm))
       if (pendL.isEmpty && pendR.isEmpty && newSettled.isEmpty) state.remove()
+      else if (ttlExpired) state.remove() // idle key reclaimed (see doc)
       else {
         state.update(AsofBuf(newSettled, pendR, pendL))
         // arm even with NO pending left: a key whose stream goes quiet
@@ -201,9 +213,13 @@ object StreamOps {
         // pending right, so the rights buffer compacts to the single
         // settled element instead of freezing at arrival size (the
         // settled element itself is kept — backward semantics need the
-        // latest historical right for any future probe)
+        // latest historical right for any future probe); with an idle
+        // TTL the fully-settled key re-arms once more, at expiry, so
+        // the state actually drops instead of waiting for traffic
         if (pendL.nonEmpty) state.setTimeoutTimestamp(pendL.map(_.tsMs).min)
         else if (pendR.nonEmpty) state.setTimeoutTimestamp(pendR.map(_.tsMs).max)
+        else idleKeyTtlMs.foreach(ttl =>
+          newSettled.foreach(s0 => state.setTimeoutTimestamp(s0.tsMs + ttl)))
       }
       out.iterator
     }

@@ -39,17 +39,25 @@ import graft.operators.SnapshotStore
   * unchanged — vectorized decode, filter pushdown, column pruning,
   * partition coalescing. `TIMESTAMP AS OF` arrives in MICROSECONDS
   * (the DSv2 contract); SnapshotStore commit timestamps are millis.
-  * Read-only by design: writes go through the store API, whose
-  * tmp+rename publish is the atomicity story — a catalog write path
-  * would bypass it.
   *
-  * One documented divergence: an EVOLVED SnapshotStore version whose
-  * `_schema.json` carries a non-null fill policy (`graft.fill`
-  * metadata) reads pre-evolution rows as NULL here, where
-  * `SnapshotStore.read` applies the fill — SQL sees the files'
-  * truth, the store API sees the policy view. Linked (ManifestStore)
-  * versions have no fill policy, so their SQL and API reads agree
-  * exactly.
+  * An evolved version's fill policy (`graft.fill` field metadata in
+  * its `_schema.json`) PROJECTS into the scan as Spark's own
+  * existence-default column metadata (`EXISTS_DEFAULT`): files that
+  * predate the column read the recorded default straight out of the
+  * parquet reader — still metadata-only, and the SQL read agrees with
+  * the store API's fill view (rewritten files materialize fills at
+  * write time, so no stored null survives in a filled column).
+  *
+  * DML: `DELETE FROM <cat>.<store> WHERE <pred>` maps onto the
+  * store's own `deleteWhere` via the DSv2 row-level delete hook
+  * ([[SupportsDelete]]) — it PUBLISHES A NEW VERSION through the
+  * store's tmp+rename discipline (time travel still reads the old
+  * one), driving the key-ordered rewrite with the key column the
+  * store recorded in `_store.json` at first publish. Version- and
+  * timestamp-pinned reads stay immutable (no delete hook), and every
+  * other mutation (CREATE/ALTER/DROP/INSERT) remains rejected: those
+  * go through the store API, whose publish protocol carries the
+  * atomicity contract a catalog write path would bypass.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -83,26 +91,74 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def linkedFor(ident: Identifier) =
     new graft.operators.ManifestStore(spark, storePath(ident), keyCol = "")
 
+  /** `graft.fill` field metadata → the SQL literal Spark's
+    * existence-default machinery evaluates at scan time. CAST keeps
+    * the parsed literal exactly the column's type (the default must
+    * be constant-foldable; a cast of a literal is). */
+  private def fillLiteral(f: org.apache.spark.sql.types.StructField): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (!f.metadata.contains("graft.fill")) None
+    else Some(f.dataType match {
+      case StringType =>
+        val esc = f.metadata.getString("graft.fill")
+          .replace("\\", "\\\\").replace("'", "\\'")
+        s"'$esc'"
+      case DoubleType | FloatType =>
+        s"CAST('${f.metadata.getDouble("graft.fill")}' AS ${f.dataType.sql})"
+      case BooleanType => f.metadata.getBoolean("graft.fill").toString
+      case dt => s"CAST(${f.metadata.getLong("graft.fill")} AS ${dt.sql})"
+    })
+  }
+
+  /** Project each recorded fill into Spark's own default-column
+    * metadata, so the parquet reader itself yields the fill for files
+    * that predate the column — metadata-only, no post-scan project. */
+  private def projectFills(sc: StructType): StructType =
+    StructType(sc.fields.map { f =>
+      fillLiteral(f) match {
+        case Some(sql) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", sql)
+            .putString("CURRENT_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+
   private def tableFor(ident: Identifier, linked: Boolean, version: Long): Table = {
     val base = storePath(ident)
     // paths: a snapshot version is its data dir; a LINKED version is
     // the manifest-resolved pool file list (shared files read in place
     // — the zero-copy property carries straight into SQL). Schema: the
-    // evolved union sidecar when present (old pool files then yield
-    // null for columns they predate), else mergeSchema infers across
-    // footers.
+    // evolved union sidecar when present (with fills projected as
+    // existence defaults — old pool files then yield the FILL for
+    // columns they predate, null absent a policy), else mergeSchema
+    // infers across footers.
     val (paths, evolved) =
       if (linked) {
         val st = linkedFor(ident)
         (st.manifest(version).select("file").collect()
           .map(r => s"$base/files/${r.getString(0)}").toSeq,
-          st.evolvedSchema(version))
+          st.evolvedSchema(version).map(projectFills))
       } else
-        (Seq(s"$base/v=$version"), storeFor(ident).evolvedSchema(version))
-    val opts = new CaseInsensitiveStringMap(
-      java.util.Map.of("path", paths.head, "mergeSchema", "true"))
-    ParquetTable(s"$catalogName.${ident.name()}@v$version", spark, opts,
-      paths, evolved, classOf[ParquetFileFormat])
+        (Seq(s"$base/v=$version"), storeFor(ident).evolvedSchema(version).map(projectFills))
+    // a linked version whose manifest lists ZERO pool files (an
+    // all-row deleteWhere / mergeDelta) plans an EMPTY scan over the
+    // recorded schema — absent that record there is nothing to infer
+    // a schema from, and the honest answer is a descriptive error
+    if (paths.isEmpty) {
+      val sc = evolved.getOrElse(throw new IllegalStateException(
+        s"$catalogName.${ident.name()} version $version references no data files " +
+          "and records no schema sidecar — cannot plan a scan"))
+      val opts = new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true"))
+      ParquetTable(s"$catalogName.${ident.name()}@v$version", spark, opts,
+        Nil, Some(sc), classOf[ParquetFileFormat])
+    } else {
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Map.of("path", paths.head, "mergeSchema", "true"))
+      ParquetTable(s"$catalogName.${ident.name()}@v$version", spark, opts,
+        paths, evolved, classOf[ParquetFileFormat])
+    }
   }
 
   /** One metadata resolution per loadTable: layout sniff + version
@@ -121,7 +177,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val (linked, vs) = resolve(ident)
-    tableFor(ident, linked, vs.max)
+    // only the TIP load carries the delete hook: history is immutable,
+    // and a delete appends version tip+1 through the store API
+    new SnapshotTable(
+      tableFor(ident, linked, vs.max).asInstanceOf[ParquetTable],
+      Some { pred =>
+        val base = storePath(ident)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val key = graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"DELETE needs the store's key column: $base/_store.json is absent " +
+              "(published by a pre-metadata build?) — delete through the store API"))
+        val tip = vs.max
+        if (linked)
+          new graft.operators.ManifestStore(spark, base, key)
+            .deleteWhere(tip, tip + 1, pred): Unit
+        else
+          new SnapshotStore(spark, base, key)
+            .deleteWhere(tip, tip + 1, pred): Unit
+      })
   }
 
   /** `VERSION AS OF <v>` */
@@ -214,7 +289,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
       s"SnapshotCatalog is read-only ($op): write through the SnapshotStore API, " +
-        "whose tmp+rename publish carries the atomicity contract")
+        "whose tmp+rename publish carries the atomicity contract " +
+        "(row-level DELETE FROM is the one supported SQL mutation)")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -224,4 +300,64 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
+}
+
+/** The table SnapshotCatalog serves: reads delegate verbatim to the
+  * resolved [[ParquetTable]] (full native scan stack), and — on tip
+  * loads only — DSv2 row-level DELETE translates the pushed filters
+  * to a store predicate and runs the store's own `deleteWhere`
+  * (publishing a new version; history stays readable). A filter the
+  * translator can't express makes `canDeleteWhere` answer false, so
+  * Spark raises the standard "cannot delete" analysis error instead
+  * of a silent partial delete. */
+private[graft] class SnapshotTable(delegate: ParquetTable,
+    onDelete: Option[org.apache.spark.sql.Column => Unit])
+    extends Table with SupportsRead with SupportsDelete {
+  import org.apache.spark.sql.sources._
+
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning
+  override def properties(): util.Map[String, String] = delegate.properties
+  override def capabilities(): util.Set[TableCapability] = delegate.capabilities
+  override def columns(): Array[Column] = delegate.columns()
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    delegate.newScanBuilder(options)
+
+  private def toColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => toColumn(l) && toColumn(r)
+      case Or(l, r) => toColumn(l) || toColumn(r)
+      case Not(c) => !toColumn(c)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE predicate not translatable: $other")
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    onDelete.isDefined &&
+      scala.util.Try(filters.foreach(toColumn)).isSuccess
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val deleter = onDelete.getOrElse(throw new UnsupportedOperationException(
+      "DELETE is only supported on the table tip — a version- or " +
+        "timestamp-pinned read is immutable history"))
+    deleter(filters.map(toColumn).reduceOption(_ && _).getOrElse(lit(true)))
+  }
 }

@@ -110,4 +110,59 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE snapcat.orders_snap").collect())
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
+
+  test("fill policy projects into the SQL scan: SQL read == store API read on an evolved version") {
+    root: Unit
+    val store = new SnapshotStore(spark, s"$root/fill_snap", "k")
+    store.writeRangePartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 1L, 2)
+    // evolve with a fill; one delta row carries an EXPLICIT null for
+    // the new column — it must read as the fill on BOTH surfaces
+    val delta = Seq((2L, "b2", Some(5L)), (4L, "d", None)).toDF("k", "v", "w")
+    store.mergeDelta(1L, 2L, delta, fill = Map("w" -> -1L))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    val api = setOf(store.read(2L))
+    val sql = setOf(spark.sql("SELECT k, v, w FROM snapcat.fill_snap"))
+    assert(sql == api, s"sql=$sql api=$api")
+    // carried pre-evolution row reads the fill (not null) in SQL …
+    assert(sql.contains((1L, "a", -1L)))
+    // … and so does the explicit-null delta row
+    assert(sql.contains((4L, "d", -1L)))
+  }
+
+  test("SQL DELETE publishes a new version on a snapshot store; history stays readable") {
+    root: Unit
+    val store = new SnapshotStore(spark, s"$root/del_snap", "k")
+    store.writeRangePartitioned(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), 1L, 2,
+      commitTs = Some(1000L))
+    spark.sql("DELETE FROM snapcat.del_snap WHERE k > 5")
+    assert(store.versions() == Seq(1L, 2L))
+    assert(rows("SELECT k, v FROM snapcat.del_snap") ==
+      (1L to 5L).map(k => (k, s"v$k")).toSet)
+    assert(rows("SELECT k, v FROM snapcat.del_snap VERSION AS OF 1") ==
+      (1L to 10L).map(k => (k, s"v$k")).toSet)
+    // an untranslatable predicate fails loud, publishing nothing
+    intercept[Exception](spark.sql("DELETE FROM snapcat.del_snap WHERE k % 2 = 0"))
+    assert(store.versions() == Seq(1L, 2L))
+  }
+
+  test("SQL DELETE on a linked store rides deleteWhere; an emptied version still plans") {
+    root: Unit
+    val linked = new graft.operators.ManifestStore(spark, s"$root/del_linked", "k")
+    linked.write((1L to 8L).map(k => (k, s"x$k")).toDF("k", "v"), 1L, numFiles = 2)
+    spark.sql("DELETE FROM snapcat.del_linked WHERE v = 'x3'")
+    assert(linked.versions() == Seq(1L, 2L))
+    assert(rows("SELECT k, v FROM snapcat.del_linked") ==
+      (1L to 8L).filterNot(_ == 3L).map(k => (k, s"x$k")).toSet)
+    // delete EVERYTHING: the zero-file version must read as empty, not
+    // throw out of loadTable
+    spark.sql("DELETE FROM snapcat.del_linked WHERE k >= 1")
+    assert(spark.sql("SELECT * FROM snapcat.del_linked").count() == 0L)
+    assert(rows("SELECT k, v FROM snapcat.del_linked VERSION AS OF 1") ==
+      (1L to 8L).map(k => (k, s"x$k")).toSet)
+  }
 }

@@ -1961,6 +1961,43 @@ class StreamingSpec extends SparkSpec {
         "compaction must keep the LATEST settled right, not drop it")
     } finally query.stop()
   }
+
+  test("asofStream idleKeyTtl reclaims a quiet key's settled state; a late probe reads null") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    // TTL = 60 min of event time: once the watermark passes a quiet
+    // key's newest right by an hour, its settled element drops
+    val query = StreamOps.asofStream(lefts.toDS(), rights.toDS(),
+        idleKeyTtlMs = Some(60L * 60000L))
+      .writeStream.format("memory").queryName("graft_asof_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // key 40 gets one right at t=0, then goes quiet
+      rights.addData(Event(100L, ts(0), 40L, "quote", 2.0))
+      lefts.addData(Event(98L, ts(100), 79L, "trade", 0.0))
+      rights.addData(Event(900L, ts(100), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      // wm ≈ 70 min: settled.ts(0) + ttl(60) ≤ wm → the idle timeout
+      // fires on the next batch and key 40's state drops
+      lefts.addData(Event(97L, ts(110), 79L, "trade", 0.0))
+      rights.addData(Event(901L, ts(110), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      // a late probe for key 40 now reads NULL — the historical right
+      // was reclaimed (the documented TTL trade)
+      lefts.addData(Event(1L, ts(150), 40L, "trade", 1.0))
+      query.processAllAvailable()
+      lefts.addData(Event(99L, ts(400), 77L, "trade", 0.0))
+      rights.addData(Event(902L, ts(400), 88L, "quote", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("graft_asof_ttl").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+      assert(got(1L).isEmpty,
+        s"TTL-reclaimed key must probe null, got ${got(1L)}")
+    } finally query.stop()
+  }
 }
 
 /** Test-only local FS whose rename can be armed to fail ONCE for a
