@@ -8,10 +8,11 @@ import graft.sources.Tables
 
 /** Multimodal column handling (SURVEY §2 group 7): image/audio/video
   * payloads ride as opaque `binary` columns with a typed metadata
-  * struct. The Spark-side plumbing — schema, batch iteration,
-  * partition-local decode — is real; the codec itself is a
-  * deterministic STUB (this container ships no image/audio libraries),
-  * clearly marked, with the same signature a real decoder would have.
+  * struct. IMAGE decode is REAL — the JDK's own codec stack
+  * (`javax.imageio`: PNG, JPEG, GIF, BMP ship with every JRE) decodes
+  * actual encoded bytes headlessly; the audio/video codecs remain out
+  * of scope for this container (frame sampling models the fan-out
+  * shape over opaque bytes).
   *
   * Scale notes: decode is a narrow per-partition map (`mapPartitions`
   * over an iterator — streaming, no materialized partition), so it
@@ -21,32 +22,148 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  /** Typed metadata a real image decoder would emit. */
+  /** Typed metadata the image decoder emits. */
   case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
 
-  /** STUB decoder — deterministic fake in place of a real codec
-    * (e.g. javax.imageio / ffmpeg). Derives plausible dimensions from
-    * the payload bytes so tests are stable. A production build swaps
-    * only this function. */
-  def stubDecodeImage(payload: Array[Byte]): ImageMeta = {
-    val h = java.util.Arrays.hashCode(payload)
-    ImageMeta(
-      width = 64 + math.abs(h % 1024),
-      height = 64 + math.abs((h / 1024) % 1024),
-      channels = 3,
-      format = if (payload.length % 2 == 0) "png" else "jpeg")
+  /** REAL image decode via the JDK codec stack: width/height come from
+    * the matched reader's header parse, channels from the decoded
+    * raster's color model, format from the reader that claimed the
+    * byte signature ("png", "jpeg", …). None for bytes no installed
+    * reader recognizes — the caller decides whether that is damage or
+    * just a non-image payload. Headless-safe (BufferedImage never
+    * touches a display). */
+  def decodeImage(payload: Array[Byte]): Option[ImageMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val img = r.read(0)
+          Some(ImageMeta(r.getWidth(0), r.getHeight(0),
+            img.getColorModel.getNumComponents,
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally in.close()
   }
 
-  /** Attach decoded metadata to a binary `payload` column. The decode
-    * runs partition-local via a typed map on (id, payload) rows. */
+  /** Decode a payload to its 8-bit luma plane (ITU-R BT.601 integer
+    * weights), row-major, with dimensions — the input every
+    * pixel-domain perceptual hash works on. */
+  def decodeLuma(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    val img = javax.imageio.ImageIO.read(in)
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val luma = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          luma(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, luma))
+    }
+  }
+
+  /** Deterministic test/bench raster: every pixel a pure function of
+    * (id, x, y), with the GRADIENT FREQUENCIES themselves driven by
+    * the id (multiplicative mixing — a purely additive id term would
+    * make every image a brightness shift of every other, and
+    * brightness shifts are exactly what [[pixelHash]] is invariant
+    * to). Dimensions are closed-form in the id, so decode results
+    * oracle-check declaratively. */
+  def syntheticRaster(id: Long): java.awt.image.BufferedImage = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * (3 + id % 7) + y * (5 + (id / 7) % 7) + id) % 256).toInt
+        val g = ((x * (7 + id % 5) + y * (2 + id % 9) + id * 3) % 256).toInt
+        val b = ((x * (11 + id % 3) + y * (4 + id % 11) + id * 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** [[syntheticRaster]] through the REAL JDK encoder — genuine
+    * PNG/JPEG bytes without shipping fixtures. */
+  def syntheticImage(id: Long, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(syntheticRaster(id), format, bos))
+      throw new IllegalArgumentException(s"no JDK encoder for format '$format'")
+    bos.toByteArray
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) over the real decoded luma plane:
+    * the image box-filters onto an 8×8 grid of cell means, bit i set
+    * iff cell i's mean exceeds the global mean — integer
+    * cross-multiplied, no float. Brightness-shift invariant (a
+    * uniform shift moves every mean equally) and compression-robust
+    * (JPEG noise rarely crosses a cell's mean across the global
+    * threshold), which is the property the pixel-domain gate pins.
+    * None for undecodable payloads. Queried at scale with
+    * [[Dedup.hammingNearDup]]'s banded equi-join. */
+  def pixelHash(payload: Array[Byte]): Option[Long] =
+    decodeLuma(payload).map { case (w, h, luma) =>
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val i = r * 8 + x * 8 / w
+          val v = luma(y * w + x)
+          cellSum(i) += v; cellN(i) += 1; total += v
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (cellN(i) > 0 && cellSum(i) * n > total * cellN(i)) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+  /** Attach decoded metadata to a binary `payload` column — real
+    * decode, partition-local via a typed map on (id, payload) rows;
+    * unrecognized payloads carry NULL metadata (kept, not dropped:
+    * the undecodable subset is usually the interesting audit). */
   def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val decoded = df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val m = stubDecodeImage(bytes)
-        (id, m.width, m.height, m.channels, m.format)
+        decodeImage(bytes) match {
+          case Some(m) => (id, Some(m.width), Some(m.height),
+            Some(m.channels), Some(m.format))
+          case None => (id, None, None, None, None)
+        }
       })
       .toDF(idCol, "width", "height", "channels", "format")
     df.join(decoded, idCol)
@@ -631,14 +748,80 @@ object Multimodal {
     },
 
     "mm_decode" -> { (s, d) =>
-      // Rows-only check: the stub decoder's outputs are deterministic
-      // but Spark-internal. Exercises the full binary-column decode
-      // path (typed mapPartitions over (id, payload) rows).
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // REAL image decode, HASH-CHECKED: every doc gets a genuine
+      // encoded image (JDK PNG encoder for even ids, JPEG for odd —
+      // real compressed bytes, not a fixture) whose dimensions are
+      // closed-form in the id, and javax.imageio decodes them back —
+      // so the DuckDB oracle recomputes width/height/channels/format
+      // declaratively and any header mis-parse hash-fails. Narrow
+      // typed maps end to end; payload bytes never cross a shuffle.
+      import s.implicits._
+      val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => (id, syntheticImage(id, if (id % 2 == 0) "png" else "jpg")))
+        .toDF("doc_id", "payload")
       decodeImageMeta(payloads, "doc_id", "payload")
-        .select("doc_id", "width", "height", "channels", "format")
+        .select(col("doc_id"), col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"), col("format"))
         .orderBy("doc_id")
+    },
+
+    "mm_decode_gate" -> { (s, d) =>
+      // Pixel-exactness gate behind mm_decode's header check: PNG is
+      // lossless, so the decoded LUMA of every synthetic image must
+      // equal the raster formula pixel-for-pixel (integer BT.601 on
+      // both sides) — a codec that parsed headers right but decoded
+      // pixels wrong fails HERE. One boolean row the oracle asserts.
+      import s.implicits._
+      val ok = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val decoded = decodeLuma(syntheticImage(id, "png"))
+          val img = syntheticRaster(id)
+          val exact = decoded.exists { case (w, h, luma) =>
+            w == img.getWidth && h == img.getHeight && {
+              var same = true
+              var y = 0
+              while (y < h && same) {
+                var x = 0
+                while (x < w && same) {
+                  val rgb = img.getRGB(x, y)
+                  val want = (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  same = luma(y * w + x) == want
+                  x += 1
+                }
+                y += 1
+              }
+              same
+            }
+          }
+          (id, exact)
+        }.toDF("doc_id", "ok")
+      ok.agg(count(lit(1)).as("n_docs"),
+        min(col("ok")).as("pixels_exact")) // min(bool) ≡ forall
+    },
+
+    "mm_pixelhash_gate" -> { (s, d) =>
+      // Pixel-domain perceptual hash gate over REAL codecs: for every
+      // doc, aHash(PNG) vs aHash(JPEG of the SAME raster) must sit
+      // within a small Hamming ball (compression robustness — the
+      // property that makes the hash a near-dup key), while hashes of
+      // DIFFERENT rasters (id vs id+1, structurally distinct by the
+      // frequency-mixed formula) separate on average. Booleans the
+      // oracle asserts; thresholds carry wide margins (measured ~1-2
+      // bits self vs ~20+ bits cross at sf0.01).
+      import s.implicits._
+      val stats = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val self = pixelHash(syntheticImage(id, "png")).get
+          val jpeg = pixelHash(syntheticImage(id, "jpg")).get
+          val other = pixelHash(syntheticImage(id + 1, "png")).get
+          (id, java.lang.Long.bitCount(self ^ jpeg).toLong,
+            java.lang.Long.bitCount(self ^ other).toLong)
+        }.toDF("doc_id", "d_self", "d_other")
+      stats.agg(count(lit(1)).as("n_docs"),
+        (max(col("d_self")) <= 8L).as("compression_robust"),
+        (avg(col("d_other")) > avg(col("d_self")) * 4).as("separated"))
     }
   )
 
@@ -663,6 +846,23 @@ object Multimodal {
 
     "mm_imagehash_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS pixels_exact
+        |FROM documents""".stripMargin,
+
+    "mm_pixelhash_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS compression_robust, TRUE AS separated
         |FROM documents""".stripMargin,
 
     "mm_binary_meta" ->

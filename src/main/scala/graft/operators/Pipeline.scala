@@ -603,6 +603,25 @@ object Pipeline {
         .orderBy("lang")
     },
 
+    "pipe_budget_bpe" -> { (s, d) =>
+      // TOKEN-ACCURATE budgeting: the budget counts BPE PIECES from
+      // the trained encoder (TextAnalysis.bpeEncode over the learned
+      // rank-1 vocabulary — the rank the oracle can replay in SQL),
+      // not whitespace tokens: the number a training run actually
+      // pays for. Same greedy keep-longest-until-spent shape as
+      // pipe_budget, stratified by language; the encode is a narrow
+      // broadcast map, the budget one per-language window.
+      val docs = Tables.documents(s, d)
+      val enc = TextAnalysis.bpeEncode(docs, TextAnalysis.learnBpeMerges(docs, 1))
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(enc.withColumnRenamed("n_bpe_pieces", "n_tokens")
+          .select("doc_id", "n_tokens"), Seq("doc_id"))
+      tokenBudget(withLang, "lang", 4000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
     "pipe_pack" -> { (s, d) =>
       // Pack surviving docs into 512-token training sequences per
       // language; report each sequence's doc count and token load
@@ -670,6 +689,7 @@ object Pipeline {
   )
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val toksSql = s"string_split($normSql, ' ')"
 
   val oracles: Map[String, String] = Map(
     "pipe_dataset_card" ->
@@ -896,6 +916,33 @@ object Pipeline {
          |  WHERE cum_tokens <= 2000)
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM budgeted GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_budget_bpe" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)
+         |  WHERE length(token) > 0),
+         |wf AS (SELECT token AS w, COUNT(*) AS f FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+         |    substr(w, CAST(i AS INT) + 1, 1) AS rhs, SUM(f) AS c
+         |  FROM wf, UNNEST(range(1, length(w))) AS u(i)
+         |  GROUP BY 1, 2),
+         |top1 AS (SELECT lhs || rhs AS pair FROM pairs ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |enc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(length(replace(token, (SELECT pair FROM top1), chr(1))))
+         |      AS BIGINT) AS n
+         |  FROM tok GROUP BY 1),
+         |j AS (
+         |  SELECT d.doc_id, d.lang, coalesce(e.n, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN enc e USING (doc_id)),
+         |c AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM j)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum <= 4000 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_pack" ->
       s"""WITH gated AS (

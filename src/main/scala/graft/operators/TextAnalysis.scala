@@ -774,6 +774,50 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Apply a learned merge list as a deterministic BPE ENCODER — the
+    * Sennrich '16 apply phase closing the loop [[learnBpeMerges]]
+    * opens: each token splits to characters and every merge applies
+    * in RANK ORDER, each rank one greedy left-to-right pass
+    * ([[mergePairIn]] — byte-for-byte the trainer's own segmentation,
+    * so encoding the training corpus under its own merges reproduces
+    * the trainer's final word shapes exactly). The merge list is
+    * `nMerges` rows by construction — collected once and BROADCAST
+    * into a narrow typed map (never a join: the corpus side stays
+    * shuffle-free); a per-partition memo exploits the Zipf head (a
+    * few thousand distinct tokens dominate any corpus partition).
+    * One row per doc: word/char/BPE-piece counts — the
+    * token-accurate budgeting inputs ([[Pipeline.tokenBudget]]). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked: Array[(String, String)] = merges.select("rank", "lhs", "rhs")
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(ranked)
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, toks) =>
+          var pieces = 0L
+          var chars = 0L
+          var words = 0L
+          toks.foreach { w =>
+            if (w.nonEmpty) {
+              words += 1
+              chars += w.length
+              pieces += memo.getOrElseUpdate(w, {
+                var syms = w.map(_.toString).toArray
+                ms.foreach { case (a, b) => syms = mergePairIn(syms, a, b) }
+                syms.length
+              })
+            }
+          }
+          (id, words, chars, pieces)
+        }
+      }.toDF("doc_id", "n_words", "n_chars", "n_bpe_pieces")
+  }
+
   /** Lexical-diversity profile — the vocabulary-richness quality
     * signal (low type/token ratio = repetitive or templated text;
     * high hapax share = rich or noisy): per doc, token count, distinct
@@ -836,6 +880,21 @@ object TextAnalysis {
       // freq-weighted adjacent character pair computed declaratively.
       learnBpeMerges(Tables.documents(s, d), 1)
         .select("lhs", "rhs", "pair_count")
+    },
+
+    "text_bpe_encode" -> { (s, d) =>
+      // HASH-CHECKED encode: the trained rank-1 vocabulary applied by
+      // the real encoder ([[bpeEncode]] — greedy ranked merge passes),
+      // per-doc piece counts. DuckDB REPLAYS the application: the
+      // rank-1 pair is SQL-computable (text_bpe_gate), and one greedy
+      // merge pass over a token is pure string algebra —
+      // length(replace(token, pair, <1 char>)) IS the piece count
+      // (replace scans left-to-right non-overlapping, exactly
+      // mergePairIn). Deeper vocabularies encode identically
+      // (spec-pinned against hand-worked merges); the driver checks
+      // the rank the oracle can express.
+      val docs = Tables.documents(s, d)
+      bpeEncode(docs, learnBpeMerges(docs, 1)).orderBy("doc_id")
     },
 
     "text_ttr" -> { (s, d) =>
@@ -1064,6 +1123,32 @@ object TextAnalysis {
          |  GROUP BY 1, 2)
          |SELECT lhs, rhs, CAST(c AS BIGINT) AS pair_count
          |FROM pairs ORDER BY c DESC, lhs, rhs LIMIT 1""".stripMargin,
+
+    "text_bpe_encode" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(t) AS u(token)
+         |  WHERE length(token) > 0),
+         |wf AS (SELECT token AS w, COUNT(*) AS f FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+         |    substr(w, CAST(i AS INT) + 1, 1) AS rhs, SUM(f) AS c
+         |  FROM wf, UNNEST(range(1, length(w))) AS u(i)
+         |  GROUP BY 1, 2),
+         |top1 AS (
+         |  SELECT lhs || rhs AS pair FROM pairs
+         |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |enc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(token)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(length(replace(token, (SELECT pair FROM top1), chr(1))))
+         |      AS BIGINT) AS n_bpe_pieces
+         |  FROM tok GROUP BY 1)
+         |SELECT d.doc_id, coalesce(e.n_words, 0) AS n_words,
+         |  coalesce(e.n_chars, 0) AS n_chars,
+         |  coalesce(e.n_bpe_pieces, 0) AS n_bpe_pieces
+         |FROM documents d LEFT JOIN enc e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_ttr" ->
       s"""WITH tok AS (

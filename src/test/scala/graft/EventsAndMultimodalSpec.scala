@@ -127,17 +127,55 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert((fixedBlocks(base) intersect fixedBlocks(edited)).size <= 2)
   }
 
-  test("decodeImageMeta attaches deterministic metadata") {
-    val df = Seq((1L, "imagebytes".getBytes), (2L, "other".getBytes)).toDF("id", "payload")
+  test("decodeImageMeta decodes real PNG/JPEG headers; non-images carry null metadata") {
+    val df = Seq(
+      (20L, Multimodal.syntheticImage(20L, "png")),
+      (21L, Multimodal.syntheticImage(21L, "jpg")),
+      (2L, "definitely not an image".getBytes)).toDF("id", "payload")
     val out = Multimodal.decodeImageMeta(df, "id", "payload")
     assert(out.columns.toSet == Set("id", "payload", "width", "height", "channels", "format"))
     val meta = out.select("id", "width", "height", "channels", "format").collect()
-    assert(meta.forall(_.getAs[Int]("width") >= 64))
-    // determinism: same payload → same metadata (byte arrays excluded —
-    // Array equality is referential and poisons Row/Set comparison)
-    val again = Multimodal.decodeImageMeta(df, "id", "payload")
-      .select("id", "width", "height", "channels", "format").collect()
-    assert(meta.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+      .map(r => r.getLong(0) -> r).toMap
+    // dimensions are closed-form in the id: w = 8 + id%16, h = 8 + (id/16)%16
+    assert(meta(20L).getInt(1) == 12 && meta(20L).getInt(2) == 9)
+    assert(meta(20L).getString(4) == "png" && meta(20L).getInt(3) == 3)
+    assert(meta(21L).getInt(1) == 13 && meta(21L).getString(4) == "jpeg")
+    assert(meta(2L).isNullAt(1) && meta(2L).isNullAt(4),
+      "unrecognized bytes must yield null metadata, not an error")
+  }
+
+  test("PNG round-trips pixels exactly; pixel aHash survives JPEG, separates rasters, ignores brightness") {
+    val id = 37L
+    val Some((w, h, luma)) = Multimodal.decodeLuma(Multimodal.syntheticImage(id, "png"))
+    val img = Multimodal.syntheticRaster(id)
+    assert(w == img.getWidth && h == img.getHeight)
+    val rgb0 = img.getRGB(3, 2)
+    val want = (299 * ((rgb0 >> 16) & 0xff) + 587 * ((rgb0 >> 8) & 0xff) +
+      114 * (rgb0 & 0xff)) / 1000
+    assert(luma(2 * w + 3) == want, "lossless decode must match the raster formula")
+    // aHash: JPEG noise stays within a small Hamming ball …
+    val hp = Multimodal.pixelHash(Multimodal.syntheticImage(id, "png")).get
+    val hj = Multimodal.pixelHash(Multimodal.syntheticImage(id, "jpg")).get
+    assert(java.lang.Long.bitCount(hp ^ hj) <= 8)
+    // … a structurally different raster separates …
+    val ho = Multimodal.pixelHash(Multimodal.syntheticImage(id + 1, "png")).get
+    assert(java.lang.Long.bitCount(hp ^ ho) > 8)
+    // … and a uniform brightness shift changes NOTHING (cell means and
+    // the global mean move together)
+    val bright = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        def lift(v: Int) = math.min(255, v + 10)
+        b.setRGB(x, y, (lift((p >> 16) & 0xff) << 16) |
+          (lift((p >> 8) & 0xff) << 8) | lift(p & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    assert(java.lang.Long.bitCount(
+      hp ^ Multimodal.pixelHash(bright).get) <= 2)
   }
 
   test("sampleFrames fans out strided fixed-size windows") {

@@ -94,6 +94,32 @@ class TextAndSimilaritySpec extends SparkSpec {
       (1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
   }
 
+  test("bpeEncode applies ranked merges greedily — hand-worked counts, trainer round-trip") {
+    val df = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    // under the trained merges (a,a) (a,b) (aa,ab): aaab → [aa][ab] →
+    // after rank-3 → [aaab], a single piece per word
+    val full = TextAnalysis.bpeEncode(df, TextAnalysis.learnBpeMerges(df, 5))
+      .collect().head
+    assert((full.getAs[Long]("n_words"), full.getAs[Long]("n_chars"),
+      full.getAs[Long]("n_bpe_pieces")) == ((3L, 12L, 3L)))
+    // rank-1 only: aaab → [aa][a][b] = 3 pieces/word (greedy left-to-
+    // right: the FIRST aa merges, the remaining a cannot re-pair)
+    val r1 = TextAnalysis.bpeEncode(df, TextAnalysis.learnBpeMerges(df, 1))
+      .collect().head
+    assert(r1.getAs[Long]("n_bpe_pieces") == 9L)
+    // empty merge list degenerates to the character count
+    val r0 = TextAnalysis.bpeEncode(df,
+      TextAnalysis.learnBpeMerges(df, 1).limit(0)).collect().head
+    assert(r0.getAs[Long]("n_bpe_pieces") == r0.getAs[Long]("n_chars"))
+    // multi-doc: per-doc counts independent, zero-token doc carried
+    val multi = Seq((1L, "aaab xy"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(multi, TextAnalysis.learnBpeMerges(df, 5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_pieces"))).toMap
+    assert(got(1L) == ((2L, 3L))) // aaab→1 piece, xy→2 pieces (no merge hits)
+    assert(got(2L)._1 == 0L && got(2L)._2 == 0L)
+  }
+
   test("rangeSearch returns every neighbor at-or-over the rounded threshold, never self") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
