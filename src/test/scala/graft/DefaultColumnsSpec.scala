@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Scratch: does EXISTS_DEFAULT field metadata make the parquet reader
-  * fill MISSING columns with the default instead of null? */
-class ScratchDefaultSpec extends SparkSpec {
+/** Regression pin for the Spark mechanism SnapshotCatalog's fill
+  * projection rides: EXISTS_DEFAULT field metadata makes the parquet
+  * reader fill MISSING columns with the default instead of null. If a
+  * Spark upgrade drops this, the catalog's SQL/API fill convergence
+  * breaks here first, by name. */
+class DefaultColumnsSpec extends SparkSpec {
   import spark.implicits._
 
   test("EXISTS_DEFAULT metadata fills missing columns at scan time") {
