@@ -813,15 +813,22 @@ object Multimodal {
       // (measured: p99 = 5 bits at both sf0.01 and sf0.1 while the
       // max drifted 7→9 on the 10× corpus); separation pins the
       // means, 0.96 vs 15.7 bits at sf0.1 — a 4× margin.
+      // each doc's raster is encoded+decoded+hashed ONCE per format;
+      // the cross-raster distance joins the NEXT doc's already-
+      // computed PNG hash instead of running the codec a third time
+      // (an equi-join on a long key — cheap next to real codec work)
       import s.implicits._
-      val stats = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val self = pixelHash(syntheticImage(id, "png")).get
-          val jpeg = pixelHash(syntheticImage(id, "jpg")).get
-          val other = pixelHash(syntheticImage(id + 1, "png")).get
-          (id, java.lang.Long.bitCount(self ^ jpeg).toLong,
-            java.lang.Long.bitCount(self ^ other).toLong)
-        }.toDF("doc_id", "d_self", "d_other")
+          (id, pixelHash(syntheticImage(id, "png")).get,
+            pixelHash(syntheticImage(id, "jpg")).get)
+        }.toDF("doc_id", "h_png", "h_jpg").localCheckpoint()
+      val next = hashes.select((col("doc_id") - 1L).as("doc_id"),
+        col("h_png").as("h_next"))
+      val stats = hashes.join(next, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          bit_count(col("h_png").bitwiseXOR(col("h_jpg"))).cast(LongType).as("d_self"),
+          bit_count(col("h_png").bitwiseXOR(col("h_next"))).cast(LongType).as("d_other"))
       stats.agg(count(lit(1)).as("n_docs"),
         (expr("percentile(d_self, 0.99)") <= 8.0).as("compression_robust"),
         (avg(col("d_other")) > avg(col("d_self")) * 4).as("separated"))

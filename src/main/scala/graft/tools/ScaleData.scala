@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Synthesizes an sf×`factor` dataset from an existing sf dir by key-
   * shifted replication — the input for the scaling checkpoint (no
   * sf1 exists in /root/testdata and it is read-only). Per replica i:
@@ -87,19 +89,24 @@ object ScaleData {
       col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), shiftTs("l_shipdate")), "lineitem")
 
-    // events: read/write through the raw BIGINT-ns schema (inference
-    // on the ns timestamps throws — see Tables.events)
-    val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val events = spark.read.schema(eventsSchema).parquet(s"$src/events.parquet")
+    // events: the source's ts physical unit is FOOTER-DETECTED (the
+    // generator has flipped between bare-INT64 ns and TIMESTAMP µs —
+    // Tables.events' discipline; assuming ns against a µs source
+    // inflates the replica shift 1000× AND hands the reader an
+    // un-annotated copy it mis-decodes, collapsing the time axis to
+    // days at 33× density — the r10 sf1 ev_sliding blowup). Whatever
+    // the source, rows normalize to epoch-µs longs here and the copy
+    // WRITES annotated TIMESTAMP_MICROS, so readers never re-detect.
+    val events = Tables.events(spark, src) // unit-exact decode to TIMESTAMP
+      .withColumn("ts", unix_micros(col("ts")))
     val (eOff, uOff) = (off(events, "event_id"), off(events, "user_id"))
-    // ns timestamps shift by i·(span + 1 day): the event-time axis
+    // µs timestamps shift by i·(span + 1 day): the event-time axis
     // grows with the data (fixed-span densification would make every
     // windowed/interval join's output quadratic in the factor)
     val b = events.agg(min(col("ts")), max(col("ts"))).head()
-    val spanNs = b.getLong(1) - b.getLong(0) + 86400L * 1000000000L
+    val spanUs = b.getLong(1) - b.getLong(0) + 86400L * 1000000L
     write(events.crossJoin(reps).select(shift("event_id", eOff),
-      (col("ts") + col("__rep") * lit(spanNs)).as("ts"),
+      timestamp_micros(col("ts") + col("__rep") * lit(spanUs)).as("ts"),
       shift("user_id", uOff), col("event_type"), col("value"), col("props")), "events")
 
     val documents = load("documents")

@@ -253,4 +253,35 @@ class DataQualitySpec extends SparkSpec {
     assert(k.isNullAt(k.fieldIndex("entropy_norm"))) // undefined at 1 value
     assert(k.getAs[Double]("gini") == 0.0)
   }
+
+  test("corrMatrix: exact Pearson on full columns; pairwise-complete stats on nullable ones; degenerate guards") {
+    // full columns (fast path): y = 2x exactly -> corr 1; z anti-corr
+    val full = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = DataQuality.corrMatrix(full, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("corr")).map(_.toDouble))).toMap
+    assert(got(("x", "y")) == ((3L, Some(1.0))))
+    assert(got(("x", "z")) == ((3L, Some(-1.0))))
+    // nullable column (conditional path): the pair (x,w) must use ONLY
+    // rows where BOTH are present — rows 1,2,4: x=(1,2,4), w=(2,4,8)
+    // -> corr 1 over n=3; a sum over inconsistent row sets (the r9
+    // bug) would not return exactly 1
+    val withNulls = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), None: Option[Double]), (Some(4.0), Some(8.0)),
+      (None: Option[Double], Some(100.0)))
+      .toDF("x", "w")
+    val g2 = DataQuality.corrMatrix(withNulls, Seq("x", "w")).collect().head
+    assert(g2.getAs[Long]("n") == 3L)
+    assert(g2.getAs[Double]("corr") == 1.0)
+    // zero variance -> NULL, both paths
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    assert(DataQuality.corrMatrix(const, Seq("a", "b")).collect().head.isNullAt(3))
+    // an all-null pair -> n=0, NULL corr, no division blowup
+    val allNull = Seq((Some(1.0), None: Option[Double]),
+      (Some(2.0), None: Option[Double])).toDF("a", "b")
+    val g3 = DataQuality.corrMatrix(allNull, Seq("a", "b")).collect().head
+    assert(g3.getAs[Long]("n") == 0L && g3.isNullAt(3))
+  }
 }
