@@ -48,7 +48,8 @@ import graft.operators.SnapshotStore
   * the store API's fill view (rewritten files materialize fills at
   * write time, so no stored null survives in a filled column).
   *
-  * DML: `DELETE FROM <cat>.<store> WHERE <pred>` maps onto the
+  * DML: `DELETE FROM <cat>.<store> WHERE <pred>` (and `TRUNCATE
+  * TABLE`, which rides the same hook) maps onto the
   * store's own `deleteWhere` via the DSv2 row-level delete hook
   * ([[SupportsDelete]]) — it PUBLISHES A NEW VERSION through the
   * store's tmp+rename discipline (time travel still reads the old

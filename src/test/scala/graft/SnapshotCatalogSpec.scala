@@ -165,4 +165,17 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(rows("SELECT k, v FROM snapcat.del_linked VERSION AS OF 1") ==
       (1L to 8L).map(k => (k, s"x$k")).toSet)
   }
+
+  test("SQL TRUNCATE TABLE rides the delete hook: new empty version, history intact") {
+    root: Unit
+    val store = new SnapshotStore(spark, s"$root/trunc_snap", "k")
+    store.writeRangePartitioned(
+      (1L to 6L).map(k => (k, s"t$k")).toDF("k", "v"), 1L, 2,
+      commitTs = Some(1000L))
+    spark.sql("TRUNCATE TABLE snapcat.trunc_snap")
+    assert(store.versions() == Seq(1L, 2L))
+    assert(spark.sql("SELECT * FROM snapcat.trunc_snap").count() == 0L)
+    assert(rows("SELECT k, v FROM snapcat.trunc_snap VERSION AS OF 1") ==
+      (1L to 6L).map(k => (k, s"t$k")).toSet)
+  }
 }
