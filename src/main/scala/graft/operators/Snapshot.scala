@@ -634,6 +634,61 @@ object Snapshot {
         .orderBy("ver", "bucket")
     },
 
+    "snap_sql_merge" -> { (s, d) =>
+      // SQL `MERGE INTO` through the catalog on BOTH store layouts —
+      // the lake engine's flagship DML verb, executed by
+      // GraftMergeStrategy through each store's own mergeDelta. One
+      // deterministic source carries all three clause kinds: matched
+      // repriced rows (key%5=0, key%7≠0 → UPDATE SET), matched
+      // tombstones (key%7=0 → DELETE), and fresh keys (+1e8 offset →
+      // conditional INSERT). Both layouts' tip AND v1 (immutable
+      // history) bucket-aggregate against the declaratively rebuilt
+      // states; the two layouts must agree exactly. Fingerprint-keyed
+      // stores + catalog name (catalog instances cache by name); warm
+      // passes skip the landed merges and time the four reads.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlmerge_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val snap = new SnapshotStore(s, s"$base/om_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/om_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapmrg_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val k = col("o_orderkey")
+      val src = ord.filter(k % 5 === 0 && k % 7 =!= 0)
+        .select(k.as("mk"), (col("o_totalprice") + 100.0).as("p"), lit("u").as("op"))
+        .unionByName(ord.filter(k % 7 === 0)
+          .select(k.as("mk"), col("o_totalprice").as("p"), lit("d").as("op")))
+        .unionByName(ord.filter(k % 3 === 0)
+          .select((k + 100000000L).as("mk"),
+            (col("o_totalprice") + 7.0).as("p"), lit("i").as("op")))
+      src.createOrReplaceTempView(s"merge_src_$fp")
+      for (t <- Seq("om_snap", "om_linked")) {
+        val landed = (if (t == "om_snap") snap.versions() else linked.versions())
+          .contains(2L)
+        if (!landed)
+          s.sql(
+            s"""MERGE INTO $cat.$t t USING merge_src_$fp s ON t.o_orderkey = s.mk
+               |WHEN MATCHED AND s.op = 'd' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+               |WHEN NOT MATCHED AND s.op = 'i'
+               |  THEN INSERT (o_orderkey, o_totalprice) VALUES (s.mk, s.p)""".stripMargin)
+      }
+      def agg(df: DataFrame, layout: String, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(layout)).withColumn("ver", lit(ver))
+      Seq("om_snap", "om_linked").map { t =>
+        agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1"), t, 1L)
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), t, 2L))
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -960,6 +1015,33 @@ object Snapshot {
         |    CAST(2 AS BIGINT) AS ver
         |  FROM orders WHERE NOT (o_totalprice > 150000.0) GROUP BY 1)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_merge" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |         THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey,
+        |    o_totalprice + 7 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |a1 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM orders GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM fin GROUP BY 1)
+        |SELECT l.layout, a.bucket, a.n, a.sum_price, a.ver
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
+        |CROSS JOIN (VALUES ('om_snap'), ('om_linked')) AS l(layout)
+        |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
 
     "snap_orphan_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => TopKPerKeyRule)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => GraftMergeStrategy)
   }
 }
 
@@ -81,6 +82,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraStrategies.contains(GraftMergeStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftMergeStrategy
     }
   }
 }

@@ -178,26 +178,42 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val (linked, vs) = resolve(ident)
-    // only the TIP load carries the delete hook: history is immutable,
-    // and a delete appends version tip+1 through the store API
+    val tip = vs.max
+    // a DML hook recovers the key column the store recorded at first
+    // publish — the metadata that lets SQL drive a key-ordered rewrite
+    def storedKey(verb: String): String = {
+      val base = storePath(ident)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"$verb needs the store's key column: $base/_store.json is absent " +
+            s"(published by a pre-metadata build?) — $verb through the store API"))
+    }
+    // only the TIP load carries the DML hooks: history is immutable,
+    // and a delete/merge appends version tip+1 through the store API
     new SnapshotTable(
-      tableFor(ident, linked, vs.max).asInstanceOf[ParquetTable],
+      tableFor(ident, linked, tip).asInstanceOf[ParquetTable],
       Some { pred =>
-        val base = storePath(ident)
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val key = graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
-          .getOrElse(throw new UnsupportedOperationException(
-            s"DELETE needs the store's key column: $base/_store.json is absent " +
-              "(published by a pre-metadata build?) — delete through the store API"))
-        val tip = vs.max
+        val key = storedKey("DELETE")
         if (linked)
-          new graft.operators.ManifestStore(spark, base, key)
+          new graft.operators.ManifestStore(spark, storePath(ident), key)
             .deleteWhere(tip, tip + 1, pred): Unit
         else
-          new SnapshotStore(spark, base, key)
+          new SnapshotStore(spark, storePath(ident), key)
             .deleteWhere(tip, tip + 1, pred): Unit
-      })
+      },
+      Some(StoreMergeHook(
+        () => storedKey("MERGE"),
+        (delta, deleteKeys) => {
+          val key = storedKey("MERGE")
+          if (linked)
+            new graft.operators.ManifestStore(spark, storePath(ident), key)
+              .mergeDelta(tip, tip + 1, delta, deleteKeys): Unit
+          else
+            new SnapshotStore(spark, storePath(ident), key)
+              .mergeDelta(tip, tip + 1, delta, deleteKeys): Unit
+        })))
   }
 
   /** `VERSION AS OF <v>` */
@@ -303,6 +319,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     readOnly("renameTable")
 }
 
+/** The DML contract [[GraftMergeStrategy]] executes against: the
+  * store's recorded key column (resolved lazily — one sidecar read)
+  * and a runner that lands (delta, deleteKeys) as a new tip version
+  * through the store's own `mergeDelta`. */
+private[graft] case class StoreMergeHook(
+    keyCol: () => String,
+    run: (org.apache.spark.sql.DataFrame,
+      Option[org.apache.spark.sql.DataFrame]) => Unit)
+
 /** The table SnapshotCatalog serves: reads delegate verbatim to the
   * resolved [[ParquetTable]] (full native scan stack), and — on tip
   * loads only — DSv2 row-level DELETE translates the pushed filters
@@ -310,9 +335,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   * (publishing a new version; history stays readable). A filter the
   * translator can't express makes `canDeleteWhere` answer false, so
   * Spark raises the standard "cannot delete" analysis error instead
-  * of a silent partial delete. */
+  * of a silent partial delete. `MERGE INTO` rides [[StoreMergeHook]]
+  * via [[GraftMergeStrategy]] (registered by [[GraftExtensions]]). */
 private[graft] class SnapshotTable(delegate: ParquetTable,
-    onDelete: Option[org.apache.spark.sql.Column => Unit])
+    onDelete: Option[org.apache.spark.sql.Column => Unit],
+    val onMerge: Option[StoreMergeHook] = None)
     extends Table with SupportsRead with SupportsDelete {
   import org.apache.spark.sql.sources._
 

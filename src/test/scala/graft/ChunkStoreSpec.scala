@@ -782,6 +782,26 @@ class ChunkStoreSpec extends SparkSpec {
       .forall(_.getAs[String]("status") == "covered"))
   }
 
+  test("parity publish crash window: a parked aside sidecar is restored before any parity pass") {
+    val base = Files.createTempDirectory("graft_chunk_parity_aside").toString
+    val store = new ChunkStore(spark, base, master, nBuckets = 4)
+    store.backup(payloadRows(false, false, false), "id", "payload", 1L)
+    store.buildParity()
+    // simulate a crash between rename(live→aside) and rename(tmp→live)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/chunks"))
+      .map(_.getPath).filter(_.getName.startsWith("bucket=")).minBy(_.getName)
+    val live = new org.apache.hadoop.fs.Path(bdir, "_parity")
+    val aside = new org.apache.hadoop.fs.Path(bdir, "._parity.old-deadbeef")
+    assert(fs.rename(live, aside))
+    assert(!fs.exists(live))
+    // any parity pass recovers it first: scrub reports no uncovered
+    // rows for that bucket, and the sidecar is back under its live name
+    assert(store.scrub().filter(col("status") =!= "ok").count() == 0L)
+    assert(fs.exists(live) && !fs.exists(aside))
+  }
+
   test("updateParity folds appended files incrementally — sidecar byte-equal to a full rebuild, repair intact") {
     val base = Files.createTempDirectory("graft_chunk_parity_upd").toString
     val store = new ChunkStore(spark, base, master, nBuckets = 4)

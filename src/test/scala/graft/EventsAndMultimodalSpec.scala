@@ -142,6 +142,20 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(meta(21L).getInt(1) == 13 && meta(21L).getString(4) == "jpeg")
     assert(meta(2L).isNullAt(1) && meta(2L).isNullAt(4),
       "unrecognized bytes must yield null metadata, not an error")
+    // one-pass contract: attaching metadata shuffles NOTHING — a plan
+    // with an Exchange would move the binary payload bytes
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("decodeLuma: corrupt/truncated payloads yield None, not a task-killing exception") {
+    val ok = Multimodal.syntheticImage(5L, "png")
+    assert(Multimodal.decodeLuma(ok).isDefined)
+    // a recognized-but-truncated PNG makes ImageIO.read THROW — the
+    // decode contract is None, same as decodeImage
+    assert(Multimodal.decodeLuma(ok.take(ok.length / 2)).isEmpty)
+    assert(Multimodal.decodeLuma(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.pixelHash(ok.take(ok.length / 2)).isEmpty)
   }
 
   test("PNG round-trips pixels exactly; pixel aHash survives JPEG, separates rasters, ignores brightness") {

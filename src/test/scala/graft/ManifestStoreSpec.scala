@@ -448,18 +448,113 @@ class ManifestStoreSpec extends SparkSpec {
     // the new files in incrementally; new files landing in a formerly
     // EMPTY group get a fresh build (counted with rebuilds) — what can
     // never happen here is a rescan forced by vanished indexed files
-    val (inc1, reb1) = store.updateParity()
+    val (inc1, reb1, skip1) = store.updateParity()
     assert(inc1 + reb1 > 0L, s"expected parity maintenance, got ($inc1, $reb1)")
+    assert(skip1.isEmpty)
     // post-update, everything referenced is covered and clean
     assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
     // prune v1 + vacuum deletes its exclusive files → their groups rebuild or retire
     store.prune(keep = Seq(2L))
-    val (_, reb2) = store.updateParity()
-    assert(reb2 > 0L)
+    val (_, reb2, skip2) = store.updateParity()
+    assert(reb2 > 0L && skip2.isEmpty)
     assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
     // single-loss repair still works on the rebuilt sidecars
     val survivor = store.manifest(2L).select("file").as[String].collect().sorted.head
     fsOf(base).delete(new Path(s"$base/files/$survivor"), false)
+    val (repaired, bad) = store.repairFromParity()
+    assert(repaired.size == 1 && bad.isEmpty)
+  }
+
+  private def parityGroups(base: String): Seq[String] = {
+    val p = new Path(s"$base/_pool_parity")
+    val fs = fsOf(base)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("g="))
+      .map(_.drop(2)).toIndexedSeq.sorted
+  }
+
+  test("parity group width scales with pool size; rotation still covers every group; repair intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    // tiny filesPerGroup target so a 40-file pool already earns a
+    // 2-char scheme (256 possible groups) — >16 groups, the scale knob
+    val store = new ManifestStore(spark, base, "k", parityFilesPerGroup = 2)
+    store.write(rows(1 to 400, "a"), 1L, numFiles = 40)
+    assert(poolFiles(base).size == 40)
+    store.buildParity()
+    val groups = parityGroups(base)
+    assert(groups.size > 16, s"expected >16 groups, got ${groups.size}")
+    assert(groups.forall(_.length == 2), groups)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    // a rotation cycle still unions to the full scrub at >16 groups
+    val full = store.scrubPool().collect().map(_.toSeq).toSet
+    val cycled = (0 until 7).flatMap(r =>
+      store.scrubPool(rotation = Some((r.toLong, 7))).collect().map(_.toSeq)).toSet
+    assert(cycled == full)
+    // planted single loss repairs under the wider scheme
+    val v1 = contents(store.read(1L))
+    val victim = store.manifest(1L).select("file").as[String].collect().sorted.head
+    fsOf(base).delete(new Path(s"$base/files/$victim"), false)
+    val (repaired, bad) = store.repairFromParity()
+    assert(repaired.size == 1 && bad.isEmpty)
+    assert(contents(store.read(1L)) == v1)
+  }
+
+  test("updateParity migrates to a wider scheme when the pool outgrows it") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manstore").toString
+    val store = new ManifestStore(spark, base, "k", parityFilesPerGroup = 2)
+    store.write(rows(1 to 80, "a"), 1L, numFiles = 8)
+    store.buildParity()
+    assert(parityGroups(base).forall(_.length == 1))
+    // an independent version lands 30 more pool files: 38 > 16·2 → the
+    // pool has outgrown width 1; maintenance regroups wholesale
+    store.write(rows(1001 to 1600, "b"), 2L, numFiles = 30)
+    val (_, rebuilt, skipped) = store.updateParity()
+    assert(rebuilt > 0L && skipped.isEmpty)
+    val groups = parityGroups(base)
+    assert(groups.nonEmpty && groups.forall(_.length == 2),
+      s"expected all width-2 groups after migration, got $groups")
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+  }
+
+  test("updateParity fails closed on a damage-lost referenced file — parity survives for repair") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    store.buildParity()
+    val v1 = contents(store.read(1L))
+    val victim = store.manifest(1L).select("file").as[String].collect().sorted.head
+    fsOf(base).delete(new Path(s"$base/files/$victim"), false)
+    // routine maintenance must NOT rebuild the victim's group (that
+    // would overwrite the only parity able to reconstruct it)
+    val (_, _, skipped) = store.updateParity()
+    assert(skipped.nonEmpty, "expected the damaged group to be skipped")
+    val (repaired, bad) = store.repairFromParity()
+    assert(repaired.size == 1 && bad.isEmpty)
+    assert(contents(store.read(1L)) == v1)
+    // healed: maintenance proceeds clean
+    val (_, _, skippedAfter) = store.updateParity()
+    assert(skippedAfter.isEmpty)
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+  }
+
+  test("parity publish crash window: a parked aside sidecar is restored before any parity pass") {
+    val (store, base) = newStore()
+    store.write(rows(1 to 200, "a"), 1L, numFiles = 4)
+    store.buildParity()
+    // simulate a crash between rename(live→aside) and rename(tmp→live):
+    // the live group dir is gone, the previous complete sidecar parked
+    val fs = fsOf(base)
+    val g = parityGroups(base).head
+    val live = new Path(s"$base/_pool_parity/g=$g")
+    val aside = new Path(s"$base/.tmp-parityold-g=$g-deadbeef")
+    assert(fs.rename(live, aside))
+    assert(!fs.exists(live))
+    // any parity pass recovers it first — scrub sees full coverage
+    assert(store.scrubPool().filter(col("status") =!= "ok").count() == 0L)
+    assert(fs.exists(live) && !fs.exists(aside))
+    // and a loss in that group still repairs from the recovered sidecar
+    val victim = store.manifest(1L).select("file").as[String].collect()
+      .filter(_.startsWith(g)).sorted.head
+    fs.delete(new Path(s"$base/files/$victim"), false)
     val (repaired, bad) = store.repairFromParity()
     assert(repaired.size == 1 && bad.isEmpty)
   }

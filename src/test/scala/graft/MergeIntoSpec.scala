@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{ManifestStore, SnapshotStore}
+
+/** SQL `MERGE INTO` through SnapshotCatalog + GraftMergeStrategy: the
+  * resolved MergeIntoTable executes through the store's own mergeDelta
+  * on BOTH layouts — history immutable, clause semantics per the SQL
+  * standard (first-clause-wins, cardinality rule), untranslatable
+  * statements refused loudly. */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    spark.conf.set("spark.sql.catalog.mcat",
+      classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat.root", r)
+    r
+  }
+
+  private def baseRows: DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+
+  private def freshSnap(name: String): SnapshotStore = {
+    val st = new SnapshotStore(spark, s"$root/$name", "k")
+    st.writeRangePartitioned(baseRows, 1L, 2)
+    st
+  }
+
+  private def freshLinked(name: String): ManifestStore = {
+    val st = new ManifestStore(spark, s"$root/$name", "k")
+    st.write(baseRows, 1L, 2)
+    st
+  }
+
+  private def contents(table: String, suffix: String = ""): Set[(Long, String, Double)] =
+    spark.sql(s"SELECT k, name, v FROM mcat.$table $suffix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("full MERGE (delete + update + insert clauses) on both layouts; history immutable") {
+    freshSnap("m_snap"); freshLinked("m_linked")
+    Seq((2L, "B", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_src")
+    for (t <- Seq("m_snap", "m_linked")) {
+      spark.sql(
+        s"""MERGE INTO mcat.$t t USING m_src s ON t.k = s.k
+           |WHEN MATCHED AND s.k = 3 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(contents(t) == Set((1L, "a", 10.0), (2L, "B", 22.0), (4L, "d", 40.0)), t)
+      assert(contents(t, "VERSION AS OF 1") ==
+        Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)), s"$t history")
+    }
+  }
+
+  test("partial SET keeps unassigned columns; NOT MATCHED BY SOURCE update/delete") {
+    freshSnap("m_partial")
+    Seq((2L, 5.0), (4L, 9.0)).toDF("k", "bonus").createOrReplaceTempView("m_psrc")
+    spark.sql(
+      """MERGE INTO mcat.m_partial t USING m_psrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.bonus
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = upper(t.name)""".stripMargin)
+    // 2 updated in place (name kept), 3 deleted, 1 upper-cased
+    assert(contents("m_partial") == Set((1L, "A", 10.0), (2L, "b", 25.0)))
+  }
+
+  test("first-clause-wins ordering among matched clauses") {
+    freshLinked("m_order")
+    Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_osrc")
+    // k=1 satisfies BOTH conditions: the first (v := 100) must win
+    spark.sql(
+      """MERGE INTO mcat.m_order t USING m_osrc s ON t.k = s.k
+        |WHEN MATCHED AND t.k <= 2 THEN UPDATE SET v = 100.0
+        |WHEN MATCHED AND t.k = 1 THEN UPDATE SET v = -1.0""".stripMargin)
+    assert(contents("m_order") ==
+      Set((1L, "a", 100.0), (2L, "b", 100.0), (3L, "c", 30.0)))
+  }
+
+  test("cardinality violation (one target row, two matching source rows) refuses") {
+    freshLinked("m_card")
+    Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_dupsrc")
+    val e = intercept[Exception](spark.sql(
+      "MERGE INTO mcat.m_card t USING m_dupsrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // duplicate UNMATCHED keys are SQL-legal: both insert
+    Seq((7L, "x", 1.0), (7L, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_dupins")
+    spark.sql("MERGE INTO mcat.m_card t USING m_dupins s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(contents("m_card").size == 5)
+    // but an INSERT whose key collides with an EXISTING target key
+    // refuses: the store's key-upsert would replace where SQL duplicates
+    val e2 = intercept[Exception](spark.sql(
+      "MERGE INTO mcat.m_card t USING m_dupsrc s ON t.k = s.k + 100 " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
+  test("untranslatable statements refuse loudly: non-key ON, key reassignment, schema evolution") {
+    freshSnap("m_refuse")
+    Seq((2L, "B", 22.0)).toDF("k", "name", "v").createOrReplaceTempView("m_rsrc")
+    val e1 = intercept[Exception](spark.sql(
+      "MERGE INTO mcat.m_refuse t USING m_rsrc s ON t.v = s.v " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "MERGE INTO mcat.m_refuse t USING m_rsrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET k = s.k + 1"))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "MERGE WITH SCHEMA EVOLUTION INTO mcat.m_refuse t USING m_rsrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e3.getMessage != null, e3.getMessage)
+    // nothing landed: tip is still v1
+    assert(contents("m_refuse") == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("MERGE onto an evolved tip: fills materialize, sidecar carries forward") {
+    val st = freshSnap("m_evolved")
+    // evolve via the store API: add `score` with fill=1.0 for old rows
+    st.mergeDelta(1L, 2L, Seq((4L, "d", 40.0, 7.0)).toDF("k", "name", "v", "score"),
+      fill = Map("score" -> 1.0))
+    Seq((1L, "a9", 11.0, 9.0), (5L, "e", 50.0, 5.0)).toDF("k", "name", "v", "score")
+      .createOrReplaceTempView("m_esrc")
+    spark.sql(
+      """MERGE INTO mcat.m_evolved t USING m_esrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, name, v, score FROM mcat.m_evolved").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    // 2,3 carry the fill; 4 its explicit score; 1 updated; 5 inserted
+    assert(got == Set((1L, "a9", 11.0, 9.0), (2L, "b", 20.0, 1.0),
+      (3L, "c", 30.0, 1.0), (4L, "d", 40.0, 7.0), (5L, "e", 50.0, 5.0)))
+  }
+
+  test("catalog DML on a stats-bearing linked store: the reconstructed handle derives stats from the manifest") {
+    // the advice scenario: store built WITH statsCols; the catalog
+    // hook reconstructs it with statsCols=Nil — version-to-version ops
+    // must reproduce the manifest's min_/max_ columns anyway
+    val st = new ManifestStore(spark, s"$root/m_stats", "k", Seq("v"))
+    st.write(baseRows, 1L, 2)
+    Seq((2L, "B", 22.0), (9L, "i", 90.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_ssrc")
+    spark.sql(
+      """MERGE INTO mcat.m_stats t USING m_ssrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM mcat.m_stats WHERE v > 80.0")
+    assert(contents("m_stats") ==
+      Set((1L, "a", 10.0), (2L, "B", 22.0), (3L, "c", 30.0)))
+    // the new tip's manifest still carries the v-stats columns, and
+    // readWhere (which NEEDS them) keeps pruning on a stats handle
+    val cols = st.manifest(3L).columns.toSet
+    assert(cols.contains("min_v") && cols.contains("max_v"), cols)
+    assert(st.readWhere(3L, "v", 20.0, 25.0).collect().map(_.getAs[Long]("k")).toSet
+      == Set(2L))
+  }
+}
