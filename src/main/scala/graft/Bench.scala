@@ -84,13 +84,20 @@ object Bench {
       (m, (System.nanoTime() - t0) / 1e9)
     }
     val loadAfterWarm = loadavg()
-    val (p1, wall1) = timedPass()
-    val loadAfterP1 = loadavg()
-    val (p2, wall2) = timedPass()
-    val loadAfterP2 = loadavg()
+    // Pass count is tunable (SPARK_GRAFT_PASSES, default 2): the r10
+    // sf1 artifact showed min-of-2 still inflates under SUSTAINED
+    // ambient load (pass totals 1072 vs 879 s, judge probes 2-3× lower
+    // on individual entries) — a third pass at scale buys the minimum
+    // another chance to land in a quiet stretch.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2).max(1)
+    val passes = (1 to nPasses).map { i =>
+      val (m, w) = timedPass()
+      System.err.println(f"[bench] pass $i wall $w%.1f s load ${loadavg()}")
+      (m, w, loadavg())
+    }
     val results = ordered.map { case (name, _) =>
-      val (a, b) = (p1(name), p2(name))
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val ts = passes.map(_._1(name)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     def fmtQs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -111,11 +118,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(totalLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQs(results.sortBy(-_._2))},"sf":"$sfDir"}""")
-    println(s"""{"metric":"bench_meta","cpus":$cpus,"warmup_wall_sec":$warmWall,""" +
-      s""""pass1_wall_sec":$wall1,"pass2_wall_sec":$wall2,""" +
-      s""""pass1_total_sec":${passTotal(p1)},"pass2_total_sec":${passTotal(p2)},""" +
-      s""""loadavg_start":"$loadStart","loadavg_after_warmup":"$loadAfterWarm",""" +
-      s""""loadavg_after_pass1":"$loadAfterP1","loadavg_after_pass2":"$loadAfterP2"}""")
+    println(s"""{"metric":"bench_meta","cpus":$cpus,"n_passes":$nPasses,"warmup_wall_sec":$warmWall,""" +
+      passes.zipWithIndex.map { case ((m, w, l), i) =>
+        s""""pass${i + 1}_wall_sec":$w,"pass${i + 1}_total_sec":${passTotal(m)},"loadavg_after_pass${i + 1}":"$l",""" }.mkString +
+      s""""loadavg_start":"$loadStart","loadavg_after_warmup":"$loadAfterWarm"}""")
     println(totalLine)
     spark.stop()
   }

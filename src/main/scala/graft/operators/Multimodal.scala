@@ -10,9 +10,10 @@ import graft.sources.Tables
   * payloads ride as opaque `binary` columns with a typed metadata
   * struct. IMAGE decode is REAL — the JDK's own codec stack
   * (`javax.imageio`: PNG, JPEG, GIF, BMP ship with every JRE) decodes
-  * actual encoded bytes headlessly; the audio/video codecs remain out
-  * of scope for this container (frame sampling models the fan-out
-  * shape over opaque bytes).
+  * actual encoded bytes headlessly — and so is AUDIO
+  * (`javax.sound.sampled`: the JDK's WAV/PCM codec); only video
+  * decode remains out of scope for this container (frame sampling
+  * models the fan-out shape over opaque bytes).
   *
   * Scale notes: decode is a narrow per-partition map (`mapPartitions`
   * over an iterator — streaming, no materialized partition), so it
@@ -116,6 +117,183 @@ object Multimodal {
     if (!javax.imageio.ImageIO.write(syntheticRaster(id), format, bos))
       throw new IllegalArgumentException(s"no JDK encoder for format '$format'")
     bos.toByteArray
+  }
+
+  // ---- audio (javax.sound.sampled — the JDK's real WAV codec) ------
+
+  case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      frames: Long)
+
+  /** Closed-form audio parameters of a synthetic waveform — the
+    * declarative contract the DuckDB oracle recomputes per id. */
+  def audioRateOf(id: Long): Int = 8000 + (id % 4).toInt * 4000
+  def audioChannelsOf(id: Long): Int = 1 + (id % 2).toInt
+  def audioFramesOf(id: Long): Int = 800 + (id % 40).toInt * 20
+
+  /** Deterministic test/bench PCM — [[syntheticRaster]]'s idea in the
+    * sample domain: every 16-bit sample a pure integer function of
+    * (id, frame, channel). The signal is an id-keyed amplitude
+    * ENVELOPE (mixed hash per 16-frame block) over a fast detail
+    * term — deliberately so, because [[audioFingerprint]] is an
+    * envelope hash: a purely-frequency-modulated family would give
+    * every id the same abs-amplitude profile and the fingerprints
+    * would not separate (a modular ramp did exactly that in an
+    * earlier draft). Amplitude stays within ±4000 so a 2× gain
+    * never clips (the volume-invariance gate). */
+  def syntheticPcm(id: Long, gain: Int = 1): Array[Short] = {
+    // MurmurHash3 fmix64 finalizer — the standard public avalanche mix
+    def mix(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val frames = audioFramesOf(id)
+    val ch = audioChannelsOf(id)
+    val out = new Array[Short](frames * ch)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        val amp = 500 + (mix(id * 0x9e3779b97f4a7c15L + (i >> 4) * 0xbf58476d1ce4e5b9L
+          + c) & 0x7fffffffL) % 3500 // id-keyed per-block envelope, [500, 4000)
+        val det = ((i.toLong * (3 + id % 13) + (i.toLong * i) % 97 * (2 + (id / 13) % 7)
+          + id * 31 + c * 1009) % 2001) - 1000 // fast detail, [-1000, 1000]
+        out(i * ch + c) = (amp * det / 1000 * gain).toShort
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** [[syntheticPcm]] through the REAL JDK WAV encoder — genuine
+    * RIFF/WAVE bytes (16-bit signed little-endian PCM), no fixtures. */
+  def syntheticWav(id: Long, gain: Int = 1): Array[Byte] = {
+    val pcm = syntheticPcm(id, gain)
+    val ch = audioChannelsOf(id)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      audioRateOf(id).toFloat, 16, ch, true, false)
+    val bytes = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      bytes(2 * i) = (pcm(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, (pcm.length / ch).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** WAV/PCM header metadata via the JDK decoder (sample rate,
+    * channels, bit depth, frame count — duration is frames/rate).
+    * None for unrecognized or corrupt payloads — same fail-soft
+    * contract as [[decodeImage]]. */
+  def decodeAudioMeta(payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        Some(AudioMeta(f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode a payload's 16-bit signed PCM samples (interleaved,
+    * endianness per the header) — the sample-domain input the audio
+    * fingerprint works on. None for unrecognized payloads or
+    * encodings beyond 16-bit signed PCM. */
+  def decodeAudioSamples(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) {
+              out(i) = ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toShort.toInt
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+              i += 1
+            }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit sample-domain audio fingerprint — [[pixelHash]]'s aHash
+    * idea on the waveform: 64 equal spans of mean ABSOLUTE amplitude,
+    * bit j set iff span j's mean exceeds the global mean (integer
+    * cross-multiplied, no float). VOLUME-invariant: a gain scales
+    * every span mean and the global mean together, so no bit moves —
+    * the audio analogue of aHash's brightness invariance. None for
+    * undecodable or sub-64-sample payloads. Near-dup queries ride
+    * [[Dedup.hammingNearDup]]'s banded equi-join, never all-pairs. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    decodeAudioSamples(payload).filter(_.length >= 64).map { s =>
+      val n = s.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += math.abs(s(i)); i += 1 }
+      val spanSum = new Array[Long](64)
+      val spanN = new Array[Long](64)
+      i = 0
+      while (i < n) {
+        val j = (i.toLong * 64 / n).toInt
+        spanSum(j) += math.abs(s(i)); spanN(j) += 1
+        i += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < 64) {
+        if (spanN(j) > 0 && spanSum(j) * n > total * spanN(j)) hash |= 1L << j
+        j += 1
+      }
+      hash
+    }
+
+  /** Attach decoded audio metadata in ONE pass — [[decodeImageMeta]]'s
+    * no-Exchange contract: every input column carries through the row
+    * map, payload bytes never shuffle; undecodable payloads carry
+    * NULL metadata. Adds sample_rate / channels / bits / frames. */
+  def attachAudioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    require(df.columns.contains(payloadCol),
+      s"attachAudioMeta needs '$payloadCol' (have ${df.columns.mkString(", ")})")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("bits", IntegerType), StructField("frames", LongType)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        // explicit boxing: a bare Seq(Int, Int, Int, Long) numerically
+        // WIDENS the Ints to Long (weak-conformance lub), which the
+        // row encoder then rejects against the INT fields
+        val meta: Seq[Any] = decodeAudioMeta(row.getAs[Array[Byte]](pIdx)) match {
+          case Some(m) => Seq(Int.box(m.sampleRate), Int.box(m.channels),
+            Int.box(m.bitsPerSample), Long.box(m.frames))
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(row.toSeq ++ meta)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** 64-bit AVERAGE HASH (aHash) over the real decoded luma plane:
@@ -330,6 +508,39 @@ object Multimodal {
       }
       .toDF(idCol, "chunk_idx", "offset", "chunk_bytes", "chunk_md5")
   }
+
+  // ---- persisted binary media table --------------------------------
+
+  /** Deterministic media payloads for a set of doc ids — every column
+    * a pure function of doc_id through the REAL JDK codecs: png/jpg
+    * (encoded [[syntheticRaster]]), wav/wav2 ([[syntheticWav]] at
+    * gain 1 and 2, the volume-invariance probe's pair). One narrow
+    * typed map: the ENCODERS run here, once, so a persisted copy lets
+    * every downstream query measure decode, not encode. */
+  def synthesizeMedia(docIds: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.map { id =>
+      (id, syntheticImage(id, "png"), syntheticImage(id, "jpg"),
+        syntheticWav(id), syntheticWav(id, gain = 2))
+    }.toDF("doc_id", "png", "jpg", "wav", "wav2")
+  }
+
+  /** The binary media table for an sf dir: scans `{dir}/media.parquet`
+    * when present (graft.tools.MediaGen / ScaleData persist it, so at
+    * bench scale the mm_ queries measure the DECODE under test and
+    * binary-column parquet I/O is exercised end to end), else
+    * synthesizes the IDENTICAL bytes in-query from the documents ids
+    * (the driver's sf dirs are read-only). Payloads are pure functions
+    * of doc_id, so query results are the same either way — the
+    * persisted path only moves the encoder out of the measured plan. */
+  def mediaFor(s: SparkSession, d: String): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/media.parquet")))
+      s.read.parquet(s"$d/media.parquet")
+    else {
+      import s.implicits._
+      synthesizeMedia(Tables.documents(s, d).select(col("doc_id")).as[Long])
+    }
 
   /** Driver-checkable stand-in: documents.text re-encoded as binary,
     * with byte length + md5 — the metadata-extraction shape over a
@@ -768,11 +979,11 @@ object Multimodal {
       // closed-form in the id, and javax.imageio decodes them back —
       // so the DuckDB oracle recomputes width/height/channels/format
       // declaratively and any header mis-parse hash-fails. Narrow
-      // typed maps end to end; payload bytes never cross a shuffle.
-      import s.implicits._
-      val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .map(id => (id, syntheticImage(id, if (id % 2 == 0) "png" else "jpg")))
-        .toDF("doc_id", "payload")
+      // maps end to end; payload bytes never cross a shuffle. Scans
+      // the persisted media table when present (measures DECODE);
+      // synthesizes identical bytes on read-only sf dirs.
+      val payloads = mediaFor(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("png")).otherwise(col("jpg")).as("payload"))
       decodeImageMeta(payloads, "doc_id", "payload")
         .select(col("doc_id"), col("width").cast(LongType).as("width"),
           col("height").cast(LongType).as("height"),
@@ -787,9 +998,10 @@ object Multimodal {
       // both sides) — a codec that parsed headers right but decoded
       // pixels wrong fails HERE. One boolean row the oracle asserts.
       import s.implicits._
-      val ok = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .map { id =>
-          val decoded = decodeLuma(syntheticImage(id, "png"))
+      val ok = mediaFor(s, d).select(col("doc_id"), col("png"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, png) =>
+          val decoded = decodeLuma(png)
           val img = syntheticRaster(id)
           val exact = decoded.exists { case (w, h, luma) =>
             w == img.getWidth && h == img.getHeight && {
@@ -832,10 +1044,10 @@ object Multimodal {
       // computed PNG hash instead of running the codec a third time
       // (an equi-join on a long key — cheap next to real codec work)
       import s.implicits._
-      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .map { id =>
-          (id, pixelHash(syntheticImage(id, "png")).get,
-            pixelHash(syntheticImage(id, "jpg")).get)
+      val hashes = mediaFor(s, d).select(col("doc_id"), col("png"), col("jpg"))
+        .as[(Long, Array[Byte], Array[Byte])]
+        .map { case (id, png, jpg) =>
+          (id, pixelHash(png).get, pixelHash(jpg).get)
         }.toDF("doc_id", "h_png", "h_jpg").localCheckpoint()
       val next = hashes.select((col("doc_id") - 1L).as("doc_id"),
         col("h_png").as("h_next"))
@@ -846,6 +1058,66 @@ object Multimodal {
       stats.agg(count(lit(1)).as("n_docs"),
         (expr("percentile(d_self, 0.99)") <= 8.0).as("compression_robust"),
         (avg(col("d_other")) > avg(col("d_self")) * 4).as("separated"))
+    },
+
+    "mm_audio_meta" -> { (s, d) =>
+      // REAL audio decode, HASH-CHECKED — the mm_decode playbook in
+      // the sample domain: every doc gets a genuine RIFF/WAVE payload
+      // (JDK encoder, 16-bit PCM) whose rate/channels/frame-count are
+      // closed-form in the id, and javax.sound.sampled decodes them
+      // back — the DuckDB oracle recomputes all of it declaratively,
+      // so any header mis-parse hash-fails. The one-pass metadata
+      // attach over the media table's wav column; bytes never shuffle.
+      val payloads = mediaFor(s, d).select(col("doc_id"), col("wav").as("payload"))
+      attachAudioMeta(payloads, "payload")
+        .select(col("doc_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("bits").cast(LongType).as("bits"),
+          col("frames"),
+          expr("(frames * 1000) div sample_rate").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
+    "mm_audio_gate" -> { (s, d) =>
+      // Sample-exactness + fingerprint gate behind mm_audio_meta's
+      // header check: (a) the decoded PCM of every synthetic WAV must
+      // equal the waveform formula sample-for-sample (WAV is
+      // lossless — a codec that parsed headers right but decoded
+      // samples wrong fails HERE); (b) the sample-domain fingerprint
+      // must be exactly VOLUME-invariant (2× gain, no clipping by
+      // construction → identical 64-bit hash); (c) fingerprints of
+      // structurally different waveforms (id vs id+1) separate on
+      // average — pinned as a mean bound, not a max (corpus-size
+      // lesson from mm_pixelhash_gate). Booleans the oracle asserts.
+      // Scans the media table's wav/wav2 pair (decode-only at bench
+      // scale); the neighbor distance joins the NEXT doc's
+      // already-computed fingerprint.
+      import s.implicits._
+      val per = mediaFor(s, d).select(col("doc_id"), col("wav"), col("wav2"))
+        .as[(Long, Array[Byte], Array[Byte])]
+        .map { case (id, wav, wav2) =>
+          val metaOk = decodeAudioMeta(wav).exists(m =>
+            m.sampleRate == audioRateOf(id) && m.channels == audioChannelsOf(id) &&
+              m.bitsPerSample == 16 && m.frames == audioFramesOf(id).toLong)
+          val pcm = syntheticPcm(id)
+          val roundtrip = decodeAudioSamples(wav).exists(dec =>
+            dec.length == pcm.length && {
+              var ok = true; var i = 0
+              while (i < dec.length && ok) { ok = dec(i) == pcm(i).toInt; i += 1 }
+              ok
+            })
+          val fp = audioFingerprint(wav).get
+          val fpLoud = audioFingerprint(wav2).get
+          (id, metaOk && roundtrip, fp == fpLoud, fp)
+        }.toDF("doc_id", "exact", "vol_invariant", "fp").localCheckpoint()
+      val next = per.select((col("doc_id") - 1L).as("doc_id"), col("fp").as("fp_next"))
+      per.join(next, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("exact")).as("samples_exact"),
+          min(col("vol_invariant")).as("volume_invariant"),
+          (avg(bit_count(col("fp").bitwiseXOR(col("fp_next"))).cast(LongType)) > 10.0)
+            .as("separated"))
     }
   )
 
@@ -887,6 +1159,21 @@ object Multimodal {
     "mm_pixelhash_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  TRUE AS compression_robust, TRUE AS separated
+        |FROM documents""".stripMargin,
+
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(800 + (doc_id % 40) * 20 AS BIGINT) AS frames,
+        |  CAST(((800 + (doc_id % 40) * 20) * 1000)
+        |    // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS samples_exact,
+        |  TRUE AS volume_invariant, TRUE AS separated
         |FROM documents""".stripMargin,
 
     "mm_binary_meta" ->

@@ -132,6 +132,10 @@ object ScaleData {
             .cast("float"))).as("embedding"),
       col("label")), "embeddings")
 
+    // binary media table over the scaled doc ids: encoders run ONCE
+    // here, so mm_ queries at this scale measure decode, not encode
+    MediaGen.writeMedia(spark, dst)
+
     spark.stop()
   }
 }

@@ -241,4 +241,81 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1L, 100.0, 2L, 1L, 4L, 214L)))
     assert(out(3L) == ((9L, 3L, 3.0, 1L, 4L, 1L, 141L)))
   }
+
+  test("WAV decode: header metadata, exact PCM round-trip, fail-soft on garbage") {
+    val id = 7L
+    val wav = Multimodal.syntheticWav(id)
+    val Some(m) = Multimodal.decodeAudioMeta(wav)
+    assert(m.sampleRate == Multimodal.audioRateOf(id))
+    assert(m.channels == Multimodal.audioChannelsOf(id))
+    assert(m.bitsPerSample == 16)
+    assert(m.frames == Multimodal.audioFramesOf(id).toLong)
+    // WAV is lossless: decoded samples must equal the waveform formula
+    val Some(dec) = Multimodal.decodeAudioSamples(wav)
+    val pcm = Multimodal.syntheticPcm(id)
+    assert(dec.length == pcm.length)
+    assert(dec.indices.forall(i => dec(i) == pcm(i).toInt))
+    // unrecognized / truncated payloads: None, never an exception
+    assert(Multimodal.decodeAudioMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAudioMeta(wav.take(10)).isEmpty)
+    assert(Multimodal.decodeAudioSamples(Array[Byte](82, 73, 70)).isEmpty)
+    assert(Multimodal.audioFingerprint(Array[Byte](9, 9)).isEmpty)
+  }
+
+  test("audioFingerprint: volume-invariant, separating, None below 64 samples") {
+    // a gain scales every span mean and the global mean together, so
+    // no bit of the 64-span hash moves — exercised across waveform
+    // shapes (rate/channels/frames all vary with id)
+    (0L until 50L).foreach { id =>
+      val f1 = Multimodal.audioFingerprint(Multimodal.syntheticWav(id)).get
+      val f2 = Multimodal.audioFingerprint(Multimodal.syntheticWav(id, gain = 2)).get
+      assert(f1 == f2, s"gain changed the fingerprint for id=$id")
+    }
+    // structurally different waveforms separate on average (mean
+    // Hamming distance, not max — single-pair distances are noisy)
+    val dists = (0L until 50L).map { id =>
+      val a = Multimodal.audioFingerprint(Multimodal.syntheticWav(id)).get
+      val b = Multimodal.audioFingerprint(Multimodal.syntheticWav(id + 50)).get
+      java.lang.Long.bitCount(a ^ b)
+    }
+    assert(dists.sum.toDouble / dists.size > 10.0)
+    // sub-64-sample payloads have no meaningful 64-span hash
+    val tiny = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](20)), fmt, 10L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.audioFingerprint(tiny).isEmpty)
+  }
+
+  test("mediaFor: persisted media.parquet is byte-identical to the synthesized path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toString
+    Seq(1L, 2L, 7L, 40L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
+    def snap() = Multimodal.mediaFor(spark, dir).collect().map { r =>
+      r.getAs[Long]("doc_id") -> Seq("png", "jpg", "wav", "wav2")
+        .map(c => r.getAs[Array[Byte]](c).toSeq)
+    }.toMap
+    val synthesized = snap() // no media.parquet yet → in-query synthesis
+    graft.tools.MediaGen.writeMedia(spark, dir)
+    val persisted = snap()   // now scans the persisted binary columns
+    assert(persisted.keySet == synthesized.keySet)
+    persisted.keySet.foreach(id => assert(persisted(id) == synthesized(id),
+      s"payload drift for doc_id=$id — persisted and synthesized must be identical"))
+  }
+
+  test("attachAudioMeta: one pass, no Exchange, nulls for undecodable payloads") {
+    val df = Seq((1L, Multimodal.syntheticWav(1L), "keep"),
+      (2L, Array[Byte](1, 2, 3), "also")).toDF("id", "payload", "tag")
+    val out = Multimodal.attachAudioMeta(df, "payload")
+    // payload bytes must never shuffle: the attach is a narrow map
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Any]("sample_rate"), r.getAs[Any]("frames"), r.getAs[String]("tag")))).toMap
+    assert(rows(1L) == ((Multimodal.audioRateOf(1L), Multimodal.audioFramesOf(1L).toLong, "keep")))
+    assert(rows(2L) == ((null, null, "also")))
+  }
 }
