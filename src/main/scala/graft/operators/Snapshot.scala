@@ -689,6 +689,46 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_update" -> { (s, d) =>
+      // SQL `UPDATE` through the catalog on BOTH store layouts —
+      // MERGE's in-place cousin (GraftUpdateExec: the WHERE-matched
+      // rows re-assemble with the SET list and land through each
+      // store's own mergeDelta as a self-keyed upsert, so only
+      // touched files rewrite). Repriced rows (key%4=0) change, every
+      // other row and all of v1 (immutable history) stay byte-stable;
+      // both layouts' tip AND v1 bucket-aggregate against the
+      // declaratively rebuilt states. Fingerprint-keyed stores +
+      // catalog name; warm passes skip the landed update.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlupd_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val snap = new SnapshotStore(s, s"$base/ou_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/ou_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapupd_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      for (t <- Seq("ou_snap", "ou_linked")) {
+        val landed = (if (t == "ou_snap") snap.versions() else linked.versions())
+          .contains(2L)
+        if (!landed)
+          s.sql(s"UPDATE $cat.$t SET o_totalprice = o_totalprice + 42.5 " +
+            "WHERE o_orderkey % 4 = 0")
+      }
+      def agg(df: DataFrame, layout: String, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(layout)).withColumn("ver", lit(ver))
+      Seq("ou_snap", "ou_linked").map { t =>
+        agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1"), t, 1L)
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), t, 2L))
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -1041,6 +1081,29 @@ object Snapshot {
         |SELECT l.layout, a.bucket, a.n, a.sum_price, a.ver
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
         |CROSS JOIN (VALUES ('om_snap'), ('om_linked')) AS l(layout)
+        |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_update" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 42.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |a1 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM orders GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM fin GROUP BY 1)
+        |SELECT l.layout, a.bucket, a.n, a.sum_price, a.ver
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
+        |CROSS JOIN (VALUES ('ou_snap'), ('ou_linked')) AS l(layout)
         |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
 
     "snap_orphan_audit" ->

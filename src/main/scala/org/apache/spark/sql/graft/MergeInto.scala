@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V2CommandExec}
@@ -80,6 +80,21 @@ object GraftMergeStrategy extends SparkStrategy {
                 "timestamp-pinned read is immutable history")
           }
         case _ => Nil // not ours: let the built-in strategies decide
+      }
+    // UPDATE is MERGE's in-place cousin: matched target rows
+    // re-assemble with the SET list applied and feed mergeDelta as a
+    // self-keyed upsert delta (each row overwrites itself), so the
+    // verb inherits the same touched-file pruning and atomic publish
+    case u: UpdateTable if u.resolved =>
+      unwrapTable(u.table) match {
+        case Some(t: SnapshotTable) =>
+          t.onMerge match {
+            case Some(hook) => GraftUpdateExec(hook, u) :: Nil
+            case None => throw new UnsupportedOperationException(
+              "UPDATE is only supported on the table tip — a version- or " +
+                "timestamp-pinned read is immutable history")
+          }
+        case _ => Nil
       }
     case _ => Nil
   }
@@ -254,6 +269,64 @@ case class GraftMergeExec(hook: StoreMergeHook, merge: MergeIntoTable)
       .getOrElse(tgt.select(tgtOut.map(a => c(a).as(a.name)): _*).limit(0))
     val deleteKeys = deletes.reduceOption(_ unionByName _)
     hook.run(delta, deleteKeys)
+    Nil
+  }
+}
+
+/** Eagerly-run command node for SQL `UPDATE cat.store SET … [WHERE …]`:
+  * the WHERE-matched target rows (all rows without a WHERE — the full
+  * rewrite SQL asks for) re-assemble with the SET list applied
+  * (unassigned columns keep the target value; assigning the key column
+  * refuses — it is row identity) and land through the store's own
+  * `mergeDelta` as an upsert delta whose keys all pre-exist, so cost
+  * stays O(matched + touched files) and history stays immutable. */
+case class GraftUpdateExec(hook: StoreMergeHook, update: UpdateTable)
+    extends V2CommandExec {
+
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+
+  private def c(e: Expression): Column = ExpressionUtils.column(e)
+
+  private def refuse(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"UPDATE through SnapshotCatalog: $msg")
+
+  private def stripCast(e: Expression): Expression = e match {
+    case cast: Cast => stripCast(cast.child)
+    case other => other
+  }
+
+  override def run(): Seq[InternalRow] = {
+    val spark = session
+    val keyCol = hook.keyCol()
+    val tgtPlan = update.table
+    val tgt = Dataset.ofRows(spark, tgtPlan)
+    val tgtOut = tgtPlan.output
+    val keyAttr = tgtOut.find(_.name == keyCol).getOrElse(refuse(
+      s"target has no column '$keyCol' (the key recorded in _store.json)"))
+    // WHERE with a null result keeps the row unmatched, same as filter
+    val matched = update.condition
+      .map(e => tgt.filter(coalesce(c(e), lit(false)))).getOrElse(tgt)
+    val byId = update.assignments.map(a => (stripCast(a.key) match {
+      case attr: AttributeReference => attr.exprId
+      case other => refuse(s"assignment to a non-column target ${other.sql}")
+    }) -> a.value).toMap
+    val delta = matched.select(tgtOut.map { ta =>
+      val v = byId.get(ta.exprId) match {
+        case Some(value) if ta.exprId == keyAttr.exprId =>
+          // the analyzer's alignment may add an identity self-assign;
+          // only a genuine reassignment changes row identity
+          if (stripCast(value).semanticEquals(keyAttr)) c(value)
+          else refuse(s"reassigning the key column '$keyCol' " +
+            s"(SET $keyCol = ${value.sql}) would change row identity")
+        case Some(value) => c(value)
+        case None => c(ta)
+      }
+      v.as(ta.name)
+    }: _*)
+    hook.run(delta, None)
     Nil
   }
 }

@@ -139,6 +139,31 @@ class MergeIntoSpec extends SparkSpec {
       (3L, "c", 30.0, 1.0), (4L, "d", 40.0, 7.0), (5L, "e", 50.0, 5.0)))
   }
 
+  test("SQL UPDATE on both layouts: partial SET, WHERE, history immutable") {
+    freshSnap("u_snap"); freshLinked("u_linked")
+    for (t <- Seq("u_snap", "u_linked")) {
+      spark.sql(s"UPDATE mcat.$t SET v = v + 0.5 WHERE k >= 2")
+      assert(contents(t) == Set((1L, "a", 10.0), (2L, "b", 20.5), (3L, "c", 30.5)), t)
+      assert(contents(t, "VERSION AS OF 1") ==
+        Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)), s"$t history")
+    }
+    // no WHERE = every row (the full-rewrite SQL asks for)
+    spark.sql("UPDATE mcat.u_snap SET name = upper(name)")
+    assert(contents("u_snap") == Set((1L, "A", 10.0), (2L, "B", 20.5), (3L, "C", 30.5)))
+  }
+
+  test("SQL UPDATE refusals: key reassignment; version-pinned target") {
+    freshSnap("u_refuse")
+    val e1 = intercept[Exception](
+      spark.sql("UPDATE mcat.u_refuse SET k = k + 10 WHERE k = 1"))
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE mcat.u_refuse VERSION AS OF 1 SET v = 0.0"))
+    assert(e2.getMessage != null)
+    // nothing landed
+    assert(contents("u_refuse") == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
   test("catalog DML on a stats-bearing linked store: the reconstructed handle derives stats from the manifest") {
     // the advice scenario: store built WITH statsCols; the catalog
     // hook reconstructs it with statsCols=Nil — version-to-version ops
