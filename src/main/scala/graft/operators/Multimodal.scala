@@ -1079,6 +1079,32 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_audio_neardup" -> { (s, d) =>
+      // Audio near-dup AT SCALE, hash-checked end to end: the corpus
+      // is every doc's wav fingerprint plus a PLANTED volume-variant
+      // copy (the gain-2 wav2 of donors doc_id%29==3) under a shifted
+      // id. Fingerprints are exactly volume-invariant (mm_audio_gate),
+      // so each planted copy sits at Hamming distance 0 from its donor
+      // while distinct waveforms measure ~32 bits apart (min 21
+      // observed; P[<=4] per random pair ~ 4e-14, negligible at sf1's
+      // ~1e9 pairs) — the banded Hamming EQUI-join (never all-pairs)
+      // must recover exactly the planted pairs, which the DuckDB
+      // oracle lists in closed form.
+      import s.implicits._
+      val media = mediaFor(s, d)
+      val offset = 1000000000L
+      val baseFp = media.select(col("doc_id"), col("wav")).as[(Long, Array[Byte])]
+        .map { case (id, wav) => (id, audioFingerprint(wav).get) }
+      val planted = media.filter(col("doc_id") % 29 === 3)
+        .select(col("doc_id"), col("wav2")).as[(Long, Array[Byte])]
+        .map { case (id, w2) => (id + offset, audioFingerprint(w2).get) }
+      val fps = baseFp.union(planted).toDF("id", "fp")
+      Dedup.hammingNearDup(fps, "id", "fp", maxDist = 4)
+        .select(col("id_a").as("donor_id"),
+          (col("id_b") - offset).as("copy_of"), col("hamming"))
+        .orderBy("donor_id")
+    },
+
     "mm_audio_gate" -> { (s, d) =>
       // Sample-exactness + fingerprint gate behind mm_audio_meta's
       // header check: (a) the decoded PCM of every synthetic WAV must
@@ -1175,6 +1201,11 @@ object Multimodal {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS samples_exact,
         |  TRUE AS volume_invariant, TRUE AS separated
         |FROM documents""".stripMargin,
+
+    "mm_audio_neardup" ->
+      """SELECT doc_id AS donor_id, doc_id AS copy_of,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 29 = 3 ORDER BY donor_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
