@@ -729,6 +729,52 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_insert" -> { (s, d) =>
+      // SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog on
+      // BOTH layouts — the write verbs land via the V1 write fallback
+      // onto each store's own mergeDelta: INSERT appends (key
+      // collisions refuse — the store's key is a unique identity),
+      // OVERWRITE replaces the whole table in ONE published version
+      // (delta + delete set of surviving old keys). v1 (%3=0 keys),
+      // v2 after INSERT (+%3=1), v3 after OVERWRITE (only %3=2,
+      // repriced) all read back against declaratively rebuilt states;
+      // history immutable. Warm passes skip the landed writes.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlins_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val snap = new SnapshotStore(s, s"$base/oi_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord.filter(k % 3 === 0), 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/oi_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord.filter(k % 3 === 0), 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapins_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      ord.filter(k % 3 === 1).createOrReplaceTempView(s"ins_src_$fp")
+      ord.filter(k % 3 === 2)
+        .select(k, (col("o_totalprice") + 5.0).as("o_totalprice"))
+        .createOrReplaceTempView(s"ovr_src_$fp")
+      for (t <- Seq("oi_snap", "oi_linked")) {
+        def vs(): Seq[Long] =
+          if (t == "oi_snap") new SnapshotStore(s, s"$base/$t", "o_orderkey").versions()
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions()
+        if (!vs().contains(2L)) s.sql(s"INSERT INTO $cat.$t SELECT * FROM ins_src_$fp")
+        if (!vs().contains(3L)) s.sql(s"INSERT OVERWRITE $cat.$t SELECT * FROM ovr_src_$fp")
+      }
+      def agg(df: DataFrame, layout: String, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(layout)).withColumn("ver", lit(ver))
+      Seq("oi_snap", "oi_linked").map { t =>
+        agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1"), t, 1L)
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 2"), t, 2L))
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), t, 3L))
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -1104,6 +1150,31 @@ object Snapshot {
         |SELECT l.layout, a.bucket, a.n, a.sum_price, a.ver
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
         |CROSS JOIN (VALUES ('ou_snap'), ('ou_linked')) AS l(layout)
+        |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_insert" ->
+      """WITH a1 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1),
+        |a3 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice + 5 AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(3 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 1)
+        |SELECT l.layout, a.bucket, a.n, a.sum_price, a.ver
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3) a
+        |CROSS JOIN (VALUES ('oi_snap'), ('oi_linked')) AS l(layout)
         |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
 
     "snap_orphan_audit" ->

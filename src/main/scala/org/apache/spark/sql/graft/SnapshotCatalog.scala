@@ -213,6 +213,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
           else
             new SnapshotStore(spark, storePath(ident), key)
               .mergeDelta(tip, tip + 1, delta, deleteKeys): Unit
+        },
+        () => {
+          val key = storedKey("INSERT")
+          if (linked)
+            new graft.operators.ManifestStore(spark, storePath(ident), key).read(tip)
+          else new SnapshotStore(spark, storePath(ident), key).read(tip)
         })))
   }
 
@@ -319,14 +325,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     readOnly("renameTable")
 }
 
-/** The DML contract [[GraftMergeStrategy]] executes against: the
-  * store's recorded key column (resolved lazily — one sidecar read)
-  * and a runner that lands (delta, deleteKeys) as a new tip version
-  * through the store's own `mergeDelta`. */
+/** The DML contract [[GraftMergeStrategy]] and the INSERT write path
+  * execute against: the store's recorded key column (resolved lazily —
+  * one sidecar read), a runner that lands (delta, deleteKeys) as a new
+  * tip version through the store's own `mergeDelta`, and a tip reader
+  * (INSERT's key-collision check + OVERWRITE's delete set). */
 private[graft] case class StoreMergeHook(
     keyCol: () => String,
     run: (org.apache.spark.sql.DataFrame,
-      Option[org.apache.spark.sql.DataFrame]) => Unit)
+      Option[org.apache.spark.sql.DataFrame]) => Unit,
+    tip: () => org.apache.spark.sql.DataFrame)
 
 /** The table SnapshotCatalog serves: reads delegate verbatim to the
   * resolved [[ParquetTable]] (full native scan stack), and — on tip
@@ -340,17 +348,90 @@ private[graft] case class StoreMergeHook(
 private[graft] class SnapshotTable(delegate: ParquetTable,
     onDelete: Option[org.apache.spark.sql.Column => Unit],
     val onMerge: Option[StoreMergeHook] = None)
-    extends Table with SupportsRead with SupportsDelete {
+    extends Table with SupportsRead with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.sources._
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] = delegate.partitioning
   override def properties(): util.Map[String, String] = delegate.properties
-  override def capabilities(): util.Set[TableCapability] = delegate.capabilities
+  override def capabilities(): util.Set[TableCapability] = {
+    // tip loads advertise the V1 write fallback so SQL INSERT
+    // [OVERWRITE] resolves; pinned loads stay read-only (no hook →
+    // no capability → Spark's standard "does not support" error)
+    val caps = new util.HashSet[TableCapability](delegate.capabilities())
+    if (onMerge.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
+    if (onMerge.isDefined) caps.add(TableCapability.TRUNCATE)
+    caps
+  }
   override def columns(): Array[Column] = delegate.columns()
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     delegate.newScanBuilder(options)
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` land through the store's
+    * own `mergeDelta` via Spark's V1 write fallback (one plain
+    * DataFrame handoff — the row set is the query result; no
+    * per-partition commit protocol needed for a store whose publish is
+    * already tmp+rename atomic). INSERT INTO is append-only SQL: the
+    * store's key is a unique identity, so a key collision — with
+    * existing rows or inside the batch — would silently REPLACE where
+    * SQL would duplicate; both refuse loudly. INSERT OVERWRITE is the
+    * full replacement: the delta plus a delete set of every surviving
+    * old key publishes ONE new version (history immutable). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwriteFlag: Boolean): Unit =
+                runInsert(data, overwrite || overwriteFlag)
+            }
+        }
+    }
+
+  private def runInsert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val hook = onMerge.getOrElse(throw new UnsupportedOperationException(
+      "INSERT is only supported on the table tip — a version- or " +
+        "timestamp-pinned read is immutable history"))
+    val key = hook.keyCol()
+    // an INSERT batch with duplicate keys would make the store's
+    // key-upsert keep ONE row where SQL keeps both — refuse
+    val batchDup = data.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() > 0
+    if (batchDup) throw new UnsupportedOperationException(
+      s"INSERT through SnapshotCatalog: the batch carries duplicate '$key' " +
+        "values — the store's key is a unique identity, so duplicates would " +
+        "collapse where SQL semantics would keep both rows")
+    if (overwrite) {
+      // full replacement in ONE published version: new rows upsert,
+      // surviving old keys (not re-inserted) delete
+      val oldKeys = hook.tip().select(col(key))
+        .join(data.select(col(key)), Seq(key), "left_anti")
+      hook.run(data, Some(oldKeys))
+    } else {
+      val collides = data.select(col(key))
+        .join(hook.tip().select(col(key)), Seq(key), "left_semi")
+        .limit(1).count() > 0
+      if (collides) throw new UnsupportedOperationException(
+        s"INSERT through SnapshotCatalog: a '$key' value already exists in " +
+          "the table — the store's key is a unique identity, so this INSERT " +
+          "would silently replace a row SQL semantics would duplicate; use " +
+          "MERGE INTO (upsert) or UPDATE instead")
+      hook.run(data, None)
+    }
+  }
 
   private def toColumn(f: Filter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}

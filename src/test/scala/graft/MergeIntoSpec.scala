@@ -164,6 +164,37 @@ class MergeIntoSpec extends SparkSpec {
     assert(contents("u_refuse") == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("SQL INSERT INTO appends on both layouts; collisions and batch duplicates refuse") {
+    freshSnap("i_snap"); freshLinked("i_linked")
+    for (t <- Seq("i_snap", "i_linked")) {
+      spark.sql(s"INSERT INTO mcat.$t VALUES (4, 'd', 40.0), (5, 'e', 50.0)")
+      assert(contents(t) == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+        (4L, "d", 40.0), (5L, "e", 50.0)), t)
+      assert(contents(t, "VERSION AS OF 1") ==
+        Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)), s"$t history")
+      // existing-key collision: the store would replace where SQL duplicates
+      val e1 = intercept[Exception](
+        spark.sql(s"INSERT INTO mcat.$t VALUES (1, 'dup', 0.0)"))
+      assert(e1.getMessage.contains("identity"), e1.getMessage)
+      // intra-batch duplicate keys collapse in a key-upsert: refuse
+      val e2 = intercept[Exception](
+        spark.sql(s"INSERT INTO mcat.$t VALUES (9, 'x', 1.0), (9, 'y', 2.0)"))
+      assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+      // nothing landed from the refused statements
+      assert(contents(t).size == 5, t)
+    }
+  }
+
+  test("SQL INSERT OVERWRITE replaces the table in one version; history immutable") {
+    freshSnap("o_snap"); freshLinked("o_linked")
+    for (t <- Seq("o_snap", "o_linked")) {
+      spark.sql(s"INSERT OVERWRITE mcat.$t VALUES (7, 'z', 70.0), (2, 'B', 22.0)")
+      assert(contents(t) == Set((7L, "z", 70.0), (2L, "B", 22.0)), t)
+      assert(contents(t, "VERSION AS OF 1") ==
+        Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)), s"$t history")
+    }
+  }
+
   test("catalog DML on a stats-bearing linked store: the reconstructed handle derives stats from the manifest") {
     // the advice scenario: store built WITH statsCols; the catalog
     // hook reconstructs it with statsCols=Nil — version-to-version ops
