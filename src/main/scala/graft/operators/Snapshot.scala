@@ -729,6 +729,43 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_history" -> { (s, d) =>
+      // The `<cat>.<store>.history` metadata table on BOTH layouts —
+      // the DESCRIBE-HISTORY surface: one row per version with its
+      // commit timestamp and row total, served through a LocalScan
+      // (metadata-only: manifests / parquet footers, no data pages).
+      // Versions carry EXPLICIT commit timestamps and declaratively
+      // derivable row counts (v1 = even keys; v2 after a reprice
+      // upsert + %14 deletes), so the DuckDB oracle rebuilds the
+      // whole frame. Warm passes skip the landed versions.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlhist_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val v1 = ord.filter(k % 2 === 0)
+      val delta = ord.filter(k % 2 === 0 && k % 10 === 0 && k % 14 =!= 0)
+        .select(k, (col("o_totalprice") + 1.0).as("o_totalprice"))
+      val delKeys = ord.filter(k % 2 === 0 && k % 14 === 0).select(k)
+      val snap = new SnapshotStore(s, s"$base/oh_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+      if (!snap.versions().contains(2L))
+        snap.mergeDelta(1L, 2L, delta, Some(delKeys), commitTs = Some(2000L)): Unit
+      val linked = new ManifestStore(s, s"$base/oh_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(v1, 1L, 8, commitTs = Some(1000L))
+      if (!linked.versions().contains(2L))
+        linked.mergeDelta(1L, 2L, delta, Some(delKeys), commitTs = Some(2000L)): Unit
+      val cat = s"snaphist_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Seq("oh_snap", "oh_linked").map { t =>
+        s.sql(s"SELECT version, commit_ts, n_rows FROM $cat.$t.history")
+          .withColumn("layout", lit(t))
+      }.reduce(_ unionByName _).orderBy("layout", "version")
+    },
+
     "snap_sql_insert" -> { (s, d) =>
       // SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog on
       // BOTH layouts — the write verbs land via the V1 write fallback
@@ -1151,6 +1188,18 @@ object Snapshot {
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
         |CROSS JOIN (VALUES ('ou_snap'), ('ou_linked')) AS l(layout)
         |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_history" ->
+      """WITH h AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(1000 AS BIGINT) AS commit_ts,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(2000 AS BIGINT),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0))
+        |SELECT h.version, h.commit_ts, h.n_rows, l.layout
+        |FROM h CROSS JOIN (VALUES ('oh_snap'), ('oh_linked')) AS l(layout)
+        |ORDER BY l.layout, h.version""".stripMargin,
 
     "snap_sql_insert" ->
       """WITH a1 AS (

@@ -361,6 +361,29 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     case None => spark.read.parquet(dir(version))
   }
 
+  /** Commit history — the `DESCRIBE HISTORY` surface (ManifestStore
+    * .history's twin for this layout): one row per version with its
+    * commit timestamp and file/row totals. Metadata-only — an FS
+    * listing plus each file's parquet FOOTER record count, no data
+    * pages read; |versions| rows. Served in SQL as the
+    * `<cat>.<store>.history` metadata table. */
+  def history(): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    versions().map { v =>
+      val files = fs.listStatus(new Path(dir(v)))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      val rows = files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      (v, commitTimestamp(v), files.length.toLong, rows)
+    }.toDF("version", "commit_ts", "n_files", "n_rows")
+  }
+
   private def schemaSidecar(version: Long) = new Path(dir(version), "_schema.json")
 
   /** The version's EVOLVED read schema, when a [[mergeDelta]] schema

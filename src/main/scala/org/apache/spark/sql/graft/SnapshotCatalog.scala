@@ -176,8 +176,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     (linked, vs)
   }
 
+  /** `SELECT * FROM <cat>.<store>.history` — the DESCRIBE-HISTORY
+    * surface as an Iceberg-style metadata table: when `<ns>.history`
+    * does not resolve as a store itself but `<ns>` does, serve the
+    * store's own `history()` frame (version, commit_ts, n_files,
+    * n_rows; metadata-only) through a [[LocalScan]]. Tried only as a
+    * FALLBACK, so a genuine store named `history` always wins. */
+  private def historyFallback(ident: Identifier): Option[Table] = {
+    if (ident.name() != "history" || ident.namespace().isEmpty) return None
+    val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+    try {
+      val df =
+        if (isLinked(parent)) linkedFor(parent).history()
+        else {
+          val st = storeFor(parent)
+          if (st.versions().isEmpty) return None
+          st.history()
+        }
+      Some(new HistoryTable(
+        (parent.namespace() :+ parent.name()).mkString(".") + ".history", df))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   override def loadTable(ident: Identifier): Table = {
-    val (linked, vs) = resolve(ident)
+    val (linked, vs) = try resolve(ident) catch {
+      case e: NoSuchTableException =>
+        return historyFallback(ident).getOrElse(throw e)
+    }
     val tip = vs.max
     // a DML hook recovers the key column the store recorded at first
     // publish — the metadata that lets SQL drive a key-ordered rewrite
@@ -323,6 +348,32 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
+}
+
+/** Metadata table serving a small eagerly-computed frame (the
+  * `<store>.history` surface) through Spark's own [[LocalScan]] —
+  * plans as a LocalTableScan, no files, no partitions. The frame is
+  * |versions|-sized by construction. */
+private[graft] class HistoryTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  private val collected: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val rows = df.queryExecution.executedPlan.executeCollect()
+    rows.map(_.copy())
+  }
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = collected
+          override def readSchema(): StructType = df.schema
+          override def description(): String = tableName
+        }
+    }
 }
 
 /** The DML contract [[GraftMergeStrategy]] and the INSERT write path

@@ -178,4 +178,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(rows("SELECT k, v FROM snapcat.trunc_snap VERSION AS OF 1") ==
       (1L to 6L).map(k => (k, s"t$k")).toSet)
   }
+
+  test("<store>.history metadata table: both layouts, metadata-only LocalScan plan") {
+    root: Unit
+    val linked = new graft.operators.ManifestStore(spark, s"$root/hist_linked", "k")
+    linked.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L, 2, commitTs = Some(1000L))
+    linked.mergeDelta(1L, 2L, Seq((3L, "c")).toDF("k", "v"), commitTs = Some(2000L))
+    def hist(t: String): Seq[(Long, Long, Long)] =
+      spark.sql(s"SELECT version, commit_ts, n_rows FROM snapcat.$t.history ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // snapshot layout: the lazy-root fixture store (2 + 3 rows)
+    assert(hist("orders_snap") == Seq((1L, 1000L, 2L), (2L, 2000L, 3L)))
+    // linked layout: carries file references; footers never read twice
+    assert(hist("hist_linked") == Seq((1L, 1000L, 2L), (2L, 2000L, 3L)))
+    // n_files is positive and the plan is a LocalTableScan (no files)
+    val df = spark.sql("SELECT * FROM snapcat.orders_snap.history")
+    assert(df.collect().forall(_.getAs[Long]("n_files") > 0))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString)
+    // a missing store still errors (the fallback never invents tables)
+    val e = intercept[Exception](spark.sql("SELECT * FROM snapcat.nope.history").collect())
+    assert(e.getMessage != null)
+  }
 }
