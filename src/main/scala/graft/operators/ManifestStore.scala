@@ -209,7 +209,13 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * columns they predate). */
   private def readFiles(version: Long, paths: Seq[String]): DataFrame =
     evolvedSchema(version) match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case Some(sc) =>
+        // fills recorded by an evolving mergeDelta apply uniformly at
+        // read time (SnapshotStore.applyFills' contract): shared files
+        // that predate the column read the default, not null
+        val fills = SnapshotStore.fillValues(sc)
+        val df = spark.read.schema(sc).parquet(paths: _*)
+        if (fills.isEmpty) df else df.na.fill(fills)
       case None => spark.read.parquet(paths: _*)
     }
 
@@ -356,7 +362,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * (filesShared, filesRewritten). */
   def mergeDelta(fromVersion: Long, toVersion: Long, delta: DataFrame,
       deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
-      commitTs: Option[Long] = None): (Int, Int) = {
+      commitTs: Option[Long] = None,
+      fill: Map[String, Any] = Map.empty): (Int, Int) = {
     require(!versions().contains(toVersion), s"version $toVersion already exists")
     val man = manifest(fromVersion).localCheckpoint()
     // schema evolution, SnapshotStore.mergeDelta's contract: a column
@@ -374,8 +381,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           s"${f.dataType.simpleString}; evolving a column's TYPE needs an explicit rewrite")
     }
     val newFields = delta.schema.fields.filterNot(f => baseNames(f.name))
-      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
-    val unionSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ newFields)
+    require(fill.keySet.subsetOf(newFields.map(_.name).toSet),
+      s"fill keys ${fill.keySet} must be columns this delta introduces " +
+        s"(${newFields.map(_.name).toSet})")
+    val unionSchema = org.apache.spark.sql.types.StructType(
+      baseSchema.fields ++ newFields.map(f =>
+        SnapshotStore.fieldWithFill(f, fill.get(f.name))))
     val evolved = newFields.nonEmpty || evolvedSchema(fromVersion).isDefined
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
@@ -398,8 +409,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
+    // rewritten files MATERIALIZE every recorded fill (SnapshotStore's
+    // r10 contract: no stored null survives in a filled column — an
+    // explicit-null delta row reads as the default either way)
+    val allFills = SnapshotStore.fillValues(unionSchema)
+    def materialize(df: DataFrame): DataFrame =
+      if (allFills.isEmpty) df else df.na.fill(allFills)
     val stats = landWithStats(
-      survivors.unionByName(upserts)
+      materialize(survivors.unionByName(upserts))
         .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol),
       manifestStatsCols(man))
     // an all-delete merge can rewrite to nothing: the manifest is then

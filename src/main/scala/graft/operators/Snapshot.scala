@@ -729,6 +729,45 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_alter" -> { (s, d) =>
+      // SQL `ALTER TABLE ADD COLUMN … DEFAULT` on BOTH layouts — SQL
+      // schema evolution onto the stores' own sidecar machinery: an
+      // EMPTY wider mergeDelta publishes tip+1 (linked stores carry
+      // every file by reference — zero data I/O), the DEFAULT records
+      // as the graft.fill every read path honors, so the tip scan
+      // reads the default for every pre-existing file while v1 stays
+      // narrow (immutable history — v1_cols pins it). Warm passes
+      // skip the landed ALTER.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlalt_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val snap = new SnapshotStore(s, s"$base/oa_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/oa_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapalt_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      for (t <- Seq("oa_snap", "oa_linked")) {
+        val landed =
+          (if (t == "oa_snap") new SnapshotStore(s, s"$base/$t", "o_orderkey").versions()
+           else new ManifestStore(s, s"$base/$t", "o_orderkey").versions()).contains(2L)
+        if (!landed)
+          s.sql(s"ALTER TABLE $cat.$t ADD COLUMN bonus DOUBLE DEFAULT 2.5")
+      }
+      Seq("oa_snap", "oa_linked").map { t =>
+        val v1cols = s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1").columns.length.toLong
+        s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"),
+            moneySum(col("bonus")).as("sum_bonus"))
+          .withColumn("layout", lit(t)).withColumn("v1_cols", lit(v1cols))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_history" -> { (s, d) =>
       // The `<cat>.<store>.history` metadata table on BOTH layouts —
       // the DESCRIBE-HISTORY surface: one row per version with its
@@ -1188,6 +1227,16 @@ object Snapshot {
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
         |CROSS JOIN (VALUES ('ou_snap'), ('ou_linked')) AS l(layout)
         |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_alter" ->
+      """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  ROUND(CAST(SUM(CAST(2.5 AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_bonus,
+        |  l.layout, CAST(2 AS BIGINT) AS v1_cols
+        |FROM orders CROSS JOIN (VALUES ('oa_snap'), ('oa_linked')) AS l(layout)
+        |GROUP BY 1, l.layout
+        |ORDER BY l.layout, bucket""".stripMargin,
 
     "snap_sql_history" ->
       """WITH h AS (

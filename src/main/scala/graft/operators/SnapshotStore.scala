@@ -25,6 +25,44 @@ object SnapshotStore {
   case class SchemaChange(column: String, change: String,
       fromType: Option[String], toType: Option[String])
 
+  /** A union-schema field for an evolution-introduced column, with its
+    * fill default (when given) recorded as `graft.fill` field metadata
+    * — shared by both store layouts' mergeDelta. */
+  private[graft] def fieldWithFill(f: org.apache.spark.sql.types.StructField,
+      fill: Option[Any]): org.apache.spark.sql.types.StructField = {
+    val md = fill.map { v =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+      v match {
+        case s: String => b.putString("graft.fill", s)
+        case d: Double => b.putDouble("graft.fill", d)
+        case fl: Float => b.putDouble("graft.fill", fl.toDouble)
+        case bo: Boolean => b.putBoolean("graft.fill", bo)
+        case n: Number => b.putLong("graft.fill", n.longValue())
+        case other => throw new IllegalArgumentException(
+          s"unsupported fill value for '${f.name}': $other")
+      }
+      b.build()
+    }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    org.apache.spark.sql.types.StructField(f.name, f.dataType,
+      nullable = true, metadata = md)
+  }
+
+  /** The fill defaults an evolved schema records, typed for
+    * `na.fill` — shared by both layouts' read paths. */
+  private[graft] def fillValues(
+      sc: org.apache.spark.sql.types.StructType): Map[String, Any] = {
+    import org.apache.spark.sql.types._
+    sc.fields.iterator.flatMap { f =>
+      if (!f.metadata.contains("graft.fill")) Iterator.empty
+      else Iterator.single(f.name -> (f.dataType match {
+        case StringType => f.metadata.getString("graft.fill"): Any
+        case DoubleType | FloatType => f.metadata.getDouble("graft.fill")
+        case BooleanType => f.metadata.getBoolean("graft.fill")
+        case _ => f.metadata.getLong("graft.fill")
+      }))
+    }.toMap
+  }
+
   /** Parse the `_store.json` sidecar's keyCol — shared by both store
     * layouts and the SQL catalog (which lives under Spark's package
     * root, hence public; a minimal fixed-shape parse — the sidecar is
@@ -415,16 +453,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * as the default.) */
   private def applyFills(df: DataFrame,
       sc: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.types._
-    val fills: Map[String, Any] = sc.fields.iterator.flatMap { f =>
-      if (!f.metadata.contains("graft.fill")) Iterator.empty
-      else Iterator.single(f.name -> (f.dataType match {
-        case StringType => f.metadata.getString("graft.fill"): Any
-        case DoubleType | FloatType => f.metadata.getDouble("graft.fill")
-        case BooleanType => f.metadata.getBoolean("graft.fill")
-        case _ => f.metadata.getLong("graft.fill")
-      }))
-    }.toMap
+    val fills = SnapshotStore.fillValues(sc)
     if (fills.isEmpty) df else df.na.fill(fills)
   }
 
@@ -536,23 +565,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       s"fill keys ${fill.keySet} must be columns this delta introduces " +
         s"(${newFields.map(_.name).toSet})")
     val unionSchema = org.apache.spark.sql.types.StructType(
-      baseSchema.fields ++ newFields.map { f =>
-        val md = fill.get(f.name).map { v =>
-          val b = new org.apache.spark.sql.types.MetadataBuilder()
-          v match {
-            case s: String => b.putString("graft.fill", s)
-            case d: Double => b.putDouble("graft.fill", d)
-            case fl: Float => b.putDouble("graft.fill", fl.toDouble)
-            case bo: Boolean => b.putBoolean("graft.fill", bo)
-            case n: Number => b.putLong("graft.fill", n.longValue())
-            case other => throw new IllegalArgumentException(
-              s"unsupported fill value for '${f.name}': $other")
-          }
-          b.build()
-        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
-        org.apache.spark.sql.types.StructField(f.name, f.dataType,
-          nullable = true, metadata = md)
-      })
+      baseSchema.fields ++ newFields.map(f =>
+        SnapshotStore.fieldWithFill(f, fill.get(f.name))))
     val evolved = newFields.nonEmpty || evolvedSchema(fromVersion).isDefined
     // align any frame to the union schema: present columns pass
     // through, absent ones read null (old files / dropped delta cols)

@@ -343,8 +343,71 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     readOnly("createTable")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("alterTable")
+
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** `ALTER TABLE cat.store ADD COLUMN c <type> [DEFAULT v]` — SQL
+    * schema evolution onto the stores' OWN sidecar machinery: an
+    * EMPTY wider mergeDelta publishes version tip+1 where no row
+    * moves (linked stores carry every file by reference — zero data
+    * I/O; snapshot stores copy forward, their layout's contract), the
+    * union schema lands in `_schema.json`, and the DEFAULT records as
+    * the `graft.fill` every read path (store API and catalog scans
+    * via EXISTS_DEFAULT projection) already honors. Only top-level
+    * ADD COLUMN translates; anything else keeps the read-only refusal
+    * (drops/renames/retypes would rewrite 100 TB or corrupt old
+    * files' meaning). History stays immutable: old versions read with
+    * their own schema. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (changes.isEmpty || !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
+      readOnly("alterTable (only ADD COLUMN is supported)")
+    val adds = changes.map(_.asInstanceOf[TableChange.AddColumn])
+    adds.foreach { a =>
+      if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+        s"ALTER TABLE ADD COLUMN: nested column '${a.fieldNames().mkString(".")}' " +
+          "is not supported — stores evolve flat columns")
+      if (!a.isNullable && a.defaultValue() == null)
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ADD COLUMN: NOT NULL column '${a.fieldNames()(0)}' needs " +
+            "a DEFAULT — files that predate the column must read something")
+    }
+    val (linked, vs) = resolve(ident)
+    val tip = vs.max
+    val base = storePath(ident)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"ALTER needs the store's key column: $base/_store.json is absent — " +
+          "evolve through the store API's mergeDelta"))
+    import org.apache.spark.sql.functions.lit
+    val cur =
+      if (linked) new graft.operators.ManifestStore(spark, base, key).read(tip)
+      else new SnapshotStore(spark, base, key).read(tip)
+    var delta = cur.limit(0)
+    val fills = scala.collection.mutable.Map.empty[String, Any]
+    adds.foreach { a =>
+      val colName = a.fieldNames()(0)
+      delta = delta.withColumn(colName, lit(null).cast(a.dataType()))
+      Option(a.defaultValue()).foreach { dv =>
+        import org.apache.spark.sql.types._
+        fills(colName) = a.dataType() match {
+          case StringType => dv.getValue.value().toString
+          case DoubleType | FloatType =>
+            dv.getValue.value().asInstanceOf[Number].doubleValue()
+          case BooleanType => dv.getValue.value().asInstanceOf[Boolean]
+          case _ => dv.getValue.value().asInstanceOf[Number].longValue()
+        }
+      }
+    }
+    if (linked)
+      new graft.operators.ManifestStore(spark, base, key)
+        .mergeDelta(tip, tip + 1, delta, fill = fills.toMap): Unit
+    else new SnapshotStore(spark, base, key)
+      .mergeDelta(tip, tip + 1, delta, fill = fills.toMap): Unit
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")

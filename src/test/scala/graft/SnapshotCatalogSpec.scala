@@ -200,4 +200,40 @@ class SnapshotCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT * FROM snapcat.nope.history").collect())
     assert(e.getMessage != null)
   }
+
+  test("ALTER TABLE ADD COLUMN evolves both layouts: defaults fill, history immutable, refusals hold") {
+    root: Unit
+    val snap = new SnapshotStore(spark, s"$root/alter_snap", "k")
+    snap.writeRangePartitioned(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), 1L, 2,
+      commitTs = Some(1000L))
+    val linked = new graft.operators.ManifestStore(spark, s"$root/alter_linked", "k")
+    linked.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), 1L, 2, commitTs = Some(1000L))
+    for (t <- Seq("alter_snap", "alter_linked")) {
+      spark.sql(s"ALTER TABLE snapcat.$t ADD COLUMN score DOUBLE DEFAULT 1.5")
+      // SQL scan: old files read the default through EXISTS_DEFAULT
+      val got = spark.sql(s"SELECT k, v, score FROM snapcat.$t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 10.0, 1.5), (2L, 20.0, 1.5)), t)
+      // history immutable: v1 still plans with its own (narrower) schema
+      assert(spark.sql(s"SELECT * FROM snapcat.$t VERSION AS OF 1").columns.toSeq
+        == Seq("k", "v"), t)
+    }
+    // store-API read agrees with SQL on the evolved linked version
+    val api = linked.read(2L).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(api == Set((1L, 1.5), (2L, 1.5)))
+    // a later merge materializes the fill and keeps it for carried files
+    linked.mergeDelta(2L, 3L, Seq((3L, 30.0, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v", "score"))
+    assert(linked.read(3L).collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      == Set((1L, 1.5), (2L, 1.5), (3L, 1.5))) // explicit null reads as fill
+    // refusals: NOT NULL without DEFAULT, nested columns, non-ADD changes
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE snapcat.alter_snap ADD COLUMN req STRING NOT NULL"))
+    assert(e1.getMessage.contains("DEFAULT"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE snapcat.alter_snap DROP COLUMN v"))
+    assert(e2.getMessage.toLowerCase.contains("read-only")
+      || e2.getMessage.toLowerCase.contains("alter"), e2.getMessage)
+  }
 }
