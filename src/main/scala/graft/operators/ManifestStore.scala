@@ -86,6 +86,37 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     publish(version, statsFor(names), commitTs)
   }
 
+  /** Publish `version` as an EMPTY table of `schema` — zero pool
+    * files, a zero-row manifest (schema-carrying parquet: the forced
+    * single write task emits a footer-only file), and the schema
+    * sidecar that lets every reader (store API and SQL catalog) plan
+    * an empty scan. This is SQL `CREATE TABLE`'s landing: the first
+    * `mergeDelta` (INSERT/CTAS) then rewrites nothing and lands the
+    * initial rows as version+1. The declared schema must carry the
+    * store's key column — every later operation keys on it. */
+  def createEmpty(schema: org.apache.spark.sql.types.StructType, version: Long = 1L,
+      commitTs: Option[Long] = None): Unit = {
+    require(!versions().contains(version), s"version $version already exists")
+    require(schema.fieldNames.contains(keyCol),
+      s"createEmpty: declared schema ${schema.fieldNames.mkString("(", ",", ")")} " +
+        s"lacks the store key column '$keyCol'")
+    val keyType = schema(keyCol).dataType
+    val manSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("min_key", keyType),
+      org.apache.spark.sql.types.StructField("max_key", keyType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType)) ++
+      statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$c", schema(c).dataType),
+        org.apache.spark.sql.types.StructField(s"max_$c", schema(c).dataType))))
+    publish(version,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        manSchema),
+      commitTs, Some(schema))
+  }
+
   /** Land rewritten rows in the pool and return their manifest stats.
     * A part file carrying ZERO rows (the write artifact of an
     * all-delete rewrite) never enters the manifest — its stats row
@@ -184,7 +215,10 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val spark0 = spark
     import spark0.implicits._
     versions().map { v =>
-      val m = manifest(v).agg(count(lit(1)).as("f"), sum(col("n_rows")).as("r")).head()
+      // coalesce: an empty version ([[createEmpty]], all-row delete)
+      // sums a zero-row manifest — 0 rows, not a null
+      val m = manifest(v).agg(count(lit(1)).as("f"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
       (v, commitTsOf(v), m.getLong(0), m.getLong(1))
     }.toDF("version", "commit_ts", "n_files", "n_rows")
   }
@@ -254,8 +288,17 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
 
   def read(version: Long): DataFrame = {
     val files = resolve(version)
-    if (files.isEmpty) throw new IllegalStateException(s"version $version has no files")
-    readFiles(version, files)
+    if (files.isEmpty)
+      // a legitimate empty version ([[createEmpty]], an all-row
+      // delete) records its schema sidecar — serve the empty frame it
+      // describes; absent that record the emptiness is damage
+      evolvedSchema(version) match {
+        case Some(sc) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        case None => throw new IllegalStateException(
+          s"version $version has no files and no schema sidecar")
+      }
+    else readFiles(version, files)
   }
 
   /** Key-range read pruned at the MANIFEST level: only files whose

@@ -851,6 +851,124 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_create" -> { (s, d) =>
+      // SQL DDL through the catalog: `CREATE TABLE ... AS SELECT` on
+      // BOTH layouts. CTAS plans catalog.createTable — an EMPTY
+      // version 1 lands through each store's own publish protocol
+      // (createEmpty: zero rows, schema recorded) — then Spark writes
+      // the query result through the V1-fallback INSERT path, landing
+      // version 2 via mergeDelta. The tip read back through SQL must
+      // hash-match the source selection, and `VERSION AS OF 1` must
+      // scan EMPTY (the created-then-loaded history, immutable) —
+      // driver-checking the empty-version scan path end-to-end.
+      // DROP TABLE / RENAME TO are spec-covered (destructive FS
+      // verbs don't belong in an idempotent driver query). Warm
+      // passes skip the landed CTAS and time the four reads.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlctas_$fp"
+      val cat = s"snapctas_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView(s"ctas_src_$fp")
+      for ((t, layout) <- Seq(("ct_snap", "snapshot"), ("ct_linked", "linked"))) {
+        val exists =
+          if (layout == "snapshot")
+            new SnapshotStore(s, s"$base/$t", "o_orderkey").versions().contains(2L)
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions().contains(2L)
+        if (!exists) s.sql(
+          s"""CREATE TABLE $cat.$t
+             |TBLPROPERTIES('key'='o_orderkey', 'layout'='$layout')
+             |AS SELECT * FROM ctas_src_$fp""".stripMargin)
+      }
+      def agg(df: DataFrame, layout: String, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(layout)).withColumn("ver", lit(ver))
+      def emptyV1(t: String, layout: String) =
+        s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(-1L).as("bucket"), col("n"), lit(0.0).as("sum_price"),
+            lit(layout).as("layout"), lit(1L).as("ver"))
+      Seq(("ct_snap", "snapshot"), ("ct_linked", "linked")).map { case (t, l) =>
+        emptyV1(t, l).unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), l, 2L))
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
+    "snap_sql_call" -> { (s, d) =>
+      // SQL maintenance through the catalog: `CALL <cat>.compact` /
+      // `CALL <cat>.vacuum` (the Iceberg-procedures UX via Spark's
+      // own DSv2 procedure API). A linked store lands v1 as 8 small
+      // fragments; CALL compact folds them into a NEW version of 2
+      // files (history immutable), and CALL vacuum — run EVERY pass —
+      // must reclaim exactly 0 bytes, because v1 still references
+      // every original fragment: the ref-count sweep driver-checked
+      // as never touching referenced files. Output pins the per-
+      // version file counts (deterministic: repartitionByRange sizes)
+      // the vacuum result, and the tip aggregate, all vs a
+      // declarative oracle. Warm passes skip the landed compact.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcall_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      val store = new ManifestStore(s, s"$base/cm_linked", "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapcall_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      if (!store.versions().contains(2L))
+        s.sql(s"CALL $cat.compact('cm_linked', 2, ${1L << 30})")
+      val reclaimed = s.sql(s"CALL $cat.vacuum('cm_linked')")
+        .collect().head.getLong(1)
+      val meta = store.history()
+        .select(lit(-1L).as("bucket"), col("n_files").as("n"),
+          lit(0.0).as("sum_price"), col("version").as("ver"))
+      val vac = s.range(1).select(lit(-2L).as("bucket"), lit(reclaimed).as("n"),
+        lit(0.0).as("sum_price"), lit(2L).as("ver"))
+      val agg = s.sql(s"SELECT * FROM $cat.cm_linked")
+        .groupBy((col("o_orderkey") % 50).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("ver", lit(2L))
+      meta.unionByName(vac).unionByName(agg).orderBy("ver", "bucket")
+    },
+
+    "snap_sql_files" -> { (s, d) =>
+      // The `files` metadata table (`SELECT * FROM cat.store.files` —
+      // Iceberg's files-table twin, served metadata-only from the tip
+      // manifest + one pool listing) driver-checked as a gate: the
+      // per-file layout reduces to declaratively checkable invariants
+      // — file count (8, the write's range partitioning), row total,
+      // the global key envelope, per-file sanity (min<=max, rows>0,
+      // bytes>0), and pairwise KEY-RANGE DISJOINTNESS, the property
+      // every keyed/manifest-pruned read relies on. The lag window
+      // runs over |files| rows — metadata-sized, single partition by
+      // construction.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlfiles_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      val store = new ManifestStore(s, s"$base/fl_linked", "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapfls_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val f = s.sql(s"SELECT * FROM $cat.fl_linked.files")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("min_key")
+      f.withColumn("prev_max", lag(col("max_key"), 1).over(w))
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"),
+          min("min_key").as("lo"), max("max_key").as("hi"),
+          bool_and(col("min_key") <= col("max_key")
+            && col("n_rows") > 0 && col("bytes") > 0).as("per_file_ok"),
+          bool_and(col("prev_max").isNull || col("prev_max") < col("min_key"))
+            .as("disjoint"))
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -1274,6 +1392,47 @@ object Snapshot {
         |      UNION ALL SELECT * FROM a3) a
         |CROSS JOIN (VALUES ('oi_snap'), ('oi_linked')) AS l(layout)
         |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_create" ->
+      """WITH tip AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+        |v1 AS (
+        |  SELECT CAST(-1 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS n,
+        |    CAST(0.0 AS DOUBLE) AS sum_price, CAST(1 AS BIGINT) AS ver)
+        |SELECT a.bucket, a.n, a.sum_price, l.layout, a.ver
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM tip) a
+        |CROSS JOIN (VALUES ('snapshot'), ('linked')) AS l(layout)
+        |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
+
+    "snap_sql_call" ->
+      """WITH meta AS (
+        |  SELECT CAST(-1 AS BIGINT) AS bucket, CAST(8 AS BIGINT) AS n,
+        |    CAST(0.0 AS DOUBLE) AS sum_price, CAST(1 AS BIGINT) AS ver
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT),
+        |    CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)),
+        |agg AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+        |SELECT bucket, n, sum_price, ver
+        |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
+        |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_files" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files, CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+        |  TRUE AS per_file_ok, TRUE AS disjoint
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
 
     "snap_orphan_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,

@@ -233,6 +233,25 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     buildZoneMap(version, statsCols)
   }
 
+  /** Publish `version` as an EMPTY table of `schema` — SQL `CREATE
+    * TABLE`'s landing for this layout. The version dir holds one
+    * schema-carrying footer-only parquet file (Spark forces a single
+    * write task for an empty frame, exactly so the schema survives)
+    * plus an empty zone map, so the first [[mergeDelta]]
+    * (INSERT/CTAS) finds the zone map it requires, rewrites nothing,
+    * and lands the initial rows as version+1. The declared schema
+    * must carry the store's key column. */
+  def createEmpty(schema: org.apache.spark.sql.types.StructType, version: Long = 1L,
+      commitTs: Option[Long] = None): Unit = {
+    require(!versions().contains(version), s"version $version already exists")
+    require(schema.fieldNames.contains(keyCol),
+      s"createEmpty: declared schema ${schema.fieldNames.mkString("(", ",", ")")} " +
+        s"lacks the store key column '$keyCol'")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    writeRangePartitioned(empty, version, 1, commitTs = commitTs)
+  }
+
   /** [[write]] with a MULTI-column clustering layout: rows ordered by
     * the Z-order (Morton) interleave of `zCols`, range-partitioned into
     * ~`numFiles` files, plus a zone map carrying per-file min/max for

@@ -15,6 +15,54 @@ import graft.sources.Tables
   * shuffles 5 small score rows per doc (or none with the array-sort
   * variant used in the library path).
   */
+/** A compact FROZEN bigram LM for ingest-time quality scoring: the
+  * top unigrams/bigrams of a reference corpus by count, plus the FULL
+  * corpus totals as normalization constants. Bounded state by
+  * construction (the caps are the contract), so the whole model
+  * broadcasts and scoring is a narrow per-row map — no shuffle, no
+  * per-batch state growth. Scoring is Jelinek–Mercer interpolated
+  * like [[TextAnalysis.bigramPerplexity]], but add-one-closed over
+  * the reference vocab: an unseen token reads `(0+1)/(T+V)`, so OOV
+  * text scores HIGH perplexity instead of breaking the model — the
+  * frozen-model contract CCNet's KenLM filter has. */
+case class CompactBigramLm(
+    uni: Map[String, Long],
+    big: Map[(String, String), Long],
+    totalTokens: Long,
+    vocabSize: Long,
+    lambda: Double) {
+
+  /** (n_bigrams, nll, ppl) of one normalized token sequence; None
+    * when there are fewer than two tokens (no evidence to score). */
+  def score(toks: Array[String]): Option[(Long, Double, Double)] = {
+    if (toks.length < 2) return None
+    val norm = (totalTokens + vocabSize).toDouble
+    var s = 0.0
+    var i = 0
+    while (i < toks.length - 1) {
+      val cw = uni.getOrElse(toks(i), 0L)
+      val bigTerm =
+        if (cw > 0L) lambda * big.getOrElse((toks(i), toks(i + 1)), 0L).toDouble / cw
+        else 0.0
+      val uniTerm = (1.0 - lambda) * (uni.getOrElse(toks(i + 1), 0L) + 1.0) / norm
+      s += math.log(bigTerm + uniTerm)
+      i += 1
+    }
+    val n = toks.length - 1
+    val nll = -s / n
+    Some((n.toLong, nll, math.exp(nll)))
+  }
+}
+
+object CompactBigramLm {
+  /** JVM twin of [[graft.functions.Fx.tokens]]: regexp-collapse
+    * whitespace, trim, lowercase, split on single spaces (limit -1 —
+    * Spark's split keeps empty fields). */
+  def normTokens(text: String): Array[String] =
+    text.replaceAll("\\s+", " ").trim
+      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+}
+
 object TextAnalysis {
 
   /** Tiny per-language stopword lists — enough signal for an n-gram
@@ -867,6 +915,107 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** Interpolated bigram language-model perplexity per document — the
+    * model-based quality signal of the CCNet pipeline (Wenzek et al.,
+    * LREC 2020: corpora are filtered/bucketed by LM perplexity):
+    * fluent prose scores low, boilerplate and garble score high. The
+    * model is self-trained on the corpus in the same pass (unigram +
+    * bigram counts), scored with Jelinek–Mercer interpolation
+    * `P(w2|w1) = λ·C(w1w2)/C(w1) + (1−λ)·C(w2)/T` — deterministic and
+    * smoothing-closed (the unigram term is positive for every
+    * in-corpus token, so no zero probabilities).
+    *
+    * SCALE: the token stream only ever meets equi-groupBys and
+    * equi-joins on token keys — shuffles linear in corpus token
+    * count, no all-pairs anywhere; the count frames SHUFFLE-join
+    * (vocabulary grows with the corpus — never broadcast; only the
+    * single-row total broadcasts); bigram adjacency is pure array
+    * algebra ([[docBigramCounts]] — a narrow map, no window, no
+    * per-doc shuffle before the combine). Per-doc bigrams collapse to
+    * (doc, w1, w2, k) BEFORE meeting the global counts, so the join
+    * stream is distinct-bigrams-per-doc, not token instances. */
+  /** Per-doc adjacent-pair counts (doc_id, w, w2, k) — bigram
+    * adjacency via pure ARRAY algebra (zip the token array with its
+    * own tail), so extraction is a narrow map: no window, no shuffle
+    * before the per-doc combine. Single-token docs yield no pairs. */
+  private def docBigramCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("w"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("w2"))).as("pz"))
+      .select(col("doc_id"), col("pz.w").as("w"), col("pz.w2").as("w2"))
+      .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("k"))
+
+  def bigramPerplexity(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    val big = docBigramCounts(docs)
+      .localCheckpoint() // branches into global bigram counts + scoring
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // joined twice (w1 and w2 side), |vocab| rows
+    val tot = uni.agg(sum("cw").cast(DoubleType).as("t"))
+    val bc = big.groupBy("w", "w2").agg(sum("k").as("cb"))
+    big.join(bc, Seq("w", "w2"))
+      .join(uni, Seq("w"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", lit(lambda) * col("cb") / col("cw")
+        + (lit(1.0) - lit(lambda)) * col("cw2") / col("t"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        (-sum(col("k") * log(col("p"))) / sum("k")).as("raw_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw_nll"), 6).as("nll"),
+        round(exp(col("raw_nll")), 4).as("ppl"))
+  }
+
+  /** Train a [[CompactBigramLm]]: top-`maxVocab` unigrams and
+    * top-`maxBigrams` bigrams by corpus count (count-then-token
+    * tiebreaks — deterministic), with the FULL corpus totals kept as
+    * normalization constants. The two `collect`s are bounded by the
+    * caps BY CONSTRUCTION — this is the "train once on a curated
+    * reference, prune, broadcast" production shape (CCNet ships a
+    * compact KenLM the same way), not a corpus-sized driver pull. */
+  def compactBigramLm(docs: DataFrame, maxVocab: Int, maxBigrams: Int,
+      lambda: Double = 0.9): CompactBigramLm = {
+    val uniAll = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // branches into totals + the pruned head
+    val totals = uniAll.agg(
+      coalesce(sum("cw"), lit(0L)).as("t"), count(lit(1)).as("v")).head()
+    require(totals.getLong(0) > 0L, "compactBigramLm: empty training corpus")
+    val uni = uniAll.orderBy(col("cw").desc, col("w")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = docBigramCounts(docs).groupBy("w", "w2").agg(sum("k").as("cb"))
+      .orderBy(col("cb").desc, col("w"), col("w2")).limit(maxBigrams)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    CompactBigramLm(uni, big, totals.getLong(0), totals.getLong(1), lambda)
+  }
+
+  /** Score docs against a FROZEN compact model — [[bigramPerplexity]]'s
+    * production sibling (there the model is self-trained corpus-wide
+    * and count frames shuffle-join; here the reference model rides a
+    * broadcast and scoring is one narrow map — the shape an ingest
+    * guard needs, and the batch-parity twin of
+    * [[graft.streaming.StreamOps.perplexityFilter]]). Docs with fewer
+    * than two tokens score null (no evidence — the caller decides). */
+  def perplexityWith(docs: DataFrame, model: CompactBigramLm): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        bc.value.score(CompactBigramLm.normTokens(text)) match {
+          case Some((n, nll, ppl)) =>
+            (id, n, math.rint(nll * 1e6) / 1e6, math.rint(ppl * 1e4) / 1e4)
+          case None => (id, 0L, Double.NaN, Double.NaN)
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "nll", "ppl")
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("nll").isNaN, lit(null)).otherwise(col("nll")).as("nll"),
+        when(col("ppl").isNaN, lit(null)).otherwise(col("ppl")).as("ppl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> { (s, d) =>
       // Rows-only (merges 2+ depend on the evolving segmentation — the
@@ -903,6 +1052,10 @@ object TextAnalysis {
 
     "text_tfidf" -> { (s, d) =>
       tfidfTopTerms(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
+    },
+
+    "text_perplexity" -> { (s, d) =>
+      bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     "text_zipf" -> { (s, d) =>
@@ -1179,6 +1332,28 @@ object TextAnalysis {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
          |  FROM scored) t
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |inst AS (
+         |  SELECT doc_id, t[i] AS w, t[i + 1] AS w2
+         |  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |db AS (
+         |  SELECT doc_id, w, w2, COUNT(*) AS k FROM inst
+         |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM inst GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS t FROM uni),
+         |bc AS (SELECT w, w2, SUM(k) AS cb FROM db GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT db.doc_id, db.k,
+         |    0.9 * cb / cw + (1.0 - 0.9) * cw2 / t AS p
+         |  FROM db JOIN bc USING (w, w2) JOIN uni USING (w)
+         |    JOIN (SELECT w AS w2, cw AS cw2 FROM uni) u2 USING (w2)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  ROUND(-SUM(k * LN(p)) / SUM(k), 6) AS nll,
+         |  ROUND(EXP(-SUM(k * LN(p)) / SUM(k)), 4) AS ppl
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_zipf" ->
       s"""WITH tok AS (

@@ -454,6 +454,35 @@ object StreamOps {
       .filter(col("n_overlap") < minOverlap)
   }
 
+  /** Perplexity ingest guard — the streaming twin of
+    * [[graft.operators.TextAnalysis.perplexityWith]]: every arriving
+    * document scores against a FROZEN broadcast
+    * [[graft.operators.CompactBigramLm]] (trained once on a curated
+    * reference, pruned to its caps), and documents over `maxPpl` drop
+    * — the CCNet-style fluency filter at the ingest edge. One narrow
+    * per-row map: no shuffle, no watermark, no state — the model IS
+    * the bounded state, and it never grows with the stream. Documents
+    * with fewer than two tokens carry a null ppl and are KEPT (no
+    * evidence either way — dropping unscorable docs silently would
+    * bias the corpus; a later batch pass can decide). */
+  def perplexityFilter(docs: DataFrame,
+      model: graft.operators.CompactBigramLm, maxPpl: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        bc.value.score(graft.operators.CompactBigramLm.normTokens(text)) match {
+          case Some((n, _, ppl)) => (id, text, n, math.rint(ppl * 1e4) / 1e4)
+          case None => (id, text, 0L, Double.NaN)
+        }
+      }
+      .toDF("doc_id", "text", "n_bigrams", "ppl")
+      .select(col("doc_id"), col("text"), col("n_bigrams"),
+        when(col("ppl").isNaN, lit(null)).otherwise(col("ppl")).as("ppl"))
+      .filter(col("ppl").isNull || col("ppl") <= maxPpl)
+  }
+
   /** Continuous backup maintenance — the streaming twin of
     * [[graft.operators.SnapshotStore.mergeDelta]]: every micro-batch of
     * CDC rows (`change_type` ∈ insert/update/delete, full row content)

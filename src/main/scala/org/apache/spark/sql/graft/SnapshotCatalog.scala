@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -48,19 +49,27 @@ import graft.operators.SnapshotStore
   * the store API's fill view (rewritten files materialize fills at
   * write time, so no stored null survives in a filled column).
   *
-  * DML: `DELETE FROM <cat>.<store> WHERE <pred>` (and `TRUNCATE
-  * TABLE`, which rides the same hook) maps onto the
-  * store's own `deleteWhere` via the DSv2 row-level delete hook
-  * ([[SupportsDelete]]) — it PUBLISHES A NEW VERSION through the
-  * store's tmp+rename discipline (time travel still reads the old
-  * one), driving the key-ordered rewrite with the key column the
-  * store recorded in `_store.json` at first publish. Version- and
-  * timestamp-pinned reads stay immutable (no delete hook), and every
-  * other mutation (CREATE/ALTER/DROP/INSERT) remains rejected: those
-  * go through the store API, whose publish protocol carries the
-  * atomicity contract a catalog write path would bypass.
+  * DML/DDL: the full SQL verb set maps onto the stores' own publish
+  * protocol — every mutation lands a NEW VERSION via tmp+rename (time
+  * travel keeps reading the old one), driven by the key column the
+  * store recorded in `_store.json` at first publish:
+  *
+  *   - `DELETE FROM ... WHERE` / `TRUNCATE` → `deleteWhere` via the
+  *     DSv2 row-level delete hook ([[SupportsDelete]])
+  *   - `INSERT [OVERWRITE]` → `mergeDelta` via the V1 write fallback
+  *     (key collisions refuse loudly — the key is a unique identity)
+  *   - `UPDATE` / `MERGE INTO` → `mergeDelta` via [[GraftExtensions]]'
+  *     planner strategies
+  *   - `CREATE TABLE [AS SELECT]` → `createEmpty` (+ the INSERT path
+  *     for CTAS); `DROP TABLE` / `RENAME TO` → base-dir remove/rename
+  *   - `ALTER TABLE ADD COLUMN [DEFAULT]` → an empty wider
+  *     `mergeDelta` recording the fill sidecar
+  *
+  * Version- and timestamp-pinned reads carry no hooks — immutable
+  * history; anything untranslatable keeps a loud refusal.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -176,26 +185,78 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     (linked, vs)
   }
 
-  /** `SELECT * FROM <cat>.<store>.history` — the DESCRIBE-HISTORY
-    * surface as an Iceberg-style metadata table: when `<ns>.history`
-    * does not resolve as a store itself but `<ns>` does, serve the
-    * store's own `history()` frame (version, commit_ts, n_files,
-    * n_rows; metadata-only) through a [[LocalScan]]. Tried only as a
-    * FALLBACK, so a genuine store named `history` always wins. */
+  /** `SELECT * FROM <cat>.<store>.history` / `<cat>.<store>.files` —
+    * the Iceberg-style metadata tables: when `<ns>.<kind>` does not
+    * resolve as a store itself but `<ns>` does, serve the store's own
+    * metadata frame through a [[LocalScan]]. `history` is (version,
+    * commit_ts, n_files, n_rows); `files` is the TIP's per-file
+    * layout — (file, min_key, max_key, n_rows, bytes): the manifest
+    * for a linked store, the zone map for a snapshot store (stats
+    * null, honestly, when no zone map was built), with filesystem
+    * byte sizes joined in. Both are metadata-only — listings,
+    * sidecars, KB manifests; no data pages. Tried only as a FALLBACK,
+    * so a genuine store named `history`/`files` always wins. */
   private def historyFallback(ident: Identifier): Option[Table] = {
-    if (ident.name() != "history" || ident.namespace().isEmpty) return None
+    val kind = ident.name()
+    if ((kind != "history" && kind != "files") || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
-      val df =
-        if (isLinked(parent)) linkedFor(parent).history()
-        else {
-          val st = storeFor(parent)
-          if (st.versions().isEmpty) return None
-          st.history()
-        }
+      val df = kind match {
+        case "history" =>
+          if (isLinked(parent)) linkedFor(parent).history()
+          else {
+            val st = storeFor(parent)
+            if (st.versions().isEmpty) return None
+            st.history()
+          }
+        case _ => filesDf(parent).getOrElse(return None)
+      }
       Some(new HistoryTable(
-        (parent.namespace() :+ parent.name()).mkString(".") + ".history", df))
+        (parent.namespace() :+ parent.name()).mkString(".") + s".$kind", df))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The `files` metadata frame: tip per-file stats + FS byte sizes.
+    * The size frame is |files| rows built from one directory listing
+    * and joined by name — broadcast-tiny next to any data scan. */
+  private def filesDf(parent: Identifier): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
+    val base = storePath(parent)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sizesOf(dir: org.apache.hadoop.fs.Path): org.apache.spark.sql.DataFrame = {
+      val fs = dir.getFileSystem(conf)
+      val rows =
+        if (!fs.exists(dir)) Seq.empty[(String, Long)]
+        else fs.listStatus(dir).toSeq.filter(_.isFile)
+          .map(st => (st.getPath.getName, st.getLen))
+      spark.createDataFrame(rows).toDF("file", "bytes")
+    }
+    if (isLinked(parent)) {
+      val st = linkedFor(parent)
+      val vs = st.versions()
+      if (vs.isEmpty) return None
+      Some(st.manifest(vs.max)
+        .select("file", "min_key", "max_key", "n_rows")
+        .join(sizesOf(new org.apache.hadoop.fs.Path(s"$base/files")), Seq("file"), "left")
+        .orderBy("file"))
+    } else {
+      val st = storeFor(parent)
+      val vs = st.versions()
+      if (vs.isEmpty) return None
+      val tip = vs.max
+      val sizes = sizesOf(new org.apache.hadoop.fs.Path(s"$base/v=$tip"))
+        .filter(col("file").startsWith("part-"))
+      Some(st.zoneMap(tip) match {
+        case Some(zm) =>
+          zm.withColumn("file", element_at(split(col("file"), "/"), -1))
+            .select("file", "min_key", "max_key", "n_rows")
+            .join(sizes, Seq("file"), "left").orderBy("file")
+        case None => // no zone map: names+bytes, stats honestly unknown
+          sizes.select(col("file"), lit(null).as("min_key"),
+            lit(null).as("max_key"), lit(null).cast("long").as("n_rows"),
+            col("bytes")).orderBy("file")
+      })
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -334,15 +395,198 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     readOnly("dropNamespace")
 
+  // ---- ProcedureCatalog: the maintenance verbs a lake exposes as SQL
+  // `CALL` (the Iceberg-procedures UX, through Spark's own DSv2
+  // procedure API), mapped onto the stores' existing maintenance
+  // methods. Each procedure publishes/reclaims through the store's
+  // protocol and answers ONE summary row via a [[LocalScan]]:
+  //
+  //   CALL <cat>.compact('tbl' [, target_files [, min_bytes]])
+  //     → snapshot: in-place layout rewrite of the tip (identity and
+  //       commit-ts preserved); linked: folds sub-min_bytes pool
+  //       fragments into a NEW version (history immutable)
+  //   CALL <cat>.vacuum('tbl' [, ttl_hours])
+  //     → crash-leftover + unreferenced-pool reclamation; referenced
+  //       files are untouchable by construction
+  //   CALL <cat>.retention('tbl', keep_last)
+  //     → prune to the newest keep_last versions (holds respected on
+  //       the snapshot layout; linked reclaims via its ref-count sweep)
+  //
+  // `CALL <cat>.system.<proc>` resolves too (the Iceberg spelling).
+
+  private val procedureNames = Array("compact", "vacuum", "retention")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
+    else if (namespace.sameElements(Array("system")))
+      procedureNames.map(Identifier.of(namespace, _))
+    else Array.empty
+
+  private def tableIdentOf(tbl: String): Identifier = {
+    val parts = tbl.split('.')
+    Identifier.of(parts.init, parts.last)
+  }
+
+  private def procKey(base: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"this procedure needs the store's key column: $base/_store.json is " +
+          "absent — run the maintenance through the store API"))
+  }
+
+  private def procResult(schema: StructType,
+      values: Array[Any]): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+        override def readSchema(): StructType = schema
+      }
+    java.util.List.of(scan).iterator()
+  }
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+    import org.apache.spark.sql.types._
+    val ns = ident.namespace()
+    if (!(ns.isEmpty || ns.sameElements(Array("system"))))
+      throw new UnsupportedOperationException(
+        s"unknown procedure namespace '${ns.mkString(".")}' — procedures live at " +
+          s"$catalogName.<proc> or $catalogName.system.<proc>")
+    def bound(procName: String, params: Array[ProcedureParameter],
+        outSchema: StructType)(
+        run: org.apache.spark.sql.catalyst.InternalRow => Array[Any]): UnboundProcedure =
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = procName
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] =
+            procResult(outSchema, run(input))
+        }
+      }
+    val tableParam = ProcedureParameter.in("table", StringType).build()
+    ident.name() match {
+      case "compact" => bound("compact",
+        Array(tableParam,
+          ProcedureParameter.in("target_files", IntegerType).defaultValue("4").build(),
+          ProcedureParameter.in("min_bytes", LongType)
+            .defaultValue((8L << 20).toString).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("version", LongType), StructField("files_before", LongType),
+          StructField("files_after", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val (targetFiles, minBytes) = (in.getInt(1), in.getLong(2))
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val before = st.manifest(tip).count()
+          val (kept, rewritten) = st.compact(tip, tip + 1, minBytes, targetFiles)
+          Array(utf8("linked"), tip + 1, before, (kept + rewritten).toLong)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val bytes = st.stats(tip)._3
+          val targetBytes = math.max(1L, (bytes + targetFiles - 1) / targetFiles)
+          val (before, after) = st.compact(tip, targetBytes)
+          Array(utf8("snapshot"), tip, before.toLong, after.toLong)
+        }
+      }
+      case "vacuum" => bound("vacuum",
+        Array(tableParam,
+          ProcedureParameter.in("ttl_hours", IntegerType).defaultValue("24").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("reclaimed", LongType), StructField("unit", StringType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val ttlMs = in.getInt(1).toLong * 3600L * 1000L
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val bytes = new graft.operators.ManifestStore(spark, base, "").vacuum(ttlMs)
+          Array(utf8("linked"), bytes, utf8("bytes"))
+        } else {
+          val n = new SnapshotStore(spark, base, "").vacuum(ttlMs).size.toLong
+          Array(utf8("snapshot"), n, utf8("paths"))
+        }
+      }
+      case "retention" => bound("retention",
+        Array(tableParam, ProcedureParameter.in("keep_last", IntegerType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("n_pruned", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val keepLast = in.getInt(1)
+        require(keepLast >= 1, s"retention: keep_last must be >= 1, got $keepLast")
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, "")
+          val vs = st.versions()
+          val keep = vs.takeRight(keepLast)
+          st.prune(keep): Unit
+          Array(utf8("linked"), (vs.size - keep.size).toLong)
+        } else {
+          val n = new SnapshotStore(spark, base, "").prune(keepLast).size.toLong
+          Array(utf8("snapshot"), n)
+        }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure '$other' — available: ${procedureNames.mkString(", ")}")
+    }
+  }
+
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"SnapshotCatalog is read-only ($op): write through the SnapshotStore API, " +
-        "whose tmp+rename publish carries the atomicity contract " +
-        "(row-level DELETE FROM is the one supported SQL mutation)")
+      s"SnapshotCatalog does not support $op: the supported SQL surface is " +
+        "SELECT (+ VERSION/TIMESTAMP AS OF, .history), CREATE TABLE [AS " +
+        "SELECT], DROP/RENAME TABLE, INSERT [OVERWRITE], UPDATE, DELETE, " +
+        "TRUNCATE, MERGE INTO, ALTER TABLE ADD COLUMN — anything else goes " +
+        "through the store API, whose publish protocol carries the " +
+        "atomicity contract a catalog write path would bypass")
 
+  /** `CREATE TABLE <cat>.<store> (...) [TBLPROPERTIES(...)]` — lands
+    * an EMPTY version 1 through the store's own publish protocol, so
+    * the created table is immediately readable (zero rows) and the
+    * first INSERT/CTAS write appends version 2 via `mergeDelta`.
+    * `CREATE TABLE ... AS SELECT` rides the same path: Spark writes
+    * the query result into the table this method returns (the V1
+    * write fallback INSERT). Two table properties drive the layout:
+    *
+    *   'key'    = the store's key column (default: first column) —
+    *              recorded in `_store.json`, drives every later DML
+    *   'layout' = 'snapshot' (dir-per-version, default) | 'linked'
+    *              (manifest over a shared pool — the 100 TB layout)
+    *
+    * PARTITIONED BY is refused: stores lay out by key range / Z-order
+    * (`writeRangePartitioned` / `writeZOrdered`), not hive-style
+    * directory partitioning. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("createTable")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "CREATE TABLE ... PARTITIONED BY is not supported: stores lay out by key " +
+        "range (writeRangePartitioned) or Z-order (writeZOrdered), not " +
+        "hive-style directory partitioning")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val key = Option(properties.get("key")).getOrElse(schema.fields.head.name)
+    if (!schema.fieldNames.contains(key)) throw new IllegalArgumentException(
+      s"CREATE TABLE: key column '$key' is not in the declared schema " +
+        schema.fieldNames.mkString("(", ", ", ")"))
+    val base = storePath(ident)
+    Option(properties.get("layout")).getOrElse("snapshot") match {
+      case "linked" =>
+        new graft.operators.ManifestStore(spark, base, key).createEmpty(schema)
+      case "snapshot" =>
+        new SnapshotStore(spark, base, key).createEmpty(schema)
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE: unknown layout '$other' — 'snapshot' or 'linked'")
+    }
+    loadTable(ident)
+  }
 
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
@@ -408,9 +652,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       .mergeDelta(tip, tip + 1, delta, fill = fills.toMap): Unit
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("renameTable")
+  /** `DROP TABLE <cat>.<store>` — removes the store base recursively:
+    * every version, manifest, sidecar and (linked layout) the pool.
+    * Both layouts are self-contained under their base dir, so the
+    * delete cannot touch another table's data. Dropping destroys
+    * HISTORY too — that is what DROP TABLE means; `deleteWhere` /
+    * retention are the surgical alternatives. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val p = new org.apache.hadoop.fs.Path(storePath(ident))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** `ALTER TABLE <cat>.<old> RENAME TO <new>` — one directory rename
+    * (atomic on HDFS-semantics filesystems; object-store renames are
+    * the storage layer's contract). Manifests store bare pool file
+    * NAMES and sidecars are base-relative, so a renamed store keeps
+    * every version readable — the relocatable-repository property. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    val src = new org.apache.hadoop.fs.Path(storePath(oldIdent))
+    val dst = new org.apache.hadoop.fs.Path(storePath(newIdent))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"RENAME TABLE failed: $src -> $dst")
+  }
 }
 
 /** Metadata table serving a small eagerly-computed frame (the

@@ -102,13 +102,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(inNs.contains("nested_snap"))
   }
 
-  test("a read-only catalog refuses DDL writes; listTables sees the store") {
+  test("unsupported DDL verbs refuse loudly; listTables sees the store") {
     root: Unit
     val ids = spark.sql("SHOW TABLES IN snapcat").collect().map(_.getString(1))
     assert(ids.contains("orders_snap"))
-    val e = intercept[Exception](
-      spark.sql("DROP TABLE snapcat.orders_snap").collect())
-    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // SET TBLPROPERTIES is outside the supported verb set (DROP/RENAME
+    // are real DDL now — spec'd separately on scratch tables)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE snapcat.orders_snap SET TBLPROPERTIES ('a'='b')").collect())
+    assert(e.getMessage.contains("does not support")
+      || e.getMessage.toLowerCase.contains("alter"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql("CREATE NAMESPACE snapcat.newns"))
+    assert(e2.getMessage.contains("does not support"), e2.getMessage)
   }
 
   test("fill policy projects into the SQL scan: SQL read == store API read on an evolved version") {
@@ -235,5 +240,173 @@ class SnapshotCatalogSpec extends SparkSpec {
       "ALTER TABLE snapcat.alter_snap DROP COLUMN v"))
     assert(e2.getMessage.toLowerCase.contains("read-only")
       || e2.getMessage.toLowerCase.contains("alter"), e2.getMessage)
+  }
+
+  test("CREATE TABLE lands an empty readable v1 on both layouts; INSERT then appends v2") {
+    root: Unit
+    for ((t, layout) <- Seq(("create_snap", "snapshot"), ("create_linked", "linked"))) {
+      spark.sql(s"CREATE TABLE snapcat.$t (k BIGINT, v STRING) " +
+        s"TBLPROPERTIES('key'='k', 'layout'='$layout')")
+      // readable immediately, zero rows, declared schema
+      val empty = spark.sql(s"SELECT * FROM snapcat.$t")
+      assert(empty.columns.toSeq == Seq("k", "v"), t)
+      assert(empty.count() == 0L, t)
+      // the store API agrees: v1 exists and reads empty
+      if (layout == "linked") {
+        val st = new graft.operators.ManifestStore(spark, s"$root/$t", "k")
+        assert(st.versions() == Seq(1L) && st.read(1L).count() == 0L, t)
+      } else {
+        val st = new SnapshotStore(spark, s"$root/$t", "k")
+        assert(st.versions() == Seq(1L) && st.read(1L).count() == 0L, t)
+      }
+      spark.sql(s"INSERT INTO snapcat.$t VALUES (1, 'a'), (2, 'b')")
+      assert(rows(s"SELECT k, v FROM snapcat.$t") == Set((1L, "a"), (2L, "b")), t)
+      // history: v1 is still the empty created state
+      assert(spark.sql(s"SELECT * FROM snapcat.$t VERSION AS OF 1").count() == 0L, t)
+    }
+    // duplicate CREATE refuses; IF NOT EXISTS is a no-op
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcat.create_snap (k BIGINT) TBLPROPERTIES('key'='k')"))
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+    spark.sql("CREATE TABLE IF NOT EXISTS snapcat.create_snap (k BIGINT) " +
+      "TBLPROPERTIES('key'='k')")
+    assert(rows("SELECT k, v FROM snapcat.create_snap") == Set((1L, "a"), (2L, "b")))
+    // refusals: PARTITIONED BY, a key column missing from the schema,
+    // an unknown layout
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcat.create_part (k BIGINT, p STRING) PARTITIONED BY (p)"))
+    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcat.create_badkey (k BIGINT) TBLPROPERTIES('key'='nope')"))
+    assert(e3.getMessage.contains("key column"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcat.create_badlay (k BIGINT) TBLPROPERTIES('layout'='x')"))
+    assert(e4.getMessage.contains("layout"), e4.getMessage)
+  }
+
+  test("CTAS writes the query result as v2 over the created empty v1; MERGE then works on it") {
+    root: Unit
+    spark.range(1, 6).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+      .createOrReplaceTempView("ctas_spec_src")
+    spark.sql("CREATE TABLE snapcat.ctas_linked " +
+      "TBLPROPERTIES('key'='k', 'layout'='linked') " +
+      "AS SELECT * FROM ctas_spec_src")
+    assert(spark.sql("SELECT * FROM snapcat.ctas_linked").count() == 5L)
+    assert(spark.sql("SELECT * FROM snapcat.ctas_linked VERSION AS OF 1").count() == 0L)
+    // the created table carries the full DML surface: MERGE onto it
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    spark.sql("""MERGE INTO snapcat.ctas_linked t USING ctas_spec_src s
+      |ON t.k = s.k WHEN MATCHED AND s.k = 3 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM snapcat.ctas_linked").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 11.0), (2L, 21.0), (4L, 41.0), (5L, 51.0)))
+  }
+
+  test("the files metadata table serves per-file tip layout for both layouts") {
+    root: Unit
+    val snap = new SnapshotStore(spark, s"$root/files_snap", "k")
+    snap.writeRangePartitioned((1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v"), 1L, 3)
+    val f1 = spark.sql("SELECT * FROM snapcat.files_snap.files").collect()
+    assert(f1.length == 3)
+    assert(f1.map(_.getAs[Long]("n_rows")).sum == 30L)
+    assert(f1.forall(r => r.getAs[Long]("bytes") > 0L))
+    assert(f1.forall(r => r.getAs[Long]("min_key") <= r.getAs[Long]("max_key")))
+    val lk = new graft.operators.ManifestStore(spark, s"$root/files_linked", "k")
+    lk.write((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, numFiles = 2)
+    lk.mergeDelta(1L, 2L, Seq((5L, "x")).toDF("k", "v"))
+    val f2 = spark.sql("SELECT * FROM snapcat.files_linked.files").collect()
+    // the TIP's manifest: carried + rewritten files, row total unchanged
+    assert(f2.map(_.getAs[Long]("n_rows")).sum == 20L)
+    assert(f2.forall(r => r.getAs[Long]("bytes") > 0L))
+    // a plain write without a zone map reports names+bytes, stats null
+    val plain = new SnapshotStore(spark, s"$root/files_plain", "k")
+    plain.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L)
+    val f3 = spark.sql("SELECT * FROM snapcat.files_plain.files").collect()
+    assert(f3.nonEmpty && f3.forall(r => r.isNullAt(r.fieldIndex("n_rows"))))
+    assert(f3.forall(r => r.getAs[Long]("bytes") > 0L))
+  }
+
+  test("CALL compact folds linked pool fragments into a new version; reads unchanged") {
+    root: Unit
+    val st = new graft.operators.ManifestStore(spark, s"$root/call_compact", "k")
+    st.write((1L to 60L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, numFiles = 6,
+      commitTs = Some(1000L))
+    val res = spark.sql(
+      "CALL snapcat.compact('call_compact', 2, 1048576)").collect().head
+    assert(res.getString(0) == "linked")
+    assert(res.getLong(1) == 2L) // a NEW version — history immutable
+    assert(res.getLong(2) == 6L && res.getLong(3) == 2L, res)
+    // identical rows through SQL on the compacted tip AND the old tip
+    assert(spark.sql("SELECT * FROM snapcat.call_compact").count() == 60L)
+    assert(rows("SELECT k, v FROM snapcat.call_compact VERSION AS OF 1") ==
+      rows("SELECT k, v FROM snapcat.call_compact VERSION AS OF 2"))
+    // the system-namespace spelling resolves too (nothing to fold now:
+    // v3 publishes with the 2 compacted files carried by reference)
+    val res2 = spark.sql(
+      "CALL snapcat.system.compact('call_compact', 2, 1048576)").collect().head
+    assert(res2.getLong(3) <= 2L)
+  }
+
+  test("CALL compact rewrites a snapshot tip in place, preserving identity and commit ts") {
+    root: Unit
+    val st = new SnapshotStore(spark, s"$root/call_csnap", "k")
+    st.writeRangePartitioned((1L to 40L).map(i => (i, i * 2.0)).toDF("k", "v"), 1L, 8,
+      commitTs = Some(5000L))
+    val res = spark.sql("CALL snapcat.compact('call_csnap', 2)").collect().head
+    assert(res.getString(0) == "snapshot" && res.getLong(1) == 1L)
+    assert(res.getLong(2) == 8L && res.getLong(3) < 8L, res)
+    assert(st.versions() == Seq(1L)) // same version, fewer files
+    assert(st.commitTimestamp(1L) == 5000L)
+    assert(spark.sql("SELECT * FROM snapcat.call_csnap").count() == 40L)
+  }
+
+  test("CALL vacuum reclaims only unreferenced pool files; CALL retention prunes history") {
+    root: Unit
+    val st = new graft.operators.ManifestStore(spark, s"$root/call_vac", "k")
+    st.write((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, numFiles = 4,
+      commitTs = Some(1000L))
+    st.mergeDelta(1L, 2L, Seq((1L, "v1x")).toDF("k", "v"), commitTs = Some(2000L))
+    // both versions live → every pool file referenced → vacuum finds 0
+    val v0 = spark.sql("CALL snapcat.vacuum('call_vac')").collect().head
+    assert(v0.getString(0) == "linked" && v0.getLong(1) == 0L && v0.getString(2) == "bytes")
+    // retention to the tip: v1's exclusive files become reclaimable,
+    // and the linked prune's ref-count sweep reclaims them in the call
+    val r = spark.sql("CALL snapcat.retention('call_vac', 1)").collect().head
+    assert(r.getString(0) == "linked" && r.getLong(1) == 1L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM snapcat.call_vac VERSION AS OF 1").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    assert(spark.sql("SELECT * FROM snapcat.call_vac").count() == 20L)
+    // unknown procedure refuses loudly
+    val e2 = intercept[Exception](spark.sql("CALL snapcat.nope('x')").collect())
+    assert(e2.getMessage.contains("procedure") || e2.getMessage.contains("nope"),
+      e2.getMessage)
+  }
+
+  test("DROP TABLE removes the store; RENAME TO moves it with every version intact") {
+    root: Unit
+    spark.sql("CREATE TABLE snapcat.drop_me (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('key'='k', 'layout'='linked')")
+    spark.sql("INSERT INTO snapcat.drop_me VALUES (1, 'a')")
+    spark.sql("DROP TABLE snapcat.drop_me")
+    val e = intercept[Exception](spark.sql("SELECT * FROM snapcat.drop_me").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    assert(!new java.io.File(s"$root/drop_me").exists())
+    spark.sql("DROP TABLE IF EXISTS snapcat.drop_me") // absent → no-op
+    spark.sql("CREATE TABLE snapcat.ren_a (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('key'='k', 'layout'='linked')")
+    spark.sql("INSERT INTO snapcat.ren_a VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE snapcat.ren_a VALUES (3, 'c')")
+    spark.sql("ALTER TABLE snapcat.ren_a RENAME TO ren_b")
+    // relocatable repository: all three versions read at the new name
+    assert(rows("SELECT k, v FROM snapcat.ren_b") == Set((3L, "c")))
+    assert(rows("SELECT k, v FROM snapcat.ren_b VERSION AS OF 2") ==
+      Set((1L, "a"), (2L, "b")))
+    assert(!new java.io.File(s"$root/ren_a").exists())
+    // renaming ONTO an existing table refuses
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE snapcat.ren_b RENAME TO create_snap"))
+    assert(e2.getMessage.toLowerCase.contains("exists"), e2.getMessage)
   }
 }

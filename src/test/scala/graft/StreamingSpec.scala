@@ -605,6 +605,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("perplexityFilter scores a stream identically to the batch twin and drops garble") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // reference model: fluent prose with a strong dominant bigram walk
+    val ref = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "the cat sat on the mat and the cat sat again")).toDF("doc_id", "text")
+    val model = TextAnalysis.compactBigramLm(ref, maxVocab = 100, maxBigrams = 200)
+    val arriving = Seq(
+      (10L, "the cat sat on the mat"),   // on-model → low ppl
+      (11L, "mat sat the on cat mat the沙"), // off-model + OOV → high ppl
+      (12L, "solo"))                     // 1 token → unscorable, KEPT
+    // batch twin scores
+    val batch = TextAnalysis.perplexityWith(arriving.toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(batch(12L).isEmpty)
+    assert(batch(10L).get < batch(11L).get)
+    val cut = (batch(10L).get + batch(11L).get) / 2.0
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.perplexityFilter(
+      input.toDS().toDF("doc_id", "text"), model, cut)
+    val query = gated.writeStream
+      .format("memory").queryName("graft_ppl").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, ppl FROM graft_ppl").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // garble dropped; fluent kept with the BATCH-IDENTICAL score;
+      // the unscorable doc passes through with a null ppl
+      assert(out.keySet == Set(10L, 12L))
+      assert(out(10L) == batch(10L))
+      assert(out(12L).isEmpty)
+    } finally query.stop()
+  }
+
   test("decontaminateStream drops exactly the docs the batch audit flags") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

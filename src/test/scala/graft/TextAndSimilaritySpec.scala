@@ -50,6 +50,30 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(viaSql == out)
   }
 
+  test("bigramPerplexity: fluent repetition scores below garble; invariants hold") {
+    // three docs over a shared vocabulary: d1/d2 repeat the corpus's
+    // dominant bigram pattern (high C(w1w2)/C(w1) everywhere), d3
+    // walks pairs the corpus never repeats — its bigram term falls to
+    // the unigram floor, so its perplexity must be strictly higher
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "the cat sat on the mat the cat sat on the mat"),
+      (3L, "mat the on cat the sat mat on sat cat the on")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPerplexity(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // n_bigrams = tokens - 1 (12-token docs)
+    assert(r.values.forall(_.getLong(1) == 11L))
+    // interpolated probabilities are < 1 → nll > 0 → ppl > 1
+    assert(r.values.forall(_.getDouble(3) > 1.0))
+    // identical docs score identically; garble scores strictly worse
+    assert(r(1L).getDouble(3) == r(2L).getDouble(3))
+    assert(r(3L).getDouble(3) > r(1L).getDouble(3))
+    // ppl = exp(nll) within rounding
+    val row = r(1L)
+    assert(math.abs(row.getDouble(3) - math.exp(row.getDouble(2))) < 1e-3)
+  }
+
   test("mipsTopK ranks by inner product where cosine order is wrong") {
     // q·(5,5) = 5 beats q·(1,0) = 1, but cosine prefers the parallel
     // small vector — MIPS must pick the big one first
