@@ -517,13 +517,27 @@ object Multimodal {
     * gain 1 and 2, the volume-invariance probe's pair). One narrow
     * typed map: the ENCODERS run here, once, so a persisted copy lets
     * every downstream query measure decode, not encode. */
-  def synthesizeMedia(docIds: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+  def synthesizeMedia(docIds: org.apache.spark.sql.Dataset[Long],
+      cols: Seq[String] = Seq("png", "jpg", "wav", "wav2")): DataFrame = {
     val spark = docIds.sparkSession
     import spark.implicits._
-    docIds.map { id =>
-      (id, syntheticImage(id, "png"), syntheticImage(id, "jpg"),
-        syntheticWav(id), syntheticWav(id, gain = 2))
-    }.toDF("doc_id", "png", "jpg", "wav", "wav2")
+    // Catalyst cannot prune INSIDE a typed map, so the map must only
+    // synthesize the columns the caller asked for — a query reading
+    // one payload column must not pay the other three codecs (the
+    // persisted path gets the same pruning from the parquet reader)
+    val want = cols.toIndexedSeq
+    val raw = docIds.map { id =>
+      (id, want.map {
+        case "png" => syntheticImage(id, "png")
+        case "jpg" => syntheticImage(id, "jpg")
+        case "wav" => syntheticWav(id)
+        case "wav2" => syntheticWav(id, gain = 2)
+        case other => throw new IllegalArgumentException(
+          s"unknown media column '$other'")
+      }.toArray)
+    }.toDF("doc_id", "p")
+    raw.select(col("doc_id") +:
+      want.zipWithIndex.map { case (c, i) => col("p")(i).as(c) }: _*)
   }
 
   /** The binary media table for an sf dir: scans `{dir}/media.parquet`
@@ -534,13 +548,16 @@ object Multimodal {
     * (the driver's sf dirs are read-only). Payloads are pure functions
     * of doc_id, so query results are the same either way — the
     * persisted path only moves the encoder out of the measured plan. */
-  def mediaFor(s: SparkSession, d: String): DataFrame =
+  def mediaFor(s: SparkSession, d: String, cols: String*): DataFrame = {
+    val want = if (cols.isEmpty) Seq("png", "jpg", "wav", "wav2") else cols.toSeq
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/media.parquet")))
       s.read.parquet(s"$d/media.parquet")
+        .select(("doc_id" +: want).map(col): _*)
     else {
       import s.implicits._
-      synthesizeMedia(Tables.documents(s, d).select(col("doc_id")).as[Long])
+      synthesizeMedia(Tables.documents(s, d).select(col("doc_id")).as[Long], want)
     }
+  }
 
   /** Driver-checkable stand-in: documents.text re-encoded as binary,
     * with byte length + md5 — the metadata-extraction shape over a
@@ -982,7 +999,7 @@ object Multimodal {
       // maps end to end; payload bytes never cross a shuffle. Scans
       // the persisted media table when present (measures DECODE);
       // synthesizes identical bytes on read-only sf dirs.
-      val payloads = mediaFor(s, d).select(col("doc_id"),
+      val payloads = mediaFor(s, d, "png", "jpg").select(col("doc_id"),
         when(col("doc_id") % 2 === 0, col("png")).otherwise(col("jpg")).as("payload"))
       decodeImageMeta(payloads, "doc_id", "payload")
         .select(col("doc_id"), col("width").cast(LongType).as("width"),
@@ -998,7 +1015,7 @@ object Multimodal {
       // both sides) — a codec that parsed headers right but decoded
       // pixels wrong fails HERE. One boolean row the oracle asserts.
       import s.implicits._
-      val ok = mediaFor(s, d).select(col("doc_id"), col("png"))
+      val ok = mediaFor(s, d, "png").select(col("doc_id"), col("png"))
         .as[(Long, Array[Byte])]
         .map { case (id, png) =>
           val decoded = decodeLuma(png)
@@ -1044,7 +1061,7 @@ object Multimodal {
       // computed PNG hash instead of running the codec a third time
       // (an equi-join on a long key — cheap next to real codec work)
       import s.implicits._
-      val hashes = mediaFor(s, d).select(col("doc_id"), col("png"), col("jpg"))
+      val hashes = mediaFor(s, d, "png", "jpg").select(col("doc_id"), col("png"), col("jpg"))
         .as[(Long, Array[Byte], Array[Byte])]
         .map { case (id, png, jpg) =>
           (id, pixelHash(png).get, pixelHash(jpg).get)
@@ -1068,7 +1085,7 @@ object Multimodal {
       // back — the DuckDB oracle recomputes all of it declaratively,
       // so any header mis-parse hash-fails. The one-pass metadata
       // attach over the media table's wav column; bytes never shuffle.
-      val payloads = mediaFor(s, d).select(col("doc_id"), col("wav").as("payload"))
+      val payloads = mediaFor(s, d, "wav").select(col("doc_id"), col("wav").as("payload"))
       attachAudioMeta(payloads, "payload")
         .select(col("doc_id"),
           col("sample_rate").cast(LongType).as("sample_rate"),
@@ -1091,11 +1108,13 @@ object Multimodal {
       // must recover exactly the planted pairs, which the DuckDB
       // oracle lists in closed form.
       import s.implicits._
-      val media = mediaFor(s, d)
       val offset = 1000000000L
-      val baseFp = media.select(col("doc_id"), col("wav")).as[(Long, Array[Byte])]
+      // two single-column media frames: each typed map synthesizes/
+      // scans exactly the payload its branch fingerprints
+      val baseFp = mediaFor(s, d, "wav")
+        .select(col("doc_id"), col("wav")).as[(Long, Array[Byte])]
         .map { case (id, wav) => (id, audioFingerprint(wav).get) }
-      val planted = media.filter(col("doc_id") % 29 === 3)
+      val planted = mediaFor(s, d, "wav2").filter(col("doc_id") % 29 === 3)
         .select(col("doc_id"), col("wav2")).as[(Long, Array[Byte])]
         .map { case (id, w2) => (id + offset, audioFingerprint(w2).get) }
       val fps = baseFp.union(planted).toDF("id", "fp")
@@ -1120,7 +1139,7 @@ object Multimodal {
       // scale); the neighbor distance joins the NEXT doc's
       // already-computed fingerprint.
       import s.implicits._
-      val per = mediaFor(s, d).select(col("doc_id"), col("wav"), col("wav2"))
+      val per = mediaFor(s, d, "wav", "wav2").select(col("doc_id"), col("wav"), col("wav2"))
         .as[(Long, Array[Byte], Array[Byte])]
         .map { case (id, wav, wav2) =>
           val metaOk = decodeAudioMeta(wav).exists(m =>
