@@ -897,6 +897,54 @@ object TextAnalysis {
     * ordering (engine-stable under double ULP drift, the
     * ann_cosine_topk precedent) and the `row_number ≤ k` filter is
     * TopKPerKey-rewritable — bounded per-doc heaps, no full sort. */
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal runs of non-stopword tokens; each word scores
+    * degree/frequency over the DOC's candidates (degree = Σ lengths
+    * of candidates containing it — co-occurrence favors multi-word
+    * terms); a phrase scores the sum of its word scores; top-k
+    * distinct phrases per doc. Everything is doc-scoped: the window
+    * partitions by doc, and every groupBy/join keys on (doc_id, …) —
+    * embarrassingly parallel across documents, no corpus-wide state.
+    * Ranking uses the ROUNDED score (then phrase text) so the order
+    * is reproducible across engines — the oracle replays the whole
+    * computation in SQL. */
+  def rakeKeywords(docs: DataFrame, k: Int, lang: String = "en"): DataFrame = {
+    val stops = stopwords(lang)
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phrase id = running stopword count: tokens of one candidate run
+    // share a group, and groups advance at each delimiter
+    val grouped = tok
+      .withColumn("is_stop", col("w").isin(stops: _*))
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("is_stop"))
+    val phrases = grouped.groupBy("doc_id", "grp").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x("w")), " ").as("phrase"),
+      count(lit(1)).as("plen"))
+    val wordPhrase = grouped.select("doc_id", "grp", "w")
+      .join(phrases, Seq("doc_id", "grp"))
+    val wscore = wordPhrase.groupBy("doc_id", "w").agg(
+      (sum("plen").cast(DoubleType) / count(lit(1))).as("ws"))
+    val scored = wordPhrase.join(wscore, Seq("doc_id", "w"))
+      .groupBy("doc_id", "grp", "phrase", "plen")
+      .agg(round(sum("ws"), 4).as("score"))
+      // identical phrase text recurring in a doc is ONE candidate
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("plen")).as("n_words"), max(col("score")).as("score"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"))
+    scored.withColumn("rk", row_number().over(rk).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "phrase", "n_words", "n_occurrences", "score")
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val tf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -1056,6 +1104,10 @@ object TextAnalysis {
 
     "text_perplexity" -> { (s, d) =>
       bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "text_keywords" -> { (s, d) =>
+      rakeKeywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
     },
 
     "text_zipf" -> { (s, d) =>
@@ -1354,6 +1406,39 @@ object TextAnalysis {
          |  ROUND(-SUM(k * LN(p)) / SUM(k), 6) AS nll,
          |  ROUND(EXP(-SUM(k * LN(p)) / SUM(k)), 4) AS ppl
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_keywords" ->
+      s"""WITH inst AS (
+         |  SELECT doc_id, i AS pos, t[i] AS w
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |    UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |m AS (SELECT doc_id, pos, w,
+         |  (w IN (${stopwords("en").map(w => s"'$w'").mkString(", ")})) AS is_stop
+         |  FROM inst),
+         |g AS (SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m),
+         |wrds AS (SELECT doc_id, grp, pos, w FROM g WHERE NOT is_stop),
+         |ph AS (SELECT doc_id, grp, STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+         |    COUNT(*) AS plen
+         |  FROM wrds GROUP BY 1, 2),
+         |wp AS (SELECT wrds.doc_id, wrds.grp, wrds.w, ph.phrase, ph.plen
+         |  FROM wrds JOIN ph USING (doc_id, grp)),
+         |ws AS (SELECT doc_id, w, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS ws
+         |  FROM wp GROUP BY 1, 2),
+         |ps AS (SELECT wp.doc_id, wp.grp, wp.phrase, wp.plen,
+         |    ROUND(SUM(ws.ws), 4) AS score
+         |  FROM wp JOIN ws USING (doc_id, w) GROUP BY 1, 2, 3, 4),
+         |dedup AS (SELECT doc_id, phrase, COUNT(*) AS n_occurrences,
+         |    MAX(plen) AS n_words, MAX(score) AS score
+         |  FROM ps GROUP BY 1, 2)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_occurrences AS BIGINT) AS n_occurrences, score
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, phrase) AS rk
+         |  FROM dedup) t
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_zipf" ->
       s"""WITH tok AS (

@@ -382,6 +382,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql("CALL snapcat.nope('x')").collect())
     assert(e2.getMessage.contains("procedure") || e2.getMessage.contains("nope"),
       e2.getMessage)
+    // the procedure surface is discoverable
+    val procs = spark.sql("SHOW PROCEDURES IN snapcat").collect()
+      .map(_.mkString(" ")).mkString(" ")
+    assert(procs.contains("compact") && procs.contains("vacuum")
+      && procs.contains("retention"), procs)
   }
 
   test("DROP TABLE removes the store; RENAME TO moves it with every version intact") {

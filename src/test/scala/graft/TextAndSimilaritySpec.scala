@@ -50,6 +50,22 @@ class TextAndSimilaritySpec extends SparkSpec {
     assert(viaSql == out)
   }
 
+  test("rakeKeywords: hand-worked degree/freq scores, dedup, co-occurrence beats frequency") {
+    // stopwords ("the", "and") delimit three candidate runs:
+    // [quick brown fox] x2 and [lazy dog]. Word scores (degree/freq):
+    // quick=brown=fox = 6/2 = 3, lazy=dog = 2/1 = 2 → phrase scores
+    // 9.0 and 4.0; the repeated phrase is ONE candidate with n_occ=2.
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog and quick brown fox")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(df, 3).orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, "quick brown fox", 3L, 2L, 9.0),
+      (2L, "lazy dog", 2L, 1L, 4.0)))
+  }
+
   test("bigramPerplexity: fluent repetition scores below garble; invariants hold") {
     // three docs over a shared vocabulary: d1/d2 repeat the corpus's
     // dominant bigram pattern (high C(w1w2)/C(w1) everywhere), d3
