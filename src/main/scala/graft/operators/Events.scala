@@ -183,6 +183,64 @@ object Events {
           / sum(col("w")).cast(DoubleType), 6).as("ewma"))
   }
 
+  /** Scaled integer forecast weights for the `lags`-tap truncated Holt
+    * filter at α=β=1/2 (Holt 1957 / Hyndman-Athanasopoulos ch. 8.2).
+    * The Holt recurrence is LINEAR — state [l,b]ᵗ = M·[l,b]ᵗ⁻¹ + v·yₜ
+    * with M = [[1/2,1/2],[−1/4,3/4]], v = [1/2,1/4] — so the one-step
+    * forecast l+b unrolls to a fixed convolution Σₖ wₖ·yₜ₋ₖ whose
+    * taps decay like |eig(M)|ᵏ = 2^(−k/2); truncating at `lags` taps
+    * turns a per-key SEQUENTIAL recurrence into the same parallel
+    * lag-join shape as [[ewmaDaily]]. All taps are rationals with
+    * denominator 4^(k+1), so scaling by 4^lags makes them exact
+    * INTEGERS: wₖ = rowSum((4M)ᵏ·[2,1]) · 4^(lags−1−k), computed in
+    * BigInt and ≤ 3·4^lags ≈ 1.3e10 at the 16-tap default — decimal
+    * arithmetic end-to-end, one double division at the boundary,
+    * cross-engine exact. Taps may go NEGATIVE (M has complex
+    * eigenvalues — the trend term overshoots); the tap SUM stays
+    * ≈ 4^lags positive. */
+  def holtWeights(lags: Int): Seq[Long] = {
+    require(lags >= 1 && lags <= 16,
+      s"4^lags·3 must fit a LONG with decimal headroom, got $lags")
+    var l = BigInt(2); var b = BigInt(1) // (4M)⁰ · 4v
+    (0 until lags).map { k =>
+      val w = (l + b) * BigInt(4).pow(lags - 1 - k)
+      val (nl, nb) = (2 * l + 2 * b, 3 * b - l) // advance by 4M
+      l = nl; b = nb
+      w.toLong
+    }
+  }
+
+  /** One-step-ahead Holt (double-exponential) forecast of the daily
+    * value sum per type, as the [[holtWeights]] truncated convolution
+    * normalized by the included-tap sum (the [[ewmaDaily]] treatment —
+    * a constant series forecasts itself exactly). Emits only rows with
+    * a full tap window (`rn ≥ lags`), so the truncation is the ONLY
+    * approximation and both engines compute the identical filter. Same
+    * scale shape as EWMA: the lag self-join is an equi-join on type
+    * bounded to `lags` rows per output row, the tap lookup is a
+    * codegen'd array literal (no join), and the aggregate is map-side
+    * combinable decimal. */
+  def holtDaily(events: DataFrame, lags: Int): DataFrame = {
+    val wts = holtWeights(lags)
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val daily = dailyFilled(events)
+      .withColumn("rn", row_number().over(byType))
+      .select(col("event_type"), col("day"), col("rn"), col("sv"))
+    val cur = daily.select(col("event_type"), col("day"), col("rn").as("rn_t"))
+    val past = daily.select(col("event_type"), col("rn").as("rn_j"), col("sv"))
+    val taps = array(wts.map(lit(_)): _*)
+    cur.join(past,
+        cur("event_type") === past("event_type")
+          && col("rn_j") <= col("rn_t")
+          && col("rn_j") > col("rn_t") - lags)
+      .drop(past("event_type"))
+      .filter(col("rn_t") >= lags)
+      .withColumn("w", element_at(taps, (col("rn_t") - col("rn_j") + 1).cast("int")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("w") * col("sv")).cast(DoubleType)
+        / sum(col("w")).cast(DoubleType), 6).as("holt_next"))
+  }
+
   /** Per-type inter-arrival statistics (count / min / max / mean / sd
     * of the gaps between consecutive events in global `(ts, event_id)`
     * order) WITHOUT a per-type global sort: a per-type ordered window
@@ -383,6 +441,13 @@ object Events {
       // 20-lag α=1/2 truncated EWMA of the daily value sum — integer
       // weights, one boundary double division (engine-identical).
       ewmaDaily(Tables.events(s, d), 20).orderBy("event_type", "day")
+    },
+
+    "ev_holt" -> { (s, d) =>
+      // 16-tap truncated Holt one-step forecast — EWMA's trend-aware
+      // sibling (a steadily growing series EWMA under-forecasts;
+      // Holt's trend state extrapolates it).
+      holtDaily(Tables.events(s, d), 16).orderBy("event_type", "day")
     },
 
     "ev_interarrival" -> { (s, d) =>
@@ -1016,6 +1081,24 @@ object Events {
           |    / CAST(SUM(CAST(power(2, 19 - (c.rn - p.rn)) AS BIGINT)) AS DOUBLE), 6) AS ewma
           |FROM idx c JOIN idx p ON p.event_type = c.event_type
           |  AND p.rn <= c.rn AND p.rn > c.rn - 20
+          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin),
+
+    "ev_holt" ->
+      (oracleFilledCte +
+        s""",
+          |idx AS (
+          |  SELECT event_type, day, sv,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM filled),
+          |w(lag, wt) AS (VALUES ${holtWeights(16).zipWithIndex
+            .map { case (wt, k) => s"($k, CAST($wt AS BIGINT))" }.mkString(", ")})
+          |SELECT c.event_type AS event_type, c.day AS day,
+          |  ROUND(CAST(SUM(w.wt * p.sv) AS DOUBLE)
+          |    / CAST(SUM(w.wt) AS DOUBLE), 6) AS holt_next
+          |FROM idx c JOIN idx p ON p.event_type = c.event_type
+          |  AND p.rn <= c.rn AND p.rn > c.rn - 16
+          |JOIN w ON w.lag = c.rn - p.rn
+          |WHERE c.rn >= 16
           |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin),
 
     "ev_interarrival" ->

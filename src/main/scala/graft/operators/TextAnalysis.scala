@@ -1039,6 +1039,38 @@ object TextAnalysis {
     CompactBigramLm(uni, big, totals.getLong(0), totals.getLong(1), lambda)
   }
 
+  /** Corpus-level PMI collocations (Church & Hanks 1990): score every
+    * adjacent token pair by pointwise mutual information
+    * `ln(c(xy)·T / (c(x)·c(y)))` over the WHOLE corpus and keep the
+    * top-`k` pairs with at least `minCount` occurrences — the classic
+    * "which word pairs co-occur far more than chance" signal that
+    * surfaces fixed phrases, named entities, and template boilerplate
+    * in a training corpus. Count frames are vocabulary-sized and
+    * SHUFFLE-join (never broadcast); the support filter shrinks the
+    * pair frame before the two unigram joins; the one global top-k is
+    * a TakeOrderedAndProject over an already-tiny frame. Every factor
+    * in the PMI ratio is an integer below 2^53, so the double products
+    * are exact and the single division + ln round identically across
+    * engines (one `round(…, 6)` at the output boundary). */
+  def pmiCollocations(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // joined on both pair sides + totalled
+    val tot = uni.agg(sum("cw").as("t"))
+    val pairs = docBigramCounts(docs)
+      .groupBy("w", "w2").agg(sum("k").as("cb"))
+      .filter(col("cb") >= minCount)
+    pairs.join(uni, Seq("w"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("w2"), col("cb").cast(LongType).as("n_pair"),
+        round(log(col("cb").cast(DoubleType) * col("t").cast(DoubleType)
+          / (col("cw").cast(DoubleType) * col("cw2").cast(DoubleType))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w"), col("w2"))
+      .limit(k)
+  }
+
   /** Score docs against a FROZEN compact model — [[bigramPerplexity]]'s
     * production sibling (there the model is self-trained corpus-wide
     * and count frames shuffle-join; here the reference model rides a
@@ -1108,6 +1140,10 @@ object TextAnalysis {
 
     "text_keywords" -> { (s, d) =>
       rakeKeywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
+    },
+
+    "text_collocations" -> { (s, d) =>
+      pmiCollocations(Tables.documents(s, d), minCount = 5, k = 30)
     },
 
     "text_zipf" -> { (s, d) =>
@@ -1439,6 +1475,22 @@ object TextAnalysis {
          |    PARTITION BY doc_id ORDER BY score DESC, phrase) AS rk
          |  FROM dedup) t
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |inst AS (
+         |  SELECT doc_id, t[i] AS w, t[i + 1] AS w2
+         |  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM inst GROUP BY 1),
+         |tot AS (SELECT SUM(cw) AS t FROM uni),
+         |pairs AS (SELECT w, w2, COUNT(*) AS cb FROM inst
+         |  WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT p.w AS w, p.w2 AS w2, CAST(p.cb AS BIGINT) AS n_pair,
+         |  ROUND(LN(CAST(p.cb AS DOUBLE) * CAST(tot.t AS DOUBLE)
+         |    / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 6) AS pmi
+         |FROM pairs p JOIN uni u1 ON u1.w = p.w
+         |  JOIN uni u2 ON u2.w = p.w2 CROSS JOIN tot
+         |ORDER BY pmi DESC, w, w2 LIMIT 30""".stripMargin,
 
     "text_zipf" ->
       s"""WITH tok AS (

@@ -66,6 +66,22 @@ class TextAndSimilaritySpec extends SparkSpec {
       (2L, "lazy dog", 2L, 1L, 4.0)))
   }
 
+  test("pmiCollocations: hand-worked PMI, support filter, rank order") {
+    // corpus T = 25 tokens; adjacent pairs with support ≥ 5 are
+    // (a,b) = 5 and (b,x) = 5, each over unigrams 5·5 →
+    // PMI = ln(5·25/25) = ln 5 = 1.609438; (x,a) = 4 falls to the
+    // support filter and doc 2's singleton pairs never qualify
+    val df = Seq(
+      (1L, "a b x a b x a b x a b x a b x"),
+      (2L, "z c z d z e z f z g")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(df, 5, 30).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 5L, 1.609438),
+      ("b", "x", 5L, 1.609438)))
+  }
+
   test("bigramPerplexity: fluent repetition scores below garble; invariants hold") {
     // three docs over a shared vocabulary: d1/d2 repeat the corpus's
     // dominant bigram pattern (high C(w1w2)/C(w1) everywhere), d3

@@ -48,6 +48,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("holt: constant series forecasts itself exactly and emits warm rows only") {
+    // 20 days of 5.0 — tap normalization makes the forecast EXACTLY 5;
+    // only rows with a full 16-tap window (days 15..19) emit
+    val df = ev((0 until 20).map(d => (d, "a", 5.0)): _*)
+    val out = SparkEntryTestHook.run(spark, df, "ev_holt").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("holt_next")).toMap
+    assert(out.size == 5)
+    assert(out.values.forall(_ == 5.0))
+  }
+
+  test("holt: trend state extrapolates a linear ramp past the last observation") {
+    // y_t = t for 18 days: the day-17 one-step forecast lands near
+    // y_18 = 18 (hand-computed truncated-filter value 17.922005),
+    // ABOVE the last observation — the lag EWMA can never clear
+    val df = ev((0 until 18).map(d => (d, "a", d.toDouble)): _*)
+    val out = SparkEntryTestHook.run(spark, df, "ev_holt").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("holt_next"))
+      .sortBy(_._1)
+    assert(out.size == 3) // days 15, 16, 17
+    assert(math.abs(out.last._2 - 17.922005) < 1e-5)
+    assert(out.last._2 > 17.0)
+  }
+
+  test("holt weights: exact integers, positive sum, leading tap 3·4^15") {
+    val w = Events.holtWeights(16)
+    assert(w.head == 3L * (1L << 30))
+    assert(w.sum > 0L && w.exists(_ < 0L)) // complex eigenvalues ⇒ ringing taps
+  }
+
   test("ewma zero-fills absent days so the window is calendar-true") {
     // day 0 then day 2 — the gap day enters the window with sv = 0, so
     // day 2's ewma is (1·10 + 2·0 + 4·30)/7, not (1·10 + 4·30)/5
