@@ -332,6 +332,79 @@ object Multimodal {
       hash
     }
 
+  /** 32-point DCT-II basis, orthonormal scaling, cosines from
+    * StrictMath (bit-identical on every JVM — Math.cos is allowed a
+    * 1-ulp platform spread, which a threshold comparison would
+    * amplify into a flipped hash bit). basis(u)(x) = C(u)·cos((2x+1)uπ/64). */
+  private lazy val dct32: Array[Array[Double]] = Array.tabulate(32) { u =>
+    val c = if (u == 0) StrictMath.sqrt(1.0 / 32) else StrictMath.sqrt(2.0 / 32)
+    Array.tabulate(32)(x => c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64))
+  }
+
+  /** 63-bit DCT PERCEPTUAL HASH (pHash — Zauner 2010, the standard
+    * robust image hash beside [[pixelHash]]'s aHash): luma
+    * nearest-neighbor-resampled to 32×32 (handles both up- and
+    * down-scaling — the corpus rasters are smaller than the DCT grid),
+    * separable 2-D DCT-II, then the 8×8 LOW-FREQUENCY block minus the
+    * DC term thresholded at its own median (odd count — the median is
+    * one element, no averaging). Captures coarse STRUCTURE rather
+    * than per-cell brightness, so it rides through compression noise
+    * and any affine luma shift (DC absorbs offsets, the median
+    * threshold absorbs gain). Bit u·8+v−1 set iff F(u,v) > median.
+    * None for undecodable payloads. Queried at scale with
+    * [[Dedup.hammingNearDup]]'s banded equi-join. */
+  def dctHash(payload: Array[Byte]): Option[Long] =
+    decodeLuma(payload).map { case (w, h, luma) =>
+      val g = new Array[Double](32 * 32)
+      var i = 0
+      while (i < 1024) {
+        g(i) = luma(((i / 32) * h / 32) * w + (i % 32) * w / 32).toDouble
+        i += 1
+      }
+      // separable DCT: rows (x-axis) then columns (y-axis)
+      val rows = new Array[Double](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var u = 0
+        while (u < 8) { // only the first 8 frequencies are ever read
+          val basis = dct32(u)
+          var s = 0.0
+          var x = 0
+          while (x < 32) { s += g(y * 32 + x) * basis(x); x += 1 }
+          rows(y * 32 + u) = s
+          u += 1
+        }
+        y += 1
+      }
+      val ac = new Array[Double](63)
+      var v = 0
+      while (v < 8) {
+        val basis = dct32(v)
+        var u = 0
+        while (u < 8) {
+          if ((u | v) != 0) {
+            var s = 0.0
+            var yy = 0
+            while (yy < 32) { s += rows(yy * 32 + u) * basis(yy); yy += 1 }
+            // quantize to the 2^-20 grid (×/÷ by a power of two is
+            // EXACT): a mathematically-zero coefficient keeps ~1e-11
+            // of cancellation noise, which would scatter half the
+            // bits of a flat image's hash; meaningful coefficients
+            // sit orders of magnitude above the grid
+            ac(u * 8 + v - 1) = StrictMath.rint(s * 1048576.0) / 1048576.0
+          }
+          u += 1
+        }
+        v += 1
+      }
+      val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+      val med = sorted(31)
+      var hash = 0L
+      var k = 0
+      while (k < 63) { if (ac(k) > med) hash |= 1L << k; k += 1 }
+      hash
+    }
+
   /** Attach decoded metadata to a binary `payload` column — real
     * decode, ONE partition-local pass that carries every input column
     * through the row map (no join-back: the former self-join shape
@@ -1077,6 +1150,37 @@ object Multimodal {
         (avg(col("d_other")) > avg(col("d_self")) * 4).as("separated"))
     },
 
+    "mm_dcthash_gate" -> { (s, d) =>
+      // DCT perceptual-hash gate — [[dctHash]]'s pHash beside the
+      // aHash gate above, same real-codec harness (each raster
+      // encoded+decoded+hashed once per format, cross-raster distance
+      // joins the neighbor's computed hash). The synthetic corpus is
+      // ADVERSARIAL for pHash: mod-256 gradient rasters are all
+      // high-frequency, so the 8×8 low-frequency block holds little
+      // energy and JPEG quantization flips marginal bits — the
+      // robustness tail is wide (p90 = 14 bits, measured stable at
+      // sf0.01 and sf0.1) while natural low-frequency-dominated
+      // images sit far tighter. The gate pins what holds with margin
+      // on THIS corpus: median self-distance ≤ 6 (measured 4) and
+      // mean cross-raster distance > 3× mean self-distance (measured
+      // 28.4 vs 5.46 — a 5.2× gap pinned at 3× headroom).
+      import s.implicits._
+      val hashes = mediaFor(s, d, "png", "jpg").select(col("doc_id"), col("png"), col("jpg"))
+        .as[(Long, Array[Byte], Array[Byte])]
+        .map { case (id, png, jpg) =>
+          (id, dctHash(png).get, dctHash(jpg).get)
+        }.toDF("doc_id", "h_png", "h_jpg").localCheckpoint()
+      val next = hashes.select((col("doc_id") - 1L).as("doc_id"),
+        col("h_png").as("h_next"))
+      val stats = hashes.join(next, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          bit_count(col("h_png").bitwiseXOR(col("h_jpg"))).cast(LongType).as("d_self"),
+          bit_count(col("h_png").bitwiseXOR(col("h_next"))).cast(LongType).as("d_other"))
+      stats.agg(count(lit(1)).as("n_docs"),
+        (expr("percentile(d_self, 0.5)") <= 6.0).as("median_robust"),
+        (avg(col("d_other")) > avg(col("d_self")) * 3).as("separated"))
+    },
+
     "mm_audio_meta" -> { (s, d) =>
       // REAL audio decode, HASH-CHECKED — the mm_decode playbook in
       // the sample domain: every doc gets a genuine RIFF/WAVE payload
@@ -1204,6 +1308,11 @@ object Multimodal {
     "mm_pixelhash_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  TRUE AS compression_robust, TRUE AS separated
+        |FROM documents""".stripMargin,
+
+    "mm_dcthash_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS median_robust, TRUE AS separated
         |FROM documents""".stripMargin,
 
     "mm_audio_meta" ->

@@ -192,6 +192,59 @@ class EventsAndMultimodalSpec extends SparkSpec {
       hp ^ Multimodal.pixelHash(bright).get) <= 2)
   }
 
+  test("dctHash: flat image hashes to 0, offsets are absorbed exactly, rasters separate") {
+    def flat(v: Int, w: Int, h: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    // constant plane: every AC coefficient is exactly 0 = the median,
+    // the strict > never fires — pHash 0 whatever the brightness
+    assert(Multimodal.dctHash(flat(0, 9, 13)).contains(0L))
+    assert(Multimodal.dctHash(flat(200, 16, 8)).contains(0L))
+    // a uniform +20 luma offset lands ENTIRELY in the DC coefficient
+    // (every u≥1 basis row sums to zero), so the AC block — and the
+    // hash — is bit-identical, not merely close
+    val id = 37L
+    val img = Multimodal.syntheticRaster(id)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val shifted = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        def lift(v: Int) = math.min(235, v) + 20
+        b.setRGB(x, y, (lift((p >> 16) & 0xff) << 16) |
+          (lift((p >> 8) & 0xff) << 8) | lift(p & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    val clipped = {
+      // clip the ORIGINAL the same way so both inputs share a base
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        def clip(v: Int) = math.min(235, v)
+        b.setRGB(x, y, (clip((p >> 16) & 0xff) << 16) |
+          (clip((p >> 8) & 0xff) << 8) | clip(p & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    assert(Multimodal.dctHash(clipped).get == Multimodal.dctHash(shifted).get)
+    // structurally different rasters separate
+    val d = java.lang.Long.bitCount(
+      Multimodal.dctHash(Multimodal.syntheticImage(id, "png")).get ^
+        Multimodal.dctHash(Multimodal.syntheticImage(id + 1, "png")).get)
+    assert(d > 8, s"cross-raster pHash distance $d")
+    // undecodable payloads fail soft like the rest of the decode stack
+    assert(Multimodal.dctHash(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("sampleFrames fans out strided fixed-size windows") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val df = Seq((7L, payload)).toDF("id", "payload")
