@@ -936,6 +936,47 @@ object Snapshot {
       meta.unionByName(vac).unionByName(agg).orderBy("ver", "bucket")
     },
 
+    "snap_sql_zorder" -> { (s, d) =>
+      // `CALL <cat>.zorder('tbl', 'c1,c2', n)` — the clustering
+      // maintenance verb beside compact/vacuum/retention (Iceberg's
+      // rewrite_data_files-with-sort-order UX): rewrites the tip into
+      // a NEW version Morton-clustered on (key, o_custkey), manifest
+      // growing per-file custkey envelopes so 2-dimension pruning
+      // works straight after the CALL. Driver-checks history file
+      // counts (v1 = 8 range files, v2 = 4 z-ordered files — both
+      // deterministic repartitionByRange widths), the CALL's answer
+      // row, and tip content invariance (clustering must move ROWS
+      // BETWEEN FILES, never change them) vs a declarative oracle.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlzorder_$fp"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      val store = new ManifestStore(s, s"$base/zo_linked", "o_orderkey")
+      if (!store.versions().contains(1L))
+        store.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapzo_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val answer =
+        if (!store.versions().contains(2L))
+          s.sql(s"CALL $cat.zorder('zo_linked', 'o_orderkey,o_custkey', 4)")
+            .select(col("version"), col("n_files")).collect().head
+        else org.apache.spark.sql.Row(2L, 4L) // landed by a prior pass
+      val meta = store.history()
+        .select(lit(-1L).as("bucket"), col("n_files").as("n"),
+          lit(0.0).as("sum_price"), col("version").as("ver"))
+      val call = s.range(1).select(lit(-2L).as("bucket"),
+        lit(answer.getLong(1)).as("n"), lit(0.0).as("sum_price"),
+        lit(answer.getLong(0)).as("ver"))
+      val agg = s.sql(s"SELECT * FROM $cat.zo_linked")
+        .groupBy((col("o_custkey") % 50).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("ver", lit(2L))
+      meta.unionByName(call).unionByName(agg).orderBy("ver", "bucket")
+    },
+
     "snap_sql_files" -> { (s, d) =>
       // The `files` metadata table (`SELECT * FROM cat.store.files` —
       // Iceberg's files-table twin, served metadata-only from the tip
@@ -1420,6 +1461,26 @@ object Snapshot {
         |    CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)),
         |agg AS (
         |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+        |SELECT bucket, n, sum_price, ver
+        |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
+        |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_zorder" ->
+      """WITH meta AS (
+        |  SELECT CAST(-1 AS BIGINT) AS bucket, CAST(8 AS BIGINT) AS n,
+        |    CAST(0.0 AS DOUBLE) AS sum_price, CAST(1 AS BIGINT) AS ver
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(4 AS BIGINT),
+        |    CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT), CAST(4 AS BIGINT),
+        |    CAST(0.0 AS DOUBLE), CAST(2 AS BIGINT)),
+        |agg AS (
+        |  SELECT o_custkey % 50 AS bucket, COUNT(*) AS n,
         |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
         |      AS sum_price,
         |    CAST(2 AS BIGINT) AS ver

@@ -414,7 +414,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //
   // `CALL <cat>.system.<proc>` resolves too (the Iceberg spelling).
 
-  private val procedureNames = Array("compact", "vacuum", "retention")
+  //   CALL <cat>.zorder('tbl', 'c1,c2' [, num_files])
+  //     → rewrites the TIP into a NEW version clustered on the Morton
+  //       interleave of the named columns (history immutable on both
+  //       layouts); linked manifests gain per-file min/max stats for
+  //       every non-key z column, snapshot rebuilds its zone map — so
+  //       multi-dimension pruning works immediately after the CALL
+
+  private val procedureNames = Array("compact", "vacuum", "retention", "zorder")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -532,6 +539,40 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         } else {
           val n = new SnapshotStore(spark, base, "").prune(keepLast).size.toLong
           Array(utf8("snapshot"), n)
+        }
+      }
+      case "zorder" => bound("zorder",
+        Array(tableParam,
+          ProcedureParameter.in("z_cols", StringType).build(),
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("4").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("version", LongType), StructField("n_files", LongType),
+          StructField("z_cols", StringType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val zc = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val numFiles = in.getInt(2)
+        require(zc.size >= 2,
+          s"zorder interleaves MULTIPLE dimensions — got ${zc.mkString(",")}; " +
+            "a single clustering column is plain range layout (write via the store API)")
+        require(numFiles >= 1, s"zorder: num_files must be >= 1, got $numFiles")
+        val base = storePath(t)
+        val key = procKey(base)
+        if (isLinked(t)) {
+          // construction statsCols drive the new manifest's per-file
+          // envelopes; later catalog DML derives them back from the
+          // manifest itself, so the CALL is self-contained
+          val st = new graft.operators.ManifestStore(spark, base, key,
+            statsCols = zc.filterNot(_ == key))
+          val tip = st.versions().max
+          st.writeZOrdered(st.read(tip), tip + 1, numFiles, zc)
+          Array(utf8("linked"), tip + 1, st.manifest(tip + 1).count(),
+            utf8(zc.mkString(",")))
+        } else {
+          val st = new SnapshotStore(spark, base, key)
+          val tip = st.versions().max
+          st.writeZOrdered(st.read(tip), tip + 1, numFiles, zc)
+          Array(utf8("snapshot"), tip + 1, st.stats(tip + 1)._1,
+            utf8(zc.mkString(",")))
         }
       }
       case other => throw new UnsupportedOperationException(

@@ -389,6 +389,37 @@ class SnapshotCatalogSpec extends SparkSpec {
       && procs.contains("retention"), procs)
   }
 
+  test("CALL zorder clusters a new version on both layouts; pruning works right after") {
+    root: Unit
+    // linked: v2 gains per-file (k, c) envelopes; rows unchanged
+    val lk = new graft.operators.ManifestStore(spark, s"$root/call_zo", "k")
+    lk.write((1L to 64L).map(i => (i, i % 8, s"v$i")).toDF("k", "c", "v"),
+      1L, numFiles = 4, commitTs = Some(1000L))
+    val res = spark.sql("CALL snapcat.zorder('call_zo', 'k,c', 4)").collect().head
+    assert(res.getString(0) == "linked" && res.getLong(1) == 2L)
+    assert(res.getLong(2) == 4L && res.getString(3) == "k,c", res)
+    assert(rows("SELECT k, v FROM snapcat.call_zo VERSION AS OF 1") ==
+      rows("SELECT k, v FROM snapcat.call_zo VERSION AS OF 2"))
+    // the fresh manifest carries c envelopes → readWhereAll prunes on
+    // BOTH dimensions and still equals the full-scan filter
+    val zoSt = new graft.operators.ManifestStore(spark, s"$root/call_zo", "k",
+      statsCols = Seq("c"))
+    val picked = zoSt.readWhereAll(2L, Seq(("k", 1L, 16L), ("c", 0L, 1L)))
+    assert(picked.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      (1L to 16L).filter(i => i % 8 <= 1).sorted)
+    // snapshot layout: new version + rebuilt zone map
+    val sn = new SnapshotStore(spark, s"$root/call_zsnap", "k")
+    sn.writeRangePartitioned((1L to 40L).map(i => (i, i % 5)).toDF("k", "c"), 1L, 4)
+    val res2 = spark.sql("CALL snapcat.zorder('call_zsnap', 'k,c', 2)").collect().head
+    assert(res2.getString(0) == "snapshot" && res2.getLong(1) == 2L
+      && res2.getLong(2) == 2L, res2)
+    assert(spark.sql("SELECT * FROM snapcat.call_zsnap").count() == 40L)
+    // a single z column is plain range layout — refuse loudly
+    val e = intercept[Exception](
+      spark.sql("CALL snapcat.zorder('call_zo', 'k')").collect())
+    assert(e.getMessage.contains("MULTIPLE"), e.getMessage)
+  }
+
   test("DROP TABLE removes the store; RENAME TO moves it with every version intact") {
     root: Unit
     spark.sql("CREATE TABLE snapcat.drop_me (k BIGINT, v STRING) " +
