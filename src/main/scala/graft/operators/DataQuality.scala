@@ -591,6 +591,45 @@ object DataQuality {
       .withColumn("stale", col("lag_days") > maxLagDays)
   }
 
+  /** Chatterjee's ξ rank correlation (JASA 2021), ties-robust form —
+    * the dependence measure [[corrMatrix]]'s Pearson r cannot see:
+    * ξ → 1 iff y is (near) a measurable FUNCTION of x — any shape,
+    * oscillating included — and ≈ 0 under independence, while r only
+    * detects linear trends. With rows ordered by x within each group,
+    * r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i}:
+    *
+    *   ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i·(n − l_i))
+    *
+    * Every term is an INTEGER from three windows over the grouped
+    * frame (count-with-peers over the y order both ways, one lead over
+    * the x order), so the single double division at the boundary is
+    * cross-engine exact. Degenerate groups (constant y ⇒ denominator
+    * 0) answer NULL, honestly undefined. Callers group first: run it
+    * over an already-aggregated frame (per-type daily sums here) so
+    * the windows cover metadata-sized partitions, never raw events. */
+  def xiCorrelation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val byG = Window.partitionBy(groupCol)
+    val byY = byG.orderBy(col(yCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val byYDesc = byG.orderBy(col(yCol).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val byX = byG.orderBy(col(xCol))
+    df.select(col(groupCol), col(xCol), col(yCol))
+      .withColumn("r", count(lit(1)).over(byY))
+      .withColumn("l", count(lit(1)).over(byYDesc))
+      .withColumn("nn", count(lit(1)).over(byG))
+      .withColumn("dr", abs(lead(col("r"), 1).over(byX) - col("r")))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dr")).as("sumdiff"),
+        sum(col("l") * (col("nn") - col("l"))).as("denom"))
+      .select(col(groupCol), col("n_obs"),
+        when(col("denom") === 0, lit(null).cast(DoubleType)).otherwise(
+          round(lit(1.0) - (col("n_obs") * col("sumdiff")).cast(DoubleType)
+            / (col("denom") * 2).cast(DoubleType), 6)).as("xi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_freshness" -> { (s, d) =>
       freshness(Tables.events(s, d), "event_type", "ts", 1).orderBy("event_type")
@@ -632,6 +671,18 @@ object DataQuality {
       corrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    },
+
+    "dq_xicor" -> { (s, d) =>
+      // Is daily volume a FUNCTION of calendar time, per type? ξ on
+      // the per-type (day → daily value sum) frame — metadata-sized
+      // (|types|·|days| rows), so the per-group windows are trivial
+      // however many raw events fed the aggregate.
+      xiCorrelation(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(Fx.decV(col("value"))).as("sv")),
+        "event_type", "day", "sv").orderBy("event_type")
     },
 
     "dq_cramers_v" -> { (s, d) =>
@@ -876,6 +927,29 @@ object DataQuality {
         |           * (n * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
         |  END AS corr
         |FROM pairs ORDER BY col_a, col_b""".stripMargin,
+
+    "dq_xicor" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY sv
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY sv DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM daily),
+        |dd AS (
+        |  SELECT event_type, nn, l,
+        |    ABS(LEAD(r) OVER (PARTITION BY event_type ORDER BY day) - r) AS dr
+        |  FROM rk)
+        |SELECT event_type, CAST(MAX(nn) AS BIGINT) AS n_obs,
+        |  CASE WHEN SUM(l * (nn - l)) = 0 THEN NULL
+        |    ELSE ROUND(1.0 - CAST(MAX(nn) * SUM(dr) AS DOUBLE)
+        |      / CAST(SUM(l * (nn - l)) * 2 AS DOUBLE), 6) END AS xi
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dq_cramers_v" ->
       """WITH cells AS (

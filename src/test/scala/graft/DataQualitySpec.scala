@@ -6,6 +6,27 @@ import graft.operators.DataQuality
 class DataQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("xiCorrelation: hand-worked monotone/parabola/independent values; constant y is NULL") {
+    // n = 9, no ties: monotone y gives the closed form 1 − 3/(n+1)
+    // = 0.7; the parabola (a NON-monotone function Pearson r scores
+    // ≈ 0) still lands 0.4; a shuffled y goes negative; constant y
+    // has denominator 0 — honestly undefined
+    val rows =
+      (1 to 9).map(x => ("mono", x, x * 2.0)) ++
+        (1 to 9).map(x => ("para", x, (x - 5.0) * (x - 5.0))) ++
+        Seq(5.0, 1.0, 9.0, 2.0, 7.0, 3.0, 8.0, 4.0, 6.0).zipWithIndex
+          .map { case (y, i) => ("ind", i + 1, y) } ++
+        (1 to 9).map(x => ("flat", x, 7.0))
+    val out = DataQuality.xiCorrelation(
+      rows.toDF("g", "x", "y"), "g", "x", "y").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out("mono").contains(0.7))
+    assert(out("para").contains(0.4))
+    assert(out("ind").contains(-0.4625))
+    assert(out("flat").isEmpty)
+  }
+
   test("sequenceGaps: within-bucket, cross-bucket, and empty-bucket gaps match the global scan") {
     val df = Seq(1L, 2L, 5L, 6L, 23L, 25L).toDF("id")
     val out = DataQuality.sequenceGaps(df, "id", bucket = 10L).collect()
