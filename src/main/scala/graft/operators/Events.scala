@@ -443,6 +443,36 @@ object Events {
       ewmaDaily(Tables.events(s, d), 20).orderBy("event_type", "day")
     },
 
+    "ev_decompose" -> { (s, d) =>
+      // Classical additive decomposition (Hyndman–Athanasopoulos
+      // ch. 3.4) of the daily series: trend = centered 7-day MA (full
+      // windows only), weekly seasonal = per-dow mean of the
+      // detrended series, residual = the rest — the view that
+      // separates "volume is growing" from "it's just Monday" from
+      // "something actually happened". All arithmetic stays
+      // cross-multiplied decimal (detrended·7 = 7·sv − Σ₇sv is exact;
+      // seasonal and residual carry the ·7·count denominators) so
+      // every division is a single double rounding at the output
+      // boundary. Windows + one dow aggregate over the gap-filled
+      // daily frame — metadata-sized at any event volume.
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val tr = dailyFilled(Tables.events(s, d))
+        .withColumn("ts7", sum(col("sv")).over(w7))
+        .withColumn("m7", count(lit(1)).over(w7))
+        .filter(col("m7") === 7)
+        .withColumn("dow", weekday(col("day")).cast(LongType))
+        .withColumn("det7", col("sv") * 7 - col("ts7"))
+      val seas = tr.groupBy("event_type", "dow")
+        .agg(sum(col("det7")).as("sn"), count(lit(1)).as("sc"))
+      tr.join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          round(col("ts7").cast(DoubleType) / 7, 4).as("trend"),
+          round(col("sn").cast(DoubleType) / (col("sc") * 7), 4).as("seasonal"),
+          round((col("det7") * col("sc") - col("sn")).cast(DoubleType)
+            / (col("sc") * 7), 4).as("residual"))
+        .orderBy("event_type", "day")
+    },
+
     "ev_holt" -> { (s, d) =>
       // 16-tap truncated Holt one-step forecast — EWMA's trend-aware
       // sibling (a steadily growing series EWMA under-forecasts;
@@ -1082,6 +1112,27 @@ object Events {
           |FROM idx c JOIN idx p ON p.event_type = c.event_type
           |  AND p.rn <= c.rn AND p.rn > c.rn - 20
           |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin),
+
+    "ev_decompose" ->
+      (oracleFilledCte +
+        """,
+          |t AS (
+          |  SELECT event_type, day, sv,
+          |    SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ts7,
+          |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS m7,
+          |    CAST(isodow(day) - 1 AS BIGINT) AS dow
+          |  FROM filled),
+          |f AS (SELECT *, sv * 7 - ts7 AS det7 FROM t WHERE m7 = 7),
+          |seas AS (SELECT event_type, dow, SUM(det7) AS sn, COUNT(*) AS sc
+          |  FROM f GROUP BY 1, 2)
+          |SELECT f.event_type AS event_type, f.day AS day,
+          |  ROUND(CAST(ts7 AS DOUBLE) / 7, 4) AS trend,
+          |  ROUND(CAST(sn AS DOUBLE) / (sc * 7), 4) AS seasonal,
+          |  ROUND(CAST(det7 * sc - sn AS DOUBLE) / (sc * 7), 4) AS residual
+          |FROM f JOIN seas USING (event_type, dow)
+          |ORDER BY 1, 2""".stripMargin),
 
     "ev_holt" ->
       (oracleFilledCte +

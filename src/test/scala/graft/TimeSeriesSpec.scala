@@ -48,6 +48,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("decompose: a purely weekly series is trend 40 + seasonal, residual exactly 0") {
+    // 3 weeks of a period-7 pattern: every full centered window sums
+    // one whole period → trend = 40 everywhere; the per-dow seasonal
+    // absorbs the pattern exactly; residual = 0 — and
+    // trend + seasonal reconstructs the observation
+    val pat = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    val df = ev((0 until 21).map(d => (d, "a", pat(d % 7))): _*)
+    val out = SparkEntryTestHook.run(spark, df, "ev_decompose").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))).sortBy(_._1)
+    assert(out.size == 15) // full windows: days 3..17
+    assert(out.forall(_._2 == 40.0))
+    assert(out.forall(_._4 == 0.0))
+    // reconstruct: trend + seasonal = the day's observation
+    assert(out.zipWithIndex.forall { case ((_, t, s, _), i) =>
+      t + s == pat((i + 3) % 7) })
+  }
+
   test("holt: constant series forecasts itself exactly and emits warm rows only") {
     // 20 days of 5.0 — tap normalization makes the forecast EXACTLY 5;
     // only rows with a full 16-tap window (days 15..19) emit
