@@ -1461,6 +1461,80 @@ object StreamOps {
       }
   }
 
+  case class HoltPoint(event_type: String, day: Timestamp, n: Long,
+      sum_value: Double, holt_next: Double)
+  case class HoltState(lastFinal: Long, open: List[WmaDayAgg], trail: List[WmaDayAgg])
+
+  /** Streaming twin of `ev_holt` — the 16-tap truncated Holt
+    * one-step-ahead forecast emitted as each calendar day finalizes
+    * (the [[streamingWma]] finalization machinery with a 15-day trail):
+    * gap days enter as zero rows exactly like the batch gap-filled
+    * frame, and a point is withheld until the tap window is FULL — the
+    * batch warm-row contract, so streamed points are a prefix-free
+    * subset match of `Events.holtDaily`. Tap products accumulate in
+    * BigInt over the ×10⁴-scaled exact longs, and the emission
+    * boundary replays the batch plan's exact sequence — decimal→double
+    * cast, one division, HALF_UP round to 6 — bit-for-bit
+    * (parity spec). State per type: ≤15 finalized (day,n,sv) triples
+    * plus open days inside the watermark — bounded O(|types|). */
+  def streamingHolt(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[HoltPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    def dayOf(ms: Long): Long = Math.floorDiv(ms, dayMs)
+    val taps = graft.operators.Events.holtWeights(16) // lag 0 (today) .. 15
+    val den = taps.sum
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (typ, rows, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(Long.MinValue, Nil, Nil))
+          val byDay = scala.collection.mutable.Map.empty[Long, WmaDayAgg]
+          st.open.foreach(a => byDay(a.day) = a)
+          rows.foreach { e =>
+            val d = dayOf(e.ts.getTime)
+            if (st.lastFinal == Long.MinValue || d > st.lastFinal) {
+              val cur = byDay.getOrElse(d, WmaDayAgg(d, 0L, 0L))
+              byDay(d) = WmaDayAgg(d, cur.n + 1, cur.sv + math.round(e.value * 10000.0))
+            }
+          }
+          if (st.lastFinal == Long.MinValue && byDay.nonEmpty)
+            st = st.copy(lastFinal = byDay.keys.min - 1)
+          val finalUpTo = dayOf(state.getCurrentWatermarkMs()) - 1
+          val out = List.newBuilder[HoltPoint]
+          if (st.lastFinal != Long.MinValue) {
+            var trail = st.trail
+            var d = st.lastFinal + 1
+            while (d <= finalUpTo) {
+              val a = byDay.remove(d).getOrElse(WmaDayAgg(d, 0L, 0L))
+              val win = trail :+ a // consecutive finalized days ending at d
+              if (win.size == 16) {
+                var num = BigInt(0)
+                var i = 0
+                while (i < 16) { num += BigInt(taps(15 - i)) * win(i).sv; i += 1 }
+                val x = BigDecimal(num, 4).doubleValue / den.toDouble
+                out += HoltPoint(typ, new Timestamp(d * dayMs), a.n,
+                  BigDecimal(a.sv.toDouble / 10000.0)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                  BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+              trail = win.takeRight(15)
+              d += 1
+            }
+            st = HoltState(math.max(st.lastFinal, finalUpTo),
+              byDay.values.toList.sortBy(_.day), trail)
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastFinal + 2) * dayMs)
+          } else {
+            state.update(st.copy(open = byDay.values.toList.sortBy(_.day)))
+          }
+          out.result().iterator
+      }
+  }
+
   case class AnomalyFlag(event_id: Long, event_type: String, ts: Timestamp,
       value: Double, n_baseline: Long, mean: Double, variance: Double)
   case class Baseline(n: Long, mean: Double, m2: Double)

@@ -720,6 +720,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingHolt equals the batch 16-tap Holt forecast on every warm finalized day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def dts(day: Long, off: Long = 1000L) = new Timestamp(day * 86400000L + off)
+    // 20 observed days with a gap (day 107 absent → zero row in both
+    // engines) + a far sentinel that advances the watermark
+    val evs = (100L to 119L).filter(_ != 107L).zipWithIndex.map { case (d, i) =>
+      Event(i.toLong, dts(d), 10L + i, "m", 1.0 + (d % 5) * 2.25)
+    } :+ Event(99L, dts(160L), 99L, "m", 3.0)
+    val input = MemoryStream[Event]
+    val query = StreamOps.streamingHolt(input.toDS()).writeStream
+      .format("memory").queryName("graft_sholt").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.take(7): _*)
+      query.processAllAvailable()
+      input.addData(evs.drop(7): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT day, holt_next FROM graft_sholt").collect()
+        .map(r => r.getTimestamp(0).getTime / 86400000L -> r.getDouble(1)).toMap
+      // warm-up: first emission at the 16th finalized day (115)
+      assert(streamed.nonEmpty && streamed.keys.min == 115L, streamed.keys.toSeq.sorted)
+      val batch = graft.operators.Events.holtDaily(evs.toDF(), 16)
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .collect().map(r => r.getAs[Long]("d") -> r.getAs[Double]("holt_next")).toMap
+      streamed.foreach { case (day, got) =>
+        assert(batch(day) == got, s"day $day: batch ${batch(day)} vs streamed $got")
+      }
+    } finally query.stop()
+  }
+
   test("continuousMerge publishes one copy-on-write version per CDC batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
