@@ -21,7 +21,7 @@ object SparkEntry {
     (Relational.queries ++ Snapshot.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ AsofJoin.queries ++ Pipeline.queries ++
-      DataQuality.queries ++ RangeJoins.queries)
+      DataQuality.queries ++ RangeJoins.queries ++ Graph.queries)
       .map { case (name, fn) =>
         // install graft SQL functions + TopKPerKey rule/strategy into
         // whatever session the driver hands us (idempotent)
@@ -36,5 +36,5 @@ object SparkEntry {
       TextAnalysis.oracles ++ TextAnalysis.oraclesIndexed ++
       Similarity.oracles ++ Events.oracles ++
       Multimodal.oracles ++ AsofJoin.oracles ++ Pipeline.oracles ++
-      DataQuality.oracles ++ RangeJoins.oracles
+      DataQuality.oracles ++ RangeJoins.oracles ++ Graph.oracles
 }

@@ -732,6 +732,44 @@ object Events {
         .orderBy("cohort_day")
     },
 
+    "ev_survival" -> { (s, d) =>
+      // Kaplan–Meier LIFE TABLE of user lifetimes (Kaplan & Meier
+      // 1958): lifetime = days between a user's first and last event;
+      // users still active in the trailing 14 days of the corpus are
+      // RIGHT-CENSORED (their true lifetime is only known to exceed
+      // the observed one — dropping them would bias churn short, the
+      // whole reason survival analysis exists). Output is the integer
+      // life table (at_risk / deaths / censored per observed lifetime
+      // day), SEGMENTED by event_type (each type defines its own
+      // engagement lifetime — "how long do users keep purchasing" vs
+      // "keep erroring" are different curves); the survival curve is
+      // Π(1 − d/n) over these rows, left to the consumer so every
+      // emitted number stays exact.
+      // Shape: one per-(user, type) agg (the only corpus-sized
+      // shuffle), then a lifetime-day rollup; the reverse-cumulative
+      // at-risk window is PARTITIONED by event_type over ≤ span-days
+      // rows per segment — metadata-sized at any event volume.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val mx = ev.agg(max(col("day")).as("mxd"))
+      val lt = ev.groupBy("user_id", "event_type")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+        .crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          datediff(col("ld"), col("fd")).cast(LongType).as("t"),
+          (col("ld") > date_sub(col("mxd"), 14)).as("cens"))
+      val byT = lt.groupBy("event_type", "t").agg(
+        sum(when(col("cens"), 0L).otherwise(1L)).as("n_death"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("n_censor"),
+        count(lit(1)).as("leaving"))
+      val w = Window.partitionBy("event_type").orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("at_risk", sum(col("leaving")).over(w))
+        .select(col("event_type"), col("t"), col("at_risk"),
+          col("n_death"), col("n_censor"))
+        .orderBy("event_type", "t")
+    },
+
     "ev_gapfill" -> { (s, d) =>
       // Daily series with calendar gaps made explicit: zero-filled
       // counts/sums plus last-observation-carried-forward of the daily
@@ -1372,6 +1410,25 @@ object Events {
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY user_id) t
         |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    "ev_survival" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS mxd FROM ev),
+        |lt AS (
+        |  SELECT event_type, date_diff('day', MIN(day), MAX(day)) AS t,
+        |    (MAX(day) > mxd - INTERVAL 14 DAY) AS cens
+        |  FROM ev CROSS JOIN mx GROUP BY user_id, event_type, mxd),
+        |byt AS (
+        |  SELECT event_type, t,
+        |    CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS n_death,
+        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS n_censor,
+        |    COUNT(*) AS leaving
+        |  FROM lt GROUP BY 1, 2)
+        |SELECT event_type, t,
+        |  CAST(SUM(leaving) OVER (PARTITION BY event_type ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk,
+        |  n_death, n_censor
+        |FROM byt ORDER BY event_type, t""".stripMargin,
 
     "ev_gapfill" ->
       s"""$oracleFilledCte

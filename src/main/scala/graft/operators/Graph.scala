@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relationship graphs derived from the lake —
+  * the corpus-curation lens: web-scale training-data pipelines rank
+  * hosts by link centrality (Common Crawl publishes host-level
+  * PageRank/harmonic-centrality for exactly this) and mine
+  * co-occurrence structure for near-dup clusters and topic islands.
+  * Here the graphs come from the relational tables (part co-purchase,
+  * customer↔supplier trade), but the operators are graph-generic:
+  * edges in, per-node measures out.
+  *
+  * Scale posture:
+  *  - Edge derivation is an equi-join on the containing entity
+  *    (order key), so per-edge fan-out is bounded by the entity's
+  *    cardinality cap (TPC-H orders hold ≤ 7 lines → ≤ 21 pairs);
+  *    no all-pairs step exists anywhere.
+  *  - PageRank is the standard synchronous power iteration: each
+  *    round is ONE shuffle keyed by node id (join ranks to edges,
+  *    re-aggregate by destination) — the Pregel/GraphX layout, at
+  *    home on 1000 executors. Iteration count is fixed (deterministic
+  *    plans, unrolled oracle), and per-round frames are
+  *    localCheckpoint'ed so the plan stays iteration-depth-constant.
+  *  - Triangle enumeration uses the ordered-edge wedge join (a<b<c),
+  *    the MapReduce-era standard (Suri & Vassilvitskii, WWW'11): each
+  *    triangle materializes exactly once, and the intermediate is
+  *    Σ_b deg⁺(b)·deg⁻(b), linear in edges when degree is bounded —
+  *    which the co-purchase construction guarantees.
+  *
+  * All ranks are EXACT scaled integers: rank(v) carries a 10^12 scale,
+  * contributions divide with integer `div`, and the damping factor is
+  * the rational 85/100 applied as `(85·Σ) div 100` — bit-identical
+  * across engines, so the oracle hash-checks a 5-iteration unrolled
+  * recursive CTE instead of trusting floating-point convergence.
+  */
+object Graph {
+
+  /** Part co-purchase edges: undirected {u < v} part pairs that share
+    * at least one order. Two INDEPENDENT lineitem scans — a
+    * same-lineage self-join would plan a nested loop (see
+    * Dedup.ngramJaccardPairs). */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    def li(ok: String, pk: String) = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
+    li("oka", "pa")
+      .join(li("okb", "pb"), col("oka") === col("okb") && col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .distinct()
+  }
+
+  /** Customer↔supplier trade edges, symmetric (both directions), with
+    * namespaced string node ids so the two key spaces can't collide.
+    * Distinct (cust, supp) pairs first, so the symmetric union is
+    * duplicate-free by construction. */
+  def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk")),
+        col("ok") === col("ok2"))
+      .select(col("ck"), col("sk")).distinct()
+    val c = concat(lit("c"), col("ck").cast("string"))
+    val sp = concat(lit("s"), col("sk").cast("string"))
+    pairs.select(c.as("src"), sp.as("dst"))
+      .unionAll(pairs.select(sp.as("src"), c.as("dst")))
+  }
+
+  /** Exact-integer PageRank, `iters` synchronous rounds at damping
+    * 85/100 over `scale`-scaled ranks. Requires every node to have at
+    * least one out-edge AND one in-edge (symmetric edge sets satisfy
+    * both) — no dangling-mass redistribution is needed, so the update
+    * is the pure `r'(v) = base + (85·Σ_{u→v} r(u) div deg(u)) div 100`
+    * with `base = (15·(scale div N)) div 100`.
+    *
+    * One shuffle per round: edges⋈(deg,rank) on src, re-aggregate on
+    * dst. Ranks are node-count-sized frames; localCheckpoint per round
+    * keeps the logical plan flat (5 rounds would otherwise nest 10
+    * joins deep and reoptimize the whole chain each round). */
+  def pagerank(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = deg.count() // one scalar aggregate — the only driver value
+    val init = scale / n
+    val base = 15L * init / 100L
+    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, Seq("src"))
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+      ranks = contrib.groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  /** Per-node triangle participation counts over ordered edges
+    * {u < v}: wedge join (a,b)⋈(b,c) closed by (a,c). The edge frame
+    * is checkpointed once and re-aliased three times — fresh
+    * projection attributes per side keep the self-joins equi-planned. */
+  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("b2"), col("v").as("c"))
+    val ac = e.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree" -> { (s, d) =>
+      // Degree histogram of the co-purchase graph — the first question
+      // a graph pipeline asks (is the degree bounded? is there a hub
+      // that will skew every later shuffle?).
+      val e = coPurchaseEdges(s, d)
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("n_parts"))
+        .select(col("dg").as("degree"), col("n_parts"))
+        .orderBy("degree")
+    },
+
+    "graph_triangles" -> { (s, d) =>
+      triangleCounts(coPurchaseEdges(s, d)).orderBy("part_id")
+    },
+
+    "graph_pagerank" -> { (s, d) =>
+      pagerank(tradeEdges(s, d), iters = 5, scale = 1000000000000L)
+        .orderBy("node")
+    }
+  )
+
+  private val edgesSql =
+    """e AS (
+      |  SELECT DISTINCT la.l_partkey AS u, lb.l_partkey AS v
+      |  FROM lineitem la JOIN lineitem lb
+      |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey)""".stripMargin
+
+  /** One unrolled PageRank round: previous ranks flow along edges,
+    * re-aggregate on dst; dst's own outdeg rides along for the next
+    * round. DuckDB SUMs to HUGEINT — cast back to BIGINT so `//` and
+    * the type gate stay in 64-bit. */
+  private def prRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT d.src AS node, d.outdeg,
+       |    CAST(b.base + (85 * SUM(p.r // p.outdeg)) // 100 AS BIGINT) AS r
+       |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
+       |  JOIN deg d ON d.src = e.dst
+       |  CROSS JOIN bs b
+       |  GROUP BY 1, 2, b.base)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree" ->
+      s"""WITH $edgesSql,
+         |nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+         |deg AS (SELECT n, COUNT(*) AS dg FROM nodes GROUP BY 1)
+         |SELECT dg AS degree, COUNT(*) AS n_parts
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $edgesSql,
+         |tri AS (
+         |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |  FROM e ab JOIN e bc ON bc.u = ab.v
+         |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+         |nodes AS (
+         |  SELECT a AS part_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |SELECT part_id, COUNT(*) AS n_tri
+         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+         |         's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(sk AS VARCHAR),
+         |         'c' || CAST(ck AS VARCHAR) FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |bs AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS init,
+         |         (15 * (CAST(1000000000000 AS BIGINT) // COUNT(*))) // 100 AS base
+         |       FROM deg),
+         |r0 AS (SELECT src AS node, outdeg, b.init AS r FROM deg CROSS JOIN bs b),
+         |${(1 to 5).map(prRound).mkString(",\n")}
+         |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin
+  )
+}

@@ -685,6 +685,43 @@ object Pipeline {
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .select("doc_id", "lang", "n_overlap")
         .orderBy("doc_id")
+    },
+
+    "pipe_dsir" -> { (s, d) =>
+      // Data selection by importance to a TARGET distribution (the
+      // DSIR idea — Xie et al. 2023, "Data Selection for Language
+      // Models via Importance Resampling"): score every doc by how
+      // much its unigram mix resembles the target slice (here lang =
+      // 'en') vs the whole corpus, keep the top-K. DSIR's log-ratio
+      // Σ log p̂_t(w)/p̂_c(w) is replaced by the monotone-comparable
+      // EXACT rate difference Σ (ppm_t(w) − ppm_c(w)) with per-million
+      // integer rates (`(10⁶·cnt) div total`) — floating-point logs
+      // would be engine-ordering-dependent and hash-unsafe, the same
+      // trade every scoring op in this repo makes.
+      // Shape: per-doc token counts (one tokenize pass per consumer —
+      // the dictionary needs a global aggregate of the same frame, so
+      // the corpus is scanned twice rather than checkpointing a
+      // corpus-sized token frame); the dictionary joins back by token
+      // (vocabulary-sized, SHUFFLED not broadcast — Zipf vocabularies
+      // outgrow driver memory at 100 TB); top-K lands via
+      // TakeOrderedAndProject (per-partition heads, no global sort).
+      val docs = Tables.documents(s, d)
+      // projection barrier before the generator (docShingles pattern)
+      val docTok = docs
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n"))
+      val cnt = docTok.groupBy("w").agg(
+        sum(col("n")).as("c_cnt"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("t_cnt"))
+      val tot = cnt.agg(sum(col("c_cnt")).as("c_tot"), sum(col("t_cnt")).as("t_tot"))
+      val dict = cnt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          (expr("(1000000 * t_cnt) div t_tot")
+            - expr("(1000000 * c_cnt) div c_tot")).as("ppm"))
+      docTok.select("doc_id", "w", "n").join(dict, Seq("w"))
+        .groupBy("doc_id").agg(sum(col("n") * col("ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id")).limit(50)
     }
   )
 
@@ -1058,6 +1095,24 @@ object Pipeline {
         |  GROUP BY 1 HAVING COUNT(*) >= 5)
         |SELECT d.doc_id, d.lang, n_overlap
         |FROM ov JOIN documents d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_dsir" ->
+      s"""WITH doctok AS (
+         |  SELECT doc_id, lang, w, COUNT(*) AS n FROM (
+         |    SELECT doc_id, lang, unnest($toksSql) AS w FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |cnt AS (
+         |  SELECT w, CAST(SUM(n) AS BIGINT) AS c_cnt,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t_cnt
+         |  FROM doctok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_tot,
+         |    CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM cnt),
+         |dict AS (
+         |  SELECT w, (1000000 * t_cnt) // t_tot - (1000000 * c_cnt) // c_tot AS ppm
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(n * ppm) AS BIGINT) AS score_ppm
+         |FROM doctok JOIN dict USING (w)
+         |GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph analytics: exact triangle enumeration on a known graph,
+  * PageRank conservation/symmetry invariants, and the plan-shape
+  * guarantee that the self-joins stay equi-planned (a same-lineage
+  * slip would silently fall back to a nested loop). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCounts: K4 plus a pendant edge, each K4 node in C(3,2)=3 triangles") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 4-5
+    // (in no triangle; 5 must not appear in the output at all).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle total is rotation-invariant (sum of per-node = 3x count)") {
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+    val perNode = Graph.triangleCounts(e).agg(sum("n_tri")).as[Long].head()
+    assert(perNode % 3 == 0, s"per-node triangle participation sum $perNode not divisible by 3")
+  }
+
+  test("pagerank: symmetric star — leaves tie exactly, hub dominates, mass conserved") {
+    val pairs = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val r = Graph.pagerank(edges, iters = 5, scale = scale)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("l1") == r("l2") && r("l2") == r("l3"), "symmetric leaves must tie bit-for-bit")
+    assert(r("h") > r("l1"), "hub must out-rank leaves")
+    // Integer div loses < 1 unit per node per round: 5 rounds x 4
+    // nodes x (1 div + damping div) bounds the leak far under 1e3.
+    val total = r.values.sum
+    assert(math.abs(total - scale) < 1000L, s"rank mass $total drifted from $scale")
+  }
+
+  test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
+    val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
+    val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
+    for (df <- Seq(tri, pr)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"graph join degenerated:\n$plan")
+    }
+  }
+}
