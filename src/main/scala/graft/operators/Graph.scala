@@ -116,6 +116,26 @@ object Graph {
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003's
+    * strongest simple baseline): for node pairs at distance 2 that are
+    * NOT already edges, count shared neighbors — the candidate edges a
+    * recommender would propose. Same wedge join as triangles (so the
+    * same Σ deg² cost bound); existing edges leave via an anti-join;
+    * top-K lands via TakeOrderedAndProject under a total (cn desc,
+    * a, c) order so the LIMIT boundary hashes deterministically. */
+  def commonNeighborCandidates(edgesIn: DataFrame, k: Int): DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val nb1 = e.select(col("u").as("b"), col("v").as("a"))
+      .unionAll(e.select(col("v").as("b"), col("u").as("a")))
+    val nb2 = e.select(col("u").as("b2"), col("v").as("c"))
+      .unionAll(e.select(col("v").as("b2"), col("u").as("c")))
+    val cand = nb1.join(nb2, col("b") === col("b2") && col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+    val ex = e.select(col("u").as("a2"), col("v").as("c2"))
+    cand.join(ex, col("a") === col("a2") && col("c") === col("c2"), "left_anti")
+      .orderBy(col("cn").desc, col("a"), col("c")).limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> { (s, d) =>
       // Degree histogram of the co-purchase graph — the first question
@@ -136,6 +156,10 @@ object Graph {
     "graph_pagerank" -> { (s, d) =>
       pagerank(tradeEdges(s, d), iters = 5, scale = 1000000000000L)
         .orderBy("node")
+    },
+
+    "graph_linkpred" -> { (s, d) =>
+      commonNeighborCandidates(coPurchaseEdges(s, d), 50)
     }
   )
 
@@ -157,6 +181,19 @@ object Graph {
        |  JOIN deg d ON d.src = e.dst
        |  CROSS JOIN bs b
        |  GROUP BY 1, 2, b.base)""".stripMargin
+
+  /** Oracle-side twin of [[pagerank]]: the deg/base/init CTEs plus
+    * `iters` unrolled rounds over an `edges(src, dst)` CTE the caller
+    * prepends. Public so every pagerank-based oracle (trade graph here,
+    * TextRank's word graph) unrolls the SAME arithmetic. Ends at CTE
+    * `r$iters(node, outdeg, r)`. */
+  def pagerankOracleCtes(iters: Int, scale: Long): String =
+    s"""deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |bs AS (SELECT CAST($scale AS BIGINT) // COUNT(*) AS init,
+       |         (15 * (CAST($scale AS BIGINT) // COUNT(*))) // 100 AS base
+       |       FROM deg),
+       |r0 AS (SELECT src AS node, outdeg, b.init AS r FROM deg CROSS JOIN bs b),
+       |${(1 to iters).map(prRound).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "graph_degree" ->
@@ -189,12 +226,20 @@ object Graph {
          |  UNION ALL
          |  SELECT 's' || CAST(sk AS VARCHAR),
          |         'c' || CAST(ck AS VARCHAR) FROM pairs),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-         |bs AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS init,
-         |         (15 * (CAST(1000000000000 AS BIGINT) // COUNT(*))) // 100 AS base
-         |       FROM deg),
-         |r0 AS (SELECT src AS node, outdeg, b.init AS r FROM deg CROSS JOIN bs b),
-         |${(1 to 5).map(prRound).mkString(",\n")}
-         |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin
+         |${pagerankOracleCtes(5, 1000000000000L)}
+         |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin,
+
+    "graph_linkpred" ->
+      s"""WITH $edgesSql,
+         |nb AS (SELECT u AS b, v AS a FROM e UNION ALL SELECT v, u FROM e),
+         |cand AS (
+         |  SELECT n1.a AS a, n2.a AS c, COUNT(*) AS cn
+         |  FROM nb n1 JOIN nb n2 ON n1.b = n2.b AND n1.a < n2.a
+         |  GROUP BY 1, 2),
+         |new_pairs AS (
+         |  SELECT a, c, cn FROM cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.c))
+         |SELECT a, c, cn FROM new_pairs
+         |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin
   )
 }

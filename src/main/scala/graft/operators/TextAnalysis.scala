@@ -1146,6 +1146,34 @@ object TextAnalysis {
       pmiCollocations(Tables.documents(s, d), minCount = 5, k = 30)
     },
 
+    "text_textrank" -> { (s, d) =>
+      // TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004):
+      // PageRank over the word co-occurrence graph — a word matters
+      // when it co-occurs with words that matter, the recursion raw
+      // counts (text_topterms) and PMI (text_collocations) can't
+      // express. Nodes = tokens, edges = DISTINCT adjacent-token
+      // pairs (window 2, the paper's default), symmetric; ranks ride
+      // Graph.pagerank's exact-integer power iteration so the oracle
+      // unrolls the same arithmetic instead of trusting float
+      // convergence. Edge set is bigram-vocabulary-sized (Zipf-
+      // bounded), shuffled not broadcast; top-K via
+      // TakeOrderedAndProject.
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(tokens(col("text")).as("tk"))
+        .select(explode(shingles(col("tk"), 2)).as("bg"))
+        .select(element_at(split(col("bg"), " "), 1).as("w1"),
+          element_at(split(col("bg"), " "), 2).as("w2"))
+        .filter(col("w1") =!= col("w2") && length(col("w1")) > 0 && length(col("w2")) > 0)
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pagerank(edges, iters = 5, scale = 1000000000000L)
+        .select(col("node").as("word"), col("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("word")).limit(30)
+    },
+
     "text_zipf" -> { (s, d) =>
       zipf(Tables.documents(s, d), 300).orderBy("lang")
     },
@@ -1491,6 +1519,20 @@ object TextAnalysis {
          |FROM pairs p JOIN uni u1 ON u1.w = p.w
          |  JOIN uni u2 ON u2.w = p.w2 CROSS JOIN tot
          |ORDER BY pmi DESC, w, w2 LIMIT 30""".stripMargin,
+
+    "text_textrank" ->
+      s"""WITH tok AS (SELECT $toksSql AS t FROM documents),
+         |inst AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM tok, UNNEST(range(1, len(t))) AS u(i)),
+         |canon AS (
+         |  SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+         |  FROM inst WHERE w1 <> w2 AND w1 <> '' AND w2 <> ''),
+         |edges AS (SELECT a AS src, b AS dst FROM canon
+         |  UNION ALL SELECT b, a FROM canon),
+         |${Graph.pagerankOracleCtes(5, 1000000000000L)}
+         |SELECT node AS word, r AS rank_scaled FROM r5
+         |ORDER BY rank_scaled DESC, word LIMIT 30""".stripMargin,
 
     "text_zipf" ->
       s"""WITH tok AS (
