@@ -246,27 +246,54 @@ object Multimodal {
     * undecodable or sub-64-sample payloads. Near-dup queries ride
     * [[Dedup.hammingNearDup]]'s banded equi-join, never all-pairs. */
   def audioFingerprint(payload: Array[Byte]): Option[Long] =
-    decodeAudioSamples(payload).filter(_.length >= 64).map { s =>
-      val n = s.length
-      var total = 0L
-      var i = 0
-      while (i < n) { total += math.abs(s(i)); i += 1 }
-      val spanSum = new Array[Long](64)
-      val spanN = new Array[Long](64)
-      i = 0
-      while (i < n) {
-        val j = (i.toLong * 64 / n).toInt
-        spanSum(j) += math.abs(s(i)); spanN(j) += 1
-        i += 1
-      }
-      var hash = 0L
-      var j = 0
-      while (j < 64) {
-        if (spanN(j) > 0 && spanSum(j) * n > total * spanN(j)) hash |= 1L << j
-        j += 1
-      }
-      hash
+    decodeAudioSamples(payload).filter(_.length >= 64).map(fingerprintOfSamples)
+
+  /** Sample-domain core of [[audioFingerprint]] — public so resampled
+    * PCM (no re-encoded payload) can fingerprint directly. */
+  def fingerprintOfSamples(s: Array[Int]): Long = {
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += math.abs(s(i)); i += 1 }
+    val spanSum = new Array[Long](64)
+    val spanN = new Array[Long](64)
+    i = 0
+    while (i < n) {
+      val j = (i.toLong * 64 / n).toInt
+      spanSum(j) += math.abs(s(i)); spanN(j) += 1
+      i += 1
     }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (spanN(j) > 0 && spanSum(j) * n > total * spanN(j)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Decimate-by-2 resample with a 2-tap mean anti-alias filter,
+    * per channel over interleaved PCM: out frame i = (in[2i] +
+    * in[2i+1]) / 2 with TRUNCATING division — |trunc(z/2)| ≤ |z|/2,
+    * so mean-abs energy provably never increases (floorDiv would
+    * inflate magnitude on negative sums and break the bound the
+    * resample gate checks). A trailing odd frame is dropped. */
+  def resamplePcm(in: Array[Int], channels: Int): Array[Int] = {
+    val frames = in.length / channels
+    val outFrames = frames / 2
+    val out = new Array[Int](outFrames * channels)
+    var i = 0
+    while (i < outFrames) {
+      var c = 0
+      while (c < channels) {
+        out(i * channels + c) =
+          (in(2 * i * channels + c) + in((2 * i + 1) * channels + c)) / 2
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
 
   /** Attach decoded audio metadata in ONE pass — [[decodeImageMeta]]'s
     * no-Exchange contract: every input column carries through the row
@@ -1267,6 +1294,56 @@ object Multimodal {
           min(col("vol_invariant")).as("volume_invariant"),
           (avg(bit_count(col("fp").bitwiseXOR(col("fp_next"))).cast(LongType)) > 10.0)
             .as("separated"))
+    },
+
+    "mm_audio_resample" -> { (s, d) =>
+      // Decimate-by-2 resample gate — the feature-extraction op a
+      // training pipeline runs to normalize mixed-rate audio before
+      // fingerprinting/embedding. Every property is an EXACT integer
+      // invariant of the 2-tap truncating-mean decimator:
+      //  (a) frame count halves exactly (vs the closed-form frame
+      //      contract — synthetic frames are always even, no
+      //      trailing-frame ambiguity);
+      //  (b) mean-abs energy never increases (|trunc(z/2)| ≤ |z|/2,
+      //      cross-multiplied — the reason the filter truncates
+      //      instead of flooring);
+      //  (c) DC drift is bounded by the per-pair truncation loss:
+      //      |Σin − 2·Σout| ≤ out-sample count;
+      //  (d) the envelope fingerprint survives: decimation halves the
+      //      sample count but each of the 64 fingerprint spans keeps
+      //      its relative mean-abs profile, so the mean Hamming
+      //      distance to the original's fingerprint stays far inside
+      //      the ~32-bit unrelated-pair distance (bound 12).
+      // One narrow decode pass over the media table, no shuffle until
+      // the final metadata-sized aggregate.
+      import s.implicits._
+      mediaFor(s, d, "wav").select(col("doc_id"), col("wav"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, wav) =>
+          val ch = audioChannelsOf(id)
+          val in = decodeAudioSamples(wav).get
+          val out = resamplePcm(in, ch)
+          val lenOk = out.length * 2 == in.length &&
+            out.length / ch == audioFramesOf(id) / 2
+          def sumAbs(a: Array[Int]): Long = {
+            var t = 0L; var i = 0
+            while (i < a.length) { t += math.abs(a(i)); i += 1 }; t
+          }
+          def sum(a: Array[Int]): Long = {
+            var t = 0L; var i = 0
+            while (i < a.length) { t += a(i); i += 1 }; t
+          }
+          val energyOk = 2L * sumAbs(out) <= sumAbs(in)
+          val dcOk = math.abs(sum(in) - 2L * sum(out)) <= out.length.toLong
+          val drift = java.lang.Long.bitCount(
+            fingerprintOfSamples(in) ^ fingerprintOfSamples(out)).toLong
+          (id, lenOk, energyOk, dcOk, drift)
+        }.toDF("doc_id", "len_ok", "energy_ok", "dc_ok", "drift")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("len_ok")).as("frames_halved"),
+          min(col("energy_ok")).as("energy_bounded"),
+          min(col("dc_ok")).as("dc_bounded"),
+          (avg(col("drift")) < 12.0).as("envelope_stable"))
     }
   )
 
@@ -1334,6 +1411,11 @@ object Multimodal {
       """SELECT doc_id AS donor_id, doc_id AS copy_of,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 29 = 3 ORDER BY donor_id""".stripMargin,
+
+    "mm_audio_resample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS frames_halved,
+        |  TRUE AS energy_bounded, TRUE AS dc_bounded, TRUE AS envelope_stable
+        |FROM documents""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

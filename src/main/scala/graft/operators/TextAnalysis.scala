@@ -1138,6 +1138,38 @@ object TextAnalysis {
       bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    "pipe_ccnet" -> { (s, d) =>
+      // CCNet's head/middle/tail split (Wenzek et al., LREC 2020):
+      // per language, bucket docs into perplexity TERTILES against a
+      // reference LM — "head" is the cleanest third the pretraining
+      // mix samples hardest. Production CCNet computes percentile
+      // cutoffs once and stream-assigns; this does the same with the
+      // bounded-memory exact quantile selection (never a per-lang
+      // global sort of the corpus): tertile boundaries of the
+      // boundary-rounded nll via exactQuantiles (quantile_cont
+      // semantics — the q_percentile-proven match), broadcast-joined
+      // back (|langs| rows), then one metadata-sized rollup. min/max
+      // of round-6 values are order-independent, so every output
+      // column hashes deterministically.
+      val docs = Tables.documents(s, d)
+      val pl = bigramPerplexity(docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .localCheckpoint() // feeds the quantile passes + the bucket scan
+      val qs = Percentiles.exactQuantiles(pl, "lang", "nll",
+        Seq("q33" -> 1.0 / 3, "q66" -> 2.0 / 3))
+      pl.join(broadcast(qs), Seq("lang"))
+        .withColumn("bucket",
+          when(col("nll") <= col("q33"), "head")
+            .when(col("nll") <= col("q66"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_tokens"),
+          min(col("nll")).as("min_nll"),
+          max(col("nll")).as("max_nll"))
+        .orderBy("lang", "bucket")
+    },
+
     "text_keywords" -> { (s, d) =>
       rakeKeywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
     },
@@ -1373,6 +1405,32 @@ object TextAnalysis {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Interpolated-bigram perplexity CTE chain, ending at
+    * `ppl(doc_id, n_bigrams, nll, ppl)` — shared by text_perplexity
+    * and the CCNet bucketing oracle so both hash the SAME model. */
+  private lazy val pplCtes =
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |inst AS (
+       |  SELECT doc_id, t[i] AS w, t[i + 1] AS w2
+       |  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+       |db AS (
+       |  SELECT doc_id, w, w2, COUNT(*) AS k FROM inst
+       |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM inst GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS t FROM uni),
+       |bc AS (SELECT w, w2, SUM(k) AS cb FROM db GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT db.doc_id, db.k,
+       |    0.9 * cb / cw + (1.0 - 0.9) * cw2 / t AS p
+       |  FROM db JOIN bc USING (w, w2) JOIN uni USING (w)
+       |    JOIN (SELECT w AS w2, cw AS cw2 FROM uni) u2 USING (w2)
+       |  CROSS JOIN tot),
+       |ppl AS (
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |    ROUND(-SUM(k * LN(p)) / SUM(k), 6) AS nll,
+       |    ROUND(EXP(-SUM(k * LN(p)) / SUM(k)), 4) AS ppl
+       |  FROM scored GROUP BY 1)""".stripMargin
+
   private def hitsSql(lang: String): String = {
     val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksSql, t -> t IN ($set)))"
@@ -1450,26 +1508,29 @@ object TextAnalysis {
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_perplexity" ->
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |inst AS (
-         |  SELECT doc_id, t[i] AS w, t[i + 1] AS w2
-         |  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
-         |db AS (
-         |  SELECT doc_id, w, w2, COUNT(*) AS k FROM inst
-         |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
-         |uni AS (SELECT w, COUNT(*) AS cw FROM inst GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS t FROM uni),
-         |bc AS (SELECT w, w2, SUM(k) AS cb FROM db GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT db.doc_id, db.k,
-         |    0.9 * cb / cw + (1.0 - 0.9) * cw2 / t AS p
-         |  FROM db JOIN bc USING (w, w2) JOIN uni USING (w)
-         |    JOIN (SELECT w AS w2, cw AS cw2 FROM uni) u2 USING (w2)
-         |  CROSS JOIN tot)
-         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-         |  ROUND(-SUM(k * LN(p)) / SUM(k), 6) AS nll,
-         |  ROUND(EXP(-SUM(k * LN(p)) / SUM(k)), 4) AS ppl
-         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $pplCtes
+         |SELECT doc_id, n_bigrams, nll, ppl FROM ppl ORDER BY 1""".stripMargin,
+
+    "pipe_ccnet" ->
+      s"""WITH $pplCtes,
+         |pl AS (
+         |  SELECT p.doc_id, d.lang, p.n_bigrams, p.nll
+         |  FROM ppl p JOIN documents d USING (doc_id)),
+         |qs AS (
+         |  SELECT lang, quantile_cont(nll, 1.0/3) AS q33,
+         |    quantile_cont(nll, 2.0/3) AS q66
+         |  FROM pl GROUP BY 1),
+         |b AS (
+         |  SELECT lang,
+         |    CASE WHEN nll <= q33 THEN 'head'
+         |         WHEN nll <= q66 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    n_bigrams, nll
+         |  FROM pl JOIN qs USING (lang))
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_tokens,
+         |  MIN(nll) AS min_nll, MAX(nll) AS max_nll
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_keywords" ->
       s"""WITH inst AS (
