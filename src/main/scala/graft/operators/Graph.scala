@@ -136,6 +136,30 @@ object Graph {
       .orderBy(col("cn").desc, col("a"), col("c")).limit(k)
   }
 
+  /** Bounded k-core peeling (Seidman 1983; the MapReduce rounds of
+    * Montresor et al. 2013): `rounds` synchronous passes of "drop
+    * every node with degree < k, then drop its edges". Output is the
+    * surviving subgraph's node degrees after EXACTLY `rounds` passes —
+    * deterministic whether or not the peel has converged, so the
+    * oracle unrolls the same fixed rounds instead of trusting
+    * data-dependent convergence (the spec pins a case that IS the
+    * fixpoint). Each round is one degree aggregate + two semi-joins,
+    * all keyed shuffles; per-round frames localCheckpoint'ed to keep
+    * plan depth constant — the same posture as [[pagerank]]. */
+  def kcoreBounded(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edgesIn.localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("n")).unionAll(ed.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("dg") >= k)
+      e = e.join(keep.select(col("n").as("ku")), col("u") === col("ku"), "left_semi")
+        .join(keep.select(col("n").as("kv")), col("v") === col("kv"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(e).select(col("n").as("part_id"), col("dg").as("core_degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> { (s, d) =>
       // Degree histogram of the co-purchase graph — the first question
@@ -160,6 +184,15 @@ object Graph {
 
     "graph_linkpred" -> { (s, d) =>
       commonNeighborCandidates(coPurchaseEdges(s, d), 50)
+    },
+
+    "graph_kcore" -> { (s, d) =>
+      // k=80 sits just under the co-purchase graph's core-collapse
+      // threshold (k=90 avalanches to empty), so the 8 bounded rounds
+      // reach the true 80-core fixpoint on this corpus — the dense
+      // backbone a curation pipeline treats as "canonical cluster
+      // material".
+      kcoreBounded(coPurchaseEdges(s, d), k = 80, rounds = 8).orderBy("part_id")
     }
   )
 
@@ -240,6 +273,28 @@ object Graph {
          |  SELECT a, c, cn FROM cand
          |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.c))
          |SELECT a, c, cn FROM new_pairs
-         |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin
+         |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin,
+
+    "graph_kcore" -> {
+      // e{p} is referenced three times per round — MATERIALIZED stops
+      // DuckDB's CTE inlining from going 3^rounds exponential.
+      val e0 = """e0 AS MATERIALIZED (
+        |  SELECT DISTINCT la.l_partkey AS u, lb.l_partkey AS v
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey)""".stripMargin
+      val rounds = (1 to 8).map { r =>
+        val p = r - 1
+        s"""d$r AS (SELECT n, COUNT(*) AS dg
+           |  FROM (SELECT u AS n FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
+           |k$r AS (SELECT n FROM d$r WHERE dg >= 80),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e$p
+           |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $e0,
+         |$rounds
+         |SELECT n AS part_id, COUNT(*) AS core_degree
+         |FROM (SELECT u AS n FROM e8 UNION ALL SELECT v FROM e8)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -1010,6 +1010,51 @@ object Snapshot {
             .as("disjoint"))
     },
 
+    "snap_sql_show" -> { (s, d) =>
+      // Catalog DISCOVERY through SQL — `SHOW TABLES IN cat` /
+      // `SHOW NAMESPACES` / `DESCRIBE TABLE` — the UX that makes the
+      // lake browsable without knowing paths. One store per layout
+      // lands once (fingerprint-keyed); the three surfaces flatten to
+      // (section, a, b) string rows the oracle pins as literals:
+      // listTables reads the root listing, DESCRIBE serves the tip
+      // schema — both metadata-only, no data scan anywhere.
+      val fp = Tables.fingerprint(s, d, "region")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlshow_$fp"
+      val cat = s"snapshow_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val src = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      for ((t, path, layout) <- Seq(("sh_snap", "sh_snap", "snapshot"),
+          ("ns1.sh_linked", "ns1/sh_linked", "linked"))) {
+        val exists =
+          if (layout == "snapshot")
+            new SnapshotStore(s, s"$base/$path", "r_regionkey").versions().nonEmpty
+          else new ManifestStore(s, s"$base/$path", "r_regionkey").versions().nonEmpty
+        if (!exists) {
+          src.createOrReplaceTempView(s"show_src_$fp")
+          s.sql(s"""CREATE TABLE $cat.$t
+                   |TBLPROPERTIES('key'='r_regionkey', 'layout'='$layout')
+                   |AS SELECT * FROM show_src_$fp""".stripMargin)
+        }
+      }
+      val tables = s.sql(s"SHOW TABLES IN $cat")
+        .unionByName(s.sql(s"SHOW TABLES IN $cat.ns1"))
+        .select(lit("table").as("section"), col("tableName").as("a"),
+          col("namespace").as("b"))
+      val spaces = s.sql(s"SHOW NAMESPACES IN $cat")
+        .select(lit("namespace").as("section"), col("namespace").as("a"),
+          lit("").as("b"))
+      val desc = s.sql(s"DESCRIBE TABLE $cat.sh_snap")
+        .unionByName(s.sql(s"DESCRIBE TABLE $cat.ns1.sh_linked"))
+        .filter(length(col("col_name")) > 0)
+        .select(lit("column").as("section"), col("col_name").as("a"),
+          col("data_type").as("b"))
+      tables.unionByName(spaces).unionByName(desc)
+        .groupBy("section", "a", "b").agg(count(lit(1)).as("n"))
+        .orderBy("section", "a", "b")
+    },
+
     "snap_orphan_audit" -> { (s, d) =>
       // ManifestStore.orphans driver-checked as a gate: on a healthy
       // store the audit must be EMPTY; plant a leaked pool file (the
@@ -1494,6 +1539,15 @@ object Snapshot {
         |  MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
         |  TRUE AS per_file_ok, TRUE AS disjoint
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    "snap_sql_show" ->
+      """SELECT * FROM (VALUES
+        |  ('column', 'r_name', 'string', CAST(2 AS BIGINT)),
+        |  ('column', 'r_regionkey', 'int', CAST(2 AS BIGINT)),
+        |  ('namespace', 'ns1', '', CAST(1 AS BIGINT)),
+        |  ('table', 'sh_linked', 'ns1', CAST(1 AS BIGINT)),
+        |  ('table', 'sh_snap', '', CAST(1 AS BIGINT))) AS t(section, a, b, n)
+        |ORDER BY section, a, b""".stripMargin,
 
     "snap_orphan_audit" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS tip_rows, TRUE AS clean_before,

@@ -41,6 +41,24 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - scale) < 1000L, s"rank mass $total drifted from $scale")
   }
 
+  test("kcoreBounded: K5 survives 3-core peeling, attached path peels away") {
+    // K5 on {1..5} (degree 4 each) + path 5-6-7: 6 and 7 have degree
+    // < 3 and must peel, dropping 5's degree to 4 (edge 5-6 gone).
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("u", "v")
+    val got = Graph.kcoreBounded(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap)
+  }
+
+  test("kcoreBounded: the shipped 8 rounds reach the fixpoint at k=80 (round 9 changes nothing)") {
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+    val r8 = Graph.kcoreBounded(e, 80, 8)
+    val r9 = Graph.kcoreBounded(e, 80, 9)
+    assert(r8.exceptAll(r9).isEmpty && r9.exceptAll(r8).isEmpty,
+      "peel not converged after 8 rounds at k=80")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
