@@ -1595,6 +1595,64 @@ object Similarity {
         .orderBy("query_id", "neighbor_id")
     },
 
+    "ann_mmr" -> { (s, d) =>
+      // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+      // SIGIR 1998): greedy-select 10 results that balance relevance
+      // to the query against redundancy with what's already selected
+      // (score = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7) — the
+      // diversification plain top-k can't express (its top ranks are
+      // near-duplicates of each other by construction).
+      // Shape: MMR re-ranks a RETRIEVED POOL, not the corpus — the
+      // distributed work is the brute-force top-100 retrieval and the
+      // pool's pairwise cosines (pool² = 10k rows, SAME rounded-cosine
+      // expression as the retrieval so the oracle replays both); the
+      // greedy loop then runs on driver-side frames BOUNDED BY
+      // CONSTRUCTION at pool size (the compactBigramLm collect
+      // contract), because each pick depends on the previous — there
+      // is no distributed formulation that isn't k sequential jobs
+      // over 100 rows. Scores combine already-rounded sims with fixed
+      // double arithmetic, so the unrolled-CTE oracle's comparisons
+      // are bit-identical.
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val pool = bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 100)
+        .select(col("neighbor_id").as("vid"), col("cos").as("simq"))
+        .localCheckpoint() // feeds the pairwise join + the collect
+      val pv = Tables.embeddings(s, d)
+        .join(pool, col("vec_id") === col("vid"))
+        .select(col("vid"), col("embedding"))
+      val a = pv.select(col("vid").as("ida"), col("embedding").as("ea"))
+      val b = pv.select(col("vid").as("idb"), col("embedding").as("eb"))
+      val psim = a.join(b, col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 4)
+            .as("cs"))
+      val simq = pool.as[(Long, Double)].collect().toMap
+      val cs = psim.as[(Long, Long, Double)].collect()
+        .map { case (x, y, c) => (x, y) -> c }.toMap
+      def pairSim(x: Long, y: Long): Double =
+        if (x < y) cs((x, y)) else cs((y, x))
+      // λ and (1−λ) as INDEPENDENT literals: `1 - 0.7` in IEEE is
+      // 0.30000000000000004, which would diverge from the oracle's 0.3
+      val lam = 0.7
+      val mu = 0.3
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      for (rk <- 1 to 10) {
+        val pick = simq.keysIterator
+          .filterNot(v => selected.exists(_._2 == v))
+          .map { v =>
+            val red = if (selected.isEmpty) 0.0
+              else selected.iterator.map(sel => pairSim(v, sel._2)).max
+            (v, lam * simq(v) - mu * red)
+          }
+          .minBy { case (v, sc) => (-sc, v) }
+        selected += ((rk.toLong, pick._1, pick._2))
+      }
+      selected.toSeq.toDF("rk", "vec_id", "score")
+        .select(col("rk"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("rk")
+    },
+
     "emb_int8" -> { (s, d) =>
       int8QuantAudit(Tables.embeddings(s, d)).orderBy("vec_id")
     },
@@ -1875,6 +1933,49 @@ object Similarity {
         |  ROUND(MAX(nrm), 6) AS max_norm,
         |  CAST(SUM(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
         |FROM nrm GROUP BY label ORDER BY label""".stripMargin,
+
+    "ann_mmr" -> {
+      def cosSql(ae: String, be: String): String =
+        s"""list_sum(list_transform(list_zip($ae, $be), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform($ae, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |        * sqrt(list_sum(list_transform($be, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      // Equi-joins over the symmetrized pair frame — a correlated
+      // MAX-with-OR subquery here sends DuckDB into a per-row replan
+      // that runs minutes instead of milliseconds.
+      val rounds = (2 to 10).map { t =>
+        val p = t - 1
+        s"""sel$t AS (
+           |  SELECT c.vid, CAST($t AS BIGINT) AS rk,
+           |    0.7 * ANY_VALUE(c.simq) - 0.3 * MAX(ps.cs) AS score
+           |  FROM pool c
+           |  JOIN psim2 ps ON ps.ida = c.vid
+           |  JOIN all$p s ON s.vid = ps.idb
+           |  WHERE c.vid NOT IN (SELECT vid FROM all$p)
+           |  GROUP BY c.vid
+           |  ORDER BY score DESC, c.vid LIMIT 1),
+           |all$t AS MATERIALIZED (SELECT * FROM all$p UNION ALL SELECT * FROM sel$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pool AS MATERIALIZED (
+         |  SELECT b.vec_id AS vid,
+         |    ROUND(${cosSql("q.embedding", "b.embedding")}, 4) AS simq
+         |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE b.vec_id <> 0
+         |  ORDER BY simq DESC, vid LIMIT 100),
+         |pe AS (SELECT p.vid, e.embedding FROM pool p JOIN embeddings e ON e.vec_id = p.vid),
+         |psim AS MATERIALIZED (
+         |  SELECT a.vid AS ida, b.vid AS idb,
+         |    ROUND(${cosSql("a.embedding", "b.embedding")}, 4) AS cs
+         |  FROM pe a JOIN pe b ON a.vid < b.vid),
+         |psim2 AS MATERIALIZED (
+         |  SELECT ida, idb, cs FROM psim UNION ALL SELECT idb, ida, cs FROM psim),
+         |sel1 AS (
+         |  SELECT vid, CAST(1 AS BIGINT) AS rk, 0.7 * simq AS score
+         |  FROM pool ORDER BY score DESC, vid LIMIT 1),
+         |all1 AS MATERIALIZED (SELECT * FROM sel1),
+         |$rounds
+         |SELECT rk, vid AS vec_id, ROUND(score, 6) AS score
+         |FROM all10 ORDER BY rk""".stripMargin
+    },
 
     "ann_cosine_topk" ->
       """WITH pairs AS (
