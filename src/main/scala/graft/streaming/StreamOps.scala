@@ -1087,6 +1087,44 @@ object StreamOps {
     * Multi-change batches collapse to the last change per key first
     * ([[continuousMerge]]'s contract). Tombstone ids stay a DataFrame
     * end-to-end (executor→parquet, never collected). */
+  /** Continuous graph-rank maintenance: each CDC micro-batch of edge
+    * changes (edge_id, src, dst, change_type) lands as a CoW merge of
+    * the edge store, then the NEW version's PageRank recomputes via
+    * [[graft.operators.Graph.pagerank]] and lands under
+    * `ranksBase/v=<to>` (_SUCCESS-gated overwrite — a replayed batch
+    * rewrites its own version, idempotent). PageRank is a GLOBAL
+    * fixpoint — one changed edge can move every rank — so
+    * "incremental" here means incremental EDGE-SET maintenance plus a
+    * bounded recompute per committed version (the [[annIndexStream]]
+    * division of labor), not a per-key state update: there is no
+    * sound per-key delta for a fixed-round power iteration. Stored
+    * edges are canonical (one row per undirected edge); the symmetric
+    * expansion happens at compute so deletes stay single-key. */
+  def pagerankStream(changes: DataFrame, store: graft.operators.SnapshotStore,
+      ranksBase: String, checkpointDir: String,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    mergeStream(changes, store, checkpointDir, skipCommitted = false) { (batch, from, to) =>
+      if (!store.versions().contains(to)) {
+        val lastPerKey = collapseLastPerKey(batch, "edge_id", seqCol)
+        val ups = lastPerKey.filter(col("change_type").isin("insert", "update"))
+          .drop("change_type")
+        val dels = lastPerKey.filter(col("change_type") === "delete").select("edge_id")
+        store.mergeDelta(from, to, ups, Some(dels))
+      }
+      val done = new org.apache.hadoop.fs.Path(s"$ranksBase/v=$to/_SUCCESS")
+      if (!done.getFileSystem(hconf).exists(done)) {
+        val e = store.read(to).select("src", "dst")
+        val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pagerank(sym, iters, scale)
+          .write.mode("overwrite").parquet(s"$ranksBase/v=$to")
+      }
+      ()
+    }
+  }
+
   def bm25IndexStream(changes: DataFrame, path: String, checkpointDir: String,
       changeTypeCol: String = "change_type",
       seqCol: Option[String] = None,

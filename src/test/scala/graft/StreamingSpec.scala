@@ -2068,6 +2068,50 @@ class StreamingSpec extends SparkSpec {
         s"TTL-reclaimed key must probe null, got ${got(1L)}")
     } finally query.stop()
   }
+
+  test("pagerankStream: ranks track the live edge set; final version equals batch pagerank") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Graph, SnapshotStore}
+    val base = Files.createTempDirectory("graft_pr_stream").toString
+    val store = new SnapshotStore(spark, s"$base/edges", "edge_id")
+    // K4 on a..d plus pendant d-e (edge_id keys the CoW merges)
+    val v1 = Seq((1L, "a", "b"), (2L, "a", "c"), (3L, "a", "d"),
+      (4L, "b", "c"), (5L, "b", "d"), (6L, "c", "d"), (7L, "d", "e"))
+      .toDF("edge_id", "src", "dst")
+    store.writeRangePartitioned(v1, 1L, 2)
+    val ranksBase = s"$base/ranks"
+    val input = MemoryStream[(Long, String, String, String)]
+    val query = StreamOps.pagerankStream(
+      input.toDS().toDF("edge_id", "src", "dst", "change_type"),
+      store, ranksBase, Files.createTempDirectory("graft_pr_ckpt").toString, iters = 4)
+    try {
+      // batch 0: attach f to the pendant, delete one K4 edge
+      input.addData((8L, "e", "f", "insert"), (4L, "", "", "delete"))
+      query.processAllAvailable()
+      // batch 1: rewire edge 7 from d-e to c-e (update through the key)
+      input.addData((7L, "c", "e", "update"))
+      query.processAllAvailable()
+      assert(store.versions() == Seq(1L, 2L, 3L))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toList
+      for (v <- Seq(2L, 3L)) {
+        val e = store.read(v).select("src", "dst")
+        val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        val batchRanks = Graph.pagerank(sym, 4, 1000000000000L)
+        val streamed = spark.read.parquet(s"$ranksBase/v=$v")
+        assert(canon(streamed) == canon(batchRanks), s"version $v ranks diverge")
+      }
+      // the rewire must actually move ranks (c gains e's contribution)
+      val r2 = spark.read.parquet(s"$ranksBase/v=2").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val r3 = spark.read.parquet(s"$ranksBase/v=3").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r3("c") > r2("c") && r3("d") < r2("d"))
+    } finally query.stop()
+  }
 }
 
 /** Test-only local FS whose rename can be armed to fail ONCE for a
