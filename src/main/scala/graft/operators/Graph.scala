@@ -186,13 +186,36 @@ object Graph {
       commonNeighborCandidates(coPurchaseEdges(s, d), 50)
     },
 
+    "graph_components" -> { (s, d) =>
+      // Connected components of the STRONG co-purchase graph (pairs
+      // sharing ≥ 2 distinct orders — the repeat-signal threshold
+      // that separates market-basket structure from one-off
+      // coincidence; the unthresholded graph is one giant blob).
+      // Rides Dedup.dupClusters' pointer-jumped min-label propagation
+      // (log-diameter rounds, labels-only state) — the same CC core
+      // serving near-dup clustering serves graph analytics, which is
+      // the point of having it as a library operator.
+      def li(ok: String, pk: String, okk: String) = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
+      val pairs = li("oka", "pa", "x")
+        .join(li("okb", "pb", "y"), col("oka") === col("okb") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count_distinct(col("oka")).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      Dedup.dupClusters(pairs)
+        .select(col("doc_id").as("part_id"), col("comp"))
+        .orderBy("part_id")
+    },
+
     "graph_kcore" -> { (s, d) =>
-      // k=80 sits just under the co-purchase graph's core-collapse
-      // threshold (k=90 avalanches to empty), so the 8 bounded rounds
-      // reach the true 80-core fixpoint on this corpus — the dense
-      // backbone a curation pipeline treats as "canonical cluster
-      // material".
-      kcoreBounded(coPurchaseEdges(s, d), k = 80, rounds = 8).orderBy("part_id")
+      // k=60 sits under the co-purchase graph's core-collapse
+      // threshold at EVERY test scale (the avalanche point is sharp
+      // and scale-dependent: k=70 empties the sf0.001 graph, k=90 the
+      // sf0.01 one), so the 8 bounded rounds peel genuinely at each
+      // sf and reach the true 60-core fixpoint — the dense backbone a
+      // curation pipeline treats as "canonical cluster material".
+      kcoreBounded(coPurchaseEdges(s, d), k = 60, rounds = 8).orderBy("part_id")
     }
   )
 
@@ -275,6 +298,20 @@ object Graph {
          |SELECT a, c, cn FROM new_pairs
          |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin,
 
+    "graph_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+        |edges AS (SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p),
+        |reach(n, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+        |SELECT n AS part_id, MIN(m) AS comp FROM reach
+        |GROUP BY n ORDER BY part_id""".stripMargin,
+
     "graph_kcore" -> {
       // e{p} is referenced three times per round — MATERIALIZED stops
       // DuckDB's CTE inlining from going 3^rounds exponential.
@@ -286,7 +323,7 @@ object Graph {
         val p = r - 1
         s"""d$r AS (SELECT n, COUNT(*) AS dg
            |  FROM (SELECT u AS n FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
-           |k$r AS (SELECT n FROM d$r WHERE dg >= 80),
+           |k$r AS (SELECT n FROM d$r WHERE dg >= 60),
            |e$r AS MATERIALIZED (SELECT u, v FROM e$p
            |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin
       }.mkString(",\n")
