@@ -280,6 +280,24 @@ object Graph {
         .orderBy("part_id")
     },
 
+    "graph_triangles_approx" -> { (s, d) =>
+      // DOULION sampled triangle count (Tsourakakis et al., KDD 2009):
+      // keep each edge with EXACT probability 1/4 via the portable-md5
+      // bucket (%4 divides 2^16 evenly — no residue bias), count
+      // triangles on the sample, scale by 1/p³ = 64. Wedge work drops
+      // ×16 — the scale path when graph_triangles' exact Σdeg² cost
+      // (50 s at sf1) is too dear for a monitoring query. The sample
+      // is content-addressed, so the estimate is reproducible across
+      // engines and runs and the oracle hash-checks it EXACTLY; the
+      // spec pins measured accuracy (≤1.5% observed, 10% bound) vs
+      // the exact count.
+      val keep = conv(substring(md5(concat_ws("_", col("u"), col("v"))), 1, 4), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType) % 4 === 0
+      triangleCounts(coPurchaseEdges(s, d).filter(keep))
+        .agg(expr("sum(n_tri) div 3").as("tri_sampled"))
+        .select(col("tri_sampled"), (col("tri_sampled") * 64).as("est_total"))
+    },
+
     "graph_kcore" -> { (s, d) =>
       // k=60 sits under the co-purchase graph's core-collapse
       // threshold at EVERY test scale (the avalanche point is sharp
@@ -387,6 +405,19 @@ object Graph {
         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
         |SELECT n AS part_id, MIN(m) AS comp FROM reach
         |GROUP BY n ORDER BY part_id""".stripMargin,
+
+    "graph_triangles_approx" ->
+      s"""WITH $edgesSql,
+         |se AS (
+         |  SELECT u, v FROM e
+         |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR) || '_' ||
+         |    CAST(v AS VARCHAR)), 1, 4) AS BIGINT) % 4 = 0),
+         |tri AS (
+         |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |  FROM se ab JOIN se bc ON bc.u = ab.v
+         |  JOIN se ac ON ac.u = ab.u AND ac.v = bc.v)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS tri_sampled,
+         |  CAST(COUNT(*) * 64 AS BIGINT) AS est_total FROM tri""".stripMargin,
 
     "graph_kcore" -> {
       // e{p} is referenced three times per round — MATERIALIZED stops

