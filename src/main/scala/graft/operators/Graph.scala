@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.sources.Tables
 
@@ -280,6 +281,29 @@ object Graph {
         .orderBy("part_id")
     },
 
+    "graph_clustering" -> { (s, d) =>
+      // Local clustering coefficient (Watts & Strogatz 1998):
+      // c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's
+      // neighborhood is to a clique, the standard "is this a
+      // community or a star" diagnostic. Reuses the oriented triangle
+      // counts and the degree frame (one equi-join on node id); the
+      // only division is the single double at the output boundary.
+      // Nodes with deg < 2 have no defined coefficient and carry 0
+      // triangles by construction, so the left join + zero-fill keeps
+      // them with c = NULL.
+      val e = coPurchaseEdges(s, d).localCheckpoint()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      deg.join(triangleCounts(e).select(col("part_id").as("n"), col("n_tri")),
+          Seq("n"), "left")
+        .select(col("n").as("part_id"), col("dg").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("dg") >= 2,
+            round(coalesce(col("n_tri"), lit(0L)).cast(DoubleType) * 2
+              / (col("dg") * (col("dg") - 1)), 6)).as("coeff"))
+        .orderBy("part_id")
+    },
+
     "graph_triangles_approx" -> { (s, d) =>
       // DOULION sampled triangle count (Tsourakakis et al., KDD 2009):
       // keep each edge with EXACT probability 1/4 via the portable-md5
@@ -405,6 +429,27 @@ object Graph {
         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
         |SELECT n AS part_id, MIN(m) AS comp FROM reach
         |GROUP BY n ORDER BY part_id""".stripMargin,
+
+    "graph_clustering" ->
+      s"""WITH $edgesSql,
+         |nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+         |deg AS (SELECT n, COUNT(*) AS dg FROM nodes GROUP BY 1),
+         |tri AS (
+         |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |  FROM e ab JOIN e bc ON bc.u = ab.v
+         |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+         |pt AS (
+         |  SELECT part_id, COUNT(*) AS n_tri FROM (
+         |    SELECT a AS part_id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT d.n AS part_id, d.dg AS degree,
+         |  COALESCE(pt.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.dg >= 2 THEN
+         |    ROUND(CAST(COALESCE(pt.n_tri, 0) AS DOUBLE) * 2 / (d.dg * (d.dg - 1)), 6)
+         |  END AS coeff
+         |FROM deg d LEFT JOIN pt ON pt.part_id = d.n
+         |ORDER BY part_id""".stripMargin,
 
     "graph_triangles_approx" ->
       s"""WITH $edgesSql,
