@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Tables
 
@@ -281,6 +281,39 @@ object Graph {
         .orderBy("part_id")
     },
 
+    "graph_assortativity" -> { (s, d) =>
+      // Degree assortativity (Newman, PRL 2002): the Pearson
+      // correlation of endpoint degrees over the symmetrized edge
+      // list — do hubs link to hubs (r > 0, social-network shape) or
+      // to leaves (r < 0, internet/star shape)? Decides whether
+      // degree-based partitioning will skew. Sufficient statistics as
+      // EXACT DECIMAL(38) sums (the dq_corr contract — M·Σxy hits
+      // ~2×10¹⁸ at sf1 and would overflow a long at 100 TB), one
+      // closed-form double at the boundary; the whole query is the
+      // degree aggregate + one edge-keyed join + a 1-row reduce.
+      val e = coPurchaseEdges(s, d).localCheckpoint()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      val dec = DecimalType(38, 0)
+      val pairs = sym
+        .join(deg.select(col("n").as("x"), col("dg").as("dx")), Seq("x"))
+        .join(deg.select(col("n").as("y"), col("dg").as("dy")), Seq("y"))
+        .select(col("dx").cast(dec).as("dx"), col("dy").cast(dec).as("dy"))
+      pairs.agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m2"),
+          round((col("m2") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+              * sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
+            .as("assortativity"))
+    },
+
     "graph_clustering" -> { (s, d) =>
       // Local clustering coefficient (Watts & Strogatz 1998):
       // c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's
@@ -429,6 +462,25 @@ object Graph {
         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
         |SELECT n AS part_id, MIN(m) AS comp FROM reach
         |GROUP BY n ORDER BY part_id""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $edgesSql,
+         |nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+         |deg AS (SELECT n, COUNT(*) AS dg FROM nodes GROUP BY 1),
+         |sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         |p AS (
+         |  SELECT CAST(dx.dg AS DECIMAL(38,0)) AS dx,
+         |         CAST(dy.dg AS DECIMAL(38,0)) AS dy
+         |  FROM sym JOIN deg dx ON dx.n = sym.x JOIN deg dy ON dy.n = sym.y),
+         |s AS (
+         |  SELECT COUNT(*) AS m2, SUM(dx) AS sx, SUM(dy) AS sy,
+         |    SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+         |  FROM p)
+         |SELECT m2,
+         |  ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+         |FROM s""".stripMargin,
 
     "graph_clustering" ->
       s"""WITH $edgesSql,
