@@ -141,7 +141,8 @@ object Graph {
     * orientation is a total order, so every triangle materializes
     * exactly once at its apex; fresh projection attributes per side
     * keep the self-joins equi-planned. */
-  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+  def triangleCounts(edgesIn: DataFrame,
+      maxBroadcastEdges: Long = 20000000L): DataFrame = {
     val e = edgesIn.localCheckpoint()
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -162,18 +163,65 @@ object Graph {
     // (explicit gate, the maxBroadcastRows posture) the closing side
     // broadcasts and wedges stay pipeline-local: one shuffle of
     // |edges| rows (the o1⋈o2 src partition), never one of |wedges|.
-    // Beyond the gate, fall back to the partitioned closing join —
-    // correctness identical, and at that scale the wedge shuffle is
-    // the honest cost of exact triangle counting.
+    // Beyond the gate (`maxBroadcastEdges`, the maxBroadcastRows
+    // posture), fall back to the partitioned closing join —
+    // correctness identical (spec-proven: fallback ≡ broadcast, no
+    // BroadcastExchange in the fallback plan), and at that scale the
+    // wedge shuffle is the honest cost of exact triangle counting.
     val closing = e.select(col("u").as("b3"), col("v").as("c3"))
     val nEdges = e.count() // metadata scalar off the checkpointed frame
-    val closeSide = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val closeSide =
+      if (nEdges <= maxBroadcastEdges) broadcast(closing)
+      else closing.hint("shuffle_hash") // never a driver-side broadcast of an over-gate edge set
     val tri = o1.join(o2, col("a") === col("a2") && col("b") < col("c"))
       .select(col("a"), col("b"), col("c"))
       .join(closeSide, col("b") === col("b3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bounded-hop harmonic centrality (Boldi & Vigna, "Axioms for
+    * Centrality" 2014 — the measure Common Crawl publishes next to
+    * PageRank for host ranking): H(v) = Σ_{u ≠ v} 1/d(u, v), truncated
+    * at `maxHops` (beyond-horizon nodes contribute 0, the standard
+    * finite-radius reading). EXACT integers: contributions are
+    * `scale/d` with `scale` = LCM(1..maxHops) (12 for 4 hops), so
+    * every division is exact and the oracle hash-checks an unrolled
+    * BFS instead of trusting float summation order.
+    *
+    * The BFS runs from ALL sources at once as frontier joins — the
+    * pair frame is why this operator takes the THRESHOLD-BOUNDED
+    * strong graph (the linkpred posture): reachable-pair count is the
+    * irreducible output size, and the threshold is the scale control
+    * that keeps it node²-bounded on a small dense core rather than
+    * corpus-sized. Per round: previous frontier ⋈ symmetric edges,
+    * minus already-seen pairs (anti-join), frames localCheckpoint'ed
+    * so plan depth stays hop-constant. */
+  def harmonicCentrality(edgesIn: DataFrame, maxHops: Int, scale: Long): DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint()
+    val nodes = sym.select(col("x").as("n")).distinct()
+    var known = nodes.select(col("n"), col("n").as("m"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = known
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(sym, col("m") === col("x"))
+        .select(col("n"), col("y").as("m")).distinct()
+        .join(known.select(col("n"), col("m")), Seq("n", "m"), "left_anti")
+        .withColumn("d", lit(h))
+        .localCheckpoint()
+      known = known.unionAll(frontier).localCheckpoint()
+    }
+    known.filter(col("d") > 0)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_reached"),
+        // `div` keeps the arithmetic in 64-bit integers; exact because
+        // scale is the LCM of every possible d
+        sum(expr(s"$scale div d")).as("harmonic_scaled"))
+      .select(col("m").as("part_id"), col("n_reached"), col("harmonic_scaled"))
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003's
@@ -355,6 +403,17 @@ object Graph {
         .select(col("tri_sampled"), (col("tri_sampled") * 64).as("est_total"))
     },
 
+    "graph_harmonic" -> { (s, d) =>
+      // Harmonic centrality on the STRONG graph (the linkpred/
+      // components scale posture): the all-sources pair frame is the
+      // operator's irreducible output, so the repeat-signal threshold
+      // is what keeps it core²-bounded instead of corpus-sized. 4 hops
+      // x12 scale: LCM(1,2,3,4) = 12 makes every 1/d contribution an
+      // exact integer (12, 6, 4, 3).
+      harmonicCentrality(strongCoPurchaseEdges(s, d, 2), maxHops = 4, scale = 12L)
+        .orderBy("part_id")
+    },
+
     "graph_kcore" -> { (s, d) =>
       // k=60 sits under the co-purchase graph's core-collapse
       // threshold at EVERY test scale (the avalanche point is sharp
@@ -515,6 +574,36 @@ object Graph {
          |  JOIN se ac ON ac.u = ab.u AND ac.v = bc.v)
          |SELECT CAST(COUNT(*) AS BIGINT) AS tri_sampled,
          |  CAST(COUNT(*) * 64 AS BIGINT) AS est_total FROM tri""".stripMargin,
+
+    "graph_harmonic" -> {
+      // Unrolled all-sources BFS: per hop, the previous FRONTIER joins
+      // the symmetric edge set and already-seen pairs leave via
+      // NOT EXISTS against the cumulative known set. Both frontier and
+      // known are referenced >= 2x per round — MATERIALIZED, or
+      // DuckDB's CTE inlining goes exponential in hops (the kcore
+      // lesson).
+      val strong = """p AS (
+        |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+        |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM p UNION ALL SELECT v, u FROM p),
+        |k0 AS MATERIALIZED (SELECT DISTINCT x AS n, x AS m, 0 AS d FROM sym),
+        |f0 AS MATERIALIZED (SELECT n, m FROM k0)""".stripMargin
+      val hops = (1 to 4).map { h =>
+        val p = h - 1
+        s"""f$h AS MATERIALIZED (
+           |  SELECT DISTINCT f.n, e.y AS m FROM f$p f JOIN sym e ON f.m = e.x
+           |  WHERE NOT EXISTS (SELECT 1 FROM k$p k WHERE k.n = f.n AND k.m = e.y)),
+           |k$h AS MATERIALIZED (
+           |  SELECT n, m, d FROM k$p UNION ALL SELECT n, m, $h FROM f$h)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $strong,
+         |$hops
+         |SELECT m AS part_id, COUNT(*) AS n_reached,
+         |  CAST(SUM(12 // d) AS BIGINT) AS harmonic_scaled
+         |FROM k4 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "graph_kcore" -> {
       // e{p} is referenced three times per round — MATERIALIZED stops

@@ -71,6 +71,41 @@ class GraphSpec extends SparkSpec {
       s"DOULION estimate $est vs exact $exact")
   }
 
+  test("triangleCounts beyond-gate fallback: identical counts, no BroadcastExchange") {
+    // Force the gate to 0 so the partitioned closing join — the plan a
+    // 100x graph would actually run — is what executes, and prove it
+    // bit-identical to the broadcast path on the real co-purchase graph.
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+    val viaBroadcast = Graph.triangleCounts(e)
+    val viaFallback = Graph.triangleCounts(e, maxBroadcastEdges = 0L)
+    assert(viaBroadcast.exceptAll(viaFallback).isEmpty
+      && viaFallback.exceptAll(viaBroadcast).isEmpty,
+      "fallback closing join disagrees with the broadcast path")
+    val plan = viaFallback.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"over-gate plan still broadcasts the closing edge set:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fallback join degenerated:\n$plan")
+  }
+
+  test("harmonicCentrality: path graph P3, exact x12 integers") {
+    // 1-2-3: H(1) = 1/1 + 1/2 -> 18, H(2) = 1 + 1 -> 24, H(3) = 18.
+    val got = Graph.harmonicCentrality(
+        Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), maxHops = 4, scale = 12L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 18L), 2L -> (2L, 24L), 3L -> (2L, 18L)))
+  }
+
+  test("harmonicCentrality: hop truncation — a node 5 away contributes nothing at 4 hops") {
+    // P6 chain 1..6: from node 1, node 6 is 5 hops out and must be
+    // invisible; n_reached(1) = 4 and H(1) = 12 + 6 + 4 + 3 = 25.
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.harmonicCentrality(chain, maxHops = 4, scale = 12L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (4L, 25L), s"node 1 saw ${got(1L)}")
+    assert(got(3L) == (5L, 12L + 12L + 6L + 6L + 4L), s"node 3 saw ${got(3L)}")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
