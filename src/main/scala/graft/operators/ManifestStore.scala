@@ -207,6 +207,69 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       evolvedSchema(fromVersion))
   }
 
+  /** Schema-evolution DROP COLUMN, this layout's way: ZERO data I/O.
+    * `toVersion` carries the SAME manifest rows (every pool file by
+    * reference — the branch() economics) with any dropped stats
+    * column's min/max pruned, plus a `_schema.json` sidecar that
+    * EXCLUDES `cols`; the evolved-schema reader then projects only
+    * recorded fields, so stored bytes for the dropped column are
+    * never read while pinned history keeps them. The key column is
+    * the store's identity and cannot drop. */
+  def dropColumns(fromVersion: Long, toVersion: Long, cols: Seq[String],
+      commitTs: Option[Long] = None): Unit = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    require(!cols.contains(keyCol),
+      s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
+    // the sidecar verbatim when present, so surviving columns keep
+    // their recorded fill metadata through the narrowing
+    val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
+    val missing = cols.filterNot(cur.fieldNames.contains)
+    require(missing.isEmpty, s"dropColumns: not in the schema: ${missing.mkString(", ")}")
+    require(cur.fields.length > cols.size, "dropColumns: cannot drop every column")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(f => cols.contains(f.name)))
+    val man = manifest(fromVersion)
+    val keep = man.columns.toSeq.filterNot(c =>
+      cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
+    publish(toVersion, man.select(keep.map(col): _*).localCheckpoint(),
+      commitTs, Some(newSchema))
+  }
+
+  /** Schema-evolution RENAME COLUMN. Parquet resolves columns BY NAME
+    * (pool files carry no field ids), so old bytes cannot answer to a
+    * new name and the rename is a ONE-TIME rewrite into fresh pool
+    * files — the same line Delta draws without column-mapping mode.
+    * Pinned history still reads the old name from the old files;
+    * recorded fills materialize in the rewrite, so the new version
+    * needs no schema sidecar; a renamed stats column's manifest
+    * envelope follows the new name. The key column is recorded store
+    * identity (`_store.json`) and cannot rename. */
+  def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
+      numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    require(from != keyCol,
+      s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
+        "identity is a store-level migration, not schema evolution")
+    val cur = read(fromVersion)
+    require(cur.columns.contains(from), s"renameColumn: no column '$from'")
+    require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")
+    val statCols = manifestStatsCols(manifest(fromVersion))
+      .map(c => if (c == from) to else c)
+    val renamed = cur.withColumnRenamed(from, to)
+    landWithStats(
+      renamed.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      statCols) match {
+      case Some(stats) => publish(toVersion, stats, commitTs)
+      case None => // empty table: zero pool files, schema-only version
+        val manKeep = manifest(fromVersion).limit(0)
+          .withColumnRenamed(s"min_$from", s"min_$to")
+          .withColumnRenamed(s"max_$from", s"max_$to")
+        publish(toVersion, manKeep.localCheckpoint(), commitTs, Some(renamed.schema))
+    }
+  }
+
   /** Commit history — the `DESCRIBE HISTORY` surface: one row per
     * version with its commit timestamp and manifest-recorded file/row
     * totals. Metadata-only (manifests, no pool reads); |versions|

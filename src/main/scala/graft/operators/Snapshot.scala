@@ -768,6 +768,52 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
+    "snap_sql_evolve" -> { (s, d) =>
+      // SQL `ALTER TABLE DROP COLUMN` + `RENAME COLUMN` on BOTH
+      // layouts, then DML on the evolved tip: DROP narrows via the
+      // schema sidecar (linked moves ZERO pool bytes — metadata-only),
+      // RENAME is the one-time copy-on-write rewrite parquet's
+      // by-name resolution forces (the Delta-without-column-mapping
+      // line), and the closing UPDATE proves catalog DML still drives
+      // the renamed tip. v1 keeps all three original columns
+      // (immutable history — v1_cols pins it); warm passes skip each
+      // landed step by version presence.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlevo_$fp"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val snap = new SnapshotStore(s, s"$base/oe_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/oe_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapevo_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      for (t <- Seq("oe_snap", "oe_linked")) {
+        val vs =
+          if (t == "oe_snap") new SnapshotStore(s, s"$base/$t", "o_orderkey").versions()
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions()
+        if (!vs.contains(2L))
+          s.sql(s"ALTER TABLE $cat.$t DROP COLUMN o_orderpriority")
+        if (!vs.contains(3L))
+          s.sql(s"ALTER TABLE $cat.$t RENAME COLUMN o_totalprice TO price")
+        if (!vs.contains(4L))
+          s.sql(s"UPDATE $cat.$t SET price = price + 7.5 WHERE o_orderkey % 5 = 0")
+      }
+      Seq("oe_snap", "oe_linked").map { t =>
+        val v1cols = s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1").columns.length.toLong
+        val tip = s.sql(s"SELECT * FROM $cat.$t")
+        val tipCols = tip.columns.length.toLong
+        tip.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("price")).as("sum_price"))
+          .withColumn("layout", lit(t))
+          .withColumn("v1_cols", lit(v1cols)).withColumn("tip_cols", lit(tipCols))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_history" -> { (s, d) =>
       // The `<cat>.<store>.history` metadata table on BOTH layouts —
       // the DESCRIBE-HISTORY surface: one row per version with its
@@ -1439,6 +1485,16 @@ object Snapshot {
         |  ROUND(CAST(SUM(CAST(2.5 AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_bonus,
         |  l.layout, CAST(2 AS BIGINT) AS v1_cols
         |FROM orders CROSS JOIN (VALUES ('oa_snap'), ('oa_linked')) AS l(layout)
+        |GROUP BY 1, l.layout
+        |ORDER BY l.layout, bucket""".stripMargin,
+
+    "snap_sql_evolve" ->
+      """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
+        |    THEN o_totalprice + 7.5 ELSE o_totalprice END
+        |    AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  l.layout, CAST(3 AS BIGINT) AS v1_cols, CAST(2 AS BIGINT) AS tip_cols
+        |FROM orders CROSS JOIN (VALUES ('oe_snap'), ('oe_linked')) AS l(layout)
         |GROUP BY 1, l.layout
         |ORDER BY l.layout, bucket""".stripMargin,
 

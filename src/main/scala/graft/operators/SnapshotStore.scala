@@ -674,6 +674,86 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (untouchedParts.length, newNames.size)
   }
 
+  /** Schema-evolution DROP COLUMN — the sidecar-narrowing twin of
+    * [[mergeDelta]]'s column ADD: publish `toVersion` whose recorded
+    * `_schema.json` EXCLUDES `cols`, with every data file byte-copied
+    * under the same basename (this layout's carry contract — no
+    * parquet decode/encode). The narrowed sidecar hides the columns at
+    * read time (the evolved-schema reader projects only recorded
+    * fields; stored bytes for the dropped column are simply never
+    * read), while pinned reads of prior versions keep seeing them —
+    * exactly Delta/Iceberg's metadata-only drop. Zone-map rows carry
+    * over with any dropped stats column's min/max removed. The key
+    * column is the store's identity and cannot drop. */
+  def dropColumns(fromVersion: Long, toVersion: Long, cols: Seq[String],
+      commitTs: Option[Long] = None): Unit = {
+    ensureStoreMeta()
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    require(!cols.contains(keyCol),
+      s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
+    val cur = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    val missing = cols.filterNot(cur.fieldNames.contains)
+    require(missing.isEmpty, s"dropColumns: not in the schema: ${missing.mkString(", ")}")
+    require(cur.fields.length > cols.size, "dropColumns: cannot drop every column")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(f => cols.contains(f.name)))
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    val out = fs.create(new Path(tmp, "_schema.json"), true)
+    try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    val dest = new Path(dir(toVersion))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"dropColumns publish failed: rename $tmp -> $dest")
+    zoneMap(fromVersion).foreach { zm =>
+      val keep = zm.columns.toSeq.filterNot(c =>
+        cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
+      zm.select(keep.map(col): _*)
+        .withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    }
+  }
+
+  /** Schema-evolution RENAME COLUMN. Parquet resolves columns BY NAME
+    * (this store writes no field ids), so a rename cannot be
+    * metadata-only — old bytes answer to the old name — and Delta
+    * draws the same line (rename requires column-mapping mode or a
+    * rewrite). The honest translation is a ONE-TIME copy-on-write
+    * rewrite of the tip into `toVersion` under the new name: pinned
+    * history keeps the old name untouched, fills materialize in the
+    * rewrite (so no sidecar is needed after it), and the zone map
+    * rebuilds with any renamed stats column followed. The key column
+    * is recorded store identity (`_store.json`) and cannot rename. */
+  def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
+      numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
+    ensureStoreMeta()
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    require(from != keyCol,
+      s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
+        "identity is a store-level migration, not schema evolution")
+    val cur = read(fromVersion)
+    require(cur.columns.contains(from), s"renameColumn: no column '$from'")
+    require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")
+    val statsCols = zoneMap(fromVersion).toSeq
+      .flatMap(_.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key")
+        .map(_.drop(4)))
+      .map(c => if (c == from) to else c)
+    writeRangePartitioned(cur.withColumnRenamed(from, to), toVersion, numFiles,
+      statsCols, commitTs)
+  }
+
   /** Row-level change classification between two versions:
     * `insert` (key only in `to`), `delete` (key only in `from`),
     * `update` (key in both, content fingerprint differs).

@@ -645,8 +645,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * files' meaning). History stays immutable: old versions read with
     * their own schema. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (changes.nonEmpty && changes.forall(_.isInstanceOf[TableChange.DeleteColumn]))
+      return alterDropColumns(ident,
+        changes.map(_.asInstanceOf[TableChange.DeleteColumn]))
+    if (changes.length == 1 && changes.head.isInstanceOf[TableChange.RenameColumn])
+      return alterRenameColumn(ident,
+        changes.head.asInstanceOf[TableChange.RenameColumn])
     if (changes.isEmpty || !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
-      readOnly("alterTable (only ADD COLUMN is supported)")
+      readOnly("alterTable (ADD / DROP / RENAME COLUMN are supported; a type " +
+        "change would corrupt old files' meaning and keeps refusing)")
     val adds = changes.map(_.asInstanceOf[TableChange.AddColumn])
     adds.foreach { a =>
       if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
@@ -693,6 +700,66 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       .mergeDelta(tip, tip + 1, delta, fill = fills.toMap): Unit
     loadTable(ident)
   }
+  /** `ALTER TABLE cat.store DROP COLUMN c [, ...]` — onto the stores'
+    * sidecar narrowing ([[graft.operators.SnapshotStore.dropColumns]]
+    * / the linked twin): version tip+1 records a `_schema.json` that
+    * excludes the columns, so the tip scan stops seeing them while
+    * every pinned read keeps them — linked stores move ZERO data
+    * bytes (manifest rows carry by reference), snapshot stores
+    * byte-copy files (their layout's carry contract, no parquet
+    * decode). A later mergeDelta's delta naturally omits the dropped
+    * column (it is no longer in the tip schema). */
+  private def alterDropColumns(ident: Identifier,
+      drops: Seq[TableChange.DeleteColumn]): Table = {
+    drops.foreach { d =>
+      if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
+        s"ALTER TABLE DROP COLUMN: nested column '${d.fieldNames().mkString(".")}' " +
+          "is not supported — stores evolve flat columns")
+    }
+    val cols = drops.map(_.fieldNames()(0))
+    val (linked, vs) = resolve(ident)
+    val tip = vs.max
+    val base = storePath(ident)
+    val key = keyFromMeta(base, "ALTER TABLE DROP COLUMN")
+    if (linked)
+      new graft.operators.ManifestStore(spark, base, key).dropColumns(tip, tip + 1, cols)
+    else new SnapshotStore(spark, base, key).dropColumns(tip, tip + 1, cols)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE cat.store RENAME COLUMN a TO b` — a ONE-TIME
+    * copy-on-write rewrite of the tip under the new name (parquet
+    * resolves columns by name and pool/version files carry no field
+    * ids, so a metadata-only rename would read the renamed column as
+    * null — the same line Delta draws without column-mapping mode).
+    * Pinned history keeps the old name; the store's key column is
+    * recorded identity and refuses. */
+  private def alterRenameColumn(ident: Identifier,
+      rn: TableChange.RenameColumn): Table = {
+    if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
+      s"ALTER TABLE RENAME COLUMN: nested column '${rn.fieldNames().mkString(".")}' " +
+        "is not supported — stores evolve flat columns")
+    val (linked, vs) = resolve(ident)
+    val tip = vs.max
+    val base = storePath(ident)
+    val key = keyFromMeta(base, "ALTER TABLE RENAME COLUMN")
+    if (linked)
+      new graft.operators.ManifestStore(spark, base, key)
+        .renameColumn(tip, tip + 1, rn.fieldNames()(0), rn.newName())
+    else new SnapshotStore(spark, base, key)
+      .renameColumn(tip, tip + 1, rn.fieldNames()(0), rn.newName())
+    loadTable(ident)
+  }
+
+  private def keyFromMeta(base: String, verb: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredKeyCol(fs, base)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$verb needs the store's key column: $base/_store.json is absent — " +
+          "evolve through the store API"))
+  }
+
   /** `DROP TABLE <cat>.<store>` — removes the store base recursively:
     * every version, manifest, sidecar and (linked layout) the pool.
     * Both layouts are self-contained under their base dir, so the

@@ -237,9 +237,55 @@ class SnapshotCatalogSpec extends SparkSpec {
       "ALTER TABLE snapcat.alter_snap ADD COLUMN req STRING NOT NULL"))
     assert(e1.getMessage.contains("DEFAULT"), e1.getMessage)
     val e2 = intercept[Exception](spark.sql(
-      "ALTER TABLE snapcat.alter_snap DROP COLUMN v"))
+      "ALTER TABLE snapcat.alter_snap ALTER COLUMN v TYPE STRING"))
     assert(e2.getMessage.toLowerCase.contains("read-only")
       || e2.getMessage.toLowerCase.contains("alter"), e2.getMessage)
+  }
+
+  test("ALTER TABLE DROP COLUMN narrows the tip on both layouts; RENAME rewrites; history keeps both") {
+    root: Unit
+    val data = Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "v", "tag")
+    val snap = new SnapshotStore(spark, s"$root/evo_snap", "k")
+    snap.writeRangePartitioned(data, 1L, 2, commitTs = Some(1000L))
+    val linked = new graft.operators.ManifestStore(spark, s"$root/evo_linked", "k")
+    linked.write(data, 1L, 2, commitTs = Some(1000L))
+    val poolBefore = new java.io.File(s"$root/evo_linked/files").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    for (t <- Seq("evo_snap", "evo_linked")) {
+      spark.sql(s"ALTER TABLE snapcat.$t DROP COLUMN tag")
+      assert(spark.sql(s"SELECT * FROM snapcat.$t").columns.toSeq == Seq("k", "v"), t)
+      // pinned pre-drop read still carries the column with its values
+      val v1 = spark.sql(s"SELECT * FROM snapcat.$t VERSION AS OF 1").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(v1 == Set((1L, "x"), (2L, "y")), t)
+      spark.sql(s"ALTER TABLE snapcat.$t RENAME COLUMN v TO price")
+      val tip = spark.sql(s"SELECT k, price FROM snapcat.$t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(tip == Set((1L, 10.0), (2L, 20.0)), t)
+      assert(spark.sql(s"SELECT * FROM snapcat.$t VERSION AS OF 2").columns.toSeq
+        == Seq("k", "v"), t)
+    }
+    // the linked DROP moved zero pool bytes: version 2 references the
+    // SAME pool files (metadata-only narrowing); only the RENAME (v3)
+    // landed new ones
+    val v2files = linked.manifest(2L).select("file").collect().map(_.getString(0)).toSet
+    assert(v2files == poolBefore, "linked DROP COLUMN rewrote pool files")
+    // post-drop merge: a delta in the NARROWED schema lands cleanly
+    linked.mergeDelta(3L, 4L, Seq((3L, 30.0)).toDF("k", "price"))
+    assert(linked.read(4L).select("k", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    snap.mergeDelta(3L, 4L, Seq((3L, 30.0)).toDF("k", "price"))
+    assert(snap.read(4L).select("k", "price").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // refusals: the key column is store identity
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE snapcat.evo_snap DROP COLUMN k"))
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE snapcat.evo_linked RENAME COLUMN k TO id"))
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
   }
 
   test("CREATE TABLE lands an empty readable v1 on both layouts; INSERT then appends v2") {
