@@ -768,6 +768,52 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
+    "snap_sql_changes" -> { (s, d) =>
+      // The `<store>.changes` CDC table on BOTH layouts — a BOUNDED
+      // commit-range read (`VERSION AS OF '2..3'`, the table_changes
+      // shape) over a 3-commit chain: v1 = k%3 keys, v2 = upsert
+      // (k%5, +10) + delete (k%21 of v1), v3 = upsert (k%10, +3).
+      // Change rows carry NEW state for insert/update and key-only for
+      // delete, stamped with _commit_version — so the whole expected
+      // feed is declaratively derivable from `orders` and the oracle
+      // hash-checks every classification on both layouts (the linked
+      // side reads it manifest-pruned to commit-exclusive files).
+      // Warm passes skip landed versions.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlchg_$fp"
+      val k = col("o_orderkey")
+      val ord = Tables.orders(s, d).select(k, col("o_totalprice"))
+      val v1 = ord.filter(k % 3 === 0)
+      val d2 = ord.filter(k % 5 === 0)
+        .select(k, (col("o_totalprice") + 10.0).as("o_totalprice"))
+      val del2 = ord.filter(k % 3 === 0 && k % 7 === 0).select(k)
+      val d3 = ord.filter(k % 10 === 0)
+        .select(k, (col("o_totalprice") + 3.0).as("o_totalprice"))
+      val snap = new SnapshotStore(s, s"$base/oc_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+      if (!snap.versions().contains(2L))
+        snap.mergeDelta(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      if (!snap.versions().contains(3L))
+        snap.mergeDelta(2L, 3L, d3, commitTs = Some(3000L)): Unit
+      val linked = new ManifestStore(s, s"$base/oc_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(v1, 1L, 8, commitTs = Some(1000L))
+      if (!linked.versions().contains(2L))
+        linked.mergeDelta(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      if (!linked.versions().contains(3L))
+        linked.mergeDelta(2L, 3L, d3, commitTs = Some(3000L)): Unit
+      val cat = s"snapchg_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Seq("oc_snap", "oc_linked").map { t =>
+        s.sql(s"SELECT * FROM $cat.$t.changes VERSION AS OF '2..3'")
+          .withColumn("layout", lit(t))
+      }.reduce(_ unionByName _)
+        .orderBy("layout", "_commit_version", "change_type", "o_orderkey")
+    },
+
     "snap_sql_evolve" -> { (s, d) =>
       // SQL `ALTER TABLE DROP COLUMN` + `RENAME COLUMN` on BOTH
       // layouts, then DML on the evolved tip: DROP narrows via the
@@ -1487,6 +1533,31 @@ object Snapshot {
         |FROM orders CROSS JOIN (VALUES ('oa_snap'), ('oa_linked')) AS l(layout)
         |GROUP BY 1, l.layout
         |ORDER BY l.layout, bucket""".stripMargin,
+
+    "snap_sql_changes" ->
+      """WITH c2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice + 10 END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN 'delete'
+        |         WHEN o_orderkey % 3 = 0 THEN 'update'
+        |         ELSE 'insert' END AS change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version
+        |  FROM orders
+        |  WHERE (o_orderkey % 5 = 0
+        |         AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0))
+        |     OR (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)),
+        |c3 AS (
+        |  SELECT o_orderkey, o_totalprice + 3 AS o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        |         THEN 'insert' ELSE 'update' END AS change_type,
+        |    CAST(3 AS BIGINT) AS _commit_version
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT c.o_orderkey, c.o_totalprice, c.change_type, c._commit_version,
+        |  l.layout
+        |FROM (SELECT * FROM c2 UNION ALL SELECT * FROM c3) c
+        |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
+        |ORDER BY l.layout, c._commit_version, c.change_type, c.o_orderkey""".stripMargin,
 
     "snap_sql_evolve" ->
       """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,

@@ -1,0 +1,330 @@
+package org.apache.spark.sql.graft
+
+import java.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The catalog-level CHANGE FEED — Delta/Iceberg's CDC-as-a-table UX
+  * over the stores' own row-level `diff`:
+  *
+  *   - BATCH: `SELECT * FROM <cat>.<store>.changes` (full history) or
+  *     `... VERSION AS OF 'a..b'` (commits a through b, inclusive —
+  *     the `table_changes(tbl, a, b)` shape).
+  *   - STREAMING: `spark.readStream.table("<cat>.<store>.changes")`
+  *     replays every commit as it lands (offsets ARE store versions);
+  *     `spark.readStream.table("<cat>.<store>")` streams the new row
+  *     STATE of each commit (inserts + updates, Delta's plain-table
+  *     semantics) and fails loudly on a commit containing deletes
+  *     unless `.option("ignoreDeletes", true)` — silently dropping a
+  *     delete would desync every downstream mirror.
+  *
+  * Change-row contract (identical on BOTH layouts): the table's data
+  * columns carry the NEW row state for `insert`/`update`; a `delete`
+  * row carries the key only (non-key columns null — the pre-image is
+  * one time-travel read away, and materializing it would force the
+  * snapshot layout to fingerprint-join full old versions twice).
+  * `_commit_version` attributes every row to the commit that produced
+  * it, so a multi-commit batch is the exact union of its per-commit
+  * steps — granularity never changes content (a coarse `diff(1,3)`
+  * WOULD: update-then-delete collapses to delete).
+  *
+  * The earliest retained commit has no predecessor to diff against and
+  * replays as full-state `insert` rows — Delta's initial-snapshot
+  * semantics, which also makes a fresh stream a complete replica
+  * bootstrap.
+  *
+  * Scale posture: each step rides the store's own diff — manifest-
+  * pruned to the files EXCLUSIVE to either side on the linked layout,
+  * so a merge-chained 100 TB store replays O(|changed files|) per
+  * commit. A micro-batch MATERIALIZES its change set once (a
+  * distributed parquet write under the stream's checkpoint dir, reused
+  * verbatim on restart replay) and serves partitions through Spark's
+  * native parquet reader factory — change rows never pass through the
+  * driver, which a row-producing PartitionReader built on a driver-side
+  * collect would force. Spills are reclaimed on offset commit. */
+private[graft] object ChangeFeed {
+
+  /** Stable per-stream/per-table change schema: the tip's data columns
+    * (nullable — delete rows null them) + change_type + _commit_version. */
+  def changesSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("change_type", StringType, nullable = true),
+      StructField("_commit_version", LongType, nullable = true)))
+
+  private def handles(spark: SparkSession, base: String, linked: Boolean,
+      keyCol: String) =
+    if (linked) Left(new graft.operators.ManifestStore(spark, base, keyCol))
+    else Right(new graft.operators.SnapshotStore(spark, base, keyCol))
+
+  def versionsOf(spark: SparkSession, base: String, linked: Boolean): Seq[Long] =
+    handles(spark, base, linked, "") match {
+      case Left(m) => m.versions()
+      case Right(s) => s.versions()
+    }
+
+  def tipDataSchema(spark: SparkSession, base: String, linked: Boolean,
+      keyCol: String): StructType = {
+    val h = handles(spark, base, linked, keyCol)
+    val vs = h.fold(_.versions(), _.versions())
+    h.fold(_.read(vs.max), _.read(vs.max)).schema
+  }
+
+  /** Union of per-commit change frames for commits in [fromCommit,
+    * toCommit], aligned to `target` ([[changesSchema]] of the serving
+    * table — columns a commit predates read null). */
+  def changesBetween(spark: SparkSession, base: String, linked: Boolean,
+      keyCol: String, fromCommit: Long, toCommit: Long,
+      target: StructType): DataFrame = {
+    val h = handles(spark, base, linked, keyCol)
+    val all = h.fold(_.versions(), _.versions())
+    val inRange = all.filter(v => v >= fromCommit && v <= toCommit).sorted
+    val steps = inRange.map { b =>
+      all.filter(_ < b).lastOption match {
+        case Some(a) =>
+          align(h.fold(_.diff(a, b), _.diff(a, b)), keyCol, target, b)
+        case None => // earliest retained commit: full state as inserts
+          align(h.fold(_.read(b), _.read(b)).withColumn("change_type", lit("insert")),
+            keyCol, target, b)
+      }
+    }
+    steps.reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), target))
+  }
+
+  /** Align one step's diff frame to the serving schema: data columns
+    * in target order (absent → null), non-key columns nulled on
+    * delete rows (the cross-layout contract — the linked diff carries
+    * old values there, the snapshot diff carries nulls), commit
+    * version stamped. */
+  private def align(diff: DataFrame, keyCol: String, target: StructType,
+      commitVersion: Long): DataFrame = {
+    val have = diff.columns.toSet
+    val isDel = col("change_type") === "delete"
+    val cols: Seq[Column] = target.fields.toIndexedSeq.map { f =>
+      f.name match {
+        case "_commit_version" => lit(commitVersion).cast(LongType).as(f.name)
+        case "change_type" => col("change_type")
+        case n if n == keyCol => col(n)
+        case n =>
+          val c = if (have(n)) col(n) else lit(null).cast(f.dataType)
+          when(isDel, lit(null).cast(f.dataType)).otherwise(c).as(n)
+      }
+    }
+    diff.select(cols: _*)
+  }
+}
+
+/** Store-version offsets: offset N = "every commit ≤ N consumed". */
+private[graft] case class VersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** Micro-batch stream over a store's commit chain. `rowsOnly` = the
+  * plain-table mode: emit insert/update NEW STATE in the table schema
+  * (refusing deletes unless `ignoreDeletes`); otherwise the full
+  * change-feed schema. See [[ChangeFeed]] for the materialize-and-
+  * serve design. */
+private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
+    linked: Boolean, keyCol: String, schema: StructType, rowsOnly: Boolean,
+    ignoreDeletes: Boolean, startingVersion: Option[Long],
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private val spillRoot = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc")
+  private def fs = spillRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val cdfSchema =
+    if (rowsOnly) ChangeFeed.changesSchema(schema) else schema
+
+  override def initialOffset(): Offset = {
+    val vs = ChangeFeed.versionsOf(spark, base, linked)
+    require(vs.nonEmpty, s"change feed on $base: store has no committed versions")
+    // offset = startingVersion - 1, so the starting commit itself replays
+    VersionOffset(startingVersion.getOrElse(vs.min) - 1)
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(ChangeFeed.versionsOf(spark, base, linked).max)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+
+  // both calls happen inside one MicroBatchScanExec evaluation; the
+  // factory is file-agnostic (schema + conf), so serving it from the
+  // latest planned batch is safe even across replans
+  @volatile private var currentBatch: Batch = _
+
+  private def parquetBatchOver(dir: org.apache.hadoop.fs.Path,
+      sc: StructType): Batch = {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir.toString))
+    ParquetTable(s"graft-cdc-batch", spark, opts, Seq(dir.toString), Some(sc),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(opts).build().toBatch
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    val dir = new org.apache.hadoop.fs.Path(spillRoot, s"$s-$e")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      // first planning of this batch: materialize the change set once
+      // (distributed write); a restart replay reuses it verbatim, so
+      // a batch's content is frozen at first planning — the replay
+      // contract Spark's offset log expects
+      ChangeFeed.changesBetween(spark, base, linked, keyCol, s + 1, e, cdfSchema)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val serveDir =
+      if (!rowsOnly) dir
+      else {
+        val spill = spark.read.schema(cdfSchema).parquet(dir.toString)
+        val hasDeletes = spill.filter(col("change_type") === "delete")
+          .limit(1).count() > 0
+        if (hasDeletes && !ignoreDeletes) throw new IllegalStateException(
+          s"streaming read of $base hit a commit in ($s, $e] containing DELETES: a " +
+            "plain-table stream carries row state only, so skipping them would " +
+            "silently desync downstream state. Stream `<table>.changes` for the " +
+            "full feed, or set .option(\"ignoreDeletes\", true) to drop them.")
+        val rows = new org.apache.hadoop.fs.Path(spillRoot, s"$s-$e-rows")
+        if (!fs.exists(new org.apache.hadoop.fs.Path(rows, "_SUCCESS")))
+          spill.filter(col("change_type") =!= "delete")
+            .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            .write.mode("overwrite").parquet(rows.toString)
+        rows
+      }
+    val b = parquetBatchOver(serveDir, schema)
+    currentBatch = b
+    b.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val b = currentBatch
+    if (b != null) b.createReaderFactory()
+    else { // defensive: factory from an empty template over the spill root
+      fs.mkdirs(spillRoot)
+      parquetBatchOver(spillRoot, schema).createReaderFactory()
+    }
+  }
+
+  /** Offsets ≤ `end` are durably committed — their spills can never be
+    * replayed and reclaim here (the vacuum half of the materialize
+    * design). */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[VersionOffset].v
+    if (fs.exists(spillRoot)) fs.listStatus(spillRoot).foreach { st =>
+      val name = st.getPath.getName // "<start>-<end>[-rows]"
+      val endPart = name.stripSuffix("-rows").split('-').lift(1)
+      if (endPart.exists(p => scala.util.Try(p.toLong).toOption.exists(_ <= e)))
+        fs.delete(st.getPath, true): Unit
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Wraps the native parquet ScanBuilder to add streaming: every
+  * pushdown interface the parquet builder implements forwards
+  * verbatim (batch plans keep filter pushdown, column pruning and
+  * aggregate pushdown — spec-pinned), and the built Scan answers
+  * `toMicroBatchStream` with the store's change stream. */
+private[graft] class StreamCapableScanBuilder(inner: ScanBuilder,
+    mkStream: String => MicroBatchStream) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  private def req = inner
+    .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+  private def cat = inner
+    .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+  private def agg = inner
+    .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    req.pruneColumns(requiredSchema)
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    cat.pushFilters(filters)
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    cat.pushedFilters
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = agg.pushAggregation(aggregation)
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = agg.supportCompletePushDown(aggregation)
+  override def build(): Scan = new StreamCapableScan(inner.build(), mkStream)
+}
+
+private[graft] class StreamCapableScan(d: Scan,
+    mkStream: String => MicroBatchStream) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  override def readSchema(): StructType = d.readSchema()
+  override def toBatch: Batch = d.toBatch
+  override def description(): String = d.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    d.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    d.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    d.reportDriverMetrics()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    d.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+  override def getMetaData(): Map[String, String] =
+    d.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsMetadata]
+      .getMetaData()
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    mkStream(checkpointLocation)
+}
+
+/** The `<cat>.<store>.changes` table: BATCH (full history or a
+  * commit range — served as a [[V1Scan]], so the distributed diff
+  * plan IS the scan) + MICRO_BATCH streaming. */
+private[graft] class ChangesTable(tableName: String, spark: SparkSession,
+    base: String, linked: Boolean, keyCol: String,
+    range: Option[(Long, Long)]) extends Table with SupportsRead {
+
+  private val feedSchema =
+    ChangeFeed.changesSchema(ChangeFeed.tipDataSchema(spark, base, linked, keyCol))
+
+  override def name(): String = tableName
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    if (range.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = feedSchema
+        override def description(): String = tableName
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: org.apache.spark.sql.SQLContext): T = {
+          val (lo, hi) = range.getOrElse((Long.MinValue, Long.MaxValue))
+          new BaseRelation with TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = feedSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              ChangeFeed.changesBetween(spark, base, linked, keyCol, lo, hi,
+                feedSchema).rdd
+          }.asInstanceOf[T]
+        }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangesMicroBatchStream(spark, base, linked, keyCol, feedSchema,
+            rowsOnly = false, ignoreDeletes = false,
+            startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+            checkpointLocation)
+      }
+    }
+}

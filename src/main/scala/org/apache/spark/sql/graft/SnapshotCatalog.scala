@@ -198,9 +198,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * so a genuine store named `history`/`files` always wins. */
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
-    if ((kind != "history" && kind != "files") || ident.namespace().isEmpty) return None
+    if ((kind != "history" && kind != "files" && kind != "changes")
+      || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
+      if (kind == "changes") return changesTableFor(parent, range = None)
       val df = kind match {
         case "history" =>
           if (isLinked(parent)) linkedFor(parent).history()
@@ -214,6 +216,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       Some(new HistoryTable(
         (parent.namespace() :+ parent.name()).mkString(".") + s".$kind", df))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The `<store>.changes` CDC table ([[ChangeFeed]]'s contract):
+    * batch full history / a `VERSION AS OF 'a..b'` commit range, and
+    * the micro-batch streaming source. The store's recorded key column
+    * drives the row-level diff, so a pre-metadata store has no change
+    * feed (None → the standard not-found error). */
+  private def changesTableFor(parent: Identifier,
+      range: Option[(Long, Long)]): Option[Table] = {
+    val base = storePath(parent)
+    val linked = isLinked(parent)
+    val vs = if (linked) linkedFor(parent).versions() else storeFor(parent).versions()
+    if (vs.isEmpty) return None
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredKeyCol(fs, base).map { key =>
+      val nm = (parent.namespace() :+ parent.name()).mkString(".") +
+        range.fold(".changes") { case (a, b) => s".changes@$a..$b" }
+      new ChangesTable(nm, spark, base, linked, key, range)
+    }
   }
 
   /** The `files` metadata frame: tip per-file stats + FS byte sizes.
@@ -280,6 +302,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // and a delete/merge appends version tip+1 through the store API
     new SnapshotTable(
       tableFor(ident, linked, tip).asInstanceOf[ParquetTable],
+      Some(StreamInfo(storePath(ident), linked, () => storedKey("streaming read"))),
       Some { pred =>
         val key = storedKey("DELETE")
         if (linked)
@@ -308,11 +331,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         })))
   }
 
-  /** `VERSION AS OF <v>` */
+  /** `VERSION AS OF <v>`; on the `.changes` table, `VERSION AS OF
+    * 'a..b'` is the bounded change read — commits a through b
+    * inclusive, the `table_changes(tbl, a, b)` shape. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    val rangeRe = "^(\\d+)\\.\\.(\\d+)$".r
+    (version, ident.name()) match {
+      case (rangeRe(a, b), "changes")
+          if ident.namespace().nonEmpty && !tableExists(ident) =>
+        val parent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        return changesTableFor(parent, Some((a.toLong, b.toLong)))
+          .getOrElse(throw new NoSuchTableException(ident))
+      case _ =>
+    }
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
-        s"snapshot versions are numeric, got '$version'")
+        s"snapshot versions are numeric, got '$version' (a 'a..b' commit range " +
+          "is only valid on a <store>.changes table)")
     }
     val (linked, vs) = resolve(ident)
     if (!vs.contains(v)) throw new NoSuchTableException(ident)
@@ -826,6 +862,12 @@ private[graft] case class StoreMergeHook(
       Option[org.apache.spark.sql.DataFrame]) => Unit,
     tip: () => org.apache.spark.sql.DataFrame)
 
+/** What a tip table needs to serve `spark.readStream.table(...)`:
+  * the store location/layout plus a lazy key-column resolve (one
+  * sidecar read, only paid when a stream actually starts). */
+private[graft] case class StreamInfo(base: String, linked: Boolean,
+    key: () => String)
+
 /** The table SnapshotCatalog serves: reads delegate verbatim to the
   * resolved [[ParquetTable]] (full native scan stack), and — on tip
   * loads only — DSv2 row-level DELETE translates the pushed filters
@@ -836,6 +878,7 @@ private[graft] case class StoreMergeHook(
   * of a silent partial delete. `MERGE INTO` rides [[StoreMergeHook]]
   * via [[GraftMergeStrategy]] (registered by [[GraftExtensions]]). */
 private[graft] class SnapshotTable(delegate: ParquetTable,
+    streamInfo: Option[StreamInfo],
     onDelete: Option[org.apache.spark.sql.Column => Unit],
     val onMerge: Option[StoreMergeHook] = None)
     extends Table with SupportsRead with SupportsDelete
@@ -853,11 +896,31 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     val caps = new util.HashSet[TableCapability](delegate.capabilities())
     if (onMerge.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
     if (onMerge.isDefined) caps.add(TableCapability.TRUNCATE)
+    if (streamInfo.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
   override def columns(): Array[Column] = delegate.columns()
-  override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    delegate.newScanBuilder(options)
+  /** Batch reads keep the delegate's full native pushdown surface
+    * (the wrapper forwards every pushdown interface the parquet
+    * builder implements); the wrapped Scan adds `toMicroBatchStream`,
+    * so `spark.readStream.table(tip)` serves each commit's
+    * insert/update ROW STATE (Delta's plain-table stream semantics —
+    * see [[ChangeFeed]]; deletes refuse unless
+    * `.option("ignoreDeletes", true)`). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    streamInfo match {
+      case Some(info) =>
+        val tableSchema = delegate.schema
+        new StreamCapableScanBuilder(delegate.newScanBuilder(options),
+          loc => new ChangesMicroBatchStream(SparkSession.active, info.base,
+            info.linked, info.key(), tableSchema, rowsOnly = true,
+            ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+            startingVersion =
+              Option(options.get("startingVersion")).map(_.toLong),
+            checkpointLocation = loc))
+      case None => delegate.newScanBuilder(options)
+    }
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` land through the store's
     * own `mergeDelta` via Spark's V1 write fallback (one plain

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{ManifestStore, SnapshotStore}
+
+/** The catalog change feed: `<store>.changes` batch reads (full
+  * history + bounded commit ranges), and the streaming sources —
+  * `readStream.table(t.changes)` replaying a merge chain bit-for-bit
+  * against the batch diffs, and the plain-table row-state stream with
+  * its delete refusal. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_cf").toString
+    spark.conf.set("spark.sql.catalog.cfcat",
+      classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cfcat.root", r)
+    r
+  }
+
+  /** v1 = {1:a, 2:b, 3:c}; v2 = upsert {2:b2, 4:d} + delete {3};
+    * v3 = insert {5:e}. */
+  private def buildChain(name: String, linked: Boolean): Unit = {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val d2 = Seq((2L, "b2"), (4L, "d")).toDF("k", "v")
+    val del2 = Seq(3L).toDF("k")
+    val d3 = Seq((5L, "e")).toDF("k", "v")
+    if (linked) {
+      val st = new ManifestStore(spark, s"$root/$name", "k")
+      st.write(v1, 1L, 2, commitTs = Some(1000L))
+      st.mergeDelta(1L, 2L, d2, Some(del2), commitTs = Some(2000L))
+      st.mergeDelta(2L, 3L, d3, commitTs = Some(3000L))
+    } else {
+      val st = new SnapshotStore(spark, s"$root/$name", "k")
+      st.writeRangePartitioned(v1, 1L, 2, commitTs = Some(1000L))
+      st.mergeDelta(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      st.mergeDelta(2L, 3L, d3, commitTs = Some(3000L)): Unit
+    }
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, String, Long)] =
+    df.collect().map { r =>
+      (r.getLong(r.fieldIndex("k")),
+        if (r.isNullAt(r.fieldIndex("v"))) null else r.getString(r.fieldIndex("v")),
+        r.getString(r.fieldIndex("change_type")),
+        r.getLong(r.fieldIndex("_commit_version")))
+    }.toSet
+
+  private val commit1 = Set[(Long, String, String, Long)](
+    (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L))
+  private val commit2 = Set[(Long, String, String, Long)](
+    (2L, "b2", "update", 2L), (4L, "d", "insert", 2L), (3L, null, "delete", 2L))
+  private val commit3 = Set[(Long, String, String, Long)]((5L, "e", "insert", 3L))
+
+  test("batch .changes: full history and bounded ranges, identical on both layouts") {
+    buildChain("cf_snap", linked = false)
+    buildChain("cf_linked", linked = true)
+    for (t <- Seq("cf_snap", "cf_linked")) {
+      assert(rows(spark.sql(s"SELECT * FROM cfcat.$t.changes"))
+        == commit1 ++ commit2 ++ commit3, s"$t full history")
+      assert(rows(spark.sql(s"SELECT * FROM cfcat.$t.changes VERSION AS OF '2..3'"))
+        == commit2 ++ commit3, s"$t range 2..3")
+      assert(rows(spark.sql(s"SELECT * FROM cfcat.$t.changes VERSION AS OF '2..2'"))
+        == commit2, s"$t range 2..2")
+    }
+  }
+
+  test("readStream.table(t.changes) replays the merge chain bit-for-bit vs the batch feed") {
+    buildChain("cfs_linked", linked = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck").toString
+    val q = spark.readStream.table("cfcat.cfs_linked.changes")
+      .writeStream.format("memory").queryName("cf_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // the replay == the batch feed over the same commits, bit-for-bit
+      assert(rows(spark.table("cf_stream")) == commit1 ++ commit2 ++ commit3)
+      // a commit landing mid-stream arrives as its own per-version diff
+      val st = new ManifestStore(spark, s"$root/cfs_linked", "k")
+      st.mergeDelta(3L, 4L, Seq((1L, "a4")).toDF("k", "v"), commitTs = Some(4000L))
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_stream"))
+        == commit1 ++ commit2 ++ commit3 + ((1L, "a4", "update", 4L)))
+      assert(rows(spark.table("cf_stream"))
+        == rows(spark.sql("SELECT * FROM cfcat.cfs_linked.changes VERSION AS OF '1..4'")))
+    } finally q.stop()
+  }
+
+  test("plain-table stream serves row state per commit; startingVersion bounds the replay") {
+    // chain without deletes: v1 then an upsert commit
+    val st = new ManifestStore(spark, s"$root/cfp_linked", "k")
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L, 2, commitTs = Some(1000L))
+    st.mergeDelta(1L, 2L, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"),
+      commitTs = Some(2000L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck2").toString
+    val q = spark.readStream.table("cfcat.cfp_linked")
+      .writeStream.format("memory").queryName("cf_rows")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cf_rows").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // v1 state as the bootstrap inserts + commit 2's new row state
+      assert(got == Set((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")))
+    } finally q.stop()
+    // startingVersion skips the bootstrap
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cf_ck3").toString
+    val q2 = spark.readStream.option("startingVersion", "2")
+      .table("cfcat.cfp_linked")
+      .writeStream.format("memory").queryName("cf_rows2")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cf_rows2").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((2L, "b2"), (3L, "c")))
+    } finally q2.stop()
+  }
+
+  test("plain-table stream refuses a delete commit loudly; ignoreDeletes opts out") {
+    buildChain("cfd_snap", linked = false) // commit 2 deletes key 3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck4").toString
+    val q = spark.readStream.table("cfcat.cfd_snap")
+      .writeStream.format("memory").queryName("cf_del")
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    assert(e.getMessage.contains("DELETE") || e.getMessage.contains("ignoreDeletes"),
+      e.getMessage)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cf_ck5").toString
+    val q2 = spark.readStream.option("ignoreDeletes", "true")
+      .table("cfcat.cfd_snap")
+      .writeStream.format("memory").queryName("cf_del2")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cf_del2").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a"), (2L, "b"), (3L, "c"), (2L, "b2"), (4L, "d"), (5L, "e")))
+    } finally q2.stop()
+  }
+
+  test("batch tip reads through the stream-capable wrapper keep native pushdown") {
+    buildChain("cfw_snap", linked = false)
+    val plan = spark.sql("SELECT k FROM cfcat.cfw_snap WHERE k >= 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,2)]")
+      || plan.contains("GreaterThanOrEqual(k,2)"), s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"), s"column pruning lost:\n$plan")
+  }
+}
