@@ -461,6 +461,117 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---- video (RIFF/AVI container, MJPEG frames via javax.imageio) --
+
+  /** Container-level video metadata the AVI parser emits. */
+  case class VideoMeta(width: Int, height: Int, nFrames: Int, fps: Int,
+      handler: String)
+
+  /** Closed-form video parameters per id — the declarative contract
+    * the DuckDB oracle recomputes (the audioRateOf pattern). */
+  def videoFramesOf(id: Long): Int = 3 + (id % 4).toInt
+  def videoFpsOf(id: Long): Int = 10 + (id % 3).toInt * 5
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ le32(body.length) ++ body ++ pad // RIFF chunks pad to even
+  }
+  private def list(kind: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(kind) ++ body)
+
+  /** A REAL (if minimal) MJPEG-in-AVI file: RIFF container with the
+    * standard `hdrl` (avih + one `vids`/`MJPG` stream with strh/strf)
+    * and a `movi` list of `00dc` chunks, each a genuine JDK-encoded
+    * JPEG. Every frame raster derives from `id + 256·(f+1)` — the
+    * +256 stride preserves [[syntheticRaster]]'s id-mod-256 dimension
+    * class, so all frames share the container's declared WxH (the AVI
+    * contract) while differing in content. Dimensions, frame count
+    * and fps are closed-form in the id ([[videoFramesOf]] /
+    * [[videoFpsOf]]), so a real container parse + frame decode
+    * oracle-checks declaratively. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val nFrames = videoFramesOf(id)
+    val fps = videoFpsOf(id)
+    val frames = (0 until nFrames).map(f => syntheticImage(id + 256L * (f + 1), "jpg"))
+    val avih = chunk("avih", le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(j => chunk("00dc", j)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse an AVI container: walks the RIFF chunk tree for the `avih`
+    * main header (dimensions, frame count), the first video stream's
+    * `strh` (handler fourcc, rate/scale → fps), and the `movi` list's
+    * `00dc`/`01dc` frame payloads (returned as byte slices for the
+    * caller's JPEG decode). None for anything that is not a
+    * well-formed RIFF/AVI — truncated or foreign bytes are a
+    * classification result, not an error (the decodeImage
+    * contract). */
+  def decodeAvi(bytes: Array[Byte]): Option[(VideoMeta, Seq[Array[Byte]])] = {
+    try {
+      if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
+        return None
+      var width, height, nFrames, fps = -1
+      var handler: String = null
+      val framePayloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = cc(bytes, off)
+          val len = rdLe32(bytes, off + 4)
+          if (len < 0 || off + 8 + len > to) return // truncated: keep what parsed
+          if (id == "LIST" && len >= 4) walk(off + 12, off + 8 + len)
+          else id match {
+            case "avih" if len >= 40 =>
+              fps = math.max(1, 1000000 / math.max(1, rdLe32(bytes, off + 8)))
+              nFrames = rdLe32(bytes, off + 24)
+              width = rdLe32(bytes, off + 40)
+              height = rdLe32(bytes, off + 44)
+            case "strh" if len >= 32 && cc(bytes, off + 8) == "vids" =>
+              if (handler == null) {
+                handler = cc(bytes, off + 12)
+                val scale = rdLe32(bytes, off + 28)
+                val rate = rdLe32(bytes, off + 32)
+                if (scale > 0 && rate > 0) fps = rate / scale
+              }
+            case dc if dc.endsWith("dc") =>
+              framePayloads += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+            case _ =>
+          }
+          off += 8 + len + (len & 1) // chunks are even-aligned
+        }
+      }
+      walk(12, bytes.length)
+      if (width < 0 || handler == null) None
+      else Some((VideoMeta(width, height, nFrames, fps, handler),
+        framePayloads.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic frame sampling over a binary "video" payload: emit
     * every `stride`-th fixed-size window as a frame row. Models the
     * fan-out shape (one row → many frame rows) of real frame
@@ -618,7 +729,7 @@ object Multimodal {
     * typed map: the ENCODERS run here, once, so a persisted copy lets
     * every downstream query measure decode, not encode. */
   def synthesizeMedia(docIds: org.apache.spark.sql.Dataset[Long],
-      cols: Seq[String] = Seq("png", "jpg", "wav", "wav2")): DataFrame = {
+      cols: Seq[String] = Seq("png", "jpg", "wav", "wav2", "avi")): DataFrame = {
     val spark = docIds.sparkSession
     import spark.implicits._
     // Catalyst cannot prune INSIDE a typed map, so the map must only
@@ -632,6 +743,7 @@ object Multimodal {
         case "jpg" => syntheticImage(id, "jpg")
         case "wav" => syntheticWav(id)
         case "wav2" => syntheticWav(id, gain = 2)
+        case "avi" => syntheticAvi(id)
         case other => throw new IllegalArgumentException(
           s"unknown media column '$other'")
       }.toArray)
@@ -649,8 +761,12 @@ object Multimodal {
     * of doc_id, so query results are the same either way — the
     * persisted path only moves the encoder out of the measured plan. */
   def mediaFor(s: SparkSession, d: String, cols: String*): DataFrame = {
-    val want = if (cols.isEmpty) Seq("png", "jpg", "wav", "wav2") else cols.toSeq
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/media.parquet")))
+    val want = if (cols.isEmpty) Seq("png", "jpg", "wav", "wav2", "avi") else cols.toSeq
+    // a persisted table written before a media column existed falls
+    // back to synthesis for that query (payloads are pure functions of
+    // doc_id, so results are identical; re-run MediaGen to re-persist)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/media.parquet"))
+      && want.forall(s.read.parquet(s"$d/media.parquet").columns.contains))
       s.read.parquet(s"$d/media.parquet")
         .select(("doc_id" +: want).map(col): _*)
     else {
@@ -1208,6 +1324,37 @@ object Multimodal {
         (avg(col("d_other")) > avg(col("d_self")) * 3).as("separated"))
     },
 
+    "mm_video_meta" -> { (s, d) =>
+      // REAL video container parse + frame decode, HASH-CHECKED — the
+      // mm_decode playbook one container level up: every %5 doc gets a
+      // genuine MJPEG-in-AVI payload (RIFF chunk tree, avih/strh
+      // headers, JDK-encoded JPEG frames in the movi list) whose
+      // dimensions / frame count / fps are closed-form in the id;
+      // decodeAvi walks the real container and every frame decodes
+      // through javax.imageio — the oracle recomputes all of it
+      // declaratively, so a header mis-parse, frame loss, or
+      // dimension drift hash-fails. One narrow typed map; bytes never
+      // shuffle.
+      import s.implicits._
+      mediaFor(s, d, "avi").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("avi"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case Some((m, frames)) =>
+              val decoded = frames.flatMap(decodeImage(_))
+              val ok = decoded.length == frames.length &&
+                decoded.forall(im => im.width == m.width && im.height == m.height)
+              (id, m.width.toLong, m.height.toLong, m.nFrames.toLong,
+                m.fps.toLong, m.handler, decoded.length.toLong, ok)
+            case None => (id, -1L, -1L, -1L, -1L, "none", 0L, false)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "fps", "handler",
+          "frames_decoded", "frames_ok")
+        .orderBy("doc_id")
+    },
+
     "mm_audio_meta" -> { (s, d) =>
       // REAL audio decode, HASH-CHECKED — the mm_decode playbook in
       // the sample domain: every doc gets a genuine RIFF/WAVE payload
@@ -1391,6 +1538,17 @@ object Multimodal {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  TRUE AS median_robust, TRUE AS separated
         |FROM documents""".stripMargin,
+
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  8 + doc_id % 16 AS width,
+        |  8 + (doc_id // 16) % 16 AS height,
+        |  3 + doc_id % 4 AS n_frames,
+        |  10 + (doc_id % 3) * 5 AS fps,
+        |  'MJPG' AS handler,
+        |  3 + doc_id % 4 AS frames_decoded,
+        |  TRUE AS frames_ok
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
 
     "mm_audio_meta" ->
       """SELECT doc_id,

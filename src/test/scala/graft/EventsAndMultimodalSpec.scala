@@ -349,7 +349,7 @@ class EventsAndMultimodalSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_").toString
     Seq(1L, 2L, 7L, 40L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
     def snap() = Multimodal.mediaFor(spark, dir).collect().map { r =>
-      r.getAs[Long]("doc_id") -> Seq("png", "jpg", "wav", "wav2")
+      r.getAs[Long]("doc_id") -> Seq("png", "jpg", "wav", "wav2", "avi")
         .map(c => r.getAs[Array[Byte]](c).toSeq)
     }.toMap
     val synthesized = snap() // no media.parquet yet → in-query synthesis
@@ -358,6 +358,38 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(persisted.keySet == synthesized.keySet)
     persisted.keySet.foreach(id => assert(persisted(id) == synthesized(id),
       s"payload drift for doc_id=$id — persisted and synthesized must be identical"))
+  }
+
+  test("AVI container: round-trip parse recovers headers, every MJPEG frame decodes") {
+    for (id <- Seq(0L, 17L, 255L, 1000L)) {
+      val (m, frames) = Multimodal.decodeAvi(Multimodal.syntheticAvi(id))
+        .getOrElse(fail(s"well-formed AVI for id=$id did not parse"))
+      assert(m.width == 8 + (id % 16).toInt && m.height == 8 + ((id / 16) % 16).toInt,
+        s"id=$id dims $m")
+      assert(m.nFrames == Multimodal.videoFramesOf(id) && m.fps == Multimodal.videoFpsOf(id)
+        && m.handler == "MJPG", s"id=$id header $m")
+      assert(frames.length == m.nFrames, s"id=$id movi chunk count")
+      val decoded = frames.flatMap(Multimodal.decodeImage(_))
+      assert(decoded.length == frames.length
+        && decoded.forall(im => im.width == m.width && im.height == m.height
+          && im.format == "jpeg"),
+        s"id=$id frames did not all decode to the container's declared dims")
+    }
+  }
+
+  test("AVI parse fail-soft: foreign bytes and truncation classify, never throw") {
+    assert(Multimodal.decodeAvi("not a container".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAvi(Multimodal.syntheticWav(3L)).isEmpty, // RIFF but WAVE
+      "a WAV is RIFF too — the AVI fourcc gate must reject it")
+    // truncated mid-movi: headers parsed, tail frames simply absent
+    val full = Multimodal.syntheticAvi(7L)
+    val cut = java.util.Arrays.copyOf(full, full.length - full.length / 4)
+    Multimodal.decodeAvi(cut) match {
+      case Some((m, frames)) =>
+        assert(m.handler == "MJPG" && frames.length < Multimodal.videoFramesOf(7L))
+      case None => // also acceptable: too little survived to classify
+    }
   }
 
   test("attachAudioMeta: one pass, no Exchange, nulls for undecodable payloads") {
