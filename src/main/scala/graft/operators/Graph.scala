@@ -128,6 +128,49 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** [[tradeEdges]] with INTEGER EDGE WEIGHTS: w = number of distinct
+    * orders the (customer, supplier) pair traded on — the natural
+    * strength signal. Symmetric union of the weighted pairs, so the
+    * weight w(u,v) = w(v,u) and every node keeps in- and out-edges. */
+  def tradeEdgesWeighted(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk")),
+        col("ok") === col("ok2"))
+      .groupBy(col("ck"), col("sk"))
+      .agg(count_distinct(col("ok")).as("w"))
+    val c = concat(lit("c"), col("ck").cast("string"))
+    val sp = concat(lit("s"), col("sk").cast("string"))
+    pairs.select(c.as("src"), sp.as("dst"), col("w"))
+      .unionAll(pairs.select(sp.as("src"), c.as("dst"), col("w")))
+  }
+
+  /** WEIGHTED exact-integer PageRank — [[pagerank]] with each sender's
+    * mass split proportionally to integer edge weights instead of
+    * evenly: `contribution(u→v) = (r(u)·w) div Σ_out w(u)`. Same one
+    * shuffle per round, same checkpoint-flattened plans, same
+    * unrolled-CTE oracle discipline; r·w stays far inside 64 bits
+    * (r < scale = 10¹², weights are order-multiplicity counts). */
+  def pagerankWeighted(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val edges = edgesIn.repartition(col("src")).localCheckpoint()
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wsum")).localCheckpoint()
+    val n = wsum.count()
+    val init = scale / n
+    val base = 15L * init / 100L
+    val edgesW = edges.join(wsum, Seq("src")).localCheckpoint()
+    var ranks = wsum.select(col("src").as("node"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesW.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) div wsum").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
   /** Per-node triangle participation counts over ordered edges
     * {u < v}, via DEGREE-ORDERED ORIENTATION (Chiba & Nishizeki 1985;
     * the standard scale formulation): orient every edge from the
@@ -403,6 +446,15 @@ object Graph {
         .select(col("tri_sampled"), (col("tri_sampled") * 64).as("est_total"))
     },
 
+    "graph_pagerank_weighted" -> { (s, d) =>
+      // Trade-strength PageRank: mass flows proportionally to how
+      // many distinct orders a (customer, supplier) pair traded on —
+      // the weighted-edge variant a host-ranking pipeline runs when
+      // link COUNTS carry signal (Common Crawl's weighted host graph).
+      pagerankWeighted(tradeEdgesWeighted(s, d), iters = 5, scale = 1000000000000L)
+        .orderBy("node")
+    },
+
     "graph_harmonic" -> { (s, d) =>
       // Harmonic centrality on the STRONG graph (the linkpred/
       // components scale posture): the all-sources pair frame is the
@@ -457,7 +509,43 @@ object Graph {
        |r0 AS (SELECT src AS node, outdeg, b.init AS r FROM deg CROSS JOIN bs b),
        |${(1 to iters).map(prRound).mkString(",\n")}""".stripMargin
 
+  /** One unrolled WEIGHTED round: previous ranks flow along edges
+    * proportionally to weight over the sender's weight sum. */
+  private def prwRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT d.src AS node, d.wsum,
+       |    CAST(b.base + (85 * SUM((p.r * e.w) // p.wsum)) // 100 AS BIGINT) AS r
+       |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
+       |  JOIN deg d ON d.src = e.dst
+       |  CROSS JOIN bs b
+       |  GROUP BY 1, 2, b.base)""".stripMargin
+
+  /** Oracle-side twin of [[pagerankWeighted]] over an
+    * `edges(src, dst, w)` CTE the caller prepends. */
+  def pagerankWeightedOracleCtes(iters: Int, scale: Long): String =
+    s"""deg AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY 1),
+       |bs AS (SELECT CAST($scale AS BIGINT) // COUNT(*) AS init,
+       |         (15 * (CAST($scale AS BIGINT) // COUNT(*))) // 100 AS base
+       |       FROM deg),
+       |r0 AS (SELECT src AS node, wsum, b.init AS r FROM deg CROSS JOIN bs b),
+       |${(1 to iters).map(prwRound).mkString(",\n")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank_weighted" ->
+      s"""WITH pairs AS (
+         |  SELECT o_custkey AS ck, l_suppkey AS sk,
+         |    COUNT(DISTINCT o_orderkey) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+         |         's' || CAST(sk AS VARCHAR) AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(sk AS VARCHAR),
+         |         'c' || CAST(ck AS VARCHAR), w FROM pairs),
+         |${pagerankWeightedOracleCtes(5, 1000000000000L)}
+         |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin,
+
     "graph_degree" ->
       s"""WITH $edgesSql,
          |nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),

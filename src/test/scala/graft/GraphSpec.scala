@@ -41,6 +41,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - scale) < 1000L, s"rank mass $total drifted from $scale")
   }
 
+  test("pagerankWeighted: heavier edge draws more rank; uniform weights reduce to pagerank") {
+    val scale = 1000000000000L
+    // star with one heavy spoke: h->l1 w=3, h->l2/l3 w=1 (symmetric)
+    val wpairs = Seq(("h", "l1", 3L), ("h", "l2", 1L), ("h", "l3", 1L))
+    val wedges = (wpairs ++ wpairs.map(p => (p._2, p._1, p._3))).toDF("src", "dst", "w")
+    val r = Graph.pagerankWeighted(wedges, iters = 5, scale = scale)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("l1") > r("l2") && r("l2") == r("l3"),
+      s"heavy spoke must out-rank light ones: $r")
+    assert(math.abs(r.values.sum - scale) < 1000L, s"rank mass ${r.values.sum} drifted")
+    // w ≡ 1 must reproduce the unweighted arithmetic bit-for-bit
+    val pairs = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val uw = Graph.pagerank(edges, 5, scale).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val w1 = Graph.pagerankWeighted(edges.withColumn("w", lit(1L)), 5, scale)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(uw == w1, s"uniform-weight run diverged: $uw vs $w1")
+  }
+
   test("kcoreBounded: K5 survives 3-core peeling, attached path peels away") {
     // K5 on {1..5} (degree 4 each) + path 5-6-7: 6 and 7 have degree
     // < 3 and must peel, dropping 5's degree to 4 (edge 5-6 gone).
