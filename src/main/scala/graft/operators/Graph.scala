@@ -241,7 +241,39 @@ object Graph {
     * corpus-sized. Per round: previous frontier ⋈ symmetric edges,
     * minus already-seen pairs (anti-join), frames localCheckpoint'ed
     * so plan depth stays hop-constant. */
-  def harmonicCentrality(edgesIn: DataFrame, maxHops: Int, scale: Long): DataFrame = {
+  def harmonicCentrality(edgesIn: DataFrame, maxHops: Int, scale: Long): DataFrame =
+    boundedBfsPairs(edgesIn, maxHops)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_reached"),
+        // `div` keeps the arithmetic in 64-bit integers; exact because
+        // scale is the LCM of every possible d
+        sum(expr(s"$scale div d")).as("harmonic_scaled"))
+      .select(col("m").as("part_id"), col("n_reached"), col("harmonic_scaled"))
+
+  /** Bounded-hop closeness via Lin's index (Lin 1976, the
+    * disconnected-graph-safe closeness Boldi & Vigna's survey
+    * recommends over the classic 1/Σd): L(v) = |reach(v)|² / Σ d(u,v),
+    * truncated at `maxHops` like [[harmonicCentrality]] — the square
+    * rewards reaching MANY nodes, where raw closeness perversely
+    * favors tiny components. Output keeps the exact integer
+    * sufficient statistics (n_reached, dist_sum) plus the scaled
+    * index `(n² · scale) div Σd` so the oracle replays the identical
+    * 64-bit arithmetic. Shares the all-sources BFS pair frame (and
+    * its strong-graph scale posture) with harmonic. */
+  def closenessCentrality(edgesIn: DataFrame, maxHops: Int, scale: Long): DataFrame =
+    boundedBfsPairs(edgesIn, maxHops)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"))
+      .select(col("m").as("part_id"), col("n_reached"), col("dist_sum"),
+        expr(s"(n_reached * n_reached * $scale) div dist_sum").as("lin_scaled"))
+
+  /** The shared all-sources bounded BFS: (n, m, d) pairs with
+    * 1 ≤ d = d(n, m) ≤ maxHops. Per round: previous frontier ⋈
+    * symmetric edges, minus already-seen pairs (anti-join), frames
+    * localCheckpoint'ed so plan depth stays hop-constant. The pair
+    * frame is why callers pass the THRESHOLD-BOUNDED strong graph:
+    * reachable-pair count is the irreducible output size. */
+  private def boundedBfsPairs(edgesIn: DataFrame, maxHops: Int): DataFrame = {
     val e = edgesIn.localCheckpoint()
     val sym = e.select(col("u").as("x"), col("v").as("y"))
       .unionAll(e.select(col("v").as("x"), col("u").as("y")))
@@ -259,12 +291,6 @@ object Graph {
       known = known.unionAll(frontier).localCheckpoint()
     }
     known.filter(col("d") > 0)
-      .groupBy(col("m"))
-      .agg(count(lit(1)).as("n_reached"),
-        // `div` keeps the arithmetic in 64-bit integers; exact because
-        // scale is the LCM of every possible d
-        sum(expr(s"$scale div d")).as("harmonic_scaled"))
-      .select(col("m").as("part_id"), col("n_reached"), col("harmonic_scaled"))
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003's
@@ -466,6 +492,15 @@ object Graph {
         .orderBy("part_id")
     },
 
+    "graph_closeness" -> { (s, d) =>
+      // Lin's index on the same strong graph / 4-hop horizon as
+      // harmonic — the pair (n_reached, dist_sum) is exact integers,
+      // and the x1e6 scale keeps n²·scale far inside 64 bits on the
+      // core²-bounded strong graph.
+      closenessCentrality(strongCoPurchaseEdges(s, d, 2), maxHops = 4, scale = 1000000L)
+        .orderBy("part_id")
+    },
+
     "graph_kcore" -> { (s, d) =>
       // k=60 sits under the co-purchase graph's core-collapse
       // threshold at EVERY test scale (the avalanche point is sharp
@@ -529,6 +564,34 @@ object Graph {
        |       FROM deg),
        |r0 AS (SELECT src AS node, wsum, b.init AS r FROM deg CROSS JOIN bs b),
        |${(1 to iters).map(prwRound).mkString(",\n")}""".stripMargin
+
+  /** Unrolled all-sources BFS over the strong co-purchase graph: per
+    * hop, the previous FRONTIER joins the symmetric edge set and
+    * already-seen pairs leave via NOT EXISTS against the cumulative
+    * known set. Both frontier and known are referenced >= 2x per
+    * round — MATERIALIZED, or DuckDB's CTE inlining goes exponential
+    * in hops (the kcore lesson). Shared by the harmonic and closeness
+    * oracles; ends at CTE `k$maxHops(n, m, d)`. */
+  private def strongBfsCtes(maxHops: Int): String = {
+    val strong = """p AS (
+      |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+      |  FROM lineitem la JOIN lineitem lb
+      |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+      |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM p UNION ALL SELECT v, u FROM p),
+      |k0 AS MATERIALIZED (SELECT DISTINCT x AS n, x AS m, 0 AS d FROM sym),
+      |f0 AS MATERIALIZED (SELECT n, m FROM k0)""".stripMargin
+    val hops = (1 to maxHops).map { h =>
+      val p = h - 1
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT f.n, e.y AS m FROM f$p f JOIN sym e ON f.m = e.x
+         |  WHERE NOT EXISTS (SELECT 1 FROM k$p k WHERE k.n = f.n AND k.m = e.y)),
+         |k$h AS MATERIALIZED (
+         |  SELECT n, m, d FROM k$p UNION ALL SELECT n, m, $h FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""$strong,
+       |$hops""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank_weighted" ->
@@ -663,35 +726,18 @@ object Graph {
          |SELECT CAST(COUNT(*) AS BIGINT) AS tri_sampled,
          |  CAST(COUNT(*) * 64 AS BIGINT) AS est_total FROM tri""".stripMargin,
 
-    "graph_harmonic" -> {
-      // Unrolled all-sources BFS: per hop, the previous FRONTIER joins
-      // the symmetric edge set and already-seen pairs leave via
-      // NOT EXISTS against the cumulative known set. Both frontier and
-      // known are referenced >= 2x per round — MATERIALIZED, or
-      // DuckDB's CTE inlining goes exponential in hops (the kcore
-      // lesson).
-      val strong = """p AS (
-        |  SELECT la.l_partkey AS u, lb.l_partkey AS v
-        |  FROM lineitem la JOIN lineitem lb
-        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
-        |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM p UNION ALL SELECT v, u FROM p),
-        |k0 AS MATERIALIZED (SELECT DISTINCT x AS n, x AS m, 0 AS d FROM sym),
-        |f0 AS MATERIALIZED (SELECT n, m FROM k0)""".stripMargin
-      val hops = (1 to 4).map { h =>
-        val p = h - 1
-        s"""f$h AS MATERIALIZED (
-           |  SELECT DISTINCT f.n, e.y AS m FROM f$p f JOIN sym e ON f.m = e.x
-           |  WHERE NOT EXISTS (SELECT 1 FROM k$p k WHERE k.n = f.n AND k.m = e.y)),
-           |k$h AS MATERIALIZED (
-           |  SELECT n, m, d FROM k$p UNION ALL SELECT n, m, $h FROM f$h)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $strong,
-         |$hops
+    "graph_harmonic" ->
+      s"""WITH ${strongBfsCtes(4)}
          |SELECT m AS part_id, COUNT(*) AS n_reached,
          |  CAST(SUM(12 // d) AS BIGINT) AS harmonic_scaled
-         |FROM k4 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM k4 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_closeness" ->
+      s"""WITH ${strongBfsCtes(4)}
+         |SELECT m AS part_id, COUNT(*) AS n_reached,
+         |  CAST(SUM(d) AS BIGINT) AS dist_sum,
+         |  CAST((COUNT(*) * COUNT(*) * 1000000) // SUM(d) AS BIGINT) AS lin_scaled
+         |FROM k4 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "graph_kcore" -> {
       // e{p} is referenced three times per round — MATERIALIZED stops

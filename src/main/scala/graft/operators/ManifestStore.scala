@@ -39,7 +39,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
 
   private def fs =
     new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def poolDir = new Path(s"$basePath/files")
+  // A shallow clone records the pool OWNER's pool dir in _store.json
+  // (written once by cloneTo before any publish — read once here).
+  private lazy val storedPool: Option[String] =
+    SnapshotStore.readStoredPool(fs, basePath)
+  private def poolDir =
+    storedPool.map(new Path(_)).getOrElse(new Path(s"$basePath/files"))
   private def manifestDir(v: Long) = new Path(s"$basePath/_manifests/v=$v")
 
   private def statAggs(cols: Seq[String]): Seq[Column] =
@@ -205,6 +210,94 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(!versions().contains(newVersion), s"version $newVersion already exists")
     publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
       evolvedSchema(fromVersion))
+  }
+
+  /** True when this store OWNS its pool dir — false on a shallow
+    * clone reading a foreign pool. Pool reclamation ([[vacuum]],
+    * [[orphans]]) must run on the owner. */
+  def isPoolOwner: Boolean = storedPool.isEmpty
+
+  /** The base path of the store that owns this store's pool: itself
+    * when owner, the pool override's parent when a clone. */
+  def poolOwnerBase: String =
+    storedPool.map(p => new Path(p).getParent.toString).getOrElse(basePath)
+
+  /** SHALLOW CLONE to a NEW table at `dstBase` — Delta's `CREATE TABLE
+    * ... SHALLOW CLONE`, this layout's way: the clone's version 1 is
+    * the source version's manifest rows VERBATIM over the SAME shared
+    * pool (the clone's `_store.json` records the owner's pool dir), so
+    * cloning a 100 TB table moves ZERO data bytes and costs one
+    * manifest copy. Merges then diverge freely on either side — both
+    * write fresh uniquely-named files into the shared pool. Unlike
+    * Delta, where VACUUM on the source silently breaks its shallow
+    * clones, the clone REGISTERS with the pool owner (`_clones.json`;
+    * registration lands BEFORE the clone's first manifest, so a crash
+    * can only leave a harmless extra registration, never an
+    * unregistered clone vacuum would miss) and the owner's
+    * [[vacuum]]/[[orphans]] honor every registered clone's references;
+    * the clone's own vacuum refuses — the pool is not its to reclaim.
+    * A clone of a clone re-registers with the ORIGINAL owner. A
+    * dropped clone (base dir deleted) simply stops contributing
+    * references — no deregistration step is needed for safety. */
+  def cloneTo(dstBase: String, fromVersion: Long,
+      commitTs: Option[Long] = None): ManifestStore = {
+    require(keyCol.nonEmpty, "cloneTo needs the source's key column")
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    val dfs = new Path(dstBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!dfs.exists(new Path(dstBase, "_manifests")),
+      s"clone target $dstBase already has versions")
+    registerClone(poolOwnerBase, dstBase)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    dfs.mkdirs(new Path(dstBase))
+    val pool = new Path(poolOwnerBase, "files").toString
+    val out = dfs.create(new Path(dstBase, "_store.json"), true)
+    try out.write(
+      s"""{"keyCol": "${esc(keyCol)}", "pool": "${esc(pool)}"}""".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new ManifestStore(spark, dstBase, keyCol, statsCols, parityFilesPerGroup)
+    dst.publish(1L, manifest(fromVersion).localCheckpoint(), commitTs,
+      evolvedSchema(fromVersion))
+    dst
+  }
+
+  private def clonesPath(base: String) = new Path(base, "_clones.json")
+  private def clonesAside(base: String) = new Path(base, "_clones.json.old")
+
+  /** Clone bases registered with the pool owner at `base` — the set
+    * whose manifests [[vacuum]] must honor. Falls back to the
+    * registration aside when a crash parked the live file mid-update. */
+  private def registeredClones(base: String): Seq[String] = {
+    val p = if (fs.exists(clonesPath(base))) clonesPath(base) else clonesAside(base)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // fixed-shape sidecar written only by registerClone: the quoted
+      // strings inside the [...] list are the clone bases
+      val list = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(list)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+  }
+
+  /** Append `cloneBase` to the owner's registry: write-aside-rename —
+    * the previous registry parks as the aside until the new one is
+    * live, so no crash point loses registered references. */
+  private def registerClone(ownerBase: String, cloneBase: String): Unit = {
+    val all = (registeredClones(ownerBase) :+ cloneBase).distinct
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = s"""{"clones": [${all.map(b => "\"" + esc(b) + "\"").mkString(", ")}]}"""
+    val tmp = new Path(ownerBase, s".tmp-clones-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(clonesAside(ownerBase))) fs.delete(clonesAside(ownerBase), false)
+    if (fs.exists(clonesPath(ownerBase))
+        && !fs.rename(clonesPath(ownerBase), clonesAside(ownerBase)))
+      throw new java.io.IOException(s"clone registry aside failed at $ownerBase")
+    if (!fs.rename(tmp, clonesPath(ownerBase)))
+      throw new java.io.IOException(s"clone registration failed at $ownerBase")
+    fs.delete(clonesAside(ownerBase), false): Unit
   }
 
   /** Schema-evolution DROP COLUMN, this layout's way: ZERO data I/O.
@@ -783,15 +876,31 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * (delete), so the audit can never preview a different set than
     * the sweep reclaims. */
   private def unreferencedPoolFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val referenced: Set[String] = versions()
-      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0))).toSet
+    // registered shallow clones share this pool: their manifests'
+    // references count too (a dropped clone's base is gone and simply
+    // stops contributing). Metadata-sized: |clones| × Σ|manifests|.
+    val cloneRefs: Seq[String] = registeredClones(basePath)
+      .filter(b => fs.exists(new Path(b, "_manifests")))
+      .flatMap { b =>
+        val c = new ManifestStore(spark, b, "")
+        c.versions().flatMap(v => c.manifest(v).select("file").collect().map(_.getString(0)))
+      }
+    val referenced: Set[String] = (versions()
+      .flatMap(v => manifest(v).select("file").collect().map(_.getString(0)))
+      ++ cloneRefs).toSet
     if (!fs.exists(poolDir)) Seq.empty
     else fs.listStatus(poolDir).toSeq
       .filter(st => st.isFile && !referenced(st.getPath.getName))
   }
 
+  private def requirePoolOwner(op: String): Unit =
+    require(isPoolOwner,
+      s"$op must run on the pool owner ($poolOwnerBase) — this store is a " +
+        "shallow clone reading a foreign pool, which is not its to reclaim")
+
   def orphans(): DataFrame = {
     import spark.implicits._
+    requirePoolOwner("orphans")
     unreferencedPoolFiles().map(st => (st.getPath.getName, st.getLen))
       .toDF("file", "bytes")
   }
@@ -804,6 +913,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * discard FIRST ([[recoverReplications]]), so the TTL pass can
     * never delete the only complete copy of a mirrored manifest. */
   def vacuum(tmpTtlMs: Long = 24L * 3600 * 1000): Long = {
+    requirePoolOwner("vacuum")
     recoverReplications()
     recoverParityAsides() // a parked previous sidecar is state, not garbage
     var reclaimed = 0L

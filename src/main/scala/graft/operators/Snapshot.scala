@@ -860,6 +860,52 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
+    "snap_sql_clone" -> { (s, d) =>
+      // `CALL cat.clone(src, dst)` on BOTH layouts: linked = SHALLOW
+      // (dst v1 is the src tip manifest verbatim over the SAME shared
+      // pool — zero data bytes move; dst registers with the pool owner
+      // so owner vacuum honors its references), snapshot = DEEP (tip
+      // dir byte-copies; the layout is self-contained by design). The
+      // proof of independence is DIVERGENCE: after the fork, %4=2 keys
+      // INSERT into the SOURCE and %4=1 keys into the CLONE — each
+      // side's tip must show exactly its own insert, declaratively
+      // recomputable. Warm passes skip every landed step.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlclone_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val snap = new SnapshotStore(s, s"$base/oc_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord.filter(k % 4 === 0), 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/oc_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord.filter(k % 4 === 0), 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapclone_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      if (new SnapshotStore(s, s"$base/cc_snap", "o_orderkey").versions().isEmpty)
+        s.sql(s"CALL $cat.clone('oc_snap', 'cc_snap', 2000)").collect(): Unit
+      if (new ManifestStore(s, s"$base/cc_linked", "o_orderkey").versions().isEmpty)
+        s.sql(s"CALL $cat.clone('oc_linked', 'cc_linked', 2000)").collect(): Unit
+      ord.filter(k % 4 === 2).createOrReplaceTempView(s"clone_src2_$fp")
+      ord.filter(k % 4 === 1).createOrReplaceTempView(s"clone_src1_$fp")
+      for ((t, isClone) <- Seq(("oc_snap", false), ("oc_linked", false),
+          ("cc_snap", true), ("cc_linked", true))) {
+        val vs =
+          if (t.endsWith("_snap")) new SnapshotStore(s, s"$base/$t", "o_orderkey").versions()
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions()
+        if (!vs.contains(2L)) s.sql(
+          s"INSERT INTO $cat.$t SELECT * FROM clone_src${if (isClone) 1 else 2}_$fp")
+      }
+      Seq("oc_snap", "oc_linked", "cc_snap", "cc_linked").map { t =>
+        s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(t))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_history" -> { (s, d) =>
       // The `<cat>.<store>.history` metadata table on BOTH layouts —
       // the DESCRIBE-HISTORY surface: one row per version with its
@@ -1568,6 +1614,25 @@ object Snapshot {
         |FROM orders CROSS JOIN (VALUES ('oe_snap'), ('oe_linked')) AS l(layout)
         |GROUP BY 1, l.layout
         |ORDER BY l.layout, bucket""".stripMargin,
+
+    "snap_sql_clone" ->
+      """WITH src AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 2) GROUP BY 1),
+        |cl AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 1) GROUP BY 1)
+        |SELECT a.bucket, a.n, a.sum_price, a.layout FROM (
+        |  SELECT s.*, l.layout FROM src s
+        |    CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
+        |  UNION ALL
+        |  SELECT c.*, l.layout FROM cl c
+        |    CROSS JOIN (VALUES ('cc_snap'), ('cc_linked')) AS l(layout)) a
+        |ORDER BY a.layout, a.bucket""".stripMargin,
 
     "snap_sql_history" ->
       """WITH h AS (

@@ -68,14 +68,23 @@ object SnapshotStore {
     * root, hence public; a minimal fixed-shape parse — the sidecar is
     * written by this library only). */
   def readStoredKeyCol(fs: org.apache.hadoop.fs.FileSystem,
-      basePath: String): Option[String] = {
+      basePath: String): Option[String] = readStoredField(fs, basePath, "keyCol")
+
+  /** The `_store.json` sidecar's optional pool override — present only
+    * on a shallow clone ([[ManifestStore.cloneTo]]), pointing at the
+    * pool OWNER's shared file pool. */
+  def readStoredPool(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Option[String] = readStoredField(fs, basePath, "pool")
+
+  private def readStoredField(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, field: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(basePath, "_store.json")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      "\"keyCol\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(txt)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     }
   }
@@ -174,6 +183,46 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
 
   /** The key column recorded by [[ensureStoreMeta]], when present. */
   def storedKeyCol(): Option[String] = SnapshotStore.readStoredKeyCol(fs, basePath)
+
+  /** DEEP CLONE to a new table at `dstBase`, this layout's way: each
+    * version is a self-contained directory, so the clone's version 1
+    * is a byte-copy of the source version dir — data files, zone map,
+    * schema sidecar carry verbatim under the same basenames, no
+    * parquet decode — plus a fresh `_store.json`. O(version bytes) by
+    * construction; the zero-copy shallow clone is the linked layout's
+    * [[ManifestStore.cloneTo]]. Same tmp+rename publish discipline as
+    * [[write]]: a crash leaves only a `.tmp-` dir at the target. */
+  def cloneTo(dstBase: String, fromVersion: Long,
+      commitTs: Option[Long] = None): SnapshotStore = {
+    require(keyCol.nonEmpty, "cloneTo needs the source's key column")
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dfs = new Path(dstBase).getFileSystem(conf)
+    val dst = new SnapshotStore(spark, dstBase, keyCol)
+    require(dst.versions().isEmpty, s"clone target $dstBase already has versions")
+    dfs.mkdirs(new Path(dstBase))
+    val tmp = new Path(s"$dstBase/.tmp-v=1-${java.util.UUID.randomUUID()}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir(fromVersion)), dfs, tmp,
+      false, conf)
+    // the zone map stores ABSOLUTE file URIs (readWhere opens them):
+    // re-home each entry onto the clone's v=1 by basename, or pruned
+    // reads on the clone would open the SOURCE's files
+    if (fs.exists(new Path(zmapDir(fromVersion), "_SUCCESS"))) {
+      spark.read.parquet(zmapDir(fromVersion)).withColumn("file",
+          concat(lit(s"$dstBase/v=1/"), element_at(split(col("file"), "/"), -1)))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(tmp, "_zonemap").toString)
+    }
+    commitTs.foreach { ts =>
+      val out = dfs.create(new Path(tmp, "_commit_ts"), true)
+      try out.writeUTF(ts.toString) finally out.close()
+    }
+    dst.ensureStoreMeta()
+    val dest = new Path(s"$dstBase/v=1")
+    if (!dfs.rename(tmp, dest))
+      throw new java.io.IOException(s"clone publish failed: rename $tmp -> $dest")
+    dst
+  }
 
   /** When `version` was committed (epoch millis): the `_commit_ts`
     * sidecar when present, else the `_SUCCESS` marker's filesystem

@@ -135,6 +135,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
     })
 
+  /** A linked store's pool dir: its own `files/` unless `_store.json`
+    * records a pool override (a SHALLOW CLONE reading the owner's
+    * shared pool — CALL clone). */
+  private def poolDirOf(base: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredPool(fs, base).getOrElse(s"$base/files")
+  }
+
   private def tableFor(ident: Identifier, linked: Boolean, version: Long): Table = {
     val base = storePath(ident)
     // paths: a snapshot version is its data dir; a LINKED version is
@@ -147,8 +156,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val (paths, evolved) =
       if (linked) {
         val st = linkedFor(ident)
+        val pool = poolDirOf(base)
         (st.manifest(version).select("file").collect()
-          .map(r => s"$base/files/${r.getString(0)}").toSeq,
+          .map(r => s"$pool/${r.getString(0)}").toSeq,
           st.evolvedSchema(version).map(projectFills))
       } else
         (Seq(s"$base/v=$version"), storeFor(ident).evolvedSchema(version).map(projectFills))
@@ -259,7 +269,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (vs.isEmpty) return None
       Some(st.manifest(vs.max)
         .select("file", "min_key", "max_key", "n_rows")
-        .join(sizesOf(new org.apache.hadoop.fs.Path(s"$base/files")), Seq("file"), "left")
+        .join(sizesOf(new org.apache.hadoop.fs.Path(poolDirOf(base))), Seq("file"), "left")
         .orderBy("file"))
     } else {
       val st = storeFor(parent)
@@ -457,7 +467,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //       every non-key z column, snapshot rebuilds its zone map — so
   //       multi-dimension pruning works immediately after the CALL
 
-  private val procedureNames = Array("compact", "vacuum", "retention", "zorder")
+  //   CALL <cat>.clone('src_tbl', 'dst_tbl')
+  //     → linked: SHALLOW clone — dst's v1 is the src tip's manifest
+  //       rows verbatim over the SAME shared pool (zero data bytes
+  //       move; dst registers with the pool owner so the owner's
+  //       vacuum honors its references); snapshot: DEEP clone — the
+  //       tip dir byte-copies to dst v1 (the layout is self-contained
+  //       by design), zone map re-homed
+
+  private val procedureNames = Array("compact", "vacuum", "retention", "zorder", "clone")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -609,6 +627,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           st.writeZOrdered(st.read(tip), tip + 1, numFiles, zc)
           Array(utf8("snapshot"), tip + 1, st.stats(tip + 1)._1,
             utf8(zc.mkString(",")))
+        }
+      }
+      case "clone" => bound("clone",
+        Array(tableParam,
+          ProcedureParameter.in("target", StringType).build(),
+          ProcedureParameter.in("commit_ts", LongType).defaultValue("0").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("mode", StringType), StructField("src_version", LongType),
+          StructField("n_rows", LongType)))) { in =>
+        val srcT = tableIdentOf(in.getUTF8String(0).toString)
+        val dstT = tableIdentOf(in.getUTF8String(1).toString)
+        val cts = if (in.getLong(2) == 0L) None else Some(in.getLong(2))
+        val srcBase = storePath(srcT)
+        val dstBase = storePath(dstT)
+        val key = procKey(srcBase)
+        if (isLinked(srcT)) {
+          val st = new graft.operators.ManifestStore(spark, srcBase, key)
+          val tip = st.versions().max
+          val dst = st.cloneTo(dstBase, tip, cts)
+          // metadata-only row total off the cloned manifest
+          val n = dst.manifest(1L).agg(
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum("n_rows"),
+              org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+          Array(utf8("linked"), utf8("shallow"), tip, n)
+        } else {
+          val st = new SnapshotStore(spark, srcBase, key)
+          val tip = st.versions().max
+          val dst = st.cloneTo(dstBase, tip, cts)
+          Array(utf8("snapshot"), utf8("deep"), tip, dst.stats(1L)._2)
         }
       }
       case other => throw new UnsupportedOperationException(

@@ -126,6 +126,31 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) == (5L, 12L + 12L + 6L + 6L + 4L), s"node 3 saw ${got(3L)}")
   }
 
+  test("closenessCentrality: Lin's index exact on P3; square rewards reach") {
+    // 1-2-3: node 2 reaches {1,3} at d=1 each -> L = 2²·1e6/2 = 2e6;
+    // nodes 1,3 reach 2 at 1 and the far end at 2 -> L = 4e6 // 3.
+    val got = Graph.closenessCentrality(
+        Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), maxHops = 4, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 3L, 1333333L)),
+      2L -> ((2L, 2L, 2000000L)),
+      3L -> ((2L, 3L, 1333333L))))
+  }
+
+  test("closenessCentrality: truncation matches harmonic's reach on a P6 chain") {
+    // Same 4-hop horizon as harmonic: n_reached must agree pairwise,
+    // and node 1 (Σd = 1+2+3+4 = 10 over 4 nodes) gets 16e6 // 10.
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val cl = Graph.closenessCentrality(chain, maxHops = 4, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hm = Graph.harmonicCentrality(chain, maxHops = 4, scale = 12L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet == hm.keySet && cl.forall { case (n, (r, _, _)) => hm(n) == r },
+      "closeness and harmonic disagree on bounded reach")
+    assert(cl(1L) == ((4L, 10L, 1600000L)), s"node 1 saw ${cl(1L)}")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
