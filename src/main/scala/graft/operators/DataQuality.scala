@@ -212,6 +212,43 @@ object DataQuality {
           round(col("gini_raw"), 6).as("gini"))
     }.reduce(_.unionByName(_))
 
+  /** Mutual information between two categorical columns (nats) plus
+    * the arithmetic-normalized NMI = 2·MI/(H(X)+H(Y)) — the
+    * association diagnostic [[cramersV]]'s χ²-based V complements:
+    * MI sees ANY dependence structure, not just contingency-table
+    * imbalance, and NMI ∈ [0,1] compares across pairs with different
+    * cardinalities (the feature-redundancy screen a training pipeline
+    * runs before one-hot-ing two columns that say the same thing).
+    * Scale shape: ONE map-side-combinable (x,y) cell count per pair —
+    * the shuffle carries distinct cells, not rows; marginals re-derive
+    * from the cell frame, totals cross a broadcast one-row frame.
+    * Rounding happens once at the end from the unrounded sums so the
+    * oracle mirrors the arithmetic token-for-token ([[entropy]]'s
+    * discipline). */
+  def mutualInfo(pairs: Seq[(String, DataFrame, String, String)]): DataFrame =
+    pairs.map { case (label, df, x, y) =>
+      val cells = df.filter(col(x).isNotNull && col(y).isNotNull)
+        .groupBy(col(x).as("vx"), col(y).as("vy")).agg(count(lit(1)).as("n"))
+      val nx = cells.groupBy("vx").agg(sum(col("n")).as("nx"))
+      val ny = cells.groupBy("vy").agg(sum(col("n")).as("ny"))
+      val tot = cells.agg(sum(col("n")).as("t"))
+      def p(c: Column) = c.cast(DoubleType) / col("t")
+      val miRow = cells.join(nx, Seq("vx")).join(ny, Seq("vy"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"), max(col("t")).as("n_rows"),
+          sum(p(col("n")) * log(p(col("n")) / (p(col("nx")) * p(col("ny")))))
+            .as("mi"))
+      val hxRow = nx.crossJoin(broadcast(tot))
+        .agg((-sum(p(col("nx")) * log(p(col("nx"))))).as("hx"))
+      val hyRow = ny.crossJoin(broadcast(tot))
+        .agg((-sum(p(col("ny")) * log(p(col("ny"))))).as("hy"))
+      miRow.crossJoin(hxRow).crossJoin(hyRow).select(
+        lit(label).as("pair"), col("n_rows"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(when(col("hx") + col("hy") > 0,
+          lit(2.0) * col("mi") / (col("hx") + col("hy"))), 6).as("nmi"))
+    }.reduce(_.unionByName(_))
+
   /** Functional-dependency audit: for each claimed `lhs → rhs`, how
     * many distinct lhs values exist, how many of them violate (map to
     * more than one rhs), and the worst fan-out — the schema-contract
@@ -801,6 +838,19 @@ object DataQuality {
         .orderBy("col_name")
     },
 
+    "dq_mutual_info" -> { (s, d) =>
+      // Association screens across cardinalities: the TPC-H
+      // flag~status pair (structurally dependent), priority~status,
+      // and the corpus lang~source mixture.
+      mutualInfo(Seq(
+        ("lineitem.flag~status", Tables.lineitem(s, d),
+          "l_returnflag", "l_linestatus"),
+        ("orders.priority~status", Tables.orders(s, d),
+          "o_orderpriority", "o_orderstatus"),
+        ("documents.lang~source", Tables.documents(s, d), "lang", "source")))
+        .orderBy("pair")
+    },
+
     "dq_funcdep" -> { (s, d) =>
       // One contract that HOLDS (nation key → region) and three that
       // do not — the audit shape: assert the zeros, quantify the rest.
@@ -1181,6 +1231,39 @@ object DataQuality {
         branch("events.event_type", "events", "event_type"),
         branch("orders.o_orderpriority", "orders", "o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "dq_mutual_info" -> {
+      def branch(label: String, table: String, x: String, y: String) = {
+        val flt = s"$x IS NOT NULL AND $y IS NOT NULL"
+        s"""SELECT '$label' AS pair, CAST(n_rows AS BIGINT) AS n_rows, n_cells,
+           |  ROUND(mi, 6) AS mi_nats,
+           |  ROUND(CASE WHEN hx + hy > 0 THEN 2.0 * mi / (hx + hy) END, 6) AS nmi
+           |FROM (
+           |  SELECT COUNT(*) AS n_cells, MAX(t.t) AS n_rows,
+           |    SUM((CAST(c.n AS DOUBLE) / t.t) * ln((CAST(c.n AS DOUBLE) / t.t)
+           |      / ((CAST(mx.nx AS DOUBLE) / t.t) * (CAST(my.ny AS DOUBLE) / t.t)))) AS mi
+           |  FROM (SELECT $x AS vx, $y AS vy, COUNT(*) AS n FROM $table
+           |        WHERE $flt GROUP BY 1, 2) c
+           |  JOIN (SELECT $x AS vx, COUNT(*) AS nx FROM $table
+           |        WHERE $flt GROUP BY 1) mx ON c.vx = mx.vx
+           |  JOIN (SELECT $y AS vy, COUNT(*) AS ny FROM $table
+           |        WHERE $flt GROUP BY 1) my ON c.vy = my.vy
+           |  CROSS JOIN (SELECT COUNT(*) AS t FROM $table WHERE $flt) t)
+           |CROSS JOIN (
+           |  SELECT -SUM((CAST(nx AS DOUBLE) / t.t) * ln(CAST(nx AS DOUBLE) / t.t)) AS hx
+           |  FROM (SELECT $x, COUNT(*) AS nx FROM $table WHERE $flt GROUP BY 1)
+           |  CROSS JOIN (SELECT COUNT(*) AS t FROM $table WHERE $flt) t)
+           |CROSS JOIN (
+           |  SELECT -SUM((CAST(ny AS DOUBLE) / t.t) * ln(CAST(ny AS DOUBLE) / t.t)) AS hy
+           |  FROM (SELECT $y, COUNT(*) AS ny FROM $table WHERE $flt GROUP BY 1)
+           |  CROSS JOIN (SELECT COUNT(*) AS t FROM $table WHERE $flt) t)""".stripMargin
+      }
+      Seq(
+        branch("lineitem.flag~status", "lineitem", "l_returnflag", "l_linestatus"),
+        branch("orders.priority~status", "orders", "o_orderpriority", "o_orderstatus"),
+        branch("documents.lang~source", "documents", "lang", "source"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pair")
     },
 
     "dq_funcdep" -> {

@@ -171,6 +171,60 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** [[tradeEdges]] WITHOUT the symmetric union: the directed
+    * customer→supplier pairs — [[hits]]'s input, where direction IS
+    * the hub/authority structure. */
+  def tradeEdgesDirected(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk")),
+        col("ok") === col("ok2"))
+      .select(col("ck"), col("sk")).distinct()
+    pairs.select(concat(lit("c"), col("ck").cast("string")).as("src"),
+      concat(lit("s"), col("sk").cast("string")).as("dst"))
+  }
+
+  /** Exact-integer HITS (Kleinberg 1999, the hubs-and-authorities
+    * power iteration) over a DIRECTED edge set — run here on the
+    * customer→supplier trade graph, whose bipartite shape is the
+    * algorithm's native habitat: customers are pure hubs (they point
+    * at suppliers), suppliers pure authorities. `iters` synchronous
+    * rounds of a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v), each
+    * side renormalized to SUM = `scale` in integer arithmetic
+    * (`(x·scale) div Σx` — the L¹ normalization every engine can
+    * replay exactly, where the classical L² norm's sqrt cannot be
+    * integer-exact). Scores stay ≤ scale so h·scale fits 64 bits.
+    * Same Pregel posture as [[pagerank]]: edges partitioned once by
+    * the join key, one shuffle per half-round, localCheckpoint keeps
+    * plan depth round-constant. */
+  def hits(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val edges = edgesIn.repartition(col("src")).localCheckpoint()
+    val hubs0 = edges.select(col("src").as("node")).distinct()
+    val auth0 = edges.select(col("dst").as("node")).distinct()
+    val nh = hubs0.count()
+    var hubs = hubs0.select(col("node"), lit(scale / nh).as("h")).localCheckpoint()
+    var auths = auth0.select(col("node"), lit(0L).as("a")).localCheckpoint()
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      // L1-renormalize in exact integers: Σ after = within |nodes| of
+      // `scale` (floor division), order-independent
+      val tot = df.agg(sum(col(c))).head().getLong(0)
+      df.select(col("node"), expr(s"($c * $scale) div $tot").as(c))
+    }
+    for (_ <- 1 to iters) {
+      auths = renorm(
+        edges.join(hubs, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .select(col("dst").as("node"), col("a")), "a").localCheckpoint()
+      hubs = renorm(
+        edges.join(auths, col("dst") === col("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .select(col("src").as("node"), col("h")), "h").localCheckpoint()
+    }
+    hubs.select(col("node"), col("h").as("score"), lit("hub").as("side"))
+      .unionAll(auths.select(col("node"), col("a").as("score"), lit("auth").as("side")))
+  }
+
   /** Per-node triangle participation counts over ordered edges
     * {u < v}, via DEGREE-ORDERED ORIENTATION (Chiba & Nishizeki 1985;
     * the standard scale formulation): orient every edge from the
@@ -501,6 +555,16 @@ object Graph {
         .orderBy("part_id")
     },
 
+    "graph_hits" -> { (s, d) =>
+      // HITS on the DIRECTED customer→supplier graph (bipartite — the
+      // algorithm's native habitat). scale = 1e9: authority raw sums
+      // are bounded by Σh ≈ scale, so the renormalization product
+      // raw·scale stays ≤ ~1e18, inside 64 bits in BOTH engines (the
+      // overflow line 1e12 would cross).
+      hits(tradeEdgesDirected(s, d), iters = 4, scale = 1000000000L)
+        .orderBy("side", "node")
+    },
+
     "graph_kcore" -> { (s, d) =>
       // k=60 sits under the co-purchase graph's core-collapse
       // threshold at EVERY test scale (the avalanche point is sharp
@@ -565,6 +629,31 @@ object Graph {
        |r0 AS (SELECT src AS node, wsum, b.init AS r FROM deg CROSS JOIN bs b),
        |${(1 to iters).map(prwRound).mkString(",\n")}""".stripMargin
 
+  /** Oracle-side twin of [[hits]] over a directed `pairs(src, dst)`
+    * CTE the caller prepends: h0 init + `iters` unrolled
+    * authority/hub half-rounds, each L1-renormalized to `scale` in
+    * the identical integer arithmetic. DuckDB SUMs to HUGEINT — cast
+    * back to BIGINT so `//` and the overflow line match the engine.
+    * Ends at CTEs `a$iters(node, a)` and `h$iters(node, h)`. */
+  def hitsOracleCtes(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""ar$k AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM pairs e JOIN h$p h ON e.src = h.node GROUP BY 1),
+         |at$k AS (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS (SELECT node, (a * $scale) // t.tot AS a FROM ar$k CROSS JOIN at$k t),
+         |hr$k AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+         |  FROM pairs e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+         |ht$k AS (SELECT CAST(SUM(h) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS (SELECT node, (h * $scale) // t.tot AS h FROM hr$k CROSS JOIN ht$k t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""hn AS (SELECT DISTINCT src AS node FROM pairs),
+       |h0 AS (SELECT node,
+       |  CAST($scale AS BIGINT) // (SELECT COUNT(*) FROM hn) AS h FROM hn),
+       |$rounds""".stripMargin
+  }
+
   /** Unrolled all-sources BFS over the strong co-purchase graph: per
     * hop, the previous FRONTIER joins the symmetric edge set and
     * already-seen pairs leave via NOT EXISTS against the cumulative
@@ -608,6 +697,17 @@ object Graph {
          |         'c' || CAST(ck AS VARCHAR), w FROM pairs),
          |${pagerankWeightedOracleCtes(5, 1000000000000L)}
          |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin,
+
+    "graph_hits" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |${hitsOracleCtes(4, 1000000000L)}
+         |SELECT node, h AS score, 'hub' AS side FROM h4
+         |UNION ALL
+         |SELECT node, a AS score, 'auth' AS side FROM a4
+         |ORDER BY side, node""".stripMargin,
 
     "graph_degree" ->
       s"""WITH $edgesSql,

@@ -906,6 +906,64 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
+    "snap_sql_stream_write" -> { (s, d) =>
+      // `writeStream.toTable(cat.store)` on BOTH layouts — the WRITE
+      // half of the catalog's streaming surface (reads are
+      // snap_sql_changes): two controlled micro-batches land as one
+      // published version each through the store's own mergeDelta
+      // (batch 1 = %60=0 keys; batch 2 upserts the %120=0 half at +3
+      // and inserts the %60=30 keys), so the tip AND the pinned
+      // epoch-1 version are both declaratively recomputable. The sink
+      // is a keyed upsert — replayed epochs converge to the same
+      // state (the idempotent-sink contract; spec covers restart,
+      // update-mode aggregation, and read/write composition). Warm
+      // passes skip the landed stream by version presence.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlsw_$fp"
+      val cat = s"snapsw_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      lazy val b1 = ord.filter(k % 60 === 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      lazy val b2 = ord.filter(k % 120 === 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1) + 3.0)).toSeq ++
+        ord.filter(k % 60 === 30)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      for ((t, layout) <- Seq(("sw_snap", "snapshot"), ("sw_linked", "linked"))) {
+        def vs(): Seq[Long] =
+          if (layout == "snapshot") new SnapshotStore(s, s"$base/$t", "o_orderkey").versions()
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions()
+        if (vs().isEmpty) s.sql(
+          s"""CREATE TABLE $cat.$t (o_orderkey BIGINT, o_totalprice DOUBLE)
+             |TBLPROPERTIES('key'='o_orderkey', 'layout'='$layout')""".stripMargin)
+        if (!vs().contains(3L)) {
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+          import s.implicits._
+          val ms = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Double)]
+          val q = ms.toDF().toDF("o_orderkey", "o_totalprice").writeStream
+            .option("checkpointLocation",
+              s"$base/_ckpt_$t-${java.util.UUID.randomUUID()}")
+            .toTable(s"$cat.$t")
+          try {
+            ms.addData(b1); q.processAllAvailable()
+            ms.addData(b2); q.processAllAvailable()
+          } finally q.stop()
+        }
+      }
+      def agg(df: DataFrame, layout: String, ver: Long) =
+        df.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(layout)).withColumn("ver", lit(ver))
+      Seq("sw_snap", "sw_linked").map { t =>
+        agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 2"), t, 2L)
+          .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), t, 3L))
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
     "snap_sql_history" -> { (s, d) =>
       // The `<cat>.<store>.history` metadata table on BOTH layouts —
       // the DESCRIBE-HISTORY surface: one row per version with its
@@ -1633,6 +1691,25 @@ object Snapshot {
         |  SELECT c.*, l.layout FROM cl c
         |    CROSS JOIN (VALUES ('cc_snap'), ('cc_linked')) AS l(layout)) a
         |ORDER BY a.layout, a.bucket""".stripMargin,
+
+    "snap_sql_stream_write" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
+        |    CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 60 = 0 GROUP BY 1),
+        |tip AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 120 = 0
+        |      THEN o_totalprice + 3 ELSE o_totalprice END
+        |      AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |    CAST(3 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 60 IN (0, 30) GROUP BY 1)
+        |SELECT a.bucket, a.n, a.sum_price, l.layout, a.ver
+        |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM tip) a
+        |CROSS JOIN (VALUES ('sw_snap'), ('sw_linked')) AS l(layout)
+        |ORDER BY l.layout, a.ver, a.bucket""".stripMargin,
 
     "snap_sql_history" ->
       """WITH h AS (

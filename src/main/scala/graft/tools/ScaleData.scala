@@ -55,8 +55,20 @@ object ScaleData {
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
+    // Scaled FACT tables must land in enough part files (and therefore
+    // row groups) to parallelize a plain scan: Spark assigns a parquet
+    // split real work only when a row group STARTS inside it, so a
+    // 74 MB single-row-group documents file reads as ONE partition and
+    // every narrow map-only text query over it runs single-threaded —
+    // which is what the r12 sf10 probe of text_anonymize measured
+    // (188 s, ~22×/decade) before this fix: a testdata-layout
+    // artifact, not an engine cost. 4×factor files ≈ tens of MB each
+    // at these scales; fixed dims stay single-file.
     def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      val out =
+        if (t == "region" || t == "nation") df.coalesce(1)
+        else df.repartition(math.max(8, 4 * factor))
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scale] $t -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
     def shift(c: String, o: Long) = (col(c) + col("__rep") * lit(o)).as(c)

@@ -945,6 +945,10 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     if (onMerge.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
     if (onMerge.isDefined) caps.add(TableCapability.TRUNCATE)
     if (streamInfo.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
+    // writeStream.toTable — per-epoch keyed upserts through mergeDelta
+    // (StoreStreamingWrite); tip loads only, like every write verb
+    if (streamInfo.isDefined && onMerge.isDefined)
+      caps.add(TableCapability.STREAMING_WRITE)
     caps
   }
   override def columns(): Array[Column] = delegate.columns()
@@ -984,7 +988,12 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsTruncate
+      // Update-mode streaming aggregations are sound as appends HERE
+      // because the streaming write is a keyed upsert: each updated
+      // aggregate row replaces its group-key row (see
+      // StoreStreamingWrite's contract)
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwrite = false
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         overwrite = true; this
@@ -997,6 +1006,13 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
                   overwriteFlag: Boolean): Unit =
                 runInsert(data, overwrite || overwriteFlag)
             }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val si = streamInfo.getOrElse(throw new UnsupportedOperationException(
+              "writeStream.toTable is only supported on the table tip"))
+            new StoreStreamingWrite(SparkSession.active, si.base, si.linked,
+              si.key(), info.schema(), info.queryId())
+          }
         }
     }
 

@@ -257,6 +257,27 @@ class DataQualitySpec extends SparkSpec {
     assert(out("n.k->v") == ((1L, 0L, 1L)))      // null lhs rows excluded
   }
 
+  test("mutualInfo: identical columns give MI = H and NMI = 1; independence gives 0; nulls excluded") {
+    import graft.operators.DataQuality
+    // y = f(x) bijectively: MI = H(X) = -(2/3·ln(2/3) + 1/3·ln(1/3)),
+    // NMI = 1 exactly (2·MI/(H+H))
+    val dep = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("x", "y")
+    val d = DataQuality.mutualInfo(Seq(("dep", dep, "x", "y"))).collect().head
+    val h = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(d.getAs[Long]("n_rows") == 3L && d.getAs[Long]("n_cells") == 2L)
+    assert(math.abs(d.getAs[Double]("mi_nats") - h) < 1e-5)
+    assert(d.getAs[Double]("nmi") == 1.0)
+    // a uniform 2x2 product distribution: every cell p = px·py -> MI 0
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val i = DataQuality.mutualInfo(Seq(("ind", ind, "x", "y"))).collect().head
+    assert(i.getAs[Double]("mi_nats") == 0.0 && i.getAs[Double]("nmi") == 0.0)
+    // null in either column drops the row before every count
+    val withNull = Seq(("a", Integer.valueOf(1)), ("a", null.asInstanceOf[Integer]),
+      ("b", Integer.valueOf(2))).toDF("x", "y")
+    val n = DataQuality.mutualInfo(Seq(("n", withNull, "x", "y"))).collect().head
+    assert(n.getAs[Long]("n_rows") == 2L && n.getAs[Long]("n_cells") == 2L)
+  }
+
   test("entropy: uniform two-value column is ln2/1.0/0.5; constants are 0/null/0; nulls excluded") {
     val uniform = Seq("a", "a", "b", "b").toDF("c")
     val constant = Seq(Some("x"), Some("x"), None).toDF("c")

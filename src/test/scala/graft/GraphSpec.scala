@@ -151,6 +151,22 @@ class GraphSpec extends SparkSpec {
     assert(cl(1L) == ((4L, 10L, 1600000L)), s"node 1 saw ${cl(1L)}")
   }
 
+  test("hits: hand-worked bipartite 2-round integers; hub/auth order") {
+    // c1→s1, c2→{s1,s2}, scale 1200: round 1 a=(800,400) h=(480,720);
+    // round 2 a_raw=(1200,720) tot 1920 → a=(750,450), h_raw=(750,1200)
+    // tot 1950 → h=(461,738) under floor division.
+    val e = Seq(("c1", "s1"), ("c2", "s1"), ("c2", "s2")).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2, scale = 1200L)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(1)).toMap
+    assert(got == Map(
+      ("c1", "hub") -> 461L, ("c2", "hub") -> 738L,
+      ("s1", "auth") -> 750L, ("s2", "auth") -> 450L))
+    // the two-edge customer out-hubs the one-edge one; the shared
+    // supplier out-ranks the exclusive one
+    assert(got(("c2", "hub")) > got(("c1", "hub")))
+    assert(got(("s1", "auth")) > got(("s2", "auth")))
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
