@@ -636,20 +636,27 @@ object Graph {
     * back to BIGINT so `//` and the overflow line match the engine.
     * Ends at CTEs `a$iters(node, a)` and `h$iters(node, h)`. */
   def hitsOracleCtes(iters: Int, scale: Long): String = {
+    // every CTE here is referenced >= 2x per unrolled round (the raw
+    // frame feeds both its total and its renormalization; each side
+    // feeds the next half-round) — MATERIALIZED, or DuckDB's CTE
+    // inlining goes exponential in rounds (the kcore lesson; the
+    // un-materialized draft spilled >60 GB at sf0.1 before dying)
     val rounds = (1 to iters).map { k =>
       val p = k - 1
-      s"""ar$k AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
          |  FROM pairs e JOIN h$p h ON e.src = h.node GROUP BY 1),
-         |at$k AS (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM ar$k),
-         |a$k AS (SELECT node, (a * $scale) // t.tot AS a FROM ar$k CROSS JOIN at$k t),
-         |hr$k AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+         |at$k AS MATERIALIZED (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT node, (a * $scale) // t.tot AS a FROM ar$k CROSS JOIN at$k t),
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
          |  FROM pairs e JOIN a$k a ON e.dst = a.node GROUP BY 1),
-         |ht$k AS (SELECT CAST(SUM(h) AS BIGINT) AS tot FROM hr$k),
-         |h$k AS (SELECT node, (h * $scale) // t.tot AS h FROM hr$k CROSS JOIN ht$k t)"""
+         |ht$k AS MATERIALIZED (SELECT CAST(SUM(h) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT node, (h * $scale) // t.tot AS h FROM hr$k CROSS JOIN ht$k t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""hn AS (SELECT DISTINCT src AS node FROM pairs),
-       |h0 AS (SELECT node,
+    s"""hn AS MATERIALIZED (SELECT DISTINCT src AS node FROM pairs),
+       |h0 AS MATERIALIZED (SELECT node,
        |  CAST($scale AS BIGINT) // (SELECT COUNT(*) FROM hn) AS h FROM hn),
        |$rounds""".stripMargin
   }
@@ -699,7 +706,7 @@ object Graph {
          |SELECT node, r AS rank_scaled FROM r5 ORDER BY node""".stripMargin,
 
     "graph_hits" ->
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
