@@ -475,7 +475,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //       tip dir byte-copies to dst v1 (the layout is self-contained
   //       by design), zone map re-homed
 
-  private val procedureNames = Array("compact", "vacuum", "retention", "zorder", "clone")
+  //   CALL <cat>.replicate('tbl', 'mirror_tbl')
+  //     → one-directional mirror sync onto another catalog table
+  //       (linked layout): missing pool files stream first, absent
+  //       manifests land complete-tmp+rename, common manifests
+  //       fingerprint-verify; idempotent
+  //   CALL <cat>.parity('tbl')
+  //     → build/refresh the pool's XOR parity sidecars (linked);
+  //       fail-closed: damaged groups are SKIPPED and surfaced
+  //   CALL <cat>.repair('tbl' [, 'mirror_tbl'])
+  //     → reconstruct lost pool files: from parity sidecars (single
+  //       loss per group, md5-verified), or from the named mirror —
+  //       the durability ladder's SQL surface
+
+  private val procedureNames =
+    Array("compact", "vacuum", "retention", "zorder", "clone",
+      "replicate", "parity", "repair")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -495,6 +510,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new UnsupportedOperationException(
         s"this procedure needs the store's key column: $base/_store.json is " +
           "absent — run the maintenance through the store API"))
+  }
+
+  /** The durability-ladder procedures are shared-pool machinery: the
+    * linked layout only (a snapshot layout's self-contained version
+    * dirs replicate by plain directory copy — clone covers that). */
+  private def linkedProcStore(t: Identifier,
+      proc: String): graft.operators.ManifestStore = {
+    if (!isLinked(t)) throw new UnsupportedOperationException(
+      s"CALL $proc: '${t.name()}' is a snapshot-layout store — the pool " +
+        "durability ladder (parity/replicate/repair) is the linked layout's; " +
+        "deep-copy a snapshot table with CALL clone")
+    val base = storePath(t)
+    new graft.operators.ManifestStore(spark, base, procKey(base))
   }
 
   private def procResult(schema: StructType,
@@ -658,6 +686,45 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val dst = st.cloneTo(dstBase, tip, cts)
           Array(utf8("snapshot"), utf8("deep"), tip, dst.stats(1L)._2)
         }
+      }
+      case "replicate" => bound("replicate",
+        Array(tableParam, ProcedureParameter.in("target", StringType).build()),
+        StructType(Seq(StructField("files_copied", LongType),
+          StructField("bytes_copied", LongType),
+          StructField("versions_copied", LongType),
+          StructField("manifests_repaired", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val dst = tableIdentOf(in.getUTF8String(1).toString)
+        val st = linkedProcStore(t, "replicate")
+        val (files, bytes, versions, repaired) = st.replicateTo(storePath(dst))
+        Array(files, bytes, versions.size.toLong, repaired.toLong)
+      }
+      case "parity" => bound("parity",
+        Array(tableParam),
+        StructType(Seq(StructField("incremental", LongType),
+          StructField("rebuilt", LongType),
+          StructField("skipped_groups", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val (inc, rebuilt, skipped) = linkedProcStore(t, "parity").updateParity()
+        Array(inc, rebuilt, skipped.size.toLong)
+      }
+      case "repair" => bound("repair",
+        Array(tableParam,
+          ProcedureParameter.in("mirror", StringType).defaultValue("''").build()),
+        StructType(Seq(StructField("rung", StringType),
+          StructField("n_repaired", LongType),
+          StructField("n_unrepairable", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val mirror = in.getUTF8String(1).toString
+        val st = linkedProcStore(t, "repair")
+        val (rung, repaired, unrepairable) =
+          if (mirror.isEmpty) {
+            val (r, u) = st.repairFromParity(); ("parity", r, u)
+          } else {
+            val (r, u) = st.repairFrom(storePath(tableIdentOf(mirror)))
+            ("mirror", r, u)
+          }
+        Array(utf8(rung), repaired.size.toLong, unrepairable.size.toLong)
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — available: ${procedureNames.mkString(", ")}")

@@ -394,6 +394,51 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(res2.getLong(3) <= 2L)
   }
 
+  test("CALL parity/repair/replicate: the durability ladder through SQL") {
+    root: Unit
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new graft.operators.ManifestStore(spark, s"$root/call_dur", "k")
+    st.write((1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, numFiles = 4,
+      commitTs = Some(1000L))
+    // parity: first call builds sidecars, none skipped; repair: no-op
+    val p = spark.sql("CALL snapcat.parity('call_dur')").collect().head
+    assert(p.getLong(1) > 0L && p.getLong(2) == 0L, p)
+    val r0 = spark.sql("CALL snapcat.repair('call_dur')").collect().head
+    assert(r0.getString(0) == "parity" && r0.getLong(1) == 0L && r0.getLong(2) == 0L)
+    // replicate onto a catalog table name, then read the mirror via SQL
+    val rep = spark.sql("CALL snapcat.replicate('call_dur', 'call_dur_m')").collect().head
+    assert(rep.getLong(0) == 4L && rep.getLong(2) == 1L, rep)
+    assert(spark.sql("SELECT * FROM snapcat.call_dur_m").count() == 40L)
+    assert(rows("SELECT k, v FROM snapcat.call_dur") ==
+      rows("SELECT k, v FROM snapcat.call_dur_m"))
+    // lose one pool file; CALL repair reconstructs it from parity and
+    // the damaged table reads green again through SQL
+    val pool = new org.apache.hadoop.fs.Path(s"$root/call_dur/files")
+    val victim = fsys.listStatus(pool).filter(_.isFile)
+      .map(_.getPath).minBy(_.getName)
+    fsys.delete(victim, false)
+    val r1 = spark.sql("CALL snapcat.repair('call_dur')").collect().head
+    assert(r1.getString(0) == "parity" && r1.getLong(1) == 1L && r1.getLong(2) == 0L, r1)
+    assert(spark.sql("SELECT * FROM snapcat.call_dur").count() == 40L)
+    // wipe the parity sidecars AND a file: the parity rung refuses,
+    // the mirror rung restores
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/call_dur/_pool_parity"), true)
+    fsys.delete(victim, false)
+    val r2 = spark.sql("CALL snapcat.repair('call_dur')").collect().head
+    assert(r2.getLong(1) == 0L)
+    val r3 = spark.sql("CALL snapcat.repair('call_dur', 'call_dur_m')").collect().head
+    assert(r3.getString(0) == "mirror" && r3.getLong(1) == 1L && r3.getLong(2) == 0L, r3)
+    assert(rows("SELECT k, v FROM snapcat.call_dur") ==
+      rows("SELECT k, v FROM snapcat.call_dur_m"))
+    // snapshot layout refuses the ladder with a pointer to clone
+    val snap = new SnapshotStore(spark, s"$root/call_dur_snap", "k")
+    snap.write(Seq((1L, "a")).toDF("k", "v"), 1L)
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("CALL snapcat.parity('call_dur_snap')").collect())
+    assert(e.getMessage.contains("linked layout"))
+  }
+
   test("CALL compact rewrites a snapshot tip in place, preserving identity and commit ts") {
     root: Unit
     val st = new SnapshotStore(spark, s"$root/call_csnap", "k")
