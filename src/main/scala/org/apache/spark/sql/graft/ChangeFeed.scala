@@ -137,7 +137,27 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
 private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
     linked: Boolean, keyCol: String, schema: StructType, rowsOnly: Boolean,
     ignoreDeletes: Boolean, startingVersion: Option[Long],
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String, maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    s"maxVersionsPerTrigger must be >= 1, got ${maxVersionsPerTrigger.get}")
+
+  // Rate limiting (Delta's maxFilesPerTrigger analogue at this store's
+  // natural granularity): cap each micro-batch at N COMMITS, so
+  // replaying a long history arrives as N-version batches instead of
+  // one giant catch-up batch. Admission control gives latestOffset the
+  // start offset the plain signature lacks.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val tip = ChangeFeed.versionsOf(spark, base, linked).max
+    val s = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersionsPerTrigger.map(m => math.min(tip, s + m)).getOrElse(tip))
+  }
 
   private val spillRoot = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc")
   private def fs = spillRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,7 +344,9 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
           new ChangesMicroBatchStream(spark, base, linked, keyCol, feedSchema,
             rowsOnly = false, ignoreDeletes = false,
             startingVersion = Option(options.get("startingVersion")).map(_.toLong),
-            checkpointLocation)
+            checkpointLocation,
+            maxVersionsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
       }
     }
 }

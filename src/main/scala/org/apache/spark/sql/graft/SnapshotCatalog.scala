@@ -1037,7 +1037,9 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
             ignoreDeletes = options.getBoolean("ignoreDeletes", false),
             startingVersion =
               Option(options.get("startingVersion")).map(_.toLong),
-            checkpointLocation = loc))
+            checkpointLocation = loc,
+            maxVersionsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong)))
       case None => delegate.newScanBuilder(options)
     }
 

@@ -151,4 +151,22 @@ class ChangeFeedSpec extends SparkSpec {
       || plan.contains("GreaterThanOrEqual(k,2)"), s"filter not pushed:\n$plan")
     assert(plan.contains("ReadSchema: struct<k:bigint>"), s"column pruning lost:\n$plan")
   }
+
+  test("maxVersionsPerTrigger paces the replay one commit per batch; content unchanged") {
+    buildChain("cfr_linked", linked = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck3").toString
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("cfcat.cfr_linked.changes")
+      .writeStream.format("memory").queryName("cf_paced")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // same feed, arriving as one batch PER COMMIT instead of one
+      // catch-up batch: 3 commits -> >= 3 data-bearing micro-batches
+      assert(rows(spark.table("cf_paced")) == commit1 ++ commit2 ++ commit3)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 paced batches, saw $dataBatches")
+    } finally q.stop()
+  }
 }
