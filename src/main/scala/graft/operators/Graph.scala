@@ -321,6 +321,37 @@ object Graph {
       .select(col("m").as("part_id"), col("n_reached"), col("dist_sum"),
         expr(s"(n_reached * n_reached * $scale) div dist_sum").as("lin_scaled"))
 
+  /** Ego betweenness (Everett & Borgatti, "Ego network betweenness"
+    * 2005 — the tractable local stand-in for Freeman betweenness that
+    * correlates with it strongly on sparse graphs): for each center v,
+    * Σ over NON-ADJACENT neighbor pairs (s,t) of 1/σ_st, where σ_st =
+    * the number of common neighbors of s and t (every 2-path s–·–t is
+    * a geodesic exactly when s,t aren't adjacent). EXACT integers:
+    * contributions are `scale div σ` summed in 64 bits. The wedge
+    * stream is the triangle operator's Σ C(deg,2) bound, so this takes
+    * the THRESHOLD-BOUNDED strong graph (the linkpred posture); the
+    * closing anti-join (drop adjacent pairs) and the σ re-aggregate
+    * are keyed shuffles on the wedge endpoints. */
+  def egoBetweenness(edgesIn: DataFrame, scale: Long): DataFrame = {
+    val e = edgesIn.localCheckpoint() // edges normalized u < v
+    val nb1 = e.select(col("u").as("c"), col("v").as("s"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("s")))
+    val nb2 = e.select(col("u").as("c2"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("c2"), col("u").as("t")))
+    val wedges = nb1.join(nb2, col("c") === col("c2") && col("s") < col("t"))
+      .select(col("c"), col("s"), col("t"))
+    val ex = e.select(col("u").as("s2"), col("v").as("t2"))
+    val open = wedges.join(ex,
+        col("s") === col("s2") && col("t") === col("t2"), "left_anti")
+      .localCheckpoint()
+    val sigma = open.groupBy("s", "t").agg(count(lit(1)).as("cn"))
+    open.join(sigma, Seq("s", "t"))
+      .select(col("c"), expr(s"$scale div cn").as("contrib"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_open_wedges"), sum(col("contrib")).as("eb_scaled"))
+      .select(col("c").as("part_id"), col("n_open_wedges"), col("eb_scaled"))
+  }
+
   /** The shared all-sources bounded BFS: (n, m, d) pairs with
     * 1 ≤ d = d(n, m) ≤ maxHops. Per round: previous frontier ⋈
     * symmetric edges, minus already-seen pairs (anti-join), frames
@@ -552,6 +583,14 @@ object Graph {
       // and the x1e6 scale keeps n²·scale far inside 64 bits on the
       // core²-bounded strong graph.
       closenessCentrality(strongCoPurchaseEdges(s, d, 2), maxHops = 4, scale = 1000000L)
+        .orderBy("part_id")
+    },
+
+    "graph_ego_betweenness" -> { (s, d) =>
+      // Ego betweenness on the strong graph (the wedge-stream scale
+      // posture shared with triangles/linkpred); x1e6 keeps every
+      // scale div σ contribution integral and the sums tiny in 64 bits.
+      egoBetweenness(strongCoPurchaseEdges(s, d, 2), scale = 1000000L)
         .orderBy("part_id")
     },
 
@@ -838,6 +877,28 @@ object Graph {
          |SELECT m AS part_id, COUNT(*) AS n_reached,
          |  CAST(SUM(12 // d) AS BIGINT) AS harmonic_scaled
          |FROM k4 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_ego_betweenness" -> {
+      // nb feeds both wedge sides and `open` feeds both the σ count
+      // and the contribution join — MATERIALIZED (the inlining lesson)
+      """WITH p AS MATERIALIZED (
+        |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+        |nb AS MATERIALIZED (SELECT u AS c, v AS x FROM p UNION ALL SELECT v, u FROM p),
+        |w AS MATERIALIZED (
+        |  SELECT n1.c, n1.x AS s, n2.x AS t
+        |  FROM nb n1 JOIN nb n2 ON n1.c = n2.c AND n1.x < n2.x),
+        |open AS MATERIALIZED (
+        |  SELECT c, s, t FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.u = w.s AND p.v = w.t)),
+        |sig AS MATERIALIZED (SELECT s, t, COUNT(*) AS cn FROM open GROUP BY 1, 2)
+        |SELECT o.c AS part_id, COUNT(*) AS n_open_wedges,
+        |  CAST(SUM(1000000 // g.cn) AS BIGINT) AS eb_scaled
+        |FROM open o JOIN sig g ON o.s = g.s AND o.t = g.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "graph_closeness" ->
       s"""WITH ${strongBfsCtes(4)}

@@ -151,6 +151,25 @@ class GraphSpec extends SparkSpec {
     assert(cl(1L) == ((4L, 10L, 1600000L)), s"node 1 saw ${cl(1L)}")
   }
 
+  test("egoBetweenness: star center carries all pairs; square splits geodesics; triangle is zero") {
+    // K1,3 (center 0): three non-adjacent leaf pairs, each with the
+    // single common neighbor 0 -> eb(0) = 3·scale, leaves have no
+    // wedges at all.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val s = Graph.egoBetweenness(star, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s == Map(0L -> ((3L, 3000000L))))
+    // C4 (square): each center's one neighbor pair has TWO common
+    // neighbors (both geodesics) -> each gets scale div 2
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val q = Graph.egoBetweenness(square, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q == Map(1L -> 500000L, 2L -> 500000L, 3L -> 500000L, 4L -> 500000L))
+    // K3: every neighbor pair is adjacent -> no open wedges anywhere
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.egoBetweenness(tri, scale = 1000000L).count() == 0L)
+  }
+
   test("hits: hand-worked bipartite 2-round integers; hub/auth order") {
     // c1→s1, c2→{s1,s2}, scale 1200: round 1 a=(800,400) h=(480,720);
     // round 2 a_raw=(1200,720) tot 1920 → a=(750,450), h_raw=(750,1200)
