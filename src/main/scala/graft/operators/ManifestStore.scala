@@ -84,7 +84,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * manifest level. */
   def write(df: DataFrame, version: Long, numFiles: Int = 4,
       commitTs: Option[Long] = None): Unit = {
-    require(!versions().contains(version), s"version $version already exists")
+    requireFreeVersion(version)
     val names = landInPool(
       df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol))
     require(names.nonEmpty, "write: empty input frame")
@@ -101,7 +101,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * store's key column — every later operation keys on it. */
   def createEmpty(schema: org.apache.spark.sql.types.StructType, version: Long = 1L,
       commitTs: Option[Long] = None): Unit = {
-    require(!versions().contains(version), s"version $version already exists")
+    requireFreeVersion(version)
     require(schema.fieldNames.contains(keyCol),
       s"createEmpty: declared schema ${schema.fieldNames.mkString("(", ",", ")")} " +
         s"lacks the store key column '$keyCol'")
@@ -174,9 +174,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       try o.write(sc.json.getBytes("UTF-8")) finally o.close()
     }
     fs.mkdirs(new Path(s"$basePath/_manifests"))
-    val dest = manifestDir(version)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+    // CAS publication (CommitProtocol): a concurrent writer racing the
+    // same version loses with a clean VersionConflictException — never
+    // an undefined rename-onto-existing outcome
+    val token = CommitProtocol.writeToken(fs, tmp)
+    CommitProtocol.publish(fs, tmp, manifestDir(version), token,
+      s"publish of v$version on $basePath")
   }
 
   /** Persist the construction contract (key column) in `_store.json`
@@ -207,7 +210,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * references. */
   def branch(fromVersion: Long, newVersion: Long,
       commitTs: Option[Long] = None): Unit = {
-    require(!versions().contains(newVersion), s"version $newVersion already exists")
+    requireFreeVersion(newVersion)
     publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
       evolvedSchema(fromVersion))
   }
@@ -260,32 +263,35 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     dst
   }
 
-  private def clonesPath(base: String) = new Path(base, "_clones.json")
-  private def clonesAside(base: String) = new Path(base, "_clones.json.old")
+  private def clonesPath(base: String) = ManifestStore.clonesPath(base)
+  private def clonesAside(base: String) = ManifestStore.clonesAside(base)
 
   /** Clone bases registered with the pool owner at `base` — the set
-    * whose manifests [[vacuum]] must honor. Falls back to the
-    * registration aside when a crash parked the live file mid-update. */
-  private def registeredClones(base: String): Seq[String] = {
-    val p = if (fs.exists(clonesPath(base))) clonesPath(base) else clonesAside(base)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      // fixed-shape sidecar written only by registerClone: the quoted
-      // strings inside the [...] list are the clone bases
-      val list = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(list)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    * whose manifests [[vacuum]] must honor. */
+  private def registeredClones(base: String): Seq[String] =
+    ManifestStore.registeredClonesAt(fs, base)
+
+  /** Repair the owner's registry after THIS CLONE's base dir moved
+    * (the catalog's `ALTER TABLE ... RENAME TO`): replace `oldBase`
+    * with the current base. Without this, a renamed clone silently
+    * detaches — its references stop counting and the owner's next
+    * vacuum can reclaim pool files the clone still needs. No-op on a
+    * pool owner or when the owner's base is gone. */
+  def relocatedFrom(oldBase: String): Unit = storedPool.foreach { _ =>
+    val owner = poolOwnerBase
+    if (fs.exists(new Path(owner))) {
+      val kept = registeredClones(owner).filterNot(_ == oldBase)
+      writeCloneRegistry(owner, (kept :+ basePath).distinct)
     }
   }
 
   /** Append `cloneBase` to the owner's registry: write-aside-rename —
     * the previous registry parks as the aside until the new one is
     * live, so no crash point loses registered references. */
-  private def registerClone(ownerBase: String, cloneBase: String): Unit = {
-    val all = (registeredClones(ownerBase) :+ cloneBase).distinct
+  private def registerClone(ownerBase: String, cloneBase: String): Unit =
+    writeCloneRegistry(ownerBase, (registeredClones(ownerBase) :+ cloneBase).distinct)
+
+  private def writeCloneRegistry(ownerBase: String, all: Seq[String]): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = s"""{"clones": [${all.map(b => "\"" + esc(b) + "\"").mkString(", ")}]}"""
     val tmp = new Path(ownerBase, s".tmp-clones-${java.util.UUID.randomUUID()}")
@@ -311,7 +317,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def dropColumns(fromVersion: Long, toVersion: Long, cols: Seq[String],
       commitTs: Option[Long] = None): Unit = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
     // the sidecar verbatim when present, so surviving columns keep
@@ -341,7 +347,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
       numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     require(from != keyCol,
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
@@ -423,6 +429,67 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted.toIndexedSeq
   }
 
+  /** Pre-check half of the commit CAS: refuse a commit whose target
+    * version already exists. The authoritative check is the token
+    * verify inside [[publish]] — this one just fails BEFORE the work. */
+  private def requireFreeVersion(v: Long): Unit =
+    if (versions().contains(v))
+      throw new VersionConflictException(
+        s"$basePath: version $v already exists")
+
+  /** OPTIMISTIC-CONCURRENCY merge — the multi-writer front door over
+    * [[mergeDelta]] (Delta/Iceberg's commit-retry contract):
+    *
+    *   1. read the tip, attempt `mergeDelta(tip, tip+1, …)`;
+    *   2. on a lost commit race ([[VersionConflictException]] — a
+    *      concurrent writer published tip+1 first), re-diff: if the
+    *      keys OUR commit touches are DISJOINT from every key the
+    *      interleaved commits changed, the two commits commute — rebase
+    *      onto the new tip and retry;
+    *   3. overlapping keys abort with
+    *      [[ConcurrentWriteConflictException]] — retrying would
+    *      silently pick a winner between causally-unordered updates.
+    *
+    * The conflict check is the store's own manifest-pruned [[diff]]
+    * (O(|changed files|), not O(snapshot)) semi-joined against the
+    * commit's key set — metadata-plus-changed-rows work per retry.
+    * Returns the version this commit published as. */
+  def mergeAtTip(delta: DataFrame, deleteKeys: Option[DataFrame] = None,
+      numNewFiles: Int = 4, commitTs: Option[Long] = None,
+      maxRetries: Int = 5, readVersion: Option[Long] = None): Long = {
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    val mine = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
+      .distinct().localCheckpoint()
+    // the conflict check runs against the version the delta was DERIVED
+    // from (Delta's OptimisticTransaction.readVersion): pass it when the
+    // delta was computed from an earlier read; default = current tip
+    var base = readVersion.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException(
+        s"mergeAtTip on $basePath: store has no committed versions"))
+    var attempt = 0
+    while (true) {
+      try {
+        mergeDelta(base, base + 1, delta, deleteKeys, numNewFiles, commitTs)
+        return base + 1
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val tip = latestVersion().getOrElse(base)
+          if (tip > base) {
+            val theirs = diff(base, tip).select(keyCol)
+            if (mine.join(theirs, Seq(keyCol), "left_semi").limit(1).count() > 0)
+              throw new ConcurrentWriteConflictException(
+                s"mergeAtTip on $basePath: concurrent commit(s) v${base + 1}..v$tip " +
+                  "changed keys this merge also touches — rebasing would drop one " +
+                  "writer's update; re-read the tip and re-derive the delta")
+            base = tip
+          }
+      }
+    }
+    -1L // unreachable: the loop returns or throws
+  }
+
   private def commitTsOf(v: Long): Long = {
     val p = new Path(manifestDir(v), "_commit_ts")
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -494,7 +561,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * later merges carry the clustered files' stats by reference. */
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
-    require(!versions().contains(version), s"version $version already exists")
+    requireFreeVersion(version)
     val missing = zCols.filterNot(c => c == keyCol || statsCols.contains(c))
     require(missing.isEmpty,
       s"z-order columns need manifest stats — construct the store with statsCols containing $missing")
@@ -563,7 +630,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 4,
       commitTs: Option[Long] = None,
       fill: Map[String, Any] = Map.empty): (Int, Int) = {
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
     // schema evolution, SnapshotStore.mergeDelta's contract: a column
     // the delta ADDS joins via the union-schema sidecar (shared files
@@ -637,7 +704,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * rowsDeleted). */
   def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
       numNewFiles: Int = 2, commitTs: Option[Long] = None): (Int, Int, Long) = {
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
     // narrow match scan: Catalyst prunes to pred's columns, the filter
     // pushes to the parquet reader; emits one row per MATCHING FILE
@@ -835,7 +902,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * filesRewritten). */
   def compact(fromVersion: Long, toVersion: Long, minBytes: Long = 8L << 20,
       targetFiles: Int = 4, commitTs: Option[Long] = None): (Int, Int) = {
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
     val sizes = man.select("file").collect().map(_.getString(0)).map { n =>
       n -> fs.getFileStatus(new Path(poolDir, n)).getLen
@@ -1441,4 +1508,41 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
     (repaired.result(), unrepairable.result())
   }
+}
+
+object ManifestStore {
+  import org.apache.hadoop.fs.FileSystem
+
+  private[operators] def clonesPath(base: String) = new Path(base, "_clones.json")
+  private[operators] def clonesAside(base: String) = new Path(base, "_clones.json.old")
+
+  /** Clone bases registered with the pool owner at `base`. Falls back
+    * to the registration aside when a crash parked the live file
+    * mid-update. Shared by the store and the SQL catalog's
+    * destructive verbs (DROP TABLE / RENAME TO must not strand a
+    * live clone's pool). */
+  def registeredClonesAt(fs: FileSystem, base: String): Seq[String] = {
+    val p = if (fs.exists(clonesPath(base))) clonesPath(base) else clonesAside(base)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // fixed-shape sidecar written only by registerClone: the quoted
+      // strings inside the [...] list are the clone bases
+      val list = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(list)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+  }
+
+  /** Registered clones that still exist on disk. A dropped clone needs
+    * no deregistration — it simply stops counting; a LIVE one is a
+    * hard reference the owner's destructive verbs must refuse to
+    * strand. */
+  def liveClonesAt(fs: FileSystem, base: String): Seq[String] =
+    registeredClonesAt(fs, base).filter { b =>
+      try fs.exists(new Path(b, "_manifests"))
+      catch { case _: java.io.IOException => false }
+    }
 }

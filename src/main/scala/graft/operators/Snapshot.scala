@@ -919,18 +919,21 @@ object Snapshot {
       // update-mode aggregation, and read/write composition). Warm
       // passes skip the landed stream by version presence.
       val fp = Tables.fingerprint(s, d, "orders")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlsw_$fp"
-      val cat = s"snapsw_$fp"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlsw2_$fp"
+      val cat = s"snapsw2_$fp"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", base)
       val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
       val k = col("o_orderkey")
-      lazy val b1 = ord.filter(k % 60 === 0)
+      // MemoryStream input is inherently driver-side, so the fixture is
+      // CAPPED: the first 2000 matching keys per batch (key order —
+      // deterministic, o_orderkey is unique), bounded at EVERY sf
+      // instead of growing with the fact table
+      lazy val b1 = ord.filter(k % 60 === 0).orderBy("o_orderkey").limit(2000)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      lazy val b2 = ord.filter(k % 120 === 0)
-        .collect().map(r => (r.getLong(0), r.getDouble(1) + 3.0)).toSeq ++
-        ord.filter(k % 60 === 30)
+      lazy val b2 = b1.filter(_._1 % 120 == 0).map { case (kk, p) => (kk, p + 3.0) } ++
+        ord.filter(k % 60 === 30).orderBy("o_orderkey").limit(2000)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       for ((t, layout) <- Seq(("sw_snap", "snapshot"), ("sw_linked", "linked"))) {
         def vs(): Seq[Long] =
@@ -1307,6 +1310,41 @@ object Snapshot {
       store.read(2L)
         .groupBy((col("o_orderkey") % 100).as("bucket"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
+    "snap_concurrent_merge" -> { (s, d) =>
+      // Optimistic concurrency end-to-end (the Delta/Iceberg
+      // multi-writer contract): writer A commits an update set at the
+      // tip; writer B — whose delta was DERIVED FROM v1 (readVersion),
+      // i.e. it genuinely raced A — loses the CAS on v2, re-diffs
+      // v1..v2, proves its keys are disjoint from A's changes, and
+      // REBASES to v3. The oracle is the serial application of both
+      // commits; `serialized_ok` pins the version chain the race must
+      // produce (1,2,3 — never a lost or duplicated version).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_occ_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(3L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, numFiles = 16)
+        // writer A: reprice keys ≡ 4 mod 13
+        val deltaA = ord.filter(col("o_orderkey") % 13 === 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        // writer B (computed against v1, BEFORE A lands): reprice keys
+        // ≡ 6 mod 17 that A does NOT touch, plus fresh inserts
+        val deltaB = ord
+          .filter(col("o_orderkey") % 17 === 6 && col("o_orderkey") % 13 =!= 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 250.0)
+          .unionByName(ord.filter(col("o_orderkey") % 29 === 7)
+            .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+        if (!store.versions().contains(2L)) store.mergeAtTip(deltaA): Unit
+        // B's commit of v2 hits the CAS conflict and rebases onto v2
+        store.mergeAtTip(deltaB, readVersion = Some(1L)): Unit
+      }
+      store.read(3L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("serialized_ok", lit(store.versions() == Seq(1L, 2L, 3L)))
         .orderBy("bucket")
     },
 
@@ -1693,19 +1731,28 @@ object Snapshot {
         |ORDER BY a.layout, a.bucket""".stripMargin,
 
     "snap_sql_stream_write" ->
-      """WITH v2 AS (
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 60 = 0 ORDER BY o_orderkey LIMIT 2000),
+        |b2b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 60 = 30 ORDER BY o_orderkey LIMIT 2000),
+        |v2 AS (
         |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
         |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
         |      AS sum_price,
         |    CAST(2 AS BIGINT) AS ver
-        |  FROM orders WHERE o_orderkey % 60 = 0 GROUP BY 1),
+        |  FROM b1 GROUP BY 1),
+        |tipset AS (
+        |  SELECT o_orderkey, CASE WHEN o_orderkey % 120 = 0
+        |    THEN o_totalprice + 3 ELSE o_totalprice END AS o_totalprice FROM b1
+        |  UNION ALL SELECT o_orderkey, o_totalprice FROM b2b),
         |tip AS (
         |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
-        |    ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 120 = 0
-        |      THEN o_totalprice + 3 ELSE o_totalprice END
-        |      AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price,
         |    CAST(3 AS BIGINT) AS ver
-        |  FROM orders WHERE o_orderkey % 60 IN (0, 30) GROUP BY 1)
+        |  FROM tipset GROUP BY 1)
         |SELECT a.bucket, a.n, a.sum_price, l.layout, a.ver
         |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM tip) a
         |CROSS JOIN (VALUES ('sw_snap'), ('sw_linked')) AS l(layout)
@@ -1894,6 +1941,25 @@ object Snapshot {
         |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_concurrent_merge" ->
+      """WITH after_a AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 4 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |after_b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 17 = 6 AND o_orderkey % 13 <> 4
+        |         THEN o_totalprice + 250 ELSE o_totalprice END AS o_totalprice
+        |  FROM after_a
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 29 = 7)
+        |SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS serialized_ok
+        |FROM after_b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_read_asof" ->
       """WITH merged AS (

@@ -152,10 +152,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
-    val dest = new Path(dir(version))
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"snapshot publish failed: rename $tmp -> $dest")
+    casPublish(tmp, version, "write")
   }
 
   private def writeCommitTs(versionDir: Path, ts: Long): Unit = {
@@ -292,7 +289,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * must carry the store's key column. */
   def createEmpty(schema: org.apache.spark.sql.types.StructType, version: Long = 1L,
       commitTs: Option[Long] = None): Unit = {
-    require(!versions().contains(version), s"version $version already exists")
+    requireFreeVersion(version)
     require(schema.fieldNames.contains(keyCol),
       s"createEmpty: declared schema ${schema.fieldNames.mkString("(", ",", ")")} " +
         s"lacks the store key column '$keyCol'")
@@ -460,6 +457,67 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
       .filter(v => fs.exists(new Path(dir(v), "_SUCCESS")))
       .sorted
+  }
+
+  /** Pre-check half of the commit CAS ([[CommitProtocol]]): refuse a
+    * commit whose target version already exists before doing the
+    * work; the authoritative check is the token verify at publish. */
+  private def requireFreeVersion(v: Long): Unit =
+    if (versions().contains(v))
+      throw new VersionConflictException(
+        s"$basePath: version $v already exists")
+
+  /** CAS publication of a fully-built version dir — the layout's
+    * [[CommitProtocol]] hookup. Exactly one concurrent publisher of
+    * `toVersion` wins; the rest throw [[VersionConflictException]]
+    * with their leftovers removed. */
+  private def casPublish(tmp: Path, toVersion: Long, what: String): Unit = {
+    val token = CommitProtocol.writeToken(fs, tmp)
+    CommitProtocol.publish(fs, tmp, new Path(dir(toVersion)), token,
+      s"$what to v$toVersion on $basePath")
+  }
+
+  /** OPTIMISTIC-CONCURRENCY merge — [[ManifestStore.mergeAtTip]]'s
+    * dir-per-version twin: attempt `mergeDelta(tip, tip+1, …)`; on a
+    * lost commit race, re-diff against the new tip — commits touching
+    * DISJOINT key sets commute, so rebase and retry; overlapping keys
+    * abort with [[ConcurrentWriteConflictException]] (retrying would
+    * silently drop one writer's update). Returns the published
+    * version. */
+  def mergeAtTip(delta: DataFrame, deleteKeys: Option[DataFrame] = None,
+      numNewFiles: Int = 4, commitTs: Option[Long] = None,
+      maxRetries: Int = 5, readVersion: Option[Long] = None): Long = {
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    val mine = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
+      .distinct().localCheckpoint()
+    // the conflict check runs against the version the delta was DERIVED
+    // from (Delta's OptimisticTransaction.readVersion): pass it when the
+    // delta was computed from an earlier read; default = current tip
+    var base = readVersion.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException(
+        s"mergeAtTip on $basePath: store has no committed versions"))
+    var attempt = 0
+    while (true) {
+      try {
+        mergeDelta(base, base + 1, delta, deleteKeys, numNewFiles, commitTs)
+        return base + 1
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val tip = latestVersion().getOrElse(base)
+          if (tip > base) {
+            val theirs = diff(base, tip).select(keyCol)
+            if (mine.join(theirs, Seq(keyCol), "left_semi").limit(1).count() > 0)
+              throw new ConcurrentWriteConflictException(
+                s"mergeAtTip on $basePath: concurrent commit(s) v${base + 1}..v$tip " +
+                  "changed keys this merge also touches — rebasing would drop one " +
+                  "writer's update; re-read the tip and re-derive the delta")
+            base = tip
+          }
+      }
+    }
+    -1L // unreachable: the loop returns or throws
   }
 
   def read(version: Long): DataFrame = evolvedSchema(version) match {
@@ -698,16 +756,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
     }
-    val dest = new Path(dir(toVersion))
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"mergeDelta publish failed: rename $tmp -> $dest")
+    casPublish(tmp, toVersion, "mergeDelta")
     // incremental zone map: untouched rows carry over with the version
     // prefix remapped; only the new files are scanned
     val carried = zm.filter(!col("file").isin(touched.toSeq: _*))
       .withColumn("file",
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-    val newFiles = newNames.map(n => new Path(dest, n).toString).toSeq
+    val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
     val aggs = Seq(
       min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
       count(lit(1)).as("n_rows")) ++
@@ -738,7 +793,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       commitTs: Option[Long] = None): Unit = {
     ensureStoreMeta()
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
     val cur = evolvedSchema(fromVersion)
@@ -760,10 +815,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val out = fs.create(new Path(tmp, "_schema.json"), true)
     try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
-    val dest = new Path(dir(toVersion))
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"dropColumns publish failed: rename $tmp -> $dest")
+    casPublish(tmp, toVersion, "dropColumns")
     zoneMap(fromVersion).foreach { zm =>
       val keep = zm.columns.toSeq.filterNot(c =>
         cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
@@ -788,7 +840,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
     ensureStoreMeta()
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     require(from != keyCol,
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
@@ -840,7 +892,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       pruneHint: Option[(String, Any, Any)] = None): (Int, Int, Long) = {
     ensureStoreMeta()
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
-    require(!versions().contains(toVersion), s"version $toVersion already exists")
+    requireFreeVersion(toVersion)
     val unionSchema = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     val matches = coalesce(pred, lit(false))
@@ -888,10 +940,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
     }
-    val dest = new Path(dir(toVersion))
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"deleteWhere publish failed: rename $tmp -> $dest")
+    casPublish(tmp, toVersion, "deleteWhere")
     // zone map: untouched rows carry with the version remapped, only
     // the rewritten files rescan (same incremental shape as mergeDelta)
     zoneMap(fromVersion).foreach { zm =>
@@ -903,7 +952,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .isin(touchedNames.toSeq: _*))
         .withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-      val newFiles = newNames.map(n => new Path(dest, n).toString).toSeq
+      val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
       val aggs = Seq(
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows")) ++

@@ -83,7 +83,7 @@ private[graft] object ChangeFeed {
     * table — columns a commit predates read null). */
   def changesBetween(spark: SparkSession, base: String, linked: Boolean,
       keyCol: String, fromCommit: Long, toCommit: Long,
-      target: StructType): DataFrame = {
+      target: StructType, allowInitialSnapshot: Boolean = true): DataFrame = {
     val h = handles(spark, base, linked, keyCol)
     val all = h.fold(_.versions(), _.versions())
     val inRange = all.filter(v => v >= fromCommit && v <= toCommit).sorted
@@ -91,7 +91,21 @@ private[graft] object ChangeFeed {
       all.filter(_ < b).lastOption match {
         case Some(a) =>
           align(h.fold(_.diff(a, b), _.diff(a, b)), keyCol, target, b)
-        case None => // earliest retained commit: full state as inserts
+        case None =>
+          // no retained predecessor. For the stream bootstrap (and the
+          // store's genuine first commit, which never HAD one) the full
+          // state as `insert` rows IS the exact change set — Delta's
+          // initial-snapshot semantics. For an explicit bounded range
+          // whose predecessor was PRUNED by retention, that replay
+          // would silently reclassify older commits' rows as inserts
+          // at commit b, so the read fails instead (Delta's
+          // table_changes contract).
+          if (!allowInitialSnapshot && b != 1L) throw new IllegalStateException(
+            s"change feed on $base: commit $b's predecessor has been pruned by " +
+              "retention, so a bounded VERSION AS OF range can no longer " +
+              "reconstruct its exact change set (rows from older commits would " +
+              s"be mis-attributed as inserts at $b). Stream with startingVersion " +
+              "for initial-snapshot bootstrap semantics, or widen retention.")
           align(h.fold(_.read(b), _.read(b)).withColumn("change_type", lit("insert")),
             keyCol, target, b)
       }
@@ -240,8 +254,11 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
     val e = end.asInstanceOf[VersionOffset].v
     if (fs.exists(spillRoot)) fs.listStatus(spillRoot).foreach { st =>
       val name = st.getPath.getName // "<start>-<end>[-rows]"
-      val endPart = name.stripSuffix("-rows").split('-').lift(1)
-      if (endPart.exists(p => scala.util.Try(p.toLong).toOption.exists(_ <= e)))
+      // regex parse: offsets can be NEGATIVE (initialOffset is
+      // startingVersion - 1), so naive split('-') would misread "-1-3"
+      val endPart = "^(-?\\d+)-(-?\\d+)$".r
+        .findFirstMatchIn(name.stripSuffix("-rows")).map(_.group(2).toLong)
+      if (endPart.exists(_ <= e))
         fs.delete(st.getPath, true): Unit
     }
   }
@@ -283,10 +300,33 @@ private[graft] class StreamCapableScanBuilder(inner: ScanBuilder,
   override def build(): Scan = new StreamCapableScan(inner.build(), mkStream)
 }
 
-private[graft] class StreamCapableScan(d: Scan,
+private[graft] class StreamCapableScan(val d: Scan,
     mkStream: String => MicroBatchStream) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  // runtime (dynamic) filtering forwards to the wrapped parquet scan —
+  // without this every catalog tip read would silently lose dynamic
+  // partition pruning; equals/hashCode delegate so exchange/scan REUSE
+  // still recognizes two plans over the same underlying scan
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = d match {
+    case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      r.filterAttributes()
+    case _ => Array.empty
+  }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = d match {
+    case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      r.filter(predicates)
+    case _ => ()
+  }
+  override def equals(other: Any): Boolean = other match {
+    case s: StreamCapableScan => d == s.d
+    case _ => false
+  }
+  override def hashCode(): Int = d.hashCode()
   override def readSchema(): StructType = d.readSchema()
   override def toBatch: Batch = d.toBatch
   override def description(): String = d.description()
@@ -336,8 +376,11 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
             override def sqlContext: org.apache.spark.sql.SQLContext = context
             override def schema: StructType = feedSchema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              // an EXPLICIT `a..b` range is a contract about those exact
+              // commits: a pruned predecessor fails the read instead of
+              // silently replaying full state as inserts
               ChangeFeed.changesBetween(spark, base, linked, keyCol, lo, hi,
-                feedSchema).rdd
+                feedSchema, allowInitialSnapshot = range.isEmpty).rdd
           }.asInstanceOf[T]
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -920,7 +920,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val p = new org.apache.hadoop.fs.Path(storePath(ident))
+    guardLiveClones(storePath(ident), "DROP TABLE")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Refuse a destructive verb on a pool OWNER whose shared pool is
+    * still referenced by live shallow clones — deleting or moving the
+    * pool under them is data loss the clone registry exists to
+    * prevent. A dropped clone (base dir gone) stops counting. */
+  private def guardLiveClones(base: String, verb: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.operators.ManifestStore.liveClonesAt(fs, base)
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"$verb on $base refused: its shared file pool is referenced by live " +
+        s"shallow clone(s) ${live.mkString(", ")} — DROP the clones (or deep-copy " +
+        "them) first")
   }
 
   /** `ALTER TABLE <cat>.<old> RENAME TO <new>` — one directory rename
@@ -935,8 +950,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val src = new org.apache.hadoop.fs.Path(storePath(oldIdent))
     val dst = new org.apache.hadoop.fs.Path(storePath(newIdent))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pool owner with live clones cannot move: the clones' recorded
+    // pool pointer (absolute) would dangle
+    guardLiveClones(storePath(oldIdent), "ALTER TABLE ... RENAME TO")
     if (!fs.rename(src, dst)) throw new java.io.IOException(
       s"RENAME TABLE failed: $src -> $dst")
+    // a moved CLONE re-points its registration with the pool owner —
+    // otherwise its references silently stop counting and the owner's
+    // next vacuum could reclaim pool files the clone still needs
+    if (graft.operators.SnapshotStore.readStoredPool(fs, storePath(newIdent)).isDefined) {
+      val key = graft.operators.SnapshotStore
+        .readStoredKeyCol(fs, storePath(newIdent)).getOrElse("")
+      new graft.operators.ManifestStore(spark, storePath(newIdent), key)
+        .relocatedFrom(storePath(oldIdent))
+    }
   }
 }
 

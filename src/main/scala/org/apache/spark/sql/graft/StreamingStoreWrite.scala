@@ -117,12 +117,16 @@ private[graft] class StoreStreamingWrite(spark: SparkSession, base: String,
         s"streaming write to $base: epoch $epochId carries duplicate '$key' " +
           "values — the store's key is a unique identity, so which row wins " +
           "would be nondeterministic; aggregate or dedupe upstream")
+      // commit through the stores' optimistic-concurrency front door:
+      // a concurrent batch INSERT or second stream racing the tip
+      // rebases (disjoint keys) or fails loudly with a conflict error
+      // — never an undefined rename-onto-existing outcome
       if (linked) {
         val st = new graft.operators.ManifestStore(spark, base, key)
-        st.mergeDelta(st.versions().max, st.versions().max + 1, staged): Unit
+        st.mergeAtTip(staged): Unit
       } else {
         val st = new graft.operators.SnapshotStore(spark, base, key)
-        st.mergeDelta(st.versions().max, st.versions().max + 1, staged): Unit
+        st.mergeAtTip(staged): Unit
       }
     }
     recordEpoch(epochId)

@@ -67,6 +67,32 @@ class ChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("bounded range over a pruned predecessor fails loudly; stream bootstrap still replays") {
+    buildChain("cf_pruned", linked = true)
+    val st = new ManifestStore(spark, s"$root/cf_pruned", "k")
+    st.prune(keep = Seq(2L, 3L)): Unit // v1 gone: v2 has no retained predecessor
+    // explicit `a..b` range: Delta's table_changes contract — fail
+    // instead of silently reclassifying older commits' rows as inserts
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM cfcat.cf_pruned.changes VERSION AS OF '2..3'").collect())
+    assert(e.getMessage.contains("pruned"), s"wrong error: ${e.getMessage}")
+    // a range whose start still has its predecessor is unaffected
+    assert(rows(spark.sql(
+      "SELECT * FROM cfcat.cf_pruned.changes VERSION AS OF '3..3'")) == commit3)
+    // the STREAM bootstrap keeps initial-snapshot semantics: v2 full
+    // state as inserts, then v3's exact diff
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfpr_ck").toString
+    val q = spark.readStream.table("cfcat.cf_pruned.changes")
+      .writeStream.format("memory").queryName("cf_pruned_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_pruned_stream")) ==
+        Set((1L, "a", "insert", 2L), (2L, "b2", "insert", 2L),
+          (4L, "d", "insert", 2L)) ++ commit3)
+    } finally q.stop()
+  }
+
   test("readStream.table(t.changes) replays the merge chain bit-for-bit vs the batch feed") {
     buildChain("cfs_linked", linked = true)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck").toString

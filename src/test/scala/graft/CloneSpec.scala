@@ -132,4 +132,38 @@ class CloneSpec extends SparkSpec {
       Set((1L, "l1"), (2L, "l2"), (7L, "new")))
     assert(content(spark.sql("SELECT * FROM clonecat.t_linked")) == Set((1L, "l1"), (2L, "l2")))
   }
+
+  test("catalog verbs honor the clone registry: owner DROP/RENAME refuse, clone RENAME re-registers") {
+    val root = tmpBase("verbs")
+    spark.conf.set("spark.sql.catalog.vcat",
+      classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vcat.root", root)
+    val owner = new ManifestStore(spark, s"$root/own", "k")
+    owner.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L, numFiles = 1)
+    owner.cloneTo(s"$root/cl", 1L): Unit
+    // DROP / RENAME of the pool OWNER with a live clone: refused —
+    // deleting or moving the shared pool under the clone is data loss
+    val e1 = intercept[IllegalStateException](spark.sql("DROP TABLE vcat.own"))
+    assert(e1.getMessage.contains("live"))
+    intercept[IllegalStateException](
+      spark.sql("ALTER TABLE vcat.own RENAME TO own2"))
+    assert(content(spark.sql("SELECT * FROM vcat.own")) == Set((1L, "a"), (2L, "b")))
+    // RENAME of the CLONE re-points its registration, so the owner's
+    // vacuum keeps honoring the moved clone's references
+    spark.sql("ALTER TABLE vcat.cl RENAME TO cl2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestStore.liveClonesAt(fs, s"$root/own") == Seq(s"$root/cl2"))
+    assert(content(spark.sql("SELECT * FROM vcat.cl2")) == Set((1L, "a"), (2L, "b")))
+    // owner merges + vacuums: the MOVED clone's fork-point files survive
+    owner.mergeDelta(1L, 2L, Seq((1L, "a2")).toDF("k", "v")): Unit
+    owner.prune(keep = Seq(2L)): Unit
+    owner.vacuum(tmpTtlMs = 0L): Unit
+    assert(content(spark.sql("SELECT * FROM vcat.cl2")) == Set((1L, "a"), (2L, "b")),
+      "vacuum after clone rename reclaimed files the clone references")
+    // once the clone is DROPPED, the owner's verbs unblock
+    spark.sql("DROP TABLE vcat.cl2")
+    spark.sql("ALTER TABLE vcat.own RENAME TO own2")
+    assert(content(spark.sql("SELECT * FROM vcat.own2")) == Set((1L, "a2"), (2L, "b")))
+  }
 }
