@@ -434,6 +434,39 @@ object Graph {
     degrees(e).select(col("n").as("part_id"), col("dg").as("core_degree"))
   }
 
+  /** COMMUNITY DETECTION by deterministic synchronous label
+    * propagation (Raghavan, Albert & Kumara 2007, made reproducible):
+    * labels start as node ids; each of `rounds` SYNCHRONOUS rounds,
+    * every node adopts the MOST FREQUENT label among its neighbors,
+    * ties broken by MIN label. Classic LPA is randomized (random
+    * update order, random tie-breaks) and therefore unverifiable; the
+    * fixed-round synchronous min-tie variant is the unrolled-CTE-
+    * provable one (the kcore posture: output = EXACTLY the fixed-round
+    * state, converged or not). Exact integers end to end — the
+    * frequency vote rides a lexicographic MIN over (-count, label).
+    *
+    * Runs on the THRESHOLD-BOUNDED strong graph (the linkpred
+    * posture): one keyed shuffle per round (symmetric edges ⋈ labels
+    * on src, re-aggregate on dst), label frames node-sized, per-round
+    * localCheckpoint keeps the plan flat. Edges pre-partition by the
+    * join key ONCE; only the node-sized label frame moves per round. */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val sym = edgesIn.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edgesIn.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("dst")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
+        .select(col("dst").as("node"), col("b.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("part_id"), col("lbl").as("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> { (s, d) =>
       // Degree histogram of the co-purchase graph — the first question
@@ -454,6 +487,16 @@ object Graph {
     "graph_pagerank" -> { (s, d) =>
       pagerank(tradeEdges(s, d), iters = 5, scale = 1000000000000L)
         .orderBy("node")
+    },
+
+    "graph_communities" -> { (s, d) =>
+      // Communities on the strong co-purchase graph: 4 synchronous
+      // min-tie LPA rounds (see labelPropagation — the deterministic,
+      // oracle-able variant), one shuffle per round. The oracle unrolls
+      // the identical vote per round (MATERIALIZED CTEs from round one
+      // — the HITS lesson).
+      labelPropagation(strongCoPurchaseEdges(s, d, 2), rounds = 4)
+        .orderBy("part_id")
     },
 
     "graph_linkpred" -> { (s, d) =>
@@ -729,6 +772,50 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_communities" ->
+      s"""WITH p AS (
+         |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+         |  FROM lineitem la JOIN lineitem lb
+         |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |c1 AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c1) t WHERE rn = 1),
+         |c2 AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c2) t WHERE rn = 1),
+         |c3 AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         |l3 AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c3) t WHERE rn = 1),
+         |c4 AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l3 l ON e.src = l.node GROUP BY 1, 2),
+         |l4 AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c4) t WHERE rn = 1)
+         |SELECT node AS part_id, lbl AS community FROM l4
+         |ORDER BY part_id""".stripMargin,
+
     "graph_pagerank_weighted" ->
       s"""WITH pairs AS (
          |  SELECT o_custkey AS ck, l_suppkey AS sk,

@@ -162,10 +162,15 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * inside, ONE rename goes live — a version can never exist without
     * the metadata that makes its mixed-schema files readable. */
   private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      dv: Option[DataFrame] = None): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // the deletion vector publishes atomically WITH the version — a
+    // version dir can never exist whose mask is missing or stale
+    dv.foreach(_.select(col("file"), col("pos")).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(tmp, "_dv").toString))
     val out = fs.create(new Path(tmp, "_commit_ts"), true)
     try out.write(commitTs.getOrElse(System.currentTimeMillis()).toString.getBytes("UTF-8"))
     finally out.close()
@@ -212,7 +217,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       commitTs: Option[Long] = None): Unit = {
     requireFreeVersion(newVersion)
     publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
-      evolvedSchema(fromVersion))
+      evolvedSchema(fromVersion), dv = dvFrame(fromVersion))
   }
 
   /** True when this store OWNS its pool dir — false on a shallow
@@ -259,7 +264,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     finally out.close()
     val dst = new ManifestStore(spark, dstBase, keyCol, statsCols, parityFilesPerGroup)
     dst.publish(1L, manifest(fromVersion).localCheckpoint(), commitTs,
-      evolvedSchema(fromVersion))
+      evolvedSchema(fromVersion), dv = dvFrame(fromVersion))
     dst
   }
 
@@ -332,7 +337,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val keep = man.columns.toSeq.filterNot(c =>
       cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
     publish(toVersion, man.select(keep.map(col): _*).localCheckpoint(),
-      commitTs, Some(newSchema))
+      commitTs, Some(newSchema), dv = dvFrame(fromVersion))
   }
 
   /** Schema-evolution RENAME COLUMN. Parquet resolves columns BY NAME
@@ -403,7 +408,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   /** Read a file subset under `version`'s schema contract: evolved
     * versions read with the union schema (old files yield null for
     * columns they predate). */
-  private def readFiles(version: Long, paths: Seq[String]): DataFrame =
+  /** Physical read — every stored row, INCLUDING rows the version's
+    * deletion vector marks deleted. Integrity audits ([[validate]])
+    * check file physics, so they read here; everything semantic goes
+    * through [[readFiles]]. */
+  private def readFilesRaw(version: Long, paths: Seq[String]): DataFrame =
     evolvedSchema(version) match {
       case Some(sc) =>
         // fills recorded by an evolving mergeDelta apply uniformly at
@@ -413,6 +422,44 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         val df = spark.read.schema(sc).parquet(paths: _*)
         if (fills.isEmpty) df else df.na.fill(fills)
       case None => spark.read.parquet(paths: _*)
+    }
+
+  private def dvDir(v: Long) = new Path(manifestDir(v), "_dv")
+
+  /** The version's DELETION VECTOR, when a merge-on-read delete
+    * published one: (file basename, row position) pairs masked out of
+    * every semantic read — Delta/Iceberg's deletion-vector design at
+    * parquet row-index granularity. Lives INSIDE the manifest dir, so
+    * it publishes atomically with the version and prunes with it. */
+  private[operators] def dvFrame(version: Long): Option[DataFrame] = {
+    val p = dvDir(version)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
+  /** Semantic read: physical rows minus the deletion vector. The DV
+    * is kept metadata-sized by [[deleteWhere]]'s auto policy, so the
+    * mask is one BROADCAST anti-join on (file, row position) — no
+    * shuffle lands on the data path, and a version without a DV pays
+    * nothing. Positions come from the parquet reader's own
+    * `_metadata.row_index`, which is stable because pool files are
+    * immutable. */
+  private def readFiles(version: Long, paths: Seq[String]): DataFrame =
+    dvFrame(version) match {
+      case None => readFilesRaw(version, paths)
+      case Some(dv) =>
+        val sc = evolvedSchema(version)
+        val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
+        val masked = raw
+          .withColumn("__dv_file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dv.toDF("__dv_file", "__dv_pos")),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos")
+        val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
+        if (fills.isEmpty) masked else masked.na.fill(fills)
     }
 
   def manifest(version: Long): DataFrame = {
@@ -496,6 +543,22 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val in = fs.open(p)
     try in.readFully(buf) finally in.close()
     new String(buf, "UTF-8").trim.toLong
+  }
+
+  /** Bytes a commit ADDED: pool sizes of the files exclusive to
+    * `version` vs its retained predecessor (the first retained commit
+    * counts whole). Metadata-only — two manifest reads + FS stats; the
+    * change feed's byte-based admission control paces on it. */
+  def commitBytes(version: Long): Long = {
+    val prev = versions().filter(_ < version).lastOption
+    val cur = manifest(version).select("file").collect().map(_.getString(0)).toSet
+    val old = prev.map(p =>
+      manifest(p).select("file").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    (cur diff old).toSeq.map { n =>
+      val p = new Path(poolDir, n)
+      if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+    }.sum
   }
 
   /** Newest version committed at-or-before `ts`. */
@@ -692,7 +755,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val nRewritten = stats.fold(0L)(_.count()).toInt
     publish(toVersion,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
-      if (evolved || stats.isEmpty) Some(unionSchema) else None)
+      if (evolved || stats.isEmpty) Some(unionSchema) else None,
+      dv = carryDv(fromVersion, shared))
     (shared.count().toInt, nRewritten)
   }
 
@@ -703,19 +767,53 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * loss, not deletion). Returns (filesShared, filesRewritten,
     * rowsDeleted). */
   def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
-      numNewFiles: Int = 2, commitTs: Option[Long] = None): (Int, Int, Long) = {
+      numNewFiles: Int = 2, commitTs: Option[Long] = None,
+      mode: String = "auto"): (Int, Int, Long) = {
+    require(Set("auto", "cow", "dv")(mode),
+      s"deleteWhere mode must be auto|cow|dv, got '$mode'")
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
-    // narrow match scan: Catalyst prunes to pred's columns, the filter
-    // pushes to the parquet reader; emits one row per MATCHING FILE
-    val matching = read(fromVersion).filter(pred)
-      .select(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .groupBy("file").agg(count(lit(1)).as("__hits"))
+    // one narrow match scan serves BOTH strategies: Catalyst prunes to
+    // pred's columns + the metadata struct; emits (file, row position)
+    // per matching VISIBLE row (already-masked rows can't re-match)
+    val sc = evolvedSchema(fromVersion)
+    val paths = resolve(fromVersion)
+    val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
+    val withPos = raw.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+      col("_metadata.row_index").as("__p"))
+    val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
+    val filled = if (fills.isEmpty) withPos else withPos.na.fill(fills)
+    val visible = dvFrame(fromVersion).map(d =>
+      filled.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
+      .getOrElse(filled)
+    val matchRows = visible.filter(coalesce(pred, lit(false)))
+      .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+    val matching = matchRows.groupBy("file").agg(count(lit(1)).as("__hits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
     if (matching.isEmpty) {
-      publish(toVersion, shared, commitTs)
+      publish(toVersion, shared, commitTs, evolvedSchema(fromVersion),
+        dv = carryDv(fromVersion, shared))
       return (shared.count().toInt, 0, 0L)
+    }
+    // strategy: MERGE-ON-READ (deletion vector) when the match is
+    // sparse relative to the files it touches — rewriting a 1 GB file
+    // to drop 3 rows is the 100 TB scale-killer DVs exist to avoid —
+    // COPY-ON-WRITE when the delete is dense (the mask would stop
+    // being metadata-sized and every read would pay it forever)
+    val nMatched = matching.values.sum
+    val touchedPhysRows = man.filter(col("file").isin(matching.keys.toSeq: _*))
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    val useDv = mode == "dv" ||
+      (mode == "auto" && nMatched * 5 <= touchedPhysRows)
+    if (useDv) {
+      val merged = dvFrame(fromVersion).map(_.unionByName(matchRows))
+        .getOrElse(matchRows)
+      publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+        dv = Some(merged))
+      return (man.count().toInt, 0, nMatched)
     }
     val kept = readFiles(fromVersion,
         matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
@@ -729,9 +827,19 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
       if (stats.isEmpty && shared.isEmpty)
         evolvedSchema(fromVersion).orElse(Some(kept.schema))
-      else evolvedSchema(fromVersion))
-    (shared.count().toInt, stats.fold(0L)(_.count()).toInt, matching.values.sum)
+      else evolvedSchema(fromVersion),
+      dv = carryDv(fromVersion, shared))
+    (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
   }
+
+  /** DV entries that survive into a child version: only those naming
+    * files the child still SHARES (a rewritten file materialized its
+    * survivors, so its mask is obsolete). None when nothing carries —
+    * a store that stops using DVs stops paying for them. */
+  private def carryDv(fromVersion: Long, shared: DataFrame): Option[DataFrame] =
+    dvFrame(fromVersion)
+      .map(_.join(shared.select("file"), Seq("file"), "left_semi").localCheckpoint())
+      .filter(_.limit(1).count() > 0)
 
   /** Adopt a dir-per-version SnapshotStore chain into this (empty)
     * linked store — the migration path that needs no data rewrite
@@ -753,6 +861,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     fs.mkdirs(poolDir)
     versions.sorted.map { v =>
       val srcDir = new Path(s"$srcBase/v=$v")
+      require(!fs.exists(new Path(srcDir, "_dv")),
+        s"adoptChain: source version $v carries a deletion vector — positions " +
+          "would not survive the pool re-name; compact the source first")
       val parts = fs.listStatus(srcDir).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       var copied = 0
@@ -815,11 +926,45 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
           .as("change_type"))
       .filter(col("change_type").isNotNull) // both-sides-equal rows drop out
-    b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
+    val fileDiff = b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
       .unionByName(
         a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol)),
         allowMissingColumns = true)
+    // MERGE-ON-READ deletes move no files: rows masked between the two
+    // versions' deletion vectors inside SHARED files are deletes the
+    // file-set diff cannot see — read exactly those (file, pos) rows
+    // from the older side's content
+    dvDeletesBetween(fromVersion, toVersion, fromFiles intersect toFiles) match {
+      case None => fileDiff
+      case Some(rows) => fileDiff.unionByName(
+        rows.withColumn("change_type", lit("delete")), allowMissingColumns = true)
+    }
   }
+
+  /** Rows newly masked by `toVersion`'s DV relative to `fromVersion`'s,
+    * within `sharedNames` — served with their OLD content (the diff
+    * delete-row contract). None when no DV grew. */
+  private def dvDeletesBetween(fromVersion: Long, toVersion: Long,
+      sharedNames: Set[String]): Option[DataFrame] =
+    dvFrame(toVersion).flatMap { dvTo =>
+      val grown0 = dvFrame(fromVersion)
+        .fold(dvTo)(dvFrom => dvTo.join(dvFrom, Seq("file", "pos"), "left_anti"))
+      val grown = grown0.filter(col("file").isin(sharedNames.toSeq: _*))
+        .localCheckpoint()
+      val files = grown.select("file").distinct().collect().map(_.getString(0))
+      if (files.isEmpty) None
+      else {
+        val sc = evolvedSchema(fromVersion)
+        val paths = files.map(n => new Path(poolDir, n).toString).toIndexedSeq
+        val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
+        Some(raw.select(col("*"),
+            element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+            col("_metadata.row_index").as("__p"))
+          .join(broadcast(grown.toDF("__f", "__p")), Seq("__f", "__p"), "left_semi")
+          .drop("__f", "__p"))
+      }
+    }
 
   /** Integrity audit of one version against the pool: every manifest
     * entry's file must exist and hold exactly its recorded row count
@@ -854,17 +999,35 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType))))
     if (present.isEmpty) return missingDf
-    val actual = readFiles(version,
+    // PHYSICAL audit: manifest stats describe the stored file, so the
+    // scan must bypass the deletion vector (a masked row still exists)
+    val actual = readFilesRaw(version,
         present.map(r => new Path(poolDir, r.getString(0)).toString).toIndexedSeq)
       .select(element_at(split(input_file_name(), "/"), -1).as("file"), col(keyCol))
       .groupBy("file")
       .agg(count(lit(1)).as("__n"), min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
-    man.join(actual, Seq("file"), "inner")
+    val base = man.join(actual, Seq("file"), "inner")
       .select(col("file"),
         when(col("__n") =!= col("n_rows"), lit("count_mismatch"))
           .when(col("__lo") < col("min_key") || col("__hi") > col("max_key"), lit("range_mismatch"))
           .otherwise(lit("ok")).as("status"))
       .unionByName(missingDf)
+    // DV audit: every mask entry must name a manifest file and a
+    // position inside its recorded row count
+    dvFrame(version) match {
+      case None => base
+      case Some(dv) =>
+        val dvAgg = dv.groupBy("file")
+          .agg(max("pos").as("__maxp"), count(lit(1)).as("__ndv"))
+        val dvBad = dvAgg.join(man.select("file", "n_rows"), Seq("file"), "left_outer")
+          .select(col("file"),
+            when(col("n_rows").isNull, lit("dv_orphan"))
+              .when(col("__maxp") >= col("n_rows") || col("__ndv") > col("n_rows"),
+                lit("dv_overflow"))
+              .otherwise(lit("dv_ok")).as("status"))
+          .filter(col("status") =!= "dv_ok")
+        base.unionByName(dvBad)
+    }
   }
 
   /** Dedup-aware storage accounting across versions — the linked
@@ -909,15 +1072,18 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
     val small = sizes.filter(_._2 < minBytes).map(_._1)
     if (small.length <= 1) { // nothing to fold (0 or 1 fragment)
-      publish(toVersion, man, commitTs, evolvedSchema(fromVersion))
+      publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+        dv = dvFrame(fromVersion))
       return (sizes.length, 0)
     }
     val shared = man.filter(!col("file").isin(small.toSeq: _*))
+    // compaction FOLDS the deletion vector in: the rewrite reads the
+    // masked view, so folded files shed their DV entries for good
     val names = landInPool(
       readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq)
         .repartitionByRange(targetFiles, col(keyCol)).sortWithinPartitions(keyCol))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
-      commitTs, evolvedSchema(fromVersion))
+      commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
     (sizes.length - small.length, names.size)
   }
 

@@ -814,6 +814,34 @@ object Snapshot {
         .orderBy("layout", "_commit_version", "change_type", "o_orderkey")
     },
 
+    "snap_sql_changes_ts" -> { (s, d) =>
+      // TIMESTAMP-BOUNDED change feeds over snap_sql_changes's
+      // 3-commit chain (commits backdated to 1s/2s/3s): an ISO
+      // 'ts1..ts2' range resolves its bounds through the stored
+      // per-version commit timestamps (commits with ts1 <= commit_ts
+      // <= ts2, inclusive both ends), and a single TIMESTAMP AS OF
+      // means "changes SINCE ts" — commits at-or-after it through the
+      // tip, the replay-since-Tuesday read that previously required
+      // resolving timestamps to versions by hand. Both forms must
+      // equal their version-resolved twins; the oracle derives the
+      // feed declaratively. Resolution is metadata-only (history
+      // frames), the reads are the same manifest-pruned diffs.
+      queries("snap_sql_changes")(s, d).count(): Unit // build the lineage
+      val fp = Tables.fingerprint(s, d, "orders")
+      val cat = s"snapchg_$fp"
+      Seq("oc_snap", "oc_linked").map { t =>
+        s.sql(s"SELECT * FROM $cat.$t.changes " +
+            "VERSION AS OF '1970-01-01T00:00:02..1970-01-01T00:00:03'")
+          .withColumn("form", lit("range"))
+          .unionByName(
+            s.sql(s"SELECT * FROM $cat.$t.changes " +
+                "TIMESTAMP AS OF '1970-01-01 00:00:03'")
+              .withColumn("form", lit("since")))
+          .withColumn("layout", lit(t))
+      }.reduce(_ unionByName _)
+        .orderBy("layout", "form", "_commit_version", "change_type", "o_orderkey")
+    },
+
     "snap_sql_evolve" -> { (s, d) =>
       // SQL `ALTER TABLE DROP COLUMN` + `RENAME COLUMN` on BOTH
       // layouts, then DML on the evolved tip: DROP narrows via the
@@ -1403,6 +1431,32 @@ object Snapshot {
       store.read(2L).orderBy("o_orderkey")
     },
 
+    "snap_delete_dv" -> { (s, d) =>
+      // MERGE-ON-READ point delete (deletion vector): a sparse GDPR
+      // erasure (keys ≡ 0 mod 5000) over a full orders snapshot with
+      // ZERO data rewrite — the published version reuses every pool
+      // file by reference plus a metadata-sized (file, row-position)
+      // mask; reads apply it as one broadcast anti-join. This is the
+      // 100 TB path snap_delete_where's copy-on-write can't take: a
+      // 3-row delete there rewrites whole files. `zero_rewrite` pins
+      // the economics (identical manifest file sets across the
+      // delete); the oracle is the declarative complement.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, numFiles = 16)
+        store.deleteWhere(1L, 2L, col("o_orderkey") % 5000 === 0): Unit
+      }
+      def fileSet(v: Long) =
+        store.manifest(v).select("file").collect().map(_.getString(0)).toSet
+      store.read(2L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_rewrite", lit(fileSet(2L) == fileSet(1L)))
+        .orderBy("bucket")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -1701,6 +1755,36 @@ object Snapshot {
         |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
         |ORDER BY l.layout, c._commit_version, c.change_type, c.o_orderkey""".stripMargin,
 
+    "snap_sql_changes_ts" ->
+      """WITH c2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice + 10 END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN 'delete'
+        |         WHEN o_orderkey % 3 = 0 THEN 'update'
+        |         ELSE 'insert' END AS change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version
+        |  FROM orders
+        |  WHERE (o_orderkey % 5 = 0
+        |         AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0))
+        |     OR (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)),
+        |c3 AS (
+        |  SELECT o_orderkey, o_totalprice + 3 AS o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        |         THEN 'insert' ELSE 'update' END AS change_type,
+        |    CAST(3 AS BIGINT) AS _commit_version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |feeds AS (
+        |  SELECT *, 'range' AS form FROM c2
+        |  UNION ALL SELECT *, 'range' AS form FROM c3
+        |  UNION ALL SELECT *, 'since' AS form FROM c3)
+        |SELECT c.o_orderkey, c.o_totalprice, c.change_type, c._commit_version,
+        |  c.form, l.layout
+        |FROM feeds c
+        |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
+        |ORDER BY l.layout, c.form, c._commit_version, c.change_type,
+        |  c.o_orderkey""".stripMargin,
+
     "snap_sql_evolve" ->
       """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
@@ -1976,6 +2060,14 @@ object Snapshot {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
         |WHERE NOT (o_totalprice > 150000.0 AND o_orderstatus <> 'F')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "snap_delete_dv" ->
+      """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  TRUE AS zero_rewrite
+        |FROM orders WHERE o_orderkey % 5000 <> 0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_hll_gate" ->
       """SELECT l_returnflag, TRUE AS within_5pct FROM lineitem GROUP BY 1

@@ -520,9 +520,58 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     -1L // unreachable: the loop returns or throws
   }
 
+  private def dvPath(version: Long) = new Path(dir(version), "_dv")
+
+  /** The version's DELETION VECTOR — (file basename, row position)
+    * pairs masked out of every semantic read, when a merge-on-read
+    * [[deleteWhere]] published one. Lives inside the version dir
+    * (underscore-prefixed, like `_zonemap`), so it publishes
+    * atomically with the version. */
+  private[operators] def dvFrame(version: Long): Option[DataFrame] =
+    if (!fs.exists(new Path(dvPath(version), "_SUCCESS"))) None
+    else Some(spark.read.parquet(dvPath(version).toString))
+
+  /** Read `paths` (files or the version dir) with (file, position)
+    * captured as regular columns `__f`/`__p` and the version's DV
+    * applied — the masked-scan building block under every semantic
+    * read and rewrite. Positions come from the parquet reader's own
+    * `_metadata.row_index`; the DV broadcasts (kept metadata-sized by
+    * deleteWhere's auto policy), so no shuffle lands on the data. */
+  private def maskedScanWithPos(version: Long, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val raw = schema.map(x => spark.read.schema(x).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
+    val withPos = raw.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+      col("_metadata.row_index").as("__p"))
+    dvFrame(version).map(d =>
+      withPos.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
+      .getOrElse(withPos)
+  }
+
+  private def masked(version: Long, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    if (dvFrame(version).isEmpty)
+      schema.map(x => spark.read.schema(x).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+    else maskedScanWithPos(version, paths, schema).drop("__f", "__p")
+
+  /** Write the surviving DV entries (those naming files in `keep` —
+    * byte-carried under the same basename) into the tmp dir BEFORE
+    * publish, so the mask lands atomically with the version. A
+    * rewritten file materialized its survivors; its entries drop. */
+  private def carryDvInto(fromVersion: Long, tmp: Path,
+      keep: Set[String]): Unit =
+    dvFrame(fromVersion).foreach { dv =>
+      val kept = dv.filter(col("file").isin(keep.toSeq: _*)).localCheckpoint()
+      if (kept.limit(1).count() > 0)
+        kept.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "_dv").toString)
+    }
+
   def read(version: Long): DataFrame = evolvedSchema(version) match {
-    case Some(sc) => applyFills(spark.read.schema(sc).parquet(dir(version)), sc)
-    case None => spark.read.parquet(dir(version))
+    case Some(sc) => applyFills(masked(version, Seq(dir(version)), Some(sc)), sc)
+    case None => masked(version, Seq(dir(version)), None)
   }
 
   /** Commit history — the `DESCRIBE HISTORY` surface (ManifestStore
@@ -588,8 +637,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * zone-map-pruned restore sees the same columns a full read does. */
   private def readDataFiles(version: Long, files: Seq[String]): DataFrame =
     evolvedSchema(version) match {
-      case Some(sc) => applyFills(spark.read.schema(sc).parquet(files: _*), sc)
-      case None => spark.read.parquet(files: _*)
+      case Some(sc) => applyFills(masked(version, files, Some(sc)), sc)
+      case None => masked(version, files, None)
     }
 
   /** The version's data file paths — a metadata-only listing. File
@@ -603,6 +652,18 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(_.getName.startsWith("part-"))
 
   def latestVersion(): Option[Long] = versions().lastOption
+
+  /** Bytes a commit ADDED: sizes of the part files whose basename is
+    * NEW vs the retained predecessor (byte-carried files share their
+    * basename — [[mergeDelta]]'s identity contract). Metadata-only;
+    * the change feed's byte-based admission control paces on it. */
+  def commitBytes(version: Long): Long = {
+    val prev = versions().filter(_ < version).lastOption
+    val old = prev.map(p => dataFiles(p).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    dataFiles(version).filterNot(p => old(p.getName))
+      .map(p => fs.getFileStatus(p).getLen).sum
+  }
 
   def latest(): DataFrame = latestVersion() match {
     case Some(v) => read(v)
@@ -725,8 +786,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val (touchedParts, untouchedParts) = allParts.partition(p => touchedNames(p.getName))
     val survivors =
       if (touchedParts.isEmpty) align(delta.limit(0))
-      else spark.read.schema(unionSchema)
-        .parquet(touchedParts.map(_.toString).toIndexedSeq: _*)
+      else maskedScanWithPos(fromVersion,
+          touchedParts.map(_.toString).toIndexedSeq, Some(unionSchema))
+        .drop("__f", "__p") // masked: DV-deleted rows must not resurrect
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
@@ -748,6 +810,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
+    carryDvInto(fromVersion, tmp, untouchedParts.map(_.getName).toSet)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     if (evolved) {
       // the evolved union schema publishes atomically WITH the version
@@ -811,6 +874,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .foreach { p =>
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
       }
+    // every file byte-carries under its basename → the DV carries whole
+    dvFrame(fromVersion).foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, "_dv").toString))
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     val out = fs.create(new Path(tmp, "_schema.json"), true)
     try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
@@ -889,7 +955,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * chunk-repository twin [[ChunkStore.redact]]. */
   def deleteWhere(fromVersion: Long, toVersion: Long, pred: Column,
       numNewFiles: Int = 4, commitTs: Option[Long] = None,
-      pruneHint: Option[(String, Any, Any)] = None): (Int, Int, Long) = {
+      pruneHint: Option[(String, Any, Any)] = None,
+      mode: String = "auto"): (Int, Int, Long) = {
+    require(Set("auto", "cow", "dv")(mode),
+      s"deleteWhere mode must be auto|cow|dv, got '$mode'")
     ensureStoreMeta()
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
     requireFreeVersion(toVersion)
@@ -905,36 +974,84 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         allParts.filter(p => names(p.getName))
       }
     }.getOrElse(allParts)
-    // which candidate files hold matching rows, and how many. The
-    // match side filters on the BARE predicate: `filter` keeps only
-    // TRUE rows (nulls drop), identical to coalesce(pred,false), and
-    // the untranslatable coalesce wrapper would block parquet
-    // filter pushdown on this — the one scan whose pushdown matters.
-    val matchStats =
-      if (candidates.isEmpty) Map.empty[String, Long]
-      else spark.read.schema(unionSchema)
-        .parquet(candidates.map(_.toString): _*)
+    // which candidate rows match, and where. The match side filters on
+    // the BARE predicate: `filter` keeps only TRUE rows (nulls drop),
+    // identical to coalesce(pred,false), and the untranslatable
+    // coalesce wrapper would block parquet filter pushdown on this —
+    // the one scan whose pushdown matters. The scan is DV-masked, so
+    // an already-deleted row can never re-match.
+    val matchRows =
+      if (candidates.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType))))
+      else maskedScanWithPos(fromVersion, candidates.map(_.toString), Some(unionSchema))
         .filter(pred)
-        .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
-        .collect().map(r => base(r.getString(0)) -> r.getLong(1)).toMap
+        .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+    val matchStats = matchRows.groupBy("file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val deleted = matchStats.values.sum
     val (touchedParts, untouchedParts) =
       allParts.partition(p => matchStats.contains(p.getName))
+    // strategy (ManifestStore.deleteWhere's twin): merge-on-read when
+    // the match is sparse relative to the files it touches — a point
+    // delete then costs one byte-copy pass plus a metadata-sized mask
+    // instead of decoding and re-encoding every touched file — and
+    // copy-on-write when dense
+    val touchedPhys = touchedParts.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val useDv = deleted > 0 &&
+      (mode == "dv" || (mode == "auto" && deleted * 5 <= touchedPhys))
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (useDv) {
+      val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(tmp)
+      allParts.foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+      val merged = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(tmp, "_dv").toString)
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+      if (evolvedSchema(fromVersion).isDefined) {
+        val out = fs.create(new Path(tmp, "_schema.json"), true)
+        try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
+      }
+      casPublish(tmp, toVersion, "deleteWhere")
+      // no file changed identity: the zone map carries verbatim (its
+      // envelopes stay CONSERVATIVE over masked rows — pruning may
+      // open a file whose matches are all masked, never skip a live row)
+      zoneMap(fromVersion).foreach { zm =>
+        zm.withColumn("file",
+            regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+          .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      }
+      return (allParts.length, 0, deleted)
+    }
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
     val rewritten =
       if (touchedParts.isEmpty)
         spark.read.schema(unionSchema).parquet(dir(fromVersion)).limit(0)
-      else applyFills(spark.read.schema(unionSchema)
-          .parquet(touchedParts.map(_.toString): _*)
-          .filter(!matches), unionSchema) // fills materialize on rewrite (see mergeDelta)
+      else applyFills(
+          maskedScanWithPos(fromVersion, touchedParts.map(_.toString), Some(unionSchema))
+            .drop("__f", "__p") // masked: DV-deleted rows must not resurrect
+            .filter(!matches), unionSchema) // fills materialize on rewrite (see mergeDelta)
         .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
     rewritten.write.mode("overwrite").parquet(tmp.toString)
     val newNames = fs.listStatus(tmp).map(_.getPath.getName)
       .filter(_.startsWith("part-")).toSet
-    val conf = spark.sparkContext.hadoopConfiguration
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
+    carryDvInto(fromVersion, tmp, untouchedParts.map(_.getName).toSet)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     if (evolvedSchema(fromVersion).isDefined) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)

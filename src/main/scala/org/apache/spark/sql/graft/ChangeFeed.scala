@@ -71,6 +71,55 @@ private[graft] object ChangeFeed {
       case Right(s) => s.versions()
     }
 
+  /** (version, commit-ts millis) per retained version, ascending —
+    * resolved from the stores' own history (metadata-only). */
+  def commitTimesOf(spark: SparkSession, base: String,
+      linked: Boolean): Seq[(Long, Long)] =
+    handles(spark, base, linked, "").fold(_.history(), _.history())
+      .select("version", "commit_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  /** Bytes commit `v` added — the byte-admission unit. */
+  def commitBytesOf(spark: SparkSession, base: String, linked: Boolean,
+      v: Long): Long =
+    handles(spark, base, linked, "").fold(_.commitBytes(v), _.commitBytes(v))
+
+  /** Parse a user timestamp: epoch MILLIS (digits) or an ISO date /
+    * datetime read in UTC (the session timezone both the specs and the
+    * driver pin). */
+  def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else {
+      val ld =
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
+  /** Resolve the stream start from `startingVersion` /
+    * `startingTimestamp` (mutually exclusive). */
+  def resolveStart(spark: SparkSession, base: String, linked: Boolean,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Option[Long] = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "set either startingVersion or startingTimestamp, not both")
+    sv.orElse(st.map(t =>
+      firstVersionAtOrAfter(spark, base, linked, parseTsMillis(t))))
+  }
+
+  /** First retained version committed AT-OR-AFTER `ms` — the
+    * `startingTimestamp` / since-ts resolution (at-or-after, so "since
+    * Tuesday" never replays Monday's commit). A timestamp past the tip
+    * resolves to tip+1: the stream serves only FUTURE commits. */
+  def firstVersionAtOrAfter(spark: SparkSession, base: String, linked: Boolean,
+      ms: Long): Long = {
+    val times = commitTimesOf(spark, base, linked)
+    times.find(_._2 >= ms).map(_._1).getOrElse(times.last._1 + 1)
+  }
+
   def tipDataSchema(spark: SparkSession, base: String, linked: Boolean,
       keyCol: String): StructType = {
     val h = handles(spark, base, linked, keyCol)
@@ -151,11 +200,14 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
 private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
     linked: Boolean, keyCol: String, schema: StructType, rowsOnly: Boolean,
     ignoreDeletes: Boolean, startingVersion: Option[Long],
-    checkpointLocation: String, maxVersionsPerTrigger: Option[Long] = None)
+    checkpointLocation: String, maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger must be >= 1, got ${maxVersionsPerTrigger.get}")
+  require(maxBytesPerTrigger.forall(_ >= 1),
+    s"maxBytesPerTrigger must be >= 1, got ${maxBytesPerTrigger.get}")
 
   // Rate limiting (Delta's maxFilesPerTrigger analogue at this store's
   // natural granularity): cap each micro-batch at N COMMITS, so
@@ -168,9 +220,30 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val tip = ChangeFeed.versionsOf(spark, base, linked).max
+    val vs = ChangeFeed.versionsOf(spark, base, linked)
+    val tip = vs.max
     val s = start.asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersionsPerTrigger.map(m => math.min(tip, s + m)).getOrElse(tip))
+    val byCount = maxVersionsPerTrigger.map(m => math.min(tip, s + m)).getOrElse(tip)
+    // byte pacing (Delta's maxBytesPerTrigger): admit commits until the
+    // NEXT one would overflow the budget — always at least one, so a
+    // single oversized commit still makes progress. Commit bytes come
+    // from the stores' own metadata (manifests / FS stats), never a
+    // data scan. Composes with version pacing: the tighter cap wins.
+    val byBytes = maxBytesPerTrigger.fold(tip) { budget =>
+      val pending = vs.filter(v => v > s && v <= tip).sorted
+      var acc = 0L
+      var end = s
+      var broke = false
+      pending.foreach { v =>
+        if (!broke) {
+          acc += ChangeFeed.commitBytesOf(spark, base, linked, v)
+          if (end == s || acc <= budget) end = v
+          if (acc > budget) broke = true
+        }
+      }
+      if (end == s) tip else end
+    }
+    VersionOffset(math.max(s, math.min(byCount, byBytes)))
   }
 
   private val spillRoot = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-cdc")
@@ -386,10 +459,12 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangesMicroBatchStream(spark, base, linked, keyCol, feedSchema,
             rowsOnly = false, ignoreDeletes = false,
-            startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+            startingVersion = ChangeFeed.resolveStart(spark, base, linked, options),
             checkpointLocation,
             maxVersionsPerTrigger =
-              Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            maxBytesPerTrigger =
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong))
       }
     }
 }

@@ -345,13 +345,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * 'a..b'` is the bounded change read — commits a through b
     * inclusive, the `table_changes(tbl, a, b)` shape. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val rangeRe = "^(\\d+)\\.\\.(\\d+)$".r
+    val rangeRe = "^([^.]+(?:\\.[^.]+)*?)\\.\\.([^.]+(?:\\.[^.]+)*)$".r
     (version, ident.name()) match {
       case (rangeRe(a, b), "changes")
           if ident.namespace().nonEmpty && !tableExists(ident) =>
         val parent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
-        return changesTableFor(parent, Some((a.toLong, b.toLong)))
+        // pure digits = store VERSIONS (the original contract);
+        // anything else parses as ISO date/datetime or epoch-millis
+        // BOUNDS resolved against the stored per-version commit
+        // timestamps: the range selects commits with ts1 <= commit_ts
+        // <= ts2 (inclusive both ends; an empty selection is an empty
+        // feed, and a range reaching back past retained history fails
+        // through the pruned-predecessor contract)
+        val range =
+          if (a.forall(_.isDigit) && b.forall(_.isDigit)) (a.toLong, b.toLong)
+          else {
+            val (t1, t2) = (ChangeFeed.parseTsMillis(a), ChangeFeed.parseTsMillis(b))
+            require(t1 <= t2, s"timestamp range is inverted: '$version'")
+            val times = ChangeFeed.commitTimesOf(spark, storePath(parent),
+              isLinked(parent))
+            val lo = times.find(_._2 >= t1).map(_._1).getOrElse(Long.MaxValue)
+            val hi = times.reverse.find(_._2 <= t2).map(_._1).getOrElse(Long.MinValue)
+            (lo, hi)
+          }
+        return changesTableFor(parent, Some(range))
           .getOrElse(throw new NoSuchTableException(ident))
       case _ =>
     }
@@ -365,8 +383,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     tableFor(ident, linked, v)
   }
 
-  /** `TIMESTAMP AS OF <ts>` — micros in, commit-millis resolved. */
+  /** `TIMESTAMP AS OF <ts>` — micros in, commit-millis resolved. On a
+    * `<store>.changes` table the single timestamp means "changes
+    * SINCE ts": commits committed at-or-after it through the tip (the
+    * replay-since-Tuesday read; at-or-after so an exact-boundary
+    * commit replays exactly once between consecutive windows). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (ident.name() == "changes" && ident.namespace().nonEmpty
+        && !tableExists(ident)) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (tableExists(parent)) {
+        val ms = Math.floorDiv(timestampMicros, 1000L)
+        val base = storePath(parent)
+        val lo = ChangeFeed.firstVersionAtOrAfter(spark, base, isLinked(parent), ms)
+        val hi = ChangeFeed.versionsOf(spark, base, isLinked(parent)).max
+        return changesTableFor(parent, Some((lo, hi)))
+          .getOrElse(throw new NoSuchTableException(ident))
+      }
+    }
     val (linked, _) = resolve(ident)
     val ms = Math.floorDiv(timestampMicros, 1000L)
     val resolved =
@@ -1062,11 +1097,13 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
           loc => new ChangesMicroBatchStream(SparkSession.active, info.base,
             info.linked, info.key(), tableSchema, rowsOnly = true,
             ignoreDeletes = options.getBoolean("ignoreDeletes", false),
-            startingVersion =
-              Option(options.get("startingVersion")).map(_.toLong),
+            startingVersion = ChangeFeed.resolveStart(SparkSession.active,
+              info.base, info.linked, options),
             checkpointLocation = loc,
             maxVersionsPerTrigger =
-              Option(options.get("maxVersionsPerTrigger")).map(_.toLong)))
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            maxBytesPerTrigger =
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong)))
       case None => delegate.newScanBuilder(options)
     }
 

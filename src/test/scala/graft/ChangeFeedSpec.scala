@@ -178,6 +178,78 @@ class ChangeFeedSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<k:bigint>"), s"column pruning lost:\n$plan")
   }
 
+  test("timestamp-bounded feeds: ISO ranges, since-ts reads, boundary semantics") {
+    buildChain("cft_linked", linked = true)
+    // commits at 1000/2000/3000 ms epoch (UTC session tz in specs)
+    // bounded ISO range selects commits with ts1 <= commit_ts <= ts2
+    assert(rows(spark.sql("SELECT * FROM cfcat.cft_linked.changes " +
+      "VERSION AS OF '1970-01-01T00:00:02..1970-01-01T00:00:03'"))
+      == commit2 ++ commit3, "inclusive [2s, 3s] must select commits 2 and 3")
+    // boundaries are INCLUSIVE at both ends; a window between commits is empty
+    assert(spark.sql("SELECT * FROM cfcat.cft_linked.changes " +
+      "VERSION AS OF '1970-01-01T00:00:02.001..1970-01-01T00:00:02.999'")
+      .count() == 0)
+    // single TIMESTAMP AS OF = "changes SINCE ts" (at-or-after through tip)
+    assert(rows(spark.sql("SELECT * FROM cfcat.cft_linked.changes " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:02'")) == commit2 ++ commit3)
+    // a since-ts read past the tip is an empty feed, not an error
+    assert(spark.sql("SELECT * FROM cfcat.cft_linked.changes " +
+      "TIMESTAMP AS OF '1970-01-01 00:01:00'").count() == 0)
+    // pre-history fail-fast: prune v1, then a window reaching back to
+    // v2 (whose predecessor is gone) refuses through the pruned-
+    // predecessor contract
+    val st = new ManifestStore(spark, s"$root/cft_linked", "k")
+    st.prune(keep = Seq(2L, 3L)): Unit
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM cfcat.cft_linked.changes " +
+        "VERSION AS OF '1970-01-01T00:00:01..1970-01-01T00:00:03'").collect())
+    assert(e.getMessage.contains("pruned"))
+  }
+
+  test("streaming startingTimestamp resolves at-or-after; exclusive with startingVersion") {
+    buildChain("cfts_linked", linked = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ckts").toString
+    val q = spark.readStream
+      .option("startingTimestamp", "1970-01-01T00:00:02")
+      .table("cfcat.cfts_linked.changes")
+      .writeStream.format("memory").queryName("cf_since_ts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_since_ts")) == commit2 ++ commit3,
+        "at-or-after 2s must replay commits 2 and 3 only")
+    } finally q.stop()
+    intercept[Exception] {
+      spark.readStream
+        .option("startingTimestamp", "2000").option("startingVersion", "2")
+        .table("cfcat.cfts_linked.changes")
+        .writeStream.format("memory").queryName("cf_both")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cf_ckb").toString)
+        .start().processAllAvailable()
+    }
+  }
+
+  test("maxBytesPerTrigger paces by commit bytes; composes with maxVersionsPerTrigger (min wins)") {
+    buildChain("cfb_linked", linked = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ckby").toString
+    // every commit is > 1 byte, so a 1-byte budget admits exactly one
+    // commit per batch — same pacing the version cap would give
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", "1")
+      .option("maxVersionsPerTrigger", "10") // looser: bytes must win
+      .table("cfcat.cfb_linked.changes")
+      .writeStream.format("memory").queryName("cf_bytes")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("cf_bytes")) == commit1 ++ commit2 ++ commit3,
+        "byte pacing must not change content")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 byte-paced batches, saw $dataBatches")
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger paces the replay one commit per batch; content unchanged") {
     buildChain("cfr_linked", linked = true)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ck3").toString

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ManifestStore, SnapshotStore}
+
+/** Merge-on-read deletes (deletion vectors) on both store layouts —
+  * Delta/Iceberg's DV design at parquet row-index granularity: a point
+  * delete publishes a metadata-sized (file, position) mask instead of
+  * rewriting gigabyte files; reads anti-join the broadcast mask;
+  * compaction folds it in. The headline invariant: a sparse delete
+  * touches O(|matching rows|) bytes — proven here by the pool file set
+  * being BIT-IDENTICAL across the delete. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(base: String) = new Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(ks: Range) = ks.map(k => (k.toLong, s"v-$k", k * 10.0))
+    .toDF("k", "v", "x")
+
+  private def contents(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def poolListing(base: String): Set[(String, Long)] = {
+    val fs = fsOf(base)
+    fs.listStatus(new Path(s"$base/files"))
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+  }
+
+  test("linked: a sparse delete publishes a DV — pool bytes UNTOUCHED, result == CoW result") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-lk").toString
+    val st = new ManifestStore(spark, s"$root/dv", "k")
+    st.write(rows(1 to 1000), 1L, numFiles = 4)
+    val before = poolListing(s"$root/dv")
+    // 3 matching rows in a 1000-row table: auto picks merge-on-read
+    val (sharedN, rewrittenN, deleted) =
+      st.deleteWhere(1L, 2L, col("k").isin(7L, 411L, 902L))
+    assert((sharedN, rewrittenN, deleted) == ((4, 0, 3L)))
+    // the O(|matching rows|) claim: not one pool byte moved or landed
+    assert(poolListing(s"$root/dv") == before,
+      "a DV delete must write ZERO data files")
+    val want = contents(st.read(1L)).filterNot(r => Set(7L, 411L, 902L)(r._1))
+    assert(contents(st.read(2L)) == want)
+    // identical to what copy-on-write computes
+    st.deleteWhere(2L, 3L, col("k").isin(7L, 411L, 902L), mode = "cow"): Unit
+    assert(contents(st.read(3L)) == want, "DV and CoW must agree")
+    // v1 history unaffected
+    assert(contents(st.read(1L)).size == 1000)
+  }
+
+  test("linked: auto policy — dense deletes still choose copy-on-write") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-dense").toString
+    val st = new ManifestStore(spark, s"$root/d", "k")
+    st.write(rows(1 to 300), 1L, numFiles = 2)
+    val (_, rewritten, deleted) = st.deleteWhere(1L, 2L, col("k") % 2 === 0)
+    assert(deleted == 150L && rewritten > 0, "a 50% delete must rewrite, not mask")
+    val fs = fsOf(s"$root/d")
+    assert(!fs.exists(new Path(s"$root/d/_manifests/v=2/_dv")))
+  }
+
+  test("linked: merges on top of a DV — no resurrection, rewritten files shed entries, carried files keep them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-merge").toString
+    val st = new ManifestStore(spark, s"$root/m", "k")
+    st.write(rows(1 to 400), 1L, numFiles = 4) // ranges ~[1,100][101,200]...
+    st.deleteWhere(1L, 2L, col("k").isin(5L, 350L)): Unit // DV on first+last file
+    // upsert key 7 → rewrites the FIRST file; key 5 must stay deleted
+    // (its mask entry is folded into the rewrite), key 350's entry carries
+    st.mergeDelta(2L, 3L, Seq((7L, "v7-new", 70.0)).toDF("k", "v", "x")): Unit
+    val got = contents(st.read(3L))
+    assert(!got.exists(_._1 == 5L), "DV-deleted row resurrected through mergeDelta")
+    assert(!got.exists(_._1 == 350L))
+    assert(got.exists(r => r._1 == 7L && r._2 == "v7-new"))
+    assert(got.size == 398)
+    // reads by range/key respect the mask too
+    assert(st.readKeyRange(3L, 1L, 10L).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
+    assert(st.readForKeys(3L, Seq(5L, 6L, 350L).toDF("k")).collect()
+      .map(_.getLong(0)).toSet == Set(6L))
+  }
+
+  test("linked: compact folds the DV in; validate audits mask physics") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-compact").toString
+    val st = new ManifestStore(spark, s"$root/c", "k")
+    st.write(rows(1 to 500), 1L, numFiles = 5)
+    st.deleteWhere(1L, 2L, col("k").isin(3L, 77L, 401L)): Unit
+    assert(st.validate(2L).filter(col("status") =!= "ok").count() == 0,
+      "a healthy DV version must validate clean")
+    val want = contents(st.read(2L))
+    st.compact(2L, 3L, minBytes = 1L << 30): Unit // everything is "small": full fold
+    assert(contents(st.read(3L)) == want)
+    val fs = fsOf(s"$root/c")
+    assert(!fs.exists(new Path(s"$root/c/_manifests/v=3/_dv")),
+      "compaction must fold the mask into the rewrite")
+    // a corrupted mask (orphan file entry) fails validation loudly
+    st.branch(2L, 4L)
+    val dvDir = new Path(s"$root/c/_manifests/v=4/_dv")
+    Seq(("no-such-file.parquet", 0L)).toDF("file", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(dvDir.toString)
+    assert(st.validate(4L).filter(col("status") === "dv_orphan").count() == 1)
+  }
+
+  test("linked: diff and the change feed see DV-only deletes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-diff").toString
+    val st = new ManifestStore(spark, s"$root/f", "k")
+    st.write(rows(1 to 200), 1L, numFiles = 2)
+    st.deleteWhere(1L, 2L, col("k").isin(42L, 133L)): Unit
+    val d = st.diff(1L, 2L).select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((42L, "delete"), (133L, "delete")),
+      s"DV-only delete invisible to diff: $d")
+    // and through the SQL change feed (rides the same diff)
+    spark.conf.set("spark.sql.catalog.dvcat",
+      classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvcat.root", root)
+    val feed = spark.sql("SELECT k, change_type FROM dvcat.f.changes VERSION AS OF '2..2'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((42L, "delete"), (133L, "delete")))
+  }
+
+  test("linked: branch and shallow clone carry the mask") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-br").toString
+    val st = new ManifestStore(spark, s"$root/b", "k")
+    st.write(rows(1 to 100), 1L, numFiles = 2)
+    st.deleteWhere(1L, 2L, col("k") === 50L): Unit
+    st.branch(2L, 5L)
+    assert(!contents(st.read(5L)).exists(_._1 == 50L))
+    val clone = st.cloneTo(s"$root/b2", 2L)
+    assert(!contents(clone.read(1L)).exists(_._1 == 50L))
+  }
+
+  test("snapshot layout: DV delete byte-copies parts verbatim; merge carries and folds like linked") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-sn").toString
+    val st = new SnapshotStore(spark, s"$root/s", "k")
+    st.writeRangePartitioned(rows(1 to 1000), 1L, 4)
+    val fs = fsOf(s"$root/s")
+    def parts(v: Long): Set[(String, Long)] =
+      fs.listStatus(new Path(s"$root/s/v=$v")).filter(_.getPath.getName.startsWith("part-"))
+        .map(st0 => (st0.getPath.getName, st0.getLen)).toSet
+    val (sharedN, rewrittenN, deleted) =
+      st.deleteWhere(1L, 2L, col("k").isin(9L, 512L))
+    assert((sharedN, rewrittenN, deleted) == ((4, 0, 2L)))
+    // every part carried VERBATIM (same name + size — no decode/re-encode)
+    assert(parts(2L) == parts(1L), "DV delete must byte-copy, not rewrite")
+    assert(contents(st.read(2L)) == contents(st.read(1L)).filterNot(r => Set(9L, 512L)(r._1)))
+    // zone-map pruned reads respect the mask
+    assert(st.readKeyRange(2L, 500L, 520L).collect().map(_.getLong(0)).toSet
+      == (500L to 520L).toSet - 512L)
+    // merge on top: no resurrection, untouched files keep their entries
+    st.mergeDelta(2L, 3L, Seq((513L, "n", 1.0)).toDF("k", "v", "x")): Unit
+    val got = contents(st.read(3L))
+    assert(!got.exists(_._1 == 512L) && !got.exists(_._1 == 9L))
+    assert(got.exists(r => r._1 == 513L && r._2 == "n"))
+    // dense delete on a DV version goes CoW and folds everything
+    st.deleteWhere(3L, 4L, col("k") <= 500L, mode = "cow"): Unit
+    assert(!fs.exists(new Path(s"$root/s/v=4/_dv")) ||
+      spark.read.parquet(s"$root/s/v=4/_dv").count() > 0) // carried subset only
+    assert(contents(st.read(4L)) == got.filter(_._1 > 500L))
+  }
+
+  test("snapshot layout: diff sees DV deletes (full-content join)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-snd").toString
+    val st = new SnapshotStore(spark, s"$root/sd", "k")
+    st.writeRangePartitioned(rows(1 to 100), 1L, 2)
+    st.deleteWhere(1L, 2L, col("k") === 33L): Unit
+    val d = st.diff(1L, 2L).select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((33L, "delete")))
+  }
+}

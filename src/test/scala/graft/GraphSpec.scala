@@ -186,6 +186,29 @@ class GraphSpec extends SparkSpec {
     assert(got(("s1", "auth")) > got(("s2", "auth")))
   }
 
+  test("labelPropagation: two triangles + bridge — hand-run 4 synchronous min-tie rounds") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4. Synchronous min-tie LPA,
+    // hand-unrolled: r1 = {1->2, 2->1, 3->1, 4->3, 5->4, 6->4};
+    // r2 = {1->1, 2->1, 3->1, 4->4, 5->3, 6->3};
+    // r3 = {1->1, 2->1, 3->1, 4->3, 5->3, 6->3}; r4 stable.
+    // Communities: each triangle keeps its own label despite the bridge.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
+
+  test("labelPropagation: a clique converges to its min id; fixed rounds are deterministic") {
+    // K4: round 1 sends everyone to a non-min label mix, but by round 4
+    // all four agree on label 1 — and two identical runs agree exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val a = Graph.labelPropagation(edges, rounds = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.labelPropagation(edges, rounds = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.map(_._2) == Set(1L), s"K4 must agree on label 1, got $a")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)
