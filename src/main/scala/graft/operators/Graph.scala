@@ -467,6 +467,34 @@ object Graph {
     labels.select(col("node").as("part_id"), col("lbl").as("community"))
   }
 
+  /** MODULARITY (Newman & Girvan 2004) of a community assignment over
+    * an undirected edge set, EXACT integers: per community c,
+    * Q_c·scale = (scale·L_c) div m − (scale·d_c²) div (4m²), where
+    * L_c = intra-community edges, d_c = endpoint-degree sum, m = |E| —
+    * the per-community decomposition Σ_c Q_c of the classical
+    * Q = Σ_c [L_c/m − (d_c/2m)²], integer-divided per community so
+    * both engines replay it bit-for-bit. Two keyed aggregates over the
+    * label-tagged edge list; the label frame broadcasts (node-sized on
+    * the threshold-bounded strong graph). */
+  def modularity(labels: DataFrame, edgesIn: DataFrame, scale: Long): DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val m = e.count()
+    val lu = labels.select(col("part_id").as("u"), col("community").as("cu"))
+    val lv = labels.select(col("part_id").as("v"), col("community").as("cv"))
+    val tagged = e.join(broadcast(lu), Seq("u")).join(broadcast(lv), Seq("v"))
+      .localCheckpoint()
+    val intra = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("l_c"))
+    val degSum = tagged.select(col("cu").as("community"))
+      .unionAll(tagged.select(col("cv").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    degSum.join(intra, Seq("community"), "left_outer")
+      .na.fill(Map("l_c" -> 0L))
+      .select(col("community"), col("l_c"), col("d_c"),
+        (expr(s"($scale * l_c) div $m")
+          - expr(s"($scale * d_c * d_c) div ${4L * m * m}")).as("q_scaled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> { (s, d) =>
       // Degree histogram of the co-purchase graph — the first question
@@ -497,6 +525,17 @@ object Graph {
       // — the HITS lesson).
       labelPropagation(strongCoPurchaseEdges(s, d, 2), rounds = 4)
         .orderBy("part_id")
+    },
+
+    "graph_modularity" -> { (s, d) =>
+      // Quality of the LPA communities: exact-integer per-community
+      // modularity decomposition over the same strong graph — the
+      // "did the communities mean anything" check a pipeline runs
+      // right after detection. Oracle replays LPA (shared CTE builder)
+      // then the two aggregates in identical div arithmetic.
+      val edges = strongCoPurchaseEdges(s, d, 2).localCheckpoint()
+      modularity(labelPropagation(edges, rounds = 4), edges, scale = 1000000000L)
+        .orderBy("community")
     },
 
     "graph_linkpred" -> { (s, d) =>
@@ -771,50 +810,58 @@ object Graph {
        |$hops""".stripMargin
   }
 
+  /** Oracle-side twin of [[labelPropagation]] over the strong
+    * co-purchase graph: strong edges (CTE `p`), symmetric `sym`, l0 =
+    * node ids, then `rounds` unrolled frequency votes (ROW_NUMBER
+    * ORDER BY c DESC, lbl ASC ≡ the engine's struct-min). Every CTE
+    * MATERIALIZED from the first draft (§4's rule — the HITS lesson).
+    * Ends at `l$rounds(node, lbl)`; `p` stays visible for consumers
+    * (modularity). */
+  private def lpaOracleCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$k) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""p AS (
+       |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+       |  FROM lineitem la JOIN lineitem lb
+       |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |$roundCtes""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_communities" ->
-      s"""WITH p AS (
-         |  SELECT la.l_partkey AS u, lb.l_partkey AS v
-         |  FROM lineitem la JOIN lineitem lb
-         |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
-         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
-         |sym AS MATERIALIZED (
-         |  SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
-         |c1 AS MATERIALIZED (
-         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
-         |  FROM sym e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
-         |l1 AS MATERIALIZED (
-         |  SELECT node, lbl FROM (
-         |    SELECT node, lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM c1) t WHERE rn = 1),
-         |c2 AS MATERIALIZED (
-         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
-         |  FROM sym e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
-         |l2 AS MATERIALIZED (
-         |  SELECT node, lbl FROM (
-         |    SELECT node, lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM c2) t WHERE rn = 1),
-         |c3 AS MATERIALIZED (
-         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
-         |  FROM sym e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
-         |l3 AS MATERIALIZED (
-         |  SELECT node, lbl FROM (
-         |    SELECT node, lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM c3) t WHERE rn = 1),
-         |c4 AS MATERIALIZED (
-         |  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
-         |  FROM sym e JOIN l3 l ON e.src = l.node GROUP BY 1, 2),
-         |l4 AS MATERIALIZED (
-         |  SELECT node, lbl FROM (
-         |    SELECT node, lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM c4) t WHERE rn = 1)
+      s"""WITH ${lpaOracleCtes(4)}
          |SELECT node AS part_id, lbl AS community FROM l4
          |ORDER BY part_id""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH ${lpaOracleCtes(4)},
+         |lbl AS MATERIALIZED (SELECT node, lbl AS community FROM l4),
+         |tagged AS MATERIALIZED (
+         |  SELECT lu.community AS cu, lv.community AS cv
+         |  FROM p JOIN lbl lu ON p.u = lu.node JOIN lbl lv ON p.v = lv.node),
+         |m AS (SELECT COUNT(*) AS m FROM p),
+         |intra AS (SELECT cu AS community, COUNT(*) AS l_c
+         |  FROM tagged WHERE cu = cv GROUP BY 1),
+         |degsum AS (SELECT community, COUNT(*) AS d_c FROM (
+         |  SELECT cu AS community FROM tagged
+         |  UNION ALL SELECT cv FROM tagged) GROUP BY 1)
+         |SELECT d.community, COALESCE(i.l_c, 0) AS l_c, d.d_c,
+         |  (1000000000 * COALESCE(i.l_c, 0)) // m.m
+         |    - (1000000000 * d.d_c * d.d_c) // (4 * m.m * m.m) AS q_scaled
+         |FROM degsum d LEFT JOIN intra i USING (community) CROSS JOIN m
+         |ORDER BY d.community""".stripMargin,
 
     "graph_pagerank_weighted" ->
       s"""WITH pairs AS (

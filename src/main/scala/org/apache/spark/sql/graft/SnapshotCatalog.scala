@@ -326,12 +326,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         () => storedKey("MERGE"),
         (delta, deleteKeys) => {
           val key = storedKey("MERGE")
+          // optimistic-concurrency front door: the delta was computed
+          // FROM the plan-time tip's scan, so readVersion = tip gives
+          // the exact conflict check — a concurrent commit touching
+          // disjoint keys rebases, an overlapping one aborts loudly
           if (linked)
             new graft.operators.ManifestStore(spark, storePath(ident), key)
-              .mergeDelta(tip, tip + 1, delta, deleteKeys): Unit
+              .mergeAtTip(delta, deleteKeys, readVersion = Some(tip)): Unit
           else
             new SnapshotStore(spark, storePath(ident), key)
-              .mergeDelta(tip, tip + 1, delta, deleteKeys): Unit
+              .mergeAtTip(delta, deleteKeys, readVersion = Some(tip)): Unit
         },
         () => {
           val key = storedKey("INSERT")

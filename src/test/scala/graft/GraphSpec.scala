@@ -209,6 +209,18 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_._2) == Set(1L), s"K4 must agree on label 1, got $a")
   }
 
+  test("modularity: two triangles + bridge, exact integers per community") {
+    // m = 7 edges; communities {1,2,3} and {4,5,6} (the LPA result);
+    // each: L_c = 3 intra edges, d_c = 2+2+3 = 7 endpoint degrees.
+    // Q_c*1e9 = (1e9*3)//7 - (1e9*7*7)//(4*7*7) = 428571428 - 250000000
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val labels = Graph.labelPropagation(edges, rounds = 4)
+    val got = Graph.modularity(labels, edges, scale = 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 3L, 7L, 178571428L), (3L, 3L, 7L, 178571428L)), s"got $got")
+  }
+
   test("graph self-joins stay equi-planned: no nested loop, no cartesian") {
     val tri = Graph.triangleCounts(Graph.coPurchaseEdges(spark, sfDir))
     val pr = Graph.pagerank(Graph.tradeEdges(spark, sfDir), 2, 1000000000000L)

@@ -161,9 +161,12 @@ class SnapshotStoreSpec extends SparkSpec {
     val v1Names = store.zoneMap(1L).get.collect()
       .map(r => r.getAs[String]("file").split('/').last).toSet
 
-    // predicate matches keys 100..120 only (clustered → 1-2 files)
+    // predicate matches keys 100..120 only (clustered → 1-2 files).
+    // mode = cow: this test pins the COPY-ON-WRITE mechanics — a
+    // sparse match like this one would otherwise auto-choose the
+    // deletion-vector path (DeletionVectorSpec covers that).
     val (carried, rewrittenN, deleted) = store.deleteWhere(1L, 2L,
-      col("k").between(100L, 120L) && col("s").startsWith("row_"))
+      col("k").between(100L, 120L) && col("s").startsWith("row_"), mode = "cow")
     assert(deleted == 21L, s"expected 21 deleted, got $deleted")
     assert(carried >= 8, s"expected >=8 carried files, got $carried")
     assert(rewrittenN >= 1)
