@@ -431,7 +431,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * every semantic read — Delta/Iceberg's deletion-vector design at
     * parquet row-index granularity. Lives INSIDE the manifest dir, so
     * it publishes atomically with the version and prunes with it. */
-  private[operators] def dvFrame(version: Long): Option[DataFrame] = {
+  def dvFrame(version: Long): Option[DataFrame] = {
     val p = dvDir(version)
     if (!fs.exists(new Path(p, "_SUCCESS"))) None
     else Some(spark.read.parquet(p.toString))
@@ -831,6 +831,45 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       dv = carryDv(fromVersion, shared))
     (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
   }
+
+  /** FOLD the deletion vector: rewrite ONLY the files the mask names
+    * (reading them masked), carry everything else by reference, and
+    * publish without a DV — the targeted companion to [[compact]],
+    * which folds only SMALL files (a 1 GB file with 3 masked rows
+    * would otherwise stay masked forever, paying the anti-join on
+    * every read). I/O = O(|masked files|). Returns (filesShared,
+    * filesRewritten, rowsDropped); no-op publish when no DV. */
+  def foldDv(fromVersion: Long, toVersion: Long, numNewFiles: Int = 2,
+      commitTs: Option[Long] = None): (Int, Int, Long) = {
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    dvFrame(fromVersion) match {
+      case None =>
+        publish(toVersion, man, commitTs, evolvedSchema(fromVersion))
+        (man.count().toInt, 0, 0L)
+      case Some(dv) =>
+        val masked = dv.select("file").distinct().collect().map(_.getString(0)).toSet
+        val nDropped = dv.count()
+        val shared = man.filter(!col("file").isin(masked.toSeq: _*))
+        val survivors = readFiles(fromVersion,
+          masked.map(n => new Path(poolDir, n).toString).toSeq)
+        val stats = landWithStats(
+          survivors.repartitionByRange(numNewFiles, col(keyCol))
+            .sortWithinPartitions(keyCol),
+          manifestStatsCols(man))
+        publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+          evolvedSchema(fromVersion))
+        (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
+    }
+  }
+
+  /** RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF v`: publish a
+    * NEW version whose content equals `fromVersion`, leaving history
+    * intact (a restore is a commit, not a rewrite of the past). On
+    * this layout it is [[branch]] — zero data bytes move. */
+  def restoreVersion(fromVersion: Long, toVersion: Long,
+      commitTs: Option[Long] = None): Unit =
+    branch(fromVersion, toVersion, commitTs)
 
   /** DV entries that survive into a child version: only those naming
     * files the child still SHARES (a rewritten file materialized its

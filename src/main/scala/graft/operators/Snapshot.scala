@@ -814,6 +814,67 @@ object Snapshot {
         .orderBy("layout", "_commit_version", "change_type", "o_orderkey")
     },
 
+    "snap_fold_dv" -> { (s, d) =>
+      // FOLD the deletion vector (the maintenance half of
+      // snap_delete_dv's merge-on-read): rewrite ONLY the masked
+      // files, carry the rest by reference, publish v3 with NO mask —
+      // content identical, reads stop paying the anti-join.
+      // `mask_folded` pins the sidecar's removal; the oracle is the
+      // same declarative complement the DV read satisfied.
+      queries("snap_delete_dv")(s, d).count(): Unit // lineage: v2 + mask
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_store_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      if (!store.versions().contains(3L)) store.foldDv(2L, 3L, numNewFiles = 4): Unit
+      store.read(3L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("mask_folded", lit(store.dvFrame(3L).isEmpty))
+        .orderBy("bucket")
+    },
+
+    "snap_sql_restore" -> { (s, d) =>
+      // Delta's RESTORE TABLE ... TO VERSION AS OF, as a CALL verb on
+      // BOTH layouts: a 2-commit chain (v1 = k%3 keys at ts 1s, v2 =
+      // reprice k%5 at +10), then `CALL restore(t, 1)` publishes v3
+      // whose content EQUALS v1 — history intact (v2 still reads), the
+      // restore is a commit. Zero-copy on linked (manifest branch);
+      // dir byte-copy on snapshot. The oracle is v1's declarative
+      // content; `ver` pins the restore landing as v3.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlrst_$fp"
+      val cat = s"snaprst_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val k = col("o_orderkey")
+      val ord = Tables.orders(s, d).select(k, col("o_totalprice"))
+      val v1 = ord.filter(k % 3 === 0)
+      val d2 = v1.filter(k % 5 === 0)
+        .select(k, (col("o_totalprice") + 10.0).as("o_totalprice"))
+      val snap = new SnapshotStore(s, s"$base/rs_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+      if (!snap.versions().contains(2L))
+        snap.mergeDelta(1L, 2L, d2, commitTs = Some(2000L)): Unit
+      if (!snap.versions().contains(3L))
+        s.sql(s"CALL $cat.restore('rs_snap', 1)").collect(): Unit
+      val linked = new ManifestStore(s, s"$base/rs_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(v1, 1L, 8, commitTs = Some(1000L))
+      if (!linked.versions().contains(2L))
+        linked.mergeDelta(1L, 2L, d2, commitTs = Some(2000L)): Unit
+      if (!linked.versions().contains(3L))
+        s.sql(s"CALL $cat.restore('rs_linked', 1)").collect(): Unit
+      Seq("rs_snap", "rs_linked").map { t =>
+        s.sql(s"SELECT * FROM $cat.$t") // the restored tip
+          .groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(t))
+          .withColumn("ver", lit(
+            if (t == "rs_snap") snap.versions().max else linked.versions().max))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_changes_ts" -> { (s, d) =>
       // TIMESTAMP-BOUNDED change feeds over snap_sql_changes's
       // 3-commit chain (commits backdated to 1s/2s/3s): an ISO
@@ -1754,6 +1815,23 @@ object Snapshot {
         |FROM (SELECT * FROM c2 UNION ALL SELECT * FROM c3) c
         |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
         |ORDER BY l.layout, c._commit_version, c.change_type, c.o_orderkey""".stripMargin,
+
+    "snap_fold_dv" ->
+      """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  TRUE AS mask_folded
+        |FROM orders WHERE o_orderkey % 5000 <> 0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_sql_restore" ->
+      """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  l.layout, CAST(3 AS BIGINT) AS ver
+        |FROM orders CROSS JOIN (VALUES ('rs_snap'), ('rs_linked')) AS l(layout)
+        |WHERE o_orderkey % 3 = 0
+        |GROUP BY 1, l.layout ORDER BY l.layout, bucket""".stripMargin,
 
     "snap_sql_changes_ts" ->
       """WITH c2 AS (

@@ -527,7 +527,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * [[deleteWhere]] published one. Lives inside the version dir
     * (underscore-prefixed, like `_zonemap`), so it publishes
     * atomically with the version. */
-  private[operators] def dvFrame(version: Long): Option[DataFrame] =
+  def dvFrame(version: Long): Option[DataFrame] =
     if (!fs.exists(new Path(dvPath(version), "_SUCCESS"))) None
     else Some(spark.read.parquet(dvPath(version).toString))
 
@@ -1084,6 +1084,93 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
     }
     (untouchedParts.length, newNames.size, deleted)
+  }
+
+  /** FOLD the deletion vector ([[ManifestStore.foldDv]]'s twin):
+    * rewrite only the masked files, byte-copy the rest, publish with
+    * no `_dv`. Returns (filesCarried, filesRewritten, rowsDropped). */
+  def foldDv(fromVersion: Long, toVersion: Long, numNewFiles: Int = 2,
+      commitTs: Option[Long] = None): (Int, Int, Long) = {
+    requireFreeVersion(toVersion)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    dvFrame(fromVersion) match {
+      case None =>
+        val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(tmp)
+        allParts.foreach { p =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+        }
+        fs.create(new Path(tmp, "_SUCCESS"), true).close()
+        writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+        evolvedSchema(fromVersion).foreach { sc =>
+          val out = fs.create(new Path(tmp, "_schema.json"), true)
+          try out.write(sc.json.getBytes("UTF-8")) finally out.close()
+        }
+        casPublish(tmp, toVersion, "foldDv")
+        carryZoneMap(fromVersion, toVersion, Set.empty)
+        (allParts.length, 0, 0L)
+      case Some(dv) =>
+        val masked = dv.select("file").distinct().collect().map(_.getString(0)).toSet
+        val nDropped = dv.count()
+        val (touched, untouched) = allParts.partition(p => masked(p.getName))
+        val sc = evolvedSchema(fromVersion)
+        val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+        maskedScanWithPos(fromVersion, touched.map(_.toString), sc.orElse(None))
+          .drop("__f", "__p")
+          .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val newN = fs.listStatus(tmp).count(_.getPath.getName.startsWith("part-"))
+        untouched.foreach { p =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+        }
+        writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+        sc.foreach { x =>
+          val out = fs.create(new Path(tmp, "_schema.json"), true)
+          try out.write(x.json.getBytes("UTF-8")) finally out.close()
+        }
+        casPublish(tmp, toVersion, "foldDv")
+        // zone map rebuilds with one narrow stats scan (file names
+        // changed for the rewritten minority; a carry+rescan hybrid
+        // buys little at fold cadence)
+        zoneMap(fromVersion).foreach { zm =>
+          buildZoneMap(toVersion,
+            zm.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key")
+              .map(_.drop(4)))
+        }
+        (untouched.length, newN, nDropped)
+    }
+  }
+
+  private def carryZoneMap(fromVersion: Long, toVersion: Long,
+      dropped: Set[String]): Unit =
+    zoneMap(fromVersion).foreach { zm =>
+      zm.filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(dropped.toSeq: _*))
+        .withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    }
+
+  /** RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF v` on this
+    * layout: byte-copy `fromVersion`'s dir (data + `_dv` + schema
+    * sidecar) as a NEW version with a fresh commit timestamp; the zone
+    * map carries with its version prefix remapped. History intact —
+    * a restore is a commit, not a rewrite of the past. */
+  def restoreVersion(fromVersion: Long, toVersion: Long,
+      commitTs: Option[Long] = None): Unit = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    requireFreeVersion(toVersion)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir(fromVersion)), fs, tmp,
+      false, conf)
+    // the copy carried the SOURCE's commit ts and zone map: re-stamp
+    // the restore's own commit time; re-home the zone map below
+    fs.delete(new Path(tmp, "_zonemap"), true): Unit
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    casPublish(tmp, toVersion, "restoreVersion")
+    carryZoneMap(fromVersion, toVersion, Set.empty)
   }
 
   def diff(fromVersion: Long, toVersion: Long): DataFrame =

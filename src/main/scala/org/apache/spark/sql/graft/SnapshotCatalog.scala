@@ -181,6 +181,32 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** When `version` carries a deletion vector, the DataFrame-producing
+    * masked read the SQL scan must serve INSTEAD of the raw files —
+    * a ParquetTable over the version's files would resurrect every
+    * masked row. None on unmasked versions (the native path). */
+  private def maskedReadFor(ident: Identifier, linked: Boolean,
+      version: Long): Option[() => org.apache.spark.sql.DataFrame] = {
+    val has =
+      if (linked) linkedFor(ident).dvFrame(version).isDefined
+      else storeFor(ident).dvFrame(version).isDefined
+    if (!has) None
+    else Some(() =>
+      if (linked) linkedFor(ident).read(version)
+      else storeFor(ident).read(version))
+  }
+
+  /** Version-pinned table: native parquet when unmasked; the
+    * DV-masked V1 relation (column-pruned + filter-pushed through the
+    * inner plan) when the version carries a mask. */
+  private def pinnedTable(ident: Identifier, linked: Boolean, v: Long): Table =
+    maskedReadFor(ident, linked, v) match {
+      case None => tableFor(ident, linked, v)
+      case some => new SnapshotTable(
+        tableFor(ident, linked, v).asInstanceOf[ParquetTable],
+        None, None, None, maskedRead = some)
+    }
+
   /** One metadata resolution per loadTable: layout sniff + version
     * listing, threaded to every downstream step (each exists/list is
     * a remote round trip on an object store). An absent or empty
@@ -342,7 +368,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           if (linked)
             new graft.operators.ManifestStore(spark, storePath(ident), key).read(tip)
           else new SnapshotStore(spark, storePath(ident), key).read(tip)
-        })))
+        })),
+      maskedRead = maskedReadFor(ident, linked, tip))
   }
 
   /** `VERSION AS OF <v>`; on the `.changes` table, `VERSION AS OF
@@ -384,7 +411,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     val (linked, vs) = resolve(ident)
     if (!vs.contains(v)) throw new NoSuchTableException(ident)
-    tableFor(ident, linked, v)
+    pinnedTable(ident, linked, v)
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros in, commit-millis resolved. On a
@@ -412,7 +439,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (linked) linkedFor(ident).versionAsOf(ms)
       else storeFor(ident).versionAsOf(ms)
     resolved match {
-      case Some(v) => tableFor(ident, linked, v)
+      case Some(v) => pinnedTable(ident, linked, v)
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -529,7 +556,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames =
     Array("compact", "vacuum", "retention", "zorder", "clone",
-      "replicate", "parity", "repair")
+      "replicate", "parity", "repair", "restore", "fold_dv")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -625,6 +652,57 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val targetBytes = math.max(1L, (bytes + targetFiles - 1) / targetFiles)
           val (before, after) = st.compact(tip, targetBytes)
           Array(utf8("snapshot"), tip, before.toLong, after.toLong)
+        }
+      }
+      case "restore" => bound("restore",
+        Array(tableParam,
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("restored_from", LongType),
+          StructField("new_version", LongType)))) { in =>
+        // Delta's RESTORE TABLE ... TO VERSION AS OF v: a NEW commit
+        // whose content equals v — history intact, time travel still
+        // reads every intermediate version. Zero-copy on the linked
+        // layout (manifest branch); a dir byte-copy on the snapshot
+        // layout (its versions are self-contained by design).
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val v = in.getLong(1)
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          st.restoreVersion(v, tip + 1)
+          Array(utf8("linked"), v, tip + 1)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          st.restoreVersion(v, tip + 1)
+          Array(utf8("snapshot"), v, tip + 1)
+        }
+      }
+      case "fold_dv" => bound("fold_dv",
+        Array(tableParam,
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("2").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("new_version", LongType),
+          StructField("files_rewritten", LongType),
+          StructField("rows_dropped", LongType)))) { in =>
+        // fold the tip's deletion vector into a rewrite of ONLY the
+        // masked files — the maintenance verb that stops a long-lived
+        // mask from taxing every read (compact folds only small files)
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val n = in.getInt(1)
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val (_, rewritten, dropped) = st.foldDv(tip, tip + 1, n)
+          Array(utf8("linked"), tip + 1, rewritten.toLong, dropped)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val (_, rewritten, dropped) = st.foldDv(tip, tip + 1, n)
+          Array(utf8("snapshot"), tip + 1, rewritten.toLong, dropped)
         }
       }
       case "vacuum" => bound("vacuum",
@@ -1058,10 +1136,83 @@ private[graft] case class StreamInfo(base: String, linked: Boolean,
   * Spark raises the standard "cannot delete" analysis error instead
   * of a silent partial delete. `MERGE INTO` rides [[StoreMergeHook]]
   * via [[GraftMergeStrategy]] (registered by [[GraftExtensions]]). */
+/** Best-effort V1 Filter → Column translation, shared by the SQL
+  * DELETE path (which REQUIRES full translation and throws on a gap)
+  * and the DV-masked scan (which uses it opportunistically for
+  * pushdown and reports everything unhandled so Spark re-applies). */
+private[graft] object FilterToColumn {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions.{col, lit}
+  def apply(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for (a <- apply(l); b <- apply(r)) yield a && b
+    case Or(l, r) => for (a <- apply(l); b <- apply(r)) yield a || b
+    case Not(c) => apply(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** Scan builder for a DV-MASKED version: serves the store's own
+  * masked read (broadcast anti-join over the deletion vector) as a
+  * V1 relation with PrunedFilteredScan — required columns project and
+  * translatable filters apply INSIDE the DataFrame plan, where
+  * Catalyst pushes them through the anti-join into the parquet scan.
+  * All filters report unhandled, so Spark re-applies them on top
+  * (safe double-application). */
+private[graft] class MaskedStoreScanBuilder(tableName: String,
+    read: () => org.apache.spark.sql.DataFrame,
+    mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream])
+    extends org.apache.spark.sql.connector.read.ScanBuilder {
+  import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      private lazy val df0 = read()
+      override def readSchema(): StructType = df0.schema
+      override def description(): String = s"$tableName (dv-masked)"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new BaseRelation with TableScan with PrunedFilteredScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = df0.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            df0.rdd
+          override def buildScan(requiredColumns: Array[String],
+              filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val filtered = filters.foldLeft(df0)((d, f) =>
+              FilterToColumn(f).map(d.filter).getOrElse(d))
+            (if (requiredColumns.isEmpty) filtered
+             else filtered.select(requiredColumns.toIndexedSeq
+               .map(org.apache.spark.sql.functions.col): _*)).rdd
+          }
+          override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+            filters
+        }.asInstanceOf[T]
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        mkStream.map(_(checkpointLocation)).getOrElse(
+          throw new UnsupportedOperationException(
+            s"$tableName: streaming a version-pinned read — stream the table tip"))
+    }
+}
+
 private[graft] class SnapshotTable(delegate: ParquetTable,
     streamInfo: Option[StreamInfo],
     onDelete: Option[org.apache.spark.sql.Column => Unit],
-    val onMerge: Option[StoreMergeHook] = None)
+    val onMerge: Option[StoreMergeHook] = None,
+    maskedRead: Option[() => org.apache.spark.sql.DataFrame] = None)
     extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.sources._
@@ -1093,7 +1244,27 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     * see [[ChangeFeed]]; deletes refuse unless
     * `.option("ignoreDeletes", true)`). */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    // a version with a DELETION VECTOR cannot serve raw files (masked
+    // rows would resurrect in SQL): its scan is the store's own
+    // masked read behind a PrunedFilteredScan V1 relation — required
+    // columns and translatable filters push into the INNER plan, so
+    // the parquet scan under the broadcast anti-join still prunes.
+    // Streaming is unaffected (the change feed reads via the store).
+    maskedRead.foreach { read =>
+      return new MaskedStoreScanBuilder(delegate.name, read,
+        streamInfo.map(info => (loc: String) =>
+          new ChangesMicroBatchStream(SparkSession.active, info.base,
+            info.linked, info.key(), delegate.schema, rowsOnly = true,
+            ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+            startingVersion = ChangeFeed.resolveStart(SparkSession.active,
+              info.base, info.linked, options),
+            checkpointLocation = loc,
+            maxVersionsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            maxBytesPerTrigger =
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong))))
+    }
     streamInfo match {
       case Some(info) =>
         val tableSchema = delegate.schema
@@ -1110,6 +1281,7 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
               Option(options.get("maxBytesPerTrigger")).map(_.toLong)))
       case None => delegate.newScanBuilder(options)
     }
+  }
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` land through the store's
     * own `mergeDelta` via Spark's V1 write fallback (one plain
@@ -1187,30 +1359,9 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     }
   }
 
-  private def toColumn(f: Filter): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit}
-    f match {
-      case EqualTo(a, v) => col(a) === lit(v)
-      case EqualNullSafe(a, v) => col(a) <=> lit(v)
-      case GreaterThan(a, v) => col(a) > lit(v)
-      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
-      case LessThan(a, v) => col(a) < lit(v)
-      case LessThanOrEqual(a, v) => col(a) <= lit(v)
-      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
-      case IsNull(a) => col(a).isNull
-      case IsNotNull(a) => col(a).isNotNull
-      case And(l, r) => toColumn(l) && toColumn(r)
-      case Or(l, r) => toColumn(l) || toColumn(r)
-      case Not(c) => !toColumn(c)
-      case StringStartsWith(a, v) => col(a).startsWith(v)
-      case StringEndsWith(a, v) => col(a).endsWith(v)
-      case StringContains(a, v) => col(a).contains(v)
-      case _: AlwaysTrue => lit(true)
-      case _: AlwaysFalse => lit(false)
-      case other => throw new UnsupportedOperationException(
-        s"DELETE predicate not translatable: $other")
-    }
-  }
+  private def toColumn(f: Filter): org.apache.spark.sql.Column =
+    FilterToColumn(f).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE predicate not translatable: $f"))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     onDelete.isDefined &&

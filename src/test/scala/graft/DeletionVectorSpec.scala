@@ -160,6 +160,60 @@ class DeletionVectorSpec extends SparkSpec {
     assert(contents(st.read(4L)) == got.filter(_._1 > 500L))
   }
 
+  test("foldDv rewrites ONLY masked files, drops the mask, preserves content (both layouts)") {
+    // linked: untouched pool files carry BY NAME
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-fold").toString
+    val lk = new ManifestStore(spark, s"$root/l", "k")
+    lk.write(rows(1 to 400), 1L, numFiles = 4)
+    lk.deleteWhere(1L, 2L, col("k").isin(5L, 7L)): Unit // mask on ONE file
+    val want = contents(lk.read(2L))
+    def files(v: Long) = lk.manifest(v).select("file").collect().map(_.getString(0)).toSet
+    val (sharedN, rewrittenN, dropped) = lk.foldDv(2L, 3L)
+    assert(dropped == 2L && rewrittenN >= 1)
+    assert((files(2L) intersect files(3L)).size == sharedN,
+      "untouched files must carry by reference")
+    assert(contents(lk.read(3L)) == want)
+    assert(!fsOf(s"$root/l").exists(new Path(s"$root/l/_manifests/v=3/_dv")))
+    // snapshot: untouched parts byte-carry under their basename
+    val sn = new SnapshotStore(spark, s"$root/s", "k")
+    sn.writeRangePartitioned(rows(1 to 400), 1L, 4)
+    sn.deleteWhere(1L, 2L, col("k").isin(5L, 7L)): Unit
+    val want2 = contents(sn.read(2L))
+    val (_, rw2, dr2) = sn.foldDv(2L, 3L)
+    assert(dr2 == 2L && rw2 >= 1)
+    assert(contents(sn.read(3L)) == want2)
+    assert(!fsOf(s"$root/s").exists(new Path(s"$root/s/v=3/_dv")))
+  }
+
+  test("SQL: CALL restore publishes a new commit equal to the old version; CALL fold_dv drops the mask") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_sql").toString
+    spark.conf.set("spark.sql.catalog.dvsql",
+      classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvsql.root", root)
+    for ((t, linked) <- Seq(("t_lk", true), ("t_sn", false))) {
+      if (linked) new ManifestStore(spark, s"$root/$t", "k")
+        .write(rows(1 to 100), 1L, numFiles = 2)
+      else new SnapshotStore(spark, s"$root/$t", "k")
+        .writeRangePartitioned(rows(1 to 100), 1L, 2)
+      spark.sql(s"DELETE FROM dvsql.$t WHERE k = 42") // sparse → DV
+      // the masked TIP through SQL: the raw files still hold 100 rows,
+      // the scan must serve 99 (this is the read that silently
+      // over-counted before the masked V1 relation existed)
+      assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t").head().getLong(0) == 99L)
+      assert(spark.sql(s"SELECT k FROM dvsql.$t WHERE k BETWEEN 40 AND 44")
+        .collect().map(_.getLong(0)).toSet == Set(40L, 41L, 43L, 44L))
+      val r = spark.sql(s"CALL dvsql.fold_dv('$t')").collect().head
+      assert(r.getLong(3) == 1L, s"$t: rows_dropped") // one masked row folded
+      assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t").head().getLong(0) == 99L)
+      // RESTORE to v1: tip content = pre-delete, history intact
+      val rr = spark.sql(s"CALL dvsql.restore('$t', 1)").collect().head
+      assert(rr.getLong(1) == 1L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t").head().getLong(0) == 100L)
+      assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t VERSION AS OF 2")
+        .head().getLong(0) == 99L, s"$t: history must stay intact")
+    }
+  }
+
   test("snapshot layout: diff sees DV deletes (full-content join)") {
     val root = java.nio.file.Files.createTempDirectory("graft-dv-snd").toString
     val st = new SnapshotStore(spark, s"$root/sd", "k")
