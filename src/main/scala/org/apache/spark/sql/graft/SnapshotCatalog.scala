@@ -234,7 +234,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * so a genuine store named `history`/`files` always wins. */
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
-    if ((kind != "history" && kind != "files" && kind != "changes")
+    if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
@@ -247,6 +247,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             if (st.versions().isEmpty) return None
             st.history()
           }
+        case "dv" =>
+          // the TIP's deletion vector as a table — (file, pos), empty
+          // when unmasked: the observability half of merge-on-read
+          // (what `CALL fold_dv` will rewrite, row by row)
+          val (linked0, vs0) = resolve(parent)
+          if (vs0.isEmpty) return None
+          val tip0 = vs0.max
+          val mask = if (linked0) linkedFor(parent).dvFrame(tip0)
+            else storeFor(parent).dvFrame(tip0)
+          mask.getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType)))))
         case _ => filesDf(parent).getOrElse(return None)
       }
       Some(new HistoryTable(

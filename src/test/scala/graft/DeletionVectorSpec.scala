@@ -202,9 +202,15 @@ class DeletionVectorSpec extends SparkSpec {
       assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t").head().getLong(0) == 99L)
       assert(spark.sql(s"SELECT k FROM dvsql.$t WHERE k BETWEEN 40 AND 44")
         .collect().map(_.getLong(0)).toSet == Set(40L, 41L, 43L, 44L))
+      // the .dv metadata table exposes the mask (file, pos) — the
+      // observability half of merge-on-read
+      assert(spark.sql(s"SELECT * FROM dvsql.$t.dv").count() == 1L)
       val r = spark.sql(s"CALL dvsql.fold_dv('$t')").collect().head
       assert(r.getLong(3) == 1L, s"$t: rows_dropped") // one masked row folded
       assert(spark.sql(s"SELECT COUNT(*) FROM dvsql.$t").head().getLong(0) == 99L)
+      // the .dv metadata table shows the tip's mask, then empties
+      val dvRows = spark.sql(s"SELECT * FROM dvsql.$t.dv").collect()
+      assert(dvRows.isEmpty, s"$t: mask must be gone after fold_dv")
       // RESTORE to v1: tip content = pre-delete, history intact
       val rr = spark.sql(s"CALL dvsql.restore('$t', 1)").collect().head
       assert(rr.getLong(1) == 1L)
