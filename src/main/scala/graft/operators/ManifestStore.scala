@@ -85,10 +85,122 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def write(df: DataFrame, version: Long, numFiles: Int = 4,
       commitTs: Option[Long] = None): Unit = {
     requireFreeVersion(version)
-    val names = landInPool(
-      df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    val names = landInPool(arrange(df, numFiles))
     require(names.nonEmpty, "write: empty input frame")
-    publish(version, statsFor(names), commitTs)
+    publish(version, statsFor(names, effectiveStatsCols), commitTs)
+  }
+
+  /** First write of a PARTITIONED table — Delta/Iceberg's `PARTITIONED
+    * BY (cols…)`: declares `partCols` in the `_partition.json` sidecar
+    * (every later landing on this store clusters by them), lands the
+    * frame one-partition-tuple-per-file (≤ `filesPerPartition` files
+    * each, key-sorted within), and records the tuple in the manifest
+    * as exact per-file min==max stats. Partition predicates then prune
+    * EXACTLY at the manifest level, [[dropPartitions]] is
+    * metadata-only, and [[replaceWhere]] carries untouched partitions
+    * by reference. Partition values should be non-null (a null groups
+    * under a null tuple — it prunes conservatively but reads as an odd
+    * partition); the key column cannot be a partition column (its
+    * envelope is the manifest's primary prune axis already). */
+  def writePartitioned(df: DataFrame, version: Long, partCols: Seq[String],
+      filesPerPartition: Int = 1, commitTs: Option[Long] = None): Unit = {
+    requireFreeVersion(version)
+    require(partCols.nonEmpty, "writePartitioned: no partition columns")
+    require(!partCols.contains(keyCol),
+      s"writePartitioned: '$keyCol' is the store key — key-range pruning already " +
+        "covers it; partition on a coarser dimension")
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
+    ensureStoreMeta()
+    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    val names = landInPool(arrange(df, filesPerPartition))
+    require(names.nonEmpty, "writePartitioned: empty input frame")
+    publish(version, statsFor(names, effectiveStatsCols), commitTs)
+  }
+
+  /** Every manifest row's partition tuple as plain value columns
+    * (min==max per the layout invariant, asserted) plus the rest of
+    * the entry — the shared base for the partition verbs. */
+  private def partitionEntries(man: DataFrame, pcs: Seq[String]): DataFrame = {
+    val straddlers = man.filter(
+        pcs.map(c => !(col(s"min_$c") <=> col(s"max_$c"))).reduce(_ || _))
+      .limit(1).count()
+    require(straddlers == 0L,
+      "partitioned-store invariant violated: a manifest file spans more than one " +
+        "partition tuple (was data landed outside the store's own write paths?)")
+    man.select(man.columns.map(col) ++ pcs.map(c => col(s"min_$c").as(c)): _*)
+  }
+
+  private def requirePartitioned(op: String): Seq[String] = {
+    val pcs = storedPartitionBy()
+    require(pcs.nonEmpty,
+      s"$op needs a partitioned store — declare partition columns with writePartitioned")
+    pcs
+  }
+
+  /** SHOW PARTITIONS, metadata-only: one row per partition tuple with
+    * its file and physical row counts, straight off the manifest — no
+    * data file opens. (Row counts are physical: a deletion vector's
+    * masked rows still count until [[foldDv]]/[[compact]] folds them.) */
+  def partitions(version: Long): DataFrame = {
+    val pcs = requirePartitioned("partitions")
+    partitionEntries(manifest(version), pcs)
+      .groupBy(pcs.map(col): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE — Delta's `replaceWhere` / classic
+    * `INSERT OVERWRITE ... PARTITION`: every partition tuple PRESENT in
+    * `data` is replaced wholesale by `data`'s rows for it; untouched
+    * partitions carry by manifest REFERENCE (zero I/O). The idempotent
+    * backfill verb: re-running a day's pipeline overwrites that day
+    * and nothing else. Schema must match the table (an overwrite is
+    * not a schema-evolution verb). Returns (filesCarried,
+    * filesReplaced, filesNew). */
+  def replaceWhere(fromVersion: Long, toVersion: Long, data: DataFrame,
+      filesPerPartition: Int = 1, commitTs: Option[Long] = None): (Int, Int, Int) = {
+    val pcs = requirePartitioned("replaceWhere")
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val sharedFiles = partitionEntries(man, pcs)
+      .join(touched, pcs, "left_anti").select("file")
+    val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
+    val stats = landWithStats(arrange(data, filesPerPartition), manifestStatsCols(man))
+    publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+      evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
+    val nShared = shared.count().toInt
+    (nShared, man.count().toInt - nShared, stats.fold(0L)(_.count()).toInt)
+  }
+
+  /** METADATA-ONLY partition drop — the retention verb a date-
+    * partitioned 100 TB lake runs nightly ("drop everything older than
+    * 90 days"): entries whose partition tuple satisfies `pred` (a
+    * Column over the partition column names) leave the manifest; NOT
+    * ONE DATA BYTE moves, regardless of table size — the layout's
+    * one-tuple-per-file invariant makes the file set of a partition
+    * exact. Bytes reclaim later via ref-count [[vacuum]]. Null
+    * predicate rows are kept ([[deleteWhere]]'s rule). Returns
+    * (filesCarried, filesDropped, physicalRowsDropped). */
+  def dropPartitions(fromVersion: Long, toVersion: Long, pred: Column,
+      commitTs: Option[Long] = None): (Int, Int, Long) = {
+    val pcs = requirePartitioned("dropPartitions")
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    val dropped = partitionEntries(man, pcs)
+      .filter(coalesce(pred, lit(false)))
+      .select(col("file"), col("n_rows")).localCheckpoint()
+    val shared = man.join(dropped, Seq("file"), "left_anti").localCheckpoint()
+    val rowsDropped = dropped.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    // dropping every partition legitimately empties the table: record
+    // the schema sidecar so the zero-file version still plans
+    val schema =
+      if (shared.limit(1).count() == 0L)
+        evolvedSchema(fromVersion).orElse(
+          Some(readFilesRaw(fromVersion, resolve(fromVersion).take(1)).schema))
+      else evolvedSchema(fromVersion)
+    publish(toVersion, shared, commitTs, schema, dv = carryDv(fromVersion, shared))
+    (shared.count().toInt, dropped.count().toInt, rowsDropped)
   }
 
   /** Publish `version` as an EMPTY table of `schema` — zero pool
@@ -141,13 +253,34 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   }
 
   /** Write a frame's part-files into the shared pool under fresh
-    * unique names; returns the pool names. */
+    * unique names; returns the pool names.
+    *
+    * On a PARTITIONED store ([[writePartitioned]]) the frame lands
+    * hive-style on DUPLICATED `__gp_<col>` directory columns — the
+    * originals stay IN the data files (pool files remain
+    * self-contained: stats scans, compaction, diff, validate all read
+    * them standalone) while the writer splits on the copies, so every
+    * pool file holds exactly ONE partition tuple. The manifest then
+    * records min==max for each partition column and partition
+    * predicates prune EXACTLY; the pool itself stays flat (relocatable
+    * bare names, no directory coupling). */
   private def landInPool(df: DataFrame): Seq[String] = {
     val tmp = new Path(s"$basePath/.tmp-pool-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val pcs = storedPartitionBy()
+    if (pcs.isEmpty) df.write.mode("overwrite").parquet(tmp.toString)
+    else {
+      val dup = pcs.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      dup.write.mode("overwrite")
+        .partitionBy(pcs.map("__gp_" + _): _*).parquet(tmp.toString)
+    }
     fs.mkdirs(poolDir)
-    val parts = fs.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith("part-"))
-    val names = parts.toIndexedSeq.map { p =>
+    // recursive walk: hive landing nests part files one dir per
+    // partition tuple; the flat landing has them at the root
+    val it = fs.listFiles(tmp, true)
+    val parts = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.startsWith("part-")).toIndexedSeq
+    val names = parts.map { p =>
       val name = s"${java.util.UUID.randomUUID().toString.take(12)}-${p.getName.take(10)}.parquet"
       if (!fs.rename(p, new Path(poolDir, name)))
         throw new java.io.IOException(s"pool rename failed for $p")
@@ -156,6 +289,36 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     fs.delete(tmp, true)
     names
   }
+
+  /** Declared partition columns ([[SnapshotStore.readStoredPartitionBy]]);
+    * empty on an unpartitioned store. */
+  def storedPartitionBy(): Seq[String] =
+    SnapshotStore.readStoredPartitionBy(fs, basePath)
+
+  /** Physical arrangement every landing goes through. Unpartitioned:
+    * key-range files, key-sorted (manifest key envelopes disjoint —
+    * perfect key pruning). Partitioned: cluster by partition tuple
+    * plus a key-hash salt bounding files per partition at `numFiles`,
+    * key-sorted within — [[landInPool]]'s hive split then keeps the
+    * one-tuple-per-file invariant that version-to-version rewrites
+    * (mergeDelta, deleteWhere CoW, compact, foldDv) must preserve for
+    * [[dropPartitions]] to stay metadata-only. */
+  private def arrange(df: DataFrame, numFiles: Int): DataFrame =
+    storedPartitionBy() match {
+      case Seq() =>
+        df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol)
+      case pcs =>
+        val exprs = pcs.map(col) :+ pmod(hash(col(keyCol)), lit(math.max(numFiles, 1)))
+        df.repartition(exprs: _*)
+          .sortWithinPartitions((pcs :+ keyCol).map(col): _*)
+    }
+
+  /** Stats columns a FIRST write records: the construction `statsCols`
+    * plus every declared partition column (partition pruning rides the
+    * same manifest min/max machinery — min==max per file by the
+    * [[arrange]]+[[landInPool]] invariant). */
+  private def effectiveStatsCols: Seq[String] =
+    statsCols ++ storedPartitionBy().filterNot(c => c == keyCol || statsCols.contains(c))
 
   /** Publish a manifest frame as `version`: parquet to a tmp dir,
     * commit-ts (and, for evolved versions, the union schema) sidecar
@@ -604,8 +767,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * recorded [min_c, max_c] envelope overlaps [lo, hi] open — the
     * linked twin of SnapshotStore.readWhere. */
   def readWhere(version: Long, column: String, lo: Any, hi: Any): DataFrame = {
-    require(statsCols.contains(column),
-      s"readWhere needs '$column' in statsCols (have: $statsCols)")
+    require(statsCols.contains(column) || storedPartitionBy().contains(column),
+      s"readWhere needs '$column' in statsCols or the partition spec " +
+        s"(have: $statsCols ++ ${storedPartitionBy()})")
     val hit = manifest(version)
       .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
       .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
@@ -625,6 +789,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
     requireFreeVersion(version)
+    require(storedPartitionBy().isEmpty,
+      "writeZOrdered: store is hive-partitioned — Z-order clustering and partition " +
+        "landing prescribe conflicting physical layouts; use one or the other")
     val missing = zCols.filterNot(c => c == keyCol || statsCols.contains(c))
     require(missing.isEmpty,
       s"z-order columns need manifest stats — construct the store with statsCols containing $missing")
@@ -644,8 +811,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def readWhereAll(version: Long, preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     preds.foreach { case (c, _, _) =>
-      require(c == keyCol || statsCols.contains(c),
-        s"readWhereAll needs manifest stats for '$c' (have key + $statsCols)") }
+      require(c == keyCol || statsCols.contains(c) || storedPartitionBy().contains(c),
+        s"readWhereAll needs manifest stats for '$c' " +
+          s"(have key + $statsCols ++ ${storedPartitionBy()})") }
     val survivors = preds.foldLeft(manifest(version)) { case (m, (c, lo, hi)) =>
       val (loC, hiC) =
         if (c == keyCol) (col("min_key"), col("max_key"))
@@ -745,8 +913,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     def materialize(df: DataFrame): DataFrame =
       if (allFills.isEmpty) df else df.na.fill(allFills)
     val stats = landWithStats(
-      materialize(survivors.unionByName(upserts))
-        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      arrange(materialize(survivors.unionByName(upserts)), numNewFiles),
       manifestStatsCols(man))
     // an all-delete merge can rewrite to nothing: the manifest is then
     // just the shared entries — and a version that could end up with
@@ -818,8 +985,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val kept = readFiles(fromVersion,
         matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
       .filter(!coalesce(pred, lit(false)))
-    val stats = landWithStats(
-      kept.repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol),
+    val stats = landWithStats(arrange(kept, numNewFiles),
       manifestStatsCols(man))
     // a delete that empties the table records the schema sidecar so
     // the zero-file version still plans (see mergeDelta)
@@ -853,9 +1019,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         val shared = man.filter(!col("file").isin(masked.toSeq: _*))
         val survivors = readFiles(fromVersion,
           masked.map(n => new Path(poolDir, n).toString).toSeq)
-        val stats = landWithStats(
-          survivors.repartitionByRange(numNewFiles, col(keyCol))
-            .sortWithinPartitions(keyCol),
+        val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man))
         publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
           evolvedSchema(fromVersion))
@@ -1118,9 +1282,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val shared = man.filter(!col("file").isin(small.toSeq: _*))
     // compaction FOLDS the deletion vector in: the rewrite reads the
     // masked view, so folded files shed their DV entries for good
-    val names = landInPool(
-      readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq)
-        .repartitionByRange(targetFiles, col(keyCol)).sortWithinPartitions(keyCol))
+    val names = landInPool(arrange(
+      readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq),
+      targetFiles))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
     (sizes.length - small.length, names.size)

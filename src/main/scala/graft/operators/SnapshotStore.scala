@@ -88,6 +88,46 @@ object SnapshotStore {
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     }
   }
+
+  /** Declared partition columns, recorded in a `_partition.json`
+    * sidecar at the store base by the first partitioned write — the
+    * table-layout contract BOTH store layouts share (Delta/Iceberg's
+    * `partitionColumns` in the table metadata). Empty = unpartitioned.
+    */
+  def readStoredPartitionBy(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(basePath, "_partition.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(
+          txt.dropWhile(_ != '[').takeWhile(_ != ']'))
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+  }
+
+  /** Persist the partition-column declaration. Idempotent; a SECOND
+    * declaration must match the first — silently re-partitioning a
+    * table under existing versions would break every reader's pruning
+    * contract. */
+  def writeStoredPartitionBy(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "partitionBy needs at least one column")
+    val existing = readStoredPartitionBy(fs, basePath)
+    if (existing.nonEmpty) {
+      require(existing == cols,
+        s"store at $basePath is already partitioned by $existing; cannot redeclare as $cols")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(basePath))
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val out = fs.create(new org.apache.hadoop.fs.Path(basePath, "_partition.json"), true)
+      try out.write(cols.map(c => "\"" + esc(c) + "\"")
+        .mkString("{\"partitionBy\": [", ", ", "]}").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 }
 
 /** Shared Morton-interleave column builder — the multi-column
@@ -321,6 +361,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * wrongly (zone-map rule: null bounds keep the file). */
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
+    require(storedPartitionBy().isEmpty,
+      "writeZOrdered: store is hive-partitioned — Z-order clustering and partition " +
+        "landing prescribe conflicting physical layouts; use one or the other")
     write(df.withColumn("__z", ZOrder.zColumn(df, zCols))
       .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
       .drop("__z"), version, commitTs)
@@ -418,6 +461,213 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * [[readWhere]]. */
   def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame =
     readWhere(version, keyCol, lo, hi)
+
+  /** Declared partition columns ([[SnapshotStore.readStoredPartitionBy]]);
+    * empty on an unpartitioned store. */
+  def storedPartitionBy(): Seq[String] =
+    SnapshotStore.readStoredPartitionBy(fs, basePath)
+
+  /** Physical arrangement every landing goes through —
+    * [[ManifestStore]]'s twin: key-range + key-sort when
+    * unpartitioned; partition-tuple clustering (≤ `numFiles` files per
+    * tuple via a key-hash salt, key-sorted within) when partitioned,
+    * so [[landFlat]]'s hive split keeps one partition tuple per file
+    * and the zone map records exact (min==max) partition stats. */
+  private def arrange(df: DataFrame, numFiles: Int): DataFrame =
+    storedPartitionBy() match {
+      case Seq() =>
+        df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol)
+      case pcs =>
+        val exprs = pcs.map(col) :+ pmod(hash(col(keyCol)), lit(math.max(numFiles, 1)))
+        df.repartition(exprs: _*)
+          .sortWithinPartitions((pcs :+ keyCol).map(col): _*)
+    }
+
+  /** Land `df`'s part files FLAT into `tmp` (the version dir under
+    * construction) and return their names. Partitioned stores stage
+    * hive-style on duplicated `__gp_<col>` directory columns (the
+    * originals stay in the data — files remain self-contained) and the
+    * leaves move flat under fresh `part-…` names, so the version dir
+    * keeps the layout every reader/lister of this store assumes. */
+  private def landFlat(df: DataFrame, tmp: Path): Set[String] = {
+    val pcs = storedPartitionBy()
+    if (pcs.isEmpty) {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    } else {
+      val stage = new Path(s"$basePath/.tmp-stage-${java.util.UUID.randomUUID()}")
+      val dup = pcs.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
+      dup.write.mode("overwrite")
+        .partitionBy(pcs.map("__gp_" + _): _*).parquet(stage.toString)
+      fs.mkdirs(tmp)
+      val it = fs.listFiles(stage, true)
+      val parts = Iterator.continually(it).takeWhile(_.hasNext).map(_.next().getPath)
+        .filter(_.getName.startsWith("part-")).toIndexedSeq
+      val names = parts.map { p =>
+        val name = s"part-${java.util.UUID.randomUUID().toString.take(12)}-${p.getName.take(10)}.parquet"
+        if (!fs.rename(p, new Path(tmp, name)))
+          throw new java.io.IOException(s"partitioned landing rename failed for $p")
+        name
+      }
+      fs.delete(stage, true)
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      names.toSet
+    }
+  }
+
+  /** First write of a PARTITIONED table on this layout —
+    * [[ManifestStore.writePartitioned]]'s dir-per-version twin:
+    * declares `partCols`, lands one-partition-tuple-per-file, and
+    * builds a zone map whose partition-column stats are exact
+    * (min==max), so partition predicates prune exactly through the
+    * existing [[readWhere]]/[[prunedFilesBy]] machinery. `statsCols`
+    * adds further zone-mapped columns beyond the partition spec. */
+  def writePartitioned(df: DataFrame, version: Long, partCols: Seq[String],
+      filesPerPartition: Int = 1, statsCols: Seq[String] = Nil,
+      commitTs: Option[Long] = None): Unit = {
+    requireFreeVersion(version)
+    require(partCols.nonEmpty, "writePartitioned: no partition columns")
+    require(!partCols.contains(keyCol),
+      s"writePartitioned: '$keyCol' is the store key — zone-map key envelopes " +
+        "already prune it; partition on a coarser dimension")
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
+    ensureStoreMeta()
+    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
+    landFlat(arrange(df, filesPerPartition), tmp): Unit
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    casPublish(tmp, version, "writePartitioned")
+    buildZoneMap(version, (statsCols ++ partCols).distinct)
+  }
+
+  /** Zone-map rows with the partition tuple as plain value columns
+    * (min==max per the layout invariant, asserted). */
+  private def partitionEntries(zm: DataFrame, pcs: Seq[String]): DataFrame = {
+    val straddlers = zm.filter(
+        pcs.map(c => !(col(s"min_$c") <=> col(s"max_$c"))).reduce(_ || _))
+      .limit(1).count()
+    require(straddlers == 0L,
+      "partitioned-store invariant violated: a version file spans more than one " +
+        "partition tuple (was data landed outside the store's own write paths?)")
+    zm.select(zm.columns.map(col) ++ pcs.map(c => col(s"min_$c").as(c)): _*)
+  }
+
+  private def requirePartitionedZm(op: String, version: Long): (Seq[String], DataFrame) = {
+    val pcs = storedPartitionBy()
+    require(pcs.nonEmpty,
+      s"$op needs a partitioned store — declare partition columns with writePartitioned")
+    val zm = zoneMap(version).getOrElse(throw new IllegalStateException(
+      s"$op needs version $version's zone map (writePartitioned builds it)"))
+    (pcs, zm)
+  }
+
+  /** SHOW PARTITIONS, metadata-only — [[ManifestStore.partitions]]'s
+    * twin off the zone map (physical row counts; DV-masked rows still
+    * count until folded). */
+  def partitions(version: Long): DataFrame = {
+    val (pcs, zm) = requirePartitionedZm("partitions", version)
+    partitionEntries(zm, pcs)
+      .groupBy(pcs.map(col): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE — [[ManifestStore.replaceWhere]]'s
+    * twin: partitions present in `data` are replaced wholesale;
+    * untouched partitions carry as byte-copies (this layout's carry
+    * contract — the zero-copy carry is the linked layout's). Returns
+    * (filesCarried, filesReplaced, filesNew). */
+  def replaceWhere(fromVersion: Long, toVersion: Long, data: DataFrame,
+      filesPerPartition: Int = 1, commitTs: Option[Long] = None): (Int, Int, Int) = {
+    val (pcs, zm0) = requirePartitionedZm("replaceWhere", fromVersion)
+    requireFreeVersion(toVersion)
+    val zm = zm0.localCheckpoint()
+    val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val sharedNames = partitionEntries(zm, pcs).join(touched, pcs, "left_anti")
+      .select("file").collect()
+      .map(f => { val p = f.getString(0); p.substring(p.lastIndexOf('/') + 1) }).toSet
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    val newNames = landFlat(arrange(data, filesPerPartition), tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val carriedParts = allParts.filter(p => sharedNames(p.getName))
+    carriedParts.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    carryDvInto(fromVersion, tmp, carriedParts.map(_.getName).toSet)
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    evolvedSchema(fromVersion).foreach { sc =>
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(sc.json.getBytes("UTF-8")) finally out.close()
+    }
+    casPublish(tmp, toVersion, "replaceWhere")
+    // zone map: carried entries re-home; only the new files scan
+    val zmStatsCols = zm.columns.toSeq
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+    val carried = zm
+      .filter(regexp_extract(col("file"), "[^/]+$", 0).isin(sharedNames.toSeq: _*))
+      .withColumn("file",
+        regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+    val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
+    val aggs = Seq(
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+      count(lit(1)).as("n_rows")) ++
+      zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val withNew =
+      if (newFiles.isEmpty) carried
+      else carried.unionByName(
+        spark.read.parquet(newFiles: _*)
+          .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
+          .groupBy("file").agg(aggs.head, aggs.tail: _*))
+    withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    (carriedParts.length, allParts.length - carriedParts.length, newNames.size)
+  }
+
+  /** Partition drop — [[ManifestStore.dropPartitions]]'s twin. On this
+    * layout the survivors byte-copy into the new version dir (the
+    * dir-per-version carry contract); the METADATA-ONLY drop is the
+    * linked layout's. Null predicate rows are kept. Returns
+    * (filesCarried, filesDropped, physicalRowsDropped). */
+  def dropPartitions(fromVersion: Long, toVersion: Long, pred: Column,
+      commitTs: Option[Long] = None): (Int, Int, Long) = {
+    val (pcs, zm0) = requirePartitionedZm("dropPartitions", fromVersion)
+    requireFreeVersion(toVersion)
+    val zm = zm0.localCheckpoint()
+    val dropped = partitionEntries(zm, pcs).filter(coalesce(pred, lit(false)))
+      .select(regexp_extract(col("file"), "[^/]+$", 0).as("name"), col("n_rows"))
+      .localCheckpoint()
+    val droppedNames = dropped.select("name").collect().map(_.getString(0)).toSet
+    val rowsDropped = dropped.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    val survivors = allParts.filterNot(p => droppedNames(p.getName))
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    survivors.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    carryDvInto(fromVersion, tmp, survivors.map(_.getName).toSet)
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    // dropping every partition legitimately empties the table: record
+    // the schema sidecar so the zero-file version still plans
+    val schema =
+      if (survivors.isEmpty)
+        evolvedSchema(fromVersion).orElse(Some(read(fromVersion).schema))
+      else evolvedSchema(fromVersion)
+    schema.foreach { sc =>
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(sc.json.getBytes("UTF-8")) finally out.close()
+    }
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    casPublish(tmp, toVersion, "dropPartitions")
+    zm.filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(droppedNames.toSeq: _*))
+      .withColumn("file",
+        regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+      .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    (survivors.length, droppedNames.size, rowsDropped)
+  }
 
   /** Delta-driven restore read: rows of `version` whose key appears in
     * `keys` (a one-column frame of key values, e.g. a CDC delta's
@@ -799,13 +1049,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // same values the store API does; carried pre-evolution files
     // stay covered by the read-time fill / existence default.
     val rewritten = applyFills(survivors.unionByName(upserts), unionSchema)
-      .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
-    // publish: spark writes the rewritten files (+_SUCCESS) to tmp,
-    // untouched bytes copy in beside them, one rename goes live
+    // publish: spark writes the rewritten files (+_SUCCESS) to tmp
+    // (partition-aware arrangement on a partitioned store), untouched
+    // bytes copy in beside them, one rename goes live
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-    rewritten.write.mode("overwrite").parquet(tmp.toString)
-    val newNames = fs.listStatus(tmp).map(_.getPath.getName)
-      .filter(_.startsWith("part-")).toSet
+    val newNames = landFlat(arrange(rewritten, numNewFiles), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
@@ -1040,14 +1288,12 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val rewritten =
       if (touchedParts.isEmpty)
         spark.read.schema(unionSchema).parquet(dir(fromVersion)).limit(0)
-      else applyFills(
+      else arrange(applyFills(
           maskedScanWithPos(fromVersion, touchedParts.map(_.toString), Some(unionSchema))
             .drop("__f", "__p") // masked: DV-deleted rows must not resurrect
-            .filter(!matches), unionSchema) // fills materialize on rewrite (see mergeDelta)
-        .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
-    rewritten.write.mode("overwrite").parquet(tmp.toString)
-    val newNames = fs.listStatus(tmp).map(_.getPath.getName)
-      .filter(_.startsWith("part-")).toSet
+            .filter(!matches), unionSchema), // fills materialize on rewrite (see mergeDelta)
+        numNewFiles)
+    val newNames = landFlat(rewritten, tmp)
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
