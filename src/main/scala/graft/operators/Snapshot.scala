@@ -1518,6 +1518,120 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_partitions" -> { (s, d) =>
+      // Hive-style PARTITIONED BY on BOTH layouts: orders lands one
+      // partition tuple per file (≤2 files per tuple), the partition
+      // value recorded as exact min==max metadata stats, and SHOW
+      // PARTITIONS costs zero data-file opens. `files_bounded` pins
+      // the physical invariant the whole feature rests on (exact
+      // pruning, metadata-only drops); row counts hash-check against
+      // the declarative GROUP BY.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_${Tables.fingerprint(s, d, "orders")}"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val lk = new ManifestStore(s, s"$base/lk", "o_orderkey")
+      if (!lk.versions().contains(1L))
+        lk.writePartitioned(ord, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+      val sn = new SnapshotStore(s, s"$base/sn", "o_orderkey")
+      if (!sn.versions().contains(1L))
+        sn.writePartitioned(ord, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+      lk.partitions(1L).withColumn("layout", lit("linked"))
+        .unionByName(sn.partitions(1L).withColumn("layout", lit("snapshot")))
+        .select(col("layout"), col("o_orderpriority"), col("n_rows"),
+          (col("n_files") >= 1 && col("n_files") <= 2).as("files_bounded"))
+        .orderBy("layout", "o_orderpriority")
+    },
+
+    "snap_replace_where" -> { (s, d) =>
+      // DYNAMIC PARTITION OVERWRITE (Delta's replaceWhere / INSERT
+      // OVERWRITE ... PARTITION) — the idempotent-backfill verb: the
+      // 2-HIGH partition re-lands wholesale with repriced rows while
+      // every OTHER partition carries by manifest REFERENCE
+      // (`zero_copy` pins it: identical pool file sets across the
+      // overwrite). Re-running a day's pipeline overwrites that day
+      // and nothing else — at 100 TB the overwrite costs O(|partition|),
+      // never O(table).
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_replw_${Tables.fingerprint(s, d, "orders")}"
+      val st = new ManifestStore(s, s"$base/lk", "o_orderkey")
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      if (!st.versions().contains(2L)) {
+        if (!st.versions().contains(1L))
+          st.writePartitioned(ord, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+        val backfill = ord.filter(col("o_orderpriority") === "2-HIGH")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        st.replaceWhere(1L, 2L, backfill, filesPerPartition = 2): Unit
+      }
+      def files(v: Long, p: String) = st.manifest(v)
+        .filter(col("min_o_orderpriority") === p)
+        .select("file").collect().map(_.getString(0)).toSet
+      val zeroCopy = Seq("1-URGENT", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        .forall(p => files(2L, p) == files(1L, p))
+      st.read(2L).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .orderBy("o_orderpriority")
+    },
+
+    "snap_drop_partition" -> { (s, d) =>
+      // METADATA-ONLY partition drop — the nightly retention verb of a
+      // date-partitioned lake ("drop everything older than 90 days"):
+      // the 3-MEDIUM partition leaves the manifest and NOT ONE DATA
+      // BYTE moves, regardless of table size (`zero_write` pins it:
+      // the published file set is a strict subset, no new files).
+      // Bytes reclaim later via ref-count vacuum; pinned history keeps
+      // the dropped partition readable at v1. This is the delete
+      // cheaper than even a deletion vector — and the reason tables
+      // partition on their retention axis.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dropp_${Tables.fingerprint(s, d, "orders")}"
+      val st = new ManifestStore(s, s"$base/lk", "o_orderkey")
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      if (!st.versions().contains(2L)) {
+        if (!st.versions().contains(1L))
+          st.writePartitioned(ord, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+        st.dropPartitions(1L, 2L, col("o_orderpriority") === "3-MEDIUM"): Unit
+      }
+      def fileSet(v: Long) =
+        st.manifest(v).select("file").collect().map(_.getString(0)).toSet
+      val zeroWrite = fileSet(2L).subsetOf(fileSet(1L))
+      st.read(2L).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_write", lit(zeroWrite))
+        .orderBy("o_orderpriority")
+    },
+
+    "snap_partition_prune" -> { (s, d) =>
+      // Partition-equality read on both layouts with the prune bound
+      // ASSERTED: the file set the read opens must be EXACTLY the
+      // partition's own files (manifest envelope filter on linked,
+      // zone-map prunedFilesBy on snapshot) — the scan-cost contract
+      // that makes partition-on-your-filter-axis the first lever of
+      // 100 TB schema design. Results hash-check against the
+      // declarative filter.
+      queries("snap_partitions")(s, d).count(): Unit // lineage: both stores at v1
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_${Tables.fingerprint(s, d, "orders")}"
+      val lk = new ManifestStore(s, s"$base/lk", "o_orderkey")
+      val sn = new SnapshotStore(s, s"$base/sn", "o_orderkey")
+      val p = "1-URGENT"
+      val lkPartFiles = lk.partitions(1L)
+        .filter(col("o_orderpriority") === p).head().getLong(1)
+      val lkOpened = lk.manifest(1L)
+        .filter(col("max_o_orderpriority") >= p && col("min_o_orderpriority") <= p)
+        .count()
+      val snPartFiles = sn.partitions(1L)
+        .filter(col("o_orderpriority") === p).head().getLong(1)
+      val snOpened = sn.prunedFilesBy(1L, "o_orderpriority", p, p).get.size.toLong
+      def side(df: DataFrame, layout: String, exact: Boolean) =
+        df.agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .select(lit(layout).as("layout"), col("n"), col("sum_price"),
+            lit(exact).as("exact_prune"))
+      side(lk.readWhere(1L, "o_orderpriority", p, p), "linked", lkOpened == lkPartFiles)
+        .unionByName(
+          side(sn.readWhere(1L, "o_orderpriority", p, p), "snapshot", snOpened == snPartFiles))
+        .orderBy("layout")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -2146,6 +2260,41 @@ object Snapshot {
         |  TRUE AS zero_rewrite
         |FROM orders WHERE o_orderkey % 5000 <> 0
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_partitions" ->
+      """WITH p AS (SELECT o_orderpriority, COUNT(*) AS n_rows
+        |           FROM orders GROUP BY 1)
+        |SELECT 'linked' AS layout, o_orderpriority, n_rows,
+        |       TRUE AS files_bounded FROM p
+        |UNION ALL
+        |SELECT 'snapshot', o_orderpriority, n_rows, TRUE FROM p
+        |ORDER BY layout, o_orderpriority""".stripMargin,
+
+    "snap_replace_where" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH'
+        |                           THEN o_totalprice + 1000.0
+        |                           ELSE o_totalprice END
+        |                      AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS zero_copy
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "snap_drop_partition" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  TRUE AS zero_write
+        |FROM orders WHERE o_orderpriority <> '3-MEDIUM'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "snap_partition_prune" ->
+      """WITH u AS (SELECT COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'linked' AS layout, n, sum_price, TRUE AS exact_prune FROM u
+        |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM u
+        |ORDER BY layout""".stripMargin,
 
     "snap_hll_gate" ->
       """SELECT l_returnflag, TRUE AS within_5pct FROM lineitem GROUP BY 1
