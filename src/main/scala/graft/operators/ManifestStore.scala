@@ -225,7 +225,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("file",
         org.apache.spark.sql.types.StringType)) ++
-      statsCols.flatMap(c => Seq(
+      // a PARTITIONED empty table (CREATE TABLE ... PARTITIONED BY
+      // lands the _partition.json before this) declares the partition
+      // stats columns up front, so the first INSERT's mergeDelta
+      // records them (it derives stats from the existing manifest)
+      effectiveStatsCols.flatMap(c => Seq(
         org.apache.spark.sql.types.StructField(s"min_$c", schema(c).dataType),
         org.apache.spark.sql.types.StructField(s"max_$c", schema(c).dataType))))
     publish(version,

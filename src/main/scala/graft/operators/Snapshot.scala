@@ -1185,6 +1185,53 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_partition" -> { (s, d) =>
+      // The FULL SQL partition lifecycle on BOTH layouts: `CREATE
+      // TABLE ... PARTITIONED BY (identity) AS SELECT` (v1 empty + v2
+      // data, every file holding one partition tuple), the
+      // `<store>.partitions` metadata table (SHOW PARTITIONS, zero
+      // data-file opens), and `CALL drop_partitions` — the retention
+      // verb (v3; metadata-only on linked, survivor copies on
+      // snapshot). Output: the post-drop partition listing per layout
+      // plus `history_intact` pinning that the dropped partition still
+      // reads at the pre-drop version (time travel over a drop). Warm
+      // passes skip the DDL and time the metadata reads.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlpart_$fp"
+      val cat = s"snappart_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      src.createOrReplaceTempView(s"part_src_$fp")
+      val total = src.count()
+      for ((t, layout) <- Seq(("pt_snap", "snapshot"), ("pt_linked", "linked"))) {
+        val exists =
+          if (layout == "snapshot")
+            new SnapshotStore(s, s"$base/$t", "o_orderkey").versions().contains(3L)
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions().contains(3L)
+        if (!exists) {
+          s.sql(
+            s"""CREATE TABLE $cat.$t
+               |PARTITIONED BY (o_orderpriority)
+               |TBLPROPERTIES('key'='o_orderkey', 'layout'='$layout')
+               |AS SELECT * FROM part_src_$fp""".stripMargin)
+          s.sql(s"CALL $cat.drop_partitions('$t', 'o_orderpriority', '5-LOW')")
+            .collect(): Unit
+        }
+      }
+      Seq(("pt_snap", "snapshot"), ("pt_linked", "linked")).map { case (t, l) =>
+        val intact =
+          s.sql(s"SELECT COUNT(*) FROM $cat.$t VERSION AS OF 2").head().getLong(0) == total
+        s.sql(s"SELECT o_orderpriority, n_rows FROM $cat.$t.partitions")
+          .withColumn("layout", lit(l))
+          .withColumn("history_intact", lit(intact))
+      }.reduce(_ unionByName _)
+        .select("layout", "o_orderpriority", "n_rows", "history_intact")
+        .orderBy("layout", "o_orderpriority")
+    },
+
     "snap_sql_call" -> { (s, d) =>
       // SQL maintenance through the catalog: `CALL <cat>.compact` /
       // `CALL <cat>.vacuum` (the Iceberg-procedures UX via Spark's
@@ -2260,6 +2307,15 @@ object Snapshot {
         |  TRUE AS zero_rewrite
         |FROM orders WHERE o_orderkey % 5000 <> 0
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_sql_partition" ->
+      """WITH p AS (SELECT o_orderpriority, COUNT(*) AS n_rows
+        |           FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1)
+        |SELECT 'linked' AS layout, o_orderpriority, n_rows,
+        |       TRUE AS history_intact FROM p
+        |UNION ALL
+        |SELECT 'snapshot', o_orderpriority, n_rows, TRUE FROM p
+        |ORDER BY layout, o_orderpriority""".stripMargin,
 
     "snap_partitions" ->
       """WITH p AS (SELECT o_orderpriority, COUNT(*) AS n_rows

@@ -190,7 +190,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    // a partitioned store splits ANY landing one-tuple-per-file (the
+    // caller's row arrangement is preserved within each tuple); an
+    // unpartitioned store lands the frame's files verbatim
+    landFlat(df, tmp): Unit
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     casPublish(tmp, version, "write")
   }
@@ -335,7 +338,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         s"lacks the store key column '$keyCol'")
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    writeRangePartitioned(empty, version, 1, commitTs = commitTs)
+    // a pre-declared partition spec (CREATE TABLE ... PARTITIONED BY)
+    // seeds the zone map with the partition stats columns, so the
+    // first INSERT's mergeDelta records them for its new files
+    writeRangePartitioned(empty, version, 1,
+      statsCols = storedPartitionBy(), commitTs = commitTs)
   }
 
   /** [[write]] with a MULTI-column clustering layout: rows ordered by
@@ -510,8 +517,25 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         name
       }
       fs.delete(stage, true)
+      // an EMPTY frame writes no partition dirs at all — land its
+      // schema-carrying footer-only file flat instead (createEmpty's
+      // contract: a zero-row version must still declare its schema)
+      val schemaNames =
+        if (names.nonEmpty) Set.empty[String]
+        else {
+          val flat = new Path(s"$basePath/.tmp-stage-${java.util.UUID.randomUUID()}")
+          df.limit(0).write.mode("overwrite").parquet(flat.toString)
+          val moved = fs.listStatus(flat).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).map { p =>
+              if (!fs.rename(p, new Path(tmp, p.getName)))
+                throw new java.io.IOException(s"empty landing rename failed for $p")
+              p.getName
+            }.toSet
+          fs.delete(flat, true)
+          moved
+        }
       fs.create(new Path(tmp, "_SUCCESS"), true).close()
-      names.toSet
+      names.toSet ++ schemaNames
     }
   }
 

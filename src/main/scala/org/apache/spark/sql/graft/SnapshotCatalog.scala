@@ -234,7 +234,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * so a genuine store named `history`/`files` always wins. */
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
-    if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv")
+    if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv"
+        && kind != "partitions")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
@@ -263,6 +264,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("pos",
                 org.apache.spark.sql.types.LongType)))))
+        case "partitions" =>
+          // SHOW PARTITIONS as a table — (partition cols…, n_files,
+          // n_rows) off the tip's manifest / zone map, zero data-file
+          // opens; only a PARTITIONED BY table has one
+          val base0 = storePath(parent)
+          val fs0 = new org.apache.hadoop.fs.Path(base0)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (graft.operators.SnapshotStore
+            .readStoredPartitionBy(fs0, base0).isEmpty) return None
+          val (linked1, vs1) = resolve(parent)
+          if (linked1) linkedFor(parent).partitions(vs1.max)
+          else storeFor(parent).partitions(vs1.max)
         case _ => filesDf(parent).getOrElse(return None)
       }
       Some(new HistoryTable(
@@ -572,7 +585,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames =
     Array("compact", "vacuum", "retention", "zorder", "clone",
-      "replicate", "parity", "repair", "restore", "fold_dv")
+      "replicate", "parity", "repair", "restore", "fold_dv",
+      "drop_partitions")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -668,6 +682,38 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val targetBytes = math.max(1L, (bytes + targetFiles - 1) / targetFiles)
           val (before, after) = st.compact(tip, targetBytes)
           Array(utf8("snapshot"), tip, before.toLong, after.toLong)
+        }
+      }
+      case "drop_partitions" => bound("drop_partitions",
+        Array(tableParam,
+          ProcedureParameter.in("column", StringType).build(),
+          ProcedureParameter.in("value", StringType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("new_version", LongType),
+          StructField("files_dropped", LongType),
+          StructField("rows_dropped", LongType)))) { in =>
+        // the retention verb of a PARTITIONED BY table: drop one
+        // partition (equality on a declared partition column; the
+        // string value adopts the column's type through Catalyst).
+        // Metadata-only on the linked layout — zero data bytes move,
+        // bytes reclaim later via CALL vacuum; survivor byte-copies on
+        // the snapshot layout (its carry contract). History intact:
+        // the dropped partition stays readable at prior versions.
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val c = in.getUTF8String(1).toString
+        val v = in.getUTF8String(2).toString
+        val base = storePath(t)
+        val pred = org.apache.spark.sql.functions.col(c) === v
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val (_, dropped, rows) = st.dropPartitions(tip, tip + 1, pred)
+          Array(utf8("linked"), tip + 1, dropped.toLong, rows)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val (_, dropped, rows) = st.dropPartitions(tip, tip + 1, pred)
+          Array(utf8("snapshot"), tip + 1, dropped.toLong, rows)
         }
       }
       case "restore" => bound("restore",
@@ -886,15 +932,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     *   'layout' = 'snapshot' (dir-per-version, default) | 'linked'
     *              (manifest over a shared pool — the 100 TB layout)
     *
-    * PARTITIONED BY is refused: stores lay out by key range / Z-order
-    * (`writeRangePartitioned` / `writeZOrdered`), not hive-style
-    * directory partitioning. */
+    * `PARTITIONED BY (col, …)` (identity transforms only) declares
+    * hive-style partition columns: every write lands one partition
+    * tuple per file with exact metadata stats, partition predicates
+    * prune exactly, `<store>.partitions` lists them, and
+    * `CALL drop_partitions` drops one metadata-only (linked layout).
+    * Bucket/temporal transforms are refused — the stores cluster by
+    * key range inside each partition already. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "CREATE TABLE ... PARTITIONED BY is not supported: stores lay out by key " +
-        "range (writeRangePartitioned) or Z-order (writeZOrdered), not " +
-        "hive-style directory partitioning")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val key = Option(properties.get("key")).getOrElse(schema.fields.head.name)
@@ -902,6 +948,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       s"CREATE TABLE: key column '$key' is not in the declared schema " +
         schema.fieldNames.mkString("(", ", ", ")"))
     val base = storePath(ident)
+    if (partitions.nonEmpty) {
+      val pcs = partitions.toSeq.map { t =>
+        val ok = t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1
+        if (!ok) throw new UnsupportedOperationException(
+          s"CREATE TABLE ... PARTITIONED BY: only identity column transforms are " +
+            s"supported (got '$t') — the stores key-cluster inside each partition " +
+            "already, so bucket/temporal transforms add nothing")
+        t.references.head.fieldNames.head
+      }
+      val missing = pcs.filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"CREATE TABLE: partition column(s) not in the schema: ${missing.mkString(", ")}")
+      if (pcs.contains(key)) throw new IllegalArgumentException(
+        s"CREATE TABLE: '$key' is the key column — key-range pruning covers it; " +
+          "partition on a coarser dimension")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // before createEmpty: the empty manifest / zone map then declares
+      // the partition stats columns the first INSERT must record
+      graft.operators.SnapshotStore.writeStoredPartitionBy(fs, base, pcs)
+    }
     Option(properties.get("layout")).getOrElse("snapshot") match {
       case "linked" =>
         new graft.operators.ManifestStore(spark, base, key).createEmpty(schema)

@@ -317,11 +317,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE IF NOT EXISTS snapcat.create_snap (k BIGINT) " +
       "TBLPROPERTIES('key'='k')")
     assert(rows("SELECT k, v FROM snapcat.create_snap") == Set((1L, "a"), (2L, "b")))
-    // refusals: PARTITIONED BY, a key column missing from the schema,
-    // an unknown layout
-    val e2 = intercept[Exception](spark.sql(
-      "CREATE TABLE snapcat.create_part (k BIGINT, p STRING) PARTITIONED BY (p)"))
-    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    // PARTITIONED BY (identity) creates an empty readable v1 too
+    spark.sql(
+      "CREATE TABLE snapcat.create_part (k BIGINT, p STRING) PARTITIONED BY (p)")
+    assert(spark.sql("SELECT * FROM snapcat.create_part").count() == 0L)
+    // refusals: a key column missing from the schema, an unknown layout
     val e3 = intercept[Exception](spark.sql(
       "CREATE TABLE snapcat.create_badkey (k BIGINT) TBLPROPERTIES('key'='nope')"))
     assert(e3.getMessage.contains("key column"), e3.getMessage)
@@ -535,5 +535,37 @@ class SnapshotCatalogSpec extends SparkSpec {
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE snapcat.ren_b RENAME TO create_snap"))
     assert(e2.getMessage.toLowerCase.contains("exists"), e2.getMessage)
+  }
+
+  test("PARTITIONED BY through SQL: create, insert, .partitions, CALL drop_partitions, history intact") {
+    root: Unit
+    for (layout <- Seq("linked", "snapshot")) {
+      val t = s"snapcat.part_$layout"
+      spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING, x DOUBLE) " +
+        s"PARTITIONED BY (cat) TBLPROPERTIES('key'='k', 'layout'='$layout')")
+      spark.sql(
+        s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0), (4, 'c', 4.0)")
+      // SHOW PARTITIONS as a metadata table: values + row counts exact
+      val parts = spark.sql(s"SELECT cat, n_rows FROM $t.partitions ORDER BY cat")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(parts == Seq(("a", 2L), ("b", 1L), ("c", 1L)), s"$layout: $parts")
+      // the retention verb: drop partition 'a' (v3)
+      val res = spark.sql(
+        s"CALL snapcat.drop_partitions('part_$layout', 'cat', 'a')").collect().head
+      assert(res.getString(0) == layout && res.getLong(1) == 3L &&
+        res.getLong(2) >= 1L && res.getLong(3) == 2L, s"$layout: $res")
+      assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 4L))
+      // pinned history still reads the dropped partition
+      assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 2")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+      assert(spark.sql(s"SELECT cat FROM $t.partitions ORDER BY cat")
+        .collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+    }
+    // only identity transforms translate to the stores' layout
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcat.part_bad (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='k')"))
+    assert(e.getMessage.contains("identity"), e.getMessage)
   }
 }
