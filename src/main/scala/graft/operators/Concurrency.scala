@@ -24,6 +24,12 @@ class VersionConflictException(msg: String) extends IllegalArgumentException(msg
   * Delta/Iceberg ConcurrentModificationException contract). */
 class ConcurrentWriteConflictException(msg: String) extends RuntimeException(msg)
 
+/** A write-time CHECK constraint rejected a commit: some row of the
+  * incoming data evaluates the constraint expression to FALSE (a NULL
+  * result passes, per the SQL standard). The commit publishes nothing
+  * — constraint enforcement happens BEFORE any version goes live. */
+class ConstraintViolationException(msg: String) extends IllegalArgumentException(msg)
+
 /** Compare-and-swap version publication — the primitive that makes
   * TWO concurrent writers safe on both store layouts.
   *

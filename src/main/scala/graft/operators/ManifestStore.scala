@@ -85,6 +85,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def write(df: DataFrame, version: Long, numFiles: Int = 4,
       commitTs: Option[Long] = None): Unit = {
     requireFreeVersion(version)
+    enforceConstraints(df, "write")
     val names = landInPool(arrange(df, numFiles))
     require(names.nonEmpty, "write: empty input frame")
     publish(version, statsFor(names, effectiveStatsCols), commitTs)
@@ -113,6 +114,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
     ensureStoreMeta()
     SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    enforceConstraints(df, "writePartitioned")
     val names = landInPool(arrange(df, filesPerPartition))
     require(names.nonEmpty, "writePartitioned: empty input frame")
     publish(version, statsFor(names, effectiveStatsCols), commitTs)
@@ -162,6 +164,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val pcs = requirePartitioned("replaceWhere")
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
+    enforceConstraints(data, "replaceWhere")
     val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
     val sharedFiles = partitionEntries(man, pcs)
       .join(touched, pcs, "left_anti").select("file")
@@ -298,6 +301,51 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * empty on an unpartitioned store. */
   def storedPartitionBy(): Seq[String] =
     SnapshotStore.readStoredPartitionBy(fs, basePath)
+
+  /** Declared CHECK constraints / ADD / DROP / enforcement — the
+    * linked twins of [[SnapshotStore]]'s (same `_constraints.json`
+    * sidecar contract; see there for semantics: FALSE violates, NULL
+    * passes, write-time only). */
+  def constraints(): Seq[(String, String)] =
+    SnapshotStore.readConstraints(fs, basePath)
+
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val cur = constraints()
+    require(!cur.exists(_._1 == name), s"constraint '$name' already exists")
+    latestVersion().foreach { v =>
+      val bad = read(v).filter(coalesce(expr(exprSql), lit(true)) === lit(false))
+        .limit(1).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"ADD CONSTRAINT '$name': existing rows of version $v violate ($exprSql)")
+    }
+    SnapshotStore.writeConstraints(fs, basePath, cur :+ ((name, exprSql)))
+  }
+
+  def dropConstraint(name: String): Unit = {
+    val cur = constraints()
+    require(cur.exists(_._1 == name),
+      s"no constraint named '$name' (have: ${cur.map(_._1).mkString(", ")})")
+    SnapshotStore.writeConstraints(fs, basePath, cur.filterNot(_._1 == name))
+  }
+
+  private def enforceConstraints(df: DataFrame, what: String): Unit =
+    constraints().foreach { case (n, e) =>
+      val hit = df.filter(coalesce(expr(e), lit(true)) === lit(false))
+        .select(to_json(struct(df.columns.map(col): _*)).as("row"))
+        .limit(1).collect()
+      if (hit.nonEmpty) throw new ConstraintViolationException(
+        s"CHECK constraint '$n' (($e)) rejected $what: ${hit.head.getString(0)}")
+    }
+
+  private def requireNoConstraintOn(colName: String, op: String): Unit =
+    constraints().find(c =>
+        ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+          .findFirstIn(c._2).isDefined)
+      .foreach { case (n, e) => throw new UnsupportedOperationException(
+        s"$op '$colName': CHECK constraint '$n' (($e)) references it — " +
+          s"drop the constraint first") }
 
   /** Physical arrangement every landing goes through. Unpartitioned:
     * key-range files, key-sorted (manifest key envelopes disjoint —
@@ -492,6 +540,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     requireFreeVersion(toVersion)
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
+    cols.foreach(requireNoConstraintOn(_, "dropColumns"))
     // the sidecar verbatim when present, so surviving columns keep
     // their recorded fill metadata through the narrowing
     val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
@@ -523,6 +572,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(from != keyCol,
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
+    requireNoConstraintOn(from, "renameColumn")
     val cur = read(fromVersion)
     require(cur.columns.contains(from), s"renameColumn: no column '$from'")
     require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")
@@ -910,6 +960,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
+    enforceConstraints(upserts, "mergeDelta")
     // rewritten files MATERIALIZE every recorded fill (SnapshotStore's
     // r10 contract: no stored null survives in a filled column — an
     // explicit-null delta row reads as the default either way)

@@ -1565,6 +1565,57 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_constraints" -> { (s, d) =>
+      // Write-time CHECK constraints on BOTH layouts (Delta's ALTER
+      // TABLE ADD CONSTRAINT): a declared guard scans the tip once at
+      // ADD, then every commit validates its new rows BEFORE anything
+      // publishes. A valid merge (repricing ~1% of keys) lands as v2;
+      // a violating merge (negative price) is REFUSED — `blocked`
+      // pins that the store still sits at v2 after the attempt, and
+      // `violations` recounts the constraint over the live tip (must
+      // be 0: enforcement, re-judged declaratively). Totals
+      // hash-check against the oracle's recomputed reprice.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ck_${Tables.fingerprint(s, d, "orders")}"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      def side(layout: String): DataFrame = {
+        def tipOf(read: Long => DataFrame, versions: () => Seq[Long],
+            addC: (String, String) => Unit, haveC: () => Seq[(String, String)],
+            merge: (Long, Long, DataFrame) => Unit): DataFrame = {
+          if (!versions().contains(2L)) {
+            if (!haveC().exists(_._1 == "price_pos"))
+              addC("price_pos", "o_totalprice > 0")
+            val reprice = read(1L).filter(col("o_orderkey") % 97 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            merge(1L, 2L, reprice)
+          }
+          val blocked =
+            try { merge(2L, 3L, read(2L).limit(1)
+                .withColumn("o_totalprice", lit(-1.0))); false }
+            catch { case _: ConstraintViolationException => true }
+          val stillV2 = !versions().contains(3L)
+          read(2L).agg(count(lit(1)).as("n"),
+              moneySum(col("o_totalprice")).as("sum_price"),
+              sum(when(coalesce(col("o_totalprice") > 0, lit(true)) === false, 1L)
+                .otherwise(0L)).as("violations"))
+            .select(lit(layout).as("layout"), col("n"), col("sum_price"),
+              col("violations"), lit(blocked && stillV2).as("blocked"))
+        }
+        if (layout == "linked") {
+          val st = new ManifestStore(s, s"$base/lk", "o_orderkey")
+          if (st.versions().isEmpty) st.write(ord, 1L, numFiles = 8)
+          tipOf(st.read, st.versions, st.addConstraint, st.constraints,
+            (a, b, df) => { st.mergeDelta(a, b, df): Unit })
+        } else {
+          val st = new SnapshotStore(s, s"$base/sn", "o_orderkey")
+          if (st.versions().isEmpty) st.writeRangePartitioned(ord, 1L, 8)
+          tipOf(st.read, st.versions, st.addConstraint, st.constraints,
+            (a, b, df) => { st.mergeDelta(a, b, df): Unit })
+        }
+      }
+      side("linked").unionByName(side("snapshot")).orderBy("layout")
+    },
+
     "snap_partitions" -> { (s, d) =>
       // Hive-style PARTITIONED BY on BOTH layouts: orders lands one
       // partition tuple per file (≤2 files per tuple), the partition
@@ -2307,6 +2358,18 @@ object Snapshot {
         |  TRUE AS zero_rewrite
         |FROM orders WHERE o_orderkey % 5000 <> 0
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_constraints" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 97 = 0
+        |                       THEN o_totalprice + 1.0
+        |                       ELSE o_totalprice END AS p FROM orders),
+        |a AS (SELECT COUNT(*) AS n,
+        |        ROUND(CAST(SUM(CAST(p AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |          AS sum_price,
+        |        CAST(0 AS BIGINT) AS violations, TRUE AS blocked FROM t)
+        |SELECT 'linked' AS layout, n, sum_price, violations, blocked FROM a
+        |UNION ALL SELECT 'snapshot', n, sum_price, violations, blocked FROM a
+        |ORDER BY layout""".stripMargin,
 
     "snap_sql_partition" ->
       """WITH p AS (SELECT o_orderpriority, COUNT(*) AS n_rows

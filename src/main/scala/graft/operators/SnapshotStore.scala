@@ -108,6 +108,42 @@ object SnapshotStore {
     }
   }
 
+  /** Declared CHECK constraints, recorded in a `_constraints.json`
+    * sidecar at the store base — (name, boolean SQL expression) pairs
+    * every landing validates new rows against (Delta's CHECK
+    * constraint contract: a row violates when the expression evaluates
+    * FALSE; a NULL result PASSES, per the SQL standard — declare
+    * `c IS NOT NULL` explicitly for NOT NULL semantics). Write-time
+    * guards: pinned history is never re-judged. */
+  def readConstraints(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(basePath, "_constraints.json")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      ("\\{\\s*\"name\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+        "\"expr\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\}").r
+        .findAllMatchIn(txt).map { m =>
+          def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+          (un(m.group(1)), un(m.group(2)))
+        }.toSeq
+    }
+  }
+
+  def writeConstraints(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, all: Seq[(String, String)]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(basePath))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(basePath, "_constraints.json"), true)
+    try out.write(all.map { case (n, e) =>
+      s"""{"name": "${esc(n)}", "expr": "${esc(e)}"}"""
+    }.mkString("{\"constraints\": [", ", ", "]}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Persist the partition-column declaration. Idempotent; a SECOND
     * declaration must match the first — silently re-partitioning a
     * table under existing versions would break every reader's pruning
@@ -190,6 +226,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
+    enforceConstraints(df, "write")
     // a partitioned store splits ANY landing one-tuple-per-file (the
     // caller's row arrangement is preserved within each tuple); an
     // unpartitioned store lands the frame's files verbatim
@@ -474,6 +511,62 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def storedPartitionBy(): Seq[String] =
     SnapshotStore.readStoredPartitionBy(fs, basePath)
 
+  /** Declared CHECK constraints ([[SnapshotStore.readConstraints]]). */
+  def constraints(): Seq[(String, String)] =
+    SnapshotStore.readConstraints(fs, basePath)
+
+  /** ADD CONSTRAINT — Delta's contract: the TIP is scanned ONCE for
+    * existing violations (fail = nothing recorded), then every later
+    * landing validates its new rows. Write-time only: pinned history
+    * is never re-judged. */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val cur = constraints()
+    require(!cur.exists(_._1 == name), s"constraint '$name' already exists")
+    latestVersion().foreach { v =>
+      val bad = read(v).filter(coalesce(expr(exprSql), lit(true)) === lit(false))
+        .limit(1).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"ADD CONSTRAINT '$name': existing rows of version $v violate ($exprSql)")
+    }
+    SnapshotStore.writeConstraints(fs, basePath, cur :+ ((name, exprSql)))
+  }
+
+  def dropConstraint(name: String): Unit = {
+    val cur = constraints()
+    require(cur.exists(_._1 == name),
+      s"no constraint named '$name' (have: ${cur.map(_._1).mkString(", ")})")
+    SnapshotStore.writeConstraints(fs, basePath, cur.filterNot(_._1 == name))
+  }
+
+  /** Validate `df` against every declared constraint — one short-
+    * circuiting probe job per constraint (first violating row lands in
+    * the error as JSON). Runs BEFORE any landing I/O, so a rejected
+    * commit publishes nothing. A deliberate extra pass over the
+    * incoming rows: an inline raise_error filter would be free but can
+    * fire spuriously under Catalyst filter reordering (the assert_true
+    * pushdown hazard) — correctness wins. */
+  private def enforceConstraints(df: DataFrame, what: String): Unit =
+    constraints().foreach { case (n, e) =>
+      val hit = df.filter(coalesce(expr(e), lit(true)) === lit(false))
+        .select(to_json(struct(df.columns.map(col): _*)).as("row"))
+        .limit(1).collect()
+      if (hit.nonEmpty) throw new ConstraintViolationException(
+        s"CHECK constraint '$n' (($e)) rejected $what: ${hit.head.getString(0)}")
+    }
+
+  /** A schema verb may not orphan a constraint: renaming/dropping a
+    * column a CHECK expression references would leave the guard
+    * unevaluable (or silently wrong). Refuse until it is dropped. */
+  private def requireNoConstraintOn(colName: String, op: String): Unit =
+    constraints().find(c =>
+        ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+          .findFirstIn(c._2).isDefined)
+      .foreach { case (n, e) => throw new UnsupportedOperationException(
+        s"$op '$colName': CHECK constraint '$n' (($e)) references it — " +
+          s"drop the constraint first") }
+
   /** Physical arrangement every landing goes through —
     * [[ManifestStore]]'s twin: key-range + key-sort when
     * unpartitioned; partition-tuple clustering (≤ `numFiles` files per
@@ -558,6 +651,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
     ensureStoreMeta()
     SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    enforceConstraints(df, "writePartitioned")
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     landFlat(arrange(df, filesPerPartition), tmp): Unit
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
@@ -605,6 +699,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       filesPerPartition: Int = 1, commitTs: Option[Long] = None): (Int, Int, Int) = {
     val (pcs, zm0) = requirePartitionedZm("replaceWhere", fromVersion)
     requireFreeVersion(toVersion)
+    enforceConstraints(data, "replaceWhere")
     val zm = zm0.localCheckpoint()
     val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
     val sharedNames = partitionEntries(zm, pcs).join(touched, pcs, "left_anti")
@@ -1066,6 +1161,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .join(touchKeys, Seq(keyCol), "left_anti")
     val upserts = align(
       delK.foldLeft(delta)((d, del) => d.join(del, Seq(keyCol), "left_anti")))
+    enforceConstraints(upserts, "mergeDelta")
     // fills MATERIALIZE into rewritten files (an explicit null in a
     // delta row for a filled column lands as the default): stored
     // rows then need no read-time rewrite, so a plain SQL scan with
@@ -1131,6 +1227,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     requireFreeVersion(toVersion)
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
+    cols.foreach(requireNoConstraintOn(_, "dropColumns"))
     val cur = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     val missing = cols.filterNot(cur.fieldNames.contains)
@@ -1182,6 +1279,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(from != keyCol,
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
+    requireNoConstraintOn(from, "renameColumn")
     val cur = read(fromVersion)
     require(cur.columns.contains(from), s"renameColumn: no column '$from'")
     require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")

@@ -235,7 +235,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
     if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv"
-        && kind != "partitions")
+        && kind != "partitions" && kind != "constraints")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
@@ -264,6 +264,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("pos",
                 org.apache.spark.sql.types.LongType)))))
+        case "constraints" =>
+          // the declared CHECK constraints as a table — (name, expr),
+          // empty when none: the observability half of write-time
+          // validation
+          val baseC = storePath(parent)
+          val fsC = new org.apache.hadoop.fs.Path(baseC)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          resolve(parent): Unit // store must exist
+          val cs = graft.operators.SnapshotStore.readConstraints(fsC, baseC)
+          if (cs.isEmpty)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("name",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("expr",
+                  org.apache.spark.sql.types.StringType))))
+          else spark.createDataFrame(cs).toDF("name", "expr")
         case "partitions" =>
           // SHOW PARTITIONS as a table — (partition cols…, n_files,
           // n_rows) off the tip's manifest / zone map, zero data-file
@@ -586,7 +604,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private val procedureNames =
     Array("compact", "vacuum", "retention", "zorder", "clone",
       "replicate", "parity", "repair", "restore", "fold_dv",
-      "drop_partitions")
+      "drop_partitions", "add_constraint", "drop_constraint")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -714,6 +732,47 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val tip = st.versions().max
           val (_, dropped, rows) = st.dropPartitions(tip, tip + 1, pred)
           Array(utf8("snapshot"), tip + 1, dropped.toLong, rows)
+        }
+      }
+      case "add_constraint" => bound("add_constraint",
+        Array(tableParam,
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("expr", StringType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("n_constraints", LongType)))) { in =>
+        // Delta's ALTER TABLE ADD CONSTRAINT (CHECK): scans the tip
+        // once for existing violations (fails = nothing recorded),
+        // then every commit validates its new rows; FALSE violates,
+        // NULL passes (declare `c IS NOT NULL` for NOT NULL).
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val base = storePath(t)
+        val (nm, ex) = (in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          st.addConstraint(nm, ex)
+          Array(utf8("linked"), st.constraints().size.toLong)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          st.addConstraint(nm, ex)
+          Array(utf8("snapshot"), st.constraints().size.toLong)
+        }
+      }
+      case "drop_constraint" => bound("drop_constraint",
+        Array(tableParam,
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("n_constraints", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val base = storePath(t)
+        val nm = in.getUTF8String(1).toString
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          st.dropConstraint(nm)
+          Array(utf8("linked"), st.constraints().size.toLong)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          st.dropConstraint(nm)
+          Array(utf8("snapshot"), st.constraints().size.toLong)
         }
       }
       case "restore" => bound("restore",
