@@ -1232,6 +1232,55 @@ object Snapshot {
         .orderBy("layout", "o_orderpriority")
     },
 
+    "snap_sql_stats" -> { (s, d) =>
+      // ANALYZE TABLE through the catalog on BOTH layouts: `CALL
+      // analyze(tbl, exact_ndv)` computes per-column statistics (rows,
+      // nulls, NDV, min/max) in one fused pass (+ one count_distinct
+      // per column in exact mode — never the fused multi-distinct
+      // EXPAND), persists them as the tip's `_colstats` sidecar, and
+      // `<store>.stats` serves them as a metadata table. Every number
+      // hash-checks against DuckDB recomputing the same statistics
+      // declaratively — the optimizer-statistics contract (CBO feeds,
+      // broadcast decisions) driver-verified to be EXACT. Warm passes
+      // skip analyze and time the metadata read.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlstats_$fp"
+      val cat = s"snapstats_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView(s"stats_src_$fp")
+      for ((t, layout) <- Seq(("st_snap", "snapshot"), ("st_linked", "linked"))) {
+        val analyzed =
+          if (layout == "snapshot") {
+            val st = new SnapshotStore(s, s"$base/$t", "o_orderkey")
+            st.versions().contains(2L) && st.columnStats(2L).isDefined
+          } else {
+            val st = new ManifestStore(s, s"$base/$t", "o_orderkey")
+            st.versions().contains(2L) && st.columnStats(2L).isDefined
+          }
+        if (!analyzed) {
+          val exists =
+            if (layout == "snapshot")
+              new SnapshotStore(s, s"$base/$t", "o_orderkey").versions().nonEmpty
+            else new ManifestStore(s, s"$base/$t", "o_orderkey").versions().nonEmpty
+          if (!exists) s.sql(
+            s"""CREATE TABLE $cat.$t
+               |TBLPROPERTIES('key'='o_orderkey', 'layout'='$layout')
+               |AS SELECT * FROM stats_src_$fp""".stripMargin)
+          s.sql(s"CALL $cat.analyze('$t', true)").collect(): Unit
+        }
+      }
+      Seq(("st_snap", "snapshot"), ("st_linked", "linked")).map { case (t, l) =>
+        s.sql(s"SELECT * FROM $cat.$t.stats").withColumn("layout", lit(l))
+      }.reduce(_ unionByName _)
+        .select("layout", "col_name", "n_rows", "n_nulls", "ndv",
+          "min_str", "max_str")
+        .orderBy("layout", "col_name")
+    },
+
     "snap_sql_call" -> { (s, d) =>
       // SQL maintenance through the catalog: `CALL <cat>.compact` /
       // `CALL <cat>.vacuum` (the Iceberg-procedures UX via Spark's
@@ -2358,6 +2407,35 @@ object Snapshot {
         |  TRUE AS zero_rewrite
         |FROM orders WHERE o_orderkey % 5000 <> 0
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_sql_stats" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS ndv,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR),
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR),
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+        |SELECT 'linked' AS layout, col_name, n_rows, n_nulls, ndv,
+        |       min_str, max_str FROM s
+        |UNION ALL
+        |SELECT 'snapshot', col_name, n_rows, n_nulls, ndv, min_str, max_str
+        |FROM s
+        |ORDER BY layout, col_name""".stripMargin,
 
     "snap_constraints" ->
       """WITH t AS (SELECT CASE WHEN o_orderkey % 97 = 0

@@ -435,6 +435,63 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     }
   }
 
+
+  private def colstatsDir(v: Long) = new Path(dir(v), "_colstats")
+
+  /** ANALYZE — per-column statistics of `version`, persisted as a
+    * `_colstats` sidecar inside the version dir (the
+    * post-publish companion of the zone map: versions stay immutable,
+    * sidecars are derived metadata). Default NDV is
+    * approx_count_distinct (HLL — ONE fused pass over every column,
+    * no expand, the 100 TB mode); `exactNdv` runs one count_distinct
+    * job per column instead (exact, k extra passes — the fused
+    * multi-distinct EXPAND would multiply the stream k-fold, the
+    * q_approx_gate lesson). min/max land as strings so the stats
+    * frame has one uniform schema across column types. */
+  def analyzeColumns(version: Long, cols: Seq[String] = Nil,
+      exactNdv: Boolean = false): DataFrame = {
+    val df = read(version)
+    val supported: org.apache.spark.sql.types.DataType => Boolean = {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    val target =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.filter(f => supported(f.dataType)).map(_.name).toSeq
+    val missing = target.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"analyzeColumns: not in the schema: ${missing.mkString(", ")}")
+    val aggs = target.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) ++
+      (if (exactNdv) Nil else Seq(approx_count_distinct(col(c)).as(s"__ndv_$c")))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = row.getAs[Long]("__rows")
+    val ndvs: Map[String, Long] =
+      if (!exactNdv) target.map(c => c -> row.getAs[Long](s"__ndv_$c")).toMap
+      else target.map(c =>
+        c -> df.agg(count_distinct(col(c)).as("d")).head().getLong(0)).toMap
+    val out = target.map { c =>
+      (c, nRows, nRows - row.getAs[Long](s"__cnt_$c"), ndvs(c),
+        Option(row.getAs[String](s"__min_$c")).orNull,
+        Option(row.getAs[String](s"__max_$c")).orNull)
+    }
+    val stats = spark.createDataFrame(out)
+      .toDF("col_name", "n_rows", "n_nulls", "ndv", "min_str", "max_str")
+    stats.coalesce(1).write.mode("overwrite").parquet(colstatsDir(version).toString)
+    stats
+  }
+
+  /** The stats [[analyzeColumns]] stored for `version`, if any. */
+  def columnStats(version: Long): Option[DataFrame] =
+    if (!fs.exists(new Path(colstatsDir(version), "_SUCCESS"))) None
+    else Some(spark.read.parquet(colstatsDir(version).toString))
+
   /** `_zonemap` starts with '_' so Spark's file listing hides it from
     * plain `read(version)` scans — the zone map rides inside the
     * version dir without polluting it. */

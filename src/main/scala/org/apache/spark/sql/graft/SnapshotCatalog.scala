@@ -235,7 +235,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
     if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv"
-        && kind != "partitions" && kind != "constraints")
+        && kind != "partitions" && kind != "constraints" && kind != "stats")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
@@ -264,6 +264,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("pos",
                 org.apache.spark.sql.types.LongType)))))
+        case "stats" =>
+          // the tip's ANALYZE result as a table — only an analyzed
+          // version has one (CALL analyze writes it)
+          val (linkedS, vsS) = resolve(parent)
+          val st = if (linkedS) linkedFor(parent).columnStats(vsS.max)
+            else storeFor(parent).columnStats(vsS.max)
+          st.getOrElse(return None)
         case "constraints" =>
           // the declared CHECK constraints as a table — (name, expr),
           // empty when none: the observability half of write-time
@@ -604,7 +611,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private val procedureNames =
     Array("compact", "vacuum", "retention", "zorder", "clone",
       "replicate", "parity", "repair", "restore", "fold_dv",
-      "drop_partitions", "add_constraint", "drop_constraint")
+      "drop_partitions", "add_constraint", "drop_constraint", "analyze")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) procedureNames.map(Identifier.of(Array.empty[String], _))
@@ -732,6 +739,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val tip = st.versions().max
           val (_, dropped, rows) = st.dropPartitions(tip, tip + 1, pred)
           Array(utf8("snapshot"), tip + 1, dropped.toLong, rows)
+        }
+      }
+      case "analyze" => bound("analyze",
+        Array(tableParam,
+          ProcedureParameter.in("exact_ndv", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("version", LongType),
+          StructField("n_columns", LongType)))) { in =>
+        // ANALYZE TABLE: per-column stats (rows, nulls, NDV, min/max)
+        // persisted as the tip version's _colstats sidecar and served
+        // by the <store>.stats metadata table. Default NDV is the
+        // one-pass HLL estimate (the 100 TB mode); exact_ndv=true runs
+        // one count_distinct per column instead.
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val exact = in.getBoolean(1)
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val n = st.analyzeColumns(tip, exactNdv = exact).count()
+          Array(utf8("linked"), tip, n)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          val n = st.analyzeColumns(tip, exactNdv = exact).count()
+          Array(utf8("snapshot"), tip, n)
         }
       }
       case "add_constraint" => bound("add_constraint",

@@ -568,4 +568,26 @@ class SnapshotCatalogSpec extends SparkSpec {
         "PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='k')"))
     assert(e.getMessage.contains("identity"), e.getMessage)
   }
+
+  test("CALL analyze persists column stats; <store>.stats serves them; unanalyzed has no table") {
+    root: Unit
+    for (layout <- Seq("linked", "snapshot")) {
+      val t = s"an_$layout"
+      spark.sql(s"CREATE TABLE snapcat.$t (k BIGINT, v STRING) " +
+        s"TBLPROPERTIES('key'='k', 'layout'='$layout')")
+      spark.sql(s"INSERT INTO snapcat.$t VALUES (1, 'a'), (2, 'b'), (3, NULL), (4, 'b')")
+      // unanalyzed: the .stats metadata table does not resolve yet
+      val miss = intercept[Exception](spark.sql(s"SELECT * FROM snapcat.$t.stats").collect())
+      assert(miss.getMessage.toLowerCase.contains("table"), miss.getMessage)
+      val r = spark.sql(s"CALL snapcat.analyze('$t', true)").collect().head
+      assert(r.getString(0) == layout && r.getLong(2) == 2L)
+      val st = spark.sql(s"SELECT col_name, n_rows, n_nulls, ndv, min_str, max_str " +
+        s"FROM snapcat.$t.stats ORDER BY col_name").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getString(4), x.getString(5))).toSeq
+      assert(st == Seq(
+        ("k", 4L, 0L, 4L, "1", "4"),
+        ("v", 4L, 1L, 2L, "a", "b")), s"$layout: $st")
+    }
+  }
 }
