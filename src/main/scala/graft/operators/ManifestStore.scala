@@ -1110,6 +1110,82 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
   }
 
+  /** Predicate UPDATE with a MERGE-ON-READ path — the update half of
+    * the deletion-vector design (Delta/Iceberg's MoR updates): in
+    * `mor` mode the matched rows' OLD positions join the deletion
+    * vector while their UPDATED copies land as NEW pool files, all in
+    * ONE commit — a sparse update of a 100 TB table costs
+    * O(|matched rows|) writes plus a metadata-sized mask, never a
+    * file rewrite. `cow` rewrites the touched files instead (the
+    * read-optimized trade: no mask to pay on later reads); `auto`
+    * picks mor when the match is sparse relative to the files it
+    * touches (deleteWhere's policy). The SET map may not touch the
+    * key column (that is a delete+insert, not an update). Reads are
+    * oblivious: the mask hides the old rows, the new files carry the
+    * new ones. Returns (filesShared, filesNew, rowsUpdated). */
+  def updateWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      set: Map[String, Column], numNewFiles: Int = 2,
+      commitTs: Option[Long] = None, mode: String = "auto"): (Int, Int, Long) = {
+    require(Set("auto", "cow", "mor")(mode),
+      s"updateWhere mode must be auto|cow|mor, got '$mode'")
+    require(set.nonEmpty, "updateWhere: empty SET")
+    require(!set.contains(keyCol),
+      s"updateWhere: SET may not touch the key column '$keyCol' — a key change " +
+        "is a delete+insert, route it through mergeDelta")
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    val sc = evolvedSchema(fromVersion)
+    val paths = resolve(fromVersion)
+    val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
+    val missing = set.keys.filterNot(raw.columns.contains)
+    require(missing.isEmpty, s"updateWhere: not in the schema: ${missing.mkString(", ")}")
+    val withPos = raw.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+      col("_metadata.row_index").as("__p"))
+    val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
+    val filled = if (fills.isEmpty) withPos else withPos.na.fill(fills)
+    val visible = dvFrame(fromVersion).map(d =>
+      filled.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
+      .getOrElse(filled)
+    val matched = visible.filter(coalesce(pred, lit(false))).localCheckpoint()
+    val matchRows = matched.select(col("__f").as("file"), col("__p").as("pos"))
+    val matching = matchRows.groupBy("file").agg(count(lit(1)).as("__hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matching.isEmpty) {
+      publish(toVersion, man, commitTs, sc, dv = dvFrame(fromVersion))
+      return (man.count().toInt, 0, 0L)
+    }
+    val nMatched = matching.values.sum
+    def applySet(df: DataFrame): DataFrame =
+      set.foldLeft(df) { case (d, (c, v)) => d.withColumn(c, v) }
+    val touchedPhysRows = man.filter(col("file").isin(matching.keys.toSeq: _*))
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    val useMor = mode == "mor" ||
+      (mode == "auto" && nMatched * 5 <= touchedPhysRows)
+    if (useMor) {
+      val updated = applySet(matched).drop("__f", "__p")
+      enforceConstraints(updated, "updateWhere")
+      val stats = landWithStats(arrange(updated, numNewFiles), manifestStatsCols(man))
+      val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+      publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
+        dv = Some(mask))
+      (man.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
+    } else {
+      val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
+      val touched = readFiles(fromVersion,
+        matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
+      val rewritten = applySet(touched.filter(coalesce(pred, lit(false))))
+        .unionByName(touched.filter(!coalesce(pred, lit(false))))
+      enforceConstraints(rewritten, "updateWhere")
+      val stats = landWithStats(arrange(rewritten, numNewFiles),
+        manifestStatsCols(man))
+      publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs, sc,
+        dv = carryDv(fromVersion, shared))
+      (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
+    }
+  }
+
   /** FOLD the deletion vector: rewrite ONLY the files the mask names
     * (reading them masked), carry everything else by reference, and
     * publish without a DV — the targeted companion to [[compact]],

@@ -1779,6 +1779,33 @@ object Snapshot {
         .orderBy("layout")
     },
 
+    "snap_update_mor" -> { (s, d) =>
+      // MERGE-ON-READ point UPDATE (snap_delete_dv's update half): a
+      // sparse reprice (keys ≡ 0 mod 5000) over a full orders snapshot
+      // with ZERO existing-file rewrite — old positions join the
+      // deletion vector, updated copies land as new pool files, ONE
+      // commit. At 100 TB a 3-row update costs 3 rows of writes plus a
+      // metadata mask; the CoW alternative re-encodes whole files.
+      // `zero_rewrite` pins the economics (every v1 manifest entry
+      // carries by reference); the oracle recomputes the reprice
+      // declaratively.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_upmor_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, numFiles = 16)
+        store.updateWhere(1L, 2L, col("o_orderkey") % 5000 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 100.0))): Unit
+      }
+      def fileSet(v: Long) =
+        store.manifest(v).select("file").collect().map(_.getString(0)).toSet
+      store.read(2L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_rewrite", lit(fileSet(1L).subsetOf(fileSet(2L))))
+        .orderBy("bucket")
+    },
+
     "snap_distinct_hll" -> { (s, d) =>
       // Mergeable distinct-count sketches — the manifest companion for
       // questions byte-hashes can't answer ("how many distinct orders
@@ -2492,6 +2519,15 @@ object Snapshot {
         |SELECT 'linked' AS layout, n, sum_price, TRUE AS exact_prune FROM u
         |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM u
         |ORDER BY layout""".stripMargin,
+
+    "snap_update_mor" ->
+      """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5000 = 0
+        |                           THEN o_totalprice + 100.0
+        |                           ELSE o_totalprice END
+        |                      AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS zero_rewrite
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_hll_gate" ->
       """SELECT l_returnflag, TRUE AS within_5pct FROM lineitem GROUP BY 1

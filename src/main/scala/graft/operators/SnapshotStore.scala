@@ -1511,6 +1511,141 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (untouchedParts.length, newNames.size, deleted)
   }
 
+  /** Predicate UPDATE with a MERGE-ON-READ path —
+    * [[ManifestStore.updateWhere]]'s dir-per-version twin: `mor`
+    * masks the matched rows' old positions and lands their updated
+    * copies as NEW files beside the byte-copied originals (no parquet
+    * decode/encode of any existing file — this layout's cheapest
+    * possible update); `cow` rewrites the touched files; `auto` picks
+    * mor when sparse. SET may not touch the key column. Returns
+    * (filesShared, filesNew, rowsUpdated). */
+  def updateWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      set: Map[String, Column], numNewFiles: Int = 2,
+      commitTs: Option[Long] = None, mode: String = "auto"): (Int, Int, Long) = {
+    require(Set("auto", "cow", "mor")(mode),
+      s"updateWhere mode must be auto|cow|mor, got '$mode'")
+    require(set.nonEmpty, "updateWhere: empty SET")
+    require(!set.contains(keyCol),
+      s"updateWhere: SET may not touch the key column '$keyCol' — a key change " +
+        "is a delete+insert, route it through mergeDelta")
+    ensureStoreMeta()
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    requireFreeVersion(toVersion)
+    val unionSchema = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    val missing = set.keys.filterNot(unionSchema.fieldNames.contains)
+    require(missing.isEmpty, s"updateWhere: not in the schema: ${missing.mkString(", ")}")
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    val matched = maskedScanWithPos(fromVersion, allParts.map(_.toString),
+        Some(unionSchema))
+      .filter(coalesce(pred, lit(false))).localCheckpoint()
+    val matchRows = matched.select(col("__f").as("file"), col("__p").as("pos"))
+    val matching = matchRows.groupBy("file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sidecars(tmp: Path, dv: Option[DataFrame]): Unit = {
+      dv.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(tmp, "_dv").toString))
+      writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+      if (evolvedSchema(fromVersion).isDefined) {
+        val out = fs.create(new Path(tmp, "_schema.json"), true)
+        try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
+      }
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    }
+    def applySet(df: DataFrame): DataFrame =
+      set.foldLeft(df) { case (d, (c, v)) => d.withColumn(c, v) }
+    if (matching.isEmpty) {
+      val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(tmp)
+      allParts.foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+      sidecars(tmp, dvFrame(fromVersion))
+      casPublish(tmp, toVersion, "updateWhere")
+      zoneMap(fromVersion).foreach(_.withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion)))
+      return (allParts.length, 0, 0L)
+    }
+    val nMatched = matching.values.sum
+    val touchedPhys = allParts.filter(p => matching.contains(p.getName)).map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val useMor = mode == "mor" ||
+      (mode == "auto" && nMatched * 5 <= touchedPhys)
+    val zm = zoneMap(fromVersion)
+    val zmStatsCols = zm.map(_.columns.toSeq
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4)))
+      .getOrElse(Nil)
+    def statsOf(newFiles: Seq[String]): Option[DataFrame] =
+      if (newFiles.isEmpty) None
+      else {
+        val aggs = Seq(
+          min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+          count(lit(1)).as("n_rows")) ++
+          zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        Some(spark.read.parquet(newFiles: _*)
+          .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
+          .groupBy("file").agg(aggs.head, aggs.tail: _*))
+      }
+    if (useMor) {
+      val updated = applySet(matched).drop("__f", "__p")
+      enforceConstraints(updated, "updateWhere")
+      val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+      val newNames = landFlat(arrange(updated, numNewFiles), tmp)
+      allParts.foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+      val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+        .select("file", "pos").localCheckpoint()
+      sidecars(tmp, Some(mask))
+      casPublish(tmp, toVersion, "updateWhere")
+      zm.foreach { z =>
+        val carried = z.withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+        val withNew = statsOf(newNames.map(n => new Path(dir(toVersion), n).toString).toSeq)
+          .fold(carried)(carried.unionByName(_))
+        withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      }
+      (allParts.length, newNames.size, nMatched)
+    } else {
+      val (touchedParts, untouchedParts) =
+        allParts.partition(p => matching.contains(p.getName))
+      val touched = maskedScanWithPos(fromVersion,
+        touchedParts.map(_.toString), Some(unionSchema)).drop("__f", "__p")
+      val rewritten = applySet(touched.filter(coalesce(pred, lit(false))))
+        .unionByName(touched.filter(!coalesce(pred, lit(false))))
+      enforceConstraints(rewritten, "updateWhere")
+      val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+      val newNames = landFlat(arrange(rewritten, numNewFiles), tmp)
+      untouchedParts.foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+      carryDvInto(fromVersion, tmp, untouchedParts.map(_.getName).toSet)
+      writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+      if (evolvedSchema(fromVersion).isDefined) {
+        val out = fs.create(new Path(tmp, "_schema.json"), true)
+        try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
+      }
+      casPublish(tmp, toVersion, "updateWhere")
+      zm.foreach { z =>
+        val touchedNames = touchedParts.map(_.getName).toSet
+        val carried = z.filter(!regexp_extract(col("file"), "[^/]+$", 0)
+            .isin(touchedNames.toSeq: _*))
+          .withColumn("file",
+            regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+        val withNew = statsOf(newNames.map(n => new Path(dir(toVersion), n).toString).toSeq)
+          .fold(carried)(carried.unionByName(_))
+        withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      }
+      (untouchedParts.length, newNames.size, nMatched)
+    }
+  }
+
   /** FOLD the deletion vector ([[ManifestStore.foldDv]]'s twin):
     * rewrite only the masked files, byte-copy the rest, publish with
     * no `_dv`. Returns (filesCarried, filesRewritten, rowsDropped). */

@@ -30,6 +30,60 @@ class DeletionVectorSpec extends SparkSpec {
       .map(st => (st.getPath.getName, st.getLen)).toSet
   }
 
+  test("linked: a sparse MERGE-ON-READ UPDATE rewrites NO existing file; == CoW; foldDv clears") {
+    val root = java.nio.file.Files.createTempDirectory("graft-updv-lk").toString
+    val st = new graft.operators.ManifestStore(spark, s"$root/u", "k")
+    st.write(rows(1 to 1000), 1L, numFiles = 4)
+    val before = poolListing(s"$root/u")
+    def files(v: Long) = st.manifest(v).select("file").collect().map(_.getString(0)).toSet
+    // 3 matched rows in 1000: auto picks merge-on-read
+    val (shared, fresh, updated) = st.updateWhere(1L, 2L,
+      col("k").isin(7L, 411L, 902L), Map("v" -> concat(col("v"), lit("!"))))
+    assert(shared == 4 && fresh >= 1 && updated == 3L)
+    // every v1 file carries BY REFERENCE; the pool only GREW (no rewrite)
+    assert(files(1L).subsetOf(files(2L)), "old files must carry by reference")
+    assert(before.subsetOf(poolListing(s"$root/u")), "no existing pool byte may change")
+    val want = contents(st.read(1L)).map {
+      case (k, v) if Set(7L, 411L, 902L)(k) => (k, v + "!")
+      case r => r
+    }
+    assert(contents(st.read(2L)) == want)
+    // identical to what copy-on-write computes
+    st.updateWhere(1L, 3L, col("k").isin(7L, 411L, 902L),
+      Map("v" -> concat(col("v"), lit("!"))), mode = "cow"): Unit
+    assert(contents(st.read(3L)) == want, "MoR and CoW must agree")
+    // history pinned; foldDv folds the mask in for good
+    assert(contents(st.read(1L)).size == 1000)
+    st.foldDv(2L, 4L): Unit
+    assert(st.dvFrame(4L).isEmpty && contents(st.read(4L)) == want)
+    // a dense update still picks copy-on-write under auto
+    val (_, _, dense) = st.updateWhere(4L, 5L, col("k") % 2 === 0,
+      Map("v" -> lit("even")))
+    assert(dense == 500L && st.dvFrame(5L).isEmpty,
+      "a 50% update must rewrite, not mask")
+  }
+
+  test("snapshot: merge-on-read UPDATE — no parquet decode of existing files; == CoW") {
+    val root = java.nio.file.Files.createTempDirectory("graft-updv-sn").toString
+    val st = new graft.operators.SnapshotStore(spark, s"$root/u", "k")
+    st.writeRangePartitioned(rows(1 to 1000), 1L, 4)
+    val (shared, fresh, updated) = st.updateWhere(1L, 2L,
+      col("k").isin(5L, 600L), Map("x" -> (col("x") + 0.5)))
+    assert(shared == 4 && fresh >= 1 && updated == 2L)
+    assert(st.dvFrame(2L).map(_.count()) == Some(2L))
+    def vals(v: Long) = st.read(v).select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = vals(1L).map { case (k, x) =>
+      if (Set(5L, 600L)(k)) (k, x + 0.5) else (k, x) }
+    assert(vals(2L) == want)
+    st.updateWhere(1L, 3L, col("k").isin(5L, 600L),
+      Map("x" -> (col("x") + 0.5)), mode = "cow"): Unit
+    assert(vals(3L) == want, "MoR and CoW must agree")
+    // zone-map prune still exact after the MoR update (new files mapped)
+    assert(st.readKeyRange(2L, 600L, 600L).select("x").head().getDouble(0) ==
+      want(600L))
+  }
+
   test("linked: a sparse delete publishes a DV — pool bytes UNTOUCHED, result == CoW result") {
     val root = java.nio.file.Files.createTempDirectory("graft-dv-lk").toString
     val st = new ManifestStore(spark, s"$root/dv", "k")
