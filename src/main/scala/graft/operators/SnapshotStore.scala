@@ -1285,6 +1285,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
     cols.foreach(requireNoConstraintOn(_, "dropColumns"))
+    cols.filter(storedPartitionBy().contains).foreach(c =>
+      throw new UnsupportedOperationException(
+        s"dropColumns '$c': it is a declared partition column — the table's " +
+          "physical layout keys on it"))
     val cur = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     val missing = cols.filterNot(cur.fieldNames.contains)
@@ -1337,6 +1341,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
     requireNoConstraintOn(from, "renameColumn")
+    require(!storedPartitionBy().contains(from),
+      s"renameColumn '$from': it is a declared partition column — the table's " +
+        "physical layout keys on it")
     val cur = read(fromVersion)
     require(cur.columns.contains(from), s"renameColumn: no column '$from'")
     require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")

@@ -85,6 +85,25 @@ object GraftMergeStrategy extends SparkStrategy {
     // re-assemble with the SET list applied and feed mergeDelta as a
     // self-keyed upsert delta (each row overwrites itself), so the
     // verb inherits the same touched-file pruning and atomic publish
+    // classic dynamic partition overwrite: Spark plans
+    // OverwritePartitionsDynamic when partitionOverwriteMode=dynamic,
+    // and that verb has NO V1 write fallback — so a PARTITIONED store
+    // table plans it here, straight onto the store's replaceWhere
+    // (replace exactly the partitions the incoming rows touch, carry
+    // the rest; one atomic version publish)
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if o.query.resolved =>
+      unwrapTable(o.table) match {
+        case Some(t: SnapshotTable) =>
+          t.onMerge.flatMap(_.replacePartitions) match {
+            case Some(rp) => GraftDynamicOverwriteExec(rp, o.query) :: Nil
+            case None => throw new UnsupportedOperationException(
+              "dynamic INSERT OVERWRITE needs a PARTITIONED BY table tip — " +
+                "declare partition columns at CREATE TABLE, or use static " +
+                "overwrite mode for full replacement")
+          }
+        case _ => Nil
+      }
     case u: UpdateTable if u.resolved =>
       unwrapTable(u.table) match {
         case Some(t: SnapshotTable) =>
@@ -269,6 +288,24 @@ case class GraftMergeExec(hook: StoreMergeHook, merge: MergeIntoTable)
       .getOrElse(tgt.select(tgtOut.map(a => c(a).as(a.name)): _*).limit(0))
     val deleteKeys = deletes.reduceOption(_ unionByName _)
     hook.run(delta, deleteKeys)
+    Nil
+  }
+}
+
+/** Eagerly-run command node for dynamic `INSERT OVERWRITE` on a
+  * PARTITIONED store table: evaluates the source query and hands the
+  * frame to the store's replaceWhere — partitions present in the data
+  * replace wholesale, untouched partitions carry (by reference on the
+  * linked layout). */
+case class GraftDynamicOverwriteExec(
+    replacePartitions: org.apache.spark.sql.DataFrame => Unit,
+    query: LogicalPlan) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    replacePartitions(Dataset.ofRows(session, query))
     Nil
   }
 }

@@ -422,6 +422,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           if (linked)
             new graft.operators.ManifestStore(spark, storePath(ident), key).read(tip)
           else new SnapshotStore(spark, storePath(ident), key).read(tip)
+        },
+        replacePartitions = {
+          val baseP = storePath(ident)
+          val fsP = new org.apache.hadoop.fs.Path(baseP)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (graft.operators.SnapshotStore
+            .readStoredPartitionBy(fsP, baseP).isEmpty) None
+          else Some { data =>
+            val key = storedKey("INSERT OVERWRITE")
+            if (linked)
+              new graft.operators.ManifestStore(spark, baseP, key)
+                .replaceWhere(tip, tip + 1, data): Unit
+            else
+              new SnapshotStore(spark, baseP, key)
+                .replaceWhere(tip, tip + 1, data): Unit
+          }
         })),
       maskedRead = maskedReadFor(ident, linked, tip))
   }
@@ -1296,7 +1312,11 @@ private[graft] case class StoreMergeHook(
     keyCol: () => String,
     run: (org.apache.spark.sql.DataFrame,
       Option[org.apache.spark.sql.DataFrame]) => Unit,
-    tip: () => org.apache.spark.sql.DataFrame)
+    tip: () => org.apache.spark.sql.DataFrame,
+    // present only on a PARTITIONED table: dynamic INSERT OVERWRITE
+    // (partitionOverwriteMode=dynamic) replaces exactly the partitions
+    // the incoming data touches, through the store's replaceWhere
+    replacePartitions: Option[org.apache.spark.sql.DataFrame => Unit] = None)
 
 /** What a tip table needs to serve `spark.readStream.table(...)`:
   * the store location/layout plus a lazy key-column resolve (one
@@ -1405,6 +1425,10 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     val caps = new util.HashSet[TableCapability](delegate.capabilities())
     if (onMerge.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
     if (onMerge.isDefined) caps.add(TableCapability.TRUNCATE)
+    // a PARTITIONED tip supports classic dynamic partition overwrite
+    // (planned by GraftMergeStrategy onto the store's replaceWhere)
+    if (onMerge.exists(_.replacePartitions.isDefined))
+      caps.add(TableCapability.OVERWRITE_DYNAMIC)
     if (streamInfo.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
     // writeStream.toTable — per-epoch keyed upserts through mergeDelta
     // (StoreStreamingWrite); tip loads only, like every write verb
@@ -1475,6 +1499,12 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate
+      // dynamic partition overwrite: the V2Writes optimizer rule
+      // requires the builder to acknowledge it; the actual execution
+      // is GraftMergeStrategy's GraftDynamicOverwriteExec, which runs
+      // the store's replaceWhere (OverwritePartitionsDynamic has no
+      // V1 write fallback in Spark)
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
       // Update-mode streaming aggregations are sound as appends HERE
       // because the streaming write is a keyed upsert: each updated
       // aggregate row replaces its group-key row (see
@@ -1484,6 +1514,8 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         overwrite = true; this
       }
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: InsertableRelation =
@@ -1518,11 +1550,22 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
         "values — the store's key is a unique identity, so duplicates would " +
         "collapse where SQL semantics would keep both rows")
     if (overwrite) {
-      // full replacement in ONE published version: new rows upsert,
-      // surviving old keys (not re-inserted) delete
-      val oldKeys = hook.tip().select(col(key))
-        .join(data.select(col(key)), Seq(key), "left_anti")
-      hook.run(data, Some(oldKeys))
+      // PARTITIONED table + partitionOverwriteMode=dynamic: classic
+      // dynamic partition overwrite — replace exactly the partitions
+      // present in the incoming data, carry the rest (the idempotent
+      // backfill verb). STATIC mode keeps full-replacement semantics.
+      val dynamic = SparkSession.active.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
+      if (dynamic && hook.replacePartitions.isDefined)
+        hook.replacePartitions.get(data)
+      else {
+        // full replacement in ONE published version: new rows upsert,
+        // surviving old keys (not re-inserted) delete
+        val oldKeys = hook.tip().select(col(key))
+          .join(data.select(col(key)), Seq(key), "left_anti")
+        hook.run(data, Some(oldKeys))
+      }
     } else {
       val collides = data.select(col(key))
         .join(hook.tip().select(col(key)), Seq(key), "left_semi")

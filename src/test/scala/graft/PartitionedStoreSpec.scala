@@ -147,6 +147,15 @@ class PartitionedStoreSpec extends SparkSpec {
       st.writeZOrdered(rows(41 to 80), 2L, 2, Seq("k"))
     }
     assert(z.getMessage.contains("hive-partitioned"))
+    // schema verbs may not orphan the partition spec
+    val dc = intercept[UnsupportedOperationException] {
+      st.dropColumns(1L, 2L, Seq("cat"))
+    }
+    assert(dc.getMessage.contains("partition column"))
+    val rc = intercept[IllegalArgumentException] {
+      st.renameColumn(1L, 2L, "cat", "category")
+    }
+    assert(rc.getMessage.contains("partition column"))
   }
 
   // -------------------------------------------------------- snapshot

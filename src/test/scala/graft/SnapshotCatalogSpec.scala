@@ -539,6 +539,7 @@ class SnapshotCatalogSpec extends SparkSpec {
 
   test("PARTITIONED BY through SQL: create, insert, .partitions, CALL drop_partitions, history intact") {
     root: Unit
+    org.apache.spark.sql.graft.GraftExtensions.register(spark) // dynamic-overwrite strategy
     for (layout <- Seq("linked", "snapshot")) {
       val t = s"snapcat.part_$layout"
       spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING, x DOUBLE) " +
@@ -561,6 +562,18 @@ class SnapshotCatalogSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
       assert(spark.sql(s"SELECT cat FROM $t.partitions ORDER BY cat")
         .collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+      // dynamic INSERT OVERWRITE replaces ONLY the partitions present
+      // in the incoming rows (classic dynamic partition overwrite)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.sql(s"INSERT OVERWRITE $t VALUES (20, 'b', 9.0)")
+        assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSet ==
+          Set(20L, 4L), s"$layout: dynamic overwrite must keep partition c")
+      } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // static mode keeps full-replacement semantics
+      spark.sql(s"INSERT OVERWRITE $t VALUES (30, 'c', 1.0)")
+      assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSet ==
+        Set(30L), s"$layout: static overwrite is a full replacement")
     }
     // only identity transforms translate to the stores' layout
     val e = intercept[Exception](spark.sql(
