@@ -434,6 +434,47 @@ object Graph {
     degrees(e).select(col("n").as("part_id"), col("dg").as("core_degree"))
   }
 
+  /** k-TRUSS decomposition, bounded rounds (Cohen 2008) — the
+    * EDGE-level cohesion ladder next to [[kcoreBounded]]'s node-level
+    * one: keep edges supported by ≥ k-2 triangles IN THE CURRENT
+    * SUBGRAPH, iterating because each peel can drop survivors' support
+    * (the trussiest subgraph a curation pipeline treats as "products
+    * that sell together as a CLIQUE, not a hub"). Deterministic and
+    * oracle-able: fixed `rounds`, and peeling only removes edges — an
+    * edge-count-stable round proves every later round a no-op, so the
+    * early exit returns EXACTLY the fixed-round result (the kcore
+    * posture). Per round: one triangle listing on the current edge set
+    * (two equi-joins over checkpointed, disjoint-named copies — never
+    * a same-lineage self-join) and one support aggregate; on the
+    * THRESHOLD-BOUNDED strong graph each round is a few-thousand-row
+    * frame, so the iteration costs metadata, not scans. */
+  def ktrussBounded(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edgesIn.select("u", "v").localCheckpoint()
+    var before = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val ab = e.select(col("u").as("a"), col("v").as("b"))
+      val ac = e.select(col("u").as("a2"), col("v").as("c"))
+      val bc = e.select(col("u").as("b2"), col("v").as("c2"))
+      val tri = ab.join(ac, col("a") === col("a2") && col("b") < col("c"))
+        .join(bc, col("b") === col("b2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+      e = e.join(sup.filter(col("__sup") >= k - 2), Seq("u", "v"), "left_semi")
+        .localCheckpoint()
+      val after = e.count()
+      stable = after == before
+      before = after
+      r += 1
+    }
+    e
+  }
+
   /** COMMUNITY DETECTION by deterministic synchronous label
     * propagation (Raghavan, Albert & Kumara 2007, made reproducible):
     * labels start as node ids; each of `rounds` SYNCHRONOUS rounds,
@@ -515,6 +556,23 @@ object Graph {
     "graph_pagerank" -> { (s, d) =>
       pagerank(tradeEdges(s, d), iters = 5, scale = 1000000000000L)
         .orderBy("node")
+    },
+
+    "graph_ktruss" -> { (s, d) =>
+      // Edge-level cohesion on the strong co-purchase graph: the
+      // 3-truss (every surviving edge closes ≥1 triangle among
+      // survivors) and 4-truss (≥2 — this one genuinely CASCADES:
+      // each peel drops neighbors' support, sf0.001 takes 5 rounds to
+      // its fixpoint) as one labeled edge list. Strong-graph triangle
+      // density FALLS with catalog size (repeat-pair cliques get
+      // rarer), so the truss is the sharpened version of that signal
+      // — and the threshold keeps every round's frame metadata-sized
+      // at any sf. Oracle unrolls the identical peel per round,
+      // MATERIALIZED from round one.
+      val edges = strongCoPurchaseEdges(s, d, 2).localCheckpoint()
+      ktrussBounded(edges, k = 3, rounds = 5).withColumn("k", lit(3))
+        .unionByName(ktrussBounded(edges, k = 4, rounds = 5).withColumn("k", lit(4)))
+        .orderBy("k", "u", "v")
     },
 
     "graph_communities" -> { (s, d) =>
@@ -839,7 +897,41 @@ object Graph {
        |$roundCtes""".stripMargin
   }
 
+  /** Unrolled k-truss peel: per round, triangle listing on the prior
+    * edge set, per-edge support, keep support ≥ k-2. Every CTE is
+    * referenced ≥2× per round — MATERIALIZED from the first draft
+    * (§4's rule). `pfx` namespaces the CTEs so two k values unroll in
+    * one statement over the shared `e0`. */
+  private def ktrussOracleCtes(pfx: String, minSup: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val p = if (r == 1) "e0" else s"${pfx}e${r - 1}"
+      s"""${pfx}t$r AS MATERIALIZED (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM $p e1 JOIN $p e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN $p e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |${pfx}s$r AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS sup FROM (
+         |    SELECT a AS u, b AS v FROM ${pfx}t$r
+         |    UNION ALL SELECT a, c FROM ${pfx}t$r
+         |    UNION ALL SELECT b, c FROM ${pfx}t$r) GROUP BY 1, 2),
+         |${pfx}e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $p e JOIN ${pfx}s$r s
+         |    ON e.u = s.u AND e.v = s.v
+         |  WHERE s.sup >= $minSup)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "graph_ktruss" ->
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT la.l_partkey AS u, lb.l_partkey AS v
+         |  FROM lineitem la JOIN lineitem lb
+         |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT la.l_orderkey) >= 2),
+         |${ktrussOracleCtes("a_", 1, 5)},
+         |${ktrussOracleCtes("b_", 2, 5)}
+         |SELECT u, v, 3 AS k FROM a_e5
+         |UNION ALL SELECT u, v, 4 FROM b_e5
+         |ORDER BY k, u, v""".stripMargin,
     "graph_communities" ->
       s"""WITH ${lpaOracleCtes(4)}
          |SELECT node AS part_id, lbl AS community FROM l4

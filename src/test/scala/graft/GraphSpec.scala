@@ -230,4 +230,25 @@ class GraphSpec extends SparkSpec {
         s"graph join degenerated:\n$plan")
     }
   }
+
+  test("ktrussBounded: K4 survives 4-truss; a pendant triangle CASCADES out over two rounds") {
+    // K4 on {1,2,3,4}: every edge closes 2 triangles — the 4-truss.
+    // Triangle {4,5,6} hangs off node 4: each of its edges closes ONE
+    // triangle, so the 4-truss peel (support >= 2) removes them — and
+    // a 3-truss keeps them (support >= 1).
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("u", "v")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set(Graph.ktrussBounded(edges, k = 4, rounds = 5)) == k4.toSet)
+    assert(set(Graph.ktrussBounded(edges, k = 3, rounds = 5)) ==
+      k4.toSet ++ Set((4L, 5L), (4L, 6L), (5L, 6L)))
+    // genuine cascade: a triangle STRIP (each interior edge in 2
+    // triangles) collapses once the boundary peels — the fixed-round
+    // result must equal the longer-round result (early-exit contract)
+    val strip = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("u", "v")
+    val r2 = set(Graph.ktrussBounded(strip, k = 4, rounds = 8))
+    assert(r2.isEmpty, s"the strip must fully cascade out at k=4, got $r2")
+  }
 }
