@@ -205,6 +205,26 @@ object Snapshot {
       .select((partCols.map(col) ++ Seq(col("src_rows"), col("dst_rows"), col("status"))): _*)
   }
 
+  /** APPLY CHANGES — turn a change-feed frame (data columns +
+    * `change_type` + `_commit_version`, the `.changes` table contract)
+    * into the (upserts, deleteKeys) pair a downstream store's
+    * mergeDelta/mergeAtTip consumes: per key, the LAST change wins
+    * (one window over the feed — net-effect compression, so replaying
+    * N commits costs ONE merge instead of N), inserts/updates upsert
+    * with their row values, deletes emit the key. The downstream-sync
+    * verb of Delta's APPLY CHANGES INTO. */
+  def applyChanges(changes: DataFrame, keyCol: String): (DataFrame, Option[DataFrame]) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_commit_version").desc)
+    val last = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val upserts = last.filter(col("change_type") =!= "delete")
+      .drop("change_type", "_commit_version", "__rn")
+    val deletes = last.filter(col("change_type") === "delete")
+      .select(col(keyCol)).localCheckpoint()
+    (upserts, if (deletes.limit(1).count() == 0) None else Some(deletes))
+  }
+
   // ---- snapshot modeling over the shared testdata ----
 
   /** orders with a canonical per-row md5 fingerprint. */
@@ -1779,6 +1799,54 @@ object Snapshot {
         .orderBy("layout")
     },
 
+    "snap_cdc_apply" -> { (s, d) =>
+      // APPLY CHANGES INTO — the downstream-sync verb: a source store
+      // commits an upsert wave (inserts + updates, v2) then a GDPR
+      // delete (v3); the replica, seeded at v1, reads the SQL change
+      // feed `VERSION AS OF '2..3'` and applies its NET EFFECT as ONE
+      // merge (per key the last change wins — N commits, one merge).
+      // `sync_ok` pins full-content equality replica == source tip
+      // (both directions of an EXCEPT), and the oracle recomputes the
+      // final state declaratively — the change feed proven to carry
+      // EXACTLY the information replication needs.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcapply_$fp"
+      val cat = s"snapcdca_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val src = new ManifestStore(s, s"$base/src", "o_orderkey")
+      if (!src.versions().contains(3L)) {
+        if (!src.versions().contains(1L))
+          src.write(ord.filter(col("o_orderkey") % 2 === 0), 1L, numFiles = 8)
+        if (!src.versions().contains(2L)) {
+          val reprice = src.read(1L).filter(col("o_orderkey") % 30 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+          val inserts = ord.filter(
+            col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 === 0)
+          src.mergeDelta(1L, 2L, reprice.unionByName(inserts)): Unit
+        }
+        src.deleteWhere(2L, 3L, col("o_orderkey") % 44 === 0): Unit
+      }
+      val dst = new ManifestStore(s, s"$base/dst", "o_orderkey")
+      if (!dst.versions().contains(2L)) {
+        if (!dst.versions().contains(1L)) dst.write(src.read(1L), 1L, numFiles = 8)
+        val changes = s.sql(s"SELECT * FROM $cat.src.changes VERSION AS OF '2..3'")
+        val (ups, dels) = applyChanges(changes, "o_orderkey")
+        dst.mergeDelta(1L, 2L, ups, dels): Unit
+      }
+      val (a, b) = (src.read(3L), dst.read(2L))
+      val syncOk = a.exceptAll(b).limit(1).count() == 0 &&
+        b.exceptAll(a).limit(1).count() == 0
+      dst.read(2L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("sync_ok", lit(syncOk))
+        .orderBy("bucket")
+    },
+
     "snap_update_mor" -> { (s, d) =>
       // MERGE-ON-READ point UPDATE (snap_delete_dv's update half): a
       // sparse reprice (keys ≡ 0 mod 5000) over a full orders snapshot
@@ -2519,6 +2587,20 @@ object Snapshot {
         |SELECT 'linked' AS layout, n, sum_price, TRUE AS exact_prune FROM u
         |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM u
         |ORDER BY layout""".stripMargin,
+
+    "snap_cdc_apply" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT k, c, CASE WHEN k % 30 = 0 THEN p + 10.0 ELSE p END AS p
+        |       FROM v1
+        |       UNION ALL
+        |       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0),
+        |v3 AS (SELECT * FROM v2 WHERE k % 44 <> 0)
+        |SELECT k % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS sync_ok
+        |FROM v3 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_update_mor" ->
       """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,

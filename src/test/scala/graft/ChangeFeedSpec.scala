@@ -267,4 +267,26 @@ class ChangeFeedSpec extends SparkSpec {
       assert(dataBatches >= 3, s"expected >=3 paced batches, saw $dataBatches")
     } finally q.stop()
   }
+
+  test("applyChanges: net-effect replication — replica == source tip; churn keys compress right") {
+    root: Unit
+    buildChain("apply_src", linked = true)
+    val src = new ManifestStore(spark, s"$root/apply_src", "k")
+    // churn on top: k=5 deleted at v4, re-inserted at v5; k=6 inserted
+    // at v4 then deleted at v5 (must NET to: 5 present, 6 absent)
+    src.mergeDelta(3L, 4L, Seq((6L, "f")).toDF("k", "v"), Some(Seq(5L).toDF("k")))
+    src.mergeDelta(4L, 5L, Seq((5L, "e2")).toDF("k", "v"), Some(Seq(6L).toDF("k")))
+    val dst = new ManifestStore(spark, s"$root/apply_dst", "k")
+    dst.write(src.read(1L), 1L, 2)
+    val feed = spark.sql("SELECT * FROM cfcat.apply_src.changes VERSION AS OF '2..5'")
+    val (ups, dels) = graft.operators.Snapshot.applyChanges(feed, "k")
+    dst.mergeDelta(1L, 2L, ups, dels): Unit
+    def content(df: DataFrame) = df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(content(dst.read(2L)) == content(src.read(5L)))
+    assert(content(dst.read(2L)) ==
+      Set((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
+    // the net effect really compressed: one merge applied 4 commits
+    assert(dst.versions() == Seq(1L, 2L))
+  }
 }

@@ -158,6 +158,29 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(rc.getMessage.contains("partition column"))
   }
 
+  test("linked: MULTI-column partitioning — tuple-exact listing, drop by conjunction, 2-col prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft-part2-lk").toString
+    val st = new ManifestStore(spark, s"$root/t", "k")
+    val df = (1 to 200).map { k =>
+      (k.toLong, cats(k % 2), s"g${k % 3}", k * 1.0)
+    }.toDF("k", "cat", "grp", "x")
+    st.writePartitioned(df, 1L, Seq("cat", "grp"))
+    val parts = st.partitions(1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(parts.size == 6 && parts.values.sum == 200L)
+    // conjunction drop removes exactly one of the six tuples
+    val (carried, dropped, rows) = st.dropPartitions(1L, 2L,
+      col("cat") === "alpha" && col("grp") === "g1")
+    assert(dropped >= 1 && rows == parts(("alpha", "g1")) && carried >= 5)
+    assert(st.read(2L).filter(col("cat") === "alpha" && col("grp") === "g1").count() == 0)
+    assert(st.read(2L).count() == 200L - rows)
+    // 2-column conjunction read prunes on BOTH partition dimensions
+    val got = st.readWhereAll(2L,
+      Seq(("cat", "beta", "beta"), ("grp", "g2", "g2")))
+    assert(got.count() ==
+      st.read(2L).filter(col("cat") === "beta" && col("grp") === "g2").count())
+  }
+
   // -------------------------------------------------------- snapshot
 
   test("snapshot: partitioned write — exact zone-map stats, partitions(), exact pruning") {
