@@ -1857,7 +1857,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * Committed `v=` dirs are never touched; this is the routine
     * maintenance that keeps a long-running store's listing cost flat.
     * Returns the deleted paths. */
-  def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] = {
+  def vacuum(ttlMs: Long = 24L * 3600 * 1000): Seq[String] =
+    vacuumCandidates(ttlMs).map { p => fs.delete(p, true); p.toString }
+
+  /** [[vacuum]]'s DRY RUN: the paths a vacuum would delete right now,
+    * nothing touched — what an operator checks before trusting a TTL. */
+  def vacuumDryRun(ttlMs: Long = 24L * 3600 * 1000): Seq[String] =
+    vacuumCandidates(ttlMs).map(_.toString)
+
+  private def vacuumCandidates(ttlMs: Long): Seq[Path] = {
     val base = new Path(basePath)
     if (!fs.exists(base)) return Seq.empty
     val now = System.currentTimeMillis()
@@ -1867,7 +1875,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         (n.startsWith(".tmp-") || n.startsWith(".old-")) &&
           now - st.getModificationTime > ttlMs
       }
-      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      .map(_.getPath)
   }
 
   /** Delete all but the newest `keepLast` versions. Returns the pruned

@@ -878,18 +878,30 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
       case "vacuum" => bound("vacuum",
         Array(tableParam,
-          ProcedureParameter.in("ttl_hours", IntegerType).defaultValue("24").build()),
+          ProcedureParameter.in("ttl_hours", IntegerType).defaultValue("24").build(),
+          ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build()),
         StructType(Seq(StructField("layout", StringType),
           StructField("reclaimed", LongType), StructField("unit", StringType)))) { in =>
         val t = tableIdentOf(in.getUTF8String(0).toString)
         val ttlMs = in.getInt(1).toLong * 3600L * 1000L
+        val dry = in.getBoolean(2)
         val base = storePath(t)
         if (isLinked(t)) {
-          val bytes = new graft.operators.ManifestStore(spark, base, "").vacuum(ttlMs)
-          Array(utf8("linked"), bytes, utf8("bytes"))
+          val st = new graft.operators.ManifestStore(spark, base, "")
+          // dry run: the ref-count audit's answer WITHOUT deleting —
+          // what an operator runs before trusting a retention policy
+          val bytes =
+            if (dry) st.orphans().agg(org.apache.spark.sql.functions
+                .coalesce(org.apache.spark.sql.functions.sum("bytes"),
+                  org.apache.spark.sql.functions.lit(0L)))
+              .head().getLong(0)
+            else st.vacuum(ttlMs)
+          Array(utf8("linked"), bytes, utf8(if (dry) "bytes_dry" else "bytes"))
         } else {
-          val n = new SnapshotStore(spark, base, "").vacuum(ttlMs).size.toLong
-          Array(utf8("snapshot"), n, utf8("paths"))
+          val st = new SnapshotStore(spark, base, "")
+          val n = if (dry) st.vacuumDryRun(ttlMs).size.toLong
+            else st.vacuum(ttlMs).size.toLong
+          Array(utf8("snapshot"), n, utf8(if (dry) "paths_dry" else "paths"))
         }
       }
       case "retention" => bound("retention",

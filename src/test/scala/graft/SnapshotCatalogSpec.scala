@@ -461,6 +461,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     // both versions live → every pool file referenced → vacuum finds 0
     val v0 = spark.sql("CALL snapcat.vacuum('call_vac')").collect().head
     assert(v0.getString(0) == "linked" && v0.getLong(1) == 0L && v0.getString(2) == "bytes")
+    // dry run: the ref-count audit's answer, nothing deleted
+    val dr = spark.sql("CALL snapcat.vacuum('call_vac', 24, true)").collect().head
+    assert(dr.getLong(1) == 0L && dr.getString(2) == "bytes_dry")
     // retention to the tip: v1's exclusive files become reclaimable,
     // and the linked prune's ref-count sweep reclaims them in the call
     val r = spark.sql("CALL snapcat.retention('call_vac', 1)").collect().head
