@@ -963,6 +963,84 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     if (!fs.exists(new Path(colstatsDir(version), "_SUCCESS"))) None
     else Some(spark.read.parquet(colstatsDir(version).toString))
 
+  private def bloomDir(v: Long, column: String) =
+    new Path(manifestDir(v), s"_bloom_$column")
+
+  /** BLOOM FILTER INDEX (Delta's bloom index): one Bloom filter PER
+    * POOL FILE over `column`'s values (as strings — type-uniform at
+    * build and probe), persisted as a version sidecar. Point lookups
+    * on a NON-clustered column then skip every file whose filter says
+    * "definitely absent" — the lookup the key envelope and zone maps
+    * can't serve (a customer id scattered across a key-ordered 100 TB
+    * table). Built in ONE pass: values shuffle grouped by file, each
+    * group folds into a filter sized by the file's own manifest row
+    * count; |files| tiny rows land. False positives only cost an
+    * extra file open — never a wrong result ([[readWhereEquals]]
+    * re-filters exactly). */
+  def buildBloomIndex(version: Long, column: String, fpp: Double = 0.01): Unit = {
+    val man = manifest(version)
+    val expected = man.select("file", "n_rows").collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), 1L)).toMap
+    val paths = resolve(version)
+    require(paths.nonEmpty, s"buildBloomIndex: version $version has no files")
+    val raw = readFilesRaw(version, paths)
+    require(raw.columns.contains(column), s"buildBloomIndex: no column '$column'")
+    import org.apache.spark.sql.Encoders
+    val pairs = raw.select(
+        element_at(split(input_file_name(), "/"), -1).as("__f"),
+        col(column).cast("string").as("__v"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val fppLocal = fpp
+    val blooms = pairs.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          expected.getOrElse(f, 1000L), fppLocal)
+        it.foreach { case (_, v) => if (v != null) bf.putString(v) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .toDF("file", "bloom")
+    blooms.coalesce(1).write.mode("overwrite")
+      .parquet(bloomDir(version, column).toString)
+  }
+
+  /** The stored per-file Bloom filters for `column`, when built. */
+  def bloomIndex(version: Long, column: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val p = bloomDir(version, column)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) None
+    else Some(spark.read.parquet(p.toString).collect().map { r =>
+      r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap)
+  }
+
+  /** Point lookup on a bloom-indexed column: open ONLY the files whose
+    * filter might contain the value (a file ABSENT from the index —
+    * landed after the build — always opens: a stale index stays
+    * CORRECT, it just skips less), then filter exactly. Falls back to
+    * a full scan + filter with no index. Returns (frame,
+    * filesOpened) — the caller-visible skip accounting. */
+  def readWhereEquals(version: Long, column: String, value: Any)
+      : (DataFrame, Int) = {
+    val pred = col(column) === lit(value)
+    bloomIndex(version, column) match {
+      case None =>
+        val files = resolve(version)
+        (readFiles(version, files).filter(pred), files.size)
+      case Some(idx) =>
+        val v = String.valueOf(value)
+        val names = manifest(version).select("file").collect().map(_.getString(0))
+        val hit = names.filter(n => idx.get(n).forall(_.mightContainString(v)))
+        val base =
+          if (hit.isEmpty) read(version).limit(0)
+          else readFiles(version,
+            hit.map(n => new Path(poolDir, n).toString).toIndexedSeq)
+        (base.filter(pred), hit.length)
+    }
+  }
+
   /** Metadata-only stats (never opens a data file). */
   def stats(version: Long): DataFrame =
     manifest(version).agg(

@@ -1799,6 +1799,49 @@ object Snapshot {
         .orderBy("layout")
     },
 
+    "snap_bloom_index" -> { (s, d) =>
+      // PER-FILE BLOOM INDEX (Delta's bloom filter index) on BOTH
+      // layouts: a point lookup on a NON-clustered column (customer id
+      // over a key-ordered orders table — the lookup key envelopes and
+      // zone maps can do nothing for) opens ONLY the files whose
+      // filter might contain the value; a false positive costs one
+      // extra open, never a wrong row (exact re-filter on top). The
+      // probed customer is picked deterministically (fewest orders,
+      // min id on tie) so both engines agree; `skipped` pins that the
+      // index pruned at least one of the 16 files on each layout. At
+      // 100 TB this is the difference between 16 file opens and a
+      // full-table scan for every id lookup.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_${Tables.fingerprint(s, d, "orders")}"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val target = ord.groupBy("o_custkey").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c"), col("o_custkey")).limit(1)
+        .head().getLong(0)
+      def side(layout: String): DataFrame = {
+        val (df, opened, total) =
+          if (layout == "linked") {
+            val st = new ManifestStore(s, s"$base/lk", "o_orderkey")
+            if (!st.versions().contains(1L)) {
+              st.write(ord, 1L, numFiles = 16)
+              st.buildBloomIndex(1L, "o_custkey")
+            }
+            val (r, n) = st.readWhereEquals(1L, "o_custkey", target)
+            (r, n, st.manifest(1L).count().toInt)
+          } else {
+            val st = new SnapshotStore(s, s"$base/sn", "o_orderkey")
+            if (!st.versions().contains(1L)) {
+              st.writeRangePartitioned(ord, 1L, 16)
+              st.buildBloomIndex(1L, "o_custkey")
+            }
+            val (r, n) = st.readWhereEquals(1L, "o_custkey", target)
+            (r, n, 16)
+          }
+        df.agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .select(lit(layout).as("layout"), col("n"), col("sum_price"),
+            lit(opened < total).as("skipped"))
+      }
+      side("linked").unionByName(side("snapshot")).orderBy("layout")
+    },
+
     "snap_cdc_apply" -> { (s, d) =>
       // APPLY CHANGES INTO — the downstream-sync verb: a source store
       // commits an upsert wave (inserts + updates, v2) then a GDPR
@@ -2586,6 +2629,17 @@ object Snapshot {
         |  FROM orders WHERE o_orderpriority = '1-URGENT')
         |SELECT 'linked' AS layout, n, sum_price, TRUE AS exact_prune FROM u
         |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM u
+        |ORDER BY layout""".stripMargin,
+
+    "snap_bloom_index" ->
+      """WITH t AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+        |pick AS (SELECT o_custkey FROM t ORDER BY c, o_custkey LIMIT 1),
+        |r AS (SELECT COUNT(*) AS n,
+        |        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |              AS DOUBLE), 2) AS sum_price
+        |      FROM orders WHERE o_custkey = (SELECT o_custkey FROM pick))
+        |SELECT 'linked' AS layout, n, sum_price, TRUE AS skipped FROM r
+        |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM r
         |ORDER BY layout""".stripMargin,
 
     "snap_cdc_apply" ->

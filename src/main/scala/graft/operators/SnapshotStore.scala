@@ -492,6 +492,84 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     if (!fs.exists(new Path(colstatsDir(version), "_SUCCESS"))) None
     else Some(spark.read.parquet(colstatsDir(version).toString))
 
+  private def bloomDir(v: Long, column: String) =
+    new Path(dir(v), s"_bloom_$column")
+
+  /** BLOOM FILTER INDEX — [[ManifestStore.buildBloomIndex]]'s
+    * dir-per-version twin: one filter per data file over `column`
+    * (string-uniform), sized by each file's parquet footer row count,
+    * persisted as a `_bloom_<col>` sidecar inside the version dir. */
+  def buildBloomIndex(version: Long, column: String, fpp: Double = 0.01): Unit = {
+    val parts = fs.listStatus(new Path(dir(version))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    require(parts.nonEmpty, s"buildBloomIndex: version $version has no files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val expected = parts.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try p.getName -> math.max(r.getRecordCount, 1L) finally r.close()
+    }.toMap
+    // RAW scan, deliberately unmasked: a DV-masked row left in the
+    // filter is only a possible false positive (the probe re-filters
+    // on the MASKED read), and input_file_name() needs a single-source
+    // plan the masked anti-join cannot provide
+    val sc0 = evolvedSchema(version)
+    val raw = sc0.map(x => spark.read.schema(x).parquet(parts.map(_.toString): _*))
+      .getOrElse(spark.read.parquet(parts.map(_.toString): _*))
+    require(raw.columns.contains(column), s"buildBloomIndex: no column '$column'")
+    import org.apache.spark.sql.Encoders
+    val pairs = raw.select(
+        element_at(split(input_file_name(), "/"), -1).as("__f"),
+        col(column).cast("string").as("__v"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val fppLocal = fpp
+    val blooms = pairs.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          expected.getOrElse(f, 1000L), fppLocal)
+        it.foreach { case (_, v) => if (v != null) bf.putString(v) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .toDF("file", "bloom")
+    blooms.coalesce(1).write.mode("overwrite")
+      .parquet(bloomDir(version, column).toString)
+  }
+
+  /** The stored per-file Bloom filters for `column`, when built. */
+  def bloomIndex(version: Long, column: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val p = bloomDir(version, column)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) None
+    else Some(spark.read.parquet(p.toString).collect().map { r =>
+      r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap)
+  }
+
+  /** Point lookup on a bloom-indexed column — see
+    * [[ManifestStore.readWhereEquals]]: files the index rules out
+    * never open; files it does not cover always open (stale-safe);
+    * exact re-filter on top. Returns (frame, filesOpened). */
+  def readWhereEquals(version: Long, column: String, value: Any)
+      : (DataFrame, Int) = {
+    val pred = col(column) === lit(value)
+    val parts = fs.listStatus(new Path(dir(version))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    bloomIndex(version, column) match {
+      case None => (readDataFiles(version, parts.map(_.toString)).filter(pred),
+        parts.size)
+      case Some(idx) =>
+        val v = String.valueOf(value)
+        val hit = parts.filter(p => idx.get(p.getName).forall(_.mightContainString(v)))
+        val base =
+          if (hit.isEmpty) read(version).limit(0)
+          else readDataFiles(version, hit.map(_.toString))
+        (base.filter(pred), hit.length)
+    }
+  }
+
   /** `_zonemap` starts with '_' so Spark's file listing hides it from
     * plain `read(version)` scans — the zone map rides inside the
     * version dir without polluting it. */
