@@ -850,17 +850,33 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
     requireFreeVersion(version)
-    require(storedPartitionBy().isEmpty,
-      "writeZOrdered: store is hive-partitioned — Z-order clustering and partition " +
-        "landing prescribe conflicting physical layouts; use one or the other")
+    val pcs = storedPartitionBy()
+    val overlap = zCols.filter(pcs.contains)
+    require(overlap.isEmpty,
+      s"writeZOrdered: ${overlap.mkString(", ")} are partition columns — constant " +
+        "within every file already; z-order the finer dimensions instead")
     val missing = zCols.filterNot(c => c == keyCol || statsCols.contains(c))
     require(missing.isEmpty,
       s"z-order columns need manifest stats — construct the store with statsCols containing $missing")
-    val names = landInPool(df.withColumn("__z", ZOrder.zColumn(df, zCols))
-      .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
-      .drop("__z"))
+    // PARTITIONED store: Delta's OPTIMIZE ZORDER BY semantics — the
+    // range split runs over (partition tuple, z), so [[landInPool]]'s
+    // hive stage keeps one tuple per file while each partition's files
+    // cover contiguous z ranges: partition predicates prune exactly
+    // AND every z dimension skips within the partition
+    val zc = ZOrder.zColumn(df, zCols)
+    val arranged =
+      if (pcs.isEmpty)
+        df.withColumn("__z", zc)
+          .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
+          .drop("__z")
+      else
+        df.withColumn("__z", zc)
+          .repartitionByRange(numFiles, (pcs.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions((pcs.map(col) :+ col("__z")): _*)
+          .drop("__z")
+    val names = landInPool(arranged)
     require(names.nonEmpty, "writeZOrdered: empty input frame")
-    publish(version, statsFor(names), commitTs)
+    publish(version, statsFor(names, effectiveStatsCols), commitTs)
   }
 
   /** Read under a CONJUNCTION of range predicates with manifest-level

@@ -1799,6 +1799,44 @@ object Snapshot {
         .orderBy("layout")
     },
 
+    "snap_zorder_part" -> { (s, d) =>
+      // Z-ORDER WITHIN PARTITIONS — the real 100 TB fact-table layout
+      // (Delta's OPTIMIZE ZORDER BY on a partitioned table): orders
+      // partitioned by priority (v1), then re-clustered so each
+      // partition's files cover contiguous (custkey, totalprice)
+      // Morton ranges (v2 — the OPTIMIZE story: land, then cluster).
+      // A three-way conjunction then prunes on ALL dimensions:
+      // `partition_exact` pins that only the partition's own files
+      // pass the manifest filter, `z_skipped` that the z envelopes
+      // eliminated some of them. Result hash-checks the declarative
+      // filter.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zpart_${Tables.fingerprint(s, d, "orders")}"
+      val st = new ManifestStore(s, s"$base/lk", "o_orderkey",
+        statsCols = Seq("o_custkey", "o_totalprice"))
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+      if (!st.versions().contains(2L)) {
+        if (!st.versions().contains(1L))
+          st.writePartitioned(ord, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+        st.writeZOrdered(st.read(1L), 2L, numFiles = 40,
+          zCols = Seq("o_custkey", "o_totalprice"))
+      }
+      val man = st.manifest(2L).localCheckpoint()
+      val p = "1-URGENT"
+      val partFiles = man.filter(col("min_o_orderpriority") === p).count()
+      val opened = man.filter(
+        col("max_o_orderpriority") >= p && col("min_o_orderpriority") <= p &&
+          col("max_o_custkey") >= 100 && col("min_o_custkey") <= 500 &&
+          col("max_o_totalprice") >= 50000.0 && col("min_o_totalprice") <= 150000.0)
+        .count()
+      st.readWhereAll(2L, Seq(("o_orderpriority", p, p),
+          ("o_custkey", 100, 500), ("o_totalprice", 50000.0, 150000.0)))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .select(col("n"), col("sum_price"),
+          lit(opened <= partFiles).as("partition_exact"),
+          lit(opened < partFiles).as("z_skipped"))
+    },
+
     "snap_bloom_index" -> { (s, d) =>
       // PER-FILE BLOOM INDEX (Delta's bloom filter index) on BOTH
       // layouts: a point lookup on a NON-clustered column (customer id
@@ -2630,6 +2668,16 @@ object Snapshot {
         |SELECT 'linked' AS layout, n, sum_price, TRUE AS exact_prune FROM u
         |UNION ALL SELECT 'snapshot', n, sum_price, TRUE FROM u
         |ORDER BY layout""".stripMargin,
+
+    "snap_zorder_part" ->
+      """SELECT COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  TRUE AS partition_exact, TRUE AS z_skipped
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_custkey BETWEEN 100 AND 500
+        |  AND o_totalprice BETWEEN 50000.0 AND 150000.0""".stripMargin,
 
     "snap_bloom_index" ->
       """WITH t AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),

@@ -405,13 +405,27 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * wrongly (zone-map rule: null bounds keep the file). */
   def writeZOrdered(df: DataFrame, version: Long, numFiles: Int,
       zCols: Seq[String], commitTs: Option[Long] = None): Unit = {
-    require(storedPartitionBy().isEmpty,
-      "writeZOrdered: store is hive-partitioned — Z-order clustering and partition " +
-        "landing prescribe conflicting physical layouts; use one or the other")
-    write(df.withColumn("__z", ZOrder.zColumn(df, zCols))
-      .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
-      .drop("__z"), version, commitTs)
-    buildZoneMap(version, zCols.filterNot(_ == keyCol))
+    val pcs = storedPartitionBy()
+    val overlap = zCols.filter(pcs.contains)
+    require(overlap.isEmpty,
+      s"writeZOrdered: ${overlap.mkString(", ")} are partition columns — constant " +
+        "within every file already; z-order the finer dimensions instead")
+    // partitioned: OPTIMIZE ZORDER BY — range split over (tuple, z),
+    // landFlat's hive stage keeps one tuple per file, each partition's
+    // files cover contiguous z ranges (see ManifestStore.writeZOrdered)
+    val zc = ZOrder.zColumn(df, zCols)
+    val arranged =
+      if (pcs.isEmpty)
+        df.withColumn("__z", zc)
+          .repartitionByRange(numFiles, col("__z")).sortWithinPartitions("__z")
+          .drop("__z")
+      else
+        df.withColumn("__z", zc)
+          .repartitionByRange(numFiles, (pcs.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions((pcs.map(col) :+ col("__z")): _*)
+          .drop("__z")
+    write(arranged, version, commitTs)
+    buildZoneMap(version, (zCols ++ pcs).filterNot(_ == keyCol).distinct)
   }
 
   /** Restore under a CONJUNCTION of range predicates: rows of `version`

@@ -143,10 +143,11 @@ class PartitionedStoreSpec extends SparkSpec {
       st.writePartitioned(rows(41 to 80), 2L, Seq("x"))
     }
     assert(e.getMessage.contains("already partitioned"))
+    // z-ordering ON a partition column is pointless (constant per file)
     val z = intercept[IllegalArgumentException] {
-      st.writeZOrdered(rows(41 to 80), 2L, 2, Seq("k"))
+      st.writeZOrdered(rows(41 to 80), 2L, 2, Seq("cat", "x"))
     }
-    assert(z.getMessage.contains("hive-partitioned"))
+    assert(z.getMessage.contains("partition column"))
     // schema verbs may not orphan the partition spec
     val dc = intercept[UnsupportedOperationException] {
       st.dropColumns(1L, 2L, Seq("cat"))
@@ -179,6 +180,34 @@ class PartitionedStoreSpec extends SparkSpec {
       Seq(("cat", "beta", "beta"), ("grp", "g2", "g2")))
     assert(got.count() ==
       st.read(2L).filter(col("cat") === "beta" && col("grp") === "g2").count())
+  }
+
+  test("linked: Z-ORDER WITHIN PARTITIONS — one tuple per file, z ranges split inside each") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zp-lk").toString
+    // statsCols carry the z dims; cat partitions; (k, x) z-cluster inside
+    val st = new ManifestStore(spark, s"$root/t", "k", statsCols = Seq("x"))
+    st.writePartitioned(rows(1 to 40), 1L, Seq("cat"))
+    // OPTIMIZE ZORDER BY: re-cluster the tip within partitions (v2)
+    st.writeZOrdered(st.read(1L), 2L, numFiles = 16, zCols = Seq("k", "x"))
+    val man = st.manifest(2L)
+    assert(man.filter(col("min_cat") =!= col("max_cat")).count() == 0,
+      "z-order within partitions must preserve one-tuple-per-file")
+    // partition verbs still work on the z-ordered version
+    val parts = st.partitions(2L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts == cats.map(_ -> 10L).toMap)
+    // conjunction read: partition equality prunes exactly, x band
+    // skips within the partition; result equals the plain filter
+    val got = st.readWhereAll(2L, Seq(("cat", "beta", "beta"), ("x", 100.0, 200.0)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = st.read(2L)
+      .filter(col("cat") === "beta" && col("x").between(100.0, 200.0))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // drops stay metadata-only on the z-ordered partitioned version
+    val before = poolListing(s"$root/t")
+    st.dropPartitions(2L, 3L, col("cat") === "alpha"): Unit
+    assert(poolListing(s"$root/t") == before)
   }
 
   // -------------------------------------------------------- snapshot
