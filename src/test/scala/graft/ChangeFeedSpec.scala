@@ -268,6 +268,33 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LIVE streaming replica: readStream(src.changes) → linkedMergeStream(dst) converges and follows") {
+    root: Unit
+    buildChain("live_src", linked = true)
+    val src = new ManifestStore(spark, s"$root/live_src", "k")
+    val dst = new ManifestStore(spark, s"$root/live_dst", "k")
+    dst.write(src.read(1L), 1L, 2) // replica seeded at the source's v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_live_ck").toString
+    val feed = spark.readStream.option("startingVersion", "2")
+      .table("cfcat.live_src.changes")
+    val q = graft.streaming.StreamOps.linkedMergeStream(
+      feed, dst, "k", ckpt, seqCol = Some("_commit_version"))
+    def content(st: ManifestStore) = st.read(st.latestVersion().get)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      q.processAllAvailable()
+      assert(content(dst) == content(src),
+        "the replica must converge to the source tip")
+      // a LIVE commit on the source replicates on the next trigger
+      src.mergeDelta(3L, 4L, Seq((6L, "f")).toDF("k", "v"), Some(Seq(1L).toDF("k")))
+      q.processAllAvailable()
+      assert(content(dst) == content(src),
+        "a post-start source commit must flow through")
+      assert(content(dst) ==
+        Set((2L, "b2"), (4L, "d"), (5L, "e"), (6L, "f")))
+    } finally q.stop()
+  }
+
   test("applyChanges: net-effect replication — replica == source tip; churn keys compress right") {
     root: Unit
     buildChain("apply_src", linked = true)
