@@ -443,6 +443,36 @@ object Events {
       ewmaDaily(Tables.events(s, d), 20).orderBy("event_type", "day")
     },
 
+    "ev_rolling_median" -> { (s, d) =>
+      // EXACT 7-day rolling MEDIAN of the daily value total per event
+      // type — the robust-baseline smoother a monitoring pipeline
+      // pairs with the EWMA (a median ignores the single-day spikes
+      // ev_anomaly hunts). Exactness discipline: daily totals become
+      // integer CENTS (decimal sum × 100), and the median is emitted
+      // as 2×median (odd: twice the middle; even: the sum of the two
+      // middles) so NO division ever happens — engine-identical
+      // integers, no FP rounding seam. The window materializes ≤7
+      // values per row (sort_array over collect_list — constant-sized
+      // state, shuffle on event_type only).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100)
+          .cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      val lst = sort_array(collect_list(col("cents")).over(w))
+      daily.withColumn("__l", lst)
+        .select(col("event_type"), col("day"),
+          when(size(col("__l")) % 2 === 1,
+            element_at(col("__l"),
+              ((size(col("__l")) + 1) / 2).cast("int")) * 2)
+            .otherwise(element_at(col("__l"), (size(col("__l")) / 2).cast("int"))
+              + element_at(col("__l"),
+                (size(col("__l")) / 2).cast("int") + 1))
+            .as("med2_cents"))
+        .orderBy("event_type", "day")
+    },
+
     "ev_decompose" -> { (s, d) =>
       // Classical additive decomposition (Hyndman–Athanasopoulos
       // ch. 3.4) of the daily series: trend = centered 7-day MA (full
@@ -1136,6 +1166,21 @@ object Events {
           |      THEN CAST(ROUND(CAST(ABS(n - f) AS DOUBLE) / n, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
           |    / SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END), 6) AS mape
           |FROM f WHERE f IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    "ev_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day,
+        |    list_sort(list(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM daily)
+        |SELECT event_type, day,
+        |  CASE WHEN len(l) % 2 = 1 THEN 2 * l[(len(l) + 1) // 2]
+        |       ELSE l[len(l) // 2] + l[len(l) // 2 + 1] END AS med2_cents
+        |FROM win ORDER BY event_type, day""".stripMargin,
 
     "ev_ewma" ->
       (oracleFilledCte +
