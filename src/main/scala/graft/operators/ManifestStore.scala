@@ -1211,6 +1211,72 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
   }
 
+  /** MERGE-ON-READ MERGE — [[mergeDelta]]'s MoR alternative
+    * (Iceberg's merge-on-read MERGE): superseded rows (existing rows
+    * whose key the delta upserts or deletes) join the DELETION VECTOR
+    * by position while the delta's rows land as NEW pool files — ONE
+    * commit, O(|delta| + mask) writes, NOT ONE existing file
+    * rewritten (mergeDelta re-encodes every touched file; at 100 TB a
+    * 100-row merge into 100 touched 1 GB files pays 100 GB there and
+    * ~nothing here). The trade is read-side: the mask grows until
+    * [[compact]]/[[foldDv]] folds it — the same ledger deletion
+    * vectors already keep. Same-schema only (an evolving merge takes
+    * the CoW path — its union-schema machinery needs the rewrite
+    * hooks); constraints gate the delta. Returns (filesNew,
+    * rowsMasked). */
+  def mergeDeltaMor(fromVersion: Long, toVersion: Long, delta: DataFrame,
+      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 2,
+      commitTs: Option[Long] = None): (Int, Long) = {
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    val sc = evolvedSchema(fromVersion)
+    val baseSchema = sc.getOrElse(
+      readFilesRaw(fromVersion, resolve(fromVersion).take(1)).schema)
+    require(delta.schema.fieldNames.sorted.sameElements(baseSchema.fieldNames.sorted),
+      s"mergeDeltaMor is same-schema only (have ${baseSchema.fieldNames.mkString(",")}, " +
+        s"delta ${delta.schema.fieldNames.mkString(",")}) — an evolving merge " +
+        "takes mergeDelta's copy-on-write path")
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
+      .distinct().localCheckpoint()
+    // manifest-pruned position scan: only files whose key envelope
+    // holds a touched key open, and only for (key, position)
+    val touched = touchKeys.join(broadcast(man),
+        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val matchRows =
+      if (touched.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        val paths = touched.map(n => new Path(poolDir, n).toString).toSeq
+        val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
+        val withPos = raw.select(col(keyCol),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+          col("_metadata.row_index").as("__p"))
+        val visible = dvFrame(fromVersion).map(d =>
+          withPos.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
+          .getOrElse(withPos)
+        visible.join(touchKeys, Seq(keyCol), "left_semi")
+          .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+      }
+    val upserts = delK.foldLeft(delta)((d, del) =>
+      d.join(del, Seq(keyCol), "left_anti"))
+    enforceConstraints(upserts, "mergeDeltaMor")
+    val stats = landWithStats(arrange(upserts, numNewFiles), manifestStatsCols(man))
+    val nMasked = matchRows.count()
+    val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+      .localCheckpoint()
+    publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
+      dv = if (mask.limit(1).count() == 0) None else Some(mask))
+    (stats.fold(0L)(_.count()).toInt, nMasked)
+  }
+
   /** Predicate UPDATE with a MERGE-ON-READ path — the update half of
     * the deletion-vector design (Delta/Iceberg's MoR updates): in
     * `mor` mode the matched rows' OLD positions join the deletion

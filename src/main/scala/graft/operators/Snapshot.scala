@@ -1928,6 +1928,35 @@ object Snapshot {
         .orderBy("bucket")
     },
 
+    "snap_merge_mor" -> { (s, d) =>
+      // MERGE-ON-READ MERGE (Iceberg's MoR MERGE; snap_merge_upsert's
+      // physical opposite): a sparse upsert-and-delete wave lands as a
+      // deletion-vector entry per superseded row plus NEW files for
+      // the delta — mergeDelta would re-encode every touched file, a
+      // 100-row merge into 100 touched 1 GB files paying 100 GB where
+      // this pays ~nothing. `zero_rewrite` pins it (every v1 manifest
+      // entry carries by reference); the read-side ledger folds at the
+      // next compaction. Oracle recomputes the merge declaratively.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mmor_${Tables.fingerprint(s, d, "orders")}"
+      val store = new ManifestStore(s, base, "o_orderkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      if (!store.versions().contains(2L)) {
+        if (!store.versions().contains(1L)) store.write(ord, 1L, numFiles = 16)
+        val reprice = store.read(1L).filter(col("o_orderkey") % 7000 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 50.0)
+        val dels = store.read(1L).filter(col("o_orderkey") % 9000 === 0)
+          .select("o_orderkey")
+        store.mergeDeltaMor(1L, 2L, reprice, Some(dels)): Unit
+      }
+      def fileSet(v: Long) =
+        store.manifest(v).select("file").collect().map(_.getString(0)).toSet
+      store.read(2L)
+        .groupBy((col("o_orderkey") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_rewrite", lit(fileSet(1L).subsetOf(fileSet(2L))))
+        .orderBy("bucket")
+    },
+
     "snap_update_mor" -> { (s, d) =>
       // MERGE-ON-READ point UPDATE (snap_delete_dv's update half): a
       // sparse reprice (keys ≡ 0 mod 5000) over a full orders snapshot
@@ -2703,6 +2732,16 @@ object Snapshot {
         |  ROUND(CAST(SUM(CAST(p AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
         |  TRUE AS sync_ok
         |FROM v3 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "snap_merge_mor" ->
+      """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 7000 = 0
+        |                           THEN o_totalprice + 50.0
+        |                           ELSE o_totalprice END
+        |                      AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS zero_rewrite
+        |FROM orders WHERE o_orderkey % 9000 <> 0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "snap_update_mor" ->
       """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,

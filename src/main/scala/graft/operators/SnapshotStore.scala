@@ -1610,6 +1610,75 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (untouchedParts.length, newNames.size, deleted)
   }
 
+  /** MERGE-ON-READ MERGE — [[ManifestStore.mergeDeltaMor]]'s
+    * dir-per-version twin: superseded rows mask into the deletion
+    * vector, the delta lands as NEW files beside byte-copied
+    * originals (no parquet decode/encode of any existing file).
+    * Same-schema only; constraints gate the delta. Returns
+    * (filesNew, rowsMasked). */
+  def mergeDeltaMor(fromVersion: Long, toVersion: Long, delta: DataFrame,
+      deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 2,
+      commitTs: Option[Long] = None): (Int, Long) = {
+    ensureStoreMeta()
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    requireFreeVersion(toVersion)
+    val unionSchema = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    require(delta.schema.fieldNames.sorted.sameElements(unionSchema.fieldNames.sorted),
+      s"mergeDeltaMor is same-schema only — an evolving merge takes mergeDelta's " +
+        "copy-on-write path")
+    val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
+    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
+      .distinct().localCheckpoint()
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    val matchRows = maskedScanWithPos(fromVersion, allParts.map(_.toString),
+        Some(unionSchema))
+      .join(touchKeys, Seq(keyCol), "left_semi")
+      .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+    val upserts = delK.foldLeft(delta)((d, del) =>
+      d.join(del, Seq(keyCol), "left_anti"))
+    enforceConstraints(upserts, "mergeDeltaMor")
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    val newNames = landFlat(arrange(upserts, numNewFiles), tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    allParts.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    val nMasked = matchRows.count()
+    val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+      .localCheckpoint()
+    if (mask.limit(1).count() > 0)
+      mask.select("file", "pos").coalesce(1).write.mode("overwrite")
+        .parquet(new Path(tmp, "_dv").toString)
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    evolvedSchema(fromVersion).foreach { x =>
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(x.json.getBytes("UTF-8")) finally out.close()
+    }
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    casPublish(tmp, toVersion, "mergeDeltaMor")
+    zoneMap(fromVersion).foreach { zm =>
+      val zmStatsCols = zm.columns.toSeq
+        .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+      val carried = zm.withColumn("file",
+        regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
+      val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
+      val aggs = Seq(
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows")) ++
+        zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val withNew =
+        if (newFiles.isEmpty) carried
+        else carried.unionByName(
+          spark.read.parquet(newFiles: _*)
+            .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
+            .groupBy("file").agg(aggs.head, aggs.tail: _*))
+      withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    }
+    (newNames.size, nMasked)
+  }
+
   /** Predicate UPDATE with a MERGE-ON-READ path —
     * [[ManifestStore.updateWhere]]'s dir-per-version twin: `mor`
     * masks the matched rows' old positions and lands their updated

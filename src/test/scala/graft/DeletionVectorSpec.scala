@@ -84,6 +84,43 @@ class DeletionVectorSpec extends SparkSpec {
       want(600L))
   }
 
+  test("both layouts: MERGE-ON-READ MERGE == copy-on-write mergeDelta; zero existing-file rewrite") {
+    // upserts (2 replaced + 1 new) + 1 delete, against 1000 rows
+    val delta = Seq((7L, "v7!", 7.5), (411L, "v411!", 1.0), (2001L, "new", 2.0))
+      .toDF("k", "v", "x")
+    val dels = Seq(902L).toDF("k")
+    // linked: the pool only GROWS, every v1 manifest entry carries
+    val root = java.nio.file.Files.createTempDirectory("graft-mor-lk").toString
+    val lk = new graft.operators.ManifestStore(spark, s"$root/m", "k")
+    lk.write(rows(1 to 1000), 1L, numFiles = 4)
+    val before = poolListing(s"$root/m")
+    val (fresh, masked) = lk.mergeDeltaMor(1L, 2L, delta, Some(dels))
+    assert(fresh >= 1 && masked == 3L, s"($fresh, $masked)")
+    assert(before.subsetOf(poolListing(s"$root/m")), "no existing pool byte may change")
+    def fileSet(v: Long) = lk.manifest(v).select("file").collect().map(_.getString(0)).toSet
+    assert(fileSet(1L).subsetOf(fileSet(2L)))
+    // CoW twin computes the identical table
+    lk.mergeDelta(1L, 3L, delta, Some(dels)): Unit
+    assert(contents(lk.read(2L)) == contents(lk.read(3L)), "MoR and CoW merges must agree")
+    assert(!contents(lk.read(2L)).exists(_._1 == 902L))
+    assert(contents(lk.read(2L)).exists(r => r._1 == 7L && r._2 == "v7!"))
+    // compaction folds the mask in for good
+    lk.foldDv(2L, 4L): Unit
+    assert(lk.dvFrame(4L).isEmpty && contents(lk.read(4L)) == contents(lk.read(2L)))
+    // snapshot twin: byte-copies + mask + new files, same table
+    val sn = new graft.operators.SnapshotStore(spark, s"$root/s", "k")
+    sn.writeRangePartitioned(rows(1 to 1000), 1L, 4)
+    val (fr2, m2) = sn.mergeDeltaMor(1L, 2L, delta, Some(dels))
+    assert(fr2 >= 1 && m2 == 3L)
+    sn.mergeDelta(1L, 3L, delta, Some(dels)): Unit
+    assert(contents(sn.read(2L)) == contents(sn.read(3L)))
+    // an evolving delta refuses onto the CoW path
+    val e = intercept[IllegalArgumentException] {
+      lk.mergeDeltaMor(4L, 5L, delta.withColumn("extra", lit(1)))
+    }
+    assert(e.getMessage.contains("same-schema"))
+  }
+
   test("linked: a sparse delete publishes a DV — pool bytes UNTOUCHED, result == CoW result") {
     val root = java.nio.file.Files.createTempDirectory("graft-dv-lk").toString
     val st = new ManifestStore(spark, s"$root/dv", "k")

@@ -257,6 +257,24 @@ class PartitionedStoreSpec extends SparkSpec {
       .forall(_.contains("/v=3/")))
   }
 
+  test("snapshot: Z-order within partitions — invariant holds, 2-dim conjunction prunes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zp-sn").toString
+    val st = new SnapshotStore(spark, s"$root/t", "k")
+    st.writePartitioned(rows(1 to 40), 1L, Seq("cat"))
+    st.writeZOrdered(st.read(1L), 2L, numFiles = 16, zCols = Seq("k", "x"))
+    val zm = st.zoneMap(2L).get
+    assert(zm.filter(col("min_cat") =!= col("max_cat")).count() == 0,
+      "z-order within partitions must preserve one-tuple-per-file")
+    assert(st.partitions(2L).collect().map(r => r.getString(0) -> r.getLong(2)).toMap ==
+      cats.map(_ -> 10L).toMap)
+    val got = st.readWhereAll(2L, Seq(("cat", "beta", "beta"), ("x", 100.0, 200.0)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = st.read(2L)
+      .filter(col("cat") === "beta" && col("x").between(100.0, 200.0))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("snapshot: mergeDelta preserves the invariant; partitions() stays exact") {
     val root = java.nio.file.Files.createTempDirectory("graft-md-sn").toString
     val st = new SnapshotStore(spark, s"$root/t", "k")
