@@ -113,7 +113,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val missing = partCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
     ensureStoreMeta()
-    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols,
+      canRedeclare = versions().isEmpty)
     enforceConstraints(df, "writePartitioned")
     val names = landInPool(arrange(df, filesPerPartition))
     require(names.nonEmpty, "writePartitioned: empty input frame")
@@ -166,8 +167,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val man = manifest(fromVersion).localCheckpoint()
     enforceConstraints(data, "replaceWhere")
     val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
-    val sharedFiles = partitionEntries(man, pcs)
-      .join(touched, pcs, "left_anti").select("file")
+    // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
+    // replace the existing null-tuple files like any other value — a
+    // plain column-list join never matches nulls, which would KEEP the
+    // old null-partition files AND land the new rows (duplication)
+    val pe = partitionEntries(man, pcs)
+    val sharedFiles = pe.join(touched,
+        pcs.map(c => pe(c) <=> touched(c)).reduce(_ && _), "left_anti")
+      .select("file")
     val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
     val stats = landWithStats(arrange(data, filesPerPartition), manifestStatsCols(man))
     publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
@@ -863,6 +870,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     // hive stage keeps one tuple per file while each partition's files
     // cover contiguous z ranges: partition predicates prune exactly
     // AND every z dimension skips within the partition
+    enforceConstraints(df, "writeZOrdered")
     val zc = ZOrder.zColumn(df, zCols)
     val arranged =
       if (pcs.isEmpty)
@@ -1462,7 +1470,21 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * Classification: `insert` (key only in `to`), `delete` (key only
     * in `from`), `update` (key in both exclusive sets, content
     * fingerprint over the common non-key columns differs). */
-  def diff(fromVersion: Long, toVersion: Long): DataFrame = {
+  def diff(fromVersion: Long, toVersion: Long): DataFrame =
+    diffImpl(fromVersion, toVersion, preImages = false)
+
+  /** [[diff]] in Delta's CDF shape: an updated key emits TWO rows —
+    * `update_preimage` (the old values, already in hand on the
+    * from-side) and `update_postimage` (the new values) — while
+    * inserts and deletes are unchanged. The pre-image costs no extra
+    * scan class: within-exclusive updates re-read only the from-side
+    * EXCLUSIVE files, MoR updates reuse the DV-masked rows the plain
+    * diff already materializes. */
+  def diffCdf(fromVersion: Long, toVersion: Long): DataFrame =
+    diffImpl(fromVersion, toVersion, preImages = true)
+
+  private def diffImpl(fromVersion: Long, toVersion: Long,
+      preImages: Boolean): DataFrame = {
     val fromFiles = manifest(fromVersion).select("file").collect().map(_.getString(0)).toSet
     val toFiles = manifest(toVersion).select("file").collect().map(_.getString(0)).toSet
     def side(version: Long, exclusive: Set[String]): DataFrame =
@@ -1484,18 +1506,43 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
           .as("change_type"))
       .filter(col("change_type").isNotNull) // both-sides-equal rows drop out
-    val fileDiff = b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
-      .unionByName(
-        a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol)),
-        allowMissingColumns = true)
-    // MERGE-ON-READ deletes move no files: rows masked between the two
-    // versions' deletion vectors inside SHARED files are deletes the
-    // file-set diff cannot see — read exactly those (file, pos) rows
-    // from the older side's content
-    dvDeletesBetween(fromVersion, toVersion, fromFiles intersect toFiles) match {
-      case None => fileDiff
-      case Some(rows) => fileDiff.unionByName(
-        rows.withColumn("change_type", lit("delete")), allowMissingColumns = true)
+    val newSide = b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
+    val delSide = a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol))
+    // MERGE-ON-READ commits move no old files: rows masked between the
+    // two versions' deletion vectors inside SHARED files are invisible
+    // to the file-set diff — read exactly those rows from the older
+    // side's content. A masked key that REAPPEARS in the to-side
+    // exclusive files is one UPDATE (mergeDeltaMor/updateWhere's
+    // mask-and-land), not an insert+delete pair — emitting both would
+    // make the feed self-contradictory at one commit version; only
+    // masked keys absent from the to-side are genuine deletes.
+    val (newFixed, dvDeletes, dvPre) =
+      dvDeletesBetween(fromVersion, toVersion, fromFiles intersect toFiles) match {
+        case None => (newSide, None, None)
+        case Some(dv) =>
+          val moved = dv.join(b.select(keyCol), Seq(keyCol), "left_semi")
+          val marker = moved.select(col(keyCol)).withColumn("__mv", lit(1))
+          val fixed = newSide.join(marker, Seq(keyCol), "left_outer")
+            .withColumn("change_type",
+              when(col("__mv").isNotNull && col("change_type") === "insert",
+                lit("update")).otherwise(col("change_type")))
+            .drop("__mv")
+          val deletes = dv.join(b.select(keyCol), Seq(keyCol), "left_anti")
+            .withColumn("change_type", lit("delete"))
+          (fixed, Some(deletes), Some(moved))
+      }
+    val base = newFixed.unionByName(delSide, allowMissingColumns = true)
+    val withDv = dvDeletes.fold(base)(base.unionByName(_, allowMissingColumns = true))
+    if (!preImages) withDv
+    else {
+      val post = withDv.withColumn("change_type",
+        when(col("change_type") === "update", lit("update_postimage"))
+          .otherwise(col("change_type")))
+      val preA = a.join(changed.filter(col("change_type") === "update"), Seq(keyCol))
+        .withColumn("change_type", lit("update_preimage"))
+      val preDv = dvPre.map(_.withColumn("change_type", lit("update_preimage")))
+      preDv.foldLeft(post.unionByName(preA, allowMissingColumns = true))(
+        _.unionByName(_, allowMissingColumns = true))
     }
   }
 

@@ -214,9 +214,18 @@ object Snapshot {
     * with their row values, deletes emit the key. The downstream-sync
     * verb of Delta's APPLY CHANGES INTO. */
   def applyChanges(changes: DataFrame, keyCol: String): (DataFrame, Option[DataFrame]) = {
+    // accept BOTH feed shapes: `update_preimage` rows (the CDF-shaped
+    // `.changes_cdf` feed) are the OLD values and never apply — the
+    // postimage row at the same commit carries the state. The window
+    // breaks _commit_version ties DETERMINISTICALLY in favor of the
+    // non-delete row: the stores' diffs emit one row per key per
+    // commit, but a hand-built or unioned feed may not, and a
+    // nondeterministic row_number tie could drop an updated key.
+    val feed = changes.filter(col("change_type") =!= "update_preimage")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("_commit_version").desc)
-    val last = changes.withColumn("__rn", row_number().over(w))
+      .partitionBy(col(keyCol)).orderBy(col("_commit_version").desc,
+        when(col("change_type") === "delete", 1).otherwise(0).asc)
+    val last = feed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val upserts = last.filter(col("change_type") =!= "delete")
       .drop("change_type", "_commit_version", "__rn")

@@ -147,12 +147,18 @@ object SnapshotStore {
   /** Persist the partition-column declaration. Idempotent; a SECOND
     * declaration must match the first — silently re-partitioning a
     * table under existing versions would break every reader's pruning
-    * contract. */
+    * contract. `canRedeclare` (the stores pass `versions().isEmpty`)
+    * permits a DIFFERENT declaration while the store holds no
+    * committed version: a first partitioned write whose validation
+    * rejected the data may have left the sidecar behind, and refusing
+    * a corrected redeclaration then would wedge the empty store
+    * permanently. */
   def writeStoredPartitionBy(fs: org.apache.hadoop.fs.FileSystem,
-      basePath: String, cols: Seq[String]): Unit = {
+      basePath: String, cols: Seq[String],
+      canRedeclare: Boolean = false): Unit = {
     require(cols.nonEmpty, "partitionBy needs at least one column")
     val existing = readStoredPartitionBy(fs, basePath)
-    if (existing.nonEmpty) {
+    if (existing.nonEmpty && !(canRedeclare && existing != cols)) {
       require(existing == cols,
         s"store at $basePath is already partitioned by $existing; cannot redeclare as $cols")
     } else {
@@ -223,15 +229,27 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * atomically with the data — the timestamp [[readAsOf]] resolves
     * against. Pass it explicitly to backdate reproducible stores
     * (tests, replays); production writers take the default. */
-  def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit = {
+  def write(df: DataFrame, version: Long, commitTs: Option[Long] = None): Unit =
+    write(df, version, commitTs, None)
+
+  /** [[write]] that additionally STAGES a zone map over `zmCols`
+    * inside the tmp dir, so version + map publish in one rename —
+    * the landing [[writeRangePartitioned]]/[[writeZOrdered]] use. */
+  private def write(df: DataFrame, version: Long, commitTs: Option[Long],
+      zmCols: Option[Seq[String]]): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
     enforceConstraints(df, "write")
     // a partitioned store splits ANY landing one-tuple-per-file (the
     // caller's row arrangement is preserved within each tuple); an
     // unpartitioned store lands the frame's files verbatim
-    landFlat(df, tmp): Unit
+    val names = landFlat(df, tmp)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    zmCols.foreach { cols =>
+      zmNewStats(names.toSeq.sorted.map(n => new Path(tmp, n).toString),
+          cols.filterNot(_ == keyCol))
+        .foreach(stageZoneMap(tmp, version, _))
+    }
     casPublish(tmp, version, "write")
   }
 
@@ -355,8 +373,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def writeRangePartitioned(df: DataFrame, version: Long, numFiles: Int,
       statsCols: Seq[String] = Nil, commitTs: Option[Long] = None): Unit = {
     write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol),
-      version, commitTs)
-    buildZoneMap(version, statsCols)
+      version, commitTs, Some(statsCols))
   }
 
   /** Publish `version` as an EMPTY table of `schema` — SQL `CREATE
@@ -424,8 +441,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .repartitionByRange(numFiles, (pcs.map(col) :+ col("__z")): _*)
           .sortWithinPartitions((pcs.map(col) :+ col("__z")): _*)
           .drop("__z")
-    write(arranged, version, commitTs)
-    buildZoneMap(version, (zCols ++ pcs).filterNot(_ == keyCol).distinct)
+    write(arranged, version, commitTs,
+      Some((zCols ++ pcs).filterNot(_ == keyCol).distinct))
   }
 
   /** Restore under a CONJUNCTION of range predicates: rows of `version`
@@ -799,13 +816,17 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val missing = partCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
     ensureStoreMeta()
-    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols)
+    SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols,
+      canRedeclare = versions().isEmpty)
     enforceConstraints(df, "writePartitioned")
     val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
-    landFlat(arrange(df, filesPerPartition), tmp): Unit
+    val names = landFlat(arrange(df, filesPerPartition), tmp)
+    require(names.nonEmpty, "writePartitioned: empty input frame")
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    zmNewStats(names.toSeq.sorted.map(n => new Path(tmp, n).toString),
+        (statsCols ++ partCols).distinct.filterNot(_ == keyCol))
+      .foreach(stageZoneMap(tmp, version, _))
     casPublish(tmp, version, "writePartitioned")
-    buildZoneMap(version, (statsCols ++ partCols).distinct)
   }
 
   /** Zone-map rows with the partition tuple as plain value columns
@@ -851,7 +872,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     enforceConstraints(data, "replaceWhere")
     val zm = zm0.localCheckpoint()
     val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
-    val sharedNames = partitionEntries(zm, pcs).join(touched, pcs, "left_anti")
+    // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
+    // replace the existing null-tuple files like any other value — a
+    // plain column-list join never matches nulls, which would KEEP the
+    // old null-partition files AND land the new rows (duplication)
+    val pe = partitionEntries(zm, pcs)
+    val sharedNames = pe.join(touched,
+        pcs.map(c => pe(c) <=> touched(c)).reduce(_ && _), "left_anti")
       .select("file").collect()
       .map(f => { val p = f.getString(0); p.substring(p.lastIndexOf('/') + 1) }).toSet
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
@@ -869,26 +896,19 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(sc.json.getBytes("UTF-8")) finally out.close()
     }
-    casPublish(tmp, toVersion, "replaceWhere")
-    // zone map: carried entries re-home; only the new files scan
+    // zone map: carried entries re-home; only the new files scan —
+    // staged INSIDE tmp so version + map publish in one rename
     val zmStatsCols = zm.columns.toSeq
       .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
     val carried = zm
       .filter(regexp_extract(col("file"), "[^/]+$", 0).isin(sharedNames.toSeq: _*))
       .withColumn("file",
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-    val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
-    val aggs = Seq(
-      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-      count(lit(1)).as("n_rows")) ++
-      zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val withNew =
-      if (newFiles.isEmpty) carried
-      else carried.unionByName(
-        spark.read.parquet(newFiles: _*)
-          .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
-          .groupBy("file").agg(aggs.head, aggs.tail: _*))
-    withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    val withNew = zmNewStats(
+        newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), zmStatsCols)
+      .fold(carried)(carried.unionByName(_))
+    stageZoneMap(tmp, toVersion, withNew)
+    casPublish(tmp, toVersion, "replaceWhere")
     (carriedParts.length, allParts.length - carriedParts.length, newNames.size)
   }
 
@@ -929,11 +949,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       try out.write(sc.json.getBytes("UTF-8")) finally out.close()
     }
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    stageZoneMap(tmp, toVersion,
+      zm.filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(droppedNames.toSeq: _*))
+        .withColumn("file",
+          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/")))
     casPublish(tmp, toVersion, "dropPartitions")
-    zm.filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(droppedNames.toSeq: _*))
-      .withColumn("file",
-        regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-      .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
     (survivors.length, droppedNames.size, rowsDropped)
   }
 
@@ -1336,25 +1356,17 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
     }
-    casPublish(tmp, toVersion, "mergeDelta")
     // incremental zone map: untouched rows carry over with the version
-    // prefix remapped; only the new files are scanned
+    // prefix remapped; only the new files are scanned — staged inside
+    // tmp so version + map publish in one rename
     val carried = zm.filter(!col("file").isin(touched.toSeq: _*))
       .withColumn("file",
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-    val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
-    val aggs = Seq(
-      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-      count(lit(1)).as("n_rows")) ++
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val withNew =
-      if (newFiles.isEmpty) carried
-      else carried.unionByName(
-        spark.read.parquet(newFiles: _*)
-          .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
-          .groupBy("file")
-          .agg(aggs.head, aggs.tail: _*))
-    withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+    val withNew = zmNewStats(
+        newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), statsCols)
+      .fold(carried)(carried.unionByName(_))
+    stageZoneMap(tmp, toVersion, withNew)
+    casPublish(tmp, toVersion, "mergeDelta")
     (untouchedParts.length, newNames.size)
   }
 
@@ -1403,15 +1415,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val out = fs.create(new Path(tmp, "_schema.json"), true)
     try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
-    casPublish(tmp, toVersion, "dropColumns")
     zoneMap(fromVersion).foreach { zm =>
       val keep = zm.columns.toSeq.filterNot(c =>
         cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
-      zm.select(keep.map(col): _*)
-        .withColumn("file",
-          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      stageZoneMap(tmp, toVersion,
+        zm.select(keep.map(col): _*)
+          .withColumn("file",
+            regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/")))
     }
+    casPublish(tmp, toVersion, "dropColumns")
   }
 
   /** Schema-evolution RENAME COLUMN. Parquet resolves columns BY NAME
@@ -1551,15 +1563,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         val out = fs.create(new Path(tmp, "_schema.json"), true)
         try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
       }
-      casPublish(tmp, toVersion, "deleteWhere")
       // no file changed identity: the zone map carries verbatim (its
       // envelopes stay CONSERVATIVE over masked rows — pruning may
       // open a file whose matches are all masked, never skip a live row)
-      zoneMap(fromVersion).foreach { zm =>
-        zm.withColumn("file",
-            regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-          .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
-      }
+      stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
+      casPublish(tmp, toVersion, "deleteWhere")
       return (allParts.length, 0, deleted)
     }
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
@@ -1581,9 +1589,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
     }
-    casPublish(tmp, toVersion, "deleteWhere")
     // zone map: untouched rows carry with the version remapped, only
-    // the rewritten files rescan (same incremental shape as mergeDelta)
+    // the rewritten files rescan (same incremental shape as
+    // mergeDelta) — staged inside tmp
     zoneMap(fromVersion).foreach { zm =>
       val statsCols = zm.columns.toSeq
         .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
@@ -1593,20 +1601,12 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .isin(touchedNames.toSeq: _*))
         .withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-      val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
-      val aggs = Seq(
-        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows")) ++
-        statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val withNew =
-        if (newFiles.isEmpty) carried
-        else carried.unionByName(
-          spark.read.parquet(newFiles: _*)
-            .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
-            .groupBy("file")
-            .agg(aggs.head, aggs.tail: _*))
-      withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      val withNew = zmNewStats(
+          newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), statsCols)
+        .fold(carried)(carried.unionByName(_))
+      stageZoneMap(tmp, toVersion, withNew)
     }
+    casPublish(tmp, toVersion, "deleteWhere")
     (untouchedParts.length, newNames.size, deleted)
   }
 
@@ -1657,25 +1657,17 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       try out.write(x.json.getBytes("UTF-8")) finally out.close()
     }
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
-    casPublish(tmp, toVersion, "mergeDeltaMor")
     zoneMap(fromVersion).foreach { zm =>
       val zmStatsCols = zm.columns.toSeq
         .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
       val carried = zm.withColumn("file",
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-      val newFiles = newNames.map(n => new Path(dir(toVersion), n).toString).toSeq
-      val aggs = Seq(
-        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("n_rows")) ++
-        zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val withNew =
-        if (newFiles.isEmpty) carried
-        else carried.unionByName(
-          spark.read.parquet(newFiles: _*)
-            .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
-            .groupBy("file").agg(aggs.head, aggs.tail: _*))
-      withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      val withNew = zmNewStats(
+          newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), zmStatsCols)
+        .fold(carried)(carried.unionByName(_))
+      stageZoneMap(tmp, toVersion, withNew)
     }
+    casPublish(tmp, toVersion, "mergeDeltaMor")
     (newNames.size, nMasked)
   }
 
@@ -1731,10 +1723,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
       }
       sidecars(tmp, dvFrame(fromVersion))
+      stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
       casPublish(tmp, toVersion, "updateWhere")
-      zoneMap(fromVersion).foreach(_.withColumn("file",
-          regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion)))
       return (allParts.length, 0, 0L)
     }
     val nMatched = matching.values.sum
@@ -1771,14 +1761,14 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
         .select("file", "pos").localCheckpoint()
       sidecars(tmp, Some(mask))
-      casPublish(tmp, toVersion, "updateWhere")
       zm.foreach { z =>
         val carried = z.withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-        val withNew = statsOf(newNames.map(n => new Path(dir(toVersion), n).toString).toSeq)
+        val withNew = statsOf(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString))
           .fold(carried)(carried.unionByName(_))
-        withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+        stageZoneMap(tmp, toVersion, withNew)
       }
+      casPublish(tmp, toVersion, "updateWhere")
       (allParts.length, newNames.size, nMatched)
     } else {
       val (touchedParts, untouchedParts) =
@@ -1799,17 +1789,17 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         val out = fs.create(new Path(tmp, "_schema.json"), true)
         try out.write(unionSchema.json.getBytes("UTF-8")) finally out.close()
       }
-      casPublish(tmp, toVersion, "updateWhere")
       zm.foreach { z =>
         val touchedNames = touchedParts.map(_.getName).toSet
         val carried = z.filter(!regexp_extract(col("file"), "[^/]+$", 0)
             .isin(touchedNames.toSeq: _*))
           .withColumn("file",
             regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-        val withNew = statsOf(newNames.map(n => new Path(dir(toVersion), n).toString).toSeq)
+        val withNew = statsOf(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString))
           .fold(carried)(carried.unionByName(_))
-        withNew.coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+        stageZoneMap(tmp, toVersion, withNew)
       }
+      casPublish(tmp, toVersion, "updateWhere")
       (untouchedParts.length, newNames.size, nMatched)
     }
   }
@@ -1836,8 +1826,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           val out = fs.create(new Path(tmp, "_schema.json"), true)
           try out.write(sc.json.getBytes("UTF-8")) finally out.close()
         }
+        stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
         casPublish(tmp, toVersion, "foldDv")
-        carryZoneMap(fromVersion, toVersion, Set.empty)
         (allParts.length, 0, 0L)
       case Some(dv) =>
         val masked = dv.select("file").distinct().collect().map(_.getString(0)).toSet
@@ -1858,26 +1848,63 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           val out = fs.create(new Path(tmp, "_schema.json"), true)
           try out.write(x.json.getBytes("UTF-8")) finally out.close()
         }
-        casPublish(tmp, toVersion, "foldDv")
-        // zone map rebuilds with one narrow stats scan (file names
-        // changed for the rewritten minority; a carry+rescan hybrid
-        // buys little at fold cadence)
+        // zone map rebuilds with one narrow stats scan over the staged
+        // files (file names changed for the rewritten minority; a
+        // carry+rescan hybrid buys little at fold cadence); the fold
+        // leaves no DV, so the raw scan equals the semantic read
         zoneMap(fromVersion).foreach { zm =>
-          buildZoneMap(toVersion,
-            zm.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key")
-              .map(_.drop(4)))
+          val statsCols = zm.columns.toSeq
+            .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+          val staged = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).map(_.toString)
+            .sorted.toIndexedSeq
+          zmNewStats(staged, statsCols).foreach(stageZoneMap(tmp, toVersion, _))
         }
+        casPublish(tmp, toVersion, "foldDv")
         (untouched.length, newN, nDropped)
     }
   }
 
-  private def carryZoneMap(fromVersion: Long, toVersion: Long,
-      dropped: Set[String]): Unit =
+  /** Stage `rows` as `tmp/_zonemap` BEFORE [[casPublish]], re-homing
+    * any file path recorded under the tmp dir name to the final `v=N`
+    * dir: the version and its zone map then go live in ONE rename, so
+    * a crash between publish and map-write can no longer leave a live
+    * partitioned version whose readers ([[requirePartitionedZm]],
+    * pruning) throw until repaired. */
+  private def stageZoneMap(tmp: Path, toVersion: Long, rows: DataFrame): Unit =
+    rows.withColumn("file",
+        regexp_replace(col("file"),
+          java.util.regex.Pattern.quote(s"/${tmp.getName}/"), s"/v=$toVersion/"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, "_zonemap").toString)
+
+  /** Per-file zone-map stats for NEW files still inside a
+    * not-yet-published tmp dir — one narrow scan of key + stats
+    * columns (the incremental half every maintenance verb pairs with
+    * carried-by-reference entries). */
+  private def zmNewStats(paths: Seq[String],
+      statsCols: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else {
+      val aggs = Seq(
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows")) ++
+        statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      Some(spark.read.parquet(paths: _*)
+        .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
+        .groupBy("file").agg(aggs.head, aggs.tail: _*))
+    }
+
+  /** Carry-only staging: the from-version's map rows (re-homed,
+    * optionally pruned) land inside tmp pre-publish. */
+  private def stageCarriedZoneMap(tmp: Path, fromVersion: Long, toVersion: Long,
+      dropped: Set[String], extra: Option[DataFrame] = None): Unit =
     zoneMap(fromVersion).foreach { zm =>
-      zm.filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(dropped.toSeq: _*))
+      val carried = zm
+        .filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(dropped.toSeq: _*))
         .withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-        .coalesce(1).write.mode("overwrite").parquet(zmapDir(toVersion))
+      stageZoneMap(tmp, toVersion, extra.fold(carried)(carried.unionByName(_)))
     }
 
   /** RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF v` on this
@@ -1897,12 +1924,30 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // the restore's own commit time; re-home the zone map below
     fs.delete(new Path(tmp, "_zonemap"), true): Unit
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
     casPublish(tmp, toVersion, "restoreVersion")
-    carryZoneMap(fromVersion, toVersion, Set.empty)
   }
 
   def diff(fromVersion: Long, toVersion: Long): DataFrame =
     diffFrames(read(fromVersion), read(toVersion))
+
+  /** [[diff]] in Delta's CDF shape — [[ManifestStore.diffCdf]]'s
+    * dir-per-version twin: an updated key emits `update_preimage`
+    * (old values) and `update_postimage` (new values) rows; inserts
+    * and deletes are unchanged. The pre-image re-reads the from-side
+    * for the updated keys only — on this layout the diff already
+    * scans both versions in full, so the extra pass is bounded by the
+    * update set, not the snapshot. */
+  def diffCdf(fromVersion: Long, toVersion: Long): DataFrame = {
+    val d = diff(fromVersion, toVersion)
+    val updKeys = d.filter(col("change_type") === "update").select(keyCol)
+    val pre = read(fromVersion).join(updKeys, Seq(keyCol), "left_semi")
+      .withColumn("change_type", lit("update_preimage"))
+    d.withColumn("change_type",
+        when(col("change_type") === "update", lit("update_postimage"))
+          .otherwise(col("change_type")))
+      .unionByName(pre, allowMissingColumns = true)
+  }
 
   /** [[diff]] restricted to keys in [lo, hi]: both sides read through
     * the zone map ([[readKeyRange]]), so diffing one key range of a
@@ -1978,6 +2023,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // compaction rewrites the layout, not the version's identity: the
     // original commit time carries over so readAsOf keeps resolving it
     writeCommitTs(tmp, commitTimestamp(version))
+    // the rebuilt zone map stages with the rewritten files (the
+    // compacted layout folds any DV, so the raw scan is the semantic
+    // read) — the swap below then publishes data + map together
+    zmapStatsCols.foreach { cols =>
+      val staged = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).map(_.toString)
+        .sorted.toIndexedSeq
+      zmNewStats(staged, cols).foreach(stageZoneMap(tmp, version, _))
+    }
     val old = new Path(s"$basePath/.old-v=$version-${java.util.UUID.randomUUID()}")
     if (!fs.rename(dest, old))
       throw new java.io.IOException(s"compact: move-aside failed: $dest -> $old")
@@ -1986,9 +2040,6 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       throw new java.io.IOException(s"compact: publish failed: $tmp -> $dest")
     }
     fs.delete(old, true)
-    // file identities (and, after the narrow concat, per-file ranges)
-    // changed — a stale zone map would prune wrongly
-    zmapStatsCols.foreach(cols => buildZoneMap(version, cols))
     val after = fs.listStatus(dest).count(_.getPath.getName.startsWith("part-"))
     (dataFiles.length, after)
   }

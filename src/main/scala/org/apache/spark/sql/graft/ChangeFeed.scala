@@ -132,14 +132,18 @@ private[graft] object ChangeFeed {
     * table — columns a commit predates read null). */
   def changesBetween(spark: SparkSession, base: String, linked: Boolean,
       keyCol: String, fromCommit: Long, toCommit: Long,
-      target: StructType, allowInitialSnapshot: Boolean = true): DataFrame = {
+      target: StructType, allowInitialSnapshot: Boolean = true,
+      preImages: Boolean = false): DataFrame = {
     val h = handles(spark, base, linked, keyCol)
     val all = h.fold(_.versions(), _.versions())
     val inRange = all.filter(v => v >= fromCommit && v <= toCommit).sorted
     val steps = inRange.map { b =>
       all.filter(_ < b).lastOption match {
         case Some(a) =>
-          align(h.fold(_.diff(a, b), _.diff(a, b)), keyCol, target, b)
+          val step =
+            if (preImages) h.fold(_.diffCdf(a, b), _.diffCdf(a, b))
+            else h.fold(_.diff(a, b), _.diff(a, b))
+          align(step, keyCol, target, b)
         case None =>
           // no retained predecessor. For the stream bootstrap (and the
           // store's genuine first commit, which never HAD one) the full
@@ -201,7 +205,7 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
     linked: Boolean, keyCol: String, schema: StructType, rowsOnly: Boolean,
     ignoreDeletes: Boolean, startingVersion: Option[Long],
     checkpointLocation: String, maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, preImages: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   require(maxVersionsPerTrigger.forall(_ >= 1),
@@ -285,7 +289,8 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
       // (distributed write); a restart replay reuses it verbatim, so
       // a batch's content is frozen at first planning — the replay
       // contract Spark's offset log expects
-      ChangeFeed.changesBetween(spark, base, linked, keyCol, s + 1, e, cdfSchema)
+      ChangeFeed.changesBetween(spark, base, linked, keyCol, s + 1, e, cdfSchema,
+          preImages = preImages)
         .write.mode("overwrite").parquet(dir.toString)
     }
     val serveDir =
@@ -426,7 +431,8 @@ private[graft] class StreamCapableScan(val d: Scan,
   * plan IS the scan) + MICRO_BATCH streaming. */
 private[graft] class ChangesTable(tableName: String, spark: SparkSession,
     base: String, linked: Boolean, keyCol: String,
-    range: Option[(Long, Long)]) extends Table with SupportsRead {
+    range: Option[(Long, Long)], preImages: Boolean = false)
+    extends Table with SupportsRead {
 
   private val feedSchema =
     ChangeFeed.changesSchema(ChangeFeed.tipDataSchema(spark, base, linked, keyCol))
@@ -453,7 +459,8 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
               // commits: a pruned predecessor fails the read instead of
               // silently replaying full state as inserts
               ChangeFeed.changesBetween(spark, base, linked, keyCol, lo, hi,
-                feedSchema, allowInitialSnapshot = range.isEmpty).rdd
+                feedSchema, allowInitialSnapshot = range.isEmpty,
+                preImages = preImages).rdd
           }.asInstanceOf[T]
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -464,7 +471,8 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
             maxVersionsPerTrigger =
               Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             maxBytesPerTrigger =
-              Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+            preImages = preImages)
       }
     }
 }

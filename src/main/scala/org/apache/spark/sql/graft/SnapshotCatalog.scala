@@ -235,11 +235,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
     if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv"
+        && kind != "changes_cdf"
         && kind != "partitions" && kind != "constraints" && kind != "stats")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
     try {
       if (kind == "changes") return changesTableFor(parent, range = None)
+      // `.changes_cdf` — the same feed in Delta's CDF shape: updates
+      // arrive as update_preimage/update_postimage row pairs
+      if (kind == "changes_cdf")
+        return changesTableFor(parent, range = None, preImages = true)
       val df = kind match {
         case "history" =>
           if (isLinked(parent)) linkedFor(parent).history()
@@ -314,7 +319,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * drives the row-level diff, so a pre-metadata store has no change
     * feed (None → the standard not-found error). */
   private def changesTableFor(parent: Identifier,
-      range: Option[(Long, Long)]): Option[Table] = {
+      range: Option[(Long, Long)], preImages: Boolean = false): Option[Table] = {
     val base = storePath(parent)
     val linked = isLinked(parent)
     val vs = if (linked) linkedFor(parent).versions() else storeFor(parent).versions()
@@ -322,9 +327,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.operators.SnapshotStore.readStoredKeyCol(fs, base).map { key =>
+      val kindNm = if (preImages) "changes_cdf" else "changes"
       val nm = (parent.namespace() :+ parent.name()).mkString(".") +
-        range.fold(".changes") { case (a, b) => s".changes@$a..$b" }
-      new ChangesTable(nm, spark, base, linked, key, range)
+        range.fold(s".$kindNm") { case (a, b) => s".$kindNm@$a..$b" }
+      new ChangesTable(nm, spark, base, linked, key, range, preImages)
     }
   }
 
@@ -448,7 +454,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val rangeRe = "^([^.]+(?:\\.[^.]+)*?)\\.\\.([^.]+(?:\\.[^.]+)*)$".r
     (version, ident.name()) match {
-      case (rangeRe(a, b), "changes")
+      case (rangeRe(a, b), "changes" | "changes_cdf")
           if ident.namespace().nonEmpty && !tableExists(ident) =>
         val parent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
@@ -470,7 +476,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             val hi = times.reverse.find(_._2 <= t2).map(_._1).getOrElse(Long.MinValue)
             (lo, hi)
           }
-        return changesTableFor(parent, Some(range))
+        return changesTableFor(parent, Some(range),
+            preImages = ident.name() == "changes_cdf")
           .getOrElse(throw new NoSuchTableException(ident))
       case _ =>
     }
@@ -490,7 +497,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * replay-since-Tuesday read; at-or-after so an exact-boundary
     * commit replays exactly once between consecutive windows). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (ident.name() == "changes" && ident.namespace().nonEmpty
+    if ((ident.name() == "changes" || ident.name() == "changes_cdf")
+        && ident.namespace().nonEmpty
         && !tableExists(ident)) {
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
@@ -499,7 +507,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         val base = storePath(parent)
         val lo = ChangeFeed.firstVersionAtOrAfter(spark, base, isLinked(parent), ms)
         val hi = ChangeFeed.versionsOf(spark, base, isLinked(parent)).max
-        return changesTableFor(parent, Some((lo, hi)))
+        return changesTableFor(parent, Some((lo, hi)),
+            preImages = ident.name() == "changes_cdf")
           .getOrElse(throw new NoSuchTableException(ident))
       }
     }
