@@ -843,6 +843,46 @@ object Snapshot {
         .orderBy("layout", "_commit_version", "change_type", "o_orderkey")
     },
 
+    "snap_sql_changes_cdf" -> { (s, d) =>
+      // The Delta-CDF-shaped feed (`.changes_cdf`) over MERGE-ON-READ
+      // commits on BOTH layouts: v1 = k%3 keys; v2 = mergeDeltaMor of
+      // a k%5 reprice (+10) with k%21 deletes. Existing delta keys
+      // mask-and-land — the feed must fuse the masked old position and
+      // the landed new row into ONE update_preimage/update_postimage
+      // pair at commit 2 (never a self-contradictory insert+delete
+      // pair), new keys arrive as inserts, masked-only keys as
+      // deletes. This is the linked layout's DV-aware
+      // reclassification under its SQL surface; the snapshot layout
+      // must agree row-for-row. Warm passes skip landed versions.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcdf_$fp"
+      val k = col("o_orderkey")
+      val ord = Tables.orders(s, d).select(k, col("o_totalprice"))
+      val v1 = ord.filter(k % 3 === 0)
+      val d2 = ord.filter(k % 5 === 0)
+        .select(k, (col("o_totalprice") + 10.0).as("o_totalprice"))
+      val del2 = ord.filter(k % 3 === 0 && k % 7 === 0).select(k)
+      val snap = new SnapshotStore(s, s"$base/cd_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+      if (!snap.versions().contains(2L))
+        snap.mergeDeltaMor(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      val linked = new ManifestStore(s, s"$base/cd_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(v1, 1L, 8, commitTs = Some(1000L))
+      if (!linked.versions().contains(2L))
+        linked.mergeDeltaMor(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      val cat = s"snapcdf_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Seq("cd_snap", "cd_linked").map { t =>
+        s.sql(s"SELECT * FROM $cat.$t.changes_cdf VERSION AS OF '2..2'")
+          .withColumn("layout", lit(t))
+      }.reduce(_ unionByName _)
+        .orderBy("layout", "change_type", "o_orderkey")
+    },
+
     "snap_fold_dv" -> { (s, d) =>
       // FOLD the deletion vector (the maintenance half of
       // snap_delete_dv's merge-on-read): rewrite ONLY the masked
@@ -2290,6 +2330,31 @@ object Snapshot {
         |FROM (SELECT * FROM c2 UNION ALL SELECT * FROM c3) c
         |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
         |ORDER BY l.layout, c._commit_version, c.change_type, c.o_orderkey""".stripMargin,
+
+    "snap_sql_changes_cdf" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_totalprice, 'update_preimage' AS change_type
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0),
+        |post AS (
+        |  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice,
+        |    'update_postimage' AS change_type
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice,
+        |    'insert' AS change_type
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
+        |del AS (
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |    'delete' AS change_type
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+        |SELECT c.o_orderkey, c.o_totalprice, c.change_type,
+        |  CAST(2 AS BIGINT) AS _commit_version, l.layout
+        |FROM (SELECT * FROM pre UNION ALL SELECT * FROM post
+        |      UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del) c
+        |CROSS JOIN (VALUES ('cd_snap'), ('cd_linked')) AS l(layout)
+        |ORDER BY l.layout, c.change_type, c.o_orderkey""".stripMargin,
 
     "snap_fold_dv" ->
       """SELECT o_orderkey % 100 AS bucket, COUNT(*) AS n,

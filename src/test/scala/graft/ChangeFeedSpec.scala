@@ -316,4 +316,95 @@ class ChangeFeedSpec extends SparkSpec {
     // the net effect really compressed: one merge applied 4 commits
     assert(dst.versions() == Seq(1L, 2L))
   }
+
+  /** One commit = mergeDeltaMor upsert {2:b2, 4:d} + delete {3} over
+    * v1 = {1:a, 2:b, 3:c}; returns (diff(1,2), diffCdf(1,2)). */
+  private def morChain(name: String, linked: Boolean): (DataFrame, DataFrame) = {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val d2 = Seq((2L, "b2"), (4L, "d")).toDF("k", "v")
+    val del2 = Seq(3L).toDF("k")
+    if (linked) {
+      val st = new ManifestStore(spark, s"$root/$name", "k")
+      st.write(v1, 1L, 2, commitTs = Some(1000L))
+      st.mergeDeltaMor(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      (st.diff(1L, 2L), st.diffCdf(1L, 2L))
+    } else {
+      val st = new SnapshotStore(spark, s"$root/$name", "k")
+      st.writeRangePartitioned(v1, 1L, 2, commitTs = Some(1000L))
+      st.mergeDeltaMor(1L, 2L, d2, Some(del2), commitTs = Some(2000L)): Unit
+      (st.diff(1L, 2L), st.diffCdf(1L, 2L))
+    }
+  }
+
+  private def kct(df: DataFrame): Set[(Long, String, String)] =
+    df.collect().map { r =>
+      (r.getLong(r.fieldIndex("k")),
+        if (r.isNullAt(r.fieldIndex("v"))) null else r.getString(r.fieldIndex("v")),
+        r.getString(r.fieldIndex("change_type")))
+    }.toSet
+
+  test("a MoR mask-and-land upsert diffs as ONE update, never an insert+delete pair") {
+    for ((name, linked) <- Seq(("cfm_snap", false), ("cfm_linked", true))) {
+      val (d, cdf) = morChain(name, linked)
+      // plain feed: k=2 is exactly one 'update' row with the NEW value;
+      // the masked old position must NOT surface as a same-commit delete
+      val plain = kct(d)
+      assert(plain.filter(_._1 == 2L) == Set((2L, "b2", "update")), s"$name: $plain")
+      assert(plain.filter(_._1 == 4L) == Set((4L, "d", "insert")), s"$name inserts")
+      assert(plain.count(_._3 == "delete") == 1 &&
+        plain.exists(t => t._1 == 3L && t._3 == "delete"), s"$name deletes")
+      // CDF shape: the update arrives as an old-value/new-value pair
+      val pairs = kct(cdf)
+      assert(pairs.filter(_._1 == 2L) ==
+        Set((2L, "b", "update_preimage"), (2L, "b2", "update_postimage")),
+        s"$name cdf: $pairs")
+      assert(pairs.filter(_._1 == 4L) == Set((4L, "d", "insert")), s"$name cdf insert")
+      assert(!pairs.exists(t => t._1 == 3L && t._3 != "delete"), s"$name cdf delete")
+    }
+  }
+
+  test("updateWhere(mor) diffs as updates; applyChanges replicates a CDF feed") {
+    val st = new ManifestStore(spark, s"$root/cfm_upd", "k")
+    st.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 1L, 2,
+      commitTs = Some(1000L))
+    st.updateWhere(1L, 2L, org.apache.spark.sql.functions.col("k") >= 2L,
+      Map("v" -> org.apache.spark.sql.functions.upper(
+        org.apache.spark.sql.functions.col("v"))), mode = "mor"): Unit
+    assert(kct(st.diff(1L, 2L)) ==
+      Set((2L, "B", "update"), (3L, "C", "update")))
+    assert(kct(st.diffCdf(1L, 2L)) == Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "update_preimage"), (3L, "C", "update_postimage")))
+    // the catalog's .changes_cdf serves the same rows, version-stamped,
+    // and applyChanges applies the POSTIMAGE (preimages never apply)
+    val feed = spark.sql("SELECT * FROM cfcat.cfm_upd.changes_cdf VERSION AS OF '2..2'")
+    val (ups, dels) = graft.operators.Snapshot.applyChanges(feed, "k")
+    assert(dels.isEmpty)
+    assert(ups.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((2L, "B"), (3L, "C")))
+  }
+
+  test("incremental SUM maintained from the CDF feed equals the recomputed aggregate") {
+    val st = new ManifestStore(spark, s"$root/cfm_sum", "k")
+    val v1 = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "x")
+    st.write(v1, 1L, 4, commitTs = Some(1000L))
+    // update-heavy chain: MoR reprice of k%3, CoW reprice of k%4 +
+    // fresh inserts — every shape the CDF feed distinguishes
+    st.mergeDeltaMor(1L, 2L,
+      (1L to 50L).filter(_ % 3 == 0).map(i => (i, i * 1.0 + 5)).toDF("k", "x"),
+      commitTs = Some(2000L)): Unit
+    st.mergeDelta(2L, 3L,
+      ((1L to 50L).filter(_ % 4 == 0).map(i => (i, i * 1.0 + 7)) ++
+        (51L to 60L).map(i => (i, i * 1.0))).toDF("k", "x"),
+      commitTs = Some(3000L)): Unit
+    val feed = spark.sql("SELECT * FROM cfcat.cfm_sum.changes_cdf VERSION AS OF '2..3'")
+      .select("x", "change_type").collect()
+    def sumOf(ct: String) = feed.filter(_.getString(1) == ct).map(_.getDouble(0)).sum
+    val maintained = v1.agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0) +
+      sumOf("insert") + sumOf("update_postimage") - sumOf("update_preimage")
+    val recomputed = st.read(3L)
+      .agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0)
+    assert(math.abs(maintained - recomputed) < 1e-6,
+      s"maintained $maintained != recomputed $recomputed")
+  }
 }
