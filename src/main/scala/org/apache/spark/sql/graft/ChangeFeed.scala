@@ -207,7 +207,8 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
     checkpointLocation: String, maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None, preImages: Boolean = false)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger must be >= 1, got ${maxVersionsPerTrigger.get}")
   require(maxBytesPerTrigger.forall(_ >= 1),
@@ -222,9 +223,20 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  // Trigger.AvailableNow (SupportsTriggerAvailableNow): pin the tip
+  // ONCE at stream start; every batch then admits commits ≤ the pin
+  // through the normal version/byte pacing, and the run terminates at
+  // the pinned tip — commits landing mid-drain wait for the next run.
+  // The replica catch-up verb: drain everything that exists, stop.
+  @volatile private var pinnedTip: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedTip = Some(ChangeFeed.versionsOf(spark, base, linked).max)
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val vs = ChangeFeed.versionsOf(spark, base, linked)
+    val vs0 = ChangeFeed.versionsOf(spark, base, linked)
+    val vs = pinnedTip.fold(vs0)(p => vs0.filter(_ <= p))
+    if (vs.isEmpty) return start // pinned tip pruned mid-run: no progress
     val tip = vs.max
     val s = start.asInstanceOf[VersionOffset].v
     val byCount = maxVersionsPerTrigger.map(m => math.min(tip, s + m)).getOrElse(tip)

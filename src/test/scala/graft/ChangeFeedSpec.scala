@@ -114,6 +114,41 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains to the tip pinned at start, terminates, and follows on restart") {
+    buildChain("cfa_linked", linked = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ckan").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cf_anout").toString
+    // paced catch-up: one commit per batch — AvailableNow must still
+    // reach the pinned tip through admission control, THEN terminate.
+    // foreachBatch-append sink: it supports checkpoint RECOVERY, which
+    // the restart half of the contract needs (memory sink does not).
+    def drain(): Int = {
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = spark.readStream.option("maxVersionsPerTrigger", "1")
+        .table("cfcat.cfa_linked.changes")
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not self-terminate")
+      batches.get()
+    }
+    val b1 = drain()
+    assert(b1 >= 3, s"pacing composes: 3 commits at 1/trigger need >=3 batches, got $b1")
+    assert(rows(spark.read.parquet(out)) == commit1 ++ commit2 ++ commit3,
+      "catch-up lands exactly the commits that existed at start")
+    // commits landing AFTER the pin wait for the next run
+    val st = new ManifestStore(spark, s"$root/cfa_linked", "k")
+    st.mergeDelta(3L, 4L, Seq((1L, "a4")).toDF("k", "v"), commitTs = Some(4000L))
+    drain()
+    assert(rows(spark.read.parquet(out))
+      == commit1 ++ commit2 ++ commit3 + ((1L, "a4", "update", 4L)),
+      "restart resumes from the checkpoint and drains ONLY the later commit")
+  }
+
   test("plain-table stream serves row state per commit; startingVersion bounds the replay") {
     // chain without deletes: v1 then an upsert commit
     val st = new ManifestStore(spark, s"$root/cfp_linked", "k")
