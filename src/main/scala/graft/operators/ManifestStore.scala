@@ -176,7 +176,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         pcs.map(c => pe(c) <=> touched(c)).reduce(_ && _), "left_anti")
       .select("file")
     val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
-    val stats = landWithStats(arrange(data, filesPerPartition), manifestStatsCols(man))
+    val stats = landWithStats(arrange(data, filesPerPartition),
+      manifestStatsCols(man), evolvedSchema(fromVersion))
     publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
       evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
     val nShared = shared.count().toInt
@@ -255,8 +256,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * would dangle — and is deleted on the spot. None when nothing
     * with rows landed. */
   private def landWithStats(df: DataFrame,
-      cols: Seq[String] = statsCols): Option[DataFrame] = {
-    val names = landInPool(df)
+      cols: Seq[String] = statsCols,
+      sc: Option[org.apache.spark.sql.types.StructType] = None): Option[DataFrame] = {
+    // on a column-mapped store, new files land under PHYSICAL names so
+    // the version's file set stays name-uniform with the carried files
+    val names = landInPool(sc.map(SnapshotStore.toPhysical(df, _)).getOrElse(df))
     if (names.isEmpty) None
     else {
       val stats = statsFor(names, cols).localCheckpoint()
@@ -407,6 +411,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, manifestDir(version), token,
       s"publish of v$version on $basePath")
+    noteCommit(version)
   }
 
   /** Persist the construction contract (key column) in `_store.json`
@@ -567,15 +572,20 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       commitTs, Some(newSchema), dv = dvFrame(fromVersion))
   }
 
-  /** Schema-evolution RENAME COLUMN. Parquet resolves columns BY NAME
-    * (pool files carry no field ids), so old bytes cannot answer to a
-    * new name and the rename is a ONE-TIME rewrite into fresh pool
-    * files — the same line Delta draws without column-mapping mode.
-    * Pinned history still reads the old name from the old files;
-    * recorded fills materialize in the rewrite, so the new version
-    * needs no schema sidecar; a renamed stats column's manifest
-    * envelope follows the new name. The key column is recorded store
-    * identity (`_store.json`) and cannot rename. */
+  /** METADATA-ONLY RENAME COLUMN — Delta's column-mapping mode on the
+    * `_schema.json` sidecar: the published schema renames the field
+    * while `graft.physical` metadata pins the name the pool bytes
+    * answer to; every read resolves physical → logical with a
+    * zero-cost alias projection, later merges LAND new files under
+    * the physical name (one name-uniform file set), and a full
+    * rewrite (compact / plain write) folds the mapping away — exactly
+    * how a DV mask folds. NOT ONE POOL BYTE moves here: the manifest
+    * carries VERBATIM (its min/max stats keep describing the stored,
+    * physical columns). Pinned history keeps the old name. The key
+    * column is recorded store identity and cannot rename; constrained
+    * and partition columns refuse (their declarations name the
+    * column); the new name must not shadow a stored physical name
+    * (old bytes would answer to two logical columns). */
   def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
       numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
@@ -587,22 +597,19 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(!storedPartitionBy().contains(from),
       s"renameColumn '$from': it is a declared partition column — the table's " +
         "physical layout keys on it")
-    val cur = read(fromVersion)
-    require(cur.columns.contains(from), s"renameColumn: no column '$from'")
-    require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")
-    val statCols = manifestStatsCols(manifest(fromVersion))
-      .map(c => if (c == from) to else c)
-    val renamed = cur.withColumnRenamed(from, to)
-    landWithStats(
-      renamed.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol),
-      statCols) match {
-      case Some(stats) => publish(toVersion, stats, commitTs)
-      case None => // empty table: zero pool files, schema-only version
-        val manKeep = manifest(fromVersion).limit(0)
-          .withColumnRenamed(s"min_$from", s"min_$to")
-          .withColumnRenamed(s"max_$from", s"max_$to")
-        publish(toVersion, manKeep.localCheckpoint(), commitTs, Some(renamed.schema))
-    }
+    val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
+    require(cur.fieldNames.contains(from), s"renameColumn: no column '$from'")
+    require(!cur.fieldNames.contains(to), s"renameColumn: '$to' already exists")
+    val otherPhys = cur.fields.filterNot(_.name == from)
+      .map(SnapshotStore.physicalName).toSet
+    require(!otherPhys.contains(to),
+      s"renameColumn: '$to' is a stored PHYSICAL column name (a prior rename maps " +
+        "it) — old bytes would answer to two logical columns; compact first to " +
+        "fold the mapping")
+    val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == from) SnapshotStore.renamedField(f, to) else f))
+    publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+      Some(newSchema), dv = dvFrame(fromVersion))
   }
 
   /** Commit history — the `DESCRIBE HISTORY` surface: one row per
@@ -612,14 +619,49 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def history(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    versions().map { v =>
-      // coalesce: an empty version ([[createEmpty]], all-row delete)
-      // sums a zero-row manifest — 0 rows, not a null
-      val m = manifest(v).agg(count(lit(1)).as("f"),
-        coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
-      (v, commitTsOf(v), m.getLong(0), m.getLong(1))
-    }.toDF("version", "commit_ts", "n_files", "n_rows")
+    historyEntries().map { case (v, e) => (v, e.commitTs, e.nFiles, e.nRows) }
+      .toDF("version", "commit_ts", "n_files", "n_rows")
   }
+
+  /** One version's checkpoint row rebuilt from its manifest — the
+    * self-heal / publish-time unit (see [[SnapshotStore]]'s
+    * version-log checkpoint notes; the manifest is metadata-sized, so
+    * the agg is one tiny single-file job). */
+  private def computeHistoryEntry(v: Long): SnapshotStore.HistoryEntry = {
+    // coalesce: an empty version ([[createEmpty]], all-row delete)
+    // sums a zero-row manifest — 0 rows, not a null
+    val m = manifest(v).agg(count(lit(1)).as("f"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
+    SnapshotStore.HistoryEntry(commitTsOf(v), m.getLong(0), m.getLong(1),
+      commitBytesRaw(v))
+  }
+
+  /** The VERSION-LOG CHECKPOINT, served and self-healed —
+    * [[SnapshotStore.historyEntries]]'s linked twin: warm path = ONE
+    * `_history.json` read; missing entries rebuild from manifests. */
+  private def historyEntries(): Seq[(Long, SnapshotStore.HistoryEntry)] = {
+    val vs = versions()
+    val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
+    val live = ckpt.filter { case (v, _) => vs.contains(v) }
+    val missing = vs.filterNot(live.contains)
+    if (missing.isEmpty) vs.map(v => v -> live(v))
+    else {
+      val merged = live ++ missing.map(v => v -> computeHistoryEntry(v))
+      SnapshotStore.writeHistoryCkpt(fs, basePath, merged)
+      vs.map(v => v -> merged(v))
+    }
+  }
+
+  private def noteCommit(v: Long): Unit =
+    try {
+      val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
+      SnapshotStore.writeHistoryCkpt(fs, basePath,
+        ckpt + (v -> computeHistoryEntry(v)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def invalidateHistoryCkpt(): Unit =
+    try fs.delete(new Path(basePath, "_history.json"), false): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Union schema of an evolved version (column adds ride a
     * `_schema.json` sidecar published atomically with the manifest;
@@ -648,9 +690,13 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       case Some(sc) =>
         // fills recorded by an evolving mergeDelta apply uniformly at
         // read time (SnapshotStore.applyFills' contract): shared files
-        // that predate the column read the default, not null
+        // that predate the column read the default, not null. The scan
+        // asks for PHYSICAL names (what the bytes answer to under a
+        // metadata-only rename) and projects to logical — the
+        // column-mapping read contract, a zero-cost alias projection.
         val fills = SnapshotStore.fillValues(sc)
-        val df = spark.read.schema(sc).parquet(paths: _*)
+        val df = SnapshotStore.toLogical(
+          spark.read.schema(SnapshotStore.physicalSchema(sc)).parquet(paths: _*), sc)
         if (fills.isEmpty) df else df.na.fill(fills)
       case None => spark.read.parquet(paths: _*)
     }
@@ -680,15 +726,17 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       case None => readFilesRaw(version, paths)
       case Some(dv) =>
         val sc = evolvedSchema(version)
-        val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+        val raw = sc.map(x =>
+            spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*))
           .getOrElse(spark.read.parquet(paths: _*))
-        val masked = raw
+        val masked0 = raw
           .withColumn("__dv_file",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__dv_pos", col("_metadata.row_index"))
           .join(broadcast(dv.toDF("__dv_file", "__dv_pos")),
             Seq("__dv_file", "__dv_pos"), "left_anti")
           .drop("__dv_file", "__dv_pos")
+        val masked = sc.map(SnapshotStore.toLogical(masked0, _)).getOrElse(masked0)
         val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
         if (fills.isEmpty) masked else masked.na.fill(fills)
     }
@@ -780,7 +828,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * `version` vs its retained predecessor (the first retained commit
     * counts whole). Metadata-only — two manifest reads + FS stats; the
     * change feed's byte-based admission control paces on it. */
-  def commitBytes(version: Long): Long = {
+  def commitBytes(version: Long): Long =
+    SnapshotStore.readHistoryCkpt(fs, basePath).get(version).map(_.bytes)
+      .getOrElse(commitBytesRaw(version))
+
+  private def commitBytesRaw(version: Long): Long = {
     val prev = versions().filter(_ < version).lastOption
     val cur = manifest(version).select("file").collect().map(_.getString(0)).toSet
     val old = prev.map(p =>
@@ -792,9 +844,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }.sum
   }
 
-  /** Newest version committed at-or-before `ts`. */
-  def versionAsOf(ts: Long): Option[Long] =
-    versions().filter(commitTsOf(_) <= ts).sorted.lastOption
+  /** Newest version committed at-or-before `ts` — served from the
+    * version-log checkpoint: ONE sidecar read warm, not O(versions)
+    * per-version `_commit_ts` opens. */
+  def versionAsOf(ts: Long): Option[Long] = {
+    val committed = historyEntries().filter(_._2.commitTs <= ts)
+    if (committed.isEmpty) None
+    else Some(committed.maxBy { case (v, e) => (e.commitTs, v) }._1)
+  }
 
   def readAsOf(ts: Long): DataFrame = read(versionAsOf(ts).getOrElse(
     throw new IllegalStateException(s"no version committed at or before $ts")))
@@ -835,11 +892,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * recorded [min_c, max_c] envelope overlaps [lo, hi] open — the
     * linked twin of SnapshotStore.readWhere. */
   def readWhere(version: Long, column: String, lo: Any, hi: Any): DataFrame = {
-    require(statsCols.contains(column) || storedPartitionBy().contains(column),
+    // manifest stats describe the STORED (physical) columns — a
+    // metadata-only rename translates the lookup, not the sidecar
+    val phys = SnapshotStore.physicalOf(evolvedSchema(version), column)
+    require(statsCols.contains(phys) || storedPartitionBy().contains(column),
       s"readWhere needs '$column' in statsCols or the partition spec " +
         s"(have: $statsCols ++ ${storedPartitionBy()})")
     val hit = manifest(version)
-      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .filter(col(s"max_$phys") >= lit(lo) && col(s"min_$phys") <= lit(hi))
       .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
     val base =
       if (hit.isEmpty) read(version).limit(0)
@@ -895,14 +955,17 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     */
   def readWhereAll(version: Long, preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    val scv = evolvedSchema(version)
+    val physOf = (c: String) => SnapshotStore.physicalOf(scv, c)
     preds.foreach { case (c, _, _) =>
-      require(c == keyCol || statsCols.contains(c) || storedPartitionBy().contains(c),
+      require(c == keyCol || statsCols.contains(physOf(c))
+          || storedPartitionBy().contains(c),
         s"readWhereAll needs manifest stats for '$c' " +
           s"(have key + $statsCols ++ ${storedPartitionBy()})") }
     val survivors = preds.foldLeft(manifest(version)) { case (m, (c, lo, hi)) =>
       val (loC, hiC) =
         if (c == keyCol) (col("min_key"), col("max_key"))
-        else (col(s"min_$c"), col(s"max_$c"))
+        else (col(s"min_${physOf(c)}"), col(s"max_${physOf(c)}"))
       m.filter(hiC >= lit(lo) && loC <= lit(hi))
     }
     val hit = survivors.select("file").collect()
@@ -1098,6 +1161,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           s"${f.dataType.simpleString}; evolving a column's TYPE needs an explicit rewrite")
     }
     val newFields = delta.schema.fields.filterNot(f => baseNames(f.name))
+    val basePhys = baseSchema.fields.map(SnapshotStore.physicalName).toSet
+    newFields.foreach(f => require(!basePhys(f.name),
+      s"mergeDelta: new column '${f.name}' collides with a stored PHYSICAL " +
+        "column name (a prior RENAME maps it) - old bytes would answer to two " +
+        "logical columns; compact first to fold the mapping"))
     require(fill.keySet.subsetOf(newFields.map(_.name).toSet),
       s"fill keys ${fill.keySet} must be columns this delta introduces " +
         s"(${newFields.map(_.name).toSet})")
@@ -1135,7 +1203,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       if (allFills.isEmpty) df else df.na.fill(allFills)
     val stats = landWithStats(
       arrange(materialize(survivors.unionByName(upserts)), numNewFiles),
-      manifestStatsCols(man))
+      manifestStatsCols(man), Some(unionSchema))
     // an all-delete merge can rewrite to nothing: the manifest is then
     // just the shared entries — and a version that could end up with
     // ZERO pool files records its schema sidecar so readers (incl. the
@@ -1166,11 +1234,13 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     // per matching VISIBLE row (already-masked rows can't re-match)
     val sc = evolvedSchema(fromVersion)
     val paths = resolve(fromVersion)
-    val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+    val raw = sc.map(x =>
+        spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
-    val withPos = raw.select(col("*"),
+    val withPos0 = raw.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
       col("_metadata.row_index").as("__p"))
+    val withPos = sc.map(SnapshotStore.toLogical(withPos0, _)).getOrElse(withPos0)
     val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
     val filled = if (fills.isEmpty) withPos else withPos.na.fill(fills)
     val visible = dvFrame(fromVersion).map(d =>
@@ -1207,7 +1277,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         matching.keys.map(n => new Path(poolDir, n).toString).toSeq)
       .filter(!coalesce(pred, lit(false)))
     val stats = landWithStats(arrange(kept, numNewFiles),
-      manifestStatsCols(man))
+      manifestStatsCols(man), evolvedSchema(fromVersion))
     // a delete that empties the table records the schema sidecar so
     // the zero-file version still plans (see mergeDelta)
     publish(toVersion,
@@ -1276,7 +1346,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val upserts = delK.foldLeft(delta)((d, del) =>
       d.join(del, Seq(keyCol), "left_anti"))
     enforceConstraints(upserts, "mergeDeltaMor")
-    val stats = landWithStats(arrange(upserts, numNewFiles), manifestStatsCols(man))
+    val stats = landWithStats(arrange(upserts, numNewFiles),
+      manifestStatsCols(man), sc)
     val nMasked = matchRows.count()
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       .localCheckpoint()
@@ -1341,7 +1412,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     if (useMor) {
       val updated = applySet(matched).drop("__f", "__p")
       enforceConstraints(updated, "updateWhere")
-      val stats = landWithStats(arrange(updated, numNewFiles), manifestStatsCols(man))
+      val stats = landWithStats(arrange(updated, numNewFiles),
+        manifestStatsCols(man), sc)
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
         dv = Some(mask))
@@ -1354,7 +1426,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         .unionByName(touched.filter(!coalesce(pred, lit(false))))
       enforceConstraints(rewritten, "updateWhere")
       val stats = landWithStats(arrange(rewritten, numNewFiles),
-        manifestStatsCols(man))
+        manifestStatsCols(man), sc)
       publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs, sc,
         dv = carryDv(fromVersion, shared))
       (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
@@ -1383,7 +1455,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         val survivors = readFiles(fromVersion,
           masked.map(n => new Path(poolDir, n).toString).toSeq)
         val stats = landWithStats(arrange(survivors, numNewFiles),
-          manifestStatsCols(man))
+          manifestStatsCols(man), evolvedSchema(fromVersion))
         publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
           evolvedSchema(fromVersion))
         (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
@@ -1683,9 +1755,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
     val shared = man.filter(!col("file").isin(small.toSeq: _*))
     // compaction FOLDS the deletion vector in: the rewrite reads the
-    // masked view, so folded files shed their DV entries for good
+    // masked view, so folded files shed their DV entries for good.
+    // Folded files land under PHYSICAL names (column mapping): the
+    // pool stays name-uniform with the carried files.
+    val folded = readFiles(fromVersion,
+      small.map(n => new Path(poolDir, n).toString).toIndexedSeq)
     val names = landInPool(arrange(
-      readFiles(fromVersion, small.map(n => new Path(poolDir, n).toString).toIndexedSeq),
+      evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(folded, _))
+        .getOrElse(folded),
       targetFiles))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
@@ -1698,6 +1775,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * [[vacuum]]. Returns bytes reclaimed. */
   def prune(keep: Seq[Long]): Long = {
     versions().filterNot(keep.contains).foreach(v => fs.delete(manifestDir(v), true))
+    // the first surviving commit now counts "whole" for bytes — its
+    // checkpoint entry is stale; rebuild from truth on next read
+    invalidateHistoryCkpt()
     vacuum()
   }
 

@@ -843,6 +843,59 @@ object Snapshot {
         .orderBy("layout", "_commit_version", "change_type", "o_orderkey")
     },
 
+    "snap_sql_rename" -> { (s, d) =>
+      // METADATA-ONLY RENAME COLUMN (column mapping) on BOTH layouts:
+      // v2 = `ALTER TABLE ... RENAME COLUMN o_totalprice TO price` on
+      // a populated store — ONE schema-sidecar commit (`graft.physical`
+      // pins the stored name), zero data rewrites. The ZERO-REWRITE
+      // GATE is part of the hashed result: on linked, v2's manifest
+      // references exactly v1's pool files; on snapshot, v2's part
+      // files equal v1's by name AND size (byte-copy carry). The tip
+      // reads under the NEW name through the mapping-aware store read;
+      // pinned v1 keeps the old name (v1_has_old). Warm passes skip
+      // the landed ALTER.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlren_$fp"
+      val k = col("o_orderkey")
+      val ord = Tables.orders(s, d).select(k, col("o_totalprice"))
+      val snap = new SnapshotStore(s, s"$base/rn_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/rn_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapren_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      for (t <- Seq("rn_snap", "rn_linked")) {
+        val landed =
+          (if (t == "rn_snap") snap.versions() else linked.versions()).contains(2L)
+        if (!landed)
+          s.sql(s"ALTER TABLE $cat.$t RENAME COLUMN o_totalprice TO price")
+      }
+      def files(t: String, v: Long): Map[String, Long] =
+        if (t == "rn_linked")
+          linked.manifest(v).select("file").collect()
+            .map(r => r.getString(0) -> 0L).toMap
+        else {
+          val dir = new java.io.File(s"$base/$t/v=$v")
+          dir.listFiles().filter(_.getName.startsWith("part-"))
+            .map(f => f.getName -> f.length()).toMap
+        }
+      Seq("rn_snap", "rn_linked").map { t =>
+        val zeroRewrite = files(t, 2L) == files(t, 1L)
+        val v1HasOld = s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1")
+          .columns.contains("o_totalprice")
+        s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("price")).as("sum_price"))
+          .withColumn("layout", lit(t))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+          .withColumn("v1_has_old", lit(v1HasOld))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_changes_cdf" -> { (s, d) =>
       // The Delta-CDF-shaped feed (`.changes_cdf`) over MERGE-ON-READ
       // commits on BOTH layouts: v1 = k%3 keys; v2 = mergeDeltaMor of
@@ -2330,6 +2383,14 @@ object Snapshot {
         |FROM (SELECT * FROM c2 UNION ALL SELECT * FROM c3) c
         |CROSS JOIN (VALUES ('oc_snap'), ('oc_linked')) AS l(layout)
         |ORDER BY l.layout, c._commit_version, c.change_type, c.o_orderkey""".stripMargin,
+
+    "snap_sql_rename" ->
+      """SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  l.layout, TRUE AS zero_rewrite, TRUE AS v1_has_old
+        |FROM orders CROSS JOIN (VALUES ('rn_snap'), ('rn_linked')) AS l(layout)
+        |GROUP BY 1, l.layout ORDER BY l.layout, bucket""".stripMargin,
 
     "snap_sql_changes_cdf" ->
       """WITH pre AS (

@@ -63,6 +63,118 @@ object SnapshotStore {
     }.toMap
   }
 
+  // ---- COLUMN MAPPING (metadata-only RENAME COLUMN) ----
+  // Delta's column-mapping idea on the existing `_schema.json`
+  // sidecar: each field may carry `graft.physical` metadata naming the
+  // column as STORED in the parquet files. A rename is then one
+  // metadata commit — the logical name changes, the physical name
+  // pins to whatever the bytes already answer to — and every read
+  // resolves physical → logical with a zero-cost alias projection.
+  // New files land under PHYSICAL names so a version's file set stays
+  // name-uniform; a full rewrite (compact, plain write) materializes
+  // logical names and drops the mapping — folding it exactly like a
+  // DV mask folds.
+
+  /** The field's PHYSICAL (stored) name: `graft.physical` when a
+    * metadata-only rename mapped it, else the logical name. */
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("graft.physical")) f.metadata.getString("graft.physical")
+    else f.name
+
+  /** The schema under PHYSICAL names — what `spark.read.schema` must
+    * be handed so parquet's by-name resolution finds the bytes. */
+  private[graft] def physicalSchema(
+      sc: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sc.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** Whether any field carries a logical→physical rename mapping —
+    * public for the SQL catalog (package org.apache.spark.sql.graft),
+    * which must route mapped versions through the store's own read. */
+  def hasMapping(sc: org.apache.spark.sql.types.StructType): Boolean =
+    sc.fields.exists(f => physicalName(f) != f.name)
+
+  /** Physical-named frame → logical names (alias projection only). */
+  private[graft] def toLogical(df: org.apache.spark.sql.DataFrame,
+      sc: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    sc.fields.foldLeft(df)((d, f) =>
+      if (physicalName(f) != f.name) d.withColumnRenamed(physicalName(f), f.name) else d)
+
+  /** Logical-named frame → physical names, for LANDING new files on a
+    * mapped store (keeps the file set name-uniform). */
+  private[graft] def toPhysical(df: org.apache.spark.sql.DataFrame,
+      sc: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    sc.fields.foldLeft(df)((d, f) =>
+      if (physicalName(f) != f.name) d.withColumnRenamed(f.name, physicalName(f)) else d)
+
+  /** Stored name of logical `column` under `sc` (identity without a
+    * mapping) — the stats/zone-map/bloom lookup translation. */
+  private[graft] def physicalOf(sc: Option[org.apache.spark.sql.types.StructType],
+      column: String): String =
+    sc.flatMap(_.fields.find(_.name == column)).map(physicalName).getOrElse(column)
+
+  /** Field with the logical name `to` whose physical name pins to the
+    * stored bytes: a renamed-once field keeps its ORIGINAL physical
+    * name through later renames. */
+  private[graft] def renamedField(f: org.apache.spark.sql.types.StructField,
+      to: String): org.apache.spark.sql.types.StructField = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString("graft.physical", physicalName(f)).build()
+    f.copy(name = to, metadata = md)
+  }
+
+  // ---- VERSION-LOG CHECKPOINT ----
+  // One consolidated `_history.json` sidecar at the store base holding
+  // (version, commit_ts, n_files, n_rows, bytes_added) per retained
+  // version — maintained incrementally at publish, SELF-HEALING on
+  // read. It is a CACHE of derived truth (every entry is rebuildable
+  // from the version dirs/manifests), so a missed update — crash
+  // between publish and checkpoint write, concurrent publisher losing
+  // the checkpoint race, an external/older writer — costs one rebuild
+  // of the missing entries, never a wrong answer. history(),
+  // versionAsOf/readAsOf, commitBytes and the change feed's
+  // timestamp/byte resolution all serve from it: O(1) file opens on a
+  // warm checkpoint instead of O(versions) per-version sidecar reads.
+
+  private[operators] case class HistoryEntry(
+      commitTs: Long, nFiles: Long, nRows: Long, bytes: Long)
+
+  private[operators] def readHistoryCkpt(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Map[Long, HistoryEntry] = {
+    val p = new org.apache.hadoop.fs.Path(basePath, "_history.json")
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        ("\\{\\s*\"v\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"ts\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
+          "\"f\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"r\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
+          "\"b\"\\s*:\\s*(-?\\d+)\\s*\\}").r
+          .findAllMatchIn(txt).map(m => m.group(1).toLong -> HistoryEntry(
+            m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+            m.group(5).toLong)).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty } // derived: rebuild
+  }
+
+  /** Best-effort atomic rewrite (tmp + rename): a crash or a lost
+    * concurrent-rename race leaves a stale/absent checkpoint, which
+    * the self-heal path rebuilds — never corrupt answers. */
+  private[operators] def writeHistoryCkpt(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, entries: Map[Long, HistoryEntry]): Unit =
+    try {
+      val body = entries.toSeq.sortBy(_._1).map { case (v, e) =>
+        s"""{"v": $v, "ts": ${e.commitTs}, "f": ${e.nFiles}, "r": ${e.nRows}, "b": ${e.bytes}}"""
+      }.mkString("{\"history\": [", ", ", "]}")
+      val tmp = new org.apache.hadoop.fs.Path(basePath,
+        s".tmp-hist-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(basePath, "_history.json")
+      fs.delete(dest, false): Unit
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Parse the `_store.json` sidecar's keyCol — shared by both store
     * layouts and the SQL catalog (which lives under Spark's package
     * root, hence public; a minimal fixed-shape parse — the sidecar is
@@ -323,7 +435,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * sidecar when present, else the `_SUCCESS` marker's filesystem
     * mtime (pre-sidecar stores stay resolvable — mtime is exactly the
     * publish rename time on a store that was never copied). */
-  def commitTimestamp(version: Long): Long = {
+  def commitTimestamp(version: Long): Long =
+    SnapshotStore.readHistoryCkpt(fs, basePath).get(version).map(_.commitTs)
+      .getOrElse(commitTimestampRaw(version))
+
+  private def commitTimestampRaw(version: Long): Long = {
     val sidecar = new Path(dir(version), "_commit_ts")
     if (fs.exists(sidecar)) {
       val in = fs.open(sidecar)
@@ -335,7 +451,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * by commit timestamp, not version id order, so out-of-order
     * backfills still answer "what was live at ts" correctly. */
   def versionAsOf(ts: Long): Option[Long] = {
-    val committed = versions().map(v => v -> commitTimestamp(v)).filter(_._2 <= ts)
+    // served from the version-log checkpoint: ONE sidecar read on the
+    // warm path, not O(versions) per-version opens
+    val committed = historyEntries().map { case (v, e) => v -> e.commitTs }
+      .filter(_._2 <= ts)
     if (committed.isEmpty) None
     else Some(committed.maxBy { case (v, t) => (t, v) }._1)
   }
@@ -545,8 +664,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // on the MASKED read), and input_file_name() needs a single-source
     // plan the masked anti-join cannot provide
     val sc0 = evolvedSchema(version)
-    val raw = sc0.map(x => spark.read.schema(x).parquet(parts.map(_.toString): _*))
+    val raw0 = sc0.map(x => spark.read.schema(SnapshotStore.physicalSchema(x))
+        .parquet(parts.map(_.toString): _*))
       .getOrElse(spark.read.parquet(parts.map(_.toString): _*))
+    val raw = sc0.map(SnapshotStore.toLogical(raw0, _)).getOrElse(raw0)
     require(raw.columns.contains(column), s"buildBloomIndex: no column '$column'")
     import org.apache.spark.sql.Encoders
     val pairs = raw.select(
@@ -639,8 +760,12 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * the column's native ordering). A null stats bound (all-null file
     * column) keeps the file — never prune on missing information. */
   def prunedFilesBy(version: Long, column: String, lo: Any, hi: Any): Option[Seq[String]] = {
+    // zone-map stats describe the STORED (physical) columns — a
+    // metadata-only rename translates the lookup, not the sidecar
+    val phys = if (column == keyCol) column
+      else SnapshotStore.physicalOf(evolvedSchema(version), column)
     val (minC, maxC) =
-      if (column == keyCol) ("min_key", "max_key") else (s"min_$column", s"max_$column")
+      if (column == keyCol) ("min_key", "max_key") else (s"min_$phys", s"max_$phys")
     zoneMap(version)
       .filter(zm => zm.columns.contains(minC) && zm.columns.contains(maxC))
       .map(_.filter(!(col(maxC) < lit(lo) || col(minC) > lit(hi)) ||
@@ -884,7 +1009,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
       .filter(_.getName.startsWith("part-")).toSeq
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-    val newNames = landFlat(arrange(data, filesPerPartition), tmp)
+    val newNames = landFlat(arrange(evolvedSchema(fromVersion)
+      .map(SnapshotStore.toPhysical(data, _)).getOrElse(data), filesPerPartition), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val carriedParts = allParts.filter(p => sharedNames(p.getName))
     carriedParts.foreach { p =>
@@ -1013,6 +1139,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, new Path(dir(toVersion)), token,
       s"$what to v$toVersion on $basePath")
+    noteCommit(toVersion)
   }
 
   /** OPTIMISTIC-CONCURRENCY merge — [[ManifestStore.mergeAtTip]]'s
@@ -1077,20 +1204,26 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * deleteWhere's auto policy), so no shuffle lands on the data. */
   private def maskedScanWithPos(version: Long, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val raw = schema.map(x => spark.read.schema(x).parquet(paths: _*))
+    // the scan asks for PHYSICAL names (what the bytes answer to under
+    // a metadata-only rename) and projects to logical after the mask —
+    // the column-mapping read contract, a zero-cost alias projection
+    val raw = schema.map(x =>
+        spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
     val withPos = raw.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
       col("_metadata.row_index").as("__p"))
-    dvFrame(version).map(d =>
+    val masked0 = dvFrame(version).map(d =>
       withPos.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
       .getOrElse(withPos)
+    schema.map(SnapshotStore.toLogical(masked0, _)).getOrElse(masked0)
   }
 
   private def masked(version: Long, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     if (dvFrame(version).isEmpty)
-      schema.map(x => spark.read.schema(x).parquet(paths: _*))
+      schema.map(x => SnapshotStore.toLogical(
+          spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*), x))
         .getOrElse(spark.read.parquet(paths: _*))
     else maskedScanWithPos(version, paths, schema).drop("__f", "__p")
 
@@ -1121,19 +1254,66 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def history(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    versions().map { v =>
-      val files = fs.listStatus(new Path(dir(v)))
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-          && !f.getPath.getName.startsWith("."))
-      val rows = files.map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-      (v, commitTimestamp(v), files.length.toLong, rows)
-    }.toDF("version", "commit_ts", "n_files", "n_rows")
+    historyEntries().map { case (v, e) => (v, e.commitTs, e.nFiles, e.nRows) }
+      .toDF("version", "commit_ts", "n_files", "n_rows")
   }
+
+  /** One version's checkpoint row REBUILT from its dir — the
+    * self-heal / publish-time unit: commit ts from the sidecar (or
+    * the `_SUCCESS` mtime for pre-sidecar dirs), file/row counts from
+    * one listing + the files' parquet footers (driver-only, no job),
+    * bytes = what the commit ADDED (new basenames vs predecessor). */
+  private def computeHistoryEntry(v: Long): SnapshotStore.HistoryEntry = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(new Path(dir(v)))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+    val rows = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    SnapshotStore.HistoryEntry(commitTimestampRaw(v), files.length.toLong, rows,
+      commitBytesRaw(v))
+  }
+
+  /** The VERSION-LOG CHECKPOINT, served and self-healed: retained
+    * versions ascending with their consolidated stats. Warm path =
+    * ONE `_history.json` read, O(1) file opens regardless of the
+    * version count; entries missing from the checkpoint (crash,
+    * concurrent publisher, external writer, invalidation) rebuild
+    * from the dirs and the checkpoint rewrites. */
+  private def historyEntries(): Seq[(Long, SnapshotStore.HistoryEntry)] = {
+    val vs = versions()
+    val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
+    val live = ckpt.filter { case (v, _) => vs.contains(v) }
+    val missing = vs.filterNot(live.contains)
+    if (missing.isEmpty) vs.map(v => v -> live(v))
+    else {
+      val merged = live ++ missing.map(v => v -> computeHistoryEntry(v))
+      SnapshotStore.writeHistoryCkpt(fs, basePath, merged)
+      vs.map(v => v -> merged(v))
+    }
+  }
+
+  /** Incremental checkpoint maintenance — one entry appended per
+    * publish. Best-effort: the checkpoint is derived, so losing this
+    * write (crash, a concurrent publisher's rewrite racing ours)
+    * self-heals on the next read. */
+  private def noteCommit(v: Long): Unit =
+    try {
+      val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
+      SnapshotStore.writeHistoryCkpt(fs, basePath,
+        ckpt + (v -> computeHistoryEntry(v)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Drop the checkpoint wholesale — used by verbs that change
+    * EXISTING versions' stats (compact swaps a version's files in
+    * place; prune changes which commit counts "whole" for bytes):
+    * the next read rebuilds from truth. */
+  private def invalidateHistoryCkpt(): Unit =
+    try fs.delete(new Path(basePath, "_history.json"), false): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
 
   private def schemaSidecar(version: Long) = new Path(dir(version), "_schema.json")
 
@@ -1195,7 +1375,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * NEW vs the retained predecessor (byte-carried files share their
     * basename — [[mergeDelta]]'s identity contract). Metadata-only;
     * the change feed's byte-based admission control paces on it. */
-  def commitBytes(version: Long): Long = {
+  def commitBytes(version: Long): Long =
+    SnapshotStore.readHistoryCkpt(fs, basePath).get(version).map(_.bytes)
+      .getOrElse(commitBytesRaw(version))
+
+  private def commitBytesRaw(version: Long): Long = {
     val prev = versions().filter(_ < version).lastOption
     val old = prev.map(p => dataFiles(p).map(_.getName).toSet)
       .getOrElse(Set.empty[String])
@@ -1286,6 +1470,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           s"${f.dataType.simpleString}; evolving a column's TYPE needs an explicit rewrite")
     }
     val newFields = delta.schema.fields.filterNot(f => baseNames(f.name))
+    val basePhys = baseSchema.fields.map(SnapshotStore.physicalName).toSet
+    newFields.foreach(f => require(!basePhys(f.name),
+      s"mergeDelta: new column '${f.name}' collides with a stored PHYSICAL " +
+        "column name (a prior RENAME maps it) - old bytes would answer to two " +
+        "logical columns; compact first to fold the mapping"))
     require(fill.keySet.subsetOf(newFields.map(_.name).toSet),
       s"fill keys ${fill.keySet} must be columns this delta introduces " +
         s"(${newFields.map(_.name).toSet})")
@@ -1342,7 +1531,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // (partition-aware arrangement on a partitioned store), untouched
     // bytes copy in beside them, one rename goes live
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-    val newNames = landFlat(arrange(rewritten, numNewFiles), tmp)
+    // mapped stores land new files under PHYSICAL names (name-uniform
+    // with the byte-carried files; a no-op without a mapping)
+    val newNames = landFlat(
+      arrange(SnapshotStore.toPhysical(rewritten, unionSchema), numNewFiles), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
@@ -1448,15 +1640,41 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(!storedPartitionBy().contains(from),
       s"renameColumn '$from': it is a declared partition column — the table's " +
         "physical layout keys on it")
-    val cur = read(fromVersion)
-    require(cur.columns.contains(from), s"renameColumn: no column '$from'")
-    require(!cur.columns.contains(to), s"renameColumn: '$to' already exists")
-    val statsCols = zoneMap(fromVersion).toSeq
-      .flatMap(_.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key")
-        .map(_.drop(4)))
-      .map(c => if (c == from) to else c)
-    writeRangePartitioned(cur.withColumnRenamed(from, to), toVersion, numFiles,
-      statsCols, commitTs)
+    val cur = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    require(cur.fieldNames.contains(from), s"renameColumn: no column '$from'")
+    require(!cur.fieldNames.contains(to), s"renameColumn: '$to' already exists")
+    val otherPhys = cur.fields.filterNot(_.name == from)
+      .map(SnapshotStore.physicalName).toSet
+    require(!otherPhys.contains(to),
+      s"renameColumn: '$to' is a stored PHYSICAL column name (a prior rename maps " +
+        "it) — old bytes would answer to two logical columns; compact first to " +
+        "fold the mapping")
+    val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == from) SnapshotStore.renamedField(f, to) else f))
+    // METADATA-ONLY rename (column mapping): files byte-carry under the
+    // same basename — this layout's carry contract, no parquet decode —
+    // the DV and zone map carry verbatim (their entries describe the
+    // stored, physical columns), and only the `_schema.json` sidecar
+    // changes: the field takes the new LOGICAL name while
+    // `graft.physical` pins the stored one. Folds at the next full
+    // rewrite (compact / plain write), like a DV mask.
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+    dvFrame(fromVersion).foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, "_dv").toString))
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    val out = fs.create(new Path(tmp, "_schema.json"), true)
+    try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
+    casPublish(tmp, toVersion, "renameColumn")
   }
 
   /** Row-level change classification between two versions:
@@ -1579,7 +1797,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
             .drop("__f", "__p") // masked: DV-deleted rows must not resurrect
             .filter(!matches), unionSchema), // fills materialize on rewrite (see mergeDelta)
         numNewFiles)
-    val newNames = landFlat(rewritten, tmp)
+    val newNames = landFlat(SnapshotStore.toPhysical(rewritten, unionSchema), tmp)
     untouchedParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
     }
@@ -1640,7 +1858,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       d.join(del, Seq(keyCol), "left_anti"))
     enforceConstraints(upserts, "mergeDeltaMor")
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-    val newNames = landFlat(arrange(upserts, numNewFiles), tmp)
+    val newNames = landFlat(
+      arrange(SnapshotStore.toPhysical(upserts, unionSchema), numNewFiles), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     allParts.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
@@ -1754,7 +1973,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       val updated = applySet(matched).drop("__f", "__p")
       enforceConstraints(updated, "updateWhere")
       val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-      val newNames = landFlat(arrange(updated, numNewFiles), tmp)
+      val newNames = landFlat(
+        arrange(SnapshotStore.toPhysical(updated, unionSchema), numNewFiles), tmp)
       allParts.foreach { p =>
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
       }
@@ -1779,7 +1999,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .unionByName(touched.filter(!coalesce(pred, lit(false))))
       enforceConstraints(rewritten, "updateWhere")
       val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-      val newNames = landFlat(arrange(rewritten, numNewFiles), tmp)
+      val newNames = landFlat(
+        arrange(SnapshotStore.toPhysical(rewritten, unionSchema), numNewFiles), tmp)
       untouchedParts.foreach { p =>
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
       }
@@ -1835,8 +2056,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         val (touched, untouched) = allParts.partition(p => masked(p.getName))
         val sc = evolvedSchema(fromVersion)
         val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
-        maskedScanWithPos(fromVersion, touched.map(_.toString), sc.orElse(None))
-          .drop("__f", "__p")
+        val folded0 = maskedScanWithPos(fromVersion, touched.map(_.toString),
+            sc.orElse(None)).drop("__f", "__p")
+        sc.map(SnapshotStore.toPhysical(folded0, _)).getOrElse(folded0)
           .repartitionByRange(numNewFiles, col(keyCol)).sortWithinPartitions(keyCol)
           .write.mode("overwrite").parquet(tmp.toString)
         val newN = fs.listStatus(tmp).count(_.getPath.getName.startsWith("part-"))
@@ -2015,9 +2237,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= dataFiles.length) return (dataFiles.length, dataFiles.length)
-    // remember the zone map's stat'd columns so the rebuild keeps them
+    // remember the zone map's stat'd columns so the rebuild keeps
+    // them. The recorded names are PHYSICAL; compact FOLDS any column
+    // mapping (the rewrite materializes logical names), so the
+    // rebuilt map stats under the logical names.
+    val preSc = evolvedSchema(version)
     val zmapStatsCols = zoneMap(version).map(_.columns.toSeq
-      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4)))
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+      .map(p => preSc.flatMap(_.fields.find(f =>
+        SnapshotStore.physicalName(f) == p)).map(_.name).getOrElse(p)))
     val tmp = new Path(s"$basePath/.tmp-compact-v=$version-${java.util.UUID.randomUUID()}")
     read(version).coalesce(nOut).write.parquet(tmp.toString)
     // compaction rewrites the layout, not the version's identity: the
@@ -2040,6 +2268,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       throw new java.io.IOException(s"compact: publish failed: $tmp -> $dest")
     }
     fs.delete(old, true)
+    // compact swapped this version's files in place: its checkpoint
+    // row (and the successor's bytes-added diff) are stale
+    invalidateHistoryCkpt()
     val after = fs.listStatus(dest).count(_.getPath.getName.startsWith("part-"))
     (dataFiles.length, after)
   }
@@ -2098,6 +2329,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val toDrop = vs.dropRight(keepLast).filterNot(held.contains)
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     toDrop.foreach(v => fs.delete(new Path(dir(v)), true))
+    // the first SURVIVING commit now counts "whole" for bytes — its
+    // checkpoint entry is stale; rebuild from truth on next read
+    invalidateHistoryCkpt()
     toDrop
   }
 

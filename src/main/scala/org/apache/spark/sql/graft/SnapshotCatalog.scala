@@ -181,15 +181,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** When `version` carries a deletion vector, the DataFrame-producing
-    * masked read the SQL scan must serve INSTEAD of the raw files —
-    * a ParquetTable over the version's files would resurrect every
-    * masked row. None on unmasked versions (the native path). */
+  /** When `version` carries a deletion vector OR a column-mapped
+    * (metadata-only renamed) schema, the DataFrame-producing store
+    * read the SQL scan must serve INSTEAD of the raw files — a
+    * ParquetTable over the version's files would resurrect masked
+    * rows, and would read NULL for a mapped column (the bytes answer
+    * to the physical name). None otherwise (the native path). */
   private def maskedReadFor(ident: Identifier, linked: Boolean,
       version: Long): Option[() => org.apache.spark.sql.DataFrame] = {
-    val has =
-      if (linked) linkedFor(ident).dvFrame(version).isDefined
-      else storeFor(ident).dvFrame(version).isDefined
+    val (hasDv, evolved) =
+      if (linked) {
+        val st = linkedFor(ident)
+        (st.dvFrame(version).isDefined, st.evolvedSchema(version))
+      } else {
+        val st = storeFor(ident)
+        (st.dvFrame(version).isDefined, st.evolvedSchema(version))
+      }
+    val has = hasDv || evolved.exists(graft.operators.SnapshotStore.hasMapping)
     if (!has) None
     else Some(() =>
       if (linked) linkedFor(ident).read(version)
