@@ -110,8 +110,13 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(!partCols.contains(keyCol),
       s"writePartitioned: '$keyCol' is the store key — key-range pruning already " +
         "covers it; partition on a coarser dimension")
-    val missing = partCols.filterNot(df.columns.contains)
+    val specs = partCols.map(SnapshotStore.parsePartitionSpec)
+    val missing = specs.map(_.source).filterNot(df.columns.contains)
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
+    specs.filter(_.transform.isDefined).map(_.name).filter(df.columns.contains)
+      .foreach(n => throw new IllegalArgumentException(
+        s"writePartitioned: derived partition column name '$n' collides with a " +
+          "data column"))
     ensureStoreMeta()
     SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols,
       canRedeclare = versions().isEmpty)
@@ -166,7 +171,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
     enforceConstraints(data, "replaceWhere")
-    val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val data2 = deriveParts(data)
+    val touched = data2.select(pcs.map(col): _*).distinct().localCheckpoint()
     // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
     // replace the existing null-tuple files like any other value — a
     // plain column-list join never matches nulls, which would KEEP the
@@ -176,7 +182,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         pcs.map(c => pe(c) <=> touched(c)).reduce(_ && _), "left_anti")
       .select("file")
     val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
-    val stats = landWithStats(arrange(data, filesPerPartition),
+    val stats = landWithStats(arrange(data2, filesPerPartition),
       manifestStatsCols(man), evolvedSchema(fromVersion))
     publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
       evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
@@ -240,9 +246,16 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       // lands the _partition.json before this) declares the partition
       // stats columns up front, so the first INSERT's mergeDelta
       // records them (it derives stats from the existing manifest)
-      effectiveStatsCols.flatMap(c => Seq(
-        org.apache.spark.sql.types.StructField(s"min_$c", schema(c).dataType),
-        org.apache.spark.sql.types.StructField(s"max_$c", schema(c).dataType))))
+      effectiveStatsCols.flatMap { c =>
+        // a temporal transform's DERIVED column (ts__day/ts__month) is
+        // not in the declared schema — it lands as a DATE
+        val dt =
+          if (schema.fieldNames.contains(c)) schema(c).dataType
+          else org.apache.spark.sql.types.DateType
+        Seq(
+          org.apache.spark.sql.types.StructField(s"min_$c", dt),
+          org.apache.spark.sql.types.StructField(s"max_$c", dt))
+      })
     publish(version,
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         manSchema),
@@ -282,11 +295,12 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * records min==max for each partition column and partition
     * predicates prune EXACTLY; the pool itself stays flat (relocatable
     * bare names, no directory coupling). */
-  private def landInPool(df: DataFrame): Seq[String] = {
+  private def landInPool(df0: DataFrame): Seq[String] = {
     val tmp = new Path(s"$basePath/.tmp-pool-${java.util.UUID.randomUUID()}")
     val pcs = storedPartitionBy()
-    if (pcs.isEmpty) df.write.mode("overwrite").parquet(tmp.toString)
+    if (pcs.isEmpty) df0.write.mode("overwrite").parquet(tmp.toString)
     else {
+      val df = deriveParts(df0)
       val dup = pcs.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
       dup.write.mode("overwrite")
         .partitionBy(pcs.map("__gp_" + _): _*).parquet(tmp.toString)
@@ -308,10 +322,19 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     names
   }
 
-  /** Declared partition columns ([[SnapshotStore.readStoredPartitionBy]]);
-    * empty on an unpartitioned store. */
-  def storedPartitionBy(): Seq[String] =
+  /** Declared partition COLUMN NAMES — for a temporal transform spec
+    * (`days(ts)` / `months(ts)`) this is the DERIVED identity column
+    * every landing materializes (see [[SnapshotStore.PartSpec]]).
+    * Empty on an unpartitioned store. */
+  def storedPartitionBy(): Seq[String] = storedPartitionSpecs().map(_.name)
+
+  /** The raw PARTITIONED BY declaration as recorded in the sidecar. */
+  def storedPartitionSpecs(): Seq[SnapshotStore.PartSpec] =
     SnapshotStore.readStoredPartitionBy(fs, basePath)
+      .map(SnapshotStore.parsePartitionSpec)
+
+  private def deriveParts(df: DataFrame): DataFrame =
+    SnapshotStore.derivePartitionCols(df, storedPartitionSpecs())
 
   /** Declared CHECK constraints / ADD / DROP / enforcement — the
     * linked twins of [[SnapshotStore]]'s (same `_constraints.json`
@@ -371,8 +394,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       case Seq() =>
         df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol)
       case pcs =>
+        val d = deriveParts(df) // temporal transforms land derived identity cols
         val exprs = pcs.map(col) :+ pmod(hash(col(keyCol)), lit(math.max(numFiles, 1)))
-        df.repartition(exprs: _*)
+        d.repartition(exprs: _*)
           .sortWithinPartitions((pcs :+ keyCol).map(col): _*)
     }
 
@@ -553,10 +577,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
     cols.foreach(requireNoConstraintOn(_, "dropColumns"))
-    cols.filter(storedPartitionBy().contains).foreach(c =>
+    cols.filter(c => storedPartitionBy().contains(c)
+        || storedPartitionSpecs().exists(_.source == c)).foreach(c =>
       throw new UnsupportedOperationException(
-        s"dropColumns '$c': it is a declared partition column — the table's " +
-          "physical layout keys on it"))
+        s"dropColumns '$c': it is a declared partition column (or a transform's " +
+          "source) — the table's physical layout keys on it"))
     // the sidecar verbatim when present, so surviving columns keep
     // their recorded fill metadata through the narrowing
     val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
@@ -594,9 +619,10 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
     requireNoConstraintOn(from, "renameColumn")
-    require(!storedPartitionBy().contains(from),
-      s"renameColumn '$from': it is a declared partition column — the table's " +
-        "physical layout keys on it")
+    require(!storedPartitionBy().contains(from)
+        && !storedPartitionSpecs().exists(_.source == from),
+      s"renameColumn '$from': it is a declared partition column (or a transform's " +
+        "source) — the table's physical layout keys on it")
     val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
     require(cur.fieldNames.contains(from), s"renameColumn: no column '$from'")
     require(!cur.fieldNames.contains(to), s"renameColumn: '$to' already exists")

@@ -1354,6 +1354,65 @@ object Snapshot {
         .orderBy("layout", "o_orderpriority")
     },
 
+    "snap_sql_partition_time" -> { (s, d) =>
+      // TEMPORAL PARTITION TRANSFORMS on BOTH layouts — `PARTITIONED
+      // BY months(o_orderdate)` (Iceberg's hidden partitioning): the
+      // landing derives an identity DATE column (o_orderdate__month)
+      // the one-tuple-per-file machinery clusters and prunes on,
+      // hidden from SELECT * (hidden_col pins it). The PRUNE-BOUND
+      // GATE is part of the hashed result: a one-month read must open
+      // EXACTLY that month-partition's own files (manifest envelope on
+      // linked, zone-map prunedFilesBy on snapshot). The month probed
+      // is fixed (1995-06) — present at every SF. Warm passes skip
+      // the landed DDL.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqltpart_$fp"
+      val cat = s"snaptpart_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .createOrReplaceTempView(s"tpart_src_$fp")
+      for ((t, layout) <- Seq(("tp_snap", "snapshot"), ("tp_linked", "linked"))) {
+        val exists =
+          if (layout == "snapshot")
+            new SnapshotStore(s, s"$base/$t", "o_orderkey").versions().nonEmpty
+          else new ManifestStore(s, s"$base/$t", "o_orderkey").versions().nonEmpty
+        if (!exists) s.sql(
+          s"""CREATE TABLE $cat.$t
+             |PARTITIONED BY (months(o_orderdate))
+             |TBLPROPERTIES('key'='o_orderkey', 'layout'='$layout')
+             |AS SELECT * FROM tpart_src_$fp""".stripMargin)
+      }
+      val m = java.sql.Date.valueOf("1995-06-01")
+      Seq(("tp_snap", "snapshot"), ("tp_linked", "linked")).map { case (t, l) =>
+        val (opened, partFiles) =
+          if (l == "linked") {
+            val lk = new ManifestStore(s, s"$base/$t", "o_orderkey")
+            val tip = lk.versions().max
+            (lk.manifest(tip).filter(col("max_o_orderdate__month") >= m &&
+                col("min_o_orderdate__month") <= m).count(),
+              lk.manifest(tip).filter(col("min_o_orderdate__month") === m).count())
+          } else {
+            val sn = new SnapshotStore(s, s"$base/$t", "o_orderkey")
+            val tip = sn.versions().max
+            (sn.prunedFilesBy(tip, "o_orderdate__month", m, m).get.size.toLong,
+              sn.partitions(tip).filter(col("o_orderdate__month") === m)
+                .head().getLong(1))
+          }
+        val hidden = !s.sql(s"SELECT * FROM $cat.$t").columns
+          .contains("o_orderdate__month")
+        s.sql(s"SELECT * FROM $cat.$t")
+          .filter(col("o_orderdate") >= lit("1995-06-01") &&
+            col("o_orderdate") <= lit("1995-06-30"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("layout", lit(l))
+          .withColumn("prune_exact", lit(opened == partFiles))
+          .withColumn("hidden_col", lit(hidden))
+      }.reduce(_ unionByName _).orderBy("layout")
+    },
+
     "snap_sql_stats" -> { (s, d) =>
       // ANALYZE TABLE through the catalog on BOTH layouts: `CALL
       // analyze(tbl, exact_ndv)` computes per-column statistics (rows,
@@ -2823,6 +2882,15 @@ object Snapshot {
         |  TRUE AS zero_write
         |FROM orders WHERE o_orderpriority <> '3-MEDIUM'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "snap_sql_partition_time" ->
+      """SELECT COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  l.layout, TRUE AS prune_exact, TRUE AS hidden_col
+        |FROM orders CROSS JOIN (VALUES ('snapshot'), ('linked')) AS l(layout)
+        |WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate <= DATE '1995-06-30'
+        |GROUP BY l.layout ORDER BY l.layout""".stripMargin,
 
     "snap_partition_prune" ->
       """WITH u AS (SELECT COUNT(*) AS n,

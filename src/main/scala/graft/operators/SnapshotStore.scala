@@ -122,6 +122,50 @@ object SnapshotStore {
     f.copy(name = to, metadata = md)
   }
 
+  // ---- TEMPORAL PARTITION TRANSFORMS ----
+  // `PARTITIONED BY days(ts)` / `months(ts)` — Iceberg's hidden
+  // partitioning re-expressed on this layout's one-tuple-per-file
+  // invariant: the sidecar records the TRANSFORM spec, every landing
+  // derives an identity column (`ts__day` / `ts__month`, a DATE) the
+  // existing machinery clusters, stats, prunes and drops on; the SQL
+  // catalog hides the derived column from SELECT *.
+
+  /** One PARTITIONED BY entry: `raw` as recorded in `_partition.json`,
+    * the `source` data column, the landed identity column `name`, and
+    * the transform kind (None = plain identity column). */
+  case class PartSpec(raw: String, source: String, name: String,
+      transform: Option[String])
+
+  private val TransformRe = "^(days|months)\\(([^()]+)\\)$".r
+
+  def parsePartitionSpec(raw: String): PartSpec = raw.trim match {
+    case TransformRe(kind, c) =>
+      val suffix = if (kind == "days") "__day" else "__month"
+      PartSpec(raw.trim, c.trim, c.trim + suffix, Some(kind))
+    case plain => PartSpec(plain, plain, plain, None)
+  }
+
+  /** The derived identity value for a transform spec — a DATE (day,
+    * or first-of-month), exact under min==max per-file stats. */
+  def deriveColumn(sp: PartSpec): org.apache.spark.sql.Column = sp.transform match {
+    case Some("days") => org.apache.spark.sql.functions.to_date(
+      org.apache.spark.sql.functions.col(sp.source))
+    case Some("months") => org.apache.spark.sql.functions.trunc(
+      org.apache.spark.sql.functions.col(sp.source), "month")
+    case other => throw new IllegalArgumentException(s"not a transform: $other")
+  }
+
+  /** Materialize every derived partition column on a landing frame.
+    * ALWAYS recomputed from the source (a pure function of it):
+    * schema-alignment steps may have introduced the column as null,
+    * and a stale or null derived value landing would silently break
+    * the one-tuple-per-file pruning contract. No-op for identity
+    * specs. */
+  def derivePartitionCols(df: org.apache.spark.sql.DataFrame,
+      specs: Seq[PartSpec]): org.apache.spark.sql.DataFrame =
+    specs.filter(_.transform.isDefined).foldLeft(df)((d, sp) =>
+      d.withColumn(sp.name, deriveColumn(sp)))
+
   // ---- VERSION-LOG CHECKPOINT ----
   // One consolidated `_history.json` sidecar at the store base holding
   // (version, commit_ts, n_files, n_rows, bytes_added) per retained
@@ -797,10 +841,20 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def readKeyRange(version: Long, lo: Any, hi: Any): DataFrame =
     readWhere(version, keyCol, lo, hi)
 
-  /** Declared partition columns ([[SnapshotStore.readStoredPartitionBy]]);
-    * empty on an unpartitioned store. */
-  def storedPartitionBy(): Seq[String] =
+  /** Declared partition COLUMN NAMES — for a temporal transform spec
+    * (`days(ts)` / `months(ts)`) this is the DERIVED identity column
+    * (`ts__day` / `ts__month`) every landing materializes and all
+    * pruning/drop machinery keys on. Empty on an unpartitioned store. */
+  def storedPartitionBy(): Seq[String] = storedPartitionSpecs().map(_.name)
+
+  /** The raw PARTITIONED BY declaration as recorded in the sidecar
+    * (identity names and transform specs). */
+  def storedPartitionSpecs(): Seq[SnapshotStore.PartSpec] =
     SnapshotStore.readStoredPartitionBy(fs, basePath)
+      .map(SnapshotStore.parsePartitionSpec)
+
+  private def deriveParts(df: DataFrame): DataFrame =
+    SnapshotStore.derivePartitionCols(df, storedPartitionSpecs())
 
   /** Declared CHECK constraints ([[SnapshotStore.readConstraints]]). */
   def constraints(): Seq[(String, String)] =
@@ -869,8 +923,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       case Seq() =>
         df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol)
       case pcs =>
+        val d = deriveParts(df) // temporal transforms land derived identity cols
         val exprs = pcs.map(col) :+ pmod(hash(col(keyCol)), lit(math.max(numFiles, 1)))
-        df.repartition(exprs: _*)
+        d.repartition(exprs: _*)
           .sortWithinPartitions((pcs :+ keyCol).map(col): _*)
     }
 
@@ -880,12 +935,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * originals stay in the data — files remain self-contained) and the
     * leaves move flat under fresh `part-…` names, so the version dir
     * keeps the layout every reader/lister of this store assumes. */
-  private def landFlat(df: DataFrame, tmp: Path): Set[String] = {
+  private def landFlat(df0: DataFrame, tmp: Path): Set[String] = {
     val pcs = storedPartitionBy()
     if (pcs.isEmpty) {
-      df.write.mode("overwrite").parquet(tmp.toString)
+      df0.write.mode("overwrite").parquet(tmp.toString)
       fs.listStatus(tmp).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
     } else {
+      val df = deriveParts(df0)
       val stage = new Path(s"$basePath/.tmp-stage-${java.util.UUID.randomUUID()}")
       val dup = pcs.foldLeft(df)((d, c) => d.withColumn(s"__gp_$c", col(c)))
       dup.write.mode("overwrite")
@@ -938,8 +994,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(!partCols.contains(keyCol),
       s"writePartitioned: '$keyCol' is the store key — zone-map key envelopes " +
         "already prune it; partition on a coarser dimension")
-    val missing = partCols.filterNot(df.columns.contains)
+    val specs = partCols.map(SnapshotStore.parsePartitionSpec)
+    val missing = specs.map(_.source).filterNot(df.columns.contains)
     require(missing.isEmpty, s"writePartitioned: not in the frame: ${missing.mkString(", ")}")
+    specs.filter(_.transform.isDefined).map(_.name).filter(df.columns.contains)
+      .foreach(n => throw new IllegalArgumentException(
+        s"writePartitioned: derived partition column name '$n' collides with a " +
+          "data column"))
     ensureStoreMeta()
     SnapshotStore.writeStoredPartitionBy(fs, basePath, partCols,
       canRedeclare = versions().isEmpty)
@@ -949,7 +1010,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(names.nonEmpty, "writePartitioned: empty input frame")
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     zmNewStats(names.toSeq.sorted.map(n => new Path(tmp, n).toString),
-        (statsCols ++ partCols).distinct.filterNot(_ == keyCol))
+        (statsCols ++ specs.map(_.name)).distinct.filterNot(_ == keyCol))
       .foreach(stageZoneMap(tmp, version, _))
     casPublish(tmp, version, "writePartitioned")
   }
@@ -996,7 +1057,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     requireFreeVersion(toVersion)
     enforceConstraints(data, "replaceWhere")
     val zm = zm0.localCheckpoint()
-    val touched = data.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val data2 = deriveParts(data)
+    val touched = data2.select(pcs.map(col): _*).distinct().localCheckpoint()
     // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
     // replace the existing null-tuple files like any other value — a
     // plain column-list join never matches nulls, which would KEEP the
@@ -1010,7 +1072,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(_.getName.startsWith("part-")).toSeq
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
     val newNames = landFlat(arrange(evolvedSchema(fromVersion)
-      .map(SnapshotStore.toPhysical(data, _)).getOrElse(data), filesPerPartition), tmp)
+      .map(SnapshotStore.toPhysical(data2, _)).getOrElse(data2), filesPerPartition), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val carriedParts = allParts.filter(p => sharedNames(p.getName))
     carriedParts.foreach { p =>
@@ -1581,10 +1643,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(!cols.contains(keyCol),
       s"dropColumns: '$keyCol' is the store's key column — its identity, not droppable")
     cols.foreach(requireNoConstraintOn(_, "dropColumns"))
-    cols.filter(storedPartitionBy().contains).foreach(c =>
+    cols.filter(c => storedPartitionBy().contains(c)
+        || storedPartitionSpecs().exists(_.source == c)).foreach(c =>
       throw new UnsupportedOperationException(
-        s"dropColumns '$c': it is a declared partition column — the table's " +
-          "physical layout keys on it"))
+        s"dropColumns '$c': it is a declared partition column (or a transform's " +
+          "source) — the table's physical layout keys on it"))
     val cur = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     val missing = cols.filterNot(cur.fieldNames.contains)
@@ -1637,9 +1700,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       s"renameColumn: '$keyCol' is the store's recorded key column — renaming the " +
         "identity is a store-level migration, not schema evolution")
     requireNoConstraintOn(from, "renameColumn")
-    require(!storedPartitionBy().contains(from),
-      s"renameColumn '$from': it is a declared partition column — the table's " +
-        "physical layout keys on it")
+    require(!storedPartitionBy().contains(from)
+        && !storedPartitionSpecs().exists(_.source == from),
+      s"renameColumn '$from': it is a declared partition column (or a transform's " +
+        "source) — the table's physical layout keys on it")
     val cur = evolvedSchema(fromVersion)
       .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
     require(cur.fieldNames.contains(from), s"renameColumn: no column '$from'")

@@ -153,7 +153,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // existence defaults — old pool files then yield the FILL for
     // columns they predate, null absent a policy), else mergeSchema
     // infers across footers.
-    val (paths, evolved) =
+    val (paths, evolved0) =
       if (linked) {
         val st = linkedFor(ident)
         val pool = poolDirOf(base)
@@ -162,6 +162,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           st.evolvedSchema(version).map(projectFills))
       } else
         (Seq(s"$base/v=$version"), storeFor(ident).evolvedSchema(version).map(projectFills))
+    // temporal partition transforms land a DERIVED identity column in
+    // the files — HIDDEN from SQL (SELECT * serves the declared
+    // columns only; Iceberg's hidden-partitioning UX). Identity
+    // partition columns stay visible as ordinary data columns.
+    val hiddenCols = {
+      val fsH = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.SnapshotStore.readStoredPartitionBy(fsH, base)
+        .map(graft.operators.SnapshotStore.parsePartitionSpec)
+        .filter(_.transform.isDefined).map(_.name).toSet
+    }
+    def hide(sc: StructType): StructType =
+      StructType(sc.fields.filterNot(f => hiddenCols.contains(f.name)))
+    val evolved =
+      if (hiddenCols.isEmpty) evolved0
+      else evolved0.map(hide).orElse(
+        if (paths.isEmpty) None
+        else Some(hide(spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*).schema)))
     // a linked version whose manifest lists ZERO pool files (an
     // all-row deleteWhere / mergeDelta) plans an EMPTY scan over the
     // recorded schema — absent that record there is nothing to infer
@@ -1087,16 +1106,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         schema.fieldNames.mkString("(", ", ", ")"))
     val base = storePath(ident)
     if (partitions.nonEmpty) {
+      // identity columns, plus the TEMPORAL transforms days(c) /
+      // months(c) — recorded as transform specs; every landing derives
+      // the identity column (`c__day`/`c__month`) the store's
+      // one-tuple-per-file machinery clusters, prunes and drops on,
+      // and SELECT * hides it (Iceberg's hidden partitioning)
       val pcs = partitions.toSeq.map { t =>
-        val ok = t.name == "identity" && t.references.length == 1 &&
+        val singleRef = t.references.length == 1 &&
           t.references.head.fieldNames.length == 1
-        if (!ok) throw new UnsupportedOperationException(
-          s"CREATE TABLE ... PARTITIONED BY: only identity column transforms are " +
-            s"supported (got '$t') — the stores key-cluster inside each partition " +
-            "already, so bucket/temporal transforms add nothing")
-        t.references.head.fieldNames.head
+        if (!singleRef) throw new UnsupportedOperationException(
+          s"CREATE TABLE ... PARTITIONED BY: unsupported transform '$t'")
+        val ref = t.references.head.fieldNames.head
+        t.name match {
+          case "identity" => ref
+          case "days" | "months" => s"${t.name}($ref)"
+          case other => throw new UnsupportedOperationException(
+            s"CREATE TABLE ... PARTITIONED BY: transform '$other' is not " +
+              "supported (identity, days, months are) — the stores key-cluster " +
+              "inside each partition already, so bucketing adds nothing")
+        }
       }
-      val missing = pcs.filterNot(schema.fieldNames.contains)
+      val specs = pcs.map(graft.operators.SnapshotStore.parsePartitionSpec)
+      val missing = specs.map(_.source).filterNot(schema.fieldNames.contains)
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"CREATE TABLE: partition column(s) not in the schema: ${missing.mkString(", ")}")
       if (pcs.contains(key)) throw new IllegalArgumentException(

@@ -578,11 +578,13 @@ class SnapshotCatalogSpec extends SparkSpec {
       assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSet ==
         Set(30L), s"$layout: static overwrite is a full replacement")
     }
-    // only identity transforms translate to the stores' layout
+    // identity + temporal transforms translate to the stores' layout
+    // (days/months land derived identity columns — TemporalPartitionSpec
+    // covers them); bucketing stays refused (key-clustering covers it)
     val e = intercept[Exception](spark.sql(
       "CREATE TABLE snapcat.part_bad (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='k')"))
-    assert(e.getMessage.contains("identity"), e.getMessage)
+        "PARTITIONED BY (bucket(4, ts)) TBLPROPERTIES('key'='k')"))
+    assert(e.getMessage.contains("bucket"), e.getMessage)
   }
 
   test("CALL analyze persists column stats; <store>.stats serves them; unanalyzed has no table") {
