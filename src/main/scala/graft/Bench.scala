@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * noop sink, not count(): count() lets Catalyst prune every
   * non-grouping column, which would skip computing the actual output
   * (fingerprints, scores) and overstate the engine.
+  *
+  * HEAP: run with `sbt -J-Xmx48g "runMain graft.Bench"`. The ~300
+  * plans × (codegen cache + checkpoint blocks + broadcast state) sit
+  * at the default sbt heap's margin — a default-heap run has OOMed
+  * mid-timed-pass before (r13); 48g is the recorded safe floor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

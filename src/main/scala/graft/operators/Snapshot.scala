@@ -2079,9 +2079,30 @@ object Snapshot {
         val (ups, dels) = applyChanges(changes, "o_orderkey")
         dst.mergeDelta(1L, 2L, ups, dels): Unit
       }
-      val (a, b) = (src.read(3L), dst.read(2L))
-      val syncOk = a.exceptAll(b).limit(1).count() == 0 &&
-        b.exceptAll(a).limit(1).count() == 0
+      // equality gate, SCALE-CAPPED (the md5-order-cap device): the
+      // former both-directions EXCEPT over the whole replica dominated
+      // the entry at sf10 (7.4×/decade for a GATE, not the apply
+      // path). Now: (1) count equality from METADATA — manifest row
+      // sums minus DV masks, zero data scans; (2) full-content EXCEPT
+      // on a deterministic 2000-key sample served through readForKeys
+      // (manifest-envelope + Bloom pruned — the keyed-restore path,
+      // not a table scan). A diverging replica fails the count
+      // instantly; a value-corrupting one is caught by the sampled
+      // rows (deterministic keys: both engines and every rerun probe
+      // the same ones).
+      def logicalCount(st: ManifestStore, v: Long): Long = {
+        val phys = st.manifest(v).agg(coalesce(sum("n_rows"), lit(0L)))
+          .head().getLong(0)
+        phys - st.dvFrame(v).map(_.count()).getOrElse(0L)
+      }
+      val sampleKeys = src.read(3L).select("o_orderkey")
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        .limit(2000).localCheckpoint()
+      val aS = src.readForKeys(3L, sampleKeys)
+      val bS = dst.readForKeys(2L, sampleKeys)
+      val syncOk = logicalCount(src, 3L) == logicalCount(dst, 2L) &&
+        aS.exceptAll(bS).limit(1).count() == 0 &&
+        bS.exceptAll(aS).limit(1).count() == 0
       dst.read(2L)
         .groupBy((col("o_orderkey") % 100).as("bucket"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
