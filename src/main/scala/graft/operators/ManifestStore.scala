@@ -247,11 +247,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       // stats columns up front, so the first INSERT's mergeDelta
       // records them (it derives stats from the existing manifest)
       effectiveStatsCols.flatMap { c =>
-        // a temporal transform's DERIVED column (ts__day/ts__month) is
-        // not in the declared schema — it lands as a DATE
+        // a temporal transform's DERIVED column is not in the declared
+        // schema — days/months/years land as DATE, hours as TIMESTAMP
         val dt =
           if (schema.fieldNames.contains(c)) schema(c).dataType
-          else org.apache.spark.sql.types.DateType
+          else storedPartitionSpecs().find(_.name == c).map(_.transform match {
+            case Some("hours") => org.apache.spark.sql.types.TimestampType: org.apache.spark.sql.types.DataType
+            case _ => org.apache.spark.sql.types.DateType: org.apache.spark.sql.types.DataType
+          }).getOrElse(org.apache.spark.sql.types.DateType)
         Seq(
           org.apache.spark.sql.types.StructField(s"min_$c", dt),
           org.apache.spark.sql.types.StructField(s"max_$c", dt))

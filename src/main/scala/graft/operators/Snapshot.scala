@@ -2487,7 +2487,7 @@ object Snapshot {
         |    'insert' AS change_type
         |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
         |del AS (
-        |  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |  SELECT o_orderkey, o_totalprice,
         |    'delete' AS change_type
         |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
         |SELECT c.o_orderkey, c.o_totalprice, c.change_type,

@@ -136,22 +136,32 @@ object SnapshotStore {
   case class PartSpec(raw: String, source: String, name: String,
       transform: Option[String])
 
-  private val TransformRe = "^(days|months)\\(([^()]+)\\)$".r
+  private val TransformRe = "^(days|months|years|hours)\\(([^()]+)\\)$".r
 
   def parsePartitionSpec(raw: String): PartSpec = raw.trim match {
     case TransformRe(kind, c) =>
-      val suffix = if (kind == "days") "__day" else "__month"
+      val suffix = kind match {
+        case "days" => "__day"
+        case "months" => "__month"
+        case "years" => "__year"
+        case _ => "__hour"
+      }
       PartSpec(raw.trim, c.trim, c.trim + suffix, Some(kind))
     case plain => PartSpec(plain, plain, plain, None)
   }
 
-  /** The derived identity value for a transform spec — a DATE (day,
-    * or first-of-month), exact under min==max per-file stats. */
+  /** The derived identity value for a transform spec — a DATE (day /
+    * first-of-month / first-of-year) or hour-truncated TIMESTAMP,
+    * exact under min==max per-file stats. */
   def deriveColumn(sp: PartSpec): org.apache.spark.sql.Column = sp.transform match {
     case Some("days") => org.apache.spark.sql.functions.to_date(
       org.apache.spark.sql.functions.col(sp.source))
     case Some("months") => org.apache.spark.sql.functions.trunc(
       org.apache.spark.sql.functions.col(sp.source), "month")
+    case Some("years") => org.apache.spark.sql.functions.trunc(
+      org.apache.spark.sql.functions.col(sp.source), "year")
+    case Some("hours") => org.apache.spark.sql.functions.date_trunc("hour",
+      org.apache.spark.sql.functions.col(sp.source))
     case other => throw new IllegalArgumentException(s"not a transform: $other")
   }
 
@@ -2229,9 +2239,17 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val updKeys = d.filter(col("change_type") === "update").select(keyCol)
     val pre = read(fromVersion).join(updKeys, Seq(keyCol), "left_semi")
       .withColumn("change_type", lit("update_preimage"))
-    d.withColumn("change_type",
+    // Delta's CDF delete rows carry the DELETED row's values (the
+    // pre-image) — this layout's plain diff emits key-only deletes,
+    // so the old rows re-read keys-bounded from the from-side
+    val delKeys = d.filter(col("change_type") === "delete").select(keyCol)
+    val delRows = read(fromVersion).join(delKeys, Seq(keyCol), "left_semi")
+      .withColumn("change_type", lit("delete"))
+    d.filter(col("change_type") =!= "delete")
+      .withColumn("change_type",
         when(col("change_type") === "update", lit("update_postimage"))
           .otherwise(col("change_type")))
+      .unionByName(delRows, allowMissingColumns = true)
       .unionByName(pre, allowMissingColumns = true)
   }
 

@@ -31,7 +31,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * columns carry the NEW row state for `insert`/`update`; a `delete`
   * row carries the key only (non-key columns null — the pre-image is
   * one time-travel read away, and materializing it would force the
-  * snapshot layout to fingerprint-join full old versions twice).
+  * snapshot layout to fingerprint-join full old versions twice). The
+  * CDF-shaped sibling `.changes_cdf` is the full Delta contract:
+  * updates arrive as `update_preimage`/`update_postimage` pairs and
+  * delete rows DO carry the deleted row's values.
   * `_commit_version` attributes every row to the commit that produced
   * it, so a multi-commit batch is the exact union of its per-commit
   * steps — granularity never changes content (a coarse `diff(1,3)`
@@ -143,7 +146,7 @@ private[graft] object ChangeFeed {
           val step =
             if (preImages) h.fold(_.diffCdf(a, b), _.diffCdf(a, b))
             else h.fold(_.diff(a, b), _.diff(a, b))
-          align(step, keyCol, target, b)
+          align(step, keyCol, target, b, nullDeletes = !preImages)
         case None =>
           // no retained predecessor. For the stream bootstrap (and the
           // store's genuine first commit, which never HAD one) the full
@@ -174,9 +177,12 @@ private[graft] object ChangeFeed {
     * old values there, the snapshot diff carries nulls), commit
     * version stamped. */
   private def align(diff: DataFrame, keyCol: String, target: StructType,
-      commitVersion: Long): DataFrame = {
+      commitVersion: Long, nullDeletes: Boolean = true): DataFrame = {
     val have = diff.columns.toSet
-    val isDel = col("change_type") === "delete"
+    // CDF mode carries the deleted row's values (Delta's delete rows
+    // hold the pre-image — both layouts' diffCdf supply them); the
+    // plain feed keeps the key-only cross-layout contract
+    val isDel = col("change_type") === "delete" && lit(nullDeletes)
     val cols: Seq[Column] = target.fields.toIndexedSeq.map { f =>
       f.name match {
         case "_commit_version" => lit(commitVersion).cast(LongType).as(f.name)

@@ -1119,11 +1119,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         val ref = t.references.head.fieldNames.head
         t.name match {
           case "identity" => ref
-          case "days" | "months" => s"${t.name}($ref)"
+          case "days" | "months" | "years" | "hours" => s"${t.name}($ref)"
           case other => throw new UnsupportedOperationException(
             s"CREATE TABLE ... PARTITIONED BY: transform '$other' is not " +
-              "supported (identity, days, months are) — the stores key-cluster " +
-              "inside each partition already, so bucketing adds nothing")
+              "supported (identity, days, months, years, hours are) — the " +
+              "stores key-cluster inside each partition already, so bucketing " +
+              "adds nothing")
         }
       }
       val specs = pcs.map(graft.operators.SnapshotStore.parsePartitionSpec)

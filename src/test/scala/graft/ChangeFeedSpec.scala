@@ -394,7 +394,9 @@ class ChangeFeedSpec extends SparkSpec {
         Set((2L, "b", "update_preimage"), (2L, "b2", "update_postimage")),
         s"$name cdf: $pairs")
       assert(pairs.filter(_._1 == 4L) == Set((4L, "d", "insert")), s"$name cdf insert")
-      assert(!pairs.exists(t => t._1 == 3L && t._3 != "delete"), s"$name cdf delete")
+      // Delta's CDF contract: the delete row carries the DELETED
+      // row's values (the plain feed serves key-only deletes)
+      assert(pairs.filter(_._1 == 3L) == Set((3L, "c", "delete")), s"$name cdf delete")
     }
   }
 
@@ -432,12 +434,17 @@ class ChangeFeedSpec extends SparkSpec {
       ((1L to 50L).filter(_ % 4 == 0).map(i => (i, i * 1.0 + 7)) ++
         (51L to 60L).map(i => (i, i * 1.0))).toDF("k", "x"),
       commitTs = Some(3000L)): Unit
-    val feed = spark.sql("SELECT * FROM cfcat.cfm_sum.changes_cdf VERSION AS OF '2..3'")
+    // a delete commit too: CDF delete rows carry the deleted VALUES,
+    // so the incremental sum subtracts them without any extra read
+    st.mergeDelta(3L, 4L, Seq((61L, 61.0)).toDF("k", "x"),
+      Some(Seq(10L, 20L).toDF("k")), commitTs = Some(4000L)): Unit
+    val feed = spark.sql("SELECT * FROM cfcat.cfm_sum.changes_cdf VERSION AS OF '2..4'")
       .select("x", "change_type").collect()
     def sumOf(ct: String) = feed.filter(_.getString(1) == ct).map(_.getDouble(0)).sum
     val maintained = v1.agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0) +
-      sumOf("insert") + sumOf("update_postimage") - sumOf("update_preimage")
-    val recomputed = st.read(3L)
+      sumOf("insert") + sumOf("update_postimage") - sumOf("update_preimage") -
+      sumOf("delete")
+    val recomputed = st.read(4L)
       .agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0)
     assert(math.abs(maintained - recomputed) < 1e-6,
       s"maintained $maintained != recomputed $recomputed")
