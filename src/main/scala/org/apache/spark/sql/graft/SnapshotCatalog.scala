@@ -206,6 +206,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * ParquetTable over the version's files would resurrect masked
     * rows, and would read NULL for a mapped column (the bytes answer
     * to the physical name). None otherwise (the native path). */
+  private def temporalSpecs(base: String): Seq[graft.operators.SnapshotStore.PartSpec] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredPartitionBy(fs, base)
+      .map(graft.operators.SnapshotStore.parsePartitionSpec)
+      .filter(_.transform.isDefined)
+  }
+
   private def maskedReadFor(ident: Identifier, linked: Boolean,
       version: Long): Option[() => org.apache.spark.sql.DataFrame] = {
     val (hasDv, evolved) =
@@ -216,11 +224,89 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         val st = storeFor(ident)
         (st.dvFrame(version).isDefined, st.evolvedSchema(version))
       }
-    val has = hasDv || evolved.exists(graft.operators.SnapshotStore.hasMapping)
+    // temporal-partitioned tables also serve through the store read:
+    // the V1 relation pushes timestamp predicates into the inner
+    // parquet scan (the V2 parquet path cannot translate TIMESTAMP_NTZ
+    // predicates at all), hides the derived column, and gains the
+    // derived-range FILE pruning below
+    val temporal = temporalSpecs(storePath(ident))
+    val has = hasDv || evolved.exists(graft.operators.SnapshotStore.hasMapping) ||
+      temporal.nonEmpty
     if (!has) None
-    else Some(() =>
-      if (linked) linkedFor(ident).read(version)
-      else storeFor(ident).read(version))
+    else Some { () =>
+      val df = if (linked) linkedFor(ident).read(version)
+        else storeFor(ident).read(version)
+      temporal.map(_.name).foldLeft(df)(_.drop(_))
+    }
+  }
+
+  /** Transform-aware FILE pruning for a temporal-partitioned table:
+    * range/equality filters on a transform's SOURCE column translate
+    * to a derived-column range (truncation is monotone, so the
+    * derived bound is a conservative superset), served through the
+    * stores' own readWhereAll — manifest-envelope / zone-map pruned,
+    * the metadata prune the exact filters then re-apply on top of.
+    * None when no pushed filter bounds a source column. */
+  private def temporalPrunedReadFor(ident: Identifier, linked: Boolean,
+      version: Long): Option[Array[org.apache.spark.sql.sources.Filter] =>
+        Option[org.apache.spark.sql.DataFrame]] = {
+    val specs = temporalSpecs(storePath(ident))
+    if (specs.isEmpty) return None
+    Some { filters =>
+      import org.apache.spark.sql.sources._
+      def truncOf(v: Any, kind: String): Option[Any] = {
+        val ldt: java.time.LocalDateTime = v match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case d: java.sql.Date => d.toLocalDate.atStartOfDay
+          case i: java.time.Instant =>
+            java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+          case l: java.time.LocalDateTime => l
+          case l: java.time.LocalDate => l.atStartOfDay
+          case _ => return None
+        }
+        Some(kind match {
+          case "days" => java.sql.Date.valueOf(ldt.toLocalDate)
+          case "months" => java.sql.Date.valueOf(ldt.toLocalDate.withDayOfMonth(1))
+          case "years" => java.sql.Date.valueOf(ldt.toLocalDate.withDayOfYear(1))
+          case _ => java.sql.Timestamp.valueOf(
+            ldt.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
+        })
+      }
+      val preds = specs.flatMap { sp =>
+        var lo: Option[Any] = None
+        var hi: Option[Any] = None
+        filters.foreach {
+          case EqualTo(c, v) if c == sp.source => lo = Some(v); hi = Some(v)
+          case GreaterThan(c, v) if c == sp.source => lo = Some(v)
+          case GreaterThanOrEqual(c, v) if c == sp.source => lo = Some(v)
+          case LessThan(c, v) if c == sp.source => hi = Some(v)
+          case LessThanOrEqual(c, v) if c == sp.source => hi = Some(v)
+          case _ => ()
+        }
+        if (lo.isEmpty && hi.isEmpty) None
+        else {
+          val kind = sp.transform.get
+          val (fallLo, fallHi) =
+            if (kind == "hours")
+              (java.sql.Timestamp.valueOf("0001-01-01 00:00:00"): Any,
+                java.sql.Timestamp.valueOf("9999-12-31 23:00:00"): Any)
+            else (java.sql.Date.valueOf("0001-01-01"): Any,
+              java.sql.Date.valueOf("9999-12-31"): Any)
+          val dlo = lo.flatMap(truncOf(_, kind))
+          val dhi = hi.flatMap(truncOf(_, kind))
+          // a bound whose VALUE shape we cannot truncate disables the
+          // prune for this spec (never prune on guesswork)
+          if ((lo.isDefined && dlo.isEmpty) || (hi.isDefined && dhi.isEmpty)) None
+          else Some((sp.name, dlo.getOrElse(fallLo), dhi.getOrElse(fallHi)))
+        }
+      }
+      if (preds.isEmpty) None
+      else {
+        val df = if (linked) linkedFor(ident).readWhereAll(version, preds)
+          else storeFor(ident).readWhereAll(version, preds)
+        Some(specs.map(_.name).foldLeft(df)(_.drop(_)))
+      }
+    }
   }
 
   /** Version-pinned table: native parquet when unmasked; the
@@ -231,7 +317,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case None => tableFor(ident, linked, v)
       case some => new SnapshotTable(
         tableFor(ident, linked, v).asInstanceOf[ParquetTable],
-        None, None, None, maskedRead = some)
+        None, None, None, maskedRead = some,
+        prunedRead = temporalPrunedReadFor(ident, linked, v))
     }
 
   /** One metadata resolution per loadTable: layout sniff + version
@@ -472,7 +559,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 .replaceWhere(tip, tip + 1, data): Unit
           }
         })),
-      maskedRead = maskedReadFor(ident, linked, tip))
+      maskedRead = maskedReadFor(ident, linked, tip),
+      prunedRead = temporalPrunedReadFor(ident, linked, tip))
   }
 
   /** `VERSION AS OF <v>`; on the `.changes` table, `VERSION AS OF
@@ -1432,7 +1520,9 @@ private[graft] object FilterToColumn {
   * (safe double-application). */
 private[graft] class MaskedStoreScanBuilder(tableName: String,
     read: () => org.apache.spark.sql.DataFrame,
-    mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream])
+    mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream],
+    prunedRead: Option[Array[org.apache.spark.sql.sources.Filter] =>
+      Option[org.apache.spark.sql.DataFrame]] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder {
   import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
   override def build(): org.apache.spark.sql.connector.read.Scan =
@@ -1449,7 +1539,11 @@ private[graft] class MaskedStoreScanBuilder(tableName: String,
             df0.rdd
           override def buildScan(requiredColumns: Array[String],
               filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-            val filtered = filters.foldLeft(df0)((d, f) =>
+            // a temporal-partitioned table translates source-column
+            // range filters into DERIVED-column file pruning (the
+            // metadata prune) before the exact filters re-apply
+            val base = prunedRead.flatMap(_(filters)).getOrElse(df0)
+            val filtered = filters.foldLeft(base)((d, f) =>
               FilterToColumn(f).map(d.filter).getOrElse(d))
             (if (requiredColumns.isEmpty) filtered
              else filtered.select(requiredColumns.toIndexedSeq
@@ -1470,7 +1564,9 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     streamInfo: Option[StreamInfo],
     onDelete: Option[org.apache.spark.sql.Column => Unit],
     val onMerge: Option[StoreMergeHook] = None,
-    maskedRead: Option[() => org.apache.spark.sql.DataFrame] = None)
+    maskedRead: Option[() => org.apache.spark.sql.DataFrame] = None,
+    prunedRead: Option[Array[org.apache.spark.sql.sources.Filter] =>
+      Option[org.apache.spark.sql.DataFrame]] = None)
     extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.sources._
@@ -1515,7 +1611,8 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     // Streaming is unaffected (the change feed reads via the store).
     maskedRead.foreach { read =>
       return new MaskedStoreScanBuilder(delegate.name, read,
-        streamInfo.map(info => (loc: String) =>
+        prunedRead = prunedRead,
+        mkStream = streamInfo.map(info => (loc: String) =>
           new ChangesMicroBatchStream(SparkSession.active, info.base,
             info.linked, info.key(), delegate.schema, rowsOnly = true,
             ignoreDeletes = options.getBoolean("ignoreDeletes", false),
