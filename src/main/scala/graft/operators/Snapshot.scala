@@ -2100,6 +2100,9 @@ object Snapshot {
         .limit(2000).localCheckpoint()
       val aS = src.readForKeys(3L, sampleKeys)
       val bS = dst.readForKeys(2L, sampleKeys)
+      // (readForKeys on the linked layout is envelope+semi-join only —
+      // no per-call Bloom build — so the 2000-key sample costs two
+      // pruned scans, not an index construction)
       val syncOk = logicalCount(src, 3L) == logicalCount(dst, 2L) &&
         aS.exceptAll(bS).limit(1).count() == 0 &&
         bS.exceptAll(aS).limit(1).count() == 0
