@@ -600,6 +600,42 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       commitTs, Some(newSchema), dv = dvFrame(fromVersion))
   }
 
+  /** METADATA-ONLY TYPE WIDENING — Delta's type-widening feature:
+    * publish `toVersion` whose `_schema.json` re-types `column` to the
+    * WIDER `newType` ([[SnapshotStore.canWiden]] — integral chain,
+    * float→double, integral→decimal); the manifest carries VERBATIM
+    * (zero pool writes) and every read decodes the stored narrow
+    * physical values into the wider logical type (parquet's
+    * vectorized-reader promotion — spec-verified). Pinned history
+    * keeps the narrow type. The key column is the stats-typed store
+    * identity and refuses; partition columns refuse (their min==max
+    * stats are typed in the manifest); a NON-widening change keeps
+    * refusing (it would corrupt old files' meaning). */
+  def widenColumn(fromVersion: Long, toVersion: Long, column: String,
+      newType: org.apache.spark.sql.types.DataType,
+      commitTs: Option[Long] = None): Unit = {
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    requireFreeVersion(toVersion)
+    require(column != keyCol,
+      s"widenColumn: '$keyCol' is the store's key column — its manifest envelope " +
+        "stats are typed; widening the identity is a store-level migration")
+    require(!storedPartitionBy().contains(column)
+        && !storedPartitionSpecs().exists(_.source == column),
+      s"widenColumn '$column': it is a declared partition column (or a " +
+        "transform's source) — its min==max stats are typed in the manifest")
+    val cur = evolvedSchema(fromVersion).getOrElse(read(fromVersion).schema)
+    val f = cur.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"widenColumn: no column '$column'"))
+    require(SnapshotStore.canWiden(f.dataType, newType),
+      s"widenColumn: ${f.dataType.simpleString} -> ${newType.simpleString} is not " +
+        "a supported widening (integral chain, float->double, integral->decimal) " +
+        "— any other type change would corrupt old files' meaning")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields.map(x => if (x.name == column) x.copy(dataType = newType) else x))
+    publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+      Some(newSchema), dv = dvFrame(fromVersion))
+  }
+
   /** METADATA-ONLY RENAME COLUMN — Delta's column-mapping mode on the
     * `_schema.json` sidecar: the published schema renames the field
     * while `graft.physical` metadata pins the name the pool bytes

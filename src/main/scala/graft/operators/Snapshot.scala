@@ -896,6 +896,64 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
+    "snap_sql_widen" -> { (s, d) =>
+      // METADATA-ONLY TYPE WIDENING (Delta's type widening) through
+      // SQL on BOTH layouts: `ALTER TABLE ... ALTER COLUMN c TYPE
+      // <wider>` publishes ONE schema-sidecar commit (v2 INT→BIGINT,
+      // v3 INT→DECIMAL(12,0)); parquet's reader promotion decodes the
+      // stored narrow physical values into the wider logical type —
+      // NOT ONE DATA BYTE moves (the ZERO-REWRITE GATE is in the
+      // hashed result: linked v3 references exactly v1's pool files;
+      // snapshot v3's part files equal v1's by name and size).
+      // `wide_types` pins the re-typed tip schema; pinned v1 keeps the
+      // narrow types. Warm passes skip the landed DDL.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlwid_$fp"
+      val k = col("o_orderkey")
+      val v1 = Tables.orders(s, d).select(k,
+        col("o_custkey").cast("int").as("cust"),
+        (k % 97).cast("int").as("qty"))
+      val snap = new SnapshotStore(s, s"$base/tw_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/tw_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(v1, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapwid_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      for (t <- Seq("tw_snap", "tw_linked")) {
+        val vs = if (t == "tw_snap") snap.versions() else linked.versions()
+        if (!vs.contains(2L))
+          s.sql(s"ALTER TABLE $cat.$t ALTER COLUMN cust TYPE BIGINT")
+        if (!vs.contains(3L))
+          s.sql(s"ALTER TABLE $cat.$t ALTER COLUMN qty TYPE DECIMAL(12,0)")
+      }
+      def files(t: String, v: Long): Map[String, Long] =
+        if (t == "tw_linked")
+          linked.manifest(v).select("file").collect()
+            .map(r => r.getString(0) -> 0L).toMap
+        else {
+          val dir = new java.io.File(s"$base/$t/v=$v")
+          dir.listFiles().filter(_.getName.startsWith("part-"))
+            .map(f => f.getName -> f.length()).toMap
+        }
+      Seq("tw_snap", "tw_linked").map { t =>
+        val tip = s.sql(s"SELECT * FROM $cat.$t")
+        val wide = tip.schema("cust").dataType ==
+          org.apache.spark.sql.types.LongType &&
+          tip.schema("qty").dataType ==
+            org.apache.spark.sql.types.DecimalType(12, 0)
+        tip.groupBy((col("o_orderkey") % 50).as("bucket"))
+          .agg(sum(col("cust")).cast("bigint").as("sum_cust"),
+            sum(col("qty")).cast("bigint").as("sum_qty"))
+          .withColumn("layout", lit(if (t == "tw_snap") "snapshot" else "linked"))
+          .withColumn("zero_rewrite", lit(files(t, 3L) == files(t, 1L)))
+          .withColumn("wide_types", lit(wide))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_changes_cdf" -> { (s, d) =>
       // The Delta-CDF-shaped feed (`.changes_cdf`) over MERGE-ON-READ
       // commits on BOTH layouts: v1 = k%3 keys; v2 = mergeDeltaMor of
@@ -2473,6 +2531,14 @@ object Snapshot {
         |    AS sum_price,
         |  l.layout, TRUE AS zero_rewrite, TRUE AS v1_has_old
         |FROM orders CROSS JOIN (VALUES ('rn_snap'), ('rn_linked')) AS l(layout)
+        |GROUP BY 1, l.layout ORDER BY l.layout, bucket""".stripMargin,
+
+    "snap_sql_widen" ->
+      """SELECT o_orderkey % 50 AS bucket,
+        |  CAST(SUM(CAST(o_custkey AS INTEGER)) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_orderkey % 97 AS INTEGER)) AS BIGINT) AS sum_qty,
+        |  l.layout, TRUE AS zero_rewrite, TRUE AS wide_types
+        |FROM orders CROSS JOIN (VALUES ('snapshot'), ('linked')) AS l(layout)
         |GROUP BY 1, l.layout ORDER BY l.layout, bucket""".stripMargin,
 
     "snap_sql_changes_cdf" ->

@@ -176,6 +176,29 @@ object SnapshotStore {
     specs.filter(_.transform.isDefined).foldLeft(df)((d, sp) =>
       d.withColumn(sp.name, deriveColumn(sp)))
 
+  // ---- TYPE WIDENING ----
+
+  /** Legal METADATA-ONLY type widenings — Delta's type-widening idea:
+    * parquet's vectorized reader decodes the stored narrow physical
+    * type into the wider logical one (spec-verified on this Spark), so
+    * publishing a sidecar with the wider type re-types every read with
+    * ZERO rewrites. The integral chain, float→double, and
+    * integral→decimal with enough precision to hold every value. */
+  def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.scale == 0 && d.precision >= 10
+      case (LongType, d: DecimalType) => d.scale == 0 && d.precision >= 20
+      case _ => false
+    }
+  }
+
   // ---- VERSION-LOG CHECKPOINT ----
   // One consolidated `_history.json` sidecar at the store base holding
   // (version, commit_ts, n_files, n_rows, bytes_added) per retained
@@ -1701,6 +1724,55 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * rewrite (so no sidecar is needed after it), and the zone map
     * rebuilds with any renamed stats column followed. The key column
     * is recorded store identity (`_store.json`) and cannot rename. */
+  /** METADATA-ONLY TYPE WIDENING — [[ManifestStore.widenColumn]]'s
+    * dir-per-version twin: data files byte-copy under the same
+    * basenames (this layout's carry contract, no parquet decode), the
+    * DV and zone map carry verbatim, and only the `_schema.json`
+    * sidecar re-types `column` to the wider `newType`
+    * ([[SnapshotStore.canWiden]]). Pinned history keeps the narrow
+    * type; key/partition columns refuse; non-widening changes keep
+    * refusing. */
+  def widenColumn(fromVersion: Long, toVersion: Long, column: String,
+      newType: org.apache.spark.sql.types.DataType,
+      commitTs: Option[Long] = None): Unit = {
+    ensureStoreMeta()
+    require(versions().contains(fromVersion), s"version $fromVersion does not exist")
+    requireFreeVersion(toVersion)
+    require(column != keyCol,
+      s"widenColumn: '$keyCol' is the store's key column — its zone-map envelope " +
+        "stats are typed; widening the identity is a store-level migration")
+    require(!storedPartitionBy().contains(column)
+        && !storedPartitionSpecs().exists(_.source == column),
+      s"widenColumn '$column': it is a declared partition column (or a " +
+        "transform's source) — its min==max stats are typed in the zone map")
+    val cur = evolvedSchema(fromVersion)
+      .getOrElse(spark.read.parquet(dir(fromVersion)).schema)
+    val f = cur.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"widenColumn: no column '$column'"))
+    require(SnapshotStore.canWiden(f.dataType, newType),
+      s"widenColumn: ${f.dataType.simpleString} -> ${newType.simpleString} is not " +
+        "a supported widening (integral chain, float->double, integral->decimal) " +
+        "— any other type change would corrupt old files' meaning")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      cur.fields.map(x => if (x.name == column) x.copy(dataType = newType) else x))
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+      }
+    dvFrame(fromVersion).foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, "_dv").toString))
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    val out = fs.create(new Path(tmp, "_schema.json"), true)
+    try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
+    casPublish(tmp, toVersion, "widenColumn")
+  }
+
   def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
       numFiles: Int = 4, commitTs: Option[Long] = None): Unit = {
     ensureStoreMeta()

@@ -1261,9 +1261,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (changes.length == 1 && changes.head.isInstanceOf[TableChange.RenameColumn])
       return alterRenameColumn(ident,
         changes.head.asInstanceOf[TableChange.RenameColumn])
+    if (changes.length == 1 && changes.head.isInstanceOf[TableChange.UpdateColumnType])
+      return alterWidenColumn(ident,
+        changes.head.asInstanceOf[TableChange.UpdateColumnType])
     if (changes.isEmpty || !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
-      readOnly("alterTable (ADD / DROP / RENAME COLUMN are supported; a type " +
-        "change would corrupt old files' meaning and keeps refusing)")
+      readOnly("alterTable (ADD / DROP / RENAME COLUMN and WIDENING type " +
+        "changes are supported; any other type change would corrupt old " +
+        "files' meaning and keeps refusing)")
     val adds = changes.map(_.asInstanceOf[TableChange.AddColumn])
     adds.foreach { a =>
       if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
@@ -1344,6 +1348,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * null — the same line Delta draws without column-mapping mode).
     * Pinned history keeps the old name; the store's key column is
     * recorded identity and refuses. */
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — METADATA-ONLY
+    * type widening (Delta's type-widening feature) on both layouts:
+    * one sidecar commit re-types the column, parquet's reader
+    * promotion decodes the stored narrow values, not one data byte
+    * moves. Non-widening changes keep the read-only refusal. */
+  private def alterWidenColumn(ident: Identifier,
+      uc: TableChange.UpdateColumnType): Table = {
+    if (uc.fieldNames().length != 1) throw new UnsupportedOperationException(
+      s"ALTER TABLE ALTER COLUMN: nested column '${uc.fieldNames().mkString(".")}' " +
+        "is not supported — stores evolve flat columns")
+    val (linked, vs) = resolve(ident)
+    val tip = vs.max
+    val base = storePath(ident)
+    val key = keyFromMeta(base, "ALTER TABLE ALTER COLUMN TYPE")
+    if (linked)
+      new graft.operators.ManifestStore(spark, base, key)
+        .widenColumn(tip, tip + 1, uc.fieldNames()(0), uc.newDataType())
+    else new SnapshotStore(spark, base, key)
+      .widenColumn(tip, tip + 1, uc.fieldNames()(0), uc.newDataType())
+    loadTable(ident)
+  }
+
   private def alterRenameColumn(ident: Identifier,
       rn: TableChange.RenameColumn): Table = {
     if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
