@@ -1273,6 +1273,24 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "version")
     },
 
+    "snap_sql_detail" -> { (s, d) =>
+      // DESCRIBE DETAIL — the `<store>.detail` metadata table on BOTH
+      // layouts: one metadata-only row (layout, recorded key, declared
+      // partition spec, constraint/version counts, tip version +
+      // commit ts + row total served from the version-log checkpoint —
+      // zero data-file opens). Runs over snap_sql_history's 2-commit
+      // fixture, so every field is declaratively derivable; tip_files
+      // is physical layout and stays OUT of the hashed projection.
+      queries("snap_sql_history")(s, d).count(): Unit // lineage: both stores at v2
+      val fp = Tables.fingerprint(s, d, "orders")
+      val cat = s"snaphist_$fp"
+      Seq("oh_snap", "oh_linked").map { t =>
+        s.sql(s"SELECT layout, key_col, partitioned_by, n_constraints, " +
+            s"n_versions, tip_version, tip_commit_ts, tip_rows FROM $cat.$t.detail")
+          .withColumn("table_name", lit(t))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    },
+
     "snap_sql_insert" -> { (s, d) =>
       // SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog on
       // BOTH layouts — the write verbs land via the V1 write fallback
@@ -2532,6 +2550,16 @@ object Snapshot {
         |  l.layout, TRUE AS zero_rewrite, TRUE AS v1_has_old
         |FROM orders CROSS JOIN (VALUES ('rn_snap'), ('rn_linked')) AS l(layout)
         |GROUP BY 1, l.layout ORDER BY l.layout, bucket""".stripMargin,
+
+    "snap_sql_detail" ->
+      """SELECT l.layout, 'o_orderkey' AS key_col, '' AS partitioned_by,
+        |  CAST(0 AS BIGINT) AS n_constraints, CAST(2 AS BIGINT) AS n_versions,
+        |  CAST(2 AS BIGINT) AS tip_version, CAST(2000 AS BIGINT) AS tip_commit_ts,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0) AS tip_rows,
+        |  l.t AS table_name
+        |FROM (VALUES ('snapshot', 'oh_snap'), ('linked', 'oh_linked')) AS l(layout, t)
+        |ORDER BY l.t""".stripMargin,
 
     "snap_sql_widen" ->
       """SELECT o_orderkey % 50 AS bucket,

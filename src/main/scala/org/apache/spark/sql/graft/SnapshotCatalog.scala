@@ -349,7 +349,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def historyFallback(ident: Identifier): Option[Table] = {
     val kind = ident.name()
     if ((kind != "history" && kind != "files" && kind != "changes" && kind != "dv"
-        && kind != "changes_cdf"
+        && kind != "changes_cdf" && kind != "detail"
         && kind != "partitions" && kind != "constraints" && kind != "stats")
       || ident.namespace().isEmpty) return None
     val parent = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
@@ -383,6 +383,49 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("pos",
                 org.apache.spark.sql.types.LongType)))))
+        case "detail" =>
+          // DESCRIBE DETAIL — one metadata-only row: layout, recorded
+          // key, declared partition spec (raw, incl. temporal
+          // transforms), constraint count, version count, and the
+          // tip's commit ts + file/row totals served from the
+          // version-log checkpoint (no data-file opens)
+          val (linkedD, vsD) = resolve(parent)
+          if (vsD.isEmpty) return None
+          val baseD = storePath(parent)
+          val fsD = new org.apache.hadoop.fs.Path(baseD)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val keyD = graft.operators.SnapshotStore.readStoredKeyCol(fsD, baseD)
+            .getOrElse("")
+          val pcsD = graft.operators.SnapshotStore.readStoredPartitionBy(fsD, baseD)
+          val consD = graft.operators.SnapshotStore.readConstraints(fsD, baseD)
+          val tipRow = (if (linkedD) linkedFor(parent).history()
+            else storeFor(parent).history())
+            .filter(org.apache.spark.sql.functions.col("version") === vsD.max)
+            .head()
+          val row = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          row.add(org.apache.spark.sql.Row(
+            if (linkedD) "linked" else "snapshot", keyD, pcsD.mkString(","),
+            consD.size.toLong, vsD.size.toLong, vsD.max,
+            tipRow.getLong(1), tipRow.getLong(2), tipRow.getLong(3)))
+          spark.createDataFrame(row, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("layout",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("key_col",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("partitioned_by",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_constraints",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_versions",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tip_version",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tip_commit_ts",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tip_files",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tip_rows",
+              org.apache.spark.sql.types.LongType))))
         case "stats" =>
           // the tip's ANALYZE result as a table — only an analyzed
           // version has one (CALL analyze writes it)
@@ -750,7 +793,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames =
     Array("compact", "vacuum", "retention", "zorder", "clone",
-      "replicate", "parity", "repair", "restore", "fold_dv",
+      "replicate", "parity", "repair", "restore", "restore_ts", "fold_dv",
       "drop_partitions", "add_constraint", "drop_constraint", "analyze")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -970,6 +1013,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           Array(utf8("linked"), v, tip + 1)
         } else {
           val st = new SnapshotStore(spark, base, procKey(base))
+          val tip = st.versions().max
+          st.restoreVersion(v, tip + 1)
+          Array(utf8("snapshot"), v, tip + 1)
+        }
+      }
+      case "restore_ts" => bound("restore_ts",
+        Array(tableParam,
+          ProcedureParameter.in("timestamp", StringType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("restored_from", LongType),
+          StructField("new_version", LongType)))) { in =>
+        // RESTORE TABLE ... TO TIMESTAMP AS OF: the timestamp resolves
+        // to the newest version committed at-or-before it through the
+        // stores' versionAsOf — ONE version-log checkpoint read, then
+        // the same restore-as-a-commit semantics as CALL restore
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val ms = ChangeFeed.parseTsMillis(in.getUTF8String(1).toString)
+        val base = storePath(t)
+        def noVersion = throw new IllegalArgumentException(
+          s"restore_ts: no version committed at or before $ms")
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, procKey(base))
+          val v = st.versionAsOf(ms).getOrElse(noVersion)
+          val tip = st.versions().max
+          st.restoreVersion(v, tip + 1)
+          Array(utf8("linked"), v, tip + 1)
+        } else {
+          val st = new SnapshotStore(spark, base, procKey(base))
+          val v = st.versionAsOf(ms).getOrElse(noVersion)
           val tip = st.versions().max
           st.restoreVersion(v, tip + 1)
           Array(utf8("snapshot"), v, tip + 1)
