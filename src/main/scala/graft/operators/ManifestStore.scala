@@ -947,10 +947,27 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .filter(col("max_key") >= lit(lo) && col("min_key") <= lit(hi))
       .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
     val base =
-      if (hit.isEmpty) read(version).limit(0)
+      if (hit.isEmpty) emptyRead(version)
       else readFiles(version, hit.toIndexedSeq)
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
+
+
+  /** A ZERO-ROW frame in `version`'s logical read schema, built
+    * WITHOUT listing or planning the version's data files — the
+    * prune-to-nothing result. `read(version).limit(0)` here would
+    * stand up a scan over every pool path just to return nothing; at
+    * 100 TB an empty answer must be metadata-cheap. One pool file
+    * opens for schema inference only when no schema sidecar exists. */
+  private def emptyRead(version: Long): DataFrame =
+    evolvedSchema(version) match {
+      case Some(sc) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+      case None =>
+        val paths = resolve(version)
+        if (paths.isEmpty) read(version).limit(0)
+        else spark.read.parquet(paths.head).limit(0)
+    }
 
   /** Secondary-column range read pruned at the MANIFEST level, for a
     * column named in `statsCols` at construction: only files whose
@@ -967,7 +984,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .filter(col(s"max_$phys") >= lit(lo) && col(s"min_$phys") <= lit(hi))
       .select("file").collect().map(r => new Path(poolDir, r.getString(0)).toString)
     val base =
-      if (hit.isEmpty) read(version).limit(0)
+      if (hit.isEmpty) emptyRead(version)
       else readFiles(version, hit.toIndexedSeq)
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
@@ -1036,7 +1053,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val hit = survivors.select("file").collect()
       .map(r => new Path(poolDir, r.getString(0)).toString)
     val base =
-      if (hit.isEmpty) read(version).limit(0)
+      if (hit.isEmpty) emptyRead(version)
       else readFiles(version, hit.toIndexedSeq)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
@@ -1054,7 +1071,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
       .select("file").distinct().collect()
       .map(r => new Path(poolDir, r.getString(0)).toString)
-    if (hit.isEmpty) read(version).limit(0)
+    if (hit.isEmpty) emptyRead(version)
     else readFiles(version, hit.toIndexedSeq).join(k, Seq(keyCol), "left_semi")
   }
 
@@ -1186,7 +1203,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         val names = manifest(version).select("file").collect().map(_.getString(0))
         val hit = names.filter(n => idx.get(n).forall(_.mightContainString(v)))
         val base =
-          if (hit.isEmpty) read(version).limit(0)
+          if (hit.isEmpty) emptyRead(version)
           else readFiles(version,
             hit.map(n => new Path(poolDir, n).toString).toIndexedSeq)
         (base.filter(pred), hit.length)
@@ -1625,7 +1642,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val fromFiles = manifest(fromVersion).select("file").collect().map(_.getString(0)).toSet
     val toFiles = manifest(toVersion).select("file").collect().map(_.getString(0)).toSet
     def side(version: Long, exclusive: Set[String]): DataFrame =
-      if (exclusive.isEmpty) read(version).limit(0)
+      if (exclusive.isEmpty) emptyRead(version)
       else readFiles(version, exclusive.toSeq.sorted.map(n => new Path(poolDir, n).toString))
     val a = side(fromVersion, fromFiles diff toFiles)
     val b = side(toVersion, toFiles diff fromFiles)

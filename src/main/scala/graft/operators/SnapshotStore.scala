@@ -657,7 +657,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     if (survivorSets.isEmpty) read(version).filter(filter)
     else {
       val files = survivorSets.map(_.toSet).reduce(_ intersect _)
-      if (files.isEmpty) read(version).filter(lit(false))
+      if (files.isEmpty) emptyRead(version)
       else readDataFiles(version, files.toSeq).filter(filter)
     }
   }
@@ -793,7 +793,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         val v = String.valueOf(value)
         val hit = parts.filter(p => idx.get(p.getName).forall(_.mightContainString(v)))
         val base =
-          if (hit.isEmpty) read(version).limit(0)
+          if (hit.isEmpty) emptyRead(version)
           else readDataFiles(version, hit.map(_.toString))
         (base.filter(pred), hit.length)
     }
@@ -854,6 +854,20 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def prunedFiles(version: Long, lo: Any, hi: Any): Option[Seq[String]] =
     prunedFilesBy(version, keyCol, lo, hi)
 
+
+  /** [[ManifestStore.emptyRead]]'s dir-per-version twin: a zero-row
+    * frame in the version's logical schema without standing up a scan
+    * over the version's files. */
+  private def emptyRead(version: Long): DataFrame =
+    evolvedSchema(version) match {
+      case Some(sc) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+      case None =>
+        val parts = dataFiles(version)
+        if (parts.isEmpty) read(version).limit(0)
+        else spark.read.parquet(parts.head.toString).limit(0)
+    }
+
   /** Restore filtered on ANY stats-mapped column: rows of `version`
     * with `column` in [lo, hi], reading only zone-map-overlapping
     * files when stats exist (falls back to a full scan + filter —
@@ -862,8 +876,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     prunedFilesBy(version, column, lo, hi) match {
       case Some(files) if files.isEmpty =>
-        // provably no overlapping file: constant-folds to an empty relation
-        read(version).filter(lit(false))
+        // provably no overlapping file: an empty frame, no scan planned
+        emptyRead(version)
       case Some(files) => readDataFiles(version, files).filter(pred)
       case None => read(version).filter(pred)
     }
@@ -1198,7 +1212,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       expectedItems: Long = 4L * 1000 * 1000, fpp: Double = 0.03): DataFrame = {
     val keyName = keys.columns.head
     val bounds = keys.agg(min(col(keyName)).as("lo"), max(col(keyName)).as("hi")).head()
-    if (bounds.isNullAt(0)) return read(version).filter(lit(false))
+    if (bounds.isNullAt(0)) return emptyRead(version)
     val ranged = readKeyRange(version, bounds.get(0), bounds.get(1))
     val pruned = org.apache.spark.sql.graft.BloomPrune.prune(
       ranged, col(keyCol), keys, col(keyName), expectedItems, fpp)

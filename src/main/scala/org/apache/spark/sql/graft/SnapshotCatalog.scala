@@ -179,8 +179,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (hiddenCols.isEmpty) evolved0
       else evolved0.map(hide).orElse(
         if (paths.isEmpty) None
-        else Some(hide(spark.read.option("mergeSchema", "true")
-          .parquet(paths: _*).schema)))
+        // ONE footer: absent a schema sidecar the version never
+        // evolved, so its files are schema-uniform by construction —
+        // a mergeSchema inference over every path here would read
+        // thousands of footers on every loadTable
+        else Some(hide(spark.read.parquet(paths.head).schema)))
     // a linked version whose manifest lists ZERO pool files (an
     // all-row deleteWhere / mergeDelta) plans an EMPTY scan over the
     // recorded schema — absent that record there is nothing to infer
@@ -316,10 +319,42 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     maskedReadFor(ident, linked, v) match {
       case None => tableFor(ident, linked, v)
       case some => new SnapshotTable(
-        tableFor(ident, linked, v).asInstanceOf[ParquetTable],
+        tableForMasked(ident, linked, v),
         None, None, None, maskedRead = some,
         prunedRead = temporalPrunedReadFor(ident, linked, v))
     }
+
+  /** The DELEGATE for a table whose scan is served by the store read
+    * (DV-masked / column-mapped / temporal-partitioned): only its
+    * name/schema/partitioning are consulted, so it carries NO paths —
+    * the plain delegate would stat every pool file (thousands of
+    * driver-side opens per loadTable) for a file index nothing reads. */
+  private def tableForMasked(ident: Identifier, linked: Boolean,
+      version: Long): ParquetTable = {
+    val base = storePath(ident)
+    val evolved0 =
+      (if (linked) linkedFor(ident).evolvedSchema(version)
+       else storeFor(ident).evolvedSchema(version)).map(projectFills)
+    val hiddenCols = temporalSpecs(base).map(_.name).toSet
+    def hide(sc: StructType): StructType =
+      StructType(sc.fields.filterNot(f => hiddenCols.contains(f.name)))
+    val schema = evolved0.map(hide).getOrElse {
+      // one footer: absent a sidecar the version never evolved, so
+      // its files are schema-uniform by construction
+      val first =
+        if (linked) linkedFor(ident).manifest(version).select("file")
+          .limit(1).collect().headOption
+          .map(r => s"${poolDirOf(base)}/${r.getString(0)}")
+        else storeFor(ident).dataFiles(version).headOption.map(_.toString)
+      first.map(p => hide(spark.read.parquet(p).schema)).getOrElse(
+        throw new IllegalStateException(
+          s"$catalogName.${ident.name()} version $version has no files and no " +
+            "schema sidecar — cannot plan a scan"))
+    }
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of())
+    ParquetTable(s"$catalogName.${ident.name()}@v$version", spark, opts,
+      Nil, Some(schema), classOf[ParquetFileFormat])
+  }
 
   /** One metadata resolution per loadTable: layout sniff + version
     * listing, threaded to every downstream step (each exists/list is
@@ -552,9 +587,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"(published by a pre-metadata build?) — $verb through the store API"))
     }
     // only the TIP load carries the DML hooks: history is immutable,
-    // and a delete/merge appends version tip+1 through the store API
+    // and a delete/merge appends version tip+1 through the store API.
+    // When the store read serves the scan (DV/mapped/temporal), the
+    // delegate is the path-free variant — no pool-wide file stat.
+    val tipMasked = maskedReadFor(ident, linked, tip)
     new SnapshotTable(
-      tableFor(ident, linked, tip).asInstanceOf[ParquetTable],
+      (if (tipMasked.isDefined) tableForMasked(ident, linked, tip)
+       else tableFor(ident, linked, tip).asInstanceOf[ParquetTable]),
       Some(StreamInfo(storePath(ident), linked, () => storedKey("streaming read"))),
       Some { pred =>
         val key = storedKey("DELETE")
@@ -602,7 +641,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 .replaceWhere(tip, tip + 1, data): Unit
           }
         })),
-      maskedRead = maskedReadFor(ident, linked, tip),
+      maskedRead = tipMasked,
       prunedRead = temporalPrunedReadFor(ident, linked, tip))
   }
 

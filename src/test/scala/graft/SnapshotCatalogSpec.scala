@@ -236,10 +236,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     val e1 = intercept[Exception](spark.sql(
       "ALTER TABLE snapcat.alter_snap ADD COLUMN req STRING NOT NULL"))
     assert(e1.getMessage.contains("DEFAULT"), e1.getMessage)
+    // a NON-widening type change refuses (widenings are supported —
+    // TypeWideningSpec; double -> string would corrupt old files)
     val e2 = intercept[Exception](spark.sql(
       "ALTER TABLE snapcat.alter_snap ALTER COLUMN v TYPE STRING"))
-    assert(e2.getMessage.toLowerCase.contains("read-only")
-      || e2.getMessage.toLowerCase.contains("alter"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("widening"), e2.getMessage)
   }
 
   test("ALTER TABLE DROP COLUMN narrows the tip on both layouts; RENAME rewrites; history keeps both") {
