@@ -2171,7 +2171,11 @@ object Snapshot {
           .head().getLong(0)
         phys - st.dvFrame(v).map(_.count()).getOrElse(0L)
       }
-      val sampleKeys = src.read(3L).select("o_orderkey")
+      // the sample pool itself is a KEY-RANGE-PRUNED read (a fixed
+      // [2, 20000] band: the whole table at tiny SF, 1-2 envelope-hit
+      // files at sf10) — a global TakeOrdered over every key would
+      // scan the table just to choose 2000 probes
+      val sampleKeys = src.readKeyRange(3L, 2L, 20000L).select("o_orderkey")
         .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
         .limit(2000).localCheckpoint()
       val aS = src.readForKeys(3L, sampleKeys)

@@ -434,9 +434,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // unpartitioned store lands the frame's files verbatim
     val names = landFlat(df, tmp)
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
-    zmCols.foreach { cols =>
+    // a PARTITIONED store's version must always carry its zone map
+    // (the partition verbs' contract) — a plain full-replace write on
+    // one stages the partition stats even when the caller asked for
+    // no extra zmCols
+    val effectiveZm = zmCols.orElse(
+      Option(storedPartitionBy()).filter(_.nonEmpty))
+    effectiveZm.foreach { cols =>
       zmNewStats(names.toSeq.sorted.map(n => new Path(tmp, n).toString),
-          cols.filterNot(_ == keyCol))
+          (cols ++ storedPartitionBy()).distinct.filterNot(_ == keyCol))
         .foreach(stageZoneMap(tmp, version, _))
     }
     casPublish(tmp, version, "write")
