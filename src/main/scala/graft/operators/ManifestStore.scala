@@ -88,7 +88,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     enforceConstraints(df, "write")
     val names = landInPool(arrange(df, numFiles))
     require(names.nonEmpty, "write: empty input frame")
-    publish(version, statsFor(names, effectiveStatsCols), commitTs)
+    publish(version, statsFor(names, effectiveStatsCols), commitTs, op = "write")
   }
 
   /** First write of a PARTITIONED table — Delta/Iceberg's `PARTITIONED
@@ -123,7 +123,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     enforceConstraints(df, "writePartitioned")
     val names = landInPool(arrange(df, filesPerPartition))
     require(names.nonEmpty, "writePartitioned: empty input frame")
-    publish(version, statsFor(names, effectiveStatsCols), commitTs)
+    publish(version, statsFor(names, effectiveStatsCols), commitTs,
+      op = "writePartitioned")
   }
 
   /** Every manifest row's partition tuple as plain value columns
@@ -185,7 +186,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val stats = landWithStats(arrange(data2, filesPerPartition),
       manifestStatsCols(man), evolvedSchema(fromVersion))
     publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
-      evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
+      evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
+      op = "replaceWhere")
     val nShared = shared.count().toInt
     (nShared, man.count().toInt - nShared, stats.fold(0L)(_.count()).toInt)
   }
@@ -216,7 +218,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         evolvedSchema(fromVersion).orElse(
           Some(readFilesRaw(fromVersion, resolve(fromVersion).take(1)).schema))
       else evolvedSchema(fromVersion)
-    publish(toVersion, shared, commitTs, schema, dv = carryDv(fromVersion, shared))
+    publish(toVersion, shared, commitTs, schema, dv = carryDv(fromVersion, shared),
+      op = "dropPartitions", opParams = SnapshotStore.predSql(pred))
     (shared.count().toInt, dropped.count().toInt, rowsDropped)
   }
 
@@ -262,7 +265,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     publish(version,
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         manSchema),
-      commitTs, Some(schema))
+      commitTs, Some(schema), op = "createEmpty")
   }
 
   /** Land rewritten rows in the pool and return their manifest stats.
@@ -416,7 +419,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * the metadata that makes its mixed-schema files readable. */
   private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dv: Option[DataFrame] = None): Unit = {
+      dv: Option[DataFrame] = None, op: String = "unknown",
+      opParams: String = "", statsFrom: Option[Long] = None): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -431,6 +435,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       val o = fs.create(new Path(tmp, "_schema.json"), true)
       try o.write(sc.json.getBytes("UTF-8")) finally o.close()
     }
+    // the commit's verb rides inside the manifest dir (atomic with the
+    // version) — DESCRIBE HISTORY's operation column, self-heal-safe
+    SnapshotStore.writeOpSidecar(fs, tmp, op, opParams)
     fs.mkdirs(new Path(s"$basePath/_manifests"))
     // CAS publication (CommitProtocol): a concurrent writer racing the
     // same version loses with a clean VersionConflictException — never
@@ -438,7 +445,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, manifestDir(version), token,
       s"publish of v$version on $basePath")
-    noteCommit(version)
+    noteCommit(version, op, opParams, statsFrom)
   }
 
   /** Persist the construction contract (key column) in `_store.json`
@@ -468,10 +475,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * ref-count vacuum keeps every pool file either side still
     * references. */
   def branch(fromVersion: Long, newVersion: Long,
-      commitTs: Option[Long] = None): Unit = {
+      commitTs: Option[Long] = None, op: String = "branch"): Unit = {
     requireFreeVersion(newVersion)
     publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
-      evolvedSchema(fromVersion), dv = dvFrame(fromVersion))
+      evolvedSchema(fromVersion), dv = dvFrame(fromVersion),
+      op = op, opParams = s"of v$fromVersion", statsFrom = Some(fromVersion))
   }
 
   /** True when this store OWNS its pool dir — false on a shallow
@@ -518,7 +526,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     finally out.close()
     val dst = new ManifestStore(spark, dstBase, keyCol, statsCols, parityFilesPerGroup)
     dst.publish(1L, manifest(fromVersion).localCheckpoint(), commitTs,
-      evolvedSchema(fromVersion), dv = dvFrame(fromVersion))
+      evolvedSchema(fromVersion), dv = dvFrame(fromVersion),
+      op = "clone", opParams = s"from $basePath v$fromVersion")
     dst
   }
 
@@ -597,7 +606,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val keep = man.columns.toSeq.filterNot(c =>
       cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
     publish(toVersion, man.select(keep.map(col): _*).localCheckpoint(),
-      commitTs, Some(newSchema), dv = dvFrame(fromVersion))
+      commitTs, Some(newSchema), dv = dvFrame(fromVersion),
+      op = "dropColumns", opParams = cols.mkString(","),
+      statsFrom = Some(fromVersion))
   }
 
   /** METADATA-ONLY TYPE WIDENING — Delta's type-widening feature:
@@ -633,7 +644,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val newSchema = org.apache.spark.sql.types.StructType(
       cur.fields.map(x => if (x.name == column) x.copy(dataType = newType) else x))
     publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
-      Some(newSchema), dv = dvFrame(fromVersion))
+      Some(newSchema), dv = dvFrame(fromVersion), op = "widenColumn",
+      opParams = s"$column -> ${newType.simpleString}",
+      statsFrom = Some(fromVersion))
   }
 
   /** METADATA-ONLY RENAME COLUMN — Delta's column-mapping mode on the
@@ -674,7 +687,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
       if (f.name == from) SnapshotStore.renamedField(f, to) else f))
     publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
-      Some(newSchema), dv = dvFrame(fromVersion))
+      Some(newSchema), dv = dvFrame(fromVersion), op = "renameColumn",
+      opParams = s"$from -> $to", statsFrom = Some(fromVersion))
   }
 
   /** Commit history — the `DESCRIBE HISTORY` surface: one row per
@@ -684,8 +698,10 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
   def history(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    historyEntries().map { case (v, e) => (v, e.commitTs, e.nFiles, e.nRows) }
-      .toDF("version", "commit_ts", "n_files", "n_rows")
+    historyEntries().map { case (v, e) =>
+        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams) }
+      .toDF("version", "commit_ts", "n_files", "n_rows",
+        "operation", "operation_params")
   }
 
   /** One version's checkpoint row rebuilt from its manifest — the
@@ -697,8 +713,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     // sums a zero-row manifest — 0 rows, not a null
     val m = manifest(v).agg(count(lit(1)).as("f"),
       coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
+    val (op, params) = SnapshotStore.readOpSidecar(fs, manifestDir(v))
     SnapshotStore.HistoryEntry(commitTsOf(v), m.getLong(0), m.getLong(1),
-      commitBytesRaw(v))
+      commitBytesRaw(v), op, params)
   }
 
   /** The VERSION-LOG CHECKPOINT, served and self-healed —
@@ -717,11 +734,19 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     }
   }
 
-  private def noteCommit(v: Long): Unit =
+  private def noteCommit(v: Long, op: String = "unknown",
+      opParams: String = "", statsFrom: Option[Long] = None): Unit =
     try {
       val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
-      SnapshotStore.writeHistoryCkpt(fs, basePath,
-        ckpt + (v -> computeHistoryEntry(v)))
+      // metadata-only commits (rename/widen/branch/restore — manifest
+      // carried verbatim) reuse the predecessor's checkpoint stats:
+      // no manifest agg job, bytes_added = 0 (no new pool basenames)
+      val entry = statsFrom.flatMap(ckpt.get) match {
+        case Some(prev) => prev.copy(commitTs = commitTsOf(v),
+          bytes = 0L, op = op, opParams = opParams)
+        case None => computeHistoryEntry(v)
+      }
+      SnapshotStore.writeHistoryCkpt(fs, basePath, ckpt + (v -> entry))
     } catch { case scala.util.control.NonFatal(_) => () }
 
   private def invalidateHistoryCkpt(): Unit =
@@ -1026,7 +1051,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           .drop("__z")
     val names = landInPool(arranged)
     require(names.nonEmpty, "writeZOrdered: empty input frame")
-    publish(version, statsFor(names, effectiveStatsCols), commitTs)
+    publish(version, statsFor(names, effectiveStatsCols), commitTs,
+      op = "writeZOrdered")
   }
 
   /** Read under a CONJUNCTION of range predicates with manifest-level
@@ -1294,7 +1320,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     publish(toVersion,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
       if (evolved || stats.isEmpty) Some(unionSchema) else None,
-      dv = carryDv(fromVersion, shared))
+      dv = carryDv(fromVersion, shared), op = "mergeDelta")
     (shared.count().toInt, nRewritten)
   }
 
@@ -1335,7 +1361,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
     if (matching.isEmpty) {
       publish(toVersion, shared, commitTs, evolvedSchema(fromVersion),
-        dv = carryDv(fromVersion, shared))
+        dv = carryDv(fromVersion, shared), op = "deleteWhere",
+        opParams = SnapshotStore.predSql(pred))
       return (shared.count().toInt, 0, 0L)
     }
     // strategy: MERGE-ON-READ (deletion vector) when the match is
@@ -1352,7 +1379,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       val merged = dvFrame(fromVersion).map(_.unionByName(matchRows))
         .getOrElse(matchRows)
       publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
-        dv = Some(merged))
+        dv = Some(merged), op = "deleteWhere",
+        opParams = SnapshotStore.predSql(pred))
       return (man.count().toInt, 0, nMatched)
     }
     val kept = readFiles(fromVersion,
@@ -1367,7 +1395,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       if (stats.isEmpty && shared.isEmpty)
         evolvedSchema(fromVersion).orElse(Some(kept.schema))
       else evolvedSchema(fromVersion),
-      dv = carryDv(fromVersion, shared))
+      dv = carryDv(fromVersion, shared), op = "deleteWhere",
+      opParams = SnapshotStore.predSql(pred))
     (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
   }
 
@@ -1434,9 +1463,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       .localCheckpoint()
     publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
-      dv = if (mask.limit(1).count() == 0) None else Some(mask))
+      dv = if (mask.limit(1).count() == 0) None else Some(mask),
+      op = "mergeDeltaMor")
     (stats.fold(0L)(_.count()).toInt, nMasked)
   }
+
+  /** Operation-parameters stamp for updateWhere commits. */
+  private def updateOpParams(set: Map[String, Column], pred: Column): String =
+    s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}"
 
   /** Predicate UPDATE with a MERGE-ON-READ path — the update half of
     * the deletion-vector design (Delta/Iceberg's MoR updates): in
@@ -1464,13 +1498,20 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val man = manifest(fromVersion).localCheckpoint()
     val sc = evolvedSchema(fromVersion)
     val paths = resolve(fromVersion)
-    val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+    // the match scan asks for PHYSICAL names (what the bytes answer to
+    // under a metadata-only rename) and projects to logical BEFORE the
+    // predicate — reading the logical schema directly over
+    // physical-named files would yield NULL for a mapped column and
+    // the predicate would silently match nothing (deleteWhere's rule)
+    val raw = sc.map(x =>
+        spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*))
       .getOrElse(spark.read.parquet(paths: _*))
-    val missing = set.keys.filterNot(raw.columns.contains)
-    require(missing.isEmpty, s"updateWhere: not in the schema: ${missing.mkString(", ")}")
-    val withPos = raw.select(col("*"),
+    val withPos0 = raw.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
       col("_metadata.row_index").as("__p"))
+    val withPos = sc.map(SnapshotStore.toLogical(withPos0, _)).getOrElse(withPos0)
+    val missing = set.keys.filterNot(withPos.columns.contains)
+    require(missing.isEmpty, s"updateWhere: not in the schema: ${missing.mkString(", ")}")
     val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
     val filled = if (fills.isEmpty) withPos else withPos.na.fill(fills)
     val visible = dvFrame(fromVersion).map(d =>
@@ -1481,7 +1522,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val matching = matchRows.groupBy("file").agg(count(lit(1)).as("__hits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matching.isEmpty) {
-      publish(toVersion, man, commitTs, sc, dv = dvFrame(fromVersion))
+      publish(toVersion, man, commitTs, sc, dv = dvFrame(fromVersion),
+        op = "updateWhere", opParams = updateOpParams(set, pred))
       return (man.count().toInt, 0, 0L)
     }
     val nMatched = matching.values.sum
@@ -1498,7 +1540,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         manifestStatsCols(man), sc)
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
-        dv = Some(mask))
+        dv = Some(mask), op = "updateWhere",
+        opParams = updateOpParams(set, pred))
       (man.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
     } else {
       val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
@@ -1510,7 +1553,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       val stats = landWithStats(arrange(rewritten, numNewFiles),
         manifestStatsCols(man), sc)
       publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs, sc,
-        dv = carryDv(fromVersion, shared))
+        dv = carryDv(fromVersion, shared), op = "updateWhere",
+        opParams = updateOpParams(set, pred))
       (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
     }
   }
@@ -1528,7 +1572,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val man = manifest(fromVersion).localCheckpoint()
     dvFrame(fromVersion) match {
       case None =>
-        publish(toVersion, man, commitTs, evolvedSchema(fromVersion))
+        publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+          op = "foldDv", statsFrom = Some(fromVersion))
         (man.count().toInt, 0, 0L)
       case Some(dv) =>
         val masked = dv.select("file").distinct().collect().map(_.getString(0)).toSet
@@ -1539,7 +1584,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man), evolvedSchema(fromVersion))
         publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
-          evolvedSchema(fromVersion))
+          evolvedSchema(fromVersion), op = "foldDv")
         (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
     }
   }
@@ -1550,7 +1595,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * this layout it is [[branch]] — zero data bytes move. */
   def restoreVersion(fromVersion: Long, toVersion: Long,
       commitTs: Option[Long] = None): Unit =
-    branch(fromVersion, toVersion, commitTs)
+    branch(fromVersion, toVersion, commitTs, op = "restoreVersion")
 
   /** DV entries that survive into a child version: only those naming
     * files the child still SHARES (a rewritten file materialized its
@@ -1600,7 +1645,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         usedInVersion += pooled
         pooled
       }
-      publish(v, statsFor(names), commitTs(v))
+      publish(v, statsFor(names), commitTs(v), op = "adoptChain",
+        opParams = s"from $srcBase")
       v -> ((copied, names.size - copied))
     }.toMap
   }
@@ -1715,11 +1761,18 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       else {
         val sc = evolvedSchema(fromVersion)
         val paths = files.map(n => new Path(poolDir, n).toString).toIndexedSeq
-        val raw = sc.map(x => spark.read.schema(x).parquet(paths: _*))
+        // physical-name scan + logical projection (the column-mapping
+        // read contract): a rename between the versions must not turn
+        // the feed's delete/preimage values NULL — these rows carry the
+        // deleted row's CONTENT by contract
+        val raw = sc.map(x =>
+            spark.read.schema(SnapshotStore.physicalSchema(x)).parquet(paths: _*))
           .getOrElse(spark.read.parquet(paths: _*))
-        Some(raw.select(col("*"),
-            element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
-            col("_metadata.row_index").as("__p"))
+        val withPos0 = raw.select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+          col("_metadata.row_index").as("__p"))
+        val withPos = sc.map(SnapshotStore.toLogical(withPos0, _)).getOrElse(withPos0)
+        Some(withPos
           .join(broadcast(grown.toDF("__f", "__p")), Seq("__f", "__p"), "left_semi")
           .drop("__f", "__p"))
       }
@@ -1832,7 +1885,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val small = sizes.filter(_._2 < minBytes).map(_._1)
     if (small.length <= 1) { // nothing to fold (0 or 1 fragment)
       publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
-        dv = dvFrame(fromVersion))
+        dv = dvFrame(fromVersion), op = "compact",
+        statsFrom = Some(fromVersion))
       return (sizes.length, 0)
     }
     val shared = man.filter(!col("file").isin(small.toSeq: _*))
@@ -1847,7 +1901,8 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         .getOrElse(folded),
       targetFiles))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
-      commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared))
+      commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
+      op = "compact")
     (sizes.length - small.length, names.size)
   }
 

@@ -213,7 +213,42 @@ object SnapshotStore {
   // warm checkpoint instead of O(versions) per-version sidecar reads.
 
   private[operators] case class HistoryEntry(
-      commitTs: Long, nFiles: Long, nRows: Long, bytes: Long)
+      commitTs: Long, nFiles: Long, nRows: Long, bytes: Long,
+      op: String = "unknown", opParams: String = "")
+
+  /** Minimal JSON string escape/unescape for the checkpoint's
+    * operation fields (verbs are fixed identifiers; params may carry
+    * predicate SQL with quotes/backslashes). */
+  private def jesc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+  private def junesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
 
   private[operators] def readHistoryCkpt(fs: org.apache.hadoop.fs.FileSystem,
       basePath: String): Map[Long, HistoryEntry] = {
@@ -224,15 +259,58 @@ object SnapshotStore {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
+        // op/params are OPTIONAL so a pre-upgrade checkpoint still
+        // parses — its entries report operation "unknown" honestly
         ("\\{\\s*\"v\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"ts\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
           "\"f\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"r\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
-          "\"b\"\\s*:\\s*(-?\\d+)\\s*\\}").r
+          "\"b\"\\s*:\\s*(-?\\d+)" +
+          "(?:\\s*,\\s*\"op\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
+          "\\s*,\\s*\"p\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?\\s*\\}").r
           .findAllMatchIn(txt).map(m => m.group(1).toLong -> HistoryEntry(
             m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
-            m.group(5).toLong)).toMap
+            m.group(5).toLong,
+            Option(m.group(6)).map(junesc).getOrElse("unknown"),
+            Option(m.group(7)).map(junesc).getOrElse(""))).toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty } // derived: rebuild
   }
+
+  /** Per-version OPERATION sidecar (`_op.json` inside the version /
+    * manifest dir): the commit's verb + parameters, written into the
+    * tmp dir BEFORE publish so it lands atomically with the version.
+    * The checkpoint caches it; the self-heal rebuild re-reads it, so
+    * "what did commit 37 DO" survives checkpoint invalidation.
+    * Absent (pre-upgrade commits) → ("unknown", ""). */
+  private[operators] def writeOpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, op: String, params: String): Unit =
+    try {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_op.json"), true)
+      try out.write(
+        s"""{"op": "${jesc(op)}", "params": "${jesc(params)}"}""".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Render a predicate for the operation-parameters stamp —
+    * best-effort, bounded (an audit label, not a replayable plan). */
+  private[operators] def predSql(c: org.apache.spark.sql.Column): String =
+    c.toString.take(200)
+
+  private[operators] def readOpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): (String, String) =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "_op.json")
+      if (!fs.exists(p)) ("unknown", "")
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        ("\\{\\s*\"op\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+          "\"params\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\}").r
+          .findFirstMatchIn(txt)
+          .map(m => (junesc(m.group(1)), junesc(m.group(2))))
+          .getOrElse(("unknown", ""))
+      }
+    } catch { case scala.util.control.NonFatal(_) => ("unknown", "") }
 
   /** Best-effort atomic rewrite (tmp + rename): a crash or a lost
     * concurrent-rename race leaves a stale/absent checkpoint, which
@@ -241,7 +319,8 @@ object SnapshotStore {
       basePath: String, entries: Map[Long, HistoryEntry]): Unit =
     try {
       val body = entries.toSeq.sortBy(_._1).map { case (v, e) =>
-        s"""{"v": $v, "ts": ${e.commitTs}, "f": ${e.nFiles}, "r": ${e.nRows}, "b": ${e.bytes}}"""
+        s"""{"v": $v, "ts": ${e.commitTs}, "f": ${e.nFiles}, "r": ${e.nRows}, """ +
+          s""""b": ${e.bytes}, "op": "${jesc(e.op)}", "p": "${jesc(e.opParams)}"}"""
       }.mkString("{\"history\": [", ", ", "]}")
       val tmp = new org.apache.hadoop.fs.Path(basePath,
         s".tmp-hist-${java.util.UUID.randomUUID()}")
@@ -1250,11 +1329,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * [[CommitProtocol]] hookup. Exactly one concurrent publisher of
     * `toVersion` wins; the rest throw [[VersionConflictException]]
     * with their leftovers removed. */
-  private def casPublish(tmp: Path, toVersion: Long, what: String): Unit = {
+  private def casPublish(tmp: Path, toVersion: Long, what: String,
+      opParams: String = "", statsFrom: Option[Long] = None): Unit = {
+    // the operation stamp lands atomically WITH the version (inside
+    // the tmp dir, before the CAS rename) — DESCRIBE HISTORY's verb
+    SnapshotStore.writeOpSidecar(fs, tmp, what, opParams)
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, new Path(dir(toVersion)), token,
       s"$what to v$toVersion on $basePath")
-    noteCommit(toVersion)
+    noteCommit(toVersion, what, opParams, statsFrom)
   }
 
   /** OPTIMISTIC-CONCURRENCY merge — [[ManifestStore.mergeAtTip]]'s
@@ -1369,8 +1452,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def history(): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    historyEntries().map { case (v, e) => (v, e.commitTs, e.nFiles, e.nRows) }
-      .toDF("version", "commit_ts", "n_files", "n_rows")
+    historyEntries().map { case (v, e) =>
+        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams) }
+      .toDF("version", "commit_ts", "n_files", "n_rows",
+        "operation", "operation_params")
   }
 
   /** One version's checkpoint row REBUILT from its dir — the
@@ -1388,8 +1473,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
       try r.getRecordCount finally r.close()
     }.sum
+    val (op, params) = SnapshotStore.readOpSidecar(fs, new Path(dir(v)))
     SnapshotStore.HistoryEntry(commitTimestampRaw(v), files.length.toLong, rows,
-      commitBytesRaw(v))
+      commitBytesRaw(v), op, params)
   }
 
   /** The VERSION-LOG CHECKPOINT, served and self-healed: retained
@@ -1415,11 +1501,22 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * publish. Best-effort: the checkpoint is derived, so losing this
     * write (crash, a concurrent publisher's rewrite racing ours)
     * self-heals on the next read. */
-  private def noteCommit(v: Long): Unit =
+  private def noteCommit(v: Long, op: String = "unknown",
+      opParams: String = "", statsFrom: Option[Long] = None): Unit =
     try {
       val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
-      SnapshotStore.writeHistoryCkpt(fs, basePath,
-        ckpt + (v -> computeHistoryEntry(v)))
+      // METADATA-ONLY commits (renameColumn / widenColumn) carry the
+      // predecessor's file set byte-identically: reuse its checkpoint
+      // stats (counts/rows unchanged, bytes_added = 0) instead of
+      // re-opening every data file's footer — O(1), not O(N files).
+      // Falls back to the full rebuild when the predecessor entry is
+      // cold (self-heal covers it either way).
+      val entry = statsFrom.flatMap(ckpt.get) match {
+        case Some(prev) => prev.copy(commitTs = commitTimestampRaw(v),
+          bytes = 0L, op = op, opParams = opParams)
+        case None => computeHistoryEntry(v)
+      }
+      SnapshotStore.writeHistoryCkpt(fs, basePath, ckpt + (v -> entry))
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Drop the checkpoint wholesale — used by verbs that change
@@ -1790,7 +1887,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
     stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-    casPublish(tmp, toVersion, "widenColumn")
+    casPublish(tmp, toVersion, "widenColumn",
+      s"$column -> ${newType.simpleString}", statsFrom = Some(fromVersion))
   }
 
   def renameColumn(fromVersion: Long, toVersion: Long, from: String, to: String,
@@ -1840,7 +1938,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
     stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-    casPublish(tmp, toVersion, "renameColumn")
+    casPublish(tmp, toVersion, "renameColumn",
+      s"$from -> $to", statsFrom = Some(fromVersion))
   }
 
   /** Row-level change classification between two versions:
@@ -1951,7 +2050,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       // envelopes stay CONSERVATIVE over masked rows — pruning may
       // open a file whose matches are all masked, never skip a live row)
       stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-      casPublish(tmp, toVersion, "deleteWhere")
+      casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred))
       return (allParts.length, 0, deleted)
     }
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
@@ -1990,7 +2089,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .fold(carried)(carried.unionByName(_))
       stageZoneMap(tmp, toVersion, withNew)
     }
-    casPublish(tmp, toVersion, "deleteWhere")
+    casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred))
     (untouchedParts.length, newNames.size, deleted)
   }
 
@@ -2109,7 +2208,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       }
       sidecars(tmp, dvFrame(fromVersion))
       stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-      casPublish(tmp, toVersion, "updateWhere")
+      casPublish(tmp, toVersion, "updateWhere",
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
       return (allParts.length, 0, 0L)
     }
     val nMatched = matching.values.sum
@@ -2154,7 +2254,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .fold(carried)(carried.unionByName(_))
         stageZoneMap(tmp, toVersion, withNew)
       }
-      casPublish(tmp, toVersion, "updateWhere")
+      casPublish(tmp, toVersion, "updateWhere",
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
       (allParts.length, newNames.size, nMatched)
     } else {
       val (touchedParts, untouchedParts) =
@@ -2186,7 +2287,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .fold(carried)(carried.unionByName(_))
         stageZoneMap(tmp, toVersion, withNew)
       }
-      casPublish(tmp, toVersion, "updateWhere")
+      casPublish(tmp, toVersion, "updateWhere",
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
       (untouchedParts.length, newNames.size, nMatched)
     }
   }
@@ -2313,7 +2415,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     fs.delete(new Path(tmp, "_zonemap"), true): Unit
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-    casPublish(tmp, toVersion, "restoreVersion")
+    casPublish(tmp, toVersion, "restoreVersion", s"of v$fromVersion",
+      statsFrom = Some(fromVersion))
   }
 
   def diff(fromVersion: Long, toVersion: Long): DataFrame =

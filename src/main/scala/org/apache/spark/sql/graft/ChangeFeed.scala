@@ -234,13 +234,23 @@ private[graft] class ChangesMicroBatchStream(spark: SparkSession, base: String,
   // through the normal version/byte pacing, and the run terminates at
   // the pinned tip — commits landing mid-drain wait for the next run.
   // The replica catch-up verb: drain everything that exists, stop.
+  // maxOption: an AvailableNow run started before the store's FIRST
+  // commit pins nothing and drains nothing — an empty store is "all
+  // available data = none", not a crash. The `pinned` flag keeps the
+  // empty pin distinct from plain streaming (no prepare call), where
+  // None means "no cap": a commit landing mid-drain must still wait
+  // for the next AvailableNow run.
   @volatile private var pinnedTip: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    pinnedTip = Some(ChangeFeed.versionsOf(spark, base, linked).max)
+  @volatile private var pinned: Boolean = false
+  override def prepareForTriggerAvailableNow(): Unit = {
+    pinnedTip = ChangeFeed.versionsOf(spark, base, linked).maxOption
+    pinned = true
+  }
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val vs0 = ChangeFeed.versionsOf(spark, base, linked)
+    if (pinned && pinnedTip.isEmpty) return start // prepared on an empty store
     val vs = pinnedTip.fold(vs0)(p => vs0.filter(_ <= p))
     if (vs.isEmpty) return start // pinned tip pruned mid-run: no progress
     val tip = vs.max

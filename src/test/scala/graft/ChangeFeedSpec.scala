@@ -421,6 +421,28 @@ class ChangeFeedSpec extends SparkSpec {
       == Set((2L, "B"), (3L, "C")))
   }
 
+  test("rename → mergeDeltaMor: CDF delete/preimage rows carry REAL values for the mapped column") {
+    // the r14 advisor's medium finding: dvDeletesBetween pinned the
+    // LOGICAL schema over physical-named files, so after a RENAME the
+    // feed's delete rows and DV-sourced update_preimage rows carried
+    // NULL for the mapped column — violating the CDF contract that
+    // delete rows carry the deleted row's values.
+    val st = new ManifestStore(spark, s"$root/cfm_ren", "k")
+    st.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "w"), 1L, 2,
+      commitTs = Some(1000L))
+    st.renameColumn(1L, 2L, "w", "v")
+    st.mergeDeltaMor(2L, 3L, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"),
+      deleteKeys = Some(Seq(3L).toDF("k")), commitTs = Some(3000L)): Unit
+    // plain feed: the masked-then-relanded key is ONE update; the
+    // genuine delete carries the old row's CONTENT under the new name
+    assert(kct(st.diff(2L, 3L)) ==
+      Set((2L, "b2", "update"), (3L, "c", "delete"), (4L, "d", "insert")))
+    val pairs = kct(st.diffCdf(2L, 3L))
+    assert(pairs == Set(
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage"),
+      (3L, "c", "delete"), (4L, "d", "insert")), pairs.toString)
+  }
+
   test("incremental SUM maintained from the CDF feed equals the recomputed aggregate") {
     val st = new ManifestStore(spark, s"$root/cfm_sum", "k")
     val v1 = (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "x")

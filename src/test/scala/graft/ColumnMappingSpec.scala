@@ -68,6 +68,37 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e2.getMessage.contains("PHYSICAL"), e2.getMessage)
   }
 
+  test("linked: rename → updateWhere MoR — predicate on the RENAMED column matches, updated rows carry values (not NULL)") {
+    // the r14 advisor's corruption class: updateWhere scanning with the
+    // LOGICAL schema over physical-named pool files read the mapped
+    // column as NULL — the predicate silently matched nothing and a
+    // MoR landing carried NULL in the renamed column. Must now mirror
+    // deleteWhere: physical scan, logical projection, THEN predicate.
+    val root = java.nio.file.Files.createTempDirectory("graft_cm_uw").toString
+    val st = new ManifestStore(spark, s"$root/t", "k", statsCols = Seq("v"))
+    st.write(Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "z"),
+      (4L, 40.0, "w"), (5L, 50.0, "u")).toDF("k", "v", "tag"), 1L, 2)
+    st.renameColumn(1L, 2L, "v", "price")
+    // MoR update keyed on the RENAMED column
+    val (_, _, n) = st.updateWhere(2L, 3L, col("price") > 25.0,
+      Map("tag" -> lit("hi")), mode = "mor")
+    assert(n == 3L, s"predicate on renamed column matched $n rows, expected 3")
+    val got = st.read(3L).select("k", "price", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "hi"),
+      (4L, 40.0, "hi"), (5L, 50.0, "hi")), got.toString)
+    // and updating the renamed column itself lands real values
+    val (_, _, n2) = st.updateWhere(3L, 4L, col("k") === 1L,
+      Map("price" -> (col("price") + 1.0)), mode = "mor")
+    assert(n2 == 1L)
+    assert(st.read(4L).filter(col("k") === 1L).select("price").head().getDouble(0) == 11.0)
+    // CoW branch parity on the same chain
+    val (_, _, n3) = st.updateWhere(4L, 5L, col("price") === 20.0,
+      Map("tag" -> lit("cw")), mode = "cow")
+    assert(n3 == 1L)
+    assert(st.read(5L).filter(col("k") === 2L).select("tag").head().getString(0) == "cw")
+  }
+
   test("snapshot: RENAME byte-carries files (names+sizes equal); read/merge/diff; DV composes") {
     val root = java.nio.file.Files.createTempDirectory("graft_cm_sn").toString
     val st = new SnapshotStore(spark, s"$root/t", "k")
