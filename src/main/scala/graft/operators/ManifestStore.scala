@@ -804,6 +804,34 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     else Some(spark.read.parquet(p.toString))
   }
 
+  /** Rows `version` SERVES after its mask — [[SnapshotStore
+    * .visibleRowsOf]]'s linked twin, the `sizeInBytes` planning
+    * statistic for the masked SQL route. Checkpoint row total minus
+    * DV footer record counts; metadata-only, no job. */
+  def visibleRowsOf(version: Long): Long =
+    math.max(0L, rowCountOf(version) - dvRowCount(version))
+
+  /** Stored (pre-mask) row total, checkpoint-served. */
+  def rowCountOf(version: Long): Long =
+    historyEntries().find(_._1 == version).map(_._2.nRows).getOrElse(0L)
+
+  /** Mask entry count from the DV parquet footers — driver-side, one
+    * footer open per DV part file (the DV lands coalesce(1)). */
+  def dvRowCount(version: Long): Long = {
+    val p = dvDir(version)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) 0L
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      fs.listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
+  }
+
   /** Semantic read: physical rows minus the deletion vector. The DV
     * is kept metadata-sized by [[deleteWhere]]'s auto policy, so the
     * mask is one BROADCAST anti-join on (file, row position) — no
@@ -1081,8 +1109,20 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val base =
       if (hit.isEmpty) emptyRead(version)
       else readFiles(version, hit.toIndexedSeq)
-    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+    // a DERIVED temporal column (ts__day/…) may be hidden by the
+    // version's evolved read schema even though the files carry it:
+    // recompute it from its source (a pure function) for the residual
+    // filter, then drop the synthesized copy — callers keep the
+    // frame's declared shape
+    val specs = storedPartitionSpecs().filter(_.transform.isDefined)
+    val synth = preds.map(_._1).distinct
+      .filterNot(base.columns.contains)
+      .flatMap(c => specs.find(_.name == c))
+    val derived = synth.foldLeft(base)((d, sp) =>
+      d.withColumn(sp.name, SnapshotStore.deriveColumn(sp)))
+    val filtered = preds.foldLeft(derived) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
+    synth.map(_.name).foldLeft(filtered)(_ drop _)
   }
 
   /** Point-read for a key set: manifest key envelopes prune the file
@@ -1904,6 +1944,135 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
       op = "compact")
     (sizes.length - small.length, names.size)
+  }
+
+  /** PARTITION-SCOPED compaction — Delta's `OPTIMIZE t WHERE part=x`:
+    * fold sub-`minBytes` fragments ONLY inside the partitions `pred`
+    * selects (a predicate over the declared partition columns,
+    * evaluated per file on the manifest's min==max tuples — metadata
+    * only); every other file, matching-partition-or-not, carries by
+    * reference. At 100 TB you never OPTIMIZE a whole table: the
+    * nightly maintenance of ONE hot day costs O(that day's fragments),
+    * and the untouched partitions' pool entries are bit-identical
+    * across the commit (spec-pinned). Returns (filesCarried,
+    * filesRewritten). */
+  def compactWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      minBytes: Long = 8L << 20, targetFiles: Int = 1,
+      commitTs: Option[Long] = None): (Int, Int) = {
+    val pcs = requirePartitioned("compactWhere")
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
+      .select("file").collect().map(_.getString(0)).toSet
+    val small = matched.toSeq.sorted
+      .filter(n => fs.getFileStatus(new Path(poolDir, n)).getLen < minBytes)
+    if (small.length <= 1) { // nothing to fold inside the scope
+      publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+        dv = dvFrame(fromVersion), op = "compact",
+        opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
+      return (man.count().toInt, 0)
+    }
+    val shared = man.filter(!col("file").isin(small: _*))
+    // the fold reads MASKED (DV entries for rewritten files retire) and
+    // lands physical-named (column mapping) — [[compact]]'s contract,
+    // scoped; arrange keeps one partition tuple per file
+    val folded = readFiles(fromVersion,
+      small.map(n => new Path(poolDir, n).toString))
+    val names = landInPool(arrange(
+      evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(folded, _))
+        .getOrElse(folded),
+      targetFiles))
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+      commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
+      op = "compact", opParams = SnapshotStore.predSql(pred))
+    (man.count().toInt - small.length, names.size)
+  }
+
+  /** PARTITION-SCOPED Z-ORDER — Iceberg's rewrite_data_files with a
+    * row filter: re-cluster ONLY the partitions `pred` selects on
+    * `zCols`' Morton order (one tuple per file preserved, each
+    * partition's files covering contiguous z ranges); everything else
+    * carries by reference. Content-invariant: clustering moves rows
+    * BETWEEN files, never changes them. Returns (filesCarried,
+    * filesRewritten). */
+  def zorderWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      zCols: Seq[String], numFiles: Int = 4,
+      commitTs: Option[Long] = None): (Int, Int) = {
+    val pcs = requirePartitioned("zorderWhere")
+    requireFreeVersion(toVersion)
+    require(zCols.nonEmpty, "zorderWhere: no z columns")
+    val overlap = zCols.filter(pcs.contains)
+    require(overlap.isEmpty,
+      s"zorderWhere: ${overlap.mkString(", ")} are partition columns — constant " +
+        "within every file already; z-order the finer dimensions instead")
+    val man = manifest(fromVersion).localCheckpoint()
+    val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
+      .select("file").collect().map(_.getString(0)).toSet
+    if (matched.isEmpty) {
+      publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+        dv = dvFrame(fromVersion), op = "zorder",
+        opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
+      return (man.count().toInt, 0)
+    }
+    val shared = man.filter(!col("file").isin(matched.toSeq: _*))
+    val rows = readFiles(fromVersion,
+      matched.toSeq.sorted.map(n => new Path(poolDir, n).toString))
+    val zc = ZOrder.zColumn(rows, zCols)
+    val arranged = rows.withColumn("__z", zc)
+      .repartitionByRange(numFiles, (pcs.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions((pcs.map(col) :+ col("__z")): _*)
+      .drop("__z")
+    val names = landInPool(
+      evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(arranged, _))
+        .getOrElse(arranged))
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+      commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
+      op = "zorder", opParams = SnapshotStore.predSql(pred))
+    (man.count().toInt - matched.size, names.size)
+  }
+
+  /** PARTITION-SCOPED DV fold — [[foldDv]] restricted to the masked
+    * files inside the partitions `pred` selects: those rewrite (masked
+    * rows drop for good), every other file carries by reference WITH
+    * its mask intact. The targeted erasure-maintenance verb: folding
+    * one tenant's partition never rewrites — or even lists — the
+    * rest. Returns (filesCarried, filesRewritten, rowsDropped). */
+  def foldDvWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      numNewFiles: Int = 2, commitTs: Option[Long] = None): (Int, Int, Long) = {
+    val pcs = requirePartitioned("foldDvWhere")
+    requireFreeVersion(toVersion)
+    val man = manifest(fromVersion).localCheckpoint()
+    dvFrame(fromVersion) match {
+      case None =>
+        publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+          op = "foldDv", opParams = SnapshotStore.predSql(pred),
+          statsFrom = Some(fromVersion))
+        (man.count().toInt, 0, 0L)
+      case Some(dv0) =>
+        val dv = dv0.localCheckpoint()
+        val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
+          .select("file").collect().map(_.getString(0)).toSet
+        val masked = dv.select("file").distinct().collect().map(_.getString(0))
+          .filter(matched).toSet
+        if (masked.isEmpty) {
+          publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
+            dv = Some(dv), op = "foldDv",
+            opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
+          return (man.count().toInt, 0, 0L)
+        }
+        val nDropped = dv.filter(col("file").isin(masked.toSeq: _*)).count()
+        val shared = man.filter(!col("file").isin(masked.toSeq: _*))
+        val survivors = readFiles(fromVersion,
+          masked.toSeq.sorted.map(n => new Path(poolDir, n).toString))
+        val stats = landWithStats(arrange(survivors, numNewFiles),
+          manifestStatsCols(man), evolvedSchema(fromVersion))
+        val keep = dv.filter(!col("file").isin(masked.toSeq: _*)).localCheckpoint()
+        publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+          evolvedSchema(fromVersion),
+          dv = if (keep.limit(1).count() == 0) None else Some(keep),
+          op = "foldDv", opParams = SnapshotStore.predSql(pred))
+        (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
+    }
   }
 
   /** Drop all versions except `keep`. Manifests delete FIRST (a crash

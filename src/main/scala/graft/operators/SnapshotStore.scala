@@ -738,12 +738,25 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     val filter = preds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    // a DERIVED temporal column may be hidden by the version's evolved
+    // read schema even though the files carry it (CREATE TABLE chains
+    // pin the declared columns): recompute it from its source for the
+    // residual filter, then drop the synthesized copy
+    val specs = storedPartitionSpecs().filter(_.transform.isDefined)
+    def filteredOver(df: DataFrame): DataFrame = {
+      val synth = preds.map(_._1).distinct
+        .filterNot(df.columns.contains)
+        .flatMap(c => specs.find(_.name == c))
+      val derived = synth.foldLeft(df)((d, sp) =>
+        d.withColumn(sp.name, SnapshotStore.deriveColumn(sp)))
+      synth.map(_.name).foldLeft(derived.filter(filter))(_ drop _)
+    }
     val survivorSets = preds.flatMap { case (c, lo, hi) => prunedFilesBy(version, c, lo, hi) }
-    if (survivorSets.isEmpty) read(version).filter(filter)
+    if (survivorSets.isEmpty) filteredOver(read(version))
     else {
       val files = survivorSets.map(_.toSet).reduce(_ intersect _)
       if (files.isEmpty) emptyRead(version)
-      else readDataFiles(version, files.toSeq).filter(filter)
+      else filteredOver(readDataFiles(version, files.toSeq))
     }
   }
 
@@ -1277,6 +1290,162 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     (survivors.length, droppedNames.size, rowsDropped)
   }
 
+  /** Per-file stat columns the version's zone map records (physical
+    * names) — what scoped rewrites must reproduce for new entries. */
+  private def zmStatsColsOf(zm: DataFrame): Seq[String] =
+    zm.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+
+  /** Names of the version's files inside the partitions `pred`
+    * selects — evaluated on the zone map's min==max partition tuples,
+    * metadata only. */
+  private def matchedPartitionFiles(zm: DataFrame, pcs: Seq[String],
+      pred: Column): Set[String] =
+    partitionEntries(zm, pcs).filter(coalesce(pred, lit(false)))
+      .select(regexp_extract(col("file"), "[^/]+$", 0).as("name"))
+      .collect().map(_.getString(0)).toSet
+
+  /** Shared landing for the scoped maintenance verbs: byte-copy
+    * `carried` into a tmp dir, land `rewrite` (physical-named, hive
+    * split one-tuple-per-file), carry the DV for carried files, stage
+    * carried+new zone-map rows, CAS-publish. Returns new file names. */
+  private def publishScopedRewrite(fromVersion: Long, toVersion: Long,
+      carried: Seq[Path], rewrite: DataFrame, zm: DataFrame,
+      commitTs: Option[Long], op: String, opParams: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp)
+    carried.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
+    }
+    val sc = evolvedSchema(fromVersion)
+    val newNames = landFlat(
+      sc.map(SnapshotStore.toPhysical(rewrite, _)).getOrElse(rewrite), tmp)
+    carryDvInto(fromVersion, tmp, carried.map(_.getName).toSet)
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    sc.foreach { x =>
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(x.json.getBytes("UTF-8")) finally out.close()
+    }
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    val carriedNames = carried.map(_.getName).toSet
+    val droppedNames = zm
+      .select(regexp_extract(col("file"), "[^/]+$", 0).as("name"))
+      .collect().map(_.getString(0)).filterNot(carriedNames).toSet
+    stageCarriedZoneMap(tmp, fromVersion, toVersion, droppedNames,
+      extra = zmNewStats(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString),
+        zmStatsColsOf(zm)))
+    casPublish(tmp, toVersion, op, opParams)
+    newNames
+  }
+
+  /** PARTITION-SCOPED compaction — Delta's `OPTIMIZE t WHERE part=x`
+    * on this layout: fragments under `minBytes` INSIDE the partitions
+    * `pred` selects fold into consolidated files; every other file
+    * byte-carries under its own basename (the layout's carry
+    * contract — names+sizes bit-identical, spec-pinned). Published as
+    * a NEW version; history intact. Returns (filesCarried,
+    * filesRewritten). */
+  def compactWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      minBytes: Long = 8L << 20, commitTs: Option[Long] = None): (Int, Int) = {
+    val (pcs, zm0) = requirePartitionedZm("compactWhere", fromVersion)
+    requireFreeVersion(toVersion)
+    val zm = zm0.localCheckpoint()
+    val matched = matchedPartitionFiles(zm, pcs, pred)
+    val allParts = fs.listStatus(new Path(dir(fromVersion)))
+      .filter(_.getPath.getName.startsWith("part-")).toSeq
+    val small = allParts
+      .filter(f => matched(f.getPath.getName) && f.getLen < minBytes)
+      .map(_.getPath)
+    if (small.size <= 1) { // nothing to fold inside the scope
+      restoreVersion(fromVersion, toVersion, commitTs,
+        op = "compact", opParams = SnapshotStore.predSql(pred))
+      return (allParts.size, 0)
+    }
+    val smallNames = small.map(_.getName).toSet
+    val carried = allParts.map(_.getPath).filterNot(p => smallNames(p.getName))
+    // masked read: the fold retires DV entries for rewritten files
+    val folded = readDataFiles(fromVersion, small.map(_.toString))
+    val newNames = publishScopedRewrite(fromVersion, toVersion, carried,
+      folded, zm, commitTs, "compact", SnapshotStore.predSql(pred))
+    (carried.size, newNames.size)
+  }
+
+  /** PARTITION-SCOPED Z-ORDER — re-cluster ONLY the partitions `pred`
+    * selects on `zCols`' Morton order; everything else byte-carries.
+    * Content-invariant (rows move between files, never change).
+    * Returns (filesCarried, filesRewritten). */
+  def zorderWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      zCols: Seq[String], numFiles: Int = 4,
+      commitTs: Option[Long] = None): (Int, Int) = {
+    val (pcs, zm0) = requirePartitionedZm("zorderWhere", fromVersion)
+    requireFreeVersion(toVersion)
+    require(zCols.nonEmpty, "zorderWhere: no z columns")
+    val overlap = zCols.filter(pcs.contains)
+    require(overlap.isEmpty,
+      s"zorderWhere: ${overlap.mkString(", ")} are partition columns — constant " +
+        "within every file already; z-order the finer dimensions instead")
+    val zm = zm0.localCheckpoint()
+    val matched = matchedPartitionFiles(zm, pcs, pred)
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    if (matched.isEmpty) {
+      restoreVersion(fromVersion, toVersion, commitTs,
+        op = "zorder", opParams = SnapshotStore.predSql(pred))
+      return (allParts.size, 0)
+    }
+    val (touched, carried) = allParts.partition(p => matched(p.getName))
+    val rows0 = readDataFiles(fromVersion, touched.map(_.toString))
+    // a CREATE TABLE chain's evolved schema may hide a derived
+    // temporal column the range split needs — recompute it (pure
+    // function of its source; landFlat re-derives identically)
+    val rows = SnapshotStore.derivePartitionCols(rows0,
+      storedPartitionSpecs().filter(sp =>
+        sp.transform.isDefined && !rows0.columns.contains(sp.name)))
+    val zc = ZOrder.zColumn(rows, zCols)
+    val arranged = rows.withColumn("__z", zc)
+      .repartitionByRange(numFiles, (pcs.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions((pcs.map(col) :+ col("__z")): _*)
+      .drop("__z")
+    val newNames = publishScopedRewrite(fromVersion, toVersion, carried,
+      arranged, zm, commitTs, "zorder", SnapshotStore.predSql(pred))
+    (carried.size, newNames.size)
+  }
+
+  /** PARTITION-SCOPED DV fold — [[foldDv]] restricted to the masked
+    * files inside `pred`'s partitions: those rewrite (masked rows drop
+    * for good); every other file byte-carries WITH its mask intact.
+    * Returns (filesCarried, filesRewritten, rowsDropped). */
+  def foldDvWhere(fromVersion: Long, toVersion: Long, pred: Column,
+      commitTs: Option[Long] = None): (Int, Int, Long) = {
+    val (pcs, zm0) = requirePartitionedZm("foldDvWhere", fromVersion)
+    requireFreeVersion(toVersion)
+    val zm = zm0.localCheckpoint()
+    val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    dvFrame(fromVersion) match {
+      case None =>
+        restoreVersion(fromVersion, toVersion, commitTs,
+          op = "foldDv", opParams = SnapshotStore.predSql(pred))
+        (allParts.size, 0, 0L)
+      case Some(dv0) =>
+        val dv = dv0.localCheckpoint()
+        val matched = matchedPartitionFiles(zm, pcs, pred)
+        val masked = dv.select("file").distinct().collect().map(_.getString(0))
+          .filter(matched).toSet
+        if (masked.isEmpty) {
+          restoreVersion(fromVersion, toVersion, commitTs,
+            op = "foldDv", opParams = SnapshotStore.predSql(pred))
+          return (allParts.size, 0, 0L)
+        }
+        val nDropped = dv.filter(col("file").isin(masked.toSeq: _*)).count()
+        val (touched, carried) = allParts.partition(p => masked(p.getName))
+        val survivors = readDataFiles(fromVersion, touched.map(_.toString))
+        val newNames = publishScopedRewrite(fromVersion, toVersion, carried,
+          survivors, zm, commitTs, "foldDv", SnapshotStore.predSql(pred))
+        (carried.size, newNames.size, nDropped)
+    }
+  }
+
   /** Delta-driven restore read: rows of `version` whose key appears in
     * `keys` (a one-column frame of key values, e.g. a CDC delta's
     * keys). Stacks every pruning layer this store has, coarsest
@@ -1393,6 +1562,37 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   def dvFrame(version: Long): Option[DataFrame] =
     if (!fs.exists(new Path(dvPath(version), "_SUCCESS"))) None
     else Some(spark.read.parquet(dvPath(version).toString))
+
+  /** Rows `version` SERVES after its deletion-vector mask — the
+    * PLANNING statistic behind the masked-route relation's
+    * `sizeInBytes` (a small DV-masked dimension table must still
+    * broadcast in SQL joins). Metadata-only: the row total comes from
+    * the version-log checkpoint (O(1) warm) and the mask size from
+    * the DV sidecar's parquet FOOTER record counts (the mask is
+    * metadata-sized by the auto policies) — no data pages, no job. */
+  def visibleRowsOf(version: Long): Long =
+    math.max(0L, rowCountOf(version) - dvRowCount(version))
+
+  /** Stored (pre-mask) row total, checkpoint-served. */
+  def rowCountOf(version: Long): Long =
+    historyEntries().find(_._1 == version).map(_._2.nRows).getOrElse(0L)
+
+  /** Mask entry count from the DV parquet footers — driver-side, one
+    * footer open per DV part file (the DV lands coalesce(1)). */
+  def dvRowCount(version: Long): Long = {
+    val p = dvPath(version)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) 0L
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      fs.listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
+  }
 
   /** Read `paths` (files or the version dir) with (file, position)
     * captured as regular columns `__f`/`__p` and the version's DV
@@ -2403,7 +2603,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * map carries with its version prefix remapped. History intact —
     * a restore is a commit, not a rewrite of the past. */
   def restoreVersion(fromVersion: Long, toVersion: Long,
-      commitTs: Option[Long] = None): Unit = {
+      commitTs: Option[Long] = None, op: String = "restoreVersion",
+      opParams: String = ""): Unit = {
     require(versions().contains(fromVersion), s"version $fromVersion does not exist")
     requireFreeVersion(toVersion)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -2415,7 +2616,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     fs.delete(new Path(tmp, "_zonemap"), true): Unit
     writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
     stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-    casPublish(tmp, toVersion, "restoreVersion", s"of v$fromVersion",
+    casPublish(tmp, toVersion, op,
+      if (opParams.isEmpty) s"of v$fromVersion" else opParams,
       statsFrom = Some(fromVersion))
   }
 

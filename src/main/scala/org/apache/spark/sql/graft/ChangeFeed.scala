@@ -87,6 +87,12 @@ private[graft] object ChangeFeed {
       v: Long): Long =
     handles(spark, base, linked, "").fold(_.commitBytes(v), _.commitBytes(v))
 
+  /** Deletion-vector entry count at `v` (0 without a mask) — footer
+    * metadata only; the feed-size estimate's delete-row term. */
+  def dvRowsOf(spark: SparkSession, base: String, linked: Boolean,
+      v: Long): Long =
+    handles(spark, base, linked, "").fold(_.dvRowCount(v), _.dvRowCount(v))
+
   /** Parse a user timestamp: epoch MILLIS (digits) or an ISO date /
     * datetime read in UTC (the session timezone both the specs and the
     * driver pin). */
@@ -473,15 +479,38 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new GraftV1RelationScan {
         override def readSchema(): StructType = feedSchema
         override def description(): String = tableName
         override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: org.apache.spark.sql.SQLContext): T = {
+            context: org.apache.spark.sql.SQLContext): T =
+          v1Relation(context).asInstanceOf[T]
+        override def v1Relation(context: org.apache.spark.sql.SQLContext)
+            : BaseRelation = {
           val (lo, hi) = range.getOrElse((Long.MinValue, Long.MaxValue))
           new BaseRelation with TableScan {
             override def sqlContext: org.apache.spark.sql.SQLContext = context
             override def schema: StructType = feedSchema
+            // REAL statistics: sum of the selected commits' added
+            // bytes (checkpoint-served, metadata-only) bounds the feed
+            // size from above — without it the relation reports
+            // defaultSizeInBytes (Long.MaxValue) and a 3-row change
+            // feed can never broadcast in a downstream join. Preimage
+            // feeds double-count updates, so double the bound.
+            private lazy val sizeEstimate: Long = {
+              val vs = ChangeFeed.versionsOf(spark, base, linked)
+                .filter(v => v >= lo && v <= hi)
+              val added = vs.map(v =>
+                ChangeFeed.commitBytesOf(spark, base, linked, v)).sum
+              // MoR deletes add ~no bytes but emit rows: bound their
+              // contribution by the tip mask size × estimated width
+              val width = 8L + feedSchema.fields.map(_.dataType.defaultSize.toLong).sum
+              val dvRows = vs.lastOption.fold(0L)(v =>
+                ChangeFeed.dvRowsOf(spark, base, linked, v))
+              val bound = added + dvRows * width
+              math.max(1L, if (preImages) 2L * bound else bound)
+            }
+            override def sizeInBytes: Long = sizeEstimate
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               // an EXPLICIT `a..b` range is a contract about those exact
               // commits: a pruned predecessor fails the read instead of
@@ -489,7 +518,7 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
               ChangeFeed.changesBetween(spark, base, linked, keyCol, lo, hi,
                 feedSchema, allowInitialSnapshot = range.isEmpty,
                 preImages = preImages).rdd
-          }.asInstanceOf[T]
+          }
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangesMicroBatchStream(spark, base, linked, keyCol, feedSchema,

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => TopKPerKeyRule)
+    // post-pushdown (pre-CBO): swap wrapped graft V1 scans for
+    // stats-bearing LogicalRelations so small masked/mapped/temporal
+    // store tables and bounded change feeds broadcast in SQL joins
+    ext.injectPreCBORule(_ => V1StatsRelationRule)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => GraftMergeStrategy)
   }
@@ -78,6 +82,13 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(TopKPerKeyRule)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKPerKeyRule
+    }
+    // "User Provided Optimizers" runs AFTER V2 scan pushdown, so the
+    // V1ScanWrapper is visible here — same placement as the pre-CBO
+    // injection on the extensions path
+    if (!spark.experimental.extraOptimizations.contains(V1StatsRelationRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ V1StatsRelationRule
     }
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -321,8 +321,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case some => new SnapshotTable(
         tableForMasked(ident, linked, v),
         None, None, None, maskedRead = some,
-        prunedRead = temporalPrunedReadFor(ident, linked, v))
+        prunedRead = temporalPrunedReadFor(ident, linked, v),
+        visibleRows = Some(visibleRowsFor(ident, linked, v)))
     }
+
+  /** Checkpoint-served visible-row statistic for the store-read SQL
+    * route — lazy (evaluated at plan time, once per relation), so
+    * loadTable itself stays metadata-free. */
+  private def visibleRowsFor(ident: Identifier, linked: Boolean,
+      v: Long): () => Long =
+    () => if (linked) linkedFor(ident).visibleRowsOf(v)
+      else storeFor(ident).visibleRowsOf(v)
 
   /** The DELEGATE for a table whose scan is served by the store read
     * (DV-masked / column-mapped / temporal-partitioned): only its
@@ -642,7 +651,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           }
         })),
       maskedRead = tipMasked,
-      prunedRead = temporalPrunedReadFor(ident, linked, tip))
+      prunedRead = temporalPrunedReadFor(ident, linked, tip),
+      visibleRows = Some(visibleRowsFor(ident, linked, tip)))
   }
 
   /** `VERSION AS OF <v>`; on the `.changes` table, `VERSION AS OF
@@ -1659,19 +1669,37 @@ private[graft] class MaskedStoreScanBuilder(tableName: String,
     read: () => org.apache.spark.sql.DataFrame,
     mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream],
     prunedRead: Option[Array[org.apache.spark.sql.sources.Filter] =>
-      Option[org.apache.spark.sql.DataFrame]] = None)
+      Option[org.apache.spark.sql.DataFrame]] = None,
+    visibleRows: Option[() => Long] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder {
   import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new org.apache.spark.sql.connector.read.V1Scan {
+    new GraftV1RelationScan {
       private lazy val df0 = read()
       override def readSchema(): StructType = df0.schema
       override def description(): String = s"$tableName (dv-masked)"
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: org.apache.spark.sql.SQLContext): T =
+        v1Relation(context).asInstanceOf[T]
+      override def v1Relation(context: org.apache.spark.sql.SQLContext)
+          : BaseRelation =
         new BaseRelation with TableScan with PrunedFilteredScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = context
           override def schema: StructType = df0.schema
+          // REAL statistics for the store-read route: without this
+          // override the relation reports defaultSizeInBytes
+          // (Long.MaxValue) and a 10-row DV-masked / column-mapped /
+          // temporal dimension table can NEVER broadcast — every SQL
+          // join against it shuffles the fact side. Visible rows come
+          // from the version-log checkpoint minus the DV footer count
+          // (metadata-only); width is Catalyst's own per-type
+          // defaultSize estimate, the same formula LocalRelation uses.
+          private lazy val sizeEstimate: Option[Long] = visibleRows.map { h =>
+            val width = 8L + schema.fields.map(_.dataType.defaultSize.toLong).sum
+            math.max(1L, h() * width)
+          }
+          override def sizeInBytes: Long =
+            sizeEstimate.getOrElse(super.sizeInBytes)
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
             df0.rdd
           override def buildScan(requiredColumns: Array[String],
@@ -1688,7 +1716,7 @@ private[graft] class MaskedStoreScanBuilder(tableName: String,
           }
           override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
             filters
-        }.asInstanceOf[T]
+        }
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
         mkStream.map(_(checkpointLocation)).getOrElse(
@@ -1703,7 +1731,8 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     val onMerge: Option[StoreMergeHook] = None,
     maskedRead: Option[() => org.apache.spark.sql.DataFrame] = None,
     prunedRead: Option[Array[org.apache.spark.sql.sources.Filter] =>
-      Option[org.apache.spark.sql.DataFrame]] = None)
+      Option[org.apache.spark.sql.DataFrame]] = None,
+    visibleRows: Option[() => Long] = None)
     extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.sources._
@@ -1749,6 +1778,7 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     maskedRead.foreach { read =>
       return new MaskedStoreScanBuilder(delegate.name, read,
         prunedRead = prunedRead,
+        visibleRows = visibleRows,
         mkStream = streamInfo.map(info => (loc: String) =>
           new ChangesMicroBatchStream(SparkSession.active, info.base,
             info.linked, info.key(), delegate.schema, rowsOnly = true,
