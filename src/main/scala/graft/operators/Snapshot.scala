@@ -1577,6 +1577,89 @@ object Snapshot {
       meta.unionByName(vac).unionByName(agg).orderBy("ver", "bucket")
     },
 
+    "snap_sql_optimize_where" -> { (s, d) =>
+      // PARTITION-SCOPED maintenance through SQL — Delta's `OPTIMIZE t
+      // WHERE part = x` (`CALL compact(tbl, n, bytes, where)`): two
+      // merge-fragmented partitioned stores, one CALL folding ONLY the
+      // 1-URGENT partition's fragments. Gates INSIDE the hashed
+      // result: `untouched_verbatim` (every other partition's file set
+      // carries bit-identical — by name on the linked manifest, by
+      // name+size on the snapshot dir), `scoped_subset` (every NEW
+      // file belongs to the scoped partition — the rewritten-file-set
+      // ⊆ partition contract), `folded` (the scope really compacted:
+      // fewer files than its fragments). Content hash-checks against
+      // the declarative union. At 100 TB maintenance is O(partition),
+      // never O(table).
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_optw_$fp"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val k = col("o_orderkey")
+      // key-RANGE appends: fresh keys sit past every envelope, so each
+      // merge lands pure fragment files (the nightly-append shape
+      // scoped compaction exists to fold) — no rewrite collapses them
+      val v1 = ord.filter(k <= 3000)
+      val add1 = ord.filter(k > 3000 && k <= 4500)
+      val add2 = ord.filter(k > 4500)
+      val cat = s"snapoptw_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val scope = "1-URGENT"
+      val lk = new ManifestStore(s, s"$base/ow_linked", "o_orderkey")
+      if (!lk.versions().contains(1L))
+        lk.writePartitioned(v1, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+      if (!lk.versions().contains(2L))
+        lk.mergeDelta(1L, 2L, add1): Unit
+      if (!lk.versions().contains(3L))
+        lk.mergeDelta(2L, 3L, add2): Unit
+      if (!lk.versions().contains(4L))
+        s.sql(s"CALL $cat.compact('ow_linked', 1, ${1L << 40}L, " +
+          s""""o_orderpriority = '$scope'")""").collect(): Unit
+      def lkFiles(v: Long, inScope: Boolean) = lk.manifest(v)
+        .filter(if (inScope) col("min_o_orderpriority") === scope
+          else col("min_o_orderpriority") =!= scope)
+        .select("file").collect().map(_.getString(0)).toSet
+      val lkUntouched = lkFiles(4L, inScope = false) == lkFiles(3L, inScope = false)
+      val lkNew = lk.manifest(4L).select("file").collect().map(_.getString(0)).toSet
+        .diff(lk.manifest(3L).select("file").collect().map(_.getString(0)).toSet)
+      val lkScoped = lkNew.nonEmpty &&
+        lkNew.subsetOf(lkFiles(4L, inScope = true))
+      val lkFolded = lkFiles(4L, inScope = true).size < lkFiles(3L, inScope = true).size
+      val sn = new SnapshotStore(s, s"$base/ow_snap", "o_orderkey")
+      if (!sn.versions().contains(1L))
+        sn.writePartitioned(v1, 1L, Seq("o_orderpriority"), filesPerPartition = 2)
+      if (!sn.versions().contains(2L))
+        sn.mergeDelta(1L, 2L, add1): Unit
+      if (!sn.versions().contains(3L))
+        sn.mergeDelta(2L, 3L, add2): Unit
+      if (!sn.versions().contains(4L))
+        s.sql(s"CALL $cat.compact('ow_snap', 1, ${1L << 40}L, " +
+          s""""o_orderpriority = '$scope'")""").collect(): Unit
+      def snDir(v: Long) = new java.io.File(s"$base/ow_snap/v=$v").listFiles()
+        .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.length()).toMap
+      def snScope(v: Long) = sn.zoneMap(v).get
+        .filter(col(s"min_o_orderpriority") === scope)
+        .select(regexp_extract(col("file"), "[^/]+$", 0)).collect()
+        .map(_.getString(0)).toSet
+      val (snD3, snD4) = (snDir(3L), snDir(4L))
+      val snCarried = snD4.keySet intersect snD3.keySet
+      val snUntouched = (snD3.keySet diff snScope(3L)).subsetOf(snCarried) &&
+        snCarried.forall(n => snD4(n) == snD3(n))
+      val snNew = snD4.keySet diff snD3.keySet
+      val snScoped = snNew.nonEmpty && snNew.subsetOf(snScope(4L))
+      val snFolded = snScope(4L).size < snScope(3L).size
+      Seq(("ow_linked", lkUntouched, lkScoped, lkFolded),
+        ("ow_snap", snUntouched, snScoped, snFolded)).map { case (t, u, sc, f) =>
+        s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((k % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .select(lit(t).as("layout"), col("bucket"), col("n"), col("sum_price"),
+            lit(u).as("untouched_verbatim"), lit(sc).as("scoped_subset"),
+            lit(f).as("folded"))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_zorder" -> { (s, d) =>
       // `CALL <cat>.zorder('tbl', 'c1,c2', n)` — the clustering
       // maintenance verb beside compact/vacuum/retention (Iceberg's
@@ -2773,6 +2856,17 @@ object Snapshot {
         |SELECT bucket, n, sum_price, ver
         |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
         |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_optimize_where" ->
+      """WITH agg AS (
+        |  SELECT o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT l.layout, a.bucket, a.n, a.sum_price,
+        |  TRUE AS untouched_verbatim, TRUE AS scoped_subset, TRUE AS folded
+        |FROM agg a CROSS JOIN (VALUES ('ow_linked'), ('ow_snap')) AS l(layout)
+        |ORDER BY l.layout, a.bucket""".stripMargin,
 
     "snap_sql_zorder" ->
       """WITH meta AS (

@@ -1363,8 +1363,15 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     }
     val smallNames = small.map(_.getName).toSet
     val carried = allParts.map(_.getPath).filterNot(p => smallNames(p.getName))
-    // masked read: the fold retires DV entries for rewritten files
-    val folded = readDataFiles(fromVersion, small.map(_.toString))
+    // masked read: the fold retires DV entries for rewritten files.
+    // Repartition on the partition tuple so each scoped tuple folds to
+    // ONE file (landFlat's hive split is per task per tuple — without
+    // the shuffle, N input fragments land as N output fragments)
+    val folded0 = readDataFiles(fromVersion, small.map(_.toString))
+    val folded = SnapshotStore.derivePartitionCols(folded0,
+        storedPartitionSpecs().filter(sp =>
+          sp.transform.isDefined && !folded0.columns.contains(sp.name)))
+      .repartition(pcs.map(col): _*)
     val newNames = publishScopedRewrite(fromVersion, toVersion, carried,
       folded, zm, commitTs, "compact", SnapshotStore.predSql(pred))
     (carried.size, newNames.size)

@@ -919,26 +919,41 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Array(tableParam,
           ProcedureParameter.in("target_files", IntegerType).defaultValue("4").build(),
           ProcedureParameter.in("min_bytes", LongType)
-            .defaultValue((8L << 20).toString).build()),
+            .defaultValue((8L << 20).toString).build(),
+          ProcedureParameter.in("where", StringType).defaultValue("''").build()),
         StructType(Seq(StructField("layout", StringType),
           StructField("version", LongType), StructField("files_before", LongType),
           StructField("files_after", LongType)))) { in =>
         val t = tableIdentOf(in.getUTF8String(0).toString)
         val (targetFiles, minBytes) = (in.getInt(1), in.getLong(2))
+        // PARTITION-SCOPED maintenance (Delta's `OPTIMIZE t WHERE …`):
+        // a non-empty `where` restricts the fold to the partitions the
+        // predicate selects — everything else carries untouched
+        val whereSql = in.getUTF8String(3).toString.trim
         val base = storePath(t)
         if (isLinked(t)) {
           val st = new graft.operators.ManifestStore(spark, base, procKey(base))
           val tip = st.versions().max
           val before = st.manifest(tip).count()
-          val (kept, rewritten) = st.compact(tip, tip + 1, minBytes, targetFiles)
+          val (kept, rewritten) =
+            if (whereSql.isEmpty) st.compact(tip, tip + 1, minBytes, targetFiles)
+            else st.compactWhere(tip, tip + 1,
+              org.apache.spark.sql.functions.expr(whereSql), minBytes, targetFiles)
           Array(utf8("linked"), tip + 1, before, (kept + rewritten).toLong)
         } else {
           val st = new SnapshotStore(spark, base, procKey(base))
           val tip = st.versions().max
-          val bytes = st.stats(tip)._3
-          val targetBytes = math.max(1L, (bytes + targetFiles - 1) / targetFiles)
-          val (before, after) = st.compact(tip, targetBytes)
-          Array(utf8("snapshot"), tip, before.toLong, after.toLong)
+          if (whereSql.isEmpty) {
+            val bytes = st.stats(tip)._3
+            val targetBytes = math.max(1L, (bytes + targetFiles - 1) / targetFiles)
+            val (before, after) = st.compact(tip, targetBytes)
+            Array(utf8("snapshot"), tip, before.toLong, after.toLong)
+          } else {
+            val before = st.dataFiles(tip).count(_.getName.startsWith("part-"))
+            val (kept, rewritten) = st.compactWhere(tip, tip + 1,
+              org.apache.spark.sql.functions.expr(whereSql), minBytes)
+            Array(utf8("snapshot"), tip + 1, before.toLong, (kept + rewritten).toLong)
+          }
         }
       }
       case "drop_partitions" => bound("drop_partitions",
@@ -1098,26 +1113,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
       case "fold_dv" => bound("fold_dv",
         Array(tableParam,
-          ProcedureParameter.in("num_files", IntegerType).defaultValue("2").build()),
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("2").build(),
+          ProcedureParameter.in("where", StringType).defaultValue("''").build()),
         StructType(Seq(StructField("layout", StringType),
           StructField("new_version", LongType),
           StructField("files_rewritten", LongType),
           StructField("rows_dropped", LongType)))) { in =>
         // fold the tip's deletion vector into a rewrite of ONLY the
         // masked files — the maintenance verb that stops a long-lived
-        // mask from taxing every read (compact folds only small files)
+        // mask from taxing every read (compact folds only small files).
+        // A non-empty `where` scopes the fold to the partitions the
+        // predicate selects; out-of-scope masks carry intact.
         val t = tableIdentOf(in.getUTF8String(0).toString)
         val n = in.getInt(1)
+        val whereSql = in.getUTF8String(2).toString.trim
         val base = storePath(t)
         if (isLinked(t)) {
           val st = new graft.operators.ManifestStore(spark, base, procKey(base))
           val tip = st.versions().max
-          val (_, rewritten, dropped) = st.foldDv(tip, tip + 1, n)
+          val (_, rewritten, dropped) =
+            if (whereSql.isEmpty) st.foldDv(tip, tip + 1, n)
+            else st.foldDvWhere(tip, tip + 1,
+              org.apache.spark.sql.functions.expr(whereSql), n)
           Array(utf8("linked"), tip + 1, rewritten.toLong, dropped)
         } else {
           val st = new SnapshotStore(spark, base, procKey(base))
           val tip = st.versions().max
-          val (_, rewritten, dropped) = st.foldDv(tip, tip + 1, n)
+          val (_, rewritten, dropped) =
+            if (whereSql.isEmpty) st.foldDv(tip, tip + 1, n)
+            else st.foldDvWhere(tip, tip + 1,
+              org.apache.spark.sql.functions.expr(whereSql))
           Array(utf8("snapshot"), tip + 1, rewritten.toLong, dropped)
         }
       }
@@ -1171,20 +1196,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case "zorder" => bound("zorder",
         Array(tableParam,
           ProcedureParameter.in("z_cols", StringType).build(),
-          ProcedureParameter.in("num_files", IntegerType).defaultValue("4").build()),
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("4").build(),
+          ProcedureParameter.in("where", StringType).defaultValue("''").build()),
         StructType(Seq(StructField("layout", StringType),
           StructField("version", LongType), StructField("n_files", LongType),
           StructField("z_cols", StringType)))) { in =>
         val t = tableIdentOf(in.getUTF8String(0).toString)
         val zc = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val numFiles = in.getInt(2)
+        val whereSql = in.getUTF8String(3).toString.trim
         require(zc.size >= 2,
           s"zorder interleaves MULTIPLE dimensions — got ${zc.mkString(",")}; " +
             "a single clustering column is plain range layout (write via the store API)")
         require(numFiles >= 1, s"zorder: num_files must be >= 1, got $numFiles")
         val base = storePath(t)
         val key = procKey(base)
-        if (isLinked(t)) {
+        // PARTITION-SCOPED re-cluster: only the matching partitions'
+        // files rewrite; n_files reports the NEW files
+        if (whereSql.nonEmpty) {
+          val pred = org.apache.spark.sql.functions.expr(whereSql)
+          if (isLinked(t)) {
+            val st = new graft.operators.ManifestStore(spark, base, key)
+            val tip = st.versions().max
+            val (_, rewritten) = st.zorderWhere(tip, tip + 1, pred, zc, numFiles)
+            Array(utf8("linked"), tip + 1, rewritten.toLong, utf8(zc.mkString(",")))
+          } else {
+            val st = new SnapshotStore(spark, base, key)
+            val tip = st.versions().max
+            val (_, rewritten) = st.zorderWhere(tip, tip + 1, pred, zc, numFiles)
+            Array(utf8("snapshot"), tip + 1, rewritten.toLong, utf8(zc.mkString(",")))
+          }
+        } else if (isLinked(t)) {
           // construction statsCols drive the new manifest's per-file
           // envelopes; later catalog DML derives them back from the
           // manifest itself, so the CALL is self-contained
