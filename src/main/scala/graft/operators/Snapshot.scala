@@ -718,6 +718,60 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
     },
 
+    "snap_sql_merge_evolve" -> { (s, d) =>
+      // `MERGE ... WITH SCHEMA EVOLUTION` through the catalog on BOTH
+      // layouts: the source carries a NEW column (disc); the analyzer
+      // (gated on AUTOMATIC_SCHEMA_EVOLUTION) routes the ADD COLUMN
+      // through alterTable — ONE metadata-only union-schema commit, no
+      // rewrite — and the merge plans against the evolved target.
+      // Matched keys (%5=0) take the repriced row + disc; untouched
+      // rows read disc NULL; fresh keys insert with disc. v1 stays
+      // narrow (`v1_narrow` gate inside the hashed result — immutable
+      // history); tip hash-checks against the declarative rebuild.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlmev_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val snap = new SnapshotStore(s, s"$base/me_snap", "o_orderkey")
+      if (!snap.versions().contains(1L))
+        snap.writeRangePartitioned(ord, 1L, 8, commitTs = Some(1000L))
+      val linked = new ManifestStore(s, s"$base/me_linked", "o_orderkey")
+      if (!linked.versions().contains(1L))
+        linked.write(ord, 1L, 8, commitTs = Some(1000L))
+      val cat = s"snapmev_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val src = ord.filter(k % 5 === 0)
+        .select(k.as("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .unionByName(ord.filter(k % 3 === 0)
+          .select((k + 100000000L).as("o_orderkey"),
+            (col("o_totalprice") + 7.0).as("o_totalprice")))
+        .withColumn("disc", col("o_totalprice") + 1.0)
+      src.createOrReplaceTempView(s"mev_src_$fp")
+      for (t <- Seq("me_snap", "me_linked")) {
+        val landed = (if (t == "me_snap") snap.versions() else linked.versions())
+          .contains(3L) // v2 = evolve commit, v3 = the merge itself
+        if (!landed)
+          s.sql(
+            s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.$t t
+               |USING mev_src_$fp s ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      Seq("me_snap", "me_linked").map { t =>
+        val v1Narrow = !s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1")
+          .columns.contains("disc")
+        s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((k % 50).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"),
+            moneySum(col("disc")).as("sum_disc"),
+            count(col("disc")).as("n_disc"))
+          .select(lit(t).as("layout"), col("bucket"), col("n"), col("sum_price"),
+            col("sum_disc"), col("n_disc"), lit(v1Narrow).as("v1_narrow"))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_sql_update" -> { (s, d) =>
       // SQL `UPDATE` through the catalog on BOTH store layouts —
       // MERGE's in-place cousin (GraftUpdateExec: the WHERE-matched
@@ -2856,6 +2910,25 @@ object Snapshot {
         |SELECT bucket, n, sum_price, ver
         |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
         |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_merge_evolve" ->
+      """WITH tip AS (
+        |  SELECT o_orderkey, o_totalprice + 100.0 AS p,
+        |    o_totalprice + 101.0 AS disc
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice + 7.0, o_totalprice + 8.0
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT l.layout, t.o_orderkey % 50 AS bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(t.p AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+        |  ROUND(CAST(SUM(CAST(t.disc AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_disc,
+        |  COUNT(t.disc) AS n_disc, TRUE AS v1_narrow
+        |FROM tip t CROSS JOIN (VALUES ('me_snap'), ('me_linked')) AS l(layout)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "snap_sql_optimize_where" ->
       """WITH agg AS (

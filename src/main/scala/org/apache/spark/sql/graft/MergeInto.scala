@@ -68,13 +68,13 @@ object GraftMergeStrategy extends SparkStrategy {
       unwrapTable(m.targetTable) match {
         case Some(t: SnapshotTable) =>
           t.onMerge match {
-            case Some(hook) =>
-              if (m.withSchemaEvolution)
-                throw new UnsupportedOperationException(
-                  "MERGE ... WITH SCHEMA EVOLUTION is not supported through " +
-                    "SnapshotCatalog — evolve through the store API's mergeDelta, " +
-                    "whose union-schema sidecar carries column adds without rewrites")
-              GraftMergeExec(hook, m) :: Nil
+            // WITH SCHEMA EVOLUTION is resolved BEFORE planning: the
+            // analyzer (gated on AUTOMATIC_SCHEMA_EVOLUTION) already
+            // routed the source's new columns through the catalog's
+            // alterTable (a metadata-only union-schema commit) and
+            // re-resolved the merge against the evolved target — by
+            // here the plan is an ordinary same-schema merge.
+            case Some(hook) => GraftMergeExec(hook, m) :: Nil
             case None => throw new UnsupportedOperationException(
               "MERGE is only supported on the table tip — a version- or " +
                 "timestamp-pinned read is immutable history")

@@ -1790,6 +1790,14 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     val caps = new util.HashSet[TableCapability](delegate.capabilities())
     if (onMerge.isDefined) caps.add(TableCapability.V1_BATCH_WRITE)
     if (onMerge.isDefined) caps.add(TableCapability.TRUNCATE)
+    // MERGE ... WITH SCHEMA EVOLUTION: the analyzer computes the ADD
+    // COLUMN set from the source, routes it through this catalog's
+    // alterTable (one metadata-only union-schema commit via
+    // mergeDelta's evolution machinery), reloads the evolved table,
+    // and the merge itself plans against the widened target. Type
+    // CHANGES keep refusing through alterTable's widening guard.
+    if (onMerge.isDefined)
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // a PARTITIONED tip supports classic dynamic partition overwrite
     // (planned by GraftMergeStrategy onto the store's replaceWhere)
     if (onMerge.exists(_.replacePartitions.isDefined))

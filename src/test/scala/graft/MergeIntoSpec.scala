@@ -113,12 +113,42 @@ class MergeIntoSpec extends SparkSpec {
       "MERGE INTO mcat.m_refuse t USING m_rsrc s ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET k = s.k + 1"))
     assert(e2.getMessage.contains("identity"), e2.getMessage)
-    val e3 = intercept[Exception](spark.sql(
+    // a same-shape WITH SCHEMA EVOLUTION is just a merge (no changes
+    // to evolve) — it must succeed, not refuse
+    spark.sql(
       "MERGE WITH SCHEMA EVOLUTION INTO mcat.m_refuse t USING m_rsrc s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET *"))
-    assert(e3.getMessage != null, e3.getMessage)
-    // nothing landed: tip is still v1
-    assert(contents("m_refuse") == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+        "WHEN MATCHED THEN UPDATE SET *")
+    assert(contents("m_refuse") == Set((1L, "a", 10.0), (2L, "B", 22.0), (3L, "c", 30.0)))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source's new column evolves the target (both layouts); type changes keep refusing") {
+    for ((t, mk) <- Seq(("m_evo_snap", () => freshSnap("m_evo_snap"): Unit),
+        ("m_evo_linked", () => freshLinked("m_evo_linked"): Unit))) {
+      mk()
+      Seq((2L, "B", 22.0, 0.9), (4L, "d", 40.0, 0.4))
+        .toDF("k", "name", "v", "score").createOrReplaceTempView("m_esrc")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO mcat.$t t USING m_esrc s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.sql(s"SELECT k, name, v, score FROM mcat.$t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+      assert(got == Set((1L, "a", 10.0, null), (2L, "B", 22.0, 0.9),
+        (3L, "c", 30.0, null), (4L, "d", 40.0, 0.4)), s"$t: $got")
+      // pinned history keeps the narrow schema
+      assert(!spark.sql(s"SELECT * FROM mcat.$t VERSION AS OF 1")
+        .columns.contains("score"), t)
+    }
+    // a type CHANGE stays refused (schema evolution adds columns and
+    // widens; it never reinterprets stored bytes)
+    Seq((2L, "B", "not-a-double")).toDF("k", "name", "v")
+      .createOrReplaceTempView("m_esrc_bad")
+    val e = intercept[Exception](spark.sql(
+      "MERGE WITH SCHEMA EVOLUTION INTO mcat.m_evo_linked t USING m_esrc_bad s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"))
+    assert(e.getMessage != null)
   }
 
   test("MERGE onto an evolved tip: fills materialize, sidecar carries forward") {
