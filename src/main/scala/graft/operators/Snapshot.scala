@@ -234,6 +234,57 @@ object Snapshot {
     (upserts, if (deletes.limit(1).count() == 0) None else Some(deletes))
   }
 
+  /** MAINTAIN AGGREGATE — the materialized-view half of the CDC
+    * story: incrementally update a keyed SUM/COUNT aggregate table
+    * from a CDF feed (`.changes_cdf`'s contract) WITHOUT re-scanning
+    * the base table. Every change row contributes with a sign —
+    * insert/update_postimage +1, delete/update_preimage −1 — so
+    * `base + Σ signed contributions` equals the aggregate recomputed
+    * from the new tip (spec-proven), at a cost of O(|feed|), not
+    * O(table): the 100 TB downstream-rollup maintenance loop.
+    *
+    * `baseAgg` is the aggregate as of the feed's predecessor: one row
+    * per `groupCols` tuple with each `sums` output column and a
+    * `countCol` row count. Returns the same shape as of the feed's
+    * end; groups whose count reaches 0 drop (they no longer exist),
+    * groups first seen in the feed appear. AVG and friends derive
+    * downstream (sum/count); MIN/MAX are NOT incrementally
+    * maintainable from deletes and are refused by construction (no
+    * spec shape for them). */
+  def maintainAggregate(baseAgg: DataFrame, feed: DataFrame,
+      groupCols: Seq[String], sums: Map[String, String],
+      countCol: String = "n_rows"): DataFrame = {
+    require(groupCols.nonEmpty, "maintainAggregate: no group columns")
+    val outCols = groupCols ++ sums.keys.toSeq.sorted :+ countCol
+    val missing = outCols.filterNot(baseAgg.columns.contains)
+    require(missing.isEmpty,
+      s"maintainAggregate: baseAgg lacks ${missing.mkString(", ")}")
+    // the plain feed's 'update' rows carry only the NEW value — the
+    // retraction needs the CDF shape's preimage
+    val sgn = when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(lit(null))
+    val signed = feed.withColumn("__sgn", sgn)
+    val badShape = signed.filter(col("__sgn").isNull).limit(1).count() > 0
+    require(!badShape,
+      "maintainAggregate needs the CDF feed shape (.changes_cdf: " +
+        "update_preimage/update_postimage pairs) — a plain 'update' row " +
+        "cannot retract the old contribution")
+    val deltaAggs = sums.toSeq.sortBy(_._1).map { case (out, src) =>
+      sum(col(src) * col("__sgn")).as(s"__d_$out") } :+
+      sum(col("__sgn")).as("__d_n")
+    val deltas = signed.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    baseAgg.join(deltas, groupCols, "full_outer")
+      .select((groupCols.map(col) ++
+        sums.keys.toSeq.sorted.map(out =>
+          (coalesce(col(out), lit(0.0)) + coalesce(col(s"__d_$out"), lit(0.0)))
+            .as(out)) :+
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("__d_n"), lit(0L)))
+          .as(countCol)): _*)
+      .filter(col(countCol) > 0)
+  }
+
   // ---- snapshot modeling over the shared testdata ----
 
   /** orders with a canonical per-row md5 fingerprint. */
@@ -716,6 +767,81 @@ object Snapshot {
         agg(s.sql(s"SELECT * FROM $cat.$t VERSION AS OF 1"), t, 1L)
           .unionByName(agg(s.sql(s"SELECT * FROM $cat.$t"), t, 2L))
       }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
+    "snap_maintain_agg" -> { (s, d) =>
+      // MAINTAIN AGGREGATE from the CDF feed — the materialized-view
+      // half of CDC, on BOTH layouts: a per-custkey-bucket SUM table
+      // maintained across an update-heavy MoR reprice + CoW reprice +
+      // insert + delete chain from `.changes_cdf` ALONE (base + inserts
+      // + postimages − preimages − deletes), never re-scanning the
+      // base. Hash-checks against the declaratively recomputed final
+      // aggregate; `agrees` gates maintained == recomputed inside the
+      // hashed result. O(|feed|) maintenance — the 100 TB rollup loop.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_magg_$fp"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val v1 = ord.filter(k % 2 === 0)
+      val cat = s"snapmagg_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val morDelta = ord.filter(k % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      val cowDelta = ord.filter(k % 12 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+        .unionByName(ord.filter(k % 6 === 0)
+          .select((k + 100000000L).as("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 3.0).as("o_totalprice")))
+      val delKeys = ord.filter(k % 18 === 0).select(k)
+      for (layout <- Seq("ma_snap", "ma_linked")) {
+        if (layout == "ma_snap") {
+          val st = new SnapshotStore(s, s"$base/$layout", "o_orderkey")
+          if (!st.versions().contains(1L))
+            st.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+          if (!st.versions().contains(2L))
+            st.mergeDeltaMor(1L, 2L, morDelta, commitTs = Some(2000L)): Unit
+          if (!st.versions().contains(3L))
+            st.mergeDelta(2L, 3L, cowDelta, commitTs = Some(3000L)): Unit
+          if (!st.versions().contains(4L))
+            st.mergeDelta(3L, 4L, cowDelta.limit(0), Some(delKeys),
+              commitTs = Some(4000L)): Unit
+        } else {
+          val st = new ManifestStore(s, s"$base/$layout", "o_orderkey")
+          if (!st.versions().contains(1L))
+            st.write(v1, 1L, 8, commitTs = Some(1000L))
+          if (!st.versions().contains(2L))
+            st.mergeDeltaMor(1L, 2L, morDelta, commitTs = Some(2000L)): Unit
+          if (!st.versions().contains(3L))
+            st.mergeDelta(2L, 3L, cowDelta, commitTs = Some(3000L)): Unit
+          if (!st.versions().contains(4L))
+            st.mergeDelta(3L, 4L, cowDelta.limit(0), Some(delKeys),
+              commitTs = Some(4000L)): Unit
+        }
+      }
+      def bucketed(df: DataFrame) =
+        df.withColumn("bucket", col("o_custkey") % 20)
+      val baseAgg = bucketed(v1).groupBy("bucket")
+        .agg(sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      Seq("ma_snap", "ma_linked").map { t =>
+        val feed = bucketed(
+          s.sql(s"SELECT * FROM $cat.$t.changes_cdf VERSION AS OF '2..4'"))
+        val maintained = Snapshot.maintainAggregate(baseAgg, feed,
+          Seq("bucket"), Map("sum_price" -> "o_totalprice"))
+        val recomputed = bucketed(s.sql(s"SELECT * FROM $cat.$t"))
+          .groupBy("bucket")
+          .agg(sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+        val agrees = maintained
+          .select(col("bucket"), round(col("sum_price"), 2).as("sp"), col("n_rows"))
+          .exceptAll(recomputed
+            .select(col("bucket"), round(col("sum_price"), 2).as("sp"), col("n_rows")))
+          .limit(1).count() == 0
+        maintained.select(lit(t).as("layout"), col("bucket"),
+          round(col("sum_price"), 2).as("sum_price"), col("n_rows"),
+          lit(agrees).as("agrees"))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
     "snap_sql_merge_evolve" -> { (s, d) =>
@@ -2910,6 +3036,26 @@ object Snapshot {
         |SELECT bucket, n, sum_price, ver
         |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
         |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_maintain_agg" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |final AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN k % 12 = 0 THEN p + 7.0
+        |         WHEN k % 10 = 0 THEN p + 5.0
+        |         ELSE p END AS price
+        |  FROM ev WHERE k % 18 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice + 3.0
+        |  FROM orders WHERE o_orderkey % 6 = 0)
+        |SELECT l.layout, f.o_custkey % 20 AS bucket,
+        |  ROUND(SUM(f.price), 2) AS sum_price,
+        |  COUNT(*) AS n_rows, TRUE AS agrees
+        |FROM final f CROSS JOIN (VALUES ('ma_linked'), ('ma_snap')) AS l(layout)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "snap_sql_merge_evolve" ->
       """WITH tip AS (

@@ -461,14 +461,46 @@ class ChangeFeedSpec extends SparkSpec {
     st.mergeDelta(3L, 4L, Seq((61L, 61.0)).toDF("k", "x"),
       Some(Seq(10L, 20L).toDF("k")), commitTs = Some(4000L)): Unit
     val feed = spark.sql("SELECT * FROM cfcat.cfm_sum.changes_cdf VERSION AS OF '2..4'")
-      .select("x", "change_type").collect()
-    def sumOf(ct: String) = feed.filter(_.getString(1) == ct).map(_.getDouble(0)).sum
-    val maintained = v1.agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0) +
-      sumOf("insert") + sumOf("update_postimage") - sumOf("update_preimage") -
-      sumOf("delete")
-    val recomputed = st.read(4L)
-      .agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0)
-    assert(math.abs(maintained - recomputed) < 1e-6,
-      s"maintained $maintained != recomputed $recomputed")
+    // the FIRST-CLASS operator: per-group (k % 7) sums maintained from
+    // the feed alone — groups appear (fresh inserts), shrink
+    // (deletes), and reprice without a base-table rescan
+    import org.apache.spark.sql.functions.{sum, count}
+    def bucketed(df: DataFrame) = df.withColumn("g",
+      org.apache.spark.sql.functions.col("k") % 7)
+    val baseAgg = bucketed(v1).groupBy("g")
+      .agg(sum("x").as("sum_x"), count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    val maintained = graft.operators.Snapshot.maintainAggregate(
+      baseAgg, bucketed(feed), Seq("g"), Map("sum_x" -> "x"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+        r.getLong(2))).toSet
+    val recomputed = bucketed(st.read(4L)).groupBy("g")
+      .agg(sum("x").as("sum_x"), count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+        r.getLong(2))).toSet
+    assert(maintained == recomputed, s"maintained $maintained != recomputed $recomputed")
+    // a plain (non-CDF) feed refuses: 'update' rows cannot retract
+    val plain = spark.sql("SELECT * FROM cfcat.cfm_sum.changes VERSION AS OF '2..4'")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Snapshot.maintainAggregate(
+        baseAgg, bucketed(plain), Seq("g"), Map("sum_x" -> "x")).collect())
+    assert(e.getMessage.contains("CDF"), e.getMessage)
+    // a group that empties DROPS: delete every k%7==6 key left at v4
+    val allKeys = st.read(4L).filter(org.apache.spark.sql.functions.col("k") % 7 === 6)
+      .select("k")
+    st.mergeDelta(4L, 5L, Seq((63L, 63.0)).toDF("k", "x"), Some(allKeys),
+      commitTs = Some(5000L)): Unit
+    val feed5 = spark.sql("SELECT * FROM cfcat.cfm_sum.changes_cdf VERSION AS OF '5..5'")
+    val m5 = graft.operators.Snapshot.maintainAggregate(
+      graft.operators.Snapshot.maintainAggregate(
+        baseAgg, bucketed(feed), Seq("g"), Map("sum_x" -> "x")),
+      bucketed(feed5), Seq("g"), Map("sum_x" -> "x"))
+    assert(m5.filter(org.apache.spark.sql.functions.col("g") === 6L).count() == 0,
+      "emptied group must drop")
+    val rec5 = bucketed(st.read(5L)).groupBy("g")
+      .agg(sum("x").as("sum_x"), count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+        r.getLong(2))).toSet
+    assert(m5.collect().map(r => (r.getLong(0),
+      math.round(r.getDouble(1) * 100) / 100.0, r.getLong(2))).toSet == rec5)
   }
 }
