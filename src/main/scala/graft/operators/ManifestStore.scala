@@ -1218,15 +1218,25 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .map(r => r.getString(0) -> math.max(r.getLong(1), 1L)).toMap
     val paths = resolve(version)
     require(paths.nonEmpty, s"buildBloomIndex: version $version has no files")
+    bloomsFor(version, paths, expected, column, fpp)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(bloomDir(version, column).toString)
+  }
+
+  /** Per-file Bloom rows for a FILE SUBSET — the shared build pass
+    * under [[buildBloomIndex]] (full) and [[extendBloomIndex]] (new
+    * files only). */
+  private def bloomsFor(version: Long, paths: Seq[String],
+      expected: Map[String, Long], column: String, fpp: Double): DataFrame = {
     val raw = readFilesRaw(version, paths)
-    require(raw.columns.contains(column), s"buildBloomIndex: no column '$column'")
+    require(raw.columns.contains(column), s"bloom index: no column '$column'")
     import org.apache.spark.sql.Encoders
     val pairs = raw.select(
         element_at(split(input_file_name(), "/"), -1).as("__f"),
         col(column).cast("string").as("__v"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
     val fppLocal = fpp
-    val blooms = pairs.groupByKey(_._1)(Encoders.STRING)
+    pairs.groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (f, it) =>
         val bf = org.apache.spark.util.sketch.BloomFilter.create(
           expected.getOrElse(f, 1000L), fppLocal)
@@ -1236,9 +1246,50 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         (f, bos.toByteArray)
       }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .toDF("file", "bloom")
-    blooms.coalesce(1).write.mode("overwrite")
-      .parquet(bloomDir(version, column).toString)
   }
+
+  /** INCREMENTAL Bloom extension — the maintenance half Delta's bloom
+    * index gets for free at OPTIMIZE time: `toVersion`'s index =
+    * `fromVersion`'s entries for files STILL REFERENCED (pool files
+    * are immutable, so a carried file's filter is carried truth) plus
+    * freshly built filters for the files the commit ADDED. Cost =
+    * one narrow scan of the NEW files — never a full rebuild. Files
+    * that left the manifest drop their entries. */
+  def extendBloomIndex(fromVersion: Long, toVersion: Long, column: String,
+      fpp: Double = 0.01): Unit = {
+    val from = bloomDir(fromVersion, column)
+    require(fs.exists(new Path(from, "_SUCCESS")),
+      s"extendBloomIndex: version $fromVersion has no bloom index on '$column'")
+    val toMan = manifest(toVersion).select("file", "n_rows").collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), 1L)).toMap
+    val old = spark.read.parquet(from.toString).localCheckpoint()
+    val oldNames = old.select("file").collect().map(_.getString(0)).toSet
+    val carried = old.filter(col("file").isin(toMan.keys.toSeq: _*))
+    val fresh = toMan.keys.filterNot(oldNames).toSeq.sorted
+    val rows =
+      if (fresh.isEmpty) carried
+      else carried.unionByName(bloomsFor(toVersion,
+        fresh.map(n => new Path(poolDir, n).toString), toMan, column, fpp))
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(bloomDir(toVersion, column).toString)
+  }
+
+  /** Columns carrying a Bloom sidecar on `version`. */
+  def bloomColumns(version: Long): Seq[String] =
+    if (!fs.exists(manifestDir(version))) Nil
+    else fs.listStatus(manifestDir(version)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_bloom_")).map(_.stripPrefix("_bloom_")).sorted
+
+  /** Best-effort AUTO-EXTENSION at merge time: every indexed column of
+    * the predecessor extends onto the child (carry + index-new-only).
+    * Best-effort — the index is a derived artifact and a stale/absent
+    * one stays CORRECT (unindexed files always open), so a failure
+    * here never fails the commit. */
+  private def autoExtendBloomIndexes(fromVersion: Long, toVersion: Long): Unit =
+    bloomColumns(fromVersion).foreach { c =>
+      try extendBloomIndex(fromVersion, toVersion, c)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** The stored per-file Bloom filters for `column`, when built. */
   def bloomIndex(version: Long, column: String)
@@ -1361,6 +1412,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
       if (evolved || stats.isEmpty) Some(unionSchema) else None,
       dv = carryDv(fromVersion, shared), op = "mergeDelta")
+    // an indexed predecessor extends its Bloom sidecars: carried files
+    // keep their filters verbatim, only the landed files scan
+    autoExtendBloomIndexes(fromVersion, toVersion)
     (shared.count().toInt, nRewritten)
   }
 
@@ -1505,6 +1559,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
       dv = if (mask.limit(1).count() == 0) None else Some(mask),
       op = "mergeDeltaMor")
+    autoExtendBloomIndexes(fromVersion, toVersion)
     (stats.fold(0L)(_.count()).toInt, nMasked)
   }
 
@@ -2073,6 +2128,37 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
           op = "foldDv", opParams = SnapshotStore.predSql(pred))
         (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
     }
+  }
+
+  /** AUTO-MAINTENANCE hook — the per-micro-batch guard the streaming
+    * sink wires in (`maxFilesPerCommit`): when the tip references more
+    * than `maxFiles` pool files AND at least two are sub-`minBytes`
+    * fragments, fold them ([[compact]]) into a fresh version. The
+    * two-fragment guard keeps a large-file tip from publishing useless
+    * no-op versions every batch. Returns the compacted version when it
+    * ran. */
+  def maybeCompact(maxFiles: Int, minBytes: Long = 8L << 20,
+      targetFiles: Int = 4): Option[Long] = {
+    val vs = versions()
+    if (vs.isEmpty) return None
+    val tip = vs.max
+    val files = manifest(tip).select("file").collect().map(_.getString(0))
+    if (files.length <= maxFiles) return None
+    val fragments = files.count(n =>
+      fs.getFileStatus(new Path(poolDir, n)).getLen < minBytes)
+    if (fragments <= 1) None
+    else { compact(tip, tip + 1, minBytes, targetFiles); Some(tip + 1) }
+  }
+
+  /** AUTO-RETENTION hook (`maxVersionsToKeep`): prune to the newest
+    * `maxVersions` when the chain outgrows them — the streaming sink's
+    * one-version-per-micro-batch growth bound. Returns versions
+    * dropped. */
+  def maybeRetain(maxVersions: Int): Int = {
+    require(maxVersions >= 1, s"maybeRetain: need >= 1, got $maxVersions")
+    val vs = versions()
+    if (vs.size <= maxVersions) 0
+    else { prune(vs.takeRight(maxVersions)): Unit; vs.size - maxVersions }
   }
 
   /** Drop all versions except `keep`. Manifests delete FIRST (a crash

@@ -2807,6 +2807,30 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .map(_.getPath)
   }
 
+  /** AUTO-MAINTENANCE hook — [[ManifestStore.maybeCompact]]'s twin on
+    * this layout: when the tip holds more than `maxFiles` data files,
+    * fold it IN PLACE ([[compact]] — this layout's maintenance verb
+    * rewrites the version dir, identity preserved). Returns the tip
+    * when it ran. */
+  def maybeCompact(maxFiles: Int,
+      targetBytes: Long = 128L << 20): Option[Long] = {
+    val vs = versions()
+    if (vs.isEmpty) return None
+    val tip = vs.max
+    val n = dataFiles(tip).count(_.getName.startsWith("part-"))
+    if (n <= maxFiles) None
+    else { compact(tip, targetBytes): Unit; Some(tip) }
+  }
+
+  /** AUTO-RETENTION hook — prune to the newest `maxVersions`; the
+    * streaming sink's one-version-per-micro-batch growth bound.
+    * Returns versions dropped. */
+  def maybeRetain(maxVersions: Int): Int = {
+    require(maxVersions >= 1, s"maybeRetain: need >= 1, got $maxVersions")
+    val vs = versions()
+    if (vs.size <= maxVersions) 0 else prune(maxVersions).size
+  }
+
   /** Delete all but the newest `keepLast` versions. Returns the pruned
     * version ids. */
   def prune(keepLast: Int): Seq[Long] = {

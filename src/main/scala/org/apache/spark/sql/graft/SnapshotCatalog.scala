@@ -1903,8 +1903,13 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             val si = streamInfo.getOrElse(throw new UnsupportedOperationException(
               "writeStream.toTable is only supported on the table tip"))
+            val opts = info.options()
             new StoreStreamingWrite(SparkSession.active, si.base, si.linked,
-              si.key(), info.schema(), info.queryId())
+              si.key(), info.schema(), info.queryId(),
+              maxFilesPerCommit =
+                Option(opts.get("maxFilesPerCommit")).map(_.toInt),
+              maxVersionsToKeep =
+                Option(opts.get("maxVersionsToKeep")).map(_.toInt))
           }
         }
     }

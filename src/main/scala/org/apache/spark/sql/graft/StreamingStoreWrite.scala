@@ -50,7 +50,9 @@ import org.apache.spark.util.SerializableConfiguration
   * lives under `.tmp-stream-*`, which the stores' vacuum TTL pass
   * already reclaims. */
 private[graft] class StoreStreamingWrite(spark: SparkSession, base: String,
-    linked: Boolean, key: String, schema: StructType, queryId: String)
+    linked: Boolean, key: String, schema: StructType, queryId: String,
+    maxFilesPerCommit: Option[Int] = None,
+    maxVersionsToKeep: Option[Int] = None)
     extends StreamingWrite {
 
   private val stagingRoot = s"$base/.tmp-stream-$queryId"
@@ -124,9 +126,17 @@ private[graft] class StoreStreamingWrite(spark: SparkSession, base: String,
       if (linked) {
         val st = new graft.operators.ManifestStore(spark, base, key)
         st.mergeAtTip(staged): Unit
+        // AUTO-MAINTENANCE per micro-batch (opt-in writeStream
+        // options): fold fragment growth and bound the version chain
+        // — a sink committing one version per batch otherwise grows
+        // both without bound until a manual CALL compact/retention
+        maxFilesPerCommit.foreach(st.maybeCompact(_): Unit)
+        maxVersionsToKeep.foreach(st.maybeRetain(_): Unit)
       } else {
         val st = new graft.operators.SnapshotStore(spark, base, key)
         st.mergeAtTip(staged): Unit
+        maxFilesPerCommit.foreach(st.maybeCompact(_): Unit)
+        maxVersionsToKeep.foreach(st.maybeRetain(_): Unit)
       }
     }
     recordEpoch(epochId)

@@ -144,4 +144,65 @@ class StreamingWriteSpec extends SparkSpec {
     assert(seen.sorted == Seq((1L, "a"), (1L, "a2"), (2L, "b")),
       s"change feed saw: $seen")
   }
+
+  test("auto-maintenance: a 50-micro-batch run keeps pool files and versions BOUNDED; content invariant") {
+    val (root, cat) = freshCat("am")
+    spark.sql(s"CREATE TABLE $cat.st_am (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('key'='k', 'layout'='linked')")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/_ckpt_am")
+      .option("maxFilesPerCommit", "8")
+      .option("maxVersionsToKeep", "10")
+      .toTable(s"$cat.st_am")
+    try {
+      (1 to 50).foreach { i =>
+        in.addData((i.toLong, s"v$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val st = new ManifestStore(spark, s"$root/st_am", "k")
+    val tip = st.versions().max
+    // CONTENT: every row landed exactly once across compaction/pruning
+    assert(rows(s"SELECT * FROM $cat.st_am")
+      == (1 to 50).map(i => (i.toLong, s"v$i")).toSet)
+    // BOUNDED files: without maybeCompact this is ~50 fragments
+    val nFiles = st.manifest(tip).count()
+    assert(nFiles <= 12, s"pool fragments unbounded: $nFiles")
+    // BOUNDED versions: one per batch + compaction commits, pruned
+    assert(st.versions().size <= 10, s"versions unbounded: ${st.versions()}")
+    // compaction commits are stamped for the audit trail
+    val ops = st.history().select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("compact"), ops.toString)
+  }
+
+  test("Bloom index auto-extends at merge: carried files keep their filters byte-for-byte, only new files index; probe prunes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloomx").toString
+    val st = new ManifestStore(spark, s"$root/t", "k", statsCols = Seq("cust"))
+    st.write((1L to 400L).map(i => (i, i % 37)).toDF("k", "cust"), 1L, 8)
+    st.buildBloomIndex(1L, "cust")
+    val idx1 = spark.read.parquet(s"$root/t/_manifests/v=1/_bloom_cust")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // append NEW key range: untouched files carry, fresh files land
+    st.mergeDelta(1L, 2L, (401L to 480L).map(i => (i, 9999L)).toDF("k", "cust"))
+    val idx2Dir = s"$root/t/_manifests/v=2/_bloom_cust"
+    assert(new java.io.File(idx2Dir, "_SUCCESS").exists(),
+      "merge did not auto-extend the bloom index")
+    val idx2 = spark.read.parquet(idx2Dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // carried files: IDENTICAL serialized filters (no rebuild); new
+    // files: fresh entries — the index covers the whole v2 file set
+    val carried = idx1.keySet intersect idx2.keySet
+    assert(carried == idx1.keySet, "a carried file lost its filter")
+    carried.foreach(n => assert(idx2(n) == idx1(n), s"$n filter rebuilt"))
+    val v2Files = st.manifest(2L).select("file").collect().map(_.getString(0)).toSet
+    assert(idx2.keySet == v2Files, "extension must cover every v2 file")
+    // probe: the 9999 value lives ONLY in the new files — the extended
+    // index prunes every carried file (pre-extension it would open all)
+    val (hits, opened) = st.readWhereEquals(2L, "cust", 9999L)
+    assert(hits.count() == 80)
+    val newFiles = v2Files diff idx1.keySet
+    assert(opened <= newFiles.size + 1, s"opened $opened of ${v2Files.size}")
+  }
 }
