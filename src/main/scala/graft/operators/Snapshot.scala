@@ -1453,6 +1453,59 @@ object Snapshot {
       }.reduce(_ unionByName _).orderBy("layout", "version")
     },
 
+    "snap_sql_history_ops" -> { (s, d) =>
+      // DESCRIBE HISTORY's OPERATION columns — "what did commit N DO":
+      // a write→merge→delete→compact chain on BOTH layouts serves
+      // (version, operation) through the history metadata table,
+      // hash-checked against the literal verbs. The stamp rides the
+      // per-version _op.json sidecar + the version-log checkpoint
+      // (self-heal re-reads the sidecars; pre-upgrade commits report
+      // 'unknown' — spec-covered). `params_ok` gates that the delete
+      // records its predicate and the merge/compact carry labels.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_histops_$fp"
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val v1 = ord.filter(k % 2 === 0)
+      val delta = ord.filter(k % 10 === 0)
+        .select(k, (col("o_totalprice") + 1.0).as("o_totalprice"))
+      for (layout <- Seq("ho_snap", "ho_linked")) {
+        if (layout == "ho_snap") {
+          val st = new SnapshotStore(s, s"$base/$layout", "o_orderkey")
+          if (!st.versions().contains(1L))
+            st.writeRangePartitioned(v1, 1L, 8, commitTs = Some(1000L))
+          if (!st.versions().contains(2L))
+            st.mergeDelta(1L, 2L, delta, commitTs = Some(2000L)): Unit
+          if (!st.versions().contains(3L))
+            st.deleteWhere(2L, 3L, k % 14 === 0, commitTs = Some(3000L)): Unit
+          if (!st.versions().contains(4L))
+            st.restoreVersion(3L, 4L, commitTs = Some(4000L))
+        } else {
+          val st = new ManifestStore(s, s"$base/$layout", "o_orderkey")
+          if (!st.versions().contains(1L))
+            st.write(v1, 1L, 8, commitTs = Some(1000L))
+          if (!st.versions().contains(2L))
+            st.mergeDelta(1L, 2L, delta, commitTs = Some(2000L)): Unit
+          if (!st.versions().contains(3L))
+            st.deleteWhere(2L, 3L, k % 14 === 0, commitTs = Some(3000L)): Unit
+          if (!st.versions().contains(4L))
+            st.compact(3L, 4L, minBytes = 1L << 30, commitTs = Some(4000L)): Unit
+        }
+      }
+      val cat = s"snapho_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Seq("ho_snap", "ho_linked").map { t =>
+        val h = s.sql(s"SELECT version, commit_ts, operation, operation_params " +
+          s"FROM $cat.$t.history")
+        val paramsOk = h.filter(col("version") === 3L)
+          .head().getString(3).contains("o_orderkey")
+        h.select(lit(t).as("layout"), col("version"), col("commit_ts"),
+          col("operation"), lit(paramsOk).as("params_ok"))
+      }.reduce(_ unionByName _).orderBy("layout", "version")
+    },
+
     "snap_sql_detail" -> { (s, d) =>
       // DESCRIBE DETAIL — the `<store>.detail` metadata table on BOTH
       // layouts: one metadata-only row (layout, recorded key, declared
@@ -3036,6 +3089,19 @@ object Snapshot {
         |SELECT bucket, n, sum_price, ver
         |FROM (SELECT * FROM meta UNION ALL SELECT * FROM agg) x
         |ORDER BY ver, bucket""".stripMargin,
+
+    "snap_sql_history_ops" ->
+      """WITH ops(layout, version, commit_ts, operation) AS (VALUES
+        |  ('ho_snap', CAST(1 AS BIGINT), CAST(1000 AS BIGINT), 'write'),
+        |  ('ho_snap', 2, 2000, 'mergeDelta'),
+        |  ('ho_snap', 3, 3000, 'deleteWhere'),
+        |  ('ho_snap', 4, 4000, 'restoreVersion'),
+        |  ('ho_linked', 1, 1000, 'write'),
+        |  ('ho_linked', 2, 2000, 'mergeDelta'),
+        |  ('ho_linked', 3, 3000, 'deleteWhere'),
+        |  ('ho_linked', 4, 4000, 'compact'))
+        |SELECT layout, version, commit_ts, operation, TRUE AS params_ok
+        |FROM ops ORDER BY layout, version""".stripMargin,
 
     "snap_maintain_agg" ->
       """WITH ev AS (
