@@ -828,8 +828,10 @@ object Snapshot {
       Seq("ma_snap", "ma_linked").map { t =>
         val feed = bucketed(
           s.sql(s"SELECT * FROM $cat.$t.changes_cdf VERSION AS OF '2..4'"))
+        // the maintained frame is consumed twice (gate + output): one
+        // localCheckpoint stops the 3-commit CDF feed recomputing
         val maintained = Snapshot.maintainAggregate(baseAgg, feed,
-          Seq("bucket"), Map("sum_price" -> "o_totalprice"))
+          Seq("bucket"), Map("sum_price" -> "o_totalprice")).localCheckpoint()
         val recomputed = bucketed(s.sql(s"SELECT * FROM $cat.$t"))
           .groupBy("bucket")
           .agg(sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
