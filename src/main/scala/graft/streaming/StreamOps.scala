@@ -556,6 +556,52 @@ object StreamOps {
       }
     }
 
+  /** STREAMING MATERIALIZED VIEW — [[graft.operators.Snapshot
+    * .maintainAggregate]] run continuously: consume a CDF feed stream
+    * (`readStream.table(t.changes_cdf)` — preimage/postimage pairs +
+    * valued deletes) and maintain a keyed SUM/COUNT aggregate STORE,
+    * one published version per micro-batch, each costing
+    * O(|batch| + touched groups) — never a base-table rescan. Per
+    * batch: the batch's groups point-read from the aggregate tip
+    * (manifest-pruned [[graft.operators.ManifestStore.readForKeys]]),
+    * signed contributions fold in, groups whose count survives upsert,
+    * groups that empty DELETE. The aggregate store must be SEEDED with
+    * the base aggregate as of the stream's starting point (v1 — the
+    * same contract [[linkedMergeStream]] has). Restart-safe through
+    * the version-chain harness: a replayed batch's version already
+    * exists and skips. */
+  def maintainAggregateStream(changes: DataFrame,
+      store: graft.operators.ManifestStore, groupCol: String,
+      sums: Map[String, String], checkpointDir: String,
+      countCol: String = "n_rows")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionChainStream(changes, checkpointDir, () =>
+      store.latestVersion().getOrElse(throw new IllegalStateException(
+        "maintainAggregateStream needs the SEED aggregate (ManifestStore.write " +
+          "of the base aggregate) in the store"))
+    ) { (batch, from, to) =>
+      // empty batches still publish (a carry version) — the version
+      // chain must stay contiguous for the harness's replay skip
+      if (!store.versions().contains(to)) {
+        val groups = batch.select(col(groupCol)).distinct().localCheckpoint()
+        // aggregate rows for exactly the touched groups — the tip
+        // point-read is manifest-pruned, O(touched), not O(groups)
+        val baseRows = store.readForKeys(from, groups)
+        val updated = graft.operators.Snapshot.maintainAggregate(
+          baseRows, batch, Seq(groupCol), sums, countCol).localCheckpoint()
+        // groups the batch touched but whose count reached zero DROP;
+        // left_anti against the survivors keeps never-existed groups
+        // out of the delete set only incidentally (deleting an absent
+        // key is a no-op upsert-wise, but the anti-join keeps the
+        // delete frame honest)
+        val dels = groups.join(updated.select(col(groupCol)),
+          Seq(groupCol), "left_anti")
+        store.mergeDelta(from, to, updated,
+          if (dels.limit(1).count() == 0) None else Some(dels))
+        ()
+      }
+    }
+
   /** The restart-safe version-chain harness shared by [[continuousMerge]]
     * and [[encryptedChunkIngest]]: records the store's base version ONCE
     * in a write-once marker beside the checkpoint (tmp+rename; losing a

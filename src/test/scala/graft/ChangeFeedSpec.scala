@@ -330,6 +330,49 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAMING materialized view: readStream(src.changes_cdf) → maintainAggregateStream converges and follows") {
+    root: Unit
+    // source: keyed rows with a value; aggregate MV: per-(k%3) sums
+    val src = new ManifestStore(spark, s"$root/mv_src", "k")
+    src.write((1L to 30L).map(i => (i, i * 1.0)).toDF("k", "x"), 1L, 2,
+      commitTs = Some(1000L))
+    src.mergeDeltaMor(1L, 2L,
+      (1L to 30L).filter(_ % 5 == 0).map(i => (i, i * 1.0 + 100)).toDF("k", "x"),
+      commitTs = Some(2000L)): Unit
+    src.mergeDelta(2L, 3L, (31L to 40L).map(i => (i, i * 1.0)).toDF("k", "x"),
+      Some(Seq(7L, 14L).toDF("k")), commitTs = Some(3000L)): Unit
+    def recompute(v: Long) = src.read(v).withColumn("g",
+      org.apache.spark.sql.functions.col("k") % 3)
+      .groupBy("g").agg(org.apache.spark.sql.functions.sum("x").as("sum_x"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    val mv = new ManifestStore(spark, s"$root/mv_agg", "g")
+    mv.write(recompute(1L), 1L, 1) // seeded at the source's v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck").toString
+    val feed = spark.readStream.option("startingVersion", "2")
+      .table("cfcat.mv_src.changes_cdf")
+      .withColumn("g", org.apache.spark.sql.functions.col("k") % 3)
+    val q = graft.streaming.StreamOps.maintainAggregateStream(
+      feed, mv, "g", Map("sum_x" -> "x"), ckpt)
+    def agg(df: DataFrame) = df.select("g", "sum_x", "n_rows").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+        r.getLong(2))).toSet
+    try {
+      q.processAllAvailable()
+      assert(agg(mv.read(mv.latestVersion().get)) == agg(recompute(3L)),
+        "the MV must converge to the recomputed aggregate")
+      // a LIVE source commit (incl. a group-emptying delete) follows
+      val g0keys = src.read(3L).filter(
+        org.apache.spark.sql.functions.col("k") % 3 === 0).select("k")
+      src.mergeDelta(3L, 4L, Seq((41L, 41.0)).toDF("k", "x"), Some(g0keys),
+        commitTs = Some(4000L)): Unit
+      q.processAllAvailable()
+      val got = agg(mv.read(mv.latestVersion().get))
+      assert(got == agg(recompute(4L)), s"live follow: $got")
+      assert(!got.exists(_._1 == 0L), "the emptied group must drop from the MV")
+    } finally q.stop()
+  }
+
   test("applyChanges: net-effect replication — replica == source tip; churn keys compress right") {
     root: Unit
     buildChain("apply_src", linked = true)
