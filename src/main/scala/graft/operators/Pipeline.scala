@@ -20,6 +20,36 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** CLUSTER-BALANCED corpus sampling — the semantic-diversity
+    * curation step of training-data pipelines (SemDeDup / DataComp
+    * cluster-then-cap): k-means the embedding space
+    * ([[Similarity.kmeansCentroids]] — per-iteration one narrow pass +
+    * a k-row reduce, vectors never shuffle, the driver holds k×dim
+    * floats), assign every vector with one broadcast-argmax map
+    * ([[Similarity.ivfAssignTo]]), then keep at most `quota` members
+    * per cluster by PORTABLE hash rank — a heavy near-duplicate
+    * cluster contributes `quota` rows, not its mass. The per-cluster
+    * cap is `row_number ≤ quota`, which the graft TopKPerKey rule
+    * rewrites to bounded per-group heaps — no full per-cluster sort at
+    * 100 TB. Returns (vec_id, cell, rk). */
+  def clusterBalancedSample(emb: DataFrame, k: Int, quota: Int,
+      kmeansIters: Int = 3): DataFrame =
+    clusterBalancedSampleFrom(
+      Similarity.ivfAssignTo(emb, Similarity.kmeansCentroids(emb, k, kmeansIters))
+        .select("vec_id", "cell"),
+      quota)
+
+  /** The cap half of [[clusterBalancedSample]] over a prebuilt
+    * (vec_id, cell) assignment — reused by gates and by pipelines that
+    * persist the clustering. */
+  def clusterBalancedSampleFrom(assigned: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+    assigned.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= quota)
+      .select("vec_id", "cell", "rk")
+  }
+
   /** The narrow half of [[cleanCorpus]]: quality-gate signals + content
     * hash in one projection, no shuffle. Split out so the incremental
     * path ([[incrementalClean]]) can re-gate ONLY a delta. */
@@ -553,6 +583,51 @@ object Pipeline {
         .orderBy("split", "lang")
     },
 
+    "pipe_cluster_sample" -> { (s, d) =>
+      // CLUSTER-BALANCED corpus sample (the SemDeDup/DataComp-style
+      // semantic-diversity curation step): k-means the embedding space
+      // (driver holds k×dim centroids only), assign every vector in
+      // ONE narrow broadcast-argmax map, keep at most `quota` members
+      // per cluster by portable hash rank — heavy clusters can't
+      // dominate the mixture. row_number ≤ quota plans through the
+      // graft TopKPerKey rewrite (bounded per-group heaps). Cluster
+      // ASSIGNMENT is deterministic but impl-defined (Lloyd's over
+      // float sums) → rows-only; pipe_cluster_gate hash-checks the
+      // invariants.
+      clusterBalancedSample(Tables.embeddings(s, d), k = 8, quota = 40)
+        .orderBy("cell", "rk")
+    },
+
+    "pipe_cluster_gate" -> { (s, d) =>
+      // The hash-checked gate behind pipe_cluster_sample: quota bound,
+      // exact-fill of over-quota clusters, total = Σ min(quota, |c|),
+      // cluster coverage, and sample-id referential integrity — every
+      // invariant of cluster-balanced sampling that is declaratively
+      // checkable without reproducing the clustering.
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, 8, 3)
+      val assigned = Similarity.ivfAssignTo(emb, cents)
+        .select("vec_id", "cell").localCheckpoint()
+      val sample = clusterBalancedSampleFrom(assigned, quota = 40).localCheckpoint()
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val expected = sizes.agg(sum(least(col("n"), lit(40L)))).head().getLong(0)
+      val perCell = sample.groupBy("cell").agg(count(lit(1)).as("sn"))
+        .join(sizes, Seq("cell"))
+      val quotaOk = perCell.filter(col("sn") > 40).limit(1).count() == 0
+      val fullOk = perCell.filter(col("n") >= 40 && col("sn") =!= 40)
+        .limit(1).count() == 0
+      val coverageOk = perCell.count() == sizes.count()
+      val totalOk = sample.count() == expected
+      val idsOk = sample.select("vec_id").distinct().count() == sample.count() &&
+        sample.join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+          .limit(1).count() == 0
+      s.range(1).select(lit(8L).as("k"), lit(40L).as("quota"),
+        lit(quotaOk).as("quota_ok"), lit(fullOk).as("full_ok"),
+        lit(coverageOk).as("coverage_ok"), lit(totalOk).as("total_ok"),
+        lit(idsOk).as("ids_ok"))
+    },
+
     "pipe_sample" -> { (s, d) =>
       // Rebalance the cleaned corpus: keep ~35% of 'en' survivors,
       // everything else untouched; report the mixture. Deterministic
@@ -897,6 +972,11 @@ object Pipeline {
         |  ELSE 'train' END AS split,
         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "pipe_cluster_gate" ->
+      """SELECT CAST(8 AS BIGINT) AS k, CAST(40 AS BIGINT) AS quota,
+        |  TRUE AS quota_ok, TRUE AS full_ok, TRUE AS coverage_ok,
+        |  TRUE AS total_ok, TRUE AS ids_ok""".stripMargin,
 
     "pipe_sample" ->
       s"""WITH gated AS (

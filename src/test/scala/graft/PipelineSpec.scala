@@ -318,4 +318,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(("s1", "en")) == ((2L, 3L, 0.666667, 0.5)))
     assert(out(("s2", "fr")) == ((1L, 3L, 0.333333, 0.5)))
   }
+
+  test("clusterBalancedSample: heavy clusters cap at quota, light ones keep everything; deterministic") {
+    // a synthetic embedding space with three OBVIOUS clusters: axis
+    // directions in 4-d; cluster A is 20x heavier than B/C — the
+    // balanced sample must cap it
+    def vec(axis: Int, i: Long): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = 10f + (i % 3)         // dominant direction
+      v((axis + 1) % 4) = (i % 5) * 0.01f // tiny within-cluster jitter
+      v
+    }
+    val rows = (1L to 60L).map(i => (i, vec(0, i))) ++        // heavy A
+      (61L to 66L).map(i => (i, vec(1, i))) ++                 // light B
+      (67L to 70L).map(i => (i, vec(2, i)))                    // light C
+    val emb = rows.toDF("vec_id", "embedding")
+    val sample = Pipeline.clusterBalancedSample(emb, k = 3, quota = 5,
+      kmeansIters = 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perCell = sample.groupBy(_._2).view.mapValues(_.length).toMap
+    // every cluster contributes, none above quota, the heavy one capped
+    assert(perCell.size == 3, s"clusters: $perCell")
+    assert(perCell.values.forall(_ <= 5), perCell.toString)
+    assert(perCell.values.max == 5 && perCell.values.sum < 70, perCell.toString)
+    // light clusters keep ALL members (size < quota)
+    assert(perCell.values.count(_ < 5) >= 1, perCell.toString)
+    // deterministic: same inputs, same sample
+    val again = Pipeline.clusterBalancedSample(emb, k = 3, quota = 5,
+      kmeansIters = 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == sample.toSet)
+    // the cap half alone respects a prebuilt assignment exactly
+    val assigned = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)).toDF("vec_id", "cell")
+    val capped = Pipeline.clusterBalancedSampleFrom(assigned, quota = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == 3 && capped.count(_._2 == 0L) == 2
+      && capped.count(_._2 == 1L) == 1)
+  }
 }
