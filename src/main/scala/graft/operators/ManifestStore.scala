@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * files (reclaimed by [[vacuum]]) but never a manifest naming a
   * missing file. Prune deletes manifests first; vacuum is restartable.
   */
-class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
+class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     statsCols: Seq[String] = Nil, parityFilesPerGroup: Int = 64) {
   require(parityFilesPerGroup > 0,
     s"parityFilesPerGroup must be positive, got $parityFilesPerGroup")
@@ -704,6 +704,11 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         "operation", "operation_params")
   }
 
+  /** Per-version (version, bytes_added, n_rows, operation) ascending —
+    * [[SnapshotStore.commitStats]]'s linked twin, ONE checkpoint read. */
+  def commitStats(): Seq[(Long, Long, Long, String)] =
+    historyEntries().map { case (v, e) => (v, e.bytes, e.nRows, e.op) }
+
   /** One version's checkpoint row rebuilt from its manifest — the
     * self-heal / publish-time unit (see [[SnapshotStore]]'s
     * version-log checkpoint notes; the manifest is metadata-sized, so
@@ -1264,7 +1269,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       .map(r => r.getString(0) -> math.max(r.getLong(1), 1L)).toMap
     val old = spark.read.parquet(from.toString).localCheckpoint()
     val oldNames = old.select("file").collect().map(_.getString(0)).toSet
-    val carried = old.filter(col("file").isin(toMan.keys.toSeq: _*))
+    val carried = old.join(nameFrame(toMan.keys), Seq("file"), "left_semi")
     val fresh = toMan.keys.filterNot(oldNames).toSeq.sorted
     val rows =
       if (fresh.isEmpty) carried
@@ -1944,12 +1949,28 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     * versions), and exclusive_bytes (reclaimed if ONLY this version
     * were pruned — the GC planning number). Metadata-only: manifests
     * + one pool listing, never a data scan. */
+  /** A tiny (|names| rows) frame for semi/anti joins against manifest
+    * or index frames — a literal `isin(...)` predicate builds an
+    * O(|names|)-literal In expression, plan-size pain at a 100k-file
+    * manifest; the join broadcasts the name side and stays O(1) in
+    * plan size. */
+  private def nameFrame(names: Iterable[String]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    names.toSeq.sorted.toDF("file")
+  }
+
+  /** Every pool file's size from ONE directory listing — the
+    * vacuum/orphans pattern; per-file `getFileStatus` would cost
+    * O(|files|) NameNode round-trips. */
+  private def poolSizes(): Map[String, Long] =
+    if (!fs.exists(poolDir)) Map.empty
+    else fs.listStatus(poolDir).filter(_.isFile)
+      .map(st => st.getPath.getName -> st.getLen).toMap
+
   def storageReport(): DataFrame = {
     import spark.implicits._
-    val sizes: Map[String, Long] =
-      if (!fs.exists(poolDir)) Map.empty
-      else fs.listStatus(poolDir).filter(_.isFile)
-        .map(st => st.getPath.getName -> st.getLen).toMap
+    val sizes: Map[String, Long] = poolSizes()
     val refs: Seq[(Long, String)] = versions().flatMap(v =>
       manifest(v).select("file").collect().map(r => v -> r.getString(0)))
     val refCount: Map[String, Int] =
@@ -1974,9 +1995,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
       targetFiles: Int = 4, commitTs: Option[Long] = None): (Int, Int) = {
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
-    val sizes = man.select("file").collect().map(_.getString(0)).map { n =>
-      n -> fs.getFileStatus(new Path(poolDir, n)).getLen
-    }
+    val pool = poolSizes()
+    val sizes = man.select("file").collect().map(_.getString(0)).map(n =>
+      n -> pool.getOrElse(n, fs.getFileStatus(new Path(poolDir, n)).getLen))
     val small = sizes.filter(_._2 < minBytes).map(_._1)
     if (small.length <= 1) { // nothing to fold (0 or 1 fragment)
       publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
@@ -1984,7 +2005,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         statsFrom = Some(fromVersion))
       return (sizes.length, 0)
     }
-    val shared = man.filter(!col("file").isin(small.toSeq: _*))
+    val shared = man.join(nameFrame(small), Seq("file"), "left_anti")
     // compaction FOLDS the deletion vector in: the rewrite reads the
     // masked view, so folded files shed their DV entries for good.
     // Folded files land under PHYSICAL names (column mapping): the
@@ -2019,15 +2040,16 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val man = manifest(fromVersion).localCheckpoint()
     val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
       .select("file").collect().map(_.getString(0)).toSet
-    val small = matched.toSeq.sorted
-      .filter(n => fs.getFileStatus(new Path(poolDir, n)).getLen < minBytes)
+    val pool = poolSizes()
+    val small = matched.toSeq.sorted.filter(n =>
+      pool.getOrElse(n, fs.getFileStatus(new Path(poolDir, n)).getLen) < minBytes)
     if (small.length <= 1) { // nothing to fold inside the scope
       publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
         dv = dvFrame(fromVersion), op = "compact",
         opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
       return (man.count().toInt, 0)
     }
-    val shared = man.filter(!col("file").isin(small: _*))
+    val shared = man.join(nameFrame(small), Seq("file"), "left_anti")
     // the fold reads MASKED (DV entries for rewritten files retire) and
     // lands physical-named (column mapping) — [[compact]]'s contract,
     // scoped; arrange keeps one partition tuple per file
@@ -2069,7 +2091,7 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
         opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
       return (man.count().toInt, 0)
     }
-    val shared = man.filter(!col("file").isin(matched.toSeq: _*))
+    val shared = man.join(nameFrame(matched), Seq("file"), "left_anti")
     val rows = readFiles(fromVersion,
       matched.toSeq.sorted.map(n => new Path(poolDir, n).toString))
     val zc = ZOrder.zColumn(rows, zCols)
@@ -2115,13 +2137,14 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
             opParams = SnapshotStore.predSql(pred), statsFrom = Some(fromVersion))
           return (man.count().toInt, 0, 0L)
         }
-        val nDropped = dv.filter(col("file").isin(masked.toSeq: _*)).count()
-        val shared = man.filter(!col("file").isin(masked.toSeq: _*))
+        val maskedDf = nameFrame(masked)
+        val nDropped = dv.join(maskedDf, Seq("file"), "left_semi").count()
+        val shared = man.join(maskedDf, Seq("file"), "left_anti")
         val survivors = readFiles(fromVersion,
           masked.toSeq.sorted.map(n => new Path(poolDir, n).toString))
         val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man), evolvedSchema(fromVersion))
-        val keep = dv.filter(!col("file").isin(masked.toSeq: _*)).localCheckpoint()
+        val keep = dv.join(maskedDf, Seq("file"), "left_anti").localCheckpoint()
         publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
           evolvedSchema(fromVersion),
           dv = if (keep.limit(1).count() == 0) None else Some(keep),
@@ -2144,8 +2167,9 @@ class ManifestStore(spark: SparkSession, basePath: String, keyCol: String,
     val tip = vs.max
     val files = manifest(tip).select("file").collect().map(_.getString(0))
     if (files.length <= maxFiles) return None
+    val pool = poolSizes()
     val fragments = files.count(n =>
-      fs.getFileStatus(new Path(poolDir, n)).getLen < minBytes)
+      pool.getOrElse(n, fs.getFileStatus(new Path(poolDir, n)).getLen) < minBytes)
     if (fragments <= 1) None
     else { compact(tip, tip + 1, minBytes, targetFiles); Some(tip + 1) }
   }

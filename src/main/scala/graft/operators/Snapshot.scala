@@ -260,28 +260,38 @@ object Snapshot {
     require(missing.isEmpty,
       s"maintainAggregate: baseAgg lacks ${missing.mkString(", ")}")
     // the plain feed's 'update' rows carry only the NEW value — the
-    // retraction needs the CDF shape's preimage
+    // retraction needs the CDF shape's preimage. The shape check rides
+    // INSIDE the sign expression (raise_error on an unknown change
+    // type), so validation costs zero extra passes: the one delta
+    // aggregation below is the only evaluation of the feed.
     val sgn = when(col("change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("change_type").isin("delete", "update_preimage"), lit(-1L))
-      .otherwise(lit(null))
+      .otherwise(raise_error(concat(
+        lit("maintainAggregate needs the CDF feed shape (.changes_cdf: " +
+          "update_preimage/update_postimage pairs) — a plain 'update' row " +
+          "cannot retract the old contribution; got change_type="),
+        coalesce(col("change_type"), lit("null")))).cast("long"))
     val signed = feed.withColumn("__sgn", sgn)
-    val badShape = signed.filter(col("__sgn").isNull).limit(1).count() > 0
-    require(!badShape,
-      "maintainAggregate needs the CDF feed shape (.changes_cdf: " +
-        "update_preimage/update_postimage pairs) — a plain 'update' row " +
-        "cannot retract the old contribution")
     val deltaAggs = sums.toSeq.sortBy(_._1).map { case (out, src) =>
       sum(col(src) * col("__sgn")).as(s"__d_$out") } :+
       sum(col("__sgn")).as("__d_n")
     val deltas = signed.groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // zero literals and the final outputs CAST TO baseAgg's declared
+    // column types: a long/decimal sum column keeps its seed schema
+    // (maintainAggregateStream's mergeDelta type guard would abort the
+    // stream on the first micro-batch if the maintained shape drifted
+    // to double)
+    val nT = baseAgg.schema(countCol).dataType
     baseAgg.join(deltas, groupCols, "full_outer")
       .select((groupCols.map(col) ++
-        sums.keys.toSeq.sorted.map(out =>
-          (coalesce(col(out), lit(0.0)) + coalesce(col(s"__d_$out"), lit(0.0)))
-            .as(out)) :+
+        sums.keys.toSeq.sorted.map { out =>
+          val t = baseAgg.schema(out).dataType
+          (coalesce(col(out), lit(0).cast(t)) +
+            coalesce(col(s"__d_$out"), lit(0).cast(t))).cast(t).as(out)
+        } :+
         (coalesce(col(countCol), lit(0L)) + coalesce(col("__d_n"), lit(0L)))
-          .as(countCol)): _*)
+          .cast(nT).as(countCol)): _*)
       .filter(col(countCol) > 0)
   }
 

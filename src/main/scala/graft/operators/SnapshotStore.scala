@@ -1665,6 +1665,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         "operation", "operation_params")
   }
 
+  /** Per-version (version, bytes_added, n_rows, operation) ascending —
+    * ONE checkpoint read serves every version (the change feed's
+    * size-estimate input; calling [[commitBytes]] per version would
+    * re-read the checkpoint |versions| times). */
+  def commitStats(): Seq[(Long, Long, Long, String)] =
+    historyEntries().map { case (v, e) => (v, e.bytes, e.nRows, e.op) }
+
   /** One version's checkpoint row REBUILT from its dir — the
     * self-heal / publish-time unit: commit ts from the sidecar (or
     * the `_SUCCESS` mtime for pre-sidecar dirs), file/row counts from
@@ -1712,15 +1719,21 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       opParams: String = "", statsFrom: Option[Long] = None): Unit =
     try {
       val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
-      // METADATA-ONLY commits (renameColumn / widenColumn) carry the
-      // predecessor's file set byte-identically: reuse its checkpoint
-      // stats (counts/rows unchanged, bytes_added = 0) instead of
-      // re-opening every data file's footer — O(1), not O(N files).
-      // Falls back to the full rebuild when the predecessor entry is
-      // cold (self-heal covers it either way).
+      // STATS-CARRY commits (renameColumn / widenColumn /
+      // restoreVersion) share the source version's file CONTENT, so
+      // counts/rows reuse its checkpoint entry instead of re-opening
+      // every data file's footer — O(1), not O(N files). Bytes are NOT
+      // carried: on this layout a carry verb may still physically land
+      // files under new basenames (restoreVersion copies the whole
+      // dir), so bytes come from the two-listing basename diff —
+      // rename/widen (same basenames) stay 0, restore reports what it
+      // actually copied, and byte-paced change-feed admission never
+      // treats a large restore commit as free. Falls back to the full
+      // rebuild when the source entry is cold (self-heal covers it
+      // either way).
       val entry = statsFrom.flatMap(ckpt.get) match {
         case Some(prev) => prev.copy(commitTs = commitTimestampRaw(v),
-          bytes = 0L, op = op, opParams = opParams)
+          bytes = commitBytesRaw(v), op = op, opParams = opParams)
         case None => computeHistoryEntry(v)
       }
       SnapshotStore.writeHistoryCkpt(fs, basePath, ckpt + (v -> entry))

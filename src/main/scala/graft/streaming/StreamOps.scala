@@ -574,7 +574,15 @@ object StreamOps {
       store: graft.operators.ManifestStore, groupCol: String,
       sums: Map[String, String], checkpointDir: String,
       countCol: String = "n_rows")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // readForKeys renames the touched-groups frame to the store's key
+    // column and mergeDelta merges on it — a store keyed on anything
+    // else would silently maintain WRONG aggregates; fail at
+    // construction instead (the seed-version precondition's twin)
+    require(store.keyCol == groupCol,
+      s"maintainAggregateStream: the aggregate store is keyed on " +
+        s"'${store.keyCol}' but the stream groups on '$groupCol' — the " +
+        "store key must BE the group column")
     versionChainStream(changes, checkpointDir, () =>
       store.latestVersion().getOrElse(throw new IllegalStateException(
         "maintainAggregateStream needs the SEED aggregate (ManifestStore.write " +
@@ -601,6 +609,7 @@ object StreamOps {
         ()
       }
     }
+  }
 
   /** The restart-safe version-chain harness shared by [[continuousMerge]]
     * and [[encryptedChunkIngest]]: records the store's base version ONCE

@@ -87,6 +87,14 @@ private[graft] object ChangeFeed {
       v: Long): Long =
     handles(spark, base, linked, "").fold(_.commitBytes(v), _.commitBytes(v))
 
+  /** Per-version (version, bytes_added, n_rows, operation) ascending —
+    * ONE checkpoint read for the whole history (the feed-size
+    * estimate's input; per-version [[commitBytesOf]] calls would
+    * re-read the checkpoint |versions| times). */
+  def commitStatsOf(spark: SparkSession, base: String, linked: Boolean)
+      : Seq[(Long, Long, Long, String)] =
+    handles(spark, base, linked, "").fold(_.commitStats(), _.commitStats())
+
   /** Deletion-vector entry count at `v` (0 without a mask) — footer
     * metadata only; the feed-size estimate's delete-row term. */
   def dvRowsOf(spark: SparkSession, base: String, linked: Boolean,
@@ -495,17 +503,33 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
             // bytes (checkpoint-served, metadata-only) bounds the feed
             // size from above — without it the relation reports
             // defaultSizeInBytes (Long.MaxValue) and a 3-row change
-            // feed can never broadcast in a downstream join. Preimage
-            // feeds double-count updates, so double the bound.
+            // feed can never broadcast in a downstream join. Added
+            // bytes alone UNDERCOUNT two shapes whose change rows live
+            // in the PREDECESSOR's files: CoW deletes (full-content
+            // delete rows, zero added bytes) and restores that
+            // re-reference old pool files — so each commit also
+            // contributes |Δrows| × estimated width, and a zero-byte
+            // restore is bounded by a full re-emit. Underestimating
+            // here risks broadcasting a huge feed (executor OOM);
+            // overestimating only costs a shuffle. Preimage feeds
+            // double-count updates, so double the bound.
             private lazy val sizeEstimate: Long = {
-              val vs = ChangeFeed.versionsOf(spark, base, linked)
-                .filter(v => v >= lo && v <= hi)
-              val added = vs.map(v =>
-                ChangeFeed.commitBytesOf(spark, base, linked, v)).sum
-              // MoR deletes add ~no bytes but emit rows: bound their
-              // contribution by the tip mask size × estimated width
+              val stats = ChangeFeed.commitStatsOf(spark, base, linked)
               val width = 8L + feedSchema.fields.map(_.dataType.defaultSize.toLong).sum
-              val dvRows = vs.lastOption.fold(0L)(v =>
+              val rowsByV = stats.map { case (v, _, r, _) => v -> r }.toMap
+              val ordered = stats.map(_._1)
+              val sel = stats.filter { case (v, _, _, _) => v >= lo && v <= hi }
+              val added = sel.map { case (v, bytes, nRows, op) =>
+                val prevRows = ordered.takeWhile(_ < v).lastOption
+                  .map(rowsByV).getOrElse(0L)
+                val deltaRows = math.abs(nRows - prevRows)
+                val restoreRows =
+                  if (bytes == 0L && op == "restoreVersion") nRows else 0L
+                bytes + (deltaRows + restoreRows) * width
+              }.sum
+              // MoR deletes add ~no bytes AND keep physical row counts
+              // flat: bound their contribution by the tip mask size
+              val dvRows = sel.map(_._1).lastOption.fold(0L)(v =>
                 ChangeFeed.dvRowsOf(spark, base, linked, v))
               val bound = added + dvRows * width
               math.max(1L, if (preImages) 2L * bound else bound)

@@ -39,28 +39,39 @@ private[graft] trait GraftV1RelationScan
 private[graft] object V1StatsRelationRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     // DML TARGETS stay V2 relations: GraftMergeStrategy's unwrapTable
     // and Spark's own row-level planning match DataSourceV2[Scan]
     // Relation to find the store hooks — converting the target would
-    // sever them. The MERGE SOURCE is a plain read and still benefits.
-    case m: MergeIntoTable => m.copy(sourceTable = convert(m.sourceTable))
-    case u: UpdateTable => u
-    case d: DeleteFromTable => d
-    case other => convert(other)
-  }
-
-  private def convert(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case sr: DataSourceV2ScanRelation =>
-      val inner = sr.scan match {
-        case w: V1ScanWrapper => w.v1Scan
-        case s => s
-      }
-      inner match {
-        case g: GraftV1RelationScan =>
-          LogicalRelation(g.v1Relation(SparkSession.active.sqlContext),
-            sr.output, None, isStreaming = false, None)
-        case _ => sr
-      }
+    // sever them. A DML node may sit ANYWHERE in the tree (`WITH ...
+    // MERGE INTO` nests it under WithCTE), so the exclusion collects
+    // protected scan INSTANCES from every DML subtree first, then
+    // converts the rest (a MERGE SOURCE is a plain read and still
+    // benefits; UPDATE/DELETE subtrees stay untouched wholesale, as
+    // before, since row-level planning rewrites them itself).
+    val shielded = new java.util.IdentityHashMap[LogicalPlan, Unit]()
+    def shield(p: LogicalPlan): Unit = p.foreach {
+      case sr: DataSourceV2ScanRelation => shielded.put(sr, ()): Unit
+      case _ => ()
+    }
+    plan.foreach {
+      case m: MergeIntoTable => shield(m.targetTable)
+      case u: UpdateTable => shield(u)
+      case d: DeleteFromTable => shield(d)
+      case _ => ()
+    }
+    plan.transform {
+      case sr: DataSourceV2ScanRelation if !shielded.containsKey(sr) =>
+        val inner = sr.scan match {
+          case w: V1ScanWrapper => w.v1Scan
+          case s => s
+        }
+        inner match {
+          case g: GraftV1RelationScan =>
+            LogicalRelation(g.v1Relation(SparkSession.active.sqlContext),
+              sr.output, None, isStreaming = false, None)
+          case _ => sr
+        }
+    }
   }
 }

@@ -521,12 +521,17 @@ class ChangeFeedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
         r.getLong(2))).toSet
     assert(maintained == recomputed, s"maintained $maintained != recomputed $recomputed")
-    // a plain (non-CDF) feed refuses: 'update' rows cannot retract
+    // a plain (non-CDF) feed refuses: 'update' rows cannot retract.
+    // The check rides INSIDE the delta aggregation (raise_error on the
+    // first unknown change_type) — no extra validation pass over the
+    // feed — so it surfaces at action time as a task failure
     val plain = spark.sql("SELECT * FROM cfcat.cfm_sum.changes VERSION AS OF '2..4'")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       graft.operators.Snapshot.maintainAggregate(
         baseAgg, bucketed(plain), Seq("g"), Map("sum_x" -> "x")).collect())
-    assert(e.getMessage.contains("CDF"), e.getMessage)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("CDF"), msgs)
     // a group that empties DROPS: delete every k%7==6 key left at v4
     val allKeys = st.read(4L).filter(org.apache.spark.sql.functions.col("k") % 7 === 6)
       .select("k")
@@ -545,5 +550,52 @@ class ChangeFeedSpec extends SparkSpec {
         r.getLong(2))).toSet
     assert(m5.collect().map(r => (r.getLong(0),
       math.round(r.getDouble(1) * 100) / 100.0, r.getLong(2))).toSet == rec5)
+  }
+
+  test("maintainAggregate preserves the seed schema's types and evaluates the feed ONCE") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    // long + decimal sum columns: the maintained output must keep the
+    // SEED's declared types (a double drift would abort
+    // maintainAggregateStream's first micro-batch on mergeDelta's
+    // type-change guard)
+    val base = Seq((0L, 10L, "1.50", 2L), (1L, 20L, "2.25", 3L))
+      .toDF("g", "sum_q", "sum_p", "n_rows")
+      .withColumn("sum_p", col("sum_p").cast("decimal(12,2)"))
+    val raw = Seq(
+      (0L, 5L, "1.25", "insert"),
+      (0L, 2L, "0.25", "update_preimage"),
+      (0L, 3L, "0.75", "update_postimage"),
+      (1L, 20L, "2.25", "delete"))
+      .toDF("g", "q", "p", "change_type")
+      .withColumn("p", col("p").cast("decimal(12,2)"))
+    // count partition visits: the shape check rides inside the one
+    // delta aggregation, so maintenance = exactly one pass (the old
+    // eager limit(1).count() validation scanned the feed twice)
+    val acc = spark.sparkContext.longAccumulator("feed_partition_visits")
+    val rdd = raw.rdd.mapPartitions { it => acc.add(1L); it }
+    val nParts = rdd.getNumPartitions
+    val feed = spark.createDataFrame(rdd, raw.schema)
+    val m = graft.operators.Snapshot.maintainAggregate(
+      base, feed, Seq("g"), Map("sum_q" -> "q", "sum_p" -> "p"))
+    assert(m.schema("sum_q").dataType == LongType, m.schema.treeString)
+    assert(m.schema("sum_p").dataType == DecimalType(12, 2), m.schema.treeString)
+    assert(m.schema("n_rows").dataType == LongType, m.schema.treeString)
+    // output column order: groupCols ++ sums.keys.sorted :+ countCol
+    val got = m.collect().map(r => (r.getLong(0),
+      r.getDecimal(1).toPlainString, r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, "3.25", 16L, 3L), (1L, "0.00", 0L, 2L)), got.toString)
+    assert(acc.value == nParts,
+      s"feed saw ${acc.value} partition visits, expected $nParts (one pass)")
+  }
+
+  test("maintainAggregateStream refuses a store whose key is not the group column") {
+    root: Unit
+    val st = new ManifestStore(spark, s"$root/mv_wrongkey", "k")
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamOps.maintainAggregateStream(
+        spark.readStream.format("rate").load(), st, "g",
+        Map("sum_x" -> "x"), "/tmp/never-used-ck"))
+    assert(e.getMessage.contains("keyed on 'k'"), e.getMessage)
   }
 }

@@ -55,6 +55,24 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("WITH ... MERGE INTO: a CTE-nested merge still routes through the store hooks") {
+    // the DML exclusion in V1StatsRelationRule must find the MERGE
+    // target ANYWHERE in the tree — a WithCTE wrapper used to fall
+    // through to convert(), severing GraftMergeStrategy's unwrapTable
+    // lookup and failing the statement
+    freshSnap("m_cte_snap"); freshLinked("m_cte_linked")
+    for (t <- Seq("m_cte_snap", "m_cte_linked")) {
+      spark.sql(
+        s"""WITH src AS (SELECT 2L AS k, 'B' AS name, 22.0 AS v
+           |            UNION ALL SELECT 4L, 'd', 40.0)
+           |MERGE INTO mcat.$t t USING src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(contents(t) == Set((1L, "a", 10.0), (2L, "B", 22.0),
+        (3L, "c", 30.0), (4L, "d", 40.0)), t)
+    }
+  }
+
   test("partial SET keeps unassigned columns; NOT MATCHED BY SOURCE update/delete") {
     freshSnap("m_partial")
     Seq((2L, 5.0), (4L, 9.0)).toDF("k", "bonus").createOrReplaceTempView("m_psrc")

@@ -111,4 +111,22 @@ class OperationHistorySpec extends SparkSpec {
           && s.contains("\"b\": 0")),
         s"v$v did not reuse the poisoned predecessor entry: $lraw")
   }
+
+  test("snapshot restore records the bytes it physically copied — never a free commit") {
+    // the stats-carry shortcut reuses the SOURCE version's counts, but
+    // bytes come from the basename diff vs the retained predecessor:
+    // restoreVersion copies a whole dir (nonzero), rename byte-carries
+    // under the same basenames (zero) — byte-paced change-feed
+    // admission must not treat a large restore as free
+    val base = java.nio.file.Files.createTempDirectory("graft_oph_rb").toString + "/t"
+    val st = new SnapshotStore(spark, base, "k")
+    st.writeRangePartitioned((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, 2)
+    st.mergeDelta(1L, 2L, Seq((1L, "patched")).toDF("k", "v"))
+    st.restoreVersion(1L, 3L)
+    assert(st.commitBytes(3L) > 0L,
+      "restore copied data files: bytes_added must be nonzero")
+    st.renameColumn(3L, 4L, "v", "w")
+    assert(st.commitBytes(4L) == 0L,
+      "rename byte-carries the same basenames: bytes_added must stay 0")
+  }
 }
