@@ -91,6 +91,46 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     publish(version, statsFor(names, effectiveStatsCols), commitTs, op = "write")
   }
 
+  /** [[write]] with a HASH-BUCKETED layout —
+    * [[SnapshotStore.writeBucketed]]'s linked twin (see there for the
+    * storage-partitioned-join contract): exactly `buckets` pool files,
+    * file `i` holding the rows with `pmod(murmur3(key), buckets) == i`,
+    * key-sorted within, pool names carrying Spark's bucket suffix
+    * (`<uuid>-b_0000i.parquet`) so the catalog's bucketed-relation gate
+    * and `FileSourceScanExec` parse the id straight off the manifest's
+    * file names. Later merges land unsuffixed names and the gate falls
+    * back to the plain route honestly. */
+  def writeBucketed(df: DataFrame, version: Long, buckets: Int,
+      commitTs: Option[Long] = None): Unit = {
+    require(buckets > 0, s"writeBucketed: bucket count must be positive, got $buckets")
+    require(storedPartitionBy().isEmpty,
+      "writeBucketed: this store declares partition columns — bucket and " +
+        "partition layouts are exclusive per store")
+    requireFreeVersion(version)
+    ensureStoreMeta()
+    SnapshotStore.writeStoredBucketBy(fs, basePath, keyCol, buckets,
+      canRedeclare = versions().isEmpty)
+    enforceConstraints(df, "writeBucketed")
+    val tmp = new Path(s"$basePath/.tmp-pool-${java.util.UUID.randomUUID()}")
+    df.repartition(buckets, col(keyCol)).sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(poolDir)
+    val names = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map { p =>
+        // part-<partitionId>-... : the leading number IS the bucket id
+        val b = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+        require(b < buckets, s"writeBucketed: task id $b >= $buckets in ${p.getName}")
+        val name = f"${java.util.UUID.randomUUID().toString.take(12)}-b_$b%05d.parquet"
+        if (!fs.rename(p, new Path(poolDir, name)))
+          throw new java.io.IOException(s"pool rename failed for $p")
+        name
+      }.toSeq
+    fs.delete(tmp, true)
+    require(names.nonEmpty, "writeBucketed: empty input frame")
+    publish(version, statsFor(names, effectiveStatsCols), commitTs,
+      op = "writeBucketed", opParams = s"$buckets buckets by $keyCol")
+  }
+
   /** First write of a PARTITIONED table — Delta/Iceberg's `PARTITIONED
     * BY (cols…)`: declares `partCols` in the `_partition.json` sidecar
     * (every later landing on this store clusters by them), lands the

@@ -692,6 +692,50 @@ object Snapshot {
         .orderBy("ver", "bucket")
     },
 
+    "snap_bucket_join" -> { (s, d) =>
+      // STORAGE-PARTITIONED JOIN through SQL: a per-customer order
+      // rollup (linked layout) and the customer table (snapshot
+      // layout) land CO-BUCKETED by custkey (writeBucketed, 16
+      // buckets, Spark's own murmur3 bucket function + file naming),
+      // and the catalog serves each as a V1 bucketed relation — so
+      // `JOIN ON custkey` plans with ZERO Exchange on either side.
+      // The no-Exchange proof is computed on the STATIC plan with
+      // broadcast disabled (the contract is the partitioning, not a
+      // small-table rescue) and rides in the hashed result as
+      // `spj_ok`; the joined values hash-check against the oracle's
+      // relational recompute. At 100 TB this is the store⋈store fact
+      // join that otherwise shuffles both range-clustered sides.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bktj_$fp"
+      val oa = new ManifestStore(s, s"$base/ord_by_cust", "o_custkey")
+      if (!oa.versions().contains(1L))
+        oa.writeBucketed(Tables.orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total_price")), 1L, 16)
+      val cb = new SnapshotStore(s, s"$base/cust", "c_custkey")
+      if (!cb.versions().contains(1L))
+        cb.writeBucketed(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal"), 1L, 16)
+      val cat = s"bktj_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val q =
+        s"""SELECT o.o_custkey AS custkey, c.c_name AS name,
+           |  o.n_orders, o.total_price
+           |FROM $cat.ord_by_cust o JOIN $cat.cust c
+           |ON o.o_custkey = c.c_custkey""".stripMargin
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val spjOk = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // executedPlan pre-collect = the post-EnsureRequirements
+        // static plan (AQE's initial plan) — where Exchanges live
+        val p = s.sql(q).queryExecution.executedPlan.toString
+        !p.contains("Exchange hashpartitioning") && p.contains("Bucketed: true")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      s.sql(q).withColumn("spj_ok", lit(spjOk)).orderBy("custkey")
+    },
+
     "snap_sql_delete" -> { (s, d) =>
       // SQL DML through the catalog: `DELETE FROM <cat>.<table> WHERE
       // <pred>` maps onto the LINKED store's deleteWhere via the DSv2
@@ -2774,6 +2818,17 @@ object Snapshot {
         |    CAST(2 AS BIGINT) AS ver
         |  FROM v2 GROUP BY 1)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY ver, bucket""".stripMargin,
+
+    "snap_bucket_join" ->
+      """SELECT o.o_custkey AS custkey, c.c_name AS name, o.n_orders,
+        |  o.total_price, TRUE AS spj_ok
+        |FROM (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |      AS total_price
+        |  FROM orders GROUP BY 1) o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "snap_sql_delete" ->
       """WITH a1 AS (

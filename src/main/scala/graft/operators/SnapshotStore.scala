@@ -412,6 +412,68 @@ object SnapshotStore {
     finally out.close()
   }
 
+  /** Declared hash-bucket layout, recorded in a `_bucket.json` sidecar
+    * at the store base by the first bucketed write — (column, bucket
+    * count). The layout contract behind STORAGE-PARTITIONED JOINS:
+    * every file of a bucketed version holds exactly the rows with
+    * `pmod(murmur3(col), n) == id(file)` (Spark's own bucket-id
+    * function and file-name convention), so the SQL catalog can serve
+    * the version as a bucketed relation whose scan reports
+    * HashPartitioning — and a store⋈store join on the bucket column
+    * shuffles NEITHER side. None = unbucketed. */
+  def readStoredBucketBy(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Option[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(basePath, "_bucket.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      for {
+        c <- "\"col\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        n <- "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } yield (c, n)
+    }
+  }
+
+  /** Persist the bucket declaration — [[writeStoredPartitionBy]]'s
+    * contract (idempotent; redeclaration must match while versions
+    * exist). */
+  def writeStoredBucketBy(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, col: String, n: Int,
+      canRedeclare: Boolean = false): Unit = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val existing = readStoredBucketBy(fs, basePath)
+    if (existing.isDefined && !(canRedeclare && !existing.contains((col, n)))) {
+      require(existing.contains((col, n)),
+        s"store at $basePath is already bucketed as $existing; cannot redeclare " +
+          s"as ($col, $n)")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(basePath))
+      val esc = col.replace("\\", "\\\\").replace("\"", "\\\"")
+      val out = fs.create(new org.apache.hadoop.fs.Path(basePath, "_bucket.json"), true)
+      try out.write(s"""{"col": "$esc", "n": $n}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The bucket id a data file's NAME declares, per Spark's bucketed
+    * file-name convention (`..._00003.ext`) — the write paths name
+    * bucketed files this way ON PURPOSE so `FileSourceScanExec` can
+    * serve them as a bucketed scan; every OTHER landing verb's names
+    * (plain `part-...`, pool `<uuid>-part-000NN.parquet`) contain no
+    * `_<digits>` suffix, so a version holding ANY non-bucketed file
+    * fails the gate and falls back to the plain scan route honestly. */
+  private val bucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    // Spark's BucketingUtils.getBucketId pattern, verbatim — the scan
+    // executor parses names with the SAME regex, so the gate and the
+    // reader can never disagree
+    case bucketedFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
   /** Persist the partition-column declaration. Idempotent; a SECOND
     * declaration must match the first — silently re-partitioning a
     * table under existing versions would break every reader's pruning
@@ -655,6 +717,59 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       statsCols: Seq[String] = Nil, commitTs: Option[Long] = None): Unit = {
     write(df.repartitionByRange(numFiles, col(keyCol)).sortWithinPartitions(keyCol),
       version, commitTs, Some(statsCols))
+  }
+
+  /** [[write]] with a HASH-BUCKETED layout — the co-location contract
+    * behind STORAGE-PARTITIONED JOINS: rows land in exactly `buckets`
+    * files, file `i` holding the rows with `pmod(murmur3(key), buckets)
+    * == i` (Spark's own bucket function — `repartition(n, col)` IS
+    * HashPartitioning, the same partitionIdExpression bucketed tables
+    * use), key-sorted within, each file named with Spark's bucketed
+    * suffix (`..._0000i.parquet`). The SQL catalog then serves the
+    * version as a bucketed relation whose scan reports
+    * `HashPartitioning(key, buckets)` — two stores bucketed to the
+    * same count join on the key with ZERO Exchange on either side
+    * (and zero Sort: one file per bucket, pre-sorted), the plan
+    * `ScaleJoins.colocatedJoin` proves outside the catalog. At 100 TB
+    * this is the difference between a store⋈store fact join shuffling
+    * both sides and shuffling neither. The declaration persists in
+    * `_bucket.json`; verbs that land non-bucketed files (mergeDelta,
+    * compact) simply fail the read gate and the version serves through
+    * the plain route — re-bucket with a fresh [[writeBucketed]]. */
+  def writeBucketed(df: DataFrame, version: Long, buckets: Int,
+      statsCols: Seq[String] = Nil, commitTs: Option[Long] = None): Unit = {
+    require(buckets > 0, s"writeBucketed: bucket count must be positive, got $buckets")
+    require(storedPartitionBy().isEmpty,
+      "writeBucketed: this store declares partition columns — bucket and " +
+        "partition layouts are exclusive per store")
+    requireFreeVersion(version)
+    ensureStoreMeta()
+    SnapshotStore.writeStoredBucketBy(fs, basePath, keyCol, buckets,
+      canRedeclare = versions().isEmpty)
+    enforceConstraints(df, "writeBucketed")
+    val tmp = new Path(s"$basePath/.tmp-v=$version-${java.util.UUID.randomUUID()}")
+    df.repartition(buckets, col(keyCol)).sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // the writer names files part-<partitionId>-<uuid>...: the leading
+    // number IS the bucket id (partition i of an explicit repartition).
+    // Re-name to Spark's bucketed convention so FileSourceScanExec
+    // (and the catalog gate) can parse the id back out of the name.
+    val names = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map { p =>
+        val b = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+        require(b < buckets, s"writeBucketed: task id $b >= $buckets in ${p.getName}")
+        val (stem, ext) = p.getName.span(_ != '.')
+        val renamed = f"${stem}_$b%05d$ext"
+        if (!fs.rename(p, new Path(tmp, renamed)))
+          throw new java.io.IOException(s"bucketed landing rename failed for $p")
+        renamed
+      }.toSeq
+    writeCommitTs(tmp, commitTs.getOrElse(System.currentTimeMillis()))
+    if (statsCols.nonEmpty)
+      zmNewStats(names.sorted.map(n => new Path(tmp, n).toString),
+          statsCols.distinct.filterNot(_ == keyCol))
+        .foreach(stageZoneMap(tmp, version, _))
+    casPublish(tmp, version, "writeBucketed", s"$buckets buckets by $keyCol")
   }
 
   /** Publish `version` as an EMPTY table of `schema` — SQL `CREATE

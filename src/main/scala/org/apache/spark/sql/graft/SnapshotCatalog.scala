@@ -317,13 +317,59 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * inner plan) when the version carries a mask. */
   private def pinnedTable(ident: Identifier, linked: Boolean, v: Long): Table =
     maskedReadFor(ident, linked, v) match {
-      case None => tableFor(ident, linked, v)
+      case None =>
+        bucketedRouteFor(ident, linked, v) match {
+          case None => tableFor(ident, linked, v)
+          case route => new SnapshotTable(
+            tableForMasked(ident, linked, v),
+            None, None, None, bucketedRoute = route)
+        }
       case some => new SnapshotTable(
         tableForMasked(ident, linked, v),
         None, None, None, maskedRead = some,
         prunedRead = temporalPrunedReadFor(ident, linked, v),
         visibleRows = Some(visibleRowsFor(ident, linked, v)))
     }
+
+  /** STORAGE-PARTITIONED JOIN route — the catalog half of
+    * [[graft.operators.SnapshotStore.writeBucketed]]'s contract: when
+    * the store declares a bucket layout AND every data file of
+    * `version` carries Spark's bucket-id name (only the bucketed write
+    * paths produce those), the version serves as a V1 bucketed
+    * relation ([[BucketedScanBuilder]]); `FileSourceScanExec` then
+    * reports `HashPartitioning(col, n)` and `SELECT ... FROM cat.a
+    * JOIN cat.b ON a.key = b.key` plans with ZERO Exchange on either
+    * bucketed side (`ScaleJoins.colocatedJoin`'s zero-Exchange
+    * contract, through SQL). A version holding ANY non-bucketed file —
+    * a later mergeDelta/compact landing — fails the gate and falls
+    * back to the plain route: correct, just shuffling, until a fresh
+    * writeBucketed re-buckets. Evolved/masked versions never take this
+    * route (the store read owns their semantics). */
+  private def bucketedRouteFor(ident: Identifier, linked: Boolean,
+      version: Long): Option[BucketedRoute] = {
+    val base = storePath(ident)
+    val fsB = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readStoredBucketBy(fsB, base).flatMap {
+      case (bCol, n) =>
+        val evolved = if (linked) linkedFor(ident).evolvedSchema(version)
+          else storeFor(ident).evolvedSchema(version)
+        if (evolved.isDefined) None
+        else {
+          val paths: Seq[String] =
+            if (linked) {
+              val pool = poolDirOf(base)
+              linkedFor(ident).manifest(version).select("file").collect()
+                .map(r => s"$pool/${r.getString(0)}").toSeq
+            } else storeFor(ident).dataFiles(version).map(_.toString)
+          val allBucketed = paths.nonEmpty && paths.forall { p =>
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            graft.operators.SnapshotStore.bucketIdOf(name).exists(_ < n)
+          }
+          if (allBucketed) Some(BucketedRoute(bCol, n, paths)) else None
+        }
+    }
+  }
 
   /** Checkpoint-served visible-row statistic for the store-read SQL
     * route — lazy (evaluated at plan time, once per relation), so
@@ -600,8 +646,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // When the store read serves the scan (DV/mapped/temporal), the
     // delegate is the path-free variant — no pool-wide file stat.
     val tipMasked = maskedReadFor(ident, linked, tip)
+    val tipBucketed =
+      if (tipMasked.isDefined) None else bucketedRouteFor(ident, linked, tip)
     new SnapshotTable(
-      (if (tipMasked.isDefined) tableForMasked(ident, linked, tip)
+      (if (tipMasked.isDefined || tipBucketed.isDefined)
+         tableForMasked(ident, linked, tip)
        else tableFor(ident, linked, tip).asInstanceOf[ParquetTable]),
       Some(StreamInfo(storePath(ident), linked, () => storedKey("streaming read"))),
       Some { pred =>
@@ -652,7 +701,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         })),
       maskedRead = tipMasked,
       prunedRead = temporalPrunedReadFor(ident, linked, tip),
-      visibleRows = Some(visibleRowsFor(ident, linked, tip)))
+      visibleRows = Some(visibleRowsFor(ident, linked, tip)),
+      bucketedRoute = tipBucketed)
   }
 
   /** `VERSION AS OF <v>`; on the `.changes` table, `VERSION AS OF
@@ -1767,6 +1817,70 @@ private[graft] class MaskedStoreScanBuilder(tableName: String,
     }
 }
 
+/** A bucketed version's file set + layout declaration — carries what
+  * [[BucketedScanBuilder]] needs to build the V1 bucketed relation. */
+private[graft] case class BucketedRoute(col: String, n: Int, paths: Seq[String]) {
+  /** The bucketed [[org.apache.spark.sql.execution.datasources
+    * .HadoopFsRelation]]: schema from ONE footer (the gate admits only
+    * never-evolved versions, whose files are schema-uniform by
+    * construction), file index over the version's exact files, and the
+    * BucketSpec that makes `FileSourceScanExec` report
+    * `HashPartitioning(col, n)` — plus `sortColumnNames`, honored
+    * because the write paths land ONE key-sorted file per bucket, so a
+    * sort-merge join needs neither Exchange NOR Sort. */
+  def relation(spark: SparkSession)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val schema = spark.read.parquet(paths.head).schema
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map.empty[String, String], Some(schema))
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema,
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        n, Seq(col), Seq(col))),
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+}
+
+/** Scan builder for a BUCKETED version: hands [[V1StatsRelationRule]]
+  * the bucketed HadoopFsRelation via [[GraftV1RelationScan]], so the
+  * swapped-in LogicalRelation plans through FileSourceStrategy with
+  * native column pruning, filter pushdown, REAL size statistics, and —
+  * the point — bucket-aware output partitioning (zero-Exchange
+  * store⋈store key joins). The V1-fallback `toV1TableScan` route
+  * (extensions not registered) serves a plain unbucketed TableScan:
+  * same rows, just shuffling. */
+private[graft] class BucketedScanBuilder(tableName: String,
+    route: BucketedRoute,
+    mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream])
+    extends org.apache.spark.sql.connector.read.ScanBuilder {
+  import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftV1RelationScan {
+      private lazy val rel = route.relation(SparkSession.active)
+      override def readSchema(): StructType = rel.schema
+      override def description(): String =
+        s"$tableName (bucketed ${route.n} by ${route.col})"
+      override def v1Relation(context: org.apache.spark.sql.SQLContext)
+          : BaseRelation = rel
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = rel.schema
+          override def sizeInBytes: Long = rel.sizeInBytes
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            SparkSession.active.read.schema(rel.schema)
+              .parquet(route.paths: _*).rdd
+        }.asInstanceOf[T]
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        mkStream.map(_(checkpointLocation)).getOrElse(
+          throw new UnsupportedOperationException(
+            s"$tableName: streaming a version-pinned read — stream the table tip"))
+    }
+}
+
 private[graft] class SnapshotTable(delegate: ParquetTable,
     streamInfo: Option[StreamInfo],
     onDelete: Option[org.apache.spark.sql.Column => Unit],
@@ -1774,7 +1888,8 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
     maskedRead: Option[() => org.apache.spark.sql.DataFrame] = None,
     prunedRead: Option[Array[org.apache.spark.sql.sources.Filter] =>
       Option[org.apache.spark.sql.DataFrame]] = None,
-    visibleRows: Option[() => Long] = None)
+    visibleRows: Option[() => Long] = None,
+    bucketedRoute: Option[BucketedRoute] = None)
     extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.sources._
@@ -1829,6 +1944,24 @@ private[graft] class SnapshotTable(delegate: ParquetTable,
       return new MaskedStoreScanBuilder(delegate.name, read,
         prunedRead = prunedRead,
         visibleRows = visibleRows,
+        mkStream = streamInfo.map(info => (loc: String) =>
+          new ChangesMicroBatchStream(SparkSession.active, info.base,
+            info.linked, info.key(), delegate.schema, rowsOnly = true,
+            ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+            startingVersion = ChangeFeed.resolveStart(SparkSession.active,
+              info.base, info.linked, options),
+            checkpointLocation = loc,
+            maxVersionsPerTrigger =
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+            maxBytesPerTrigger =
+              Option(options.get("maxBytesPerTrigger")).map(_.toLong))))
+    }
+    // a fully-BUCKETED version serves the V1 bucketed relation: its
+    // FileSourceScanExec reports HashPartitioning(col, n), so key
+    // joins between co-bucketed stores plan with zero Exchange.
+    // Streaming still rides the change feed, exactly as masked.
+    bucketedRoute.foreach { route =>
+      return new BucketedScanBuilder(delegate.name, route,
         mkStream = streamInfo.map(info => (loc: String) =>
           new ChangesMicroBatchStream(SparkSession.active, info.base,
             info.linked, info.key(), delegate.schema, rowsOnly = true,
