@@ -50,6 +50,77 @@ object Pipeline {
       .select("vec_id", "cell", "rk")
   }
 
+  /** SEMDEDUP — within-cluster semantic deduplication (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means the embedding space, then
+    * INSIDE each cluster drop every vector that has an
+    * epsilon-cosine near-duplicate of lower portable rank (the
+    * paper's upper-triangular rule: drop j when max_{i<j}
+    * cos(i,j) ≥ 1−eps, with the portable (md5, id) rank standing in
+    * for the index order so the result is engine-reproducible).
+    * Where [[clusterBalancedSample]] caps cluster MASS, this prunes
+    * cluster REDUNDANCY — a cluster of near-identical boilerplate
+    * collapses to one survivor while a genuinely diverse cluster
+    * keeps everything.
+    *
+    * Scale shape: candidates meet through the banded-hyperplane
+    * kernel ([[Dedup.embBandKeys]]) SCOPED PER CLUSTER — the
+    * equi-join key is (cell, band, band_hash), so two vectors are
+    * only compared when the clustering already co-locates them;
+    * exact cosine then re-joins the two id→vector sides. Every join
+    * is an equi-join, nothing is all-pairs, vectors shuffle once per
+    * side. Approximate by construction (a twin whose every band
+    * misses survives — at near-dup thresholds the per-band match
+    * rate is ≳0.99); the gate entry plants exact twins and checks
+    * collapse. Returns the SURVIVORS as (vec_id, cell). */
+  def semanticDedup(emb: DataFrame, k: Int, eps: Double,
+      kmeansIters: Int = 3, bands: Int = 4,
+      targetBucket: Long = 32L): DataFrame =
+    semanticDedupFrom(emb,
+      Similarity.ivfAssignTo(emb, Similarity.kmeansCentroids(emb, k, kmeansIters))
+        .select("vec_id", "cell"),
+      eps, bands, targetBucket)
+
+  /** [[semanticDedup]] over a prebuilt (vec_id, cell) assignment —
+    * pipelines that persist the clustering (or reuse an IVF index's
+    * cells) prune without re-clustering. */
+  def semanticDedupFrom(emb: DataFrame, assigned: DataFrame, eps: Double,
+      bands: Int = 4, targetBucket: Long = 32L): DataFrame = {
+    require(eps > 0.0 && eps < 1.0, s"semanticDedup: eps must be in (0,1), got $eps")
+    val threshold = 1.0 - eps
+    val planes = bands * Dedup.autoBandBits(emb.count(), targetBucket)
+    val cellsA = assigned.select(col("vec_id").as("vec_a"), col("cell").as("cell_a"))
+    val cellsB = assigned.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"))
+    // banded candidates, cluster-scoped: same (cell, band, hash)
+    val aK = Dedup.embBandKeys(emb, planes, bands, "vec_a", "band_a", "hash_a")
+      .join(cellsA, "vec_a")
+    val bK = Dedup.embBandKeys(emb, planes, bands, "vec_b", "band_b", "hash_b")
+      .join(cellsB, "vec_b")
+    val cands = aK.join(bK,
+        col("cell_a") === col("cell_b") && col("band_a") === col("band_b")
+          && col("hash_a") === col("hash_b") && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = Similarity.withNorm(emb).select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val eb = Similarity.withNorm(emb).select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val pairs = cands.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    // drop the HIGHER portable-rank end of every in-epsilon pair
+    // (upper-triangular SemDeDup under the portable order); the
+    // lowest-rank member of any epsilon-ball has no lower neighbor
+    // and always survives, so no cluster empties
+    def rk(id: Column) = md5(id.cast(StringType))
+    val dropped = pairs
+      .select(when(rk(col("vec_a")) < rk(col("vec_b"))
+          || (rk(col("vec_a")) === rk(col("vec_b")) && col("vec_a") < col("vec_b")),
+        col("vec_b")).otherwise(col("vec_a")).as("vec_id"))
+      .distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+  }
+
   /** The narrow half of [[cleanCorpus]]: quality-gate signals + content
     * hash in one projection, no shuffle. Split out so the incremental
     * path ([[incrementalClean]]) can re-gate ONLY a delta. */
@@ -628,6 +699,77 @@ object Pipeline {
         lit(idsOk).as("ids_ok"))
     },
 
+    "pipe_semdedup" -> { (s, d) =>
+      // SEMDEDUP survivors over the embeddings table + planted exact
+      // twins (scaled copies: cosine exactly 1.0 > 1 − eps): k-means
+      // clusters, then within-cluster epsilon-ball pruning keeps the
+      // lowest-portable-rank member per ball. Cluster assignment is
+      // deterministic but impl-defined (Lloyd's over float sums) →
+      // rows-only; pipe_semdedup_gate hash-checks the invariants.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      semanticDedup(emb.unionByName(twins), k = 8, eps = 0.001)
+        .orderBy("vec_id")
+    },
+
+    "pipe_semdedup_gate" -> { (s, d) =>
+      // The hash-checked gate behind pipe_semdedup: every planted twin
+      // pair collapses to EXACTLY one survivor, untouched vectors all
+      // survive (this corpus holds no organic 0.999-cosine pair — max
+      // is ~0.51), every cluster keeps at least one survivor, survivor
+      // ids are unique and referential, and NO two survivors in the
+      // same cluster sit within epsilon of each other (the exact
+      // declarative recheck over the survivor set).
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val all = emb.unionByName(twins).localCheckpoint()
+      val assigned = Similarity.ivfAssignTo(all,
+          Similarity.kmeansCentroids(all, 8, 3))
+        .select("vec_id", "cell").localCheckpoint()
+      val surv = semanticDedupFrom(all, assigned, eps = 0.001).localCheckpoint()
+      val sIds = surv.select("vec_id")
+      val planted = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+        .localCheckpoint()
+      val nPlanted = planted.count()
+      val origAlive = planted.join(sIds, Seq("vec_id"), "left_semi")
+      val twinAlive = planted
+        .select((col("vec_id") + 1000000L).as("vec_id"))
+        .join(sIds, Seq("vec_id"), "left_semi")
+        .select((col("vec_id") - 1000000L).as("vec_id"))
+      val collapsedOk = origAlive.join(twinAlive, Seq("vec_id"), "left_semi")
+        .limit(1).count() == 0
+      val oneSurvivorOk =
+        origAlive.count() + twinAlive.count() == nPlanted && collapsedOk
+      val othersOk = emb.filter(col("vec_id") % 10 =!= 0).select("vec_id")
+        .join(sIds, Seq("vec_id"), "left_anti").limit(1).count() == 0
+      val cellsOk = surv.select("cell").distinct().count() ==
+        assigned.select("cell").distinct().count()
+      val idsOk = sIds.distinct().count() == surv.count() &&
+        sIds.join(all.select("vec_id"), Seq("vec_id"), "left_anti")
+          .limit(1).count() == 0
+      // exact post-condition: no surviving in-cell pair within epsilon
+      // (sides renamed disjointly off the checkpointed survivor frame;
+      // the join is an equi-join on the cell)
+      val sv = surv.join(all, Seq("vec_id")).localCheckpoint()
+      val lhs = sv.select(col("vec_id").as("vl"), col("cell").as("cl"),
+        col("embedding").as("el"))
+      val rhs = sv.select(col("vec_id").as("vr"), col("cell").as("cr"),
+        col("embedding").as("er"))
+      val close = lhs.join(rhs, col("cl") === col("cr") && col("vl") < col("vr"))
+        .filter(dot(col("el"), col("er"))
+          / (l2norm(col("el")) * l2norm(col("er"))) >= 0.999)
+      val noClosePairOk = close.limit(1).count() == 0
+      s.range(1).select(lit(nPlanted).as("n_planted"),
+        lit(collapsedOk).as("collapsed_ok"),
+        lit(oneSurvivorOk).as("one_survivor_ok"),
+        lit(othersOk).as("others_ok"), lit(cellsOk).as("cells_ok"),
+        lit(idsOk).as("ids_ok"), lit(noClosePairOk).as("no_close_pair_ok"))
+    },
+
     "pipe_sample" -> { (s, d) =>
       // Rebalance the cleaned corpus: keep ~35% of 'en' survivors,
       // everything else untouched; report the mixture. Deterministic
@@ -977,6 +1119,12 @@ object Pipeline {
       """SELECT CAST(8 AS BIGINT) AS k, CAST(40 AS BIGINT) AS quota,
         |  TRUE AS quota_ok, TRUE AS full_ok, TRUE AS coverage_ok,
         |  TRUE AS total_ok, TRUE AS ids_ok""".stripMargin,
+
+    "pipe_semdedup_gate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS collapsed_ok,
+        |  TRUE AS one_survivor_ok, TRUE AS others_ok, TRUE AS cells_ok,
+        |  TRUE AS ids_ok, TRUE AS no_close_pair_ok
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 
     "pipe_sample" ->
       s"""WITH gated AS (

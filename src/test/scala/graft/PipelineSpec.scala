@@ -353,4 +353,54 @@ class PipelineSpec extends SparkSpec {
     assert(capped.size == 3 && capped.count(_._2 == 0L) == 2
       && capped.count(_._2 == 1L) == 1)
   }
+
+  test("semanticDedup: epsilon-twins collapse to one survivor inside their cluster, diverse vectors untouched") {
+    // three separated clusters; cluster A holds three exact-direction
+    // twin GROUPS (scaled copies, cosine 1.0) plus diverse members;
+    // clusters B/C are all distinct. eps-pruning must collapse each
+    // twin group to one survivor and keep everything else.
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = 10f
+      v((axis + 1) % 4) = jitter
+      v
+    }
+    def scaled(v: Array[Float], f: Float): Array[Float] = v.map(_ * f)
+    // jitters 0/1.5/3.0 keep the GROUPS outside each other's epsilon
+    // ball (cos ≤ ~0.990 across groups) while scaled copies inside a
+    // group sit at cosine exactly 1.0
+    val aTwins = Seq(             // groups {1,2,3}, {4,5}, {6,7}
+      (1L, vec(0, 0.0f)), (2L, scaled(vec(0, 0.0f), 2f)), (3L, scaled(vec(0, 0.0f), 0.5f)),
+      (4L, vec(0, 1.5f)), (5L, scaled(vec(0, 1.5f), 3f)),
+      (6L, vec(0, 3.0f)), (7L, scaled(vec(0, 3.0f), 1.5f)))
+    // 2.5-wide jitter steps keep consecutive diverse members below
+    // cos 0.993 (tight steps at large jitter creep above 1 − eps)
+    val aDiverse = (8L to 12L).map(i => (i, vec(0, 1.0f + (i - 8L) * 2.5f)))
+    val bc = (21L to 26L).map(i => (i, vec(1, (i % 7) * 0.8f))) ++
+      (31L to 35L).map(i => (i, vec(2, (i % 5) * 0.9f)))
+    val emb = (aTwins ++ aDiverse ++ bc).toDF("vec_id", "embedding")
+    val surv = Pipeline.semanticDedup(emb, k = 3, eps = 0.001, kmeansIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = surv.map(_._1).toSet
+    // each twin group keeps exactly one member
+    for (g <- Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L, 7L)))
+      assert(g.count(ids) == 1, s"group $g -> ${g.filter(ids)}")
+    // everything genuinely distinct survives
+    val diverse = (8L to 12L) ++ (21L to 26L) ++ (31L to 35L)
+    assert(diverse.forall(ids.contains), s"lost diverse ids: ${diverse.filterNot(ids.contains)}")
+    // every cluster keeps at least one survivor; ids unique
+    assert(surv.map(_._2).distinct.length == 3, surv.mkString(","))
+    assert(surv.map(_._1).distinct.length == surv.length)
+    // deterministic
+    val again = Pipeline.semanticDedup(emb, k = 3, eps = 0.001, kmeansIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSet == surv.toSet)
+    // prebuilt-assignment variant prunes ONLY within a cell: the same
+    // twin pair split across cells is untouched
+    val small = Seq((1L, vec(0, 0f)), (2L, scaled(vec(0, 0f), 2f))).toDF("vec_id", "embedding")
+    val splitAssign = Seq((1L, 0L), (2L, 1L)).toDF("vec_id", "cell")
+    assert(Pipeline.semanticDedupFrom(small, splitAssign, eps = 0.001).count() == 2L)
+    val sameAssign = Seq((1L, 0L), (2L, 0L)).toDF("vec_id", "cell")
+    assert(Pipeline.semanticDedupFrom(small, sameAssign, eps = 0.001).count() == 1L)
+  }
 }
