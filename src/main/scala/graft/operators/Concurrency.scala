@@ -30,6 +30,14 @@ class ConcurrentWriteConflictException(msg: String) extends RuntimeException(msg
   * — constraint enforcement happens BEFORE any version goes live. */
 class ConstraintViolationException(msg: String) extends IllegalArgumentException(msg)
 
+/** Time-based retention met a LEGAL HOLD: the horizon selects a held
+  * version for expiry. Count-based [[SnapshotStore.prune]] silently
+  * KEEPS held versions (the policy is advisory); a time horizon is a
+  * compliance contract ("nothing older than N hours exists") that
+  * CANNOT be honored while the hold stands — so it refuses loudly
+  * instead of reporting success over a directory it did not empty. */
+class RetentionHoldException(msg: String) extends IllegalStateException(msg)
+
 /** Compare-and-swap version publication — the primitive that makes
   * TWO concurrent writers safe on both store layouts.
   *

@@ -88,7 +88,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     enforceConstraints(df, "write")
     val names = landInPool(arrange(df, numFiles))
     require(names.nonEmpty, "write: empty input frame")
-    publish(version, statsFor(names, effectiveStatsCols), commitTs, op = "write")
+    publish(version, statsFor(names, effectiveStatsCols), commitTs, op = "write",
+      metrics = Map("numFiles" -> names.size.toLong))
   }
 
   /** [[write]] with a HASH-BUCKETED layout —
@@ -128,7 +129,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     fs.delete(tmp, true)
     require(names.nonEmpty, "writeBucketed: empty input frame")
     publish(version, statsFor(names, effectiveStatsCols), commitTs,
-      op = "writeBucketed", opParams = s"$buckets buckets by $keyCol")
+      op = "writeBucketed", opParams = s"$buckets buckets by $keyCol",
+      metrics = Map("numFiles" -> names.size.toLong))
   }
 
   /** First write of a PARTITIONED table — Delta/Iceberg's `PARTITIONED
@@ -460,7 +462,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   private def publish(version: Long, manifest: DataFrame, commitTs: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       dv: Option[DataFrame] = None, op: String = "unknown",
-      opParams: String = "", statsFrom: Option[Long] = None): Unit = {
+      opParams: String = "", statsFrom: Option[Long] = None,
+      metrics: Map[String, Long] = Map.empty): Unit = {
     ensureStoreMeta()
     val tmp = new Path(s"$basePath/.tmp-man-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -477,7 +480,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     }
     // the commit's verb rides inside the manifest dir (atomic with the
     // version) — DESCRIBE HISTORY's operation column, self-heal-safe
-    SnapshotStore.writeOpSidecar(fs, tmp, op, opParams)
+    SnapshotStore.writeOpSidecar(fs, tmp, op, opParams, metrics)
     fs.mkdirs(new Path(s"$basePath/_manifests"))
     // CAS publication (CommitProtocol): a concurrent writer racing the
     // same version loses with a clean VersionConflictException — never
@@ -485,7 +488,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, manifestDir(version), token,
       s"publish of v$version on $basePath")
-    noteCommit(version, op, opParams, statsFrom)
+    noteCommit(version, op, opParams, statsFrom, metrics)
   }
 
   /** Persist the construction contract (key column) in `_store.json`
@@ -739,9 +742,9 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val spark0 = spark
     import spark0.implicits._
     historyEntries().map { case (v, e) =>
-        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams) }
+        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams, e.metrics) }
       .toDF("version", "commit_ts", "n_files", "n_rows",
-        "operation", "operation_params")
+        "operation", "operation_params", "operation_metrics")
   }
 
   /** Per-version (version, bytes_added, n_rows, operation) ascending —
@@ -758,9 +761,9 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     // sums a zero-row manifest — 0 rows, not a null
     val m = manifest(v).agg(count(lit(1)).as("f"),
       coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
-    val (op, params) = SnapshotStore.readOpSidecar(fs, manifestDir(v))
+    val (op, params, metrics) = SnapshotStore.readOpSidecar(fs, manifestDir(v))
     SnapshotStore.HistoryEntry(commitTsOf(v), m.getLong(0), m.getLong(1),
-      commitBytesRaw(v), op, params)
+      commitBytesRaw(v), op, params, metrics)
   }
 
   /** The VERSION-LOG CHECKPOINT, served and self-healed —
@@ -780,7 +783,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   }
 
   private def noteCommit(v: Long, op: String = "unknown",
-      opParams: String = "", statsFrom: Option[Long] = None): Unit =
+      opParams: String = "", statsFrom: Option[Long] = None,
+      metrics: Map[String, Long] = Map.empty): Unit =
     try {
       val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
       // metadata-only commits (rename/widen/branch/restore — manifest
@@ -788,7 +792,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       // no manifest agg job, bytes_added = 0 (no new pool basenames)
       val entry = statsFrom.flatMap(ckpt.get) match {
         case Some(prev) => prev.copy(commitTs = commitTsOf(v),
-          bytes = 0L, op = op, opParams = opParams)
+          bytes = 0L, op = op, opParams = opParams, metrics = metrics)
         case None => computeHistoryEntry(v)
       }
       SnapshotStore.writeHistoryCkpt(fs, basePath, ckpt + (v -> entry))
@@ -1424,13 +1428,35 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         else lit(null).cast(f.dataType).as(f.name)): _*)
     }
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
-    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _).distinct()
-      .localCheckpoint()
+    // __del flag (delete wins, matching the upserts' left_anti)
+    // drives operationMetrics' updated vs deleted split without a
+    // second look at the caller's frames
+    val touchKeys = delK.foldLeft(
+        delta.select(col(keyCol)).withColumn("__del", lit(false)))(
+        (acc, del) => acc.unionByName(del.withColumn("__del", lit(true))))
+      .groupBy(keyCol).agg(max(col("__del")).as("__del")).localCheckpoint()
     // |manifest| rows broadcast into a range probe over the key set
     val touched = touchKeys.join(broadcast(man),
         col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val shared = man.filter(!col("file").isin(touched.toSeq: _*))
+    // operationMetrics (SnapshotStore.mergeDelta's contract): matched
+    // counts come from ONE key-column-pruned pass over the touched
+    // files — a small fraction of the full-row double-read (range
+    // sampling + shuffle) the rewrite below already pays — and the
+    // upsert count reads off the checkpointed key frame; the user's
+    // delta pipeline never re-executes for metrics.
+    val (nMatched, nMatchedDel) =
+      if (touched.isEmpty) (0L, 0L)
+      else {
+        val r = readFiles(fromVersion,
+            touched.map(n => new Path(poolDir, n).toString).toSeq)
+          .select(col(keyCol)).join(touchKeys, Seq(keyCol))
+          .agg(count(lit(1)).as("m"),
+            coalesce(sum(when(col("__del"), 1L)), lit(0L)).as("d")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val nUpserts = touchKeys.filter(col("__del") === false).count()
     val survivors =
       if (touched.isEmpty) align(delta).limit(0)
       else align(readFiles(fromVersion,
@@ -1456,7 +1482,13 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     publish(toVersion,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
       if (evolved || stats.isEmpty) Some(unionSchema) else None,
-      dv = carryDv(fromVersion, shared), op = "mergeDelta")
+      dv = carryDv(fromVersion, shared), op = "mergeDelta",
+      metrics = Map(
+        "numTargetRowsInserted" -> math.max(0L, nUpserts - (nMatched - nMatchedDel)),
+        "numTargetRowsUpdated" -> (nMatched - nMatchedDel),
+        "numTargetRowsDeleted" -> nMatchedDel,
+        "numTargetFilesAdded" -> nRewritten.toLong,
+        "numTargetFilesRemoved" -> touched.size.toLong))
     // an indexed predecessor extends its Bloom sidecars: carried files
     // keep their filters verbatim, only the landed files scan
     autoExtendBloomIndexes(fromVersion, toVersion)
@@ -1501,7 +1533,9 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     if (matching.isEmpty) {
       publish(toVersion, shared, commitTs, evolvedSchema(fromVersion),
         dv = carryDv(fromVersion, shared), op = "deleteWhere",
-        opParams = SnapshotStore.predSql(pred))
+        opParams = SnapshotStore.predSql(pred),
+        metrics = Map("numDeletedRows" -> 0L,
+          "numAddedFiles" -> 0L, "numRemovedFiles" -> 0L))
       return (shared.count().toInt, 0, 0L)
     }
     // strategy: MERGE-ON-READ (deletion vector) when the match is
@@ -1519,7 +1553,10 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         .getOrElse(matchRows)
       publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
         dv = Some(merged), op = "deleteWhere",
-        opParams = SnapshotStore.predSql(pred))
+        opParams = SnapshotStore.predSql(pred),
+        metrics = Map("numDeletedRows" -> nMatched,
+          "numAddedFiles" -> 0L, "numRemovedFiles" -> 0L,
+          "numDeletionVectorsUpdated" -> matching.size.toLong))
       return (man.count().toInt, 0, nMatched)
     }
     val kept = readFiles(fromVersion,
@@ -1529,14 +1566,18 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       manifestStatsCols(man), evolvedSchema(fromVersion))
     // a delete that empties the table records the schema sidecar so
     // the zero-file version still plans (see mergeDelta)
+    val nRewritten = stats.fold(0L)(_.count()).toInt
     publish(toVersion,
       stats.fold(shared)(shared.unionByName(_)), commitTs,
       if (stats.isEmpty && shared.isEmpty)
         evolvedSchema(fromVersion).orElse(Some(kept.schema))
       else evolvedSchema(fromVersion),
       dv = carryDv(fromVersion, shared), op = "deleteWhere",
-      opParams = SnapshotStore.predSql(pred))
-    (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
+      opParams = SnapshotStore.predSql(pred),
+      metrics = Map("numDeletedRows" -> nMatched,
+        "numAddedFiles" -> nRewritten.toLong,
+        "numRemovedFiles" -> matching.size.toLong))
+    (shared.count().toInt, nRewritten, nMatched)
   }
 
   /** MERGE-ON-READ MERGE — [[mergeDelta]]'s MoR alternative
@@ -1601,11 +1642,15 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val nMasked = matchRows.count()
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       .localCheckpoint()
+    val nNew = stats.fold(0L)(_.count()).toInt
     publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
       dv = if (mask.limit(1).count() == 0) None else Some(mask),
-      op = "mergeDeltaMor")
+      op = "mergeDeltaMor", metrics = Map(
+        "numTargetRowsMasked" -> nMasked,
+        "numTargetFilesAdded" -> nNew.toLong,
+        "numTargetFilesRemoved" -> 0L))
     autoExtendBloomIndexes(fromVersion, toVersion)
-    (stats.fold(0L)(_.count()).toInt, nMasked)
+    (nNew, nMasked)
   }
 
   /** Operation-parameters stamp for updateWhere commits. */
@@ -1663,7 +1708,9 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matching.isEmpty) {
       publish(toVersion, man, commitTs, sc, dv = dvFrame(fromVersion),
-        op = "updateWhere", opParams = updateOpParams(set, pred))
+        op = "updateWhere", opParams = updateOpParams(set, pred),
+        metrics = Map("numUpdatedRows" -> 0L,
+          "numAddedFiles" -> 0L, "numRemovedFiles" -> 0L))
       return (man.count().toInt, 0, 0L)
     }
     val nMatched = matching.values.sum
@@ -1679,10 +1726,13 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       val stats = landWithStats(arrange(updated, numNewFiles),
         manifestStatsCols(man), sc)
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
+      val nNew = stats.fold(0L)(_.count()).toInt
       publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
         dv = Some(mask), op = "updateWhere",
-        opParams = updateOpParams(set, pred))
-      (man.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
+        opParams = updateOpParams(set, pred),
+        metrics = Map("numUpdatedRows" -> nMatched,
+          "numAddedFiles" -> nNew.toLong, "numRemovedFiles" -> 0L))
+      (man.count().toInt, nNew, nMatched)
     } else {
       val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
       val touched = readFiles(fromVersion,
@@ -1692,10 +1742,14 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       enforceConstraints(rewritten, "updateWhere")
       val stats = landWithStats(arrange(rewritten, numNewFiles),
         manifestStatsCols(man), sc)
+      val nNew = stats.fold(0L)(_.count()).toInt
       publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs, sc,
         dv = carryDv(fromVersion, shared), op = "updateWhere",
-        opParams = updateOpParams(set, pred))
-      (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nMatched)
+        opParams = updateOpParams(set, pred),
+        metrics = Map("numUpdatedRows" -> nMatched,
+          "numAddedFiles" -> nNew.toLong,
+          "numRemovedFiles" -> matching.size.toLong))
+      (shared.count().toInt, nNew, nMatched)
     }
   }
 
@@ -2058,7 +2112,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       targetFiles))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
-      op = "compact")
+      op = "compact", metrics = Map("numAddedFiles" -> names.size.toLong,
+        "numRemovedFiles" -> small.length.toLong))
     (sizes.length - small.length, names.size)
   }
 
@@ -2101,7 +2156,9 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       targetFiles))
     publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
-      op = "compact", opParams = SnapshotStore.predSql(pred))
+      op = "compact", opParams = SnapshotStore.predSql(pred),
+      metrics = Map("numAddedFiles" -> names.size.toLong,
+        "numRemovedFiles" -> small.length.toLong))
     (man.count().toInt - small.length, names.size)
   }
 
@@ -2235,6 +2292,52 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     // checkpoint entry is stale; rebuild from truth on next read
     invalidateHistoryCkpt()
     vacuum()
+  }
+
+  /** TIME-BASED retention — [[SnapshotStore.pruneOlderThan]]'s linked
+    * twin (see there for the contract: strict-older-than boundary,
+    * tip always survives, held versions REFUSE). Expired manifests
+    * delete first, then the pool's ref-count sweep reclaims the
+    * bytes no surviving manifest references. Returns (dropped
+    * versions, bytes reclaimed). */
+  def pruneOlderThan(horizonMs: Long): (Seq[Long], Long) = {
+    val vs = versions()
+    if (vs.isEmpty) return (Seq.empty, 0L)
+    val ts = historyEntries().toMap
+    val tip = vs.max
+    val toDrop = vs.filter(v => v != tip && ts(v).commitTs < horizonMs)
+    val blocked = holds().filter(toDrop.contains)
+    if (blocked.nonEmpty) throw new RetentionHoldException(
+      s"retention horizon $horizonMs selects held version(s) " +
+        s"${blocked.mkString(", ")} on $basePath — release the hold(s) or " +
+        "raise the horizon; refusing to report an un-honorable retention " +
+        "contract as success")
+    if (toDrop.isEmpty) return (Seq.empty, 0L)
+    (toDrop, prune(vs.filterNot(toDrop.contains)))
+  }
+
+  /** Legal hold — [[SnapshotStore.hold]]'s linked twin (same
+    * `_holds/<version>` marker contract): count-based [[prune]] is
+    * caller-driven here, but [[pruneOlderThan]] and the catalog's
+    * retention procedures honor holds. Idempotent. */
+  def hold(version: Long): Unit = {
+    require(versions().contains(version), s"version $version does not exist")
+    val p = new Path(s"$basePath/_holds/$version")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  /** Release a [[hold]]; idempotent. */
+  def release(version: Long): Unit =
+    fs.delete(new Path(s"$basePath/_holds/$version"), false): Unit
+
+  /** Versions currently under a legal hold. */
+  def holds(): Seq[Long] = {
+    val dir0 = new Path(s"$basePath/_holds")
+    if (!fs.exists(dir0)) Seq.empty
+    else fs.listStatus(dir0).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted.toSeq
   }
 
   /** Orphan audit — [[vacuum]]'s report-only twin: pool files

@@ -1140,9 +1140,22 @@ object Similarity {
     * plans the probes driver-side, then ADC-searches ONLY the probed
     * cells' code files — identical results to the inline [[ivfpqTopK]]
     * built from the same corpus (spec-proven), reading
-    * ~nprobe/nCells of the index. */
+    * ~nprobe/nCells of the index.
+    *
+    * `allowedIds` — FILTERED search through the PERSISTED index (the
+    * ann_filtered contract at index scale): a one-column frame of
+    * admissible vec_ids (a metadata predicate's projection, e.g.
+    * `meta.filter(label === 3).select("vec_id")`). The filter applies
+    * INSIDE the probed cells, BEFORE the per-query heaps — a
+    * pre-filter, so every returned row satisfies it and k slots never
+    * silently shrink the way post-filtering a top-k would. Plan
+    * shape: the probed cells' code rows (already a ~nprobe/nCells
+    * file subset) semi-join the id frame on vec_id — an equi-join
+    * Catalyst broadcasts when the admissible set is small, never a
+    * scan of unprobed cells. */
   def ivfpqTopKFrom(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16): DataFrame = {
+      k: Int, nprobe: Int, maxQueryRows: Long = 1L << 16,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     val cents = loadCentroids(spark, s"$path/centroids")
     val books = loadPqBooks(spark, s"$path/books")
     // OPQ-built index: queries rotate through the sidecar R (narrow
@@ -1150,7 +1163,11 @@ object Similarity {
     val q = loadRotationOpt(spark, s"$path/rotation")
       .map(rotate(queries, _)).getOrElse(queries)
     val plan = probePlan(q, cents, books, nprobe, maxQueryRows)
-    adcSearch(loadProbedCodes(spark, s"$path/codes", plan.keySet), plan, k)
+    val codes = loadProbedCodes(spark, s"$path/codes", plan.keySet)
+    val admitted = allowedIds.fold(codes)(ids => codes.join(
+      ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi"))
+    adcSearch(admitted, plan, k)
   }
 
   /** Encode vectors against a FROZEN IVFPQ quantizer (centroids +
@@ -1546,6 +1563,23 @@ object Similarity {
     (store, idx2)
   }
 
+  /** The shared PERSISTED OPQ-IVFPQ artifact over the full embeddings
+    * corpus (build-once-per-fingerprint; serves ann_opq_ivfpq and the
+    * filtered-search entries). */
+  private def opqIvfpqArtifact(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_opq_ivfpq_${Tables.fingerprint(s, d, "embeddings")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS"))) {
+      val (r, _) = opqTrain(emb.filter(col("vec_id") % 4 === 0),
+        8, 16, lloydIters = 2, opqIters = 2)
+      writeIvfpqIndex(emb, path, nCells = 32, m = 8, ksub = 16, iters = 2,
+        rotation = Some(r))
+    }
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -1808,17 +1842,50 @@ object Similarity {
       // automatically, so the artifact serves the best-quality codes
       // with the same cell-pruned reads as ann_ivfpq.
       val emb = Tables.embeddings(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_opq_ivfpq_${Tables.fingerprint(s, d, "embeddings")}"
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS"))) {
-        val (r, _) = opqTrain(emb.filter(col("vec_id") % 4 === 0),
-          8, 16, lloydIters = 2, opqIters = 2)
-        writeIvfpqIndex(emb, path, nCells = 32, m = 8, ksub = 16, iters = 2,
-          rotation = Some(r))
-      }
-      ivfpqTopKFrom(s, path, emb.filter(col("vec_id") < 50), k = 5, nprobe = 4)
+      ivfpqTopKFrom(s, opqIvfpqArtifact(s, d), emb.filter(col("vec_id") < 50),
+        k = 5, nprobe = 4)
         .orderBy("query_id", "rk")
+    },
+
+    "ann_ivfpq_filtered" -> { (s, d) =>
+      // Rows-only oracle. FILTERED search through the PERSISTED index
+      // — the ann_filtered contract at index scale: the metadata
+      // predicate (label = 3) projects to an id frame that
+      // pre-filters INSIDE the probed cells, BEFORE the per-query
+      // heaps, so k slots never silently shrink the way
+      // post-filtering a top-k would; the cell-pruned file reads are
+      // unchanged (the filter composes with, never widens, the probe
+      // plan). Shares ann_opq_ivfpq's artifact.
+      val emb = Tables.embeddings(s, d)
+      ivfpqTopKFrom(s, opqIvfpqArtifact(s, d), emb.filter(col("vec_id") < 50),
+        k = 5, nprobe = 4,
+        allowedIds = Some(emb.filter(col("label") === 3).select("vec_id")))
+        .orderBy("query_id", "rk")
+    },
+
+    "ann_ivfpq_filtered_recall" -> { (s, d) =>
+      // HASH-CHECKED gate for the filtered persisted-index search:
+      // planted near-duplicates of label-3 vectors must recover their
+      // true (label-3) sources THROUGH the filter (recall >= 0.7),
+      // and ZERO returned neighbors may violate the predicate — both
+      // inside the hashed row. 40 planted queries (sf0.001's label-3
+      // census bounds the batch).
+      val emb = Tables.embeddings(s, d)
+      val allowed = emb.filter(col("label") === 3)
+      val q = allowed.orderBy("vec_id").limit(40).select(
+        (col("vec_id") + lit(1L << 40)).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => (a * lit(0.99f) + lit(0.02f) * b).cast("float")).as("embedding"))
+        .localCheckpoint() // consumed by search + exact baseline
+      val approx = ivfpqTopKFrom(s, opqIvfpqArtifact(s, d), q,
+        k = 5, nprobe = 4,
+        allowedIds = Some(allowed.select("vec_id"))).localCheckpoint()
+      val violations = approx.join(emb,
+          approx("neighbor_id") === emb("vec_id"))
+        .filter(col("label") =!= 3).count()
+      recallSummary(approx, bruteForceTopKL2(q, allowed, 1),
+          k = 5, threshold = 0.7)
+        .withColumn("filter_ok", lit(violations == 0L))
     },
 
     "ann_pq" -> { (s, d) =>
@@ -1845,6 +1912,10 @@ object Similarity {
       |TRUE AS recall_ok FROM embeddings WHERE vec_id < 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq_filtered_recall" ->
+      """SELECT CAST(LEAST(40, (SELECT COUNT(*) FROM embeddings WHERE label = 3))
+        |  AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |TRUE AS recall_ok, TRUE AS filter_ok""".stripMargin,
     "ann_lsh_recall" -> recallOracle,
     "ann_ivf_recall" -> recallOracle,
     "ann_ivfpq_recall" -> recallOracle,

@@ -405,6 +405,75 @@ object Snapshot {
         .orderBy("snap_date")
     },
 
+    "snap_retention_time" -> { (s, d) =>
+      // TIME-BASED retention through SQL — Delta's `RETAIN n HOURS`
+      // on BOTH layouts: four commits at ts 1000..4000, then `CALL
+      // retention_hours(t, 1, as_of)` with an explicit as_of pinning
+      // the horizon AT exactly 3000 ms. v1/v2 (strictly older)
+      // expire; v3 (committed exactly at the horizon — the pinned
+      // boundary) and the tip v4 survive, hash-checked through the
+      // history table. The held-refusal contract gates in-result:
+      // with v1 under legal hold the call throws and drops NOTHING;
+      // after release it lands (refused_held). The tip's content agg
+      // proves survivors read complete after the linked layout's
+      // ref-count sweep. Warm passes skip by survivor presence.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rtime_$fp"
+      val hour = 3600L * 1000L
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val cat = s"snaprt_$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      Seq("rt_snap", "rt_linked").map { t =>
+        val isSnap = t == "rt_snap"
+        def snapSt = new SnapshotStore(s, s"$base/$t", "o_orderkey")
+        def linkSt = new ManifestStore(s, s"$base/$t", "o_orderkey")
+        def vs(): Seq[Long] = if (isSnap) snapSt.versions() else linkSt.versions()
+        if (vs().isEmpty) {
+          val d2 = ord.filter(k % 10 === 0)
+            .select(k, (col("o_totalprice") + 1.0).as("o_totalprice"))
+          val d3 = ord.filter(k % 20 === 0)
+            .select(k, (col("o_totalprice") + 2.0).as("o_totalprice"))
+          if (isSnap) {
+            val st = snapSt
+            st.writeRangePartitioned(ord.filter(k % 2 === 0), 1L, 8,
+              commitTs = Some(1000L))
+            st.mergeDelta(1L, 2L, d2, commitTs = Some(2000L)): Unit
+            st.mergeDelta(2L, 3L, d3, commitTs = Some(3000L)): Unit
+            st.deleteWhere(3L, 4L, k % 30 === 0, commitTs = Some(4000L)): Unit
+          } else {
+            val st = linkSt
+            st.write(ord.filter(k % 2 === 0), 1L, 8, commitTs = Some(1000L))
+            st.mergeDelta(1L, 2L, d2, commitTs = Some(2000L)): Unit
+            st.mergeDelta(2L, 3L, d3, commitTs = Some(3000L)): Unit
+            st.deleteWhere(3L, 4L, k % 30 === 0, commitTs = Some(4000L)): Unit
+          }
+        }
+        val call = s"CALL $cat.retention_hours('$t', 1, ${3000L + hour})"
+        val (refused, nPruned) =
+          if (vs().contains(1L)) {
+            if (isSnap) snapSt.hold(1L) else linkSt.hold(1L)
+            val r = try { s.sql(call).collect(); false }
+              catch { case _: Exception => vs().size == 4 } // AND nothing dropped
+            if (isSnap) snapSt.release(1L) else linkSt.release(1L)
+            (r, s.sql(call).collect().head.getLong(1))
+          } else (true, 2L) // landed by a prior pass
+        val hist = s.sql(s"SELECT version, commit_ts FROM $cat.$t.history")
+          .select(lit(t).as("layout"), col("version").as("ver"),
+            col("commit_ts"), lit(refused).as("refused_held"),
+            lit(nPruned).as("n_pruned"), lit(-1L).as("bucket"), lit(0L).as("n"))
+        val agg = s.sql(s"SELECT * FROM $cat.$t")
+          .groupBy((k % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(t).as("layout"), lit(-1L).as("ver"),
+            lit(-1L).as("commit_ts"), lit(refused).as("refused_held"),
+            lit(nPruned).as("n_pruned"), col("bucket"), col("n"))
+        hist.unionByName(agg)
+      }.reduce(_ unionByName _).orderBy("layout", "ver", "bucket")
+    },
+
     "snap_bloom_prune" -> { (s, d) =>
       // Delta-driven restore read: lineitems of a small recent order
       // delta. BloomPrune filters the big fact scan by the delta's key
@@ -1518,8 +1587,14 @@ object Snapshot {
       // (self-heal re-reads the sidecars; pre-upgrade commits report
       // 'unknown' — spec-covered). `params_ok` gates that the delete
       // records its predicate and the merge/compact carry labels.
+      // r16: the commits also carry Delta-style operationMetrics —
+      // the MERGE's inserted/updated split (observed during its own
+      // rewrite, zero extra passes) and the DELETE's row count —
+      // hash-checked against the declaratively recomputed counts;
+      // verbs without row metrics (write / restore / compact) read
+      // -1 honestly. Dir bumped (_m) so pre-metrics fixtures rebuild.
       val fp = Tables.fingerprint(s, d, "orders")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_histops_$fp"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_histops_m$fp"
       val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
       val k = col("o_orderkey")
       val v1 = ord.filter(k % 2 === 0)
@@ -1553,12 +1628,17 @@ object Snapshot {
         classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", base)
       Seq("ho_snap", "ho_linked").map { t =>
-        val h = s.sql(s"SELECT version, commit_ts, operation, operation_params " +
-          s"FROM $cat.$t.history")
+        val h = s.sql(s"SELECT version, commit_ts, operation, operation_params, " +
+          s"operation_metrics FROM $cat.$t.history")
         val paramsOk = h.filter(col("version") === 3L)
           .head().getString(3).contains("o_orderkey")
+        def m(k: String) =
+          coalesce(element_at(col("operation_metrics"), lit(k)), lit(-1L))
         h.select(lit(t).as("layout"), col("version"), col("commit_ts"),
-          col("operation"), lit(paramsOk).as("params_ok"))
+          col("operation"), lit(paramsOk).as("params_ok"),
+          m("numTargetRowsInserted").as("m_ins"),
+          m("numTargetRowsUpdated").as("m_upd"),
+          m("numDeletedRows").as("m_del"))
       }.reduce(_ unionByName _).orderBy("layout", "version")
     },
 
@@ -3158,16 +3238,24 @@ object Snapshot {
         |ORDER BY ver, bucket""".stripMargin,
 
     "snap_sql_history_ops" ->
-      """WITH ops(layout, version, commit_ts, operation) AS (VALUES
-        |  ('ho_snap', CAST(1 AS BIGINT), CAST(1000 AS BIGINT), 'write'),
-        |  ('ho_snap', 2, 2000, 'mergeDelta'),
-        |  ('ho_snap', 3, 3000, 'deleteWhere'),
-        |  ('ho_snap', 4, 4000, 'restoreVersion'),
-        |  ('ho_linked', 1, 1000, 'write'),
-        |  ('ho_linked', 2, 2000, 'mergeDelta'),
-        |  ('ho_linked', 3, 3000, 'deleteWhere'),
-        |  ('ho_linked', 4, 4000, 'compact'))
-        |SELECT layout, version, commit_ts, operation, TRUE AS params_ok
+      """WITH upd AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (SELECT COUNT(*) AS n FROM orders
+        |        WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 = 0),
+        |ops(layout, version, commit_ts, operation, kind) AS (VALUES
+        |  ('ho_snap', CAST(1 AS BIGINT), CAST(1000 AS BIGINT), 'write', 'w'),
+        |  ('ho_snap', 2, 2000, 'mergeDelta', 'm'),
+        |  ('ho_snap', 3, 3000, 'deleteWhere', 'd'),
+        |  ('ho_snap', 4, 4000, 'restoreVersion', 'o'),
+        |  ('ho_linked', 1, 1000, 'write', 'w'),
+        |  ('ho_linked', 2, 2000, 'mergeDelta', 'm'),
+        |  ('ho_linked', 3, 3000, 'deleteWhere', 'd'),
+        |  ('ho_linked', 4, 4000, 'compact', 'o'))
+        |SELECT layout, version, commit_ts, operation, TRUE AS params_ok,
+        |  CAST(CASE WHEN kind = 'm' THEN 0 ELSE -1 END AS BIGINT) AS m_ins,
+        |  CAST(CASE WHEN kind = 'm' THEN (SELECT n FROM upd) ELSE -1 END
+        |    AS BIGINT) AS m_upd,
+        |  CAST(CASE WHEN kind = 'd' THEN (SELECT n FROM del) ELSE -1 END
+        |    AS BIGINT) AS m_del
         |FROM ops ORDER BY layout, version""".stripMargin,
 
     "snap_maintain_agg" ->
@@ -3564,6 +3652,26 @@ object Snapshot {
         |  ((day_rank <= 7) OR (wk_last AND wk_rank <= 4)
         |    OR (mo_last AND mo_rank <= 12)) AS keep
         |FROM r ORDER BY snap_date""".stripMargin,
+
+    "snap_retention_time" ->
+      """WITH tip AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 30 <> 0),
+        |layouts(layout) AS (VALUES ('rt_snap'), ('rt_linked')),
+        |hist(ver, commit_ts) AS (VALUES
+        |  (CAST(3 AS BIGINT), CAST(3000 AS BIGINT)), (4, 4000)),
+        |agg AS (
+        |  SELECT l.layout, CAST(-1 AS BIGINT) AS ver,
+        |    CAST(-1 AS BIGINT) AS commit_ts,
+        |    o_orderkey % 10 AS bucket, COUNT(*) AS n
+        |  FROM tip CROSS JOIN layouts l GROUP BY 1, 4)
+        |SELECT layout, ver, commit_ts, TRUE AS refused_held,
+        |  CAST(2 AS BIGINT) AS n_pruned, CAST(-1 AS BIGINT) AS bucket,
+        |  CAST(0 AS BIGINT) AS n
+        |FROM hist CROSS JOIN layouts
+        |UNION ALL
+        |SELECT layout, ver, commit_ts, TRUE, 2, bucket, n FROM agg
+        |ORDER BY layout, ver, bucket""".stripMargin,
 
     "snap_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n,

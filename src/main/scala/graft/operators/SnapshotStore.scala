@@ -214,7 +214,19 @@ object SnapshotStore {
 
   private[operators] case class HistoryEntry(
       commitTs: Long, nFiles: Long, nRows: Long, bytes: Long,
-      op: String = "unknown", opParams: String = "")
+      op: String = "unknown", opParams: String = "",
+      metrics: Map[String, Long] = Map.empty)
+
+  /** Canonical (sorted-key) JSON object for a metrics map — metric
+    * names are fixed identifiers, values are counts. */
+  private def metricsJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${jesc(k)}": $v""" }
+      .mkString("{", ", ", "}")
+
+  private def parseMetrics(body: String): Map[String, Long] =
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(body)
+      .map(m => junesc(m.group(1)) -> m.group(2).toLong).toMap
+
 
   /** Minimal JSON string escape/unescape for the checkpoint's
     * operation fields (verbs are fixed identifiers; params may carry
@@ -259,18 +271,21 @@ object SnapshotStore {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        // op/params are OPTIONAL so a pre-upgrade checkpoint still
-        // parses — its entries report operation "unknown" honestly
+        // op/params/metrics are OPTIONAL so a pre-upgrade checkpoint
+        // still parses — its entries report operation "unknown" and
+        // empty metrics honestly
         ("\\{\\s*\"v\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"ts\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
           "\"f\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"r\"\\s*:\\s*(-?\\d+)\\s*,\\s*" +
           "\"b\"\\s*:\\s*(-?\\d+)" +
           "(?:\\s*,\\s*\"op\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
-          "\\s*,\\s*\"p\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?\\s*\\}").r
+          "\\s*,\\s*\"p\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\")?" +
+          "(?:\\s*,\\s*\"m\"\\s*:\\s*\\{([^}]*)\\})?\\s*\\}").r
           .findAllMatchIn(txt).map(m => m.group(1).toLong -> HistoryEntry(
             m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
             m.group(5).toLong,
             Option(m.group(6)).map(junesc).getOrElse("unknown"),
-            Option(m.group(7)).map(junesc).getOrElse(""))).toMap
+            Option(m.group(7)).map(junesc).getOrElse(""),
+            Option(m.group(8)).map(parseMetrics).getOrElse(Map.empty))).toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty } // derived: rebuild
   }
@@ -282,11 +297,17 @@ object SnapshotStore {
     * "what did commit 37 DO" survives checkpoint invalidation.
     * Absent (pre-upgrade commits) → ("unknown", ""). */
   private[operators] def writeOpSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, op: String, params: String): Unit =
+      dir: org.apache.hadoop.fs.Path, op: String, params: String,
+      metrics: Map[String, Long] = Map.empty): Unit =
     try {
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_op.json"), true)
+      // metrics — Delta's operationMetrics: the row/file counts the
+      // verb ALREADY materialized while executing (numInsertedRows,
+      // numUpdatedRows, numDeletedRows, numAddedFiles,
+      // numRemovedFiles), recorded, never recomputed from history
       try out.write(
-        s"""{"op": "${jesc(op)}", "params": "${jesc(params)}"}""".getBytes("UTF-8"))
+        (s"""{"op": "${jesc(op)}", "params": "${jesc(params)}"""" +
+          s""", "metrics": ${metricsJson(metrics)}}""").getBytes("UTF-8"))
       finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -296,21 +317,24 @@ object SnapshotStore {
     c.toString.take(200)
 
   private[operators] def readOpSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): (String, String) =
+      dir: org.apache.hadoop.fs.Path): (String, String, Map[String, Long]) =
     try {
       val p = new org.apache.hadoop.fs.Path(dir, "_op.json")
-      if (!fs.exists(p)) ("unknown", "")
+      if (!fs.exists(p)) ("unknown", "", Map.empty)
       else {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
+        // metrics object optional: pre-metrics sidecars still parse
         ("\\{\\s*\"op\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
-          "\"params\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\}").r
+          "\"params\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
+          "(?:\\s*,\\s*\"metrics\"\\s*:\\s*\\{([^}]*)\\})?\\s*\\}").r
           .findFirstMatchIn(txt)
-          .map(m => (junesc(m.group(1)), junesc(m.group(2))))
-          .getOrElse(("unknown", ""))
+          .map(m => (junesc(m.group(1)), junesc(m.group(2)),
+            Option(m.group(3)).map(parseMetrics).getOrElse(Map.empty[String, Long])))
+          .getOrElse(("unknown", "", Map.empty))
       }
-    } catch { case scala.util.control.NonFatal(_) => ("unknown", "") }
+    } catch { case scala.util.control.NonFatal(_) => ("unknown", "", Map.empty) }
 
   /** Best-effort atomic rewrite (tmp + rename): a crash or a lost
     * concurrent-rename race leaves a stale/absent checkpoint, which
@@ -320,7 +344,8 @@ object SnapshotStore {
     try {
       val body = entries.toSeq.sortBy(_._1).map { case (v, e) =>
         s"""{"v": $v, "ts": ${e.commitTs}, "f": ${e.nFiles}, "r": ${e.nRows}, """ +
-          s""""b": ${e.bytes}, "op": "${jesc(e.op)}", "p": "${jesc(e.opParams)}"}"""
+          s""""b": ${e.bytes}, "op": "${jesc(e.op)}", "p": "${jesc(e.opParams)}", """ +
+          s""""m": ${metricsJson(e.metrics)}}"""
       }.mkString("{\"history\": [", ", ", "]}")
       val tmp = new org.apache.hadoop.fs.Path(basePath,
         s".tmp-hist-${java.util.UUID.randomUUID()}")
@@ -586,7 +611,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           (cols ++ storedPartitionBy()).distinct.filterNot(_ == keyCol))
         .foreach(stageZoneMap(tmp, version, _))
     }
-    casPublish(tmp, version, "write")
+    // numOutputRows is the history row's own n_rows (footer-counted
+    // at noteCommit) — recording it again here would be a recompute
+    casPublish(tmp, version, "write",
+      metrics = Map("numFiles" -> names.size.toLong))
   }
 
   private def writeCommitTs(versionDir: Path, ts: Long): Unit = {
@@ -1449,7 +1477,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     stageCarriedZoneMap(tmp, fromVersion, toVersion, droppedNames,
       extra = zmNewStats(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString),
         zmStatsColsOf(zm)))
-    casPublish(tmp, toVersion, op, opParams)
+    casPublish(tmp, toVersion, op, opParams, metrics = Map(
+      "numAddedFiles" -> newNames.size.toLong,
+      "numRemovedFiles" -> droppedNames.size.toLong))
     newNames
   }
 
@@ -1621,14 +1651,16 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * `toVersion` wins; the rest throw [[VersionConflictException]]
     * with their leftovers removed. */
   private def casPublish(tmp: Path, toVersion: Long, what: String,
-      opParams: String = "", statsFrom: Option[Long] = None): Unit = {
+      opParams: String = "", statsFrom: Option[Long] = None,
+      metrics: Map[String, Long] = Map.empty): Unit = {
     // the operation stamp lands atomically WITH the version (inside
     // the tmp dir, before the CAS rename) — DESCRIBE HISTORY's verb
-    SnapshotStore.writeOpSidecar(fs, tmp, what, opParams)
+    // and the verb's own row/file counts (operationMetrics)
+    SnapshotStore.writeOpSidecar(fs, tmp, what, opParams, metrics)
     val token = CommitProtocol.writeToken(fs, tmp)
     CommitProtocol.publish(fs, tmp, new Path(dir(toVersion)), token,
       s"$what to v$toVersion on $basePath")
-    noteCommit(toVersion, what, opParams, statsFrom)
+    noteCommit(toVersion, what, opParams, statsFrom, metrics)
   }
 
   /** OPTIMISTIC-CONCURRENCY merge — [[ManifestStore.mergeAtTip]]'s
@@ -1775,9 +1807,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val spark0 = spark
     import spark0.implicits._
     historyEntries().map { case (v, e) =>
-        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams) }
+        (v, e.commitTs, e.nFiles, e.nRows, e.op, e.opParams, e.metrics) }
       .toDF("version", "commit_ts", "n_files", "n_rows",
-        "operation", "operation_params")
+        "operation", "operation_params", "operation_metrics")
   }
 
   /** Per-version (version, bytes_added, n_rows, operation) ascending —
@@ -1802,9 +1834,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
       try r.getRecordCount finally r.close()
     }.sum
-    val (op, params) = SnapshotStore.readOpSidecar(fs, new Path(dir(v)))
+    val (op, params, metrics) = SnapshotStore.readOpSidecar(fs, new Path(dir(v)))
     SnapshotStore.HistoryEntry(commitTimestampRaw(v), files.length.toLong, rows,
-      commitBytesRaw(v), op, params)
+      commitBytesRaw(v), op, params, metrics)
   }
 
   /** The VERSION-LOG CHECKPOINT, served and self-healed: retained
@@ -1831,7 +1863,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * write (crash, a concurrent publisher's rewrite racing ours)
     * self-heals on the next read. */
   private def noteCommit(v: Long, op: String = "unknown",
-      opParams: String = "", statsFrom: Option[Long] = None): Unit =
+      opParams: String = "", statsFrom: Option[Long] = None,
+      metrics: Map[String, Long] = Map.empty): Unit =
     try {
       val ckpt = SnapshotStore.readHistoryCkpt(fs, basePath)
       // STATS-CARRY commits (renameColumn / widenColumn /
@@ -1848,7 +1881,8 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       // either way).
       val entry = statsFrom.flatMap(ckpt.get) match {
         case Some(prev) => prev.copy(commitTs = commitTimestampRaw(v),
-          bytes = commitBytesRaw(v), op = op, opParams = opParams)
+          bytes = commitBytesRaw(v), op = op, opParams = opParams,
+          metrics = metrics)
         case None => computeHistoryEntry(v)
       }
       SnapshotStore.writeHistoryCkpt(fs, basePath, ckpt + (v -> entry))
@@ -2043,9 +2077,14 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val statsCols = zm.columns.toSeq
       .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
-    // every key the merge touches: upserted + deleted, deduped
-    val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _).distinct()
-      .localCheckpoint()
+    // every key the merge touches: upserted + deleted, deduped; the
+    // __del flag (delete wins over a same-key upsert, matching the
+    // upserts' left_anti below) drives operationMetrics' updated vs
+    // deleted split without a second look at the caller's frames
+    val touchKeys = delK.foldLeft(
+        delta.select(col(keyCol)).withColumn("__del", lit(false)))(
+        (acc, del) => acc.unionByName(del.withColumn("__del", lit(true))))
+      .groupBy(keyCol).agg(max(col("__del")).as("__del")).localCheckpoint()
     // file is touched iff its key envelope contains a touched key: the
     // zone map is |files| rows — broadcast it into a range join over
     // the key set, one narrow pass, collect only file paths
@@ -2058,6 +2097,23 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // zone-map paths are input_file_name URIs; compare by basename
     val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1))
     val (touchedParts, untouchedParts) = allParts.partition(p => touchedNames(p.getName))
+    // operationMetrics, computed without touching the user's delta
+    // pipeline again: the matched (updated|deleted) counts come from
+    // ONE key-column-pruned pass over the touched files (the rewrite
+    // below re-reads them in full twice — range-sampling + shuffle —
+    // so the narrow count is a small fraction of work already paid);
+    // the upsert count reads off the checkpointed key frame.
+    val (nMatched, nMatchedDel) =
+      if (touchedParts.isEmpty) (0L, 0L)
+      else {
+        val r = maskedScanWithPos(fromVersion,
+            touchedParts.map(_.toString).toIndexedSeq, Some(unionSchema))
+          .select(col(keyCol)).join(touchKeys, Seq(keyCol))
+          .agg(count(lit(1)).as("m"),
+            coalesce(sum(when(col("__del"), 1L)), lit(0L)).as("d")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val nUpserts = touchKeys.filter(col("__del") === false).count()
     val survivors =
       if (touchedParts.isEmpty) align(delta.limit(0))
       else maskedScanWithPos(fromVersion,
@@ -2105,7 +2161,16 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), statsCols)
       .fold(carried)(carried.unionByName(_))
     stageZoneMap(tmp, toVersion, withNew)
-    casPublish(tmp, toVersion, "mergeDelta")
+    // Delta's MERGE operationMetrics: matched = touched-file rows
+    // whose key the merge addressed (updated + deleted), split by the
+    // __del flag; inserted = upsert keys minus the updated ones
+    // (keys are store-unique)
+    casPublish(tmp, toVersion, "mergeDelta", metrics = Map(
+      "numTargetRowsInserted" -> math.max(0L, nUpserts - (nMatched - nMatchedDel)),
+      "numTargetRowsUpdated" -> (nMatched - nMatchedDel),
+      "numTargetRowsDeleted" -> nMatchedDel,
+      "numTargetFilesAdded" -> newNames.size.toLong,
+      "numTargetFilesRemoved" -> touchedParts.length.toLong))
     (untouchedParts.length, newNames.size)
   }
 
@@ -2385,7 +2450,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       // envelopes stay CONSERVATIVE over masked rows — pruning may
       // open a file whose matches are all masked, never skip a live row)
       stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
-      casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred))
+      casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred),
+        metrics = Map("numDeletedRows" -> deleted,
+          "numAddedFiles" -> 0L, "numRemovedFiles" -> 0L,
+          "numDeletionVectorsUpdated" -> matchStats.size.toLong))
       return (allParts.length, 0, deleted)
     }
     val tmp = new Path(s"$basePath/.tmp-v=$toVersion-${java.util.UUID.randomUUID()}")
@@ -2424,7 +2492,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .fold(carried)(carried.unionByName(_))
       stageZoneMap(tmp, toVersion, withNew)
     }
-    casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred))
+    casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred),
+      metrics = Map("numDeletedRows" -> deleted,
+        "numAddedFiles" -> newNames.size.toLong,
+        "numRemovedFiles" -> touchedParts.length.toLong))
     (untouchedParts.length, newNames.size, deleted)
   }
 
@@ -2486,7 +2557,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .fold(carried)(carried.unionByName(_))
       stageZoneMap(tmp, toVersion, withNew)
     }
-    casPublish(tmp, toVersion, "mergeDeltaMor")
+    casPublish(tmp, toVersion, "mergeDeltaMor", metrics = Map(
+      "numTargetRowsMasked" -> nMasked,
+      "numTargetFilesAdded" -> newNames.size.toLong,
+      "numTargetFilesRemoved" -> 0L))
     (newNames.size, nMasked)
   }
 
@@ -2544,7 +2618,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       sidecars(tmp, dvFrame(fromVersion))
       stageCarriedZoneMap(tmp, fromVersion, toVersion, Set.empty)
       casPublish(tmp, toVersion, "updateWhere",
-        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}",
+        metrics = Map("numUpdatedRows" -> 0L,
+          "numAddedFiles" -> 0L, "numRemovedFiles" -> 0L))
       return (allParts.length, 0, 0L)
     }
     val nMatched = matching.values.sum
@@ -2590,7 +2666,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         stageZoneMap(tmp, toVersion, withNew)
       }
       casPublish(tmp, toVersion, "updateWhere",
-        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}",
+        metrics = Map("numUpdatedRows" -> nMatched,
+          "numAddedFiles" -> newNames.size.toLong, "numRemovedFiles" -> 0L))
       (allParts.length, newNames.size, nMatched)
     } else {
       val (touchedParts, untouchedParts) =
@@ -2623,7 +2701,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         stageZoneMap(tmp, toVersion, withNew)
       }
       casPublish(tmp, toVersion, "updateWhere",
-        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}")
+        s"SET ${set.keys.toSeq.sorted.mkString(",")} WHERE ${SnapshotStore.predSql(pred)}",
+        metrics = Map("numUpdatedRows" -> nMatched,
+          "numAddedFiles" -> newNames.size.toLong,
+          "numRemovedFiles" -> touchedParts.length.toLong))
       (untouchedParts.length, newNames.size, nMatched)
     }
   }
@@ -2970,6 +3051,37 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     // the first SURVIVING commit now counts "whole" for bytes — its
     // checkpoint entry is stale; rebuild from truth on next read
     invalidateHistoryCkpt()
+    toDrop
+  }
+
+  /** TIME-BASED retention — Delta's `RETAIN n HOURS` contract, by
+    * absolute cutoff: expire every version whose commit timestamp is
+    * STRICTLY OLDER than `horizonMs` (a version committed exactly AT
+    * the horizon survives — the boundary an operator's "retain 7
+    * days" mental model expects), except the TIP, which survives
+    * regardless of age. Commit timestamps serve from the version-log
+    * checkpoint — one metadata read, zero data-file opens at any
+    * store size. REFUSES ([[RetentionHoldException]]) when the
+    * horizon selects a held version: a time-retention contract that
+    * cannot be honored must surface, not silently under-delete (the
+    * count-based [[prune]] skips holds instead — an advisory policy,
+    * not a compliance horizon). Returns the dropped versions. */
+  def pruneOlderThan(horizonMs: Long): Seq[Long] = {
+    val vs = versions()
+    if (vs.isEmpty) return Seq.empty
+    val ts = historyEntries().toMap
+    val tip = vs.max
+    val toDrop = vs.filter(v => v != tip && ts(v).commitTs < horizonMs)
+    val blocked = holds().filter(toDrop.contains)
+    if (blocked.nonEmpty) throw new RetentionHoldException(
+      s"retention horizon $horizonMs selects held version(s) " +
+        s"${blocked.mkString(", ")} on $basePath — release the hold(s) or " +
+        "raise the horizon; refusing to report an un-honorable retention " +
+        "contract as success")
+    toDrop.foreach(v => fs.delete(new Path(dir(v)), true))
+    // the first SURVIVING commit now counts "whole" for bytes — its
+    // checkpoint entry is stale; rebuild from truth on next read
+    if (toDrop.nonEmpty) invalidateHistoryCkpt()
     toDrop
   }
 

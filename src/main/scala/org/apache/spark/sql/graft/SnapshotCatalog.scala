@@ -859,6 +859,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //   CALL <cat>.retention('tbl', keep_last)
   //     → prune to the newest keep_last versions (holds respected on
   //       the snapshot layout; linked reclaims via its ref-count sweep)
+  //   CALL <cat>.retention_hours('tbl', retain_hours [, as_of])
+  //     → TIME-based expiry (Delta's RETAIN n HOURS): drop versions
+  //       committed strictly before as_of - retain_hours; the tip
+  //       always survives; a held expired version REFUSES the call
   //
   // `CALL <cat>.system.<proc>` resolves too (the Iceberg spelling).
 
@@ -891,7 +895,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //       the durability ladder's SQL surface
 
   private val procedureNames =
-    Array("compact", "vacuum", "retention", "zorder", "clone",
+    Array("compact", "vacuum", "retention", "retention_hours", "zorder", "clone",
       "replicate", "parity", "repair", "restore", "restore_ts", "fold_dv",
       "drop_partitions", "add_constraint", "drop_constraint", "analyze")
 
@@ -1241,6 +1245,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         } else {
           val n = new SnapshotStore(spark, base, "").prune(keepLast).size.toLong
           Array(utf8("snapshot"), n)
+        }
+      }
+      // Delta's `RETAIN n HOURS` contract: expire versions whose
+      // commit ts is STRICTLY older than as_of - retain_hours (the
+      // checkpoint-served horizon); the tip always survives; a held
+      // version REFUSES the whole call (RetentionHoldException — an
+      // un-honorable time contract must not report success). as_of
+      // <= 0 means wall-clock now; an explicit as_of makes the call
+      // reproducible (tests, replayed maintenance scripts).
+      case "retention_hours" => bound("retention_hours",
+        Array(tableParam,
+          ProcedureParameter.in("retain_hours", IntegerType).build(),
+          ProcedureParameter.in("as_of", LongType).defaultValue("0").build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("n_pruned", LongType),
+          StructField("horizon_ms", LongType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val hours = in.getInt(1)
+        require(hours >= 0, s"retention_hours: retain_hours must be >= 0, got $hours")
+        val asOf0 = in.getLong(2)
+        val asOf = if (asOf0 <= 0) System.currentTimeMillis() else asOf0
+        val horizon = asOf - hours.toLong * 3600L * 1000L
+        val base = storePath(t)
+        if (isLinked(t)) {
+          val st = new graft.operators.ManifestStore(spark, base, "")
+          val (dropped, _) = st.pruneOlderThan(horizon)
+          Array(utf8("linked"), dropped.size.toLong, horizon)
+        } else {
+          val st = new SnapshotStore(spark, base, "")
+          Array(utf8("snapshot"), st.pruneOlderThan(horizon).size.toLong, horizon)
         }
       }
       case "zorder" => bound("zorder",

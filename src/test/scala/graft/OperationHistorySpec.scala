@@ -129,4 +129,66 @@ class OperationHistorySpec extends SparkSpec {
     assert(st.commitBytes(4L) == 0L,
       "rename byte-carries the same basenames: bytes_added must stay 0")
   }
+
+  private def metricsOf(h: org.apache.spark.sql.DataFrame): Map[Long, Map[String, Long]] =
+    h.collect().map(r => r.getLong(0) ->
+      r.getAs[Map[String, Long]]("operation_metrics")).toMap
+
+  test("operationMetrics: merge's inserted/updated/deleted split + delete/update row counts, recorded at commit (both layouts)") {
+    // chain per layout: write 4 rows → MERGE (update k=2, insert
+    // k=5..6, delete k=4) → DELETE one row → UPDATE one row. Every
+    // row metric is declaratively known; file metrics assert presence
+    // (layout-dependent counts stay unpinned).
+    val rows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+    val delta = Seq((2L, 21.0), (5L, 50.0), (6L, 60.0))
+    def check(h: Map[Long, Map[String, Long]], layout: String): Unit = {
+      assert(h(1L).get("numFiles").exists(_ > 0), s"$layout v1: ${h(1L)}")
+      val m = h(2L)
+      assert(m.get("numTargetRowsUpdated").contains(1L), s"$layout v2: $m")
+      assert(m.get("numTargetRowsInserted").contains(2L), s"$layout v2: $m")
+      assert(m.get("numTargetRowsDeleted").contains(1L), s"$layout v2: $m")
+      assert(m.get("numTargetFilesAdded").exists(_ > 0), s"$layout v2: $m")
+      assert(h(3L).get("numDeletedRows").contains(1L), s"$layout v3: ${h(3L)}")
+      assert(h(4L).get("numUpdatedRows").contains(1L), s"$layout v4: ${h(4L)}")
+    }
+    val lb = java.nio.file.Files.createTempDirectory("graft_opm_lk").toString + "/t"
+    val lst = new ManifestStore(spark, lb, "k", statsCols = Seq("v"))
+    lst.write(rows.toDF("k", "v"), 1L, 2)
+    lst.mergeDelta(1L, 2L, delta.toDF("k", "v"),
+      deleteKeys = Some(Seq(4L).toDF("k")))
+    lst.deleteWhere(2L, 3L, col("k") === 3L, mode = "cow")
+    lst.updateWhere(3L, 4L, col("k") === 1L, Map("v" -> lit(11.0)), mode = "mor")
+    check(metricsOf(lst.history()), "linked")
+    val sb = java.nio.file.Files.createTempDirectory("graft_opm_sn").toString + "/t"
+    val sst = new SnapshotStore(spark, sb, "k")
+    sst.writeRangePartitioned(rows.toDF("k", "v"), 1L, 2)
+    sst.mergeDelta(1L, 2L, delta.toDF("k", "v"),
+      deleteKeys = Some(Seq(4L).toDF("k")))
+    sst.deleteWhere(2L, 3L, col("k") === 3L, mode = "cow")
+    sst.updateWhere(3L, 4L, col("k") === 1L, Map("v" -> lit(11.0)), mode = "mor")
+    val sh = metricsOf(sst.history())
+    check(sh, "snapshot")
+    // MoR delete metrics: the DV path reports the same row count with
+    // zero file churn, plus the masks-touched gauge
+    sst.deleteWhere(4L, 5L, col("k") === 2L, mode = "dv")
+    val dv = metricsOf(sst.history())(5L)
+    assert(dv.get("numDeletedRows").contains(1L), dv.toString)
+    assert(dv.get("numRemovedFiles").contains(0L), dv.toString)
+    assert(dv.get("numDeletionVectorsUpdated").exists(_ > 0), dv.toString)
+    // SELF-HEAL carries metrics: the checkpoint is a cache — rebuild
+    // re-reads each _op.json sidecar, metrics intact
+    assert(new java.io.File(sb, "_history.json").delete())
+    assert(metricsOf(sst.history()) == metricsOf(sst.history()))
+    assert(metricsOf(sst.history())(2L).get("numTargetRowsUpdated").contains(1L))
+    // PRE-UPGRADE sidecar (no metrics object) parses to an EMPTY map,
+    // through both the sidecar reader and the checkpoint round-trip
+    val op3 = new java.io.File(sb, "v=3/_op.json")
+    val w3 = new java.io.FileWriter(op3)
+    w3.write("""{"op": "deleteWhere", "params": "k = 3"}"""); w3.close()
+    new java.io.File(sb, "v=3/._op.json.crc").delete(): Unit
+    assert(new java.io.File(sb, "_history.json").delete())
+    val healed = metricsOf(sst.history())
+    assert(healed(3L) == Map.empty[String, Long], healed(3L).toString)
+    assert(healed(2L).get("numTargetRowsDeleted").contains(1L))
+  }
 }
