@@ -1877,13 +1877,36 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def diffCdf(fromVersion: Long, toVersion: Long): DataFrame =
     diffImpl(fromVersion, toVersion, preImages = true)
 
+  /** [[diff]] restricted to keys in [lo, hi] — the change feed's
+    * KEY-PREDICATE PUSHDOWN unit: each side's exclusive files prune
+    * further against their manifest key envelopes BEFORE any open, so
+    * a one-tenant consumer of a 100 TB store's feed pays only the
+    * overlapping exclusive files per commit, and the MoR mask pass
+    * filters to the range after its position-bounded reads.
+    * Semantically identical to `diff(...).filter(key in range)`
+    * (spec-proven): a key outside the range can never pair with one
+    * inside it, so range-filtering both sides preserves every
+    * insert/update/delete classification. */
+  def diffKeyRange(fromVersion: Long, toVersion: Long, lo: Any, hi: Any): DataFrame =
+    diffImpl(fromVersion, toVersion, preImages = false, keyRange = Some((lo, hi)))
+
   private def diffImpl(fromVersion: Long, toVersion: Long,
-      preImages: Boolean): DataFrame = {
+      preImages: Boolean, keyRange: Option[(Any, Any)] = None): DataFrame = {
     val fromFiles = manifest(fromVersion).select("file").collect().map(_.getString(0)).toSet
     val toFiles = manifest(toVersion).select("file").collect().map(_.getString(0)).toSet
-    def side(version: Long, exclusive: Set[String]): DataFrame =
-      if (exclusive.isEmpty) emptyRead(version)
-      else readFiles(version, exclusive.toSeq.sorted.map(n => new Path(poolDir, n).toString))
+    val inRange: DataFrame => DataFrame = df => keyRange.fold(df) { case (lo, hi) =>
+      df.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)) }
+    def side(version: Long, exclusive: Set[String]): DataFrame = {
+      // key pushdown: only envelope-overlapping exclusive files open
+      val chosen = keyRange.fold(exclusive) { case (lo, hi) =>
+        manifest(version)
+          .filter(col("max_key") >= lit(lo) && col("min_key") <= lit(hi))
+          .select("file").collect().map(_.getString(0)).toSet intersect exclusive
+      }
+      if (chosen.isEmpty) emptyRead(version)
+      else inRange(readFiles(version,
+        chosen.toSeq.sorted.map(n => new Path(poolDir, n).toString)))
+    }
     val a = side(fromVersion, fromFiles diff toFiles)
     val b = side(toVersion, toFiles diff fromFiles)
     // fingerprint the COMMON non-key columns so an evolved schema does
@@ -1911,7 +1934,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     // make the feed self-contradictory at one commit version; only
     // masked keys absent from the to-side are genuine deletes.
     val (newFixed, dvDeletes, dvPre) =
-      dvDeletesBetween(fromVersion, toVersion, fromFiles intersect toFiles) match {
+      dvDeletesBetween(fromVersion, toVersion, fromFiles intersect toFiles)
+        .map(inRange) match { // pushdown: masked rows outside the range drop
         case None => (newSide, None, None)
         case Some(dv) =>
           val moved = dv.join(b.select(keyCol), Seq(keyCol), "left_semi")

@@ -4,12 +4,12 @@ import java.util
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit, when}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan, TableScan}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -147,19 +147,32 @@ private[graft] object ChangeFeed {
   /** Union of per-commit change frames for commits in [fromCommit,
     * toCommit], aligned to `target` ([[changesSchema]] of the serving
     * table — columns a commit predates read null). */
+  /** `keyRange` — key-predicate pushdown (ignored for preImages
+    * feeds, whose CDF diff has no ranged variant yet): each commit's
+    * change set computes through the stores' diffKeyRange, which
+    * prunes to envelope-overlapping exclusive files BEFORE any open
+    * and is spec-proven ≡ `diff.filter(key in range)`. The serving
+    * relation re-applies the exact predicate above (V1 contract), so
+    * a conservative range here can never change results. */
   def changesBetween(spark: SparkSession, base: String, linked: Boolean,
       keyCol: String, fromCommit: Long, toCommit: Long,
       target: StructType, allowInitialSnapshot: Boolean = true,
-      preImages: Boolean = false): DataFrame = {
+      preImages: Boolean = false,
+      keyRange: Option[(Any, Any)] = None): DataFrame = {
     val h = handles(spark, base, linked, keyCol)
     val all = h.fold(_.versions(), _.versions())
     val inRange = all.filter(v => v >= fromCommit && v <= toCommit).sorted
+    val kr = if (preImages) None else keyRange
     val steps = inRange.map { b =>
       all.filter(_ < b).lastOption match {
         case Some(a) =>
           val step =
             if (preImages) h.fold(_.diffCdf(a, b), _.diffCdf(a, b))
-            else h.fold(_.diff(a, b), _.diff(a, b))
+            else kr match {
+              case Some((lo, hi)) =>
+                h.fold(_.diffKeyRange(a, b, lo, hi), _.diffKeyRange(a, b, lo, hi))
+              case None => h.fold(_.diff(a, b), _.diff(a, b))
+            }
           align(step, keyCol, target, b, nullDeletes = !preImages)
         case None =>
           // no retained predecessor. For the stream bootstrap (and the
@@ -176,7 +189,12 @@ private[graft] object ChangeFeed {
               "reconstruct its exact change set (rows from older commits would " +
               s"be mis-attributed as inserts at $b). Stream with startingVersion " +
               "for initial-snapshot bootstrap semantics, or widen retention.")
-          align(h.fold(_.read(b), _.read(b)).withColumn("change_type", lit("insert")),
+          val state = kr match {
+            case Some((lo, hi)) =>
+              h.fold(_.readKeyRange(b, lo, hi), _.readKeyRange(b, lo, hi))
+            case None => h.fold(_.read(b), _.read(b))
+          }
+          align(state.withColumn("change_type", lit("insert")),
             keyCol, target, b)
       }
     }
@@ -486,8 +504,28 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
+      // PREDICATE PUSHDOWN into the per-commit file resolution. The
+      // V1Scan route hands filters over HERE (the relation itself must
+      // stay a plain TableScan); every filter is also returned as
+      // residual, so Spark re-applies the exact predicates above and a
+      // conservative pushed range can never change results.
+      private var pushed: Array[Filter] = Array.empty
+      private def pushable(f: Filter): Boolean = f match {
+        case EqualTo(c, _) => c == keyCol || c == "_commit_version"
+        case GreaterThan(c, _) => c == keyCol || c == "_commit_version"
+        case GreaterThanOrEqual(c, _) => c == keyCol || c == "_commit_version"
+        case LessThan(c, _) => c == keyCol || c == "_commit_version"
+        case LessThanOrEqual(c, _) => c == keyCol || c == "_commit_version"
+        case _ => false
+      }
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(pushable)
+        filters // all residual: the feed's pushdown is advisory
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new GraftV1RelationScan {
+        private val pushedHere = pushed
         override def readSchema(): StructType = feedSchema
         override def description(): String = tableName
         override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -535,13 +573,54 @@ private[graft] class ChangesTable(tableName: String, spark: SparkSession,
               math.max(1L, if (preImages) 2L * bound else bound)
             }
             override def sizeInBytes: Long = sizeEstimate
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            // The pushed bounds (see the ScanBuilder): keyCol bounds
+            // route each commit's diff through diffKeyRange —
+            // envelope-overlapping exclusive files only, the
+            // one-tenant replication consumer's win; _commit_version
+            // bounds narrow the version walk itself (a commit outside
+            // them computes NO diff).
+            private def cmp(a: Any, b: Any): Int =
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              var kLo: Option[Any] = None; var kHi: Option[Any] = None
+              var vLo = lo; var vHi = hi
+              def tightenLo(v: Any): Unit =
+                if (kLo.forall(c => scala.util.Try(cmp(v, c) > 0).getOrElse(false)))
+                  kLo = Some(v)
+              def tightenHi(v: Any): Unit =
+                if (kHi.forall(c => scala.util.Try(cmp(v, c) < 0).getOrElse(false)))
+                  kHi = Some(v)
+              pushedHere.foreach {
+                case EqualTo(c, v: Long) if c == "_commit_version" =>
+                  vLo = math.max(vLo, v); vHi = math.min(vHi, v)
+                case GreaterThan(c, v: Long) if c == "_commit_version" =>
+                  vLo = math.max(vLo, v + 1)
+                case GreaterThanOrEqual(c, v: Long) if c == "_commit_version" =>
+                  vLo = math.max(vLo, v)
+                case LessThan(c, v: Long) if c == "_commit_version" =>
+                  vHi = math.min(vHi, v - 1)
+                case LessThanOrEqual(c, v: Long) if c == "_commit_version" =>
+                  vHi = math.min(vHi, v)
+                case EqualTo(c, v) if c == keyCol => tightenLo(v); tightenHi(v)
+                case GreaterThan(c, v) if c == keyCol => tightenLo(v)
+                case GreaterThanOrEqual(c, v) if c == keyCol => tightenLo(v)
+                case LessThan(c, v) if c == keyCol => tightenHi(v)
+                case LessThanOrEqual(c, v) if c == keyCol => tightenHi(v)
+                case _ => () // re-applied above; nothing to push
+              }
+              // both bounds or none: a half-open range still pushes by
+              // pairing with the key domain's practical extreme via
+              // the envelope test needing a CLOSED interval — so an
+              // open side falls back to no key pushdown (the filter
+              // still applies above, results identical)
+              val keyRange = for (a0 <- kLo; b0 <- kHi) yield (a0, b0)
               // an EXPLICIT `a..b` range is a contract about those exact
               // commits: a pruned predecessor fails the read instead of
               // silently replaying full state as inserts
-              ChangeFeed.changesBetween(spark, base, linked, keyCol, lo, hi,
-                feedSchema, allowInitialSnapshot = range.isEmpty,
-                preImages = preImages).rdd
+              ChangeFeed.changesBetween(spark, base, linked, keyCol,
+                vLo, vHi, feedSchema, allowInitialSnapshot = range.isEmpty,
+                preImages = preImages, keyRange = keyRange).rdd
+            }
           }
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -598,4 +598,58 @@ class ChangeFeedSpec extends SparkSpec {
         Map("sum_x" -> "x"), "/tmp/never-used-ck"))
     assert(e.getMessage.contains("keyed on 'k'"), e.getMessage)
   }
+
+  test(".changes predicate pushdown: key bounds open an envelope-pruned file subset; content == post-filtering; _commit_version narrows the walk") {
+    import org.apache.spark.sql.functions.col
+    // 8 key-range files per landed version; merges touch LOW and HIGH
+    // key bands so exclusive files spread across the key domain
+    val name = "cf_push"
+    val st = new ManifestStore(spark, s"$root/$name", "k")
+    st.write((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, 8,
+      commitTs = Some(1000L))
+    st.mergeDelta(1L, 2L, Seq((5L, "u5"), (395L, "u395")).toDF("k", "v"),
+      commitTs = Some(2000L))
+    st.mergeDelta(2L, 3L, Seq((10L, "u10")).toDF("k", "v"),
+      Some(Seq(20L).toDF("k")), commitTs = Some(3000L))
+    // 1) semantics: diffKeyRange ≡ diff().filter(key in range), incl.
+    // an update+delete commit
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L))) {
+      val full = st.diff(a, b).filter(col("k").between(1L, 50L))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      val ranged = st.diffKeyRange(a, b, 1L, 50L)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(ranged == full, s"($a,$b): $ranged vs $full")
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(_.split('/').last).toSet
+    // 2) the ranged diff opens a STRICT subset of the full diff's
+    // commit files: the low-band range must not open the high-band
+    // exclusive file the 395-update rewrote
+    val fullFiles = scanned(st.diff(1L, 2L))
+    val rangedFiles = scanned(st.diffKeyRange(1L, 2L, 1L, 50L))
+    assert(rangedFiles.subsetOf(fullFiles),
+      s"ranged opened non-diff files: ${rangedFiles diff fullFiles}")
+    assert(rangedFiles.size < fullFiles.size,
+      s"no pruning: $rangedFiles vs $fullFiles")
+    // 3) SQL: the key predicate reaches the V1 relation (PushedFilters
+    // in the scan node) and the result equals post-filtering
+    val sqlRanged = spark.sql(
+      s"SELECT * FROM cfcat.$name.changes WHERE k BETWEEN 1 AND 50")
+    val planStr = sqlRanged.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("GreaterThanOrEqual(k,1)"),
+      planStr.take(2000))
+    val sqlFull = spark.sql(s"SELECT * FROM cfcat.$name.changes")
+      .filter(col("k").between(1L, 50L))
+    assert(sqlRanged.collect().map(_.toString).sorted.toSeq ==
+      sqlFull.collect().map(_.toString).sorted.toSeq)
+    // 4) _commit_version bounds narrow the version walk and match the
+    // explicit bounded-range read
+    val byFilter = spark.sql(
+      s"SELECT * FROM cfcat.$name.changes WHERE _commit_version = 2")
+    val bounded = spark.sql(
+      s"SELECT * FROM cfcat.$name.changes VERSION AS OF '2..2'")
+    assert(byFilter.collect().map(_.toString).sorted.toSeq ==
+      bounded.collect().map(_.toString).sorted.toSeq)
+    assert(byFilter.collect().nonEmpty)
+  }
 }
