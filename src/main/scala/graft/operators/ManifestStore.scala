@@ -59,13 +59,50 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   private def statsFor(names: Seq[String], cols: Seq[String] = statsCols): DataFrame = {
     val paths = names.map(n => new Path(poolDir, n).toString)
     val aggs = statAggs(cols)
-    spark.read.parquet(paths: _*)
+    val base = spark.read.parquet(paths: _*)
       .select((input_file_name().as("__f") +: col(keyCol) +: cols.map(col)): _*)
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       // manifests store bare pool file NAMES (relocatable repository —
       // a copied/mirrored store keeps working at its new root)
       .withColumn("file", element_at(split(col("__f"), "/"), -1))
       .drop("__f")
+    // partition-spec evolution: stamp WHICH spec these files landed
+    // under, so pruning can consult each file's OWN spec forever.
+    // Never-evolved stores keep their exact manifest schema (absent
+    // column ≡ spec 0 — the only spec they have).
+    val (hist, cur) = specHistory
+    if (hist.size <= 1) base else base.withColumn("spec_id", lit(cur))
+  }
+
+  /** The `_partition.json` spec history + current id (see
+    * [[SnapshotStore.readPartitionSpecHistory]]). */
+  private def specHistory: (Seq[Seq[String]], Int) =
+    SnapshotStore.readPartitionSpecHistory(fs, basePath)
+
+  /** A manifest row's spec id: the recorded column, or 0 — every file
+    * landed before evolution existed (or before this store evolved)
+    * belongs to the original spec by construction. */
+  private def specIdCol(man: DataFrame): Column =
+    if (man.columns.contains("spec_id")) coalesce(col("spec_id"), lit(0))
+    else lit(0)
+
+  /** EVOLVE this store's partition spec (metadata-only —
+    * [[SnapshotStore.evolvePartitionSpec]]); returns the new current
+    * spec id. */
+  def evolvePartitionSpec(cols: Seq[String]): Int = {
+    val priorDerived = specHistory._1.flatten
+      .map(SnapshotStore.parsePartitionSpec)
+      .filter(_.transform.isDefined).map(_.name).toSet
+    cols.map(SnapshotStore.parsePartitionSpec).filter(_.transform.isDefined)
+      .foreach { sp =>
+        latestVersion().foreach { v =>
+          require(priorDerived(sp.name) ||
+              !readFilesRaw(v, resolve(v).take(1)).columns.contains(sp.name),
+            s"evolvePartitionSpec: derived column name '${sp.name}' collides " +
+              "with a data column")
+        }
+      }
+    SnapshotStore.evolvePartitionSpec(fs, basePath, cols)
   }
 
   /** The stats columns an EXISTING manifest actually carries — the
@@ -76,8 +113,16 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * correct on a store handle reconstructed WITHOUT the original
     * statsCols — the SQL catalog's DML hooks, which only know the
     * keyCol recorded in `_store.json`. */
-  private def manifestStatsCols(man: DataFrame): Seq[String] =
-    man.columns.toSeq.filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+  private def manifestStatsCols(man: DataFrame): Seq[String] = {
+    val fromMan = man.columns.toSeq
+      .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
+    // an EVOLVED store's rewrites must also stat the CURRENT spec's
+    // derived column (new files prune through it) even when the
+    // predecessor manifest predates the evolution
+    val (hist, _) = specHistory
+    if (hist.size <= 1) fromMan
+    else (fromMan ++ storedPartitionBy().filterNot(_ == keyCol)).distinct
+  }
 
   /** Write `df` into the pool and publish it as `version`. Files are
     * range-partitioned and key-sorted so key predicates prune at the
@@ -173,6 +218,11 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * (min==max per the layout invariant, asserted) plus the rest of
     * the entry — the shared base for the partition verbs. */
   private def partitionEntries(man: DataFrame, pcs: Seq[String]): DataFrame = {
+    val absent = pcs.filterNot(c => man.columns.contains(s"min_$c"))
+    require(absent.isEmpty,
+      s"version records no stats for partition column(s) ${absent.mkString(", ")} — " +
+        "it predates the CURRENT partition spec; compact to rewrite under it, " +
+        "or read through readSourceRange")
     val straddlers = man.filter(
         pcs.map(c => !(col(s"min_$c") <=> col(s"max_$c"))).reduce(_ || _))
       .limit(1).count()
@@ -195,6 +245,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * masked rows still count until [[foldDv]]/[[compact]] folds them.) */
   def partitions(version: Long): DataFrame = {
     val pcs = requirePartitioned("partitions")
+    requireUniformSpec(manifest(version), "partitions")
     partitionEntries(manifest(version), pcs)
       .groupBy(pcs.map(col): _*)
       .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
@@ -213,6 +264,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val pcs = requirePartitioned("replaceWhere")
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
+    requireUniformSpec(man, "replaceWhere")
     enforceConstraints(data, "replaceWhere")
     val data2 = deriveParts(data)
     val touched = data2.select(pcs.map(col): _*).distinct().localCheckpoint()
@@ -227,7 +279,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
     val stats = landWithStats(arrange(data2, filesPerPartition),
       manifestStatsCols(man), evolvedSchema(fromVersion))
-    publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+    publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
       evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
       op = "replaceWhere")
     val nShared = shared.count().toInt
@@ -248,6 +300,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val pcs = requirePartitioned("dropPartitions")
     requireFreeVersion(toVersion)
     val man = manifest(fromVersion).localCheckpoint()
+    requireUniformSpec(man, "dropPartitions")
     val dropped = partitionEntries(man, pcs)
       .filter(coalesce(pred, lit(false)))
       .select(col("file"), col("n_rows")).localCheckpoint()
@@ -889,7 +942,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * `_metadata.row_index`, which is stable because pool files are
     * immutable. */
   private def readFiles(version: Long, paths: Seq[String]): DataFrame =
-    dvFrame(version) match {
+    recomputeDerived(dvFrame(version) match {
       case None => readFilesRaw(version, paths)
       case Some(dv) =>
         val sc = evolvedSchema(version)
@@ -906,7 +959,22 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         val masked = sc.map(SnapshotStore.toLogical(masked0, _)).getOrElse(masked0)
         val fills = sc.map(SnapshotStore.fillValues).getOrElse(Map.empty[String, Any])
         if (fills.isEmpty) masked else masked.na.fill(fills)
-    }
+    })
+
+  /** Post-evolution reads RECOMPUTE every historical spec's derived
+    * column from its source (a pure function): files of different
+    * specs physically carry different derived columns, and a mixed
+    * scan would otherwise read NULL for the ones a file predates —
+    * turning content-invariant rewrites (compact) into spurious diff
+    * updates. Never-evolved stores skip this entirely (files are
+    * derived-column-uniform by construction — zero behavior change). */
+  private def recomputeDerived(df: DataFrame): DataFrame = {
+    val (hist, _) = specHistory
+    if (hist.size <= 1) df
+    else hist.flatten.distinct.map(SnapshotStore.parsePartitionSpec)
+      .filter(sp => sp.transform.isDefined && df.columns.contains(sp.source))
+      .foldLeft(df)((d, sp) => d.withColumn(sp.name, SnapshotStore.deriveColumn(sp)))
+  }
 
   def manifest(version: Long): DataFrame = {
     require(versions().contains(version), s"version $version does not exist")
@@ -1040,6 +1108,54 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           s"version $version has no files and no schema sidecar")
       }
     else readFiles(version, files)
+  }
+
+  /** SOURCE-column time-range read over an EVOLVED partition spec:
+    * every file prunes through the spec IT was written under — a
+    * `days(ts)` file via its day tuple, a `months(ts)` file via its
+    * month tuple — by translating each derived value to its covered
+    * source interval ([[SnapshotStore.sourceRangeOverlap]]). Files of
+    * a spec that cannot bound `source` (identity spec, different
+    * source) are kept conservatively; the row filter on top is exact
+    * either way. The prune that makes `days→months` evolution FREE:
+    * no rewrite, and a time query still opens only overlapping files
+    * from BOTH eras. */
+  def readSourceRange(version: Long, source: String, lo: Any, hi: Any): DataFrame = {
+    val (hist, _) = specHistory
+    val man = manifest(version)
+    val sid = specIdCol(man)
+    val specs = hist.map(_.map(SnapshotStore.parsePartitionSpec))
+    val conds = specs.zipWithIndex.map { case (sps, id) =>
+      sps.find(sp => sp.transform.isDefined && sp.source == source &&
+          man.columns.contains(s"min_${sp.name}")) match {
+        case Some(sp) => sid === id && SnapshotStore.sourceRangeOverlap(sp,
+          col(s"min_${sp.name}"), col(s"max_${sp.name}"), lo, hi)
+        case None => sid === id // this spec cannot bound the source: keep
+      }
+    }
+    val cond = if (conds.isEmpty) lit(true) else conds.reduce(_ || _)
+    val hit = man.filter(cond).select("file").collect()
+      .map(r => new Path(poolDir, r.getString(0)).toString)
+    val base = if (hit.isEmpty) emptyRead(version) else readFiles(version, hit.toIndexedSeq)
+    base.filter(col(source).cast("timestamp") >= lit(lo).cast("timestamp") &&
+      col(source).cast("timestamp") <= lit(hi).cast("timestamp"))
+  }
+
+  /** Refuse a whole-partition verb on a version holding files written
+    * under an EARLIER spec: a predicate over the current spec's
+    * columns cannot guarantee whole-file alignment for them (a month
+    * predicate does not select exact day files), and silently
+    * skipping them would turn "drop everything before March" into a
+    * partial drop. Rewrite the stragglers (compact) first. */
+  private def requireUniformSpec(man: DataFrame, op: String): Unit = {
+    val (hist, cur) = specHistory
+    if (hist.size <= 1) return
+    val foreign = man.filter(specIdCol(man) =!= cur).limit(1).count()
+    require(foreign == 0L,
+      s"$op: this version still holds files written under an earlier partition " +
+        s"spec (current spec id $cur) — a predicate over the current spec cannot " +
+        "select them whole-file-exactly; compact/rewrite them first, or read " +
+        "through readSourceRange")
   }
 
   /** Key-range read pruned at the MANIFEST level: only files whose
@@ -1480,7 +1596,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     // SQL catalog) can still plan an empty scan over it
     val nRewritten = stats.fold(0L)(_.count()).toInt
     publish(toVersion,
-      stats.fold(shared)(shared.unionByName(_)), commitTs,
+      stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
       if (evolved || stats.isEmpty) Some(unionSchema) else None,
       dv = carryDv(fromVersion, shared), op = "mergeDelta",
       metrics = Map(
@@ -1568,7 +1684,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     // the zero-file version still plans (see mergeDelta)
     val nRewritten = stats.fold(0L)(_.count()).toInt
     publish(toVersion,
-      stats.fold(shared)(shared.unionByName(_)), commitTs,
+      stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
       if (stats.isEmpty && shared.isEmpty)
         evolvedSchema(fromVersion).orElse(Some(kept.schema))
       else evolvedSchema(fromVersion),
@@ -1643,7 +1759,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       .localCheckpoint()
     val nNew = stats.fold(0L)(_.count()).toInt
-    publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
+    publish(toVersion, stats.fold(man)(man.unionByName(_, allowMissingColumns = true)), commitTs, sc,
       dv = if (mask.limit(1).count() == 0) None else Some(mask),
       op = "mergeDeltaMor", metrics = Map(
         "numTargetRowsMasked" -> nMasked,
@@ -1727,7 +1843,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         manifestStatsCols(man), sc)
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
       val nNew = stats.fold(0L)(_.count()).toInt
-      publish(toVersion, stats.fold(man)(man.unionByName(_)), commitTs, sc,
+      publish(toVersion, stats.fold(man)(man.unionByName(_, allowMissingColumns = true)), commitTs, sc,
         dv = Some(mask), op = "updateWhere",
         opParams = updateOpParams(set, pred),
         metrics = Map("numUpdatedRows" -> nMatched,
@@ -1743,7 +1859,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       val stats = landWithStats(arrange(rewritten, numNewFiles),
         manifestStatsCols(man), sc)
       val nNew = stats.fold(0L)(_.count()).toInt
-      publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs, sc,
+      publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs, sc,
         dv = carryDv(fromVersion, shared), op = "updateWhere",
         opParams = updateOpParams(set, pred),
         metrics = Map("numUpdatedRows" -> nMatched,
@@ -1777,7 +1893,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           masked.map(n => new Path(poolDir, n).toString).toSeq)
         val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man), evolvedSchema(fromVersion))
-        publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+        publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
           evolvedSchema(fromVersion), op = "foldDv")
         (shared.count().toInt, stats.fold(0L)(_.count()).toInt, nDropped)
     }
@@ -2134,7 +2250,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(folded, _))
         .getOrElse(folded),
       targetFiles))
-    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man)),
+      allowMissingColumns = true),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
       op = "compact", metrics = Map("numAddedFiles" -> names.size.toLong,
         "numRemovedFiles" -> small.length.toLong))
@@ -2178,7 +2295,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(folded, _))
         .getOrElse(folded),
       targetFiles))
-    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man)),
+      allowMissingColumns = true),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
       op = "compact", opParams = SnapshotStore.predSql(pred),
       metrics = Map("numAddedFiles" -> names.size.toLong,
@@ -2223,7 +2341,8 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val names = landInPool(
       evolvedSchema(fromVersion).map(SnapshotStore.toPhysical(arranged, _))
         .getOrElse(arranged))
-    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man))),
+    publish(toVersion, shared.unionByName(statsFor(names, manifestStatsCols(man)),
+      allowMissingColumns = true),
       commitTs, evolvedSchema(fromVersion), dv = carryDv(fromVersion, shared),
       op = "zorder", opParams = SnapshotStore.predSql(pred))
     (man.count().toInt - matched.size, names.size)
@@ -2266,7 +2385,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man), evolvedSchema(fromVersion))
         val keep = dv.join(maskedDf, Seq("file"), "left_anti").localCheckpoint()
-        publish(toVersion, stats.fold(shared)(shared.unionByName(_)), commitTs,
+        publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
           evolvedSchema(fromVersion),
           dv = if (keep.limit(1).count() == 0) None else Some(keep),
           op = "foldDv", opParams = SnapshotStore.predSql(pred))

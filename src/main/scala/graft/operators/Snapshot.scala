@@ -2457,6 +2457,66 @@ object Snapshot {
         .orderBy("o_orderpriority")
     },
 
+    "snap_partition_evolve" -> { (s, d) =>
+      // PARTITION SPEC EVOLUTION (Iceberg's headline feature) on BOTH
+      // layouts: v1 lands month-partitioned, `set_partition_spec`
+      // flips to years(o_orderdate) as ONE metadata write, v2's merge
+      // lands NEW rows under the year spec while every month file
+      // carries by reference untouched. The 1995 range read then
+      // prunes PER FILE BY ITS OWN SPEC — months era through month
+      // tuples, years era through year tuples — and `prune_ok` pins
+      // the bound in-result: at most 12 month files + 1 year file
+      // open, a strict subset of the version. `drop_refused` pins the
+      // honesty contract: a whole-partition drop on the mixed version
+      // REFUSES (a year predicate cannot select month files
+      // whole-file-exactly). Content hash-checks the mixed-era rows.
+      val fp = Tables.fingerprint(s, d, "orders")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pevolve_$fp"
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val k = col("o_orderkey")
+      val old = ord.filter(k % 3 === 0)
+      // delta keys land past every old envelope: no old file rewrites
+      val delta = ord.filter(k % 3 === 1)
+        .withColumn("o_orderkey", k + 1000000000L)
+      val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-12-31 23:59:59")
+      Seq("pe_snap", "pe_linked").map { t =>
+        val isSnap = t == "pe_snap"
+        def snapSt = new SnapshotStore(s, s"$base/$t", "o_orderkey")
+        def linkSt = new ManifestStore(s, s"$base/$t", "o_orderkey")
+        def vs(): Seq[Long] = if (isSnap) snapSt.versions() else linkSt.versions()
+        if (!vs().contains(1L)) {
+          if (isSnap) snapSt.writePartitioned(old, 1L, Seq("months(o_orderdate)"))
+          else linkSt.writePartitioned(old, 1L, Seq("months(o_orderdate)"))
+        }
+        (if (isSnap) snapSt.evolvePartitionSpec(Seq("years(o_orderdate)"))
+         else linkSt.evolvePartitionSpec(Seq("years(o_orderdate)"))): Unit
+        if (!vs().contains(2L)) {
+          if (isSnap) snapSt.mergeDelta(1L, 2L, delta): Unit
+          else linkSt.mergeDelta(1L, 2L, delta): Unit
+        }
+        val q = if (isSnap) snapSt.readSourceRange(2L, "o_orderdate", lo, hi)
+          else linkSt.readSourceRange(2L, "o_orderdate", lo, hi)
+        val opened = q.inputFiles.length
+        val total = (if (isSnap) snapSt.read(2L) else linkSt.read(2L))
+          .inputFiles.length
+        val pruneOk = opened < total && opened <= 13
+        val dropRefused =
+          try {
+            if (isSnap) snapSt.dropPartitions(2L, 99L,
+              col("o_orderdate__year") === to_date(lit("1995-01-01"))): Unit
+            else linkSt.dropPartitions(2L, 99L,
+              col("o_orderdate__year") === to_date(lit("1995-01-01"))): Unit
+            false
+          } catch { case _: IllegalArgumentException => true }
+        q.groupBy((k % 20).as("bucket"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+          .select(lit(t).as("layout"), col("bucket"), col("n"), col("sum_price"),
+            lit(pruneOk).as("prune_ok"), lit(dropRefused).as("drop_refused"))
+      }.reduce(_ unionByName _).orderBy("layout", "bucket")
+    },
+
     "snap_partition_prune" -> { (s, d) =>
       // Partition-equality read on both layouts with the prune bound
       // ASSERTED: the file set the read opens must be EXACTLY the
@@ -3538,6 +3598,20 @@ object Snapshot {
         |  TRUE AS zero_write
         |FROM orders WHERE o_orderpriority <> '3-MEDIUM'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "snap_partition_evolve" ->
+      """WITH y95 AS (
+        |  SELECT o_orderkey % 20 AS bucket, o_totalprice
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1)
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59')
+        |SELECT l.layout, bucket, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  TRUE AS prune_ok, TRUE AS drop_refused
+        |FROM y95 CROSS JOIN (VALUES ('pe_linked'), ('pe_snap')) AS l(layout)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "snap_sql_partition_time" ->
       """SELECT COUNT(*) AS n,

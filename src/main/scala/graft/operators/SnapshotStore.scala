@@ -389,16 +389,105 @@ object SnapshotStore {
     */
   def readStoredPartitionBy(fs: org.apache.hadoop.fs.FileSystem,
       basePath: String): Seq[String] = {
+    val (hist, cur) = readPartitionSpecHistory(fs, basePath)
+    if (hist.isEmpty) Seq.empty else hist(cur)
+  }
+
+  /** The FULL partition-spec history — Iceberg's partition-spec
+    * evolution: `_partition.json` is a VERSIONED list of specs (spec
+    * id = list index) plus the CURRENT id new landings use. Returns
+    * (history, currentId); (empty, 0) for an unpartitioned store.
+    *
+    * v2 format: `{"specs": [["days(ts)"], ["months(ts)"]], "current": 1}`.
+    * The v1 format (`{"partitionBy": [...]}` — every store written
+    * before evolution existed) reads as a single spec id 0, so every
+    * pre-evolution file belongs to spec 0 by construction and absent
+    * per-file spec ids decode as 0 honestly. */
+  def readPartitionSpecHistory(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String): (Seq[Seq[String]], Int) = {
     val p = new org.apache.hadoop.fs.Path(basePath, "_partition.json")
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(
-          txt.dropWhile(_ != '[').takeWhile(_ != ']'))
+    if (!fs.exists(p)) return (Seq.empty, 0)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def strs(s: String): Seq[String] =
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(s)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    if (!txt.contains("\"specs\"")) {
+      val cols = strs(txt.dropWhile(_ != '[').takeWhile(_ != ']'))
+      (if (cols.isEmpty) Seq.empty else Seq(cols), 0)
+    } else {
+      // the specs value is a depth-2 array: walk to the outer ']' by
+      // bracket depth, then each inner [...] is one spec's columns
+      val start = txt.indexOf('[', txt.indexOf("\"specs\""))
+      var i = start; var depth = 0
+      while (i < txt.length && (depth != 0 || i == start)) {
+        if (txt(i) == '[') depth += 1 else if (txt(i) == ']') depth -= 1
+        i += 1
+      }
+      val block = txt.substring(start + 1, i - 1)
+      val specs = "\\[[^\\]]*\\]".r.findAllIn(block).map(strs).toSeq
+      val cur = "\"current\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
+      (specs, math.min(math.max(cur, 0), math.max(specs.size - 1, 0)))
     }
+  }
+
+  private def writePartitionSpecsV2(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, hist: Seq[Seq[String]], current: Int): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val specs = hist.map(_.map(c => "\"" + esc(c) + "\"").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val out = fs.create(new org.apache.hadoop.fs.Path(basePath, "_partition.json"), true)
+    try out.write(s"""{"specs": $specs, "current": $current}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** EVOLVE the partition spec — `ALTER TABLE ... SET PARTITION SPEC`
+    * as ONE metadata write: the new spec appends to the history (or
+    * re-activates an identical earlier one) and becomes CURRENT; NOT
+    * ONE data byte moves. Files already landed keep pruning through
+    * the spec they were written under (their per-file spec id);
+    * landings from here on cluster, stat and prune under the new one.
+    * The classic retention-axis fix — `days(ts)` → `months(ts)` —
+    * costs a sidecar write instead of a 100 TB rewrite. Returns the
+    * (possibly reused) spec id now current. */
+  /** Conservative per-file overlap test of a [lo, hi] SOURCE-column
+    * range against a file's derived-tuple stats [minD, maxD] under
+    * spec `sp`: a derived value v covers the source interval
+    * [v, next(v)) (day/month/year/hour granule), so the file overlaps
+    * iff next(maxD) > lo AND minD <= hi. NULL stats keep the file —
+    * pruning never guesses. */
+  private[operators] def sourceRangeOverlap(sp: PartSpec,
+      minD: org.apache.spark.sql.Column, maxD: org.apache.spark.sql.Column,
+      lo: Any, hi: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val next = sp.transform match {
+      case Some("days") => date_add(maxD.cast("date"), 1).cast("timestamp")
+      case Some("months") => add_months(maxD.cast("date"), 1).cast("timestamp")
+      case Some("years") => add_months(maxD.cast("date"), 12).cast("timestamp")
+      case _ => maxD.cast("timestamp") + expr("INTERVAL 1 HOUR")
+    }
+    coalesce(next > lit(lo).cast("timestamp") &&
+      minD.cast("timestamp") <= lit(hi).cast("timestamp"), lit(true))
+  }
+
+  def evolvePartitionSpec(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "evolvePartitionSpec: no partition columns")
+    val (hist, cur) = readPartitionSpecHistory(fs, basePath)
+    require(hist.nonEmpty,
+      s"store at $basePath is not partitioned — declare a first spec with " +
+        "writePartitioned before evolving it")
+    cols.foreach(parsePartitionSpec) // fail fast on an unparseable spec
+    if (hist(cur) == cols) return cur // idempotent
+    val id = hist.indexOf(cols) match {
+      case -1 => hist.size
+      case i => i
+    }
+    writePartitionSpecsV2(fs, basePath,
+      if (id == hist.size) hist :+ cols else hist, id)
+    id
   }
 
   /** Declared CHECK constraints, recorded in a `_constraints.json`
@@ -1306,6 +1395,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   /** Zone-map rows with the partition tuple as plain value columns
     * (min==max per the layout invariant, asserted). */
   private def partitionEntries(zm: DataFrame, pcs: Seq[String]): DataFrame = {
+    val absent = pcs.filterNot(c => zm.columns.contains(s"min_$c"))
+    require(absent.isEmpty,
+      s"version records no stats for partition column(s) ${absent.mkString(", ")} — " +
+        "it predates the CURRENT partition spec; compact to rewrite under it, " +
+        "or read through readSourceRange")
     val straddlers = zm.filter(
         pcs.map(c => !(col(s"min_$c") <=> col(s"max_$c"))).reduce(_ || _))
       .limit(1).count()
@@ -1329,6 +1423,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * count until folded). */
   def partitions(version: Long): DataFrame = {
     val (pcs, zm) = requirePartitionedZm("partitions", version)
+    requireUniformSpec(zm, "partitions")
     partitionEntries(zm, pcs)
       .groupBy(pcs.map(col): _*)
       .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
@@ -1343,6 +1438,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       filesPerPartition: Int = 1, commitTs: Option[Long] = None): (Int, Int, Int) = {
     val (pcs, zm0) = requirePartitionedZm("replaceWhere", fromVersion)
     requireFreeVersion(toVersion)
+    requireUniformSpec(zm0, "replaceWhere")
     enforceConstraints(data, "replaceWhere")
     val zm = zm0.localCheckpoint()
     val data2 = deriveParts(data)
@@ -1382,7 +1478,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
     val withNew = zmNewStats(
         newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), zmStatsCols)
-      .fold(carried)(carried.unionByName(_))
+      .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
     stageZoneMap(tmp, toVersion, withNew)
     casPublish(tmp, toVersion, "replaceWhere")
     (carriedParts.length, allParts.length - carriedParts.length, newNames.size)
@@ -1397,6 +1493,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       commitTs: Option[Long] = None): (Int, Int, Long) = {
     val (pcs, zm0) = requirePartitionedZm("dropPartitions", fromVersion)
     requireFreeVersion(toVersion)
+    requireUniformSpec(zm0, "dropPartitions")
     val zm = zm0.localCheckpoint()
     val dropped = partitionEntries(zm, pcs).filter(coalesce(pred, lit(false)))
       .select(regexp_extract(col("file"), "[^/]+$", 0).as("name"), col("n_rows"))
@@ -1792,10 +1889,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .parquet(new Path(tmp, "_dv").toString)
     }
 
-  def read(version: Long): DataFrame = evolvedSchema(version) match {
+  def read(version: Long): DataFrame = recomputeDerived(evolvedSchema(version) match {
     case Some(sc) => applyFills(masked(version, Seq(dir(version)), Some(sc)), sc)
     case None => masked(version, Seq(dir(version)), None)
-  }
+  })
 
   /** Commit history — the `DESCRIBE HISTORY` surface (ManifestStore
     * .history's twin for this layout): one row per version with its
@@ -1935,10 +2032,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * (if any) — the shared reader under every pruned-file path, so a
     * zone-map-pruned restore sees the same columns a full read does. */
   private def readDataFiles(version: Long, files: Seq[String]): DataFrame =
-    evolvedSchema(version) match {
+    recomputeDerived(evolvedSchema(version) match {
       case Some(sc) => applyFills(masked(version, files, Some(sc)), sc)
       case None => masked(version, files, None)
-    }
+    })
 
   /** The version's data file paths — a metadata-only listing. File
     * identity is the incremental-maintenance contract: [[mergeDelta]]
@@ -2159,7 +2256,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
     val withNew = zmNewStats(
         newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), statsCols)
-      .fold(carried)(carried.unionByName(_))
+      .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
     stageZoneMap(tmp, toVersion, withNew)
     // Delta's MERGE operationMetrics: matched = touched-file rows
     // whose key the merge addressed (updated + deleted), split by the
@@ -2489,7 +2586,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
       val withNew = zmNewStats(
           newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), statsCols)
-        .fold(carried)(carried.unionByName(_))
+        .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
       stageZoneMap(tmp, toVersion, withNew)
     }
     casPublish(tmp, toVersion, "deleteWhere", SnapshotStore.predSql(pred),
@@ -2554,7 +2651,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
       val withNew = zmNewStats(
           newNames.toSeq.sorted.map(n => new Path(tmp, n).toString), zmStatsCols)
-        .fold(carried)(carried.unionByName(_))
+        .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
       stageZoneMap(tmp, toVersion, withNew)
     }
     casPublish(tmp, toVersion, "mergeDeltaMor", metrics = Map(
@@ -2636,16 +2733,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4)))
       .getOrElse(Nil)
     def statsOf(newFiles: Seq[String]): Option[DataFrame] =
-      if (newFiles.isEmpty) None
-      else {
-        val aggs = Seq(
-          min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-          count(lit(1)).as("n_rows")) ++
-          zmStatsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        Some(spark.read.parquet(newFiles: _*)
-          .select((input_file_name().as("file") +: col(keyCol) +: zmStatsCols.map(col)): _*)
-          .groupBy("file").agg(aggs.head, aggs.tail: _*))
-      }
+      zmNewStats(newFiles, zmStatsCols) // spec-evolution-aware stats
     if (useMor) {
       val updated = applySet(matched).drop("__f", "__p")
       enforceConstraints(updated, "updateWhere")
@@ -2662,7 +2750,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         val carried = z.withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
         val withNew = statsOf(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString))
-          .fold(carried)(carried.unionByName(_))
+          .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
         stageZoneMap(tmp, toVersion, withNew)
       }
       casPublish(tmp, toVersion, "updateWhere",
@@ -2697,7 +2785,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           .withColumn("file",
             regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
         val withNew = statsOf(newNames.toSeq.sorted.map(n => new Path(tmp, n).toString))
-          .fold(carried)(carried.unionByName(_))
+          .fold(carried)(carried.unionByName(_, allowMissingColumns = true))
         stageZoneMap(tmp, toVersion, withNew)
       }
       casPublish(tmp, toVersion, "updateWhere",
@@ -2789,17 +2877,111 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * columns (the incremental half every maintenance verb pairs with
     * carried-by-reference entries). */
   private def zmNewStats(paths: Seq[String],
-      statsCols: Seq[String]): Option[DataFrame] =
+      statsCols0: Seq[String]): Option[DataFrame] =
     if (paths.isEmpty) None
     else {
+      // partition-spec evolution: new files ALSO stat the CURRENT
+      // spec's derived column (their prune axis) and stamp which spec
+      // they landed under; never-evolved stores keep their exact zone
+      // map schema (absent spec_id ≡ spec 0)
+      val (hist, cur) = specHistory
+      val statsCols =
+        if (hist.size <= 1) statsCols0
+        else (statsCols0 ++ storedPartitionBy().filterNot(_ == keyCol)).distinct
       val aggs = Seq(
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows")) ++
         statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      Some(spark.read.parquet(paths: _*)
+      val df = spark.read.parquet(paths: _*)
         .select((input_file_name().as("file") +: col(keyCol) +: statsCols.map(col)): _*)
-        .groupBy("file").agg(aggs.head, aggs.tail: _*))
+        .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      Some(if (hist.size <= 1) df else df.withColumn("spec_id", lit(cur)))
     }
+
+  /** The `_partition.json` spec history + current id (see
+    * [[SnapshotStore.readPartitionSpecHistory]]). */
+  private def specHistory: (Seq[Seq[String]], Int) =
+    SnapshotStore.readPartitionSpecHistory(fs, basePath)
+
+  /** A zone-map row's spec id (absent column ≡ spec 0 — pre-evolution
+    * files all belong to the original spec by construction). */
+  private def specIdCol(zm: DataFrame): org.apache.spark.sql.Column =
+    if (zm.columns.contains("spec_id")) coalesce(col("spec_id"), lit(0))
+    else lit(0)
+
+  /** EVOLVE this store's partition spec (metadata-only —
+    * [[SnapshotStore.evolvePartitionSpec]]); returns the new current
+    * spec id. */
+  def evolvePartitionSpec(cols: Seq[String]): Int = {
+    val priorDerived = specHistory._1.flatten
+      .map(SnapshotStore.parsePartitionSpec)
+      .filter(_.transform.isDefined).map(_.name).toSet
+    cols.map(SnapshotStore.parsePartitionSpec).filter(_.transform.isDefined)
+      .foreach { sp =>
+        latestVersion().foreach { v =>
+          require(priorDerived(sp.name) ||
+              !spark.read.parquet(dir(v)).columns.contains(sp.name),
+            s"evolvePartitionSpec: derived column name '${sp.name}' collides " +
+              "with a data column")
+        }
+      }
+    SnapshotStore.evolvePartitionSpec(fs, basePath, cols)
+  }
+
+  /** Post-evolution reads RECOMPUTE every historical spec's derived
+    * column from its source — [[ManifestStore.recomputeDerived]]'s
+    * twin (mixed-spec files physically carry different derived
+    * columns; recomputation keeps diffs/compaction content-invariant).
+    * No-op for never-evolved stores. */
+  private def recomputeDerived(df: DataFrame): DataFrame = {
+    val (hist, _) = specHistory
+    if (hist.size <= 1) df
+    else hist.flatten.distinct.map(SnapshotStore.parsePartitionSpec)
+      .filter(sp => sp.transform.isDefined && df.columns.contains(sp.source))
+      .foldLeft(df)((d, sp) => d.withColumn(sp.name, SnapshotStore.deriveColumn(sp)))
+  }
+
+  /** SOURCE-column time-range read over an EVOLVED partition spec —
+    * [[ManifestStore.readSourceRange]]'s zone-map twin: every file
+    * prunes through the spec IT was written under, by translating its
+    * derived tuple to the covered source interval. */
+  def readSourceRange(version: Long, source: String, lo: Any, hi: Any): DataFrame = {
+    val (hist, _) = specHistory
+    val zm = zoneMap(version).getOrElse(
+      return read(version).filter(
+        col(source).cast("timestamp") >= lit(lo).cast("timestamp") &&
+        col(source).cast("timestamp") <= lit(hi).cast("timestamp")))
+    val sid = specIdCol(zm)
+    val specs = hist.map(_.map(SnapshotStore.parsePartitionSpec))
+    val conds = specs.zipWithIndex.map { case (sps, id) =>
+      sps.find(sp => sp.transform.isDefined && sp.source == source &&
+          zm.columns.contains(s"min_${sp.name}")) match {
+        case Some(sp) => sid === id && SnapshotStore.sourceRangeOverlap(sp,
+          col(s"min_${sp.name}"), col(s"max_${sp.name}"), lo, hi)
+        case None => sid === id // this spec cannot bound the source: keep
+      }
+    }
+    val cond = if (conds.isEmpty) lit(true) else conds.reduce(_ || _)
+    val hit = zm.filter(cond).select("file").collect().map(_.getString(0))
+    val base = if (hit.isEmpty) emptyRead(version)
+      else readDataFiles(version, hit.toIndexedSeq)
+    base.filter(col(source).cast("timestamp") >= lit(lo).cast("timestamp") &&
+      col(source).cast("timestamp") <= lit(hi).cast("timestamp"))
+  }
+
+  /** Refuse a whole-partition verb on a version holding files written
+    * under an earlier spec — [[ManifestStore.requireUniformSpec]]'s
+    * twin (a month predicate does not select exact day files). */
+  private def requireUniformSpec(zm: DataFrame, op: String): Unit = {
+    val (hist, cur) = specHistory
+    if (hist.size <= 1) return
+    val foreign = zm.filter(specIdCol(zm) =!= cur).limit(1).count()
+    require(foreign == 0L,
+      s"$op: this version still holds files written under an earlier partition " +
+        s"spec (current spec id $cur) — a predicate over the current spec cannot " +
+        "select them whole-file-exactly; compact/rewrite them first, or read " +
+        "through readSourceRange")
+  }
 
   /** Carry-only staging: the from-version's map rows (re-homed,
     * optionally pruned) land inside tmp pre-publish. */
@@ -2810,7 +2992,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         .filter(!regexp_extract(col("file"), "[^/]+$", 0).isin(dropped.toSeq: _*))
         .withColumn("file",
           regexp_replace(col("file"), s"/v=$fromVersion/", s"/v=$toVersion/"))
-      stageZoneMap(tmp, toVersion, extra.fold(carried)(carried.unionByName(_)))
+      stageZoneMap(tmp, toVersion, extra.fold(carried)(carried.unionByName(_, allowMissingColumns = true)))
     }
 
   /** RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF v` on this

@@ -166,13 +166,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // the files — HIDDEN from SQL (SELECT * serves the declared
     // columns only; Iceberg's hidden-partitioning UX). Identity
     // partition columns stay visible as ordinary data columns.
-    val hiddenCols = {
-      val fsH = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.operators.SnapshotStore.readStoredPartitionBy(fsH, base)
-        .map(graft.operators.SnapshotStore.parsePartitionSpec)
-        .filter(_.transform.isDefined).map(_.name).toSet
-    }
+    val hiddenCols = temporalSpecs(base).map(_.name).toSet
     def hide(sc: StructType): StructType =
       StructType(sc.fields.filterNot(f => hiddenCols.contains(f.name)))
     val evolved =
@@ -209,12 +203,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * ParquetTable over the version's files would resurrect masked
     * rows, and would read NULL for a mapped column (the bytes answer
     * to the physical name). None otherwise (the native path). */
+  /** Every temporal transform spec the store EVER declared (partition
+    * spec evolution keeps the history): all their derived columns
+    * hide from SQL, and pruning consults each file's own spec. */
   private def temporalSpecs(base: String): Seq[graft.operators.SnapshotStore.PartSpec] = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.SnapshotStore.readStoredPartitionBy(fs, base)
+    graft.operators.SnapshotStore.readPartitionSpecHistory(fs, base)._1
+      .flatten.distinct
       .map(graft.operators.SnapshotStore.parsePartitionSpec)
       .filter(_.transform.isDefined)
+  }
+
+  private def specHistorySize(base: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SnapshotStore.readPartitionSpecHistory(fs, base)._1.size
   }
 
   private def maskedReadFor(ident: Identifier, linked: Boolean,
@@ -255,6 +259,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Option[org.apache.spark.sql.DataFrame]] = {
     val specs = temporalSpecs(storePath(ident))
     if (specs.isEmpty) return None
+    // an EVOLVED store prunes per-file by each file's OWN spec: route
+    // source-column bounds through readSourceRange (the store-side
+    // interval translation), instead of the single-spec derived-range
+    // path below — which would consult only the current spec's stats
+    // and read NULL for files that predate it
+    if (specHistorySize(storePath(ident)) > 1) {
+      return Some { filters =>
+        import org.apache.spark.sql.sources._
+        val sources = specs.map(_.source).distinct
+        val bounded = sources.flatMap { src =>
+          var lo: Option[Any] = None
+          var hi: Option[Any] = None
+          filters.foreach {
+            case EqualTo(c, v) if c == src => lo = Some(v); hi = Some(v)
+            case GreaterThan(c, v) if c == src => lo = Some(v)
+            case GreaterThanOrEqual(c, v) if c == src => lo = Some(v)
+            case LessThan(c, v) if c == src => hi = Some(v)
+            case LessThanOrEqual(c, v) if c == src => hi = Some(v)
+            case _ => ()
+          }
+          if (lo.isEmpty && hi.isEmpty) None else Some((src, lo, hi))
+        }
+        bounded.headOption.map { case (src, lo, hi) =>
+          val loV = lo.getOrElse(java.sql.Timestamp.valueOf("0001-01-01 00:00:00"))
+          val hiV = hi.getOrElse(java.sql.Timestamp.valueOf("9999-12-31 23:59:59"))
+          val df = if (linked) linkedFor(ident).readSourceRange(version, src, loV, hiV)
+            else storeFor(ident).readSourceRange(version, src, loV, hiV)
+          specs.map(_.name).distinct.foldLeft(df)(_.drop(_))
+        }
+      }
+    }
     Some { filters =>
       import org.apache.spark.sql.sources._
       def truncOf(v: Any, kind: String): Option[Any] = {
@@ -895,7 +930,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   //       the durability ladder's SQL surface
 
   private val procedureNames =
-    Array("compact", "vacuum", "retention", "retention_hours", "zorder", "clone",
+    Array("compact", "vacuum", "retention", "retention_hours",
+      "set_partition_spec", "zorder", "clone",
       "replicate", "parity", "repair", "restore", "restore_ts", "fold_dv",
       "drop_partitions", "add_constraint", "drop_constraint", "analyze")
 
@@ -1246,6 +1282,30 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val n = new SnapshotStore(spark, base, "").prune(keepLast).size.toLong
           Array(utf8("snapshot"), n)
         }
+      }
+      // Iceberg's partition spec evolution as ONE metadata write:
+      // `CALL set_partition_spec('t', 'months(ts)')` appends the new
+      // spec to _partition.json's history and makes it CURRENT. Not
+      // one data byte moves: files already landed keep pruning
+      // through the spec they were written under (per-file spec id);
+      // new landings cluster/stat/prune under the new one.
+      case "set_partition_spec" => bound("set_partition_spec",
+        Array(tableParam,
+          ProcedureParameter.in("spec", StringType).build()),
+        StructType(Seq(StructField("layout", StringType),
+          StructField("spec_id", LongType),
+          StructField("spec", StringType)))) { in =>
+        val t = tableIdentOf(in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "set_partition_spec: empty spec")
+        val base = storePath(t)
+        val id =
+          if (isLinked(t))
+            new graft.operators.ManifestStore(spark, base, "").evolvePartitionSpec(cols)
+          else new SnapshotStore(spark, base, "").evolvePartitionSpec(cols)
+        Array(utf8(if (isLinked(t)) "linked" else "snapshot"), id.toLong,
+          utf8(cols.mkString(",")))
       }
       // Delta's `RETAIN n HOURS` contract: expire versions whose
       // commit ts is STRICTLY older than as_of - retain_hours (the
