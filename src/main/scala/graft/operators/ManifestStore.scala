@@ -1993,6 +1993,12 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def diffCdf(fromVersion: Long, toVersion: Long): DataFrame =
     diffImpl(fromVersion, toVersion, preImages = true)
 
+  /** [[diffCdf]] restricted to keys in [lo, hi] — [[diffKeyRange]]'s
+    * CDF-shaped sibling (same envelope-pruned exclusive-file opens;
+    * preimage/delete-value reads are range-bounded too). */
+  def diffCdfKeyRange(fromVersion: Long, toVersion: Long, lo: Any, hi: Any): DataFrame =
+    diffImpl(fromVersion, toVersion, preImages = true, keyRange = Some((lo, hi)))
+
   /** [[diff]] restricted to keys in [lo, hi] — the change feed's
     * KEY-PREDICATE PUSHDOWN unit: each side's exclusive files prune
     * further against their manifest key envelopes BEFORE any open, so

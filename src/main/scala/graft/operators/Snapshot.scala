@@ -2501,7 +2501,10 @@ object Snapshot {
         val opened = q.inputFiles.length
         val total = (if (isSnap) snapSt.read(2L) else linkSt.read(2L))
           .inputFiles.length
-        val pruneOk = opened < total && opened <= 13
+        // bound: ≤12 month files + ≤4 year files (merge's key-hash
+        // salt caps files per partition tuple at numNewFiles=4; AQE
+        // coalesces to 1/year at small SF), and a strict subset
+        val pruneOk = opened < total && opened <= 16
         val dropRefused =
           try {
             if (isSnap) snapSt.dropPartitions(2L, 99L,

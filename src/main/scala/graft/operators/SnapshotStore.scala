@@ -3029,16 +3029,26 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     * for the updated keys only — on this layout the diff already
     * scans both versions in full, so the extra pass is bounded by the
     * update set, not the snapshot. */
-  def diffCdf(fromVersion: Long, toVersion: Long): DataFrame = {
-    val d = diff(fromVersion, toVersion)
+  def diffCdf(fromVersion: Long, toVersion: Long): DataFrame =
+    diffCdfFrom(diff(fromVersion, toVersion), read(fromVersion))
+
+  /** [[diffCdf]] restricted to keys in [lo, hi] — [[diffKeyRange]]'s
+    * CDF-shaped sibling: the diff AND the preimage/delete-value
+    * re-reads are zone-map-pruned to the range (a key in range has
+    * its old row in a range-overlapping file by definition). */
+  def diffCdfKeyRange(fromVersion: Long, toVersion: Long, lo: Any, hi: Any): DataFrame =
+    diffCdfFrom(diffKeyRange(fromVersion, toVersion, lo, hi),
+      readKeyRange(fromVersion, lo, hi))
+
+  private def diffCdfFrom(d: DataFrame, fromSide: DataFrame): DataFrame = {
     val updKeys = d.filter(col("change_type") === "update").select(keyCol)
-    val pre = read(fromVersion).join(updKeys, Seq(keyCol), "left_semi")
+    val pre = fromSide.join(updKeys, Seq(keyCol), "left_semi")
       .withColumn("change_type", lit("update_preimage"))
     // Delta's CDF delete rows carry the DELETED row's values (the
     // pre-image) — this layout's plain diff emits key-only deletes,
     // so the old rows re-read keys-bounded from the from-side
     val delKeys = d.filter(col("change_type") === "delete").select(keyCol)
-    val delRows = read(fromVersion).join(delKeys, Seq(keyCol), "left_semi")
+    val delRows = fromSide.join(delKeys, Seq(keyCol), "left_semi")
       .withColumn("change_type", lit("delete"))
     d.filter(col("change_type") =!= "delete")
       .withColumn("change_type",

@@ -147,13 +147,13 @@ private[graft] object ChangeFeed {
   /** Union of per-commit change frames for commits in [fromCommit,
     * toCommit], aligned to `target` ([[changesSchema]] of the serving
     * table — columns a commit predates read null). */
-  /** `keyRange` — key-predicate pushdown (ignored for preImages
-    * feeds, whose CDF diff has no ranged variant yet): each commit's
-    * change set computes through the stores' diffKeyRange, which
-    * prunes to envelope-overlapping exclusive files BEFORE any open
-    * and is spec-proven ≡ `diff.filter(key in range)`. The serving
-    * relation re-applies the exact predicate above (V1 contract), so
-    * a conservative range here can never change results. */
+  /** `keyRange` — key-predicate pushdown: each commit's change set
+    * computes through the stores' diffKeyRange / diffCdfKeyRange,
+    * which prune to envelope-overlapping exclusive files BEFORE any
+    * open and are spec-proven ≡ `diff.filter(key in range)`. The
+    * serving relation re-applies the exact predicate above (V1
+    * contract), so a conservative range here can never change
+    * results. */
   def changesBetween(spark: SparkSession, base: String, linked: Boolean,
       keyCol: String, fromCommit: Long, toCommit: Long,
       target: StructType, allowInitialSnapshot: Boolean = true,
@@ -162,17 +162,18 @@ private[graft] object ChangeFeed {
     val h = handles(spark, base, linked, keyCol)
     val all = h.fold(_.versions(), _.versions())
     val inRange = all.filter(v => v >= fromCommit && v <= toCommit).sorted
-    val kr = if (preImages) None else keyRange
+    val kr = keyRange
     val steps = inRange.map { b =>
       all.filter(_ < b).lastOption match {
         case Some(a) =>
-          val step =
-            if (preImages) h.fold(_.diffCdf(a, b), _.diffCdf(a, b))
-            else kr match {
-              case Some((lo, hi)) =>
-                h.fold(_.diffKeyRange(a, b, lo, hi), _.diffKeyRange(a, b, lo, hi))
-              case None => h.fold(_.diff(a, b), _.diff(a, b))
-            }
+          val step = (preImages, kr) match {
+            case (true, Some((lo, hi))) =>
+              h.fold(_.diffCdfKeyRange(a, b, lo, hi), _.diffCdfKeyRange(a, b, lo, hi))
+            case (true, None) => h.fold(_.diffCdf(a, b), _.diffCdf(a, b))
+            case (false, Some((lo, hi))) =>
+              h.fold(_.diffKeyRange(a, b, lo, hi), _.diffKeyRange(a, b, lo, hi))
+            case (false, None) => h.fold(_.diff(a, b), _.diff(a, b))
+          }
           align(step, keyCol, target, b, nullDeletes = !preImages)
         case None =>
           // no retained predecessor. For the stream bootstrap (and the

@@ -651,5 +651,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(byFilter.collect().map(_.toString).sorted.toSeq ==
       bounded.collect().map(_.toString).sorted.toSeq)
     assert(byFilter.collect().nonEmpty)
+    // 5) the CDF-shaped feed pushes the same bounds: ranged diffCdf ≡
+    // post-filtering (update pre/postimage pairs + valued deletes
+    // intact), and the SQL .changes_cdf read matches
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L))) {
+      val full = st.diffCdf(a, b).filter(col("k").between(1L, 50L))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(r.fieldIndex("change_type")))).toSet
+      val ranged = st.diffCdfKeyRange(a, b, 1L, 50L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(r.fieldIndex("change_type")))).toSet
+      assert(ranged == full, s"cdf ($a,$b): $ranged vs $full")
+    }
+    val cdfRanged = spark.sql(
+      s"SELECT * FROM cfcat.$name.changes_cdf WHERE k BETWEEN 1 AND 50")
+    val cdfFull = spark.sql(s"SELECT * FROM cfcat.$name.changes_cdf")
+      .filter(col("k").between(1L, 50L))
+    assert(cdfRanged.collect().map(_.toString).sorted.toSeq ==
+      cdfFull.collect().map(_.toString).sorted.toSeq)
+    assert(cdfRanged.filter(col("change_type") === "update_preimage").count() > 0)
   }
 }
