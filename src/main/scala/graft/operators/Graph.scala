@@ -42,17 +42,33 @@ import graft.sources.Tables
 object Graph {
 
   /** Part co-purchase edges: undirected {u < v} part pairs that share
-    * at least one order. Two INDEPENDENT lineitem scans — a
-    * same-lineage self-join would plan a nested loop (see
-    * Dedup.ngramJaccardPairs). */
-  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    def li(ok: String, pk: String) = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
-    li("oka", "pa")
-      .join(li("okb", "pb"), col("oka") === col("okb") && col("pa") < col("pb"))
-      .select(col("pa").as("u"), col("pb").as("v"))
-      .distinct()
-  }
+    * at least one order.
+    *
+    * ONE lineitem scan: per-order sorted-distinct part set (partial
+    * aggregation merges map-side), pairs exploded from the set with
+    * u < v by sort order, then the global distinct. The former
+    * two-scan orderkey self-join read lineitem twice and paid three
+    * Exchanges (both join sides + distinct) of pair-sized rows; this
+    * shape pays one scan and two (groupBy orderkey, distinct) — the
+    * per-order pair fan-out is C(items-per-order, 2)-bounded either
+    * way (TPC-H orders are ≤ 7 lines), so the explode never amplifies
+    * beyond what the join already produced. */
+  private def orderPartPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      // projection barrier before the generator: explode(f(ps)) would
+      // re-evaluate the pair construction per generated element (the
+      // Dedup.docShingles lesson)
+      .select(col("ok"), expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> named_struct('u', x, 'v', y))))""".stripMargin).as("prs"))
+      .select(col("ok"), explode(col("prs")).as("e"))
+      .select(col("ok"), col("e.u").as("u"), col("e.v").as("v"))
+
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    orderPartPairs(s, d).select("u", "v").distinct()
 
   /** STRONG co-purchase edges: part pairs sharing ≥ `minOrders`
     * DISTINCT orders — the repeat-signal threshold that separates
@@ -62,16 +78,17 @@ object Graph {
     * graph density is threshold-bounded (3.6k edges at sf0.01, 3.9k
     * at sf0.1 — repeat pairs get RARER as the catalog grows), where
     * the raw graph's Σ deg² neighborhood work grows without bound. */
-  def strongCoPurchaseEdges(s: SparkSession, d: String, minOrders: Int): DataFrame = {
-    def li(ok: String, pk: String) = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as(ok), col("l_partkey").as(pk))
-    li("oka", "pa")
-      .join(li("okb", "pb"), col("oka") === col("okb") && col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count_distinct(col("oka")).as("n_orders"))
+  def strongCoPurchaseEdges(s: SparkSession, d: String, minOrders: Int): DataFrame =
+    // Same one-scan pair stream as [[coPurchaseEdges]]; each pair
+    // appears at most once per order (set construction), so the
+    // distinct-order count is a plain count(*) — the former self-join
+    // needed count_distinct (an extra dedup aggregate) because
+    // duplicate (orderkey, partkey) lines multiplied join rows.
+    orderPartPairs(s, d)
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
-      .select(col("pa").as("u"), col("pb").as("v"))
-  }
+      .select("u", "v")
 
   /** Customer↔supplier trade edges, symmetric (both directions), with
     * namespaced string node ids so the two key spaces can't collide.
@@ -207,19 +224,25 @@ object Graph {
     var auths = auth0.select(col("node"), lit(0L).as("a")).localCheckpoint()
     def renorm(df: DataFrame, c: String): DataFrame = {
       // L1-renormalize in exact integers: Σ after = within |nodes| of
-      // `scale` (floor division), order-independent
-      val tot = df.agg(sum(col(c))).head().getLong(0)
-      df.select(col("node"), expr(s"($c * $scale) div $tot").as(c))
+      // `scale` (floor division), order-independent. The total rides a
+      // broadcast 1-row cross join instead of an eager .head(), so no
+      // extra driver action per half-round; applied LAZILY over the
+      // checkpointed raw aggregate, the edge-sized join+agg runs once
+      // per half-round (it used to execute twice: once for the total,
+      // once for the rows) and consumers pay only a node-sized rescan.
+      val tot = df.agg(sum(col(c)).as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"), expr(s"($c * $scale) div __tot").as(c))
     }
     for (_ <- 1 to iters) {
       auths = renorm(
         edges.join(hubs, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-          .select(col("dst").as("node"), col("a")), "a").localCheckpoint()
+          .select(col("dst").as("node"), col("a")).localCheckpoint(), "a")
       hubs = renorm(
         edges.join(auths, col("dst") === col("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
-          .select(col("src").as("node"), col("h")), "h").localCheckpoint()
+          .select(col("src").as("node"), col("h")).localCheckpoint(), "h")
     }
     hubs.select(col("node"), col("h").as("score"), lit("hub").as("side"))
       .unionAll(auths.select(col("node"), col("a").as("score"), lit("auth").as("side")))
@@ -270,7 +293,14 @@ object Graph {
     val closeSide =
       if (nEdges <= maxBroadcastEdges) broadcast(closing)
       else closing.hint("shuffle_hash") // never a driver-side broadcast of an over-gate edge set
-    val tri = o1.join(o2, col("a") === col("a2") && col("b") < col("c"))
+    // The wedge join's sides are BOTH edge-sized — broadcasting one
+    // (which accurate post-checkpoint statistics would otherwise let
+    // Spark do at small scale) builds an |edges|-row hash relation on
+    // the driver per run and can never survive real scale; pin the
+    // partitioned hash join deliberately (guide §3.1 — no sort, both
+    // sides shuffled by the apex key).
+    val tri = o1.join(o2.hint("shuffle_hash"),
+        col("a") === col("a2") && col("b") < col("c"))
       .select(col("a"), col("b"), col("c"))
       .join(closeSide, col("b") === col("b3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
@@ -364,16 +394,21 @@ object Graph {
       .unionAll(e.select(col("v").as("x"), col("u").as("y")))
       .localCheckpoint()
     val nodes = sym.select(col("x").as("n")).distinct()
-    var known = nodes.select(col("n"), col("n").as("m"), lit(0).as("d"))
+    // `known` is the UNION of the per-hop checkpointed frontiers, never
+    // re-checkpointed: re-materializing the accumulated pair set every
+    // hop copied O(pairs) again per hop (O(hops²) total rewrite) for a
+    // frame whose members are each already materialized — the union of
+    // checkpointed frames is plan-flat by construction.
+    var frontier = nodes.select(col("n"), col("n").as("m"), lit(0).as("d"))
       .localCheckpoint()
-    var frontier = known
+    var known = frontier
     for (h <- 1 to maxHops) {
       frontier = frontier.join(sym, col("m") === col("x"))
         .select(col("n"), col("y").as("m")).distinct()
         .join(known.select(col("n"), col("m")), Seq("n", "m"), "left_anti")
         .withColumn("d", lit(h))
         .localCheckpoint()
-      known = known.unionAll(frontier).localCheckpoint()
+      known = known.unionAll(frontier)
     }
     known.filter(col("d") > 0)
   }

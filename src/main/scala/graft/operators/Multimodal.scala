@@ -23,6 +23,14 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every encode or
+  // decode through createImage{Input,Output}Stream writes the payload
+  // to a temp file first — pure I/O overhead on in-memory byte arrays,
+  // and a tmp-dir contention point once the codec maps run on every
+  // core. Memory-backed caches, set once at object init (executors
+  // initialize the object before any codec call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata the image decoder emits. */
   case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
 
@@ -737,7 +745,23 @@ object Multimodal {
     // one payload column must not pay the other three codecs (the
     // persisted path gets the same pruning from the parquet reader)
     val want = cols.toIndexedSeq
-    val raw = docIds.map { id =>
+    // The id frame usually arrives as ONE scan partition (a KB-sized
+    // id column from one parquet file), but the IMAGE/VIDEO codecs
+    // below are the expensive part — without a spread, every encoder
+    // runs on a single core while the rest of the host idles (guide
+    // §2.5 input skew). Round-robin the ids across the session's
+    // parallelism first: the exchange moves 8-byte ids, the map then
+    // encodes in parallel. Results are partition-independent (pure
+    // function of doc_id) and the spread is scale-adaptive, not a
+    // local constant. AUDIO-only requests stay narrow: WAV framing is
+    // microseconds per row while javax.sound's provider registry
+    // serializes concurrent callers (measured 2× SLOWER wall at 32
+    // threads), so parallelism there buys contention, not throughput.
+    val heavyCodec = want.exists(Set("png", "jpg", "avi"))
+    val spread =
+      if (heavyCodec) docIds.repartition(spark.sparkContext.defaultParallelism)
+      else docIds
+    val raw = spread.map { id =>
       (id, want.map {
         case "png" => syntheticImage(id, "png")
         case "jpg" => syntheticImage(id, "jpg")

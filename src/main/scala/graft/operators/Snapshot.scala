@@ -554,7 +554,7 @@ object Snapshot {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new ManifestStore(s, base, "o_orderkey")
       if (!store.versions().contains(3L))
-        queries("snap_linked_merge")(s, d).count(): Unit // build the lineage
+        queries("snap_linked_merge")(s, d): Unit // build the lineage (stores land eagerly at construction; counting the lazy read would recompute the full merge output per pass)
       if (!store.versions().contains(20L)) store.branch(2L, 20L)
       if (!store.versions().contains(21L)) {
         val dev = store.read(20L).filter(col("o_orderkey") % 31 === 7)
@@ -579,7 +579,7 @@ object Snapshot {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_linked_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new ManifestStore(s, base, "o_orderkey")
       if (!store.versions().contains(3L))
-        queries("snap_linked_merge")(s, d).count(): Unit // build the lineage
+        queries("snap_linked_merge")(s, d): Unit // build the lineage (stores land eagerly at construction; counting the lazy read would recompute the full merge output per pass)
       store.diff(2L, 3L).orderBy("o_orderkey")
     },
 
@@ -1306,7 +1306,7 @@ object Snapshot {
       // content identical, reads stop paying the anti-join.
       // `mask_folded` pins the sidecar's removal; the oracle is the
       // same declarative complement the DV read satisfied.
-      queries("snap_delete_dv")(s, d).count(): Unit // lineage: v2 + mask
+      queries("snap_delete_dv")(s, d): Unit // lineage: v2 + mask (eager at construction)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_store_${Tables.fingerprint(s, d, "orders")}"
       val store = new ManifestStore(s, base, "o_orderkey")
       if (!store.versions().contains(3L)) store.foldDv(2L, 3L, numNewFiles = 4): Unit
@@ -1372,7 +1372,7 @@ object Snapshot {
       // equal their version-resolved twins; the oracle derives the
       // feed declaratively. Resolution is metadata-only (history
       // frames), the reads are the same manifest-pruned diffs.
-      queries("snap_sql_changes")(s, d).count(): Unit // build the lineage
+      queries("snap_sql_changes")(s, d): Unit // build the lineage (eager at construction; a count would re-read both feeds per pass)
       val fp = Tables.fingerprint(s, d, "orders")
       val cat = s"snapchg_$fp"
       Seq("oc_snap", "oc_linked").map { t =>
@@ -1650,7 +1650,7 @@ object Snapshot {
       // zero data-file opens). Runs over snap_sql_history's 2-commit
       // fixture, so every field is declaratively derivable; tip_files
       // is physical layout and stays OUT of the hashed projection.
-      queries("snap_sql_history")(s, d).count(): Unit // lineage: both stores at v2
+      queries("snap_sql_history")(s, d): Unit // lineage: both stores at v2 (eager at construction)
       val fp = Tables.fingerprint(s, d, "orders")
       val cat = s"snaphist_$fp"
       Seq("oh_snap", "oh_linked").map { t =>
@@ -2528,7 +2528,7 @@ object Snapshot {
       // that makes partition-on-your-filter-axis the first lever of
       // 100 TB schema design. Results hash-check against the
       // declarative filter.
-      queries("snap_partitions")(s, d).count(): Unit // lineage: both stores at v1
+      queries("snap_partitions")(s, d): Unit // lineage: both stores at v1 (eager at construction)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_${Tables.fingerprint(s, d, "orders")}"
       val lk = new ManifestStore(s, s"$base/lk", "o_orderkey")
       val sn = new SnapshotStore(s, s"$base/sn", "o_orderkey")

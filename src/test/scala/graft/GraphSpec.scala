@@ -101,7 +101,18 @@ class GraphSpec extends SparkSpec {
     assert(viaBroadcast.exceptAll(viaFallback).isEmpty
       && viaFallback.exceptAll(viaBroadcast).isEmpty,
       "fallback closing join disagrees with the broadcast path")
-    val plan = viaFallback.queryExecution.executedPlan.toString
+    // Plan-shape check under the over-gate condition an actual 100x
+    // graph would hit: statistics too large for ANY auto-broadcast
+    // (modeled by threshold -1 — the one-scan edge build now carries
+    // honest small stats at test scale, which would otherwise let
+    // Spark legitimately broadcast the tiny wedge-join build side).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      Graph.triangleCounts(e, maxBroadcastEdges = 0L)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(thresholdKey, old)
     assert(!plan.contains("BroadcastExchange"),
       s"over-gate plan still broadcasts the closing edge set:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
