@@ -2038,6 +2038,14 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       graft.functions.Fx.fastFingerprint(common.map(col): _*).as("__fp"))
     val af = fp(a).withColumnRenamed("__fp", "__fp_a")
     val bf = fp(b).withColumnRenamed("__fp", "__fp_b")
+    // materialized ONCE: the (key, change_type) frame is consumed by
+    // the new-side join, the delete-side join, and (CDF mode) the
+    // pre-image join — without the checkpoint each consumer re-reads
+    // both sides' exclusive files and re-runs the fingerprint
+    // full-outer join (2-3 redundant passes per commit step). The
+    // frame is |changed keys|-sized, strictly smaller than the feed
+    // it serves; the sides' content scans below stay visible to
+    // inputFiles-based pruning gates.
     val changed = af.join(bf, Seq(keyCol), "full_outer")
       .select(col(keyCol),
         when(col("__fp_a").isNull, lit("insert"))
@@ -2045,6 +2053,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
           .as("change_type"))
       .filter(col("change_type").isNotNull) // both-sides-equal rows drop out
+      .localCheckpoint()
     val newSide = b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
     val delSide = a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol))
     // MERGE-ON-READ commits move no old files: rows masked between the

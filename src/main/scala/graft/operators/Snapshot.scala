@@ -958,14 +958,18 @@ object Snapshot {
         val recomputed = bucketed(s.sql(s"SELECT * FROM $cat.$t"))
           .groupBy("bucket")
           .agg(sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+        // the gate rides the output plan as a broadcast 1-row frame
+        // instead of an eager count: one job per layout (the output
+        // write) instead of two, same one-direction exceptAll check
         val agrees = maintained
           .select(col("bucket"), round(col("sum_price"), 2).as("sp"), col("n_rows"))
           .exceptAll(recomputed
             .select(col("bucket"), round(col("sum_price"), 2).as("sp"), col("n_rows")))
-          .limit(1).count() == 0
-        maintained.select(lit(t).as("layout"), col("bucket"),
-          round(col("sum_price"), 2).as("sum_price"), col("n_rows"),
-          lit(agrees).as("agrees"))
+          .agg((count(lit(1)) === 0L).as("__agrees"))
+        maintained.crossJoin(broadcast(agrees))
+          .select(lit(t).as("layout"), col("bucket"),
+            round(col("sum_price"), 2).as("sum_price"), col("n_rows"),
+            col("__agrees").as("agrees"))
       }.reduce(_ unionByName _).orderBy("layout", "bucket")
     },
 
@@ -1960,17 +1964,25 @@ object Snapshot {
       // the declarative union. At 100 TB maintenance is O(partition),
       // never O(table).
       val fp = Tables.fingerprint(s, d, "orders")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_optw_$fp"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_optw2_$fp"
       val ord = Tables.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
       val k = col("o_orderkey")
       // key-RANGE appends: fresh keys sit past every envelope, so each
       // merge lands pure fragment files (the nightly-append shape
-      // scoped compaction exists to fold) — no rewrite collapses them
-      val v1 = ord.filter(k <= 3000)
-      val add1 = ord.filter(k > 3000 && k <= 4500)
-      val add2 = ord.filter(k > 4500)
-      val cat = s"snapoptw_$fp"
+      // scoped compaction exists to fold) — no rewrite collapses them.
+      // Cutoffs are SCALE-RELATIVE (max-key halves), not constants:
+      // the former fixed 3000/4500 bands were empty at sf0.001 (keys
+      // stop at 1499), so no fragments ever landed there and the
+      // hardcoded-TRUE scoped/folded oracle gates read false — a
+      // fixture bug, not an engine one; the hashed content (the
+      // whole-table aggregate of v1 ∪ add1 ∪ add2) is cutoff-invariant
+      val kmax = ord.agg(max(k)).head().getLong(0)
+      val (c1, c2) = (kmax / 2, kmax * 3 / 4)
+      val v1 = ord.filter(k <= c1)
+      val add1 = ord.filter(k > c1 && k <= c2)
+      val add2 = ord.filter(k > c2)
+      val cat = s"snapoptw2_$fp"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[org.apache.spark.sql.graft.SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", base)

@@ -3040,7 +3040,11 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     diffCdfFrom(diffKeyRange(fromVersion, toVersion, lo, hi),
       readKeyRange(fromVersion, lo, hi))
 
-  private def diffCdfFrom(d: DataFrame, fromSide: DataFrame): DataFrame = {
+  private def diffCdfFrom(d0: DataFrame, fromSide: DataFrame): DataFrame = {
+    // the plain diff is consumed three times below (update keys,
+    // delete keys, post-image rows) — materialize it once instead of
+    // re-running the fingerprint full-outer join per consumer
+    val d = d0.localCheckpoint()
     val updKeys = d.filter(col("change_type") === "update").select(keyCol)
     val pre = fromSide.join(updKeys, Seq(keyCol), "left_semi")
       .withColumn("change_type", lit("update_preimage"))
