@@ -121,12 +121,37 @@ object Bench {
     //  4. the compact total line again (survives tail-capture).
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQs(results.sortBy(-_._2))},"sf":"$sfDir"}"""
     println(totalLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmtQs(results.sortBy(-_._2))},"sf":"$sfDir"}""")
+    println(fullLine)
     println(s"""{"metric":"bench_meta","cpus":$cpus,"n_passes":$nPasses,"warmup_wall_sec":$warmWall,""" +
       passes.zipWithIndex.map { case ((m, w, l), i) =>
         s""""pass${i + 1}_wall_sec":$w,"pass${i + 1}_total_sec":${passTotal(m)},"loadavg_after_pass${i + 1}":"$l",""" }.mkString +
       s""""loadavg_start":"$loadStart","loadavg_after_warmup":"$loadAfterWarm"}""")
+    // The driver's stdout capture keeps only the LAST ~2000 characters,
+    // so the full per-query line above (11+ KB at 314 queries) can
+    // never survive it — PERF's round-over-round per_query map came up
+    // empty in r15/r16. Two defenses:
+    //  1. persist the full per-query JSON as files in the working
+    //     directory (cpus-suffixed so the low-core scaling run does
+    //     not clobber the main run's map);
+    //  2. print a compact top-K line (key "queries_top", deliberately
+    //     NOT "queries" so a partial map is never mistaken for the
+    //     full one) small enough to fit the tail alongside the final
+    //     total line — expensive-query regressions stay visible even
+    //     if only stdout survives.
+    def writeFile(name: String, text: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(name, "UTF-8")
+        try w.println(text) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] per-query artifact write failed ($name): $e")
+      }
+    writeFile("bench_per_query.json", fullLine)
+    writeFile(s"bench_per_query_c$cpus.json", fullLine)
+    val topK = results.sortBy(-_._2).take(40)
+    println(s"""{"metric":"queries_top","cpus":$cpus,"queries_top":${fmtQs(topK)}}""")
     println(totalLine)
     spark.stop()
   }

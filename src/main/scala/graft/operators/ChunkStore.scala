@@ -126,7 +126,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       payloadCol: String): DataFrame =
     ChunkCrypto.encryptedChunks(payloads, idCol, payloadCol, master)
       .withColumn("bytes", length(col("blob")).cast("long"))
-      .localCheckpoint()
+      .materialize()
 
   private def manifestRows(chunked: DataFrame, idCol: String): DataFrame =
     chunked.select(col(idCol).cast("long").as("id"), col("chunk_idx"),
@@ -141,7 +141,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       .join(refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
       .select(col("ref_hex"), col("bytes"), col("blob"))
       .withColumn("bucket", bucketCol)
-      .localCheckpoint() // count + write from one pass
+      .materialize() // count + write from one pass
     val added = newRefs.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
     newRefs.write.mode("append").partitionBy("bucket").parquet(chunksDir)
     (added.getLong(0), added.getLong(1))
@@ -222,7 +222,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
   def restoreIds(version: Long, ids: Seq[Long]): DataFrame = {
     require(ids.nonEmpty, "restoreIds needs at least one id")
     val wanted = manifest(version).filter(col("id").isin(ids: _*))
-      .localCheckpoint()
+      .materialize()
     val buckets = wanted.select(bucketCol.as("b")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     val prunedRefs = refs().filter(col("bucket").isin(buckets: _*))
@@ -468,7 +468,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
       else survivors.map(v => manifest(v).select("ref_hex"))
         .reduce(_.unionByName(_)).distinct()
     val dead = refs().join(live, Seq("ref_hex"), "left_anti")
-      .select("ref_hex", "bytes", "bucket").localCheckpoint()
+      .select("ref_hex", "bytes", "bucket").materialize()
     val stats = dead.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
     val dirty = dead.select("bucket").distinct().collect().map(_.getLong(0))
     if (dirty.nonEmpty) {
@@ -559,13 +559,13 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     require(mirrorBasePath != basePath, "repair needs a distinct mirror root")
     recoverSweeps()
     val bad = scrub().filter(col("status") =!= "ok")
-      .select("ref_hex", "bucket").localCheckpoint()
+      .select("ref_hex", "bucket").materialize()
     val nBad = bad.count()
     if (nBad == 0) return (0L, Seq.empty)
     val mirror = new ChunkStore(spark, mirrorBasePath, master, nBuckets)
     val replacement = mirror.refs()
       .join(bad.select("ref_hex"), Seq("ref_hex"), "left_semi")
-      .localCheckpoint()
+      .materialize()
     val nFound = replacement.count()
     require(nFound == nBad,
       s"mirror lacks ${nBad - nFound} of $nBad damaged refs — refusing a partial repair")
@@ -1026,7 +1026,7 @@ class ChunkStore(spark: SparkSession, basePath: String, master: Array[Byte],
     // 1. blobs the mirror lacks
     val missing = refs().select(col("ref_hex"), col("bytes"), col("blob"), col("bucket"))
       .join(target.refs().select("ref_hex"), Seq("ref_hex"), "left_anti")
-      .localCheckpoint() // count + write from one pass
+      .materialize() // count + write from one pass
     val a = missing.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head()
     if (a.getLong(0) > 0)
       missing.write.mode("append").partitionBy("bucket").parquet(target.chunksDir)

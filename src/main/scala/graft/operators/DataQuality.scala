@@ -304,7 +304,7 @@ object DataQuality {
     */
   def skew(df: DataFrame, column: String, k: Int): DataFrame = {
     val counts = df.groupBy(col(column).as("key")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds totals AND top-k: one scan, not two
+      .materialize() // feeds totals AND top-k: one scan, not two
     val totals = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
     val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
     top.crossJoin(broadcast(totals))
@@ -429,7 +429,7 @@ object DataQuality {
         pairCols.map { case Seq(a, b) =>
           sum(col(a).cast(dec) * col(b).cast(dec)).as(s"p_${k(a, b)}")
         } :+ count(lit(1)).as("n")
-      val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val g = df.agg(aggs.head, aggs.tail: _*).materialize()
       val nd = col("n").cast(DoubleType)
       val rows = pairCols.map { case Seq(a, b) =>
         val den = (nd * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
@@ -454,7 +454,7 @@ object DataQuality {
           sum(ca * ca).as(s"ssa_${k(a, b)}"), sum(cb * cb).as(s"ssb_${k(a, b)}"),
           sum(ca * cb).as(s"p_${k(a, b)}"))
       }
-      val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val g = df.agg(aggs.head, aggs.tail: _*).materialize()
       val rows = pairCols.map { case Seq(a, b) =>
         val nd = dd(s"n_${k(a, b)}")
         val den = (nd * dd(s"ssa_${k(a, b)}") - dd(s"sa_${k(a, b)}") * dd(s"sa_${k(a, b)}")) *
@@ -558,7 +558,7 @@ object DataQuality {
     val dev = df.join(broadcast(med), groupCol)
       .select(col(groupCol), col("m"),
         abs(col(valueCol).cast(DoubleType) - col("m")).as("adev"))
-      .localCheckpoint()
+      .materialize()
     val mad = Percentiles.exactQuantiles(dev, groupCol, "adev", Seq("mad" -> 0.5))
       .select(col(groupCol), round(col("mad"), 4).as("mad"))
     dev.join(broadcast(mad), groupCol)

@@ -94,7 +94,7 @@ object Dedup {
     * lifecycle (and executor-loss tolerance, which localCheckpoint
     * trades away). */
   def pairOverlapStats(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    val sh = capShingleDf(docShingles(docs, k), maxDf).localCheckpoint()
+    val sh = capShingleDf(docShingles(docs, k), maxDf).materialize()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -127,7 +127,7 @@ object Dedup {
       k: Int, maxDf: Int = 100): DataFrame =
     pairStatsMemo.computeIfAbsent(
       (docs.sparkSession.hashCode, corpusKey, k, maxDf),
-      _ => pairOverlapStats(docs, k, maxDf).localCheckpoint())
+      _ => pairOverlapStats(docs, k, maxDf).materialize())
 
   /** The Jaccard threshold filter over [[pairOverlapStats]] rows:
     * exact n-gram Jaccard ≥ `num/den`, integer arithmetic (no float
@@ -214,7 +214,7 @@ object Dedup {
     * window, never a cross join. */
   def substringDupPairs(docs: DataFrame, k: Int, stride: Int,
       maxDf: Int = 100): DataFrame = {
-    val w = capWindowDf(docCharWindows(docs, k, stride), maxDf).localCheckpoint()
+    val w = capWindowDf(docCharWindows(docs, k, stride), maxDf).materialize()
     substringPairsFrom(w, col("win"))
   }
 
@@ -229,7 +229,7 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     val w = capWindowDf(docCharWindows(docs, k, stride), maxDf)
       .select(col("doc_id"), xxhash64(col("win")).as("win"))
-      .localCheckpoint()
+      .materialize()
     substringPairsFrom(w, col("win"))
   }
 
@@ -578,13 +578,13 @@ object Dedup {
     // doc_a < doc_b, so the two directions cannot collide — no distinct
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .materialize()
     // seed = min(self, neighbors): exactly what round 1 of plain
     // propagation would compute from identity labels, for one groupBy
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .materialize()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -606,7 +606,7 @@ object Dedup {
           least(col("comp1"), coalesce(col("parent"), col("comp1"))).as("comp"))
         // carry the previous label through the checkpoint so the
         // convergence check is one scan of the materialized frame
-        .localCheckpoint()
+        .materialize()
       val changed = updated.filter(col("comp") =!= col("old")).limit(1).count()
       labels = updated.drop("old")
       converged = changed == 0

@@ -125,7 +125,7 @@ object Events {
         datediff(col("__now"), to_date(col("last_ts"))).cast(LongType).as("recency_days"),
         col("frequency"), col("mon"),
         floor(col("mon") / 10).cast(LongType).as("__mb"), col("__n"))
-      .localCheckpoint() // feeds three score frames + the final join
+      .materialize() // feeds three score frames + the final join
 
     // score frame over the distinct values of one metric: before =
     // cumsum of user counts in worse-first order, strictly preceding
@@ -405,7 +405,7 @@ object Events {
       .select(col("pid"),
         to_date(timestamp_micros(col("t"))).as("day"),
         (col("t") - col("last_click")).as("lag_us"))
-      .localCheckpoint() // feeds the aggregate AND the quantile passes
+      .materialize() // feeds the aggregate AND the quantile passes
     val stats = lags.groupBy("day").agg(
       count(lit(1)).as("n_conversions"),
       round(sum(col("lag_us")).cast(DoubleType) / count(lit(1)) / 1e6, 4)

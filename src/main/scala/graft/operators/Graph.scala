@@ -56,6 +56,12 @@ object Graph {
   private def orderPartPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // pre-partition by the group key: the groupBy reuses this ONE
+      // exchange (guide §2.4), but the collect_set aggregation now
+      // runs on the full parallelism instead of as a single-core
+      // partial over the 1-partition scan (guide §2.5 input skew —
+      // the exchange moves 16-byte rows, the object agg is the cost)
+      .repartition(col("ok"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
       // projection barrier before the generator: explode(f(ps)) would
       // re-evaluate the pair construction per generated element (the
@@ -123,8 +129,8 @@ object Graph {
     // join then reuses this layout (the checkpoint pins partitioning),
     // so only the node-sized rank frame moves per round — not the
     // edge list, which is the bigger side by the average degree.
-    val edges = edgesIn.repartition(col("src")).localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val edges = edgesIn.repartition(col("src")).materialize()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).materialize()
     val n = deg.count() // one scalar aggregate — the only driver value
     val init = scale / n
     val base = 15L * init / 100L
@@ -132,7 +138,7 @@ object Graph {
     // the loop), so each round is ONE node-keyed join + one aggregate
     // instead of two joins — the rank frame is the only thing that
     // moves per round.
-    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val edgesDeg = edges.join(deg, Seq("src")).materialize()
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
     for (_ <- 1 to iters) {
       ranks = edgesDeg.join(ranks, col("src") === col("node"))
@@ -140,7 +146,7 @@ object Graph {
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .localCheckpoint()
+        .materialize()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -170,12 +176,12 @@ object Graph {
     * unrolled-CTE oracle discipline; r·w stays far inside 64 bits
     * (r < scale = 10¹², weights are order-multiplicity counts). */
   def pagerankWeighted(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
-    val edges = edgesIn.repartition(col("src")).localCheckpoint()
-    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wsum")).localCheckpoint()
+    val edges = edgesIn.repartition(col("src")).materialize()
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wsum")).materialize()
     val n = wsum.count()
     val init = scale / n
     val base = 15L * init / 100L
-    val edgesW = edges.join(wsum, Seq("src")).localCheckpoint()
+    val edgesW = edges.join(wsum, Seq("src")).materialize()
     var ranks = wsum.select(col("src").as("node"), lit(init).as("r"))
     for (_ <- 1 to iters) {
       ranks = edgesW.join(ranks, col("src") === col("node"))
@@ -183,7 +189,7 @@ object Graph {
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .localCheckpoint()
+        .materialize()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -216,12 +222,12 @@ object Graph {
     * the join key, one shuffle per half-round, localCheckpoint keeps
     * plan depth round-constant. */
   def hits(edgesIn: DataFrame, iters: Int, scale: Long): DataFrame = {
-    val edges = edgesIn.repartition(col("src")).localCheckpoint()
+    val edges = edgesIn.repartition(col("src")).materialize()
     val hubs0 = edges.select(col("src").as("node")).distinct()
     val auth0 = edges.select(col("dst").as("node")).distinct()
     val nh = hubs0.count()
-    var hubs = hubs0.select(col("node"), lit(scale / nh).as("h")).localCheckpoint()
-    var auths = auth0.select(col("node"), lit(0L).as("a")).localCheckpoint()
+    var hubs = hubs0.select(col("node"), lit(scale / nh).as("h")).materialize()
+    var auths = auth0.select(col("node"), lit(0L).as("a")).materialize()
     def renorm(df: DataFrame, c: String): DataFrame = {
       // L1-renormalize in exact integers: Σ after = within |nodes| of
       // `scale` (floor division), order-independent. The total rides a
@@ -230,7 +236,15 @@ object Graph {
       // checkpointed raw aggregate, the edge-sized join+agg runs once
       // per half-round (it used to execute twice: once for the total,
       // once for the rows) and consumers pay only a node-sized rescan.
-      val tot = df.agg(sum(col(c)).as("__tot"))
+      // guard the 1-row total: integer `div` by a NULL/0 total would
+      // silently null every score for the rest of the iteration (the
+      // old eager .head() path failed loudly on the same degenerate
+      // input) — raise instead, evaluated once on the 1-row frame
+      val tot = df.agg(sum(col(c)).as("__t"))
+        .select(when(col("__t") > 0, col("__t"))
+          .otherwise(raise_error(lit(
+            s"hits: degenerate graph — renorm total of '$c' is zero/null")))
+          .as("__tot"))
       df.crossJoin(broadcast(tot))
         .select(col("node"), expr(s"($c * $scale) div __tot").as(c))
     }
@@ -238,11 +252,11 @@ object Graph {
       auths = renorm(
         edges.join(hubs, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-          .select(col("dst").as("node"), col("a")).localCheckpoint(), "a")
+          .select(col("dst").as("node"), col("a")).materialize(), "a")
       hubs = renorm(
         edges.join(auths, col("dst") === col("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
-          .select(col("src").as("node"), col("h")).localCheckpoint(), "h")
+          .select(col("src").as("node"), col("h")).materialize(), "h")
     }
     hubs.select(col("node"), col("h").as("score"), lit("hub").as("side"))
       .unionAll(auths.select(col("node"), col("a").as("score"), lit("auth").as("side")))
@@ -259,13 +273,24 @@ object Graph {
     * when a hub node would otherwise explode the plain wedge join
     * (sf1 probe: 146 s plain → oriented is the shipped plan). The
     * orientation is a total order, so every triangle materializes
-    * exactly once at its apex; fresh projection attributes per side
-    * keep the self-joins equi-planned. */
+    * exactly once at its apex. Wedges come from per-apex sorted
+    * adjacency arrays (one keyed shuffle), not an o1⋈o2 self-join
+    * (two keyed shuffles + an |edges|-row hash build per partition).
+    * Requires a DISTINCT edge set {u < v} — every caller's edge
+    * builders end in distinct()/threshold aggregation. */
   def triangleCounts(edgesIn: DataFrame,
-      maxBroadcastEdges: Long = 20000000L): DataFrame = {
-    val e = edgesIn.localCheckpoint()
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg"))
+      maxBroadcastEdges: Long = 20000000L,
+      degIn: Option[DataFrame] = None): DataFrame = {
+    val e = edgesIn.materialize()
+    // callers that already hold the degree frame (clustering joins it
+    // into its own output) pass it in — one 2|E|-row aggregate saved
+    // consumed by both orientation joins, but NOT pinned: the two deg
+    // subtrees are plan-identical, so Spark serves the second from a
+    // ReusedExchange — a materialize here measured as pure overhead
+    // (one extra blocking job per call)
+    val deg = degIn.getOrElse(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg")))
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = e
@@ -273,35 +298,46 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
       .select(when(uLower, col("u")).otherwise(col("v")).as("src"),
         when(uLower, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+      .materialize()
+    // Wedge generation stays the o1⋈o2 apex self-join: an
+    // adjacency-array alternative (collect_set per apex + pair
+    // explode, one exchange instead of two) was MEASURED SLOWER at
+    // sf0.1 (graph_triangles 5.8→9.6 s, clustering 8.3→10 s, approx
+    // 2.6→4.2 s, same session, 3 passes) — the ObjectHashAggregate +
+    // nested-array generator loses more per row than the second
+    // |edges| exchange and codegen hash-probe emission cost. Kept the
+    // join (guide §1.2: the "ideal" plan lost the empirical check).
     val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"))
-    // The wedge stream is Σ C(outdeg,2) rows — orders of magnitude
-    // bigger than the edge set. SHUFFLING it into the closing join is
-    // the whole cost of the operator (sf1 probe: 173 s shuffled vs
-    // 64 s broadcast-closed, warm), so when the edge set fits an executor
-    // (explicit gate, the maxBroadcastRows posture) the closing side
-    // broadcasts and wedges stay pipeline-local: one shuffle of
-    // |edges| rows (the o1⋈o2 src partition), never one of |wedges|.
-    // Beyond the gate (`maxBroadcastEdges`, the maxBroadcastRows
-    // posture), fall back to the partitioned closing join —
-    // correctness identical (spec-proven: fallback ≡ broadcast, no
-    // BroadcastExchange in the fallback plan), and at that scale the
-    // wedge shuffle is the honest cost of exact triangle counting.
-    val closing = e.select(col("u").as("b3"), col("v").as("c3"))
-    val nEdges = e.count() // metadata scalar off the checkpointed frame
-    val closeSide =
-      if (nEdges <= maxBroadcastEdges) broadcast(closing)
-      else closing.hint("shuffle_hash") // never a driver-side broadcast of an over-gate edge set
     // The wedge join's sides are BOTH edge-sized — broadcasting one
     // (which accurate post-checkpoint statistics would otherwise let
     // Spark do at small scale) builds an |edges|-row hash relation on
     // the driver per run and can never survive real scale; pin the
     // partitioned hash join deliberately (guide §3.1 — no sort, both
     // sides shuffled by the apex key).
-    val tri = o1.join(o2.hint("shuffle_hash"),
+    val wedges = o1.join(o2.hint("shuffle_hash"),
         col("a") === col("a2") && col("b") < col("c"))
       .select(col("a"), col("b"), col("c"))
+    // The wedge stream is Σ C(outdeg,2) rows — orders of magnitude
+    // bigger than the edge set. SHUFFLING it into the closing join is
+    // the whole cost of the operator (sf1 probe: 173 s shuffled vs
+    // 64 s broadcast-closed, warm), so when the edge set fits an executor
+    // (explicit gate, the maxBroadcastRows posture) the closing side
+    // broadcasts and wedges stay pipeline-local: generated and probed
+    // in place, never exchanged. Beyond the gate (`maxBroadcastEdges`,
+    // the maxBroadcastRows posture), fall back to the partitioned
+    // closing join — correctness identical (spec-proven: fallback ≡
+    // broadcast, no BroadcastExchange in the fallback plan), and at
+    // that scale the wedge shuffle is the honest cost of exact
+    // triangle counting; the hint pins shuffle-hash so honest
+    // post-materialization stats can never re-introduce a driver-side
+    // broadcast of an over-gate edge set (guide §3.1).
+    val closing = e.select(col("u").as("b3"), col("v").as("c3"))
+    val nEdges = e.count() // metadata scalar off the checkpointed frame
+    val closeSide =
+      if (nEdges <= maxBroadcastEdges) broadcast(closing)
+      else closing.hint("shuffle_hash")
+    val tri = wedges
       .join(closeSide, col("b") === col("b3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
@@ -363,7 +399,7 @@ object Graph {
     * closing anti-join (drop adjacent pairs) and the σ re-aggregate
     * are keyed shuffles on the wedge endpoints. */
   def egoBetweenness(edgesIn: DataFrame, scale: Long): DataFrame = {
-    val e = edgesIn.localCheckpoint() // edges normalized u < v
+    val e = edgesIn.materialize() // edges normalized u < v
     val nb1 = e.select(col("u").as("c"), col("v").as("s"))
       .unionAll(e.select(col("v").as("c"), col("u").as("s")))
     val nb2 = e.select(col("u").as("c2"), col("v").as("t"))
@@ -373,7 +409,7 @@ object Graph {
     val ex = e.select(col("u").as("s2"), col("v").as("t2"))
     val open = wedges.join(ex,
         col("s") === col("s2") && col("t") === col("t2"), "left_anti")
-      .localCheckpoint()
+      .materialize()
     val sigma = open.groupBy("s", "t").agg(count(lit(1)).as("cn"))
     open.join(sigma, Seq("s", "t"))
       .select(col("c"), expr(s"$scale div cn").as("contrib"))
@@ -389,10 +425,10 @@ object Graph {
     * frame is why callers pass the THRESHOLD-BOUNDED strong graph:
     * reachable-pair count is the irreducible output size. */
   private def boundedBfsPairs(edgesIn: DataFrame, maxHops: Int): DataFrame = {
-    val e = edgesIn.localCheckpoint()
+    val e = edgesIn.materialize()
     val sym = e.select(col("u").as("x"), col("v").as("y"))
       .unionAll(e.select(col("v").as("x"), col("u").as("y")))
-      .localCheckpoint()
+      .materialize()
     val nodes = sym.select(col("x").as("n")).distinct()
     // `known` is the UNION of the per-hop checkpointed frontiers, never
     // re-checkpointed: re-materializing the accumulated pair set every
@@ -400,14 +436,14 @@ object Graph {
     // frame whose members are each already materialized — the union of
     // checkpointed frames is plan-flat by construction.
     var frontier = nodes.select(col("n"), col("n").as("m"), lit(0).as("d"))
-      .localCheckpoint()
+      .materialize()
     var known = frontier
     for (h <- 1 to maxHops) {
       frontier = frontier.join(sym, col("m") === col("x"))
         .select(col("n"), col("y").as("m")).distinct()
         .join(known.select(col("n"), col("m")), Seq("n", "m"), "left_anti")
         .withColumn("d", lit(h))
-        .localCheckpoint()
+        .materialize()
       known = known.unionAll(frontier)
     }
     known.filter(col("d") > 0)
@@ -421,7 +457,7 @@ object Graph {
     * top-K lands via TakeOrderedAndProject under a total (cn desc,
     * a, c) order so the LIMIT boundary hashes deterministically. */
   def commonNeighborCandidates(edgesIn: DataFrame, k: Int): DataFrame = {
-    val e = edgesIn.localCheckpoint()
+    val e = edgesIn.materialize()
     val nb1 = e.select(col("u").as("b"), col("v").as("a"))
       .unionAll(e.select(col("v").as("b"), col("u").as("a")))
     val nb2 = e.select(col("u").as("b2"), col("v").as("c"))
@@ -444,7 +480,7 @@ object Graph {
     * all keyed shuffles; per-round frames localCheckpoint'ed to keep
     * plan depth constant — the same posture as [[pagerank]]. */
   def kcoreBounded(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edgesIn.localCheckpoint()
+    var e = edgesIn.materialize()
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("u").as("n")).unionAll(ed.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -460,7 +496,7 @@ object Graph {
       val keep = degrees(e).filter(col("dg") >= k)
       e = e.join(keep.select(col("n").as("ku")), col("u") === col("ku"), "left_semi")
         .join(keep.select(col("n").as("kv")), col("v") === col("kv"), "left_semi")
-        .localCheckpoint()
+        .materialize()
       val after = e.count()
       stable = after == before
       before = after
@@ -485,7 +521,7 @@ object Graph {
     * frame, so the iteration costs metadata, not scans. */
   def ktrussBounded(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var e = edgesIn.select("u", "v").localCheckpoint()
+    var e = edgesIn.select("u", "v").materialize()
     var before = e.count()
     var r = 0
     var stable = false
@@ -501,7 +537,7 @@ object Graph {
         .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
         .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
       e = e.join(sup.filter(col("__sup") >= k - 2), Seq("u", "v"), "left_semi")
-        .localCheckpoint()
+        .materialize()
       val after = e.count()
       stable = after == before
       before = after
@@ -529,16 +565,16 @@ object Graph {
   def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
     val sym = edgesIn.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edgesIn.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).materialize()
     var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+      .select(col("node"), col("node").as("lbl")).materialize()
     for (_ <- 1 to rounds) {
       labels = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy("dst")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
         .select(col("dst").as("node"), col("b.l").as("lbl"))
-        .localCheckpoint()
+        .materialize()
     }
     labels.select(col("node").as("part_id"), col("lbl").as("community"))
   }
@@ -553,12 +589,12 @@ object Graph {
     * label-tagged edge list; the label frame broadcasts (node-sized on
     * the threshold-bounded strong graph). */
   def modularity(labels: DataFrame, edgesIn: DataFrame, scale: Long): DataFrame = {
-    val e = edgesIn.localCheckpoint()
+    val e = edgesIn.materialize()
     val m = e.count()
     val lu = labels.select(col("part_id").as("u"), col("community").as("cu"))
     val lv = labels.select(col("part_id").as("v"), col("community").as("cv"))
     val tagged = e.join(broadcast(lu), Seq("u")).join(broadcast(lv), Seq("v"))
-      .localCheckpoint()
+      .materialize()
     val intra = tagged.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("community")).agg(count(lit(1)).as("l_c"))
     val degSum = tagged.select(col("cu").as("community"))
@@ -604,7 +640,7 @@ object Graph {
       // — and the threshold keeps every round's frame metadata-sized
       // at any sf. Oracle unrolls the identical peel per round,
       // MATERIALIZED from round one.
-      val edges = strongCoPurchaseEdges(s, d, 2).localCheckpoint()
+      val edges = strongCoPurchaseEdges(s, d, 2).materialize()
       ktrussBounded(edges, k = 3, rounds = 5).withColumn("k", lit(3))
         .unionByName(ktrussBounded(edges, k = 4, rounds = 5).withColumn("k", lit(4)))
         .orderBy("k", "u", "v")
@@ -626,7 +662,7 @@ object Graph {
       // "did the communities mean anything" check a pipeline runs
       // right after detection. Oracle replays LPA (shared CTE builder)
       // then the two aggregates in identical div arithmetic.
-      val edges = strongCoPurchaseEdges(s, d, 2).localCheckpoint()
+      val edges = strongCoPurchaseEdges(s, d, 2).materialize()
       modularity(labelPropagation(edges, rounds = 4), edges, scale = 1000000000L)
         .orderBy("community")
     },
@@ -668,7 +704,7 @@ object Graph {
       // ~2×10¹⁸ at sf1 and would overflow a long at 100 TB), one
       // closed-form double at the boundary; the whole query is the
       // degree aggregate + one edge-keyed join + a 1-row reduce.
-      val e = coPurchaseEdges(s, d).localCheckpoint()
+      val e = coPurchaseEdges(s, d).materialize()
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val sym = e.select(col("u").as("x"), col("v").as("y"))
@@ -701,10 +737,14 @@ object Graph {
       // Nodes with deg < 2 have no defined coefficient and carry 0
       // triangles by construction, so the left join + zero-fill keeps
       // them with c = NULL.
-      val e = coPurchaseEdges(s, d).localCheckpoint()
+      val e = coPurchaseEdges(s, d).materialize()
+      // node-sized, consumed 3× (orientation's two sides + the output
+      // join) — pin once and share with the triangle operator, which
+      // otherwise re-aggregates the same 2|E|-row degree stream
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      deg.join(triangleCounts(e).select(col("part_id").as("n"), col("n_tri")),
+        .groupBy("n").agg(count(lit(1)).as("dg")).materialize()
+      deg.join(triangleCounts(e, degIn = Some(deg))
+          .select(col("part_id").as("n"), col("n_tri")),
           Seq("n"), "left")
         .select(col("n").as("part_id"), col("dg").as("degree"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),

@@ -263,11 +263,11 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       filesPerPartition: Int = 1, commitTs: Option[Long] = None): (Int, Int, Int) = {
     val pcs = requirePartitioned("replaceWhere")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     requireUniformSpec(man, "replaceWhere")
     enforceConstraints(data, "replaceWhere")
     val data2 = deriveParts(data)
-    val touched = data2.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val touched = data2.select(pcs.map(col): _*).distinct().materialize()
     // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
     // replace the existing null-tuple files like any other value — a
     // plain column-list join never matches nulls, which would KEEP the
@@ -276,7 +276,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val sharedFiles = pe.join(touched,
         pcs.map(c => pe(c) <=> touched(c)).reduce(_ && _), "left_anti")
       .select("file")
-    val shared = man.join(sharedFiles, Seq("file"), "left_semi").localCheckpoint()
+    val shared = man.join(sharedFiles, Seq("file"), "left_semi").materialize()
     val stats = landWithStats(arrange(data2, filesPerPartition),
       manifestStatsCols(man), evolvedSchema(fromVersion))
     publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
@@ -299,12 +299,12 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       commitTs: Option[Long] = None): (Int, Int, Long) = {
     val pcs = requirePartitioned("dropPartitions")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     requireUniformSpec(man, "dropPartitions")
     val dropped = partitionEntries(man, pcs)
       .filter(coalesce(pred, lit(false)))
-      .select(col("file"), col("n_rows")).localCheckpoint()
-    val shared = man.join(dropped, Seq("file"), "left_anti").localCheckpoint()
+      .select(col("file"), col("n_rows")).materialize()
+    val shared = man.join(dropped, Seq("file"), "left_anti").materialize()
     val rowsDropped = dropped.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
     // dropping every partition legitimately empties the table: record
     // the schema sidecar so the zero-file version still plans
@@ -377,7 +377,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val names = landInPool(sc.map(SnapshotStore.toPhysical(df, _)).getOrElse(df))
     if (names.isEmpty) None
     else {
-      val stats = statsFor(names, cols).localCheckpoint()
+      val stats = statsFor(names, cols).materialize()
       val live = stats.select("file").collect().map(_.getString(0)).toSet
       names.filterNot(live).foreach(n => fs.delete(new Path(poolDir, n), false))
       if (live.isEmpty) None else Some(stats)
@@ -573,7 +573,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def branch(fromVersion: Long, newVersion: Long,
       commitTs: Option[Long] = None, op: String = "branch"): Unit = {
     requireFreeVersion(newVersion)
-    publish(newVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+    publish(newVersion, manifest(fromVersion).materialize(), commitTs,
       evolvedSchema(fromVersion), dv = dvFrame(fromVersion),
       op = op, opParams = s"of v$fromVersion", statsFrom = Some(fromVersion))
   }
@@ -621,7 +621,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       s"""{"keyCol": "${esc(keyCol)}", "pool": "${esc(pool)}"}""".getBytes("UTF-8"))
     finally out.close()
     val dst = new ManifestStore(spark, dstBase, keyCol, statsCols, parityFilesPerGroup)
-    dst.publish(1L, manifest(fromVersion).localCheckpoint(), commitTs,
+    dst.publish(1L, manifest(fromVersion).materialize(), commitTs,
       evolvedSchema(fromVersion), dv = dvFrame(fromVersion),
       op = "clone", opParams = s"from $basePath v$fromVersion")
     dst
@@ -701,7 +701,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val man = manifest(fromVersion)
     val keep = man.columns.toSeq.filterNot(c =>
       cols.exists(dc => c == s"min_$dc" || c == s"max_$dc"))
-    publish(toVersion, man.select(keep.map(col): _*).localCheckpoint(),
+    publish(toVersion, man.select(keep.map(col): _*).materialize(),
       commitTs, Some(newSchema), dv = dvFrame(fromVersion),
       op = "dropColumns", opParams = cols.mkString(","),
       statsFrom = Some(fromVersion))
@@ -739,7 +739,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         "— any other type change would corrupt old files' meaning")
     val newSchema = org.apache.spark.sql.types.StructType(
       cur.fields.map(x => if (x.name == column) x.copy(dataType = newType) else x))
-    publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+    publish(toVersion, manifest(fromVersion).materialize(), commitTs,
       Some(newSchema), dv = dvFrame(fromVersion), op = "widenColumn",
       opParams = s"$column -> ${newType.simpleString}",
       statsFrom = Some(fromVersion))
@@ -782,7 +782,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         "fold the mapping")
     val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
       if (f.name == from) SnapshotStore.renamedField(f, to) else f))
-    publish(toVersion, manifest(fromVersion).localCheckpoint(), commitTs,
+    publish(toVersion, manifest(fromVersion).materialize(), commitTs,
       Some(newSchema), dv = dvFrame(fromVersion), op = "renameColumn",
       opParams = s"$from -> $to", statsFrom = Some(fromVersion))
   }
@@ -978,7 +978,11 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
 
   def manifest(version: Long): DataFrame = {
     require(versions().contains(version), s"version $version does not exist")
-    spark.read.parquet(manifestDir(version).toString)
+    // served from the fingerprint-validated metadata cache: one
+    // directory listing per access instead of a parquet read + footer
+    // parse + one-task collect per consumer (guide §6 metadata costs);
+    // retention/vacuum/replicate invalidate by changing the listing
+    ManifestCache.read(spark, fs, basePath, version, manifestDir(version))
   }
 
   def latestVersion(): Option[Long] = versions().lastOption
@@ -1020,7 +1024,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       maxRetries: Int = 5, readVersion: Option[Long] = None): Long = {
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
     val mine = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     // the conflict check runs against the version the delta was DERIVED
     // from (Delta's OptimisticTransaction.readVersion): pass it when the
     // delta was computed from an earlier read; default = current tip
@@ -1296,7 +1300,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * restricts to exactly the requested keys. The linked twin of
     * SnapshotStore.readForKeys' zone-map stage. */
   def readForKeys(version: Long, keys: DataFrame): DataFrame = {
-    val k = keys.select(keys.columns.head).toDF(keyCol).distinct().localCheckpoint()
+    val k = keys.select(keys.columns.head).toDF(keyCol).distinct().materialize()
     val man = manifest(version)
     val hit = k.join(broadcast(man),
         col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
@@ -1427,7 +1431,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       s"extendBloomIndex: version $fromVersion has no bloom index on '$column'")
     val toMan = manifest(toVersion).select("file", "n_rows").collect()
       .map(r => r.getString(0) -> math.max(r.getLong(1), 1L)).toMap
-    val old = spark.read.parquet(from.toString).localCheckpoint()
+    val old = spark.read.parquet(from.toString).materialize()
     val oldNames = old.select("file").collect().map(_.getString(0)).toSet
     val carried = old.join(nameFrame(toMan.keys), Seq("file"), "left_semi")
     val fresh = toMan.keys.filterNot(oldNames).toSeq.sorted
@@ -1509,7 +1513,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       commitTs: Option[Long] = None,
       fill: Map[String, Any] = Map.empty): (Int, Int) = {
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     // schema evolution, SnapshotStore.mergeDelta's contract: a column
     // the delta ADDS joins via the union-schema sidecar (shared files
     // are NOT rewritten — old files read null for it); a dropped delta
@@ -1550,7 +1554,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val touchKeys = delK.foldLeft(
         delta.select(col(keyCol)).withColumn("__del", lit(false)))(
         (acc, del) => acc.unionByName(del.withColumn("__del", lit(true))))
-      .groupBy(keyCol).agg(max(col("__del")).as("__del")).localCheckpoint()
+      .groupBy(keyCol).agg(max(col("__del")).as("__del")).materialize()
     // |manifest| rows broadcast into a range probe over the key set
     val touched = touchKeys.join(broadcast(man),
         col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
@@ -1623,7 +1627,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     require(Set("auto", "cow", "dv")(mode),
       s"deleteWhere mode must be auto|cow|dv, got '$mode'")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     // one narrow match scan serves BOTH strategies: Catalyst prunes to
     // pred's columns + the metadata struct; emits (file, row position)
     // per matching VISIBLE row (already-masked rows can't re-match)
@@ -1642,7 +1646,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       filled.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
       .getOrElse(filled)
     val matchRows = visible.filter(coalesce(pred, lit(false)))
-      .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+      .select(col("__f").as("file"), col("__p").as("pos")).materialize()
     val matching = matchRows.groupBy("file").agg(count(lit(1)).as("__hits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val shared = man.filter(!col("file").isin(matching.keys.toSeq: _*))
@@ -1713,7 +1717,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       deleteKeys: Option[DataFrame] = None, numNewFiles: Int = 2,
       commitTs: Option[Long] = None): (Int, Long) = {
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     val sc = evolvedSchema(fromVersion)
     val baseSchema = sc.getOrElse(
       readFilesRaw(fromVersion, resolve(fromVersion).take(1)).schema)
@@ -1723,7 +1727,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
         "takes mergeDelta's copy-on-write path")
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
     val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     // manifest-pruned position scan: only files whose key envelope
     // holds a touched key open, and only for (key, position)
     val touched = touchKeys.join(broadcast(man),
@@ -1748,7 +1752,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           withPos.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
           .getOrElse(withPos)
         visible.join(touchKeys, Seq(keyCol), "left_semi")
-          .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+          .select(col("__f").as("file"), col("__p").as("pos")).materialize()
       }
     val upserts = delK.foldLeft(delta)((d, del) =>
       d.join(del, Seq(keyCol), "left_anti"))
@@ -1757,7 +1761,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       manifestStatsCols(man), sc)
     val nMasked = matchRows.count()
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
-      .localCheckpoint()
+      .materialize()
     val nNew = stats.fold(0L)(_.count()).toInt
     publish(toVersion, stats.fold(man)(man.unionByName(_, allowMissingColumns = true)), commitTs, sc,
       dv = if (mask.limit(1).count() == 0) None else Some(mask),
@@ -1796,7 +1800,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       s"updateWhere: SET may not touch the key column '$keyCol' — a key change " +
         "is a delete+insert, route it through mergeDelta")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     val sc = evolvedSchema(fromVersion)
     val paths = resolve(fromVersion)
     // the match scan asks for PHYSICAL names (what the bytes answer to
@@ -1818,7 +1822,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     val visible = dvFrame(fromVersion).map(d =>
       filled.join(broadcast(d.toDF("__f", "__p")), Seq("__f", "__p"), "left_anti"))
       .getOrElse(filled)
-    val matched = visible.filter(coalesce(pred, lit(false))).localCheckpoint()
+    val matched = visible.filter(coalesce(pred, lit(false))).materialize()
     val matchRows = matched.select(col("__f").as("file"), col("__p").as("pos"))
     val matching = matchRows.groupBy("file").agg(count(lit(1)).as("__hits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1879,7 +1883,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def foldDv(fromVersion: Long, toVersion: Long, numNewFiles: Int = 2,
       commitTs: Option[Long] = None): (Int, Int, Long) = {
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     dvFrame(fromVersion) match {
       case None =>
         publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
@@ -1913,7 +1917,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     * a store that stops using DVs stops paying for them. */
   private def carryDv(fromVersion: Long, shared: DataFrame): Option[DataFrame] =
     dvFrame(fromVersion)
-      .map(_.join(shared.select("file"), Seq("file"), "left_semi").localCheckpoint())
+      .map(_.join(shared.select("file"), Seq("file"), "left_semi").materialize())
       .filter(_.limit(1).count() > 0)
 
   /** Adopt a dir-per-version SnapshotStore chain into this (empty)
@@ -2053,9 +2057,12 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
           .as("change_type"))
       .filter(col("change_type").isNotNull) // both-sides-equal rows drop out
-      .localCheckpoint()
+      // lazy: diff() is a DataFrame FACTORY — an eager pin here fired
+      // Spark jobs at construction even for plan-only consumers
+      // (ExplainDump, multi-commit walks that prune this step); the
+      // first real consumer still materializes it exactly once
+      .materialize(eager = false)
     val newSide = b.join(changed.filter(col("change_type") =!= "delete"), Seq(keyCol))
-    val delSide = a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol))
     // MERGE-ON-READ commits move no old files: rows masked between the
     // two versions' deletion vectors inside SHARED files are invisible
     // to the file-set diff — read exactly those rows from the older
@@ -2080,17 +2087,27 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
             .withColumn("change_type", lit("delete"))
           (fixed, Some(deletes), Some(moved))
       }
-    val base = newFixed.unionByName(delSide, allowMissingColumns = true)
-    val withDv = dvDeletes.fold(base)(base.unionByName(_, allowMissingColumns = true))
-    if (!preImages) withDv
-    else {
+    if (!preImages) {
+      val delSide = a.join(changed.filter(col("change_type") === "delete"), Seq(keyCol))
+      val base = newFixed.unionByName(delSide, allowMissingColumns = true)
+      dvDeletes.fold(base)(base.unionByName(_, allowMissingColumns = true))
+    } else {
+      // CDF shape: ONE pass over the from-side exclusive files serves
+      // BOTH the delete rows and the update pre-images (diff keys are
+      // unique, so the inner join ≡ the two separate joins it
+      // replaces row-for-row) — the from-side content was scanned
+      // twice here, once per change type.
+      val aOld = a.join(changed.filter(col("change_type") =!= "insert"), Seq(keyCol))
+        .withColumn("change_type",
+          when(col("change_type") === "update", lit("update_preimage"))
+            .otherwise(col("change_type")))
+      val withDv = dvDeletes.fold(newFixed)(
+        newFixed.unionByName(_, allowMissingColumns = true))
       val post = withDv.withColumn("change_type",
         when(col("change_type") === "update", lit("update_postimage"))
           .otherwise(col("change_type")))
-      val preA = a.join(changed.filter(col("change_type") === "update"), Seq(keyCol))
-        .withColumn("change_type", lit("update_preimage"))
       val preDv = dvPre.map(_.withColumn("change_type", lit("update_preimage")))
-      preDv.foldLeft(post.unionByName(preA, allowMissingColumns = true))(
+      preDv.foldLeft(post.unionByName(aOld, allowMissingColumns = true))(
         _.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -2104,7 +2121,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       val grown0 = dvFrame(fromVersion)
         .fold(dvTo)(dvFrom => dvTo.join(dvFrom, Seq("file", "pos"), "left_anti"))
       val grown = grown0.filter(col("file").isin(sharedNames.toSeq: _*))
-        .localCheckpoint()
+        .materialize()
       val files = grown.select("file").distinct().collect().map(_.getString(0))
       if (files.isEmpty) None
       else {
@@ -2144,11 +2161,11 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def validateDelta(vFrom: Long, vTo: Long): DataFrame = {
     val prev = manifest(vFrom).select("file").collect().map(_.getString(0)).toSet
     validateImpl(vTo,
-      manifest(vTo).filter(!col("file").isin(prev.toSeq: _*)).localCheckpoint())
+      manifest(vTo).filter(!col("file").isin(prev.toSeq: _*)).materialize())
   }
 
   def validate(version: Long): DataFrame =
-    validateImpl(version, manifest(version).localCheckpoint())
+    validateImpl(version, manifest(version).materialize())
 
   private def validateImpl(version: Long, man: DataFrame): DataFrame = {
     val entries = man.select("file", "min_key", "max_key", "n_rows").collect()
@@ -2243,7 +2260,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
   def compact(fromVersion: Long, toVersion: Long, minBytes: Long = 8L << 20,
       targetFiles: Int = 4, commitTs: Option[Long] = None): (Int, Int) = {
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     val pool = poolSizes()
     val sizes = man.select("file").collect().map(_.getString(0)).map(n =>
       n -> pool.getOrElse(n, fs.getFileStatus(new Path(poolDir, n)).getLen))
@@ -2288,7 +2305,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       commitTs: Option[Long] = None): (Int, Int) = {
     val pcs = requirePartitioned("compactWhere")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
       .select("file").collect().map(_.getString(0)).toSet
     val pool = poolSizes()
@@ -2336,7 +2353,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
     require(overlap.isEmpty,
       s"zorderWhere: ${overlap.mkString(", ")} are partition columns — constant " +
         "within every file already; z-order the finer dimensions instead")
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
       .select("file").collect().map(_.getString(0)).toSet
     if (matched.isEmpty) {
@@ -2373,7 +2390,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
       numNewFiles: Int = 2, commitTs: Option[Long] = None): (Int, Int, Long) = {
     val pcs = requirePartitioned("foldDvWhere")
     requireFreeVersion(toVersion)
-    val man = manifest(fromVersion).localCheckpoint()
+    val man = manifest(fromVersion).materialize()
     dvFrame(fromVersion) match {
       case None =>
         publish(toVersion, man, commitTs, evolvedSchema(fromVersion),
@@ -2381,7 +2398,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           statsFrom = Some(fromVersion))
         (man.count().toInt, 0, 0L)
       case Some(dv0) =>
-        val dv = dv0.localCheckpoint()
+        val dv = dv0.materialize()
         val matched = partitionEntries(man, pcs).filter(coalesce(pred, lit(false)))
           .select("file").collect().map(_.getString(0)).toSet
         val masked = dv.select("file").distinct().collect().map(_.getString(0))
@@ -2399,7 +2416,7 @@ class ManifestStore(spark: SparkSession, basePath: String, val keyCol: String,
           masked.toSeq.sorted.map(n => new Path(poolDir, n).toString))
         val stats = landWithStats(arrange(survivors, numNewFiles),
           manifestStatsCols(man), evolvedSchema(fromVersion))
-        val keep = dv.join(maskedDf, Seq("file"), "left_anti").localCheckpoint()
+        val keep = dv.join(maskedDf, Seq("file"), "left_anti").materialize()
         publish(toVersion, stats.fold(shared)(shared.unionByName(_, allowMissingColumns = true)), commitTs,
           evolvedSchema(fromVersion),
           dv = if (keep.limit(1).count() == 0) None else Some(keep),

@@ -678,10 +678,10 @@ object Pipeline {
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.kmeansCentroids(emb, 8, 3)
       val assigned = Similarity.ivfAssignTo(emb, cents)
-        .select("vec_id", "cell").localCheckpoint()
-      val sample = clusterBalancedSampleFrom(assigned, quota = 40).localCheckpoint()
+        .select("vec_id", "cell").materialize()
+      val sample = clusterBalancedSampleFrom(assigned, quota = 40).materialize()
       val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .materialize()
       val expected = sizes.agg(sum(least(col("n"), lit(40L)))).head().getLong(0)
       val perCell = sample.groupBy("cell").agg(count(lit(1)).as("sn"))
         .join(sizes, Seq("cell"))
@@ -726,14 +726,14 @@ object Pipeline {
       val twins = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-      val all = emb.unionByName(twins).localCheckpoint()
+      val all = emb.unionByName(twins).materialize()
       val assigned = Similarity.ivfAssignTo(all,
           Similarity.kmeansCentroids(all, 8, 3))
-        .select("vec_id", "cell").localCheckpoint()
-      val surv = semanticDedupFrom(all, assigned, eps = 0.001).localCheckpoint()
+        .select("vec_id", "cell").materialize()
+      val surv = semanticDedupFrom(all, assigned, eps = 0.001).materialize()
       val sIds = surv.select("vec_id")
       val planted = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
-        .localCheckpoint()
+        .materialize()
       val nPlanted = planted.count()
       val origAlive = planted.join(sIds, Seq("vec_id"), "left_semi")
       val twinAlive = planted
@@ -754,7 +754,7 @@ object Pipeline {
       // exact post-condition: no surviving in-cell pair within epsilon
       // (sides renamed disjointly off the checkpointed survivor frame;
       // the join is an equi-join on the cell)
-      val sv = surv.join(all, Seq("vec_id")).localCheckpoint()
+      val sv = surv.join(all, Seq("vec_id")).materialize()
       val lhs = sv.select(col("vec_id").as("vl"), col("cell").as("cl"),
         col("embedding").as("el"))
       val rhs = sv.select(col("vec_id").as("vr"), col("cell").as("cr"),

@@ -674,7 +674,7 @@ object Similarity {
   }
 
   private def ivfTopKAssigned(assignedRaw: DataFrame, k: Int, salt: Int): DataFrame = {
-    val assigned = assignedRaw.localCheckpoint()
+    val assigned = assignedRaw.materialize()
     val a0 = assigned.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"), col("cell"))
     val b0 = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -897,7 +897,7 @@ object Similarity {
         var i = 0
         while (i < e.length) { r(i) = e(i) - cent(i); i += 1 }
         (id, cell, r)
-      }.toDF("vec_id", "cell", "embedding").localCheckpoint()
+      }.toDF("vec_id", "cell", "embedding").materialize()
     val books = pqTrain(residuals.select(col("vec_id"), col("embedding")), m, ksub, iters)
     val bcB = spark.sparkContext.broadcast(books)
     val codes = residuals.as[(Long, Long, Array[Float])]
@@ -1273,7 +1273,7 @@ object Similarity {
           Seq("vec_id"), "left_anti")
       val fresh = freshRaw.map(raw =>
         ivfpqEncode(rot.map(rotate(raw, _)).getOrElse(raw), cents, books))
-      val newCodes = fresh.foldLeft(carried)(_ unionByName _).localCheckpoint()
+      val newCodes = fresh.foldLeft(carried)(_ unionByName _).materialize()
       saveCentroids(spark, cents, s"$toIndexPath/centroids")
       savePqBooks(spark, books, s"$toIndexPath/books")
       rot.foreach(r => saveRotation(spark, r, s"$toIndexPath/rotation"))
@@ -1651,7 +1651,7 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val pool = bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 100)
         .select(col("neighbor_id").as("vid"), col("cos").as("simq"))
-        .localCheckpoint() // feeds the pairwise join + the collect
+        .materialize() // feeds the pairwise join + the collect
       val pv = Tables.embeddings(s, d)
         .join(pool, col("vec_id") === col("vid"))
         .select(col("vid"), col("embedding"))
@@ -1876,10 +1876,10 @@ object Similarity {
         (col("vec_id") + lit(1L << 40)).as("vec_id"),
         zip_with(col("embedding"), reverse(col("embedding")),
           (a, b) => (a * lit(0.99f) + lit(0.02f) * b).cast("float")).as("embedding"))
-        .localCheckpoint() // consumed by search + exact baseline
+        .materialize() // consumed by search + exact baseline
       val approx = ivfpqTopKFrom(s, opqIvfpqArtifact(s, d), q,
         k = 5, nprobe = 4,
-        allowedIds = Some(allowed.select("vec_id"))).localCheckpoint()
+        allowedIds = Some(allowed.select("vec_id"))).materialize()
       val violations = approx.join(emb,
           approx("neighbor_id") === emb("vec_id"))
         .filter(col("label") =!= 3).count()

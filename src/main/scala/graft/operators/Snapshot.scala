@@ -230,7 +230,7 @@ object Snapshot {
     val upserts = last.filter(col("change_type") =!= "delete")
       .drop("change_type", "_commit_version", "__rn")
     val deletes = last.filter(col("change_type") === "delete")
-      .select(col(keyCol)).localCheckpoint()
+      .select(col(keyCol)).materialize()
     (upserts, if (deletes.limit(1).count() == 0) None else Some(deletes))
   }
 
@@ -954,7 +954,7 @@ object Snapshot {
         // the maintained frame is consumed twice (gate + output): one
         // localCheckpoint stops the 3-commit CDF feed recomputing
         val maintained = Snapshot.maintainAggregate(baseAgg, feed,
-          Seq("bucket"), Map("sum_price" -> "o_totalprice")).localCheckpoint()
+          Seq("bucket"), Map("sum_price" -> "o_totalprice")).materialize()
         val recomputed = bucketed(s.sql(s"SELECT * FROM $cat.$t"))
           .groupBy("bucket")
           .agg(sum("o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
@@ -1978,6 +1978,10 @@ object Snapshot {
       // fixture bug, not an engine one; the hashed content (the
       // whole-table aggregate of v1 ∪ add1 ∪ add2) is cutoff-invariant
       val kmax = ord.agg(max(k)).head().getLong(0)
+      // kmax < 4 would collapse c1 == c2 (an empty append band — the
+      // exact fixture bug the scale-relative cutoffs fixed); fail
+      // loudly at degenerate scale instead of re-creating it
+      require(kmax >= 4, s"optimize_where fixture needs max key >= 4, got $kmax")
       val (c1, c2) = (kmax / 2, kmax * 3 / 4)
       val v1 = ord.filter(k <= c1)
       val add1 = ord.filter(k > c1 && k <= c2)
@@ -2585,7 +2589,7 @@ object Snapshot {
         st.writeZOrdered(st.read(1L), 2L, numFiles = 40,
           zCols = Seq("o_custkey", "o_totalprice"))
       }
-      val man = st.manifest(2L).localCheckpoint()
+      val man = st.manifest(2L).materialize()
       val p = "1-URGENT"
       val partFiles = man.filter(col("min_o_orderpriority") === p).count()
       val opened = man.filter(
@@ -2704,7 +2708,7 @@ object Snapshot {
       // scan the table just to choose 2000 probes
       val sampleKeys = src.readKeyRange(3L, 2L, 20000L).select("o_orderkey")
         .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
-        .limit(2000).localCheckpoint()
+        .limit(2000).materialize()
       val aS = src.readForKeys(3L, sampleKeys)
       val bS = dst.readForKeys(2L, sampleKeys)
       // (readForKeys on the linked layout is envelope+semi-join only —
@@ -2819,7 +2823,7 @@ object Snapshot {
       val sk = li.groupBy("l_returnflag").agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
       val exact = li.groupBy("l_returnflag")
         .agg(count_distinct(col("l_orderkey")).as("__exact"))
-      val parts = sk.join(exact, Seq("l_returnflag")).localCheckpoint()
+      val parts = sk.join(exact, Seq("l_returnflag")).materialize()
       val per = parts.select(col("l_returnflag"),
         (abs(hll_sketch_estimate(col("sk")) - col("__exact")).cast("double")
           / col("__exact") <= 0.05).as("within_5pct"))

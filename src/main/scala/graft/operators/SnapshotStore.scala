@@ -1440,9 +1440,9 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     requireFreeVersion(toVersion)
     requireUniformSpec(zm0, "replaceWhere")
     enforceConstraints(data, "replaceWhere")
-    val zm = zm0.localCheckpoint()
+    val zm = zm0.materialize()
     val data2 = deriveParts(data)
-    val touched = data2.select(pcs.map(col): _*).distinct().localCheckpoint()
+    val touched = data2.select(pcs.map(col): _*).distinct().materialize()
     // NULL-SAFE anti-join (<=>): a null partition tuple in `data` must
     // replace the existing null-tuple files like any other value — a
     // plain column-list join never matches nulls, which would KEEP the
@@ -1494,10 +1494,10 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val (pcs, zm0) = requirePartitionedZm("dropPartitions", fromVersion)
     requireFreeVersion(toVersion)
     requireUniformSpec(zm0, "dropPartitions")
-    val zm = zm0.localCheckpoint()
+    val zm = zm0.materialize()
     val dropped = partitionEntries(zm, pcs).filter(coalesce(pred, lit(false)))
       .select(regexp_extract(col("file"), "[^/]+$", 0).as("name"), col("n_rows"))
-      .localCheckpoint()
+      .materialize()
     val droppedNames = dropped.select("name").collect().map(_.getString(0)).toSet
     val rowsDropped = dropped.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
@@ -1591,7 +1591,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       minBytes: Long = 8L << 20, commitTs: Option[Long] = None): (Int, Int) = {
     val (pcs, zm0) = requirePartitionedZm("compactWhere", fromVersion)
     requireFreeVersion(toVersion)
-    val zm = zm0.localCheckpoint()
+    val zm = zm0.materialize()
     val matched = matchedPartitionFiles(zm, pcs, pred)
     val allParts = fs.listStatus(new Path(dir(fromVersion)))
       .filter(_.getPath.getName.startsWith("part-")).toSeq
@@ -1633,7 +1633,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     require(overlap.isEmpty,
       s"zorderWhere: ${overlap.mkString(", ")} are partition columns — constant " +
         "within every file already; z-order the finer dimensions instead")
-    val zm = zm0.localCheckpoint()
+    val zm = zm0.materialize()
     val matched = matchedPartitionFiles(zm, pcs, pred)
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
       .filter(_.getName.startsWith("part-")).toSeq
@@ -1668,7 +1668,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       commitTs: Option[Long] = None): (Int, Int, Long) = {
     val (pcs, zm0) = requirePartitionedZm("foldDvWhere", fromVersion)
     requireFreeVersion(toVersion)
-    val zm = zm0.localCheckpoint()
+    val zm = zm0.materialize()
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
       .filter(_.getName.startsWith("part-")).toSeq
     dvFrame(fromVersion) match {
@@ -1677,7 +1677,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
           op = "foldDv", opParams = SnapshotStore.predSql(pred))
         (allParts.size, 0, 0L)
       case Some(dv0) =>
-        val dv = dv0.localCheckpoint()
+        val dv = dv0.materialize()
         val matched = matchedPartitionFiles(zm, pcs, pred)
         val masked = dv.select("file").distinct().collect().map(_.getString(0))
           .filter(matched).toSet
@@ -1772,7 +1772,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       maxRetries: Int = 5, readVersion: Option[Long] = None): Long = {
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
     val mine = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     // the conflict check runs against the version the delta was DERIVED
     // from (Delta's OptimisticTransaction.readVersion): pass it when the
     // delta was computed from an earlier read; default = current tip
@@ -1883,7 +1883,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   private def carryDvInto(fromVersion: Long, tmp: Path,
       keep: Set[String]): Unit =
     dvFrame(fromVersion).foreach { dv =>
-      val kept = dv.filter(col("file").isin(keep.toSeq: _*)).localCheckpoint()
+      val kept = dv.filter(col("file").isin(keep.toSeq: _*)).materialize()
       if (kept.limit(1).count() > 0)
         kept.coalesce(1).write.mode("overwrite")
           .parquet(new Path(tmp, "_dv").toString)
@@ -2170,7 +2170,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     }
     val zm = zoneMap(fromVersion).getOrElse(throw new IllegalStateException(
       s"mergeDelta needs a zone map on version $fromVersion (use writeRangePartitioned)"))
-      .localCheckpoint()
+      .materialize()
     val statsCols = zm.columns.toSeq
       .filter(c => c.startsWith("min_") && c != "min_key").map(_.drop(4))
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
@@ -2181,7 +2181,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     val touchKeys = delK.foldLeft(
         delta.select(col(keyCol)).withColumn("__del", lit(false)))(
         (acc, del) => acc.unionByName(del.withColumn("__del", lit(true))))
-      .groupBy(keyCol).agg(max(col("__del")).as("__del")).localCheckpoint()
+      .groupBy(keyCol).agg(max(col("__del")).as("__del")).materialize()
     // file is touched iff its key envelope contains a touched key: the
     // zone map is |files| rows — broadcast it into a range join over
     // the key set, one narrow pass, collect only file paths
@@ -2508,7 +2508,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
               org.apache.spark.sql.types.LongType))))
       else maskedScanWithPos(fromVersion, candidates.map(_.toString), Some(unionSchema))
         .filter(pred)
-        .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+        .select(col("__f").as("file"), col("__p").as("pos")).materialize()
     val matchStats = matchRows.groupBy("file").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val deleted = matchStats.values.sum
@@ -2615,13 +2615,13 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         "copy-on-write path")
     val delK = deleteKeys.map(df => df.select(df.columns.head).toDF(keyCol))
     val touchKeys = delK.foldLeft(delta.select(keyCol))(_ unionByName _)
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     val allParts = fs.listStatus(new Path(dir(fromVersion))).map(_.getPath)
       .filter(_.getName.startsWith("part-")).toSeq
     val matchRows = maskedScanWithPos(fromVersion, allParts.map(_.toString),
         Some(unionSchema))
       .join(touchKeys, Seq(keyCol), "left_semi")
-      .select(col("__f").as("file"), col("__p").as("pos")).localCheckpoint()
+      .select(col("__f").as("file"), col("__p").as("pos")).materialize()
     val upserts = delK.foldLeft(delta)((d, del) =>
       d.join(del, Seq(keyCol), "left_anti"))
     enforceConstraints(upserts, "mergeDeltaMor")
@@ -2634,7 +2634,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
     }
     val nMasked = matchRows.count()
     val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
-      .localCheckpoint()
+      .materialize()
     if (mask.limit(1).count() > 0)
       mask.select("file", "pos").coalesce(1).write.mode("overwrite")
         .parquet(new Path(tmp, "_dv").toString)
@@ -2689,7 +2689,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
       .filter(_.getName.startsWith("part-")).toSeq
     val matched = maskedScanWithPos(fromVersion, allParts.map(_.toString),
         Some(unionSchema))
-      .filter(coalesce(pred, lit(false))).localCheckpoint()
+      .filter(coalesce(pred, lit(false))).materialize()
     val matchRows = matched.select(col("__f").as("file"), col("__p").as("pos"))
     val matching = matchRows.groupBy("file").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2744,7 +2744,7 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(tmp, p.getName), false, conf)
       }
       val mask = dvFrame(fromVersion).map(_.unionByName(matchRows)).getOrElse(matchRows)
-        .select("file", "pos").localCheckpoint()
+        .select("file", "pos").materialize()
       sidecars(tmp, Some(mask))
       zm.foreach { z =>
         val carried = z.withColumn("file",
@@ -3043,23 +3043,27 @@ class SnapshotStore(spark: SparkSession, basePath: String, keyCol: String) {
   private def diffCdfFrom(d0: DataFrame, fromSide: DataFrame): DataFrame = {
     // the plain diff is consumed three times below (update keys,
     // delete keys, post-image rows) — materialize it once instead of
-    // re-running the fingerprint full-outer join per consumer
-    val d = d0.localCheckpoint()
-    val updKeys = d.filter(col("change_type") === "update").select(keyCol)
-    val pre = fromSide.join(updKeys, Seq(keyCol), "left_semi")
-      .withColumn("change_type", lit("update_preimage"))
+    // re-running the fingerprint full-outer join per consumer; lazy,
+    // so building the frame fires no jobs until a consumer executes
+    val d = d0.materialize(eager = false)
     // Delta's CDF delete rows carry the DELETED row's values (the
     // pre-image) — this layout's plain diff emits key-only deletes,
-    // so the old rows re-read keys-bounded from the from-side
-    val delKeys = d.filter(col("change_type") === "delete").select(keyCol)
-    val delRows = fromSide.join(delKeys, Seq(keyCol), "left_semi")
-      .withColumn("change_type", lit("delete"))
+    // so the old rows re-read keys-bounded from the from-side. ONE
+    // pass serves both the update pre-images and the delete rows
+    // (diff keys are unique, so the inner join ≡ the two semi-joins
+    // it replaces row-for-row): the from-side was scanned twice here.
+    val oldKeys = d.filter(col("change_type").isin("update", "delete"))
+      .select(col(keyCol), col("change_type").as("__ct"))
+    val oldRows = fromSide.join(oldKeys, Seq(keyCol))
+      .withColumn("change_type",
+        when(col("__ct") === "update", lit("update_preimage"))
+          .otherwise(lit("delete")))
+      .drop("__ct")
     d.filter(col("change_type") =!= "delete")
       .withColumn("change_type",
         when(col("change_type") === "update", lit("update_postimage"))
           .otherwise(col("change_type")))
-      .unionByName(delRows, allowMissingColumns = true)
-      .unionByName(pre, allowMissingColumns = true)
+      .unionByName(oldRows, allowMissingColumns = true)
   }
 
   /** [[diff]] restricted to keys in [lo, hi]: both sides read through

@@ -238,7 +238,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"),
         when(col("tok").isin(terms: _*), col("tok")).as("qt"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .materialize()
     val lens = tokAgg.groupBy("doc_id").agg(sum(col("n")).as("dl"))
     val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
@@ -287,7 +287,7 @@ object TextAnalysis {
       // projection barrier: explode must not re-evaluate tokens()
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialize()
     tok
       .withColumn("tok_bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tok_bucket")
@@ -307,7 +307,7 @@ object TextAnalysis {
   def updateBm25Index(store: graft.operators.SnapshotStore, fromVersion: Long,
       toVersion: Long, path: String, segId: Long,
       nBuckets: Int = 64): (Long, Long) = {
-    val d = store.diff(fromVersion, toVersion).localCheckpoint()
+    val d = store.diff(fromVersion, toVersion).materialize()
     val posted = d.filter(col("change_type").isin("insert", "update"))
       .select(col("doc_id"), col("text"))
     val removed = d.filter(col("change_type").isin("update", "delete"))
@@ -337,7 +337,7 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .filter(col("__tseg").isNull || col("seg") >= col("__tseg"))
       .select("doc_id", "seg", "dl")
-      .localCheckpoint()
+      .materialize()
     perSeg("postings").join(live.select("doc_id", "seg"), Seq("doc_id", "seg"))
       .select("doc_id", "tok", "tf", "tok_bucket")
       .write.mode("overwrite").partitionBy("tok_bucket")
@@ -642,7 +642,7 @@ object TextAnalysis {
     * per-doc counts (localCheckpoint — see Dedup.pairOverlapStats);
     * hot shingles are few by construction, so their set broadcasts. */
   def boilerplateShare(docs: DataFrame, k: Int, hotDf: Int): DataFrame = {
-    val sh = Dedup.docShingles(docs, k).localCheckpoint()
+    val sh = Dedup.docShingles(docs, k).materialize()
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > hotDf).select("shingle")
     val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -668,7 +668,7 @@ object TextAnalysis {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       // projection barrier: the bigram generator below must not
       // re-evaluate tokens() per produced element
-      .localCheckpoint()
+      .materialize()
     val bg = t.select(col("doc_id"), explode(
         when(size(col("tk")) >= 2,
           transform(sequence(lit(0), size(col("tk")) - 2),
@@ -799,7 +799,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString).toArray, f) }
-      .localCheckpoint()
+      .materialize()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var i = 0
     var exhausted = false
@@ -815,7 +815,7 @@ object TextAnalysis {
         val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((i + 1L, a, b, c))
         words = words.map { case (syms, f) => (mergePairIn(syms, a, b), f) }
-          .localCheckpoint()
+          .materialize()
         i += 1
       }
     }
@@ -950,7 +950,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .filter(length(col("tok")) >= 3) // drop stop-length tokens
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialize()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
@@ -996,10 +996,10 @@ object TextAnalysis {
 
   def bigramPerplexity(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
     val big = docBigramCounts(docs)
-      .localCheckpoint() // branches into global bigram counts + scoring
+      .materialize() // branches into global bigram counts + scoring
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // joined twice (w1 and w2 side), |vocab| rows
+      .materialize() // joined twice (w1 and w2 side), |vocab| rows
     val tot = uni.agg(sum("cw").cast(DoubleType).as("t"))
     val bc = big.groupBy("w", "w2").agg(sum("k").as("cb"))
     big.join(bc, Seq("w", "w2"))
@@ -1027,7 +1027,7 @@ object TextAnalysis {
       lambda: Double = 0.9): CompactBigramLm = {
     val uniAll = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // branches into totals + the pruned head
+      .materialize() // branches into totals + the pruned head
     val totals = uniAll.agg(
       coalesce(sum("cw"), lit(0L)).as("t"), count(lit(1)).as("v")).head()
     require(totals.getLong(0) > 0L, "compactBigramLm: empty training corpus")
@@ -1055,7 +1055,7 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // joined on both pair sides + totalled
+      .materialize() // joined on both pair sides + totalled
     val tot = uni.agg(sum("cw").as("t"))
     val pairs = docBigramCounts(docs)
       .groupBy("w", "w2").agg(sum("k").as("cb"))
@@ -1154,7 +1154,7 @@ object TextAnalysis {
       val docs = Tables.documents(s, d)
       val pl = bigramPerplexity(docs)
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-        .localCheckpoint() // feeds the quantile passes + the bucket scan
+        .materialize() // feeds the quantile passes + the bucket scan
       val qs = Percentiles.exactQuantiles(pl, "lang", "nll",
         Seq("q33" -> 1.0 / 3, "q66" -> 2.0 / 3))
       pl.join(broadcast(qs), Seq("lang"))
@@ -1255,7 +1255,7 @@ object TextAnalysis {
                   element_at(col("tk"), i + 2)).as("bg"))))
             .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-        .localCheckpoint()
+        .materialize()
       val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
       val prefCounts = bg.groupBy("w1").agg(count(lit(1)).as("cnt_pref"))
       bg.join(bgCounts, Seq("bg")).join(prefCounts, Seq("w1"))

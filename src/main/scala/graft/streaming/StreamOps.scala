@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.operators.GraftMaterializeOps
+
 /** Structured Streaming operators (SURVEY §2 group 8): the streaming
   * twins of the batch Events/Snapshot operators.
   *
@@ -591,12 +593,12 @@ object StreamOps {
       // empty batches still publish (a carry version) — the version
       // chain must stay contiguous for the harness's replay skip
       if (!store.versions().contains(to)) {
-        val groups = batch.select(col(groupCol)).distinct().localCheckpoint()
+        val groups = batch.select(col(groupCol)).distinct().materialize()
         // aggregate rows for exactly the touched groups — the tip
         // point-read is manifest-pruned, O(touched), not O(groups)
         val baseRows = store.readForKeys(from, groups)
         val updated = graft.operators.Snapshot.maintainAggregate(
-          baseRows, batch, Seq(groupCol), sums, countCol).localCheckpoint()
+          baseRows, batch, Seq(groupCol), sums, countCol).materialize()
         // groups the batch touched but whose count reached zero DROP;
         // left_anti against the survivors keeps never-existed groups
         // out of the delete set only incidentally (deleting an absent
@@ -1061,8 +1063,8 @@ object StreamOps {
       val delIds = b.filter(col(changeTypeCol) === "delete")
         .select(col(idCol).cast("long").as(idCol))
       val newChunks = keyedEncryptedChunks(
-        ups, idCol, payloadCol, master, maxChunksPerPayload).localCheckpoint()
-      val touched = ups.select(col(idCol)).unionByName(delIds).distinct().localCheckpoint()
+        ups, idCol, payloadCol, master, maxChunksPerPayload).materialize()
+      val touched = ups.select(col(idCol)).unionByName(delIds).distinct().materialize()
       val bounds = touched.agg(min(col(idCol)), max(col(idCol))).head()
       val dels =
         if (bounds.isNullAt(0)) None

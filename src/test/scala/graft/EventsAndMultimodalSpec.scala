@@ -315,6 +315,46 @@ class EventsAndMultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(Array[Byte](9, 9)).isEmpty)
   }
 
+  test("syntheticWav: direct RIFF framing is byte-identical to the JDK encoder") {
+    // the direct framer replaced javax.sound (provider registry
+    // serializes concurrent callers); the bytes must not move — the
+    // oracle recomputes header fields and downstream queries hash
+    // payload-derived values. Sweep the whole parameter space the id
+    // drives: rate (id%4), channels (id%2), frames (id%40), both gains.
+    def jdkWav(id: Long, gain: Int): Array[Byte] = {
+      val pcm = Multimodal.syntheticPcm(id, gain)
+      val ch = Multimodal.audioChannelsOf(id)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        Multimodal.audioRateOf(id).toFloat, 16, ch, true, false)
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        bytes(2 * i) = (pcm(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, (pcm.length / ch).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      finally ais.close()
+      bos.toByteArray
+    }
+    (0L until 80L).foreach { id =>
+      Seq(1, 2).foreach { gain =>
+        assert(Multimodal.syntheticWav(id, gain).sameElements(jdkWav(id, gain)),
+          s"direct WAV bytes diverge from the JDK encoder at id=$id gain=$gain")
+      }
+    }
+    // and the direct decoder round-trips what the JDK encoder wrote
+    val viaJdk = jdkWav(13L, 1)
+    assert(Multimodal.decodeAudioMeta(viaJdk).exists(_.frames ==
+      Multimodal.audioFramesOf(13L).toLong))
+    assert(Multimodal.decodeAudioSamples(viaJdk).exists(
+      _.sameElements(Multimodal.syntheticPcm(13L).map(_.toInt))))
+  }
+
   test("audioFingerprint: volume-invariant, separating, None below 64 samples") {
     // a gain scales every span mean and the global mean together, so
     // no bit of the 64-span hash moves — exercised across waveform
