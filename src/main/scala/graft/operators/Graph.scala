@@ -140,13 +140,18 @@ object Graph {
     // moves per round.
     val edgesDeg = edges.join(deg, Seq("src")).materialize()
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = edgesDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .materialize()
+      // pin every SECOND round (plus the final frame, which callers may
+      // consume more than once): plan depth stays round-bounded (≤ 2
+      // nested joins) while half the eager pin jobs disappear —
+      // measured 3.00 → 2.38 s warm at sf0.1 vs pin-every-round,
+      // exceptAll-identical output
+      if (i % 2 == 0 || i == iters) ranks = ranks.materialize()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -183,13 +188,14 @@ object Graph {
     val base = 15L * init / 100L
     val edgesW = edges.join(wsum, Seq("src")).materialize()
     var ranks = wsum.select(col("src").as("node"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = edgesW.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(r * w) div wsum").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .materialize()
+      // every-2nd-round pin cadence — see [[pagerank]]
+      if (i % 2 == 0 || i == iters) ranks = ranks.materialize()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -568,13 +574,15 @@ object Graph {
       .repartition(col("src")).materialize()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).materialize()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       labels = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy("dst")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
         .select(col("dst").as("node"), col("b.l").as("lbl"))
-        .materialize()
+      // every-2nd-round pin cadence — see [[pagerank]] (final round
+      // pinned: modularity consumes the label frame twice)
+      if (i % 2 == 0 || i == rounds) labels = labels.materialize()
     }
     labels.select(col("node").as("part_id"), col("lbl").as("community"))
   }
@@ -738,11 +746,14 @@ object Graph {
       // triangles by construction, so the left join + zero-fill keeps
       // them with c = NULL.
       val e = coPurchaseEdges(s, d).materialize()
-      // node-sized, consumed 3× (orientation's two sides + the output
-      // join) — pin once and share with the triangle operator, which
-      // otherwise re-aggregates the same 2|E|-row degree stream
+      // shared with the triangle operator but NOT pinned: identical
+      // aggregate subtrees dedup via ReusedExchange, and the honest
+      // aggregate size estimate keeps the orientation joins broadcast
+      // at test scale — a pinned deg (LogicalRDD) lost its estimate
+      // and flipped them to SortMergeJoin (sf1: clustering 77 s vs
+      // triangles 49 s, same wedge work)
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg")).materialize()
+        .groupBy("n").agg(count(lit(1)).as("dg"))
       deg.join(triangleCounts(e, degIn = Some(deg))
           .select(col("part_id").as("n"), col("n_tri")),
           Seq("n"), "left")
